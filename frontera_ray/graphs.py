@@ -1,0 +1,190 @@
+"""Deterministic synthetic web graphs.
+
+The crawl engine is tested/benchmarked against purely synthetic webs where
+``links_of(url)`` is a *pure function* of the URL — no stored adjacency is
+needed at scale, mirroring the reference's generated balanced link trees
+(``create_test_site``, frontera/utils/graphs/data.py:5-23) used by its
+golden-ordering suite (tests/backends.py:120-125).
+
+Two families:
+
+- ``site_tree(prefix, max_depth, branching, self_link)``: explicit
+  page -> links list, byte-for-byte equal to the reference generator's
+  output shape (pages only exist above max_depth; leaf URLs appear only
+  as links). Used for SITE_01/02/03 golden sequences.
+- ``SyntheticWeb``: a pure-function web over hosts
+  ``http://host-{i}.test/{digits}`` with per-host depth/branching drawn
+  deterministically (Zipf-skewed page counts for skew testing). Used for
+  bench-scale frontiers (FIXTURES.md §F7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def site_tree(prefix: str, max_depth: int, branching: int, self_link: bool = False):
+    """List of (page_url, [link_urls]) for a balanced tree site.
+
+    Parity with reference ``create_test_site`` (frontera/utils/graphs/
+    data.py:5-23): the root is ``prefix + '1'``; a page at depth d <
+    max_depth-? has children page+digit; with ``self_link`` every page
+    also links to itself (appended last)."""
+    pages = []
+
+    def rec(page: str, depth: int):
+        depth += 1
+        if depth < max_depth:
+            links = [page + str(k) for k in range(1, branching + 1)]
+            pages.append((page, links))
+            for link in links:
+                rec(link, depth)
+            if self_link:
+                links.append(page)
+
+    rec(prefix + "1", 0)
+    return pages
+
+
+# The three site lists driving the reference golden-ordering corpus
+# (frontera/utils/graphs/data.py:65-104).
+def SITE_LIST_01():
+    return [site_tree("http://aaa.com/", 4, 2)]
+
+
+def SITE_LIST_02():
+    return [site_tree("http://aaa.com/", 4, 2), site_tree("http://bbb.com/", 4, 2)]
+
+
+def SITE_LIST_03():
+    return [site_tree("http://ccc.com/", 5, 2, self_link=True)]
+
+
+# Multi-domain graph with subdomains and cross-links used by the
+# overused-buffer suite (frontera/utils/graphs/data.py SITE_LIST_09,
+# tests/test_overused_buffer.py:10-47). First page of each site = seed.
+def SITE_LIST_09():
+    return [
+        [
+            ("https://www.a.com", [
+                "http://www.a.com/2",
+                "http://www.a.com/2/1",
+                "http://www.a.com/3",
+                "http://www.a.com/2/1/3",
+                "http://www.a.com/2/4/1",
+                "http://www.a.com/2/4/2",
+                "http://www.a.net",
+            ]),
+        ],
+        [
+            ("http://b.com", [
+                "http://b.com/2",
+                "http://www.a.net",
+                "http://test.cloud.c.com",
+                "http://b.com",
+            ]),
+            ("http://b.com/entries?page=2", [
+                "http://b.com/entries?page=2",
+                "http://b.com",
+            ]),
+        ],
+        [
+            ("http://test.cloud.c.com", [
+                "http://cloud.c.com",
+                "http://test.cloud.c.com/2",
+            ]),
+            ("http://test.cloud.c.com/2", [
+                "http://b.com/entries?page=2",
+                "http://test.cloud.c.com",
+            ]),
+        ],
+    ]
+
+
+class GraphManager:
+    """Materialized page->links web (test scale only) with seeds = first
+    page of each site, like the reference graphs.Manager."""
+
+    def __init__(self, site_list):
+        self.pages = {}
+        self.seeds = []
+        for site in site_list:
+            if site:
+                self.seeds.append(site[0][0])
+            for url, links in site:
+                self.pages[url] = list(links)
+
+    def links_of(self, url: str):
+        return self.pages.get(url, [])
+
+    def all_urls(self):
+        urls = set(self.pages)
+        for links in self.pages.values():
+            urls.update(links)
+        return urls
+
+
+# ---------------------------------------------------------------------------
+# pure-function bench-scale web
+# ---------------------------------------------------------------------------
+
+# (max_depth, branching) classes; tree size ~ branching^(depth-1) pages.
+_HOST_CLASSES = [
+    (4, 2),    # tiny: 7 pages
+    (5, 2),    # 15
+    (5, 3),    # 40
+    (6, 3),    # 121
+    (7, 3),    # 364
+    (6, 5),    # 781
+    (7, 5),    # 3906
+    (8, 5),    # ~19.5k
+]
+
+
+class SyntheticWeb:
+    """Pure-function web: ``http://host-{i:05d}.test/{digits}``.
+
+    Host i's tree shape comes from a deterministic Zipf-ish assignment:
+    most hosts are tiny, a few are huge (skew testing, FIXTURES.md §F7).
+    ``links_of`` needs no state — safe to call from any Ray task."""
+
+    def __init__(self, num_hosts: int, seed: int = 42, max_class: int | None = None):
+        self.num_hosts = num_hosts
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        n_cls = len(_HOST_CLASSES) if max_class is None else max_class
+        # Zipf over classes: P(class c) ∝ 1/(c+1)^1.5, class index = size order
+        w = 1.0 / np.arange(1, n_cls + 1) ** 1.5
+        w /= w.sum()
+        self._cls = rng.choice(n_cls, size=num_hosts, p=w[::-1])  # few big hosts
+        self._cls.flags.writeable = False
+
+    def host(self, i: int) -> str:
+        return f"host-{i:05d}.test"
+
+    def seeds(self):
+        return [f"http://{self.host(i)}/1" for i in range(self.num_hosts)]
+
+    def shape_of(self, host: str):
+        i = int(host[5:10])
+        return _HOST_CLASSES[self._cls[i]]
+
+    def links_of(self, url: str):
+        # url = http://host-XXXXX.test/<digits>
+        try:
+            rest = url.split("//", 1)[1]
+            host, path = rest.split("/", 1)
+        except (IndexError, ValueError):
+            return []
+        max_depth, branching = self.shape_of(host)
+        if len(path) + 1 >= max_depth:
+            return []
+        base = url
+        return [base + str(k) for k in range(1, branching + 1)]
+
+    def total_pages(self) -> int:
+        tot = 0
+        for c in self._cls:
+            d, b = _HOST_CLASSES[c]
+            tot += (b ** (d - 1) - 1) // (b - 1)
+        return tot

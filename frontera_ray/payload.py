@@ -1,0 +1,183 @@
+"""Deterministic image+caption payload generation and codecs.
+
+The graft's fetch simulation is a *pure function* of the canonical URL:
+``fetch(url) -> (image bytes, w, h, fmt, caption, phash)`` — no external
+data, fully seeded (BASELINE.json input_hint; FIXTURES.md §F4).
+
+Because no image libraries ship in this environment, we implement two
+real, self-contained codecs with numpy + zlib:
+
+- ``png``: a genuine, spec-conformant minimal PNG (8-bit RGB, filter 0)
+  — lossless, decodable by any PNG reader; our decoder handles the
+  subset we emit. PSNR is infinite (exact pixel match).
+- ``qimg``: a deliberately lossy codec (5-bit/channel quantization +
+  zlib) standing in for JPEG; uniform quantization with step 8 yields
+  MSE ≈ 8²/12 ≈ 5.33 → PSNR ≈ 40.9 dB ≥ the 40 dB gate, so the per-row
+  "decoded-pixel PSNR ≥ 40 dB for lossy formats" invariant is exercised
+  for real. A true JPEG stage would slot into the same actor-pool
+  decode stage (see stages/images.py).
+
+``phash`` is an 8x8 average-hash over the grayscale image (64-bit int).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# minimal PNG (8-bit RGB, no interlace, filter 0 per scanline)
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode the PNG subset emitted by ``png_encode``."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise NotImplementedError("decoder handles 8-bit RGB only")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    if not (raw[:, 0] == 0).all():
+        raise NotImplementedError("decoder handles filter 0 only")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# lossy codec (JPEG stand-in): 5-bit/channel quantization + zlib
+# ---------------------------------------------------------------------------
+
+def qimg_encode(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    q = (pixels >> 3).astype(np.uint8)  # 5 bits/channel
+    return b"QIMG" + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def qimg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"QIMG":
+        raise ValueError("not a QIMG")
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
+    # reconstruct at bin center: q*8 + 4, clipped (max bin 31 -> 252)
+    return (q.astype(np.uint16) * 8 + 4).clip(0, 255).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "qimg":
+        return qimg_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        # no JPEG lib in this environment; the decode stage is real, the
+        # codec is gated (stages/images.py wires the same actor signature)
+        raise NotImplementedError("jpeg decode requires an image library")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average-hash: grayscale -> 8x8 block means -> bit per cell."""
+    gray = pixels.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8), dtype=np.float32)
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= 1 << 63 else v  # signed int64 for Arrow
+
+
+# ---------------------------------------------------------------------------
+# deterministic fetch simulation
+# ---------------------------------------------------------------------------
+
+_SIZES = [(32, 24), (48, 32), (64, 48), (40, 40), (56, 42), (80, 60)]
+
+
+def _seed_of(url: str) -> int:
+    return int.from_bytes(hashlib.sha1(url.encode("utf8")).digest()[8:16], "big")
+
+
+def gen_pixels(url: str) -> tuple[np.ndarray, str]:
+    """(pixels, fmt) for a URL — a seeded smooth gradient + noise block
+    pattern, cheap to generate and stable forever."""
+    seed = _seed_of(url)
+    w, h = _SIZES[seed % len(_SIZES)]
+    fmt = "png" if (seed >> 3) % 2 == 0 else "qimg"
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        (xx * (1 + seed % 5) + yy * (1 + (seed >> 4) % 7)) % 256
+    ).astype(np.uint16)
+    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint16)
+    pix = ((base[:, :, None] + noise + (seed % 256)) % 256).astype(np.uint8)
+    return pix, fmt
+
+
+def caption_of(url: str) -> str:
+    tag = hashlib.sha1(url.encode("utf8")).hexdigest()[:12]
+    return f"synthetic caption {tag} for {url}"
+
+
+def fetch_simulated(url: str) -> dict:
+    """Pure deterministic fetch: URL -> one image+caption row
+    (schema per BASELINE.json input_hint)."""
+    pix, fmt = gen_pixels(url)
+    data = png_encode(pix) if fmt == "png" else qimg_encode(pix)
+    h, w, _ = pix.shape
+    return {
+        "image_id": url,
+        "bytes": data,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt,
+        "caption": caption_of(url),
+        "phash": np.int64(phash64(pix)),
+    }

@@ -1,0 +1,320 @@
+"""Priority-queue shard with politeness.
+
+Re-expresses, from observed public semantics (no code copied):
+
+- frontera's Queue contract (frontera/core/components.py:57-89) and the
+  memory heap backend's pop-k (frontera/contrib/backends/memory/
+  __init__.py:51-79): pop best-key first, ties FIFO by insertion.
+- the OverusedBuffer (frontera/core/__init__.py:28-110): requests whose
+  downloader slot (hostname) is overused are parked in per-key deques
+  and served first on later calls once the key is no longer overused;
+  a pull of k from the underlying queue may return fewer than k when
+  some were parked. Per-key and key-count purges bound memory.
+- broad-crawl batch shaping (max requests per host / min hosts,
+  frontera/contrib/backends/hbase/__init__.py:198-296 semantics).
+- robots.txt gating + per-domain metadata (strategy/discovery).
+
+Ordering profiles (SURVEY.md §2.7): 'fifo' (seq asc), 'lifo' (seq desc),
+'min_score' (score asc, seq asc — SQLAlchemy/memory-backend semantics the
+golden test corpus encodes), 'max_score' (score desc, seq asc — HBase
+production semantics).
+
+One shard owns all hosts with ``crc32(host) % num_shards == shard_id``,
+so per-host politeness state is local to its shard — the same invariant
+frontera gets from hostname-partitioned spider feeds.
+"""
+
+from __future__ import annotations
+
+import heapq
+import random
+import urllib.robotparser
+from collections import defaultdict, deque
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ENTRY_FIELDS = ("url", "fingerprint", "host", "score", "depth", "seq", "crawl_at")
+
+ENTRY_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("fingerprint", pa.uint64()),
+        ("host", pa.string()),
+        ("score", pa.float64()),
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("crawl_at", pa.int64()),
+    ]
+)
+
+
+class QueueEntry(tuple):
+    """(url, fingerprint, host, score, depth, seq, crawl_at)"""
+
+    __slots__ = ()
+
+    def __new__(cls, url, fingerprint, host, score=1.0, depth=0, seq=0, crawl_at=0):
+        return tuple.__new__(cls, (url, int(fingerprint), host, float(score),
+                                   int(depth), int(seq), int(crawl_at)))
+
+    url = property(lambda s: s[0])
+    fingerprint = property(lambda s: s[1])
+    host = property(lambda s: s[2])
+    score = property(lambda s: s[3])
+    depth = property(lambda s: s[4])
+    seq = property(lambda s: s[5])
+    crawl_at = property(lambda s: s[6])
+
+
+class DomainMetadata:
+    """Per-host metadata co-located with the host's queue shard
+    (robots parser, crawl delay, counters, ban flag)."""
+
+    __slots__ = ("robots", "robots_body", "crawl_delay", "queued_pages",
+                 "banned", "last_pop_seq")
+
+    def __init__(self):
+        self.robots = None
+        self.robots_body = None
+        self.crawl_delay = 0.0
+        self.queued_pages = 0
+        self.banned = False
+        self.last_pop_seq = -1
+
+    def set_robots(self, body: str, user_agent: str = "*"):
+        self.robots_body = body
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        self.robots = rp
+        delay = rp.crawl_delay(user_agent)
+        if delay:
+            self.crawl_delay = float(delay)
+
+    def allowed(self, url: str, user_agent: str = "*") -> bool:
+        if self.banned:
+            return False
+        if self.robots is None:
+            return True
+        return self.robots.can_fetch(user_agent, url)
+
+
+class QueueShard:
+    def __init__(self, shard_id: int = 0, profile: str = "min_score",
+                 max_per_key: int | None = None, keep_per_key: int = 1000,
+                 max_keys: int | None = None, keep_keys: int = 100,
+                 max_pages_per_domain: int | None = None,
+                 robots_enabled: bool = False, purge_seed: int = 42):
+        self.shard_id = shard_id
+        self.profile = profile
+        self._heap: list[tuple] = []
+        self._pending: dict[str, deque] = defaultdict(deque)
+        self._max_per_key = max_per_key
+        self._keep_per_key = keep_per_key
+        self._max_keys = max_keys
+        self._keep_keys = keep_keys
+        self._max_pages_per_domain = max_pages_per_domain
+        self._robots_enabled = robots_enabled
+        self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
+        self._rng = random.Random(purge_seed)
+        self.stats = defaultdict(int)
+
+    # -- keys ----------------------------------------------------------------
+    def _key(self, e: QueueEntry) -> tuple:
+        if self.profile == "fifo":
+            return (e.seq,)
+        if self.profile == "lifo":
+            return (-e.seq,)
+        if self.profile == "min_score":
+            return (e.score, e.seq)
+        if self.profile == "max_score":
+            return (-e.score, e.seq)
+        raise ValueError(f"unknown profile {self.profile!r}")
+
+    # -- scheduling ----------------------------------------------------------
+    def schedule(self, entries) -> int:
+        """Push a batch of QueueEntry; applies robots gating / domain
+        caps / ban flags. Returns the number actually queued."""
+        n = 0
+        for e in entries:
+            meta = self.domains[e.host] if (
+                self._robots_enabled or self._max_pages_per_domain
+            ) else None
+            if meta is not None:
+                if meta.banned:
+                    self.stats["dropped_banned"] += 1
+                    continue
+                if self._robots_enabled and not meta.allowed(e.url):
+                    self.stats["dropped_robots"] += 1
+                    continue
+                if (self._max_pages_per_domain is not None
+                        and meta.queued_pages >= self._max_pages_per_domain):
+                    self.stats["dropped_domain_cap"] += 1
+                    continue
+                meta.queued_pages += 1
+            heapq.heappush(self._heap, (*self._key(e), e))
+            n += 1
+        self.stats["scheduled"] += n
+        return n
+
+    def count(self) -> int:
+        return len(self._heap) + sum(len(d) for d in self._pending.values())
+
+    # -- OverusedBuffer semantics -------------------------------------------
+    def _serve_pending(self, max_n: int, overused: set) -> list[QueueEntry]:
+        out = []
+        keys = sorted(set(self._pending) - overused)
+        while len(out) < max_n and keys:
+            for key in list(keys):
+                dq = self._pending.get(key)
+                if not dq:
+                    keys.remove(key)
+                    self._pending.pop(key, None)
+                    continue
+                out.append(dq.popleft())
+                if not dq:
+                    keys.remove(key)
+                    self._pending.pop(key, None)
+                if len(out) >= max_n:
+                    break
+        return out
+
+    def _check_and_purge(self, key: str) -> None:
+        dq = self._pending[key]
+        if self._max_per_key is not None and len(dq) > self._max_per_key:
+            while len(dq) > self._keep_per_key:
+                dq.popleft()
+                self.stats["purged"] += 1
+
+    def _check_and_purge_keys(self) -> None:
+        if self._max_keys is not None and len(self._pending) > self._max_keys:
+            keep = set(self._rng.sample(sorted(self._pending.keys()), self._keep_keys))
+            for key in list(self._pending.keys()):
+                if key not in keep:
+                    del self._pending[key]
+                    self.stats["purged_keys"] += 1
+
+    def _heap_pop(self, n: int, now: int | None, max_per_host: int | None,
+                  host_counts) -> list[QueueEntry]:
+        """Pop up to n visible entries honoring a per-host cap; capped or
+        not-yet-visible entries are set aside and re-pushed."""
+        out, setaside = [], []
+        while len(out) < n and self._heap:
+            item = heapq.heappop(self._heap)
+            e: QueueEntry = item[-1]
+            if now is not None and e.crawl_at > now:
+                setaside.append(item)
+                continue
+            if max_per_host is not None and host_counts[e.host] >= max_per_host:
+                setaside.append(item)
+                continue
+            host_counts[e.host] += 1
+            out.append(e)
+        for item in setaside:
+            heapq.heappush(self._heap, item)
+        return out
+
+    def pop(self, max_n: int, overused_keys=(), now: int | None = None,
+            max_per_host: int | None = None) -> list[QueueEntry]:
+        """get_next_requests with OverusedBuffer parking.
+
+        1. serve parked requests for keys no longer overused (reference
+           serves pending first);
+        2. pull ``max_n - served`` from the heap; entries whose host is
+           overused are parked (the call may return fewer than max_n —
+           parity with the reference buffer).
+        """
+        self._check_and_purge_keys()
+        overused = set(overused_keys)
+        requests = self._serve_pending(max_n, overused)
+        if len(requests) == max_n:
+            self.stats["popped"] += len(requests)
+            return requests
+        host_counts = defaultdict(int)
+        for r in requests:
+            host_counts[r.host] += 1
+        pulled = self._heap_pop(max_n - len(requests), now, max_per_host, host_counts)
+        for e in pulled:
+            if e.host in overused:
+                self._pending[e.host].append(e)
+                host_counts[e.host] -= 1
+                if self._max_per_key:
+                    self._check_and_purge(e.host)
+            else:
+                requests.append(e)
+        self.stats["popped"] += len(requests)
+        return requests
+
+    # -- Arrow interop (used by Ray actors) ---------------------------------
+    def schedule_table(self, table: pa.Table) -> int:
+        cols = [table[f].to_pylist() for f in ENTRY_FIELDS if f in table.column_names]
+        names = [f for f in ENTRY_FIELDS if f in table.column_names]
+        entries = (QueueEntry(**dict(zip(names, row))) for row in zip(*cols))
+        return self.schedule(entries)
+
+    def pop_table(self, max_n: int, overused_keys=(), now: int | None = None,
+                  max_per_host: int | None = None) -> pa.Table:
+        entries = self.pop(max_n, overused_keys, now, max_per_host)
+        if not entries:
+            return ENTRY_SCHEMA.empty_table()
+        cols = list(zip(*entries))
+        return pa.table(
+            {name: pa.array(list(col), type=ENTRY_SCHEMA.field(name).type)
+             for name, col in zip(ENTRY_FIELDS, cols)}
+        )
+
+    # -- checkpoint ----------------------------------------------------------
+    def checkpoint(self, directory: str) -> None:
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        entries = [item[-1] for item in self._heap]
+        for dq in self._pending.values():
+            entries.extend(dq)
+        if entries:
+            cols = list(zip(*entries))
+            t = pa.table({name: pa.array(list(col), type=ENTRY_SCHEMA.field(name).type)
+                          for name, col in zip(ENTRY_FIELDS, cols)})
+        else:
+            t = ENTRY_SCHEMA.empty_table()
+        pq.write_table(t, d / f"queue-{self.shard_id:04d}.parquet")
+        dm = [(h, m.robots_body or "", m.crawl_delay, m.queued_pages, m.banned)
+              for h, m in self.domains.items()]
+        if dm:
+            hosts, bodies, delays, qp, banned = zip(*dm)
+        else:
+            hosts = bodies = delays = qp = banned = []
+        pq.write_table(
+            pa.table({"host": pa.array(list(hosts), pa.string()),
+                      "robots_body": pa.array(list(bodies), pa.string()),
+                      "crawl_delay": pa.array(list(delays), pa.float64()),
+                      "queued_pages": pa.array(list(qp), pa.int64()),
+                      "banned": pa.array(list(banned), pa.bool_())}),
+            d / f"domains-{self.shard_id:04d}.parquet",
+        )
+
+    @classmethod
+    def restore(cls, directory: str, shard_id: int, **kwargs) -> "QueueShard":
+        d = Path(directory)
+        shard = cls(shard_id, **kwargs)
+        t = pq.read_table(d / f"queue-{shard_id:04d}.parquet")
+        rows = zip(*(t[f].to_pylist() for f in ENTRY_FIELDS))
+        for row in rows:
+            e = QueueEntry(*row)
+            heapq.heappush(shard._heap, (*shard._key(e), e))
+        dpath = d / f"domains-{shard_id:04d}.parquet"
+        if dpath.exists():
+            dt = pq.read_table(dpath)
+            for h, body, delay, qp, banned in zip(
+                dt["host"].to_pylist(), dt["robots_body"].to_pylist(),
+                dt["crawl_delay"].to_pylist(), dt["queued_pages"].to_pylist(),
+                dt["banned"].to_pylist(),
+            ):
+                m = shard.domains[h]
+                if body:
+                    m.set_robots(body)
+                m.crawl_delay = delay
+                m.queued_pages = qp
+                m.banned = banned
+        return shard

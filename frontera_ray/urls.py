@@ -1,0 +1,157 @@
+"""URL parsing / canonicalization kernels.
+
+Reimplements (from public semantics, no code copied) what frontera gets
+from ``urlparse`` / ``w3lib.url.canonicalize_url``:
+
+- ``parse_url``          ~ frontera/utils/url.py:6-11
+- ``parse_domain_from_url_fast`` ~ frontera/utils/url.py:39-44
+- ``canonicalize_url``   ~ applied before fingerprinting in
+  frontera/contrib/middlewares/fingerprint.py:76
+- ``hostname_of``        ~ slot key extraction, frontera/core/__init__.py:20
+
+All batch variants are meant to run inside ``Dataset.map_batches`` over
+Arrow string columns; they loop in Python only over *unique* values where
+possible (hosts repeat heavily in crawl batches).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from urllib.parse import urlparse, parse_qsl, urlencode, quote, unquote
+
+import numpy as np
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+
+def parse_url(url):
+    """Parse a URL into a 6-tuple (scheme, netloc, path, params, query,
+    fragment); passes through already-parsed tuples
+    (parity: frontera/utils/url.py:6-11, tests/test_utils_url.py:13-24)."""
+    if isinstance(url, tuple):
+        return url
+    return tuple(urlparse(url))
+
+
+def hostname_of(url: str) -> str:
+    """Downloader slot key: the URL's hostname, '' when absent
+    (parity: frontera/core/__init__.py:20)."""
+    return urlparse(url).hostname or ""
+
+
+def parse_domain_from_url_fast(url):
+    """(netloc, hostname, scheme, '', '', '') — fast path without public
+    suffix list (parity: frontera/utils/url.py:39-44,
+    tests/test_utils_url.py:50-58)."""
+    p = urlparse(url)
+    return (p.netloc, p.hostname or "", p.scheme, "", "", "")
+
+
+def _split_host(hostname: str):
+    """(name, sld, tld, subdomain) via a public-suffix-free heuristic:
+    last label is the TLD, the label before it the SLD.
+    Mirrors the observable outputs of frontera's tldextract path for the
+    common cases asserted in tests/test_utils_url.py:29-47."""
+    if not hostname:
+        return "", "", "", ""
+    labels = hostname.split(".")
+    if len(labels) == 1:
+        return labels[0], labels[0], "", ""
+    sld, tld = labels[-2], labels[-1]
+    subdomain = ".".join(labels[:-2])
+    name = sld + "." + tld
+    return name, sld, tld, subdomain
+
+
+def parse_domain_from_url(url):
+    """(hostname, name, scheme, sld, tld, subdomain)
+    (parity: frontera/utils/url.py:14-36 for PSL-free cases)."""
+    p = urlparse(url if "//" in url else "//" + url)
+    hostname = p.hostname or ""
+    name, sld, tld, subdomain = _split_host(hostname)
+    # missing-tld case: name collapses to the bare label
+    if tld == "" and subdomain == "" and name:
+        pass
+    return (hostname, name, p.scheme, sld, tld, subdomain)
+
+
+@lru_cache(maxsize=100_000)
+def canonicalize_url(url: str, keep_fragments: bool = False) -> str:
+    """Deterministic canonical form used for fingerprinting.
+
+    Semantics (w3lib-canonicalize-like, reimplemented):
+      * strip surrounding whitespace
+      * lowercase scheme and host
+      * drop default ports (http:80, https:443)
+      * sort query key/value pairs (stable), keep blank values
+      * empty path -> '/'
+      * drop fragment unless ``keep_fragments``
+      * normalize percent-encoding case via unquote/quote round-trip of
+        path (safe chars kept)
+    """
+    url = url.strip()
+    p = urlparse(url)
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    netloc = host
+    if p.port is not None and p.port != DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{p.port}"
+    if p.username:
+        cred = p.username + (f":{p.password}" if p.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = quote(unquote(p.path), safe="/%+~:@!$&'()*,;=") or "/"
+    qsl = parse_qsl(p.query, keep_blank_values=True)
+    query = urlencode(sorted(qsl))
+    frag = p.fragment if keep_fragments else ""
+    out = f"{scheme}://{netloc}{path}" if scheme else f"{netloc}{path}"
+    if p.params:
+        out += ";" + p.params
+    if query:
+        out += "?" + query
+    if frag:
+        out += "#" + frag
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch (vectorized) kernels
+# ---------------------------------------------------------------------------
+
+def canonicalize_batch(urls: np.ndarray) -> np.ndarray:
+    """Canonicalize an array of URL strings (lru-cached scalar kernel)."""
+    return np.array([canonicalize_url(u) for u in urls], dtype=object)
+
+
+def hostnames_batch(urls: np.ndarray) -> np.ndarray:
+    """Extract hostnames for a batch. URLs within a crawl batch repeat
+    hosts heavily, but paths differ, so per-URL parse with an lru cache on
+    the raw string would thrash; instead slice the authority substring
+    which is cheap, then unique-decode."""
+    out = np.empty(len(urls), dtype=object)
+    for i, u in enumerate(urls):
+        out[i] = _fast_host(u)
+    return out
+
+
+@lru_cache(maxsize=100_000)
+def _host_of_authority(auth: str) -> str:
+    # strip credentials then port, lowercase
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    if auth.startswith("["):  # ipv6
+        return auth.split("]")[0].lstrip("[").lower()
+    return auth.split(":")[0].lower()
+
+
+def _fast_host(u: str) -> str:
+    i = u.find("//")
+    if i < 0:
+        return ""
+    start = i + 2
+    end = len(u)
+    for j in range(start, len(u)):
+        c = u[j]
+        if c == "/" or c == "?" or c == "#":
+            end = j
+            break
+    return _host_of_authority(u[start:end])

@@ -1,0 +1,97 @@
+"""Politeness / overused-buffer conformance (reference
+tests/test_overused_buffer.py:34-47 and tests/test_core_overused_buffer.py).
+"""
+
+from frontera_ray.graphs import GraphManager, SITE_LIST_09
+from frontera_ray.pipelines.local import (
+    LocalFrontier,
+    RateLimitedDownloaderSimulator,
+    run_crawl_sequence,
+)
+from frontera_ray.state.queue import QueueEntry, QueueShard
+from frontera_ray.strategies import DFSStrategy
+from frontera_ray.urls import hostname_of
+
+
+def test_overused_crawl_properties():
+    """With a rate-1 downloader, no emitted batch may contain a request
+    for a host currently reported overused; the crawl still completes
+    the full URL set (property parity with the reference test)."""
+    g = GraphManager(SITE_LIST_09())
+    frontier = LocalFrontier(strategy=DFSStrategy(), profile="min_score")
+    sim = RateLimitedDownloaderSimulator(rate=1)
+    seq = run_crawl_sequence(frontier, g, max_next_requests=5, downloader=sim)
+    all_urls = []
+    all_domains = set()
+    for requests, iteration, info in seq:
+        overused = set(info["overused_keys"])
+        for r in requests:
+            all_urls.append(r.url)
+            all_domains.add(r.host)
+            assert r.host not in overused
+        assert overused.issubset(all_domains | {hostname_of(u) for u in g.seeds})
+    assert set(all_urls) == g.all_urls()
+    assert len(all_urls) == len(set(all_urls))
+
+
+def _entries(spec):
+    # spec: list of (url, seq)
+    return [QueueEntry(u, i, hostname_of(u), 1.0, 0, s) for i, (u, s) in enumerate(spec)]
+
+
+def test_buffer_parks_overused_and_serves_later():
+    q = QueueShard(profile="fifo")
+    q.schedule(_entries([("http://a.com/1", 0), ("http://b.com/1", 1),
+                         ("http://a.com/2", 2), ("http://c.com/1", 3)]))
+    # a.com overused: pulled entries for it are parked, call may return fewer
+    got = q.pop(3, overused_keys={"a.com"})
+    assert [e.url for e in got] == ["http://b.com/1"]
+    # next call serves parked a.com first once no longer overused
+    got = q.pop(2, overused_keys=set())
+    assert [e.url for e in got] == ["http://a.com/1", "http://a.com/2"]
+    got = q.pop(2, overused_keys=set())
+    assert [e.url for e in got] == ["http://c.com/1"]
+    assert q.count() == 0
+
+
+def test_buffer_purge_per_key():
+    q = QueueShard(profile="fifo", max_per_key=2, keep_per_key=1)
+    q.schedule(_entries([(f"http://a.com/{i}", i) for i in range(5)]))
+    q.pop(5, overused_keys={"a.com"})  # all parked; purge keeps last 1
+    assert sum(len(d) for d in q._pending.values()) == 1
+
+
+def test_buffer_purge_keys():
+    q = QueueShard(profile="fifo", max_keys=2, keep_keys=1)
+    q.schedule(_entries([("http://a.com/1", 0), ("http://b.com/1", 1),
+                         ("http://c.com/1", 2)]))
+    q.pop(3, overused_keys={"a.com", "b.com", "c.com"})  # 3 pending keys
+    q.pop(1, overused_keys={"a.com", "b.com", "c.com"})  # triggers key purge
+    assert len(q._pending) == 1
+
+
+def test_max_per_host_shaping():
+    """Broad-crawl per-host cap (BC_MAX_REQUESTS_PER_HOST semantics)."""
+    q = QueueShard(profile="fifo")
+    q.schedule(_entries(
+        [(f"http://a.com/{i}", i) for i in range(10)]
+        + [(f"http://b.com/{i}", 10 + i) for i in range(3)]
+    ))
+    got = q.pop(10, max_per_host=2)
+    by_host = {}
+    for e in got:
+        by_host[e.host] = by_host.get(e.host, 0) + 1
+    assert by_host == {"a.com": 2, "b.com": 2}
+    assert q.count() == 9  # capped entries were re-pushed
+
+
+def test_crawl_at_visibility():
+    """Future-crawl_at entries invisible until `now` passes (revisit
+    support, SURVEY.md §2.7)."""
+    q = QueueShard(profile="fifo")
+    q.schedule([QueueEntry("http://a.com/1", 1, "a.com", 1.0, 0, 0, crawl_at=100)])
+    q.schedule([QueueEntry("http://a.com/2", 2, "a.com", 1.0, 0, 1, crawl_at=0)])
+    got = q.pop(10, now=50)
+    assert [e.url for e in got] == ["http://a.com/2"]
+    got = q.pop(10, now=150)
+    assert [e.url for e in got] == ["http://a.com/1"]
