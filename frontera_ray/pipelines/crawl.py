@@ -1,0 +1,467 @@
+"""Distributed crawl driver: Ray Data rounds over actor-held frontier state.
+
+Architecture (SURVEY.md §3.4): the continuous frontera loop becomes BSP
+supersteps. Per round, ONE streaming Dataset execution:
+
+    queue shards ──pop──▶ Dataset of due requests (Arrow refs, zero-copy)
+        │ map_batches(fetch_and_sink)   fetch + encode; writes the round's
+        │                               page fragments (image+caption rows)
+        ▼ outlink rows (url, parent depth/seq)
+        │ map_batches(process_links)    explode → canonicalize → fp64 →
+        ▼                               host/crc32 → score   (vectorized)
+        │ map_batches(route_links)      splits each batch by fp-shard and
+        ▼                               host-shard, calls the owning actors
+    state shards (check_and_mark dedup) ──▶ queue shards (schedule)
+
+Control crosses nodes only at the two keyed exchanges (fingerprint-shard
+for dedup ownership, host-shard for politeness locality) — the same two
+partitionings the reference places on its message bus
+(zeromq/__init__.py:104-107,161-166). Routing happens *inside*
+map_batches tasks (direct actor calls on sub-batches) instead of an
+all-to-all Dataset shuffle: each sub-batch ships once to its owner with
+no sort barrier. The web/strategy objects are broadcast once via
+``ray.put`` and cached per worker process — not re-shipped per batch.
+
+Skew handling: per-host round caps bound any host's contribution to a
+round; host-salted scoring (strategies.discovery_salted_scores) spreads
+hot hosts across score deciles; pops are score-ordered per shard so a
+mega-host cannot starve its queue shard (north rule).
+
+Checkpoint/resume: every ``checkpoint_every`` rounds all shards persist
+(states parquet + bloom bytes + queue entries + domain metadata) plus a
+driver meta.json. A killed run resumes from the latest complete
+checkpoint; page output is per-round directories, so finished rounds
+are skipped and the in-flight round is rewritten idempotently.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import uuid
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..fingerprint import crc32_batch, fp64_batch
+from ..state.queue import QueueShard
+from ..state.urlseen import States, UrlSeenShard
+from ..strategies import STRATEGIES, discovery_salted_scores
+from ..urls import canonicalize_batch, hostnames_batch
+
+
+@ray.remote
+class UrlSeenActor:
+    def __init__(self, shard_id: int, exact: bool = True, bloom_bits: int = 1 << 24):
+        self.shard = UrlSeenShard(shard_id, exact=exact, bloom_bits=bloom_bits)
+
+    def check_and_mark(self, fps: np.ndarray) -> np.ndarray:
+        return self.shard.check_and_mark(fps)
+
+    def set_states(self, fps, values) -> None:
+        self.shard.set_states(fps, values)
+
+    def seen_count(self) -> int:
+        return len(self.shard.states) if self.shard.exact else self.shard.n_seen
+
+    def checkpoint(self, directory: str) -> None:
+        self.shard.checkpoint(directory)
+
+    def restore(self, directory: str) -> None:
+        self.shard = UrlSeenShard.restore(
+            directory, self.shard.shard_id, exact=self.shard.exact
+        )
+
+
+@ray.remote
+class QueueActor:
+    def __init__(self, shard_id: int, profile: str = "max_score", **kwargs):
+        self.shard = QueueShard(shard_id, profile=profile, **kwargs)
+        self._kwargs = kwargs
+        self._profile = profile
+
+    def schedule_table(self, table: pa.Table) -> int:
+        return self.shard.schedule_table(table)
+
+    def pop_table(self, max_n: int, overused_keys=(), now=None, max_per_host=None) -> pa.Table:
+        return self.shard.pop_table(max_n, overused_keys, now, max_per_host)
+
+    def count(self) -> int:
+        return self.shard.count()
+
+    def stats(self) -> dict:
+        return dict(self.shard.stats)
+
+    def checkpoint(self, directory: str) -> None:
+        self.shard.checkpoint(directory)
+
+    def restore(self, directory: str) -> None:
+        self.shard = QueueShard.restore(
+            directory, self.shard.shard_id, profile=self._profile, **self._kwargs
+        )
+
+
+# ---------------------------------------------------------------------------
+# broadcast-once helpers (ray.put ref -> per-worker cache)
+# ---------------------------------------------------------------------------
+
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _resolve(obj_or_ref):
+    if isinstance(obj_or_ref, ray.ObjectRef):
+        key = obj_or_ref.hex()
+        if key not in _BCAST_CACHE:
+            _BCAST_CACHE[key] = ray.get(obj_or_ref)
+        return _BCAST_CACHE[key]
+    return obj_or_ref
+
+
+# Deterministic child sequence numbers: tree-path encoding independent of
+# execution parallelism (replaces the reference's wall-clock created_at,
+# sqlalchemy/components.py:209 — required for identical N-vs-4N ordering,
+# SURVEY.md §7.4). Supports branching factors < SEQ_BASE.
+SEQ_BASE = 16
+
+PAGE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+LINKS_SCHEMA = pa.schema(
+    [("url", pa.string()), ("parent_depth", pa.int32()), ("seq", pa.int64())]
+)
+
+
+def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
+    """Simulated fetch of popped URLs; writes the page fragment (image+
+    caption rows, FIXTURES.md §F4 schema) and emits outlink rows.
+
+    Pure function of the URL (payload.fetch_simulated), so re-running a
+    round after resume reproduces identical page fragments."""
+    from ..payload import fetch_simulated
+
+    web = _resolve(web_ref)
+    urls = batch["url"].to_pylist()
+    if not urls:
+        return LINKS_SCHEMA.empty_table()
+    rows = [fetch_simulated(u) for u in urls]
+    pages = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+        }
+    )
+    d = Path(round_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pages, d / f"part-{uuid.uuid4().hex}.parquet")
+
+    links = [web.links_of(u) for u in urls]
+    counts = np.asarray([len(l) for l in links], dtype=np.int64)
+    if counts.sum() == 0:
+        return LINKS_SCHEMA.empty_table()
+    flat = pa.array([u for lst in links for u in lst], pa.string())
+    parent_depth = np.repeat(batch["depth"].to_numpy(), counts)
+    parent_seq = np.repeat(batch["seq"].to_numpy(), counts)
+    link_idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts if c])
+    seqs = parent_seq * SEQ_BASE + (link_idx + 1)
+    return pa.table(
+        {
+            "url": flat,
+            "parent_depth": pa.array(parent_depth.astype(np.int32), pa.int32()),
+            "seq": pa.array(seqs, pa.int64()),
+        }
+    )
+
+
+def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Table:
+    """Fused canonicalize + fingerprint + host + score kernel (replaces
+    frontera's fingerprint/domain middleware chain,
+    contrib/middlewares/fingerprint.py:51-123, domain.py:62-117)."""
+    if len(batch) == 0:
+        return batch.append_column("canonical_url", pa.array([], pa.string())) \
+                    .append_column("fingerprint", pa.array([], pa.uint64())) \
+                    .append_column("host", pa.array([], pa.string())) \
+                    .append_column("host_crc32", pa.array([], pa.int32())) \
+                    .append_column("score", pa.array([], pa.float64()))
+    strategy = _resolve(strategy_ref)
+    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+    canon = canonicalize_batch(urls)
+    fps = fp64_batch(canon)
+    hosts = hostnames_batch(urls)
+    crc = crc32_batch(hosts)
+    depths = batch["parent_depth"].to_numpy()
+    scores = np.empty(len(urls), dtype=np.float64)
+    for d in np.unique(depths):
+        m = depths == d
+        scores[m] = strategy.link_scores(int(d), urls[m])
+    if salted:
+        scores = discovery_salted_scores(hosts, scores)
+    return (
+        batch.append_column("canonical_url", pa.array(canon, pa.string()))
+        .append_column("fingerprint", pa.array(fps, pa.uint64()))
+        .append_column("host", pa.array(hosts, pa.string()))
+        .append_column("host_crc32", pa.array(crc, pa.int32()))
+        .append_column("score", pa.array(scores, pa.float64()))
+    )
+
+
+def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
+    """Route links to owning shards: fp64 %% N state shards for dedup,
+    crc32(host) %% M queue shards for scheduling. Emits one stats row."""
+    import pyarrow.compute as pc
+
+    if len(batch) == 0:
+        return pa.table({"candidates": [0], "scheduled": [0]})
+    fps = batch["fingerprint"].to_numpy()
+    _, first_idx = np.unique(fps, return_index=True)  # within-batch dedup
+    batch = batch.take(pa.array(np.sort(first_idx)))
+    fps = batch["fingerprint"].to_numpy()
+
+    n_states = len(state_actors)
+    shard_ids = (fps % np.uint64(n_states)).astype(np.int32)
+    keep = np.zeros(len(fps), dtype=bool)
+    futures, masks = [], []
+    for sid in np.unique(shard_ids):
+        m = shard_ids == sid
+        futures.append(state_actors[sid].check_and_mark.remote(fps[m]))
+        masks.append(m)
+    for m, res in zip(masks, ray.get(futures)):
+        keep[np.nonzero(m)[0][res]] = True
+    survivors = batch.take(pa.array(np.nonzero(keep)[0]))
+    if len(survivors) == 0:
+        return pa.table({"candidates": [len(batch)], "scheduled": [0]})
+
+    entry = pa.table(
+        {
+            "url": survivors["url"],
+            "fingerprint": survivors["fingerprint"],
+            "host": survivors["host"],
+            "score": survivors["score"],
+            "depth": pc.add(survivors["parent_depth"], 1).cast(pa.int32()),
+            "seq": survivors["seq"],
+            "crawl_at": pa.array(np.zeros(len(survivors), dtype=np.int64), pa.int64()),
+        }
+    )
+    n_queues = len(queue_actors)
+    qids = (survivors["host_crc32"].to_numpy().astype(np.int64) % n_queues).astype(np.int32)
+    futures = []
+    for qid in np.unique(qids):
+        m = np.nonzero(qids == qid)[0]
+        futures.append(queue_actors[qid].schedule_table.remote(entry.take(pa.array(m))))
+    scheduled = int(sum(ray.get(futures)))
+    return pa.table({"candidates": [len(batch)], "scheduled": [scheduled]})
+
+
+@ray.remote
+def _mark_crawled(table: pa.Table, state_actors) -> int:
+    """Mark a popped round batch CRAWLED on its owning state shards."""
+    if len(table) == 0:
+        return 0
+    fps = table["fingerprint"].to_numpy()
+    n = len(state_actors)
+    shard_ids = (fps % np.uint64(n)).astype(np.int32)
+    futs = []
+    for sid in np.unique(shard_ids):
+        m = shard_ids == sid
+        futs.append(
+            state_actors[sid].set_states.remote(
+                fps[m], np.full(int(m.sum()), States.CRAWLED, dtype=np.int8)
+            )
+        )
+    ray.get(futs)
+    return len(fps)
+
+
+def _seed_table(urls, scores) -> pa.Table:
+    urls = np.asarray(list(urls), dtype=object)
+    canon = canonicalize_batch(urls)
+    fps = fp64_batch(canon)
+    hosts = hostnames_batch(urls)
+    crc = crc32_batch(hosts)
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canonical_url": pa.array(canon, pa.string()),
+            "fingerprint": pa.array(fps, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "host_crc32": pa.array(crc, pa.int32()),
+            "score": pa.array(np.asarray(scores, dtype=np.float64), pa.float64()),
+            "parent_depth": pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
+            "seq": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+class RayCrawler:
+    def __init__(self, web, out_dir: str, strategy: str = "depth_bfs",
+                 profile: str = "max_score", num_state_shards: int = 4,
+                 num_queue_shards: int = 4, batch_per_shard: int = 512,
+                 max_per_host: int | None = 128, route_concurrency: int | None = None,
+                 fetch_batch_size: int = 512, exact_states: bool = True,
+                 bloom_bits: int = 1 << 24, checkpoint_every: int = 0,
+                 salted_scores: bool = False, queue_kwargs: dict | None = None):
+        self.web = web
+        self.out = Path(out_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.strategy = STRATEGIES[strategy]()
+        self.cfg = dict(strategy=strategy, profile=profile,
+                        num_state_shards=num_state_shards,
+                        num_queue_shards=num_queue_shards,
+                        batch_per_shard=batch_per_shard,
+                        max_per_host=max_per_host)
+        self.state_actors = [
+            UrlSeenActor.remote(i, exact=exact_states, bloom_bits=bloom_bits)
+            for i in range(num_state_shards)
+        ]
+        self.queue_actors = [
+            QueueActor.remote(i, profile=profile, **(queue_kwargs or {}))
+            for i in range(num_queue_shards)
+        ]
+        self.batch_per_shard = batch_per_shard
+        self.max_per_host = max_per_host
+        self.fetch_batch_size = fetch_batch_size
+        self.salted = salted_scores
+        self.round = 0
+        self.pages_total = 0
+        self.checkpoint_every = checkpoint_every
+        self.metrics: list[dict] = []
+        # broadcast once; every task resolves from the local object store
+        self._web_ref = ray.put(web)
+        self._strategy_ref = ray.put(self.strategy)
+
+    # ------------------------------------------------------------------
+    def add_seeds(self, seed_urls) -> int:
+        seed_urls = [u for u in seed_urls if u.strip() and not u.startswith("#")]
+        t = _seed_table(seed_urls, self.strategy.seed_scores(seed_urls))
+        stats = route_links(t, self.state_actors, self.queue_actors)
+        return int(stats["scheduled"][0].as_py())
+
+    def run_round(self) -> dict:
+        t0 = time.perf_counter()
+        pop_refs = [
+            q.pop_table.remote(self.batch_per_shard, max_per_host=self.max_per_host)
+            for q in self.queue_actors
+        ]
+        ds = ray.data.from_arrow_refs(pop_refs)
+        n_popped = ds.count()  # metadata only: blocks are materialized refs
+        if not n_popped:
+            m = {"round": self.round, "popped": 0, "scheduled": 0, "sec": 0.0}
+            self.metrics.append(m)
+            return m
+        mark_refs = [_mark_crawled.remote(r, self.state_actors) for r in pop_refs]
+
+        round_dir = self.out / f"round={self.round:05d}"
+        if round_dir.exists():
+            shutil.rmtree(round_dir)  # idempotent re-run after resume
+
+        stats_rows = (
+            ds.map_batches(
+                partial(fetch_and_sink, web_ref=self._web_ref,
+                        round_dir=str(round_dir)),
+                batch_format="pyarrow", batch_size=self.fetch_batch_size,
+            )
+            .map_batches(
+                partial(process_links, strategy_ref=self._strategy_ref,
+                        salted=self.salted),
+                batch_format="pyarrow", batch_size=self.fetch_batch_size * 4,
+            )
+            .map_batches(
+                partial(route_links, state_actors=self.state_actors,
+                        queue_actors=self.queue_actors),
+                batch_format="pyarrow", batch_size=self.fetch_batch_size * 4,
+            )
+            .take_all()  # tiny: one stats row per routed batch
+        )
+        candidates = int(sum(r["candidates"] for r in stats_rows))
+        scheduled = int(sum(r["scheduled"] for r in stats_rows))
+        ray.get(mark_refs)
+        self.pages_total += n_popped
+        m = {
+            "round": self.round,
+            "popped": int(n_popped),
+            "candidates": candidates,
+            "scheduled": scheduled,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+        self.metrics.append(m)
+        self.round += 1
+        if self.checkpoint_every and self.round % self.checkpoint_every == 0:
+            self.checkpoint()
+        return m
+
+    def run(self, max_rounds: int = 1_000_000, max_pages: int | None = None) -> dict:
+        while self.round < max_rounds:
+            m = self.run_round()
+            if m["popped"] == 0:
+                break
+            if max_pages and self.pages_total >= max_pages:
+                break
+        return {"rounds": self.round, "pages": self.pages_total, "config": self.cfg}
+
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> None:
+        ck = self.out / "checkpoint"
+        tmp = self.out / "checkpoint.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        futs = [a.checkpoint.remote(str(tmp)) for a in self.state_actors]
+        futs += [a.checkpoint.remote(str(tmp)) for a in self.queue_actors]
+        ray.get(futs)
+        (tmp / "meta.json").write_text(json.dumps({
+            "round": self.round,
+            "pages_total": self.pages_total,
+            "config": self.cfg,
+            "metrics": self.metrics[-50:],
+        }))
+        if ck.exists():
+            shutil.rmtree(ck)
+        tmp.rename(ck)  # meta.json written last inside tmp => completeness marker
+
+    def restore(self) -> dict:
+        ck = self.out / "checkpoint"
+        meta = json.loads((ck / "meta.json").read_text())
+        futs = [a.restore.remote(str(ck)) for a in self.state_actors]
+        futs += [a.restore.remote(str(ck)) for a in self.queue_actors]
+        ray.get(futs)
+        self.round = meta["round"]
+        self.pages_total = meta["pages_total"]
+        # rounds at/after the checkpoint re-run deterministically
+        for d in self.out.glob("round=*"):
+            if int(d.name.split("=")[1]) >= self.round:
+                shutil.rmtree(d)
+        return meta
+
+    # ------------------------------------------------------------------
+    def frontier_size(self) -> int:
+        return sum(ray.get([q.count.remote() for q in self.queue_actors]))
+
+    def seen_count(self) -> int:
+        return sum(ray.get([a.seen_count.remote() for a in self.state_actors]))
+
+    def crawled_urls(self):
+        """All crawled URLs from the sink (small scales / tests only)."""
+        frags = sorted(self.out.glob("round=*/*.parquet"))
+        if not frags:
+            return []
+        t = pa.concat_tables([pq.read_table(f, columns=["image_id"]) for f in frags])
+        return t["image_id"].to_pylist()
+
+
+def run_crawl(web, out_dir: str, seeds=None, max_rounds: int = 1000, **kwargs) -> dict:
+    """Convenience wrapper: seed + run to completion; returns summary."""
+    crawler = RayCrawler(web, out_dir, **kwargs)
+    crawler.add_seeds(seeds if seeds is not None else web.seeds())
+    summary = crawler.run(max_rounds=max_rounds)
+    summary["urls_seen"] = crawler.seen_count()
+    return summary

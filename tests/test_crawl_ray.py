@@ -1,0 +1,94 @@
+"""Distributed crawl pipeline tests (Ray session from conftest).
+
+Covers: end-to-end crawl completeness + URL-seen parity with the local
+engine, sink payload validation (PSNR/caption invariants), checkpoint /
+resume determinism, and politeness caps under sharding."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from frontera_ray.graphs import GraphManager, SITE_LIST_02, SyntheticWeb
+from frontera_ray.payload import decode_image, gen_pixels, psnr, caption_of
+from frontera_ray.pipelines.local import LocalFrontier, run_crawl_sequence
+from frontera_ray.strategies import DepthBFSStrategy
+
+
+@pytest.fixture(scope="module")
+def small_web():
+    return SyntheticWeb(8, seed=11, max_class=3)
+
+
+def _crawler(ray_session, web, out_dir, **kw):
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    kw.setdefault("num_state_shards", 2)
+    kw.setdefault("num_queue_shards", 2)
+    kw.setdefault("batch_per_shard", 64)
+    return RayCrawler(web, str(out_dir), **kw)
+
+
+def test_crawl_completeness_and_parity(ray_session, small_web, tmp_path):
+    c = _crawler(ray_session, small_web, tmp_path / "out")
+    c.add_seeds(small_web.seeds())
+    summary = c.run(max_rounds=200)
+    urls = c.crawled_urls()
+    assert summary["pages"] == len(urls) == len(set(urls))
+    assert c.seen_count() == small_web.total_pages()
+    assert len(urls) == small_web.total_pages()
+
+    # URL-seen parity vs the single-process engine on the same web
+    class _Graph:
+        seeds = small_web.seeds()
+        links_of = staticmethod(small_web.links_of)
+
+    lf = LocalFrontier(strategy=DepthBFSStrategy(), profile="max_score")
+    seq = run_crawl_sequence(lf, _Graph, max_next_requests=100)
+    local_urls = [e.url for reqs, _, _ in seq for e in reqs]
+    assert set(local_urls) == set(urls)
+
+
+def test_sink_payload_invariants(ray_session, small_web, tmp_path):
+    c = _crawler(ray_session, small_web, tmp_path / "out")
+    c.add_seeds(small_web.seeds()[:2])
+    c.run(max_rounds=3)
+    frags = sorted((tmp_path / "out").glob("round=*/*.parquet"))
+    assert frags
+    t = pq.read_table(frags[0])
+    assert t.column_names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    for row in t.slice(0, 8).to_pylist():
+        pix = decode_image(row["bytes"], row["fmt"])
+        assert pix.shape == (row["h"], row["w"], 3)
+        ref, _ = gen_pixels(row["image_id"])
+        assert psnr(ref, pix) >= 40.0
+        assert row["caption"] == caption_of(row["image_id"])
+
+
+def test_checkpoint_resume_determinism(ray_session, small_web, tmp_path):
+    # reference run to completion, no interruption
+    c1 = _crawler(ray_session, small_web, tmp_path / "a")
+    c1.add_seeds(small_web.seeds())
+    c1.run(max_rounds=100)
+    ref_urls = sorted(c1.crawled_urls())
+
+    # interrupted run: checkpoint every 2 rounds, stop after 5
+    c2 = _crawler(ray_session, small_web, tmp_path / "b", checkpoint_every=2)
+    c2.add_seeds(small_web.seeds())
+    c2.run(max_rounds=5)
+    # "kill": fresh actors, restore from latest checkpoint (round 4)
+    c3 = _crawler(ray_session, small_web, tmp_path / "b", checkpoint_every=0)
+    meta = c3.restore()
+    assert meta["round"] == 4
+    c3.run(max_rounds=100)
+    assert sorted(c3.crawled_urls()) == ref_urls
+    assert c3.seen_count() == small_web.total_pages()
+
+
+def test_max_per_host_round_cap(ray_session, tmp_path):
+    web = SyntheticWeb(2, seed=3, max_class=5)
+    c = _crawler(ray_session, web, tmp_path / "out", max_per_host=7,
+                 num_queue_shards=2, batch_per_shard=100)
+    c.add_seeds(web.seeds())
+    c.run_round()
+    m = c.run_round()  # second round: frontier has many links per host
+    assert 0 < m["popped"] <= 7 * 2  # <= max_per_host * num hosts
