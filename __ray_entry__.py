@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (SURVEY.md §3.4) at smoke
+scale; ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data operator suite; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query (same
+column names, same rounding). Non-SQL-expressible ops (iterative crawl,
+sketches, LSH, image stages) are rows-only checked here and
+golden/oracle-checked in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,553 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# URL derivation shared by Ray and SQL sides: a messy URL per document
+# ---------------------------------------------------------------------------
+
+def _raw_urls(doc_ids: np.ndarray) -> np.ndarray:
+    return np.array(
+        [f"  HTTP://Host-{d % 20}.Test/p/{d}?b=2&a=1#frag  " for d in doc_ids],
+        dtype=object,
+    )
+
+_RAW_URL_SQL = "'  HTTP://Host-' || (doc_id % 20) || '.Test/p/' || doc_id || '?b=2&a=1#frag  '"
+_CANON_URL_SQL = "'http://host-' || (doc_id % 20) || '.test/p/' || doc_id || '?a=1&b=2'"
+_HOST_SQL = "'host-' || (doc_id % 20) || '.test'"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_seed_normalize(sf_dir: str):
+    """Seed reader + URL canonicalization (SURVEY.md §2.1/§2.2):
+    strip, lowercase scheme+host, sort query params, drop fragment."""
+    from frontera_ray.urls import canonicalize_batch
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = canonicalize_batch(_raw_urls(ids))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(urls, pa.string())})
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_url_fingerprint(sf_dir: str):
+    """URL fingerprinting (md5 profile — oracle-checkable; sha1/hlf
+    profiles golden-tested in tests/test_fingerprint.py)."""
+    from frontera_ray.fingerprint import md5_hex_batch
+    from frontera_ray.urls import canonicalize_batch
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = canonicalize_batch(_raw_urls(ids))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fp_md5": pa.array(md5_hex_batch(urls), pa.string())})
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_host_partition(sf_dir: str):
+    """Host-hash partitioning (md5 profile) + per-partition counts —
+    the queue-shard assignment aggregate."""
+    from frontera_ray.urls import hostnames_batch
+
+    import hashlib
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hosts = hostnames_batch(_raw_urls(ids))
+        part = np.array([int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % 8
+                         for h in hosts], dtype=np.int64)
+        return pa.table({"partition_id": pa.array(part, pa.int64())})
+
+    ds = _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+    out = ds.groupby("partition_id").count().to_pandas()
+    out = out.rename(columns={"count()": "n_urls"}).sort_values("partition_id")
+    return out.reset_index(drop=True)
+
+
+def q_score_depth(sf_dir: str):
+    """BFS/DFS depth-decay scoring kernels (strategy/depth.py:35-42 and
+    tests/backends.py:67-73 formulas), vectorized."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        d = (batch["doc_id"].to_numpy() % 10).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "depth": pa.array(d.astype(np.int64), pa.int64()),
+            "score_bfs": pa.array(np.round(1.0 - d / (d + 1.0), 6), pa.float64()),
+            "score_dfs": pa.array(np.round(d / (d + 1.0), 6), pa.float64()),
+            "score_dfs_test": pa.array(np.round(1.0 / (d + 1.0), 6), pa.float64()),
+            "score_bfs_test": pa.array(np.round(d / 10.0, 6), pa.float64()),
+        })
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_score_buckets(sf_dir: str):
+    """Score -> 0.01-wide interval discretization + counts (HBase queue
+    row-key scheme, hbase/__init__.py:149-177)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        score = np.clip(v / 100.0, 0.0, 1.0)
+        bucket = np.minimum(np.floor(score * 100.0), 99.0)  # last interval right-inclusive
+        return pa.table({"bucket": pa.array(bucket.astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "events").map_batches(kernel, batch_format="pyarrow")
+    out = ds.groupby("bucket").count().to_pandas()
+    return out.rename(columns={"count()": "n"}).sort_values("bucket").reset_index(drop=True)
+
+
+def q_per_host_cap(sf_dir: str):
+    """Per-key top-k (broad-crawl max_requests_per_host shaping,
+    hbase/__init__.py:248-250) via groupby().map_groups."""
+    from frontera_ray.stages.relational import per_key_topk
+
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "value"])
+    out = per_key_topk(ds, "user_id", "value", k=5, descending=True,
+                       tiebreak="event_id")
+    return out
+
+
+def q_priority_topk(sf_dir: str):
+    """Global priority pop-k: block partial top-k + driver merge (no
+    full sort shuffle)."""
+    from frontera_ray.stages.relational import global_topk
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "value"])
+    return global_topk(ds, "value", k=100, descending=True, tiebreak="event_id")
+
+
+def q_crawl_visibility(sf_dir: str):
+    """crawl_at visibility filter (revisit support): events due before
+    the cutoff, counted per type."""
+    import datetime as dt
+
+    cutoff = dt.datetime(2024, 1, 3)
+    ds = _read(sf_dir, "events").filter(lambda r: r["ts"] <= cutoff)
+    out = ds.groupby("event_type").count().to_pandas()
+    return out.rename(columns={"count()": "n"}).sort_values("event_type").reset_index(drop=True)
+
+
+def q_host_agg(sf_dir: str):
+    """aggregate_per_host (remote/messagebus.py:97-106): groupby host
+    bucket with count + mean."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "host_bucket": pa.array((batch["user_id"].to_numpy() % 32).astype(np.int64)),
+            "value": batch["value"],
+        })
+
+    import ray
+
+    ds = _read(sf_dir, "events").map_batches(kernel, batch_format="pyarrow")
+    out = ds.groupby("host_bucket").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("value"),
+    ).to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    # integer-exact: input values carry 2 decimals, so sum*100 rounds to
+    # the same integer regardless of summation order
+    out["sum_cents"] = (out.pop("sum(value)") * 100).round().astype("int64")
+    return out.sort_values("host_bucket").reset_index(drop=True)
+
+
+def q_batch_dedup(sf_dir: str):
+    """Within-batch dedup, first-wins per key (scoring-consumer `seen`
+    semantics, worker/components/scoring_consumer.py:29-43)."""
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_id"])
+    out = ds.groupby("user_id").min("event_id").to_pandas()
+    return out.rename(columns={"min(event_id)": "first_event"}).sort_values(
+        "user_id").reset_index(drop=True)
+
+
+def q_token_count(sf_dir: str):
+    from frontera_ray.stages.text import token_count_table
+
+    return _read(sf_dir, "documents").map_batches(
+        token_count_table, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from frontera_ray.stages.text import quality_features_table
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_features_table, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    from frontera_ray.stages.text import langid_table
+
+    return _read(sf_dir, "documents").map_batches(
+        langid_table, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition by content md5, first-wins per group."""
+    from frontera_ray.stages.text import content_md5_table
+
+    ds = _read(sf_dir, "documents").map_batches(
+        content_md5_table, batch_format="pyarrow").select_columns(
+        ["text_md5", "doc_id"])
+    out = ds.groupby("text_md5").aggregate(
+        __import__("ray").data.aggregate.Min("doc_id"),
+        __import__("ray").data.aggregate.Count(),
+    ).to_pandas()
+    return out.rename(columns={"min(doc_id)": "keeper_doc_id",
+                               "count()": "n_copies"}).sort_values(
+        "text_md5").reset_index(drop=True)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for queries vec_id<10 (broadcast query
+    matrix, per-block partial top-k, driver merge)."""
+    from frontera_ray.stages.ann import brute_force_topk
+
+    return brute_force_topk(_read(sf_dir, "embeddings"), range(10), k=10)
+
+
+def q_cosine_neardup(sf_dir: str):
+    """Embedding cosine near-dup pairs among vec_id<300 (brute baseline;
+    LSH variant is q_ann_lsh)."""
+    from frontera_ray.stages.ann import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_read(sf_dir, "embeddings"), threshold=0.6,
+                                limit_ids=300)
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user."""
+    from frontera_ray.stages.relational import sessionize
+
+    out = sessionize(_read(sf_dir, "events")).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_agg_pricing(sf_dir: str):
+    """Wide aggregate over lineitem (TPC-H q1 shape): partial aggregation
+    inside blocks via Ray's hash aggregate."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("l_quantity"),
+        ray.data.aggregate.Sum("l_extendedprice"),
+        ray.data.aggregate.Sum("l_discount"),
+        ray.data.aggregate.Count(),
+    ).to_pandas()
+    out = out.rename(columns={"count()": "count_order"})
+    # integer-exact sums: quantities are integral, money has 2 decimals
+    out["sum_qty"] = out.pop("sum(l_quantity)").round().astype("int64")
+    out["sum_price_cents"] = (out.pop("sum(l_extendedprice)") * 100).round().astype("int64")
+    out["sum_disc_cents"] = (out.pop("sum(l_discount)") * 100).round().astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_nation_orders(sf_dir: str):
+    """Broadcast hash-join (small side ray.put once, no shuffle) +
+    groupby count: orders per customer nation."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "c_custkey"])
+
+    joined = broadcast_join(ds.map_batches(prep, batch_format="pyarrow"),
+                            cust, key="c_custkey")
+    out = joined.groupby("c_nationkey").count().to_pandas()
+    return out.rename(columns={"count()": "n_orders"}).sort_values(
+        "c_nationkey").reset_index(drop=True)
+
+
+# -- non-SQL-expressible (rows-only for the driver; golden/pytest-checked) --
+
+def q_crawl_bfs(sf_dir: str):
+    """Flagship iterative crawl (local deterministic engine, BFS) over a
+    fixed synthetic web; returns the crawl order."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.local import LocalFrontier, run_crawl_sequence
+    from frontera_ray.strategies import BFSStrategy
+
+    web = SyntheticWeb(32, seed=42, max_class=3)
+
+    class _G:
+        seeds = web.seeds()
+        links_of = staticmethod(web.links_of)
+
+    f = LocalFrontier(strategy=BFSStrategy(), profile="min_score")
+    seq = run_crawl_sequence(f, _G, max_next_requests=64)
+    urls = [e.url for reqs, _, _ in seq for e in reqs]
+    return pa.table({
+        "rank": pa.array(range(len(urls)), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })
+
+
+def q_fetch_pages(sf_dir: str):
+    """Deterministic fetch simulation -> image+caption rows (input_hint
+    schema) for the first 200 crawl URLs."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import fetch_simulated
+
+    web = SyntheticWeb(32, seed=42, max_class=3)
+    urls = sorted(web.seeds())[:200]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        rows = [fetch_simulated(u) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+        })
+
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents (banded buckets ->
+    candidate groupby -> Jaccard verify)."""
+    from frontera_ray.stages.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from frontera_ray.stages.text import simhash_table
+
+    return _read(sf_dir, "documents").map_batches(
+        simhash_table, batch_format="pyarrow")
+
+
+def q_simhash_neardup(sf_dir: str):
+    from frontera_ray.stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_read(sf_dir, "documents"), max_hamming=6)
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (scale path): hyperplane codes, Hamming<=1 probe."""
+    from frontera_ray.stages.ann import lsh_topk
+
+    return lsh_topk(_read(sf_dir, "embeddings"), range(5), k=10)
+
+
+def q_image_stats(sf_dir: str):
+    """Multimodal decode stage over fetched pages (actor pool)."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import fetch_simulated
+    from frontera_ray.stages.images import DecodeStatsStage
+
+    web = SyntheticWeb(8, seed=42, max_class=3)
+    urls = web.seeds()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        rows = [fetch_simulated(u) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        })
+
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    return ds.map_batches(fetch, batch_format="pyarrow").map_batches(
+        DecodeStatsStage, batch_format="pyarrow", concurrency=2)
+
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "seed_normalize": q_seed_normalize,
+    "url_fingerprint": q_url_fingerprint,
+    "host_partition": q_host_partition,
+    "score_depth": q_score_depth,
+    "score_buckets": q_score_buckets,
+    "per_host_cap": q_per_host_cap,
+    "priority_topk": q_priority_topk,
+    "crawl_visibility": q_crawl_visibility,
+    "host_agg": q_host_agg,
+    "batch_dedup": q_batch_dedup,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "langid": q_langid,
+    "exact_dedup": q_exact_dedup,
+    "ann_topk": q_ann_topk,
+    "cosine_neardup": q_cosine_neardup,
+    "sessionize": q_sessionize,
+    "agg_pricing": q_agg_pricing,
+    "nation_orders": q_nation_orders,
+    "crawl_bfs": q_crawl_bfs,
+    "fetch_pages": q_fetch_pages,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_lsh": q_ann_lsh,
+    "image_stats": q_image_stats,
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: distributed crawl of a synthetic
+    web with image+caption sink, then read the sink back."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import run_crawl
+
+    web = SyntheticWeb(8, seed=11, max_class=3)
+    out = "/tmp/frontera_ray_entry"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(web, out, num_state_shards=2, num_queue_shards=2,
+              batch_per_shard=128, max_rounds=50)
+    return ray.data.read_parquet(out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
+        "url_fingerprint": f"SELECT doc_id, md5({_CANON_URL_SQL}) AS fp_md5 FROM documents",
+        "host_partition": f"""
+            SELECT partition_id, count(*) AS n_urls FROM (
+              SELECT ('0x' || substr(md5({_HOST_SQL}), 1, 8))::BIGINT % 8 AS partition_id
+              FROM documents)
+            GROUP BY partition_id ORDER BY partition_id""",
+        "score_depth": """
+            SELECT doc_id, depth,
+                   round(1.0 - depth/(depth+1.0), 6) AS score_bfs,
+                   round(depth/(depth+1.0), 6) AS score_dfs,
+                   round(1.0/(depth+1.0), 6) AS score_dfs_test,
+                   round(depth/10.0, 6) AS score_bfs_test
+            FROM (SELECT doc_id, (doc_id % 10)::DOUBLE AS depth FROM documents)""",
+        "score_buckets": """
+            SELECT bucket, count(*) AS n FROM (
+              SELECT least(floor(least(greatest(value/100.0, 0.0), 1.0)*100), 99)::BIGINT AS bucket
+              FROM events)
+            GROUP BY bucket ORDER BY bucket""",
+        "per_host_cap": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 5""",
+        "priority_topk": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100""",
+        "crawl_visibility": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts <= TIMESTAMP '2024-01-03'
+            GROUP BY event_type ORDER BY event_type""",
+        "host_agg": """
+            SELECT user_id % 32 AS host_bucket, count(*) AS n,
+                   round(sum(value) * 100)::BIGINT AS sum_cents
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "batch_dedup": """
+            SELECT user_id, min(event_id) AS first_event FROM events
+            GROUP BY user_id ORDER BY user_id""",
+        "token_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+            FROM documents""",
+        "quality": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   n_tokens::BIGINT AS n_tokens,
+                   n_punct::BIGINT AS n_punct,
+                   n_upper::BIGINT AS n_upper,
+                   round(0.4*least(1.0, n_tokens/100.0)
+                       + 0.3*(1.0 - n_upper/greatest(length(text),1)::DOUBLE)
+                       + 0.3*least(1.0, 20.0*n_punct/greatest(length(text),1)::DOUBLE),
+                       4) AS quality_score
+            FROM (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
+                     len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+              FROM documents)""",
+        "langid": r"""
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+                        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+                        WHEN c_es >= c_zh THEN 'es'
+                        ELSE 'zh' END AS lang_pred
+            FROM (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
+                len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
+                len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
+              FROM documents)""",
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "ann_topk": """
+            SELECT query_id, vec_id, rank::INTEGER AS rank, round(sim, 4) AS sim FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                             q.embedding::DOUBLE[]), 9) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q)
+            WHERE rank <= 10""",
+        "cosine_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.6""",
+        "sessionize": """
+            SELECT user_id, count(*) FILTER (WHERE new_session)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM (
+              SELECT user_id,
+                     coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts), 9e18) > 30*60*1000000 AS new_session
+              FROM events)
+            GROUP BY user_id ORDER BY user_id""",
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity))::BIGINT AS sum_qty,
+                   round(sum(l_extendedprice) * 100)::BIGINT AS sum_price_cents,
+                   round(sum(l_discount) * 100)::BIGINT AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+        "nation_orders": """
+            SELECT c_nationkey, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1""",
+    }

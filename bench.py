@@ -1,0 +1,146 @@
+"""Benchmark harness.
+
+Default: run the headline crawl pipeline + the operator query suite over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE
+JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {"pages": N, "sec": s, "pages_per_sec": r}}
+
+--scaling: run the headline crawl twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency eff = (thr_32/thr_8)/4 (sandbox substitute for
+the N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "seed_normalize", "url_fingerprint", "token_count", "quality", "langid",
+    "exact_dedup", "simhash", "minhash_neardup", "ann_topk", "ann_lsh",
+    "cosine_neardup", "per_host_cap", "priority_topk", "host_agg",
+    "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
+    "score_buckets", "image_stats",
+]
+
+CRAWL_HOSTS = 2048
+CRAWL_MAX_PAGES = 150_000
+
+
+def run_crawl_bench(num_cpus: int, out_dir: str) -> dict:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    web = SyntheticWeb(CRAWL_HOSTS, seed=42)
+    shards = max(4, num_cpus // 4)
+    crawler = RayCrawler(
+        web, out_dir, num_state_shards=shards, num_queue_shards=shards,
+        batch_per_shard=max(1024, 8192 // shards * 4),
+        max_per_host=128, fetch_batch_size=512,
+    )
+    crawler.add_seeds(web.seeds())
+    t0 = time.perf_counter()
+    summary = crawler.run(max_pages=CRAWL_MAX_PAGES)
+    sec = time.perf_counter() - t0
+    pages = summary["pages"]
+    return {
+        "pages": pages,
+        "rounds": summary["rounds"],
+        "sec": round(sec, 2),
+        "pages_per_sec": round(pages / sec, 1),
+    }
+
+
+def run_queries_bench(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets fully
+        if hasattr(res, "count") and not hasattr(res, "to_pandas_df"):
+            try:
+                res.count()
+            except AttributeError:
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--crawl-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)["crawl"]
+        thr8 = results[8]["pages_per_sec"]
+        thr32 = results[32]["pages_per_sec"]
+        print(json.dumps({
+            "metric": "crawl scaling efficiency (8 vs 32 cpus)",
+            "value": round((thr32 / thr8) / 4.0, 3),
+            "unit": "efficiency",
+            "thr_8cpu": thr8,
+            "thr_32cpu": thr32,
+            "sf": SF_DIR,
+        }))
+        return
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    crawl = run_crawl_bench(NUM_CPUS, "/tmp/frontera_ray_bench")
+    if "--crawl-only" in sys.argv:
+        print(json.dumps({"metric": "frontier throughput", "unit": "pages/sec",
+                          "value": crawl["pages_per_sec"], "crawl": crawl,
+                          "num_cpus": NUM_CPUS}))
+        ray.shutdown()
+        return
+
+    queries = run_queries_bench(SF_DIR)
+    total = round(crawl["sec"] + sum(queries.values()), 2)
+    print(json.dumps({
+        "metric": "crawl+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -153,10 +153,11 @@ class SyntheticWeb:
         self.seed = seed
         rng = np.random.default_rng(seed)
         n_cls = len(_HOST_CLASSES) if max_class is None else max_class
-        # Zipf over classes: P(class c) ∝ 1/(c+1)^1.5, class index = size order
+        # Zipf over classes: P(class c) ∝ 1/(c+1)^1.5 with class index in
+        # size order — most hosts tiny, a few huge (skew profile)
         w = 1.0 / np.arange(1, n_cls + 1) ** 1.5
         w /= w.sum()
-        self._cls = rng.choice(n_cls, size=num_hosts, p=w[::-1])  # few big hosts
+        self._cls = rng.choice(n_cls, size=num_hosts, p=w)
         self._cls.flags.writeable = False
 
     def host(self, i: int) -> str:

@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) stages over binary payload columns.
+
+The pages sink schema (BASELINE.json input_hint) carries images as
+opaque ``bytes`` with typed metadata (w, h, fmt, phash). These stages
+are actor-pool ``map_batches`` classes: codec/model state initialized
+once per actor in ``__init__``, vectorized work per ``__call__``.
+
+Real here: PNG + QIMG decode, nearest-neighbor resize, phash recompute,
+PSNR validation. Gated (environment has no media libraries): JPEG
+decode, audio feature extraction, video frame sampling — each raises
+NotImplementedError behind a format check while keeping the Ray-side
+plumbing (schema, batch size, actor signature, output layout) real and
+tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..payload import decode_image, phash64, psnr, gen_pixels
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+class DecodeStatsStage:
+    """Decode each image and emit features: mean brightness, recomputed
+    phash, decode_ok flag. Unsupported formats are flagged, not fatal."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ok, bright, ph = [], [], [], []
+        for row in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            ids.append(row["image_id"])
+            try:
+                pix = decode_image(row["bytes"], row["fmt"])
+                ok.append(True)
+                bright.append(round(float(pix.mean()), 4))
+                ph.append(phash64(pix))
+            except (NotImplementedError, ValueError):
+                # gated codec or corrupt payload: flag, don't kill the run
+                if self.strict:
+                    raise
+                ok.append(False)
+                bright.append(0.0)
+                ph.append(0)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+                "brightness": pa.array(bright, pa.float64()),
+                "phash2": pa.array(ph, pa.int64()),
+            }
+        )
+
+
+class ResizeStage:
+    """Decode -> nearest-neighbor resize -> re-encode (PNG). The
+    thumbnailing stage of a training-data pipeline."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        from ..payload import png_encode
+
+        self.out_w, self.out_h = out_w, out_h
+        self._encode = png_encode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, thumbs = [], []
+        for row in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            try:
+                pix = decode_image(row["bytes"], row["fmt"])
+            except NotImplementedError:
+                continue
+            thumb = resize_nearest(pix, self.out_w, self.out_h)
+            ids.append(row["image_id"])
+            thumbs.append(self._encode(thumb))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "thumb": pa.array(thumbs, pa.binary()),
+                "w": pa.array([self.out_w] * len(ids), pa.int32()),
+                "h": pa.array([self.out_h] * len(ids), pa.int32()),
+            }
+        )
+
+
+class ValidateStage:
+    """Per-row invariant check vs the deterministic generator: decoded
+    pixels allclose (PSNR >= 40 dB for lossy fmt) + caption equality
+    (BASELINE.json per-row invariant)."""
+
+    def __init__(self, min_psnr: float = 40.0):
+        self.min_psnr = min_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..payload import caption_of
+
+        ids, pix_ok, cap_ok, psnrs = [], [], [], []
+        for row in batch.to_pylist():
+            url = row["image_id"]
+            ids.append(url)
+            try:
+                got = decode_image(row["bytes"], row["fmt"])
+                ref, _ = gen_pixels(url)
+                p = psnr(ref, got)
+                psnrs.append(round(p, 2) if np.isfinite(p) else 999.0)
+                pix_ok.append(p >= self.min_psnr)
+            except NotImplementedError:
+                psnrs.append(-1.0)
+                pix_ok.append(False)
+            cap_ok.append(row["caption"] == caption_of(url))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "pixels_ok": pa.array(pix_ok, pa.bool_()),
+                "caption_ok": pa.array(cap_ok, pa.bool_()),
+                "psnr": pa.array(psnrs, pa.float64()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """GATED: audio decode requires a media library not present in this
+    environment. The actor signature and output schema are the real
+    plumbing; calling it raises."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio feature extraction requires an audio codec library; "
+            "stage is schema/plumbing only in this environment"
+        )
+
+
+class VideoFrameSampleStage:
+    """GATED: video frame sampling requires a video decoder. Plumbing
+    (schema: image_id, frame_idx, frame_bytes) is real; decode raises."""
+
+    def __init__(self, frames_per_video: int = 4):
+        self.frames_per_video = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires a video decoder; "
+            "stage is schema/plumbing only in this environment"
+        )

@@ -1,0 +1,122 @@
+"""Relational / shaping operators expressed Ray-Data-first.
+
+These are the generic pieces the crawl engine and training-data
+pipelines share: broadcast hash-join (small side via ray.put, no
+shuffle), per-key top-k / per-key caps (the broad-crawl batch-shaping
+primitive, hbase/__init__.py:198-296 semantics), global top-k, and
+gap-based sessionization (a streaming-window style operator built from
+groupby().map_groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(ds, small_table: pa.Table, key: str, columns=None,
+                   small_prefix: str = ""):
+    """Hash-join a Dataset against a small in-memory table without a
+    shuffle: the small side is ray.put once and each task builds (and
+    caches) the lookup. Inner join semantics; unmatched rows dropped."""
+    import ray
+
+    if columns:
+        small_table = small_table.select([key] + list(columns))
+    ref = ray.put(small_table)
+    cache: dict[str, dict] = {}
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        k = ref.hex()
+        if k not in cache:
+            st = ray.get(ref)
+            keys = st[key].to_pylist()
+            cache[k] = (st, {v: i for i, v in enumerate(keys)})
+        st, index = cache[k]
+        left_keys = batch[key].to_pylist()
+        rows = np.array([index.get(v, -1) for v in left_keys], dtype=np.int64)
+        mask = rows >= 0
+        batch = batch.filter(pa.array(mask))
+        taken = st.take(pa.array(rows[mask]))
+        for name in st.column_names:
+            if name == key:
+                continue
+            batch = batch.append_column(small_prefix + name, taken[name])
+        return batch
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
+                 tiebreak: str | None = None):
+    """Top-k rows per key — the per-host cap / batch-shaping primitive.
+    Implemented as groupby(key).map_groups with a vectorized sort."""
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        vals = group[order_col].to_numpy(zero_copy_only=False)
+        primary = -vals if descending else vals
+        if tiebreak is not None:
+            tb = group[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, primary))
+        else:
+            order = np.argsort(primary, kind="stable")
+        return group.take(pa.array(order[:k]))
+
+    return ds.groupby(key).map_groups(topk_group, batch_format="pyarrow")
+
+
+def global_topk(ds, order_col: str, k: int, descending: bool = True,
+                tiebreak: str | None = None) -> pa.Table:
+    """Exact global top-k: per-block partial top-k then driver merge —
+    avoids a full sort shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        primary = -vals if descending else vals
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, primary))[:k]
+        else:
+            order = np.argsort(primary, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    vals = parts[order_col].to_numpy(zero_copy_only=False)
+    primary = -vals if descending else vals
+    if tiebreak is not None:
+        tb = parts[tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, primary))[:k]
+    else:
+        order = np.argsort(primary, kind="stable")[:k]
+    return parts.take(pa.array(order))
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               gap_us: int = 30 * 60 * 1_000_000):
+    """Per-user gap sessionization: events sorted by time; a gap larger
+    than ``gap_us`` starts a new session. Emits per-user aggregates
+    (n_sessions, n_events). Partitioned by user — the groupby is the
+    one shuffle, keyed uniformly."""
+
+    def sess_group(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ts = np.sort(ts)
+        if len(ts) == 0:
+            n_sessions = 0
+        else:
+            gaps = np.diff(ts)
+            n_sessions = 1 + int((gaps > gap_us).sum())
+        uid = group[user_col][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(user_col).map_groups(sess_group, batch_format="pyarrow")

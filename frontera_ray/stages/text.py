@@ -1,0 +1,143 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+All kernels are vectorized ``pyarrow.compute`` regex/count ops (RE2 —
+the same engine DuckDB uses, giving exact oracle parity) and run inside
+``Dataset.map_batches`` with ``batch_format='pyarrow'``.
+
+Operators: token counting, quality scoring (length/punct/upper/stopword
+ratios), n-gram-heuristic language ID, content fingerprinting
+(md5 exact-dup key + simhash64 near-dup sketch).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..fingerprint import md5_hex_batch
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.!,;:?]"
+UPPER_RE = r"[A-Z]"
+DIGIT_RE = r"[0-9]"
+
+# language-marker stopword patterns (word-boundary RE2, lowercased input);
+# order fixes the argmax tie-break: first maximal language wins.
+LANG_PATTERNS = [
+    ("en", r"\b(the|and|of|to|in)\b"),
+    ("de", r"\b(der|und|die|das|ein)\b"),
+    ("fr", r"\b(le|la|les|des|une)\b"),
+    ("es", r"\b(el|los|las|una|que)\b"),
+    ("zh", r"\b(de|le|shi|bu|zai)\b"),
+]
+
+
+def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    n = pc.count_substring_regex(batch[text_col], TOKEN_RE).cast(pa.int64())
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+
+def quality_features_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality counters + a composite score in [0,1].
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*(1 - upper_ratio)
+          + 0.3*min(1, 20*punct_ratio), rounded to 4 decimals
+    (rounding keeps float output hash-stable vs the SQL oracle)."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text).cast(pa.float64()).to_numpy()
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.float64()).to_numpy()
+    n_punct = pc.count_substring_regex(text, PUNCT_RE).cast(pa.float64()).to_numpy()
+    n_upper = pc.count_substring_regex(text, UPPER_RE).cast(pa.float64()).to_numpy()
+    denom = np.maximum(n_chars, 1.0)
+    upper_ratio = n_upper / denom
+    punct_ratio = n_punct / denom
+    score = (
+        0.4 * np.minimum(1.0, n_tokens / 100.0)
+        + 0.3 * (1.0 - upper_ratio)
+        + 0.3 * np.minimum(1.0, 20.0 * punct_ratio)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "n_punct": pa.array(n_punct.astype(np.int64), pa.int64()),
+            "n_upper": pa.array(n_upper.astype(np.int64), pa.int64()),
+            "quality_score": pa.array(np.round(score, 4), pa.float64()),
+        }
+    )
+
+
+def langid_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID (n-gram heuristic). Deterministic
+    tie-break: pattern order; all-zero votes -> 'und'."""
+    lower = pc.utf8_lower(batch[text_col])
+    counts = np.stack(
+        [pc.count_substring_regex(lower, pat).to_numpy() for _, pat in LANG_PATTERNS]
+    )
+    best = counts.argmax(axis=0)  # first max wins (argmax semantics)
+    total = counts.max(axis=0)
+    langs = np.array([code for code, _ in LANG_PATTERNS], dtype=object)
+    pred = langs[best]
+    pred[total == 0] = "und"
+    return pa.table(
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred, pa.string())}
+    )
+
+
+def content_md5_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact-dup content key: hex md5 of the raw text (matches DuckDB
+    md5())."""
+    h = md5_hex_batch(batch[text_col].to_pylist())
+    return batch.append_column("text_md5", pa.array(h, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# simhash document fingerprint
+# ---------------------------------------------------------------------------
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        b = t.encode("utf8")
+        lo = zlib.crc32(b)
+        hi = zlib.crc32(b, 0x9E3779B9)
+        out[i] = (np.uint64(hi) << np.uint64(32)) | np.uint64(lo)
+    return out
+
+
+def simhash64(text: str) -> int:
+    """Charikar simhash over whitespace tokens (64-bit)."""
+    hs = _token_hashes(text)
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    v = 0
+    for b in range(64):
+        if votes[b] > 0:
+            v |= 1 << b
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def simhash_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sh = np.fromiter(
+        (simhash64(t) for t in batch[text_col].to_pylist()),
+        dtype=np.int64, count=len(batch),
+    )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())}
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64))
+    # vectorized popcount via byte view
+    bytes_ = x.view(np.uint8).reshape(len(x), 8) if len(x) else x.view(np.uint8)
+    return np.unpackbits(bytes_, axis=1).sum(axis=1) if len(x) else np.zeros(0, int)

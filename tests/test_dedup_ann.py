@@ -1,0 +1,137 @@
+"""Dedup + similarity-search operators vs brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from frontera_ray.stages.dedup import (
+    brute_force_jaccard_pairs,
+    jaccard,
+    minhash_neardup_pairs,
+    minhash_signature,
+    simhash_neardup_pairs,
+    word_shingles,
+    _perm_params,
+)
+from frontera_ray.stages.text import hamming64, simhash64
+
+
+def _docs_table():
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        0: base,
+        1: base,                                    # exact dup
+        2: base.replace("dog", "cat"),              # near dup
+        3: "completely different content about ray data pipelines and arrow",
+        4: base + " with a small suffix appended",  # near dup
+        5: "another unrelated document mentioning bloom filters and queues",
+    }
+    return texts
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(256)
+    s1 = word_shingles("w1 w2 w3 w4 w5 w6 w7 w8", k=2)
+    s2 = word_shingles("w1 w2 w3 w4 w5 x6 x7 x8", k=2)
+    true_j = jaccard(s1, s2)
+    sig1 = minhash_signature(s1, a, b)
+    sig2 = minhash_signature(s2, a, b)
+    est = (sig1 == sig2).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    ds = ray.data.from_arrow(t)
+    got = minhash_neardup_pairs(ds, threshold=0.5, text_lookup=texts)
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    expected = {(a, b) for a, b, _ in brute_force_jaccard_pairs(texts, 0.5)}
+    # LSH with 16x4 bands at j>=0.5: all oracle pairs must be found
+    assert expected
+    assert got_pairs == expected
+    # reported jaccard values are exact
+    oracle = {(a, b): j for a, b, j in brute_force_jaccard_pairs(texts, 0.5)}
+    for a, b, j in zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                       got["jaccard"].to_pylist()):
+        assert j == oracle[(a, b)]
+
+
+def test_simhash_neardup(ray_session):
+    import ray
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    got = simhash_neardup_pairs(ray.data.from_arrow(t), max_hamming=3)
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert (0, 1) in pairs  # exact dup has hamming 0
+    # oracle: any pair within hamming<=3 must be reported (block-LSH is
+    # exact for <=3 by pigeonhole over 4 blocks)
+    hs = {d: simhash64(txt) & (2**64 - 1) for d, txt in texts.items()}
+    ids = sorted(texts)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = int(hamming64(np.array([hs[ids[i]]], dtype=np.uint64),
+                              np.array([hs[ids[j]]], dtype=np.uint64))[0])
+            if d <= 3:
+                expected.add((ids[i], ids[j]))
+    assert pairs == expected
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(0)
+    n, dim = 200, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = brute_force_topk(ds, [0, 1, 2], k=5)
+    m = mat.astype(np.float64)
+    nrm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = nrm @ nrm[:3].T
+    for qi in range(3):
+        order = np.lexsort((np.arange(n), -np.round(sims[:, qi], 9)))[:5]
+        mask = got["query_id"].to_numpy() == qi
+        assert list(got["vec_id"].to_numpy()[mask]) == list(order)
+
+
+def test_lsh_topk_recall(ray_session):
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(1)
+    n, dim = 300, 64
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(2)
+    exact = brute_force_topk(ds, [0], k=10)
+    approx = lsh_topk(ds, [0], k=10, bits=8, dim=dim)
+    evs = set(exact["vec_id"].to_pylist())
+    avs = set(approx["vec_id"].to_pylist())
+    # the query itself is always in its own bucket; expect some overlap
+    assert 0 in avs
+    assert len(avs & evs) >= 2
+
+
+def test_cosine_neardup_pairs(ray_session):
+    import ray
+    from frontera_ray.stages.ann import cosine_neardup_pairs
+
+    v = np.eye(4, dtype=np.float32)
+    mat = np.vstack([v[0], v[0] * 2.0, v[1], v[2]])  # 0~1 colinear
+    t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    got = cosine_neardup_pairs(ray.data.from_arrow(t), threshold=0.95)
+    assert got.to_pylist() == [{"a": 0, "b": 1, "sim": 1.0}]

@@ -1,0 +1,71 @@
+"""Driver-contract conformance: every SQL-backed query in __ray_entry__
+must match its DuckDB oracle exactly (row count, schema-sorted values) —
+the same comparison the driver performs at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _normalize(obj) -> pd.DataFrame:
+    if hasattr(obj, "to_pandas"):
+        df = obj.to_pandas()
+    elif isinstance(obj, pd.DataFrame):
+        df = obj
+    else:
+        df = obj.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+SQL_QUERIES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(ray_session, con, name):
+    got = _normalize(entrymod.queries()[name](SF))
+    exp = _normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    for col in got.columns:
+        g, e = got[col].to_numpy(), exp[col].to_numpy()
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert np.allclose(g.astype(float), e.astype(float), atol=0, rtol=0), (
+                f"{name}.{col}: float values differ")
+        else:
+            assert (g.astype(object) == e.astype(object)).all(), (
+                f"{name}.{col}: values differ")
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without oracles must at least run and return stable rows."""
+    qs = entrymod.queries()
+    rows_only = [n for n in qs if n not in entrymod.oracle_sql()]
+    assert rows_only  # crawl_bfs etc. exist
+    for name in rows_only:
+        out = qs[name](SF)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    ds = entrymod.entry()
+    assert ds.count() > 0
+    assert "image_id" in ds.schema().names

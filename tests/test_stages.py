@@ -1,0 +1,157 @@
+"""Text / image / relational stage unit tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from frontera_ray.payload import fetch_simulated, png_encode
+from frontera_ray.stages.images import (
+    AudioFeatureStage,
+    DecodeStatsStage,
+    ResizeStage,
+    ValidateStage,
+    VideoFrameSampleStage,
+    resize_nearest,
+)
+from frontera_ray.stages.text import (
+    langid_table,
+    quality_features_table,
+    simhash64,
+    token_count_table,
+)
+
+
+def _doc_batch():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "The quick brown fox and the dog.",
+            "der hund und die katze das haus ein baum",
+            "",
+        ], pa.string()),
+    })
+
+
+def test_token_count():
+    out = token_count_table(_doc_batch())
+    assert out["n_tokens"].to_pylist() == [7, 9, 0]
+
+
+def test_quality_features():
+    out = quality_features_table(_doc_batch())
+    assert out["n_punct"].to_pylist()[0] == 1
+    assert out["n_upper"].to_pylist()[0] == 1
+    s = out["quality_score"].to_pylist()
+    assert all(0.0 <= x <= 1.0 for x in s)
+
+
+def test_langid():
+    out = langid_table(_doc_batch())
+    assert out["lang_pred"].to_pylist() == ["en", "de", "und"]
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy cat")
+    c = simhash64("completely different words entirely here now")
+    ha = bin((a ^ b) & (2**64 - 1)).count("1")
+    hc = bin((a ^ c) & (2**64 - 1)).count("1")
+    assert ha < hc
+    assert simhash64("") == 0
+
+
+def _pages_batch(n=4):
+    rows = [fetch_simulated(f"http://host-0000{i}.test/1") for i in range(n)]
+    return pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        "caption": pa.array([r["caption"] for r in rows], pa.string()),
+    })
+
+
+def test_decode_stats_stage():
+    out = DecodeStatsStage()(_pages_batch())
+    assert out["decode_ok"].to_pylist() == [True] * 4
+    assert all(0 < b < 255 for b in out["brightness"].to_pylist())
+
+
+def test_decode_stats_flags_unknown_fmt():
+    b = _pages_batch(2)
+    real_fmt = b["fmt"].to_pylist()[1]
+    b = b.set_column(2, "fmt", pa.array(["jpeg", real_fmt], pa.string()))
+    out = DecodeStatsStage()(b)
+    assert out["decode_ok"].to_pylist() == [False, True]
+    with pytest.raises(NotImplementedError):
+        DecodeStatsStage(strict=True)(b)
+
+
+def test_resize_stage():
+    out = ResizeStage(8, 8)(_pages_batch())
+    assert len(out) == 4
+    from frontera_ray.payload import png_decode
+
+    thumb = png_decode(out["thumb"][0].as_py())
+    assert thumb.shape == (8, 8, 3)
+
+
+def test_resize_nearest_exact():
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_nearest(pix, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == pix).all()
+
+
+def test_validate_stage():
+    out = ValidateStage()(_pages_batch())
+    assert out["pixels_ok"].to_pylist() == [True] * 4
+    assert out["caption_ok"].to_pylist() == [True] * 4
+    assert all(p >= 40.0 for p in out["psnr"].to_pylist())
+
+
+def test_gated_stages_raise():
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage()(_pages_batch())
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage()(_pages_batch())
+
+
+def test_broadcast_join_and_topk(ray_session):
+    import ray
+    from frontera_ray.stages.relational import broadcast_join, global_topk, per_key_topk
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "v": pa.array([10.0, 20.0, 30.0, 40.0])})
+    small = pa.table({"k": pa.array([1, 3], pa.int64()),
+                      "name": pa.array(["a", "c"], pa.string())})
+    ds = ray.data.from_arrow(left)
+    out = broadcast_join(ds, small, key="k").to_pandas().sort_values("k")
+    assert list(out["k"]) == [1, 3]
+    assert list(out["name"]) == ["a", "c"]
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([5.0, 9.0, 7.0, 1.0, 3.0]),
+                  "id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    ds2 = ray.data.from_arrow(t)
+    top = per_key_topk(ds2, "k", "v", k=2, tiebreak="id").to_pandas()
+    got = sorted(zip(top["k"], top["v"]))
+    assert got == [(1, 7.0), (1, 9.0), (2, 1.0), (2, 3.0)]
+
+    g = global_topk(ds2, "v", k=2, tiebreak="id")
+    assert g["v"].to_pylist() == [9.0, 7.0]
+
+
+def test_sessionize(ray_session):
+    import datetime as dt
+    import ray
+    from frontera_ray.stages.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for m in (0, 5, 10, 60, 65):  # gap at 60min -> 2 sessions
+        rows.append({"user_id": 1, "ts": base + dt.timedelta(minutes=m)})
+    rows.append({"user_id": 2, "ts": base})
+    ds = ray.data.from_items(rows)
+    out = sessionize(ds).to_pandas().sort_values("user_id")
+    assert list(out["n_sessions"]) == [2, 1]
+    assert list(out["n_events"]) == [5, 1]
