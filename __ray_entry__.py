@@ -22,10 +22,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+_TABLE_BLOCKS = {"lineitem": 32, "orders": 16, "events": 8,
+                 "documents": 8, "embeddings": 8, "customer": 4}
+
+
 def _read(sf_dir: str, table: str):
+    """read_parquet with an explicit block count: groupby/aggregate
+    shuffles inherit their partition count from upstream blocks, and the
+    default (~200) drowns small inputs in task overhead."""
     import ray
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet",
+        override_num_blocks=_TABLE_BLOCKS.get(table, 8),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -117,20 +117,25 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+_PHASH_BITS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def phash64(pixels: np.ndarray) -> int:
-    """64-bit average-hash: grayscale -> 8x8 block means -> bit per cell."""
-    gray = pixels.astype(np.float32).mean(axis=2)
+    """64-bit average-hash: grayscale -> 8x8 block means -> bit per cell.
+    Block sums via a 2-D integral image (fully vectorized)."""
+    gray = pixels.astype(np.float64).sum(axis=2)
     h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8), dtype=np.float32)
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
-    bits = (cells > cells.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    corners = ii[np.ix_(ys, xs)]
+    sums = (corners[1:, 1:] - corners[:-1, 1:] - corners[1:, :-1]
+            + corners[:-1, :-1])
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    cells = sums / areas
+    bits = (cells > cells.mean()).ravel()
+    v = int(np.sum(_PHASH_BITS[bits], dtype=np.uint64))
     return v - (1 << 64) if v >= 1 << 63 else v  # signed int64 for Arrow
 
 
@@ -146,19 +151,21 @@ def _seed_of(url: str) -> int:
 
 
 def gen_pixels(url: str) -> tuple[np.ndarray, str]:
-    """(pixels, fmt) for a URL — a seeded smooth gradient + noise block
-    pattern, cheap to generate and stable forever."""
+    """(pixels, fmt) for a URL — a seeded gradient + hash-derived noise,
+    fully vectorized integer math (no RNG object), stable forever."""
     seed = _seed_of(url)
     w, h = _SIZES[seed % len(_SIZES)]
     fmt = "png" if (seed >> 3) % 2 == 0 else "qimg"
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (
-        (xx * (1 + seed % 5) + yy * (1 + (seed >> 4) % 7)) % 256
-    ).astype(np.uint16)
-    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint16)
-    pix = ((base[:, :, None] + noise + (seed % 256)) % 256).astype(np.uint8)
-    return pix, fmt
+    yy = np.arange(h, dtype=np.uint32)[:, None, None]
+    xx = np.arange(w, dtype=np.uint32)[None, :, None]
+    cc = np.arange(3, dtype=np.uint32)[None, None, :]
+    base = (xx * np.uint32(1 + seed % 5) + yy * np.uint32(1 + (seed >> 4) % 7))
+    # xorshift-style per-pixel noise derived from coordinates + seed
+    n = (xx * np.uint32(2654435761) ^ yy * np.uint32(40503)
+         ^ cc * np.uint32(69069)) + np.uint32(seed & 0xFFFFFFFF)
+    n ^= n >> np.uint32(13)
+    pix = ((base + (n & np.uint32(63)) + np.uint32(seed % 256)) % np.uint32(256))
+    return pix.astype(np.uint8), fmt
 
 
 def caption_of(url: str) -> str:

@@ -262,6 +262,25 @@ def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
 
 
 @ray.remote
+def _split_table(table: pa.Table, k: int):
+    """Split a popped shard table into k chunks (may include empties)."""
+    n = len(table)
+    per = (n + k - 1) // k if n else 0
+    out = []
+    for i in range(k):
+        if per == 0:
+            out.append(table.schema.empty_table())
+        else:
+            out.append(table.slice(i * per, per))
+    return tuple(out) if k > 1 else out[0]
+
+
+@ray.remote
+def _table_len(table: pa.Table) -> int:
+    return len(table)
+
+
+@ray.remote
 def _mark_crawled(table: pa.Table, state_actors) -> int:
     """Mark a popped round batch CRAWLED on its owning state shards."""
     if len(table) == 0:
@@ -335,6 +354,9 @@ class RayCrawler:
         self.pages_total = 0
         self.checkpoint_every = checkpoint_every
         self.metrics: list[dict] = []
+        import threading
+
+        self._lock = threading.Lock()
         # broadcast once; every task resolves from the local object store
         self._web_ref = ray.put(web)
         self._strategy_ref = ray.put(self.strategy)
@@ -347,20 +369,38 @@ class RayCrawler:
         return int(stats["scheduled"][0].as_py())
 
     def run_round(self) -> dict:
+        with self._lock:
+            round_no = self.round
+            self.round += 1
+        return self._run_round(round_no)
+
+    def _run_round(self, round_no: int) -> dict:
         t0 = time.perf_counter()
         pop_refs = [
             q.pop_table.remote(self.batch_per_shard, max_per_host=self.max_per_host)
             for q in self.queue_actors
         ]
-        ds = ray.data.from_arrow_refs(pop_refs)
-        n_popped = ds.count()  # metadata only: blocks are materialized refs
+        # Split each shard's pop into chunks with a cheap remote task (no
+        # Dataset repartition stage): the three map stages fuse into ONE
+        # operator whose parallelism equals the number of input blocks,
+        # so block granularity IS the round's parallelism. Target ~2
+        # blocks per CPU; empty chunks cost one no-op task.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        k = max(1, (2 * cpus) // len(self.queue_actors))
+        chunk_refs = [
+            c for r in pop_refs
+            for c in _split_table.options(num_returns=k).remote(r, k)
+        ] if k > 1 else list(pop_refs)
+        ds = ray.data.from_arrow_refs(chunk_refs)
+        n_popped = ds.count()
         if not n_popped:
-            m = {"round": self.round, "popped": 0, "scheduled": 0, "sec": 0.0}
-            self.metrics.append(m)
+            m = {"round": round_no, "popped": 0, "scheduled": 0, "sec": 0.0}
+            with self._lock:
+                self.metrics.append(m)
             return m
         mark_refs = [_mark_crawled.remote(r, self.state_actors) for r in pop_refs]
 
-        round_dir = self.out / f"round={self.round:05d}"
+        round_dir = self.out / f"round={round_no:05d}"
         if round_dir.exists():
             shutil.rmtree(round_dir)  # idempotent re-run after resume
 
@@ -368,45 +408,77 @@ class RayCrawler:
             ds.map_batches(
                 partial(fetch_and_sink, web_ref=self._web_ref,
                         round_dir=str(round_dir)),
-                batch_format="pyarrow", batch_size=self.fetch_batch_size,
+                batch_format="pyarrow", batch_size=None,
             )
             .map_batches(
                 partial(process_links, strategy_ref=self._strategy_ref,
                         salted=self.salted),
-                batch_format="pyarrow", batch_size=self.fetch_batch_size * 4,
+                batch_format="pyarrow", batch_size=None,
             )
             .map_batches(
                 partial(route_links, state_actors=self.state_actors,
                         queue_actors=self.queue_actors),
-                batch_format="pyarrow", batch_size=self.fetch_batch_size * 4,
+                batch_format="pyarrow", batch_size=None,
             )
             .take_all()  # tiny: one stats row per routed batch
         )
         candidates = int(sum(r["candidates"] for r in stats_rows))
         scheduled = int(sum(r["scheduled"] for r in stats_rows))
         ray.get(mark_refs)
-        self.pages_total += n_popped
         m = {
-            "round": self.round,
+            "round": round_no,
             "popped": int(n_popped),
             "candidates": candidates,
             "scheduled": scheduled,
             "sec": round(time.perf_counter() - t0, 3),
         }
-        self.metrics.append(m)
-        self.round += 1
-        if self.checkpoint_every and self.round % self.checkpoint_every == 0:
-            self.checkpoint()
+        with self._lock:
+            self.pages_total += n_popped
+            self.metrics.append(m)
         return m
 
-    def run(self, max_rounds: int = 1_000_000, max_pages: int | None = None) -> dict:
-        while self.round < max_rounds:
-            m = self.run_round()
-            if m["popped"] == 0:
-                break
-            if max_pages and self.pages_total >= max_pages:
-                break
-        return {"rounds": self.round, "pages": self.pages_total, "config": self.cfg}
+    def run(self, max_rounds: int = 1_000_000, max_pages: int | None = None,
+            pipeline_depth: int = 1) -> dict:
+        """Sequential BSP rounds (deterministic; conformance mode), or —
+        with ``pipeline_depth`` > 1 — overlapped rounds mirroring the
+        reference's concurrency (spiders fetch while workers schedule:
+        frontera runs batch generation and link ingestion in parallel
+        processes). Overlap trades strict round determinism for
+        throughput; dedup and politeness invariants still hold because
+        they live in the shard actors."""
+        if pipeline_depth <= 1:
+            while self.round < max_rounds:
+                m = self.run_round()
+                if m["popped"] == 0:
+                    break
+                if max_pages and self.pages_total >= max_pages:
+                    break
+                if self.checkpoint_every and self.round % self.checkpoint_every == 0:
+                    self.checkpoint()
+            return {"rounds": self.round, "pages": self.pages_total,
+                    "config": self.cfg}
+
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        with ThreadPoolExecutor(pipeline_depth) as ex:
+            pending = set()
+            while True:
+                budget_left = (self.round < max_rounds
+                               and not (max_pages and self.pages_total >= max_pages))
+                while budget_left and len(pending) < pipeline_depth:
+                    pending.add(ex.submit(self.run_round))
+                if not pending:
+                    if not budget_left:
+                        break
+                    # frontier drained with nothing in flight: confirm
+                    if self.run_round()["popped"] == 0:
+                        break
+                    continue
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                if all(f.result()["popped"] == 0 for f in done) and pending:
+                    time.sleep(0.02)  # empty pop while a round is landing
+        return {"rounds": self.round, "pages": self.pages_total,
+                "config": self.cfg}
 
     # ------------------------------------------------------------------
     def checkpoint(self) -> None:
