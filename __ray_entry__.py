@@ -306,7 +306,145 @@ def q_nation_orders(sf_dir: str):
         "c_nationkey").reset_index(drop=True)
 
 
+def q_home_page(sf_dir: str):
+    """Home-page predicate (discovery home scoring gate) over derived
+    URL variants."""
+    from frontera_ray.filters import home_page_mask
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        paths = np.where(ids % 4 == 0, "",
+                 np.where(ids % 4 == 1, "/",
+                  np.where(ids % 4 == 2,
+                           np.char.add("/p/", ids.astype(str)),
+                           np.char.add("/?q=", ids.astype(str)))))
+        urls = np.char.add("http://site.test", paths.astype(str))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "is_home": pa.array(home_page_mask(list(urls)), pa.bool_()),
+        })
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_blacklist(sf_dir: str):
+    """Domain blacklist filter (batch_generator semantics): count of
+    surviving URLs per host."""
+    from frontera_ray.filters import blacklist_mask
+
+    BLACKLIST = {"host-0.test", "host-5.test", "host-10.test", "host-15.test"}
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = _raw_urls(ids)
+        keep = blacklist_mask(urls, BLACKLIST)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    ds = _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+    import pandas as pd
+
+    return pd.DataFrame({"n_kept": [ds.count()]})
+
+
+def q_same_domain(sf_dir: str):
+    """Same-domain link filter (public-suffix-free 2nd-level match)."""
+    from frontera_ray.filters import same_domain_mask
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hosts = np.where(ids % 3 == 0, "www.site.com",
+                  np.where(ids % 3 == 1, "blog.site.com",
+                           np.char.add(np.char.add("other-", (ids % 7).astype(str)),
+                                       ".com")))
+        urls = [f"http://{h}/x" for h in hosts]
+        keep = same_domain_mask("http://www.site.com/", urls)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "same_domain": pa.array(keep, pa.bool_())})
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
 # -- non-SQL-expressible (rows-only for the driver; golden/pytest-checked) --
+
+
+def q_canonical_solver(sf_dir: str):
+    """Redirect-chain canonicalization (basic solver) over synthesized
+    chains."""
+    from frontera_ray.filters import canonical_solver_table
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = [f"http://t.test/final/{d}" for d in ids]
+        chains = [[f"http://src.test/orig/{d}"] if d % 3 == 0 else []
+                  for d in ids]
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "url": pa.array(urls, pa.string()),
+            "redirect_urls": pa.array(chains, pa.list_(pa.string())),
+        })
+        return canonical_solver_table(t, mode="basic").select(
+            ["doc_id", "canonical_url"])
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap <loc> parser over a synthesized sitemap per document."""
+    from frontera_ray.filters import parse_sitemap
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out_doc, out_url, out_sub = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            xml = (f"<urlset><url><loc>http://s.test/{d}/a</loc></url>"
+                   f"<sitemap><loc>http://s.test/{d}/sub.xml</loc></sitemap>"
+                   f"</urlset>")
+            for url, is_sub in parse_sitemap(xml):
+                out_doc.append(d)
+                out_url.append(url)
+                out_sub.append(is_sub)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "url": pa.array(out_url, pa.string()),
+            "is_sub_sitemap": pa.array(out_sub, pa.bool_()),
+        })
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
+
+
+def q_seed_reader(sf_dir: str):
+    """Seed-file reader: line stream -> normalized URL Dataset."""
+    import hashlib
+
+    from frontera_ray.filters import read_seeds_dataset
+
+    lines = ["# seeds", "", "www.a.test/1", "http://b.test/2", "  c.test/3  "]
+    body = "\n".join(lines) + "\n"
+    path = f"/tmp/frontera_ray_seeds_{hashlib.md5(body.encode()).hexdigest()[:8]}.txt"
+    with open(path, "w") as f:
+        f.write(body)
+    return read_seeds_dataset(path)
+
+
+def q_discovery_scores(sf_dir: str):
+    """Discovery host-salted class scoring (crc32 deciles — not
+    SQL-expressible without crc32)."""
+    from frontera_ray.strategies import DiscoveryStrategy
+
+    st = DiscoveryStrategy()
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = [
+            f"http://host-{d % 20}.test/robots.txt" if d % 4 == 0 else
+            f"http://host-{d % 20}.test/" if d % 4 == 1 else
+            f"http://host-{d % 20}.test/p/{d}"
+            for d in ids
+        ]
+        scores = st.link_scores(0, urls)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "score": pa.array(np.round(scores, 6), pa.float64())})
+
+    return _read(sf_dir, "documents").map_batches(kernel, batch_format="pyarrow")
 
 def q_crawl_bfs(sf_dir: str):
     """Flagship iterative crawl (local deterministic engine, BFS) over a
@@ -426,6 +564,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionize": q_sessionize,
     "agg_pricing": q_agg_pricing,
     "nation_orders": q_nation_orders,
+    "home_page": q_home_page,
+    "blacklist": q_blacklist,
+    "same_domain": q_same_domain,
+    "canonical_solver": q_canonical_solver,
+    "sitemap_parse": q_sitemap_parse,
+    "seed_reader": q_seed_reader,
+    "discovery_scores": q_discovery_scores,
     "crawl_bfs": q_crawl_bfs,
     "fetch_pages": q_fetch_pages,
     "minhash_neardup": q_minhash_neardup,
@@ -576,4 +721,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1""",
+        "home_page": """
+            SELECT doc_id,
+                   (query = '' AND (path = '' OR path = '/')) AS is_home
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN ''
+                          WHEN doc_id % 4 = 1 THEN '/'
+                          WHEN doc_id % 4 = 2 THEN '/p/' || doc_id
+                          ELSE '/' END AS path,
+                     CASE WHEN doc_id % 4 = 3 THEN 'q=' || doc_id
+                          ELSE '' END AS query
+              FROM documents)""",
+        "blacklist": """
+            SELECT count(*) AS n_kept FROM (
+              SELECT 'host-' || (doc_id % 20) || '.test' AS host FROM documents)
+            WHERE host NOT IN ('host-0.test','host-5.test','host-10.test',
+                               'host-15.test')""",
+        "same_domain": """
+            SELECT doc_id,
+                   regexp_extract(host, '([^.]+[.][^.]+)$', 1) = 'site.com'
+                     AS same_domain
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'www.site.com'
+                          WHEN doc_id % 3 = 1 THEN 'blog.site.com'
+                          ELSE 'other-' || (doc_id % 7) || '.com' END AS host
+              FROM documents)""",
     }

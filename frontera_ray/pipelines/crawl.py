@@ -515,6 +515,24 @@ class RayCrawler:
         return meta
 
     # ------------------------------------------------------------------
+    def export_stats(self, path: str | None = None) -> dict:
+        """Stats rollup (reference worker/stats.py semantics): per-shard
+        queue counters + driver round metrics -> one JSON document."""
+        qstats = ray.get([q.stats.remote() for q in self.queue_actors])
+        qcounts = ray.get([q.count.remote() for q in self.queue_actors])
+        rollup: dict = {"rounds": self.round, "pages_total": self.pages_total,
+                        "frontier_size": int(sum(qcounts)),
+                        "urls_seen": self.seen_count(),
+                        "per_shard_frontier": [int(c) for c in qcounts],
+                        "queue_counters": {}}
+        for s in qstats:
+            for k, v in s.items():
+                rollup["queue_counters"][k] = rollup["queue_counters"].get(k, 0) + v
+        rollup["recent_rounds"] = self.metrics[-20:]
+        if path:
+            Path(path).write_text(json.dumps(rollup, indent=1))
+        return rollup
+
     def frontier_size(self) -> int:
         return sum(ray.get([q.count.remote() for q in self.queue_actors]))
 

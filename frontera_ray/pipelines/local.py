@@ -124,6 +124,19 @@ class LocalFrontier:
         depths = np.full(len(links), parent.depth + 1, dtype=np.int64)
         return self._schedule(links, scores, depths)
 
+    def schedule_revisit(self, entry: QueueEntry, crawl_at: int,
+                         score: float | None = None) -> None:
+        """Revisit support (reference RevisitingBackend semantics): put a
+        CRAWLED page back on the queue with a future visibility
+        timestamp, bypassing URL-seen dedup. Pops must pass ``now`` so
+        the entry stays invisible until due (SURVEY.md §2.7 crawl_at)."""
+        n_q = len(self.queue_shards)
+        sid = (host_shard_batch([entry.host], n_q)[0] if n_q > 1 else 0)
+        e = QueueEntry(entry.url, entry.fingerprint, entry.host,
+                       entry.score if score is None else score,
+                       entry.depth, self._next_seqs(1)[0], crawl_at)
+        self.queue_shards[sid].schedule([e])
+
     def frontier_size(self) -> int:
         return sum(q.count() for q in self.queue_shards)
 

@@ -102,7 +102,50 @@ DISCOVERY_CLASS_SCORES = {
     "other": 0.5,
 }
 
+def classify_url(url: str) -> str:
+    """Discovery link classes (strategy/discovery/__init__.py:209,322,
+    399-401,425): robots.txt -> 'robots', sitemap XML -> 'sitemap',
+    home page -> 'home', else 'other'."""
+    from .filters import is_home_page_url
+
+    low = url.lower()
+    path = low.split("://", 1)[-1].split("/", 1)
+    tail = path[1] if len(path) > 1 else ""
+    if tail == "robots.txt":
+        return "robots"
+    if tail.endswith(".xml") and "sitemap" in tail:
+        return "sitemap"
+    if is_home_page_url(url):
+        return "home"
+    return "other"
+
+
+class DiscoveryStrategy(BasicStrategy):
+    """Broad-crawl discovery scoring: per-class base scores salted by
+    host deciles so every host keeps frontier presence; pairs with the
+    'max_score' production profile, robots gating and per-domain page
+    caps in the queue shards (QueueShard(robots_enabled=True,
+    max_pages_per_domain=N))."""
+
+    name = "discovery"
+
+    def _base(self, urls) -> np.ndarray:
+        return np.fromiter(
+            (DISCOVERY_CLASS_SCORES[classify_url(u)] for u in urls),
+            dtype=np.float64, count=len(urls),
+        )
+
+    def seed_scores(self, urls):
+        hosts = [u.split("://", 1)[-1].split("/", 1)[0] for u in urls]
+        return discovery_salted_scores(hosts, self._base(urls))
+
+    def link_scores(self, parent_depth, urls):
+        hosts = [u.split("://", 1)[-1].split("/", 1)[0] for u in urls]
+        return discovery_salted_scores(hosts, self._base(urls))
+
+
 STRATEGIES = {
     cls.name: cls
-    for cls in (BasicStrategy, DFSStrategy, BFSStrategy, DepthBFSStrategy, DepthDFSStrategy)
+    for cls in (BasicStrategy, DFSStrategy, BFSStrategy, DepthBFSStrategy,
+                DepthDFSStrategy, DiscoveryStrategy)
 }

@@ -1,0 +1,123 @@
+"""Discovery strategy, revisiting, robots-gated crawl, stats export."""
+
+import numpy as np
+
+from frontera_ray.pipelines.local import LocalFrontier, run_crawl_sequence
+from frontera_ray.state.queue import QueueShard
+from frontera_ray.strategies import (
+    DISCOVERY_CLASS_SCORES,
+    DiscoveryStrategy,
+    classify_url,
+    discovery_salted_scores,
+)
+
+
+def test_classify_url():
+    assert classify_url("http://a.com/robots.txt") == "robots"
+    assert classify_url("http://a.com/sitemap.xml") == "sitemap"
+    assert classify_url("http://a.com/sitemap-news.xml") == "sitemap"
+    assert classify_url("http://a.com/") == "home"
+    assert classify_url("http://a.com/page") == "other"
+
+
+def test_salted_scores_properties():
+    # same host -> same decile; relative order within host preserved
+    s = discovery_salted_scores(["a.com", "a.com", "b.com"],
+                                np.array([0.9, 0.5, 0.9]))
+    assert abs((s[0] - s[1]) - (0.9 - 0.5) / 10) < 1e-9
+    assert np.floor(s[0] * 10) == np.floor(s[1] * 10)
+    assert all(0.0 <= x <= 1.1 for x in s)
+
+
+def test_discovery_strategy_scores():
+    st = DiscoveryStrategy()
+    urls = ["http://a.com/robots.txt", "http://a.com/x", "http://a.com/"]
+    scores = st.link_scores(0, urls)
+    base = [DISCOVERY_CLASS_SCORES[classify_url(u)] for u in urls]
+    # same host => ordering by class score preserved
+    assert (np.argsort(-scores) == np.argsort(-np.array(base))).all()
+
+
+def test_robots_gated_crawl():
+    """Discovery-style crawl with robots gating in the queue shard:
+    disallowed paths are never scheduled or crawled."""
+
+    class G:
+        seeds = ["http://a.com/1"]
+        pages = {
+            "http://a.com/1": ["http://a.com/11", "http://a.com/private/x"],
+            "http://a.com/11": [],
+            "http://a.com/private/x": [],
+        }
+
+        @staticmethod
+        def links_of(u):
+            return G.pages.get(u, [])
+
+    f = LocalFrontier(profile="min_score",
+                      queue_kwargs=dict(robots_enabled=True))
+    f.queue_shards[0].domains["a.com"].set_robots(
+        "User-agent: *\nDisallow: /private/\n")
+    seq = run_crawl_sequence(f, G, max_next_requests=10)
+    urls = [e.url for reqs, _, _ in seq for e in reqs]
+    assert "http://a.com/private/x" not in urls
+    assert set(urls) == {"http://a.com/1", "http://a.com/11"}
+    assert f.queue_shards[0].stats["dropped_robots"] == 1
+
+
+def test_revisit_cycle():
+    """Revisiting semantics: a CRAWLED page rescheduled with a future
+    crawl_at becomes visible only once `now` passes, and is crawled
+    again (reference tests/test_revisiting_backend.py property)."""
+    f = LocalFrontier(profile="fifo")
+    f.add_seeds(["http://a.com/1"])
+    got = f.get_next_requests(10, now=0)
+    assert [e.url for e in got] == ["http://a.com/1"]
+    f.page_crawled(got[0])
+    f.links_extracted(got[0], [])
+    # re-adding via normal scheduling is deduped
+    assert f.links_extracted(got[0], ["http://a.com/1"]) == 0
+    # revisit bypasses dedup with future visibility
+    f.schedule_revisit(got[0], crawl_at=100)
+    assert f.get_next_requests(10, now=50) == []
+    again = f.get_next_requests(10, now=150)
+    assert [e.url for e in again] == ["http://a.com/1"]
+
+
+def test_stats_export(ray_session, tmp_path):
+    import json
+
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(4, seed=3, max_class=2)
+    c = RayCrawler(web, str(tmp_path / "out"), num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=32)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=3)
+    stats = c.export_stats(str(tmp_path / "stats.json"))
+    assert stats["pages_total"] > 0
+    assert stats["queue_counters"]["scheduled"] >= stats["pages_total"]
+    on_disk = json.loads((tmp_path / "stats.json").read_text())
+    assert on_disk["rounds"] == stats["rounds"]
+
+
+def test_discovery_crawl_e2e(ray_session, tmp_path):
+    """Distributed crawl with the discovery strategy + domain page caps."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(6, seed=9, max_class=3)
+    c = RayCrawler(web, str(tmp_path / "out"), strategy="discovery",
+                   profile="max_score", num_state_shards=2, num_queue_shards=2,
+                   batch_per_shard=64, salted_scores=False,
+                   queue_kwargs=dict(max_pages_per_domain=5))
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=50)
+    urls = c.crawled_urls()
+    # cap: at most 5 pages per domain ever queued
+    from collections import Counter
+
+    hosts = Counter(u.split("/")[2] for u in urls)
+    assert max(hosts.values()) <= 5
+    assert len(urls) > 0
