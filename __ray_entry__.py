@@ -134,9 +134,11 @@ def q_score_buckets(sf_dir: str):
         bucket = np.minimum(np.floor(score * 100.0), 99.0)  # last interval right-inclusive
         return pa.table({"bucket": pa.array(bucket.astype(np.int64), pa.int64())})
 
+    from frontera_ray.stages.relational import partial_groupby_agg
+
     ds = _read(sf_dir, "events").map_batches(kernel, batch_format="pyarrow")
-    out = ds.groupby("bucket").count().to_pandas()
-    return out.rename(columns={"count()": "n"}).sort_values("bucket").reset_index(drop=True)
+    out = partial_groupby_agg(ds, "bucket", {"n": ("bucket", "count")})
+    return out.sort_values("bucket").reset_index(drop=True)
 
 
 def q_per_host_cap(sf_dir: str):
@@ -164,10 +166,18 @@ def q_crawl_visibility(sf_dir: str):
     the cutoff, counted per type."""
     import datetime as dt
 
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import partial_groupby_agg
+
     cutoff = dt.datetime(2024, 1, 3)
-    ds = _read(sf_dir, "events").filter(lambda r: r["ts"] <= cutoff)
-    out = ds.groupby("event_type").count().to_pandas()
-    return out.rename(columns={"count()": "n"}).sort_values("event_type").reset_index(drop=True)
+
+    def visible(batch: pa.Table) -> pa.Table:
+        mask = _pc.less_equal(batch["ts"], pa.scalar(cutoff, pa.timestamp("us")))
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "events").map_batches(visible, batch_format="pyarrow")
+    out = partial_groupby_agg(ds, "event_type", {"n": ("event_type", "count")})
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def q_host_agg(sf_dir: str):
@@ -180,27 +190,25 @@ def q_host_agg(sf_dir: str):
             "value": batch["value"],
         })
 
-    import ray
+    from frontera_ray.stages.relational import partial_groupby_agg
 
     ds = _read(sf_dir, "events").map_batches(kernel, batch_format="pyarrow")
-    out = ds.groupby("host_bucket").aggregate(
-        ray.data.aggregate.Count(),
-        ray.data.aggregate.Sum("value"),
-    ).to_pandas()
-    out = out.rename(columns={"count()": "n"})
+    out = partial_groupby_agg(ds, "host_bucket",
+                              {"n": ("value", "count"), "sv": ("value", "sum")})
     # integer-exact: input values carry 2 decimals, so sum*100 rounds to
     # the same integer regardless of summation order
-    out["sum_cents"] = (out.pop("sum(value)") * 100).round().astype("int64")
+    out["sum_cents"] = (out.pop("sv") * 100).round().astype("int64")
     return out.sort_values("host_bucket").reset_index(drop=True)
 
 
 def q_batch_dedup(sf_dir: str):
     """Within-batch dedup, first-wins per key (scoring-consumer `seen`
     semantics, worker/components/scoring_consumer.py:29-43)."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
     ds = _read(sf_dir, "events").select_columns(["user_id", "event_id"])
-    out = ds.groupby("user_id").min("event_id").to_pandas()
-    return out.rename(columns={"min(event_id)": "first_event"}).sort_values(
-        "user_id").reset_index(drop=True)
+    out = partial_groupby_agg(ds, "user_id", {"first_event": ("event_id", "min")})
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def q_token_count(sf_dir: str):
@@ -270,19 +278,19 @@ def q_agg_pricing(sf_dir: str):
     inside blocks via Ray's hash aggregate."""
     import ray
 
+    from frontera_ray.stages.relational import partial_groupby_agg
+
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        ray.data.aggregate.Sum("l_quantity"),
-        ray.data.aggregate.Sum("l_extendedprice"),
-        ray.data.aggregate.Sum("l_discount"),
-        ray.data.aggregate.Count(),
-    ).to_pandas()
-    out = out.rename(columns={"count()": "count_order"})
+    out = partial_groupby_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sq": ("l_quantity", "sum"), "sp": ("l_extendedprice", "sum"),
+         "sd": ("l_discount", "sum"), "count_order": ("l_quantity", "count")},
+    )
     # integer-exact sums: quantities are integral, money has 2 decimals
-    out["sum_qty"] = out.pop("sum(l_quantity)").round().astype("int64")
-    out["sum_price_cents"] = (out.pop("sum(l_extendedprice)") * 100).round().astype("int64")
-    out["sum_disc_cents"] = (out.pop("sum(l_discount)") * 100).round().astype("int64")
+    out["sum_qty"] = out.pop("sq").round().astype("int64")
+    out["sum_price_cents"] = (out.pop("sp") * 100).round().astype("int64")
+    out["sum_disc_cents"] = (out.pop("sd") * 100).round().astype("int64")
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -299,11 +307,13 @@ def q_nation_orders(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["o_orderkey", "c_custkey"])
 
+    from frontera_ray.stages.relational import partial_groupby_agg
+
     joined = broadcast_join(ds.map_batches(prep, batch_format="pyarrow"),
                             cust, key="c_custkey")
-    out = joined.groupby("c_nationkey").count().to_pandas()
-    return out.rename(columns={"count()": "n_orders"}).sort_values(
-        "c_nationkey").reset_index(drop=True)
+    out = partial_groupby_agg(joined, "c_nationkey",
+                              {"n_orders": ("c_nationkey", "count")})
+    return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
 def q_home_page(sf_dir: str):

@@ -1,0 +1,86 @@
+"""Scale-path behaviors: bloom-mode URL-seen, shard-count invariance,
+overused-keys plumbing on the distributed queue, sink gating."""
+
+import pyarrow as pa
+import pytest
+
+from frontera_ray.graphs import SyntheticWeb
+from frontera_ray.sinks import PAGES_SCHEMA, lance_available, write_pages_fragment
+
+
+def _crawl(ray_session, web, out, **kw):
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    c = RayCrawler(web, str(out), **kw)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=200)
+    return c
+
+
+def test_bloom_mode_crawl_complete(ray_session, tmp_path):
+    """With exact_states=False (bloom + overlay) and a filter sized for
+    the fixture, the crawl still visits every page exactly once."""
+    web = SyntheticWeb(8, seed=21, max_class=3)
+    c = _crawl(ray_session, web, tmp_path / "b", num_state_shards=2,
+               num_queue_shards=2, batch_per_shard=64,
+               exact_states=False, bloom_bits=1 << 20)
+    urls = c.crawled_urls()
+    assert len(urls) == len(set(urls)) == web.total_pages()
+
+
+def test_shard_count_invariance(ray_session, tmp_path):
+    """URL-seen set and page set are identical across shard counts
+    (1x1 vs 4x4) — the partitioning-invariance the north rule demands."""
+    web = SyntheticWeb(6, seed=33, max_class=3)
+    a = _crawl(ray_session, web, tmp_path / "a", num_state_shards=1,
+               num_queue_shards=1, batch_per_shard=128)
+    b = _crawl(ray_session, web, tmp_path / "b", num_state_shards=4,
+               num_queue_shards=4, batch_per_shard=32)
+    assert sorted(a.crawled_urls()) == sorted(b.crawled_urls())
+    assert a.seen_count() == b.seen_count() == web.total_pages()
+
+
+def test_distributed_overused_parking(ray_session, tmp_path):
+    """QueueActor pop honors overused_keys (politeness feedback from a
+    downloader): overused hosts are parked and served later."""
+    import ray
+    from frontera_ray.pipelines.crawl import QueueActor
+
+    q = QueueActor.remote(0, profile="fifo")
+    t = pa.table({
+        "url": ["http://a.com/1", "http://b.com/1", "http://a.com/2"],
+        "fingerprint": pa.array([1, 2, 3], pa.uint64()),
+        "host": ["a.com", "b.com", "a.com"],
+        "score": [1.0, 1.0, 1.0],
+        "depth": pa.array([0, 0, 0], pa.int32()),
+        "seq": pa.array([0, 1, 2], pa.int64()),
+        "crawl_at": pa.array([0, 0, 0], pa.int64()),
+    })
+    assert ray.get(q.schedule_table.remote(t)) == 3
+    got = ray.get(q.pop_table.remote(3, overused_keys=["a.com"]))
+    assert got["url"].to_pylist() == ["http://b.com/1"]
+    got = ray.get(q.pop_table.remote(3, overused_keys=[]))
+    assert got["url"].to_pylist() == ["http://a.com/1", "http://a.com/2"]
+
+
+def test_sink_gating(tmp_path):
+    t = PAGES_SCHEMA.empty_table()
+    p = write_pages_fragment(t, str(tmp_path), "part-0")
+    assert p.endswith("part-0.parquet")
+    if not lance_available():
+        with pytest.raises(NotImplementedError):
+            write_pages_fragment(t, str(tmp_path), "x", fmt="lance")
+    with pytest.raises(ValueError):
+        write_pages_fragment(t, str(tmp_path), "x", fmt="orc")
+
+
+def test_run_twice_deterministic(ray_session, tmp_path):
+    """Two sequential runs of the same config produce identical
+    per-round pop counts and page sets (deterministic seq numbers)."""
+    web = SyntheticWeb(4, seed=5, max_class=3)
+    a = _crawl(ray_session, web, tmp_path / "a", num_state_shards=2,
+               num_queue_shards=2, batch_per_shard=64)
+    b = _crawl(ray_session, web, tmp_path / "b", num_state_shards=2,
+               num_queue_shards=2, batch_per_shard=64)
+    assert [m["popped"] for m in a.metrics] == [m["popped"] for m in b.metrics]
+    assert sorted(a.crawled_urls()) == sorted(b.crawled_urls())
