@@ -53,7 +53,7 @@ def run_crawl_bench(num_cpus: int, out_dir: str) -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     web = SyntheticWeb(CRAWL_HOSTS, seed=42)
-    shards = max(4, num_cpus // 2)
+    shards = min(8, max(4, num_cpus // 2))
     crawler = RayCrawler(
         web, out_dir, num_state_shards=shards, num_queue_shards=shards,
         batch_per_shard=max(2048, 65536 // shards),

@@ -100,6 +100,29 @@ def jid_mask(jids, current_jid: int) -> np.ndarray:
     return np.asarray(jids) == current_jid
 
 
+def consume_randomly(items, seed: int = 42):
+    """Yield items in a seeded random order (discovery's randomized link
+    scheduling, made deterministic for replay)."""
+    import random
+
+    pool = list(items)
+    rng = random.Random(seed)
+    rng.shuffle(pool)
+    yield from pool
+
+
+def sample_sitemaps(sub_sitemaps, max_n: int = 100, seed: int = 42):
+    """Seeded sample of sub-sitemaps when a sitemap index exceeds the
+    budget (discovery samples >100 sub-sitemaps)."""
+    import random
+
+    subs = list(sub_sitemaps)
+    if len(subs) <= max_n:
+        return subs
+    rng = random.Random(seed)
+    return rng.sample(subs, max_n)
+
+
 # ---------------------------------------------------------------------------
 # canonical solvers (redirect-chain resolution)
 # ---------------------------------------------------------------------------

@@ -69,12 +69,19 @@ class QueueEntry(tuple):
     crawl_at = property(lambda s: s[6])
 
 
+MAX_SUBDOMAINS = 10
+MAX_REDIRECTS_STORE = 100
+
+
 class DomainMetadata:
     """Per-host metadata co-located with the host's queue shard
-    (robots parser, crawl delay, counters, ban flag)."""
+    (robots parser, crawl delay, counters, ban flag, capped subdomain /
+    redirect sets — discovery keeps at most 10 subdomains and 100
+    redirect netlocs per domain)."""
 
     __slots__ = ("robots", "robots_body", "crawl_delay", "queued_pages",
-                 "banned", "last_pop_seq")
+                 "banned", "last_pop_seq", "subdomains", "redirect_to",
+                 "redirect_from")
 
     def __init__(self):
         self.robots = None
@@ -83,6 +90,22 @@ class DomainMetadata:
         self.queued_pages = 0
         self.banned = False
         self.last_pop_seq = -1
+        self.subdomains: set[str] = set()
+        self.redirect_to: set[str] = set()
+        self.redirect_from: set[str] = set()
+
+    def add_subdomain(self, name: str) -> bool:
+        if len(self.subdomains) >= MAX_SUBDOMAINS and name not in self.subdomains:
+            return False
+        self.subdomains.add(name)
+        return True
+
+    def add_redirect(self, netloc: str, outgoing: bool = True) -> bool:
+        target = self.redirect_to if outgoing else self.redirect_from
+        if len(target) >= MAX_REDIRECTS_STORE and netloc not in target:
+            return False
+        target.add(netloc)
+        return True
 
     def set_robots(self, body: str, user_agent: str = "*"):
         self.robots_body = body

@@ -77,3 +77,15 @@ def test_checkpoint_restore(tmp_path):
     assert r.count() == 2
     assert [e.url for e in r.pop(2)] == ["u2", "u1"]
     assert r.domains["a.com"].crawl_delay == 1.0
+
+
+def test_domain_capped_sets():
+    from frontera_ray.state.queue import DomainMetadata, MAX_SUBDOMAINS
+
+    m = DomainMetadata()
+    for i in range(MAX_SUBDOMAINS + 5):
+        m.add_subdomain(f"s{i}.a.com")
+    assert len(m.subdomains) == MAX_SUBDOMAINS
+    assert m.add_subdomain("s0.a.com")  # existing member still accepted
+    assert not m.add_redirect("x.com") if len(m.redirect_to) >= 100 else m.add_redirect("x.com")
+    assert "x.com" in m.redirect_to
