@@ -265,6 +265,27 @@ def q_cosine_neardup(sf_dir: str):
                                 limit_ids=300)
 
 
+def q_window_counts(sf_dir: str):
+    """Tumbling-window aggregate (1h windows) per event type — the
+    streaming-window operator over the events table."""
+    from frontera_ray.stages.relational import tumbling_window_counts
+
+    return tumbling_window_counts(_read(sf_dir, "events"), window_s=3600,
+                                  keys=("event_type",))
+
+
+def q_asof_join(sf_dir: str):
+    """Per-user AS-OF join: each 'click' event gets the value of the
+    most recent earlier 'view' event (-1 when none)."""
+    from frontera_ray.stages.relational import asof_join_latest
+
+    out = asof_join_latest(
+        _read(sf_dir, "events"), key_col="user_id", ts_col="ts",
+        type_col="event_type", left_type="click", right_type="view",
+        value_col="value").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from frontera_ray.stages.relational import sessionize
@@ -531,6 +552,28 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), range(5), k=10)
 
 
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash near-dup pairs over fetched pages (hamming <= 12
+    on the 64-bit phash — the input_hint's phash column put to work)."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import fetch_simulated
+    from frontera_ray.stages.text import hamming64
+
+    web = SyntheticWeb(32, seed=42, max_class=3)
+    urls = sorted(web.seeds())[:128]
+    rows = [fetch_simulated(u) for u in urls]
+    ph = np.array([r["phash"] for r in rows], dtype=np.int64).astype(np.uint64)
+    ids = np.array([r["image_id"] for r in rows], dtype=object)
+    iu, ju = np.triu_indices(len(ph), k=1)
+    d = hamming64(ph[iu], ph[ju])
+    m = d <= 12
+    return pa.table({
+        "a": pa.array(ids[iu[m]], pa.string()),
+        "b": pa.array(ids[ju[m]], pa.string()),
+        "hamming": pa.array(d[m].astype(np.int32), pa.int32()),
+    })
+
+
 def q_image_stats(sf_dir: str):
     """Multimodal decode stage over fetched pages (actor pool)."""
     import ray
@@ -571,6 +614,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_dedup": q_exact_dedup,
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,
+    "window_counts": q_window_counts,
+    "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "agg_pricing": q_agg_pricing,
     "nation_orders": q_nation_orders,
@@ -587,6 +632,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
+    "phash_neardup": q_phash_neardup,
     "image_stats": q_image_stats,
 }
 
@@ -711,6 +757,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.6""",
+        "window_counts": """
+            SELECT (epoch_us(ts) // 3600000000::BIGINT) * 3600 AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "asof_join": """
+            SELECT l.user_id, l.event_id,
+                   coalesce(r.value, -1.0) AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.user_id, l.event_id""",
         "sessionize": """
             SELECT user_id, count(*) FILTER (WHERE new_session)::BIGINT AS n_sessions,
                    count(*)::BIGINT AS n_events

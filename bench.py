@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "exact_dedup", "simhash", "minhash_neardup", "ann_topk", "ann_lsh",
     "cosine_neardup", "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
-    "score_buckets", "image_stats",
+    "score_buckets", "image_stats", "window_counts", "asof_join",
 ]
 
 CRAWL_HOSTS = 2048

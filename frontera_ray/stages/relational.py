@@ -131,6 +131,64 @@ def global_topk(ds, order_col: str, k: int, descending: bool = True,
     return parts.take(pa.array(order))
 
 
+def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
+                           keys=()):
+    """Tumbling-window aggregate: count events per (window_start, *keys).
+    Window assignment is a vectorized epoch truncation inside
+    map_batches; the combine is a partial aggregate (no shuffle for
+    low-cardinality windows)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        win = (ts // (window_s * 1_000_000)) * window_s  # epoch seconds
+        out = {"window_start": pa.array(win, pa.int64())}
+        for k in keys:
+            out[k] = batch[k]
+        return pa.table(out)
+
+    return partial_groupby_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["window_start", *keys],
+        {"n": ("window_start", "count")},
+    ).sort_values(["window_start", *keys]).reset_index(drop=True)
+
+
+def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
+                     left_type: str, right_type: str, value_col: str,
+                     id_col: str = "event_id"):
+    """Per-key AS-OF join: for every ``left_type`` event, attach the
+    most recent earlier-or-equal ``right_type`` event's value (NULL when
+    none). A custom operator Ray Data lacks — composed as
+    groupby(key).map_groups with a vectorized searchsorted merge; the
+    groupby is the single keyed shuffle, partitioned by the join key."""
+
+    def join_group(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        types = np.asarray(group[type_col].to_pylist(), dtype=object)[order]
+        vals = group[value_col].to_numpy(zero_copy_only=False)[order]
+        ids = group[id_col].to_numpy()[order]
+        left_m = types == left_type
+        right_m = types == right_type
+        rts, rvals = ts[right_m], vals[right_m]
+        lts = ts[left_m]
+        # index of latest right event with rts <= lts
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        matched = idx >= 0
+        out_vals = np.full(int(left_m.sum()), -1.0)  # -1 sentinel: no match
+        out_vals[matched] = rvals[idx[matched]]
+        key_val = group[key_col][0].as_py()
+        return pa.table({
+            key_col: pa.array([key_val] * int(left_m.sum()),
+                              group[key_col].type),
+            id_col: pa.array(ids[left_m]),
+            "asof_value": pa.array(out_vals, pa.float64()),
+        })
+
+    return ds.groupby(key_col).map_groups(join_group, batch_format="pyarrow")
+
+
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_us: int = 30 * 60 * 1_000_000):
     """Per-user gap sessionization: events sorted by time; a gap larger
