@@ -103,11 +103,14 @@ def SITE_LIST_09():
 
 class GraphManager:
     """Materialized page->links web (test scale only) with seeds = first
-    page of each site, like the reference graphs.Manager."""
+    page of each site, like the reference graphs.Manager. ``errors`` is
+    a set of URLs whose fetch fails (reference pages with error status
+    trigger request_error instead of page_crawled)."""
 
-    def __init__(self, site_list):
+    def __init__(self, site_list, errors=()):
         self.pages = {}
         self.seeds = []
+        self.errors = set(errors)
         for site in site_list:
             if site:
                 self.seeds.append(site[0][0])

@@ -142,22 +142,22 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
 
     Pure function of the URL (payload.fetch_simulated), so re-running a
     round after resume reproduces identical page fragments."""
-    from ..payload import fetch_simulated
+    from ..payload import fetch_batch_columns
 
     web = _resolve(web_ref)
     urls = batch["url"].to_pylist()
     if not urls:
         return LINKS_SCHEMA.empty_table()
-    rows = [fetch_simulated(u) for u in urls]
+    cols = fetch_batch_columns(urls)
     pages = pa.table(
         {
-            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
-            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
-            "w": pa.array([r["w"] for r in rows], pa.int32()),
-            "h": pa.array([r["h"] for r in rows], pa.int32()),
-            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
-            "caption": pa.array([r["caption"] for r in rows], pa.string()),
-            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
         }
     )
     d = Path(round_dir)
@@ -168,6 +168,12 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
     counts = np.asarray([len(l) for l in links], dtype=np.int64)
     if counts.sum() == 0:
         return LINKS_SCHEMA.empty_table()
+    if counts.max() >= SEQ_BASE:
+        raise ValueError(
+            f"page with {counts.max()} outlinks exceeds SEQ_BASE-1="
+            f"{SEQ_BASE - 1}; tree-path sequence numbers would collide — "
+            "raise SEQ_BASE (costs depth headroom) or cap outlinks"
+        )
     flat = pa.array([u for lst in links for u in lst], pa.string())
     parent_depth = np.repeat(batch["depth"].to_numpy(), counts)
     parent_seq = np.repeat(batch["seq"].to_numpy(), counts)

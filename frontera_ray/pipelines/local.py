@@ -216,6 +216,9 @@ def run_crawl_sequence(frontier: LocalFrontier, graph, max_next_requests: int,
         sequence.append((requests, frontier.iteration, info))
         downloader.update(requests)
         for entry in downloader.download():
+            if entry.url in getattr(graph, "errors", ()):
+                frontier.request_error(entry, "error")
+                continue
             frontier.page_crawled(entry)
             frontier.links_extracted(entry, graph.links_of(entry.url))
         if not requests and downloader.idle():

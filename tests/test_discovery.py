@@ -121,3 +121,28 @@ def test_discovery_crawl_e2e(ray_session, tmp_path):
     hosts = Counter(u.split("/")[2] for u in urls)
     assert max(hosts.values()) <= 5
     assert len(urls) > 0
+
+
+def test_request_error_flow():
+    """Pages that fail to fetch transition to ERROR, yield no links, and
+    are never re-scheduled (reference request_error semantics)."""
+    from frontera_ray.graphs import GraphManager, SITE_LIST_01
+    from frontera_ray.state.urlseen import States
+
+    g = GraphManager(SITE_LIST_01(), errors={"http://aaa.com/11"})
+    f = LocalFrontier(profile="fifo")
+    seq = run_crawl_sequence(f, g, max_next_requests=5)
+    urls = [e.url for reqs, _, _ in seq for e in reqs]
+    # the errored page was popped once but its subtree never discovered
+    assert "http://aaa.com/11" in urls
+    assert "http://aaa.com/111" not in urls
+    assert "http://aaa.com/121" in urls  # sibling subtree unaffected
+    import numpy as np
+    from frontera_ray.fingerprint import fp64_batch
+    from frontera_ray.urls import canonicalize_batch
+
+    fp = fp64_batch(canonicalize_batch(np.array(["http://aaa.com/11"], object)))
+    assert f.state_shards[0].get_states(fp)[0] == States.ERROR
+    # re-offering it as a link does not reschedule (state != NOT_CRAWLED)
+    parent = [e for reqs, _, _ in seq for e in reqs][0]
+    assert f.links_extracted(parent, ["http://aaa.com/11"]) == 0

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) over the core kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from frontera_ray.fingerprint import fp64, get_crc32, to_signed32
+from frontera_ray.state.queue import QueueEntry, QueueShard
+from frontera_ray.state.urlseen import BloomFilter, UrlSeenShard
+from frontera_ray.stages.dedup import (
+    jaccard,
+    minhash_signature,
+    word_shingles,
+    _perm_params,
+)
+from frontera_ray.urls import canonicalize_url
+
+url_st = st.from_regex(
+    r"https?://[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}(:[0-9]{2,4})?"
+    r"(/[a-zA-Z0-9._~-]{0,8}){0,3}(\?[a-z]=[0-9](&[a-z]=[0-9]){0,2})?",
+    fullmatch=True,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(url_st)
+def test_canonicalize_idempotent(url):
+    c = canonicalize_url(url)
+    assert canonicalize_url(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=50))
+def test_crc32_signed_range(s):
+    v = get_crc32(s)
+    assert -(2**31) <= v < 2**31
+    assert to_signed32(v & 0xFFFFFFFF) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200, unique=True))
+def test_bloom_no_false_negatives(keys):
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=5)
+    arr = np.array(keys, dtype=np.uint64)
+    bf.add_batch(arr)
+    assert bf.contains_batch(arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=100))
+def test_urlseen_first_wins(fps):
+    s = UrlSeenShard()
+    arr = np.array(fps, dtype=np.uint64)
+    keep = s.check_and_mark(arr)
+    # exactly one True per distinct fingerprint, at its first position
+    seen = set()
+    for fp, k in zip(fps, keep):
+        assert k == (fp not in seen)
+        seen.add(fp)
+    # second pass: nothing survives
+    assert not s.check_and_mark(arr).any()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.floats(min_value=0, max_value=1,
+                                    allow_nan=False),
+                          st.integers(0, 10**6)),
+                min_size=1, max_size=80))
+def test_queue_pop_is_sorted(items):
+    for profile, keyfn in [
+        ("fifo", lambda s, q: q),
+        ("lifo", lambda s, q: -q),
+        ("min_score", lambda s, q: (s, q)),
+        ("max_score", lambda s, q: (-s, q)),
+    ]:
+        q = QueueShard(profile=profile)
+        entries = [QueueEntry(f"u{i}", i, "h", s, 0, seq)
+                   for i, (s, seq) in enumerate(items)]
+        q.schedule(entries)
+        popped = q.pop(len(items) + 5)
+        keys = [keyfn(e.score, e.seq) for e in popped]
+        assert keys == sorted(keys)
+        assert len(popped) == len(items)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=40),
+       st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=40))
+def test_minhash_unbiased(words_a, words_b):
+    a, b = _perm_params(256)
+    sa = word_shingles(" ".join(words_a), k=2)
+    sb = word_shingles(" ".join(words_b), k=2)
+    true_j = jaccard(sa, sb)
+    est = float((minhash_signature(sa, a, b) == minhash_signature(sb, a, b)).mean())
+    assert abs(est - true_j) <= 0.25  # 256 perms: generous tolerance
