@@ -186,6 +186,17 @@ class SyntheticWeb:
         base = url
         return [base + str(k) for k in range(1, branching + 1)]
 
+    def robots_body(self, host: str) -> str | None:
+        """Deterministic synthetic robots.txt: every 5th host disallows
+        its '/12' subtree and asks for a crawl delay; others have none."""
+        try:
+            i = int(host[5:10])
+        except (ValueError, IndexError):
+            return None
+        if i % 5 == 0:
+            return "User-agent: *\nDisallow: /12\nCrawl-delay: 1\n"
+        return None
+
     def total_pages(self) -> int:
         tot = 0
         for c in self._cls:

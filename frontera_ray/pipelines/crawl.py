@@ -132,7 +132,13 @@ SEQ_BASE = 16
 PAGE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
 LINKS_SCHEMA = pa.schema(
-    [("url", pa.string()), ("parent_depth", pa.int32()), ("seq", pa.int64())]
+    [
+        ("url", pa.string()),
+        ("parent_depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("parent_score", pa.float64()),
+        ("n_siblings", pa.int32()),
+    ]
 )
 
 
@@ -177,6 +183,8 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
     flat = pa.array([u for lst in links for u in lst], pa.string())
     parent_depth = np.repeat(batch["depth"].to_numpy(), counts)
     parent_seq = np.repeat(batch["seq"].to_numpy(), counts)
+    parent_score = np.repeat(batch["score"].to_numpy(), counts)
+    n_siblings = np.repeat(counts, counts)
     link_idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts if c])
     seqs = parent_seq * SEQ_BASE + (link_idx + 1)
     return pa.table(
@@ -184,6 +192,8 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
             "url": flat,
             "parent_depth": pa.array(parent_depth.astype(np.int32), pa.int32()),
             "seq": pa.array(seqs, pa.int64()),
+            "parent_score": pa.array(parent_score, pa.float64()),
+            "n_siblings": pa.array(n_siblings.astype(np.int32), pa.int32()),
         }
     )
 
@@ -205,10 +215,14 @@ def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Tab
     hosts = hostnames_batch(urls)
     crc = crc32_batch(hosts)
     depths = batch["parent_depth"].to_numpy()
-    scores = np.empty(len(urls), dtype=np.float64)
-    for d in np.unique(depths):
-        m = depths == d
-        scores[m] = strategy.link_scores(int(d), urls[m])
+    if hasattr(strategy, "link_scores_cash") and "parent_score" in batch.column_names:
+        scores = strategy.link_scores_cash(
+            batch["parent_score"].to_numpy(), batch["n_siblings"].to_numpy())
+    else:
+        scores = np.empty(len(urls), dtype=np.float64)
+        for d in np.unique(depths):
+            m = depths == d
+            scores[m] = strategy.link_scores(int(d), urls[m])
     if salted:
         scores = discovery_salted_scores(hosts, scores)
     return (

@@ -120,7 +120,12 @@ class LocalFrontier:
     def links_extracted(self, parent: QueueEntry, links) -> int:
         if not links:
             return 0
-        scores = self.strategy.link_scores(parent.depth, links)
+        if hasattr(self.strategy, "link_scores_cash"):
+            scores = self.strategy.link_scores_cash(
+                np.full(len(links), parent.score),
+                np.full(len(links), len(links)))
+        else:
+            scores = self.strategy.link_scores(parent.depth, links)
         depths = np.full(len(links), parent.depth + 1, dtype=np.int64)
         return self._schedule(links, scores, depths)
 

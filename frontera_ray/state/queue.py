@@ -129,7 +129,8 @@ class QueueShard:
                  max_per_key: int | None = None, keep_per_key: int = 1000,
                  max_keys: int | None = None, keep_keys: int = 100,
                  max_pages_per_domain: int | None = None,
-                 robots_enabled: bool = False, purge_seed: int = 42):
+                 robots_enabled: bool = False, robots_provider=None,
+                 purge_seed: int = 42):
         self.shard_id = shard_id
         self.profile = profile
         self._heap: list[tuple] = []
@@ -140,6 +141,7 @@ class QueueShard:
         self._keep_keys = keep_keys
         self._max_pages_per_domain = max_pages_per_domain
         self._robots_enabled = robots_enabled
+        self._robots_provider = robots_provider
         self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
         self._rng = random.Random(purge_seed)
         self.stats = defaultdict(int)
@@ -157,12 +159,28 @@ class QueueShard:
         raise ValueError(f"unknown profile {self.profile!r}")
 
     # -- scheduling ----------------------------------------------------------
+    def _domain_meta(self, host: str) -> DomainMetadata:
+        """Lazily initialize per-host metadata; with a robots_provider,
+        the host's robots.txt is fetched once on first contact (the
+        discovery pattern: robots before pages)."""
+        known = host in self.domains
+        meta = self.domains[host]
+        if not known and self._robots_provider is not None:
+            body = self._robots_provider(host)
+            if body:
+                lines = body.splitlines()
+                from ..filters import is_valid_robotstxt
+
+                if is_valid_robotstxt(lines):
+                    meta.set_robots(body)
+        return meta
+
     def schedule(self, entries) -> int:
         """Push a batch of QueueEntry; applies robots gating / domain
         caps / ban flags. Returns the number actually queued."""
         n = 0
         for e in entries:
-            meta = self.domains[e.host] if (
+            meta = self._domain_meta(e.host) if (
                 self._robots_enabled or self._max_pages_per_domain
             ) else None
             if meta is not None:

@@ -102,6 +102,31 @@ DISCOVERY_CLASS_SCORES = {
     "other": 0.5,
 }
 
+class OPICStrategy(BasicStrategy):
+    """One-pass OPIC (On-line Page Importance Computation) scoring:
+    every page holds "cash" (its score); on extraction the cash is split
+    equally among outlinks, so heavily-linked shallow pages accumulate
+    priority. Pairs with the 'max_score' profile. This is the
+    single-visit approximation: cash of duplicate links is dropped with
+    the dedup (the reference's update_score stream would add it to the
+    queued entry); revisit-driven cash refresh composes via
+    schedule_revisit."""
+
+    name = "opic"
+
+    def seed_scores(self, urls):
+        n = max(len(urls), 1)
+        return np.full(len(urls), 1.0 / n)
+
+    def link_scores(self, parent_depth, urls):
+        # fallback when no cash context is available
+        return np.full(len(urls), 0.0)
+
+    def link_scores_cash(self, parent_scores: np.ndarray,
+                         n_siblings: np.ndarray) -> np.ndarray:
+        return parent_scores / np.maximum(n_siblings, 1)
+
+
 def classify_url(url: str) -> str:
     """Discovery link classes (strategy/discovery/__init__.py:209,322,
     399-401,425): robots.txt -> 'robots', sitemap XML -> 'sitemap',
@@ -147,5 +172,5 @@ class DiscoveryStrategy(BasicStrategy):
 STRATEGIES = {
     cls.name: cls
     for cls in (BasicStrategy, DFSStrategy, BFSStrategy, DepthBFSStrategy,
-                DepthDFSStrategy, DiscoveryStrategy)
+                DepthDFSStrategy, DiscoveryStrategy, OPICStrategy)
 }

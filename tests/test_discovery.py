@@ -146,3 +146,67 @@ def test_request_error_flow():
     # re-offering it as a link does not reschedule (state != NOT_CRAWLED)
     parent = [e for reqs, _, _ in seq for e in reqs][0]
     assert f.links_extracted(parent, ["http://aaa.com/11"]) == 0
+
+
+def test_opic_strategy_local():
+    """OPIC cash splitting: seeds share 1.0; each page's cash divides
+    among its outlinks; max_score pop follows the cash."""
+    from frontera_ray.strategies import OPICStrategy
+
+    class G:
+        seeds = ["http://a.com/1", "http://b.com/1"]
+        pages = {
+            "http://a.com/1": ["http://a.com/11"],             # 1 link: full cash
+            "http://b.com/1": ["http://b.com/11", "http://b.com/12",
+                               "http://b.com/13", "http://b.com/14"],
+        }
+
+        @staticmethod
+        def links_of(u):
+            return G.pages.get(u, [])
+
+    f = LocalFrontier(strategy=OPICStrategy(), profile="max_score")
+    seq = run_crawl_sequence(f, G, max_next_requests=2)
+    urls = [e.url for reqs, _, _ in seq for e in reqs]
+    scores = {e.url: e.score for reqs, _, _ in seq for e in reqs}
+    assert scores["http://a.com/1"] == scores["http://b.com/1"] == 0.5
+    assert scores["http://a.com/11"] == 0.5       # sole heir
+    assert scores["http://b.com/11"] == 0.125     # split 4 ways
+    # the cash-rich single child is crawled before the split siblings
+    assert urls.index("http://a.com/11") < urls.index("http://b.com/11")
+
+
+def test_opic_strategy_distributed(ray_session, tmp_path):
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(4, seed=13, max_class=3)
+    c = RayCrawler(web, str(tmp_path / "out"), strategy="opic",
+                   profile="max_score", num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=64)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=100)
+    assert len(c.crawled_urls()) == web.total_pages()
+
+
+def test_robots_provider_distributed(ray_session, tmp_path):
+    """Lazy robots fetching in the distributed path: hosts 0 and 5
+    disallow their /12 subtree; the crawl never touches it."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(8, seed=17, max_class=4)
+    c = RayCrawler(web, str(tmp_path / "out"), num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=64,
+                   queue_kwargs=dict(robots_enabled=True,
+                                     robots_provider=web.robots_body))
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=100)
+    urls = c.crawled_urls()
+    blocked = [u for u in urls
+               if u.startswith(("http://host-00000.test/12",
+                                "http://host-00005.test/12"))]
+    assert blocked == []
+    # non-robots hosts keep their /12 subtree (when the tree is deep enough)
+    assert any("/12" in u and "host-00000" not in u and "host-00005" not in u
+               for u in urls)
