@@ -79,3 +79,33 @@ CODECS = {
     "json": (encode_json, decode_json),
     "arrow": (encode_arrow, decode_arrow),
 }
+
+
+def replay_events(frontier, events) -> dict:
+    """Apply a decoded event log to a LocalFrontier — the strategy-worker
+    consume loop (collect -> states fetch -> handler -> update) replayed
+    from an exported stream. Returns per-type counts."""
+    from .state.queue import QueueEntry
+    from .state.urlseen import States
+    from .urls import hostname_of
+
+    counts: dict[str, int] = {}
+    for ev in events:
+        t = ev["type"]
+        counts[t] = counts.get(t, 0) + 1
+        if t == "us" and ev.get("schedule"):
+            e = QueueEntry(ev["url"], ev["fingerprint"], hostname_of(ev["url"]),
+                           ev.get("score", 1.0), 0, ev["fingerprint"] & 0xFFFF)
+            keep = frontier._dedup(
+                __import__("numpy").array([ev["fingerprint"]], dtype="uint64"))
+            if keep[0]:
+                frontier.queue_shards[0].schedule([e])
+        elif t == "pc":
+            sid = int(ev["fingerprint"]) % len(frontier.state_shards)
+            frontier.state_shards[sid].set_states(
+                [ev["fingerprint"]], [States.CRAWLED])
+        elif t == "re":
+            sid = int(ev["fingerprint"]) % len(frontier.state_shards)
+            frontier.state_shards[sid].set_states(
+                [ev["fingerprint"]], [States.ERROR])
+    return counts

@@ -466,6 +466,12 @@ class RayCrawler:
         processes). Overlap trades strict round determinism for
         throughput; dedup and politeness invariants still hold because
         they live in the shard actors."""
+        if pipeline_depth > 1 and self.checkpoint_every:
+            raise ValueError(
+                "checkpointing requires sequential BSP rounds "
+                "(pipeline_depth=1): overlapped rounds have in-flight "
+                "state that a shard snapshot cannot capture consistently"
+            )
         if pipeline_depth <= 1:
             while self.round < max_rounds:
                 m = self.run_round()

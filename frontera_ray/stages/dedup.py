@@ -15,6 +15,11 @@ At 100 TB the only all-to-all exchanges are the bucket groupbys, whose
 keys (band hashes / simhash blocks) are uniformly distributed by
 construction — no skew. Verification joins fetch only candidate bucket
 members, never the full corpus.
+
+References (public): Broder, "On the resemblance and containment of
+documents" (1997) — minhash; Leskovec/Rajaraman/Ullman, *Mining of
+Massive Datasets* ch.3 — LSH banding s-curve; Charikar, "Similarity
+estimation techniques from rounding algorithms" (STOC 2002) — simhash.
 """
 
 from __future__ import annotations

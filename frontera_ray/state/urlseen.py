@@ -12,6 +12,10 @@ bloom filter + bounded exact overlay: the bloom answers "definitely
 unseen", the overlay holds recent exact states until flushed to the
 checkpoint. A 2^33-bit bloom (1 GiB) with 7 hashes holds ~8e8 keys/shard
 at <1e-4 FP; 16 such shards cover 1.3e10 URLs in 16 GiB cluster-wide.
+
+References (public): Bloom, "Space/time trade-offs in hash coding with
+allowable errors" (CACM 1970); Kirsch & Mitzenmacher, "Less hashing,
+same performance" (2006) — the double-hashing probe scheme used here.
 """
 
 from __future__ import annotations

@@ -113,6 +113,8 @@ class OPICStrategy(BasicStrategy):
     schedule_revisit."""
 
     name = "opic"
+    # Reference (public): Abiteboul, Preda, Cobena — "Adaptive On-Line
+    # Page Importance Computation" (WWW 2003).
 
     def seed_scores(self, urls):
         n = max(len(urls), 1)

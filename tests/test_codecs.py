@@ -42,3 +42,35 @@ def test_unknown_type_rejected():
 def test_json_deterministic():
     assert encode_json(EVENTS) == encode_json(EVENTS)
     assert decode_json(b"") == []
+
+
+def test_replay_events_into_frontier():
+    """Strategy-worker consume-loop equivalence: an exported event log
+    replayed into a fresh frontier reproduces the queue/state effects
+    (reference tests/test_worker_strategy.py flow)."""
+    from frontera_ray.codecs import CODECS, replay_events
+    from frontera_ray.pipelines.local import LocalFrontier
+    from frontera_ray.state.urlseen import States
+
+    log = [
+        {"type": "us", "fingerprint": 11, "url": "http://a.com/1",
+         "score": 0.9, "schedule": True},
+        {"type": "us", "fingerprint": 11, "url": "http://a.com/1",
+         "score": 0.9, "schedule": True},          # duplicate -> deduped
+        {"type": "us", "fingerprint": 22, "url": "http://b.com/1",
+         "score": 0.5, "schedule": True},
+        {"type": "pc", "fingerprint": 11, "url": "http://a.com/1"},
+        {"type": "re", "fingerprint": 33, "url": "http://c.com/1",
+         "error": "dns"},
+    ]
+    enc, dec = CODECS["arrow"]
+    f = LocalFrontier(profile="max_score")
+    counts = replay_events(f, dec(enc(log)))
+    assert counts == {"us": 3, "pc": 1, "re": 1}
+    assert f.frontier_size() == 2  # duplicate dropped
+    import numpy as np
+
+    assert f.state_shards[0].get_states(np.array([11], np.uint64))[0] == States.CRAWLED
+    assert f.state_shards[0].get_states(np.array([33], np.uint64))[0] == States.ERROR
+    popped = f.get_next_requests(10)
+    assert [e.url for e in popped] == ["http://a.com/1", "http://b.com/1"]

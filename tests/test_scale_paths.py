@@ -84,3 +84,28 @@ def test_run_twice_deterministic(ray_session, tmp_path):
                num_queue_shards=2, batch_per_shard=64)
     assert [m["popped"] for m in a.metrics] == [m["popped"] for m in b.metrics]
     assert sorted(a.crawled_urls()) == sorted(b.crawled_urls())
+
+
+def test_pipelined_set_parity(ray_session, tmp_path):
+    """Overlapped rounds (pipeline_depth>1) produce the same final page
+    set as sequential BSP (politeness/dedup invariants hold)."""
+    web = SyntheticWeb(5, seed=29, max_class=3)
+    a = _crawl(ray_session, web, tmp_path / "a")
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    b = RayCrawler(web, str(tmp_path / "b"), num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=64)
+    b.add_seeds(web.seeds())
+    b.run(max_rounds=300, pipeline_depth=3)
+    assert sorted(a.crawled_urls()) == sorted(b.crawled_urls())
+
+
+def test_pipelined_checkpoint_rejected(ray_session, tmp_path):
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(2, seed=1, max_class=2)
+    c = RayCrawler(web, str(tmp_path / "c"), checkpoint_every=2,
+                   num_state_shards=1, num_queue_shards=1)
+    c.add_seeds(web.seeds())
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        c.run(max_rounds=5, pipeline_depth=2)
