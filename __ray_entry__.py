@@ -265,6 +265,66 @@ def q_cosine_neardup(sf_dir: str):
                                 limit_ids=300)
 
 
+def q_revenue_nation(sf_dir: str):
+    """Two-stage broadcast join (lineitem -> orders -> customer) +
+    nation revenue rollup — the multi-join pipeline without any shuffle
+    join (both small sides broadcast once)."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import broadcast_join, partial_groupby_agg
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "l_extendedprice", "l_discount"])
+
+    j1 = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
+                        orders, key="o_orderkey")
+
+    def prep2(batch: pa.Table) -> pa.Table:
+        # integer-exact revenue: price-cents x (100 - discount-percent),
+        # i.e. units of 10^-4 dollars, summed exactly in int64 (float
+        # sums of price*(1-disc) are NOT order-independent at this scale)
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_b = np.round((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "revenue_c4": pa.array(price_c * disc_b, pa.int64())})
+
+    j2 = broadcast_join(j1.map_batches(prep2, batch_format="pyarrow"),
+                        cust, key="c_custkey")
+    out = partial_groupby_agg(j2, "c_nationkey",
+                              {"revenue_c4": ("revenue_c4", "sum"),
+                               "n_items": ("revenue_c4", "count")})
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_token_df(sf_dir: str):
+    """Token document-frequency: top tokens by number of documents
+    containing them (the TF-IDF denominator aggregate)."""
+    import pyarrow.compute as _pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = [], []
+        for d, text in zip(batch["doc_id"].to_pylist(),
+                           batch["text"].to_pylist()):
+            for t in set(text.split()):
+                doc_ids.append(d)
+                toks.append(t)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(doc_ids, pa.int64())})
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ds = _read(sf_dir, "documents").map_batches(explode, batch_format="pyarrow")
+    out = partial_groupby_agg(ds, "token", {"df": ("doc_id", "count")})
+    out = out.sort_values(["df", "token"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 def q_window_counts(sf_dir: str):
     """Tumbling-window aggregate (1h windows) per event type — the
     streaming-window operator over the events table."""
@@ -614,6 +674,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exact_dedup": q_exact_dedup,
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,
+    "revenue_nation": q_revenue_nation,
+    "token_df": q_token_df,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -757,6 +819,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.6""",
+        "revenue_nation": """
+            SELECT c_nationkey,
+                   count(*) AS n_items,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * round((1.0 - l_discount) * 100)::BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1""",
+        "token_df": r"""
+            SELECT token, df FROM (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM (SELECT doc_id, unnest(list_distinct(
+                       regexp_extract_all(text, '\S+'))) AS token
+                    FROM documents)
+              GROUP BY token)
+            ORDER BY df DESC, token LIMIT 20""",
         "window_counts": """
             SELECT (epoch_us(ts) // 3600000000::BIGINT) * 3600 AS window_start,
                    event_type, count(*) AS n

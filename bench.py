@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "cosine_neardup", "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
     "score_buckets", "image_stats", "window_counts", "asof_join",
+    "revenue_nation", "token_df",
 ]
 
 CRAWL_HOSTS = 2048
