@@ -1,0 +1,75 @@
+"""Crawl job entrypoint (``ray job submit``-style).
+
+Runs (or resumes) a checkpointed crawl of a deterministic synthetic web:
+
+    python run_crawl_job.py --out /tmp/crawl --hosts 64 [--resume] \
+        [--max-rounds N] [--checkpoint-every K] [--strategy depth_bfs]
+
+On a cluster this is the script handed to ``ray job submit``; locally it
+owns its own ray.init (guarded). A killed run restarts with ``--resume``
+and continues from the latest complete checkpoint, rewriting only the
+in-flight round (pages are a pure function of the URL, so re-run
+fragments are identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--hosts", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--max-class", type=int, default=None)
+    ap.add_argument("--strategy", default="depth_bfs")
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--batch-per-shard", type=int, default=512)
+    ap.add_argument("--checkpoint-every", type=int, default=2)
+    ap.add_argument("--max-rounds", type=int, default=1_000_000)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      log_to_driver=False)
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = SyntheticWeb(args.hosts, seed=args.seed, max_class=args.max_class)
+    crawler = RayCrawler(
+        web, args.out, strategy=args.strategy,
+        num_state_shards=args.shards, num_queue_shards=args.shards,
+        batch_per_shard=args.batch_per_shard,
+        checkpoint_every=args.checkpoint_every,
+    )
+    if args.resume:
+        meta = crawler.restore()
+        print(f"resumed from round {meta['round']}", flush=True)
+    else:
+        crawler.add_seeds(web.seeds())
+
+    summary = crawler.run(max_rounds=args.max_rounds)
+    crawler.checkpoint()
+    crawler.export_stats(f"{args.out}/stats.json")
+    print(json.dumps({**summary, "expected_pages": web.total_pages()}),
+          flush=True)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
