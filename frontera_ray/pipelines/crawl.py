@@ -126,8 +126,15 @@ def _resolve(obj_or_ref):
 # Deterministic child sequence numbers: tree-path encoding independent of
 # execution parallelism (replaces the reference's wall-clock created_at,
 # sqlalchemy/components.py:209 — required for identical N-vs-4N ordering,
-# SURVEY.md §7.4). Supports branching factors < SEQ_BASE.
+# SURVEY.md §7.4). Seeds get `16^SEED_DIGITS + index` (a sentinel leading
+# digit + fixed-width seed id), children append one base-16 digit per
+# level: seq digits are (1, seed, path...) so every (seed, path) is
+# unique — no aliasing between seed ids and shallow paths. Supports
+# branching < SEQ_BASE, seeds < 16^SEED_DIGITS, depth <= 9 within int64.
 SEQ_BASE = 16
+SEED_DIGITS = 5
+SEED_SEQ_OFFSET = SEQ_BASE ** SEED_DIGITS
+MAX_SEQ_BEFORE_CHILD = (1 << 62) // SEQ_BASE  # depth-overflow guard
 
 PAGE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
@@ -179,6 +186,12 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
             f"page with {counts.max()} outlinks exceeds SEQ_BASE-1="
             f"{SEQ_BASE - 1}; tree-path sequence numbers would collide — "
             "raise SEQ_BASE (costs depth headroom) or cap outlinks"
+        )
+    if int(batch["seq"].to_numpy().max(initial=0)) > MAX_SEQ_BEFORE_CHILD:
+        raise ValueError(
+            "crawl depth exceeds the tree-path sequence budget (~9 levels "
+            "with 5 seed digits); raise SEQ limits or switch to a wider "
+            "sequence encoding"
         )
     flat = pa.array([u for lst in links for u in lst], pa.string())
     parent_depth = np.repeat(batch["depth"].to_numpy(), counts)
@@ -322,6 +335,11 @@ def _mark_crawled(table: pa.Table, state_actors) -> int:
 
 def _seed_table(urls, scores) -> pa.Table:
     urls = np.asarray(list(urls), dtype=object)
+    if len(urls) >= SEED_SEQ_OFFSET:
+        raise ValueError(
+            f"{len(urls)} seeds exceed the {SEED_DIGITS}-digit seed-id "
+            "budget; raise SEED_DIGITS (costs depth headroom)"
+        )
     canon = canonicalize_batch(urls)
     fps = fp64_batch(canon)
     hosts = hostnames_batch(urls)
@@ -336,7 +354,8 @@ def _seed_table(urls, scores) -> pa.Table:
             "host_crc32": pa.array(crc, pa.int32()),
             "score": pa.array(np.asarray(scores, dtype=np.float64), pa.float64()),
             "parent_depth": pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
-            "seq": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "seq": pa.array(SEED_SEQ_OFFSET + np.arange(n, dtype=np.int64),
+                            pa.int64()),
         }
     )
 
