@@ -58,20 +58,21 @@ def broadcast_join(ds, small_table: pa.Table, key: str, columns=None,
     caches) the lookup. Inner join semantics; unmatched rows dropped."""
     import ray
 
+    import pandas as pd
+
     if columns:
         small_table = small_table.select([key] + list(columns))
     ref = ray.put(small_table)
-    cache: dict[str, dict] = {}
+    cache: dict[str, tuple] = {}
 
     def join_batch(batch: pa.Table) -> pa.Table:
         k = ref.hex()
         if k not in cache:
             st = ray.get(ref)
-            keys = st[key].to_pylist()
-            cache[k] = (st, {v: i for i, v in enumerate(keys)})
+            # vectorized hash index (pandas) — built once per worker
+            cache[k] = (st, pd.Index(st[key].to_pandas()))
         st, index = cache[k]
-        left_keys = batch[key].to_pylist()
-        rows = np.array([index.get(v, -1) for v in left_keys], dtype=np.int64)
+        rows = index.get_indexer(batch[key].to_pandas())
         mask = rows >= 0
         batch = batch.filter(pa.array(mask))
         taken = st.take(pa.array(rows[mask]))
