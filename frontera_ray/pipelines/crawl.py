@@ -89,8 +89,10 @@ class QueueActor:
     def schedule_table(self, table: pa.Table) -> int:
         return self.shard.schedule_table(table)
 
-    def pop_table(self, max_n: int, overused_keys=(), now=None, max_per_host=None) -> pa.Table:
-        return self.shard.pop_table(max_n, overused_keys, now, max_per_host)
+    def pop_table(self, max_n: int, overused_keys=(), now=None,
+                  max_per_host=None, min_hosts=None) -> pa.Table:
+        return self.shard.pop_table(max_n, overused_keys, now, max_per_host,
+                                    min_hosts)
 
     def count(self) -> int:
         return self.shard.count()
@@ -364,7 +366,7 @@ class RayCrawler:
     def __init__(self, web, out_dir: str, strategy: str = "depth_bfs",
                  profile: str = "max_score", num_state_shards: int = 4,
                  num_queue_shards: int = 4, batch_per_shard: int = 512,
-                 max_per_host: int | None = 128, route_concurrency: int | None = None,
+                 max_per_host: int | None = 128, min_hosts: int | None = None,
                  fetch_batch_size: int = 512, exact_states: bool = True,
                  bloom_bits: int = 1 << 24, checkpoint_every: int = 0,
                  salted_scores: bool = False, queue_kwargs: dict | None = None):
@@ -387,6 +389,7 @@ class RayCrawler:
         ]
         self.batch_per_shard = batch_per_shard
         self.max_per_host = max_per_host
+        self.min_hosts = min_hosts
         self.fetch_batch_size = fetch_batch_size
         self.salted = salted_scores
         self.round = 0
@@ -416,7 +419,9 @@ class RayCrawler:
     def _run_round(self, round_no: int) -> dict:
         t0 = time.perf_counter()
         pop_refs = [
-            q.pop_table.remote(self.batch_per_shard, max_per_host=self.max_per_host)
+            q.pop_table.remote(self.batch_per_shard,
+                              max_per_host=self.max_per_host,
+                              min_hosts=self.min_hosts)
             for q in self.queue_actors
         ]
         # Split each shard's pop into chunks with a cheap remote task (no

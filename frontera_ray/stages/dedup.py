@@ -204,6 +204,31 @@ def brute_force_jaccard_pairs(texts: dict, threshold: float, shingle_k: int = 3)
     return out
 
 
+def dedup_keepers(ids, pairs) -> dict:
+    """Resolve near-dup pairs into a keeper assignment: connected
+    components via union-find, keeper = the smallest id of each
+    component (the reduce step that turns pair lists from minhash /
+    simhash / cosine near-dup into a deduplicated keep-list)."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {i: find(int(i)) for i in parent}
+
+
 def simhash_neardup_pairs(ds, max_hamming: int = 3):
     """SimHash near-dup: 4 x 16-bit block LSH then Hamming verify.
     Two sketches within Hamming<=3 share at least one of 4 blocks

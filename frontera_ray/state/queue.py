@@ -258,7 +258,8 @@ class QueueShard:
         return out
 
     def pop(self, max_n: int, overused_keys=(), now: int | None = None,
-            max_per_host: int | None = None) -> list[QueueEntry]:
+            max_per_host: int | None = None,
+            min_hosts: int | None = None) -> list[QueueEntry]:
         """get_next_requests with OverusedBuffer parking.
 
         1. serve parked requests for keys no longer overused (reference
@@ -266,6 +267,10 @@ class QueueShard:
         2. pull ``max_n - served`` from the heap; entries whose host is
            overused are parked (the call may return fewer than max_n —
            parity with the reference buffer).
+        3. with ``min_hosts``: broad-crawl iterative deepening — keep
+           scanning the heap for entries from NEW hosts until the batch
+           spans at least min_hosts distinct hosts (or the heap runs
+           dry); skipped same-host entries are re-pushed.
         """
         self._check_and_purge_keys()
         overused = set(overused_keys)
@@ -277,6 +282,24 @@ class QueueShard:
         for r in requests:
             host_counts[r.host] += 1
         pulled = self._heap_pop(max_n - len(requests), now, max_per_host, host_counts)
+        if min_hosts is not None:
+            hosts_seen = set(host_counts) | {e.host for e in pulled}
+            if len(hosts_seen) < min_hosts:
+                setaside = []
+                while len(hosts_seen) < min_hosts and self._heap:
+                    item = heapq.heappop(self._heap)
+                    e: QueueEntry = item[-1]
+                    if now is not None and e.crawl_at > now:
+                        setaside.append(item)
+                        continue
+                    if e.host in hosts_seen:
+                        setaside.append(item)
+                        continue
+                    hosts_seen.add(e.host)
+                    host_counts[e.host] += 1
+                    pulled.append(e)
+                for item in setaside:
+                    heapq.heappush(self._heap, item)
         for e in pulled:
             if e.host in overused:
                 self._pending[e.host].append(e)
@@ -320,8 +343,9 @@ class QueueShard:
         return n
 
     def pop_table(self, max_n: int, overused_keys=(), now: int | None = None,
-                  max_per_host: int | None = None) -> pa.Table:
-        entries = self.pop(max_n, overused_keys, now, max_per_host)
+                  max_per_host: int | None = None,
+                  min_hosts: int | None = None) -> pa.Table:
+        entries = self.pop(max_n, overused_keys, now, max_per_host, min_hosts)
         if not entries:
             return ENTRY_SCHEMA.empty_table()
         cols = list(zip(*entries))

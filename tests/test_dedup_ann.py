@@ -135,3 +135,26 @@ def test_cosine_neardup_pairs(ray_session):
                                         pa.list_(pa.float32()))})
     got = cosine_neardup_pairs(ray.data.from_arrow(t), threshold=0.95)
     assert got.to_pylist() == [{"a": 0, "b": 1, "sim": 1.0}]
+
+
+def test_dedup_keepers_union_find():
+    from frontera_ray.stages.dedup import dedup_keepers
+
+    keepers = dedup_keepers([1, 2, 3, 4, 5, 6],
+                            [(2, 1), (2, 3), (5, 6)])
+    assert keepers == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    # full pipeline: minhash pairs -> keep-list
+    import ray
+    import pyarrow as pa
+    from frontera_ray.stages.dedup import minhash_neardup_pairs
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    pairs_t = minhash_neardup_pairs(ray.data.from_arrow(t), threshold=0.5,
+                                    text_lookup=texts)
+    pairs = list(zip(pairs_t["a"].to_pylist(), pairs_t["b"].to_pylist()))
+    keepers = dedup_keepers(list(texts), pairs)
+    # docs 0,1 are exact dups -> same keeper (0); unrelated docs keep themselves
+    assert keepers[1] == keepers[0] == 0
+    assert keepers[3] == 3 and keepers[5] == 5

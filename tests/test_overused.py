@@ -95,3 +95,28 @@ def test_crawl_at_visibility():
     assert [e.url for e in got] == ["http://a.com/2"]
     got = q.pop(10, now=150)
     assert [e.url for e in got] == ["http://a.com/1"]
+
+
+def test_min_hosts_iterative_deepening():
+    """Broad-crawl shaping: the batch must span min_hosts distinct hosts
+    even when one host dominates the score order (BC_MIN_HOSTS
+    semantics)."""
+    q = QueueShard(profile="max_score")
+    entries = [QueueEntry(f"http://big.com/{i}", i, "big.com", 0.9, 0, i)
+               for i in range(20)]
+    entries += [QueueEntry("http://s1.com/1", 100, "s1.com", 0.1, 0, 100),
+                QueueEntry("http://s2.com/1", 101, "s2.com", 0.1, 0, 101)]
+    q.schedule(entries)
+    got = q.pop(5, min_hosts=3)
+    hosts = {e.host for e in got}
+    assert hosts == {"big.com", "s1.com", "s2.com"}
+    assert len(got) == 7  # 5 score-ordered + 2 deepening picks
+    assert q.count() == 15  # everything else re-pushed
+
+
+def test_min_hosts_no_op_when_diverse():
+    q = QueueShard(profile="fifo")
+    q.schedule([QueueEntry(f"http://h{i}.com/1", i, f"h{i}.com", 1.0, 0, i)
+                for i in range(4)])
+    got = q.pop(4, min_hosts=3)
+    assert len(got) == 4
