@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "revenue_nation", "token_df",
 ]
 
-CRAWL_HOSTS = 2048
+CRAWL_HOSTS = 8192
 CRAWL_MAX_PAGES = 400_000
 
 
@@ -62,7 +62,7 @@ def run_crawl_bench(num_cpus: int, out_dir: str) -> dict:
     )
     crawler.add_seeds(web.seeds())
     t0 = time.perf_counter()
-    depth = int(os.environ.get("GRAFT_PIPELINE_DEPTH", "2"))
+    depth = int(os.environ.get("GRAFT_PIPELINE_DEPTH", "3"))
     summary = crawler.run(max_pages=CRAWL_MAX_PAGES, pipeline_depth=depth)
     sec = time.perf_counter() - t0
     pages = summary["pages"]
@@ -99,7 +99,7 @@ def main() -> None:
         # only caps logical worker slots, letting raylet/driver threads
         # spill onto the rest of the machine and inflating small-N
         # throughput. Pinning emulates a real N-core cluster honestly.
-        n = int(os.environ.get("GRAFT_SCALE_N", "4"))
+        n = int(os.environ.get("GRAFT_SCALE_N", "2"))
         repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
         results = {}
         for cpus in (n, 4 * n):

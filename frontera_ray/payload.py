@@ -51,7 +51,7 @@ def png_encode(pixels: np.ndarray) -> bytes:
     raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 (None) per scanline
     raw[:, 1:] = pixels.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 1)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -86,7 +86,7 @@ def png_decode(data: bytes) -> np.ndarray:
 def qimg_encode(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
     q = (pixels >> 3).astype(np.uint8)  # 5 bits/channel
-    return b"QIMG" + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+    return b"QIMG" + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 1)
 
 
 def qimg_decode(data: bytes) -> np.ndarray:
@@ -190,22 +190,75 @@ def fetch_simulated(url: str) -> dict:
     }
 
 
+def _gen_pixels_group(seeds: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized pixel generation for a group of same-size images —
+    bit-identical to per-URL gen_pixels (same integer formulas applied
+    with a leading group axis)."""
+    g = len(seeds)
+    yy = np.arange(h, dtype=np.uint32)[None, :, None, None]
+    xx = np.arange(w, dtype=np.uint32)[None, None, :, None]
+    cc = np.arange(3, dtype=np.uint32)[None, None, None, :]
+    s5 = (1 + seeds % 5).astype(np.uint32)[:, None, None, None]
+    s7 = (1 + (seeds >> 4) % 7).astype(np.uint32)[:, None, None, None]
+    s32 = (seeds & 0xFFFFFFFF).astype(np.uint32)[:, None, None, None]
+    s256 = (seeds % 256).astype(np.uint32)[:, None, None, None]
+    n = (xx * np.uint32(2654435761) ^ yy * np.uint32(40503)
+         ^ cc * np.uint32(69069)) + s32
+    n ^= n >> np.uint32(13)
+    n &= np.uint32(63)
+    n += xx * s5 + yy * s7     # base gradient, fused in place
+    n += s256
+    n %= np.uint32(256)
+    return n.astype(np.uint8)
+
+
+def _phash_group(pix: np.ndarray) -> np.ndarray:
+    """Vectorized 8x8 average-hash for a (G, h, w, 3) stack —
+    bit-identical to per-image phash64."""
+    g, h, w, _ = pix.shape
+    gray = pix.astype(np.float64).sum(axis=3)
+    ii = np.zeros((g, h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=1), axis=2, out=ii[:, 1:, 1:])
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    corners = ii[:, ys[:, None], xs[None, :]]  # (G, 9, 9)
+    sums = (corners[:, 1:, 1:] - corners[:, :-1, 1:]
+            - corners[:, 1:, :-1] + corners[:, :-1, :-1])
+    areas = np.outer(np.diff(ys), np.diff(xs))[None, :, :]
+    cells = sums / areas
+    bits = cells.reshape(g, 64) > cells.mean(axis=(1, 2))[:, None]
+    vals = (bits * _PHASH_BITS[None, :]).sum(axis=1, dtype=np.uint64)
+    return vals.astype(np.int64)  # two's-complement reinterpret == signed
+
+
 def fetch_batch_columns(urls) -> dict:
-    """Columnar batch fetch: one pass, plain Python lists per column
-    (cheaper than a dict per row in the hot crawl stage)."""
+    """Columnar batch fetch. Pixel generation and phashing run
+    vectorized per size-class group (one numpy dispatch for the whole
+    group instead of per URL); encoding stays per image (zlib).
+    Output is bit-identical to fetch_simulated per URL."""
     n = len(urls)
+    seeds = np.fromiter((_seed_of(u) for u in urls), dtype=np.uint64, count=n)
+    size_idx = (seeds % np.uint64(len(_SIZES))).astype(np.int64)
+    is_png = ((seeds >> np.uint64(3)) % np.uint64(2)) == 0
+
     data = [None] * n
     ws = np.empty(n, dtype=np.int32)
     hs = np.empty(n, dtype=np.int32)
     fmts = [None] * n
-    captions = [None] * n
     phashes = np.empty(n, dtype=np.int64)
-    for i, url in enumerate(urls):
-        pix, fmt = gen_pixels(url)
-        data[i] = png_encode(pix) if fmt == "png" else qimg_encode(pix)
-        hs[i], ws[i] = pix.shape[0], pix.shape[1]
-        fmts[i] = fmt
-        captions[i] = caption_of(url)
-        phashes[i] = phash64(pix)
+    for si in np.unique(size_idx):
+        idx = np.nonzero(size_idx == si)[0]
+        w, h = _SIZES[si]
+        pix = _gen_pixels_group(seeds[idx], w, h)
+        phashes[idx] = _phash_group(pix)
+        ws[idx], hs[idx] = w, h
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                fmts[i] = "png"
+                data[i] = png_encode(pix[j])
+            else:
+                fmts[i] = "qimg"
+                data[i] = qimg_encode(pix[j])
+    captions = [caption_of(u) for u in urls]
     return {"image_id": list(urls), "bytes": data, "w": ws, "h": hs,
             "fmt": fmts, "caption": captions, "phash": phashes}
