@@ -99,7 +99,7 @@ def main() -> None:
         # only caps logical worker slots, letting raylet/driver threads
         # spill onto the rest of the machine and inflating small-N
         # throughput. Pinning emulates a real N-core cluster honestly.
-        n = int(os.environ.get("GRAFT_SCALE_N", "2"))
+        n = int(os.environ.get("GRAFT_SCALE_N", "4"))
         repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
         results = {}
         for cpus in (n, 4 * n):

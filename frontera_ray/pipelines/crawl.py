@@ -262,37 +262,45 @@ def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
     fps = batch["fingerprint"].to_numpy()
 
     n_states = len(state_actors)
+    n_queues = len(queue_actors)
     shard_ids = (fps % np.uint64(n_states)).astype(np.int32)
-    keep = np.zeros(len(fps), dtype=bool)
-    futures, masks = [], []
-    for sid in np.unique(shard_ids):
-        m = shard_ids == sid
-        futures.append(state_actors[sid].check_and_mark.remote(fps[m]))
-        masks.append(m)
-    for m, res in zip(masks, ray.get(futures)):
-        keep[np.nonzero(m)[0][res]] = True
-    survivors = batch.take(pa.array(np.nonzero(keep)[0]))
-    if len(survivors) == 0:
-        return pa.table({"candidates": [len(batch)], "scheduled": [0]})
-
-    entry = pa.table(
+    qids_all = (batch["host_crc32"].to_numpy().astype(np.int64)
+                % n_queues).astype(np.int32)
+    entry_all = pa.table(
         {
-            "url": survivors["url"],
-            "fingerprint": survivors["fingerprint"],
-            "host": survivors["host"],
-            "score": survivors["score"],
-            "depth": pc.add(survivors["parent_depth"], 1).cast(pa.int32()),
-            "seq": survivors["seq"],
-            "crawl_at": pa.array(np.zeros(len(survivors), dtype=np.int64), pa.int64()),
+            "url": batch["url"],
+            "fingerprint": batch["fingerprint"],
+            "host": batch["host"],
+            "score": batch["score"],
+            "depth": pc.add(batch["parent_depth"], 1).cast(pa.int32()),
+            "seq": batch["seq"],
+            "crawl_at": pa.array(np.zeros(len(batch), dtype=np.int64), pa.int64()),
         }
     )
-    n_queues = len(queue_actors)
-    qids = (survivors["host_crc32"].to_numpy().astype(np.int64) % n_queues).astype(np.int32)
-    futures = []
-    for qid in np.unique(qids):
-        m = np.nonzero(qids == qid)[0]
-        futures.append(queue_actors[qid].schedule_table.remote(entry.take(pa.array(m))))
-    scheduled = int(sum(ray.get(futures)))
+    # Overlap the two RPC hops: as each state shard's dedup verdict
+    # lands (ray.wait), immediately ship that shard's survivors to their
+    # queue shards — shard A's schedule overlaps shard B's dedup.
+    pending = {}
+    for sid in np.unique(shard_ids):
+        m = np.nonzero(shard_ids == sid)[0]
+        pending[state_actors[sid].check_and_mark.remote(fps[m])] = m
+    sched_futures = []
+    while pending:
+        done, _ = ray.wait(list(pending), num_returns=1)
+        ref = done[0]
+        m = pending.pop(ref)
+        res = ray.get(ref)
+        rows = m[res]
+        if not len(rows):
+            continue
+        sub_qids = qids_all[rows]
+        for qid in np.unique(sub_qids):
+            rr = rows[sub_qids == qid]
+            sched_futures.append(
+                queue_actors[qid].schedule_table.remote(
+                    entry_all.take(pa.array(rr)))
+            )
+    scheduled = int(sum(ray.get(sched_futures)))
     return pa.table({"candidates": [len(batch)], "scheduled": [scheduled]})
 
 
