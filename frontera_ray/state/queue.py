@@ -200,6 +200,47 @@ class QueueShard:
         self.stats["scheduled"] += n
         return n
 
+    def _schedule_gated(self, rows) -> int:
+        """Batch path for robots/domain-cap gating: group rows by host so
+        per-host metadata (robots parser, counters) is touched once per
+        host instead of once per row; per-row work is only the robots
+        can_fetch call for hosts that actually have a parser."""
+        by_host: dict[str, list] = defaultdict(list)
+        for r in rows:
+            by_host[r[2]].append(r)
+        heap, push = self._heap, heapq.heappush
+        n = 0
+        for host, group in by_host.items():
+            meta = self._domain_meta(host)
+            if meta.banned:
+                self.stats["dropped_banned"] += len(group)
+                continue
+            if self._robots_enabled and meta.robots is not None:
+                kept = []
+                for r in group:
+                    if meta.allowed(r[0]):
+                        kept.append(r)
+                    else:
+                        self.stats["dropped_robots"] += 1
+                group = kept
+            if self._max_pages_per_domain is not None:
+                room = self._max_pages_per_domain - meta.queued_pages
+                if room <= 0:
+                    self.stats["dropped_domain_cap"] += len(group)
+                    continue
+                if len(group) > room:
+                    self.stats["dropped_domain_cap"] += len(group) - room
+                    group = group[:room]
+                meta.queued_pages += len(group)
+            elif group:
+                meta.queued_pages += len(group)
+            for r in group:
+                e = tuple.__new__(QueueEntry, r)
+                push(heap, (*self._key(e), e))
+                n += 1
+        self.stats["scheduled"] += n
+        return n
+
     def count(self) -> int:
         return len(self._heap) + sum(len(d) for d in self._pending.values())
 
@@ -319,7 +360,7 @@ class QueueShard:
         cols = [table[f].to_pylist() for f in ENTRY_FIELDS]
         rows = zip(*cols)
         if self._robots_enabled or self._max_pages_per_domain:
-            return self.schedule(tuple.__new__(QueueEntry, r) for r in rows)
+            return self._schedule_gated(list(rows))
         profile = self.profile
         heap, push = self._heap, heapq.heappush
         n = 0
