@@ -654,7 +654,7 @@ def q_image_stats(sf_dir: str):
 
     ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
     return ds.map_batches(fetch, batch_format="pyarrow").map_batches(
-        DecodeStatsStage, batch_format="pyarrow", concurrency=2)
+        DecodeStatsStage, batch_format="pyarrow", concurrency=(1, 2))
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {

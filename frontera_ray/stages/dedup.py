@@ -143,7 +143,7 @@ def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
     buckets = ds.map_batches(
         MinHashStage, fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                                  shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=(1, 2),
     )
     # candidate generation: group the small (doc_id, band, band_hash)
     # table by bucket. At terabyte scale this becomes a groupby shuffle
