@@ -325,6 +325,49 @@ def q_token_df(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_region_suppliers(sf_dir: str):
+    """Chained dimension joins (supplier -> nation -> region, both sides
+    broadcast) + rollup: supplier count and balance per region."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import broadcast_join, partial_groupby_agg
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    ds = _read(sf_dir, "supplier").select_columns(["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["s_suppkey", "n_nationkey", "s_acctbal"])
+
+    j1 = broadcast_join(ds.map_batches(prep, batch_format="pyarrow"),
+                        nation, key="n_nationkey")
+
+    def prep2(batch: pa.Table) -> pa.Table:
+        return pa.table({"r_regionkey": batch["n_regionkey"],
+                         "s_acctbal": batch["s_acctbal"]})
+
+    j2 = broadcast_join(j1.map_batches(prep2, batch_format="pyarrow"),
+                        region, key="r_regionkey")
+    out = partial_groupby_agg(j2, "r_name",
+                              {"n_suppliers": ("s_acctbal", "count"),
+                               "ab": ("s_acctbal", "sum")})
+    out["acctbal_cents"] = (out.pop("ab") * 100).round().astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_part_types(sf_dir: str):
+    """Dimension-table aggregate over part: count + integer-exact retail
+    price cents per (p_brand, p_type)."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ds = _read(sf_dir, "part").select_columns(["p_brand", "p_type", "p_retailprice"])
+    out = partial_groupby_agg(ds, ["p_brand", "p_type"],
+                              {"n_parts": ("p_retailprice", "count"),
+                               "rp": ("p_retailprice", "sum")})
+    out["retail_cents"] = (out.pop("rp") * 100).round().astype("int64")
+    return out.sort_values(["p_brand", "p_type"]).reset_index(drop=True)
+
+
 def q_window_counts(sf_dir: str):
     """Tumbling-window aggregate (1h windows) per event type — the
     streaming-window operator over the events table."""
@@ -675,6 +718,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,
     "revenue_nation": q_revenue_nation,
+    "region_suppliers": q_region_suppliers,
+    "part_types": q_part_types,
     "token_df": q_token_df,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
@@ -828,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1""",
+        "region_suppliers": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal) * 100)::BIGINT AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1 ORDER BY 1""",
+        "part_types": """
+            SELECT p_brand, p_type, count(*) AS n_parts,
+                   round(sum(p_retailprice) * 100)::BIGINT AS retail_cents
+            FROM part GROUP BY 1, 2 ORDER BY 1, 2""",
         "token_df": r"""
             SELECT token, df FROM (
               SELECT token, count(DISTINCT doc_id)::BIGINT AS df
