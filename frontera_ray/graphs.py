@@ -173,8 +173,25 @@ class SyntheticWeb:
         i = int(host[5:10])
         return _HOST_CLASSES[self._cls[i]]
 
+    # every 7th host publishes its first child link through a redirecting
+    # alias URL (`...?r=1` -> 301 -> the real page), exercising the
+    # canonical-solver path in live crawls
+    REDIRECT_HOST_MOD = 7
+
+    def _is_redirect_host(self, host: str) -> bool:
+        try:
+            return int(host[5:10]) % self.REDIRECT_HOST_MOD == 3
+        except (ValueError, IndexError):
+            return False
+
+    def resolve(self, url: str) -> str:
+        """Follow the (single-hop) synthetic redirect; identity for
+        normal URLs. Pure function — safe in any task."""
+        return url[:-4] if url.endswith("?r=1") else url
+
     def links_of(self, url: str):
-        # url = http://host-XXXXX.test/<digits>
+        # url = http://host-XXXXX.test/<digits>[?r=1]
+        url = self.resolve(url)
         try:
             rest = url.split("//", 1)[1]
             host, path = rest.split("/", 1)
@@ -183,8 +200,10 @@ class SyntheticWeb:
         max_depth, branching = self.shape_of(host)
         if len(path) + 1 >= max_depth:
             return []
-        base = url
-        return [base + str(k) for k in range(1, branching + 1)]
+        out = [url + str(k) for k in range(1, branching + 1)]
+        if self._is_redirect_host(host):
+            out[0] = out[0] + "?r=1"  # first child advertised via alias
+        return out
 
     def robots_body(self, host: str) -> str | None:
         """Deterministic synthetic robots.txt: every 5th host disallows

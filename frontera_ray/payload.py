@@ -168,6 +168,14 @@ def gen_pixels(url: str) -> tuple[np.ndarray, str]:
     return pix.astype(np.uint8), fmt
 
 
+def resolve_alias(url: str) -> str:
+    """Synthetic single-hop redirect rule (mirrors SyntheticWeb.resolve):
+    '...?r=1' aliases 301 to the bare URL. Pure string surgery so
+    validators can re-derive a record's source content from its
+    canonical key alone."""
+    return url[:-4] if url.endswith("?r=1") else url
+
+
 def caption_of(url: str) -> str:
     tag = hashlib.sha1(url.encode("utf8")).hexdigest()[:12]
     return f"synthetic caption {tag} for {url}"

@@ -94,6 +94,9 @@ class QueueActor:
         return self.shard.pop_table(max_n, overused_keys, now, max_per_host,
                                     min_hosts)
 
+    def update_scores(self, fps, scores) -> int:
+        return self.shard.update_scores(fps, scores)
+
     def count(self) -> int:
         return self.shard.count()
 
@@ -163,7 +166,14 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
     urls = batch["url"].to_pylist()
     if not urls:
         return LINKS_SCHEMA.empty_table()
-    cols = fetch_batch_columns(urls)
+    # Redirect resolution (canonical solver, Basic profile): fetch the
+    # redirect target's content but keep the REQUESTED URL as the
+    # record key — the first URL of the chain stays canonical, so the
+    # queued fingerprint is the one marked crawled and requests never
+    # leak (contrib/canonicalsolvers/basic.py semantics).
+    finals = [web.resolve(u) for u in urls] if hasattr(web, "resolve") else urls
+    cols = fetch_batch_columns(finals)
+    cols["image_id"] = list(urls)  # canonical = requested (chain[0])
     pages = pa.table(
         {
             "image_id": pa.array(cols["image_id"], pa.string()),

@@ -129,6 +129,13 @@ class LocalFrontier:
         depths = np.full(len(links), parent.depth + 1, dtype=np.int64)
         return self._schedule(links, scores, depths)
 
+    def update_score(self, entry: QueueEntry, score: float) -> None:
+        """schedule(..., dont_queue=True) semantics: re-prioritize an
+        already-queued request without scheduling a new one."""
+        n_q = len(self.queue_shards)
+        sid = (host_shard_batch([entry.host], n_q)[0] if n_q > 1 else 0)
+        self.queue_shards[sid].update_scores([entry.fingerprint], [score])
+
     def schedule_revisit(self, entry: QueueEntry, crawl_at: int,
                          score: float | None = None) -> None:
         """Revisit support (reference RevisitingBackend semantics): put a

@@ -100,22 +100,23 @@ class ValidateStage:
         self.min_psnr = min_psnr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..payload import caption_of
+        from ..payload import caption_of, resolve_alias
 
         ids, pix_ok, cap_ok, psnrs = [], [], [], []
         for row in batch.to_pylist():
             url = row["image_id"]
+            src = resolve_alias(url)  # redirect records carry target content
             ids.append(url)
             try:
                 got = decode_image(row["bytes"], row["fmt"])
-                ref, _ = gen_pixels(url)
+                ref, _ = gen_pixels(src)
                 p = psnr(ref, got)
                 psnrs.append(round(p, 2) if np.isfinite(p) else 999.0)
                 pix_ok.append(p >= self.min_psnr)
             except NotImplementedError:
                 psnrs.append(-1.0)
                 pix_ok.append(False)
-            cap_ok.append(row["caption"] == caption_of(url))
+            cap_ok.append(row["caption"] == caption_of(src))
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),

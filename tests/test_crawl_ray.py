@@ -92,3 +92,41 @@ def test_max_per_host_round_cap(ray_session, tmp_path):
     c.run_round()
     m = c.run_round()  # second round: frontier has many links per host
     assert 0 < m["popped"] <= 7 * 2  # <= max_per_host * num hosts
+
+
+def test_redirect_canonical_crawl(ray_session, tmp_path):
+    """Canonical-solver integration in the live crawl: alias URLs
+    (`...?r=1` -> 301 -> target) are crawled under their canonical
+    (requested) key carrying the target's content; the bare target is
+    never crawled separately; per-row validation still passes."""
+    from frontera_ray.payload import decode_image, gen_pixels, resolve_alias
+    from frontera_ray.pipelines.crawl import RayCrawler
+    from frontera_ray.stages.images import ValidateStage
+
+    web = SyntheticWeb(21, seed=4, max_class=3)  # includes i%7==3 hosts
+    redirect_hosts = [web.host(i) for i in range(21) if i % 7 == 3]
+    assert redirect_hosts
+    c = _crawler(ray_session, web, tmp_path / "out")
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=100)
+    urls = c.crawled_urls()
+    aliases = [u for u in urls if u.endswith("?r=1")]
+    assert aliases  # redirecting links were followed
+    crawled = set(urls)
+    for a in aliases:
+        assert resolve_alias(a) not in crawled  # no duplicate via bare URL
+    # record content equals the redirect target's content
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    frags = sorted((tmp_path / "out").glob("round=*/*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in frags])
+    rows = [r for r in t.to_pylist() if r["image_id"].endswith("?r=1")][:5]
+    assert rows
+    for row in rows:
+        ref, _ = gen_pixels(resolve_alias(row["image_id"]))
+        got = decode_image(row["bytes"], row["fmt"])
+        assert (ref.shape == got.shape)
+    out = ValidateStage()(pa.Table.from_pylist(rows))
+    assert all(out["pixels_ok"].to_pylist())
+    assert all(out["caption_ok"].to_pylist())

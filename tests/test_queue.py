@@ -89,3 +89,50 @@ def test_domain_capped_sets():
     assert m.add_subdomain("s0.a.com")  # existing member still accepted
     assert not m.add_redirect("x.com") if len(m.redirect_to) >= 100 else m.add_redirect("x.com")
     assert "x.com" in m.redirect_to
+
+
+def test_update_scores_reprioritizes():
+    """Scoring-log semantics (dont_queue=True): a queued entry's
+    priority changes without re-scheduling; lazy re-keying at pop."""
+    q = QueueShard(profile="max_score")
+    q.schedule([E("u1", 1, "a", 0.3, 0), E("u2", 2, "a", 0.2, 1),
+                E("u3", 3, "a", 0.1, 2)])
+    q.update_scores([3], [0.9])  # boost the lowest
+    got = q.pop(3)
+    assert [e.url for e in got] == ["u3", "u1", "u2"]
+    assert got[0].score == 0.9
+    assert q.count() == 0
+    # downgrade path
+    q2 = QueueShard(profile="max_score")
+    q2.schedule([E("a1", 1, "a", 0.9, 0), E("a2", 2, "a", 0.5, 1)])
+    q2.update_scores([1], [0.1])
+    assert [e.url for e in q2.pop(2)] == ["a2", "a1"]
+
+
+def test_update_score_local_frontier():
+    from frontera_ray.pipelines.local import LocalFrontier
+
+    f = LocalFrontier(profile="max_score")
+    f.add_seeds(["http://a.com/1", "http://a.com/2"])
+    entries = {e.url: e for e in []}
+    # peek entries by popping and re-scheduling via revisit? simpler:
+    # grab from the shard heap directly
+    heap_entries = [item[-1] for item in f.queue_shards[0]._heap]
+    target = [e for e in heap_entries if e.url.endswith("/2")][0]
+    f.update_score(target, 9.0)
+    got = f.get_next_requests(2)
+    assert [e.url for e in got] == ["http://a.com/2", "http://a.com/1"]
+
+
+def test_update_scores_checkpoint_no_dup(tmp_path):
+    """A pending score override must not duplicate entries through
+    checkpoint/restore (stale heap copies are filtered)."""
+    q = QueueShard(shard_id=2, profile="max_score")
+    q.schedule([E("u1", 1, "a", 0.3, 0), E("u2", 2, "a", 0.2, 1)])
+    q.update_scores([1], [0.9])
+    q.checkpoint(str(tmp_path))
+    r = QueueShard.restore(str(tmp_path), 2, profile="max_score")
+    got = r.pop(10)
+    assert [e.url for e in got] == ["u1", "u2"]
+    assert got[0].score == 0.9
+    assert r.count() == 0
