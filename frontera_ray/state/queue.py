@@ -144,8 +144,6 @@ class QueueShard:
         self._robots_provider = robots_provider
         self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
         self._rng = random.Random(purge_seed)
-        self._score_overrides: dict[int, float] = {}
-        self._stale_entries = 0  # superseded heap copies awaiting lazy discard
         self.stats = defaultdict(int)
 
     # -- keys ----------------------------------------------------------------
@@ -246,30 +244,30 @@ class QueueShard:
     def update_scores(self, fps, scores) -> int:
         """The reference's scoring-log / ``schedule(..., dont_queue=True)``
         path: change the priority of already-QUEUED requests without
-        re-scheduling them. Lazy-deletion pattern: a re-keyed duplicate
-        is pushed immediately (one O(heap) scan per update batch, like
-        the reference's batched scoring-log consumption) and the stale
-        copy is discarded when it surfaces at pop time. Entries parked
-        in the overused buffer are served FIFO and skip overrides."""
+        re-scheduling them. One O(heap) rebuild per update batch (the
+        reference consumes its scoring log in batches too); no ghost
+        entries, so pops/checkpoints need no stale filtering. Entries
+        parked in the overused buffer are served FIFO and skip updates."""
         wanted = {int(fp): float(s) for fp, s in zip(fps, scores)}
+        new_heap = []
         n = 0
-        for item in list(self._heap):
+        for item in self._heap:
             e: QueueEntry = item[-1]
             new_s = wanted.get(e.fingerprint)
             if new_s is None or e.score == new_s:
+                new_heap.append(item)
                 continue
             e2 = QueueEntry(e.url, e.fingerprint, e.host, new_s,
                             e.depth, e.seq, e.crawl_at)
-            heapq.heappush(self._heap, (*self._key(e2), e2))
-            self._score_overrides[e.fingerprint] = new_s
-            self._stale_entries += 1
+            new_heap.append((*self._key(e2), e2))
             n += 1
+        heapq.heapify(new_heap)
+        self._heap = new_heap
         self.stats["score_updates"] += n
         return n
 
     def count(self) -> int:
-        return (len(self._heap) - self._stale_entries
-                + sum(len(d) for d in self._pending.values()))
+        return len(self._heap) + sum(len(d) for d in self._pending.values())
 
     # -- OverusedBuffer semantics -------------------------------------------
     def _serve_pending(self, max_n: int, overused: set) -> list[QueueEntry]:
@@ -310,17 +308,9 @@ class QueueShard:
         """Pop up to n visible entries honoring a per-host cap; capped or
         not-yet-visible entries are set aside and re-pushed."""
         out, setaside = [], []
-        overrides = self._score_overrides
         while len(out) < n and self._heap:
             item = heapq.heappop(self._heap)
             e: QueueEntry = item[-1]
-            if overrides:
-                ov = overrides.get(e.fingerprint)
-                if ov is not None:
-                    if e.score != ov:
-                        self._stale_entries -= 1
-                        continue  # stale copy; its re-keyed duplicate lives on
-                    overrides.pop(e.fingerprint, None)
             if now is not None and e.crawl_at > now:
                 setaside.append(item)
                 continue
@@ -434,10 +424,7 @@ class QueueShard:
     def checkpoint(self, directory: str) -> None:
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        ov = self._score_overrides
-        entries = [item[-1] for item in self._heap
-                   if not (item[-1].fingerprint in ov
-                           and item[-1].score != ov[item[-1].fingerprint])]
+        entries = [item[-1] for item in self._heap]
         for dq in self._pending.values():
             entries.extend(dq)
         if entries:
