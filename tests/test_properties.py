@@ -94,3 +94,32 @@ def test_minhash_unbiased(words_a, words_b):
     true_j = jaccard(sa, sb)
     est = float((minhash_signature(sa, a, b) == minhash_signature(sb, a, b)).mean())
     assert abs(est - true_j) <= 0.25  # 256 perms: generous tolerance
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.floats(min_value=0, max_value=1, allow_nan=False),
+                          st.integers(0, 10**4)),
+                min_size=2, max_size=40, unique_by=lambda t: t[1]),
+       st.data())
+def test_update_scores_no_ghosts(items, data):
+    """After arbitrary score updates, every queued entry pops exactly
+    once, in the updated priority order."""
+    q = QueueShard(profile="max_score")
+    entries = [QueueEntry(f"u{i}", i + 1, "h", s, 0, seq)
+               for i, (s, seq) in enumerate(items)]
+    q.schedule(entries)
+    n_upd = data.draw(st.integers(0, len(items)))
+    upd_idx = data.draw(st.lists(st.integers(0, len(items) - 1),
+                                 min_size=n_upd, max_size=n_upd, unique=True))
+    new_scores = {i + 1: data.draw(st.floats(min_value=0, max_value=1,
+                                             allow_nan=False))
+                  for i in upd_idx}
+    q.update_scores(list(new_scores), list(new_scores.values()))
+    popped = q.pop(len(items) * 2)
+    assert len(popped) == len(items)            # exactly once each
+    assert len({e.fingerprint for e in popped}) == len(items)
+    original = {e.fingerprint: e.score for e in entries}
+    keys = [(-new_scores.get(e.fingerprint, original[e.fingerprint]), e.seq)
+            for e in popped]
+    assert keys == sorted(keys)
+    assert q.count() == 0
