@@ -297,8 +297,8 @@ def q_revenue_nation(sf_dir: str):
     j2 = broadcast_join(j1.map_batches(prep2, batch_format="pyarrow"),
                         cust, key="c_custkey")
     out = partial_groupby_agg(j2, "c_nationkey",
-                              {"revenue_c4": ("revenue_c4", "sum"),
-                               "n_items": ("revenue_c4", "count")})
+                              {"n_items": ("revenue_c4", "count"),
+                               "revenue_c4": ("revenue_c4", "sum")})
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
@@ -775,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             GROUP BY partition_id ORDER BY partition_id""",
         "score_depth": """
-            SELECT doc_id, depth,
+            SELECT doc_id, depth::BIGINT AS depth,
                    round(1.0 - depth/(depth+1.0), 6) AS score_bfs,
                    round(depth/(depth+1.0), 6) AS score_dfs,
                    round(1.0/(depth+1.0), 6) AS score_dfs_test,
@@ -868,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey,
                    count(*) AS n_items,
                    sum(round(l_extendedprice * 100)::BIGINT
-                       * round((1.0 - l_discount) * 100)::BIGINT) AS revenue_c4
+                       * round((1.0 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_c4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
