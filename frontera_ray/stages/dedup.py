@@ -13,8 +13,13 @@ the crawl engine's fingerprint dedup). Near-dup families:
 
 At 100 TB the only all-to-all exchanges are the bucket groupbys, whose
 keys (band hashes / simhash blocks) are uniformly distributed by
-construction — no skew. Verification joins fetch only candidate bucket
-members, never the full corpus.
+construction — no skew. Both near-dup pipelines use the same two-pass
+shape: (1) slim sketch -> distributed bucket-count -> broadcast the
+small set of *colliding* bucket keys; (2) filter sketch rows to
+collision buckets (so verify payloads ship only for candidate docs)
+-> groupby(bucket_key).map_groups exact verify inside the bucket.
+Nothing corpus-sized ever lands on the driver; the driver only touches
+the final near-dup pair list (the result) and the collision-key set.
 
 References (public): Broder, "On the resemblance and containment of
 documents" (1997) — minhash; Leskovec/Rajaraman/Ullman, *Mining of
@@ -65,44 +70,78 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 
 class MinHashStage:
-    """map_batches stage: doc -> (doc_id, band, band_hash) rows.
+    """map_batches stage: doc -> (doc_id, bucket_key) rows, one per band
+    (bucket_key = band<<32 | crc32(band signature chunk)).
 
     num_perm=64, bands=16 x rows_per_band=4 targets Jaccard ~0.5+
-    candidates (s-curve threshold ~ (1/16)^(1/4) ≈ 0.5)."""
+    candidates (s-curve threshold ~ (1/16)^(1/4) ≈ 0.5).
+
+    ``carry_shingles`` additionally ships each emitted row with the
+    doc's shingle hash set (list<uint64>) so the downstream bucket
+    groupby can verify exact Jaccard locally — no driver text lookup.
+    ``hot_keys_ref`` (ray.put of an int64 array) filters emitted rows
+    to collision buckets so shingles ship only for candidate docs."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                 text_col: str = "text"):
+                 text_col: str = "text", carry_shingles: bool = False,
+                 hot_keys_ref=None):
         assert num_perm % bands == 0
         self.a, self.b = _perm_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
         self.text_col = text_col
+        self.carry_shingles = carry_shingles
+        self._hot_ref = hot_keys_ref
+        self._hot: np.ndarray | None = None
+
+    def _hot_keys(self) -> np.ndarray | None:
+        if self._hot_ref is None:
+            return None
+        if self._hot is None:
+            import ray
+
+            self._hot = (ray.get(self._hot_ref)
+                         if isinstance(self._hot_ref, ray.ObjectRef)
+                         else np.asarray(self._hot_ref, dtype=np.int64))
+        return self._hot
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, hashes = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = minhash_signature(word_shingles(text, self.k), self.a, self.b)
+        n = len(batch)
+        doc_ids = batch["doc_id"].to_numpy()
+        keys = np.empty(n * self.bands, dtype=np.int64)
+        shingle_sets: list[np.ndarray] = []
+        for i, text in enumerate(batch[self.text_col].to_pylist()):
+            shs = word_shingles(text, self.k)
+            if self.carry_shingles:
+                shingle_sets.append(shs)
+            sig = minhash_signature(shs, self.a, self.b)
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = zlib.crc32(chunk.tobytes())
-                doc_ids.append(doc_id)
-                bands.append(band)
-                hashes.append(h)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(hashes, pa.int64()),
-            }
-        )
+                keys[i * self.bands + band] = (band << 32) | zlib.crc32(chunk.tobytes())
+        rep_ids = np.repeat(doc_ids, self.bands)
+        cols: dict = {"doc_id": pa.array(rep_ids, pa.int64()),
+                      "bucket_key": pa.array(keys, pa.int64())}
+        hot = self._hot_keys()
+        mask = np.isin(keys, hot) if hot is not None else None
+        if self.carry_shingles:
+            # vectorized list<uint64> construction: values + offsets
+            lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+            values = (np.concatenate(shingle_sets) if shingle_sets
+                      else np.zeros(0, dtype=np.uint64))
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            per_doc = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(values, pa.uint64()))
+            cols["shingles"] = per_doc.take(
+                pa.array(np.repeat(np.arange(n), self.bands), pa.int64()))
+        t = pa.table(cols)
+        return t.filter(pa.array(mask)) if mask is not None else t
 
 
 def candidate_pairs_from_buckets(group: pa.Table) -> pa.Table:
-    """map_groups kernel over (band, band_hash) buckets -> unique doc
-    pairs (a < b)."""
+    """map_groups kernel over bucket_key groups -> unique doc pairs
+    (a < b)."""
     ids = sorted(set(group["doc_id"].to_pylist()))
     a_out, b_out = [], []
     for i in range(len(ids)):
@@ -114,6 +153,30 @@ def candidate_pairs_from_buckets(group: pa.Table) -> pa.Table:
     )
 
 
+def _hot_bucket_keys(buckets_ds) -> np.ndarray:
+    """Distributed collision-bucket detection: groupby(bucket_key).count,
+    filter n>1 remotely, and only then collect — the driver sees one
+    int64 per *colliding* bucket (candidate docs), never the corpus.
+
+    Partitioning assumption (documented for 100-TB use): the number of
+    collision buckets is proportional to the number of near-duplicate
+    docs, which is the quantity the pipeline exists to find — if that
+    set itself overwhelms one node, shard this broadcast by key range."""
+    import ray
+
+    counts = buckets_ds.groupby("bucket_key").count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].to_numpy()
+        return batch.select(["bucket_key"]).filter(pa.array(n > 1))
+
+    parts = list(counts.map_batches(hot_only, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return pa.concat_tables(parts)["bucket_key"].to_numpy().astype(np.int64)
+
+
 def jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     if len(sa) == 0 and len(sb) == 0:
         return 1.0
@@ -122,73 +185,143 @@ def jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
-                          text_lookup=None, num_perm: int = 64, bands: int = 16):
-    """Full MinHash-LSH pipeline over a documents Dataset.
+# Verify-stage exchange sizing. Partition/aggregator counts are sized
+# for the 32-CPU single-node test box; on a real cluster raise both
+# (roughly: partitions ~ 2x total cores, aggregators ~ nodes) — each
+# hash-shuffle aggregator is an actor, and oversubscribing them on one
+# node thrashes (measured: 64 aggregators on 32 CPUs stalls for minutes,
+# 8 finishes in ~1 s).
+_NUM_VERIFY_PARTITIONS = 16
+_MAX_SHUFFLE_AGGREGATORS = 8
 
-    Returns a pyarrow Table (a, b, jaccard) with jaccard >= threshold.
-    ``text_lookup``: dict doc_id->text used for the verify stage (small
-    corpora; at scale this becomes a bucket-local join). Built from the
-    dataset when not given."""
-    import ray
 
-    if text_lookup is None:
-        text_lookup = {}
-        for b in ds.select_columns(["doc_id", "text"]).iter_batches(
-            batch_format="pyarrow", batch_size=4096
-        ):
-            text_lookup.update(
-                zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
-            )
-    buckets = ds.map_batches(
-        MinHashStage, fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                                 shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=(1, 2),
-    )
-    # candidate generation: group the small (doc_id, band, band_hash)
-    # table by bucket. At terabyte scale this becomes a groupby shuffle
-    # keyed by (band, band_hash) — uniformly distributed, no skew; here
-    # the bucket table is tiny so a driver-side numpy group is faster
-    # than thousands of map_groups tasks.
-    parts = pa.concat_tables(
-        list(buckets.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    key = (parts["band"].to_numpy().astype(np.int64) << 32) | \
-        (parts["band_hash"].to_numpy().astype(np.int64) & 0xFFFFFFFF)
-    docs = np.asarray(parts["doc_id"].to_pylist(), dtype=np.int64)
+def _enable_hash_shuffle(ds):
+    """Key-based ``repartition(keys=...)`` requires the hash-shuffle
+    strategy (Ray 2.49 defaults to sort shuffle). Each Dataset carries
+    its own DataContext copy, so flipping it on the pipeline's final
+    dataset scopes the override to this execution only."""
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = _MAX_SHUFFLE_AGGREGATORS
+    return ds
+
+
+def _bucket_runs(sorted_keys: np.ndarray):
+    """(start, end) slices of equal-key runs with length > 1."""
+    if len(sorted_keys) == 0:
+        return
+    bounds = np.flatnonzero(np.diff(sorted_keys)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sorted_keys)]))
+    for s, e in zip(starts, ends):
+        if e - s > 1:
+            yield int(s), int(e)
+
+
+def _verify_minhash_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """map_groups kernel over one hash partition of bucket rows: local
+    sort by bucket_key -> per-collision-bucket exact Jaccard from the
+    carried shingle sets. Only collision rows are ever converted to
+    Python objects."""
+    key = group["bucket_key"].to_numpy()
     order = np.argsort(key, kind="stable")
-    key, docs = key[order], docs[order]
-    pairs = set()
-    bounds = list(np.nonzero(np.diff(key))[0] + 1) + [len(key)]
-    start = 0
-    for end in bounds:
-        members = np.unique(docs[start:end])
-        if len(members) > 1:
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    pairs.add((int(members[i]), int(members[j])))
-        start = end
-    out_a, out_b, out_j = [], [], []
-    sh_cache: dict[int, np.ndarray] = {}
+    key = key[order]
+    ids = group["doc_id"].to_numpy()[order]
+    shingles = group["shingles"].combine_chunks().take(pa.array(order))
+    out: set[tuple] = set()
+    for s, e in _bucket_runs(key):
+        run_ids = ids[s:e]
+        shs = shingles.slice(s, e - s).to_pylist()
+        uniq = {}
+        for i, d in enumerate(run_ids):
+            uniq.setdefault(int(d), i)
+        members = sorted(uniq)
+        for i in range(len(members)):
+            si = np.asarray(shs[uniq[members[i]]], dtype=np.uint64)
+            for j in range(i + 1, len(members)):
+                jv = jaccard(si, np.asarray(shs[uniq[members[j]]], dtype=np.uint64))
+                if jv >= threshold:
+                    out.add((members[i], members[j], round(jv, 4)))
+    rows = sorted(out)
+    return pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
+                     "b": pa.array([r[1] for r in rows], pa.int64()),
+                     "jaccard": pa.array([r[2] for r in rows], pa.float64())})
 
-    def sh(d):
-        if d not in sh_cache:
-            sh_cache[d] = word_shingles(text_lookup[d], shingle_k)
-        return sh_cache[d]
 
-    for a, b in sorted(pairs):
-        j = jaccard(sh(a), sh(b))
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 4))
-    return pa.table(
-        {
-            "a": pa.array(out_a, pa.int64()),
-            "b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
+def _dedupe_pair_table(pairs: pa.Table, value_col: str) -> pa.Table:
+    """Final result assembly: drop pairs re-found in multiple buckets,
+    sort by (a, b). Operates on the RESULT (near-dup pairs), which is
+    small by construction — not on the corpus."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    v = pairs[value_col].to_numpy()
+    if len(a) == 0:
+        return pairs
+    order = np.lexsort((b, a))
+    sa, sb = a[order], b[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (np.diff(sa) != 0) | (np.diff(sb) != 0)
+    sel = order[keep]
+    return pa.table({"a": pa.array(a[sel], pa.int64()),
+                     "b": pa.array(b[sel], pa.int64()),
+                     value_col: pa.array(v[sel], pairs[value_col].type)})
+
+
+def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
+                          text_lookup=None, num_perm: int = 64, bands: int = 16,
+                          prefilter: bool = False):
+    """Full MinHash-LSH pipeline over a documents Dataset, fully
+    distributed — returns a pyarrow Table (a, b, jaccard >= threshold).
+
+    Default path (one corpus pass, ONE all-to-all): sketch each doc
+    into (doc_id, bucket_key, shingles) band rows inside map_batches
+    (task-based, callable instance cached per worker), then hash-
+    repartition by bucket_key into a fixed block count — each bucket
+    lands whole in exactly one block, no sort — and verify exact
+    Jaccard inside collision runs with a vectorized whole-block kernel.
+    The driver only ever sees the final pair list (result-sized).
+
+    ``prefilter=True`` adds a slim first pass that detects colliding
+    bucket keys distributedly and broadcasts them (ray.put) so shingles
+    are shipped only for candidate docs — worth it at scale when
+    near-dups are rare and shuffle bytes dominate; the default wins
+    when fixed shuffle/launch costs dominate (benchmark scale).
+    ``text_lookup`` is accepted for backward compatibility and ignored.
+    """
+    import ray
+    from functools import partial as _partial
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    hot_ref = None
+    if prefilter:
+        slim = ds.map_batches(
+            MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+            batch_format="pyarrow",
+        )
+        hot = _hot_bucket_keys(slim)
+        if len(hot) == 0:
+            return empty
+        hot_ref = ray.put(hot)
+    cand = ds.map_batches(
+        MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                     carry_shingles=True, hot_keys_ref=hot_ref),
+        batch_format="pyarrow",
     )
+    # hash-shuffle by bucket_key into a fixed block count: every bucket
+    # lands whole in exactly one block, so the verify kernel sees full
+    # groups per batch (batch_size=None = one batch per block)
+    pairs_ds = _enable_hash_shuffle(cand.repartition(
+        num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
+    ).map_batches(
+        _partial(_verify_minhash_partition, threshold=threshold),
+        batch_format="pyarrow", batch_size=None))
+    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return empty
+    return _dedupe_pair_table(pa.concat_tables(parts), "jaccard")
 
 
 def brute_force_jaccard_pairs(texts: dict, threshold: float, shingle_k: int = 3):
@@ -229,41 +362,85 @@ def dedup_keepers(ids, pairs) -> dict:
     return {i: find(int(i)) for i in parent}
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3):
-    """SimHash near-dup: 4 x 16-bit block LSH then Hamming verify.
-    Two sketches within Hamming<=3 share at least one of 4 blocks
-    (pigeonhole), so bucket recall is exact for max_hamming<=3."""
-    from .text import hamming64, simhash_table
+def _simhash_block_rows(batch: pa.Table, blocks: int) -> pa.Table:
+    """(doc_id, simhash) -> one row per bit-block: (doc_id, simhash,
+    bucket_key) where bucket_key = blk*2^48 + block code. 64 bits are
+    split into ``blocks`` near-equal spans. Fully vectorized."""
+    hu = batch["simhash"].to_numpy().astype(np.uint64)
+    doc_ids = batch["doc_id"].to_numpy()
+    base, rem = divmod(64, blocks)
+    sizes = np.array([base + (1 if i < rem else 0) for i in range(blocks)])
+    offs = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    tabs = []
+    for blk in range(blocks):
+        code = (hu >> np.uint64(offs[blk])) & np.uint64((1 << int(sizes[blk])) - 1)
+        key = np.int64(blk) * np.int64(1 << 48) + code.astype(np.int64)
+        tabs.append(pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": batch["simhash"],
+            "bucket_key": pa.array(key, pa.int64()),
+        }))
+    return pa.concat_tables(tabs)
 
-    sh = ds.map_batches(simhash_table, batch_format="pyarrow")
-    rows = []
-    for b in sh.iter_batches(batch_format="pyarrow", batch_size=8192):
-        rows.extend(zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()))
-    by_block: dict[tuple[int, int], list] = {}
-    for doc_id, h in rows:
-        hu = h & 0xFFFFFFFFFFFFFFFF
-        for blk in range(4):
-            key = (blk, (hu >> (16 * blk)) & 0xFFFF)
-            by_block.setdefault(key, []).append((doc_id, hu))
-    cand = set()
-    for members in by_block.values():
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b_ = members[i], members[j]
-                if a[0] != b_[0]:
-                    cand.add((min(a, b_), max(a, b_)))
-    out_a, out_b, out_d = [], [], []
-    for (da, ha), (db, hb) in sorted(cand):
-        d = int(hamming64(np.array([ha], dtype=np.uint64),
-                          np.array([hb], dtype=np.uint64))[0])
-        if d <= max_hamming:
-            out_a.append(da)
-            out_b.append(db)
-            out_d.append(d)
-    return pa.table(
-        {
-            "a": pa.array(out_a, pa.int64()),
-            "b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(out_d, pa.int32()),
-        }
-    )
+
+def _verify_simhash_partition(group: pa.Table, max_hamming: int) -> pa.Table:
+    """map_groups kernel over one hash partition of simhash block rows:
+    local sort by bucket_key, vectorized pairwise Hamming inside each
+    collision run."""
+    from .text import hamming64
+
+    key = group["bucket_key"].to_numpy()
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ids = group["doc_id"].to_numpy()[order]
+    hs = group["simhash"].to_numpy()[order].astype(np.uint64)
+    out: set[tuple] = set()
+    for s, e in _bucket_runs(key):
+        rid, rh = ids[s:e], hs[s:e]
+        uniq_idx = np.unique(rid, return_index=True)[1]
+        rid, rh = rid[uniq_idx], rh[uniq_idx]
+        iu, ju = np.triu_indices(len(rid), k=1)
+        if len(iu) == 0:
+            continue
+        d = hamming64(rh[iu], rh[ju])
+        m = d <= max_hamming
+        for a_, b_, d_ in zip(rid[iu[m]], rid[ju[m]], d[m]):
+            out.add((int(a_), int(b_), int(d_)))
+    rows = sorted(out)
+    return pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
+                     "b": pa.array([r[1] for r in rows], pa.int64()),
+                     "hamming": pa.array([r[2] for r in rows], pa.int32())})
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None):
+    """SimHash near-dup: bit-block LSH then Hamming verify, fully
+    distributed — one corpus pass, one all-to-all (the coarse-partition
+    groupby; see minhash_neardup_pairs for the pattern). Sketch rows are
+    16 B/doc so no prefilter pass is ever worth it here.
+
+    Exact recall needs blocks >= max_hamming+1 (pigeonhole: d differing
+    bits can touch at most d blocks, leaving one block identical).
+    Default blocks = max(4, max_hamming+1), asserted."""
+    from functools import partial as _partial
+
+    from .text import simhash_table
+
+    if blocks is None:
+        blocks = max(4, max_hamming + 1)
+    assert blocks >= max_hamming + 1, (
+        f"blocks={blocks} cannot give exact recall at hamming {max_hamming}")
+    block_rows = (ds.map_batches(simhash_table, batch_format="pyarrow")
+                  .map_batches(_partial(_simhash_block_rows, blocks=blocks),
+                               batch_format="pyarrow"))
+    pairs_ds = _enable_hash_shuffle(block_rows.repartition(
+        num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
+    ).map_batches(
+        _partial(_verify_simhash_partition, max_hamming=max_hamming),
+        batch_format="pyarrow", batch_size=None))
+    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if not parts:
+        return empty
+    return _dedupe_pair_table(pa.concat_tables(parts), "hamming")

@@ -158,3 +158,53 @@ def test_dedup_keepers_union_find():
     # docs 0,1 are exact dups -> same keeper (0); unrelated docs keep themselves
     assert keepers[1] == keepers[0] == 0
     assert keepers[3] == 3 and keepers[5] == 5
+
+
+def test_minhash_prefilter_mode_matches_default(ray_session):
+    """prefilter=True (slim pass + hot-bucket broadcast) must return
+    exactly the same pairs as the single-pass default."""
+    import ray
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    a = minhash_neardup_pairs(ray.data.from_arrow(t), threshold=0.5)
+    b = minhash_neardup_pairs(ray.data.from_arrow(t), threshold=0.5,
+                              prefilter=True)
+    assert a.to_pylist() == b.to_pylist()
+    assert len(a) > 0
+
+
+def test_simhash_exact_recall_above_three_bits(ray_session):
+    """max_hamming=6 auto-selects 7 blocks, giving exact recall by
+    pigeonhole — including pairs whose 4x16 blocks would all differ."""
+    import ray
+
+    base = 0x0123456789ABCDEF
+    # flip 6 bits spread so that every 16-bit quarter differs (bits 2,
+    # 18, 34, 50 and two more) -> invisible to 4-block LSH
+    flipped = base ^ ((1 << 2) | (1 << 18) | (1 << 34) | (1 << 50)
+                      | (1 << 7) | (1 << 23))
+    def to_i64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "simhash": pa.array([to_i64(base), to_i64(flipped)], pa.int64())})
+    # feed pre-computed sketches through the block/verify stages
+    from frontera_ray.stages.dedup import (_simhash_block_rows,
+                                           _verify_simhash_partition)
+    import numpy as np
+    from functools import partial
+    blocks4 = _simhash_block_rows(t, blocks=4)
+    v4 = _verify_simhash_partition(
+        blocks4.sort_by("bucket_key"), max_hamming=6)
+    assert len(v4) == 0  # 4-block LSH misses this pair
+    blocks7 = _simhash_block_rows(t, blocks=7)
+    v7 = _verify_simhash_partition(
+        blocks7.sort_by("bucket_key"), max_hamming=6)
+    assert v7.to_pylist() == [{"a": 0, "b": 1, "hamming": 6}]
+    # and the pipeline asserts blocks >= max_hamming+1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["x"], pa.string())}))
+    with pytest.raises(AssertionError):
+        simhash_neardup_pairs(ds, max_hamming=6, blocks=4)
