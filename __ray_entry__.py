@@ -304,25 +304,41 @@ def q_revenue_nation(sf_dir: str):
 
 def q_token_df(sf_dir: str):
     """Token document-frequency: top tokens by number of documents
-    containing them (the TF-IDF denominator aggregate)."""
+    containing them (the TF-IDF denominator aggregate).
+
+    Vectorized explode (Arrow split_whitespace + list_flatten; per-doc
+    distinct via pandas drop_duplicates — a doc lives wholly inside one
+    batch) and a hash-shuffle ``ds.groupby('token')`` for the count:
+    token is a HIGH-cardinality key, so the partial/driver-merge
+    combiner is wrong here. Top-20 via per-block partial + tiny merge."""
     import pyarrow.compute as _pc
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, toks = [], []
-        for d, text in zip(batch["doc_id"].to_pylist(),
-                           batch["text"].to_pylist()):
-            for t in set(text.split()):
-                doc_ids.append(d)
-                toks.append(t)
-        return pa.table({"token": pa.array(toks, pa.string()),
-                         "doc_id": pa.array(doc_ids, pa.int64())})
+        toks = _pc.utf8_split_whitespace(batch["text"])
+        parent = _pc.list_parent_indices(toks)
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat, "doc_id": batch["doc_id"].take(parent)})
+        t = t.filter(_pc.not_equal(t["token"], ""))
+        df = t.to_pandas().drop_duplicates()  # per-doc distinct, vectorized
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    from frontera_ray.stages.relational import partial_groupby_agg
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    agg = ds.groupby("token").count()
 
-    ds = _read(sf_dir, "documents").map_batches(explode, batch_format="pyarrow")
-    out = partial_groupby_agg(ds, "token", {"df": ("doc_id", "count")})
-    out = out.sort_values(["df", "token"], ascending=[False, True]).head(20)
-    return out.reset_index(drop=True)
+    def blk_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={"count()": "df"})
+        df = df.sort_values(["df", "token"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import pandas as pd
+
+    parts = pa.concat_tables(
+        list(agg.map_batches(blk_top, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = parts.to_pandas().sort_values(
+        ["df", "token"], ascending=[False, True]).head(20)
+    return out[["token", "df"]].reset_index(drop=True)
 
 
 def q_region_suppliers(sf_dir: str):

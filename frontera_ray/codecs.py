@@ -94,12 +94,18 @@ def replay_events(frontier, events) -> dict:
         t = ev["type"]
         counts[t] = counts.get(t, 0) + 1
         if t == "us" and ev.get("schedule"):
-            e = QueueEntry(ev["url"], ev["fingerprint"], hostname_of(ev["url"]),
+            host = hostname_of(ev["url"])
+            e = QueueEntry(ev["url"], ev["fingerprint"], host,
                            ev.get("score", 1.0), 0, ev["fingerprint"] & 0xFFFF)
             keep = frontier._dedup(
                 __import__("numpy").array([ev["fingerprint"]], dtype="uint64"))
             if keep[0]:
-                frontier.queue_shards[0].schedule([e])
+                # same crc32(host)->shard ownership as LocalFrontier._schedule
+                from .fingerprint import host_shard_batch
+
+                n_q = len(frontier.queue_shards)
+                sid = host_shard_batch([host], n_q)[0] if n_q > 1 else 0
+                frontier.queue_shards[sid].schedule([e])
         elif t == "pc":
             sid = int(ev["fingerprint"]) % len(frontier.state_shards)
             frontier.state_shards[sid].set_states(

@@ -564,12 +564,26 @@ class RayCrawler:
             "config": self.cfg,
             "metrics": self.metrics[-50:],
         }))
+        # rename the old checkpoint aside before promoting the new one:
+        # a crash between the two renames still leaves one complete
+        # checkpoint on disk (restore() falls back to checkpoint.old)
+        old = self.out / "checkpoint.old"
+        if old.exists():
+            shutil.rmtree(old)
         if ck.exists():
-            shutil.rmtree(ck)
+            ck.rename(old)
         tmp.rename(ck)  # meta.json written last inside tmp => completeness marker
+        if old.exists():
+            shutil.rmtree(old)
 
     def restore(self) -> dict:
         ck = self.out / "checkpoint"
+        if not (ck / "meta.json").exists() and (
+                self.out / "checkpoint.old" / "meta.json").exists():
+            # crashed between the checkpoint renames: fall back
+            if ck.exists():
+                shutil.rmtree(ck)
+            (self.out / "checkpoint.old").rename(ck)
         meta = json.loads((ck / "meta.json").read_text())
         futs = [a.restore.remote(str(ck)) for a in self.state_actors]
         futs += [a.restore.remote(str(ck)) for a in self.queue_actors]

@@ -155,10 +155,11 @@ def lsh_topk(ds, query_ids, k: int = 10, bits: int = 8, dim: int = 64) -> pa.Tab
     import ray
     from functools import partial
 
+    assert bits <= 62, "sign-bit codes are packed into one int64"
     planes = _hyperplanes(dim, bits)
     qids, qmat = _query_rows(ds, query_ids)
-    qcodes = ((qmat @ planes.T) > 0).astype(np.uint8)
-    qcode_ints = np.packbits(qcodes, axis=1, bitorder="little")[:, 0].astype(int)
+    weights = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
+    qcode_ints = ((qmat @ planes.T) > 0).astype(np.int64) @ weights
     union_allowed = set()
     for c in qcode_ints:
         union_allowed.add(int(c))
@@ -168,8 +169,7 @@ def lsh_topk(ds, query_ids, k: int = 10, bits: int = 8, dim: int = 64) -> pa.Tab
 
     def code_block(batch: pa.Table) -> pa.Table:
         emb = _matrix(batch)
-        codes = np.packbits((emb @ planes.T) > 0, axis=1,
-                            bitorder="little")[:, 0].astype(np.int64)
+        codes = ((emb @ planes.T) > 0).astype(np.int64) @ weights
         mask = np.isin(codes, allowed_arr)
         return batch.filter(pa.array(mask))
 

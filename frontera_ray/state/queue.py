@@ -81,7 +81,7 @@ class DomainMetadata:
 
     __slots__ = ("robots", "robots_body", "crawl_delay", "queued_pages",
                  "banned", "last_pop_seq", "subdomains", "redirect_to",
-                 "redirect_from")
+                 "redirect_from", "next_fetch_at")
 
     def __init__(self):
         self.robots = None
@@ -90,6 +90,7 @@ class DomainMetadata:
         self.queued_pages = 0
         self.banned = False
         self.last_pop_seq = -1
+        self.next_fetch_at = 0.0  # crawl-delay budget: earliest next pop
         self.subdomains: set[str] = set()
         self.redirect_to: set[str] = set()
         self.redirect_from: set[str] = set()
@@ -130,10 +131,25 @@ class QueueShard:
                  max_keys: int | None = None, keep_keys: int = 100,
                  max_pages_per_domain: int | None = None,
                  robots_enabled: bool = False, robots_provider=None,
-                 purge_seed: int = 42):
+                 purge_seed: int = 42, key_type: str = "domain",
+                 ip_resolver=None):
+        if key_type not in ("domain", "ip"):
+            raise ValueError(f"key_type must be 'domain' or 'ip', got {key_type!r}")
+        if key_type == "ip" and ip_resolver is None:
+            raise ValueError("key_type='ip' needs an ip_resolver(host) hook")
         self.shard_id = shard_id
         self.profile = profile
         self._heap: list[tuple] = []
+        # liveness index for O(k log n) score updates: every heap item
+        # is (*priority_key, ticket, entry) with a shard-local monotonic
+        # ticket; an entry is live iff its ticket is in _live. A
+        # re-scored entry gets a fresh ticket, turning the old heap item
+        # into a ghost that pops discard — tickets are never reused, so
+        # ghosts cannot leak. The ticket between key and entry also
+        # makes priority ties strictly FIFO by insertion.
+        self._ticket = 0
+        self._live: dict[int, QueueEntry] = {}
+        self._by_fp: dict[int, set[int]] = defaultdict(set)
         self._pending: dict[str, deque] = defaultdict(deque)
         self._max_per_key = max_per_key
         self._keep_per_key = keep_per_key
@@ -142,9 +158,23 @@ class QueueShard:
         self._max_pages_per_domain = max_pages_per_domain
         self._robots_enabled = robots_enabled
         self._robots_provider = robots_provider
+        self._key_type = key_type
+        self._ip_resolver = ip_resolver
+        self._ip_cache: dict[str, str] = {}
         self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
         self._rng = random.Random(purge_seed)
         self.stats = defaultdict(int)
+
+    def _slot_key(self, host: str) -> str:
+        """Downloader-slot key for politeness parking: the hostname, or
+        its resolved IP with key_type='ip' (reference core/__init__.py
+        10-25 semantics — multi-host single-IP sites share one slot)."""
+        if self._key_type == "domain":
+            return host
+        ip = self._ip_cache.get(host)
+        if ip is None:
+            ip = self._ip_cache[host] = str(self._ip_resolver(host))
+        return ip
 
     # -- keys ----------------------------------------------------------------
     def _key(self, e: QueueEntry) -> tuple:
@@ -195,10 +225,17 @@ class QueueShard:
                     self.stats["dropped_domain_cap"] += 1
                     continue
                 meta.queued_pages += 1
-            heapq.heappush(self._heap, (*self._key(e), e))
+            self._push_live(e)
             n += 1
         self.stats["scheduled"] += n
         return n
+
+    def _push_live(self, e: QueueEntry) -> None:
+        t = self._ticket
+        self._ticket += 1
+        self._live[t] = e
+        self._by_fp[e.fingerprint].add(t)
+        heapq.heappush(self._heap, (*self._key(e), t, e))
 
     def _schedule_gated(self, rows) -> int:
         """Batch path for robots/domain-cap gating: group rows by host so
@@ -208,7 +245,6 @@ class QueueShard:
         by_host: dict[str, list] = defaultdict(list)
         for r in rows:
             by_host[r[2]].append(r)
-        heap, push = self._heap, heapq.heappush
         n = 0
         for host, group in by_host.items():
             meta = self._domain_meta(host)
@@ -235,8 +271,7 @@ class QueueShard:
             elif group:
                 meta.queued_pages += len(group)
             for r in group:
-                e = tuple.__new__(QueueEntry, r)
-                push(heap, (*self._key(e), e))
+                self._push_live(tuple.__new__(QueueEntry, r))
                 n += 1
         self.stats["scheduled"] += n
         return n
@@ -244,30 +279,54 @@ class QueueShard:
     def update_scores(self, fps, scores) -> int:
         """The reference's scoring-log / ``schedule(..., dont_queue=True)``
         path: change the priority of already-QUEUED requests without
-        re-scheduling them. One O(heap) rebuild per update batch (the
-        reference consumes its scoring log in batches too); no ghost
-        entries, so pops/checkpoints need no stale filtering. Entries
-        parked in the overused buffer are served FIFO and skip updates."""
-        wanted = {int(fp): float(s) for fp, s in zip(fps, scores)}
-        new_heap = []
+        re-scheduling them. O(k log n) per batch of k updates: the
+        re-scored entry replaces its slot in the ``_live`` index and is
+        re-pushed; the old heap item becomes a ghost that pops discard
+        (identity-checked against ``_live``, so ghosts cannot leak).
+        Entries parked in the overused buffer are served FIFO and skip
+        updates."""
         n = 0
-        for item in self._heap:
-            e: QueueEntry = item[-1]
-            new_s = wanted.get(e.fingerprint)
-            if new_s is None or e.score == new_s:
-                new_heap.append(item)
+        for fp, s in zip(fps, scores):
+            s = float(s)
+            tickets = self._by_fp.get(int(fp))
+            if not tickets:
                 continue
-            e2 = QueueEntry(e.url, e.fingerprint, e.host, new_s,
-                            e.depth, e.seq, e.crawl_at)
-            new_heap.append((*self._key(e2), e2))
-            n += 1
-        heapq.heapify(new_heap)
-        self._heap = new_heap
+            for t in list(tickets):
+                e = self._live[t]
+                if e.score == s:
+                    continue
+                e2 = QueueEntry(e.url, e.fingerprint, e.host, s,
+                                e.depth, e.seq, e.crawl_at)
+                del self._live[t]
+                tickets.discard(t)
+                t2 = self._ticket
+                self._ticket += 1
+                self._live[t2] = e2
+                tickets.add(t2)
+                heapq.heappush(self._heap, (*self._key(e2), t2, e2))
+                n += 1
         self.stats["score_updates"] += n
+        self._maybe_compact()
         return n
 
+    def _maybe_compact(self) -> None:
+        """Bound ghost accumulation: when over half the heap is stale,
+        rebuild it from live items (amortized O(n), rare)."""
+        if len(self._heap) > 2 * len(self._live) + 64:
+            self._heap = [item for item in self._heap
+                          if item[-2] in self._live]
+            heapq.heapify(self._heap)
+
+    def _pop_live(self, ticket: int, e: QueueEntry) -> None:
+        del self._live[ticket]
+        tickets = self._by_fp.get(e.fingerprint)
+        if tickets is not None:
+            tickets.discard(ticket)
+            if not tickets:
+                del self._by_fp[e.fingerprint]
+
     def count(self) -> int:
-        return len(self._heap) + sum(len(d) for d in self._pending.values())
+        return len(self._live) + sum(len(d) for d in self._pending.values())
 
     # -- OverusedBuffer semantics -------------------------------------------
     def _serve_pending(self, max_n: int, overused: set) -> list[QueueEntry]:
@@ -305,19 +364,30 @@ class QueueShard:
 
     def _heap_pop(self, n: int, now: int | None, max_per_host: int | None,
                   host_counts) -> list[QueueEntry]:
-        """Pop up to n visible entries honoring a per-host cap; capped or
+        """Pop up to n visible entries honoring a per-host cap and the
+        host's robots Crawl-delay budget; capped, delayed or
         not-yet-visible entries are set aside and re-pushed."""
         out, setaside = [], []
         while len(out) < n and self._heap:
             item = heapq.heappop(self._heap)
             e: QueueEntry = item[-1]
+            if item[-2] not in self._live:
+                self.stats["ghosts_discarded"] += 1
+                continue
             if now is not None and e.crawl_at > now:
                 setaside.append(item)
                 continue
             if max_per_host is not None and host_counts[e.host] >= max_per_host:
                 setaside.append(item)
                 continue
+            meta = self.domains.get(e.host) if now is not None else None
+            if meta is not None and meta.crawl_delay > 0:
+                if meta.next_fetch_at > now:
+                    setaside.append(item)
+                    continue
+                meta.next_fetch_at = now + meta.crawl_delay
             host_counts[e.host] += 1
+            self._pop_live(item[-2], e)
             out.append(e)
         for item in setaside:
             heapq.heappush(self._heap, item)
@@ -355,6 +425,9 @@ class QueueShard:
                 while len(hosts_seen) < min_hosts and self._heap:
                     item = heapq.heappop(self._heap)
                     e: QueueEntry = item[-1]
+                    if item[-2] not in self._live:
+                        self.stats["ghosts_discarded"] += 1
+                        continue
                     if now is not None and e.crawl_at > now:
                         setaside.append(item)
                         continue
@@ -363,15 +436,18 @@ class QueueShard:
                         continue
                     hosts_seen.add(e.host)
                     host_counts[e.host] += 1
+                    self._pop_live(item[-2], e)
                     pulled.append(e)
                 for item in setaside:
                     heapq.heappush(self._heap, item)
+        by_ip = self._key_type == "ip"
         for e in pulled:
-            if e.host in overused:
-                self._pending[e.host].append(e)
+            slot = self._slot_key(e.host) if by_ip else e.host
+            if slot in overused:
+                self._pending[slot].append(e)
                 host_counts[e.host] -= 1
                 if self._max_per_key:
-                    self._check_and_purge(e.host)
+                    self._check_and_purge(slot)
             else:
                 requests.append(e)
         self.stats["popped"] += len(requests)
@@ -380,33 +456,42 @@ class QueueShard:
     # -- Arrow interop (used by Ray actors) ---------------------------------
     def schedule_table(self, table: pa.Table) -> int:
         """Bulk schedule from an Arrow batch. Fast path (no robots /
-        domain caps): build key+entry tuples vectorized-ish and heapify
-        once — O(n+k) instead of k heap pushes."""
+        domain caps): build key+entry items, then either heappush each
+        (cheaper for a small batch into a big frontier) or extend +
+        heapify once (cheaper when the batch rivals the heap size)."""
         cols = [table[f].to_pylist() for f in ENTRY_FIELDS]
         rows = zip(*cols)
         if self._robots_enabled or self._max_pages_per_domain:
             return self._schedule_gated(list(rows))
         profile = self.profile
-        heap, push = self._heap, heapq.heappush
-        n = 0
+        live, by_fp = self._live, self._by_fp
+        t0 = self._ticket
         if profile == "fifo":
-            for r in rows:
-                push(heap, (r[5], tuple.__new__(QueueEntry, r)))
-                n += 1
+            items = [(r[5], t0 + i, tuple.__new__(QueueEntry, r))
+                     for i, r in enumerate(rows)]
         elif profile == "lifo":
-            for r in rows:
-                push(heap, (-r[5], tuple.__new__(QueueEntry, r)))
-                n += 1
+            items = [(-r[5], t0 + i, tuple.__new__(QueueEntry, r))
+                     for i, r in enumerate(rows)]
         elif profile == "min_score":
-            for r in rows:
-                push(heap, (r[3], r[5], tuple.__new__(QueueEntry, r)))
-                n += 1
+            items = [(r[3], r[5], t0 + i, tuple.__new__(QueueEntry, r))
+                     for i, r in enumerate(rows)]
         else:  # max_score
-            for r in rows:
-                push(heap, (-r[3], r[5], tuple.__new__(QueueEntry, r)))
-                n += 1
-        self.stats["scheduled"] += n
-        return n
+            items = [(-r[3], r[5], t0 + i, tuple.__new__(QueueEntry, r))
+                     for i, r in enumerate(rows)]
+        self._ticket = t0 + len(items)
+        for item in items:
+            e = item[-1]
+            live[item[-2]] = e
+            by_fp[e.fingerprint].add(item[-2])
+        if len(items) >= len(self._heap):
+            self._heap.extend(items)
+            heapq.heapify(self._heap)
+        else:
+            push, heap = heapq.heappush, self._heap
+            for item in items:
+                push(heap, item)
+        self.stats["scheduled"] += len(items)
+        return len(items)
 
     def pop_table(self, max_n: int, overused_keys=(), now: int | None = None,
                   max_per_host: int | None = None,
@@ -424,7 +509,7 @@ class QueueShard:
     def checkpoint(self, directory: str) -> None:
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        entries = [item[-1] for item in self._heap]
+        entries = list(self._live.values())  # heap may hold ghosts
         for dq in self._pending.values():
             entries.extend(dq)
         if entries:
@@ -456,8 +541,7 @@ class QueueShard:
         t = pq.read_table(d / f"queue-{shard_id:04d}.parquet")
         rows = zip(*(t[f].to_pylist() for f in ENTRY_FIELDS))
         for row in rows:
-            e = QueueEntry(*row)
-            heapq.heappush(shard._heap, (*shard._key(e), e))
+            shard._push_live(QueueEntry(*row))
         dpath = d / f"domains-{shard_id:04d}.parquet"
         if dpath.exists():
             dt = pq.read_table(dpath)

@@ -130,3 +130,23 @@ def test_redirect_canonical_crawl(ray_session, tmp_path):
     out = ValidateStage()(pa.Table.from_pylist(rows))
     assert all(out["pixels_ok"].to_pylist())
     assert all(out["caption_ok"].to_pylist())
+
+
+def test_restore_falls_back_to_checkpoint_old(ray_session, small_web, tmp_path):
+    """A crash between the two checkpoint renames leaves only
+    checkpoint.old; restore() must promote and use it."""
+    import shutil
+
+    c = _crawler(ray_session, small_web, tmp_path / "out")
+    c.add_seeds(small_web.seeds())
+    c.run(max_rounds=3)
+    c.checkpoint()
+    out = tmp_path / "out"
+    # simulate the crash window: good checkpoint renamed aside, the new
+    # one never promoted (leave a half-written tmp for realism)
+    (out / "checkpoint").rename(out / "checkpoint.old")
+    (out / "checkpoint").mkdir()
+    meta = c.restore()
+    assert meta["round"] == c.round
+    assert (out / "checkpoint" / "meta.json").exists()
+    assert not (out / "checkpoint.old").exists()

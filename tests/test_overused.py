@@ -120,3 +120,35 @@ def test_min_hosts_no_op_when_diverse():
                 for i in range(4)])
     got = q.pop(4, min_hosts=3)
     assert len(got) == 4
+
+
+def test_ip_slot_keys_park_multihost_site():
+    """key_type='ip': hosts resolving to the same IP share one
+    politeness slot (reference core/__init__.py key_type semantics) —
+    overused_keys are IPs and parking is keyed by IP."""
+    from frontera_ray.state.queue import QueueEntry, QueueShard
+
+    ips = {"a.example": "10.0.0.1", "b.example": "10.0.0.1",
+           "c.other": "10.0.0.2"}
+    q = QueueShard(key_type="ip", ip_resolver=ips.__getitem__)
+    q.schedule([QueueEntry("http://a.example/1", 1, "a.example", 0.1, 0, 0),
+                QueueEntry("http://b.example/1", 2, "b.example", 0.2, 0, 1),
+                QueueEntry("http://c.other/1", 3, "c.other", 0.3, 0, 2)])
+    # 10.0.0.1 overused: both a.example and b.example park; c.other serves
+    got = q.pop(3, overused_keys=["10.0.0.1"])
+    assert [e.host for e in got] == ["c.other"]
+    assert q.count() == 2  # two parked
+    # slot freed: parked entries served first, FIFO
+    got2 = q.pop(3, overused_keys=[])
+    assert [e.host for e in got2] == ["a.example", "b.example"]
+
+
+def test_ip_key_type_requires_resolver():
+    import pytest
+
+    from frontera_ray.state.queue import QueueShard
+
+    with pytest.raises(ValueError):
+        QueueShard(key_type="ip")
+    with pytest.raises(ValueError):
+        QueueShard(key_type="bogus")
