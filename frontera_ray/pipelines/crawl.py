@@ -442,6 +442,19 @@ class RayCrawler:
                               min_hosts=self.min_hosts)
             for q in self.queue_actors
         ]
+        # Round size from per-shard metadata tasks — NOT ds.count(),
+        # which would add a whole Dataset execution barrier per round.
+        # The CRAWLED marking wave is dispatched alongside so it overlaps
+        # both the length check and the round pipeline.
+        len_refs = [_table_len.remote(r) for r in pop_refs]
+        mark_refs = [_mark_crawled.remote(r, self.state_actors) for r in pop_refs]
+        n_popped = int(sum(ray.get(len_refs)))
+        if not n_popped:
+            ray.get(mark_refs)  # no-ops on empty tables
+            m = {"round": round_no, "popped": 0, "scheduled": 0, "sec": 0.0}
+            with self._lock:
+                self.metrics.append(m)
+            return m
         # Split each shard's pop into chunks with a cheap remote task (no
         # Dataset repartition stage): the three map stages fuse into ONE
         # operator whose parallelism equals the number of input blocks,
@@ -454,13 +467,6 @@ class RayCrawler:
             for c in _split_table.options(num_returns=k).remote(r, k)
         ] if k > 1 else list(pop_refs)
         ds = ray.data.from_arrow_refs(chunk_refs)
-        n_popped = ds.count()
-        if not n_popped:
-            m = {"round": round_no, "popped": 0, "scheduled": 0, "sec": 0.0}
-            with self._lock:
-                self.metrics.append(m)
-            return m
-        mark_refs = [_mark_crawled.remote(r, self.state_actors) for r in pop_refs]
 
         round_dir = self.out / f"round={round_no:05d}"
         if round_dir.exists():
