@@ -643,3 +643,108 @@ def run_crawl(web, out_dir: str, seeds=None, max_rounds: int = 1000, **kwargs) -
     summary = crawler.run(max_rounds=max_rounds)
     summary["urls_seen"] = crawler.seen_count()
     return summary
+
+
+# ---------------------------------------------------------------------------
+# arrival-seq conformance mode
+# ---------------------------------------------------------------------------
+
+class ArrivalSeqFrontier:
+    """LocalFrontier twin over the DISTRIBUTED components: one
+    UrlSeenActor + one QueueActor, driver-sequenced like the reference
+    tester loop (pop-k, then process each page fully in pop order;
+    links get increasing arrival seqs).
+
+    This is the conformance bridge the golden-ordering corpus needs:
+    RayCrawler's streaming rounds are only set-equivalent to the corpus
+    (tree-path seqs are deterministic under parallelism but differ from
+    arrival order), whereas this mode reproduces the reference
+    sequences byte-for-byte through the same actors, Arrow tables and
+    vectorized kernels the streaming engine uses. Single-shard only —
+    the corpus implies a single feed partition (tests/backends.py).
+    """
+
+    def __init__(self, strategy=None, profile: str = "min_score"):
+        from ..strategies import BasicStrategy
+
+        self.strategy = strategy or BasicStrategy()
+        self.state_actor = UrlSeenActor.remote(0)
+        self.queue_actor = QueueActor.remote(0, profile=profile)
+        self._seq = 0
+        self.iteration = 0
+
+    def _next_seqs(self, n: int) -> np.ndarray:
+        out = np.arange(self._seq, self._seq + n, dtype=np.int64)
+        self._seq += n
+        return out
+
+    def _schedule(self, urls, scores, depths) -> int:
+        urls = np.asarray(list(urls), dtype=object)
+        canon = canonicalize_batch(urls)
+        fps = fp64_batch(canon)
+        keep = ray.get(self.state_actor.check_and_mark.remote(fps))
+        if not keep.any():
+            return 0
+        urls, fps = urls[keep], fps[keep]
+        scores = np.asarray(scores, dtype=np.float64)[keep]
+        depths = np.asarray(depths, dtype=np.int64)[keep]
+        hosts = hostnames_batch(urls)
+        seqs = self._next_seqs(len(urls))
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "fingerprint": pa.array(fps, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+            "depth": pa.array(depths.astype(np.int32), pa.int32()),
+            "seq": pa.array(seqs, pa.int64()),
+            "crawl_at": pa.array(np.zeros(len(urls), dtype=np.int64), pa.int64()),
+        })
+        return int(ray.get(self.queue_actor.schedule_table.remote(t)))
+
+    # -- reference-manager API (mirrors LocalFrontier) ------------------
+    def add_seeds(self, seed_urls) -> int:
+        seed_urls = [u.strip() for u in seed_urls
+                     if u.strip() and not u.startswith("#")]
+        if not seed_urls:
+            return 0
+        scores = self.strategy.seed_scores(seed_urls)
+        return self._schedule(seed_urls, scores,
+                              np.zeros(len(seed_urls), dtype=np.int64))
+
+    def get_next_requests(self, max_next_requests: int, overused_keys=(),
+                          **pop_kwargs):
+        from ..state.queue import QueueEntry
+
+        self.iteration += 1
+        t = ray.get(self.queue_actor.pop_table.remote(
+            max_next_requests, tuple(overused_keys), **pop_kwargs))
+        rows = zip(*(t[f].to_pylist() for f in
+                     ("url", "fingerprint", "host", "score", "depth",
+                      "seq", "crawl_at")))
+        return [QueueEntry(*r) for r in rows]
+
+    def page_crawled(self, entry) -> None:
+        ray.get(self.state_actor.set_states.remote(
+            [entry.fingerprint], [States.CRAWLED]))
+
+    def request_error(self, entry, error=None) -> None:
+        ray.get(self.state_actor.set_states.remote(
+            [entry.fingerprint], [States.ERROR]))
+
+    def links_extracted(self, parent, links) -> int:
+        if not links:
+            return 0
+        if hasattr(self.strategy, "link_scores_cash"):
+            scores = self.strategy.link_scores_cash(
+                np.full(len(links), parent.score),
+                np.full(len(links), len(links)))
+        else:
+            scores = self.strategy.link_scores(parent.depth, links)
+        depths = np.full(len(links), parent.depth + 1, dtype=np.int64)
+        return self._schedule(links, scores, depths)
+
+    def frontier_size(self) -> int:
+        return int(ray.get(self.queue_actor.count.remote()))
+
+    def seen_count(self) -> int:
+        return int(ray.get(self.state_actor.seen_count.remote()))

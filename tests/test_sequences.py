@@ -155,3 +155,43 @@ def test_urlseen_set_complete(site):
     seq = run(site, BasicStrategy(), "fifo", 5)
     assert len(seq) == len(set(seq)) == len(g.all_urls())
     assert set(seq) == g.all_urls()
+
+
+# ---------------------------------------------------------------------------
+# distributed conformance: the same corpus through the Ray actors
+# (arrival-seq mode, single state+queue shard — see ArrivalSeqFrontier)
+# ---------------------------------------------------------------------------
+
+def _ray_run(site, strategy, profile, mnr, ray_session):
+    from frontera_ray.pipelines.crawl import ArrivalSeqFrontier
+    from frontera_ray.pipelines.local import run_crawl_sequence
+
+    f = ArrivalSeqFrontier(strategy=strategy, profile=profile)
+    g = GraphManager(SITES[site]())
+    seq = run_crawl_sequence(f, g, mnr)
+    return [e.url for reqs, _, _ in seq for e in reqs]
+
+
+RAY_SLICES = [(s, m) for s in (1, 2, 3) for m in (1, 5, 100)]
+
+
+@pytest.mark.parametrize("site,mnr", RAY_SLICES)
+def test_ray_path_fifo(ray_session, site, mnr):
+    assert _ray_run(site, BasicStrategy(), "fifo", mnr,
+                    ray_session) == FIFO[(site, 1)]
+
+
+@pytest.mark.parametrize("site,mnr,key", [
+    (1, 1, (1, 1)), (1, 5, (1, 5)), (1, 100, (1, 5)),
+    (2, 1, (2, 1)), (2, 5, (2, 5)), (2, 100, (2, 10)),
+    (3, 1, (3, 1)), (3, 5, (3, 5)), (3, 100, (3, 10)),
+])
+def test_ray_path_dfs(ray_session, site, mnr, key):
+    assert _ray_run(site, DFSStrategy(), "min_score", mnr,
+                    ray_session) == DFS[key]
+
+
+@pytest.mark.parametrize("site,mnr", RAY_SLICES)
+def test_ray_path_bfs(ray_session, site, mnr):
+    assert _ray_run(site, BFSStrategy(), "min_score", mnr,
+                    ray_session) == BFS[(site, 1)]
