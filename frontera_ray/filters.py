@@ -83,13 +83,22 @@ def blacklist_mask(urls, blacklist) -> np.ndarray:
     return np.fromiter((h not in bl for h in hosts), dtype=bool, count=len(hosts))
 
 
-def same_domain_mask(parent_url: str, urls) -> np.ndarray:
-    """True for links sharing the parent's 2nd-level domain name
-    (PSL-free heuristic: last two labels)."""
-    parent_name = _split_host(urlparse(parent_url).hostname or "")[0]
+def same_domain_mask(parent_url: str, urls, use_psl: bool = False) -> np.ndarray:
+    """True for links sharing the parent's registrable domain.
+
+    Default: PSL-free heuristic (last two labels — the semantics the
+    oracle-checked ``same_domain`` query encodes). ``use_psl=True``
+    resolves against the real Public Suffix List so ``a.example.co.uk``
+    and ``b.example.co.uk`` match while ``other.co.uk`` does not
+    (reference strategy/discovery/__init__.py:236-255 via tldextract)."""
+    if use_psl:
+        from .urls import _split_host_psl as split
+    else:
+        split = _split_host
+    parent_name = split(urlparse(parent_url).hostname or "")[0]
     hosts = hostnames_batch(np.asarray(urls, dtype=object))
     return np.fromiter(
-        (_split_host(h)[0] == parent_name for h in hosts), dtype=bool,
+        (split(h)[0] == parent_name for h in hosts), dtype=bool,
         count=len(hosts),
     )
 

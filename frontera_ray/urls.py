@@ -63,16 +63,120 @@ def _split_host(hostname: str):
     return name, sld, tld, subdomain
 
 
-def parse_domain_from_url(url):
+def parse_domain_from_url(url, use_psl: bool = False):
     """(hostname, name, scheme, sld, tld, subdomain)
-    (parity: frontera/utils/url.py:14-36 for PSL-free cases)."""
+    (parity: frontera/utils/url.py:14-36 for PSL-free cases).
+
+    ``use_psl=True`` resolves the registrable domain against the real
+    Public Suffix List (reference uses tldextract, utils/url.py:14-36),
+    so ``shop.example.co.uk`` -> name ``example.co.uk``; the default
+    keeps the PSL-free last-two-labels fast path that the oracle-checked
+    queries and golden tests encode."""
     p = urlparse(url if "//" in url else "//" + url)
     hostname = p.hostname or ""
-    name, sld, tld, subdomain = _split_host(hostname)
-    # missing-tld case: name collapses to the bare label
-    if tld == "" and subdomain == "" and name:
-        pass
+    split = _split_host_psl if use_psl else _split_host
+    name, sld, tld, subdomain = split(hostname)
     return (hostname, name, p.scheme, sld, tld, subdomain)
+
+
+# ---------------------------------------------------------------------------
+# Public Suffix List (public data; the distro ships the real list)
+# ---------------------------------------------------------------------------
+
+PSL_PATHS = (
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+    "/usr/share/publicsuffix/effective_tld_names.dat",
+)
+
+# minimal embedded fallback (well-known multi-label suffixes) so PSL
+# mode still beats the 2-label heuristic when no list file is present
+_PSL_FALLBACK = """
+co.uk org.uk ac.uk gov.uk net.uk sch.uk
+com.au net.au org.au edu.au gov.au
+co.jp ne.jp or.jp ac.jp go.jp
+com.br net.br org.br gov.br
+co.nz net.nz org.nz govt.nz
+com.cn net.cn org.cn gov.cn
+co.in net.in org.in gov.in
+co.za org.za gov.za
+com.mx com.ar com.sg com.hk com.tw com.tr
+""".split()
+
+
+@lru_cache(maxsize=1)
+def _psl_rules():
+    """Parse the PSL into (exact, wildcard, exception) label-tuple sets."""
+    lines = None
+    for path in PSL_PATHS:
+        try:
+            with open(path, encoding="utf-8") as f:
+                lines = f.read().splitlines()
+            break
+        except OSError:
+            continue
+    if lines is None:
+        lines = list(_PSL_FALLBACK)
+    exact, wildcard, exception = set(), set(), set()
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exception.add(tuple(rule[1:].split(".")))
+        elif rule.startswith("*."):
+            wildcard.add(tuple(rule[2:].split(".")))
+        else:
+            exact.add(tuple(rule.split(".")))
+    return exact, wildcard, exception
+
+
+def public_suffix(hostname: str) -> str:
+    """The hostname's public suffix per the PSL algorithm: longest
+    matching rule, ``*.foo`` matching one extra label, ``!rule``
+    exceptions shortening by one; default rule is the last label."""
+    if not hostname:
+        return ""
+    exact, wildcard, exception = _psl_rules()
+    labels = tuple(hostname.lower().split("."))
+    best = 1  # default rule '*': the rightmost label
+    for i in range(len(labels)):
+        cand = labels[i:]
+        if cand in exception:
+            n = len(cand) - 1
+        elif cand in exact:
+            n = len(cand)
+        elif len(cand) > 1 and cand[1:] in wildcard:
+            n = len(cand)
+        else:
+            continue
+        best = max(best, n)
+    return ".".join(labels[-best:])
+
+
+def _split_host_psl(hostname: str):
+    """(name, sld, tld, subdomain) with tld = PSL public suffix and
+    name = registrable domain (sld + '.' + suffix)."""
+    if not hostname:
+        return "", "", "", ""
+    labels = hostname.split(".")
+    if len(labels) == 1:
+        return labels[0], labels[0], "", ""
+    suffix = public_suffix(hostname)
+    n_suf = suffix.count(".") + 1 if suffix else 0
+    if n_suf >= len(labels):  # the whole host is a public suffix
+        return hostname, "", suffix, ""
+    sld = labels[-(n_suf + 1)]
+    subdomain = ".".join(labels[: -(n_suf + 1)])
+    name = ".".join(labels[-(n_suf + 1):])
+    return name, sld, suffix, subdomain
+
+
+def registrable_domain(hostname: str) -> str:
+    """PSL registrable domain of a hostname ('' when the host itself is
+    a public suffix)."""
+    name, sld, _, _ = _split_host_psl(hostname)
+    return name if sld else ""
 
 
 @lru_cache(maxsize=100_000)

@@ -61,3 +61,46 @@ def test_hostnames():
     assert list(out) == ["a.com", "b.com", ""]
     out2 = canonicalize_batch(["HTTP://X.com/p?b=1&a=2"])
     assert out2[0] == "http://x.com/p?a=2&b=1"
+
+
+# ---------------------------------------------------------------------------
+# Public Suffix List mode
+# ---------------------------------------------------------------------------
+
+def test_psl_public_suffix():
+    from frontera_ray.urls import public_suffix
+
+    assert public_suffix("www.example.co.uk") == "co.uk"
+    assert public_suffix("example.com") == "com"
+    assert public_suffix("deep.sub.example.com.au") == "com.au"
+    assert public_suffix("localhost") == "localhost"
+
+
+def test_psl_parse_domain():
+    from frontera_ray.urls import parse_domain_from_url
+
+    # PSL-free heuristic misreads *.co.uk; PSL mode gets it right
+    host, name, scheme, sld, tld, sub = parse_domain_from_url(
+        "http://shop.example.co.uk/x", use_psl=True)
+    assert (name, sld, tld, sub) == ("example.co.uk", "example", "co.uk", "shop")
+    # PSL-free default unchanged (golden/oracle semantics)
+    _, name2, _, sld2, tld2, sub2 = parse_domain_from_url(
+        "http://shop.example.co.uk/x")
+    assert (name2, sld2, tld2, sub2) == ("co.uk", "co", "uk", "shop.example")
+    # host that IS a public suffix: no registrable domain
+    from frontera_ray.urls import registrable_domain
+
+    assert registrable_domain("co.uk") == ""
+    assert registrable_domain("a.example.com") == "example.com"
+
+
+def test_psl_same_domain_mask():
+    from frontera_ray.filters import same_domain_mask
+
+    links = ["http://a.example.co.uk/1", "http://b.example.co.uk/2",
+             "http://other.co.uk/3", "http://example.com/4"]
+    got = same_domain_mask("http://www.example.co.uk/", links, use_psl=True)
+    assert list(got) == [True, True, False, False]
+    # heuristic mode groups everything under .co.uk (documented gap)
+    got2 = same_domain_mask("http://www.example.co.uk/", links)
+    assert list(got2) == [True, True, True, False]
