@@ -671,6 +671,15 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), range(5), k=10)
 
 
+def q_cosine_neardup_lsh(sf_dir: str):
+    """Banded hyperplane LSH near-dup pairs (the scale path for
+    cosine_neardup: one pass + one bucket exchange over the whole
+    corpus; recall vs brute asserted in tests/test_dedup_ann.py)."""
+    from frontera_ray.stages.ann import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(_read(sf_dir, "embeddings"), threshold=0.6)
+
+
 def q_phash_neardup(sf_dir: str):
     """Perceptual-hash near-dup pairs over fetched pages (hamming <= 12
     on the 64-bit phash — the input_hint's phash column put to work)."""
@@ -755,6 +764,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
+    "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "phash_neardup": q_phash_neardup,
     "image_stats": q_image_stats,
 }
@@ -966,4 +976,22 @@ def oracle_sql() -> dict[str, str]:
                           WHEN doc_id % 3 = 1 THEN 'blog.site.com'
                           ELSE 'other-' || (doc_id % 7) || '.com' END AS host
               FROM documents)""",
+        "canonical_solver": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://src.test/orig/' || doc_id
+                        ELSE 'http://t.test/final/' || doc_id
+                   END AS canonical_url
+            FROM documents""",
+        "sitemap_parse": """
+            SELECT doc_id, 'http://s.test/' || doc_id || '/a' AS url,
+                   false AS is_sub_sitemap
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'http://s.test/' || doc_id || '/sub.xml', true
+            FROM documents""",
+        "seed_reader": """
+            SELECT * FROM (VALUES ('http://www.a.test/1'),
+                                  ('http://b.test/2'),
+                                  ('http://c.test/3')) AS t(url)""",
     }

@@ -186,31 +186,137 @@ def lsh_topk(ds, query_ids, k: int = 10, bits: int = 8, dim: int = 64) -> pa.Tab
 
 
 def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = None) -> pa.Table:
-    """Embedding near-dup pairs (a<b, cosine>=threshold). Full matmul on
-    the (optionally id-limited) corpus — brute baseline; LSH variant
-    above is the scale path."""
+    """Embedding near-dup pairs (a<b, cosine>=threshold) — brute
+    baseline, distributed: the (limit_ids-bounded) comparison set is
+    normalized once and broadcast (ray.put); each corpus block computes
+    block x set sims and emits only its above-threshold pairs, so no
+    driver-side matmul and the driver only sees the result. The
+    broadcast side must be bounded (use ``cosine_neardup_lsh`` for
+    unbounded corpora — the scale path)."""
+    import ray
+
     def mask(batch: pa.Table) -> pa.Table:
         if limit_ids is None:
             return batch
         return batch.filter(pa.array(batch["vec_id"].to_numpy() < limit_ids))
 
+    base = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        mask, batch_format="pyarrow")
     parts = pa.concat_tables(
-        list(ds.select_columns(["vec_id", "embedding"])
-               .map_batches(mask, batch_format="pyarrow")
-               .iter_batches(batch_format="pyarrow", batch_size=None))
-    )
+        list(base.iter_batches(batch_format="pyarrow", batch_size=None)))
     order = np.argsort(parts["vec_id"].to_numpy())
     parts = parts.take(pa.array(order))
-    ids = parts["vec_id"].to_numpy().astype(np.int64)
-    mat = _matrix(parts)
-    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sims = n @ n.T
-    iu, ju = np.triu_indices(len(ids), k=1)
-    m = sims[iu, ju] >= threshold
-    return pa.table(
-        {
-            "a": pa.array(ids[iu[m]], pa.int64()),
-            "b": pa.array(ids[ju[m]], pa.int64()),
-            "sim": pa.array(np.round(sims[iu[m], ju[m]], 4), pa.float64()),
-        }
-    )
+    set_ids = parts["vec_id"].to_numpy().astype(np.int64)
+    ref = ray.put((set_ids, _matrix(parts)))  # _get_queries normalizes once
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return empty
+        sids, sn = _get_queries(ref)  # cached per worker, already normalized
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        emb = _matrix(batch)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (emb / nrm) @ sn.T  # (B, S)
+        keep = (sims >= threshold) & (ids[:, None] < np.asarray(sids)[None, :])
+        bi, sj = np.nonzero(keep)
+        if not len(bi):
+            return empty
+        return pa.table({
+            "a": pa.array(ids[bi], pa.int64()),
+            "b": pa.array(np.asarray(sids)[sj], pa.int64()),
+            "sim": pa.array(np.round(sims[bi, sj], 4), pa.float64()),
+        })
+
+    parts2 = list(base.map_batches(block_pairs, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    out = pa.concat_tables(parts2)
+    order = np.lexsort((out["b"].to_numpy(), out["a"].to_numpy()))
+    return out.take(pa.array(order))
+
+
+def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
+                       bands: int = 8, dim: int = 64, seed: int = 42) -> pa.Table:
+    """Embedding near-dup pairs at corpus scale: random-hyperplane
+    signatures split into ``bands`` sub-codes (minhash-style banding —
+    two vectors are candidates when ANY band matches), hash-repartition
+    by (band, code) so each bucket lands whole in one block, vectorized
+    within-bucket cosine verify. One corpus pass, one all-to-all; the
+    driver only sees the pair list.
+
+    Recall at sim s: 1 - (1 - p^r)^bands with p = 1 - arccos(s)/pi and
+    r = bits/bands (bits=16, bands=8 -> ~99.6% at s=0.6, higher above).
+    Approximate-by-construction: pairs found are exact-verified, pairs
+    whose bands all differ are missed."""
+    import ray
+    from functools import partial as _partial
+
+    from .dedup import _NUM_VERIFY_PARTITIONS, _bucket_runs, \
+        _dedupe_pair_table, _enable_hash_shuffle
+
+    assert bits % bands == 0
+    r = bits // bands
+    planes = _hyperplanes(dim, bits, seed)
+    weights = np.left_shift(np.int64(1), np.arange(r, dtype=np.int64))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"],
+                             "bucket_key": pa.array([], pa.int64())})
+        emb = _matrix(batch)
+        bitsm = ((emb @ planes.T) > 0).astype(np.int64)  # (B, bits)
+        tabs = []
+        for band in range(bands):
+            code = bitsm[:, band * r:(band + 1) * r] @ weights
+            key = (np.int64(band) << np.int64(48)) | code
+            tabs.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket_key": pa.array(key, pa.int64()),
+            }))
+        return pa.concat_tables(tabs)
+
+    def verify(group: pa.Table) -> pa.Table:
+        key = group["bucket_key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = group["vec_id"].to_numpy()[order].astype(np.int64)
+        emb = _matrix(group.take(pa.array(order)))
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        nemb = emb / nrm
+        out: set[tuple] = set()
+        for s, e in _bucket_runs(key):
+            rid = ids[s:e]
+            uniq = np.unique(rid, return_index=True)[1]
+            rid, rn = rid[uniq], nemb[s:e][uniq]
+            sims = rn @ rn.T
+            iu, ju = np.triu_indices(len(rid), k=1)
+            m = sims[iu, ju] >= threshold
+            for a_, b_, s_ in zip(rid[iu[m]], rid[ju[m]], sims[iu[m], ju[m]]):
+                out.add((int(a_), int(b_), round(float(s_), 4)))
+        rows = sorted(out)
+        return pa.table({"a": pa.array([x[0] for x in rows], pa.int64()),
+                         "b": pa.array([x[1] for x in rows], pa.int64()),
+                         "sim": pa.array([x[2] for x in rows], pa.float64())})
+
+    pairs_ds = _enable_hash_shuffle(
+        ds.select_columns(["vec_id", "embedding"])
+          .map_batches(band_rows, batch_format="pyarrow")
+          .repartition(num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"])
+          .map_batches(verify, batch_format="pyarrow", batch_size=None))
+    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if not parts:
+        return empty
+    return _dedupe_pair_table(pa.concat_tables(parts), "sim")

@@ -208,3 +208,32 @@ def test_simhash_exact_recall_above_three_bits(ray_session):
         "text": pa.array(["x"], pa.string())}))
     with pytest.raises(AssertionError):
         simhash_neardup_pairs(ds, max_hamming=6, blocks=4)
+
+
+def test_cosine_neardup_lsh_recall(ray_session):
+    """Banded-LSH pairs: subset of brute pairs, recall >= 0.9 at the
+    bits=16 x bands=8 default, exact sims on found pairs."""
+    import ray
+    from frontera_ray.stages.ann import cosine_neardup_lsh, cosine_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = [base[i % 40] + 0.18 * rng.standard_normal(64).astype(np.float32)
+            for i in range(120)]  # 3 noisy copies of each base vector
+    mat = np.stack(rows)
+    t = pa.table({"vec_id": pa.array(range(len(mat)), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    brute = cosine_neardup_pairs(ds, threshold=0.6)
+    lsh = cosine_neardup_lsh(ds, threshold=0.6)
+    bp = set(zip(brute["a"].to_pylist(), brute["b"].to_pylist()))
+    lp = set(zip(lsh["a"].to_pylist(), lsh["b"].to_pylist()))
+    assert bp  # fixture produces near-dups
+    assert lp <= bp  # verified pairs only
+    assert len(lp) / len(bp) >= 0.9  # banding recall
+    bsim = dict(zip(zip(brute["a"].to_pylist(), brute["b"].to_pylist()),
+                    brute["sim"].to_pylist()))
+    for a, b, s in zip(lsh["a"].to_pylist(), lsh["b"].to_pylist(),
+                       lsh["sim"].to_pylist()):
+        assert abs(s - bsim[(a, b)]) < 2e-4
