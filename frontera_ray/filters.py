@@ -188,9 +188,14 @@ def normalize_seed(line: str) -> str | None:
     return url
 
 
-def read_seeds_dataset(path: str):
-    """Seed file (one URL per line) -> Dataset of normalized url rows,
-    streaming via ray.data.read_text."""
+def read_seeds_dataset(paths):
+    """Seed file(s) (one URL per line) -> Dataset of normalized url
+    rows, streaming via ray.data.read_text.
+
+    ``paths`` may be one path or a list, local or remote — read_text
+    resolves s3://, gs://, hdfs:// and http(s):// URIs through
+    pyarrow.fs, which covers the reference's S3 seed source
+    (worker/strategy.py:211-224) without a dedicated client."""
     import ray
 
     def kernel(batch: pa.Table) -> pa.Table:
@@ -198,4 +203,4 @@ def read_seeds_dataset(path: str):
         urls = [u for u in urls if u]
         return pa.table({"url": pa.array(urls, pa.string())})
 
-    return ray.data.read_text(path).map_batches(kernel, batch_format="pyarrow")
+    return ray.data.read_text(paths).map_batches(kernel, batch_format="pyarrow")

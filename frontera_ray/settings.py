@@ -1,0 +1,201 @@
+"""Settings-driven configuration surface.
+
+Re-expresses (public semantics, no code copied) the reference's primary
+extension mechanism: ``load_object`` dotted-path loading
+(frontera/utils/misc.py:22-45), the UPPERCASE-attribute ``Settings``
+object (frontera/settings/__init__.py) and the subset of
+``default_settings.py`` knobs that map onto the Ray rebuild. Backends,
+message buses and storage adapters from the reference's defaults have
+no counterpart here by design — actors + Arrow replace them — so only
+engine-meaningful keys are carried.
+
+Builders at the bottom turn a Settings object into a configured
+``LocalFrontier`` / ``RayCrawler``, which stay plain-kwargs classes —
+settings are a veneer, not a dependency.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+
+def load_object(path: str):
+    """Load a class/function/variable from its dotted path
+    (``pkg.module.Name`` — reference utils/misc.py:22-45 contract)."""
+    try:
+        dot = path.rindex(".")
+    except ValueError:
+        raise ValueError(f"Error loading object '{path}': not a full path")
+    module, name = path[:dot], path[dot + 1:]
+    mod = import_module(module)
+    try:
+        return getattr(mod, name)
+    except AttributeError:
+        raise NameError(
+            f"Module '{module}' doesn't define any object named '{name}'")
+
+
+DEFAULT_SETTINGS: dict = {
+    # crawl loop
+    "AUTO_START": True,
+    "MAX_NEXT_REQUESTS": 64,
+    "MAX_REQUESTS": 0,
+    "TEST_MODE": False,
+    # strategy / solver / codec (dotted path, or a registry short name)
+    "STRATEGY": "frontera_ray.strategies.BasicStrategy",
+    "STRATEGY_ARGS": {},
+    "CANONICAL_SOLVER": "basic",
+    "MESSAGE_BUS_CODEC": "json",
+    # ordering profile ('min_score' = the reference memory/SQLAlchemy
+    # semantics the golden corpus encodes; 'max_score' = HBase/production)
+    "QUEUE_PROFILE": "min_score",
+    # broad-crawl batch shaping
+    "BC_MIN_REQUESTS": 64,
+    "BC_MIN_HOSTS": 24,
+    "BC_MAX_REQUESTS_PER_HOST": 128,
+    # overused buffer purging
+    "OVERUSED_MAX_PER_KEY": None,
+    "OVERUSED_KEEP_PER_KEY": 1000,
+    "OVERUSED_MAX_KEYS": None,
+    "OVERUSED_KEEP_KEYS": 100,
+    "OVERUSED_KEY_TYPE": "domain",  # or 'ip' (needs OVERUSED_IP_RESOLVER)
+    "OVERUSED_IP_RESOLVER": None,
+    # politeness / filtering
+    "ROBOTS_ENABLED": False,
+    "DISCOVERY_MAX_PAGES": 100,
+    "DOMAINS_BLACKLIST": None,
+    # sharding (ray-specific; SPIDER_FEED_PARTITIONS is honored as an
+    # alias for queue shards to ease migration)
+    "NUM_STATE_SHARDS": 4,
+    "NUM_QUEUE_SHARDS": 4,
+    "BATCH_PER_SHARD": 512,
+    # URL-seen memory mode
+    "STATE_CACHE_SIZE_LIMIT": 0,  # 0 = exact dict; >0 = bloom+overlay cap
+    "CHECKPOINT_EVERY": 0,
+}
+
+
+class Settings:
+    """UPPERCASE-attribute settings container (reference BaseSettings
+    contract): init from a module path / module object / dict; reads
+    fall back to defaults."""
+
+    def __init__(self, module=None, attributes: dict | None = None):
+        self.__dict__["attributes"] = dict(DEFAULT_SETTINGS)
+        if module:
+            self.add_module(module)
+        if attributes:
+            self.set_from_dict(attributes)
+
+    @classmethod
+    def from_params(cls, **kwargs) -> "Settings":
+        return cls(attributes={k.upper(): v for k, v in kwargs.items()})
+
+    @classmethod
+    def object_from(cls, settings) -> "Settings":
+        if isinstance(settings, Settings):
+            return settings
+        return cls(settings)
+
+    def add_module(self, module) -> None:
+        if isinstance(module, str):
+            module = import_module(module)
+        for key in dir(module):
+            if key.isupper():
+                self.set(key, getattr(module, key))
+
+    def get(self, key: str, default=None):
+        if not key.isupper():
+            return None
+        return self.attributes.get(key, default)
+
+    def set(self, key: str, value) -> None:
+        if key.isupper():
+            self.attributes[key] = value
+
+    def set_from_dict(self, attributes: dict) -> None:
+        for k, v in attributes.items():
+            self.set(k, v)
+
+    def __getattr__(self, name: str):
+        if name.isupper() and name in self.__dict__["attributes"]:
+            return self.__dict__["attributes"][name]
+        raise AttributeError(name)
+
+    def __setattr__(self, name: str, value) -> None:
+        if name.isupper():
+            self.attributes[name] = value
+        else:
+            self.__dict__[name] = value
+
+
+def _strategy_from(settings: Settings):
+    from .strategies import STRATEGIES
+
+    spec = settings.STRATEGY
+    args = settings.get("STRATEGY_ARGS") or {}
+    if isinstance(spec, str):
+        cls = STRATEGIES.get(spec) or load_object(spec)
+        return cls(**args)
+    return spec(**args) if isinstance(spec, type) else spec
+
+
+def _queue_kwargs_from(settings: Settings) -> dict:
+    kw = dict(
+        max_per_key=settings.get("OVERUSED_MAX_PER_KEY"),
+        keep_per_key=settings.get("OVERUSED_KEEP_PER_KEY", 1000),
+        max_keys=settings.get("OVERUSED_MAX_KEYS"),
+        keep_keys=settings.get("OVERUSED_KEEP_KEYS", 100),
+        robots_enabled=bool(settings.get("ROBOTS_ENABLED", False)),
+    )
+    if settings.get("OVERUSED_KEY_TYPE", "domain") != "domain":
+        kw["key_type"] = settings.OVERUSED_KEY_TYPE
+        kw["ip_resolver"] = settings.get("OVERUSED_IP_RESOLVER")
+    return kw
+
+
+def local_frontier_from_settings(settings=None, **overrides):
+    """Build a LocalFrontier from a Settings object / module path / dict
+    (the reference's ``FrontierManager.from_settings`` shape)."""
+    from .pipelines.local import LocalFrontier
+
+    s = Settings.object_from(settings) if settings is not None else Settings()
+    s.set_from_dict({k.upper(): v for k, v in overrides.items()})
+    n_queue = s.get("SPIDER_FEED_PARTITIONS") or s.NUM_QUEUE_SHARDS
+    return LocalFrontier(
+        strategy=_strategy_from(s),
+        profile=s.QUEUE_PROFILE,
+        num_state_shards=s.NUM_STATE_SHARDS,
+        num_queue_shards=int(n_queue),
+        queue_kwargs=_queue_kwargs_from(s),
+        max_requests=int(s.get("MAX_REQUESTS", 0) or 0),
+    )
+
+
+def ray_crawler_from_settings(web, out_dir: str, settings=None, **overrides):
+    """Build a RayCrawler from a Settings object / module path / dict."""
+    from .pipelines.crawl import RayCrawler
+    from .strategies import STRATEGIES
+
+    s = Settings.object_from(settings) if settings is not None else Settings()
+    s.set_from_dict({k.upper(): v for k, v in overrides.items()})
+    strategy = s.STRATEGY
+    if not (isinstance(strategy, str) and strategy in STRATEGIES):
+        raise ValueError(
+            "RayCrawler strategies are broadcast by registry name; set "
+            f"STRATEGY to one of {sorted(STRATEGIES)}")
+    cache_limit = int(s.get("STATE_CACHE_SIZE_LIMIT", 0) or 0)
+    return RayCrawler(
+        web, out_dir,
+        strategy=strategy,
+        profile=s.QUEUE_PROFILE,
+        num_state_shards=s.NUM_STATE_SHARDS,
+        num_queue_shards=int(s.get("SPIDER_FEED_PARTITIONS")
+                             or s.NUM_QUEUE_SHARDS),
+        batch_per_shard=s.BATCH_PER_SHARD,
+        max_per_host=s.get("BC_MAX_REQUESTS_PER_HOST"),
+        min_hosts=s.get("BC_MIN_HOSTS") if s.get("TEST_MODE") else None,
+        exact_states=cache_limit == 0,
+        checkpoint_every=int(s.get("CHECKPOINT_EVERY", 0) or 0),
+        queue_kwargs=_queue_kwargs_from(s),
+    )

@@ -122,3 +122,18 @@ def test_read_seeds_dataset(ray_session, tmp_path):
     ds = read_seeds_dataset(str(p))
     assert sorted(r["url"] for r in ds.take_all()) == [
         "http://a.com/1", "http://www.b.com"]
+
+
+def test_read_seeds_multiple_files(ray_session, tmp_path):
+    """Seed reader accepts a list of files/URIs (S3-style multi-shard
+    seed sources read the same way via pyarrow.fs)."""
+    from frontera_ray.filters import read_seeds_dataset
+
+    a = tmp_path / "seeds-a.txt"
+    b = tmp_path / "seeds-b.txt"
+    a.write_text("# part a\nwww.one.test/1\n\n")
+    b.write_text("http://two.test/2\n  three.test/3  \n")
+    ds = read_seeds_dataset([str(a), str(b)])
+    urls = sorted(r["url"] for r in ds.take_all())
+    assert urls == ["http://three.test/3", "http://two.test/2",
+                    "http://www.one.test/1"]
