@@ -97,6 +97,9 @@ class QueueActor:
     def update_scores(self, fps, scores) -> int:
         return self.shard.update_scores(fps, scores)
 
+    def add_scores(self, fps, deltas) -> int:
+        return self.shard.add_scores(fps, deltas)
+
     def count(self) -> int:
         return self.shard.count()
 
@@ -259,16 +262,34 @@ def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Tab
     )
 
 
-def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
+def route_links(batch: pa.Table, state_actors, queue_actors,
+                opic_cash: bool = False) -> pa.Table:
     """Route links to owning shards: fp64 %% N state shards for dedup,
-    crc32(host) %% M queue shards for scheduling. Emits one stats row."""
+    crc32(host) %% M queue shards for scheduling. Emits one stats row.
+
+    ``opic_cash``: OPIC semantics for duplicate links — instead of
+    dropping a duplicate's score, its cash is ADDED to the queued
+    request (within-batch: summed into the kept row; cross-batch:
+    shipped to the owning queue shard's add_scores)."""
     import pyarrow.compute as pc
 
     if len(batch) == 0:
         return pa.table({"candidates": [0], "scheduled": [0]})
     fps = batch["fingerprint"].to_numpy()
-    _, first_idx = np.unique(fps, return_index=True)  # within-batch dedup
-    batch = batch.take(pa.array(np.sort(first_idx)))
+    if opic_cash:
+        # within-batch duplicate cash folds into the first occurrence
+        uniq, first_idx, inv = np.unique(fps, return_index=True,
+                                         return_inverse=True)
+        cash_sum = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(cash_sum, inv, batch["score"].to_numpy())
+        keep_order = np.sort(first_idx)
+        batch = batch.take(pa.array(keep_order))
+        batch = batch.set_column(
+            batch.column_names.index("score"), "score",
+            pa.array(cash_sum[inv[keep_order]], pa.float64()))
+    else:
+        _, first_idx = np.unique(fps, return_index=True)  # within-batch dedup
+        batch = batch.take(pa.array(np.sort(first_idx)))
     fps = batch["fingerprint"].to_numpy()
 
     n_states = len(state_actors)
@@ -295,12 +316,24 @@ def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
         m = np.nonzero(shard_ids == sid)[0]
         pending[state_actors[sid].check_and_mark.remote(fps[m])] = m
     sched_futures = []
+    cash_futures = []
+    scores_np = batch["score"].to_numpy() if opic_cash else None
     while pending:
         done, _ = ray.wait(list(pending), num_returns=1)
         ref = done[0]
         m = pending.pop(ref)
         res = ray.get(ref)
         rows = m[res]
+        if opic_cash:
+            # cross-batch duplicates: hand their cash to the queued
+            # request on its owning queue shard
+            dup_rows = m[~res]
+            if len(dup_rows):
+                dq = qids_all[dup_rows]
+                for qid in np.unique(dq):
+                    rr = dup_rows[dq == qid]
+                    cash_futures.append(queue_actors[qid].add_scores.remote(
+                        fps[rr], scores_np[rr]))
         if not len(rows):
             continue
         sub_qids = qids_all[rows]
@@ -311,6 +344,8 @@ def route_links(batch: pa.Table, state_actors, queue_actors) -> pa.Table:
                     entry_all.take(pa.array(rr)))
             )
     scheduled = int(sum(ray.get(sched_futures)))
+    if cash_futures:
+        ray.get(cash_futures)
     return pa.table({"candidates": [len(batch)], "scheduled": [scheduled]})
 
 
@@ -417,6 +452,9 @@ class RayCrawler:
         import threading
 
         self._lock = threading.Lock()
+        # OPIC-style strategies accumulate duplicate-link cash instead
+        # of dropping it at dedup
+        self._opic_cash = hasattr(self.strategy, "link_scores_cash")
         # broadcast once; every task resolves from the local object store
         self._web_ref = ray.put(web)
         self._strategy_ref = ray.put(self.strategy)
@@ -485,7 +523,8 @@ class RayCrawler:
             )
             .map_batches(
                 partial(route_links, state_actors=self.state_actors,
-                        queue_actors=self.queue_actors),
+                        queue_actors=self.queue_actors,
+                        opic_cash=self._opic_cash),
                 batch_format="pyarrow", batch_size=None,
             )
             .take_all()  # tiny: one stats row per routed batch

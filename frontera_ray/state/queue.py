@@ -309,6 +309,36 @@ class QueueShard:
         self._maybe_compact()
         return n
 
+    def add_scores(self, fps, deltas) -> int:
+        """OPIC cash accumulation: ADD delta to the priority of queued
+        requests (duplicate links hand their cash to the already-queued
+        request instead of dropping it — Abiteboul et al., "Adaptive
+        on-line page importance computation", WWW 2003). Same ghost
+        mechanics as update_scores; cash for fingerprints no longer
+        queued (already popped) is dropped, matching cash-on-crawl
+        semantics."""
+        n = 0
+        for fp, d in zip(fps, deltas):
+            d = float(d)
+            tickets = self._by_fp.get(int(fp))
+            if not tickets or d == 0.0:
+                continue
+            for t in list(tickets):
+                e = self._live[t]
+                e2 = QueueEntry(e.url, e.fingerprint, e.host, e.score + d,
+                                e.depth, e.seq, e.crawl_at)
+                del self._live[t]
+                tickets.discard(t)
+                t2 = self._ticket
+                self._ticket += 1
+                self._live[t2] = e2
+                tickets.add(t2)
+                heapq.heappush(self._heap, (*self._key(e2), t2, e2))
+                n += 1
+        self.stats["score_adds"] += n
+        self._maybe_compact()
+        return n
+
     def _maybe_compact(self) -> None:
         """Bound ghost accumulation: when over half the heap is stale,
         rebuild it from live items (amortized O(n), rare)."""

@@ -146,15 +146,34 @@ class UrlSeenShard:
 
     def get_states(self, fps) -> np.ndarray:
         out = np.empty(len(fps), dtype=np.int8)
+        states = self.states
+        lru = self.bloom is not None  # overlay is an LRU in bloom mode
         for i, fp in enumerate(fps):
-            out[i] = self.states.get(int(fp), States.DEFAULT)
+            fp = int(fp)
+            v = states.get(fp)
+            if v is None:
+                out[i] = States.DEFAULT
+                continue
+            out[i] = v
+            if lru:  # move-to-end: reads keep entries hot
+                del states[fp]
+                states[fp] = v
         return out
 
     def flush(self) -> None:
-        """Overlay truncation in bloom mode (memory bound, mirrors the
-        reference memory-states cache clear above its limit)."""
+        """Overlay LRU eviction in bloom mode (reference HBase state
+        cache semantics: bounded cache, least-recently-used out first —
+        dict insertion order is recency because reads re-insert). Evicts
+        down to half the limit so flushes amortize."""
         if self.bloom is not None and len(self.states) > self.overlay_limit:
-            self.states.clear()
+            n_drop = len(self.states) - self.overlay_limit // 2
+            drop = []
+            for fp in self.states:  # oldest first
+                drop.append(fp)
+                if len(drop) >= n_drop:
+                    break
+            for fp in drop:
+                del self.states[fp]
 
     # -- checkpoint ----------------------------------------------------------
     def checkpoint(self, directory: str) -> None:

@@ -150,3 +150,54 @@ def test_restore_falls_back_to_checkpoint_old(ray_session, small_web, tmp_path):
     assert meta["round"] == c.round
     assert (out / "checkpoint" / "meta.json").exists()
     assert not (out / "checkpoint.old").exists()
+
+
+def test_opic_cash_routing(ray_session):
+    """OPIC duplicate-link cash: a link already queued receives ADDED
+    cash via the owning queue shard (cross-batch), and duplicate rows
+    within one batch fold their cash into the kept row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.pipelines.crawl import (QueueActor, UrlSeenActor,
+                                              route_links)
+
+    states = [UrlSeenActor.remote(0)]
+    queues = [QueueActor.remote(0, profile="max_score")]
+
+    def links_table(rows):
+        urls, scores = zip(*rows)
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "parent_depth": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "seq": pa.array(np.arange(n, dtype=np.int64) + 100, pa.int64()),
+            "parent_score": pa.array(np.zeros(n), pa.float64()),
+            "n_siblings": pa.array(np.full(n, n, np.int32), pa.int32()),
+        })
+
+    from frontera_ray.pipelines.crawl import process_links
+    from frontera_ray.strategies import OPICStrategy
+
+    st_ref = ray.put(OPICStrategy())
+
+    def route(rows):
+        b = process_links(links_table(rows), st_ref)
+        # overwrite scores with explicit cash for determinism
+        b = b.set_column(b.column_names.index("score"), "score",
+                         pa.array([s for _, s in rows], pa.float64()))
+        return route_links(b, states, queues, opic_cash=True)
+
+    # batch 1: d queued with cash 0.3 + within-batch duplicate 0.2 -> 0.5
+    route([("http://x.test/d", 0.3), ("http://x.test/d", 0.2),
+           ("http://x.test/e", 0.1)])
+    # batch 2: d again (cross-batch duplicate) with cash 0.25
+    route([("http://x.test/d", 0.25)])
+    stats = ray.get(queues[0].stats.remote())
+    assert stats["score_adds"] == 1
+    popped = ray.get(queues[0].pop_table.remote(10))
+    by_url = dict(zip(popped["url"].to_pylist(),
+                      popped["score"].to_pylist()))
+    assert abs(by_url["http://x.test/d"] - 0.75) < 1e-12
+    assert abs(by_url["http://x.test/e"] - 0.1) < 1e-12

@@ -195,3 +195,21 @@ def test_update_scores_sublinear_in_frontier():
 
     small, big = batch_cost(20_000), batch_cost(200_000)
     assert big < small * 6, (small, big)  # O(frontier) would be ~10x
+
+
+def test_add_scores_accumulates_cash():
+    """OPIC cash addition: add_scores ADDS to a queued entry's priority
+    (update_scores replaces); cash for popped fps is dropped."""
+    from frontera_ray.state.queue import QueueEntry, QueueShard
+
+    q = QueueShard(profile="max_score")
+    q.schedule([QueueEntry("u1", 1, "h", 0.2, 0, 0),
+                QueueEntry("u2", 2, "h", 0.5, 0, 1)])
+    assert q.add_scores([1, 1, 99], [0.4, 0.1, 1.0]) == 2  # 99 not queued
+    # u1 now 0.2+0.4+0.1 = 0.7 > u2's 0.5 -> pops first under max_score
+    got = q.pop(2)
+    assert [e.url for e in got] == ["u1", "u2"]
+    assert abs(got[0].score - 0.7) < 1e-12
+    assert q.count() == 0
+    # cash after pop is dropped
+    assert q.add_scores([1], [0.5]) == 0

@@ -61,3 +61,26 @@ def test_checkpoint_restore(tmp_path):
     r = UrlSeenShard.restore(str(tmp_path), 3)
     assert r.get_states(np.array([5, 6, 7], dtype=np.uint64)).tolist() == [
         States.CRAWLED, States.QUEUED, States.NOT_CRAWLED]
+
+
+def test_bloom_overlay_lru_eviction():
+    """Bloom-mode overlay is an LRU: recently-read states survive a
+    flush, least-recently-used are evicted; the bloom still answers
+    'seen' for evicted keys."""
+    import numpy as np
+
+    from frontera_ray.state.urlseen import States, UrlSeenShard
+
+    s = UrlSeenShard(0, exact=False, bloom_bits=1 << 16, overlay_limit=100)
+    fps = np.arange(1, 121, dtype=np.uint64)
+    assert s.check_and_mark(fps).all()
+    # touch the FIRST 10 (oldest) so they become most-recent
+    s.get_states(list(range(1, 11)))
+    s.flush()  # 120 > 100 -> evict down to 50
+    assert len(s.states) == 50
+    # the touched keys survived eviction
+    assert all(int(f) in s.states for f in range(1, 11))
+    # evicted keys: overlay forgets the exact state but bloom remembers
+    evicted = [fp for fp in range(11, 121) if fp not in s.states][0]
+    assert not s.check_and_mark(np.array([evicted], dtype=np.uint64))[0]
+    assert s.get_states([evicted])[0] == States.DEFAULT
