@@ -10,6 +10,8 @@ one). Two encodings, same logical schema:
 
 - ``json``: line-delimited JSON (human-debuggable)
 - ``arrow``: Arrow IPC stream of the event table (zero-copy replay)
+- ``msgpack``: the reference's default wire codec
+  (settings MESSAGE_BUS_CODEC), import-gated
 
 Round-trip of every event type is the parity obligation (reference
 tests/test_codecs.py is a round-trip suite).
@@ -79,6 +81,21 @@ CODECS = {
     "json": (encode_json, decode_json),
     "arrow": (encode_arrow, decode_arrow),
 }
+
+try:
+    import msgpack as _msgpack
+
+    def encode_msgpack(events) -> bytes:
+        return b"".join(
+            _msgpack.packb(_normalize(e), use_bin_type=True) for e in events)
+
+    def decode_msgpack(data: bytes) -> list[dict]:
+        unpacker = _msgpack.Unpacker(io.BytesIO(data), raw=False)
+        return list(unpacker)
+
+    CODECS["msgpack"] = (encode_msgpack, decode_msgpack)
+except ImportError:  # codec optional, like the reference's msgpack extra
+    pass
 
 
 def replay_events(frontier, events) -> dict:

@@ -46,6 +46,11 @@ DEFAULT_SETTINGS: dict = {
     "STRATEGY_ARGS": {},
     "CANONICAL_SOLVER": "basic",
     "MESSAGE_BUS_CODEC": "json",
+    # fingerprint functions (reference default_settings.py:13,87: sha1
+    # for URLs, hostname_local_fingerprint for domains) — dotted paths
+    "URL_FINGERPRINT_FUNCTION": "frontera_ray.fingerprint.sha1",
+    "DOMAIN_FINGERPRINT_FUNCTION":
+        "frontera_ray.fingerprint.hostname_local_fingerprint",
     # ordering profile ('min_score' = the reference memory/SQLAlchemy
     # semantics the golden corpus encodes; 'max_score' = HBase/production)
     "QUEUE_PROFILE": "min_score",

@@ -95,3 +95,30 @@ def test_ray_crawler_from_settings(ray_session, tmp_path):
         ray_crawler_from_settings(
             web, str(tmp_path / "out2"),
             Settings.from_params(strategy="not.a.registry.Name"))
+
+
+def test_fingerprint_function_settings():
+    """URL/DOMAIN fingerprint functions resolve via load_object from
+    their settings keys (reference default_settings.py contract)."""
+    from frontera_ray import fingerprint as fpmod
+
+    s = Settings()
+    assert load_object(s.URL_FINGERPRINT_FUNCTION) is fpmod.sha1
+    assert load_object(s.DOMAIN_FINGERPRINT_FUNCTION) is \
+        fpmod.hostname_local_fingerprint
+    s2 = Settings.from_params(
+        url_fingerprint_function="frontera_ray.fingerprint.md5")
+    from frontera_ray.fingerprint import md5 as repo_md5
+
+    assert load_object(s2.URL_FINGERPRINT_FUNCTION) is repo_md5
+
+
+def test_msgpack_codec_selectable():
+    from frontera_ray.codecs import CODECS
+
+    assert Settings().MESSAGE_BUS_CODEC in CODECS
+    enc, dec = CODECS["msgpack"]
+    evs = [{"type": "us", "fingerprint": 5, "url": "http://a/", "score": 0.5,
+            "schedule": True}]
+    out = dec(enc(evs))
+    assert out[0]["type"] == "us" and out[0]["score"] == 0.5
