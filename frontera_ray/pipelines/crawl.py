@@ -157,12 +157,16 @@ LINKS_SCHEMA = pa.schema(
 )
 
 
-def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
+def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
+                   carry_parent_url: bool = False) -> pa.Table:
     """Simulated fetch of popped URLs; writes the page fragment (image+
     caption rows, FIXTURES.md §F4 schema) and emits outlink rows.
 
     Pure function of the URL (payload.fetch_simulated), so re-running a
-    round after resume reproduces identical page fragments."""
+    round after resume reproduces identical page fragments.
+    ``carry_parent_url`` adds a parent_url column to the link rows —
+    only requested when the strategy defines filter_extracted_links, so
+    the default link stream stays slim."""
     from ..payload import fetch_batch_columns
 
     web = _resolve(web_ref)
@@ -215,15 +219,17 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str) -> pa.Table:
     n_siblings = np.repeat(counts, counts)
     link_idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts if c])
     seqs = parent_seq * SEQ_BASE + (link_idx + 1)
-    return pa.table(
-        {
-            "url": flat,
-            "parent_depth": pa.array(parent_depth.astype(np.int32), pa.int32()),
-            "seq": pa.array(seqs, pa.int64()),
-            "parent_score": pa.array(parent_score, pa.float64()),
-            "n_siblings": pa.array(n_siblings.astype(np.int32), pa.int32()),
-        }
-    )
+    out = {
+        "url": flat,
+        "parent_depth": pa.array(parent_depth.astype(np.int32), pa.int32()),
+        "seq": pa.array(seqs, pa.int64()),
+        "parent_score": pa.array(parent_score, pa.float64()),
+        "n_siblings": pa.array(n_siblings.astype(np.int32), pa.int32()),
+    }
+    if carry_parent_url:
+        out["parent_url"] = pa.array(
+            np.repeat(np.asarray(urls, dtype=object), counts), pa.string())
+    return pa.table(out)
 
 
 def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Table:
@@ -237,6 +243,15 @@ def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Tab
                     .append_column("host_crc32", pa.array([], pa.int32())) \
                     .append_column("score", pa.array([], pa.float64()))
     strategy = _resolve(strategy_ref)
+    if (hasattr(strategy, "filter_extracted_links")
+            and "parent_url" in batch.column_names):
+        parents = np.asarray(batch["parent_url"].to_pylist(), dtype=object)
+        kids = np.asarray(batch["url"].to_pylist(), dtype=object)
+        mask = np.asarray(strategy.filter_extracted_links(parents, kids),
+                          dtype=bool)
+        batch = batch.filter(pa.array(mask))
+        if len(batch) == 0:
+            return process_links(batch, strategy, salted)
     urls = np.asarray(batch["url"].to_pylist(), dtype=object)
     canon = canonicalize_batch(urls)
     fps = fp64_batch(canon)
@@ -455,6 +470,9 @@ class RayCrawler:
         # OPIC-style strategies accumulate duplicate-link cash instead
         # of dropping it at dedup
         self._opic_cash = hasattr(self.strategy, "link_scores_cash")
+        # strategies with a link filter need parent_url carried in the
+        # link stream (slim otherwise)
+        self._filter_links = hasattr(self.strategy, "filter_extracted_links")
         # broadcast once; every task resolves from the local object store
         self._web_ref = ray.put(web)
         self._strategy_ref = ray.put(self.strategy)
@@ -513,7 +531,8 @@ class RayCrawler:
         stats_rows = (
             ds.map_batches(
                 partial(fetch_and_sink, web_ref=self._web_ref,
-                        round_dir=str(round_dir)),
+                        round_dir=str(round_dir),
+                        carry_parent_url=self._filter_links),
                 batch_format="pyarrow", batch_size=None,
             )
             .map_batches(
@@ -559,12 +578,22 @@ class RayCrawler:
                 "(pipeline_depth=1): overlapped rounds have in-flight "
                 "state that a shard snapshot cannot capture consistently"
             )
+        # strategy.finished() hook (reference strategy/__init__.py
+        # finished(), polled per work cycle) — evaluated on the driver
+        # copy with the run totals, since worker-side strategy copies
+        # hold no authoritative global state in this architecture
+        def _strategy_done() -> bool:
+            fin = getattr(self.strategy, "finished", None)
+            return bool(fin(self.pages_total, self.round)) if fin else False
+
         if pipeline_depth <= 1:
             while self.round < max_rounds:
                 m = self.run_round()
                 if m["popped"] == 0:
                     break
                 if max_pages and self.pages_total >= max_pages:
+                    break
+                if _strategy_done():
                     break
                 if self.checkpoint_every and self.round % self.checkpoint_every == 0:
                     self.checkpoint()
@@ -585,7 +614,8 @@ class RayCrawler:
             pending = set()
             while True:
                 budget_left = (self.round < max_rounds
-                               and not (max_pages and self.pages_total >= max_pages))
+                               and not (max_pages and self.pages_total >= max_pages)
+                               and not _strategy_done())
                 while budget_left and len(pending) < pipeline_depth:
                     if small_round:
                         time.sleep(0.03)

@@ -120,6 +120,13 @@ class LocalFrontier:
     def links_extracted(self, parent: QueueEntry, links) -> int:
         if not links:
             return 0
+        if hasattr(self.strategy, "filter_extracted_links"):
+            mask = np.asarray(self.strategy.filter_extracted_links(
+                np.full(len(links), parent.url, dtype=object),
+                np.asarray(links, dtype=object)), dtype=bool)
+            links = [l for l, k in zip(links, mask) if k]
+            if not links:
+                return 0
         if hasattr(self.strategy, "link_scores_cash"):
             scores = self.strategy.link_scores_cash(
                 np.full(len(links), parent.score),

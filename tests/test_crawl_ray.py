@@ -201,3 +201,70 @@ def test_opic_cash_routing(ray_session):
                       popped["score"].to_pylist()))
     assert abs(by_url["http://x.test/d"] - 0.75) < 1e-12
     assert abs(by_url["http://x.test/e"] - 0.1) < 1e-12
+
+
+def test_filter_extracted_links_hook(ray_session, tmp_path):
+    """Strategies can drop links before scheduling (reference
+    filter_extracted_links hook): a same-host-only filter confines the
+    crawl in both the local and the distributed engine."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.strategies import DepthBFSStrategy
+    from frontera_ray.urls import hostnames_batch
+
+    class EvenHostOnly(DepthBFSStrategy):
+        """Drops links to odd-numbered hosts."""
+
+        def filter_extracted_links(self, parent_urls, urls):
+            import numpy as np
+
+            hosts = hostnames_batch(np.asarray(urls, dtype=object))
+            return np.array([int(h[5:10]) % 2 == 0 for h in hosts])
+
+    web = SyntheticWeb(6, seed=2, max_class=3)
+    c = _crawler(ray_session, web, tmp_path / "out")
+    c.strategy = EvenHostOnly()
+    c._strategy_ref = __import__("ray").put(c.strategy)
+    c._filter_links = True
+    c.add_seeds(web.seeds())  # seeds are not filtered (parity: reference
+    # filter applies to extracted links only)
+    c.run(max_rounds=50)
+    urls = c.crawled_urls()
+    # seeds from odd hosts crawl (depth 0) but never expand
+    from collections import Counter
+
+    per_host = Counter(u.split("/")[2] for u in urls)
+    for host, n in per_host.items():
+        if int(host[5:10]) % 2 == 1:
+            assert n == 1, (host, n)  # seed only
+    assert any(int(h[5:10]) % 2 == 0 and n > 1 for h, n in per_host.items())
+
+    # local engine: same hook, same confinement
+    from frontera_ray.pipelines.local import LocalFrontier, run_crawl_sequence
+
+    class _G:
+        seeds = web.seeds()
+        links_of = staticmethod(web.links_of)
+
+    lf = LocalFrontier(strategy=EvenHostOnly(), profile="max_score")
+    seq = run_crawl_sequence(lf, _G, max_next_requests=100)
+    local_urls = [e.url for reqs, _, _ in seq for e in reqs]
+    assert set(local_urls) == set(urls)
+
+
+def test_strategy_finished_hook(ray_session, tmp_path):
+    """strategy.finished(pages_total, rounds) stops the run early."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.strategies import DepthBFSStrategy
+
+    class TwoRounds(DepthBFSStrategy):
+        def finished(self, pages_total, rounds):
+            return rounds >= 2
+
+    web = SyntheticWeb(8, seed=11, max_class=3)
+    c = _crawler(ray_session, web, tmp_path / "out")
+    c.strategy = TwoRounds()
+    c._strategy_ref = __import__("ray").put(c.strategy)
+    c.add_seeds(web.seeds())
+    summary = c.run(max_rounds=100)
+    assert summary["rounds"] == 2
+    assert summary["pages"] < web.total_pages()
