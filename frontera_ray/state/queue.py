@@ -125,6 +125,50 @@ class DomainMetadata:
         return self.robots.can_fetch(user_agent, url)
 
 
+class SlotLoadTracker:
+    """Downloader-slot load tracking — the piece that DECIDES which keys
+    are overused (reference contrib/scrapy/schedulers/frontier.py:
+    166-176: a key is overused when active/concurrency >
+    OVERUSED_SLOT_FACTOR). Feed dispatches/completions from the fetch
+    layer; pass ``overused_keys()`` into ``QueueShard.pop``. Keys are
+    hostnames or IPs, matching the queue's ``key_type``."""
+
+    def __init__(self, concurrency: int = 1, slot_factor: float = 5.0,
+                 key_type: str = "domain", ip_resolver=None):
+        if key_type == "ip" and ip_resolver is None:
+            raise ValueError("key_type='ip' needs an ip_resolver(host) hook")
+        self.concurrency = max(1, int(concurrency))
+        self.slot_factor = float(slot_factor)
+        self._key_type = key_type
+        self._ip_resolver = ip_resolver
+        self._ip_cache: dict[str, str] = {}
+        self.active: dict[str, int] = defaultdict(int)
+
+    def _key(self, host: str) -> str:
+        if self._key_type == "domain":
+            return host
+        ip = self._ip_cache.get(host)
+        if ip is None:
+            ip = self._ip_cache[host] = str(self._ip_resolver(host))
+        return ip
+
+    def on_dispatch(self, entries) -> None:
+        for e in entries:
+            self.active[self._key(e.host)] += 1
+
+    def on_complete(self, entry) -> None:
+        key = self._key(entry.host)
+        n = self.active.get(key, 0)
+        if n <= 1:
+            self.active.pop(key, None)
+        else:
+            self.active[key] = n - 1
+
+    def overused_keys(self) -> list[str]:
+        return [k for k, n in self.active.items()
+                if n / self.concurrency > self.slot_factor]
+
+
 class QueueShard:
     def __init__(self, shard_id: int = 0, profile: str = "min_score",
                  max_per_key: int | None = None, keep_per_key: int = 1000,

@@ -152,3 +152,38 @@ def test_ip_key_type_requires_resolver():
         QueueShard(key_type="ip")
     with pytest.raises(ValueError):
         QueueShard(key_type="bogus")
+
+
+def test_slot_load_tracker_overuse_formula():
+    """active/concurrency > OVERUSED_SLOT_FACTOR marks a key overused
+    (reference scheduler formula); completions release the slot."""
+    from frontera_ray.state.queue import QueueEntry, SlotLoadTracker
+
+    t = SlotLoadTracker(concurrency=2, slot_factor=2.0)
+    es = [QueueEntry(f"http://a.com/{i}", i, "a.com", 1.0, 0, i)
+          for i in range(5)]
+    t.on_dispatch(es[:4])
+    assert t.overused_keys() == []          # 4/2 = 2.0, not > 2.0
+    t.on_dispatch([es[4]])
+    assert t.overused_keys() == ["a.com"]   # 5/2 = 2.5 > 2.0
+    t.on_complete(es[0])
+    assert t.overused_keys() == []
+    # end-to-end with the queue: overused key parks, release serves
+    from frontera_ray.state.queue import QueueShard
+
+    q = QueueShard()
+    q.schedule([QueueEntry("http://a.com/x", 50, "a.com", 1.0, 0, 50),
+                QueueEntry("http://b.com/x", 51, "b.com", 1.0, 0, 51)])
+    got = q.pop(2, overused_keys=t.overused_keys())
+    assert len(got) == 2  # nothing overused anymore
+
+
+def test_slot_load_tracker_ip_keys():
+    from frontera_ray.state.queue import QueueEntry, SlotLoadTracker
+
+    ips = {"a.x": "1.1.1.1", "b.x": "1.1.1.1"}
+    t = SlotLoadTracker(concurrency=1, slot_factor=1.0, key_type="ip",
+                        ip_resolver=ips.__getitem__)
+    t.on_dispatch([QueueEntry("http://a.x/1", 1, "a.x", 1.0, 0, 0),
+                   QueueEntry("http://b.x/1", 2, "b.x", 1.0, 0, 1)])
+    assert t.overused_keys() == ["1.1.1.1"]  # both hosts share the slot
