@@ -232,6 +232,17 @@ def q_langid(sf_dir: str):
         langid_table, batch_format="pyarrow")
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs over the doc_id<100
+    slice (integer-exact inter/union sizes, threshold 0.5 as
+    100*inter >= 50*union). The SQL oracle rebuilds the same grams with
+    array windowing; Jaccard over the engine's hashed gram sets equals
+    Jaccard over the raw grams."""
+    from frontera_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), limit_ids=100)
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: hash-partition by content md5, first-wins per group."""
     from frontera_ray.stages.text import content_md5_table
@@ -740,6 +751,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "langid": q_langid,
     "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,
     "revenue_nation": q_revenue_nation,
@@ -994,4 +1006,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES ('http://www.a.test/1'),
                                   ('http://b.test/2'),
                                   ('http://c.test/3')) AS t(url)""",
+        "ngram_jaccard": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents WHERE doc_id < 100),
+            g AS (SELECT DISTINCT doc_id,
+                         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+                  FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*) AS inter_size
+                      FROM g x JOIN g y
+                        ON x.gram = y.gram AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, inter_size,
+                   (sa.n + sb.n - inter_size) AS union_size
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE 100 * inter_size >= 50 * (sa.n + sb.n - inter_size)
+            ORDER BY a, b""",
     }

@@ -29,7 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "seed_normalize", "url_fingerprint", "token_count", "quality", "langid",
-    "exact_dedup", "simhash", "minhash_neardup", "simhash_neardup",
+    "exact_dedup", "ngram_jaccard", "simhash", "minhash_neardup", "simhash_neardup",
     "ann_topk", "ann_lsh", "cosine_neardup", "cosine_neardup_lsh",
     "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",

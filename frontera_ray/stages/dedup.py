@@ -324,6 +324,78 @@ def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
     return _dedupe_pair_table(pa.concat_tables(parts), "jaccard")
 
 
+def ngram_jaccard_pairs(ds, limit_ids: int, shingle_k: int = 3,
+                        threshold_pct: int = 50) -> pa.Table:
+    """Exact n-gram Jaccard pairs over a bounded doc_id slice —
+    integer-exact outputs (a, b, inter_size, union_size) with
+    100*inter >= threshold_pct*union, SQL-oracle-checkable (grams are
+    crc32-hashed here; Jaccard over hashed gram SETS equals Jaccard
+    over the grams themselves).
+
+    Distributed brute baseline, same shape as cosine_neardup_pairs:
+    the slice's shingle sets are collected once (bounded by limit_ids),
+    broadcast via ray.put, and each block emits only its qualifying
+    pairs. Unbounded corpora use minhash_neardup_pairs."""
+    import ray
+
+    def mask(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() < limit_ids))
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        mask, batch_format="pyarrow")
+    parts = pa.concat_tables(
+        list(base.iter_batches(batch_format="pyarrow", batch_size=None)))
+    set_ids = parts["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(set_ids)
+    set_ids = set_ids[order]
+    set_shingles = [word_shingles(t, shingle_k)
+                    for t in np.asarray(parts["text"].to_pylist(),
+                                        dtype=object)[order]]
+    ref = ray.put((set_ids, set_shingles))
+    cache: dict = {}
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "inter_size": pa.array([], pa.int64()),
+                          "union_size": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        if "s" not in cache:
+            cache["s"] = ray.get(ref)
+        sids, sshingles = cache["s"]
+        out = []
+        for d, text in zip(batch["doc_id"].to_numpy(),
+                           batch["text"].to_pylist()):
+            sa = word_shingles(text, shingle_k)
+            for j, b_id in enumerate(sids):
+                if b_id <= d:
+                    continue
+                inter = int(np.intersect1d(sa, sshingles[j],
+                                           assume_unique=True).size)
+                union = int(len(sa) + len(sshingles[j]) - inter)
+                if 100 * inter >= threshold_pct * union and union:
+                    out.append((int(d), int(b_id), inter, union))
+        if not out:
+            return empty
+        a_, b_, i_, u_ = zip(*out)
+        return pa.table({"a": pa.array(a_, pa.int64()),
+                         "b": pa.array(b_, pa.int64()),
+                         "inter_size": pa.array(i_, pa.int64()),
+                         "union_size": pa.array(u_, pa.int64())})
+
+    parts2 = list(base.map_batches(block_pairs, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "inter_size": pa.array([], pa.int64()),
+                         "union_size": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts2)
+    order = np.lexsort((out["b"].to_numpy(), out["a"].to_numpy()))
+    return out.take(pa.array(order))
+
+
 def brute_force_jaccard_pairs(texts: dict, threshold: float, shingle_k: int = 3):
     """O(n^2) oracle for tests."""
     ids = sorted(texts)

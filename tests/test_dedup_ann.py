@@ -237,3 +237,24 @@ def test_cosine_neardup_lsh_recall(ray_session):
     for a, b, s in zip(lsh["a"].to_pylist(), lsh["b"].to_pylist(),
                        lsh["sim"].to_pylist()):
         assert abs(s - bsim[(a, b)]) < 2e-4
+
+
+def test_ngram_jaccard_pairs_matches_brute(ray_session):
+    """Integer-exact (inter, union) pairs agree with the ratio-form
+    brute oracle at threshold 0.5."""
+    import ray
+    from frontera_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    got = ngram_jaccard_pairs(ray.data.from_arrow(t), limit_ids=100)
+    got_pairs = {(a, b): (i, u) for a, b, i, u in
+                 zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                     got["inter_size"].to_pylist(),
+                     got["union_size"].to_pylist())}
+    expected = {(a, b): j for a, b, j in
+                brute_force_jaccard_pairs(texts, 0.5)}
+    assert set(got_pairs) == set(expected)
+    for (a, b), (i, u) in got_pairs.items():
+        assert round(i / u, 4) == expected[(a, b)]
