@@ -736,6 +736,32 @@ def q_image_stats(sf_dir: str):
         DecodeStatsStage, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def q_image_resize(sf_dir: str):
+    """Multimodal thumbnailing: decode -> nearest-neighbor resize ->
+    PNG re-encode over fetched pages (actor-pool stage; the decoded
+    thumbnails are validated pixel-exact in tests/test_stages.py)."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import fetch_simulated
+    from frontera_ray.stages.images import ResizeStage
+
+    web = SyntheticWeb(8, seed=42, max_class=3)
+    urls = web.seeds()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        rows = [fetch_simulated(u) for u in batch["url"].to_pylist()]
+        return pa.table({
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        })
+
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    return ds.map_batches(fetch, batch_format="pyarrow").map_batches(
+        ResizeStage, fn_constructor_kwargs=dict(out_w=16, out_h=16),
+        batch_format="pyarrow", concurrency=(1, 2))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -779,6 +805,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "phash_neardup": q_phash_neardup,
     "image_stats": q_image_stats,
+    "image_resize": q_image_resize,
 }
 
 

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-rounds", type=int, default=1_000_000)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--settings", default=None,
+                    help="settings module path (frontera-style); CLI "
+                         "flags given explicitly still win")
     args = ap.parse_args(argv)
 
     import ray
@@ -50,12 +53,22 @@ def main(argv=None) -> int:
     from frontera_ray.pipelines.crawl import RayCrawler
 
     web = SyntheticWeb(args.hosts, seed=args.seed, max_class=args.max_class)
-    crawler = RayCrawler(
-        web, args.out, strategy=args.strategy,
-        num_state_shards=args.shards, num_queue_shards=args.shards,
-        batch_per_shard=args.batch_per_shard,
-        checkpoint_every=args.checkpoint_every,
-    )
+    if args.settings:
+        from frontera_ray.settings import Settings, ray_crawler_from_settings
+
+        crawler = ray_crawler_from_settings(
+            web, args.out, Settings(args.settings),
+            strategy=args.strategy, num_state_shards=args.shards,
+            num_queue_shards=args.shards,
+            batch_per_shard=args.batch_per_shard,
+            checkpoint_every=args.checkpoint_every)
+    else:
+        crawler = RayCrawler(
+            web, args.out, strategy=args.strategy,
+            num_state_shards=args.shards, num_queue_shards=args.shards,
+            batch_per_shard=args.batch_per_shard,
+            checkpoint_every=args.checkpoint_every,
+        )
     if args.resume:
         meta = crawler.restore()
         print(f"resumed from round {meta['round']}", flush=True)
