@@ -3,9 +3,15 @@
 These are the generic pieces the crawl engine and training-data
 pipelines share: broadcast hash-join (small side via ray.put, no
 shuffle), per-key top-k / per-key caps (the broad-crawl batch-shaping
-primitive, hbase/__init__.py:198-296 semantics), global top-k, and
-gap-based sessionization (a streaming-window style operator built from
-groupby().map_groups).
+primitive, hbase/__init__.py:198-296 semantics), global top-k,
+gap-based sessionization and an AS-OF join.
+
+Keyed operators use ONE hash exchange (``hash_partitioned``) plus a
+fully vectorized whole-block kernel over key runs — one Python call
+per partition, not per key. At bench scale this pays ~1 s of
+hash-shuffle fixed cost vs a sort-based groupby().map_groups, but at
+high key cardinality (10^9 users) per-key UDF calls and the sort
+itself are the scaling walls, so the hash path is the default.
 """
 
 from __future__ import annotations
@@ -85,22 +91,60 @@ def broadcast_join(ds, small_table: pa.Table, key: str, columns=None,
     return ds.map_batches(join_batch, batch_format="pyarrow")
 
 
+_NUM_KEY_PARTITIONS = 16
+
+
+def hash_partitioned(ds, key: str, num_blocks: int = _NUM_KEY_PARTITIONS):
+    """Key-hash repartition (no sort): every key's rows land whole in
+    exactly one block, so a whole-block map_batches kernel can process
+    complete groups vectorized — one Python call per PARTITION instead
+    of one per group (groupby().map_groups pays a call per key, which
+    is the scaling wall at 10^9 keys). Requires the hash-shuffle
+    strategy; enabled on the dataset's own context copy (inherited by
+    derived datasets), so other pipelines keep the default."""
+    from ray.data.context import ShuffleStrategy
+
+    out = ds.repartition(num_blocks=num_blocks, keys=[key])
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    out.context.max_hash_shuffle_aggregators = 8  # see stages/dedup.py sizing
+    return out
+
+
+def _group_codes(arr: np.ndarray) -> np.ndarray:
+    """Sortable int codes for a (possibly string) key column."""
+    if arr.dtype == object:
+        import pandas as pd
+
+        return pd.factorize(arr)[0]
+    return arr
+
+
 def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
                  tiebreak: str | None = None):
     """Top-k rows per key — the per-host cap / batch-shaping primitive.
-    Implemented as groupby(key).map_groups with a vectorized sort."""
+    Hash-partitioned by key; each block keeps rank<k per key run with
+    one vectorized lexsort (no per-group Python calls)."""
 
-    def topk_group(group: pa.Table) -> pa.Table:
-        vals = group[order_col].to_numpy(zero_copy_only=False)
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = _group_codes(batch[key].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
         primary = -vals if descending else vals
         if tiebreak is not None:
-            tb = group[tiebreak].to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, primary))
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, primary, keys))
         else:
-            order = np.argsort(primary, kind="stable")
-        return group.take(pa.array(order[:k]))
+            order = np.lexsort((primary, keys))
+        sk = keys[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(sk)) - starts[run_id]
+        return batch.take(pa.array(order[rank < k]))
 
-    return ds.groupby(key).map_groups(topk_group, batch_format="pyarrow")
+    return hash_partitioned(ds, key).map_batches(
+        block_topk, batch_format="pyarrow", batch_size=None)
 
 
 def global_topk(ds, order_col: str, k: int, descending: bool = True,
@@ -158,36 +202,48 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
                      left_type: str, right_type: str, value_col: str,
                      id_col: str = "event_id"):
     """Per-key AS-OF join: for every ``left_type`` event, attach the
-    most recent earlier-or-equal ``right_type`` event's value (NULL when
-    none). A custom operator Ray Data lacks — composed as
-    groupby(key).map_groups with a vectorized searchsorted merge; the
-    groupby is the single keyed shuffle, partitioned by the join key."""
+    most recent earlier-or-equal ``right_type`` event's value (-1 when
+    none). A custom operator Ray Data lacks — ONE hash exchange by the
+    join key, then a fully vectorized whole-block kernel: sort by
+    (key, ts, right-before-left), forward-fill the last right-event
+    index with np.maximum.accumulate, invalidate fills that cross key
+    runs. No per-key Python calls."""
 
-    def join_group(group: pa.Table) -> pa.Table:
-        ts = group[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        types = np.asarray(group[type_col].to_pylist(), dtype=object)[order]
-        vals = group[value_col].to_numpy(zero_copy_only=False)[order]
-        ids = group[id_col].to_numpy()[order]
-        left_m = types == left_type
-        right_m = types == right_type
-        rts, rvals = ts[right_m], vals[right_m]
-        lts = ts[left_m]
-        # index of latest right event with rts <= lts
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        matched = idx >= 0
-        out_vals = np.full(int(left_m.sum()), -1.0)  # -1 sentinel: no match
-        out_vals[matched] = rvals[idx[matched]]
-        key_val = group[key_col][0].as_py()
+    def join_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "asof_value": pa.array([], pa.float64())})
+        keys_raw = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(keys_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        types = np.asarray(batch[type_col].to_pylist(), dtype=object)
+        # right events sort before left at equal ts so "earlier-or-
+        # equal" matches them (searchsorted side='right' parity)
+        type_rank = np.where(types == right_type, 0, 1)
+        order = np.lexsort((type_rank, ts, keys))
+        k_s, ts_s = keys[order], ts[order]
+        types_s = types[order]
+        vals_s = batch[value_col].to_numpy(zero_copy_only=False)[order]
+        ids_s = batch[id_col].to_numpy()[order]
+        n = len(order)
+        is_right = types_s == right_type
+        idx = np.where(is_right, np.arange(n), -1)
+        filled = np.maximum.accumulate(idx)  # last right index so far
+        new_run = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        run_start = np.flatnonzero(new_run)[np.cumsum(new_run) - 1]
+        matched = filled >= run_start  # right event within this key run
+        out_vals = np.where(matched, vals_s[np.clip(filled, 0, None)], -1.0)
+        left_m = types_s == left_type
         return pa.table({
-            key_col: pa.array([key_val] * int(left_m.sum()),
-                              group[key_col].type),
-            id_col: pa.array(ids[left_m]),
-            "asof_value": pa.array(out_vals, pa.float64()),
+            key_col: pa.array(keys_raw[order][left_m],
+                              batch[key_col].type),
+            id_col: pa.array(ids_s[left_m]),
+            "asof_value": pa.array(out_vals[left_m], pa.float64()),
         })
 
-    return ds.groupby(key_col).map_groups(join_group, batch_format="pyarrow")
+    return hash_partitioned(ds, key_col).map_batches(
+        join_block, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
@@ -197,21 +253,29 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     (n_sessions, n_events). Partitioned by user — the groupby is the
     one shuffle, keyed uniformly."""
 
-    def sess_group(group: pa.Table) -> pa.Table:
-        ts = group[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        ts = np.sort(ts)
-        if len(ts) == 0:
-            n_sessions = 0
-        else:
-            gaps = np.diff(ts)
-            n_sessions = 1 + int((gaps > gap_us).sum())
-        uid = group[user_col][0].as_py()
+    def sess_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        uid_raw = batch[user_col].to_numpy(zero_copy_only=False)
+        uid = _group_codes(uid_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gap = np.concatenate(([0], np.diff(t_s)))
+        new_sess = new_user | (gap > gap_us)
+        starts = np.flatnonzero(new_user)
+        n_sessions = np.add.reduceat(new_sess.astype(np.int64), starts)
+        n_events = np.diff(np.concatenate((starts, [len(u_s)])))
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                "user_id": pa.array(uid_raw[order][starts], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
             }
         )
 
-    return ds.groupby(user_col).map_groups(sess_group, batch_format="pyarrow")
+    return hash_partitioned(ds, user_col).map_batches(
+        sess_block, batch_format="pyarrow", batch_size=None)
