@@ -195,3 +195,13 @@ def test_ray_path_dfs(ray_session, site, mnr, key):
 def test_ray_path_bfs(ray_session, site, mnr):
     assert _ray_run(site, BFSStrategy(), "min_score", mnr,
                     ray_session) == BFS[(site, 1)]
+
+
+@pytest.mark.parametrize("site,mnr,key", [
+    (1, 1, (1, 1)), (1, 5, (1, 5)), (1, 100, (1, 5)),
+    (2, 1, (2, 1)), (2, 5, (2, 5)), (2, 100, (2, 10)),
+    (3, 1, (3, 1)), (3, 5, (3, 5)), (3, 100, (3, 10)),
+])
+def test_ray_path_lifo(ray_session, site, mnr, key):
+    assert _ray_run(site, BasicStrategy(), "lifo", mnr,
+                    ray_session) == LIFO[key]
