@@ -441,8 +441,16 @@ class RayCrawler:
         self.web = web
         self.out = Path(out_dir)
         self.out.mkdir(parents=True, exist_ok=True)
-        self.strategy = STRATEGIES[strategy]()
-        self.cfg = dict(strategy=strategy, profile=profile,
+        # registry name, strategy class, or ready instance
+        if isinstance(strategy, str):
+            self.strategy = STRATEGIES[strategy]()
+        elif isinstance(strategy, type):
+            self.strategy = strategy()
+        else:
+            self.strategy = strategy
+        strategy_name = getattr(self.strategy, "name",
+                                type(self.strategy).__name__)
+        self.cfg = dict(strategy=strategy_name, profile=profile,
                         num_state_shards=num_state_shards,
                         num_queue_shards=num_queue_shards,
                         batch_per_shard=batch_per_shard,

@@ -26,8 +26,10 @@ from ..urls import canonicalize_batch, hostnames_batch
 class LocalFrontier:
     def __init__(self, strategy=None, profile: str = "min_score",
                  num_state_shards: int = 1, num_queue_shards: int = 1,
-                 queue_kwargs: dict | None = None, max_requests: int = 0):
+                 queue_kwargs: dict | None = None, max_requests: int = 0,
+                 max_next_requests: int = 64):
         self.strategy = strategy or BasicStrategy()
+        self.max_next_requests = max_next_requests  # default batch size
         self.state_shards = [UrlSeenShard(i) for i in range(num_state_shards)]
         self.queue_shards = [
             QueueShard(i, profile=profile, **(queue_kwargs or {}))
@@ -95,8 +97,10 @@ class LocalFrontier:
         scores = self.strategy.seed_scores(seed_urls)
         return self._schedule(seed_urls, scores, np.zeros(len(seed_urls), dtype=np.int64))
 
-    def get_next_requests(self, max_next_requests: int, overused_keys=(),
-                          **pop_kwargs) -> list[QueueEntry]:
+    def get_next_requests(self, max_next_requests: int | None = None,
+                          overused_keys=(), **pop_kwargs) -> list[QueueEntry]:
+        if max_next_requests is None:  # settings MAX_NEXT_REQUESTS default
+            max_next_requests = self.max_next_requests
         self.iteration += 1
         if self.max_requests and self.n_requests >= self.max_requests:
             return []

@@ -37,7 +37,6 @@ def load_object(path: str):
 
 DEFAULT_SETTINGS: dict = {
     # crawl loop
-    "AUTO_START": True,
     "MAX_NEXT_REQUESTS": 64,
     "MAX_REQUESTS": 0,
     "TEST_MODE": False,
@@ -67,7 +66,7 @@ DEFAULT_SETTINGS: dict = {
     "OVERUSED_IP_RESOLVER": None,
     # politeness / filtering
     "ROBOTS_ENABLED": False,
-    "DISCOVERY_MAX_PAGES": 100,
+    "MAX_PAGES_PER_DOMAIN": None,  # reference DISCOVERY_MAX_PAGES role
     "DOMAINS_BLACKLIST": None,
     # sharding (ray-specific; SPIDER_FEED_PARTITIONS is honored as an
     # alias for queue shards to ease migration)
@@ -87,7 +86,9 @@ class Settings:
 
     def __init__(self, module=None, attributes: dict | None = None):
         self.__dict__["attributes"] = dict(DEFAULT_SETTINGS)
-        if module:
+        if isinstance(module, dict):  # plain-dict source
+            self.set_from_dict(module)
+        elif module:
             self.add_module(module)
         if attributes:
             self.set_from_dict(attributes)
@@ -152,11 +153,43 @@ def _queue_kwargs_from(settings: Settings) -> dict:
         max_keys=settings.get("OVERUSED_MAX_KEYS"),
         keep_keys=settings.get("OVERUSED_KEEP_KEYS", 100),
         robots_enabled=bool(settings.get("ROBOTS_ENABLED", False)),
+        max_pages_per_domain=settings.get("MAX_PAGES_PER_DOMAIN"),
+        domains_blacklist=settings.get("DOMAINS_BLACKLIST"),
     )
     if settings.get("OVERUSED_KEY_TYPE", "domain") != "domain":
         kw["key_type"] = settings.OVERUSED_KEY_TYPE
         kw["ip_resolver"] = settings.get("OVERUSED_IP_RESOLVER")
     return kw
+
+
+def codec_from_settings(settings=None):
+    """(encode, decode) pair for MESSAGE_BUS_CODEC ('json' / 'arrow' /
+    'msgpack', or a dotted path to a (enc, dec) tuple)."""
+    from .codecs import CODECS
+
+    s = Settings.object_from(settings) if settings is not None else Settings()
+    spec = s.MESSAGE_BUS_CODEC
+    return CODECS[spec] if spec in CODECS else load_object(spec)
+
+
+def canonical_solver_from_settings(settings=None):
+    """Batch canonical-solver kernel for CANONICAL_SOLVER ('basic' /
+    'corporate'), pre-bound for map_batches."""
+    from functools import partial
+
+    from .filters import canonical_solver_table
+
+    s = Settings.object_from(settings) if settings is not None else Settings()
+    return partial(canonical_solver_table, mode=s.CANONICAL_SOLVER)
+
+
+def fingerprint_fns_from_settings(settings=None):
+    """(url_fp_fn, domain_fp_fn) resolved via load_object from the
+    URL/DOMAIN_FINGERPRINT_FUNCTION keys (reference default_settings
+    contract)."""
+    s = Settings.object_from(settings) if settings is not None else Settings()
+    return (load_object(s.URL_FINGERPRINT_FUNCTION),
+            load_object(s.DOMAIN_FINGERPRINT_FUNCTION))
 
 
 def local_frontier_from_settings(settings=None, **overrides):
@@ -174,25 +207,20 @@ def local_frontier_from_settings(settings=None, **overrides):
         num_queue_shards=int(n_queue),
         queue_kwargs=_queue_kwargs_from(s),
         max_requests=int(s.get("MAX_REQUESTS", 0) or 0),
+        max_next_requests=int(s.get("MAX_NEXT_REQUESTS", 64) or 64),
     )
 
 
 def ray_crawler_from_settings(web, out_dir: str, settings=None, **overrides):
     """Build a RayCrawler from a Settings object / module path / dict."""
     from .pipelines.crawl import RayCrawler
-    from .strategies import STRATEGIES
 
     s = Settings.object_from(settings) if settings is not None else Settings()
     s.set_from_dict({k.upper(): v for k, v in overrides.items()})
-    strategy = s.STRATEGY
-    if not (isinstance(strategy, str) and strategy in STRATEGIES):
-        raise ValueError(
-            "RayCrawler strategies are broadcast by registry name; set "
-            f"STRATEGY to one of {sorted(STRATEGIES)}")
     cache_limit = int(s.get("STATE_CACHE_SIZE_LIMIT", 0) or 0)
     return RayCrawler(
         web, out_dir,
-        strategy=strategy,
+        strategy=_strategy_from(s),
         profile=s.QUEUE_PROFILE,
         num_state_shards=s.NUM_STATE_SHARDS,
         num_queue_shards=int(s.get("SPIDER_FEED_PARTITIONS")

@@ -45,11 +45,14 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """crc32 hashes of word k-grams (unique)."""
+def word_shingles(text: str, k: int = 3, strict: bool = False) -> np.ndarray:
+    """crc32 hashes of word k-grams (unique). Default: a doc with fewer
+    than k tokens contributes one whole-text gram (minhash-friendly —
+    short docs stay comparable). ``strict=True`` contributes nothing,
+    matching windowed-gram SQL semantics (the ngram_jaccard oracle)."""
     toks = text.split()
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
+        grams = [] if strict or not toks else [" ".join(toks)]
     else:
         grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if not grams:
@@ -348,7 +351,7 @@ def ngram_jaccard_pairs(ds, limit_ids: int, shingle_k: int = 3,
     set_ids = parts["doc_id"].to_numpy().astype(np.int64)
     order = np.argsort(set_ids)
     set_ids = set_ids[order]
-    set_shingles = [word_shingles(t, shingle_k)
+    set_shingles = [word_shingles(t, shingle_k, strict=True)
                     for t in np.asarray(parts["text"].to_pylist(),
                                         dtype=object)[order]]
     ref = ray.put((set_ids, set_shingles))
@@ -367,7 +370,7 @@ def ngram_jaccard_pairs(ds, limit_ids: int, shingle_k: int = 3,
         out = []
         for d, text in zip(batch["doc_id"].to_numpy(),
                            batch["text"].to_pylist()):
-            sa = word_shingles(text, shingle_k)
+            sa = word_shingles(text, shingle_k, strict=True)
             for j, b_id in enumerate(sids):
                 if b_id <= d:
                     continue

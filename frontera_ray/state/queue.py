@@ -125,6 +125,27 @@ class DomainMetadata:
         return self.robots.can_fetch(user_agent, url)
 
 
+def make_slot_keyer(key_type: str = "domain", ip_resolver=None):
+    """host -> downloader-slot key: the hostname, or its resolved IP
+    (cached) with key_type='ip' (reference core/__init__.py:10-25 —
+    multi-host single-IP sites share one politeness slot)."""
+    if key_type not in ("domain", "ip"):
+        raise ValueError(f"key_type must be 'domain' or 'ip', got {key_type!r}")
+    if key_type == "domain":
+        return lambda host: host
+    if ip_resolver is None:
+        raise ValueError("key_type='ip' needs an ip_resolver(host) hook")
+    cache: dict[str, str] = {}
+
+    def keyer(host: str) -> str:
+        ip = cache.get(host)
+        if ip is None:
+            ip = cache[host] = str(ip_resolver(host))
+        return ip
+
+    return keyer
+
+
 class SlotLoadTracker:
     """Downloader-slot load tracking — the piece that DECIDES which keys
     are overused (reference contrib/scrapy/schedulers/frontier.py:
@@ -135,22 +156,10 @@ class SlotLoadTracker:
 
     def __init__(self, concurrency: int = 1, slot_factor: float = 5.0,
                  key_type: str = "domain", ip_resolver=None):
-        if key_type == "ip" and ip_resolver is None:
-            raise ValueError("key_type='ip' needs an ip_resolver(host) hook")
         self.concurrency = max(1, int(concurrency))
         self.slot_factor = float(slot_factor)
-        self._key_type = key_type
-        self._ip_resolver = ip_resolver
-        self._ip_cache: dict[str, str] = {}
+        self._key = make_slot_keyer(key_type, ip_resolver)
         self.active: dict[str, int] = defaultdict(int)
-
-    def _key(self, host: str) -> str:
-        if self._key_type == "domain":
-            return host
-        ip = self._ip_cache.get(host)
-        if ip is None:
-            ip = self._ip_cache[host] = str(self._ip_resolver(host))
-        return ip
 
     def on_dispatch(self, entries) -> None:
         for e in entries:
@@ -176,11 +185,9 @@ class QueueShard:
                  max_pages_per_domain: int | None = None,
                  robots_enabled: bool = False, robots_provider=None,
                  purge_seed: int = 42, key_type: str = "domain",
-                 ip_resolver=None):
-        if key_type not in ("domain", "ip"):
-            raise ValueError(f"key_type must be 'domain' or 'ip', got {key_type!r}")
-        if key_type == "ip" and ip_resolver is None:
-            raise ValueError("key_type='ip' needs an ip_resolver(host) hook")
+                 ip_resolver=None, domains_blacklist=None):
+        self._blacklist = {b.lower() for b in (domains_blacklist or ())}
+        self._slot_key = make_slot_keyer(key_type, ip_resolver)
         self.shard_id = shard_id
         self.profile = profile
         self._heap: list[tuple] = []
@@ -203,22 +210,9 @@ class QueueShard:
         self._robots_enabled = robots_enabled
         self._robots_provider = robots_provider
         self._key_type = key_type
-        self._ip_resolver = ip_resolver
-        self._ip_cache: dict[str, str] = {}
         self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
         self._rng = random.Random(purge_seed)
         self.stats = defaultdict(int)
-
-    def _slot_key(self, host: str) -> str:
-        """Downloader-slot key for politeness parking: the hostname, or
-        its resolved IP with key_type='ip' (reference core/__init__.py
-        10-25 semantics — multi-host single-IP sites share one slot)."""
-        if self._key_type == "domain":
-            return host
-        ip = self._ip_cache.get(host)
-        if ip is None:
-            ip = self._ip_cache[host] = str(self._ip_resolver(host))
-        return ip
 
     # -- keys ----------------------------------------------------------------
     def _key(self, e: QueueEntry) -> tuple:
@@ -254,6 +248,9 @@ class QueueShard:
         caps / ban flags. Returns the number actually queued."""
         n = 0
         for e in entries:
+            if self._blacklist and e.host.lower() in self._blacklist:
+                self.stats["dropped_blacklist"] += 1
+                continue
             meta = self._domain_meta(e.host) if (
                 self._robots_enabled or self._max_pages_per_domain
             ) else None
@@ -291,6 +288,9 @@ class QueueShard:
             by_host[r[2]].append(r)
         n = 0
         for host, group in by_host.items():
+            if self._blacklist and host.lower() in self._blacklist:
+                self.stats["dropped_blacklist"] += len(group)
+                continue
             meta = self._domain_meta(host)
             if meta.banned:
                 self.stats["dropped_banned"] += len(group)
@@ -402,8 +402,20 @@ class QueueShard:
     def count(self) -> int:
         return len(self._live) + sum(len(d) for d in self._pending.values())
 
+    # -- crawl-delay budget (robots Crawl-delay -> pacing) -------------------
+    def _delay_ok(self, host: str, now) -> bool:
+        meta = self.domains.get(host)
+        return not (meta is not None and meta.crawl_delay > 0
+                    and meta.next_fetch_at > now)
+
+    def _consume_delay(self, host: str, now) -> None:
+        meta = self.domains.get(host)
+        if meta is not None and meta.crawl_delay > 0:
+            meta.next_fetch_at = now + meta.crawl_delay
+
     # -- OverusedBuffer semantics -------------------------------------------
-    def _serve_pending(self, max_n: int, overused: set) -> list[QueueEntry]:
+    def _serve_pending(self, max_n: int, overused: set,
+                       now: int | None = None) -> list[QueueEntry]:
         out = []
         keys = sorted(set(self._pending) - overused)
         while len(out) < max_n and keys:
@@ -413,7 +425,15 @@ class QueueShard:
                     keys.remove(key)
                     self._pending.pop(key, None)
                     continue
-                out.append(dq.popleft())
+                # a delay-blocked front entry blocks its key this call
+                # (FIFO within the slot must hold)
+                if now is not None and not self._delay_ok(dq[0].host, now):
+                    keys.remove(key)
+                    continue
+                e = dq.popleft()
+                if now is not None:
+                    self._consume_delay(e.host, now)
+                out.append(e)
                 if not dq:
                     keys.remove(key)
                     self._pending.pop(key, None)
@@ -436,36 +456,52 @@ class QueueShard:
                     del self._pending[key]
                     self.stats["purged_keys"] += 1
 
-    def _heap_pop(self, n: int, now: int | None, max_per_host: int | None,
-                  host_counts) -> list[QueueEntry]:
-        """Pop up to n visible entries honoring a per-host cap and the
-        host's robots Crawl-delay budget; capped, delayed or
-        not-yet-visible entries are set aside and re-pushed."""
-        out, setaside = [], []
-        while len(out) < n and self._heap:
-            item = heapq.heappop(self._heap)
-            e: QueueEntry = item[-1]
-            if item[-2] not in self._live:
-                self.stats["ghosts_discarded"] += 1
-                continue
-            if now is not None and e.crawl_at > now:
-                setaside.append(item)
-                continue
-            if max_per_host is not None and host_counts[e.host] >= max_per_host:
-                setaside.append(item)
-                continue
-            meta = self.domains.get(e.host) if now is not None else None
-            if meta is not None and meta.crawl_delay > 0:
-                if meta.next_fetch_at > now:
-                    setaside.append(item)
-                    continue
-                meta.next_fetch_at = now + meta.crawl_delay
-            host_counts[e.host] += 1
+    def _admit(self, item, now, max_per_host, host_counts, overused,
+               out, parked, setaside) -> None:
+        """Shared admission logic for one popped heap item: ghost
+        discard, crawl_at visibility, overused parking (parked entries
+        never consume the host's crawl-delay budget — nothing was
+        fetched), per-host cap, then the Crawl-delay budget."""
+        e: QueueEntry = item[-1]
+        if item[-2] not in self._live:
+            self.stats["ghosts_discarded"] += 1
+            return
+        if now is not None and e.crawl_at > now:
+            setaside.append(item)
+            return
+        if overused and self._slot_key(e.host) in overused:
             self._pop_live(item[-2], e)
-            out.append(e)
+            parked.append(e)
+            return
+        if max_per_host is not None and host_counts[e.host] >= max_per_host:
+            setaside.append(item)
+            return
+        if now is not None:
+            if not self._delay_ok(e.host, now):
+                setaside.append(item)
+                return
+            self._consume_delay(e.host, now)
+        host_counts[e.host] += 1
+        self._pop_live(item[-2], e)
+        out.append(e)
+
+    def _heap_pop(self, n: int, now: int | None, max_per_host: int | None,
+                  host_counts, overused: set):
+        """Pop up to n admissible entries; capped / delayed /
+        not-yet-visible entries are set aside and re-pushed; overused
+        entries are parked (they count toward n — a pull of k returns
+        fewer when some got parked, parity with the reference buffer).
+        Returns (served, parked)."""
+        out: list[QueueEntry] = []
+        parked: list[QueueEntry] = []
+        setaside: list[tuple] = []
+        while len(out) + len(parked) < n and self._heap:
+            item = heapq.heappop(self._heap)
+            self._admit(item, now, max_per_host, host_counts, overused,
+                        out, parked, setaside)
         for item in setaside:
             heapq.heappush(self._heap, item)
-        return out
+        return out, parked
 
     def pop(self, max_n: int, overused_keys=(), now: int | None = None,
             max_per_host: int | None = None,
@@ -484,14 +520,15 @@ class QueueShard:
         """
         self._check_and_purge_keys()
         overused = set(overused_keys)
-        requests = self._serve_pending(max_n, overused)
+        requests = self._serve_pending(max_n, overused, now)
         if len(requests) == max_n:
             self.stats["popped"] += len(requests)
             return requests
         host_counts = defaultdict(int)
         for r in requests:
             host_counts[r.host] += 1
-        pulled = self._heap_pop(max_n - len(requests), now, max_per_host, host_counts)
+        pulled, parked = self._heap_pop(max_n - len(requests), now,
+                                        max_per_host, host_counts, overused)
         if min_hosts is not None:
             hosts_seen = set(host_counts) | {e.host for e in pulled}
             if len(hosts_seen) < min_hosts:
@@ -499,31 +536,22 @@ class QueueShard:
                 while len(hosts_seen) < min_hosts and self._heap:
                     item = heapq.heappop(self._heap)
                     e: QueueEntry = item[-1]
-                    if item[-2] not in self._live:
-                        self.stats["ghosts_discarded"] += 1
-                        continue
-                    if now is not None and e.crawl_at > now:
+                    if e.host in hosts_seen and item[-2] in self._live:
                         setaside.append(item)
                         continue
-                    if e.host in hosts_seen:
-                        setaside.append(item)
-                        continue
-                    hosts_seen.add(e.host)
-                    host_counts[e.host] += 1
-                    self._pop_live(item[-2], e)
-                    pulled.append(e)
+                    n_before = len(pulled)
+                    self._admit(item, now, max_per_host, host_counts,
+                                overused, pulled, parked, setaside)
+                    if len(pulled) > n_before:
+                        hosts_seen.add(e.host)
                 for item in setaside:
                     heapq.heappush(self._heap, item)
-        by_ip = self._key_type == "ip"
-        for e in pulled:
-            slot = self._slot_key(e.host) if by_ip else e.host
-            if slot in overused:
-                self._pending[slot].append(e)
-                host_counts[e.host] -= 1
-                if self._max_per_key:
-                    self._check_and_purge(slot)
-            else:
-                requests.append(e)
+        for e in parked:
+            slot = self._slot_key(e.host)
+            self._pending[slot].append(e)
+            if self._max_per_key:
+                self._check_and_purge(slot)
+        requests.extend(pulled)
         self.stats["popped"] += len(requests)
         return requests
 
@@ -535,7 +563,7 @@ class QueueShard:
         heapify once (cheaper when the batch rivals the heap size)."""
         cols = [table[f].to_pylist() for f in ENTRY_FIELDS]
         rows = zip(*cols)
-        if self._robots_enabled or self._max_pages_per_domain:
+        if self._robots_enabled or self._max_pages_per_domain or self._blacklist:
             return self._schedule_gated(list(rows))
         profile = self.profile
         live, by_fp = self._live, self._by_fp

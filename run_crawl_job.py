@@ -25,10 +25,12 @@ def main(argv=None) -> int:
     ap.add_argument("--hosts", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-class", type=int, default=None)
-    ap.add_argument("--strategy", default="depth_bfs")
-    ap.add_argument("--shards", type=int, default=4)
-    ap.add_argument("--batch-per-shard", type=int, default=512)
-    ap.add_argument("--checkpoint-every", type=int, default=2)
+    # None default = "not given": with --settings, only explicit flags
+    # override the settings module; without it the fallbacks below apply
+    ap.add_argument("--strategy", default=None)
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--batch-per-shard", type=int, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--max-rounds", type=int, default=1_000_000)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -56,18 +58,22 @@ def main(argv=None) -> int:
     if args.settings:
         from frontera_ray.settings import Settings, ray_crawler_from_settings
 
-        crawler = ray_crawler_from_settings(
-            web, args.out, Settings(args.settings),
+        overrides = {k: v for k, v in dict(
             strategy=args.strategy, num_state_shards=args.shards,
             num_queue_shards=args.shards,
             batch_per_shard=args.batch_per_shard,
-            checkpoint_every=args.checkpoint_every)
+            checkpoint_every=args.checkpoint_every).items() if v is not None}
+        crawler = ray_crawler_from_settings(
+            web, args.out, Settings(args.settings), **overrides)
     else:
+        shards = args.shards if args.shards is not None else 4
         crawler = RayCrawler(
-            web, args.out, strategy=args.strategy,
-            num_state_shards=args.shards, num_queue_shards=args.shards,
-            batch_per_shard=args.batch_per_shard,
-            checkpoint_every=args.checkpoint_every,
+            web, args.out,
+            strategy=args.strategy or "depth_bfs",
+            num_state_shards=shards, num_queue_shards=shards,
+            batch_per_shard=args.batch_per_shard or 512,
+            checkpoint_every=(args.checkpoint_every
+                              if args.checkpoint_every is not None else 2),
         )
     if args.resume:
         meta = crawler.restore()

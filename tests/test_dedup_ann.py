@@ -258,3 +258,27 @@ def test_ngram_jaccard_pairs_matches_brute(ray_session):
     assert set(got_pairs) == set(expected)
     for (a, b), (i, u) in got_pairs.items():
         assert round(i / u, 4) == expected[(a, b)]
+
+
+def test_ngram_jaccard_short_docs_match_oracle_semantics(ray_session):
+    """Docs with <k tokens contribute NO grams on the oracle-checked
+    path (windowed-gram SQL semantics): two identical 2-token docs must
+    not pair up."""
+    import duckdb
+    import ray
+    from frontera_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["foo bar", "foo bar",
+                                    "a b c d e f", "a b c d e f"],
+                                   pa.string())})
+    got = ngram_jaccard_pairs(ray.data.from_arrow(t), limit_ids=100)
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert pairs == {(2, 3)}  # short docs excluded, long dups pair
+    # exact parity with the SQL oracle on this fixture
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(em.oracle_sql()["ngram_jaccard"]).df()
+    assert sorted(map(tuple, exp[["a", "b"]].values.tolist())) == sorted(pairs)

@@ -213,3 +213,47 @@ def test_add_scores_accumulates_cash():
     assert q.count() == 0
     # cash after pop is dropped
     assert q.add_scores([1], [0.5]) == 0
+
+
+def test_crawl_delay_respected_in_min_hosts_deepening():
+    """Broad-crawl (min_hosts) deepening must honor the Crawl-delay
+    budget too — a host inside its delay window is skipped, not
+    re-fetched."""
+    from frontera_ray.state.queue import QueueEntry, QueueShard
+
+    q = QueueShard(profile="max_score", robots_enabled=True)
+    q.domains["a.test"].set_robots("User-agent: *\nCrawl-delay: 100\n")
+    q.schedule([QueueEntry("http://a.test/1", 1, "a.test", 0.9, 0, 0),
+                QueueEntry("http://a.test/2", 2, "a.test", 0.8, 0, 1),
+                QueueEntry("http://b.test/1", 3, "b.test", 0.1, 0, 2)])
+    assert [e.host for e in q.pop(1, now=0)] == ["a.test"]
+    # deepening for 2 hosts at now=1: a.test is delay-blocked, only b
+    got = q.pop(2, now=1, min_hosts=2)
+    assert [e.host for e in got] == ["b.test"]
+    # window over: a.test/2 becomes poppable
+    assert [e.url for e in q.pop(2, now=100)] == ["http://a.test/2"]
+
+
+def test_crawl_delay_and_overused_parking_interaction():
+    """Parking must not burn the crawl-delay budget (nothing was
+    fetched), and serving parked entries must consume it."""
+    from frontera_ray.state.queue import QueueEntry, QueueShard
+
+    q = QueueShard(profile="max_score", robots_enabled=True)
+    q.domains["s.test"].set_robots("User-agent: *\nCrawl-delay: 50\n")
+    q.schedule([QueueEntry("http://s.test/1", 1, "s.test", 0.9, 0, 0),
+                QueueEntry("http://x.test/1", 2, "x.test", 0.5, 0, 1)])
+    # s.test overused: its entry parks WITHOUT spending the delay window
+    got = q.pop(2, overused_keys=["s.test"], now=0)
+    assert [e.host for e in got] == ["x.test"]
+    assert q.domains["s.test"].next_fetch_at == 0.0  # budget untouched
+    # slot freed: parked entry serves and NOW consumes the budget
+    got2 = q.pop(2, now=10)
+    assert [e.host for e in got2] == ["s.test"]
+    assert q.domains["s.test"].next_fetch_at == 60.0
+    # a still-hot delay window blocks the parked queue too
+    q.schedule([QueueEntry("http://s.test/2", 3, "s.test", 0.9, 0, 2)])
+    got3 = q.pop(2, overused_keys=["s.test"], now=20)  # parks /2
+    assert got3 == []
+    assert [e.url for e in q.pop(2, now=30)] == []      # window hot
+    assert [e.url for e in q.pop(2, now=60)] == ["http://s.test/2"]

@@ -91,10 +91,15 @@ def test_ray_crawler_from_settings(ray_session, tmp_path):
     c.add_seeds(web.seeds())
     summary = c.run(max_rounds=100)
     assert summary["pages"] == web.total_pages()
-    with pytest.raises(ValueError):
+    with pytest.raises((ValueError, ImportError)):
         ray_crawler_from_settings(
             web, str(tmp_path / "out2"),
             Settings.from_params(strategy="not.a.registry.Name"))
+    # dict settings source works end-to-end (silent-drop regression)
+    f = ray_crawler_from_settings(
+        web, str(tmp_path / "out3"),
+        {"STRATEGY": "bfs", "NUM_QUEUE_SHARDS": 2, "BATCH_PER_SHARD": 32})
+    assert len(f.queue_actors) == 2
 
 
 def test_fingerprint_function_settings():
