@@ -257,3 +257,27 @@ def test_crawl_delay_and_overused_parking_interaction():
     assert got3 == []
     assert [e.url for e in q.pop(2, now=30)] == []      # window hot
     assert [e.url for e in q.pop(2, now=60)] == ["http://s.test/2"]
+
+
+def test_domains_blacklist_param():
+    """DOMAINS_BLACKLIST consumer: blacklisted hosts are dropped at
+    schedule time on both the scalar and the Arrow bulk path."""
+    import pyarrow as pa
+
+    from frontera_ray.state.queue import QueueEntry, QueueShard
+
+    q = QueueShard(domains_blacklist=["Bad.test"])
+    n = q.schedule([QueueEntry("http://bad.test/1", 1, "bad.test", 1.0, 0, 0),
+                    QueueEntry("http://ok.test/1", 2, "ok.test", 1.0, 0, 1)])
+    assert n == 1 and q.stats["dropped_blacklist"] == 1
+    t = pa.table({
+        "url": ["http://bad.test/2", "http://ok.test/2"],
+        "fingerprint": pa.array([3, 4], pa.uint64()),
+        "host": ["bad.test", "ok.test"],
+        "score": [0.5, 0.5],
+        "depth": pa.array([0, 0], pa.int32()),
+        "seq": pa.array([2, 3], pa.int64()),
+        "crawl_at": pa.array([0, 0], pa.int64()),
+    })
+    assert q.schedule_table(t) == 1
+    assert {e.host for e in q.pop(10)} == {"ok.test"}
