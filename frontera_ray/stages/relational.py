@@ -6,12 +6,12 @@ shuffle), per-key top-k / per-key caps (the broad-crawl batch-shaping
 primitive, hbase/__init__.py:198-296 semantics), global top-k,
 gap-based sessionization and an AS-OF join.
 
-Keyed operators use ONE hash exchange (``hash_partitioned``) plus a
-fully vectorized whole-block kernel over key runs — one Python call
-per partition, not per key. At bench scale this pays ~1 s of
-hash-shuffle fixed cost vs a sort-based groupby().map_groups, but at
-high key cardinality (10^9 users) per-key UDF calls and the sort
-itself are the scaling walls, so the hash path is the default.
+Keyed operators run a run-aware vectorized kernel behind ONE keyed
+exchange (``keyed_exchange``): sort-based groupby by default (cheap at
+moderate key counts — each hash exchange costs ~1-2 s fixed on this
+box), or ``exchange='hash'`` — key-hash repartition + one kernel call
+per PARTITION — when per-key UDF-call overhead (10^9 users) or the
+sort itself becomes the scaling wall. Same kernel both ways.
 """
 
 from __future__ import annotations
@@ -119,11 +119,32 @@ def _group_codes(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def keyed_exchange(ds, key: str, kernel, exchange: str = "groups"):
+    """Run a run-aware vectorized kernel over complete key groups.
+
+    The kernel must handle a batch containing ANY number of complete key
+    groups (it sorts by key and walks runs), so both exchanges feed it:
+
+    - ``'groups'`` (default): sort-based ``groupby(key).map_groups`` —
+      one kernel call per key, but no hash-shuffle aggregator actors;
+      the cheap choice up to ~1e5 keys (measured: each hash exchange
+      costs ~1-2 s fixed on this box).
+    - ``'hash'``: key-hash repartition into a fixed block count — one
+      kernel call per PARTITION; the scale path when per-key UDF-call
+      overhead (1e9 keys) or the sort itself dominates."""
+    if exchange == "hash":
+        return hash_partitioned(ds, key).map_batches(
+            kernel, batch_format="pyarrow", batch_size=None)
+    if exchange == "groups":
+        return ds.groupby(key).map_groups(kernel, batch_format="pyarrow")
+    raise ValueError(f"exchange must be 'groups' or 'hash', got {exchange!r}")
+
+
 def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
-                 tiebreak: str | None = None):
+                 tiebreak: str | None = None, exchange: str = "groups"):
     """Top-k rows per key — the per-host cap / batch-shaping primitive.
-    Hash-partitioned by key; each block keeps rank<k per key run with
-    one vectorized lexsort (no per-group Python calls)."""
+    One keyed exchange (see ``keyed_exchange``); each batch keeps
+    rank<k per key run with one vectorized lexsort."""
 
     def block_topk(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -143,8 +164,7 @@ def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
         rank = np.arange(len(sk)) - starts[run_id]
         return batch.take(pa.array(order[rank < k]))
 
-    return hash_partitioned(ds, key).map_batches(
-        block_topk, batch_format="pyarrow", batch_size=None)
+    return keyed_exchange(ds, key, block_topk, exchange)
 
 
 def global_topk(ds, order_col: str, k: int, descending: bool = True,
@@ -200,7 +220,7 @@ def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
 
 def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
                      left_type: str, right_type: str, value_col: str,
-                     id_col: str = "event_id"):
+                     id_col: str = "event_id", exchange: str = "groups"):
     """Per-key AS-OF join: for every ``left_type`` event, attach the
     most recent earlier-or-equal ``right_type`` event's value (-1 when
     none). A custom operator Ray Data lacks — ONE hash exchange by the
@@ -242,12 +262,11 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
             "asof_value": pa.array(out_vals[left_m], pa.float64()),
         })
 
-    return hash_partitioned(ds, key_col).map_batches(
-        join_block, batch_format="pyarrow", batch_size=None)
+    return keyed_exchange(ds, key_col, join_block, exchange)
 
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
-               gap_us: int = 30 * 60 * 1_000_000):
+               gap_us: int = 30 * 60 * 1_000_000, exchange: str = "groups"):
     """Per-user gap sessionization: events sorted by time; a gap larger
     than ``gap_us`` starts a new session. Emits per-user aggregates
     (n_sessions, n_events). Partitioned by user — the groupby is the
@@ -277,5 +296,4 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
             }
         )
 
-    return hash_partitioned(ds, user_col).map_batches(
-        sess_block, batch_format="pyarrow", batch_size=None)
+    return keyed_exchange(ds, user_col, sess_block, exchange)

@@ -155,3 +155,44 @@ def test_sessionize(ray_session):
     out = sessionize(ds).to_pandas().sort_values("user_id")
     assert list(out["n_sessions"]) == [2, 1]
     assert list(out["n_events"]) == [5, 1]
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_keyed_ops_exchange_equivalence(ray_session, exchange):
+    """per_key_topk / sessionize / asof_join produce identical results
+    through both exchanges (the kernel is run-aware either way)."""
+    import ray
+    from frontera_ray.stages.relational import (asof_join_latest,
+                                                per_key_topk, sessionize)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(rng.choice(["view", "click", "buy"], n)),
+        "ts": pa.array((rng.integers(0, 10**6, n) * 1000000).astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.random(n), 3), pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def norm(d):
+        df = d.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    topk = norm(per_key_topk(ds, "user_id", "value", k=3,
+                             tiebreak="event_id", exchange=exchange))
+    sess = norm(sessionize(ds, exchange=exchange))
+    asof = norm(asof_join_latest(ds, "user_id", "ts", "event_type",
+                                 "click", "view", "value",
+                                 exchange=exchange))
+    # compare against the other exchange computed once (cache on module)
+    import tests.test_stages as mod
+
+    store = getattr(mod, "_exchange_results", None)
+    if store is None:
+        mod._exchange_results = {"topk": topk, "sess": sess, "asof": asof}
+    else:
+        assert store["topk"].equals(topk)
+        assert store["sess"].equals(sess)
+        assert store["asof"].equals(asof)
