@@ -11,15 +11,15 @@ the crawl engine's fingerprint dedup). Near-dup families:
 - n-gram Jaccard: exact pairwise within candidate buckets (small-side).
 - Embedding cosine near-dup: see ann.cosine_neardup_pairs.
 
-At 100 TB the only all-to-all exchanges are the bucket groupbys, whose
-keys (band hashes / simhash blocks) are uniformly distributed by
-construction — no skew. Both near-dup pipelines use the same two-pass
-shape: (1) slim sketch -> distributed bucket-count -> broadcast the
-small set of *colliding* bucket keys; (2) filter sketch rows to
-collision buckets (so verify payloads ship only for candidate docs)
--> groupby(bucket_key).map_groups exact verify inside the bucket.
-Nothing corpus-sized ever lands on the driver; the driver only touches
-the final near-dup pair list (the result) and the collision-key set.
+At 100 TB the only all-to-all exchanges are the bucket exchanges,
+whose keys (band hashes / simhash blocks) are uniformly distributed by
+construction — no skew. Both near-dup pipelines: one streaming sketch
+pass, ONE keyed exchange that lands each LSH bucket whole in one block
+(coarse-pkey sort groupby by default; ``exchange='hash'`` = key-hash
+repartition for when the sort dominates), then a vectorized run-aware
+verify kernel. Nothing corpus-sized ever lands on the driver; it only
+touches the final pair list (the result) and, with
+``prefilter=True`` (minhash), the collision-key broadcast set.
 
 References (public): Broder, "On the resemblance and containment of
 documents" (1997) — minhash; Leskovec/Rajaraman/Ullman, *Mining of
@@ -202,12 +202,49 @@ def _enable_hash_shuffle(ds):
     """Key-based ``repartition(keys=...)`` requires the hash-shuffle
     strategy (Ray 2.49 defaults to sort shuffle). Each Dataset carries
     its own DataContext copy, so flipping it on the pipeline's final
-    dataset scopes the override to this execution only."""
+    dataset scopes the override to this execution only. Aggregators are
+    ACTORS — sized to the cluster so they never oversubscribe it (a
+    starved aggregator wave stalls for minutes)."""
+    import ray
     from ray.data.context import ShuffleStrategy
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = _MAX_SHUFFLE_AGGREGATORS
+    ds.context.max_hash_shuffle_aggregators = max(
+        1, min(_MAX_SHUFFLE_AGGREGATORS, cpus // 2))
     return ds
+
+
+
+def _coarse_grouped(ds, kernel, partitions: int = _NUM_VERIFY_PARTITIONS):
+    """Sort-based alternative to the hash exchange: bucket rows gain a
+    coarse pkey (hash of bucket_key into ``partitions`` groups) and a
+    groupby(pkey).map_groups feeds the same run-aware kernel — one
+    kernel call per coarse partition, no hash-shuffle aggregator
+    actors. Cheaper at bench scale; the hash exchange wins when the
+    sort itself dominates (see keyed_exchange in stages/relational)."""
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = batch["bucket_key"].to_numpy().astype(np.uint64)
+        pk = ((k ^ (k >> np.uint64(32))) * np.uint64(0x9E3779B97F4A7C15)
+              >> np.uint64(40)) % np.uint64(partitions)
+        return batch.append_column(
+            "pkey", pa.array(pk.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow").groupby(
+        "pkey").map_groups(kernel, batch_format="pyarrow")
+
+
+def _bucket_verify_exchange(ds, kernel, exchange: str):
+    """Route bucket rows to the verify kernel through the chosen
+    exchange ('groups' = coarse-pkey sort groupby, 'hash' = key-hash
+    repartition)."""
+    if exchange == "hash":
+        return _enable_hash_shuffle(ds.repartition(
+            num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
+        ).map_batches(kernel, batch_format="pyarrow", batch_size=None))
+    if exchange == "groups":
+        return _coarse_grouped(ds, kernel)
+    raise ValueError(f"exchange must be 'groups' or 'hash', got {exchange!r}")
 
 
 def _bucket_runs(sorted_keys: np.ndarray):
@@ -273,7 +310,7 @@ def _dedupe_pair_table(pairs: pa.Table, value_col: str) -> pa.Table:
 
 def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
                           text_lookup=None, num_perm: int = 64, bands: int = 16,
-                          prefilter: bool = False):
+                          prefilter: bool = False, exchange: str = "groups"):
     """Full MinHash-LSH pipeline over a documents Dataset, fully
     distributed — returns a pyarrow Table (a, b, jaccard >= threshold).
 
@@ -316,11 +353,9 @@ def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
     # hash-shuffle by bucket_key into a fixed block count: every bucket
     # lands whole in exactly one block, so the verify kernel sees full
     # groups per batch (batch_size=None = one batch per block)
-    pairs_ds = _enable_hash_shuffle(cand.repartition(
-        num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
-    ).map_batches(
-        _partial(_verify_minhash_partition, threshold=threshold),
-        batch_format="pyarrow", batch_size=None))
+    pairs_ds = _bucket_verify_exchange(
+        cand, _partial(_verify_minhash_partition, threshold=threshold),
+        exchange)
     parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return empty
@@ -458,36 +493,61 @@ def _simhash_block_rows(batch: pa.Table, blocks: int) -> pa.Table:
     return pa.concat_tables(tabs)
 
 
+def _run_pair_indices(starts: np.ndarray, ends: np.ndarray):
+    """All within-run (i<j) index pairs, vectorized by run-size class:
+    one triu template per distinct size, broadcast over that size's run
+    starts — no per-run Python loop. Pathological mega-runs (every doc
+    identical) still cost O(s^2) pairs, inherent to pair output."""
+    sizes = ends - starts
+    pi_parts, pj_parts = [], []
+    for s in np.unique(sizes[sizes >= 2]):
+        st = starts[sizes == s]
+        iu, ju = np.triu_indices(int(s), k=1)
+        pi_parts.append((st[:, None] + iu[None, :]).ravel())
+        pj_parts.append((st[:, None] + ju[None, :]).ravel())
+    if not pi_parts:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    return np.concatenate(pi_parts), np.concatenate(pj_parts)
+
+
 def _verify_simhash_partition(group: pa.Table, max_hamming: int) -> pa.Table:
-    """map_groups kernel over one hash partition of simhash block rows:
-    local sort by bucket_key, vectorized pairwise Hamming inside each
-    collision run."""
+    """Whole-block kernel over one hash partition of simhash block
+    rows: local sort by bucket_key, fully vectorized pair generation +
+    Hamming verify + in-partition dedupe (no per-run Python loop)."""
     from .text import hamming64
 
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
     key = group["bucket_key"].to_numpy()
+    if len(key) == 0:
+        return empty
     order = np.argsort(key, kind="stable")
     key = key[order]
     ids = group["doc_id"].to_numpy()[order]
     hs = group["simhash"].to_numpy()[order].astype(np.uint64)
-    out: set[tuple] = set()
-    for s, e in _bucket_runs(key):
-        rid, rh = ids[s:e], hs[s:e]
-        uniq_idx = np.unique(rid, return_index=True)[1]
-        rid, rh = rid[uniq_idx], rh[uniq_idx]
-        iu, ju = np.triu_indices(len(rid), k=1)
-        if len(iu) == 0:
-            continue
-        d = hamming64(rh[iu], rh[ju])
-        m = d <= max_hamming
-        for a_, b_, d_ in zip(rid[iu[m]], rid[ju[m]], d[m]):
-            out.add((int(a_), int(b_), int(d_)))
-    rows = sorted(out)
-    return pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
-                     "b": pa.array([r[1] for r in rows], pa.int64()),
-                     "hamming": pa.array([r[2] for r in rows], pa.int32())})
+    new_run = np.concatenate(([True], key[1:] != key[:-1]))
+    starts = np.flatnonzero(new_run)
+    ends = np.concatenate((starts[1:], [len(key)]))
+    pi, pj = _run_pair_indices(starts, ends)
+    if not len(pi):
+        return empty
+    a, b = ids[pi], ids[pj]
+    d = hamming64(hs[pi], hs[pj])
+    m = (d <= max_hamming) & (a != b)
+    a, b, d = a[m], b[m], d[m].astype(np.int32)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    order2 = np.lexsort((hi, lo))
+    lo, hi, d = lo[order2], hi[order2], d[order2]
+    keep = np.ones(len(lo), dtype=bool)
+    keep[1:] = (np.diff(lo) != 0) | (np.diff(hi) != 0)
+    return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                     "b": pa.array(hi[keep], pa.int64()),
+                     "hamming": pa.array(d[keep], pa.int32())})
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None):
+def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
+                          exchange: str = "groups"):
     """SimHash near-dup: bit-block LSH then Hamming verify, fully
     distributed — one corpus pass, one all-to-all (the coarse-partition
     groupby; see minhash_neardup_pairs for the pattern). Sketch rows are
@@ -507,11 +567,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None):
     block_rows = (ds.map_batches(simhash_table, batch_format="pyarrow")
                   .map_batches(_partial(_simhash_block_rows, blocks=blocks),
                                batch_format="pyarrow"))
-    pairs_ds = _enable_hash_shuffle(block_rows.repartition(
-        num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
-    ).map_batches(
-        _partial(_verify_simhash_partition, max_hamming=max_hamming),
-        batch_format="pyarrow", batch_size=None))
+    pairs_ds = _bucket_verify_exchange(
+        block_rows, _partial(_verify_simhash_partition,
+                             max_hamming=max_hamming), exchange)
     parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),

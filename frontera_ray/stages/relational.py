@@ -102,12 +102,10 @@ def hash_partitioned(ds, key: str, num_blocks: int = _NUM_KEY_PARTITIONS):
     is the scaling wall at 10^9 keys). Requires the hash-shuffle
     strategy; enabled on the dataset's own context copy (inherited by
     derived datasets), so other pipelines keep the default."""
-    from ray.data.context import ShuffleStrategy
+    from .dedup import _enable_hash_shuffle
 
-    out = ds.repartition(num_blocks=num_blocks, keys=[key])
-    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    out.context.max_hash_shuffle_aggregators = 8  # see stages/dedup.py sizing
-    return out
+    return _enable_hash_shuffle(ds.repartition(num_blocks=num_blocks,
+                                               keys=[key]))
 
 
 def _group_codes(arr: np.ndarray) -> np.ndarray:

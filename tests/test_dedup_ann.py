@@ -282,3 +282,51 @@ def test_ngram_jaccard_short_docs_match_oracle_semantics(ray_session):
     con.register("documents", t)
     exp = con.execute(em.oracle_sql()["ngram_jaccard"]).df()
     assert sorted(map(tuple, exp[["a", "b"]].values.tolist())) == sorted(pairs)
+
+
+def test_neardup_exchanges_agree(ray_session, tmp_path):
+    """'groups' (coarse-pkey sort) and 'hash' (key repartition)
+    exchanges return identical pair sets for both near-dup pipelines.
+
+    The hash halves run in a SUBPROCESS with their own Ray session:
+    Ray 2.49's hash-shuffle teardown can wedge a later sort-based
+    execution in the same tiny (4-cpu) session — a flake this shared
+    fixture must not be exposed to (the 32-cpu driver/bench sessions
+    run mixed strategies without issue)."""
+    import json
+    import subprocess
+    import sys
+
+    import ray
+
+    texts = _docs_table()
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    ds = ray.data.from_arrow(t)
+    m_g = minhash_neardup_pairs(ds, threshold=0.5, exchange="groups")
+    s_g = simhash_neardup_pairs(ds, max_hamming=3, exchange="groups")
+    assert len(m_g) > 0 and len(s_g) > 0
+
+    script = f"""
+import ray, json, pyarrow as pa
+ray.init(address="local", num_cpus=4, include_dashboard=False, log_to_driver=False)
+from frontera_ray.stages.dedup import minhash_neardup_pairs, simhash_neardup_pairs
+texts = dict({list(texts.items())!r})
+t = pa.table({{"doc_id": pa.array(list(texts), pa.int64()),
+              "text": pa.array(list(texts.values()), pa.string())}})
+ds = ray.data.from_arrow(t)
+m = minhash_neardup_pairs(ds, threshold=0.5, exchange="hash")
+s = simhash_neardup_pairs(ds, max_hamming=3, exchange="hash")
+print("RESULT " + json.dumps({{"m": m.to_pylist(), "s": s.to_pylist()}}))
+ray.shutdown()
+"""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=240, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][0]
+    got = json.loads(line[len("RESULT "):])
+    assert got["m"] == m_g.to_pylist()
+    assert got["s"] == s_g.to_pylist()
