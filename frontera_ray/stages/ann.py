@@ -243,23 +243,23 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = No
 
 
 def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
-                       bands: int = 8, dim: int = 64, seed: int = 42) -> pa.Table:
+                       bands: int = 8, dim: int = 64, seed: int = 42,
+                       exchange: str = "hash") -> pa.Table:
     """Embedding near-dup pairs at corpus scale: random-hyperplane
     signatures split into ``bands`` sub-codes (minhash-style banding —
-    two vectors are candidates when ANY band matches), hash-repartition
-    by (band, code) so each bucket lands whole in one block, vectorized
-    within-bucket cosine verify. One corpus pass, one all-to-all; the
-    driver only sees the pair list.
+    two vectors are candidates when ANY band matches), one keyed bucket
+    exchange, vectorized within-bucket cosine verify. One corpus pass,
+    one all-to-all; the driver only sees the pair list. Default
+    exchange is 'hash' (unlike the text near-dups): band rows carry the
+    embedding payload, and the hash exchange moves those bytes without
+    a sort (measured faster at sf0.1: 1.5 s vs 2.3 s).
 
     Recall at sim s: 1 - (1 - p^r)^bands with p = 1 - arccos(s)/pi and
     r = bits/bands (bits=16, bands=8 -> ~99.6% at s=0.6, higher above).
     Approximate-by-construction: pairs found are exact-verified, pairs
     whose bands all differ are missed."""
-    import ray
-    from functools import partial as _partial
-
-    from .dedup import _NUM_VERIFY_PARTITIONS, _bucket_runs, \
-        _dedupe_pair_table, _enable_hash_shuffle
+    from .dedup import _bucket_verify_exchange, _dedupe_pair_table, \
+        _run_pair_indices
 
     assert bits % bands == 0
     r = bits // bands
@@ -285,7 +285,12 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
         return pa.concat_tables(tabs)
 
     def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
         key = group["bucket_key"].to_numpy()
+        if len(key) == 0:
+            return empty
         order = np.argsort(key, kind="stable")
         key = key[order]
         ids = group["vec_id"].to_numpy()[order].astype(np.int64)
@@ -293,26 +298,29 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
         nrm = np.linalg.norm(emb, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         nemb = emb / nrm
-        out: set[tuple] = set()
-        for s, e in _bucket_runs(key):
-            rid = ids[s:e]
-            uniq = np.unique(rid, return_index=True)[1]
-            rid, rn = rid[uniq], nemb[s:e][uniq]
-            sims = rn @ rn.T
-            iu, ju = np.triu_indices(len(rid), k=1)
-            m = sims[iu, ju] >= threshold
-            for a_, b_, s_ in zip(rid[iu[m]], rid[ju[m]], sims[iu[m], ju[m]]):
-                out.add((int(a_), int(b_), round(float(s_), 4)))
-        rows = sorted(out)
-        return pa.table({"a": pa.array([x[0] for x in rows], pa.int64()),
-                         "b": pa.array([x[1] for x in rows], pa.int64()),
-                         "sim": pa.array([x[2] for x in rows], pa.float64())})
+        new_run = np.concatenate(([True], key[1:] != key[:-1]))
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate((starts[1:], [len(key)]))
+        pi, pj = _run_pair_indices(starts, ends)
+        if not len(pi):
+            return empty
+        sims = np.einsum("ij,ij->i", nemb[pi], nemb[pj])
+        a, b = ids[pi], ids[pj]
+        m = (sims >= threshold) & (a != b)
+        a, b, sims = a[m], b[m], np.round(sims[m], 4)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        order2 = np.lexsort((hi, lo))
+        lo, hi, sims = lo[order2], hi[order2], sims[order2]
+        keep = np.ones(len(lo), dtype=bool)
+        keep[1:] = (np.diff(lo) != 0) | (np.diff(hi) != 0)
+        return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                         "b": pa.array(hi[keep], pa.int64()),
+                         "sim": pa.array(sims[keep], pa.float64())})
 
-    pairs_ds = _enable_hash_shuffle(
+    pairs_ds = _bucket_verify_exchange(
         ds.select_columns(["vec_id", "embedding"])
-          .map_batches(band_rows, batch_format="pyarrow")
-          .repartition(num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"])
-          .map_batches(verify, batch_format="pyarrow", batch_size=None))
+          .map_batches(band_rows, batch_format="pyarrow"),
+        verify, exchange)
     parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
