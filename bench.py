@@ -101,11 +101,11 @@ def main() -> None:
         # spill onto the rest of the machine and inflating small-N
         # throughput. Pinning emulates a real N-core cluster honestly.
         n = int(os.environ.get("GRAFT_SCALE_N", "4"))
-        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
         results = {}
         for cpus in (n, 4 * n):
             best = None
-            for _ in range(repeats):  # best-of-k: sandbox runs vary ~±20%
+            for _ in range(repeats):  # best-of-k: sandbox runs vary ~±25%
                 proc = subprocess.run(
                     ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
                      "--crawl-only"],

@@ -142,20 +142,6 @@ class MinHashStage:
         return t.filter(pa.array(mask)) if mask is not None else t
 
 
-def candidate_pairs_from_buckets(group: pa.Table) -> pa.Table:
-    """map_groups kernel over bucket_key groups -> unique doc pairs
-    (a < b)."""
-    ids = sorted(set(group["doc_id"].to_pylist()))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table(
-        {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
-    )
-
-
 def _hot_bucket_keys(buckets_ds) -> np.ndarray:
     """Distributed collision-bucket detection: groupby(bucket_key).count,
     filter n>1 remotely, and only then collect — the driver sees one
