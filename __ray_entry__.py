@@ -662,6 +662,26 @@ def q_minhash_neardup(sf_dir: str):
     return minhash_neardup_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_keepers(sf_dir: str):
+    """Near-dup keeper resolution: minhash pair list -> union-find
+    connected components -> (doc_id, keeper_doc_id) keep-list (the
+    reduce step that turns any near-dup pair stream into a
+    deduplicated corpus)."""
+    from frontera_ray.stages.dedup import dedup_keepers, minhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents")
+    pairs = minhash_neardup_pairs(ds, threshold=0.5)
+    doc_ids = [r["doc_id"] for r in
+               ds.select_columns(["doc_id"]).take_all()]
+    keepers = dedup_keepers(doc_ids,
+                            zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    kept = sorted(keepers.items())
+    return pa.table({
+        "doc_id": pa.array([k for k, _ in kept], pa.int64()),
+        "keeper_doc_id": pa.array([v for _, v in kept], pa.int64()),
+    })
+
+
 def q_simhash(sf_dir: str):
     from frontera_ray.stages.text import simhash_table
 
@@ -799,6 +819,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_bfs": q_crawl_bfs,
     "fetch_pages": q_fetch_pages,
     "minhash_neardup": q_minhash_neardup,
+    "dedup_keepers": q_dedup_keepers,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
