@@ -291,6 +291,11 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
         key = group["bucket_key"].to_numpy()
         if len(key) == 0:
             return empty
+        from .dedup import _first_per_bucket_doc
+
+        group = group.take(pa.array(_first_per_bucket_doc(
+            key, group["vec_id"].to_numpy())))
+        key = group["bucket_key"].to_numpy()
         order = np.argsort(key, kind="stable")
         key = key[order]
         ids = group["vec_id"].to_numpy()[order].astype(np.int64)

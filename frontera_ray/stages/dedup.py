@@ -479,6 +479,19 @@ def _simhash_block_rows(batch: pa.Table, blocks: int) -> pa.Table:
     return pa.concat_tables(tabs)
 
 
+
+def _first_per_bucket_doc(key: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Indices keeping the FIRST arrival of each (bucket_key, doc_id)
+    pair, in original row order — a doc re-ingested into the same
+    bucket must contribute exactly one sketch, deterministically
+    (parity with the old per-run np.unique suppression)."""
+    pos = np.arange(len(key))
+    s1 = np.lexsort((pos, ids, key))
+    kk, ii = key[s1], ids[s1]
+    dup = np.concatenate(([False], (kk[1:] == kk[:-1]) & (ii[1:] == ii[:-1])))
+    return np.sort(s1[~dup])
+
+
 def _run_pair_indices(starts: np.ndarray, ends: np.ndarray):
     """All within-run (i<j) index pairs, vectorized by run-size class:
     one triu template per distinct size, broadcast over that size's run
@@ -508,6 +521,9 @@ def _verify_simhash_partition(group: pa.Table, max_hamming: int) -> pa.Table:
     key = group["bucket_key"].to_numpy()
     if len(key) == 0:
         return empty
+    group = group.take(pa.array(_first_per_bucket_doc(
+        key, group["doc_id"].to_numpy())))
+    key = group["bucket_key"].to_numpy()
     order = np.argsort(key, kind="stable")
     key = key[order]
     ids = group["doc_id"].to_numpy()[order]

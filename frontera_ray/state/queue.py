@@ -563,7 +563,14 @@ class QueueShard:
         heapify once (cheaper when the batch rivals the heap size)."""
         cols = [table[f].to_pylist() for f in ENTRY_FIELDS]
         rows = zip(*cols)
-        if self._robots_enabled or self._max_pages_per_domain or self._blacklist:
+        if self._blacklist and not (self._robots_enabled
+                                    or self._max_pages_per_domain):
+            # blacklist-only: pre-filter then keep the fast path (the
+            # gated path would build DomainMetadata for every host)
+            kept = [r for r in rows if r[2].lower() not in self._blacklist]
+            self.stats["dropped_blacklist"] += (len(table) - len(kept))
+            rows = iter(kept)
+        elif self._robots_enabled or self._max_pages_per_domain:
             return self._schedule_gated(list(rows))
         profile = self.profile
         live, by_fp = self._live, self._by_fp

@@ -284,7 +284,7 @@ def test_ngram_jaccard_short_docs_match_oracle_semantics(ray_session):
     assert sorted(map(tuple, exp[["a", "b"]].values.tolist())) == sorted(pairs)
 
 
-def test_neardup_exchanges_agree(ray_session, tmp_path):
+def test_neardup_exchanges_agree(ray_session):
     """'groups' (coarse-pkey sort) and 'hash' (key repartition)
     exchanges return identical pair sets for both near-dup pipelines.
 
@@ -330,3 +330,26 @@ ray.shutdown()
     got = json.loads(line[len("RESULT "):])
     assert got["m"] == m_g.to_pylist()
     assert got["s"] == s_g.to_pylist()
+
+
+def test_verify_kernels_suppress_duplicate_doc_rows():
+    """A doc re-ingested into the same bucket contributes exactly one
+    sketch (first arrival wins) — deterministic regardless of partition
+    arrival order."""
+    from frontera_ray.stages.dedup import _verify_simhash_partition
+
+    g = pa.table({
+        "doc_id": pa.array([2, 2, 9], pa.int64()),
+        "simhash": pa.array([0b1111, 0b0000, 0b1110], pa.int64()),
+        "bucket_key": pa.array([7, 7, 7], pa.int64()),
+    })
+    out = _verify_simhash_partition(g, max_hamming=2)
+    # only the FIRST doc-2 sketch (0b1111) is compared: hamming(2,9)=1
+    assert out.to_pylist() == [{"a": 2, "b": 9, "hamming": 1}]
+    # reversed arrival: first doc-2 sketch is now 0b0000 -> hamming 3 > 2
+    g2 = pa.table({
+        "doc_id": pa.array([2, 2, 9], pa.int64()),
+        "simhash": pa.array([0b0000, 0b1111, 0b1110], pa.int64()),
+        "bucket_key": pa.array([7, 7, 7], pa.int64()),
+    })
+    assert len(_verify_simhash_partition(g2, max_hamming=2)) == 0

@@ -157,8 +157,7 @@ def test_sessionize(ray_session):
     assert list(out["n_events"]) == [5, 1]
 
 
-@pytest.mark.parametrize("exchange", ["groups", "hash"])
-def test_keyed_ops_exchange_equivalence(ray_session, exchange):
+def test_keyed_ops_exchange_equivalence(ray_session):
     """per_key_topk / sessionize / asof_join produce identical results
     through both exchanges (the kernel is run-aware either way)."""
     import ray
@@ -180,19 +179,19 @@ def test_keyed_ops_exchange_equivalence(ray_session, exchange):
         df = d.to_pandas()
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    topk = norm(per_key_topk(ds, "user_id", "value", k=3,
-                             tiebreak="event_id", exchange=exchange))
-    sess = norm(sessionize(ds, exchange=exchange))
-    asof = norm(asof_join_latest(ds, "user_id", "ts", "event_type",
-                                 "click", "view", "value",
-                                 exchange=exchange))
-    # compare against the other exchange computed once (cache on module)
-    import tests.test_stages as mod
+    def run_all(exchange):
+        return (
+            norm(per_key_topk(ds, "user_id", "value", k=3,
+                              tiebreak="event_id", exchange=exchange)),
+            norm(sessionize(ds, exchange=exchange)),
+            norm(asof_join_latest(ds, "user_id", "ts", "event_type",
+                                  "click", "view", "value",
+                                  exchange=exchange)),
+        )
 
-    store = getattr(mod, "_exchange_results", None)
-    if store is None:
-        mod._exchange_results = {"topk": topk, "sess": sess, "asof": asof}
-    else:
-        assert store["topk"].equals(topk)
-        assert store["sess"].equals(sess)
-        assert store["asof"].equals(asof)
+    topk_g, sess_g, asof_g = run_all("groups")
+    topk_h, sess_h, asof_h = run_all("hash")
+    assert len(topk_g) and len(sess_g) and len(asof_g)
+    assert topk_g.equals(topk_h)
+    assert sess_g.equals(sess_h)
+    assert asof_g.equals(asof_h)
