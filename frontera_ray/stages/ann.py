@@ -244,15 +244,16 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = No
 
 def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
                        bands: int = 8, dim: int = 64, seed: int = 42,
-                       exchange: str = "hash") -> pa.Table:
+                       exchange: str = "groups") -> pa.Table:
     """Embedding near-dup pairs at corpus scale: random-hyperplane
     signatures split into ``bands`` sub-codes (minhash-style banding —
     two vectors are candidates when ANY band matches), one keyed bucket
     exchange, vectorized within-bucket cosine verify. One corpus pass,
-    one all-to-all; the driver only sees the pair list. Default
-    exchange is 'hash' (unlike the text near-dups): band rows carry the
-    embedding payload, and the hash exchange moves those bytes without
-    a sort (measured faster at sf0.1: 1.5 s vs 2.3 s).
+    one all-to-all; the driver only sees the pair list. The hash
+    exchange averages slightly faster here (band rows carry the
+    embedding payload; no sort: 1.5 s vs 2.3 s at sf0.1) but Ray
+    2.49's hash-shuffle aggregators occasionally stall for tens of
+    seconds mid-suite, so the stable sort exchange is the default.
 
     Recall at sim s: 1 - (1 - p^r)^bands with p = 1 - arccos(s)/pi and
     r = bits/bands (bits=16, bands=8 -> ~99.6% at s=0.6, higher above).
