@@ -664,22 +664,17 @@ def q_minhash_neardup(sf_dir: str):
 
 def q_dedup_keepers(sf_dir: str):
     """Near-dup keeper resolution: minhash pair list -> union-find
-    connected components -> (doc_id, keeper_doc_id) keep-list (the
-    reduce step that turns any near-dup pair stream into a
-    deduplicated corpus)."""
-    from frontera_ray.stages.dedup import dedup_keepers, minhash_neardup_pairs
+    over PAIR ids only (ids absent from pairs keep themselves by
+    definition) -> broadcast lookup mapped over the corpus. The
+    keep-list is produced as a streaming Dataset; nothing corpus-sized
+    ever lands on the driver."""
+    from frontera_ray.stages.dedup import keeper_table, minhash_neardup_pairs
 
     ds = _read(sf_dir, "documents")
     pairs = minhash_neardup_pairs(ds, threshold=0.5)
-    doc_ids = [r["doc_id"] for r in
-               ds.select_columns(["doc_id"]).take_all()]
-    keepers = dedup_keepers(doc_ids,
-                            zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
-    kept = sorted(keepers.items())
-    return pa.table({
-        "doc_id": pa.array([k for k, _ in kept], pa.int64()),
-        "keeper_doc_id": pa.array([v for _, v in kept], pa.int64()),
-    })
+    # no sort: the keep-list is written partitioned at scale; content
+    # (not row order) is the contract, and it is deterministic.
+    return keeper_table(ds, pairs)
 
 
 def q_simhash(sf_dir: str):

@@ -437,7 +437,17 @@ def dedup_keepers(ids, pairs) -> dict:
     """Resolve near-dup pairs into a keeper assignment: connected
     components via union-find, keeper = the smallest id of each
     component (the reduce step that turns pair lists from minhash /
-    simhash / cosine near-dup into a deduplicated keep-list)."""
+    simhash / cosine near-dup into a deduplicated keep-list).
+
+    ``ids=None`` (the scale path) runs union-find over only the ids
+    that appear in ``pairs`` — every id absent from the pair stream
+    keeps itself by definition, so callers must never collect the
+    corpus id column just to feed this. The returned dict is then
+    pair-scoped; map it over the corpus with a broadcast lookup
+    (see ``keeper_table`` / ``q_dedup_keepers``)."""
+    pairs = [(int(a), int(b)) for a, b in pairs]
+    if ids is None:
+        ids = sorted({i for p in pairs for i in p})
     parent = {int(i): int(i) for i in ids}
 
     def find(x):
@@ -456,6 +466,41 @@ def dedup_keepers(ids, pairs) -> dict:
             else:
                 parent[ra] = rb
     return {i: find(int(i)) for i in parent}
+
+
+def keeper_table(ds, pair_table: pa.Table, id_col: str = "doc_id"):
+    """Corpus-wide (doc_id, keeper_doc_id) keep-list as a streaming
+    Dataset: union-find over only the ids in ``pair_table`` (result-
+    sized), broadcast the pair-scoped mapping once (ray.put), then a
+    vectorized searchsorted lookup per batch — ids absent from the
+    pair stream keep themselves. The corpus never lands on the driver;
+    the output is itself a Dataset (write it partitioned at scale)."""
+    import ray
+
+    keepers = dedup_keepers(None, zip(pair_table["a"].to_pylist(),
+                                      pair_table["b"].to_pylist()))
+    keys = np.fromiter(sorted(keepers), dtype=np.int64, count=len(keepers))
+    vals = np.fromiter((keepers[int(k)] for k in keys), dtype=np.int64,
+                       count=len(keys))
+    map_ref = ray.put((keys, vals))
+    cache: dict = {}
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        if "m" not in cache:
+            cache["m"] = ray.get(map_ref)
+        keys_, vals_ = cache["m"]
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        keeper = ids.copy()
+        if len(keys_):
+            pos = np.searchsorted(keys_, ids)
+            pos_c = np.minimum(pos, len(keys_) - 1)
+            hit = keys_[pos_c] == ids
+            keeper[hit] = vals_[pos_c[hit]]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "keeper_doc_id": pa.array(keeper, pa.int64())})
+
+    return ds.select_columns([id_col]).map_batches(
+        lookup, batch_format="pyarrow")
 
 
 def _simhash_block_rows(batch: pa.Table, blocks: int) -> pa.Table:
