@@ -77,10 +77,16 @@ def parse_sitemap(content: str):
 
 
 def blacklist_mask(urls, blacklist) -> np.ndarray:
-    """True for URLs whose lowercased hostname is NOT blacklisted."""
+    """True for URLs neither whose lowercased hostname NOR whose
+    registrable domain is blacklisted — the reference matches the
+    domain middleware's ``meta['domain']['name']`` (the registrable
+    domain), so blacklisting ``example.com`` must also drop
+    ``www.example.com`` (worker/components/batch_generator.py:97-109)."""
     bl = {b.lower() for b in blacklist}
     hosts = hostnames_batch(np.asarray(urls, dtype=object))
-    return np.fromiter((h not in bl for h in hosts), dtype=bool, count=len(hosts))
+    return np.fromiter(
+        (h not in bl and _split_host(h)[0] not in bl for h in hosts),
+        dtype=bool, count=len(hosts))
 
 
 def same_domain_mask(parent_url: str, urls, use_psl: bool = False) -> np.ndarray:

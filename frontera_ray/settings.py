@@ -192,6 +192,17 @@ def fingerprint_fns_from_settings(settings=None):
             load_object(s.DOMAIN_FINGERPRINT_FUNCTION))
 
 
+def _resolve_queue_shards(s, overrides) -> int:
+    """Queue-shard precedence: explicit override (CLI flags / kwargs) >
+    settings-module SPIDER_FEED_PARTITIONS > NUM_QUEUE_SHARDS default —
+    a module's SPIDER_FEED_PARTITIONS must not clobber an explicit
+    ``num_queue_shards=`` (the CLI's 'explicit flags still win'
+    contract)."""
+    if "NUM_QUEUE_SHARDS" in {k.upper() for k in overrides}:
+        return int(s.NUM_QUEUE_SHARDS)
+    return int(s.get("SPIDER_FEED_PARTITIONS") or s.NUM_QUEUE_SHARDS)
+
+
 def local_frontier_from_settings(settings=None, **overrides):
     """Build a LocalFrontier from a Settings object / module path / dict
     (the reference's ``FrontierManager.from_settings`` shape)."""
@@ -199,7 +210,7 @@ def local_frontier_from_settings(settings=None, **overrides):
 
     s = Settings.object_from(settings) if settings is not None else Settings()
     s.set_from_dict({k.upper(): v for k, v in overrides.items()})
-    n_queue = s.get("SPIDER_FEED_PARTITIONS") or s.NUM_QUEUE_SHARDS
+    n_queue = _resolve_queue_shards(s, overrides)
     return LocalFrontier(
         strategy=_strategy_from(s),
         profile=s.QUEUE_PROFILE,
@@ -223,8 +234,7 @@ def ray_crawler_from_settings(web, out_dir: str, settings=None, **overrides):
         strategy=_strategy_from(s),
         profile=s.QUEUE_PROFILE,
         num_state_shards=s.NUM_STATE_SHARDS,
-        num_queue_shards=int(s.get("SPIDER_FEED_PARTITIONS")
-                             or s.NUM_QUEUE_SHARDS),
+        num_queue_shards=_resolve_queue_shards(s, overrides),
         batch_per_shard=s.BATCH_PER_SHARD,
         max_per_host=s.get("BC_MAX_REQUESTS_PER_HOST"),
         min_hosts=s.get("BC_MIN_HOSTS") if s.get("TEST_MODE") else None,

@@ -229,8 +229,12 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
 
     def join_block(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
+            # empty blocks happen under exchange='hash' (repartition can
+            # yield empty partitions); schema must match non-empty output
+            # including the key/id column TYPES (string keys would
+            # otherwise emit mismatched int64 blocks)
+            return pa.table({key_col: pa.array([], batch[key_col].type),
+                             id_col: pa.array([], batch[id_col].type),
                              "asof_value": pa.array([], pa.float64())})
         keys_raw = batch[key_col].to_numpy(zero_copy_only=False)
         keys = _group_codes(keys_raw)
@@ -272,7 +276,7 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     def sess_block(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
+            return pa.table({"user_id": pa.array([], batch[user_col].type),
                              "n_sessions": pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64())})
         uid_raw = batch[user_col].to_numpy(zero_copy_only=False)
@@ -288,7 +292,8 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
         n_events = np.diff(np.concatenate((starts, [len(u_s)])))
         return pa.table(
             {
-                "user_id": pa.array(uid_raw[order][starts], pa.int64()),
+                "user_id": pa.array(uid_raw[order][starts],
+                                    batch[user_col].type),
                 "n_sessions": pa.array(n_sessions, pa.int64()),
                 "n_events": pa.array(n_events, pa.int64()),
             }

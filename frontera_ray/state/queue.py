@@ -26,6 +26,7 @@ frontera gets from hostname-partitioned spider feeds.
 
 from __future__ import annotations
 
+import bisect
 import heapq
 import random
 import urllib.robotparser
@@ -34,6 +35,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ENTRY_FIELDS = ("url", "fingerprint", "host", "score", "depth", "seq", "crawl_at")
@@ -71,6 +73,9 @@ class QueueEntry(tuple):
 
 MAX_SUBDOMAINS = 10
 MAX_REDIRECTS_STORE = 100
+# bound on buffered unmatched OPIC cash entries per shard (see
+# QueueShard.add_scores) — oldest evicted beyond this
+MAX_PENDING_CASH = 65536
 
 
 class DomainMetadata:
@@ -123,6 +128,164 @@ class DomainMetadata:
         if self.robots is None:
             return True
         return self.robots.can_fetch(user_agent, url)
+
+
+class TwoGenDomainCache:
+    """Bounded per-shard domain-metadata store with the reference's
+    two-generation LRU semantics (hbase/domaincache.py:65-312 — a
+    1000-entry live cache whose second generation is batch-written to
+    the backend): the live generation holds the most recently touched
+    ``cap`` hosts; when it fills, the previous generation is spilled
+    to a parquet fragment on local disk and the generations rotate.
+    Touches (``get`` / ``[]``) promote second-generation and spilled
+    hosts back into the live generation, so politeness state
+    (crawl-delay budgets, robots, per-domain counters) survives
+    eviction. Resident memory is O(2 x cap) DomainMetadata entries no
+    matter how many distinct hosts a long broad crawl contacts —
+    previously the first memory wall at 10^8 hosts/shard.
+
+    ``cap=None`` disables spilling (plain dict semantics)."""
+
+    _SCHEMA = pa.schema([
+        ("host", pa.string()), ("robots_body", pa.string()),
+        ("crawl_delay", pa.float64()), ("queued_pages", pa.int64()),
+        ("banned", pa.bool_()), ("last_pop_seq", pa.int64()),
+        ("next_fetch_at", pa.float64()),
+        ("subdomains", pa.list_(pa.string())),
+        ("redirect_to", pa.list_(pa.string())),
+        ("redirect_from", pa.list_(pa.string())),
+    ])
+
+    def __init__(self, cap: int | None = 1000, spill_dir: str | None = None):
+        self.cap = cap
+        self._gen1: dict[str, DomainMetadata] = {}
+        self._gen2: dict[str, DomainMetadata] = {}
+        self._spill_dir = spill_dir
+        self._spill_index: dict[str, int] = {}  # host -> fragment id
+        self._next_frag = 0
+        self.spills = 0
+
+    # -- dict-style surface ---------------------------------------------------
+    def __contains__(self, host: str) -> bool:
+        return (host in self._gen1 or host in self._gen2
+                or host in self._spill_index)
+
+    def __len__(self) -> int:
+        return len(self._gen1) + len(self._gen2) + len(self._spill_index)
+
+    def get(self, host: str, default=None):
+        m = self._gen1.get(host)
+        if m is not None:
+            return m
+        m = self._gen2.pop(host, None)
+        if m is None and host in self._spill_index:
+            m = self._load_spilled(host)
+        if m is None:
+            return default
+        self._insert(host, m)
+        return m
+
+    def __getitem__(self, host: str) -> DomainMetadata:
+        m = self.get(host)
+        if m is None:
+            m = DomainMetadata()
+            self._insert(host, m)
+        return m
+
+    def items(self):
+        """All entries, including spilled ones (loaded fragment by
+        fragment, superseded rows skipped) — checkpoint/introspection."""
+        seen = set()
+        for gen in (self._gen1, self._gen2):
+            for h, m in gen.items():
+                seen.add(h)
+                yield h, m
+        by_frag: dict[int, list[str]] = defaultdict(list)
+        for h, f in self._spill_index.items():
+            if h not in seen:
+                by_frag[f].append(h)
+        for f, hosts in sorted(by_frag.items()):
+            t = pq.read_table(Path(self._spill_dir) / f"frag-{f:06d}.parquet")
+            rows = {t["host"][i].as_py(): i for i in range(len(t))}
+            for h in hosts:
+                yield h, self._row_to_meta(t, rows[h])
+
+    # -- internals ------------------------------------------------------------
+    def _insert(self, host: str, m: DomainMetadata) -> None:
+        self._spill_index.pop(host, None)
+        if (self.cap is not None and host not in self._gen1
+                and len(self._gen1) >= self.cap):
+            self._rotate()
+        self._gen1[host] = m
+
+    def _rotate(self) -> None:
+        if self._gen2:
+            self._spill(self._gen2)
+        self._gen2 = self._gen1
+        self._gen1 = {}
+
+    def _spill(self, gen: dict) -> None:
+        import tempfile
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="domcache-")
+        frag = self._next_frag
+        self._next_frag += 1
+        hosts = list(gen)
+        pq.write_table(
+            pa.table({
+                "host": pa.array(hosts, pa.string()),
+                "robots_body": pa.array(
+                    [gen[h].robots_body or "" for h in hosts], pa.string()),
+                "crawl_delay": pa.array(
+                    [gen[h].crawl_delay for h in hosts], pa.float64()),
+                "queued_pages": pa.array(
+                    [gen[h].queued_pages for h in hosts], pa.int64()),
+                "banned": pa.array([gen[h].banned for h in hosts], pa.bool_()),
+                "last_pop_seq": pa.array(
+                    [gen[h].last_pop_seq for h in hosts], pa.int64()),
+                "next_fetch_at": pa.array(
+                    [gen[h].next_fetch_at for h in hosts], pa.float64()),
+                "subdomains": pa.array(
+                    [sorted(gen[h].subdomains) for h in hosts],
+                    pa.list_(pa.string())),
+                "redirect_to": pa.array(
+                    [sorted(gen[h].redirect_to) for h in hosts],
+                    pa.list_(pa.string())),
+                "redirect_from": pa.array(
+                    [sorted(gen[h].redirect_from) for h in hosts],
+                    pa.list_(pa.string())),
+            }),
+            Path(self._spill_dir) / f"frag-{frag:06d}.parquet")
+        for h in hosts:
+            self._spill_index[h] = frag
+        self.spills += 1
+
+    @staticmethod
+    def _row_to_meta(t: pa.Table, i: int) -> DomainMetadata:
+        m = DomainMetadata()
+        body = t["robots_body"][i].as_py()
+        if body:
+            m.set_robots(body)
+        m.crawl_delay = t["crawl_delay"][i].as_py()
+        m.queued_pages = t["queued_pages"][i].as_py()
+        m.banned = t["banned"][i].as_py()
+        m.last_pop_seq = t["last_pop_seq"][i].as_py()
+        m.next_fetch_at = t["next_fetch_at"][i].as_py()
+        m.subdomains = set(t["subdomains"][i].as_py())
+        m.redirect_to = set(t["redirect_to"][i].as_py())
+        m.redirect_from = set(t["redirect_from"][i].as_py())
+        return m
+
+    def _load_spilled(self, host: str) -> DomainMetadata | None:
+        frag = self._spill_index.get(host)
+        if frag is None:
+            return None
+        t = pq.read_table(Path(self._spill_dir) / f"frag-{frag:06d}.parquet")
+        idx = pc.index(t["host"], host).as_py()
+        if idx < 0:
+            return None
+        return self._row_to_meta(t, idx)
 
 
 def make_slot_keyer(key_type: str = "domain", ip_resolver=None):
@@ -185,7 +348,8 @@ class QueueShard:
                  max_pages_per_domain: int | None = None,
                  robots_enabled: bool = False, robots_provider=None,
                  purge_seed: int = 42, key_type: str = "domain",
-                 ip_resolver=None, domains_blacklist=None):
+                 ip_resolver=None, domains_blacklist=None,
+                 domain_cache_size: int | None = 1000):
         self._blacklist = {b.lower() for b in (domains_blacklist or ())}
         self._slot_key = make_slot_keyer(key_type, ip_resolver)
         self.shard_id = shard_id
@@ -210,9 +374,18 @@ class QueueShard:
         self._robots_enabled = robots_enabled
         self._robots_provider = robots_provider
         self._key_type = key_type
-        self.domains: dict[str, DomainMetadata] = defaultdict(DomainMetadata)
+        self.domains = TwoGenDomainCache(cap=domain_cache_size)
         self._rng = random.Random(purge_seed)
         self.stats = defaultdict(int)
+        # sorted parked-slot keys, maintained incrementally (no per-pop
+        # sort); see _serve_pending
+        self._pending_keys: list[str] = []
+        # OPIC cash that arrived for a fingerprint not currently live
+        # (cross-batch schedule race, or an entry parked in the
+        # overused buffer): folded into the entry's score on the next
+        # schedule / parked serve of that fingerprint. Bounded; oldest
+        # buffered fp evicted first (insertion order).
+        self._cash_pending: dict[int, float] = {}
 
     # -- keys ----------------------------------------------------------------
     def _key(self, e: QueueEntry) -> tuple:
@@ -225,6 +398,19 @@ class QueueShard:
         if self.profile == "max_score":
             return (-e.score, e.seq)
         raise ValueError(f"unknown profile {self.profile!r}")
+
+    def _blacklisted(self, host: str) -> bool:
+        """Match the full hostname AND the registrable domain — the
+        reference blacklists against the domain middleware's
+        ``meta['domain']['name']`` (the registrable domain), so
+        blacklisting ``example.com`` drops ``www.example.com`` too
+        (worker/components/batch_generator.py:97-109)."""
+        h = host.lower()
+        if h in self._blacklist:
+            return True
+        from ..urls import _split_host
+
+        return _split_host(h)[0] in self._blacklist
 
     # -- scheduling ----------------------------------------------------------
     def _domain_meta(self, host: str) -> DomainMetadata:
@@ -248,7 +434,7 @@ class QueueShard:
         caps / ban flags. Returns the number actually queued."""
         n = 0
         for e in entries:
-            if self._blacklist and e.host.lower() in self._blacklist:
+            if self._blacklist and self._blacklisted(e.host):
                 self.stats["dropped_blacklist"] += 1
                 continue
             meta = self._domain_meta(e.host) if (
@@ -271,7 +457,19 @@ class QueueShard:
         self.stats["scheduled"] += n
         return n
 
+    def _fold_cash(self, e: QueueEntry) -> QueueEntry:
+        """Fold buffered OPIC cash (see _cash_pending) into an entry's
+        score at (re-)schedule / parked-serve time."""
+        cash = self._cash_pending.pop(e.fingerprint, None)
+        if not cash:
+            return e
+        self.stats["cash_folded"] += 1
+        return QueueEntry(e.url, e.fingerprint, e.host, e.score + cash,
+                          e.depth, e.seq, e.crawl_at)
+
     def _push_live(self, e: QueueEntry) -> None:
+        if self._cash_pending:
+            e = self._fold_cash(e)
         t = self._ticket
         self._ticket += 1
         self._live[t] = e
@@ -288,7 +486,7 @@ class QueueShard:
             by_host[r[2]].append(r)
         n = 0
         for host, group in by_host.items():
-            if self._blacklist and host.lower() in self._blacklist:
+            if self._blacklist and self._blacklisted(host):
                 self.stats["dropped_blacklist"] += len(group)
                 continue
             meta = self._domain_meta(host)
@@ -358,14 +556,27 @@ class QueueShard:
         requests (duplicate links hand their cash to the already-queued
         request instead of dropping it — Abiteboul et al., "Adaptive
         on-line page importance computation", WWW 2003). Same ghost
-        mechanics as update_scores; cash for fingerprints no longer
-        queued (already popped) is dropped, matching cash-on-crawl
-        semantics."""
+        mechanics as update_scores. Cash for fingerprints not currently
+        live — a concurrent schedule still in flight (Ray gives no
+        cross-caller ordering) or an entry parked in the overused
+        buffer — is BUFFERED (bounded, oldest-evicted) and folded into
+        the entry's score when that fingerprint is next scheduled or
+        served from parking; cash for fingerprints that never return
+        (already crawled) ages out of the buffer, matching
+        cash-on-crawl semantics."""
         n = 0
         for fp, d in zip(fps, deltas):
             d = float(d)
-            tickets = self._by_fp.get(int(fp))
-            if not tickets or d == 0.0:
+            if d == 0.0:
+                continue
+            fp = int(fp)
+            tickets = self._by_fp.get(fp)
+            if not tickets:
+                self._cash_pending[fp] = self._cash_pending.get(fp, 0.0) + d
+                self.stats["cash_buffered"] += 1
+                if len(self._cash_pending) > MAX_PENDING_CASH:
+                    self._cash_pending.pop(next(iter(self._cash_pending)))
+                    self.stats["cash_evicted"] += 1
                 continue
             for t in list(tickets):
                 e = self._live[t]
@@ -414,16 +625,37 @@ class QueueShard:
             meta.next_fetch_at = now + meta.crawl_delay
 
     # -- OverusedBuffer semantics -------------------------------------------
+    def _park(self, e: QueueEntry) -> None:
+        slot = self._slot_key(e.host)
+        if slot not in self._pending:
+            bisect.insort(self._pending_keys, slot)
+        self._pending[slot].append(e)
+        if self._max_per_key:
+            self._check_and_purge(slot)
+
+    def _drop_pending_key(self, key: str) -> None:
+        self._pending.pop(key, None)
+        i = bisect.bisect_left(self._pending_keys, key)
+        if i < len(self._pending_keys) and self._pending_keys[i] == key:
+            del self._pending_keys[i]
+
     def _serve_pending(self, max_n: int, overused: set,
                        now: int | None = None) -> list[QueueEntry]:
+        """Serve parked entries round-robin in sorted-key order.
+        ``_pending_keys`` is maintained incrementally (insort on park,
+        delete on drain) so a pop never re-sorts the parked key set —
+        O(eligible keys + served) per call instead of O(K log K) with
+        many parked keys."""
         out = []
-        keys = sorted(set(self._pending) - overused)
+        if not self._pending:
+            return out
+        keys = [k for k in self._pending_keys if k not in overused]
         while len(out) < max_n and keys:
             for key in list(keys):
                 dq = self._pending.get(key)
                 if not dq:
                     keys.remove(key)
-                    self._pending.pop(key, None)
+                    self._drop_pending_key(key)
                     continue
                 # a delay-blocked front entry blocks its key this call
                 # (FIFO within the slot must hold)
@@ -431,12 +663,14 @@ class QueueShard:
                     keys.remove(key)
                     continue
                 e = dq.popleft()
+                if self._cash_pending:
+                    e = self._fold_cash(e)
                 if now is not None:
                     self._consume_delay(e.host, now)
                 out.append(e)
                 if not dq:
                     keys.remove(key)
-                    self._pending.pop(key, None)
+                    self._drop_pending_key(key)
                 if len(out) >= max_n:
                     break
         return out
@@ -455,6 +689,7 @@ class QueueShard:
                 if key not in keep:
                     del self._pending[key]
                     self.stats["purged_keys"] += 1
+            self._pending_keys = sorted(self._pending)
 
     def _admit(self, item, now, max_per_host, host_counts, overused,
                out, parked, setaside) -> None:
@@ -547,10 +782,7 @@ class QueueShard:
                 for item in setaside:
                     heapq.heappush(self._heap, item)
         for e in parked:
-            slot = self._slot_key(e.host)
-            self._pending[slot].append(e)
-            if self._max_per_key:
-                self._check_and_purge(slot)
+            self._park(e)
         requests.extend(pulled)
         self.stats["popped"] += len(requests)
         return requests
@@ -567,11 +799,22 @@ class QueueShard:
                                     or self._max_pages_per_domain):
             # blacklist-only: pre-filter then keep the fast path (the
             # gated path would build DomainMetadata for every host)
-            kept = [r for r in rows if r[2].lower() not in self._blacklist]
+            kept = [r for r in rows if not self._blacklisted(r[2])]
             self.stats["dropped_blacklist"] += (len(table) - len(kept))
             rows = iter(kept)
         elif self._robots_enabled or self._max_pages_per_domain:
             return self._schedule_gated(list(rows))
+        if self._cash_pending:
+            cp = self._cash_pending
+
+            def _fold_row(r):
+                cash = cp.pop(r[1], None)
+                if not cash:
+                    return r
+                self.stats["cash_folded"] += 1
+                return (r[0], r[1], r[2], r[3] + cash, r[4], r[5], r[6])
+
+            rows = [_fold_row(r) for r in rows]
         profile = self.profile
         live, by_fp = self._live, self._by_fp
         t0 = self._ticket

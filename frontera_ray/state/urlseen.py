@@ -137,11 +137,17 @@ class UrlSeenShard:
     def set_states(self, fps, values) -> None:
         """Bulk state update (page_crawled -> CRAWLED, request_error ->
         ERROR etc.)."""
+        lru = self.bloom is not None  # overlay is an LRU in bloom mode
         for fp, v in zip(fps, values):
             fp = int(fp)
             if self.bloom is not None and fp not in self.states:
                 self.bloom.add_batch(np.array([fp], dtype=np.uint64))
                 self.n_seen += 1
+            elif lru:
+                # writes refresh recency too: del+reinsert moves the key
+                # to the end (plain assignment would leave a hot,
+                # frequently-rewritten entry in eviction position)
+                del self.states[fp]
             self.states[fp] = int(v)
 
     def get_states(self, fps) -> np.ndarray:

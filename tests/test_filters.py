@@ -60,7 +60,12 @@ def test_sitemap_parser():
 def test_blacklist_and_same_domain():
     urls = ["http://Bad.com/x", "http://ok.com/y", "http://sub.bad.com/z"]
     m = blacklist_mask(urls, {"bad.com"})
-    assert list(m) == [False, True, True]  # exact hostname match only
+    # registrable-domain match (batch_generator._is_domain_blacklisted
+    # checks meta['domain']['name']): sub.bad.com is dropped too
+    assert list(m) == [False, True, False]
+    # a full-hostname entry still matches itself only
+    m_host = blacklist_mask(urls, {"sub.bad.com"})
+    assert list(m_host) == [True, True, False]
     m2 = same_domain_mask("http://www.site.com/page",
                           ["http://site.com/a", "http://blog.site.com/b",
                            "http://other.com/c"])

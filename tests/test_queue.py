@@ -281,3 +281,135 @@ def test_domains_blacklist_param():
     })
     assert q.schedule_table(t) == 1
     assert {e.host for e in q.pop(10)} == {"ok.test"}
+
+
+def test_blacklist_registrable_domain():
+    """Blacklisting a registrable domain drops subdomain hosts too
+    (reference matches meta['domain']['name'], so 'example.com' covers
+    'www.example.com') — scalar, gated and bulk paths."""
+    q = QueueShard(domains_blacklist=["example.com"])
+    n = q.schedule([
+        QueueEntry("http://www.example.com/a", 1, "www.example.com", 1.0, 0, 0),
+        QueueEntry("http://example.com/b", 2, "example.com", 1.0, 0, 1),
+        QueueEntry("http://examplexcom.net/c", 3, "examplexcom.net", 1.0, 0, 2),
+    ])
+    assert n == 1 and q.stats["dropped_blacklist"] == 2
+    # gated path (robots_enabled forces _schedule_gated)
+    qg = QueueShard(domains_blacklist=["example.com"], robots_enabled=True)
+    t = pa.table({
+        "url": ["http://sub.example.com/1", "http://ok.test/1"],
+        "fingerprint": pa.array([5, 6], pa.uint64()),
+        "host": ["sub.example.com", "ok.test"],
+        "score": [0.5, 0.5],
+        "depth": pa.array([0, 0], pa.int32()),
+        "seq": pa.array([0, 1], pa.int64()),
+        "crawl_at": pa.array([0, 0], pa.int64()),
+    })
+    assert qg.schedule_table(t) == 1
+    assert {e.host for e in qg.pop(10)} == {"ok.test"}
+
+
+def test_opic_cash_buffered_across_schedule_race():
+    """OPIC cash arriving BEFORE the entry is scheduled (cross-batch
+    race: Ray gives no cross-caller ordering) is buffered and folded
+    into the score at schedule time, on both schedule paths."""
+    q = QueueShard(profile="max_score")
+    q.add_scores([11], [0.25])          # entry not queued yet
+    assert q.stats["cash_buffered"] == 1
+    q.schedule([QueueEntry("http://a.test/1", 11, "a.test", 0.5, 0, 0)])
+    assert q.stats["cash_folded"] == 1
+    got = q.pop(1)
+    assert got[0].score == 0.75
+    # bulk path
+    q2 = QueueShard(profile="max_score")
+    q2.add_scores([21], [0.1])
+    t = pa.table({
+        "url": ["http://b.test/1"], "fingerprint": pa.array([21], pa.uint64()),
+        "host": ["b.test"], "score": [0.4],
+        "depth": pa.array([0], pa.int32()), "seq": pa.array([0], pa.int64()),
+        "crawl_at": pa.array([0], pa.int64()),
+    })
+    q2.schedule_table(t)
+    assert q2.pop(1)[0].score == 0.5
+
+
+def test_opic_cash_reaches_parked_entries():
+    """Cash for an entry parked in the overused buffer is folded when
+    the entry is served from parking (previously silently dropped)."""
+    q = QueueShard()
+    q.schedule([QueueEntry("http://hot.test/1", 7, "hot.test", 0.5, 0, 0)])
+    parked = q.pop(1, overused_keys=["hot.test"])
+    assert parked == []                  # entry went to the buffer
+    q.add_scores([7], [0.2])             # fp no longer live -> buffered
+    got = q.pop(1)                       # slot free again -> served
+    assert got[0].score == 0.7 and q.stats["cash_folded"] == 1
+
+
+def test_opic_cash_buffer_bounded():
+    from frontera_ray.state.queue import MAX_PENDING_CASH
+
+    q = QueueShard()
+    fps = list(range(MAX_PENDING_CASH + 10))
+    q.add_scores(fps, [0.1] * len(fps))
+    assert len(q._cash_pending) == MAX_PENDING_CASH
+    assert q.stats["cash_evicted"] == 10
+    # oldest evicted first
+    assert 0 not in q._cash_pending and fps[-1] in q._cash_pending
+
+
+def test_domain_cache_two_generation_bounded():
+    """Endurance: 10^5 distinct hosts with robots bodies keep resident
+    domain metadata bounded at O(2 x cap); politeness state survives
+    eviction via lazy spill reload."""
+    q = QueueShard(robots_enabled=True,
+                   robots_provider=lambda h: "User-agent: *\nCrawl-delay: 2\n",
+                   domain_cache_size=500)
+    for i in range(100_000):
+        host = f"h{i}.test"
+        q.schedule([QueueEntry(f"http://{host}/", i, host, 0.5, 0, i)])
+    cache = q.domains
+    assert len(cache._gen1) <= 500 and len(cache._gen2) <= 500
+    assert cache.spills > 0
+    # state for an early (spilled) host is intact on touch
+    m = cache.get("h0.test")
+    assert m is not None and m.queued_pages == 1 and m.crawl_delay == 2.0
+    assert "h0.test" in cache._gen1      # promoted back to live gen
+    assert len(cache._gen1) <= 500 and len(cache._gen2) <= 500
+
+
+def test_domain_cache_checkpoint_includes_spilled(tmp_path):
+    q = QueueShard(robots_enabled=True, domain_cache_size=10)
+    for i in range(50):
+        host = f"d{i}.test"
+        q.schedule([QueueEntry(f"http://{host}/", i, host, 0.5, 0, i)])
+    q.domains["d0.test"].banned = True   # touch + mutate an early host
+    q.checkpoint(str(tmp_path))
+    r = QueueShard.restore(str(tmp_path), 0, domain_cache_size=10)
+    assert r.domains["d0.test"].banned
+    assert r.domains["d42.test"].queued_pages == 1
+
+
+def test_serve_pending_no_resort(monkeypatch):
+    """_serve_pending must not re-sort the parked key set per call
+    (the maintained sorted list is the structure)."""
+    import builtins
+
+    q = QueueShard()
+    for i in range(500):
+        host = f"p{i}.test"
+        q.schedule([QueueEntry(f"http://{host}/", i, host, 0.5, 0, i)])
+    q.pop(500, overused_keys=[f"p{i}.test" for i in range(500)])  # park all
+    assert len(q._pending_keys) == 500
+    calls = {"n": 0}
+    real_sorted = builtins.sorted
+
+    def counting_sorted(*a, **k):
+        calls["n"] += 1
+        return real_sorted(*a, **k)
+
+    monkeypatch.setattr(builtins, "sorted", counting_sorted)
+    served = q.pop(5)
+    assert len(served) == 5 and calls["n"] == 0
+    # sorted-key serve order is preserved
+    assert [e.host for e in served] == real_sorted(
+        [e.host for e in served])
