@@ -205,15 +205,49 @@ class SyntheticWeb:
             out[0] = out[0] + "?r=1"  # first child advertised via alias
         return out
 
+    # every (3k+1)-th host publishes a sitemap index (robots 'Sitemap:'
+    # line -> /sitemap.xml -> one deep page + a sub-sitemap with another)
+    SITEMAP_HOST_MOD = 3
+
+    def _has_sitemap(self, host: str) -> bool:
+        try:
+            return int(host[5:10]) % self.SITEMAP_HOST_MOD == 1
+        except (ValueError, IndexError):
+            return False
+
     def robots_body(self, host: str) -> str | None:
         """Deterministic synthetic robots.txt: every 5th host disallows
-        its '/12' subtree and asks for a crawl delay; others have none."""
+        its '/12' subtree and asks for a crawl delay; sitemap hosts
+        declare their sitemap index; others have none."""
         try:
             i = int(host[5:10])
         except (ValueError, IndexError):
             return None
+        parts = []
         if i % 5 == 0:
-            return "User-agent: *\nDisallow: /12\nCrawl-delay: 1\n"
+            parts.append("User-agent: *\nDisallow: /12\nCrawl-delay: 1\n")
+        if self._has_sitemap(host):
+            parts.append(f"Sitemap: http://{host}/sitemap.xml\n")
+        return "".join(parts) or None
+
+    def sitemap_body(self, url: str) -> str | None:
+        """Deterministic sitemap XML: the index lists the host's deepest
+        all-1s page plus a sub-sitemap; the sub-sitemap lists the
+        deepest all-2s page (sub-sitemap recursion fixture)."""
+        rest = self.resolve(url).split("//", 1)[-1]
+        host, _, path = rest.partition("/")
+        if not self._has_sitemap(host):
+            return None
+        max_depth, branching = self.shape_of(host)
+        if path == "sitemap.xml":
+            deep = "1" * max(1, max_depth - 1)
+            return (f"<urlset><url><loc>http://{host}/{deep}</loc></url>"
+                    f"<sitemap><loc>http://{host}/sitemap-sub.xml</loc>"
+                    f"</sitemap></urlset>")
+        if path == "sitemap-sub.xml":
+            d = str(min(2, branching))
+            deep2 = d * max(1, max_depth - 1)
+            return f"<urlset><url><loc>http://{host}/{deep2}</loc></url></urlset>"
         return None
 
     def total_pages(self) -> int:
@@ -222,3 +256,46 @@ class SyntheticWeb:
             d, b = _HOST_CLASSES[c]
             tot += (b ** (d - 1) - 1) // (b - 1)
         return tot
+
+
+class DiscoveryWeb:
+    """Discovery-cycle adapter (reference strategy/discovery/__init__.py:
+    284-371): robots.txt URLs resolve their outlinks to the 'Sitemap:'
+    URLs the robots body declares; sitemap URLs resolve to
+    ``parse_sitemap`` of the XML body (pages + sub-sitemaps, index
+    sampled at ``max_sitemaps``) so sub-sitemap recursion happens
+    through the normal crawl loop; every other URL delegates to the
+    wrapped web. Pure functions — safe to broadcast into Ray tasks."""
+
+    def __init__(self, base, max_sitemaps: int = 100, seed: int = 42):
+        self.base = base
+        self.max_sitemaps = max_sitemaps
+        self.seed = seed
+
+    def seeds(self):
+        return self.base.seeds()
+
+    def robots_body(self, host: str):
+        return self.base.robots_body(host)
+
+    def resolve(self, url: str) -> str:
+        return self.base.resolve(url) if hasattr(self.base, "resolve") else url
+
+    def links_of(self, url: str):
+        from .filters import parse_sitemap, sample_sitemaps
+        from .strategies import classify_url
+
+        kind = classify_url(url)
+        if kind == "robots":
+            host = url.split("//", 1)[-1].split("/", 1)[0]
+            body = self.base.robots_body(host) or ""
+            return [ln.split(":", 1)[1].strip() for ln in body.splitlines()
+                    if ln.lower().startswith("sitemap:")]
+        if kind == "sitemap":
+            body = self.base.sitemap_body(url) or ""
+            pages, subs = [], []
+            for loc, is_sub in parse_sitemap(body):
+                (subs if is_sub else pages).append(loc)
+            subs = sample_sitemaps(subs, self.max_sitemaps, self.seed)
+            return subs + pages
+        return self.base.links_of(url)

@@ -252,6 +252,36 @@ def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Tab
         batch = batch.filter(pa.array(mask))
         if len(batch) == 0:
             return process_links(batch, strategy, salted)
+    if getattr(strategy, "schedule_robots", False) and len(batch):
+        # discovery cycle: offer http://host/robots.txt for every host
+        # seen in this batch's links — urlseen dedup makes it a
+        # first-contact-only fetch; its outlinks (via the web adapter)
+        # are the declared sitemaps, whose own links are the parsed /
+        # sampled sitemap pages and sub-sitemaps (reference
+        # strategy/discovery/__init__.py:284-371).
+        link_hosts = hostnames_batch(
+            np.asarray(batch["url"].to_pylist(), dtype=object))
+        uniq_hosts = np.unique(link_hosts[link_hosts != ""])
+        if len(uniq_hosts):
+            r_urls = np.asarray(
+                [f"http://{h}/robots.txt" for h in uniq_hosts], dtype=object)
+            # stable negative seqs (host-derived): disjoint from the
+            # tree-path sequence space, deterministic under parallelism
+            r_seqs = -(crc32_batch(uniq_hosts).astype(np.int64)
+                       & 0x7FFFFFFF) - 1
+            extra_cols = {
+                "url": pa.array(r_urls, pa.string()),
+                "parent_depth": pa.array(
+                    np.full(len(r_urls), -1, np.int32), pa.int32()),
+                "seq": pa.array(r_seqs, pa.int64()),
+                "parent_score": pa.array(
+                    np.zeros(len(r_urls)), pa.float64()),
+                "n_siblings": pa.array(
+                    np.ones(len(r_urls), np.int32), pa.int32()),
+                "parent_url": pa.array([""] * len(r_urls), pa.string()),
+            }
+            extra = pa.table({c: extra_cols[c] for c in batch.column_names})
+            batch = pa.concat_tables([batch, extra])
     urls = np.asarray(batch["url"].to_pylist(), dtype=object)
     canon = canonicalize_batch(urls)
     fps = fp64_batch(canon)
@@ -488,6 +518,14 @@ class RayCrawler:
     # ------------------------------------------------------------------
     def add_seeds(self, seed_urls) -> int:
         seed_urls = [u for u in seed_urls if u.strip() and not u.startswith("#")]
+        if getattr(self.strategy, "schedule_robots", False):
+            # discovery cycle: first contact with a seed host fetches its
+            # robots.txt (link-discovered hosts get theirs injected in
+            # process_links); urlseen dedups repeats
+            hosts = np.unique(hostnames_batch(
+                np.asarray(seed_urls, dtype=object)))
+            seed_urls = seed_urls + [
+                f"http://{h}/robots.txt" for h in hosts if h]
         t = _seed_table(seed_urls, self.strategy.seed_scores(seed_urls))
         stats = route_links(t, self.state_actors, self.queue_actors)
         return int(stats["scheduled"][0].as_py())

@@ -288,6 +288,14 @@ class TwoGenDomainCache:
         return self._row_to_meta(t, idx)
 
 
+def _is_robots_url(url: str) -> bool:
+    """robots.txt requests are always fetchable — robots gating must
+    not block fetching robots itself (a 'Disallow: /' site would
+    otherwise deadlock its own discovery)."""
+    parts = url.split("://", 1)[-1].split("/", 1)
+    return len(parts) > 1 and parts[1] == "robots.txt"
+
+
 def make_slot_keyer(key_type: str = "domain", ip_resolver=None):
     """host -> downloader-slot key: the hostname, or its resolved IP
     (cached) with key_type='ip' (reference core/__init__.py:10-25 —
@@ -444,7 +452,8 @@ class QueueShard:
                 if meta.banned:
                     self.stats["dropped_banned"] += 1
                     continue
-                if self._robots_enabled and not meta.allowed(e.url):
+                if (self._robots_enabled and not meta.allowed(e.url)
+                        and not _is_robots_url(e.url)):
                     self.stats["dropped_robots"] += 1
                     continue
                 if (self._max_pages_per_domain is not None
@@ -496,7 +505,7 @@ class QueueShard:
             if self._robots_enabled and meta.robots is not None:
                 kept = []
                 for r in group:
-                    if meta.allowed(r[0]):
+                    if meta.allowed(r[0]) or _is_robots_url(r[0]):
                         kept.append(r)
                     else:
                         self.stats["dropped_robots"] += 1

@@ -155,6 +155,14 @@ class DiscoveryStrategy(BasicStrategy):
     max_pages_per_domain=N))."""
 
     name = "discovery"
+    # live discovery cycle (reference strategy/discovery/__init__.py:
+    # 284-371): the crawl pipeline schedules http://host/robots.txt for
+    # every host it discovers links on; robots/sitemap requests then
+    # flow through the normal frontier (urlseen dedups repeat contacts)
+    # and their outlinks come from the discovery parsing path — robots
+    # 'Sitemap:' lines -> sitemap URLs -> parse_sitemap + sample ->
+    # pages and recursive sub-sitemaps (see graphs.DiscoveryWeb).
+    schedule_robots = True
 
     def _base(self, urls) -> np.ndarray:
         return np.fromiter(

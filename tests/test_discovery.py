@@ -210,3 +210,88 @@ def test_robots_provider_distributed(ray_session, tmp_path):
     # non-robots hosts keep their /12 subtree (when the tree is deep enough)
     assert any("/12" in u and "host-00000" not in u and "host-00005" not in u
                for u in urls)
+
+
+def test_sitemap_discovery_cycle_e2e(ray_session, tmp_path):
+    """Live discovery cycle (reference strategy/discovery/__init__.py:
+    284-371): first host contact schedules robots.txt; robots declares
+    a sitemap; the sitemap's pages AND its sub-sitemap's pages are
+    crawled — pages reachable ONLY through the cycle prove the wiring."""
+    from frontera_ray.graphs import DiscoveryWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    class Base:
+        def seeds(self):
+            return ["http://smap.test/"]
+
+        def robots_body(self, host):
+            if host == "smap.test":
+                return "User-agent: *\nSitemap: http://smap.test/sitemap.xml\n"
+            return None
+
+        def sitemap_body(self, url):
+            if url == "http://smap.test/sitemap.xml":
+                return ("<urlset><url><loc>http://smap.test/orphan-1</loc>"
+                        "</url><sitemap><loc>"
+                        "http://smap.test/sitemap-sub.xml</loc></sitemap>"
+                        "</urlset>")
+            if url == "http://smap.test/sitemap-sub.xml":
+                return ("<urlset><url><loc>http://smap.test/orphan-2</loc>"
+                        "</url></urlset>")
+            return None
+
+        def links_of(self, url):
+            return []  # no organic links: only the cycle finds orphans
+
+    web = DiscoveryWeb(Base())
+    c = RayCrawler(web, str(tmp_path / "out"), strategy="discovery",
+                   profile="max_score", num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=32)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=20)
+    by_round = {}
+    for d in sorted((tmp_path / "out").glob("round=*")):
+        import pyarrow.parquet as pq
+
+        for f in d.glob("*.parquet"):
+            for u in pq.read_table(f, columns=["image_id"])["image_id"].to_pylist():
+                by_round.setdefault(u, int(d.name.split("=")[1]))
+    urls = set(by_round)
+    assert {"http://smap.test/robots.txt", "http://smap.test/sitemap.xml",
+            "http://smap.test/sitemap-sub.xml", "http://smap.test/orphan-1",
+            "http://smap.test/orphan-2"} <= urls
+    # the cycle's causal order holds round-wise
+    assert by_round["http://smap.test/robots.txt"] \
+        < by_round["http://smap.test/sitemap.xml"] \
+        < by_round["http://smap.test/orphan-1"]
+    assert by_round["http://smap.test/sitemap-sub.xml"] \
+        < by_round["http://smap.test/orphan-2"]
+
+
+def test_sitemap_discovery_synthetic_web(ray_session, tmp_path):
+    """DiscoveryWeb over SyntheticWeb: sitemap hosts (i%3==1) get their
+    deep sitemap pages crawled early via the robots->sitemap shortcut,
+    including the sub-sitemap's page; robots-disallowed subtrees stay
+    gated."""
+    from frontera_ray.graphs import DiscoveryWeb, SyntheticWeb
+
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    base = SyntheticWeb(6, seed=4, max_class=4)
+    web = DiscoveryWeb(base)
+    c = RayCrawler(web, str(tmp_path / "out"), strategy="discovery",
+                   profile="max_score", num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=64,
+                   queue_kwargs=dict(robots_enabled=True,
+                                     robots_provider=web.robots_body))
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=60)
+    urls = set(c.crawled_urls())
+    # host 1 and 4 are sitemap hosts
+    for i in (1, 4):
+        host = base.host(i)
+        max_depth, branching = base.shape_of(host)
+        assert f"http://{host}/sitemap.xml" in urls
+        assert f"http://{host}/sitemap-sub.xml" in urls
+        assert f"http://{host}/" + "1" * (max_depth - 1) in urls
+        assert f"http://{host}/" + str(min(2, branching)) * (max_depth - 1) in urls
