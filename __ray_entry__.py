@@ -846,6 +846,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
+def _plane_literal(row) -> str:
+    # repr() gives the shortest round-trip decimal; DuckDB parses it
+    # back to the identical float64, so the SQL sign bits match numpy's
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]::DOUBLE[]"
+
+
+def _cosine_lsh_oracle() -> str:
+    """Exact SQL twin of cosine_neardup_lsh (bits=16, bands=8, seed 42):
+    the 16 hyperplane sign bits are computed with list_dot_product
+    against the same seeded plane literals, the banded candidate
+    property is (any band's 2 bits equal), and candidates are verified
+    at cosine >= 0.6 — so the oracle checks candidate generation AND
+    verify, not just the verified subset."""
+    from frontera_ray.stages.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    bit_cols = ",\n                   ".join(
+        f"(list_dot_product(embedding::DOUBLE[], "
+        f"{_plane_literal(planes[j])}) > 0) AS s{j}"
+        for j in range(16))
+    bands = " OR ".join(
+        f"(x.s{2 * b} = y.s{2 * b} AND x.s{2 * b + 1} = y.s{2 * b + 1})"
+        for b in range(8))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bit_cols}
+            FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 4) AS sim
+        FROM b x JOIN b y ON x.vec_id < y.vec_id
+        WHERE ({bands})
+          AND list_cosine_similarity(x.embedding::DOUBLE[],
+                                     y.embedding::DOUBLE[]) >= 0.6
+        ORDER BY a, b"""
+
+
+def _ann_lsh_oracle() -> str:
+    """Exact SQL twin of lsh_topk (bits=8, seed 42, queries vec_id<5,
+    Hamming<=1 probing): candidates are corpus vectors whose 8-bit sign
+    code is within Hamming 1 of ANY query's code; exact top-10 per
+    query over the candidate union, ranked by round(sim,9) desc,
+    vec_id asc — the same deterministic merge the Ray path uses."""
+    from frontera_ray.stages.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    bit_cols = ",\n                   ".join(
+        f"(list_dot_product(embedding::DOUBLE[], "
+        f"{_plane_literal(planes[j])}) > 0) AS s{j}"
+        for j in range(8))
+    ham = " + ".join(f"CAST(b.s{j} <> q.s{j} AS INT)" for j in range(8))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bit_cols}
+            FROM embeddings),
+        q AS (SELECT * FROM b WHERE vec_id < 5),
+        cand AS (
+            SELECT * FROM b
+            WHERE EXISTS (SELECT 1 FROM q WHERE {ham} <= 1)),
+        ranked AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]) AS sim_raw,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                                c.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]), 9) DESC,
+                              c.vec_id) AS rank
+            FROM cand c, q)
+        SELECT query_id, vec_id, rank::INTEGER AS rank,
+               round(sim_raw, 4) AS sim
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
@@ -1068,4 +1146,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE 100 * inter_size >= 50 * (sa.n + sb.n - inter_size)
             ORDER BY a, b""",
+        "cosine_neardup_lsh": _cosine_lsh_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
     }

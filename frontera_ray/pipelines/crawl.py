@@ -106,6 +106,9 @@ class QueueActor:
     def stats(self) -> dict:
         return dict(self.shard.stats)
 
+    def pop_history(self) -> list:
+        return list(self.shard.pop_history or ())
+
     def checkpoint(self, directory: str) -> None:
         self.shard.checkpoint(directory)
 
@@ -158,7 +161,7 @@ LINKS_SCHEMA = pa.schema(
 
 
 def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
-                   carry_parent_url: bool = False) -> pa.Table:
+                   carry_parent_url: bool = False, sink_fs=None) -> pa.Table:
     """Simulated fetch of popped URLs; writes the page fragment (image+
     caption rows, FIXTURES.md §F4 schema) and emits outlink rows.
 
@@ -166,7 +169,14 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
     round after resume reproduces identical page fragments.
     ``carry_parent_url`` adds a parent_url column to the link rows —
     only requested when the strategy defines filter_extracted_links, so
-    the default link stream stays slim."""
+    the default link stream stays slim.
+
+    CLUSTER ASSUMPTION: fragments are written from INSIDE map tasks, so
+    ``round_dir`` must be reachable from every worker node — on a real
+    cluster pass ``sink_fs`` (a ``pyarrow.fs.FileSystem``, e.g.
+    ``S3FileSystem`` or ``from_uri('s3://bucket/...')``) so writes go
+    through shared storage; the default (None) writes local paths and
+    is only correct single-node or on a shared mount."""
     from ..payload import fetch_batch_columns
 
     web = _resolve(web_ref)
@@ -192,9 +202,14 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
             "phash": pa.array(cols["phash"], pa.int64()),
         }
     )
-    d = Path(round_dir)
-    d.mkdir(parents=True, exist_ok=True)
-    pq.write_table(pages, d / f"part-{uuid.uuid4().hex}.parquet")
+    frag = f"part-{uuid.uuid4().hex}.parquet"
+    if sink_fs is not None:
+        sink_fs.create_dir(round_dir, recursive=True)
+        pq.write_table(pages, f"{round_dir}/{frag}", filesystem=sink_fs)
+    else:
+        d = Path(round_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pages, d / frag)
 
     links = [web.links_of(u) for u in urls]
     counts = np.asarray([len(l) for l in links], dtype=np.int64)
@@ -467,10 +482,20 @@ class RayCrawler:
                  max_per_host: int | None = 128, min_hosts: int | None = None,
                  fetch_batch_size: int = 512, exact_states: bool = True,
                  bloom_bits: int = 1 << 24, checkpoint_every: int = 0,
-                 salted_scores: bool = False, queue_kwargs: dict | None = None):
+                 salted_scores: bool = False, queue_kwargs: dict | None = None,
+                 sink_fs=None):
         self.web = web
         self.out = Path(out_dir)
         self.out.mkdir(parents=True, exist_ok=True)
+        # shared-storage hook for the in-task round-fragment writes (see
+        # fetch_and_sink docstring): REQUIRED on a multi-node cluster
+        # unless out_dir is a shared mount. A pyarrow.fs.FileSystem or a
+        # URI string (resolved via FileSystem.from_uri).
+        if isinstance(sink_fs, str):
+            from pyarrow import fs as _pafs
+
+            sink_fs, _ = _pafs.FileSystem.from_uri(sink_fs)
+        self.sink_fs = sink_fs
         # registry name, strategy class, or ready instance
         if isinstance(strategy, str):
             self.strategy = STRATEGIES[strategy]()
@@ -571,14 +596,20 @@ class RayCrawler:
         ds = ray.data.from_arrow_refs(chunk_refs)
 
         round_dir = self.out / f"round={round_no:05d}"
-        if round_dir.exists():
+        if self.sink_fs is not None:
+            try:  # idempotent re-run after resume, through the sink fs
+                self.sink_fs.delete_dir(str(round_dir))
+            except (FileNotFoundError, OSError):
+                pass
+        elif round_dir.exists():
             shutil.rmtree(round_dir)  # idempotent re-run after resume
 
         stats_rows = (
             ds.map_batches(
                 partial(fetch_and_sink, web_ref=self._web_ref,
                         round_dir=str(round_dir),
-                        carry_parent_url=self._filter_links),
+                        carry_parent_url=self._filter_links,
+                        sink_fs=self.sink_fs),
                 batch_format="pyarrow", batch_size=None,
             )
             .map_batches(

@@ -276,8 +276,7 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
     whose bands all differ are missed."""
     import ray
 
-    from .dedup import _bucket_verify_exchange, _dedupe_pair_table, \
-        _hot_bucket_keys
+    from .dedup import _dedupe_pair_table, _hot_bucket_keys
 
     assert bits % bands == 0
     r = bits // bands
@@ -397,10 +396,11 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
                          "b": pa.array(hi[keep], pa.int64()),
                          "sim": pa.array(sims[keep], pa.float64())})
 
-    pairs_ds = _bucket_verify_exchange(
+    from .dedup import collect_bucket_pairs
+
+    parts = collect_bucket_pairs(
         base.map_batches(band_rows, batch_format="pyarrow"),
         verify, exchange)
-    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return empty_pairs
     return _dedupe_pair_table(pa.concat_tables(parts), "sim")

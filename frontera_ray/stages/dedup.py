@@ -233,6 +233,56 @@ def _bucket_verify_exchange(ds, kernel, exchange: str):
     raise ValueError(f"exchange must be 'groups' or 'hash', got {exchange!r}")
 
 
+# Ray 2.49's hash-shuffle aggregators are actors; under CPU starvation
+# (aggregator count ~ cluster cores, or an aggregator wave scheduled
+# behind a long map stage) an execution can stall for tens of seconds
+# to indefinitely (repro in COVERAGE.md §hash-exchange-stall). The
+# guard below makes exchange='hash' safe to choose when it wins: if the
+# hash execution hasn't produced its (result-sized) output within the
+# timeout, the same lineage re-runs through the sort exchange and the
+# wedged execution is abandoned (daemon thread; its tasks die with the
+# session).
+_HASH_EXCHANGE_TIMEOUT_S = 60.0
+
+
+def _iter_parts(pairs_ds) -> list:
+    return list(pairs_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+
+
+def collect_bucket_pairs(bucket_ds, kernel, exchange: str) -> list:
+    """Execute the bucket->verify exchange and collect the pair parts
+    (result-sized). 'hash' runs under the stall guard with a sort-
+    exchange fallback; 'groups' executes directly."""
+    if exchange != "hash":
+        return _iter_parts(_bucket_verify_exchange(bucket_ds, kernel, exchange))
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            box["out"] = _iter_parts(
+                _bucket_verify_exchange(bucket_ds, kernel, "hash"))
+        except BaseException as exc:  # surfaced on the caller thread
+            box["err"] = exc
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(_HASH_EXCHANGE_TIMEOUT_S)
+    if t.is_alive():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hash-shuffle exchange stalled > %.0fs; re-running through "
+            "the sort exchange (wedged execution abandoned)",
+            _HASH_EXCHANGE_TIMEOUT_S)
+        return _iter_parts(_bucket_verify_exchange(bucket_ds, kernel, "groups"))
+    if "err" in box:
+        raise box["err"]
+    return box["out"]
+
+
 def _bucket_runs(sorted_keys: np.ndarray):
     """(start, end) slices of equal-key runs with length > 1."""
     if len(sorted_keys) == 0:
@@ -336,13 +386,13 @@ def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
                      carry_shingles=True, hot_keys_ref=hot_ref),
         batch_format="pyarrow",
     )
-    # hash-shuffle by bucket_key into a fixed block count: every bucket
-    # lands whole in exactly one block, so the verify kernel sees full
-    # groups per batch (batch_size=None = one batch per block)
-    pairs_ds = _bucket_verify_exchange(
+    # keyed exchange by bucket_key into a fixed block count: every
+    # bucket lands whole in exactly one block, so the verify kernel
+    # sees full groups per batch (batch_size=None = one batch per
+    # block); hash mode runs under the stall guard
+    parts = collect_bucket_pairs(
         cand, _partial(_verify_minhash_partition, threshold=threshold),
         exchange)
-    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return empty
     return _dedupe_pair_table(pa.concat_tables(parts), "jaccard")
@@ -614,10 +664,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
     block_rows = (ds.map_batches(simhash_table, batch_format="pyarrow")
                   .map_batches(_partial(_simhash_block_rows, blocks=blocks),
                                batch_format="pyarrow"))
-    pairs_ds = _bucket_verify_exchange(
+    parts = collect_bucket_pairs(
         block_rows, _partial(_verify_simhash_partition,
                              max_hamming=max_hamming), exchange)
-    parts = list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int32())})

@@ -357,8 +357,12 @@ class QueueShard:
                  robots_enabled: bool = False, robots_provider=None,
                  purge_seed: int = 42, key_type: str = "domain",
                  ip_resolver=None, domains_blacklist=None,
-                 domain_cache_size: int | None = 1000):
+                 domain_cache_size: int | None = 1000,
+                 record_pops: bool = False):
         self._blacklist = {b.lower() for b in (domains_blacklist or ())}
+        # conformance instrumentation: record every popped URL in pop
+        # order (per-host ordering tests); off in production
+        self.pop_history: list[str] | None = [] if record_pops else None
         self._slot_key = make_slot_keyer(key_type, ip_resolver)
         self.shard_id = shard_id
         self.profile = profile
@@ -794,6 +798,8 @@ class QueueShard:
             self._park(e)
         requests.extend(pulled)
         self.stats["popped"] += len(requests)
+        if self.pop_history is not None:
+            self.pop_history.extend(e.url for e in requests)
         return requests
 
     # -- Arrow interop (used by Ray actors) ---------------------------------

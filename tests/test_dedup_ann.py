@@ -353,3 +353,46 @@ def test_verify_kernels_suppress_duplicate_doc_rows():
         "bucket_key": pa.array([7, 7, 7], pa.int64()),
     })
     assert len(_verify_simhash_partition(g2, max_hamming=2)) == 0
+
+
+def test_hash_exchange_stall_fallback(ray_session, monkeypatch):
+    """The hash-exchange stall guard: when the hash execution fails to
+    produce output within the timeout, the same lineage re-runs through
+    the sort exchange and returns identical results. (Real stall repro:
+    COVERAGE.md §hash-exchange-stall; here the stall is simulated so
+    the guard path is deterministic.)"""
+    import time
+
+    import ray
+    from frontera_ray.stages import dedup
+
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(["same text here"] * 2
+                                   + [f"doc {i} words" for i in range(4)],
+                                   pa.string())})
+    ds = ray.data.from_arrow(t)
+    expected = dedup.minhash_neardup_pairs(ds, threshold=0.5)
+
+    real_exchange = dedup._bucket_verify_exchange
+    real_iter = dedup._iter_parts
+    stalled = object()  # sentinel standing in for a wedged hash execution
+
+    def stalling_exchange(bucket_ds, kernel, exchange):
+        if exchange == "hash":
+            return stalled
+        return real_exchange(bucket_ds, kernel, exchange)
+
+    def stalling_iter(pairs_ds):
+        if pairs_ds is stalled:
+            time.sleep(10)  # pure-Python stall: daemon-safe at teardown
+            return []
+        return real_iter(pairs_ds)
+
+    monkeypatch.setattr(dedup, "_bucket_verify_exchange", stalling_exchange)
+    monkeypatch.setattr(dedup, "_iter_parts", stalling_iter)
+    monkeypatch.setattr(dedup, "_HASH_EXCHANGE_TIMEOUT_S", 1.0)
+    t0 = time.time()
+    got = dedup.minhash_neardup_pairs(ds, threshold=0.5, exchange="hash")
+    took = time.time() - t0
+    assert got.to_pylist() == expected.to_pylist()
+    assert took < 8  # fell back instead of waiting out the stall
