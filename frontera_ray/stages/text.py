@@ -126,37 +126,52 @@ def simhash64(text: str) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+# per-worker token-hash memo: vocabularies are tiny relative to token
+# streams, so crc32 runs once per distinct token per worker (bounded;
+# cleared wholesale if a pathological vocabulary ever fills it)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+
 def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """Vectorized batch simhash, byte-identical to ``simhash64`` per
-    doc (asserted in tests): tokens are hashed once per unique token
-    in the batch (np.unique vocab dedupe — crc32 runs over the vocab,
-    not the token stream), bit votes accumulate via one batch-wide
-    cumsum sliced at doc offsets (exact int64 sums, empty docs -> 0),
-    and the sign bits pack via np.packbits. No per-doc Python beyond
-    str.split (kept deliberately: Python split semantics ARE the
+    """Batch simhash, byte-identical to ``simhash64`` per doc (asserted
+    in tests). Tokens hash through a per-worker memo (crc32 once per
+    distinct token); bit votes use 64 ``np.bincount`` segment sums over
+    the flat token stream — majority bit b is set iff
+    2 * ones(doc, b) > n_tokens(doc), identical to the +/-1 vote-sum
+    sign — so peak memory is O(tokens), never O(tokens x 64) matrices.
+    Per-doc Python is only str.split (its semantics ARE the
     fingerprint definition)."""
     n = len(texts)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     tok_lists = [t.split() for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
-    flat = [tok for toks in tok_lists for tok in toks]
-    if not flat:
+    total = int(lens.sum())
+    if total == 0:
         return np.zeros(n, dtype=np.int64)
-    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-    uh = np.empty(len(uniq), dtype=np.uint64)
-    for i, t in enumerate(uniq):
-        b = t.encode("utf8")
-        uh[i] = (np.uint64(zlib.crc32(b, 0x9E3779B9)) << np.uint64(32)) | \
-            np.uint64(zlib.crc32(b))
-    hs = uh[inv]  # (N,) token hashes, duplicates preserved (they vote)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    vals = 2 * bits - 1  # (N, 64) in {-1, +1}
-    cs = np.vstack([np.zeros((1, 64), np.int64), np.cumsum(vals, axis=0)])
-    offs = np.concatenate(([0], np.cumsum(lens)))
-    votes = cs[offs[1:]] - cs[offs[:-1]]  # (D, 64); empty doc -> all zero
-    packed = np.packbits(votes > 0, axis=1, bitorder="little")
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    hs = np.empty(total, dtype=np.uint64)
+    i = 0
+    for toks in tok_lists:
+        for tok in toks:
+            h = cache.get(tok)
+            if h is None:
+                b = tok.encode("utf8")
+                h = (zlib.crc32(b, 0x9E3779B9) << 32) | zlib.crc32(b)
+                cache[tok] = h
+            hs[i] = h
+            i += 1
+    doc_idx = np.repeat(np.arange(n), lens)
+    sign = np.empty((n, 64), dtype=bool)
+    one = np.uint64(1)
+    for b in range(64):
+        ones = np.bincount(doc_idx, weights=(hs >> np.uint64(b)) & one,
+                           minlength=n)
+        sign[:, b] = 2 * ones > lens
+    packed = np.packbits(sign, axis=1, bitorder="little")
     return np.ascontiguousarray(packed).view(np.uint64).ravel().view(np.int64)
 
 
