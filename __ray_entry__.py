@@ -259,6 +259,43 @@ def q_exact_dedup(sf_dir: str):
         "text_md5").reset_index(drop=True)
 
 
+def q_exact_keepers(sf_dir: str):
+    """Corpus-wide keeper assignment from EXACT duplicate pairs: the
+    md5 groupby emits (keeper=min doc_id, member) pairs; keeper_table
+    union-finds over pair ids only and maps the broadcast mapping over
+    the corpus as a streaming Dataset. Oracle-checkable because
+    connected components of exact-equality pairs collapse to min() per
+    md5 group — so this query oracle-checks the keeper-resolution
+    component that the near-dup keep-list (dedup_keepers) reuses."""
+    import ray
+
+    from frontera_ray.stages.dedup import keeper_table
+    from frontera_ray.stages.text import content_md5_table
+
+    ds = _read(sf_dir, "documents")
+    md5 = ds.map_batches(content_md5_table, batch_format="pyarrow") \
+        .select_columns(["text_md5", "doc_id"])
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.sort(group["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0]),
+                                       pa.int64()),
+                         "b": pa.array(ids[1:], pa.int64())})
+
+    parts = list(md5.groupby("text_md5").map_groups(
+        group_pairs, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    pairs = (pa.concat_tables(parts) if parts
+             else pa.table({"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())}))
+    return keeper_table(ds, pairs)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for queries vec_id<10 (broadcast query
     matrix, per-block partial top-k, driver merge)."""
@@ -792,6 +829,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "langid": q_langid,
     "exact_dedup": q_exact_dedup,
+    "exact_keepers": q_exact_keepers,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,
@@ -1004,6 +1042,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "exact_keepers": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text))
+                     AS keeper_doc_id
+            FROM documents ORDER BY doc_id""",
         "ann_topk": """
             SELECT query_id, vec_id, rank::INTEGER AS rank, round(sim, 4) AS sim FROM (
               SELECT q.vec_id AS query_id, e.vec_id,

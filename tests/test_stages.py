@@ -195,3 +195,56 @@ def test_keyed_ops_exchange_equivalence(ray_session):
     assert topk_g.equals(topk_h)
     assert sess_g.equals(sess_h)
     assert asof_g.equals(asof_h)
+
+
+def test_keyed_ops_string_keys_hash_exchange():
+    """String-keyed sessionize/asof under exchange='hash': repartition
+    emits EMPTY blocks whose schema must still carry the string key
+    type (the empty-batch paths previously hardcoded int64). Runs in a
+    subprocess session (hash-shuffle isolation, see
+    test_neardup_exchanges_agree)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = """
+import ray, json, pyarrow as pa
+ray.init(address="local", num_cpus=4, include_dashboard=False, log_to_driver=False)
+from frontera_ray.stages.relational import asof_join_latest, sessionize
+users = ["u-a", "u-b", "u-c"]
+rows = []
+for i in range(30):
+    rows.append((users[i % 3], 1_700_000_000_000_000 + i * 60_000_000,
+                 "click" if i % 4 else "buy", float(i), i))
+t = pa.table({
+    "user_id": pa.array([r[0] for r in rows], pa.string()),
+    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    "etype": pa.array([r[2] for r in rows], pa.string()),
+    "value": pa.array([r[3] for r in rows], pa.float64()),
+    "event_id": pa.array([r[4] for r in rows], pa.int64()),
+})
+ds = ray.data.from_arrow(t)
+out = {}
+for ex in ("groups", "hash"):
+    s = sessionize(ds, exchange=ex)
+    a = asof_join_latest(ds, "user_id", "ts", "etype", "click", "buy",
+                         "value", exchange=ex)
+    st = pa.concat_tables(list(s.iter_batches(batch_format="pyarrow", batch_size=None)))
+    at = pa.concat_tables(list(a.iter_batches(batch_format="pyarrow", batch_size=None)))
+    out[ex] = {"sess": sorted(map(tuple, zip(st["user_id"].to_pylist(),
+                                             st["n_sessions"].to_pylist(),
+                                             st["n_events"].to_pylist()))),
+               "asof": sorted(map(tuple, zip(at["event_id"].to_pylist(),
+                                             at["asof_value"].to_pylist())))}
+print("RESULT " + json.dumps(out))
+ray.shutdown()
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=240, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][0]
+    got = json.loads(line[len("RESULT "):])
+    assert got["hash"] == got["groups"]
+    assert len(got["groups"]["sess"]) == 3
