@@ -281,6 +281,16 @@ class DiscoveryWeb:
     def resolve(self, url: str) -> str:
         return self.base.resolve(url) if hasattr(self.base, "resolve") else url
 
+    def __getattr__(self, name):
+        # everything not overridden (total_pages, shape_of, ...) passes
+        # through to the wrapped web. Guarded for pickling: dunder
+        # lookups during deserialization arrive before ``base`` exists
+        # and must raise AttributeError, not recurse.
+        base = self.__dict__.get("base")
+        if base is None or name.startswith("__"):
+            raise AttributeError(name)
+        return getattr(base, name)
+
     def links_of(self, url: str):
         from .filters import parse_sitemap, sample_sitemaps
         from .strategies import classify_url

@@ -221,7 +221,9 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
             f"{SEQ_BASE - 1}; tree-path sequence numbers would collide — "
             "raise SEQ_BASE (costs depth headroom) or cap outlinks"
         )
-    if int(batch["seq"].to_numpy().max(initial=0)) > MAX_SEQ_BEFORE_CHILD:
+    # abs(): robots/sitemap chains use negative seqs that also multiply
+    # by SEQ_BASE per level — they must trip the depth guard too
+    if int(np.abs(batch["seq"].to_numpy()).max(initial=0)) > MAX_SEQ_BEFORE_CHILD:
         raise ValueError(
             "crawl depth exceeds the tree-path sequence budget (~9 levels "
             "with 5 seed digits); raise SEQ limits or switch to a wider "
@@ -280,10 +282,13 @@ def process_links(batch: pa.Table, strategy_ref, salted: bool = False) -> pa.Tab
         if len(uniq_hosts):
             r_urls = np.asarray(
                 [f"http://{h}/robots.txt" for h in uniq_hosts], dtype=object)
-            # stable negative seqs (host-derived): disjoint from the
-            # tree-path sequence space, deterministic under parallelism
+            # stable negative seqs (host-derived, 20-bit base like the
+            # seed-id budget): disjoint from the tree-path sequence
+            # space, deterministic under parallelism, and small enough
+            # that sitemap chains keep the same ~9-level depth headroom
+            # as seeds (collisions only soften FIFO tie-breaks)
             r_seqs = -(crc32_batch(uniq_hosts).astype(np.int64)
-                       & 0x7FFFFFFF) - 1
+                       & 0xFFFFF) - 1
             extra_cols = {
                 "url": pa.array(r_urls, pa.string()),
                 "parent_depth": pa.array(

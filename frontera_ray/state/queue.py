@@ -144,7 +144,11 @@ class TwoGenDomainCache:
     matter how many distinct hosts a long broad crawl contacts —
     previously the first memory wall at 10^8 hosts/shard.
 
-    ``cap=None`` disables spilling (plain dict semantics)."""
+    Fragments are append-only: a promoted host leaves a stale row
+    behind (the index, not the file, is authoritative), so spill disk
+    grows with total rotations — bounded by churn, reclaimed at
+    checkpoint/restart. ``cap=None`` disables spilling (plain dict
+    semantics)."""
 
     _SCHEMA = pa.schema([
         ("host", pa.string()), ("robots_body", pa.string()),
