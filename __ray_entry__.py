@@ -727,6 +727,19 @@ def q_simhash_neardup(sf_dir: str):
     return simhash_neardup_pairs(_read(sf_dir, "documents"), max_hamming=6)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (second scale path beside LSH):
+    k-means lists trained on a bounded sample, broadcast; blocks keep
+    only vectors in the queries' probed lists, then partial top-k.
+    Rows-only (centroids are data-dependent — not SQL-expressible);
+    exactness pytest: nprobe=nlist reproduces brute_force_topk
+    byte-for-byte, recall pytest on clustered fixtures."""
+    from frontera_ray.stages.ann import ivf_topk
+
+    return ivf_topk(_read(sf_dir, "embeddings"), range(5), k=10,
+                    nlist=16, nprobe=6)
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed ANN (scale path): hyperplane codes, Hamming<=1 probe."""
     from frontera_ray.stages.ann import lsh_topk
@@ -830,6 +843,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "exact_dedup": q_exact_dedup,
     "exact_keepers": q_exact_keepers,
+    "ann_ivf": q_ann_ivf,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "cosine_neardup": q_cosine_neardup,

@@ -185,6 +185,107 @@ def lsh_topk(ds, query_ids, k: int = 10, bits: int = 8, dim: int = 64) -> pa.Tab
     return _merge_topk(merged, k)
 
 
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 8,
+            seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on L2-normalized vectors (spherical
+    k-means-lite): deterministic init by sample order hash, empty
+    clusters re-seeded from the farthest points. Returns (nlist, dim)
+    normalized centroids."""
+    n = sample.shape[0]
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    if len(cent) < nlist:  # degenerate tiny corpus: pad by repetition
+        cent = np.concatenate([cent, cent[: nlist - len(cent)]])
+    for _ in range(iters):
+        sims = sample @ cent.T                      # (n, nlist)
+        assign = sims.argmax(axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+            else:  # empty cluster: steal the globally worst-fit point
+                worst = sims.max(axis=1).argmin()
+                cent[c] = sample[worst]
+    return cent
+
+
+def ivf_topk(ds, query_ids, k: int = 10, nlist: int = 64, nprobe: int = 8,
+             train_size: int = 4096, seed: int = 42) -> pa.Table:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    (the alternative to ``lsh_topk``): spherical k-means centroids are
+    trained on a BOUNDED deterministic sample (first ``train_size``
+    rows by vec_id — one pruned streaming pass), broadcast once
+    (ray.put); each corpus block assigns its vectors to their nearest
+    centroid with one matmul and keeps only vectors landing in the
+    union of every query's ``nprobe`` closest lists; survivors feed the
+    same per-block partial top-k + tiny driver merge as
+    ``brute_force_topk``. No shuffle; the only driver-sized objects are
+    the sample (bounded) and the merged top-k (result-sized).
+
+    Approximate by construction: a true neighbor assigned to an
+    unprobed list is missed; recall grows with nprobe (pytest asserts
+    recall vs brute on a clustered fixture). Same output schema and
+    deterministic ranking as brute_force_topk."""
+    import ray
+    from functools import partial
+
+    qids, qmat = _query_rows(ds, query_ids)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def sample_mask(batch: pa.Table) -> pa.Table:
+        m = batch["vec_id"].to_numpy() < train_size
+        return batch.filter(pa.array(m))
+
+    sample_parts = list(
+        ds.select_columns(["vec_id", "embedding"])
+          .map_batches(sample_mask, batch_format="pyarrow")
+          .iter_batches(batch_format="pyarrow", batch_size=None))
+    sample = _matrix(pa.concat_tables(sample_parts))
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    cent = _kmeans(sample / nrm, nlist, seed=seed)
+
+    # union of each query's nprobe nearest lists
+    qsims = qn @ cent.T                              # (Q, nlist)
+    nprobe = min(nprobe, nlist)
+    probe = np.unique(
+        np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe].ravel())
+    cent_ref = ray.put(cent)
+    _cent_cache: dict = {}
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        if "c" not in _cent_cache:
+            _cent_cache["c"] = (ray.get(cent_ref)
+                                if isinstance(cent_ref, ray.ObjectRef)
+                                else cent_ref)
+        emb = _matrix(batch)
+        nr = np.linalg.norm(emb, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        assign = ((emb / nr) @ _cent_cache["c"].T).argmax(axis=1)
+        return batch.filter(pa.array(np.isin(assign, probe)))
+
+    cands = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        probe_filter, batch_format="pyarrow")
+    query_ref = ray.put((qids, qmat))
+    partials = cands.map_batches(
+        partial(block_topk_batch, query_ref=query_ref, k=k),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    merged_parts = list(
+        partials.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not merged_parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "sim": pa.array([], pa.float64())})
+    return _merge_topk(pa.concat_tables(merged_parts), k)
+
+
 def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = None) -> pa.Table:
     """Embedding near-dup pairs (a<b, cosine>=threshold) — brute
     baseline, distributed: the (limit_ids-bounded) comparison set is

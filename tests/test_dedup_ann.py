@@ -396,3 +396,50 @@ def test_hash_exchange_stall_fallback(ray_session, monkeypatch):
     took = time.time() - t0
     assert got.to_pylist() == expected.to_pylist()
     assert took < 8  # fell back instead of waiting out the stall
+
+
+def _clustered_embeddings(n_base=20, copies=5, dim=64, seed=6):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    rows = [base[i % n_base] + 0.25 * rng.standard_normal(dim)
+            for i in range(n_base * copies)]
+    mat = np.stack(rows).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32()))})
+
+
+def test_ivf_topk_full_probe_equals_brute(ray_session):
+    """nprobe=nlist keeps every vector -> IVF must reproduce the brute
+    top-k byte-for-byte (same partial-topk + merge path)."""
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds = ray.data.from_arrow(_clustered_embeddings()).repartition(4)
+    brute = brute_force_topk(ds, range(4), k=5)
+    ivf = ivf_topk(ds, range(4), k=5, nlist=8, nprobe=8, train_size=50)
+    assert ivf.to_pylist() == brute.to_pylist()
+
+
+def test_ivf_topk_recall(ray_session):
+    """Probing half the lists on a clustered corpus keeps high recall:
+    every returned (query, vec) is exact-sim correct, and overlap with
+    the true top-k stays >= 60% per query."""
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds = ray.data.from_arrow(_clustered_embeddings()).repartition(4)
+    brute = brute_force_topk(ds, range(4), k=5)
+    ivf = ivf_topk(ds, range(4), k=5, nlist=8, nprobe=4, train_size=100)
+    bs = {(q, v): s for q, v, s in zip(brute["query_id"].to_pylist(),
+                                       brute["vec_id"].to_pylist(),
+                                       brute["sim"].to_pylist())}
+    hits = 0
+    for q, v, s in zip(ivf["query_id"].to_pylist(),
+                       ivf["vec_id"].to_pylist(),
+                       ivf["sim"].to_pylist()):
+        if (q, v) in bs:
+            hits += 1
+            assert abs(s - bs[(q, v)]) < 1e-9  # sims are exact
+    assert hits >= 0.6 * len(brute)
