@@ -976,6 +976,38 @@ def _ann_lsh_oracle() -> str:
         ORDER BY query_id, rank"""
 
 
+def _simhash_oracle() -> str:
+    """Exact SQL twin of stages/text.simhash64: whitespace tokens,
+    64-bit token hash = top 64 bits of md5 (the Python side uses the
+    same definition so the fingerprint is oracle-checkable), majority
+    vote per bit (2 * ones > n_tokens), signed int64 assembly with the
+    top bit folded in as -2^63 (two's complement without UBIGINT
+    overflow). Docs with no tokens get simhash 0 via the left join."""
+    bit_cols = ",\n                   ".join(
+        f"CASE WHEN 2 * sum(((h >> {b}) & 1)::BIGINT) > count(*) "
+        f"THEN 1::BIGINT ELSE 0 END AS b{b}"
+        for b in range(64))
+    low_sum = " + ".join(f"(b{b} << {b})" for b in range(63))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(text, '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''),
+        votes AS (
+            SELECT doc_id,
+                   {bit_cols}
+            FROM toks GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce({low_sum}
+                 + CASE WHEN b63 = 1 THEN -9223372036854775808
+                        ELSE 0 END, 0) AS simhash
+        FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
@@ -1205,4 +1237,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b""",
         "cosine_neardup_lsh": _cosine_lsh_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "simhash": _simhash_oracle(),
     }

@@ -11,8 +11,6 @@ ratios), n-gram-heuristic language ID, content fingerprinting
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -99,16 +97,23 @@ def content_md5_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # simhash document fingerprint
 # ---------------------------------------------------------------------------
 
+def _token_hash64(tok: str) -> int:
+    """Top 64 bits of md5(token) — chosen over crc32 pairs because it
+    is exactly SQL-expressible (DuckDB ``('0x' || substr(md5(tok), 1,
+    16))::UBIGINT``), making the simhash column fully oracle-checkable
+    while keeping uniform bit statistics."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf8")).hexdigest()[:16], 16)
+
+
 def _token_hashes(text: str) -> np.ndarray:
     toks = text.split()
     if not toks:
         return np.zeros(0, dtype=np.uint64)
     out = np.empty(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
-        b = t.encode("utf8")
-        lo = zlib.crc32(b)
-        hi = zlib.crc32(b, 0x9E3779B9)
-        out[i] = (np.uint64(hi) << np.uint64(32)) | np.uint64(lo)
+        out[i] = _token_hash64(t)
     return out
 
 
@@ -159,9 +164,7 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         for tok in toks:
             h = cache.get(tok)
             if h is None:
-                b = tok.encode("utf8")
-                h = (zlib.crc32(b, 0x9E3779B9) << 32) | zlib.crc32(b)
-                cache[tok] = h
+                h = cache[tok] = _token_hash64(tok)
             hs[i] = h
             i += 1
     doc_idx = np.repeat(np.arange(n), lens)
