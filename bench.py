@@ -29,8 +29,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "seed_normalize", "url_fingerprint", "token_count", "quality", "langid",
-    "exact_dedup", "ngram_jaccard", "simhash", "minhash_neardup", "simhash_neardup",
-    "ann_topk", "ann_lsh", "cosine_neardup", "cosine_neardup_lsh",
+    "exact_dedup", "exact_keepers", "ngram_jaccard", "simhash",
+    "minhash_neardup", "simhash_neardup",
+    "ann_topk", "ann_lsh", "ann_ivf", "cosine_neardup", "cosine_neardup_lsh",
     "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
     "score_buckets", "image_stats", "window_counts", "asof_join",

@@ -890,20 +890,37 @@ class QueueShard:
         else:
             t = ENTRY_SCHEMA.empty_table()
         pq.write_table(t, d / f"queue-{self.shard_id:04d}.parquet")
-        dm = [(h, m.robots_body or "", m.crawl_delay, m.queued_pages, m.banned)
-              for h, m in self.domains.items()]
-        if dm:
-            hosts, bodies, delays, qp, banned = zip(*dm)
-        else:
-            hosts = bodies = delays = qp = banned = []
-        pq.write_table(
-            pa.table({"host": pa.array(list(hosts), pa.string()),
-                      "robots_body": pa.array(list(bodies), pa.string()),
-                      "crawl_delay": pa.array(list(delays), pa.float64()),
-                      "queued_pages": pa.array(list(qp), pa.int64()),
-                      "banned": pa.array(list(banned), pa.bool_())}),
-            d / f"domains-{self.shard_id:04d}.parquet",
-        )
+        # stream domain rows in bounded chunks: domains.items() walks
+        # the resident generations then the spill fragments one file at
+        # a time, so the checkpoint never materializes the full host
+        # universe (a shard can own millions of spilled hosts)
+        dom_schema = pa.schema([
+            ("host", pa.string()), ("robots_body", pa.string()),
+            ("crawl_delay", pa.float64()), ("queued_pages", pa.int64()),
+            ("banned", pa.bool_()),
+        ])
+        with pq.ParquetWriter(d / f"domains-{self.shard_id:04d}.parquet",
+                              dom_schema) as w:
+            chunk: list = []
+
+            def flush():
+                if not chunk:
+                    return
+                hosts, bodies, delays, qp, banned = zip(*chunk)
+                w.write_table(pa.table(
+                    {"host": pa.array(list(hosts), pa.string()),
+                     "robots_body": pa.array(list(bodies), pa.string()),
+                     "crawl_delay": pa.array(list(delays), pa.float64()),
+                     "queued_pages": pa.array(list(qp), pa.int64()),
+                     "banned": pa.array(list(banned), pa.bool_())}))
+                chunk.clear()
+
+            for h, m in self.domains.items():
+                chunk.append((h, m.robots_body or "", m.crawl_delay,
+                              m.queued_pages, m.banned))
+                if len(chunk) >= 10_000:
+                    flush()
+            flush()
 
     @classmethod
     def restore(cls, directory: str, shard_id: int, **kwargs) -> "QueueShard":
