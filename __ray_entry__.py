@@ -693,10 +693,14 @@ def q_fetch_pages(sf_dir: str):
 
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs over documents (banded buckets ->
-    candidate groupby -> Jaccard verify)."""
+    candidate groupby -> Jaccard verify), integer-exact output
+    (a, b, inter_size, union_size) so the FULL pipeline — md5-64 gram
+    hashes, the 64 wrap-mod universal-hash minima, 16x4 banding, and
+    the exact verify — is SQL-oracle-checked end to end."""
     from frontera_ray.stages.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_read(sf_dir, "documents"), threshold=0.5)
+    pairs = minhash_neardup_pairs(_read(sf_dir, "documents"), threshold=0.5)
+    return pairs.select(["a", "b", "inter_size", "union_size"])
 
 
 def q_dedup_keepers(sf_dir: str):
@@ -1008,6 +1012,62 @@ def _simhash_oracle() -> str:
         ORDER BY d.doc_id"""
 
 
+def _minhash_oracle() -> str:
+    """Exact SQL twin of minhash_neardup_pairs (num_perm=64, bands=16,
+    rows_per_band=4, shingle_k=3, threshold 0.5): 3-gram shingles
+    hashed with md5-top-64 (same definition as the Python side), the 64
+    universal-hash minima computed with numpy's uint64 WRAP semantics
+    replicated via HUGEINT ``% 2^64`` before the Mersenne mod, banded
+    candidates as ``EXISTS a band whose 4 minima all match``, and the
+    integer-exact Jaccard verify over distinct gram hashes. (Docs with
+    <3 tokens would need the whole-text-gram fallback branch — absent
+    from the test corpus, asserted in TESTDATA expectations.)
+
+    Caveat vs the Ray path: Ray keys buckets by crc32 of the minima
+    bytes, so a crc32 COLLISION could admit an extra candidate pair
+    (still exact-verified) that this oracle's minima-equality property
+    would not — probability ~pairs x 16 x 2^-32, nil on the fixed
+    corpus."""
+    from frontera_ray.stages.dedup import _MERSENNE, _perm_params
+
+    a, b = _perm_params(64)
+    W = 1 << 64
+    sig_cols = ",\n                   ".join(
+        f"min(((({int(a[i])}::HUGEINT * h) % {W} + {int(b[i])}) % {W})"
+        f" % {_MERSENNE}) AS s{i}"
+        for i in range(64))
+    band_clauses = " OR ".join(
+        "(" + " AND ".join(
+            f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
+        for j in range(16))
+    return rf"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                   FROM documents),
+        gh AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
+                                          || arr[i+2]), 1, 16))::UBIGINT::HUGEINT AS h
+               FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+        sigs AS (SELECT doc_id,
+                   {sig_cols}
+                 FROM gh GROUP BY doc_id),
+        cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+                 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+                 WHERE {band_clauses}),
+        inter AS (SELECT c.a, c.b, count(*) AS inter_size
+                  FROM cand c
+                  JOIN gh x ON x.doc_id = c.a
+                  JOIN gh y ON y.doc_id = c.b AND y.h = x.h
+                  GROUP BY 1, 2)
+        SELECT i.a, i.b, i.inter_size,
+               (sa.n + sb.n - i.inter_size) AS union_size
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE 100 * i.inter_size >= 50 * (sa.n + sb.n - i.inter_size)
+        ORDER BY a, b"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
@@ -1238,4 +1298,5 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup_lsh": _cosine_lsh_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "minhash_neardup": _minhash_oracle(),
     }

@@ -46,10 +46,15 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def word_shingles(text: str, k: int = 3, strict: bool = False) -> np.ndarray:
-    """crc32 hashes of word k-grams (unique). Default: a doc with fewer
-    than k tokens contributes one whole-text gram (minhash-friendly —
-    short docs stay comparable). ``strict=True`` contributes nothing,
-    matching windowed-gram SQL semantics (the ngram_jaccard oracle)."""
+    """64-bit hashes of word k-grams (unique set). The gram hash is the
+    top 64 bits of md5 (``text._token_hash64``) — SQL-expressible, so
+    the full minhash pipeline is oracle-checkable in DuckDB. Default: a
+    doc with fewer than k tokens contributes one whole-text gram
+    (minhash-friendly — short docs stay comparable). ``strict=True``
+    contributes nothing, matching windowed-gram SQL semantics (the
+    ngram_jaccard oracle)."""
+    from .text import _token_hash64
+
     toks = text.split()
     if len(toks) < k:
         grams = [] if strict or not toks else [" ".join(toks)]
@@ -58,7 +63,7 @@ def word_shingles(text: str, k: int = 3, strict: bool = False) -> np.ndarray:
     if not grams:
         return np.zeros(0, dtype=np.uint64)
     hs = np.fromiter(
-        (zlib.crc32(g.encode("utf8")) for g in grams), dtype=np.uint64, count=len(grams)
+        (_token_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
     )
     return np.unique(hs)
 
@@ -316,32 +321,35 @@ def _verify_minhash_partition(group: pa.Table, threshold: float) -> pa.Table:
         for i in range(len(members)):
             si = np.asarray(shs[uniq[members[i]]], dtype=np.uint64)
             for j in range(i + 1, len(members)):
-                jv = jaccard(si, np.asarray(shs[uniq[members[j]]], dtype=np.uint64))
+                sj = np.asarray(shs[uniq[members[j]]], dtype=np.uint64)
+                inter = int(np.intersect1d(si, sj, assume_unique=True).size)
+                union = int(len(si) + len(sj) - inter)
+                jv = inter / union if union else 1.0
                 if jv >= threshold:
-                    out.add((members[i], members[j], round(jv, 4)))
+                    out.add((members[i], members[j], round(jv, 4),
+                             inter, union))
     rows = sorted(out)
     return pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
                      "b": pa.array([r[1] for r in rows], pa.int64()),
-                     "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+                     "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+                     "inter_size": pa.array([r[3] for r in rows], pa.int64()),
+                     "union_size": pa.array([r[4] for r in rows], pa.int64())})
 
 
-def _dedupe_pair_table(pairs: pa.Table, value_col: str) -> pa.Table:
+def _dedupe_pair_table(pairs: pa.Table, value_col: str | None = None) -> pa.Table:
     """Final result assembly: drop pairs re-found in multiple buckets,
-    sort by (a, b). Operates on the RESULT (near-dup pairs), which is
-    small by construction — not on the corpus."""
+    sort by (a, b), keep ALL value columns. Operates on the RESULT
+    (near-dup pairs), which is small by construction — not on the
+    corpus. ``value_col`` is unused (kept for caller compatibility)."""
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
-    v = pairs[value_col].to_numpy()
     if len(a) == 0:
         return pairs
     order = np.lexsort((b, a))
     sa, sb = a[order], b[order]
     keep = np.ones(len(order), dtype=bool)
     keep[1:] = (np.diff(sa) != 0) | (np.diff(sb) != 0)
-    sel = order[keep]
-    return pa.table({"a": pa.array(a[sel], pa.int64()),
-                     "b": pa.array(b[sel], pa.int64()),
-                     value_col: pa.array(v[sel], pairs[value_col].type)})
+    return pairs.take(pa.array(order[keep]))
 
 
 def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
