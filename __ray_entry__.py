@@ -980,20 +980,20 @@ def _ann_lsh_oracle() -> str:
         ORDER BY query_id, rank"""
 
 
-def _simhash_oracle() -> str:
-    """Exact SQL twin of stages/text.simhash64: whitespace tokens,
-    64-bit token hash = top 64 bits of md5 (the Python side uses the
-    same definition so the fingerprint is oracle-checkable), majority
-    vote per bit (2 * ones > n_tokens), signed int64 assembly with the
-    top bit folded in as -2^63 (two's complement without UBIGINT
+def _simhash_cte() -> str:
+    """Shared CTE body computing (doc_id, simhash) in SQL — the exact
+    twin of stages/text.simhash64: whitespace tokens, 64-bit token
+    hash = top 64 bits of md5 (the Python side uses the same
+    definition so the fingerprint is oracle-checkable), majority vote
+    per bit (2 * ones > n_tokens), signed int64 assembly with the top
+    bit folded in as -2^63 (two's complement without UBIGINT
     overflow). Docs with no tokens get simhash 0 via the left join."""
     bit_cols = ",\n                   ".join(
         f"CASE WHEN 2 * sum(((h >> {b}) & 1)::BIGINT) > count(*) "
         f"THEN 1::BIGINT ELSE 0 END AS b{b}"
         for b in range(64))
     low_sum = " + ".join(f"(b{b} << {b})" for b in range(63))
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id,
                    ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
             FROM (SELECT doc_id,
@@ -1003,13 +1003,36 @@ def _simhash_oracle() -> str:
         votes AS (
             SELECT doc_id,
                    {bit_cols}
-            FROM toks GROUP BY doc_id)
-        SELECT d.doc_id,
-               coalesce({low_sum}
-                 + CASE WHEN b63 = 1 THEN -9223372036854775808
-                        ELSE 0 END, 0) AS simhash
-        FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
-        ORDER BY d.doc_id"""
+            FROM toks GROUP BY doc_id),
+        sh AS (
+            SELECT d.doc_id,
+                   coalesce({low_sum}
+                     + CASE WHEN b63 = 1 THEN -9223372036854775808
+                            ELSE 0 END, 0) AS simhash
+            FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_simhash_cte()}
+        SELECT doc_id, simhash FROM sh ORDER BY doc_id"""
+
+
+def _simhash_neardup_oracle(max_hamming: int = 6) -> str:
+    """Oracle for simhash_neardup_pairs: because blocks >= max_hamming
+    + 1 gives EXACT recall (pigeonhole — d flipped bits can touch at
+    most d of the 7 blocks, leaving one identical), the LSH output
+    equals the full brute pair set at Hamming <= 6, which SQL states
+    directly: bit_count(xor(simhash_a, simhash_b)) <= 6 over the
+    SQL-computed sketches. This checks the sketch, the block-LSH
+    completeness property, and the verify in one query."""
+    return f"""
+        WITH {_simhash_cte()}
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+        ORDER BY a, b"""
 
 
 def _minhash_oracle() -> str:
@@ -1298,5 +1321,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup_lsh": _cosine_lsh_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_neardup": _simhash_neardup_oracle(),
         "minhash_neardup": _minhash_oracle(),
     }
