@@ -1051,6 +1051,16 @@ def _minhash_oracle() -> str:
     (still exact-verified) that this oracle's minima-equality property
     would not — probability ~pairs x 16 x 2^-32, nil on the fixed
     corpus."""
+    return rf"""
+        WITH {_minhash_pairs_ctes()}
+        SELECT a, b, inter_size, union_size FROM mh_pairs
+        ORDER BY a, b"""
+
+
+def _minhash_pairs_ctes() -> str:
+    """Reusable CTE chain ending in ``mh_pairs(a, b, inter_size,
+    union_size)`` — the SQL twin of the minhash near-dup pipeline (see
+    _minhash_oracle docstring)."""
     from frontera_ray.stages.dedup import _MERSENNE, _perm_params
 
     a, b = _perm_params(64)
@@ -1063,8 +1073,7 @@ def _minhash_oracle() -> str:
         "(" + " AND ".join(
             f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
         for j in range(16))
-    return rf"""
-        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+    return rf"""t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
                    FROM documents),
         gh AS (SELECT DISTINCT doc_id,
                       ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
@@ -1081,14 +1090,33 @@ def _minhash_oracle() -> str:
                   FROM cand c
                   JOIN gh x ON x.doc_id = c.a
                   JOIN gh y ON y.doc_id = c.b AND y.h = x.h
-                  GROUP BY 1, 2)
-        SELECT i.a, i.b, i.inter_size,
-               (sa.n + sb.n - i.inter_size) AS union_size
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.a
-        JOIN sizes sb ON sb.doc_id = i.b
-        WHERE 100 * i.inter_size >= 50 * (sa.n + sb.n - i.inter_size)
-        ORDER BY a, b"""
+                  GROUP BY 1, 2),
+        mh_pairs AS (
+            SELECT i.a, i.b, i.inter_size,
+                   (sa.n + sb.n - i.inter_size) AS union_size
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE 100 * i.inter_size >= 50 * (sa.n + sb.n - i.inter_size))"""
+
+
+def _dedup_keepers_oracle() -> str:
+    """Oracle for the near-dup keep-list: the minhash pair CTEs feed a
+    recursive min-label propagation (connected components — every id
+    reaches its component's minimum through undirected pair edges;
+    UNION's set semantics terminate the fixpoint), keeper = min
+    reachable id, identity for docs in no pair."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes()},
+        edges AS (SELECT a, b FROM mh_pairs
+                  UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS comp FROM documents
+            UNION
+            SELECT e.b AS id, r.comp
+            FROM reach r JOIN edges e ON e.a = r.id)
+        SELECT id AS doc_id, min(comp) AS keeper_doc_id
+        FROM reach GROUP BY id ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1323,4 +1351,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
         "minhash_neardup": _minhash_oracle(),
+        "dedup_keepers": _dedup_keepers_oracle(),
     }
