@@ -37,6 +37,10 @@ import pyarrow as pa
 # universal-hash parameters for minhash permutations (fixed seeds)
 _MERSENNE = (1 << 61) - 1
 
+# per-worker gram-hash memo (md5 once per distinct gram; bounded)
+_GRAM_HASH_CACHE: dict[str, int] = {}
+_GRAM_HASH_CACHE_MAX = 2_000_000
+
 
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.default_rng(seed)
@@ -62,10 +66,16 @@ def word_shingles(text: str, k: int = 3, strict: bool = False) -> np.ndarray:
         grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if not grams:
         return np.zeros(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (_token_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
-    )
-    return np.unique(hs)
+    cache = _GRAM_HASH_CACHE  # near-dup corpora repeat grams heavily
+    if len(cache) > _GRAM_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = cache.get(g)
+        if h is None:
+            h = cache[g] = _token_hash64(g)
+        out[i] = h
+    return np.unique(out)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
