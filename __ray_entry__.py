@@ -218,6 +218,28 @@ def q_token_count(sf_dir: str):
         token_count_table, batch_format="pyarrow")
 
 
+def q_token_count_bpe(sf_dir: str):
+    """Whitespace + BPE-ish (GPT-2-style pre-tokenizer classes) token
+    counts per doc — both via one vectorized RE2 pass; the identical
+    pattern strings run in DuckDB (also RE2) for the oracle."""
+    from frontera_ray.stages.text import bpe_token_count_table
+
+    return _read(sf_dir, "documents").map_batches(
+        bpe_token_count_table, batch_format="pyarrow")
+
+
+def q_winnow_fp(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    ordered 3-gram md5-64 hashes, window-of-4 minima, distinct selected
+    values exploded to (doc_id, fp) rows — the rolling-hash
+    fingerprinting scheme, fully SQL-oracled via a window-function
+    min."""
+    from frontera_ray.stages.text import winnow_table
+
+    return _read(sf_dir, "documents").map_batches(
+        winnow_table, batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str):
     from frontera_ray.stages.text import quality_features_table
 
@@ -843,6 +865,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "host_agg": q_host_agg,
     "batch_dedup": q_batch_dedup,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "winnow_fp": q_winnow_fp,
     "quality": q_quality,
     "langid": q_langid,
     "exact_dedup": q_exact_dedup,
@@ -1163,6 +1187,34 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
             FROM documents""",
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
+                     AS n_bpe_tokens
+            FROM documents""",
+        "winnow_fp": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            g AS (SELECT doc_id, i AS pos,
+                         ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
+                                             || arr[i+2]), 1, 16))::UBIGINT AS h
+                  FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+            n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            wm AS (SELECT doc_id, pos,
+                          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 3 FOLLOWING) AS mh
+                   FROM g),
+            sel AS (SELECT DISTINCT w_.doc_id, mh
+                    FROM wm w_ JOIN n ON n.doc_id = w_.doc_id
+                    WHERE pos <= greatest(1, n.n - 3))
+            SELECT doc_id,
+                   CASE WHEN mh > 9223372036854775807
+                        THEN (mh::HUGEINT - 18446744073709551616)::BIGINT
+                        ELSE mh::BIGINT END AS fp
+            FROM sel ORDER BY doc_id, fp""",
         "quality": r"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

@@ -28,7 +28,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
-    "seed_normalize", "url_fingerprint", "token_count", "quality", "langid",
+    "seed_normalize", "url_fingerprint", "token_count", "token_count_bpe",
+    "winnow_fp", "quality", "langid",
     "exact_dedup", "exact_keepers", "ngram_jaccard", "simhash",
     "minhash_neardup", "simhash_neardup",
     "ann_topk", "ann_lsh", "ann_ivf", "cosine_neardup", "cosine_neardup_lsh",

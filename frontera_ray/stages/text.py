@@ -18,6 +18,11 @@ import pyarrow.compute as pc
 from ..fingerprint import md5_hex_batch
 
 TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer classes (GPT-2-style, RE2-compatible — no
+# lookarounds): letter runs, digit runs, non-alphanumeric-non-space
+# runs. The same pattern string runs in DuckDB's regexp functions
+# (also RE2), so counts are oracle-checkable.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 PUNCT_RE = r"[.!,;:?]"
 UPPER_RE = r"[A-Z]"
 DIGIT_RE = r"[0-9]"
@@ -36,6 +41,17 @@ LANG_PATTERNS = [
 def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = pc.count_substring_regex(batch[text_col], TOKEN_RE).cast(pa.int64())
     return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+
+def bpe_token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace AND BPE-ish token counts per doc (one vectorized RE2
+    pass each) — the pre-tokenization granularity an LLM-data pipeline
+    budgets by."""
+    ws = pc.count_substring_regex(batch[text_col], TOKEN_RE).cast(pa.int64())
+    bpe = pc.count_substring_regex(
+        batch[text_col], BPE_TOKEN_RE).cast(pa.int64())
+    return pa.table({"doc_id": batch["doc_id"], "n_ws_tokens": ws,
+                     "n_bpe_tokens": bpe})
 
 
 def quality_features_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -183,6 +199,50 @@ def simhash_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(
         {"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())}
     )
+
+
+def winnow_fingerprints(text: str, k: int = 3, w: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the rolling-hash selection scheme): hash the ordered
+    word k-grams (md5-top-64, same SQL-expressible hash as the rest of
+    the text family), slide a window of ``w`` hashes, keep each
+    window's MINIMUM, return the distinct selected values (the min
+    VALUE per window is tie-insensitive, so the fingerprint set is
+    deterministic). A doc with fewer than w grams contributes its
+    single global minimum; no grams -> empty."""
+    toks = text.split()
+    if len(toks) < k:
+        return np.zeros(0, dtype=np.uint64)
+    n = len(toks) - k + 1
+    hs = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        hs[i] = _token_hash64(" ".join(toks[i:i + k]))
+    if n <= w:
+        return np.array([hs.min()], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(hs, w).min(axis=1))
+
+
+def winnow_table(batch: pa.Table, text_col: str = "text",
+                 k: int = 3, w: int = 4) -> pa.Table:
+    """map_batches kernel: explode each doc into (doc_id, fp) rows,
+    fp = signed-int64 view of the winnowed fingerprint (two's
+    complement — matches the SQL oracle's signed cast), sorted by
+    signed value within doc."""
+    ids, fps = [], []
+    for d, text in zip(batch["doc_id"].to_numpy(),
+                       batch[text_col].to_pylist()):
+        sel = np.sort(winnow_fingerprints(text, k, w).view(np.int64))
+        ids.append(np.full(len(sel), d, dtype=np.int64))
+        fps.append(sel)
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+        "fp": pa.array(np.concatenate(fps), pa.int64()),
+    })
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -248,3 +248,43 @@ ray.shutdown()
     got = json.loads(line[len("RESULT "):])
     assert got["hash"] == got["groups"]
     assert len(got["groups"]["sess"]) == 3
+
+
+def test_winnow_fingerprints_properties():
+    """Winnowing guarantees (Schleimer et al.): selected fingerprints
+    are a subset of the doc's gram hashes; any shared substring of at
+    least w+k-1 words forces at least one SHARED fingerprint (the
+    local-containment property plagiarism detection relies on)."""
+    import numpy as np
+
+    from frontera_ray.stages.text import _token_hash64, winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "unrelated prefix words here " + shared
+    d2 = shared + " and a completely different ending altogether now"
+    f1 = winnow_fingerprints(d1)
+    f2 = winnow_fingerprints(d2)
+    assert len(set(f1.tolist()) & set(f2.tolist())) >= 1
+    # subset-of-gram-hashes
+    toks = d1.split()
+    grams = {_token_hash64(" ".join(toks[i:i + 3]))
+             for i in range(len(toks) - 2)}
+    assert set(f1.tolist()) <= grams
+    # short docs: one fingerprint (global min); empty: none
+    assert len(winnow_fingerprints("one two three four")) == 1
+    assert len(winnow_fingerprints("a b")) == 0
+    # deterministic
+    assert (winnow_fingerprints(d1) == f1).all()
+
+
+def test_bpe_token_count():
+    import pyarrow as pa
+
+    from frontera_ray.stages.text import bpe_token_count_table
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["Hello, world! 42x", ""], pa.string())})
+    out = bpe_token_count_table(t)
+    # Hello , world ! 42 x -> 6 BPE-ish tokens; 3 whitespace tokens
+    assert out["n_ws_tokens"].to_pylist() == [3, 0]
+    assert out["n_bpe_tokens"].to_pylist() == [6, 0]
