@@ -144,11 +144,14 @@ class TwoGenDomainCache:
     matter how many distinct hosts a long broad crawl contacts —
     previously the first memory wall at 10^8 hosts/shard.
 
-    Fragments are append-only: a promoted host leaves a stale row
-    behind (the index, not the file, is authoritative), so spill disk
-    grows with total rotations — bounded by churn, reclaimed at
-    checkpoint/restart. ``cap=None`` disables spilling (plain dict
-    semantics)."""
+    Fragments are logically append-only (the index, not the file, is
+    authoritative — a promoted host leaves a stale row behind), but
+    disk growth is bounded: per-fragment live-row counts are tracked,
+    a fragment whose last live row is promoted is deleted immediately,
+    and when stale rows outnumber live spilled rows the sparse
+    fragments are merge-compacted into one. Spill disk is therefore
+    O(live spilled hosts), not O(total rotations). ``cap=None``
+    disables spilling (plain dict semantics)."""
 
     _SCHEMA = pa.schema([
         ("host", pa.string()), ("robots_body", pa.string()),
@@ -166,8 +169,11 @@ class TwoGenDomainCache:
         self._gen2: dict[str, DomainMetadata] = {}
         self._spill_dir = spill_dir
         self._spill_index: dict[str, int] = {}  # host -> fragment id
+        self._frag_total: dict[int, int] = {}  # fragment -> rows written
+        self._frag_live: dict[int, int] = {}   # fragment -> rows still live
         self._next_frag = 0
         self.spills = 0
+        self.compactions = 0
 
     # -- dict-style surface ---------------------------------------------------
     def __contains__(self, host: str) -> bool:
@@ -216,15 +222,69 @@ class TwoGenDomainCache:
 
     # -- internals ------------------------------------------------------------
     def _insert(self, host: str, m: DomainMetadata) -> None:
-        self._spill_index.pop(host, None)
+        old_frag = self._spill_index.pop(host, None)
+        if old_frag is not None:
+            self._frag_decr(old_frag)
         if (self.cap is not None and host not in self._gen1
                 and len(self._gen1) >= self.cap):
             self._rotate()
         self._gen1[host] = m
 
+    def _frag_path(self, frag: int) -> Path:
+        return Path(self._spill_dir) / f"frag-{frag:06d}.parquet"
+
+    def _frag_decr(self, frag: int) -> None:
+        live = self._frag_live.get(frag, 0) - 1
+        if live <= 0:
+            self._frag_live.pop(frag, None)
+            self._frag_total.pop(frag, None)
+            try:
+                self._frag_path(frag).unlink()
+            except OSError:
+                pass
+        else:
+            self._frag_live[frag] = live
+
+    def _maybe_compact(self) -> None:
+        """Merge sparse fragments once stale rows outnumber the live
+        rows still stuck in holed fragments (the actual waste metric —
+        fully-live fragments carry no waste and fully-drained ones are
+        unlinked by ``_frag_decr``): read only the live rows of every
+        fragment with holes, rewrite them as one fragment, delete the
+        originals. Bounds spill disk at ~2x the live spilled set."""
+        sparse = [f for f in self._frag_total
+                  if self._frag_live[f] < self._frag_total[f]]
+        if not sparse:
+            return
+        sparse_live = sum(self._frag_live[f] for f in sparse)
+        stale = sum(self._frag_total.values()) - sum(self._frag_live.values())
+        if stale <= max(sparse_live, self.cap or 0):
+            return
+        by_frag: dict[int, list[str]] = defaultdict(list)
+        for h, f in self._spill_index.items():
+            if f in self._frag_total and self._frag_live[f] < self._frag_total[f]:
+                by_frag[f].append(h)
+        merged: dict[str, DomainMetadata] = {}
+        for f in sorted(by_frag):
+            t = pq.read_table(self._frag_path(f))
+            rows = {t["host"][i].as_py(): i for i in range(len(t))}
+            for h in by_frag[f]:
+                merged[h] = self._row_to_meta(t, rows[h])
+        for f in sparse:
+            self._frag_total.pop(f, None)
+            self._frag_live.pop(f, None)
+            try:
+                self._frag_path(f).unlink()
+            except OSError:
+                pass
+        if merged:
+            self._spill(merged)
+        self.compactions += 1
+
     def _rotate(self) -> None:
         if self._gen2:
             self._spill(self._gen2)
+            self._maybe_compact()
         self._gen2 = self._gen1
         self._gen1 = {}
 
@@ -262,7 +322,12 @@ class TwoGenDomainCache:
             }),
             Path(self._spill_dir) / f"frag-{frag:06d}.parquet")
         for h in hosts:
+            old = self._spill_index.get(h)
+            if old is not None and old != frag:
+                self._frag_decr(old)
             self._spill_index[h] = frag
+        self._frag_total[frag] = len(hosts)
+        self._frag_live[frag] = len(hosts)
         self.spills += 1
 
     @staticmethod

@@ -4,6 +4,7 @@ Ordering parity with the reference queue test (tests/contrib/backends/
 test_backends.py::test_queue semantics: pop best-scored first)."""
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from frontera_ray.state.queue import ENTRY_SCHEMA, QueueEntry, QueueShard
 
@@ -375,6 +376,43 @@ def test_domain_cache_two_generation_bounded():
     assert m is not None and m.queued_pages == 1 and m.crawl_delay == 2.0
     assert "h0.test" in cache._gen1      # promoted back to live gen
     assert len(cache._gen1) <= 500 and len(cache._gen2) <= 500
+
+
+def test_domain_cache_spill_compaction(tmp_path):
+    """Spill disk is bounded under churn: promoting spilled hosts back
+    to the live generation leaves stale fragment rows behind; once
+    stale rows outnumber live spilled rows the sparse fragments are
+    merge-compacted and fully-dead fragments deleted. Every host must
+    stay resolvable throughout (a fragment with remaining live rows
+    must never be unlinked)."""
+    from frontera_ray.state.queue import DomainMetadata, TwoGenDomainCache
+
+    cache = TwoGenDomainCache(cap=10, spill_dir=str(tmp_path))
+    n = 300
+    for i in range(n):
+        cache[f"h{i}.test"].queued_pages = i
+    assert cache.spills > 0
+    # long-tail churn: every 10th host goes cold (stays spilled), the
+    # rest are repeatedly promoted — each promotion strands a stale row
+    # next to a cold host, so fragments go sparse instead of draining
+    hot = [i for i in range(n) if i % 10]
+    for _ in range(3):
+        for i in hot:
+            m = cache.get(f"h{i}.test")
+            assert m is not None and m.queued_pages == i
+    assert cache.compactions > 0
+    # disk holds ~O(live spilled rows), not O(total rotations)
+    live_spilled = len(cache._spill_index)
+    frag_rows = sum(pq.read_metadata(f).num_rows
+                    for f in tmp_path.glob("frag-*.parquet"))
+    assert frag_rows <= 2 * max(live_spilled, cache.cap) + 2 * cache.cap
+    assert sum(cache._frag_live.values()) == live_spilled
+    # on-disk fragment set matches the tracked set exactly
+    on_disk = {int(f.stem.split("-")[1]) for f in tmp_path.glob("frag-*.parquet")}
+    assert on_disk == set(cache._frag_total)
+    # partial promotion must not unlink a fragment others still live in
+    for i in range(n):
+        assert cache.get(f"h{i}.test").queued_pages == i
 
 
 def test_domain_cache_checkpoint_includes_spilled(tmp_path):
