@@ -783,25 +783,31 @@ def q_cosine_neardup_lsh(sf_dir: str):
 
 
 def q_phash_neardup(sf_dir: str):
-    """Perceptual-hash near-dup pairs over fetched pages (hamming <= 12
-    on the 64-bit phash — the input_hint's phash column put to work)."""
+    """Perceptual-hash near-dup pairs over a 3,211-image synthetic web,
+    fully distributed (the input_hint's phash column put to work):
+    flat-map seed expansion -> sketch-only phash fetch (no encode) ->
+    the shared bit-block-LSH + Hamming-verify exchange (blocks=3 gives
+    pigeonhole-exact recall at hamming<=2) -> broadcast pair-id
+    resolution back to image_id strings. One keyed all-to-all over
+    16 B/image sketch rows; no driver-side all-pairs."""
+    import ray
     from frontera_ray.graphs import SyntheticWeb
-    from frontera_ray.payload import fetch_simulated
-    from frontera_ray.stages.text import hamming64
+    from frontera_ray.stages.images import phash_neardup_pairs
 
-    web = SyntheticWeb(32, seed=42, max_class=3)
-    urls = sorted(web.seeds())[:128]
-    rows = [fetch_simulated(u) for u in urls]
-    ph = np.array([r["phash"] for r in rows], dtype=np.int64).astype(np.uint64)
-    ids = np.array([r["image_id"] for r in rows], dtype=object)
-    iu, ju = np.triu_indices(len(ph), k=1)
-    d = hamming64(ph[iu], ph[ju])
-    m = d <= 12
-    return pa.table({
-        "a": pa.array(ids[iu[m]], pa.string()),
-        "b": pa.array(ids[ju[m]], pa.string()),
-        "hamming": pa.array(d[m].astype(np.int32), pa.int32()),
-    })
+    web = SyntheticWeb(256, seed=42, max_class=3)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch["url"].to_pylist():
+            out.extend(web.resolve(link) for link in web.links_of(u))
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    levels = [ray.data.from_arrow(
+        pa.table({"url": pa.array(web.seeds(), pa.string())}))]
+    for _ in range(3):      # path lengths 1..4 = full corpus at max_class=3
+        levels.append(levels[-1].map_batches(expand, batch_format="pyarrow"))
+    urls_ds = levels[0].union(*levels[1:])
+    return phash_neardup_pairs(urls_ds, max_hamming=2, blocks=3)
 
 
 def q_image_stats(sf_dir: str):

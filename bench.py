@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "seed_normalize", "url_fingerprint", "token_count", "token_count_bpe",
     "winnow_fp", "quality", "langid",
     "exact_dedup", "exact_keepers", "ngram_jaccard", "simhash",
-    "minhash_neardup", "simhash_neardup",
+    "minhash_neardup", "simhash_neardup", "phash_neardup",
     "ann_topk", "ann_lsh", "ann_ivf", "cosine_neardup", "cosine_neardup_lsh",
     "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",

@@ -239,6 +239,24 @@ def _phash_group(pix: np.ndarray) -> np.ndarray:
     return vals.astype(np.int64)  # two's-complement reinterpret == signed
 
 
+def phash_batch_columns(urls) -> dict:
+    """Sketch-only batch fetch: (image_id, phash) without the encode
+    step — for perceptual-dedup pre-passes that need only the 64-bit
+    sketch. Pixel generation and hashing run vectorized per size-class
+    group (same kernels as fetch_batch_columns, so the phash is
+    bit-identical to fetch_simulated's) and the zlib/PNG cost is
+    skipped entirely."""
+    n = len(urls)
+    seeds = np.fromiter((_seed_of(u) for u in urls), dtype=np.uint64, count=n)
+    size_idx = (seeds % np.uint64(len(_SIZES))).astype(np.int64)
+    phashes = np.empty(n, dtype=np.int64)
+    for si in np.unique(size_idx):
+        idx = np.nonzero(size_idx == si)[0]
+        w, h = _SIZES[si]
+        phashes[idx] = _phash_group(_gen_pixels_group(seeds[idx], w, h))
+    return {"image_id": list(urls), "phash": phashes}
+
+
 def fetch_batch_columns(urls) -> dict:
     """Columnar batch fetch. Pixel generation and phashing run
     vectorized per size-class group (one numpy dispatch for the whole

@@ -661,27 +661,30 @@ def _verify_simhash_partition(group: pa.Table, max_hamming: int) -> pa.Table:
                      "hamming": pa.array(d[keep], pa.int32())})
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
-                          exchange: str = "groups"):
-    """SimHash near-dup: bit-block LSH then Hamming verify, fully
-    distributed — one corpus pass, one all-to-all (the coarse-partition
-    groupby; see minhash_neardup_pairs for the pattern). Sketch rows are
-    16 B/doc so no prefilter pass is ever worth it here.
+def hamming64_neardup_pairs(sketch_ds, max_hamming: int = 3,
+                            blocks: int | None = None,
+                            exchange: str = "groups") -> pa.Table:
+    """Near-dup pairs for ANY 64-bit sketch column (simhash, phash, any
+    fingerprint), fully distributed: bit-block LSH then Hamming verify —
+    one corpus pass, one all-to-all (the coarse-partition groupby; see
+    minhash_neardup_pairs for the pattern). Sketch rows are 16 B/doc so
+    no prefilter pass is ever worth it here.
+
+    Input contract: columns ``doc_id`` (int64, distinct per item) and
+    ``simhash`` (the 64-bit sketch's bit pattern, two's-complement
+    int64).
 
     Exact recall needs blocks >= max_hamming+1 (pigeonhole: d differing
     bits can touch at most d blocks, leaving one block identical).
     Default blocks = max(4, max_hamming+1), asserted."""
     from functools import partial as _partial
 
-    from .text import simhash_table
-
     if blocks is None:
         blocks = max(4, max_hamming + 1)
     assert blocks >= max_hamming + 1, (
         f"blocks={blocks} cannot give exact recall at hamming {max_hamming}")
-    block_rows = (ds.map_batches(simhash_table, batch_format="pyarrow")
-                  .map_batches(_partial(_simhash_block_rows, blocks=blocks),
-                               batch_format="pyarrow"))
+    block_rows = sketch_ds.map_batches(
+        _partial(_simhash_block_rows, blocks=blocks), batch_format="pyarrow")
     parts = collect_bucket_pairs(
         block_rows, _partial(_verify_simhash_partition,
                              max_hamming=max_hamming), exchange)
@@ -691,3 +694,14 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
     if not parts:
         return empty
     return _dedupe_pair_table(pa.concat_tables(parts), "hamming")
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
+                          exchange: str = "groups"):
+    """SimHash near-dup over documents: the batch simhash sketch stage
+    feeding the shared 64-bit Hamming LSH exchange."""
+    from .text import simhash_table
+
+    return hamming64_neardup_pairs(
+        ds.map_batches(simhash_table, batch_format="pyarrow"),
+        max_hamming=max_hamming, blocks=blocks, exchange=exchange)

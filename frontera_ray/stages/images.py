@@ -154,3 +154,84 @@ class VideoFrameSampleStage:
             "video frame sampling requires a video decoder; "
             "stage is schema/plumbing only in this environment"
         )
+
+
+def image_id64(urls) -> np.ndarray:
+    """Stable int64 pair-id per image_id string (sha1 top 8 bytes,
+    two's-complement reinterpret). Distinct per URL, so exact-duplicate
+    pixels under different URLs still pair at hamming 0 — unlike the
+    content seed, which would collapse them to one sketch row."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.sha1(u.encode("utf8")).digest()[:8], "big")
+         for u in urls),
+        dtype=np.uint64, count=len(urls)).view(np.int64)
+
+
+def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
+                        blocks: int | None = None,
+                        exchange: str = "groups") -> pa.Table:
+    """Distributed perceptual near-dup over an image corpus (the
+    image-side twin of simhash_neardup_pairs): a sketch-only fetch
+    (pixels -> 64-bit average-hash, no encode) feeds the shared
+    bit-block-LSH + vectorized Hamming-verify exchange
+    (dedup.hamming64_neardup_pairs — exact recall for
+    blocks >= max_hamming+1). The int64 pair ids then resolve back to
+    image_id strings by broadcasting the (tiny) pair-id set and
+    filtering the streaming corpus — pair ids << corpus, so nothing
+    corpus-sized ever lands on the driver.
+
+    ``urls_ds`` is a Dataset with a ``url`` column; its lineage is
+    re-executed for the (cheap, sketch-free) id-resolution pass."""
+    import ray
+
+    from ..payload import phash_batch_columns
+    from .dedup import hamming64_neardup_pairs
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        cols = phash_batch_columns(urls)
+        return pa.table({
+            "doc_id": pa.array(image_id64(urls), pa.int64()),
+            "simhash": pa.array(cols["phash"], pa.int64()),
+        })
+
+    pairs = hamming64_neardup_pairs(
+        urls_ds.map_batches(sketch, batch_format="pyarrow"),
+        max_hamming=max_hamming, blocks=blocks, exchange=exchange)
+    if len(pairs) == 0:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "hamming": pa.array([], pa.int32())})
+
+    pair_ids = np.unique(np.concatenate(
+        [pairs["a"].to_numpy(), pairs["b"].to_numpy()]))  # sorted
+    ids_ref = ray.put(pair_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)  # zero-copy local object-store read
+        urls = batch["url"].to_pylist()
+        ids = image_id64(urls)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos == len(wanted)] = 0
+        m = wanted[pos] == ids
+        return pa.table({
+            "id": pa.array(ids[m], pa.int64()),
+            "image_id": pa.array(np.asarray(urls, dtype=object)[m],
+                                 pa.string()),
+        })
+
+    mapping = urls_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    id2url = {r["id"]: r["image_id"] for r in mapping}
+    recs = sorted(
+        (min(ua, ub), max(ua, ub), h)
+        for ua, ub, h in zip(
+            (id2url[x] for x in pairs["a"].to_pylist()),
+            (id2url[x] for x in pairs["b"].to_pylist()),
+            pairs["hamming"].to_pylist()))
+    return pa.table({
+        "a": pa.array([r[0] for r in recs], pa.string()),
+        "b": pa.array([r[1] for r in recs], pa.string()),
+        "hamming": pa.array([r[2] for r in recs], pa.int32()),
+    })

@@ -443,3 +443,48 @@ def test_ivf_topk_recall(ray_session):
             hits += 1
             assert abs(s - bs[(q, v)]) < 1e-9  # sims are exact
     assert hits >= 0.6 * len(brute)
+
+
+def test_phash_neardup_distributed_matches_brute(ray_session):
+    """Distributed phash near-dup (sketch-only fetch + 64-bit Hamming
+    block-LSH + broadcast id resolution) must reproduce the brute
+    all-pairs set exactly — blocks=3 gives pigeonhole-exact recall at
+    hamming<=2, so parity is equality, not recall."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import phash_batch_columns
+    from frontera_ray.stages.images import phash_neardup_pairs
+
+    web = SyntheticWeb(64, seed=42, max_class=3)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch["url"].to_pylist():
+            out.extend(web.resolve(link) for link in web.links_of(u))
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    levels = [ray.data.from_arrow(
+        pa.table({"url": pa.array(web.seeds(), pa.string())}))]
+    for _ in range(3):
+        levels.append(levels[-1].map_batches(expand, batch_format="pyarrow"))
+    urls_ds = levels[0].union(*levels[1:])
+
+    got = phash_neardup_pairs(urls_ds, max_hamming=2, blocks=3)
+
+    # brute oracle on the driver over the same corpus
+    urls = sorted(set(
+        r["url"] for r in urls_ds.take_all()))
+    cols = phash_batch_columns(urls)
+    ph = np.asarray(cols["phash"]).astype(np.uint64)
+    iu, ju = np.triu_indices(len(ph), k=1)
+    d = hamming64(ph[iu], ph[ju])
+    m = d <= 2
+    ua = np.asarray(urls, dtype=object)
+    want = {(min(ua[i], ua[j]), max(ua[i], ua[j]), int(dd))
+            for i, j, dd in zip(iu[m], ju[m], d[m])}
+    have = {(r["a"], r["b"], r["hamming"]) for r in got.to_pylist()}
+    assert len(want) > 50          # corpus actually contains near-dups
+    assert have == want
+    # output is deterministically ordered
+    assert got.to_pylist() == sorted(
+        got.to_pylist(), key=lambda r: (r["a"], r["b"]))
