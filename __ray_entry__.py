@@ -790,9 +790,17 @@ def q_phash_neardup(sf_dir: str):
     pigeonhole-exact recall at hamming<=2) -> broadcast pair-id
     resolution back to image_id strings. One keyed all-to-all over
     16 B/image sketch rows; no driver-side all-pairs."""
+    from frontera_ray.stages.images import phash_neardup_pairs
+
+    return phash_neardup_pairs(_image_url_corpus(), max_hamming=2, blocks=3)
+
+
+def _image_url_corpus():
+    """3,211-URL synthetic image corpus as a streaming Dataset:
+    flat-map expansion of SyntheticWeb(256, max_class=3) seeds (path
+    lengths 1..4 = the full page tree, redirect aliases resolved)."""
     import ray
     from frontera_ray.graphs import SyntheticWeb
-    from frontera_ray.stages.images import phash_neardup_pairs
 
     web = SyntheticWeb(256, seed=42, max_class=3)
 
@@ -804,10 +812,20 @@ def q_phash_neardup(sf_dir: str):
 
     levels = [ray.data.from_arrow(
         pa.table({"url": pa.array(web.seeds(), pa.string())}))]
-    for _ in range(3):      # path lengths 1..4 = full corpus at max_class=3
+    for _ in range(3):
         levels.append(levels[-1].map_batches(expand, batch_format="pyarrow"))
-    urls_ds = levels[0].union(*levels[1:])
-    return phash_neardup_pairs(urls_ds, max_hamming=2, blocks=3)
+    return levels[0].union(*levels[1:])
+
+
+def q_image_dedup_keepers(sf_dir: str):
+    """Image-dedup keep-list over the 3,211-image corpus: distributed
+    phash near-dup pairs -> pair-scoped union-find (keeper = smallest
+    pair id) -> broadcast keeper map -> streaming (image_id,
+    keeper_image_id). Images absent from the pair stream keep
+    themselves; nothing corpus-sized lands on the driver."""
+    from frontera_ray.stages.images import image_keeper_table
+
+    return image_keeper_table(_image_url_corpus(), max_hamming=2, blocks=3)
 
 
 def q_image_stats(sf_dir: str):
@@ -906,6 +924,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": q_ann_lsh,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "phash_neardup": q_phash_neardup,
+    "image_dedup_keepers": q_image_dedup_keepers,
     "image_stats": q_image_stats,
     "image_resize": q_image_resize,
 }

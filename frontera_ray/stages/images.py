@@ -169,44 +169,26 @@ def image_id64(urls) -> np.ndarray:
         dtype=np.uint64, count=len(urls)).view(np.int64)
 
 
-def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
-                        blocks: int | None = None,
-                        exchange: str = "groups") -> pa.Table:
-    """Distributed perceptual near-dup over an image corpus (the
-    image-side twin of simhash_neardup_pairs): a sketch-only fetch
-    (pixels -> 64-bit average-hash, no encode) feeds the shared
-    bit-block-LSH + vectorized Hamming-verify exchange
-    (dedup.hamming64_neardup_pairs — exact recall for
-    blocks >= max_hamming+1). The int64 pair ids then resolve back to
-    image_id strings by broadcasting the (tiny) pair-id set and
-    filtering the streaming corpus — pair ids << corpus, so nothing
-    corpus-sized ever lands on the driver.
+def phash_sketch(batch: pa.Table) -> pa.Table:
+    """(url) -> (doc_id, simhash) sketch rows for the shared 64-bit
+    Hamming exchange: sketch-only fetch (no encode), doc_id =
+    image_id64 of the URL string."""
+    from ..payload import phash_batch_columns
 
-    ``urls_ds`` is a Dataset with a ``url`` column; its lineage is
-    re-executed for the (cheap, sketch-free) id-resolution pass."""
+    urls = batch["url"].to_pylist()
+    cols = phash_batch_columns(urls)
+    return pa.table({
+        "doc_id": pa.array(image_id64(urls), pa.int64()),
+        "simhash": pa.array(cols["phash"], pa.int64()),
+    })
+
+
+def _resolve_pair_ids(urls_ds, pair_ids: np.ndarray) -> dict:
+    """Map a (small, sorted) int64 pair-id set back to image_id strings
+    by broadcasting the set and filtering the streaming corpus — pair
+    ids << corpus, so nothing corpus-sized lands on the driver."""
     import ray
 
-    from ..payload import phash_batch_columns
-    from .dedup import hamming64_neardup_pairs
-
-    def sketch(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        cols = phash_batch_columns(urls)
-        return pa.table({
-            "doc_id": pa.array(image_id64(urls), pa.int64()),
-            "simhash": pa.array(cols["phash"], pa.int64()),
-        })
-
-    pairs = hamming64_neardup_pairs(
-        urls_ds.map_batches(sketch, batch_format="pyarrow"),
-        max_hamming=max_hamming, blocks=blocks, exchange=exchange)
-    if len(pairs) == 0:
-        return pa.table({"a": pa.array([], pa.string()),
-                         "b": pa.array([], pa.string()),
-                         "hamming": pa.array([], pa.int32())})
-
-    pair_ids = np.unique(np.concatenate(
-        [pairs["a"].to_numpy(), pairs["b"].to_numpy()]))  # sorted
     ids_ref = ray.put(pair_ids)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -223,7 +205,36 @@ def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
         })
 
     mapping = urls_ds.map_batches(pick, batch_format="pyarrow").take_all()
-    id2url = {r["id"]: r["image_id"] for r in mapping}
+    return {r["id"]: r["image_id"] for r in mapping}
+
+
+def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
+                        blocks: int | None = None,
+                        exchange: str = "groups") -> pa.Table:
+    """Distributed perceptual near-dup over an image corpus (the
+    image-side twin of simhash_neardup_pairs): a sketch-only fetch
+    (pixels -> 64-bit average-hash, no encode) feeds the shared
+    bit-block-LSH + vectorized Hamming-verify exchange
+    (dedup.hamming64_neardup_pairs — exact recall for
+    blocks >= max_hamming+1). The int64 pair ids then resolve back to
+    image_id strings by broadcasting the (tiny) pair-id set and
+    filtering the streaming corpus — pair ids << corpus, so nothing
+    corpus-sized ever lands on the driver.
+
+    ``urls_ds`` is a Dataset with a ``url`` column; its lineage is
+    re-executed for the (cheap, sketch-free) id-resolution pass."""
+    from .dedup import hamming64_neardup_pairs
+
+    pairs = hamming64_neardup_pairs(
+        urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
+        max_hamming=max_hamming, blocks=blocks, exchange=exchange)
+    if len(pairs) == 0:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "hamming": pa.array([], pa.int32())})
+
+    id2url = _resolve_pair_ids(urls_ds, np.unique(np.concatenate(
+        [pairs["a"].to_numpy(), pairs["b"].to_numpy()])))
     recs = sorted(
         (min(ua, ub), max(ua, ub), h)
         for ua, ub, h in zip(
@@ -235,3 +246,50 @@ def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
         "b": pa.array([r[1] for r in recs], pa.string()),
         "hamming": pa.array([r[2] for r in recs], pa.int32()),
     })
+
+
+def image_keeper_table(urls_ds, max_hamming: int = 2,
+                       blocks: int | None = None,
+                       exchange: str = "groups"):
+    """End-to-end image dedup keep-list (the image twin of
+    dedup.keeper_table): distributed phash near-dup pairs ->
+    pair-scoped union-find (component keeper = smallest pair id) ->
+    broadcast keeper map -> streaming (image_id, keeper_image_id) over
+    the corpus. Images absent from the pair stream keep themselves by
+    definition; only the result-sized pair set ever lands on the
+    driver, and the output is itself a Dataset (write it partitioned
+    at scale)."""
+    import ray
+
+    from .dedup import dedup_keepers, hamming64_neardup_pairs
+
+    pairs = hamming64_neardup_pairs(
+        urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
+        max_hamming=max_hamming, blocks=blocks, exchange=exchange)
+    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
+                                      pairs["b"].to_pylist()))
+    keys = np.fromiter(sorted(keepers), dtype=np.int64, count=len(keepers))
+    id2url = _resolve_pair_ids(urls_ds, keys) if len(keys) else {}
+    keeper_urls = np.asarray(
+        [id2url[keepers[int(k)]] for k in keys], dtype=object)
+    map_ref = ray.put((keys, keeper_urls))
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if "m" not in cache:
+            cache["m"] = ray.get(map_ref)
+        keys_, kurls_ = cache["m"]
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        keeper = urls.copy()
+        if len(keys_):
+            ids = image_id64(urls)
+            pos = np.searchsorted(keys_, ids)
+            pos_c = np.minimum(pos, len(keys_) - 1)
+            hit = keys_[pos_c] == ids
+            keeper[hit] = kurls_[pos_c[hit]]
+        return pa.table({
+            "image_id": pa.array(urls, pa.string()),
+            "keeper_image_id": pa.array(keeper, pa.string()),
+        })
+
+    return urls_ds.map_batches(assign, batch_format="pyarrow")

@@ -488,3 +488,54 @@ def test_phash_neardup_distributed_matches_brute(ray_session):
     # output is deterministically ordered
     assert got.to_pylist() == sorted(
         got.to_pylist(), key=lambda r: (r["a"], r["b"]))
+
+
+def test_image_keeper_table_matches_brute_components(ray_session):
+    """Streaming image keep-list == brute union-find over brute pairs:
+    every image maps to the smallest image-id64 of its hamming<=2
+    component (itself when un-paired)."""
+    import ray
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import phash_batch_columns
+    from frontera_ray.stages.images import image_id64, image_keeper_table
+
+    web = SyntheticWeb(64, seed=42, max_class=3)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for u in batch["url"].to_pylist():
+            out.extend(web.resolve(link) for link in web.links_of(u))
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    levels = [ray.data.from_arrow(
+        pa.table({"url": pa.array(web.seeds(), pa.string())}))]
+    for _ in range(3):
+        levels.append(levels[-1].map_batches(expand, batch_format="pyarrow"))
+    urls_ds = levels[0].union(*levels[1:])
+
+    got = {r["image_id"]: r["keeper_image_id"]
+           for r in image_keeper_table(urls_ds, max_hamming=2,
+                                       blocks=3).take_all()}
+
+    urls = sorted(set(r["url"] for r in urls_ds.take_all()))
+    ids = image_id64(urls)
+    id2url = dict(zip(ids.tolist(), urls))
+    ph = np.asarray(phash_batch_columns(urls)["phash"]).astype(np.uint64)
+    iu, ju = np.triu_indices(len(ph), k=1)
+    m = hamming64(ph[iu], ph[ju]) <= 2
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(iu[m], ju[m]):
+        ra, rb = find(int(ids[i])), find(int(ids[j]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {id2url[int(i)]: id2url[find(int(i))] for i in ids}
+    assert len(got) == len(urls)
+    assert sum(1 for u in want if want[u] != u) > 50   # real merges happened
+    assert got == want
