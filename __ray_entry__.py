@@ -828,53 +828,44 @@ def q_image_dedup_keepers(sf_dir: str):
     return image_keeper_table(_image_url_corpus(), max_hamming=2, blocks=3)
 
 
+def _fetch_payload_batch(batch: pa.Table) -> pa.Table:
+    """(url) -> (image_id, bytes, fmt) via the columnar batch fetch
+    (pixel gen + phash vectorized per size-class group)."""
+    from frontera_ray.payload import fetch_batch_columns
+
+    cols = fetch_batch_columns(batch["url"].to_pylist())
+    return pa.table({
+        "image_id": pa.array(cols["image_id"], pa.string()),
+        "bytes": pa.array(cols["bytes"], pa.binary()),
+        "fmt": pa.array(cols["fmt"], pa.string()),
+    })
+
+
 def q_image_stats(sf_dir: str):
-    """Multimodal decode stage over fetched pages (actor pool)."""
-    import ray
-    from frontera_ray.graphs import SyntheticWeb
-    from frontera_ray.payload import fetch_simulated
+    """Multimodal decode stage over the full 3,211-image corpus:
+    vectorized batch fetch feeding the actor-pool decode/stats stage
+    (codec state per actor in __init__, per-image decode in __call__)."""
     from frontera_ray.stages.images import DecodeStatsStage
 
-    web = SyntheticWeb(8, seed=42, max_class=3)
-    urls = web.seeds()
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        rows = [fetch_simulated(u) for u in batch["url"].to_pylist()]
-        return pa.table({
-            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
-            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
-            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
-        })
-
-    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
-    return ds.map_batches(fetch, batch_format="pyarrow").map_batches(
-        DecodeStatsStage, batch_format="pyarrow", concurrency=(1, 2))
+    return (_image_url_corpus()
+            .map_batches(_fetch_payload_batch, batch_format="pyarrow")
+            .map_batches(DecodeStatsStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=(2, 4)))
 
 
 def q_image_resize(sf_dir: str):
-    """Multimodal thumbnailing: decode -> nearest-neighbor resize ->
-    PNG re-encode over fetched pages (actor-pool stage; the decoded
-    thumbnails are validated pixel-exact in tests/test_stages.py)."""
-    import ray
-    from frontera_ray.graphs import SyntheticWeb
-    from frontera_ray.payload import fetch_simulated
+    """Multimodal thumbnailing over the full 3,211-image corpus:
+    vectorized batch fetch -> decode -> nearest-neighbor resize -> PNG
+    re-encode (actor-pool stage; thumbnails validated pixel-exact in
+    tests/test_stages.py)."""
     from frontera_ray.stages.images import ResizeStage
 
-    web = SyntheticWeb(8, seed=42, max_class=3)
-    urls = web.seeds()
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        rows = [fetch_simulated(u) for u in batch["url"].to_pylist()]
-        return pa.table({
-            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
-            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
-            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
-        })
-
-    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
-    return ds.map_batches(fetch, batch_format="pyarrow").map_batches(
-        ResizeStage, fn_constructor_kwargs=dict(out_w=16, out_h=16),
-        batch_format="pyarrow", concurrency=(1, 2))
+    return (_image_url_corpus()
+            .map_batches(_fetch_payload_batch, batch_format="pyarrow")
+            .map_batches(ResizeStage,
+                         fn_constructor_kwargs=dict(out_w=16, out_h=16),
+                         batch_format="pyarrow",
+                         batch_size=512, concurrency=(2, 4)))
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
