@@ -475,6 +475,23 @@ def q_asof_join(sf_dir: str):
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def q_range_join(sf_dir: str):
+    """Per-user windowed attribution (range join): every 'purchase'
+    event paired with each 'click' by the same user in the preceding
+    6 hours (inclusive window). One keyed exchange + a whole-block
+    kernel vectorized across keys (two cumulative-count merges)."""
+    from frontera_ray.stages.relational import range_join
+
+    out = range_join(
+        _read(sf_dir, "events"), key_col="user_id", ts_col="ts",
+        type_col="event_type", build_type="click", probe_type="purchase",
+        window_us=6 * 3600 * 1_000_000).to_pandas()
+    out = out.rename(columns={"build_id": "click_id",
+                              "probe_id": "purchase_id"})
+    return out.sort_values(["user_id", "click_id", "purchase_id"]
+                           ).reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     from frontera_ray.stages.relational import sessionize
@@ -896,6 +913,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_df": q_token_df,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "sessionize": q_sessionize,
     "agg_pricing": q_agg_pricing,
     "nation_orders": q_nation_orders,
@@ -1330,6 +1348,15 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.user_id, l.event_id""",
+        "range_join": """
+            SELECT c.user_id AS user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
+            ORDER BY user_id, click_id, purchase_id""",
         "sessionize": """
             SELECT user_id, count(*) FILTER (WHERE new_session)::BIGINT AS n_sessions,
                    count(*)::BIGINT AS n_events

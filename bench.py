@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "per_host_cap", "priority_topk", "host_agg",
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
     "score_buckets", "image_stats", "window_counts", "asof_join",
+    "range_join",
     "revenue_nation", "token_df",
 ]
 

@@ -267,6 +267,85 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
     return keyed_exchange(ds, key_col, join_block, exchange)
 
 
+def range_join(ds, key_col: str, ts_col: str, type_col: str,
+               build_type: str, probe_type: str, window_us: int,
+               id_col: str = "event_id", exchange: str = "groups"):
+    """Per-key interval (range) join — the windowed-attribution
+    primitive Ray Data lacks: for every ``build_type`` row, pair it
+    with every ``probe_type`` row of the SAME key whose timestamp falls
+    in ``[build_ts, build_ts + window_us]`` (inclusive both ends).
+    Emits (key, build_id, probe_id) pairs.
+
+    One keyed exchange (see ``keyed_exchange``), then a whole-block
+    kernel that is vectorized ACROSS keys — no per-key Python even on
+    the hash path. The trick is two merge passes over the union of
+    sides: with builds sorted by (key, ts), a probe's matching builds
+    are the contiguous global slice [lo, hi) where
+
+    - hi = #builds at-or-before (key, probe_ts)   (builds win ties), and
+    - lo = #builds strictly before (key, probe_ts - window)
+      (probes win ties, so a build at exactly probe_ts - window stays in),
+
+    both computed for every probe at once as a cumulative build count
+    over a single lexsort. Earlier-key builds cancel in hi - lo, so the
+    slice never crosses a key boundary. Pair expansion is the standard
+    repeat + arange-offset trick."""
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], batch[key_col].type if batch.num_columns
+                              else pa.int64()),
+            "build_id": pa.array([], pa.int64()),
+            "probe_id": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        types = np.asarray(batch[type_col].to_pylist(), dtype=object)
+        side_m = (types == build_type) | (types == probe_type)
+        batch = batch.filter(pa.array(side_m))
+        if len(batch) == 0:
+            return empty
+        types = types[side_m]
+        keys_raw = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(keys_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ids = batch[id_col].to_numpy()
+        is_build = types == build_type
+        # hi: builds sort before probes at equal ts -> inclusive upper end
+        order_hi = np.lexsort((np.where(is_build, 0, 1), ts, keys))
+        cumb_hi = np.cumsum(is_build[order_hi])
+        probe_pos_hi = np.flatnonzero(~is_build[order_hi])
+        hi = cumb_hi[probe_pos_hi]
+        # lo: probe ts shifted back by the window; probes sort before
+        # builds at equal ts -> build at exactly (probe_ts - window) is
+        # NOT counted below, i.e. stays inside the inclusive window
+        ts_lo = np.where(is_build, ts, ts - window_us)
+        order_lo = np.lexsort((np.where(is_build, 1, 0), ts_lo, keys))
+        cumb_lo = np.cumsum(is_build[order_lo])
+        lo = cumb_lo[np.flatnonzero(~is_build[order_lo])]
+        # both merges enumerate probes in the same (key, ts, stable)
+        # order: the lo shift is constant per probe, lexsort is stable
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        build_order = np.lexsort((ts[is_build], keys[is_build]))
+        build_ids = ids[is_build][build_order]
+        probe_ids = ids[order_hi][probe_pos_hi]
+        probe_keys = keys_raw[order_hi][probe_pos_hi]
+        rep = np.repeat(np.arange(len(counts)), counts)
+        cum0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bidx = np.repeat(lo, counts) + (np.arange(total)
+                                        - np.repeat(cum0, counts))
+        return pa.table({
+            key_col: pa.array(probe_keys[rep], batch[key_col].type),
+            "build_id": pa.array(build_ids[bidx], pa.int64()),
+            "probe_id": pa.array(probe_ids[rep], pa.int64()),
+        })
+
+    return keyed_exchange(ds, key_col, pairs_block, exchange)
+
+
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_us: int = 30 * 60 * 1_000_000, exchange: str = "groups"):
     """Per-user gap sessionization: events sorted by time; a gap larger

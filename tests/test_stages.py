@@ -157,12 +157,53 @@ def test_sessionize(ray_session):
     assert list(out["n_events"]) == [5, 1]
 
 
+def test_range_join_matches_brute(ray_session):
+    """range_join == brute double loop over every (build, probe) pair:
+    same key, probe_ts in [build_ts, build_ts + window], both ends
+    inclusive (boundary rows constructed explicitly)."""
+    import ray
+    from frontera_ray.stages.relational import range_join
+
+    rng = np.random.default_rng(11)
+    n = 300
+    window = 50 * 1_000_000
+    ts = rng.integers(0, 500, n) * 1_000_000
+    # force exact-boundary cases: probe at build_ts and at build_ts+window
+    ts[10], ts[11], ts[12] = 100_000_000, 100_000_000, 150_000_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(rng.choice(["click", "purchase", "view"], n)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    t = t.set_column(0, "user_id", pa.array(
+        np.where(np.isin(np.arange(n), [10, 11, 12]), 3,
+                 t["user_id"].to_numpy()), pa.int64()))
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = range_join(ds, "user_id", "ts", "event_type", "click",
+                     "purchase", window).to_pandas()
+    got = sorted(map(tuple, out[["user_id", "build_id", "probe_id"]].values))
+
+    uid = t["user_id"].to_numpy()
+    typ = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    tsv = t["ts"].cast(pa.int64()).to_numpy()
+    expect = sorted(
+        (int(uid[b]), b, p)
+        for b in range(n) if typ[b] == "click"
+        for p in range(n)
+        if typ[p] == "purchase" and uid[p] == uid[b]
+        and tsv[b] <= tsv[p] <= tsv[b] + window)
+    assert got == expect and len(expect) > 0
+
+
 def test_keyed_ops_exchange_equivalence(ray_session):
-    """per_key_topk / sessionize / asof_join produce identical results
-    through both exchanges (the kernel is run-aware either way)."""
+    """per_key_topk / sessionize / asof_join / range_join produce
+    identical results through both exchanges (the kernel is run-aware
+    either way)."""
     import ray
     from frontera_ray.stages.relational import (asof_join_latest,
-                                                per_key_topk, sessionize)
+                                                per_key_topk, range_join,
+                                                sessionize)
 
     rng = np.random.default_rng(7)
     n = 400
@@ -187,14 +228,18 @@ def test_keyed_ops_exchange_equivalence(ray_session):
             norm(asof_join_latest(ds, "user_id", "ts", "event_type",
                                   "click", "view", "value",
                                   exchange=exchange)),
+            norm(range_join(ds, "user_id", "ts", "event_type",
+                            "click", "buy", 3600 * 1_000_000,
+                            exchange=exchange)),
         )
 
-    topk_g, sess_g, asof_g = run_all("groups")
-    topk_h, sess_h, asof_h = run_all("hash")
-    assert len(topk_g) and len(sess_g) and len(asof_g)
+    topk_g, sess_g, asof_g, rj_g = run_all("groups")
+    topk_h, sess_h, asof_h, rj_h = run_all("hash")
+    assert len(topk_g) and len(sess_g) and len(asof_g) and len(rj_g)
     assert topk_g.equals(topk_h)
     assert sess_g.equals(sess_h)
     assert asof_g.equals(asof_h)
+    assert rj_g.equals(rj_h)
 
 
 def test_keyed_ops_string_keys_hash_exchange():
