@@ -411,6 +411,50 @@ def q_token_df(sf_dir: str):
     return out[["token", "df"]].reset_index(drop=True)
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms: one explode pass feeds both the
+    hash-shuffle df aggregate and (broadcast back) the streaming tf
+    scoring; integer micro-unit scores for exact oracle hashing."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.text import tfidf_top_terms
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    out = tfidf_top_terms(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        n_docs=n_docs, k=3).to_pandas()
+    return out.sort_values(["doc_id", "score_micro", "token"],
+                           ascending=[True, False, True]
+                           ).reset_index(drop=True)
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping-window event counts (1h window, 15min hop): each event
+    expands into 4 overlapping windows, counted per (window, type)."""
+    from frontera_ray.stages.relational import hopping_window_counts
+
+    return hopping_window_counts(_read(sf_dir, "events"), window_s=3600,
+                                 hop_s=900, keys=("event_type",))
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_doc_sample(sf_dir: str):
+    """Stratified deterministic hash sample of documents: keep 50% of
+    English, 25% of German, 10% of everything else — decision is a
+    pure function of doc_id (md5 top-32-bits), so retries and re-runs
+    agree with no shared RNG state."""
+    from frontera_ray.stages.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(
+        _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang", "n_chars"]),
+        id_col="doc_id", strata_col="lang", rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_region_suppliers(sf_dir: str):
     """Chained dimension joins (supplier -> nation -> region, both sides
     broadcast) + rollup: supplier count and balance per region."""
@@ -867,7 +911,7 @@ def q_image_stats(sf_dir: str):
     return (_image_url_corpus()
             .map_batches(_fetch_payload_batch, batch_format="pyarrow")
             .map_batches(DecodeStatsStage, batch_format="pyarrow",
-                         batch_size=512, concurrency=(2, 4)))
+                         batch_size=256, concurrency=(4, 8)))
 
 
 def q_image_resize(sf_dir: str):
@@ -882,7 +926,7 @@ def q_image_resize(sf_dir: str):
             .map_batches(ResizeStage,
                          fn_constructor_kwargs=dict(out_w=16, out_h=16),
                          batch_format="pyarrow",
-                         batch_size=512, concurrency=(2, 4)))
+                         batch_size=256, concurrency=(4, 8)))
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
@@ -911,6 +955,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "region_suppliers": q_region_suppliers,
     "part_types": q_part_types,
     "token_df": q_token_df,
+    "tfidf": q_tfidf,
+    "hopping_window": q_hopping_window,
+    "doc_sample": q_doc_sample,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1337,6 +1384,38 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY token)
             ORDER BY df DESC, token LIMIT 20""",
+        "tfidf": r"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+            df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     CAST(round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df)
+                                * 1000000) AS BIGINT) AS score_micro
+              FROM tf JOIN df USING (token)),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_micro DESC, token) AS r
+                       FROM scored)
+            SELECT doc_id, token, tf, df, score_micro
+            FROM ranked WHERE r <= 3
+            ORDER BY doc_id, score_micro DESC, token""",
+        "hopping_window": """
+            SELECT (epoch_us(ts) // 900000000::BIGINT - i) * 900 AS window_start,
+                   event_type, count(*)::BIGINT AS n
+            FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "doc_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+                  CASE lang
+                    WHEN 'en' THEN {int(_SAMPLE_RATES['en'] * 2**32)}
+                    WHEN 'de' THEN {int(_SAMPLE_RATES['de'] * 2**32)}
+                    ELSE {int(_SAMPLE_DEFAULT * 2**32)} END
+            ORDER BY doc_id""",
         "window_counts": """
             SELECT (epoch_us(ts) // 3600000000::BIGINT) * 3600 AS window_start,
                    event_type, count(*) AS n

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "sessionize", "agg_pricing", "nation_orders", "batch_dedup",
     "score_buckets", "image_stats", "window_counts", "asof_join",
     "range_join",
-    "revenue_nation", "token_df",
+    "revenue_nation", "token_df", "tfidf", "hopping_window", "doc_sample",
 ]
 
 CRAWL_HOSTS = 8192

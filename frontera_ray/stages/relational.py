@@ -216,6 +216,37 @@ def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
     ).sort_values(["window_start", *keys]).reset_index(drop=True)
 
 
+def hopping_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
+                          hop_s: int = 900, keys=()):
+    """Hopping (sliding) window aggregate: windows of ``window_s``
+    seconds starting every ``hop_s`` seconds; each event lands in
+    exactly window_s/hop_s overlapping windows (hop must divide
+    window). The expansion is a vectorized repeat+tile inside
+    map_batches — output rows = input x (window/hop) — and the count
+    combine is the same partial aggregate as the tumbling variant
+    (low-cardinality window keys, no shuffle)."""
+    if window_s % hop_s:
+        raise ValueError("hop_s must divide window_s")
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        base = (ts // hop_us) * hop_s  # epoch-second start of newest window
+        offs = np.arange(k, dtype=np.int64) * hop_s
+        win = np.repeat(base, k) - np.tile(offs, len(ts))
+        out = {"window_start": pa.array(win, pa.int64())}
+        for kc in keys:
+            out[kc] = batch[kc].take(pa.array(np.repeat(np.arange(len(ts)), k)))
+        return pa.table(out)
+
+    return partial_groupby_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["window_start", *keys],
+        {"n": ("window_start", "count")},
+    ).sort_values(["window_start", *keys]).reset_index(drop=True)
+
+
 def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
                      left_type: str, right_type: str, value_col: str,
                      id_col: str = "event_id", exchange: str = "groups"):

@@ -54,6 +54,83 @@ def bpe_token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
                      "n_bpe_tokens": bpe})
 
 
+def term_freq_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Explode docs into per-doc term frequencies (doc_id, token, tf):
+    vectorized Arrow whitespace split + list_flatten, then one pandas
+    groupby-size over the (doc, token) pairs. Documents live whole
+    inside a batch, so every doc's terms stay in one output block."""
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    parent = pc.list_parent_indices(toks)
+    t = pa.table({"doc_id": batch["doc_id"].take(parent),
+                  "token": pc.list_flatten(toks)})
+    t = t.filter(pc.not_equal(t["token"], ""))
+    df = (t.to_pandas().groupby(["doc_id", "token"], as_index=False)
+          .size().rename(columns={"size": "tf"}))
+    df["tf"] = df["tf"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 3):
+    """Per-document top-k TF-IDF terms.
+
+    Distributed shape: one explode pass (``term_freq_table``) feeds
+    BOTH sides — the document-frequency aggregate is a hash-shuffle
+    ``groupby('token').count()`` (token is high-cardinality; each
+    (doc, token) row is already per-doc distinct so the count IS df),
+    whose result — vocabulary-sized, orders of magnitude smaller than
+    the corpus — is broadcast back over the streaming tf rows with
+    ``ray.put`` + a per-worker cached pandas index. Scores are emitted
+    as integer micro-units (round(tf * ln(N/df) * 1e6)) so the SQL
+    oracle hashes exactly; top-k per doc is a vectorized run-aware
+    lexsort (docs are whole within blocks)."""
+    import ray
+
+    import pandas as pd
+
+    tf = ds.map_batches(term_freq_table, batch_format="pyarrow")
+    df_tbl = pa.concat_tables(
+        list(tf.groupby("token").count()
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    df_ref = ray.put(df_tbl)
+    cache: dict = {}
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        key = df_ref.hex()
+        if key not in cache:
+            vocab = ray.get(df_ref)
+            cache[key] = (pd.Index(vocab["token"].to_pandas()),
+                          vocab["count()"].to_numpy())
+        index, dfs = cache[key]
+        pos = index.get_indexer(batch["token"].to_pandas())
+        df = dfs[pos]  # every token exists in the vocab by construction
+        tfv = batch["tf"].to_numpy()
+        score = np.round(tfv * np.log(n_docs / df) * 1e6).astype(np.int64)
+        doc = batch["doc_id"].to_numpy()
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        order = np.lexsort((toks, -score, doc))
+        d_s = doc[order]
+        new_run = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        rank = np.arange(len(d_s)) - starts[np.cumsum(new_run) - 1]
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "token": pa.array(toks[keep], pa.string()),
+            "tf": pa.array(tfv[keep], pa.int64()),
+            "df": pa.array(df[keep], pa.int64()),
+            "score_micro": pa.array(score[keep], pa.int64()),
+        })
+
+    return tf.map_batches(score_topk, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def quality_features_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc quality counters + a composite score in [0,1].
 

@@ -157,6 +157,71 @@ def test_sessionize(ray_session):
     assert list(out["n_events"]) == [5, 1]
 
 
+def test_hopping_window_counts(ray_session):
+    """Every event lands in exactly window/hop overlapping windows;
+    counts match a brute per-event expansion."""
+    import datetime as dt
+    import ray
+    from frontera_ray.stages.relational import hopping_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"ts": base + dt.timedelta(minutes=m), "event_type": "a"}
+            for m in (0, 10, 16, 44, 61)]
+    ds = ray.data.from_items(rows)
+    out = hopping_window_counts(ds, window_s=3600, hop_s=900,
+                                keys=("event_type",))
+    assert out["n"].sum() == len(rows) * 4  # 4 windows per event
+    # event at minute 0 is covered by windows starting -45,-30,-15,0 min
+    epoch0 = int(base.timestamp())
+    got0 = out[out["window_start"] == epoch0]["n"].iloc[0]
+    assert got0 == 4  # minutes 0,10,16,44 all inside [0, 60min)
+
+
+def test_stratified_hash_sample_deterministic(ray_session):
+    import ray
+    from frontera_ray.stages.sampling import stratified_hash_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(4000), pa.int64()),
+        "lang": pa.array(["en", "de", "fr", "zz"] * 1000),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    kept = [sorted(stratified_hash_sample(
+        ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}, 0.1)
+        .to_pandas()["doc_id"]) for _ in range(2)]
+    assert kept[0] == kept[1] and len(kept[0]) > 0  # pure function of id
+    df = stratified_hash_sample(
+        ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}, 0.1).to_pandas()
+    frac = df.groupby("lang").size() / 1000.0
+    assert abs(frac["en"] - 0.5) < 0.08
+    assert abs(frac["de"] - 0.25) < 0.07
+    assert abs(frac.get("fr", 0) - 0.1) < 0.05
+
+
+def test_tfidf_top_terms_matches_brute(ray_session):
+    import collections
+    import math
+    import ray
+    from frontera_ray.stages.text import tfidf_top_terms
+
+    docs = ["the cat sat", "the the dog", "cat cat cat dog", "bird"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs)})
+    out = tfidf_top_terms(ray.data.from_arrow(t), n_docs=4, k=2).to_pandas()
+    dfreq = collections.Counter(
+        tok for d in docs for tok in set(d.split()))
+    for d_id, text in enumerate(docs):
+        tf = collections.Counter(text.split())
+        scored = sorted(
+            ((round(c * math.log(4 / dfreq[tok]) * 1e6), tok)
+             for tok, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        got = out[out["doc_id"] == d_id].sort_values(
+            ["score_micro", "token"], ascending=[False, True])
+        assert [(s, tok) for s, tok in scored] == list(
+            zip(got["score_micro"], got["token"]))
+
+
 def test_range_join_matches_brute(ray_session):
     """range_join == brute double loop over every (build, probe) pair:
     same key, probe_ts in [build_ts, build_ts + window], both ends
