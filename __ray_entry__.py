@@ -372,6 +372,48 @@ def q_revenue_nation(sf_dir: str):
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_priority_revenue(sf_dir: str):
+    """Large-large shuffle join demo: lineitem JOIN orders through ONE
+    keyed exchange (both sides tagged + unioned; vectorized
+    cumulative-count pair expansion — the shape when neither side is
+    broadcastable), then a tiny combiner rollup of integer-exact
+    revenue per order priority."""
+    from frontera_ray.stages.relational import equi_join, partial_groupby_agg
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100
+                           ).astype(np.int64)
+        disc_b = np.round((1.0 - batch["l_discount"].to_numpy()) * 100
+                          ).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue_c4": pa.array(price_c * disc_b, pa.int64())})
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["o_orderkey"],
+                         "o_orderpriority": batch["o_orderpriority"]})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        prep_li, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"]).map_batches(
+        prep_o, batch_format="pyarrow")
+    # ~150k join keys: the hash exchange (one kernel call per
+    # partition) beats per-key map_groups 2.4x at 32 cpus; small
+    # sessions keep the sort exchange (Ray 2.49 hash-shuffle
+    # aggregators can wedge later all-to-alls at 4 cpus — COVERAGE.md)
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    joined = equi_join(li, orders, "l_orderkey",
+                       ["revenue_c4"], ["o_orderpriority"],
+                       exchange="hash" if cpus >= 16 else "groups")
+    out = partial_groupby_agg(joined, "o_orderpriority",
+                              {"n_items": ("revenue_c4", "count"),
+                               "revenue_c4": ("revenue_c4", "sum")})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_token_df(sf_dir: str):
     """Token document-frequency: top tokens by number of documents
     containing them (the TF-IDF denominator aggregate).
@@ -453,6 +495,62 @@ def q_doc_sample(sf_dir: str):
         id_col="doc_id", strata_col="lang", rates=_SAMPLE_RATES,
         default_rate=_SAMPLE_DEFAULT).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_curate(sf_dir: str):
+    """Flagship corpus-curation composite: ONE fused feature pass
+    (quality + langid + md5 — text read once), a vectorized
+    quality/language filter, then exact-dedup keeper resolution over
+    the SURVIVORS (min doc_id per content hash). The whole chain —
+    three kernels, a filter and one keyed exchange — is SQL-oracled
+    end to end."""
+    from frontera_ray.stages.text import curate_table
+
+    feats = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(curate_table, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.and_(
+            _pc.greater_equal(batch["quality_score"], 0.5),
+            _pc.is_in(batch["lang_pred"],
+                      value_set=pa.array(["en", "de"])))
+        return batch.filter(m)
+
+    def keeper(group: pa.Table) -> pa.Table:
+        i = int(np.argmin(group["doc_id"].to_numpy()))
+        return group.take(pa.array([i])).select(
+            ["doc_id", "lang_pred", "n_tokens", "quality_score"])
+
+    out = (feats.map_batches(keep, batch_format="pyarrow")
+           .groupby("text_md5").map_groups(keeper, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quantity_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (median + p90) of lineitem
+    quantity via bounded-domain histogram combine — the histogram, not
+    the data, is what moves."""
+    from frontera_ray.stages.relational import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    med = grouped_quantile_disc(ds, "l_returnflag", "l_quantity", 0.5)
+    p90 = grouped_quantile_disc(ds, "l_returnflag", "l_quantity", 0.9)
+    return med.merge(p90, on="l_returnflag").sort_values(
+        "l_returnflag").reset_index(drop=True)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact per-type distinct-user counts: per-block dedup combiner ->
+    one hash-shuffle on the (type, user) composite -> tiny rollup."""
+    from frontera_ray.stages.relational import grouped_count_distinct
+
+    return grouped_count_distinct(
+        _read(sf_dir, "events").select_columns(["event_type", "user_id"]),
+        "event_type", "user_id")
 
 
 def q_region_suppliers(sf_dir: str):
@@ -902,6 +1000,18 @@ def _fetch_payload_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _image_pool() -> tuple[int, int]:
+    """Actor-pool sizing for the image stages: enough floor actors to
+    keep the 4 corpus blocks busy on a big node, but never so many
+    that the pool reserves every CPU and starves the upstream expand
+    tasks (4-CPU test sessions deadlock at min >= cpus)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (2, 4) if cpus < 8 else (4, 8)
+
+
 def q_image_stats(sf_dir: str):
     """Multimodal decode stage over the full 3,211-image corpus:
     vectorized batch fetch feeding the actor-pool decode/stats stage
@@ -911,7 +1021,7 @@ def q_image_stats(sf_dir: str):
     return (_image_url_corpus()
             .map_batches(_fetch_payload_batch, batch_format="pyarrow")
             .map_batches(DecodeStatsStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(4, 8)))
+                         batch_size=256, concurrency=_image_pool()))
 
 
 def q_image_resize(sf_dir: str):
@@ -926,7 +1036,7 @@ def q_image_resize(sf_dir: str):
             .map_batches(ResizeStage,
                          fn_constructor_kwargs=dict(out_w=16, out_h=16),
                          batch_format="pyarrow",
-                         batch_size=256, concurrency=(4, 8)))
+                         batch_size=256, concurrency=_image_pool()))
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
@@ -958,6 +1068,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "hopping_window": q_hopping_window,
     "doc_sample": q_doc_sample,
+    "curate": q_curate,
+    "quantity_quantiles": q_quantity_quantiles,
+    "distinct_users": q_distinct_users,
+    "priority_revenue": q_priority_revenue,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1356,6 +1470,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.6""",
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * round((1.0 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1""",
         "revenue_nation": """
             SELECT c_nationkey,
                    count(*) AS n_items,
@@ -1416,6 +1538,48 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'de' THEN {int(_SAMPLE_RATES['de'] * 2**32)}
                     ELSE {int(_SAMPLE_DEFAULT * 2**32)} END
             ORDER BY doc_id""",
+        "curate": r"""
+            WITH feats AS (
+              SELECT doc_id,
+                     n_tokens::BIGINT AS n_tokens,
+                     round(0.4*least(1.0, n_tokens/100.0)
+                         + 0.3*(1.0 - n_upper/greatest(n_chars,1)::DOUBLE)
+                         + 0.3*least(1.0, 20.0*n_punct/greatest(n_chars,1)::DOUBLE),
+                         4) AS quality_score,
+                     CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+                          WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+                          WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+                          WHEN c_es >= c_zh THEN 'es'
+                          ELSE 'zh' END AS lang_pred,
+                     md5(text) AS text_md5
+              FROM (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
+                       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
+                       len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
+                       len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
+                FROM documents)),
+            kept AS (SELECT * FROM feats
+                     WHERE quality_score >= 0.5 AND lang_pred IN ('en', 'de'))
+            SELECT doc_id, lang_pred, n_tokens, quality_score FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS keeper
+              FROM kept)
+            WHERE doc_id = keeper ORDER BY doc_id""",
+        "quantity_quantiles": """
+            SELECT l_returnflag,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                        AS BIGINT) AS q50_scaled,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                        AS BIGINT) AS q90_scaled
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1""",
         "window_counts": """
             SELECT (epoch_us(ts) // 3600000000::BIGINT) * 3600 AS window_start,
                    event_type, count(*) AS n

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "score_buckets", "image_stats", "window_counts", "asof_join",
     "range_join",
     "revenue_nation", "token_df", "tfidf", "hopping_window", "doc_sample",
+    "curate", "quantity_quantiles", "distinct_users", "priority_revenue",
 ]
 
 CRAWL_HOSTS = 8192

@@ -216,6 +216,62 @@ def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
     ).sort_values(["window_start", *keys]).reset_index(drop=True)
 
 
+def grouped_quantile_disc(ds, key_col: str, value_col: str, q: float,
+                          scale: int = 1):
+    """Exact per-group discrete quantile over a BOUNDED value domain:
+    per-block (key, value) histograms combine like any partial
+    aggregate (no all-to-all — the histogram, not the data, moves), and
+    the quantile is read off the merged counts as the value at 1-based
+    position ceil(q*n) (the percentile_disc definition). ``scale``
+    quantizes float values to integers (e.g. 100 = cents) so counts are
+    exact. This is the scale shape for quantiles over quantities,
+    ratings, token counts etc.; UNBOUNDED domains (raw prices, floats)
+    should route to a sampling or sketch path instead — the histogram
+    degenerates to the data itself there."""
+    import math
+
+    import pandas as pd
+
+    hist = partial_groupby_agg(
+        ds.map_batches(
+            lambda b: pa.table({
+                key_col: b[key_col],
+                "_v": pa.array(
+                    np.round(b[value_col].to_numpy(zero_copy_only=False)
+                             * scale).astype(np.int64), pa.int64()),
+            }), batch_format="pyarrow"),
+        [key_col, "_v"], {"n": ("_v", "count")})
+    out_keys, out_vals = [], []
+    for key, g in hist.groupby(key_col):
+        g = g.sort_values("_v")
+        cum = g["n"].cumsum()
+        pos = math.ceil(q * int(cum.iloc[-1]))
+        out_keys.append(key)
+        out_vals.append(int(g["_v"].to_numpy()[
+            np.searchsorted(cum.to_numpy(), pos)]))
+    return pd.DataFrame({key_col: out_keys,
+                         f"q{int(q * 100)}_scaled": out_vals}
+                        ).sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_count_distinct(ds, key_col: str, distinct_col: str):
+    """Exact per-key count-distinct: per-block drop_duplicates
+    pre-shrinks the pair stream (the combiner step), one hash-shuffle
+    groupby on the (key, value) composite collapses global duplicates,
+    and a partial aggregate counts survivors per key. The only
+    all-to-all moves already-deduplicated pairs."""
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, distinct_col]).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby([key_col, distinct_col]).count())
+    return partial_groupby_agg(
+        pairs, [key_col], {"n_distinct": (distinct_col, "count")}
+    ).sort_values(key_col).reset_index(drop=True)
+
+
 def hopping_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
                           hop_s: int = 900, keys=()):
     """Hopping (sliding) window aggregate: windows of ``window_s``
@@ -296,6 +352,84 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
         })
 
     return keyed_exchange(ds, key_col, join_block, exchange)
+
+
+def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
+              exchange: str = "groups"):
+    """Large-large inner equi-join: BOTH sides move through one keyed
+    exchange (the broadcast join covers the small-side case; this is
+    the shape when neither side fits in memory). The two inputs are
+    tagged, schema-aligned with typed nulls and unioned, so a single
+    exchange co-locates each key's rows; the whole-block kernel then
+    expands matches vectorized across keys with the same
+    cumulative-count merge as ``range_join`` (per left row, its
+    matching right rows are a contiguous [lo, hi) slice of the
+    key-sorted right rows — no per-key Python, no pandas merge).
+    Column name collisions between the payload lists are the caller's
+    responsibility (rename upstream)."""
+    left_cols, right_cols = list(left_cols), list(right_cols)
+    l_types = {f.name: f.type for f in left_ds.schema().base_schema}
+    r_types = {f.name: f.type for f in right_ds.schema().base_schema}
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            own = set(batch.column_names)
+            cols = {key: batch[key],
+                    "_side": pa.array(np.full(n, side, np.int8), pa.int8())}
+            # canonical column order on BOTH sides so the union blocks
+            # share one schema (typed nulls for the absent side)
+            for c in left_cols:
+                cols[c] = batch[c] if c in own else pa.nulls(n, l_types[c])
+            for c in right_cols:
+                cols[c] = batch[c] if c in own else pa.nulls(n, r_types[c])
+            return pa.table(cols)
+        return fn
+
+    tagged = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(1), batch_format="pyarrow")))
+
+    out_schema = ([(key, l_types[key])]
+                  + [(c, l_types[c]) for c in left_cols]
+                  + [(c, r_types[c]) for c in right_cols])
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema})
+        side = batch["_side"].to_numpy()
+        keys = _group_codes(batch[key].to_numpy(zero_copy_only=False))
+        is_r = side == 1
+        # hi: right rows sort before left within a key group; lo: after.
+        # Only consistency of the code ordering matters — earlier-group
+        # right counts cancel in hi - lo.
+        order_hi = np.lexsort((np.where(is_r, 0, 1), keys))
+        cum_hi = np.cumsum(is_r[order_hi])
+        left_pos = np.flatnonzero(~is_r[order_hi])
+        hi = cum_hi[left_pos]
+        order_lo = np.lexsort((np.where(is_r, 1, 0), keys))
+        lo = np.cumsum(is_r[order_lo])[np.flatnonzero(~is_r[order_lo])]
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema})
+        left_idx_sorted = np.flatnonzero(~is_r)[
+            np.argsort(keys[~is_r], kind="stable")]
+        right_idx_sorted = np.flatnonzero(is_r)[
+            np.argsort(keys[is_r], kind="stable")]
+        rep = np.repeat(np.arange(len(counts)), counts)
+        cum0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ridx = np.repeat(lo, counts) + (np.arange(total)
+                                        - np.repeat(cum0, counts))
+        l_take = pa.array(left_idx_sorted[rep])
+        r_take = pa.array(right_idx_sorted[ridx])
+        cols = {key: batch[key].take(l_take)}
+        for c in left_cols:
+            cols[c] = batch[c].take(l_take)
+        for c in right_cols:
+            cols[c] = batch[c].take(r_take)
+        return pa.table(cols)
+
+    return keyed_exchange(tagged, key, join_block, exchange)
 
 
 def range_join(ds, key_col: str, ts_col: str, type_col: str,

@@ -190,6 +190,23 @@ def content_md5_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # simhash document fingerprint
 # ---------------------------------------------------------------------------
 
+def curate_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One fused pass of the corpus-curation features: quality score,
+    language prediction and exact-dup key per document (the three
+    kernels share the batch, so text is read once per stage chain
+    instead of three pipeline passes)."""
+    q = quality_features_table(batch, text_col)
+    l = langid_table(batch, text_col)
+    m = content_md5_table(batch, text_col)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": q["n_tokens"],
+        "quality_score": q["quality_score"],
+        "lang_pred": l["lang_pred"],
+        "text_md5": m["text_md5"],
+    })
+
+
 def _token_hash64(tok: str) -> int:
     """Top 64 bits of md5(token) — chosen over crc32 pairs because it
     is exactly SQL-expressible (DuckDB ``('0x' || substr(md5(tok), 1,

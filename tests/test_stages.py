@@ -157,6 +157,59 @@ def test_sessionize(ray_session):
     assert list(out["n_events"]) == [5, 1]
 
 
+def test_equi_join_matches_pandas(ray_session):
+    """Large-large shuffle join == pandas inner merge (duplicate keys
+    on both sides, keys missing from either side)."""
+    import ray
+    from frontera_ray.stages.relational import equi_join
+
+    rng = np.random.default_rng(9)
+    lt = pa.table({"k": pa.array(rng.integers(0, 20, 200), pa.int64()),
+                   "lv": pa.array(np.arange(200), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.integers(5, 25, 80), pa.int64()),
+                   "rv": pa.array(np.arange(80) * 10, pa.int64())})
+    lds = ray.data.from_arrow(lt).repartition(3)
+    rds = ray.data.from_arrow(rt).repartition(2)
+    out = equi_join(lds, rds, "k", ["lv"], ["rv"]).to_pandas()
+    expect = lt.to_pandas().merge(rt.to_pandas(), on="k")
+    key = ["k", "lv", "rv"]
+    assert (sorted(map(tuple, out[key].values))
+            == sorted(map(tuple, expect[key].values)))
+    assert len(expect) > 200  # duplicate keys actually fanned out
+
+
+def test_grouped_quantile_disc(ray_session):
+    import ray
+    from frontera_ray.stages.relational import grouped_quantile_disc
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": pa.array(rng.choice(["a", "b"], 500)),
+                  "v": pa.array(rng.integers(1, 51, 500).astype("float64"))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = grouped_quantile_disc(ds, "k", "v", 0.5)
+    kv = dict(zip(out["k"], out["q50_scaled"]))
+    for key in ("a", "b"):
+        vals = np.sort(t.filter(pa.compute.equal(t["k"], key))["v"].to_numpy())
+        # percentile_disc: value at 1-based position ceil(q*n)
+        import math
+        assert kv[key] == int(vals[math.ceil(0.5 * len(vals)) - 1])
+
+
+def test_grouped_count_distinct(ray_session):
+    import ray
+    from frontera_ray.stages.relational import grouped_count_distinct
+
+    rng = np.random.default_rng(5)
+    t = pa.table({"k": pa.array(rng.choice(["x", "y", "z"], 600)),
+                  "u": pa.array(rng.integers(0, 40, 600), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = grouped_count_distinct(ds, "k", "u")
+    df = t.to_pandas()
+    expect = df.groupby("k")["u"].nunique()
+    for k, n in zip(out["k"], out["n_distinct"]):
+        assert n == expect[k]
+
+
 def test_hopping_window_counts(ray_session):
     """Every event lands in exactly window/hop overlapping windows;
     counts match a brute per-event expansion."""
