@@ -537,10 +537,8 @@ def q_quantity_quantiles(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_quantity"])
-    med = grouped_quantile_disc(ds, "l_returnflag", "l_quantity", 0.5)
-    p90 = grouped_quantile_disc(ds, "l_returnflag", "l_quantity", 0.9)
-    return med.merge(p90, on="l_returnflag").sort_values(
-        "l_returnflag").reset_index(drop=True)
+    return grouped_quantile_disc(ds, "l_returnflag", "l_quantity",
+                                 [0.5, 0.9])
 
 
 def q_distinct_users(sf_dir: str):
@@ -548,9 +546,12 @@ def q_distinct_users(sf_dir: str):
     one hash-shuffle on the (type, user) composite -> tiny rollup."""
     from frontera_ray.stages.relational import grouped_count_distinct
 
+    # 5 types x ~1.5k users: the distinct-pair domain is known-small,
+    # so the driver combine is the right call here (the shuffle path
+    # stays the default for unbounded pair cardinality)
     return grouped_count_distinct(
         _read(sf_dir, "events").select_columns(["event_type", "user_id"]),
-        "event_type", "user_id")
+        "event_type", "user_id", combine="driver")
 
 
 def q_region_suppliers(sf_dir: str):

@@ -216,22 +216,25 @@ def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
     ).sort_values(["window_start", *keys]).reset_index(drop=True)
 
 
-def grouped_quantile_disc(ds, key_col: str, value_col: str, q: float,
+def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
                           scale: int = 1):
-    """Exact per-group discrete quantile over a BOUNDED value domain:
-    per-block (key, value) histograms combine like any partial
+    """Exact per-group discrete quantile(s) over a BOUNDED value
+    domain: per-block (key, value) histograms combine like any partial
     aggregate (no all-to-all — the histogram, not the data, moves), and
-    the quantile is read off the merged counts as the value at 1-based
-    position ceil(q*n) (the percentile_disc definition). ``scale``
-    quantizes float values to integers (e.g. 100 = cents) so counts are
-    exact. This is the scale shape for quantiles over quantities,
-    ratings, token counts etc.; UNBOUNDED domains (raw prices, floats)
-    should route to a sampling or sketch path instead — the histogram
-    degenerates to the data itself there."""
+    each quantile is read off the merged counts as the value at 1-based
+    position ceil(q*n) (the percentile_disc definition). ``q`` may be a
+    float or a list — every requested quantile reads off the SAME
+    one-pass histogram. ``scale`` quantizes float values to integers
+    (e.g. 100 = cents) so counts are exact. This is the scale shape for
+    quantiles over quantities, ratings, token counts etc.; UNBOUNDED
+    domains (raw prices, floats) should route to a sampling or sketch
+    path instead — the histogram degenerates to the data itself
+    there."""
     import math
 
     import pandas as pd
 
+    qs = [q] if isinstance(q, float) else list(q)
     hist = partial_groupby_agg(
         ds.map_batches(
             lambda b: pa.table({
@@ -241,32 +244,48 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q: float,
                              * scale).astype(np.int64), pa.int64()),
             }), batch_format="pyarrow"),
         [key_col, "_v"], {"n": ("_v", "count")})
-    out_keys, out_vals = [], []
+    rows = []
     for key, g in hist.groupby(key_col):
         g = g.sort_values("_v")
-        cum = g["n"].cumsum()
-        pos = math.ceil(q * int(cum.iloc[-1]))
-        out_keys.append(key)
-        out_vals.append(int(g["_v"].to_numpy()[
-            np.searchsorted(cum.to_numpy(), pos)]))
-    return pd.DataFrame({key_col: out_keys,
-                         f"q{int(q * 100)}_scaled": out_vals}
-                        ).sort_values(key_col).reset_index(drop=True)
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["_v"].to_numpy()
+        rows.append([key] + [
+            int(vals[np.searchsorted(cum, math.ceil(qq * int(cum[-1])))])
+            for qq in qs])
+    return pd.DataFrame(
+        rows, columns=[key_col] + [f"q{int(qq * 100)}_scaled" for qq in qs]
+    ).sort_values(key_col).reset_index(drop=True)
 
 
-def grouped_count_distinct(ds, key_col: str, distinct_col: str):
+def grouped_count_distinct(ds, key_col: str, distinct_col: str,
+                           combine: str = "shuffle"):
     """Exact per-key count-distinct: per-block drop_duplicates
-    pre-shrinks the pair stream (the combiner step), one hash-shuffle
-    groupby on the (key, value) composite collapses global duplicates,
-    and a partial aggregate counts survivors per key. The only
-    all-to-all moves already-deduplicated pairs."""
+    pre-shrinks the pair stream (the combiner step), then either
+
+    - ``combine='shuffle'`` (default, the scale path): one sort
+      exchange on the (key, value) composite collapses global
+      duplicates, and a partial aggregate counts survivors per key —
+      the only all-to-all moves already-deduplicated pairs; or
+    - ``combine='driver'``: concatenate the per-block distinct pairs
+      and dedup once on the driver — ~1 s cheaper per call when the
+      DISTINCT PAIR domain is known-small (e.g. 5 types x 1.5k users),
+      but wrong at unbounded pair cardinality."""
+    import pandas as pd
+
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, distinct_col]).to_pandas()
         return pa.Table.from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
-    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
-             .groupby([key_col, distinct_col]).count())
+    per_block = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    if combine == "driver":
+        parts = pa.concat_tables(list(per_block.iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+        df = parts.to_pandas().drop_duplicates()
+        out = (df.groupby(key_col, as_index=False)[distinct_col]
+               .count().rename(columns={distinct_col: "n_distinct"}))
+        return out.sort_values(key_col).reset_index(drop=True)
+    pairs = per_block.groupby([key_col, distinct_col]).count()
     return partial_groupby_agg(
         pairs, [key_col], {"n_distinct": (distinct_col, "count")}
     ).sort_values(key_col).reset_index(drop=True)
@@ -366,7 +385,13 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
     matching right rows are a contiguous [lo, hi) slice of the
     key-sorted right rows — no per-key Python, no pandas merge).
     Column name collisions between the payload lists are the caller's
-    responsibility (rename upstream)."""
+    responsibility (rename upstream).
+
+    Ray 2.49 ships an experimental ``Dataset.join`` (hash-shuffle
+    based); this operator exists so the join shares the repo's keyed
+    exchange (sort default / hash opt-in with the documented
+    small-session wedge guard) and stays oracle-testable on both
+    paths with one kernel."""
     left_cols, right_cols = list(left_cols), list(right_cols)
     l_types = {f.name: f.type for f in left_ds.schema().base_schema}
     r_types = {f.name: f.type for f in right_ds.schema().base_schema}

@@ -203,11 +203,12 @@ def test_grouped_count_distinct(ray_session):
     t = pa.table({"k": pa.array(rng.choice(["x", "y", "z"], 600)),
                   "u": pa.array(rng.integers(0, 40, 600), pa.int64())})
     ds = ray.data.from_arrow(t).repartition(4)
-    out = grouped_count_distinct(ds, "k", "u")
     df = t.to_pandas()
     expect = df.groupby("k")["u"].nunique()
-    for k, n in zip(out["k"], out["n_distinct"]):
-        assert n == expect[k]
+    for combine in ("shuffle", "driver"):
+        out = grouped_count_distinct(ds, "k", "u", combine=combine)
+        for k, n in zip(out["k"], out["n_distinct"]):
+            assert n == expect[k], combine
 
 
 def test_hopping_window_counts(ray_session):
