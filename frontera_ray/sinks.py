@@ -67,3 +67,40 @@ def read_pages(root: str):
     import ray
 
     return ray.data.read_parquet(root)
+
+
+def write_partitioned(ds, root: str, partition_col: str,
+                      resume: bool = True) -> set:
+    """Resumable partitioned parquet sink: one hive directory per
+    partition value (``<root>/<col>=<value>/``), written streaming by
+    Ray's ``write_parquet`` — never one giant file. With
+    ``resume=True``, partition values already present under ``root``
+    are filtered out of the stream before writing, so a restarted job
+    only produces the missing partitions. Returns the set of partition
+    values that were skipped.
+
+    Resume granularity is the whole partition: a partition left
+    half-written by a crash must be deleted before resuming (the crawl
+    sink gets this for free from its one-directory-per-round layout;
+    for arbitrary keys, delete the newest partition dir)."""
+    import numpy as np
+    import ray.data  # noqa: F401 — ds is already a Dataset
+
+    done: set = set()
+    rootp = Path(root)
+    if resume and rootp.is_dir():
+        prefix = f"{partition_col}="
+        done = {p.name[len(prefix):] for p in rootp.iterdir()
+                if p.is_dir() and p.name.startswith(prefix)}
+    if done:
+        skip = done
+
+        def keep(batch: pa.Table) -> pa.Table:
+            vals = np.asarray(
+                [str(v) for v in batch[partition_col].to_pylist()],
+                dtype=object)
+            return batch.filter(pa.array(~np.isin(vals, list(skip))))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+    ds.write_parquet(root, partition_cols=[partition_col])
+    return done

@@ -74,6 +74,35 @@ def test_sink_gating(tmp_path):
         write_pages_fragment(t, str(tmp_path), "x", fmt="orc")
 
 
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Resumable partitioned sink: a second run writes ONLY the
+    partitions missing on disk; the read-back equals the full input."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+    from frontera_ray.sinks import write_partitioned
+
+    t = pa.table({"doc_id": pa.array(range(90), pa.int64()),
+                  "lang": pa.array((["en"] * 3 + ["de", "fr", "zz"]) * 15)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    root = str(tmp_path / "out")
+    assert write_partitioned(ds, root, "lang") == set()
+    # simulate a crash that lost one partition
+    shutil.rmtree(f"{root}/lang=de")
+    import os
+
+    mtimes = {p: os.path.getmtime(f"{root}/{p}") for p in os.listdir(root)}
+    skipped = write_partitioned(ds, root, "lang")
+    assert skipped == {"en", "fr", "zz"}
+    # untouched partitions kept their files; de was rewritten
+    for p, m in mtimes.items():
+        files = os.listdir(f"{root}/{p}")
+        assert len(files) >= 1 and os.path.getmtime(f"{root}/{p}") == m
+    back = ray.data.read_parquet(root).to_pandas()
+    assert sorted(back["doc_id"]) == list(range(90))
+
+
 def test_run_twice_deterministic(ray_session, tmp_path):
     """Two sequential runs of the same config produce identical
     per-round pop counts and page sets (deterministic seq numbers)."""
