@@ -402,12 +402,11 @@ def q_priority_revenue(sf_dir: str):
     # partition) beats per-key map_groups 2.4x at 32 cpus; small
     # sessions keep the sort exchange (Ray 2.49 hash-shuffle
     # aggregators can wedge later all-to-alls at 4 cpus — COVERAGE.md)
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    from frontera_ray.stages.relational import cluster_cpus
     joined = equi_join(li, orders, "l_orderkey",
                        ["revenue_c4"], ["o_orderpriority"],
-                       exchange="hash" if cpus >= 16 else "groups")
+                       exchange="hash" if cluster_cpus() >= 16
+                       else "groups")
     out = partial_groupby_agg(joined, "o_orderpriority",
                               {"n_items": ("revenue_c4", "count"),
                                "revenue_c4": ("revenue_c4", "sum")})
@@ -518,13 +517,15 @@ def q_curate(sf_dir: str):
                       value_set=pa.array(["en", "de"])))
         return batch.filter(m)
 
-    def keeper(group: pa.Table) -> pa.Table:
-        i = int(np.argmin(group["doc_id"].to_numpy()))
-        return group.take(pa.array([i])).select(
-            ["doc_id", "lang_pred", "n_tokens", "quality_score"])
+    # keeper = min doc_id per content hash: per_key_topk(k=1 ascending)
+    # is vectorized across key runs (text_md5 is corpus-cardinality, so
+    # a per-group Python kernel would pay one call per document)
+    from frontera_ray.stages.relational import per_key_topk
 
-    out = (feats.map_batches(keep, batch_format="pyarrow")
-           .groupby("text_md5").map_groups(keeper, batch_format="pyarrow")
+    out = (per_key_topk(feats.map_batches(keep, batch_format="pyarrow"),
+                        "text_md5", "doc_id", k=1, descending=False)
+           .select_columns(["doc_id", "lang_pred", "n_tokens",
+                            "quality_score"])
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1006,11 +1007,9 @@ def _image_pool() -> tuple[int, int]:
     keep the 4 corpus blocks busy on a big node, but never so many
     that the pool reserves every CPU and starves the upstream expand
     tasks (4-CPU test sessions deadlock at min >= cpus)."""
-    import ray
+    from frontera_ray.stages.relational import cluster_cpus
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return (2, 4) if cpus < 8 else (4, 8)
+    return (2, 4) if cluster_cpus() < 8 else (4, 8)
 
 
 def q_image_stats(sf_dir: str):

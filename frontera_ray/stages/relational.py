@@ -21,6 +21,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Logical CPU count of the (local) cluster, for sizing actor
+    pools / exchanges to the node; ``default`` when Ray is not up."""
+    import ray
+
+    return (int(ray.cluster_resources().get("CPU", default))
+            if ray.is_initialized() else default)
+
+
 def partial_groupby_agg(ds, keys, aggs: dict):
     """Combiner-style aggregate for LOW-CARDINALITY keys: per-block
     pandas groupby inside map_batches (the partial/combine step), then a
@@ -234,7 +243,7 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
 
     import pandas as pd
 
-    qs = [q] if isinstance(q, float) else list(q)
+    qs = [q] if isinstance(q, (int, float)) else list(q)
     hist = partial_groupby_agg(
         ds.map_batches(
             lambda b: pa.table({
@@ -249,8 +258,12 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
         g = g.sort_values("_v")
         cum = g["n"].cumsum().to_numpy()
         vals = g["_v"].to_numpy()
+        n = int(cum[-1])
+        # epsilon guard: q*n that is mathematically integral can land a
+        # hair ABOVE the integer in IEEE doubles (0.07*100 -> 7.000…01),
+        # which would ceil to the wrong 1-based position
         rows.append([key] + [
-            int(vals[np.searchsorted(cum, math.ceil(qq * int(cum[-1])))])
+            int(vals[np.searchsorted(cum, math.ceil(qq * n - 1e-9))])
             for qq in qs])
     return pd.DataFrame(
         rows, columns=[key_col] + [f"q{int(qq * 100)}_scaled" for qq in qs]
@@ -398,6 +411,9 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL inner-join semantics: NULL keys never match (NULL =
+            # NULL is false) — drop them before the exchange
+            batch = batch.filter(pc.is_valid(batch[key]))
             n = len(batch)
             own = set(batch.column_names)
             cols = {key: batch[key],
@@ -492,6 +508,8 @@ def range_join(ds, key_col: str, ts_col: str, type_col: str,
             return empty
         types = np.asarray(batch[type_col].to_pylist(), dtype=object)
         side_m = (types == build_type) | (types == probe_type)
+        # null keys never match (SQL join semantics)
+        side_m &= np.asarray(pc.is_valid(batch[key_col]).to_pylist())
         batch = batch.filter(pa.array(side_m))
         if len(batch) == 0:
             return empty

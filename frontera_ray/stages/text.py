@@ -87,7 +87,10 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3):
 
     import pandas as pd
 
-    tf = ds.map_batches(term_freq_table, batch_format="pyarrow")
+    # pin the exploded tf rows so the df aggregate and the scoring pass
+    # share ONE explode execution (object-store blocks, spillable);
+    # without this Ray re-runs the read+explode lineage for each consumer
+    tf = ds.map_batches(term_freq_table, batch_format="pyarrow").materialize()
     df_tbl = pa.concat_tables(
         list(tf.groupby("token").count()
                .iter_batches(batch_format="pyarrow", batch_size=None)))
