@@ -1039,6 +1039,146 @@ def q_image_resize(sf_dir: str):
                          batch_size=256, concurrency=_image_pool()))
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental snapshot dedup via large-large ANTI join: 'new'
+    docs (odd doc_id) whose exact content key (md5) does NOT appear in
+    the previous snapshot (even doc_id) — the daily-delta dedup shape
+    where both sides are corpus-sized, so neither fits a broadcast.
+    One keyed exchange; the right side ships only its md5 column."""
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import semi_anti_join
+    from frontera_ray.stages.text import content_md5_table
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    keyed = docs.map_batches(content_md5_table, batch_format="pyarrow") \
+                .select_columns(["doc_id", "text_md5"])
+    new = keyed.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    snap = keyed.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    out = semi_anti_join(new, snap, "text_md5", ["doc_id"],
+                         anti=True).to_pandas()
+    return out[["doc_id", "text_md5"]].sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def q_active_customers(sf_dir: str):
+    """SEMI join (EXISTS): customers with at least one urgent order —
+    each surviving left row emitted once, right side ships only its
+    key column through the exchange."""
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import semi_anti_join
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+    urgent = (_read(sf_dir, "orders")
+              .select_columns(["o_custkey", "o_orderpriority"])
+              .map_batches(lambda b: b.filter(
+                  _pc.equal(b["o_orderpriority"], "1-URGENT")),
+                  batch_format="pyarrow")
+              .map_batches(lambda b: b.rename_columns(
+                  ["c_custkey", "o_orderpriority"]),
+                  batch_format="pyarrow"))
+    out = semi_anti_join(cust, urgent, "c_custkey",
+                         ["c_name", "c_mktsegment"]).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split: the split label is a pure
+    function of doc_id (md5 top-32-bits vs the cumulative fraction
+    ladder), so retries, re-runs and incremental batches agree with no
+    shuffle and no shared RNG."""
+    from frontera_ray.stages.sampling import hash_split
+
+    out = hash_split(_read(sf_dir, "documents")
+                     .select_columns(["doc_id", "lang"]),
+                     "doc_id", _SPLITS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PII_DIGITS_RE = r"[0-9]+"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII-style scrubbing over the events payload column: redact
+    every digit run and count matches — one vectorized RE2
+    replace + count per batch (the identical pattern runs in DuckDB's
+    regexp_replace/extract_all, also RE2)."""
+    from frontera_ray.stages.text import regex_redact_table
+
+    return _read(sf_dir, "events").select_columns(
+        ["event_id", "props"]).map_batches(
+        lambda b: regex_redact_table(b, "props", _PII_DIGITS_RE,
+                                     replacement="#", id_col="event_id"),
+        batch_format="pyarrow")
+
+
+_DECON_K = 4  # word-4-grams: non-degenerate on this corpus at all SFs
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: eval set = docs with doc_id % 97 == 0
+    (standing in for a held-out benchmark); a training doc is flagged
+    iff it shares any word-4-gram with the eval set. Eval grams reduce
+    to one distinct md5-64 hash array (benchmarks are small by
+    construction), broadcast once via ray.put; the training corpus
+    streams through one np.isin map_batches — no corpus-side shuffle."""
+    import ray
+    from frontera_ray.stages.text import (collect_eval_gram_hashes,
+                                          decontaminate)
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ev = docs.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0)),
+        batch_format="pyarrow")
+    train = docs.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 97 != 0)),
+        batch_format="pyarrow")
+    ref = ray.put(collect_eval_gram_hashes(ev, k=_DECON_K))
+    return decontaminate(train, ref, k=_DECON_K)
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-token / duplicate
+    3-gram numerators+denominators) per doc — integers for exact
+    oracle hashing; two np.unique reductions per batch, no per-doc
+    Python."""
+    from frontera_ray.stages.text import repetition_table
+
+    return _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        repetition_table, batch_format="pyarrow")
+
+
+_PACK_BUDGET = 128
+_PACK_BUCKET = 64
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing of documents into <=128-token packs
+    within doc_id buckets of 64 — deterministic w.r.t. block structure
+    (pack assignment is a pure function of the bucket's (id, weight)
+    rows), buckets pack in parallel. The SQL oracle replays the same
+    greedy scan with a recursive CTE."""
+    from frontera_ray.stages.sampling import pack_sequences
+    from frontera_ray.stages.text import token_count_table
+
+    toks = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        token_count_table, batch_format="pyarrow")
+    out = pack_sequences(toks, "doc_id", "n_tokens",
+                         budget=_PACK_BUDGET,
+                         bucket_size=_PACK_BUCKET).to_pandas()
+    return out[["pack_id", "doc_id", "n_tokens"]].sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1097,6 +1237,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_dedup_keepers": q_image_dedup_keepers,
     "image_stats": q_image_stats,
     "image_resize": q_image_resize,
+    "incremental_dedup": q_incremental_dedup,
+    "active_customers": q_active_customers,
+    "hash_split": q_hash_split,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -1336,6 +1483,27 @@ def _dedup_keepers_oracle() -> str:
             FROM reach r JOIN edges e ON e.a = r.id)
         SELECT id AS doc_id, min(comp) AS keeper_doc_id
         FROM reach GROUP BY id ORDER BY doc_id"""
+
+
+def _hash_split_oracle() -> str:
+    """SQL twin of ``hash_split``: the cut points are computed with the
+    SAME numpy expression as the engine (np.round of a float cumsum —
+    inlining hand-derived constants would drift by 1 ulp)."""
+    fracs = np.array([_SPLITS[n] for n in _SPLITS], dtype=np.float64)
+    cuts = np.minimum(np.round(np.cumsum(fracs) * (1 << 32)),
+                      1 << 32).astype(np.uint64)
+    names = list(_SPLITS)
+    case = ("CASE "
+            + " ".join(f"WHEN h < {int(c)} THEN '{n}'"
+                       for n, c in zip(names[:-1], cuts[:-1]))
+            + f" ELSE '{names[-1]}' END")
+    return f"""
+        SELECT doc_id, lang, {case} AS split
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     )::BIGINT AS h
+              FROM documents)
+        ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1690,4 +1858,83 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_neardup_oracle(),
         "minhash_neardup": _minhash_oracle(),
         "dedup_keepers": _dedup_keepers_oracle(),
+        "incremental_dedup": """
+            SELECT d.doc_id, md5(d.text) AS text_md5
+            FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM documents s
+                              WHERE s.doc_id % 2 = 0
+                                AND md5(s.text) = md5(d.text))
+            ORDER BY d.doc_id""",
+        "active_customers": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey""",
+        "hash_split": _hash_split_oracle(),
+        "pii_redact": r"""
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+                   len(regexp_extract_all(props, '[0-9]+')) AS n_matched
+            FROM events""",
+        "decontaminate": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            eg AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' '
+                          || arr[i+2] || ' ' || arr[i+3] AS gram
+                   FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)
+                   WHERE doc_id % 97 = 0),
+            tg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' '
+                          || arr[i+2] || ' ' || arr[i+3] AS gram
+                   FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)
+                   WHERE doc_id % 97 <> 0)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN EXISTS (
+                       SELECT 1 FROM tg JOIN eg ON tg.gram = eg.gram
+                       WHERE tg.doc_id = d.doc_id)
+                   THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+            FROM documents d WHERE d.doc_id % 97 <> 0""",
+        "repetition": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            tok AS (SELECT doc_id, count(*) AS n_tokens,
+                           count(DISTINCT tok) AS n_distinct_tokens
+                    FROM (SELECT doc_id, UNNEST(arr) AS tok FROM t)
+                    GROUP BY doc_id),
+            g AS (SELECT doc_id, count(*) AS n_grams,
+                         count(DISTINCT gram) AS n_distinct_grams
+                  FROM (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' '
+                               || arr[i+2] AS gram
+                        FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i))
+                  GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(tok.n_tokens, 0) AS n_tokens,
+                   COALESCE(tok.n_distinct_tokens, 0) AS n_distinct_tokens,
+                   COALESCE(g.n_grams, 0) AS n_grams,
+                   COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
+            FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        "pack_sequences": r"""
+            WITH RECURSIVE rows_ AS (
+                SELECT doc_id // 64 AS bucket,
+                       row_number() OVER (PARTITION BY doc_id // 64
+                                          ORDER BY doc_id) AS rn,
+                       doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS w
+                FROM documents),
+            rec AS (
+                SELECT bucket, rn, doc_id, w, w AS acc, CAST(0 AS BIGINT) AS pack
+                FROM rows_ WHERE rn = 1
+                UNION ALL
+                SELECT r.bucket, r.rn, r.doc_id, r.w,
+                       CASE WHEN p.acc > 0 AND p.acc + r.w > 128
+                            THEN r.w ELSE p.acc + r.w END,
+                       CASE WHEN p.acc > 0 AND p.acc + r.w > 128
+                            THEN p.pack + 1 ELSE p.pack END
+                FROM rec p JOIN rows_ r
+                  ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+            SELECT bucket * 1048576 + pack AS pack_id, doc_id,
+                   w AS n_tokens
+            FROM rec ORDER BY doc_id""",
     }

@@ -117,6 +117,22 @@ def hash_partitioned(ds, key: str, num_blocks: int = _NUM_KEY_PARTITIONS):
                                                keys=[key]))
 
 
+def _arrow_types(ds) -> dict:
+    """name -> pyarrow type for a Dataset, tolerating pandas-backed
+    blocks (whose schema carries numpy dtypes instead of a pa.Schema)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for name, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            t = (pa.string() if getattr(t, "kind", "") in ("O", "U")
+                 else pa.from_numpy_dtype(t))
+        out[name] = t
+    return out
+
+
 def _group_codes(arr: np.ndarray) -> np.ndarray:
     """Sortable int codes for a (possibly string) key column."""
     if arr.dtype == object:
@@ -406,8 +422,8 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
     small-session wedge guard) and stays oracle-testable on both
     paths with one kernel."""
     left_cols, right_cols = list(left_cols), list(right_cols)
-    l_types = {f.name: f.type for f in left_ds.schema().base_schema}
-    r_types = {f.name: f.type for f in right_ds.schema().base_schema}
+    l_types = _arrow_types(left_ds)
+    r_types = _arrow_types(right_ds)
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -471,6 +487,80 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
         return pa.table(cols)
 
     return keyed_exchange(tagged, key, join_block, exchange)
+
+
+def semi_anti_join(left_ds, right_ds, key: str, left_cols,
+                   anti: bool = False, exchange: str = "groups"):
+    """Large-large semi-join (``anti=False``: keep left rows with >= 1
+    right match) / anti-join (``anti=True``: keep left rows with NO
+    right match) — the EXISTS / NOT EXISTS primitive an incremental
+    dedup ("drop docs already in the previous snapshot") needs when
+    BOTH sides are corpus-sized. Same tagged-union keyed exchange as
+    ``equi_join``, but the right side ships ONLY its key column and
+    each surviving left row is emitted exactly once (no expansion), so
+    the exchange payload is the minimum possible for the semantics.
+
+    NULL semantics follow SQL EXISTS: a NULL key never matches, so
+    NULL-key left rows are dropped by semi and kept by anti (right
+    NULLs are always dropped). NULL-key left rows bypass group coding
+    inside the kernel, so any key type works."""
+    left_cols = list(left_cols)
+    l_types = _arrow_types(left_ds)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {key: batch[key],
+                "_side": pa.array(np.zeros(n, np.int8), pa.int8())}
+        for c in left_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[key]))
+        n = len(batch)
+        cols = {key: batch[key].cast(l_types[key]),
+                "_side": pa.array(np.ones(n, np.int8), pa.int8())}
+        for c in left_cols:
+            cols[c] = pa.nulls(n, l_types[c])
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.select_columns([key])
+                     .map_batches(tag_right, batch_format="pyarrow")))
+
+    out_schema = ([(key, l_types[key])]
+                  + [(c, l_types[c]) for c in left_cols])
+
+    def filter_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema})
+        side = batch["_side"].to_numpy()
+        valid = pc.is_valid(batch[key]).to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        left_idx = np.flatnonzero(~is_r)
+        lv = valid[left_idx]
+        # valid-key rows: one bincount of right rows per key group
+        # answers EXISTS for every left row at once
+        vi = np.flatnonzero(valid)
+        keys = _group_codes(
+            batch[key].take(pa.array(vi)).to_numpy(zero_copy_only=False))
+        has_r = np.bincount(keys[is_r[vi]],
+                            minlength=int(keys.max()) + 1 if len(keys) else 0
+                            ).astype(bool)
+        # map valid left rows back into the coded space
+        pos_of = np.full(len(batch), -1, np.int64)
+        pos_of[vi] = np.arange(len(vi))
+        matched = np.zeros(len(left_idx), dtype=bool)
+        matched[lv] = has_r[keys[pos_of[left_idx[lv]]]]
+        keep_valid = ~matched if anti else matched
+        keep = keep_valid & (lv | anti)  # NULL-key left: anti keeps
+        take = pa.array(left_idx[keep])
+        cols = {key: batch[key].take(take)}
+        for c in left_cols:
+            cols[c] = batch[c].take(take)
+        return pa.table(cols)
+
+    return keyed_exchange(tagged, key, filter_block, exchange)
 
 
 def range_join(ds, key_col: str, ts_col: str, type_col: str,

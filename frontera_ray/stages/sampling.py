@@ -56,3 +56,85 @@ def stratified_hash_sample(ds, id_col: str, strata_col: str | None = None,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str, splits: dict[str, float], salt: str = ""):
+    """Deterministic named-fraction split (train/val/test): appends a
+    ``split`` column chosen by where the row's hash_u32 falls in the
+    cumulative fraction ladder of ``splits`` (insertion order;
+    fractions must sum to 1). Pure function of the id — every worker,
+    retry and later incremental run assigns the same row to the same
+    split with no shuffle and no shared RNG, which is what makes
+    held-out sets stable across 100-TB reprocessing runs. SQL twin:
+    CASE over ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT."""
+    names = list(splits)
+    fracs = np.array([splits[n] for n in names], dtype=np.float64)
+    assert abs(fracs.sum() - 1.0) < 1e-9, "split fractions must sum to 1"
+    # right-open cut points in hash space; last cut pinned to 2^32
+    cuts = np.minimum(np.round(np.cumsum(fracs) * _U32), _U32).astype(
+        np.uint64)
+    labels = np.asarray(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[id_col].to_pylist(), salt)
+        idx = np.searchsorted(cuts, h, side="right")
+        return batch.append_column(
+            "split", pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
+                   bucket_size: int = 64, exchange: str = "groups"):
+    """Greedy sequence packing: group rows (documents) into packs whose
+    total ``weight_col`` (token count) stays <= ``budget`` — the
+    pre-training batch-shaping step that turns ragged documents into
+    near-full context windows. Rows are bucketed by ``id // bucket_size``
+    and packed greedily in id order within each bucket, so the
+    assignment is a pure function of (id, weight) — independent of
+    block structure, retries and parallelism — and buckets pack in
+    parallel across the cluster with one keyed exchange. A row heavier
+    than ``budget`` gets a pack of its own (never dropped). Emits
+    (pack_id = bucket * 2^20 + local_pack, id, weight).
+
+    The greedy scan inside a bucket is inherently sequential (each
+    decision depends on the running total), so it is a bounded Python
+    loop over the bucket's rows — parallelism comes from the bucket
+    fan-out, exactly like the reference's per-partition batchers."""
+    from .relational import keyed_exchange
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        return pa.table({
+            "_bucket": pa.array(ids // bucket_size, pa.int64()),
+            id_col: batch[id_col],
+            weight_col: batch[weight_col],
+        })
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"pack_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          weight_col: pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        buckets = batch["_bucket"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        ws = batch[weight_col].to_numpy()
+        order = np.lexsort((ids, buckets))
+        pack_ids = np.empty(len(ids), dtype=np.int64)
+        cur_bucket, acc, local = None, 0, 0
+        for pos in order:
+            b, w = int(buckets[pos]), int(ws[pos])
+            if b != cur_bucket:
+                cur_bucket, acc, local = b, 0, 0
+            if acc > 0 and acc + w > budget:
+                local += 1
+                acc = 0
+            acc += w
+            pack_ids[pos] = (b << 20) | local
+        return pa.table({"pack_id": pa.array(pack_ids, pa.int64()),
+                         id_col: batch[id_col],
+                         weight_col: batch[weight_col]})
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return keyed_exchange(keyed, "_bucket", pack_block, exchange)

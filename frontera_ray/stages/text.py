@@ -342,6 +342,138 @@ def winnow_table(batch: pa.Table, text_col: str = "text",
     })
 
 
+def regex_redact_table(batch: pa.Table, col: str, pattern: str,
+                       replacement: str = "#",
+                       id_col: str = "doc_id") -> pa.Table:
+    """PII-style regex scrubbing: replace every match of ``pattern``
+    (RE2 — identical semantics to DuckDB regexp_replace(..., 'g'))
+    with ``replacement`` and count the matches, in two vectorized
+    Arrow kernels. Emits (id, redacted, n_matched). The pattern is a
+    plain string captured in the closure upstream — RE2 compiles once
+    per process inside Arrow's kernel cache, so there is no per-batch
+    compile cost to hoist into an actor."""
+    red = pc.replace_substring_regex(batch[col], pattern=pattern,
+                                     replacement=replacement)
+    n = pc.count_substring_regex(batch[col], pattern).cast(pa.int64())
+    return pa.table({id_col: batch[id_col], "redacted": red,
+                     "n_matched": n})
+
+
+def repetition_table(batch: pa.Table, text_col: str = "text",
+                     gram_k: int = 3) -> pa.Table:
+    """Gopher-style repetition signals per doc: token count, distinct
+    token count, windowed word-``gram_k``-gram count and distinct gram
+    count — the numerators/denominators of the duplicate-token and
+    duplicate-n-gram ratios a quality filter thresholds on. Emitted as
+    integers so the SQL oracle hashes exactly.
+
+    Vectorized shape: one Arrow whitespace split + one dictionary
+    encode feed everything; distinct-token and distinct-gram counts
+    are two ``np.unique(axis=0)`` passes over (doc, code...) integer
+    rows — exact (no hashing), one reduction per BATCH instead of a
+    Python loop per doc."""
+    n = len(batch)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_distinct_tokens": pa.array([], pa.int64()),
+        "n_grams": pa.array([], pa.int64()),
+        "n_distinct_grams": pa.array([], pa.int64()),
+    })
+    if n == 0:
+        return empty
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    # vocab-code the batch's token stream once; drop the empty tokens
+    # Arrow's splitter emits for leading/trailing whitespace
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[nonempty].astype(np.int64)
+    codes = pc.dictionary_encode(flat.combine_chunks()).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)[nonempty]
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    pairs = np.stack([parent, codes], axis=1) if len(parent) else \
+        np.zeros((0, 2), np.int64)
+    dist_doc = np.unique(pairs, axis=0)[:, 0] if len(pairs) else \
+        np.zeros(0, np.int64)
+    n_distinct = np.bincount(dist_doc, minlength=n).astype(np.int64)
+    # windowed k-grams: positions whose whole window stays in one doc
+    m = len(codes)
+    n_grams = np.maximum(n_tokens - (gram_k - 1), 0)
+    if m >= gram_k:
+        starts = np.arange(m - gram_k + 1)
+        in_doc = parent[starts] == parent[starts + gram_k - 1]
+        gs = starts[in_doc]
+        rows = np.stack([parent[gs]] + [codes[gs + j]
+                                        for j in range(gram_k)], axis=1)
+        uniq_doc = (np.unique(rows, axis=0)[:, 0] if len(gs)
+                    else np.zeros(0, np.int64))
+        n_dist_grams = np.bincount(uniq_doc, minlength=n).astype(np.int64)
+    else:
+        n_dist_grams = np.zeros(n, dtype=np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_distinct_grams": pa.array(n_dist_grams, pa.int64()),
+    })
+
+
+def collect_eval_gram_hashes(eval_ds, text_col: str = "text",
+                             k: int = 5) -> np.ndarray:
+    """Distinct md5-64 word-``k``-gram hashes of an EVAL/benchmark
+    corpus, as one sorted uint64 array. Benchmarks are small by
+    construction (MBs of text vs a 100-TB training corpus), so the
+    right cluster shape is: reduce per-batch distinct hashes in
+    parallel, union the per-batch sets on the driver, then ``ray.put``
+    the array ONCE for every decontamination worker to binary-search —
+    never a corpus-side shuffle."""
+    from .dedup import word_shingles
+
+    def grams(batch: pa.Table) -> pa.Table:
+        hs = [word_shingles(t, k=k, strict=True)
+              for t in batch[text_col].to_pylist()]
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.zeros(0, np.uint64))
+        return pa.table({"h": pa.array(flat.view(np.int64), pa.int64())})
+
+    parts = [b["h"].to_numpy() for b in
+             eval_ds.map_batches(grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if len(b)]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(parts)).view(np.uint64)
+
+
+def decontaminate(train_ds, eval_hashes_ref, text_col: str = "text",
+                  k: int = 5):
+    """Benchmark decontamination flag: a training doc is contaminated
+    iff it shares ANY word-``k``-gram with the eval corpus
+    (``eval_hashes_ref`` = ray.put of ``collect_eval_gram_hashes``).
+    Streaming map_batches — each worker fetches the broadcast hash set
+    once (plasma-cached on the node) and runs one np.isin per batch.
+    Emits (doc_id, contaminated 0/1). Windowed-gram semantics: a doc
+    with fewer than k tokens has no grams and is never contaminated —
+    mirrors the SQL oracle exactly."""
+    from .dedup import word_shingles
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import ray
+
+        ev = ray.get(eval_hashes_ref)
+        out = np.zeros(len(batch), dtype=np.int32)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            hs = word_shingles(t, k=k, strict=True)
+            if len(hs) and np.isin(hs, ev, assume_unique=True).any():
+                out[i] = 1
+        return pa.table({"doc_id": batch["doc_id"],
+                         "contaminated": pa.array(out, pa.int32())})
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a.astype(np.uint64) ^ b.astype(np.uint64))
     # vectorized popcount via byte view

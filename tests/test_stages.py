@@ -452,3 +452,180 @@ def test_bpe_token_count():
     # Hello , world ! 42 x -> 6 BPE-ish tokens; 3 whitespace tokens
     assert out["n_ws_tokens"].to_pylist() == [3, 0]
     assert out["n_bpe_tokens"].to_pylist() == [6, 0]
+
+
+# ---------------------------------------------------------------------------
+# semi/anti join, hash split, sequence packing, repetition, redaction,
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_semi_anti_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.relational import semi_anti_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, 200),
+        "payload": rng.integers(0, 1000, 200),
+    })
+    right = pd.DataFrame({"k": rng.integers(10, 30, 150)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    exists = set(right["k"])
+    want_semi = left[left["k"].isin(exists)]
+    want_anti = left[~left["k"].isin(exists)]
+
+    got_semi = semi_anti_join(lds, rds, "k", ["payload"]).to_pandas()
+    got_anti = semi_anti_join(lds, rds, "k", ["payload"],
+                              anti=True).to_pandas()
+    for got, want in ((got_semi, want_semi), (got_anti, want_anti)):
+        g = got.sort_values(["k", "payload"]).reset_index(drop=True)
+        w = (want[["k", "payload"]].sort_values(["k", "payload"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_semi_anti_join_null_keys(ray_session):
+    """SQL EXISTS semantics: NULL keys never match — semi drops
+    NULL-key left rows, anti keeps them; right NULLs are ignored."""
+    import ray
+
+    from frontera_ray.stages.relational import semi_anti_join
+
+    left = pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                     "v": pa.array([10, 20, 30, 40], pa.int64())})
+    right = pa.table({"k": pa.array([2, None, 5], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    semi = semi_anti_join(lds, rds, "k", ["v"]).to_pandas()
+    anti = semi_anti_join(lds, rds, "k", ["v"], anti=True).to_pandas()
+    assert sorted(semi["v"].tolist()) == [20]
+    assert sorted(anti["v"].tolist()) == [10, 30, 40]
+
+
+def test_hash_split_deterministic_and_exact(ray_session):
+    import hashlib
+
+    import ray
+
+    from frontera_ray.stages.sampling import hash_split
+
+    t = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(ray.data.from_arrow(t).repartition(5), "doc_id",
+                     splits).to_pandas().sort_values("doc_id")
+    out2 = hash_split(ray.data.from_arrow(t).repartition(2), "doc_id",
+                      splits).to_pandas().sort_values("doc_id")
+    # block structure never changes the assignment
+    assert out["split"].tolist() == out2["split"].tolist()
+    # exact reference: md5 top-32 vs the same rounded cut ladder
+    cuts = np.minimum(np.round(np.cumsum([0.8, 0.1, 0.1]) * (1 << 32)),
+                      1 << 32).astype(np.uint64)
+    names = np.asarray(["train", "val", "test"], dtype=object)
+    h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in range(1000)], dtype=np.uint64)
+    want = names[np.searchsorted(cuts, h, side="right")]
+    assert out["split"].tolist() == want.tolist()
+    # fractions roughly honored (binomial tolerance)
+    frac = (out["split"] == "train").mean()
+    assert 0.75 < frac < 0.85
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray
+
+    from frontera_ray.stages.sampling import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "n_tokens": pa.array(
+            np.concatenate([rng.integers(1, 100, n - 1),
+                            [400]]).astype(np.int64), pa.int64()),
+    })
+    budget = 128
+    out = pack_sequences(ray.data.from_arrow(t).repartition(4), "doc_id",
+                         "n_tokens", budget=budget,
+                         bucket_size=64).to_pandas()
+    out8 = pack_sequences(ray.data.from_arrow(t).repartition(8), "doc_id",
+                          "n_tokens", budget=budget,
+                          bucket_size=64).to_pandas()
+    # deterministic w.r.t. block structure
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out8.sort_values("doc_id").reset_index(drop=True)
+    assert a["pack_id"].tolist() == b["pack_id"].tolist()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"].tolist()) == list(range(n))
+    # pack sums within budget unless the pack is a single oversize row
+    sums = out.groupby("pack_id")["n_tokens"].agg(["sum", "count"])
+    bad = sums[(sums["sum"] > budget) & (sums["count"] > 1)]
+    assert bad.empty
+    # the oversize row is alone in its pack
+    heavy_pack = out.loc[out["doc_id"] == n - 1, "pack_id"].iloc[0]
+    assert (out["pack_id"] == heavy_pack).sum() == 1
+    # packs never span buckets
+    assert (out["pack_id"].to_numpy() >> 20
+            == out["doc_id"].to_numpy() // 64).all()
+
+
+def test_repetition_table_matches_brute():
+    from frontera_ray.stages.text import repetition_table
+
+    texts = [
+        "a b c a b c a b c",        # heavy 3-gram repetition
+        "x y z w",                   # all distinct
+        "",                          # empty
+        "one two",                   # fewer than k tokens
+        "  pad   pad  pad   ",       # messy whitespace, repeated token
+    ]
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_table(t).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        grams = [tuple(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_distinct_tokens"] == len(set(toks))
+        assert out.loc[i, "n_grams"] == len(grams)
+        assert out.loc[i, "n_distinct_grams"] == len(set(grams))
+
+
+def test_regex_redact_table():
+    from frontera_ray.stages.text import regex_redact_table
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["call 555-0100 x42", "no digits"],
+                                   pa.string())})
+    out = regex_redact_table(t, "text", r"[0-9]+")
+    assert out["redacted"].to_pylist() == ["call #-# x#", "no digits"]
+    assert out["n_matched"].to_pylist() == [3, 0]
+
+
+def test_decontaminate_matches_brute(ray_session):
+    import ray
+
+    from frontera_ray.stages.text import (collect_eval_gram_hashes,
+                                          decontaminate)
+
+    k = 3
+    ev_texts = ["alpha beta gamma delta", "one two three four five"]
+    tr_texts = [
+        "prefix alpha beta gamma suffix",   # shares 'alpha beta gamma'
+        "completely clean document text",   # clean
+        "two three",                        # < k tokens: never flagged
+        "three four five",                  # shares a gram
+    ]
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(ev_texts, pa.string())}))
+    tr = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(tr_texts, pa.string())}))
+    ref = ray.put(collect_eval_gram_hashes(ev, k=k))
+    out = (decontaminate(tr, ref, k=k).to_pandas()
+           .sort_values("doc_id"))
+    assert out["contaminated"].tolist() == [1, 0, 0, 1]
