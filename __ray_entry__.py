@@ -1058,6 +1058,10 @@ def q_incremental_dedup(sf_dir: str):
     snap = keyed.map_batches(
         lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
         batch_format="pyarrow")
+    # measured at sf0.1/32cpus: groups 0.7 s vs hash 1.6 s warm —
+    # 5k distinct md5 keys sit below the per-key map_groups wall, so
+    # the sort exchange wins; corpora with 10^8+ distinct hashes
+    # should pass exchange='hash'
     out = semi_anti_join(new, snap, "text_md5", ["doc_id"],
                          anti=True).to_pandas()
     return out[["doc_id", "text_md5"]].sort_values(
@@ -1081,8 +1085,14 @@ def q_active_customers(sf_dir: str):
               .map_batches(lambda b: b.rename_columns(
                   ["c_custkey", "o_orderpriority"]),
                   batch_format="pyarrow"))
+    # 15k customer keys: hash repartition (1.6 s) beats per-key
+    # map_groups (3.4 s) at 32 cpus; small sessions keep the sort
+    # exchange (Ray 2.49 hash-shuffle wedge — COVERAGE.md)
+    from frontera_ray.stages.relational import cluster_cpus
     out = semi_anti_join(cust, urgent, "c_custkey",
-                         ["c_name", "c_mktsegment"]).to_pandas()
+                         ["c_name", "c_mktsegment"],
+                         exchange="hash" if cluster_cpus() >= 16
+                         else "groups").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "range_join",
     "revenue_nation", "token_df", "tfidf", "hopping_window", "doc_sample",
     "curate", "quantity_quantiles", "distinct_users", "priority_revenue",
+    "incremental_dedup", "active_customers", "hash_split", "pii_redact",
+    "decontaminate", "repetition", "pack_sequences",
 ]
 
 CRAWL_HOSTS = 8192
