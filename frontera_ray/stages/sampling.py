@@ -84,6 +84,29 @@ def hash_split(ds, id_col: str, splits: dict[str, float], salt: str = ""):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def greedy_pack(buckets: np.ndarray, ids: np.ndarray, ws: np.ndarray,
+                budget: int) -> np.ndarray:
+    """Pure greedy packing kernel: scan each bucket's rows in id order,
+    opening a new pack when the running weight would exceed ``budget``
+    (a row heavier than ``budget`` keeps a pack of its own). Returns
+    pack_id = bucket << 20 | local_pack per input row (input order
+    preserved). Sequential by definition — each decision depends on
+    the running total — so parallelism lives at the bucket level."""
+    order = np.lexsort((ids, buckets))
+    pack_ids = np.empty(len(ids), dtype=np.int64)
+    cur_bucket, acc, local = None, 0, 0
+    for pos in order:
+        b, w = int(buckets[pos]), int(ws[pos])
+        if b != cur_bucket:
+            cur_bucket, acc, local = b, 0, 0
+        if acc > 0 and acc + w > budget:
+            local += 1
+            acc = 0
+        acc += w
+        pack_ids[pos] = (b << 20) | local
+    return pack_ids
+
+
 def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
                    bucket_size: int = 64, exchange: str = "groups"):
     """Greedy sequence packing: group rows (documents) into packs whose
@@ -117,21 +140,9 @@ def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
                           weight_col: pa.array([], pa.int64())})
         if len(batch) == 0:
             return empty
-        buckets = batch["_bucket"].to_numpy()
-        ids = batch[id_col].to_numpy()
-        ws = batch[weight_col].to_numpy()
-        order = np.lexsort((ids, buckets))
-        pack_ids = np.empty(len(ids), dtype=np.int64)
-        cur_bucket, acc, local = None, 0, 0
-        for pos in order:
-            b, w = int(buckets[pos]), int(ws[pos])
-            if b != cur_bucket:
-                cur_bucket, acc, local = b, 0, 0
-            if acc > 0 and acc + w > budget:
-                local += 1
-                acc = 0
-            acc += w
-            pack_ids[pos] = (b << 20) | local
+        pack_ids = greedy_pack(batch["_bucket"].to_numpy(),
+                               batch[id_col].to_numpy(),
+                               batch[weight_col].to_numpy(), budget)
         return pa.table({"pack_id": pa.array(pack_ids, pa.int64()),
                          id_col: batch[id_col],
                          weight_col: batch[weight_col]})

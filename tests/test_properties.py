@@ -123,3 +123,60 @@ def test_update_scores_no_ghosts(items, data):
             for e in popped]
     assert keys == sorted(keys)
     assert q.count() == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=300),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=200))
+def test_greedy_pack_invariants(weights, budget):
+    from frontera_ray.stages.sampling import greedy_pack
+
+    n = len(weights)
+    ids = np.arange(n, dtype=np.int64)
+    buckets = ids // 16
+    ws = np.asarray(weights, dtype=np.int64)
+    packs = greedy_pack(buckets, ids, ws, budget)
+    # permutation invariance: shuffled input rows, same assignment
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    packs_p = greedy_pack(buckets[perm], ids[perm], ws[perm], budget)
+    assert (packs_p == packs[perm]).all()
+    # packs never span buckets; sums within budget unless singleton
+    assert ((packs >> 20) == buckets).all()
+    for p in np.unique(packs):
+        sel = packs == p
+        # a pack exceeds budget only when a single (over-budget) row
+        # carries all its weight (zero-weight rows may share its pack)
+        assert ws[sel].sum() <= budget or (ws[sel] > 0).sum() == 1
+    # greedy tightness: consecutive packs in a bucket couldn't merge
+    for b in np.unique(buckets):
+        local = packs[buckets == b] & ((1 << 20) - 1)
+        w_b = ws[buckets == b]
+        for lp in range(int(local.max())):
+            first_next = w_b[local == lp + 1][0]
+            assert w_b[local == lp].sum() + first_next > budget
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=200, unique=True))
+def test_hash_split_pure_function(ids):
+    """Assignment matches the manual md5 ladder and is independent of
+    input order; every row gets a valid label."""
+    import hashlib
+
+    from frontera_ray.stages.sampling import hash_u32
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    cuts = np.minimum(np.round(np.cumsum(list(splits.values()))
+                               * (1 << 32)), 1 << 32).astype(np.uint64)
+    names = np.asarray(list(splits), dtype=object)
+    h = hash_u32(ids)
+    got = names[np.searchsorted(cuts, h, side="right")]
+    want = []
+    for i in ids:
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        want.append("train" if hv < cuts[0]
+                    else "val" if hv < cuts[1] else "test")
+    assert got.tolist() == want

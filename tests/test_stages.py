@@ -629,3 +629,41 @@ def test_decontaminate_matches_brute(ray_session):
     out = (decontaminate(tr, ref, k=k).to_pandas()
            .sort_values("doc_id"))
     assert out["contaminated"].tolist() == [1, 0, 0, 1]
+
+
+def test_semi_anti_join_hash_exchange_agrees():
+    """semi_anti_join under exchange='hash' (string md5-like keys) ==
+    the sort exchange. Subprocess session — hash-shuffle isolation,
+    see test_keyed_ops_string_keys_hash_exchange."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = """
+import ray, json, pyarrow as pa, numpy as np
+ray.init(address="local", num_cpus=4, include_dashboard=False, log_to_driver=False)
+from frontera_ray.stages.relational import semi_anti_join
+rng = np.random.default_rng(5)
+lk = [f"k{int(i):03d}" for i in rng.integers(0, 40, 120)]
+rk = [f"k{int(i):03d}" for i in rng.integers(20, 60, 90)]
+lt = pa.table({"k": pa.array(lk, pa.string()),
+               "v": pa.array(list(range(120)), pa.int64())})
+rt = pa.table({"k": pa.array(rk, pa.string())})
+lds, rds = ray.data.from_arrow(lt).repartition(3), ray.data.from_arrow(rt).repartition(2)
+out = {}
+for ex in ("groups", "hash"):
+    semi = semi_anti_join(lds, rds, "k", ["v"], exchange=ex).to_pandas()
+    anti = semi_anti_join(lds, rds, "k", ["v"], anti=True, exchange=ex).to_pandas()
+    out[ex] = {"semi": sorted(semi["v"].tolist()), "anti": sorted(anti["v"].tolist())}
+print("RESULT " + json.dumps(out))
+ray.shutdown()
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          text=True, timeout=240, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][0]
+    got = json.loads(line[len("RESULT "):])
+    assert got["hash"] == got["groups"]
+    assert len(got["groups"]["semi"]) + len(got["groups"]["anti"]) == 120
