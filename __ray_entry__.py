@@ -1189,6 +1189,49 @@ def q_pack_sequences(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+_HH_NUM, _HH_DEN = 330, 10000  # 3.3% support — splits this vocabulary
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT frequent tokens (>= 3.3% of the token stream) with NO
+    all-to-all: per-block candidate prefilter (pigeonhole superset
+    guarantee) + sentinel block totals, then a broadcast exact recount
+    of the tiny candidate set — the heavy-hitter shape for
+    vocabularies too large to groupby-shuffle."""
+    from frontera_ray.stages.text import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "documents").select_columns(["text"]),
+        _HH_NUM, _HH_DEN)
+
+
+def q_orders_left_join(sf_dir: str):
+    """LEFT OUTER large-large join: every order survives; orders with
+    no heavy lineitem (quantity >= 48) emit a null-padded row (null
+    take indices; -1 filled on both sides for exact value hashing)."""
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import cluster_cpus, equi_join
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_quantity"])
+          .map_batches(lambda b: pa.table({
+              "o_orderkey": b["l_orderkey"],
+              "l_qty": b["l_quantity"].cast(pa.int64()),
+          }).filter(_pc.greater_equal(b["l_quantity"], 48.0)),
+              batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    out = equi_join(orders, li, "o_orderkey", ["o_orderpriority"],
+                    ["l_qty"], how="left",
+                    exchange="hash" if cluster_cpus() >= 16
+                    else "groups")
+    out = out.map_batches(
+        lambda b: b.set_column(b.column_names.index("l_qty"), "l_qty",
+                               _pc.fill_null(b["l_qty"], -1)),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["o_orderkey", "l_qty"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1254,6 +1297,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "pack_sequences": q_pack_sequences,
+    "heavy_hitters": q_heavy_hitters,
+    "orders_left_join": q_orders_left_join,
 }
 
 
@@ -1925,6 +1970,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_grams, 0) AS n_grams,
                    COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
             FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        "heavy_hitters": r"""
+            WITH tok AS (SELECT UNNEST(regexp_extract_all(text, '\S+'))
+                                AS token FROM documents),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT token, count(*) AS cnt
+            FROM tok, tot
+            GROUP BY token, n
+            HAVING count(*) * 10000 >= 330 * n
+            ORDER BY token""",
+        "orders_left_join": """
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   COALESCE(CAST(l.l_quantity AS BIGINT), -1) AS l_qty
+            FROM orders o
+            LEFT JOIN (SELECT l_orderkey, l_quantity FROM lineitem
+                       WHERE l_quantity >= 48) l
+              ON l.l_orderkey = o.o_orderkey
+            ORDER BY o.o_orderkey, l_qty""",
         "pack_sequences": r"""
             WITH RECURSIVE rows_ AS (
                 SELECT doc_id // 64 AS bucket,

@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "revenue_nation", "token_df", "tfidf", "hopping_window", "doc_sample",
     "curate", "quantity_quantiles", "distinct_users", "priority_revenue",
     "incremental_dedup", "active_customers", "hash_split", "pii_redact",
-    "decontaminate", "repetition", "pack_sequences",
+    "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
+    "orders_left_join",
 ]
 
 CRAWL_HOSTS = 8192

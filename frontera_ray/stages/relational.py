@@ -403,7 +403,7 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
 
 
 def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
-              exchange: str = "groups"):
+              exchange: str = "groups", how: str = "inner"):
     """Large-large inner equi-join: BOTH sides move through one keyed
     exchange (the broadcast join covers the small-side case; this is
     the shape when neither side fits in memory). The two inputs are
@@ -420,16 +420,26 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
     based); this operator exists so the join shares the repo's keyed
     exchange (sort default / hash opt-in with the documented
     small-session wedge guard) and stays oracle-testable on both
-    paths with one kernel."""
+    paths with one kernel.
+
+    ``how='left'``: LEFT OUTER — every left row survives; unmatched
+    left rows emit typed nulls for the right payload (null take
+    indices — Arrow's take yields nulls for them natively). NULL join
+    keys still never MATCH (SQL semantics), but under 'left' they are
+    routed through the exchange and emitted unmatched rather than
+    dropped."""
+    assert how in ("inner", "left")
     left_cols, right_cols = list(left_cols), list(right_cols)
     l_types = _arrow_types(left_ds)
     r_types = _arrow_types(right_ds)
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
-            # SQL inner-join semantics: NULL keys never match (NULL =
-            # NULL is false) — drop them before the exchange
-            batch = batch.filter(pc.is_valid(batch[key]))
+            # NULL keys never match (NULL = NULL is false) — drop them
+            # before the exchange, except left rows under how='left'
+            # (they must still be emitted, unmatched)
+            if side == 1 or how == "inner":
+                batch = batch.filter(pc.is_valid(batch[key]))
             n = len(batch)
             own = set(batch.column_names)
             cols = {key: batch[key],
@@ -466,19 +476,29 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
         order_lo = np.lexsort((np.where(is_r, 1, 0), keys))
         lo = np.cumsum(is_r[order_lo])[np.flatnonzero(~is_r[order_lo])]
         counts = hi - lo
-        total = int(counts.sum())
+        # LEFT OUTER: unmatched left rows emit exactly one null-padded
+        # output row (null take indices -> Arrow take yields nulls)
+        emit = np.maximum(counts, 1) if how == "left" else counts
+        total = int(emit.sum())
         if total == 0:
             return pa.table({c: pa.array([], t) for c, t in out_schema})
         left_idx_sorted = np.flatnonzero(~is_r)[
             np.argsort(keys[~is_r], kind="stable")]
         right_idx_sorted = np.flatnonzero(is_r)[
             np.argsort(keys[is_r], kind="stable")]
-        rep = np.repeat(np.arange(len(counts)), counts)
-        cum0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        ridx = np.repeat(lo, counts) + (np.arange(total)
-                                        - np.repeat(cum0, counts))
+        rep = np.repeat(np.arange(len(emit)), emit)
+        cum0 = np.concatenate(([0], np.cumsum(emit)[:-1]))
+        ridx = np.repeat(lo, emit) + (np.arange(total)
+                                      - np.repeat(cum0, emit))
         l_take = pa.array(left_idx_sorted[rep])
-        r_take = pa.array(right_idx_sorted[ridx])
+        if how == "left":
+            unmatched = np.repeat(counts == 0, emit)
+            safe = np.where(unmatched, 0, ridx)
+            r_take = pa.array(
+                right_idx_sorted[safe] if len(right_idx_sorted)
+                else np.zeros(total, np.int64), mask=unmatched)
+        else:
+            r_take = pa.array(right_idx_sorted[ridx])
         cols = {key: batch[key].take(l_take)}
         for c in left_cols:
             cols[c] = batch[c].take(l_take)

@@ -420,6 +420,72 @@ def repetition_table(batch: pa.Table, text_col: str = "text",
     })
 
 
+def heavy_hitters(ds, support_num: int, support_den: int,
+                  text_col: str = "text"):
+    """EXACT frequent tokens (count >= support_num/support_den of the
+    total token stream) in two streaming passes and NO all-to-all —
+    the heavy-hitter shape for vocabularies too large to groupby-shuffle:
+
+    1. Candidates: per block, keep tokens whose BLOCK frequency meets
+       the support threshold. Pigeonhole guarantee: a token at >= s of
+       the global stream is at >= s of at least one block's stream
+       (if it were below s everywhere, the sum would be below s), so
+       the union over blocks is a superset of the answer, bounded by
+       den/num entries per block. The same pass emits one sentinel row
+       per block carrying the block's token total (token=NULL), so the
+       global N needs no extra pass.
+    2. Exact recount: broadcast the candidate array (tiny by the bound
+       above), count ONLY candidates per block, merge the partial
+       counts on the driver and apply the exact integer threshold
+       cnt * den >= num * N.
+
+    Returns a pandas DataFrame (token, cnt), exact. Counts use the
+    same whitespace tokenization as the rest of the text family."""
+    import ray
+
+    import pandas as pd
+
+    num, den = int(support_num), int(support_den)
+
+    def block_counts(batch: pa.Table, only=None) -> "pd.Series":
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch[text_col]))
+        s = toks.to_pandas()
+        s = s[s != ""]
+        if only is not None:
+            s = s[s.isin(only)]
+        return s.value_counts()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vc = block_counts(batch)
+        total = int(vc.sum())
+        keep = vc[vc * den >= num * total]
+        return pa.table({
+            "token": pa.array(list(keep.index) + [None], pa.string()),
+            "n": pa.array(list(keep.to_numpy()) + [total], pa.int64()),
+        })
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    mask = pc.is_valid(parts["token"]).to_numpy(zero_copy_only=False)
+    n_total = int(parts["n"].to_numpy()[~mask].sum())
+    cand = pd.unique(parts["token"].to_pandas()[mask])
+    cand_ref = ray.put(set(cand))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vc = block_counts(batch, only=ray.get(cand_ref))
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    partials = pa.concat_tables(list(
+        ds.map_batches(recount, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    merged = (partials.to_pandas().groupby("token", as_index=False)["cnt"]
+              .sum())
+    out = merged[merged["cnt"] * den >= num * n_total]
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def collect_eval_gram_hashes(eval_ds, text_col: str = "text",
                              k: int = 5) -> np.ndarray:
     """Distinct md5-64 word-``k``-gram hashes of an EVAL/benchmark

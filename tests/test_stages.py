@@ -667,3 +667,69 @@ ray.shutdown()
     got = json.loads(line[len("RESULT "):])
     assert got["hash"] == got["groups"]
     assert len(got["groups"]["semi"]) + len(got["groups"]["anti"]) == 120
+
+
+def test_equi_join_left_outer_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.relational import equi_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 25, 80),
+                         "lv": rng.integers(0, 100, 80)})
+    right = pd.DataFrame({"k": rng.integers(15, 40, 60),
+                          "rv": rng.integers(0, 100, 60)})
+    got = equi_join(ray.data.from_pandas(left).repartition(3),
+                    ray.data.from_pandas(right).repartition(2),
+                    "k", ["lv"], ["rv"], how="left").to_pandas()
+    want = left.merge(right, on="k", how="left")
+    g = (got.fillna({"rv": -1}).astype({"rv": "int64"})
+         .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    w = (want.fillna({"rv": -1}).astype({"rv": "int64"})
+         [["k", "lv", "rv"]].sort_values(["k", "lv", "rv"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_equi_join_left_outer_null_keys(ray_session):
+    """NULL keys never match but survive a LEFT join (SQL semantics)."""
+    import ray
+
+    from frontera_ray.stages.relational import equi_join
+
+    left = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                     "lv": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"k": pa.array([1, None], pa.int64()),
+                      "rv": pa.array([100, 200], pa.int64())})
+    out = (equi_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     "k", ["lv"], ["rv"], how="left").to_pandas()
+           .sort_values("lv").reset_index(drop=True))
+    assert out["lv"].tolist() == [10, 20, 30]
+    assert out["rv"].fillna(-1).tolist() == [100, -1, -1]
+
+
+def test_heavy_hitters_matches_brute(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from frontera_ray.stages.text import heavy_hitters
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(50)]
+    # Zipf-ish skew so a strict subset passes the threshold
+    probs = 1.0 / np.arange(1, 51)
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=40, p=probs))
+             for _ in range(200)]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(6)
+    num, den = 2, 100  # 2% support
+    got = heavy_hitters(ds, num, den)
+    cnt = Counter(w for t in texts for w in t.split())
+    n = sum(cnt.values())
+    want = sorted((w, c) for w, c in cnt.items() if c * den >= num * n)
+    assert 0 < len(want) < 50
+    assert list(map(tuple, got[["token", "cnt"]].itertuples(index=False))) \
+        == want
