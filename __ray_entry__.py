@@ -901,6 +901,21 @@ def q_dedup_keepers(sf_dir: str):
     return keeper_table(ds, pairs)
 
 
+def q_dedup_keepers_cc(sf_dir: str):
+    """Same keep-list as `dedup_keepers`, but the pair-graph reduction
+    runs as DISTRIBUTED connected components (iterative min-label
+    propagation — equi-join + groupby-min per step) instead of driver
+    union-find: the scale path when the pair stream itself is too
+    large to walk sequentially. Shares the recursive min-label SQL
+    oracle with `dedup_keepers`."""
+    from frontera_ray.stages.dedup import (keeper_table_cc,
+                                           minhash_neardup_pairs)
+
+    ds = _read(sf_dir, "documents")
+    pairs = minhash_neardup_pairs(ds, threshold=0.5)
+    return keeper_table_cc(ds, pairs)
+
+
 def q_simhash(sf_dir: str):
     from frontera_ray.stages.text import simhash_table
 
@@ -1299,6 +1314,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
     "orders_left_join": q_orders_left_join,
+    "dedup_keepers_cc": q_dedup_keepers_cc,
 }
 
 
@@ -1913,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_neardup_oracle(),
         "minhash_neardup": _minhash_oracle(),
         "dedup_keepers": _dedup_keepers_oracle(),
+        "dedup_keepers_cc": _dedup_keepers_oracle(),
         "incremental_dedup": """
             SELECT d.doc_id, md5(d.text) AS text_md5
             FROM documents d

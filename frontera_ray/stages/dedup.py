@@ -571,6 +571,139 @@ def keeper_table(ds, pair_table: pa.Table, id_col: str = "doc_id"):
         lookup, batch_format="pyarrow")
 
 
+def connected_components(pairs_ds, max_iters: int = 50,
+                         exchange: str = "groups"):
+    """Fully distributed connected components over a pair Dataset
+    (a, b): iterative min-label propagation. Every step is Dataset
+    algebra — an equi-join of the edge list against the current labels
+    plus a groupby-min — so the pair graph never single-threads
+    through driver Python (the union-find in ``dedup_keepers`` walks
+    every pair sequentially on the driver; fine for result-sized pair
+    lists, a wall when the pair stream itself is huge). Labels only
+    decrease, so the integer label sum is a monotone convergence
+    witness; iterations needed = component diameter (near-dup clusters
+    are shallow). Returns a (node, label) Dataset, label = component
+    minimum — the keeper id.
+
+    Two wedge/latency mitigations, both also the right shapes at scale:
+    each pair BLOCK first collapses through a local union-find combiner
+    (star edges — component diameter drops to ~2 regardless of chain
+    length, so the global loop converges in a couple of rounds instead
+    of diameter-many), and the convergence witness (the monotone label
+    sum) is read off the already-materialized result-sized label blocks
+    on the driver instead of spending an extra Aggregate execution per
+    round (Ray 2.49 wedges occasionally on tiny repeated all-to-alls in
+    small sessions — COVERAGE.md).
+
+    Reference semantics: the same fixpoint as the recursive min-label
+    SQL oracle (`_dedup_keepers_oracle`)."""
+    import ray  # noqa: F401  (Dataset API only)
+
+    from .relational import equi_join
+
+    def local_star(batch: pa.Table) -> pa.Table:
+        # block-local union-find combiner: emit (node, root) star edges,
+        # symmetric so min-labels flow both ways in the global loop
+        roots = dedup_keepers(None, zip(batch["a"].to_numpy(),
+                                        batch["b"].to_numpy()))
+        n = np.fromiter(roots, dtype=np.int64, count=len(roots))
+        r = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
+        return pa.table({
+            "src": pa.array(np.concatenate([n, r]), pa.int64()),
+            "dst": pa.array(np.concatenate([r, n]), pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(local_star,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray as _ray
+        return _ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+
+    def driver_sum(lbl_ds) -> int:
+        # labels are pair-scoped (result-sized); summing the
+        # materialized blocks driver-side avoids one all-to-all/round
+        return sum(int(b["label"].to_numpy().sum()) for b in
+                   lbl_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if len(b))
+
+    def fold_min(batch: pa.Table, src_col: str, min_col: str) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        m = batch[min_col].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(s, pa.int64()),
+                         "label": pa.array(np.minimum(s, m), pa.int64())})
+
+    # iteration 1 folded into init: label = min(self, neighbors)
+    labels = edges.groupby("src").min("dst").map_batches(
+        lambda b: fold_min(b, "src", "min(dst)"),
+        batch_format="pyarrow").materialize()
+    total = driver_sum(labels)
+
+    for _ in range(max_iters):
+        joined = equi_join(
+            edges, labels.map_batches(
+                lambda b: b.rename_columns(["src", "label"]),
+                batch_format="pyarrow"),
+            "src", ["dst"], ["label"], exchange=exchange)
+        cand = joined.map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow").union(labels)
+        # pin the label block count: union+groupby otherwise double the
+        # block count every round (task overhead grows exponentially
+        # with iteration depth); labels are result-sized so a fixed
+        # small partition count is always right
+        labels = cand.groupby("node").min("label").map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "label": b["min(label)"]}),
+            batch_format="pyarrow").repartition(8).materialize()
+        new_total = driver_sum(labels)
+        if new_total == total:
+            return labels
+        total = new_total
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations")
+
+
+def keeper_table_cc(ds, pair_table: pa.Table, id_col: str = "doc_id"):
+    """``keeper_table`` with the pair-graph reduction running as
+    distributed connected components instead of driver union-find —
+    the scale path when the PAIR list itself is too large to walk
+    sequentially. The converged (node, label) table is result-sized by
+    construction, so broadcasting it for the corpus-wide lookup keeps
+    the same contract as ``keeper_table``."""
+    import ray
+
+    labels = connected_components(ray.data.from_arrow(pair_table))
+    lt = pa.concat_tables(list(labels.iter_batches(
+        batch_format="pyarrow", batch_size=None))) if labels.count() \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "label": pa.array([], pa.int64())})
+    nodes = lt["node"].to_numpy().astype(np.int64)
+    labs = lt["label"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    keys, vals = nodes[order], labs[order]
+    map_ref = ray.put((keys, vals))
+    cache: dict = {}
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        if "m" not in cache:
+            cache["m"] = ray.get(map_ref)
+        keys_, vals_ = cache["m"]
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        keeper = ids.copy()
+        if len(keys_):
+            pos = np.searchsorted(keys_, ids)
+            pos_c = np.minimum(pos, len(keys_) - 1)
+            hit = keys_[pos_c] == ids
+            keeper[hit] = vals_[pos_c[hit]]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "keeper_doc_id": pa.array(keeper, pa.int64())})
+
+    return ds.select_columns([id_col]).map_batches(
+        lookup, batch_format="pyarrow")
+
+
 def _simhash_block_rows(batch: pa.Table, blocks: int) -> pa.Table:
     """(doc_id, simhash) -> one row per bit-block: (doc_id, simhash,
     bucket_key) where bucket_key = blk*2^48 + block code. 64 bits are

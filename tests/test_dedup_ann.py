@@ -539,3 +539,47 @@ def test_image_keeper_table_matches_brute_components(ray_session):
     assert len(got) == len(urls)
     assert sum(1 for u in want if want[u] != u) > 50   # real merges happened
     assert got == want
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.dedup import connected_components, dedup_keepers
+
+    rng = np.random.default_rng(9)
+    # random sparse graph + an explicit depth-12 chain (forces several
+    # propagation iterations) + an isolated pair
+    pairs = [(int(a), int(b)) for a, b in
+             rng.integers(0, 60, size=(40, 2)) if a != b]
+    pairs += [(100 + i, 101 + i) for i in range(12)]
+    pairs += [(500, 501)]
+    pt = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                   "b": pa.array([p[1] for p in pairs], pa.int64())})
+    labels = connected_components(ray.data.from_arrow(pt).repartition(3))
+    got = {int(r["node"]): int(r["label"])
+           for r in labels.to_pandas().to_dict("records")}
+    want = dedup_keepers(None, pairs)
+    assert got == want
+    # chain collapsed to its minimum
+    assert all(got[100 + i] == 100 for i in range(13))
+
+
+def test_keeper_table_cc_matches_keeper_table(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.dedup import keeper_table, keeper_table_cc
+
+    ids = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+    pt = pa.table({"a": pa.array([1, 2, 10], pa.int64()),
+                   "b": pa.array([2, 3, 11], pa.int64())})
+    ds = ray.data.from_arrow(ids)
+    a = keeper_table(ds, pt).to_pandas().sort_values("doc_id")
+    b = keeper_table_cc(ds, pt).to_pandas().sort_values("doc_id")
+    assert a["keeper_doc_id"].tolist() == b["keeper_doc_id"].tolist()
+    # empty pair list: identity mapping
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    c = keeper_table_cc(ds, empty).to_pandas()
+    assert (c["doc_id"] == c["keeper_doc_id"]).all()
