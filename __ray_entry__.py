@@ -1204,6 +1204,24 @@ def q_pack_sequences(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+_PRICE_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT discrete quantiles of a CONTINUOUS column (o_totalprice)
+    with no sort shuffle: per-block (count,min,max) + equi-width
+    histogram partials locate each rank's bin, one filter pass
+    collects only the target bins (~n/4096 values each), skewed bins
+    recurse. Complements the bounded-domain histogram combine of
+    `quantity_quantiles`."""
+    import pandas as pd
+    from frontera_ray.stages.relational import quantile_unbounded
+
+    ds = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+    res = quantile_unbounded(ds, "o_totalprice", list(_PRICE_QS))
+    return pd.DataFrame([{f"p{int(q * 100)}": res[q] for q in _PRICE_QS}])
+
+
 _HH_NUM, _HH_DEN = 330, 10000  # 3.3% support — splits this vocabulary
 
 
@@ -1315,6 +1333,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitters": q_heavy_hitters,
     "orders_left_join": q_orders_left_join,
     "dedup_keepers_cc": q_dedup_keepers_cc,
+    "price_quantiles": q_price_quantiles,
 }
 
 
@@ -1987,6 +2006,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_grams, 0) AS n_grams,
                    COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
             FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        "price_quantiles": """
+            SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+                   quantile_disc(o_totalprice, 0.50) AS p50,
+                   quantile_disc(o_totalprice, 0.90) AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99
+            FROM orders""",
         "heavy_hitters": r"""
             WITH tok AS (SELECT UNNEST(regexp_extract_all(text, '\S+'))
                                 AS token FROM documents),

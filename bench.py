@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "curate", "quantity_quantiles", "distinct_users", "priority_revenue",
     "incremental_dedup", "active_customers", "hash_split", "pii_redact",
     "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
-    "orders_left_join", "dedup_keepers_cc",
+    "orders_left_join", "dedup_keepers_cc", "price_quantiles",
 ]
 
 CRAWL_HOSTS = 8192

@@ -402,6 +402,127 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
     return keyed_exchange(ds, key_col, join_block, exchange)
 
 
+def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
+                       collect_cap: int = 1 << 16,
+                       max_depth: int = 8) -> dict:
+    """EXACT discrete quantiles (PERCENTILE_DISC semantics: the element
+    at 1-based rank ceil(q*n)) of a CONTINUOUS / unbounded column —
+    no sort shuffle, no bounded-domain assumption (that case is
+    ``grouped_quantile_disc``'s histogram combine):
+
+    - pass A: per-block (count, min, max) partials, driver merge;
+    - pass B: per-block equi-width histogram (one np.bincount), driver
+      merge; the cumulative histogram locates each target rank's bin;
+    - pass C: ONE filter pass collects the handful of target bins
+      (expected n/bins values each); the exact rank is read off the
+      sorted collected values.
+
+    A bin holding more than ``collect_cap`` values (heavy value skew)
+    recurses: re-histogram INSIDE that bin's range instead of
+    collecting it; a bin whose float range collapses to a point is a
+    run of duplicates and answers immediately. Deterministic and
+    exact, so it oracle-checks against DuckDB quantile_disc.
+
+    Returns {q: value}."""
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf], pa.float64()),
+                             "hi": pa.array([-np.inf], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+        + [stats_partial(pa.table({col: pa.array([], pa.float64())}))])
+    n = int(parts["n"].to_numpy().sum())
+    if n == 0:
+        return {q: None for q in qs}
+    lo = float(parts["lo"].to_numpy().min())
+    hi = float(parts["hi"].to_numpy().max())
+    import math
+
+    # DuckDB quantile_disc rank = ceil(q*n), with the same epsilon
+    # guard as grouped_quantile_disc (q*n can land 1 ulp above an
+    # integer in IEEE doubles); verified against DuckDB for n in
+    # {2,3,4,10,1500} x q in {.25,.5,.75,.9,.99}
+    ranks = {q: max(1, int(math.ceil(q * n - 1e-9))) for q in qs}
+
+    def rank_in_range(r_lo: float, r_hi: float, ks: dict,
+                      depth: int) -> dict:
+        """ks: {q: rank within values of [r_lo, r_hi]} -> {q: value}."""
+        if r_lo == r_hi:
+            return {q: r_lo for q in ks}
+        width = (r_hi - r_lo) / bins
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[(v >= r_lo) & (v <= r_hi)]
+            idx = np.minimum((v - r_lo) / width, bins - 1).astype(np.int64)
+            return pa.table({"h": pa.array(
+                np.bincount(idx, minlength=bins).astype(np.int64),
+                pa.int64())})
+
+        hp = pa.concat_tables(list(
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        hist = hp["h"].to_numpy().reshape(-1, bins).sum(axis=0)
+        cum = np.cumsum(hist)
+        # bin index per target rank + ranks remaining inside the bin
+        per_bin: dict[int, dict] = {}
+        for q, k in ks.items():
+            b = int(np.searchsorted(cum, k))
+            prev = int(cum[b - 1]) if b else 0
+            per_bin.setdefault(b, {})[q] = k - prev
+        out: dict = {}
+        small = {b: sub for b, sub in per_bin.items()
+                 if hist[b] <= collect_cap or depth >= max_depth}
+        if small:
+            ivals = {b: (r_lo + b * width,
+                         r_hi if b == bins - 1 else r_lo + (b + 1) * width)
+                     for b in small}
+
+            def collect(batch: pa.Table) -> pa.Table:
+                v = batch[col].to_numpy(zero_copy_only=False).astype(
+                    np.float64)
+                keep = np.zeros(len(v), dtype=bool)
+                for b, (blo, bhi) in ivals.items():
+                    inb = (v >= blo) & ((v < bhi) | ((b == bins - 1)
+                                                     & (v <= r_hi)))
+                    keep |= inb
+                return pa.table({"v": pa.array(v[keep], pa.float64())})
+
+            vals = np.sort(np.concatenate([
+                t["v"].to_numpy() for t in
+                ds.map_batches(collect, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)]
+                + [np.zeros(0)]))
+            for b, sub in small.items():
+                blo, bhi = ivals[b]
+                right_open = b < bins - 1
+                inb = vals[(vals >= blo)
+                           & ((vals < bhi) if right_open else (vals <= bhi))]
+                for q, kk in sub.items():
+                    out[q] = float(inb[kk - 1])
+        for b, sub in per_bin.items():
+            if b in small:
+                continue
+            blo = r_lo + b * width
+            bhi = r_hi if b == bins - 1 else np.nextafter(
+                r_lo + (b + 1) * width, -np.inf)
+            out.update(rank_in_range(blo, bhi, sub, depth + 1))
+        return out
+
+    resolved = rank_in_range(lo, hi, ranks, 0)
+    return {q: resolved[q] for q in qs}
+
+
 def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
               exchange: str = "groups", how: str = "inner"):
     """Large-large inner equi-join: BOTH sides move through one keyed

@@ -733,3 +733,27 @@ def test_heavy_hitters_matches_brute(ray_session):
     assert 0 < len(want) < 50
     assert list(map(tuple, got[["token", "cnt"]].itertuples(index=False))) \
         == want
+
+
+def test_quantile_unbounded_exact_and_skewed(ray_session):
+    import ray
+
+    from frontera_ray.stages.relational import quantile_unbounded
+
+    rng = np.random.default_rng(4)
+    # continuous values + a massive duplicate run (1/3 of the data is
+    # the same value -> its histogram bin exceeds collect_cap and the
+    # point-range short-circuit answers it)
+    vals = np.concatenate([rng.uniform(0, 1000, 4000),
+                           np.full(2000, 123.456)])
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(vals, pa.float64())})).repartition(5)
+    qs = [0.1, 0.25, 0.5, 0.9]
+    got = quantile_unbounded(ds, "v", qs, bins=64, collect_cap=100)
+    s = np.sort(vals)
+    for q in qs:
+        want = float(s[int(np.ceil(q * len(s) - 1e-9)) - 1])
+        assert got[q] == want, (q, got[q], want)
+    # empty input
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert quantile_unbounded(empty, "v", [0.5]) == {0.5: None}
