@@ -1222,6 +1222,20 @@ def q_price_quantiles(sf_dir: str):
     return pd.DataFrame([{f"p{int(q * 100)}": res[q] for q in _PRICE_QS}])
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style quality filter: per-doc mean unigram log-prob under
+    the corpus's own unigram LM (integer micro-units so the SQL oracle
+    hashes exactly) + a keep flag. One explode pass feeds both the
+    corpus count aggregate and — broadcast back — the streaming
+    per-doc scoring."""
+    from frontera_ray.stages.text import unigram_logprob
+
+    out = unigram_logprob(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _HH_NUM, _HH_DEN = 330, 10000  # 3.3% support — splits this vocabulary
 
 
@@ -1334,6 +1348,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_left_join": q_orders_left_join,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
@@ -2006,6 +2021,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_grams, 0) AS n_grams,
                    COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
             FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        "unigram_logprob": r"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+            cnt AS (SELECT token, SUM(tf)::BIGINT AS c FROM tf
+                    GROUP BY token),
+            lp AS (SELECT token,
+                          CAST(round(ln(c / (SELECT SUM(c)::DOUBLE FROM cnt))
+                                     * 1000000) AS BIGINT) AS lp_micro
+                   FROM cnt)
+            SELECT tf.doc_id,
+                   SUM(tf.tf)::BIGINT AS n_tokens,
+                   SUM(tf.tf * lp.lp_micro)::BIGINT AS logprob_micro,
+                   SUM(tf.tf * lp.lp_micro)
+                     >= SUM(tf.tf) * -3405000 AS keep
+            FROM tf JOIN lp USING (token)
+            GROUP BY tf.doc_id ORDER BY tf.doc_id""",
         "price_quantiles": """
             SELECT quantile_disc(o_totalprice, 0.25) AS p25,
                    quantile_disc(o_totalprice, 0.50) AS p50,

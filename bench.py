@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "incremental_dedup", "active_customers", "hash_split", "pii_redact",
     "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
     "orders_left_join", "dedup_keepers_cc", "price_quantiles",
+    "unigram_logprob",
 ]
 
 CRAWL_HOSTS = 8192

@@ -545,3 +545,79 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # vectorized popcount via byte view
     bytes_ = x.view(np.uint8).reshape(len(x), 8) if len(x) else x.view(np.uint8)
     return np.unpackbits(bytes_, axis=1).sum(axis=1) if len(x) else np.zeros(0, int)
+
+
+def unigram_logprob(ds, cut_micro: int = -3_405_000):
+    """CCNet-style corpus-statistics quality scoring: each document's
+    mean unigram log-probability under the corpus's OWN unigram LM,
+    plus a keep flag (``mean token logprob >= cut_micro/1e6``) — the
+    standard perplexity-bucket filter of LLM-data pipelines, with the
+    corpus itself standing in for the external LM (no model files in
+    this sandbox; swapping in pretrained counts is a broadcast-table
+    change).
+
+    Distributed shape (two streaming passes over ONE materialized
+    explode, mirroring ``tfidf_top_terms``):
+
+    - ``term_freq_table`` explode, pinned so the count aggregate and
+      the scoring pass share one execution;
+    - corpus term counts = ``groupby('token').sum('tf')`` (vocabulary-
+      sized result), turned into integer micro-unit log-probs
+      ``round(ln(count/total)*1e6)`` on the driver and broadcast with
+      ``ray.put`` + a per-worker cached pandas index;
+    - a streaming scoring pass: vectorized token->lp lookup, per-doc
+      sums via run-aware ``np.add.reduceat`` (docs are whole within
+      blocks by construction of the explode).
+
+    Integer micro-units make the doc score an INTEGER sum — exactly
+    reproducible in SQL regardless of float summation order; ln() is
+    the only float op and it is per-VOCAB-ENTRY, not per-row. Docs
+    with zero tokens have no unigram evidence and are absent from the
+    output (both sides of the oracle scope to docs with >=1 token).
+
+    Returns a streaming Dataset (doc_id, n_tokens, logprob_micro,
+    keep)."""
+    import ray
+
+    import pandas as pd
+
+    tf = ds.map_batches(term_freq_table, batch_format="pyarrow").materialize()
+    cnt_tbl = pa.concat_tables(
+        list(tf.groupby("token").sum("tf")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    cnts = cnt_tbl["sum(tf)"].to_numpy().astype(np.int64)
+    total = int(cnts.sum())
+    lp_micro = np.round(np.log(cnts / total) * 1e6).astype(np.int64)
+    vocab_ref = ray.put(pa.table({"token": cnt_tbl["token"],
+                                  "lp": pa.array(lp_micro, pa.int64())}))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "logprob_micro": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        key = vocab_ref.hex()
+        if key not in cache:
+            vocab = ray.get(vocab_ref)
+            cache[key] = (pd.Index(vocab["token"].to_pandas()),
+                          vocab["lp"].to_numpy())
+        index, lps = cache[key]
+        lp = lps[index.get_indexer(batch["token"].to_pandas())]
+        tfv = batch["tf"].to_numpy()
+        doc = batch["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        d_s, tf_s, lp_s = doc[order], tfv[order], lp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        n_tok = np.add.reduceat(tf_s, starts)
+        lp_sum = np.add.reduceat(tf_s * lp_s, starts)
+        return pa.table({
+            "doc_id": pa.array(d_s[starts], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "logprob_micro": pa.array(lp_sum, pa.int64()),
+            "keep": pa.array(lp_sum >= n_tok * cut_micro, pa.bool_()),
+        })
+
+    return tf.map_batches(score, batch_format="pyarrow", batch_size=None)

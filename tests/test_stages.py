@@ -757,3 +757,44 @@ def test_quantile_unbounded_exact_and_skewed(ray_session):
     # empty input
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert quantile_unbounded(empty, "v", [0.5]) == {0.5: None}
+
+
+def test_unigram_logprob_matches_brute(ray_session):
+    import ray
+
+    from frontera_ray.stages.text import unigram_logprob
+
+    docs = {
+        1: "the the the cat",          # common tokens -> high logprob
+        2: "zyx qwv jkl mnb",          # singletons -> low logprob
+        3: "the cat sat",
+        4: "",                          # zero tokens -> absent from output
+        5: "the the",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })).repartition(2)
+    got = unigram_logprob(ds, cut_micro=-2_000_000).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute oracle
+    from collections import Counter
+    tf = {d: Counter(t.split()) for d, t in docs.items() if t.split()}
+    corpus = Counter()
+    for c in tf.values():
+        corpus.update(c)
+    total = sum(corpus.values())
+    lp = {t: int(np.round(np.log(n / total) * 1e6))
+          for t, n in corpus.items()}
+    assert list(got["doc_id"]) == sorted(tf)
+    for _, row in got.iterrows():
+        c = tf[row["doc_id"]]
+        n = sum(c.values())
+        s = sum(k * lp[t] for t, k in c.items())
+        assert row["n_tokens"] == n
+        assert row["logprob_micro"] == s
+        assert row["keep"] == (s >= n * -2_000_000)
+    # the cutoff actually splits: doc 2 dropped, doc 5 kept
+    keeps = dict(zip(got["doc_id"], got["keep"]))
+    assert not keeps[2] and keeps[5] and keeps[1]
