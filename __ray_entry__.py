@@ -1222,6 +1222,61 @@ def q_price_quantiles(sf_dir: str):
     return pd.DataFrame([{f"p{int(q * 100)}": res[q] for q in _PRICE_QS}])
 
 
+def _high_value_orders(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_orderkey", "o_totalprice"])
+            .map_batches(lambda b: b.filter(
+                _pc.greater(b["o_totalprice"], 480000.0))
+                .rename_columns(["l_orderkey", "o_totalprice"]),
+                batch_format="pyarrow"))
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join: lineitem rows of high-value
+    orders (~4% selective right side). The right side's Bloom filter
+    (16 KiB) broadcasts; ~96% of lineitem is dropped WITHOUT any
+    shuffle; only candidates enter the exact confirm exchange."""
+    from frontera_ray.stages.relational import bloom_semi_join
+
+    left = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = bloom_semi_join(left, _high_value_orders(sf_dir), "l_orderkey",
+                          ["l_linenumber", "l_quantity"],
+                          m_bits=1 << 17).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """Bloom-split EXACT anti join (NOT EXISTS): bloom-absent lineitem
+    rows stream straight to the output (definitive non-matches, no
+    exchange); only the ~4% candidates go through the exact anti
+    confirm. Result is aggregated per returnflag so the output stays
+    tiny while the whole corpus flows through the union."""
+    from frontera_ray.stages.relational import bloom_semi_join
+
+    left = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = bloom_semi_join(left, _high_value_orders(sf_dir), "l_orderkey",
+                          ["l_linenumber", "l_quantity"], anti=True,
+                          m_bits=1 << 17)
+    agg = pa.concat_tables(list(
+        out.map_batches(lambda b: pa.table({
+            "n_rows": pa.array([len(b)], pa.int64()),
+            "sum_qty": pa.array(
+                [0.0 if len(b) == 0 else
+                 float(pc.sum(b["l_quantity"]).as_py())], pa.float64()),
+        }), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    import pandas as pd
+    return pd.DataFrame([{
+        "n_rows": int(agg["n_rows"].to_numpy().sum()),
+        "sum_qty": int(round(agg["sum_qty"].to_numpy().sum())),
+    }])
+
+
 def q_unigram_logprob(sf_dir: str):
     """CCNet-style quality filter: per-doc mean unigram log-prob under
     the corpus's own unigram LM (integer micro-units so the SQL oracle
@@ -1349,6 +1404,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
+    "bloom_semi_join": q_bloom_semi_join,
+    "bloom_anti_join": q_bloom_anti_join,
 }
 
 
@@ -2021,6 +2078,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_grams, 0) AS n_grams,
                    COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
             FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_totalprice > 480000)
+            ORDER BY l_orderkey, l_linenumber""",
+        "bloom_anti_join": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey
+                                AND o.o_totalprice > 480000)""",
         "unigram_logprob": r"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS tf

@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "incremental_dedup", "active_customers", "hash_split", "pii_redact",
     "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
     "orders_left_join", "dedup_keepers_cc", "price_quantiles",
-    "unigram_logprob",
+    "unigram_logprob", "bloom_semi_join", "bloom_anti_join",
 ]
 
 CRAWL_HOSTS = 8192

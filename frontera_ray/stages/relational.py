@@ -818,3 +818,123 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
         )
 
     return keyed_exchange(ds, user_col, sess_block, exchange)
+
+
+def _key_hash64(arr) -> np.ndarray:
+    """Deterministic 64-bit hash per key for bloom indexing. Integer
+    keys: splitmix64 finalizer, fully vectorized. String keys: md5 top
+    8 bytes (per-row, but bloom builds hash each key once per block).
+    Null positions return 0 — callers mask them out first."""
+    if pa.types.is_integer(arr.type):
+        x = pc.fill_null(arr.cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+    import hashlib
+    vals = arr.to_pylist()
+    return np.fromiter(
+        (0 if v is None else
+         int.from_bytes(hashlib.md5(str(v).encode("utf8")).digest()[:8],
+                        "big") for v in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k_hashes: int):
+    """k double-hashed bit positions per key (h1 + i*h2 mod m; h2 odd
+    so a power-of-two m is fully covered). Yields one position array
+    per hash to keep peak memory O(n), not O(n*k)."""
+    h1 = h % np.uint64(m_bits)
+    h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(m_bits)
+    for i in range(k_hashes):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def build_bloom(ds, key: str, m_bits: int = 1 << 20,
+                k_hashes: int = 5) -> np.ndarray:
+    """Distributed Bloom filter over a key column: each block sets its
+    keys' bits into a local m-bit word array (one `np.bitwise_or.at`
+    per hash), the driver ORs the per-block partials — m/8 bytes move
+    per block, never the keys. m=2^20 is 128 KiB; size m ~ 10-15 bits
+    per expected distinct key for ~1% false positives."""
+    assert m_bits % 64 == 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, np.uint64)
+        col = batch[key]
+        if len(col):
+            col = col.combine_chunks() if hasattr(col, "combine_chunks") \
+                else col
+            col = col.filter(pc.is_valid(col)) if col.null_count else col
+            h = _key_hash64(col)
+            for pos in _bloom_positions(h, m_bits, k_hashes):
+                np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(
+                    np.int64), np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"w": pa.array(words.view(np.int64), pa.int64())})
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    for t in ds.select_columns([key]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        part = t["w"].to_numpy().view(np.uint64)
+        words |= np.bitwise_or.reduce(
+            part.reshape(-1, m_bits // 64), axis=0)
+    return words
+
+
+def bloom_semi_join(left_ds, right_ds, key: str, left_cols,
+                    anti: bool = False, m_bits: int = 1 << 20,
+                    k_hashes: int = 5, exchange: str = "groups"):
+    """EXACT semi/anti join with a Bloom prefilter — the standard
+    100-TB exchange reducer: when the right side's distinct keys are
+    too many to broadcast raw but their Bloom filter fits (10^9 keys
+    ~= 1.2 GiB at 1% fp), broadcast the filter, drop definite
+    non-matches from the left WITHOUT any shuffle, and run the exact
+    ``semi_anti_join`` exchange only over the surviving candidates.
+
+    - semi: bloom 'absent' is definitive -> only candidates (true
+      matches + ~fp-rate false positives) enter the exchange;
+    - anti: bloom-absent left rows (and NULL keys, which never match)
+      are emitted immediately as a streaming definite-keep Dataset,
+      and only candidates go through the exact anti confirm; the
+      result is their union.
+
+    False positives are removed by the exact confirm, so output ==
+    SQL EXISTS / NOT EXISTS regardless of m/k. Left payload through
+    the all-to-all shrinks by the left's non-matching fraction
+    (e.g. a 1%-selective right side cuts ~99% of left bytes)."""
+    import ray
+
+    words_ref = ray.put(build_bloom(right_ds, key, m_bits, k_hashes))
+    cache: dict = {}
+
+    def might_match(batch: pa.Table) -> np.ndarray:
+        wkey = words_ref.hex()
+        if wkey not in cache:
+            cache[wkey] = ray.get(words_ref)
+        words = cache[wkey]
+        valid = pc.is_valid(batch[key]).to_numpy(zero_copy_only=False)
+        h = _key_hash64(batch[key])
+        hit = valid.copy()
+        for pos in _bloom_positions(h, m_bits, k_hashes):
+            hit &= ((words[(pos >> np.uint64(6)).astype(np.int64)]
+                     >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return hit
+
+    cols = [key] + list(left_cols)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).filter(pa.array(might_match(batch)))
+
+    cand = left_ds.map_batches(candidates, batch_format="pyarrow")
+    confirmed = semi_anti_join(cand, right_ds, key, list(left_cols),
+                               anti=anti, exchange=exchange)
+    if not anti:
+        return confirmed
+
+    def definite(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).filter(pa.array(~might_match(batch)))
+
+    return left_ds.map_batches(definite, batch_format="pyarrow") \
+        .union(confirmed)

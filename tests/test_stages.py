@@ -798,3 +798,60 @@ def test_unigram_logprob_matches_brute(ray_session):
     # the cutoff actually splits: doc 2 dropped, doc 5 kept
     keeps = dict(zip(got["doc_id"], got["keep"]))
     assert not keeps[2] and keeps[5] and keeps[1]
+
+
+def test_bloom_semi_anti_join_exact_under_false_positives(ray_session):
+    import ray
+
+    from frontera_ray.stages.relational import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 500, 3000).astype(np.int64)
+    left = pa.table({
+        "k": pa.array(list(lk) + [None, None], pa.int64()),
+        "v": pa.array(np.arange(3002), pa.int64())})
+    rk = rng.choice(500, 20, replace=False).astype(np.int64)
+    right = pa.table({"k": pa.array(list(rk) + [None], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(3)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    match = np.isin(lk, rk)
+    # m_bits=64 with 500 distinct keys -> the filter saturates with
+    # false positives; the exact confirm must still remove them all
+    for m in (64, 1 << 16):
+        semi = bloom_semi_join(lds, rds, "k", ["v"], m_bits=m) \
+            .to_pandas().sort_values("v")
+        assert list(semi["v"]) == list(np.flatnonzero(match))
+        anti = bloom_semi_join(lds, rds, "k", ["v"], anti=True, m_bits=m) \
+            .to_pandas().sort_values("v")
+        # NULL keys never match -> anti keeps them
+        assert list(anti["v"]) == sorted(
+            list(np.flatnonzero(~match)) + [3000, 3001])
+
+
+def test_bloom_semi_join_string_keys_and_prefilter_rate(ray_session):
+    import ray
+
+    from frontera_ray.stages.relational import (bloom_semi_join,
+                                                build_bloom, _key_hash64,
+                                                _bloom_positions)
+
+    left = pa.table({"k": pa.array([f"u{i}" for i in range(2000)]),
+                     "v": pa.array(np.arange(2000), pa.int64())})
+    right = pa.table({"k": pa.array([f"u{i}" for i in range(0, 2000, 100)])})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right)
+    out = bloom_semi_join(lds, rds, "k", ["v"], m_bits=1 << 14) \
+        .to_pandas().sort_values("v")
+    assert list(out["v"]) == list(range(0, 2000, 100))
+
+    # prefilter quality: with 20 keys in 2^14 bits, non-members that
+    # pass the bloom (false positives) must be rare (< 2%)
+    words = build_bloom(rds, "k", m_bits=1 << 14, k_hashes=5)
+    h = _key_hash64(left["k"].combine_chunks())
+    hit = np.ones(2000, dtype=bool)
+    for pos in _bloom_positions(h, 1 << 14, 5):
+        hit &= ((words[(pos >> np.uint64(6)).astype(np.int64)]
+                 >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+    assert hit[::100].all()          # no false negatives, ever
+    assert hit.sum() <= 20 + 0.02 * 2000
