@@ -1277,6 +1277,30 @@ def q_bloom_anti_join(sf_dir: str):
     }])
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) of (l_orderkey,
+    l_partkey) pairs next to the exact answer: one streaming pass of
+    16 KiB register partials + driver max-merge vs a hash-shuffle
+    groupby count. Exact integer register arithmetic (md5-hash, power-
+    of-two register sum) makes even the ESTIMATE bit-reproducible by
+    the SQL oracle — both branches of the estimator are pure IEEE
+    expressions written identically on both sides."""
+    import pandas as pd
+    from frontera_ray.stages.sketches import hll_count_distinct
+
+    keyed = (_read(sf_dir, "lineitem")
+             .select_columns(["l_orderkey", "l_partkey"])
+             .map_batches(lambda b: pa.table({
+                 "v": pc.binary_join_element_wise(
+                     pc.cast(b["l_orderkey"], pa.string()),
+                     pc.cast(b["l_partkey"], pa.string()), "|")}),
+                 batch_format="pyarrow"))
+    est = hll_count_distinct(keyed, "v", p=14)
+    n_exact = keyed.groupby("v").count().count()
+    return pd.DataFrame([{"est_distinct": int(np.floor(est)),
+                          "n_exact": int(n_exact)}])
+
+
 def q_unigram_logprob(sf_dir: str):
     """CCNet-style quality filter: per-doc mean unigram log-prob under
     the corpus's own unigram LM (integer micro-units so the SQL oracle
@@ -1406,6 +1430,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_logprob": q_unigram_logprob,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
+    "hll_distinct": q_hll_distinct,
 }
 
 
@@ -2078,6 +2103,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.n_grams, 0) AS n_grams,
                    COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams
             FROM t LEFT JOIN tok USING (doc_id) LEFT JOIN g USING (doc_id)""",
+        # SQL twin of the HyperLogLog sketch itself: md5-top-8-byte
+        # hash, bucket = top 14 bits, rho via bin() string length
+        # (exact), register sum as HUGEINT of power-of-two terms, the
+        # SAME IEEE estimator expression as sketches.hll_estimate.
+        "hll_distinct": """
+            WITH k AS (SELECT CAST(l_orderkey AS VARCHAR) || '|'
+                              || CAST(l_partkey AS VARCHAR) AS v
+                       FROM lineitem),
+            b AS (SELECT (h // 1125899906842624)::BIGINT AS idx,
+                         (h % 1125899906842624)::BIGINT AS w
+                  FROM (SELECT ('0x' || substr(md5(v), 1, 16))::UBIGINT
+                               AS h FROM k)),
+            r AS (SELECT idx,
+                         MAX(CASE WHEN w = 0 THEN 51
+                                  ELSE 50 - length(bin(w)) + 1 END) AS rho
+                  FROM b GROUP BY idx),
+            agg AS (SELECT SUM(1::BIGINT << (51 - rho))::HUGEINT AS s_live,
+                           count(*)::BIGINT AS n_live FROM r),
+            est AS (SELECT (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0
+                           * 16384.0 * 2251799813685248.0
+                           / CAST(s_live + (16384 - n_live)::HUGEINT
+                                  * 2251799813685248 AS DOUBLE) AS raw,
+                           16384 - n_live AS v0
+                    FROM agg)
+            SELECT CAST(FLOOR(CASE WHEN raw <= 2.5 * 16384.0 AND v0 > 0
+                                   THEN 16384.0 * ln(16384.0 / v0)
+                                   ELSE raw END) AS BIGINT)
+                     AS est_distinct,
+                   (SELECT count(DISTINCT v) FROM k)::BIGINT AS n_exact
+            FROM est""",
         "bloom_semi_join": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem l

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
     "orders_left_join", "dedup_keepers_cc", "price_quantiles",
     "unigram_logprob", "bloom_semi_join", "bloom_anti_join",
+    "hll_distinct",
 ]
 
 CRAWL_HOSTS = 8192

@@ -855,3 +855,42 @@ def test_bloom_semi_join_string_keys_and_prefilter_rate(ray_session):
                  >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
     assert hit[::100].all()          # no false negatives, ever
     assert hit.sum() <= 20 + 0.02 * 2000
+
+
+def test_hll_sketch_accuracy_merge_and_branches(ray_session):
+    import ray
+
+    from frontera_ray.stages.sketches import (hll_count_distinct,
+                                              hll_estimate, hll_merge,
+                                              hll_partial, _md5_hash64)
+
+    # raw-branch regime: 120k distinct >> 2.5*m/alpha
+    vals = [f"k{i}" for i in range(120_000)] + \
+           [f"k{i}" for i in range(5_000)]          # duplicates ignored
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+    est = hll_count_distinct(ds, "v", p=14)
+    assert abs(est / 120_000 - 1) < 0.025           # ~3 sigma at p=14
+
+    # linear-counting branch: tiny cardinality is near-exact
+    small = ray.data.from_arrow(pa.table({
+        "v": pa.array([f"s{i % 200}" for i in range(1000)])}))
+    est_small = hll_count_distinct(small, "v", p=14)
+    assert abs(est_small - 200) <= 2
+
+    # merge associativity: sketch(A u B) == merge(sketch(A), sketch(B))
+    ha = _md5_hash64([f"k{i}" for i in range(0, 60_000)])
+    hb = _md5_hash64([f"k{i}" for i in range(40_000, 120_000)])
+    merged = hll_merge(np.stack([hll_partial(ha, 14), hll_partial(hb, 14)]))
+    whole = hll_partial(np.concatenate([ha, hb]), 14)
+    assert (merged == whole).all()
+    assert hll_estimate(merged) == hll_estimate(whole)
+
+    # vectorized fast-hash path over an integer column
+    ints = ray.data.from_arrow(pa.table({
+        "v": pa.array(np.arange(50_000, dtype=np.int64))})).repartition(4)
+    est_fast = hll_count_distinct(ints, "v", p=14, hash="fast")
+    assert abs(est_fast / 50_000 - 1) < 0.025
+
+    # empty input -> 0 (all registers empty, LC with V == m)
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    assert hll_count_distinct(empty, "v", p=14) == 0.0
