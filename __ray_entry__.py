@@ -1288,15 +1288,45 @@ def q_hll_distinct(sf_dir: str):
     import pandas as pd
     from frontera_ray.stages.sketches import hll_count_distinct
 
+    def build(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy()
+        pk = b["l_partkey"].to_numpy()
+        return pa.table({
+            "v": pc.binary_join_element_wise(
+                pc.cast(b["l_orderkey"], pa.string()),
+                pc.cast(b["l_partkey"], pa.string()), "|"),
+            # packed int64 twin of v ('|' makes the string bijective
+            # with the pair, so count-distinct agrees): the exact
+            # exchange ships 8-byte ints, not strings
+            "pk": pa.array(ok * (1 << 32) + pk, pa.int64()),
+        })
+
+    # materialized ONLY to share one read+build between the estimate
+    # and its exact companion; the 100-TB path runs the sketch alone,
+    # streaming
     keyed = (_read(sf_dir, "lineitem")
              .select_columns(["l_orderkey", "l_partkey"])
-             .map_batches(lambda b: pa.table({
-                 "v": pc.binary_join_element_wise(
-                     pc.cast(b["l_orderkey"], pa.string()),
-                     pc.cast(b["l_partkey"], pa.string()), "|")}),
-                 batch_format="pyarrow"))
-    est = hll_count_distinct(keyed, "v", p=14)
-    n_exact = keyed.groupby("v").count().count()
+             .map_batches(build, batch_format="pyarrow").materialize())
+    est = hll_count_distinct(keyed.select_columns(["v"]), "v", p=14)
+
+    # exact companion: per-PARTITION unique count after one key-hash
+    # exchange of 8-byte ints + a 16-int driver sum — 3x faster than
+    # the sort groupby (1.3 s vs 4.1 s at sf0.1); small sessions keep
+    # the sort path (Ray 2.49 hash-shuffle wedge — COVERAGE.md)
+    from frontera_ray.stages.relational import cluster_cpus, keyed_exchange
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        u = len(np.unique(b["pk"].to_numpy())) if len(b) else 0
+        return pa.table({"n": pa.array([u], pa.int64())})
+
+    if cluster_cpus() >= 16:
+        parts = keyed_exchange(keyed.select_columns(["pk"]), "pk",
+                               block_distinct, exchange="hash")
+        n_exact = sum(int(t["n"].to_numpy().sum())
+                      for t in parts.iter_batches(
+                          batch_format="pyarrow", batch_size=None))
+    else:
+        n_exact = keyed.select_columns(["pk"]).groupby("pk").count().count()
     return pd.DataFrame([{"est_distinct": int(np.floor(est)),
                           "n_exact": int(n_exact)}])
 
