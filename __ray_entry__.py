@@ -1388,6 +1388,78 @@ def q_orders_left_join(sf_dir: str):
     return out.sort_values(["o_orderkey", "l_qty"]).reset_index(drop=True)
 
 
+def q_running_total(sf_dir: str):
+    """Per-user ordered window SCAN over events: cumulative count +
+    integer-cents running sum + lag inter-arrival gap, all from one
+    keyed exchange and one vectorized run pass (relational.window_scan
+    — the running-total / lag window-function family)."""
+    from frontera_ray.stages.relational import window_scan
+
+    out = window_scan(_read(sf_dir, "events")).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+_PR_NODES = 256
+_PR_MIX = 2654435761  # Knuth multiplicative hash constant
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over a deterministic
+    doc-derived link graph (src = doc_id % 256, dst = mixed residue):
+    distinct-edge exchange, then per-iteration streaming dense partial
+    combine against the broadcast rank vector — the batch re-scoring
+    companion of the crawl's online OPIC flow."""
+    from frontera_ray.stages.pagerank import pagerank
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = pagerank(ds, n_nodes=_PR_NODES, iters=5).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (long format) — class prototypes
+    via streaming partial sum-vectors + tiny driver combine."""
+    from frontera_ray.stages.ann import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings")).to_pandas()
+
+
+_OUTLIER_QS = (0.05, 0.95)
+
+
+def q_length_outliers(sf_dir: str):
+    """Robust-quantile outlier filter: exact p5/p95 of n_chars from the
+    no-sort histogram-bisection quantile pass, then one streaming
+    filter keeps docs strictly outside the band (the classic
+    corpus-cleaning length cut, composed from two scale-safe passes)."""
+    from frontera_ray.stages.relational import quantile_unbounded
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    res = quantile_unbounded(ds, "n_chars", list(_OUTLIER_QS))
+    lo, hi = res[_OUTLIER_QS[0]], res[_OUTLIER_QS[1]]
+
+    def pick(b: pa.Table) -> pa.Table:
+        n = b["n_chars"]
+        mask = pc.or_(pc.less(n, lo), pc.greater(n, hi))
+        kept = b.filter(mask)
+        side = pc.if_else(pc.less(kept["n_chars"], lo), "low", "high")
+        return pa.table({"doc_id": kept["doc_id"],
+                         "n_chars": kept["n_chars"],
+                         "side": side.cast(pa.string())})
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1461,6 +1533,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
     "hll_distinct": q_hll_distinct,
+    "running_total": q_running_total,
+    "pagerank": q_pagerank,
+    "label_centroids": q_label_centroids,
+    "length_outliers": q_length_outliers,
 }
 
 
@@ -1721,6 +1797,40 @@ def _hash_split_oracle() -> str:
                      )::BIGINT AS h
               FROM documents)
         ORDER BY doc_id"""
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Exact SQL twin of q_pagerank: the same distinct-edge graph,
+    node set (src ∪ dst), and mass-leaking recurrence unrolled as
+    chained CTEs — (1.0 - 0.85) is written as the same IEEE expression
+    the numpy side evaluates, and only the FINAL ranks are rounded
+    (intermediate drift between np.add.at and SQL SUM ordering stays
+    ~1e-13, far under the 1e-9 guard)."""
+    its = []
+    for k in range(1, iters + 1):
+        prev = "r0" if k == 1 else f"it{k - 1}"
+        its.append(f"""it{k} AS (
+            SELECT n.v,
+                   (1.0 - 0.85) / (SELECT n FROM p)
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN {prev} r ON r.v = e.src
+            GROUP BY n.v)""")
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH e AS (SELECT DISTINCT doc_id % {_PR_NODES} AS src,
+                          (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst
+                   FROM documents),
+        nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+                FROM e GROUP BY src),
+        r0 AS (SELECT v, 1.0 / (SELECT n FROM p) AS r FROM nodes),
+        {chain}
+        SELECT v AS node, round(r, 9) AS rank
+        FROM it{iters} ORDER BY node"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2242,4 +2352,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket * 1048576 + pack AS pack_id, doc_id,
                    w AS n_tokens
             FROM rec ORDER BY doc_id""",
+        # per-row cents = floor(v*100 + 0.5): the same IEEE double
+        # expression the Ray kernel evaluates, so the running sums are
+        # integer-exact on both sides
+        "running_total": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events)
+            SELECT user_id, event_id,
+                   count(*) OVER w AS run_n,
+                   sum(cents) OVER w AS run_cents,
+                   coalesce(date_diff('microsecond',
+                            lag(ts) OVER w, ts), -1) AS gap_us
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY user_id, event_id""",
+        "pagerank": _pagerank_oracle(),
+        # list indexing is 1-based in DuckDB; embedding floats widen to
+        # DOUBLE exactly, so sum/count matches the numpy combine to the
+        # rounding guard
+        "label_centroids": """
+            SELECT label::BIGINT AS label, i AS dim,
+                   round(sum(embedding[i + 1]::DOUBLE)
+                         / count(*), 9) AS c
+            FROM embeddings, generate_series(0, 63) AS g(i)
+            GROUP BY label, i
+            ORDER BY label, dim""",
+        "length_outliers": """
+            WITH q AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                              quantile_disc(n_chars, 0.95) AS hi
+                       FROM documents)
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars < lo THEN 'low' ELSE 'high' END
+                     AS side
+            FROM documents, q
+            WHERE n_chars < lo OR n_chars > hi
+            ORDER BY doc_id""",
     }

@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "decontaminate", "repetition", "pack_sequences", "heavy_hitters",
     "orders_left_join", "dedup_keepers_cc", "price_quantiles",
     "unigram_logprob", "bloom_semi_join", "bloom_anti_join",
-    "hll_distinct",
+    "hll_distinct", "running_total", "pagerank", "label_centroids",
+    "length_outliers",
 ]
 
 CRAWL_HOSTS = 8192

@@ -505,3 +505,57 @@ def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
     if not parts:
         return empty_pairs
     return _dedupe_pair_table(pa.concat_tables(parts), "sim")
+
+
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding", dim: int = 64,
+                    round_to: int = 9) -> pa.Table:
+    """Per-label embedding centroids (class prototypes for
+    classifier-style quality filtering / nearest-centroid routing):
+    one streaming pass of per-block partial (label, count, sum-vector)
+    rows, tiny driver combine keyed by the low-cardinality label.
+
+    Emits LONG format (label, dim, c) so an SQL oracle can mirror it
+    with list indexing; c = sum/count rounded (block summation order
+    differs from a scan-order SQL SUM in the last bits).
+
+    Scale: blocks stream, each partial is n_labels_in_block × dim
+    floats; for high-cardinality label spaces route through
+    ``ds.groupby(label)`` instead (one all-to-all)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = _matrix(batch, vec_col).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for t in ds.select_columns([label_col, vec_col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        ls = t["label"].to_numpy()
+        ns = t["n"].to_numpy()
+        ss = t["s"].to_numpy(zero_copy_only=False)
+        for lb, n, s in zip(ls, ns, ss):
+            lb = int(lb)
+            prev = acc.get(lb)
+            acc[lb] = ((prev[0] + int(n), prev[1] + s) if prev
+                       else (int(n), np.asarray(s, np.float64).copy()))
+
+    labels_out, dims_out, cs_out = [], [], []
+    for lb in sorted(acc):
+        n, s = acc[lb]
+        c = np.round(s / np.float64(n), round_to)
+        labels_out.extend([lb] * len(s))
+        dims_out.extend(range(len(s)))
+        cs_out.extend(c.tolist())
+    return pa.table({"label": pa.array(labels_out, pa.int64()),
+                     "dim": pa.array(dims_out, pa.int64()),
+                     "c": pa.array(cs_out, pa.float64())})

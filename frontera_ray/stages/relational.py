@@ -820,6 +820,65 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     return keyed_exchange(ds, user_col, sess_block, exchange)
 
 
+def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                exchange: str = "groups"):
+    """Per-key ordered window SCAN (the running-total / lag family of
+    window functions): one keyed exchange, then a single vectorized
+    pass per complete key run ordered by (ts, id) computing
+
+    - ``run_n``     — cumulative event count (``count(*) OVER w``),
+    - ``run_cents`` — cumulative integer-cents sum of ``value_col``
+      (``sum(cents) OVER w``; per-row cents = ``floor(v*100 + 0.5)``
+      so the Ray and SQL sides round identically in IEEE double),
+    - ``gap_us``    — microseconds since the key's previous event
+      (``lag`` delta; -1 on each run's first row).
+
+    Unlike ``sessionize`` (which reduces each key to one row), this
+    emits one row per input row — the shape of cumulative metrics,
+    inter-arrival/dwell-time features and per-host fetch pacing
+    analysis. Cumsums never cross run boundaries (run-start offsets
+    are subtracted), so any number of complete keys per block is fine
+    — both exchanges feed the same kernel (see ``keyed_exchange``)."""
+
+    def scan_block(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             id_col: pa.array([], pa.int64()),
+                             "run_n": pa.array([], pa.int64()),
+                             "run_cents": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        key_raw = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(key_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((ids, ts, keys))
+        k_s, t_s = keys[order], ts[order]
+        new_run = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        pos = np.arange(len(k_s))
+        run_n = pos - starts[run_id] + 1
+        csum = np.cumsum(cents[order])
+        before_start = np.concatenate(([0], csum[:-1]))[starts]
+        run_cents = csum - before_start[run_id]
+        gap = np.concatenate(([0], np.diff(t_s)))
+        gap[new_run] = -1
+        return pa.table({key_col: pa.array(key_raw[order], key_t),
+                         id_col: pa.array(ids[order], pa.int64()),
+                         "run_n": pa.array(run_n, pa.int64()),
+                         "run_cents": pa.array(run_cents, pa.int64()),
+                         "gap_us": pa.array(gap, pa.int64())})
+
+    return keyed_exchange(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col, scan_block, exchange)
+
+
 def _key_hash64(arr) -> np.ndarray:
     """Deterministic 64-bit hash per key for bloom indexing. Integer
     keys: splitmix64 finalizer, fully vectorized. String keys: md5 top

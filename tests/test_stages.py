@@ -894,3 +894,94 @@ def test_hll_sketch_accuracy_merge_and_branches(ray_session):
     # empty input -> 0 (all registers empty, LC with V == m)
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
     assert hll_count_distinct(empty, "v", p=14) == 0.0
+
+
+def test_window_scan_runs_and_gaps(ray_session):
+    """window_scan: cumsums reset per key, gaps are lag deltas with -1
+    on run-firsts, ordering is (ts, id) within key — checked against a
+    tiny hand computation across a multi-key block split."""
+    import ray
+
+    from frontera_ray.stages.relational import window_scan
+
+    us = 1_000_000
+    tbl = pa.table({
+        "user_id": pa.array([2, 1, 1, 2, 1], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "ts": pa.array([5 * us, 1 * us, 3 * us, 2 * us, 3 * us],
+                       pa.timestamp("us")),
+        "value": pa.array([1.00, 0.50, 0.25, 2.00, 0.10], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = window_scan(ds).to_pandas().sort_values(
+        ["user_id", "event_id"]).reset_index(drop=True)
+    # user 1 ordered by ts,id: (11,1s,.50) (12,3s,.25) (14,3s,.10)
+    u1 = out[out.user_id == 1].sort_values("run_n")
+    assert list(u1.event_id) == [11, 12, 14]
+    assert list(u1.run_cents) == [50, 75, 85]
+    assert list(u1.gap_us) == [-1, 2 * us, 0]
+    # user 2 ordered: (13,2s,2.00) (10,5s,1.00)
+    u2 = out[out.user_id == 2].sort_values("run_n")
+    assert list(u2.event_id) == [13, 10]
+    assert list(u2.run_cents) == [200, 300]
+    assert list(u2.gap_us) == [-1, 3 * us]
+
+
+def test_pagerank_tiny_graph_exact(ray_session):
+    """pagerank on a 3-node chain with a dangling sink matches the
+    recurrence computed by hand; multi-edges collapse via dedup."""
+    import ray
+
+    from frontera_ray.stages.pagerank import pagerank
+
+    # 0->1, 0->2, 1->2 (2 dangling); duplicate 0->1 must not double
+    tbl = pa.table({"src": pa.array([0, 0, 1, 0], pa.int64()),
+                    "dst": pa.array([1, 2, 2, 1], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = pagerank(ds, n_nodes=8, iters=3).to_pandas()
+    assert list(out.node) == [0, 1, 2]
+
+    r = np.full(3, 1 / 3)
+    deg = np.array([2.0, 1.0, 1.0])
+    for _ in range(3):
+        w = r / deg
+        contrib = np.array([0.0, w[0], w[0] + w[1]])
+        r = (1 - 0.85) / 3 + 0.85 * contrib
+        r[0] = (1 - 0.85) / 3  # no in-edges
+    assert np.allclose(out["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(out["rank"].sum()) <= 1.0  # leaking variant: mass <= 1
+
+
+def test_pagerank_empty_graph(ray_session):
+    import ray
+
+    from frontera_ray.stages.pagerank import pagerank
+
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+    out = pagerank(empty, n_nodes=4, iters=2)
+    assert out.num_rows == 0
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray
+
+    from frontera_ray.stages.ann import label_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 50).astype(np.int32)
+    tbl = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = label_centroids(ds, dim=4).to_pandas()
+    assert len(out) == 3 * 4
+    for lb in range(3):
+        want = np.round(
+            vecs[labels == lb].astype(np.float64).sum(axis=0)
+            / np.float64((labels == lb).sum()), 9)
+        got = out[out.label == lb].sort_values("dim")["c"].to_numpy()
+        assert np.allclose(got, want, atol=1e-12)
