@@ -1460,6 +1460,79 @@ def q_length_outliers(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-Min-Sketch frequency oracle next to exact truth: one
+    streaming pass builds the 4×4096 register matrix (128 KiB partials,
+    additive merge — the corpus tokens never leave their blocks), then
+    the exact heavy-hitter set probes it. est >= cnt always (collisions
+    only add); integer registers make the estimate bit-reproducible in
+    SQL."""
+    import pandas as pd
+    from frontera_ray.stages.sketches import cms_build, cms_estimate
+    from frontera_ray.stages.text import heavy_hitters
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    hh = heavy_hitters(docs, _HH_NUM, _HH_DEN)
+    regs = cms_build(docs)
+    hh = hh.sort_values("token").reset_index(drop=True)
+    hh["est"] = cms_estimate(regs, hh["token"].tolist())
+    return hh
+
+
+def q_top_event_type(sf_dir: str):
+    """Per-user categorical mode (most frequent event_type,
+    deterministic count-desc / type-asc tie-break): per-block pair
+    pre-aggregation + one keyed exchange."""
+    from frontera_ray.stages.relational import grouped_mode
+
+    out = grouped_mode(_read(sf_dir, "events")
+                       .select_columns(["user_id", "event_type"]),
+                       "user_id", "event_type").to_pandas()
+    out = out.rename(columns={"top_val": "top_type"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_centroid_assign(sf_dir: str):
+    """Nearest-centroid classification of every embedding against the
+    per-label class prototypes (the FineWeb-Edu-style classifier
+    scoring shape): centroids from the streaming label_centroids pass
+    broadcast as one small matrix, per-block vectorized distance
+    argmin, confusion-matrix combine on the driver. Distances are
+    rounded (1e-9) before the argmin on both sides so summation order
+    can't flip near-ties; ties break toward the smaller label."""
+    import ray
+    from frontera_ray.stages.ann import _matrix, label_centroids
+
+    cent = label_centroids(_read(sf_dir, "embeddings")).to_pandas()
+    piv = cent.pivot(index="label", columns="dim", values="c")
+    labels = piv.index.to_numpy(np.int64)          # ascending
+    C = piv.to_numpy(np.float64)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        X = _matrix(batch).astype(np.float64)
+        d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2), 9)
+        a = np.argmin(d2, axis=1)  # first min == smallest label index
+        return pa.table({
+            "true_label": batch["label"].cast(pa.int64()),
+            "assigned": pa.array(labels[a], pa.int64()),
+        })
+
+    import pandas as pd
+    parts = []
+    for t in (_read(sf_dir, "embeddings")
+              .map_batches(assign, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        df = t.to_pandas()
+        parts.append(df.groupby(["true_label", "assigned"],
+                                as_index=False).size())
+    out = (pd.concat(parts).groupby(["true_label", "assigned"],
+                                    as_index=False)["size"].sum()
+           .rename(columns={"size": "n"}))
+    return out.sort_values(["true_label", "assigned"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1537,6 +1610,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pagerank": q_pagerank,
     "label_centroids": q_label_centroids,
     "length_outliers": q_length_outliers,
+    "cms_counts": q_cms_counts,
+    "top_event_type": q_top_event_type,
+    "centroid_assign": q_centroid_assign,
 }
 
 
@@ -2390,4 +2466,64 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, q
             WHERE n_chars < lo OR n_chars > hi
             ORDER BY doc_id""",
+        # SQL twin of the CMS registers themselves: bucket_j(token) =
+        # hex chars [1+8j, 8] of md5 as UBIGINT mod 4096 (bytes 4j..4j+4
+        # of the digest — the Python side carves the same four 32-bit
+        # words from one md5); register content = total count mapping
+        # to that bucket; estimate = min over the 4 rows
+        "cms_counts": r"""
+            WITH tok AS (SELECT UNNEST(regexp_extract_all(text, '\S+'))
+                                AS token FROM documents),
+            tot AS (SELECT count(*) AS n FROM tok),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            hh AS (SELECT token, c AS cnt FROM cnt, tot
+                   WHERE c * 10000 >= 330 * n),
+            bkt AS (SELECT token, j,
+                           (('0x' || substr(md5(token), 1 + 8 * j, 8))
+                            ::UBIGINT % 4096)::BIGINT AS b
+                    FROM cnt, generate_series(0, 3) AS g(j)),
+            regs AS (SELECT bkt.j, bkt.b, sum(cnt.c)::BIGINT AS v
+                     FROM cnt JOIN bkt USING (token)
+                     GROUP BY bkt.j, bkt.b)
+            SELECT hh.token, hh.cnt, min(regs.v) AS est
+            FROM hh JOIN bkt ON bkt.token = hh.token
+                    JOIN regs ON regs.j = bkt.j AND regs.b = bkt.b
+            GROUP BY hh.token, hh.cnt
+            ORDER BY hh.token""",
+        "top_event_type": """
+            SELECT user_id, top_type, n FROM (
+              SELECT user_id, event_type AS top_type,
+                     count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id""",
+        # centroids are the round-9 label_centroids values on BOTH
+        # sides; per-element squared differences sum in different
+        # orders, so d2 is rounded (1e-9) before the argmin and ties
+        # break toward the smaller label
+        "centroid_assign": """
+            WITH cent AS (
+              SELECT label::BIGINT AS clabel, i AS dim,
+                     round(sum(embedding[i + 1]::DOUBLE)
+                           / count(*), 9) AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              GROUP BY label, i),
+            d AS (
+              SELECT e.vec_id, e.label::BIGINT AS true_label, c.clabel,
+                     round(sum((e.embedding[c.dim + 1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim + 1]::DOUBLE - c.c)),
+                           9) AS d2
+              FROM embeddings e, cent c
+              GROUP BY e.vec_id, e.label, c.clabel),
+            a AS (
+              SELECT vec_id, true_label, clabel,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, clabel) AS rn
+              FROM d)
+            SELECT true_label, clabel AS assigned, count(*)::BIGINT AS n
+            FROM a WHERE rn = 1
+            GROUP BY true_label, clabel
+            ORDER BY true_label, assigned""",
     }

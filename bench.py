@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "orders_left_join", "dedup_keepers_cc", "price_quantiles",
     "unigram_logprob", "bloom_semi_join", "bloom_anti_join",
     "hll_distinct", "running_total", "pagerank", "label_centroids",
-    "length_outliers",
+    "length_outliers", "cms_counts", "top_event_type", "centroid_assign",
 ]
 
 CRAWL_HOSTS = 8192

@@ -879,6 +879,40 @@ def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
         key_col, scan_block, exchange)
 
 
+def grouped_mode(ds, key_col: str, val_col: str,
+                 exchange: str = "groups"):
+    """Most frequent value per key (deterministic: count desc, value
+    asc tie-break) — the categorical argmax aggregate. Per-block
+    (key, val, n) pre-aggregation shrinks the exchange to distinct
+    pairs (the combiner move: rows shipped are bounded by
+    keys × distinct values, not events); the keyed exchange then sums
+    pair counts and takes the first row per key run."""
+    import pandas as pd
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        vc = df.groupby([key_col, val_col], sort=False).size()
+        out = vc.reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def mode_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], batch[key_col].type),
+                             "top_val": pa.array([], batch[val_col].type),
+                             "n": pa.array([], pa.int64())})
+        df = batch.to_pandas()
+        df = df.groupby([key_col, val_col], as_index=False)["n"].sum()
+        df = df.sort_values([key_col, "n", val_col],
+                            ascending=[True, False, True])
+        top = df.drop_duplicates(key_col, keep="first")
+        return pa.table({key_col: pa.array(top[key_col].to_numpy()),
+                         "top_val": pa.array(top[val_col].to_numpy()),
+                         "n": pa.array(top["n"].to_numpy(), pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    return keyed_exchange(pre_ds, key_col, mode_block, exchange)
+
+
 def _key_hash64(arr) -> np.ndarray:
     """Deterministic 64-bit hash per key for bloom indexing. Integer
     keys: splitmix64 finalizer, fully vectorized. String keys: md5 top

@@ -126,3 +126,69 @@ def hll_count_distinct(ds, col: str, p: int = 14,
     regs = hll_merge(np.stack(parts)) if parts else np.zeros(1 << p,
                                                              np.uint8)
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_W = 4096   # buckets per row
+CMS_D = 4      # hash rows — all four carved from ONE md5 digest
+
+
+def cms_buckets(token: str, w: int = CMS_W, d: int = CMS_D) -> list[int]:
+    """The d bucket indices for a token: bytes [4j, 4j+4) of its md5
+    digest mod w — the SQL twin is
+    ``('0x' || substr(md5(token), 1 + 8*j, 8))::UBIGINT % w``."""
+    dig = hashlib.md5(token.encode("utf8")).digest()
+    return [int.from_bytes(dig[4 * j:4 * j + 4], "big") % w
+            for j in range(d)]
+
+
+def cms_partial(tokens, counts, w: int = CMS_W,
+                d: int = CMS_D) -> np.ndarray:
+    """Fold (token, count) pairs into a fresh d×w int64 register
+    matrix. Callers pass value_counts output so each DISTINCT token is
+    hashed once per block regardless of its frequency."""
+    regs = np.zeros((d, w), np.int64)
+    for tok, c in zip(tokens, counts):
+        c = int(c)
+        for j, b in enumerate(cms_buckets(str(tok), w, d)):
+            regs[j, b] += c
+    return regs
+
+
+def cms_build(ds, text_col: str = "text", w: int = CMS_W,
+              d: int = CMS_D) -> np.ndarray:
+    """Distributed CMS over the whitespace-token stream of a text
+    column: per-block partial register matrices (counts are additive,
+    so the merge is a plain sum — d*w int64 = 128 KiB moves per block,
+    never the tokens), driver sum. One streaming pass; the register
+    estimate for any token then costs O(d) lookups with NO access to
+    the corpus — the frequency-oracle shape for vocabularies too large
+    to groupby (CCNet's per-shard counts, Gopher's repetition stats)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch[text_col]))
+        s = toks.to_pandas()
+        s = s[s != ""]
+        vc = s.value_counts()
+        regs = cms_partial(vc.index.to_numpy(), vc.to_numpy(), w, d)
+        return pa.table({"r": pa.array(regs.ravel(), pa.int64())})
+
+    regs = np.zeros(d * w, np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        arr = t["r"].to_numpy()
+        if len(arr):
+            regs += arr.reshape(-1, d * w).sum(axis=0)
+    return regs.reshape(d, w)
+
+
+def cms_estimate(regs: np.ndarray, tokens, w: int = CMS_W,
+                 d: int = CMS_D) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows — always an
+    OVER-estimate of the true count (collisions only add)."""
+    return np.array(
+        [min(regs[j, b] for j, b in enumerate(cms_buckets(str(t), w, d)))
+         for t in tokens], dtype=np.int64)

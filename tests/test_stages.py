@@ -985,3 +985,44 @@ def test_label_centroids_matches_numpy(ray_session):
             / np.float64((labels == lb).sum()), 9)
         got = out[out.label == lb].sort_values("dim")["c"].to_numpy()
         assert np.allclose(got, want, atol=1e-12)
+
+
+def test_grouped_mode_tiebreak_and_combine(ray_session):
+    """grouped_mode sums pair counts across blocks before the argmax
+    and breaks count ties toward the lexicographically smaller value."""
+    import ray
+
+    from frontera_ray.stages.relational import grouped_mode
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        # key 1: 'b' x2, 'a' x2 -> tie -> 'a'; key 2: 'z' wins 1-1? no:
+        # 'y' and 'z' tie -> 'y'
+        "v": pa.array(["b", "a", "b", "a", "z", "y"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = grouped_mode(ds, "k", "v").to_pandas().sort_values("k")
+    assert list(out.top_val) == ["a", "y"]
+    assert list(out.n) == [2, 1]
+
+
+def test_cms_overestimates_and_merges(ray_session):
+    """CMS estimates are exact for these low-collision counts and the
+    distributed build equals a single-block build (additive merge)."""
+    import ray
+
+    from frontera_ray.stages.sketches import (cms_build, cms_estimate,
+                                              cms_partial)
+
+    texts = ["apple banana apple", "banana cherry", "apple"] * 50
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})) \
+        .repartition(5)
+    regs = cms_build(ds)
+    est = cms_estimate(regs, ["apple", "banana", "cherry", "missing"])
+    assert est[0] >= 150 and est[1] >= 100 and est[2] >= 50
+    # single-shot build of the same stream must equal the merged build
+    import pandas as pd
+
+    vc = pd.Series(" ".join(texts).split()).value_counts()
+    whole = cms_partial(vc.index.to_numpy(), vc.to_numpy())
+    assert (regs == whole).all()
