@@ -1533,6 +1533,20 @@ def q_centroid_assign(sf_dir: str):
     return out.sort_values(["true_label", "assigned"]).reset_index(drop=True)
 
 
+def q_image_caption_curate(sf_dir: str):
+    """Flagship multimodal curation composite over the 3,211
+    image+caption rows: phash-dedup keeper map + metadata-only cheap
+    gates (caption tokens, dims/aspect) with the actor-pool decode
+    validation running ONLY on cheap-gate survivors. Rows-only checked
+    here (binary payloads + SyntheticWeb corpus aren't SQL views);
+    gate-by-gate invariants live in tests/test_stages.py."""
+    from frontera_ray.stages.images import curate_image_captions
+
+    out = curate_image_captions(_image_url_corpus(),
+                                pool=_image_pool()).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1613,6 +1627,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cms_counts": q_cms_counts,
     "top_event_type": q_top_event_type,
     "centroid_assign": q_centroid_assign,
+    "image_caption_curate": q_image_caption_curate,
 }
 
 

@@ -257,6 +257,20 @@ def phash_batch_columns(urls) -> dict:
     return {"image_id": list(urls), "phash": phashes}
 
 
+def meta_batch_columns(urls) -> dict:
+    """Metadata-only batch fetch: (image_id, w, h, caption) with NO
+    pixel generation or encode at all — for curation gates that run
+    on typed metadata before any expensive decode touches the row
+    (on a real corpus this is the header/EXIF sniff)."""
+    n = len(urls)
+    seeds = np.fromiter((_seed_of(u) for u in urls), dtype=np.uint64, count=n)
+    size_idx = (seeds % np.uint64(len(_SIZES))).astype(np.int64)
+    sizes = np.asarray(_SIZES, dtype=np.int32)
+    return {"image_id": list(urls),
+            "w": sizes[size_idx, 0], "h": sizes[size_idx, 1],
+            "caption": [caption_of(u) for u in urls]}
+
+
 def fetch_batch_columns(urls) -> dict:
     """Columnar batch fetch. Pixel generation and phashing run
     vectorized per size-class group (one numpy dispatch for the whole

@@ -293,3 +293,106 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
         })
 
     return urls_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def curate_image_captions(urls_ds, min_side: int = 32,
+                          max_aspect: float = 4.0,
+                          min_caption_tokens: int = 4,
+                          max_hamming: int = 2,
+                          blocks: int | None = None,
+                          exchange: str = "groups",
+                          pool: tuple[int, int] = (2, 4),
+                          decode_batch: int = 256):
+    """End-to-end multimodal curation composite over an image+caption
+    corpus (the input_hint's row shape driven through a full keep/drop
+    decision) — the image twin of the text `curate` pipeline:
+
+    1. DUP map: distributed phash near-dup pairs -> pair-scoped
+       union-find -> broadcast (loser -> keeper) lookup (tiny; only
+       pair ids touch the driver).
+    2. CHEAP gates, one metadata-only pass (no pixel decode): caption
+       token count, min image side, aspect ratio, dup-loser — each row
+       fails fast with its FIRST failing reason.
+    3. EXPENSIVE gate, survivors only: the actor-pool decode/stats
+       stage (codec state per actor) confirms the payload decodes.
+       The decode pool never sees rows the cheap gates dropped — the
+       ordering every 100-TB curation pipeline needs.
+
+    Failure rows and survivor rows are separate streaming datasets
+    union'ed at the end; output is (image_id, keep, reason) with
+    reason in {'ok','caption','dims','dup','decode'}."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..payload import meta_batch_columns
+    from .dedup import dedup_keepers, hamming64_neardup_pairs
+
+    pairs = hamming64_neardup_pairs(
+        urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
+        max_hamming=max_hamming, blocks=blocks, exchange=exchange)
+    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
+                                      pairs["b"].to_pylist()))
+    losers = np.fromiter(
+        sorted(k for k, v in keepers.items() if v != k),
+        dtype=np.int64)
+    losers_ref = ray.put(losers)
+    cache: dict = {}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        if "l" not in cache:
+            cache["l"] = ray.get(losers_ref)
+        losers_ = cache["l"]
+        urls = batch["url"].to_pylist()
+        cols = meta_batch_columns(urls)
+        w = cols["w"].astype(np.float64)
+        h = cols["h"].astype(np.float64)
+        cap = pa.array(cols["caption"], pa.string())
+        n_tok = pc.list_value_length(
+            pc.utf8_split_whitespace(cap)).to_numpy()
+        cap_bad = n_tok < min_caption_tokens
+        side = np.minimum(w, h)
+        aspect = np.maximum(w, h) / np.maximum(side, 1.0)
+        dims_bad = (side < min_side) | (aspect > max_aspect)
+        ids = image_id64(np.asarray(urls, dtype=object))
+        dup_bad = np.isin(ids, losers_, assume_unique=False)
+        reason = np.where(cap_bad, "caption",
+                          np.where(dims_bad, "dims",
+                                   np.where(dup_bad, "dup", "")))
+        return pa.table({
+            "image_id": pa.array(urls, pa.string()),
+            "reason": pa.array(reason.astype(object), pa.string()),
+        })
+
+    gated = urls_ds.map_batches(gate, batch_format="pyarrow")
+    failed = gated.filter(
+        expr="reason != ''") \
+        .map_batches(lambda b: pa.table({
+            "image_id": b["image_id"],
+            "keep": pa.array(np.zeros(len(b), bool), pa.bool_()),
+            "reason": b["reason"]}), batch_format="pyarrow")
+
+    survivors = gated.filter(expr="reason == ''") \
+        .map_batches(lambda b: pa.table({"url": b["image_id"]}),
+                     batch_format="pyarrow")
+
+    class DecodeGate(DecodeStatsStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..payload import fetch_batch_columns
+
+            cols = fetch_batch_columns(batch["url"].to_pylist())
+            stats = super().__call__(pa.table({
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "fmt": pa.array(cols["fmt"], pa.string())}))
+            ok = stats["decode_ok"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "image_id": stats["image_id"],
+                "keep": stats["decode_ok"],
+                "reason": pa.array(np.where(ok, "ok", "decode")
+                                   .astype(object), pa.string()),
+            })
+
+    decoded = survivors.map_batches(DecodeGate, batch_format="pyarrow",
+                                    batch_size=decode_batch,
+                                    concurrency=pool)
+    return failed.union(decoded)

@@ -1026,3 +1026,46 @@ def test_cms_overestimates_and_merges(ray_session):
     vc = pd.Series(" ".join(texts).split()).value_counts()
     whole = cms_partial(vc.index.to_numpy(), vc.to_numpy())
     assert (regs == whole).all()
+
+
+def test_curate_image_captions_gates(ray_session):
+    """Composite curation: exhaustive row coverage, reason precedence,
+    gate-by-gate agreement with a driver recompute on the small web."""
+    import ray
+
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.payload import meta_batch_columns
+    from frontera_ray.stages.images import (curate_image_captions,
+                                            image_keeper_table)
+
+    web = SyntheticWeb(24, seed=42, max_class=3)
+    urls = sorted({web.resolve(l) for s in web.seeds()
+                   for l in web.links_of(s)} | set(web.seeds()))
+    ds = ray.data.from_items([{"url": u} for u in urls]).repartition(3)
+
+    out = curate_image_captions(ds).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert len(out) == len(urls)
+    assert set(out.reason) <= {"ok", "caption", "dims", "dup", "decode"}
+    assert (out.keep == (out.reason == "ok")).all()
+
+    meta = meta_batch_columns(urls)
+    side = np.minimum(meta["w"], meta["h"])
+    dims_bad = dict(zip(urls, side < 32))
+    keep_map = {
+        r["image_id"]: r["keeper_image_id"]
+        for r in image_keeper_table(ds).to_pandas().to_dict("records")}
+    for r in out.itertuples():
+        if r.reason == "dims":
+            assert dims_bad[r.image_id]
+        elif r.reason == "dup":
+            assert not dims_bad[r.image_id]
+            assert keep_map[r.image_id] != r.image_id
+        elif r.reason == "ok":
+            assert not dims_bad[r.image_id]
+            assert keep_map[r.image_id] == r.image_id
+
+    # caption gate precedence: all corpus captions have 5+ tokens, so
+    # raising the threshold fails every row as 'caption' first
+    strict = curate_image_captions(ds, min_caption_tokens=99).to_pandas()
+    assert (strict.reason == "caption").all() and (~strict.keep).all()
