@@ -1547,6 +1547,64 @@ def q_image_caption_curate(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def q_funnel_depth(sf_dir: str):
+    """Conversion-funnel depth per user (view -> click -> purchase,
+    each step strictly after the previous step's first qualifying
+    event): one keyed exchange, the kernel vectorized ACROSS keys
+    (one masked reduceat per step — no per-user Python)."""
+    from frontera_ray.stages.relational import funnel_depth
+
+    out = funnel_depth(_read(sf_dir, "events")).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_reassemble_chunks(sf_dir: str):
+    """Ordered document reassembly: each doc split into three chunks
+    (emitted deliberately out of order), reassembled by the ordered
+    per-key concat exchange; output proves byte-exact round-trip via
+    length + md5 of the rebuilt text."""
+    from frontera_ray.stages.relational import concat_groups
+
+    # per-row slicing is INPUT SYNTHESIS for the test (variable slice
+    # bounds have no vectorized Arrow kernel); the operator under test
+    # is the concat exchange below
+    def chunk3(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy()
+        n = np.fromiter((len(t) for t in txt), np.int64, len(txt))
+        p = n // 3
+        out_ids, out_idx, out_part = [], [], []
+        for emit in (2, 0, 1):  # deliberate disorder
+            for i in range(len(txt)):
+                lo = [0, p[i], 2 * p[i]][emit]
+                hi = [p[i], 2 * p[i], None][emit]
+                out_ids.append(ids[i])
+                out_idx.append(emit)
+                out_part.append(txt[i][lo:hi])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "idx": pa.array(out_idx, pa.int64()),
+                         "part": pa.array(out_part, pa.string())})
+
+    chunks = _read(sf_dir, "documents").select_columns(["doc_id", "text"]) \
+        .map_batches(chunk3, batch_format="pyarrow")
+    joined = concat_groups(chunks, "doc_id", "idx", "part")
+
+    import hashlib
+
+    def digest(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars2": pc.utf8_length(b["text"]).cast(pa.int64()),
+            "text_md5": pa.array(
+                [hashlib.md5(t.encode("utf8")).hexdigest() for t in txt],
+                pa.string()),
+        })
+
+    out = joined.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -1628,6 +1686,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_event_type": q_top_event_type,
     "centroid_assign": q_centroid_assign,
     "image_caption_curate": q_image_caption_curate,
+    "funnel_depth": q_funnel_depth,
+    "reassemble_chunks": q_reassemble_chunks,
 }
 
 
@@ -2541,4 +2601,49 @@ def oracle_sql() -> dict[str, str]:
             FROM a WHERE rn = 1
             GROUP BY true_label, clabel
             ORDER BY true_label, assigned""",
+        # strictly-after funnel semantics: each CTE takes the first
+        # qualifying event AFTER the previous step's timestamp
+        "funnel_depth": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT u.user_id,
+                   (CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS depth
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id""",
+        # the same three-way split the Ray side synthesizes (ASCII
+        # corpus: char == byte offsets), reassembled by string_agg in
+        # idx order — round-trip must reproduce the original text
+        "reassemble_chunks": """
+            WITH chunks AS (
+              SELECT doc_id, 0 AS idx,
+                     substr(text, 1, length(text) // 3) AS part
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1,
+                     substr(text, length(text) // 3 + 1,
+                            length(text) // 3)
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 2,
+                     substr(text, 2 * (length(text) // 3) + 1)
+              FROM documents)
+            SELECT doc_id,
+                   length(string_agg(part, '' ORDER BY idx))::BIGINT
+                     AS n_chars2,
+                   md5(string_agg(part, '' ORDER BY idx)) AS text_md5
+            FROM chunks GROUP BY doc_id ORDER BY doc_id""",
     }

@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "unigram_logprob", "bloom_semi_join", "bloom_anti_join",
     "hll_distinct", "running_total", "pagerank", "label_centroids",
     "length_outliers", "cms_counts", "top_event_type", "centroid_assign",
-    "image_caption_curate",
+    "image_caption_curate", "funnel_depth", "reassemble_chunks",
 ]
 
 CRAWL_HOSTS = 8192

@@ -879,6 +879,83 @@ def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
         key_col, scan_block, exchange)
 
 
+def funnel_depth(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 steps: tuple = ("view", "click", "purchase"),
+                 exchange: str = "groups"):
+    """Ordered-funnel analysis: how far each key progresses through
+    ``steps`` where step k+1 must occur STRICTLY AFTER the first
+    qualifying step-k event (the classic conversion-funnel semantics).
+    Emits (key, depth) with depth in [0, len(steps)].
+
+    One keyed exchange; the kernel is vectorized ACROSS keys — each
+    step is one masked ``np.minimum.reduceat`` over the run-sorted
+    block (rows failing the step mask contribute +inf), so cost is
+    O(steps × rows) with no per-key Python. The sequential dependency
+    (t_{k+1} needs t_k) lives in the broadcast of the per-run minimum
+    back to rows, not in a scan."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "depth": pa.array([], pa.int64())})
+        key_raw = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(key_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy().astype(np.float64)
+        types = batch[type_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        k_s, t_s, ty_s = keys[order], ts[order], types[order]
+        new_run = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+
+        depth = np.zeros(len(starts), np.int64)
+        prev_t = np.full(len(starts), -np.inf)
+        for step in steps:
+            cand = np.where((ty_s == step) & (t_s > prev_t[run_id]),
+                            t_s, np.inf)
+            t_k = np.minimum.reduceat(cand, starts)
+            hit = np.isfinite(t_k)
+            depth += hit
+            prev_t = np.where(hit, t_k, np.inf)  # inf blocks later steps
+
+        return pa.table({
+            key_col: pa.array(key_raw[order][starts], key_t),
+            "depth": pa.array(depth, pa.int64()),
+        })
+
+    return keyed_exchange(
+        ds.select_columns([key_col, ts_col, type_col]),
+        key_col, kern, exchange)
+
+
+def concat_groups(ds, key_col: str, order_col: str, text_col: str,
+                  sep: str = "", exchange: str = "groups"):
+    """Ordered per-key string concatenation (document reassembly from
+    chunks — the inverse of sequence chunking): one keyed exchange,
+    chunks sorted by (key, order) and joined per run. Emits
+    (key, text). The join is per-GROUP pandas C machinery, not
+    per-row Python; at 10^9 keys pass ``exchange='hash'``."""
+    import pandas as pd
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "text": pa.array([], pa.string())})
+        df = batch.select([key_col, order_col, text_col]).to_pandas()
+        df = df.sort_values([key_col, order_col])
+        agg = df.groupby(key_col, sort=True)[text_col].agg(sep.join)
+        return pa.table({key_col: pa.array(agg.index.to_numpy()),
+                         "text": pa.array(agg.to_numpy(), pa.string())})
+
+    return keyed_exchange(
+        ds.select_columns([key_col, order_col, text_col]),
+        key_col, kern, exchange)
+
+
 def grouped_mode(ds, key_col: str, val_col: str,
                  exchange: str = "groups"):
     """Most frequent value per key (deterministic: count desc, value

@@ -1069,3 +1069,48 @@ def test_curate_image_captions_gates(ray_session):
     # raising the threshold fails every row as 'caption' first
     strict = curate_image_captions(ds, min_caption_tokens=99).to_pandas()
     assert (strict.reason == "caption").all() and (~strict.keep).all()
+
+
+def test_funnel_depth_strict_after(ray_session):
+    """Strictly-after funnel: a click AT the first view's timestamp
+    does not count; steps can't be satisfied out of order."""
+    import ray
+
+    from frontera_ray.stages.relational import funnel_depth
+
+    us = 1_000_000
+    rows = [
+        # user 1: view@1, click@1 (same ts -> not after), click@3,
+        # purchase@2 (before click@3 -> no) => depth 2
+        (1, 1, "view"), (1, 1, "click"), (1, 3, "click"),
+        (1, 2, "purchase"),
+        # user 2: purchase@1, click@2, view@3 => only view counts => 1
+        (2, 1, "purchase"), (2, 2, "click"), (2, 3, "view"),
+        # user 3: full ordered funnel => 3
+        (3, 1, "view"), (3, 2, "click"), (3, 5, "purchase"),
+        # user 4: no qualifying events => 0
+        (4, 1, "error"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * us for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = funnel_depth(ds).to_pandas().sort_values("user_id")
+    assert list(out.depth) == [2, 1, 3, 0]
+
+
+def test_concat_groups_orders_chunks(ray_session):
+    import ray
+
+    from frontera_ray.stages.relational import concat_groups
+
+    tbl = pa.table({
+        "k": pa.array([1, 2, 1, 1, 2], pa.int64()),
+        "i": pa.array([2, 1, 0, 1, 0], pa.int64()),
+        "part": pa.array(["c", "y", "a", "b", "x"], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = concat_groups(ds, "k", "i", "part").to_pandas().sort_values("k")
+    assert list(out.text) == ["abc", "xy"]
