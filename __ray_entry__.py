@@ -1388,6 +1388,88 @@ def q_orders_left_join(sf_dir: str):
     return out.sort_values(["o_orderkey", "l_qty"]).reset_index(drop=True)
 
 
+def q_customers_full_join(sf_dir: str):
+    """FULL OUTER large-large join (relational.equi_join how='full'):
+    BUILDING-segment customers vs ALL orders on custkey. Customers
+    with no order emit null-padded right payloads; orders from
+    non-BUILDING customers emit null-padded left payloads (the output
+    key is COALESCE(l.key, r.key) by construction — unmatched right
+    rows carry their own key). -1 sentinel fill on both sides for
+    exact value hashing."""
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import cluster_cpus, equi_join
+
+    cust = (_read(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(lambda b: pa.table({
+                "c_custkey": b["c_custkey"],
+                "acctbal_cents": _pc.cast(_pc.round(
+                    _pc.multiply(b["c_acctbal"], 100.0)), pa.int64()),
+            }).filter(_pc.equal(b["c_mktsegment"], "BUILDING")),
+                batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "c_custkey": b["o_custkey"],
+                  "o_orderkey": b["o_orderkey"],
+                  "price_cents": _pc.cast(_pc.round(
+                      _pc.multiply(b["o_totalprice"], 100.0)), pa.int64()),
+              }), batch_format="pyarrow"))
+    out = equi_join(cust, orders, "c_custkey", ["acctbal_cents"],
+                    ["o_orderkey", "price_cents"], how="full",
+                    exchange="hash" if cluster_cpus() >= 16 else "groups")
+    out = out.map_batches(
+        lambda b: pa.table({c: _pc.fill_null(b[c], -1)
+                            for c in b.column_names}),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def q_order_rank(sf_dir: str):
+    """Per-customer ROW_NUMBER ranking window (relational.per_key_rank):
+    each customer's 2 most expensive orders with their 1-based rank as
+    an output column — QUALIFY rn <= 2 semantics from one keyed
+    exchange + one vectorized lexsort."""
+    import pyarrow.compute as _pc
+    from frontera_ray.stages.relational import cluster_cpus, per_key_rank
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "o_custkey": b["o_custkey"],
+                  "o_orderkey": b["o_orderkey"],
+                  "price_cents": _pc.cast(_pc.round(
+                      _pc.multiply(b["o_totalprice"], 100.0)), pa.int64()),
+              }), batch_format="pyarrow"))
+    out = per_key_rank(orders, "o_custkey", "price_cents", 2,
+                       descending=True, tiebreak="o_orderkey",
+                       exchange="hash" if cluster_cpus() >= 16
+                       else "groups").to_pandas()
+    return out.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+def q_latest_events(sf_dir: str):
+    """Keep-latest upsert (CDC compaction): one surviving row per
+    user_id — max ts, smallest event_id on ties — via per_key_topk
+    k=1 over a single keyed exchange. The snapshot-compaction shape a
+    mutable-corpus ingest (latest version of each doc) needs."""
+    from frontera_ray.stages.relational import cluster_cpus, per_key_topk
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": b["event_type"],
+        }), batch_format="pyarrow")
+    out = per_key_topk(ev, "user_id", "ts_us", 1, descending=True,
+                       tiebreak="event_id",
+                       exchange="hash" if cluster_cpus() >= 16
+                       else "groups").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_running_total(sf_dir: str):
     """Per-user ordered window SCAN over events: cumulative count +
     integer-cents running sum + lag inter-arrival gap, all from one
@@ -1672,6 +1754,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
     "orders_left_join": q_orders_left_join,
+    "customers_full_join": q_customers_full_join,
+    "order_rank": q_order_rank,
+    "latest_events": q_latest_events,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2481,6 +2566,32 @@ def oracle_sql() -> dict[str, str]:
                        WHERE l_quantity >= 48) l
               ON l.l_orderkey = o.o_orderkey
             ORDER BY o.o_orderkey, l_qty""",
+        "customers_full_join": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   COALESCE(round(c.c_acctbal * 100)::BIGINT, -1)
+                     AS acctbal_cents,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(round(o.o_totalprice * 100)::BIGINT, -1)
+                     AS price_cents
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+            FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            ORDER BY 1, 3""",
+        "order_rank": """
+            SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     round(o_totalprice * 100)::BIGINT AS price_cents,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY round(o_totalprice*100)::BIGINT DESC,
+                                                 o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 2 ORDER BY o_custkey, rn""",
+        "latest_events": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id) = 1
+            ORDER BY user_id""",
         "pack_sequences": r"""
             WITH RECURSIVE rows_ AS (
                 SELECT doc_id // 64 AS bucket,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "hll_distinct", "running_total", "pagerank", "label_centroids",
     "length_outliers", "cms_counts", "top_event_type", "centroid_assign",
     "image_caption_curate", "funnel_depth", "reassemble_chunks",
+    "customers_full_join", "order_rank", "latest_events",
 ]
 
 CRAWL_HOSTS = 8192

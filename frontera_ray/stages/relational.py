@@ -190,6 +190,40 @@ def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
     return keyed_exchange(ds, key, block_topk, exchange)
 
 
+def per_key_rank(ds, key: str, order_col: str, k: int,
+                 descending: bool = True, tiebreak: str | None = None,
+                 rank_col: str = "rn", exchange: str = "groups"):
+    """Per-key ROW_NUMBER window: every surviving row carries its
+    1-based rank within its key (ordered by ``order_col`` then
+    ``tiebreak``), rows with rank > k dropped. Same single keyed
+    exchange + one vectorized lexsort as ``per_key_topk`` — the
+    ranking-window-function primitive (ROW_NUMBER ... QUALIFY rn<=k),
+    distinct from the cap in that the rank itself is an output."""
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(rank_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        primary = -vals if descending else vals
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, primary, keys))
+        else:
+            order = np.lexsort((primary, keys))
+        sk = keys[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(sk)) - starts[run_id]
+        keep = rank < k
+        out = batch.take(pa.array(order[keep]))
+        return out.append_column(rank_col,
+                                 pa.array(rank[keep] + 1, pa.int64()))
+
+    return keyed_exchange(ds, key, block_rank, exchange)
+
+
 def global_topk(ds, order_col: str, k: int, descending: bool = True,
                 tiebreak: str | None = None) -> pa.Table:
     """Exact global top-k: per-block partial top-k then driver merge —
@@ -548,8 +582,22 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
     indices — Arrow's take yields nulls for them natively). NULL join
     keys still never MATCH (SQL semantics), but under 'left' they are
     routed through the exchange and emitted unmatched rather than
-    dropped."""
-    assert how in ("inner", "left")
+    dropped.
+
+    ``how='full'``: FULL OUTER — additionally every unmatched RIGHT
+    row is emitted once with typed nulls for the left payload (its
+    key comes from the right side, i.e. the output key column is
+    SQL's COALESCE(l.key, r.key)). NULL-key right rows are likewise
+    kept unmatched (split off inside the kernel before group coding,
+    so any key type is safe). The right-unmatched block reuses the
+    kernel's two existing lexsorts — still no per-key Python.
+
+    Exchange note: NULL keys in a STRING key column require
+    ``exchange='hash'`` under 'left'/'full' (Ray 2.49's sort-based
+    groupby partitioner calls np.searchsorted on the object column
+    and None is unordered vs str; typed-null int/float keys sort
+    fine on both exchanges)."""
+    assert how in ("inner", "left", "full")
     left_cols, right_cols = list(left_cols), list(right_cols)
     l_types = _arrow_types(left_ds)
     r_types = _arrow_types(right_ds)
@@ -557,9 +605,10 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
             # NULL keys never match (NULL = NULL is false) — drop them
-            # before the exchange, except left rows under how='left'
-            # (they must still be emitted, unmatched)
-            if side == 1 or how == "inner":
+            # before the exchange, except rows the outer semantics must
+            # still emit unmatched (left rows under 'left'/'full',
+            # right rows under 'full')
+            if (side == 1 and how != "full") or how == "inner":
                 batch = batch.filter(pc.is_valid(batch[key]))
             n = len(batch)
             own = set(batch.column_names)
@@ -582,8 +631,21 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
                   + [(c, r_types[c]) for c in right_cols])
 
     def join_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], t) for c, t in out_schema})
         if len(batch) == 0:
-            return pa.table({c: pa.array([], t) for c, t in out_schema})
+            return empty
+        pieces = []
+        if how == "full":
+            # NULL keys never match: every NULL-key row (either side)
+            # is emitted once, unmatched. tag() already null-padded the
+            # other side's payload, so a column select is the emission.
+            validmask = pc.is_valid(batch[key])
+            nulls = batch.filter(pc.invert(validmask))
+            if len(nulls):
+                pieces.append(pa.table({c: nulls[c] for c, _ in out_schema}))
+            batch = batch.filter(validmask)
+            if len(batch) == 0:
+                return pieces[0] if pieces else empty
         side = batch["_side"].to_numpy()
         keys = _group_codes(batch[key].to_numpy(zero_copy_only=False))
         is_r = side == 1
@@ -597,22 +659,40 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
         order_lo = np.lexsort((np.where(is_r, 1, 0), keys))
         lo = np.cumsum(is_r[order_lo])[np.flatnonzero(~is_r[order_lo])]
         counts = hi - lo
-        # LEFT OUTER: unmatched left rows emit exactly one null-padded
-        # output row (null take indices -> Arrow take yields nulls)
-        emit = np.maximum(counts, 1) if how == "left" else counts
+        # LEFT/FULL OUTER: unmatched left rows emit exactly one
+        # null-padded output row (null take indices -> Arrow take
+        # yields nulls natively)
+        emit = np.maximum(counts, 1) if how in ("left", "full") else counts
         total = int(emit.sum())
-        if total == 0:
-            return pa.table({c: pa.array([], t) for c, t in out_schema})
-        left_idx_sorted = np.flatnonzero(~is_r)[
-            np.argsort(keys[~is_r], kind="stable")]
         right_idx_sorted = np.flatnonzero(is_r)[
             np.argsort(keys[is_r], kind="stable")]
+        if how == "full" and len(right_idx_sorted):
+            # FULL OUTER: right rows whose key group holds no left row
+            # are emitted once, unmatched. The per-right-row left count
+            # reuses the two lexsorts above: order_lo sorts left rows
+            # before right within a key (cum of left rows at a right
+            # position = left rows in own + earlier groups), order_hi
+            # sorts them after (= earlier groups only); the difference
+            # is the own-group left count, aligned to right_idx_sorted
+            # by lexsort stability.
+            hi_l = np.cumsum(~is_r[order_lo])[np.flatnonzero(is_r[order_lo])]
+            lo_l = np.cumsum(~is_r[order_hi])[np.flatnonzero(is_r[order_hi])]
+            unmatched_r = right_idx_sorted[(hi_l - lo_l) == 0]
+            if len(unmatched_r):
+                sub = batch.take(pa.array(unmatched_r))
+                pieces.append(pa.table({c: sub[c] for c, _ in out_schema}))
+        if total == 0:
+            if not pieces:
+                return empty
+            return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+        left_idx_sorted = np.flatnonzero(~is_r)[
+            np.argsort(keys[~is_r], kind="stable")]
         rep = np.repeat(np.arange(len(emit)), emit)
         cum0 = np.concatenate(([0], np.cumsum(emit)[:-1]))
         ridx = np.repeat(lo, emit) + (np.arange(total)
                                       - np.repeat(cum0, emit))
         l_take = pa.array(left_idx_sorted[rep])
-        if how == "left":
+        if how in ("left", "full"):
             unmatched = np.repeat(counts == 0, emit)
             safe = np.where(unmatched, 0, ridx)
             r_take = pa.array(
@@ -625,7 +705,8 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
             cols[c] = batch[c].take(l_take)
         for c in right_cols:
             cols[c] = batch[c].take(r_take)
-        return pa.table(cols)
+        pieces.insert(0, pa.table(cols))
+        return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
 
     return keyed_exchange(tagged, key, join_block, exchange)
 

@@ -1,6 +1,7 @@
 """Text / image / relational stage unit tests."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -690,6 +691,73 @@ def test_equi_join_left_outer_matches_pandas(ray_session):
          [["k", "lv", "rv"]].sort_values(["k", "lv", "rv"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_equi_join_full_outer(ray_session, exchange):
+    """FULL OUTER: matched rows expand, unmatched LEFT rows null-pad
+    the right payload, unmatched RIGHT rows null-pad the left payload
+    and contribute their own key (COALESCE semantics); NULL keys never
+    match but are emitted once from their own side."""
+    import ray
+
+    from frontera_ray.stages.relational import equi_join
+
+    left = pa.table({"k": pa.array([1, 1, None, 2, 9], pa.int64()),
+                     "lv": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    right = pa.table({"k": pa.array([1, None, 3, 2, 2], pa.int64()),
+                      "rv": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    out = (equi_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     "k", ["lv"], ["rv"], how="full", exchange=exchange)
+           .to_pandas())
+    got = sorted((-1 if pd.isna(k) else int(k),
+                  -1 if pd.isna(l) else int(l),
+                  -1 if pd.isna(r) else int(r))
+                 for k, l, r in out.itertuples(index=False))
+    want = sorted([(1, 1, 10), (1, 2, 10), (-1, 3, -1), (2, 4, 40),
+                   (2, 4, 50), (9, 5, -1), (-1, -1, 20), (3, -1, 30)])
+    assert got == want
+
+
+def test_equi_join_full_outer_string_keys_hash(ray_session):
+    """String keys (incl. NULLs) on the hash exchange — the documented
+    path for object-dtype NULL join keys."""
+    import ray
+
+    from frontera_ray.stages.relational import equi_join
+
+    left = pa.table({"k": ["a", "a", None, "b", "x"],
+                     "lv": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    right = pa.table({"k": ["a", None, "c", "b", "b"],
+                      "rv": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    out = (equi_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     "k", ["lv"], ["rv"], how="full", exchange="hash")
+           .to_pandas())
+    got = sorted(("~" if pd.isna(k) else k,
+                  -1 if pd.isna(l) else int(l),
+                  -1 if pd.isna(r) else int(r))
+                 for k, l, r in out.itertuples(index=False))
+    want = sorted([("a", 1, 10), ("a", 2, 10), ("~", 3, -1), ("b", 4, 40),
+                   ("b", 4, 50), ("x", 5, -1), ("~", -1, 20),
+                   ("c", -1, 30)])
+    assert got == want
+
+
+def test_per_key_rank_row_numbers(ray_session):
+    """per_key_rank emits the 1-based rank and drops rank > k, with
+    deterministic tie-breaks."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_rank
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([5, 9, 9, 3, 7], pa.int64()),
+                  "id": pa.array([100, 101, 102, 103, 104], pa.int64())})
+    out = (per_key_rank(ray.data.from_arrow(t), "k", "v", 2,
+                        descending=True, tiebreak="id").to_pandas()
+           .sort_values(["k", "rn"]).reset_index(drop=True))
+    assert list(map(tuple, out[["k", "id", "rn"]].itertuples(index=False))) \
+        == [(1, 101, 1), (1, 102, 2), (2, 104, 1), (2, 103, 2)]
 
 
 def test_equi_join_left_outer_null_keys(ray_session):
