@@ -372,6 +372,49 @@ def q_revenue_nation(sf_dir: str):
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) over order revenue: one
+    distributed partial aggregate at the finest (region, nation) level
+    (broadcast dims, integer cents), then the coarser grouping sets
+    derived from that 25-row frame (relational.rollup_from_finest) —
+    the multi-level-subtotal report shape without re-scanning base
+    rows per level."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import (broadcast_join,
+                                                partial_groupby_agg,
+                                                rollup_from_finest)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    # tiny dims pre-joined driver-side into one 25-row lookup
+    nr = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.table({"c_nationkey": pa.array(nr["n_nationkey"], pa.int64()),
+                    "n_name": pa.array(nr["n_name"], pa.string()),
+                    "r_name": pa.array(nr["r_name"], pa.string())})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    j1 = broadcast_join(orders, cust, key="c_custkey")
+    j2 = broadcast_join(j1, dim, key="c_nationkey")
+    fin = partial_groupby_agg(j2, ["r_name", "n_name"],
+                              {"n_orders": ("cents", "count"),
+                               "revenue_cents": ("cents", "sum")})
+    out = rollup_from_finest(fin, ["r_name", "n_name"],
+                             ["n_orders", "revenue_cents"])
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def q_priority_revenue(sf_dir: str):
     """Large-large shuffle join demo: lineitem JOIN orders through ONE
     keyed exchange (both sides tagged + unioned; vectorized
@@ -1470,6 +1513,18 @@ def q_latest_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Top-20 bigram collocations by PMI (min support 5): one explode
+    pass emits unigram + bigram counts together, one groupby exchange,
+    vocabulary-bounded unigram broadcast, streaming per-block score +
+    partial top-k (text.pmi_top_bigrams)."""
+    from frontera_ray.stages.text import pmi_top_bigrams
+
+    return pmi_top_bigrams(
+        _read(sf_dir, "documents").select_columns(["text"]),
+        k=20, min_count=5)
+
+
 def q_running_total(sf_dir: str):
     """Per-user ordered window SCAN over events: cumulative count +
     integer-cents running sum + lag inter-arrival gap, all from one
@@ -1755,8 +1810,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitters": q_heavy_hitters,
     "orders_left_join": q_orders_left_join,
     "customers_full_join": q_customers_full_join,
+    "rollup_revenue": q_rollup_revenue,
     "order_rank": q_order_rank,
     "latest_events": q_latest_events,
+    "bigram_pmi": q_bigram_pmi,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2577,6 +2634,18 @@ def oracle_sql() -> dict[str, str]:
                   WHERE c_mktsegment = 'BUILDING') c
             FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
             ORDER BY 1, 3""",
+        "rollup_revenue": """
+            SELECT COALESCE(r_name, '<all>') AS r_name,
+                   COALESCE(n_name, '<all>') AS n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                     AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY 1, 2""",
         "order_rank": """
             SELECT o_custkey, o_orderkey, price_cents, rn FROM (
               SELECT o_custkey, o_orderkey,
@@ -2592,6 +2661,30 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id) = 1
             ORDER BY user_id""",
+        # pmi expression mirrors the Ray kernel exactly: all-DOUBLE
+        # left-assoc products, one division, floor(ln(x)*1e6 + 0.5)
+        "bigram_pmi": r"""
+            WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS l
+                          FROM documents),
+            uni AS (SELECT unnest(l) AS w FROM toks),
+            ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+            nuni AS (SELECT count(*)::BIGINT AS n FROM uni),
+            bi AS (SELECT l[i] AS w1, l[i+1] AS w2
+                   FROM toks, LATERAL unnest(generate_series(1, len(l)-1))
+                        AS t(i)),
+            bcnt AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bi
+                     GROUP BY w1, w2)
+            SELECT w1, w2, bcnt.n,
+                   CAST(floor(ln((bcnt.n::DOUBLE
+                                  * (SELECT n FROM nuni)::DOUBLE
+                                  * (SELECT n FROM nuni)::DOUBLE)
+                                 / ((SELECT count(*)::BIGINT FROM bi)::DOUBLE
+                                    * u1.c::DOUBLE * u2.c::DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+            FROM bcnt JOIN ucnt u1 ON u1.w = bcnt.w1
+                      JOIN ucnt u2 ON u2.w = bcnt.w2
+            WHERE bcnt.n >= 5
+            ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
         "pack_sequences": r"""
             WITH RECURSIVE rows_ AS (
                 SELECT doc_id // 64 AS bucket,

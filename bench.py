@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "length_outliers", "cms_counts", "top_event_type", "centroid_assign",
     "image_caption_curate", "funnel_depth", "reassemble_chunks",
     "customers_full_join", "order_rank", "latest_events",
+    "rollup_revenue", "bigram_pmi",
 ]
 
 CRAWL_HOSTS = 8192

@@ -66,6 +66,39 @@ def partial_groupby_agg(ds, keys, aggs: dict):
     return df.groupby(keys, as_index=False).agg(**final)
 
 
+def rollup_from_finest(df, levels, value_cols, all_label: str = "<all>"):
+    """GROUP BY ROLLUP derived from the finest-level aggregate: for
+    levels (a, b, ...) emit the grouping sets (a, b, ...), (a, ...),
+    ..., () by re-summing the FINEST frame, with rolled-up label
+    columns set to ``all_label`` (COALESCE presentation of SQL's
+    rollup NULLs).
+
+    Scale contract: ``df`` is the OUTPUT of a distributed partial
+    aggregate (combiner-small by construction — e.g. 25 nations); the
+    coarser sets are then a driver-side re-sum over that small frame,
+    never a second pass over base rows. Only additive aggregates
+    (sum / count) roll up this way — min/max do too, but averages
+    must be carried as (sum, count) pairs."""
+    import pandas as pd
+
+    levels = list(levels)
+    value_cols = list(value_cols)
+    pieces = [df.copy()]
+    for i in range(len(levels) - 1, -1, -1):
+        keep = levels[:i]
+        if keep:
+            g = df.groupby(keep, as_index=False)[value_cols].sum()
+        else:
+            g = df[value_cols].sum().to_frame().T
+        for col in levels[i:]:
+            g[col] = all_label
+        pieces.append(g)
+    out = pd.concat(pieces, ignore_index=True)[list(df.columns)]
+    for c in value_cols:
+        out[c] = out[c].astype(df[c].dtype)
+    return out
+
+
 def broadcast_join(ds, small_table: pa.Table, key: str, columns=None,
                    small_prefix: str = ""):
     """Hash-join a Dataset against a small in-memory table without a

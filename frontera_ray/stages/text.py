@@ -420,6 +420,103 @@ def repetition_table(batch: pa.Table, text_col: str = "text",
     })
 
 
+def gram_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Explode docs into unigram AND adjacent-bigram counts in ONE
+    pass: a gram is either ``tok`` (unigram) or ``'tok1 tok2'``
+    (bigram — the embedded space distinguishes the two families;
+    tokens are whitespace-free by the ``\\S+`` tokenizer). Vectorized
+    Arrow whitespace split; bigram adjacency = consecutive flattened
+    tokens sharing a parent doc; one pandas value_counts per block."""
+    import pandas as pd
+
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    parent = pc.list_parent_indices(toks).to_numpy()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)[keep]
+    par = parent[keep]
+    grams = [tok]
+    if len(tok) >= 2:
+        adj = par[1:] == par[:-1]
+        if adj.any():
+            w1 = pd.Series(tok[:-1][adj], dtype=object)
+            w2 = pd.Series(tok[1:][adj], dtype=object)
+            grams.append((w1 + " " + w2).to_numpy())
+    vc = pd.Series(np.concatenate(grams)).value_counts()
+    return pa.table({"gram": pa.array(vc.index, pa.string()),
+                     "n": pa.array(vc.to_numpy(), pa.int64())})
+
+
+def pmi_top_bigrams(ds, k: int = 20, min_count: int = 5,
+                    text_col: str = "text"):
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi = ln(c_xy * N_uni^2 / (N_bi * c_x * c_y)), micro-rounded as
+    floor(pmi * 1e6 + 0.5) for integer-exact oracle parity.
+
+    Distributed shape: ONE explode pass emits unigram + bigram counts
+    together (``gram_count_table``), ONE groupby exchange aggregates
+    them, and the aggregate is pinned (vocab + distinct-bigram sized,
+    << corpus) so the unigram collect, the N_bi sum and the scoring
+    pass share it. Unigram counts broadcast once via ray.put (bounded
+    by vocabulary — the same class of small-side broadcast as
+    ``decontaminate``'s eval-gram set); scoring + the >= min_count
+    support filter stream over bigram blocks with a per-block partial
+    top-k and a tiny driver merge (``relational.global_topk``)."""
+    import ray
+
+    from .relational import global_topk
+
+    counts = (ds.map_batches(gram_count_table, batch_format="pyarrow")
+              .groupby("gram").sum("n")
+              .map_batches(lambda b: pa.table({
+                  "gram": b["gram"],
+                  "n": b["sum(n)"].cast(pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    def unigrams_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.match_substring(b["gram"], " ")))
+
+    uni = pa.concat_tables(list(
+        counts.map_batches(unigrams_only, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    uni_map = dict(zip(uni["gram"].to_pylist(), uni["n"].to_pylist()))
+    n_uni = float(sum(uni_map.values()))
+    uni_ref = ray.put(uni_map)
+
+    bi = counts.map_batches(
+        lambda b: b.filter(pc.match_substring(b["gram"], " ")),
+        batch_format="pyarrow")
+    n_bi = float(bi.sum("n"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch["n"], pa.scalar(min_count, pa.int64())))
+        umap = ray.get(uni_ref)
+        grams = batch["gram"].to_pylist()
+        pairs = [g.split(" ", 1) for g in grams]
+        c1 = np.array([umap[p[0]] for p in pairs], np.float64)
+        c2 = np.array([umap[p[1]] for p in pairs], np.float64)
+        n = batch["n"].to_numpy().astype(np.float64)
+        # expression shape mirrors the SQL twin exactly (left-assoc
+        # products, one division, floor(x*1e6 + 0.5))
+        x = (n * n_uni * n_uni) / (n_bi * c1 * c2)
+        micro = np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"gram": batch["gram"], "n": batch["n"],
+                         "pmi_micro": pa.array(micro, pa.int64())})
+
+    top = global_topk(bi.map_batches(score, batch_format="pyarrow"),
+                      "pmi_micro", k, descending=True, tiebreak="gram")
+    import pandas as pd
+    df = top.to_pandas()
+    split = df["gram"].str.split(" ", n=1, expand=True)
+    out = pd.DataFrame({"w1": split[0], "w2": split[1],
+                        "n": df["n"], "pmi_micro": df["pmi_micro"]})
+    return (out.sort_values(["pmi_micro", "w1", "w2"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
 def heavy_hitters(ds, support_num: int, support_den: int,
                   text_col: str = "text"):
     """EXACT frequent tokens (count >= support_num/support_den of the

@@ -760,6 +760,64 @@ def test_per_key_rank_row_numbers(ray_session):
         == [(1, 101, 1), (1, 102, 2), (2, 104, 1), (2, 103, 2)]
 
 
+def test_rollup_from_finest_levels():
+    """Rollup grouping sets derived from the finest aggregate: one row
+    set per level, additive values re-summed, labels coalesced."""
+    from frontera_ray.stages.relational import rollup_from_finest
+
+    fin = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                        "n": [1, 2, 4], "s": [10, 20, 40]})
+    out = rollup_from_finest(fin, ["a", "b"], ["n", "s"])
+    assert len(out) == 3 + 2 + 1
+    sub = out[(out.a == "x") & (out.b == "<all>")]
+    assert sub.n.tolist() == [3] and sub.s.tolist() == [30]
+    tot = out[(out.a == "<all>") & (out.b == "<all>")]
+    assert tot.n.tolist() == [7] and tot.s.tolist() == [70]
+
+
+def test_gram_count_table_adjacency():
+    """Bigrams never cross document boundaries; unigram and bigram
+    counts come out of one pass."""
+    from frontera_ray.stages.text import gram_count_table
+
+    t = pa.table({"text": pa.array(["a b a", "b a"], pa.string())})
+    out = gram_count_table(t)
+    got = dict(zip(out["gram"].to_pylist(), out["n"].to_pylist()))
+    assert got == {"a": 3, "b": 2, "a b": 1, "b a": 2}
+
+
+def test_pmi_top_bigrams_matches_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import ray
+
+    from frontera_ray.stages.text import pmi_top_bigrams
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(80)]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    got = pmi_top_bigrams(ds, k=10, min_count=3)
+    uni = Counter(w for t in texts for w in t.split())
+    bi = Counter()
+    for t in texts:
+        ws = t.split()
+        bi.update(zip(ws, ws[1:]))
+    n_uni, n_bi = float(sum(uni.values())), float(sum(bi.values()))
+    rows = []
+    for (w1, w2), n in bi.items():
+        if n < 3:
+            continue
+        x = (n * n_uni * n_uni) / (n_bi * uni[w1] * uni[w2])
+        rows.append((w1, w2, n,
+                     int(math.floor(math.log(x) * 1e6 + 0.5))))
+    want = sorted(rows, key=lambda r: (-r[3], r[0], r[1]))[:10]
+    assert list(map(tuple, got[["w1", "w2", "n", "pmi_micro"]]
+                    .itertuples(index=False))) == want
+
+
 def test_equi_join_left_outer_null_keys(ray_session):
     """NULL keys never match but survive a LEFT join (SQL semantics)."""
     import ray
