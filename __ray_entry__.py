@@ -1513,6 +1513,17 @@ def q_latest_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_kmeans(sf_dir: str):
+    """Fixed-iteration Lloyd k-means (k=8, 2 update rounds) over the
+    embeddings table (ann.kmeans_fixed): deterministic smallest-vec_id
+    seeds, broadcast centroid matrix per pass, streaming per-block
+    partial sums, exact integer inertia. Oracle = the unrolled
+    recurrence as chained CTEs with the same 1e-9 rounding."""
+    from frontera_ray.stages.ann import kmeans_fixed
+
+    return kmeans_fixed(_read(sf_dir, "embeddings"), k=8, iters=2)
+
+
 def q_bigram_pmi(sf_dir: str):
     """Top-20 bigram collocations by PMI (min support 5): one explode
     pass emits unigram + bigram counts together, one groupby exchange,
@@ -1814,6 +1825,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_rank": q_order_rank,
     "latest_events": q_latest_events,
     "bigram_pmi": q_bigram_pmi,
+    "kmeans": q_kmeans,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2661,6 +2673,73 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id) = 1
             ORDER BY user_id""",
+        # the Lloyd recurrence unrolled: c0 seeds -> assign (round-1e-9
+        # d2, ties to smaller cluster) -> re-center (round 1e-9, empty
+        # clusters keep previous centroid via COALESCE) x2 -> final
+        # stats; inertia summed as exact nano-unit BIGINTs
+        "kmeans": """
+            WITH c0 AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[i+1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              WHERE vec_id < 8),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1),
+            m1 AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                       AS c
+              FROM embeddings e JOIN a1 a USING (vec_id),
+                   generate_series(0, 63) AS g(i)
+              GROUP BY a.cl, g.i),
+            c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1
+                     ON m1.cl = c0.cl AND m1.dim = c0.dim),
+            d2_ AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+            a2 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d2_) WHERE rn = 1),
+            m2 AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                       AS c
+              FROM embeddings e JOIN a2 a USING (vec_id),
+                   generate_series(0, 63) AS g(i)
+              GROUP BY a.cl, g.i),
+            c2 AS (SELECT c1.cl, c1.dim, COALESCE(m2.c, c1.c) AS c
+                   FROM c1 LEFT JOIN m2
+                     ON m2.cl = c1.cl AND m2.dim = c1.dim),
+            df AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c2 c GROUP BY e.vec_id, c.cl),
+            af AS (
+              SELECT vec_id, cl, d2 FROM (
+                SELECT vec_id, cl, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM df) WHERE rn = 1)
+            SELECT cl AS cluster, count(*)::BIGINT AS n,
+                   sum(CAST(round(d2 * 1000000000) AS BIGINT))::BIGINT
+                     AS inertia_nano
+            FROM af GROUP BY cl ORDER BY cluster""",
         # pmi expression mirrors the Ray kernel exactly: all-DOUBLE
         # left-assoc products, one division, floor(ln(x)*1e6 + 0.5)
         "bigram_pmi": r"""

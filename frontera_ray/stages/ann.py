@@ -559,3 +559,100 @@ def label_centroids(ds, label_col: str = "label",
     return pa.table({"label": pa.array(labels_out, pa.int64()),
                      "dim": pa.array(dims_out, pa.int64()),
                      "c": pa.array(cs_out, pa.float64())})
+
+
+def kmeans_fixed(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding", round_to: int = 9):
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    corpus-clustering shape (topic bucketing / dedup routing) with a
+    deterministic, oracle-checkable recurrence:
+
+    - seeds = the embeddings of the ``k`` smallest ``id_col`` values
+      (deterministic; no RNG in the recurrence),
+    - each iteration: broadcast the k x d centroid matrix (ray.put
+      once), ONE streaming pass computes per-block rounded squared
+      distances (round 1e-9 BEFORE the argmin, ties to the smaller
+      cluster id — same convention as ``label_centroids`` /
+      ``centroid_assign`` so summation order can't flip near-ties),
+      partial per-cluster sum-vectors + counts; the driver re-centers
+      (round 1e-9) over the tiny k x d combine. Empty clusters keep
+      their previous centroid.
+    - final pass: per-cluster size + EXACT integer inertia
+      (per-row d2 in nano units, int64-summed — order-independent).
+
+    Vectors never materialize on the driver; cost is (iters + 1)
+    streaming passes over the input (re-read per pass — pin the input
+    upstream if re-reading is costlier than pinning).
+
+    Returns pandas (cluster, n, inertia_nano) for non-empty clusters.
+    """
+    import pandas as pd
+    import ray
+
+    import pyarrow.compute as pc
+
+    seed_t = pa.concat_tables(list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    order = np.argsort(seed_t[id_col].to_numpy())
+    C = _matrix(seed_t.take(pa.array(order)), vec_col).astype(np.float64)
+    assert C.shape[0] == k, f"expected {k} seed vectors, got {C.shape[0]}"
+    d = C.shape[1]
+
+    def make_pass(cref, final: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            X = _matrix(batch, vec_col).astype(np.float64)
+            d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2)
+                          .sum(axis=2), round_to)
+            a = np.argmin(d2, axis=1)  # first min = smallest cluster id
+            if final:
+                n = np.bincount(a, minlength=k).astype(np.int64)
+                nano = np.round(d2[np.arange(len(a)), a] * 1e9) \
+                    .astype(np.int64)
+                inert = np.zeros(k, np.int64)
+                np.add.at(inert, a, nano)
+                return pa.table({
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(n, pa.int64()),
+                    "inertia_nano": pa.array(inert, pa.int64())})
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, a, X)
+            cnts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64()))})
+        return fn
+
+    src = ds.select_columns([vec_col])
+    for _ in range(iters):
+        cref = ray.put(C)
+        sums = np.zeros((k, d), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for t in src.map_batches(make_pass(cref, False),
+                                 batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            cl = t["cluster"].to_numpy()
+            cnts[cl] += t["cnt"].to_numpy()
+            sums[cl] += np.stack(t["s"].to_numpy(zero_copy_only=False))
+        nz = cnts > 0
+        C = C.copy()
+        C[nz] = np.round(sums[nz] / cnts[nz, None], round_to)
+
+    cref = ray.put(C)
+    n_tot = np.zeros(k, np.int64)
+    i_tot = np.zeros(k, np.int64)
+    for t in src.map_batches(make_pass(cref, True),
+                             batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        cl = t["cluster"].to_numpy()
+        n_tot[cl] += t["n"].to_numpy()
+        i_tot[cl] += t["inertia_nano"].to_numpy()
+    keep = n_tot > 0
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64)[keep],
+        "n": n_tot[keep],
+        "inertia_nano": i_tot[keep]})

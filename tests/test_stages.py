@@ -818,6 +818,27 @@ def test_pmi_top_bigrams_matches_brute(ray_session):
                     .itertuples(index=False))) == want
 
 
+def test_kmeans_fixed_partition_invariant(ray_session):
+    """The Lloyd recurrence is deterministic and block-layout
+    independent (rounded distances + rounded re-centering)."""
+    import ray
+
+    from frontera_ray.stages.ann import kmeans_fixed
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    outs = []
+    for parts in (3, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(kmeans_fixed(ds, k=4, iters=2))
+    assert outs[0].equals(outs[1])
+    assert outs[0]["n"].sum() == 200
+    assert (outs[0]["inertia_nano"] > 0).all()
+
+
 def test_equi_join_left_outer_null_keys(ray_session):
     """NULL keys never match but survive a LEFT join (SQL semantics)."""
     import ray
