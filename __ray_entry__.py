@@ -1513,6 +1513,26 @@ def q_latest_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_hll_grouped(sf_dir: str):
+    """Per-group HyperLogLog COUNT(DISTINCT): register partials per
+    (block, event_type), driver max-merge per group (sketches
+    .hll_count_distinct_grouped), next to the exact per-group answer.
+    Same bit-reproducible integer register arithmetic as hll_distinct,
+    with the group key carried through every stage."""
+    from frontera_ray.stages.relational import grouped_count_distinct
+    from frontera_ray.stages.sketches import hll_count_distinct_grouped
+
+    # materialized only to share one read between the sketch and its
+    # exact companion; the 100-TB path runs the sketch alone
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_type", "user_id"]).materialize()
+    est = hll_count_distinct_grouped(ev, "event_type", "user_id")
+    ex = grouped_count_distinct(ev, "event_type", "user_id",
+                                combine="driver")
+    out = est.merge(ex, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_kmeans(sf_dir: str):
     """Fixed-iteration Lloyd k-means (k=8, 2 update rounds) over the
     embeddings table (ann.kmeans_fixed): deterministic smallest-vec_id
@@ -1826,6 +1846,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "bigram_pmi": q_bigram_pmi,
     "kmeans": q_kmeans,
+    "hll_grouped": q_hll_grouped,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2578,6 +2599,41 @@ def oracle_sql() -> dict[str, str]:
                      AS est_distinct,
                    (SELECT count(DISTINCT v) FROM k)::BIGINT AS n_exact
             FROM est""",
+        "hll_grouped": """
+            WITH b AS (SELECT event_type,
+                              (h // 1125899906842624)::BIGINT AS idx,
+                              (h % 1125899906842624)::BIGINT AS w
+                       FROM (SELECT event_type,
+                                    ('0x' || substr(md5(
+                                       CAST(user_id AS VARCHAR)), 1, 16)
+                                    )::UBIGINT AS h
+                             FROM events)),
+            r AS (SELECT event_type, idx,
+                         MAX(CASE WHEN w = 0 THEN 51
+                                  ELSE 50 - length(bin(w)) + 1 END) AS rho
+                  FROM b GROUP BY event_type, idx),
+            agg AS (SELECT event_type,
+                           SUM(1::BIGINT << (51 - rho))::HUGEINT AS s_live,
+                           count(*)::BIGINT AS n_live
+                    FROM r GROUP BY event_type),
+            est AS (SELECT event_type,
+                           (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0
+                           * 16384.0 * 2251799813685248.0
+                           / CAST(s_live + (16384 - n_live)::HUGEINT
+                                  * 2251799813685248 AS DOUBLE) AS raw,
+                           16384 - n_live AS v0
+                    FROM agg),
+            ex AS (SELECT event_type,
+                          count(DISTINCT user_id)::BIGINT AS n_distinct
+                   FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(FLOOR(CASE WHEN raw <= 2.5 * 16384.0 AND v0 > 0
+                                   THEN 16384.0 * ln(16384.0 / v0)
+                                   ELSE raw END) AS BIGINT)
+                     AS est_distinct,
+                   ex.n_distinct
+            FROM est e JOIN ex USING (event_type)
+            ORDER BY e.event_type""",
         "bloom_semi_join": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem l

@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "length_outliers", "cms_counts", "top_event_type", "centroid_assign",
     "image_caption_curate", "funnel_depth", "reassemble_chunks",
     "customers_full_join", "order_rank", "latest_events",
-    "rollup_revenue", "bigram_pmi", "kmeans",
+    "rollup_revenue", "bigram_pmi", "kmeans", "hll_grouped",
 ]
 
 CRAWL_HOSTS = 8192

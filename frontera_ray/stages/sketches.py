@@ -192,3 +192,54 @@ def cms_estimate(regs: np.ndarray, tokens, w: int = CMS_W,
     return np.array(
         [min(regs[j, b] for j, b in enumerate(cms_buckets(str(t), w, d)))
          for t in tokens], dtype=np.int64)
+
+
+def hll_count_distinct_grouped(ds, group_col: str, col: str, p: int = 14,
+                               hash: str = "md5"):
+    """Per-group approximate COUNT(DISTINCT col): one streaming pass
+    emitting (group, 2^p-register) partials per block, driver
+    max-merge keyed by the group, closed-form estimate per group.
+
+    Scale contract: the driver combine is n_groups x 2^p bytes —
+    sized for LOW-CARDINALITY groups (event types, languages, shards);
+    high-cardinality keys should use ``relational
+    .grouped_count_distinct``'s exact exchange instead. Values never
+    leave their block; the exchange payload is registers only."""
+    import pandas as pd
+
+    if hash == "fast":
+        from .relational import _key_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        col_arr = batch[col]
+        valid = pc.is_valid(col_arr).to_numpy(zero_copy_only=False)
+        if hash == "md5":
+            h_all = _md5_hash64(col_arr.to_pylist())
+        else:
+            h_all = _key_hash64(col_arr.combine_chunks()
+                                if hasattr(col_arr, "combine_chunks")
+                                else col_arr)
+        gs, rs = [], []
+        for gv in pd.unique(g):
+            mask = (g == gv) & valid
+            gs.append(gv)
+            rs.append(hll_partial(h_all[mask], p))
+        return pa.table({
+            group_col: pa.array(gs),
+            "r": pa.array([r.tolist() for r in rs],
+                          pa.list_(pa.uint8()))})
+
+    acc: dict = {}
+    for t in ds.select_columns([group_col, col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        gs = t[group_col].to_pylist()
+        rs = t["r"].to_numpy(zero_copy_only=False)
+        for gv, r in zip(gs, rs):
+            r = np.asarray(r, np.uint8)
+            prev = acc.get(gv)
+            acc[gv] = np.maximum(prev, r) if prev is not None else r.copy()
+
+    rows = [(gv, int(np.floor(hll_estimate(acc[gv])))) for gv in sorted(acc)]
+    return pd.DataFrame(rows, columns=[group_col, "est_distinct"])
