@@ -1513,6 +1513,37 @@ def q_latest_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK of each event's value (integer cents) within its
+    event_type (relational.per_key_percent_rank): RANK tie semantics,
+    micro-rounded, one keyed exchange + one vectorized pass."""
+    from frontera_ray.stages.relational import per_key_percent_rank
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"]).map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "cents": pa.array(
+                np.floor(b["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    out = per_key_percent_rank(ev, "event_type", "cents").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_pivot(sf_dir: str):
+    """PIVOT long->wide: one row per user with a count column per
+    event type (relational.pivot_counts — per-block bincount partials,
+    one hash-shuffle groupby-sum of pre-aggregated wide rows)."""
+    from frontera_ray.stages.relational import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_counts(_read(sf_dir, "events"), "user_id",
+                       "event_type", types).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_hll_grouped(sf_dir: str):
     """Per-group HyperLogLog COUNT(DISTINCT): register partials per
     (block, event_type), driver max-merge per group (sketches
@@ -1847,6 +1878,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_pmi": q_bigram_pmi,
     "kmeans": q_kmeans,
     "hll_grouped": q_hll_grouped,
+    "percent_rank": q_percent_rank,
+    "event_pivot": q_event_pivot,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2599,6 +2632,27 @@ def oracle_sql() -> dict[str, str]:
                      AS est_distinct,
                    (SELECT count(DISTINCT v) FROM k)::BIGINT AS n_exact
             FROM est""",
+        "percent_rank": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(floor(percent_rank() OVER (
+                          PARTITION BY event_type
+                          ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        * 1000000 + 0.5) AS BIGINT) AS pr_micro
+            FROM events ORDER BY event_id""",
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')::BIGINT
+                     AS n_click,
+                   count(*) FILTER (event_type = 'error')::BIGINT
+                     AS n_error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                     AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT
+                     AS n_signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT
+                     AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id""",
         "hll_grouped": """
             WITH b AS (SELECT event_type,
                               (h // 1125899906842624)::BIGINT AS idx,

@@ -257,6 +257,79 @@ def per_key_rank(ds, key: str, order_col: str, k: int,
     return keyed_exchange(ds, key, block_rank, exchange)
 
 
+def per_key_percent_rank(ds, key_col: str, order_col: str,
+                         out_col: str = "pr_micro",
+                         exchange: str = "groups"):
+    """Per-key PERCENT_RANK window: every row gains
+    floor((rank-1)/(n-1) * 1e6 + 0.5) with SQL RANK tie semantics
+    (equal order values share a rank; single-row partitions get 0).
+    One keyed exchange + one vectorized lexsort; rank-with-ties is a
+    cummax over value-change positions — no per-key Python."""
+
+    def block_pr(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk, sv = keys[order], vals[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.diff(np.append(starts, len(sk)))[run_id]
+        new_val = new_run | np.concatenate(([True], sv[1:] != sv[:-1]))
+        vstart = np.maximum.accumulate(
+            np.where(new_val, np.arange(len(sk)), 0))
+        rank0 = (vstart - starts[run_id]).astype(np.float64)
+        denom = sizes - 1
+        pr = np.zeros(len(sk), np.float64)
+        nz = denom > 0
+        pr[nz] = rank0[nz] / denom[nz]
+        micro = np.floor(pr * 1e6 + 0.5).astype(np.int64)
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(micro, pa.int64()))
+
+    return keyed_exchange(ds, key_col, block_pr, exchange)
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str],
+                 prefix: str = "n_"):
+    """PIVOT: one wide row per key with a count column per pivot
+    value (long -> wide reshape). The pivot domain ``values`` must be
+    known/bounded (collect it with a tiny distinct pass upstream);
+    the reshape is a per-block vectorized bincount over
+    (key, value-code) pairs — the partial/combiner step — and the
+    combine is ONE hash-shuffle groupby-sum on the key, so the
+    all-to-all ships pre-aggregated wide rows, never events."""
+    values = list(values)
+    cols = [f"{prefix}{v}" for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        pv = batch[pivot_col].to_numpy(zero_copy_only=False)
+        uk, kinv = np.unique(keys, return_inverse=True)
+        vcode = pd.Categorical(pv, categories=values).codes.astype(np.int64)
+        ok = vcode >= 0
+        flat = np.zeros(len(uk) * len(values), np.int64)
+        np.add.at(flat, kinv[ok] * len(values) + vcode[ok], 1)
+        mat = flat.reshape(len(uk), len(values))
+        out = {key_col: pa.array(uk)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(out)
+
+    wide = ds.select_columns([key_col, pivot_col]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = wide.groupby(key_col).sum(cols)
+    return agg.map_batches(
+        lambda b: pa.table({key_col: b[key_col],
+                            **{c: b[f"sum({c})"].cast(pa.int64())
+                               for c in cols}}),
+        batch_format="pyarrow")
+
+
 def global_topk(ds, order_col: str, k: int, descending: bool = True,
                 tiebreak: str | None = None) -> pa.Table:
     """Exact global top-k: per-block partial top-k then driver merge —

@@ -818,6 +818,41 @@ def test_pmi_top_bigrams_matches_brute(ray_session):
                     .itertuples(index=False))) == want
 
 
+def test_per_key_percent_rank_ties(ray_session):
+    """RANK tie semantics: equal values share the first rank; a
+    single-row partition gets 0."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_percent_rank
+
+    t = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                  "v": pa.array([5, 5, 7, 9, 3], pa.int64()),
+                  "id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    out = (per_key_percent_rank(ray.data.from_arrow(t), "k", "v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # k=1: ranks 1,1,3,4 over n=4 -> pr = 0, 0, 2/3, 1
+    assert out["pr_micro"].tolist() == [0, 0, 666667, 1000000, 0]
+
+
+def test_pivot_counts_partition_invariant(ray_session):
+    import ray
+
+    from frontera_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 20, 500)
+    vals = rng.choice(["a", "b", "c"], 500)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.string())})
+    outs = []
+    for parts in (2, 9):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(pivot_counts(ds, "k", "v", ["a", "b", "c"])
+                    .to_pandas().sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert int(outs[0][["n_a", "n_b", "n_c"]].to_numpy().sum()) == 500
+
+
 def test_kmeans_fixed_partition_invariant(ray_session):
     """The Lloyd recurrence is deterministic and block-layout
     independent (rounded distances + rounded re-centering)."""
