@@ -1544,6 +1544,29 @@ def q_event_pivot(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_order_ntile(sf_dir: str):
+    """NTILE(4) price-quartile bucket of every order within its
+    priority class (relational.per_key_ntile): SQL remainder rule,
+    deterministic ROW_NUMBER tie-break, one keyed exchange."""
+    from frontera_ray.stages.relational import cluster_cpus, per_key_ntile
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": b["o_orderkey"],
+                  "o_orderpriority": b["o_orderpriority"],
+                  "price_cents": pa.array(
+                      np.round(b["o_totalprice"].to_numpy() * 100)
+                      .astype(np.int64), pa.int64()),
+              }), batch_format="pyarrow"))
+    out = per_key_ntile(orders, "o_orderpriority", "price_cents", 4,
+                        tiebreak="o_orderkey",
+                        exchange="hash" if cluster_cpus() >= 16
+                        else "groups").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_hll_grouped(sf_dir: str):
     """Per-group HyperLogLog COUNT(DISTINCT): register partials per
     (block, event_type), driver max-merge per group (sketches
@@ -1880,6 +1903,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
+    "order_ntile": q_order_ntile,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2640,6 +2664,13 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
                         * 1000000 + 0.5) AS BIGINT) AS pr_micro
             FROM events ORDER BY event_id""",
+        "order_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice * 100)::BIGINT AS price_cents,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY round(o_totalprice*100)::BIGINT,
+                                           o_orderkey)::BIGINT AS tile
+            FROM orders ORDER BY o_orderkey""",
         "event_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click')::BIGINT

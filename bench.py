@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "image_caption_curate", "funnel_depth", "reassemble_chunks",
     "customers_full_join", "order_rank", "latest_events",
     "rollup_revenue", "bigram_pmi", "kmeans", "hll_grouped",
-    "percent_rank", "event_pivot",
+    "percent_rank", "event_pivot", "order_ntile",
 ]
 
 CRAWL_HOSTS = 8192

@@ -292,6 +292,45 @@ def per_key_percent_rank(ds, key_col: str, order_col: str,
     return keyed_exchange(ds, key_col, block_pr, exchange)
 
 
+def per_key_ntile(ds, key_col: str, order_col: str, n_tiles: int,
+                  tiebreak: str | None = None, out_col: str = "tile",
+                  exchange: str = "groups"):
+    """Per-key NTILE(n): rows of each key split into ``n_tiles``
+    buckets by ROW_NUMBER order with SQL's remainder rule (the first
+    ``n % tiles`` buckets get the extra row). One keyed exchange +
+    one vectorized lexsort — the quantile-bucketing / stratified-split
+    window primitive."""
+
+    def block_ntile(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, vals, keys))
+        else:
+            order = np.lexsort((vals, keys))
+        sk = keys[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rn0 = np.arange(len(sk)) - starts[run_id]
+        n = np.diff(np.append(starts, len(sk)))[run_id]
+        size = n // n_tiles
+        rem = n % n_tiles
+        big = rem * (size + 1)          # rows living in size+1 buckets
+        in_big = rn0 < big
+        tile = np.where(
+            in_big,
+            rn0 // np.maximum(size + 1, 1),
+            rem + (rn0 - big) // np.maximum(size, 1)) + 1
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(tile, pa.int64()))
+
+    return keyed_exchange(ds, key_col, block_ntile, exchange)
+
+
 def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str],
                  prefix: str = "n_"):
     """PIVOT: one wide row per key with a count column per pivot

@@ -834,6 +834,23 @@ def test_per_key_percent_rank_ties(ray_session):
     assert out["pr_micro"].tolist() == [0, 0, 666667, 1000000, 0]
 
 
+def test_per_key_ntile_remainder_rule(ray_session):
+    """SQL NTILE: the first n % tiles buckets carry the extra row;
+    partitions smaller than the tile count give one bucket per row."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_ntile
+
+    t = pa.table({"k": pa.array([1] * 7 + [2] * 2, pa.int64()),
+                  "v": pa.array(list(range(7)) + [10, 11], pa.int64()),
+                  "id": pa.array(range(9), pa.int64())})
+    out = (per_key_ntile(ray.data.from_arrow(t), "k", "v", 3,
+                         tiebreak="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # k=1: 7 rows into 3 tiles -> sizes 3,2,2; k=2: 2 rows -> tiles 1,2
+    assert out["tile"].tolist() == [1, 1, 1, 2, 2, 3, 3, 1, 2]
+
+
 def test_pivot_counts_partition_invariant(ray_session):
     import ray
 
