@@ -1544,6 +1544,44 @@ def q_event_pivot(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _priority_custkeys(sf_dir: str, prio: str):
+    import pyarrow.compute as _pc
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_orderpriority"])
+            .map_batches(lambda b: pa.table({
+                "o_custkey": b["o_custkey"]}).filter(
+                _pc.equal(b["o_orderpriority"], prio)),
+                batch_format="pyarrow"))
+
+
+def q_urgent_low_intersect(sf_dir: str):
+    """Distributed INTERSECT (relational.set_op): customers that placed
+    BOTH an urgent and a low-priority order — keys-only tagged
+    exchange, one distinct key out per match."""
+    from frontera_ray.stages.relational import cluster_cpus, set_op
+
+    out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
+                 _priority_custkeys(sf_dir, "5-LOW"),
+                 "o_custkey", op="intersect",
+                 exchange="hash" if cluster_cpus() >= 16
+                 else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_urgent_only_except(sf_dir: str):
+    """Distributed EXCEPT (relational.set_op): customers with an urgent
+    order but NO low-priority order."""
+    from frontera_ray.stages.relational import cluster_cpus, set_op
+
+    out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
+                 _priority_custkeys(sf_dir, "5-LOW"),
+                 "o_custkey", op="except",
+                 exchange="hash" if cluster_cpus() >= 16
+                 else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q_order_ntile(sf_dir: str):
     """NTILE(4) price-quartile bucket of every order within its
     priority class (relational.per_key_ntile): SQL remainder rule,
@@ -1904,6 +1942,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
     "order_ntile": q_order_ntile,
+    "urgent_low_intersect": q_urgent_low_intersect,
+    "urgent_only_except": q_urgent_only_except,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2664,6 +2704,16 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
                         * 1000000 + 0.5) AS BIGINT) AS pr_micro
             FROM events ORDER BY event_id""",
+        "urgent_low_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            ORDER BY o_custkey""",
+        "urgent_only_except": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            ORDER BY o_custkey""",
         "order_ntile": """
             SELECT o_orderkey, o_orderpriority,
                    round(o_totalprice * 100)::BIGINT AS price_cents,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "customers_full_join", "order_rank", "latest_events",
     "rollup_revenue", "bigram_pmi", "kmeans", "hll_grouped",
     "percent_rank", "event_pivot", "order_ntile",
+    "urgent_low_intersect", "urgent_only_except",
 ]
 
 CRAWL_HOSTS = 8192

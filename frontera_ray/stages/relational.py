@@ -930,6 +930,68 @@ def semi_anti_join(left_ds, right_ds, key: str, left_cols,
     return keyed_exchange(tagged, key, filter_block, exchange)
 
 
+def set_op(left_ds, right_ds, key: str, op: str = "intersect",
+           exchange: str = "groups"):
+    """Distributed INTERSECT / EXCEPT with SQL DISTINCT set semantics
+    on a key column: both sides ship ONLY the key through one tagged
+    keyed exchange; the kernel emits each distinct key once iff it is
+    present on both sides (``intersect``) / on the left only
+    (``except``). Unlike joins, SQL set ops treat NULLs as EQUAL —
+    all NULL rows co-locate in one partition of the exchange, so the
+    kernel's local NULL-presence test is globally correct. (String
+    NULL keys need ``exchange='hash'`` — see ``equi_join``.)"""
+    assert op in ("intersect", "except")
+    l_t = _arrow_types(left_ds)[key]
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            k = batch[key] if side == 0 else batch[key].cast(l_t)
+            return pa.table({key: k, "_side": pa.array(
+                np.full(n, side, np.int8), pa.int8())})
+        return fn
+
+    tagged = (left_ds.select_columns([key])
+              .map_batches(tag(0), batch_format="pyarrow")
+              .union(right_ds.select_columns([key])
+                     .map_batches(tag(1), batch_format="pyarrow")))
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], l_t)})
+        if len(batch) == 0:
+            return empty
+        side = batch["_side"].to_numpy()
+        valid = pc.is_valid(batch[key]).to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        pieces = []
+        vi = np.flatnonzero(valid)
+        if len(vi):
+            arr = batch[key].take(pa.array(vi)) \
+                .to_numpy(zero_copy_only=False)
+            _, codes = np.unique(arr, return_inverse=True)
+            ng = int(codes.max()) + 1
+            has_l = np.bincount(codes[~is_r[vi]], minlength=ng).astype(bool)
+            has_r = np.bincount(codes[is_r[vi]], minlength=ng).astype(bool)
+            want = has_l & has_r if op == "intersect" else has_l & ~has_r
+            # one representative LEFT row per selected key
+            lmask = ~is_r[vi]
+            first = np.full(ng, -1, np.int64)
+            first[codes[lmask][::-1]] = vi[lmask][::-1]
+            sel = first[np.flatnonzero(want)]
+            if len(sel):
+                pieces.append(pa.table(
+                    {key: batch[key].take(pa.array(np.sort(sel)))}))
+        has_nl = bool(np.any(~valid & ~is_r))
+        has_nr = bool(np.any(~valid & is_r))
+        if has_nl and (has_nr if op == "intersect" else not has_nr):
+            pieces.append(pa.table({key: pa.nulls(1, l_t)}))
+        if not pieces:
+            return empty
+        return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+    return keyed_exchange(tagged, key, kern, exchange)
+
+
 def range_join(ds, key_col: str, ts_col: str, type_col: str,
                build_type: str, probe_type: str, window_us: int,
                id_col: str = "event_id", exchange: str = "groups"):

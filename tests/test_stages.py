@@ -834,6 +834,24 @@ def test_per_key_percent_rank_ties(ray_session):
     assert out["pr_micro"].tolist() == [0, 0, 666667, 1000000, 0]
 
 
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_set_op_null_as_value(ray_session, exchange):
+    """SQL set-op semantics: NULL equals NULL (unlike joins), and
+    outputs are DISTINCT."""
+    import ray
+
+    from frontera_ray.stages.relational import set_op
+
+    l = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, 2], pa.int64())}))
+    r = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, 2], pa.int64())}))
+    i = set_op(l, r, "k", "intersect", exchange=exchange).to_pandas()
+    x = set_op(l, r, "k", "except", exchange=exchange).to_pandas()
+    assert sorted(i["k"].fillna(-99).astype(int).tolist()) == [-99, 2]
+    assert x["k"].tolist() == [1]
+
+
 def test_per_key_ntile_remainder_rule(ray_session):
     """SQL NTILE: the first n % tiles buckets carry the extra row;
     partitions smaller than the tile count give one bucket per row."""
