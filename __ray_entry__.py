@@ -1605,6 +1605,168 @@ def q_order_ntile(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_urgent_low_intersect_all(sf_dir: str):
+    """INTERSECT ALL (bag semantics): each customer key emitted
+    min(urgent_count, low_count) times — same keys-only tagged
+    exchange as the DISTINCT variant, multiplicities from two local
+    bincounts + one np.repeat."""
+    from frontera_ray.stages.relational import cluster_cpus, set_op
+
+    out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
+                 _priority_custkeys(sf_dir, "5-LOW"),
+                 "o_custkey", op="intersect_all",
+                 exchange="hash" if cluster_cpus() >= 16
+                 else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_urgent_only_except_all(sf_dir: str):
+    """EXCEPT ALL (bag semantics): each customer key emitted
+    max(urgent_count - low_count, 0) times."""
+    from frontera_ray.stages.relational import cluster_cpus, set_op
+
+    out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
+                 _priority_custkeys(sf_dir, "5-LOW"),
+                 "o_custkey", op="except_all",
+                 exchange="hash" if cluster_cpus() >= 16
+                 else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_order_gaps(sf_dir: str):
+    """LAG window delta (relational.per_key_lag_delta): microseconds
+    between each customer's consecutive orders (NULL for the first) —
+    the inter-arrival-time feature shape. One keyed exchange, one
+    lexsort, run-aware np.diff."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                per_key_lag_delta)
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": b["o_orderkey"],
+                  "o_custkey": b["o_custkey"],
+                  "ts_us": b["o_orderdate"].cast(pa.int64()),
+              }), batch_format="pyarrow"))
+    out = per_key_lag_delta(orders, "o_custkey", "ts_us",
+                            out_col="gap_us", tiebreak="o_orderkey",
+                            exchange="hash" if cluster_cpus() >= 16
+                            else "groups").to_pandas()
+    out = out[["o_orderkey", "o_custkey", "gap_us"]]
+    # each key's first order has no predecessor — drop it so gap_us is
+    # NULL-free (keeps the int64 dtype end-to-end)
+    out = out[out["gap_us"].notna()]
+    out["gap_us"] = out["gap_us"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix (relational.transition_counts): global
+    counts of consecutive per-user (prev event_type -> event_type)
+    pairs — the session-behavior-model shape. One keyed exchange; the
+    kernel pre-aggregates (from, to, n) partials so only a tiny pair
+    vocabulary reaches the driver."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                transition_counts)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_type", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_type": b["event_type"],
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    out = transition_counts(ev, "user_id", "ts_us", "event_type",
+                            tiebreak="event_id",
+                            exchange="hash" if cluster_cpus() >= 16
+                            else "groups")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(region, nation): all four grouping sets derived
+    from the same 25-row finest aggregate as rollup_revenue
+    (relational.cube_from_finest) — the full cross-tab report without
+    re-scanning base rows per set."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import (broadcast_join,
+                                                cube_from_finest,
+                                                partial_groupby_agg)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    nr = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.table({"c_nationkey": pa.array(nr["n_nationkey"], pa.int64()),
+                    "n_name": pa.array(nr["n_name"], pa.string()),
+                    "r_name": pa.array(nr["r_name"], pa.string())})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    j1 = broadcast_join(orders, cust, key="c_custkey")
+    j2 = broadcast_join(j1, dim, key="c_nationkey")
+    fin = partial_groupby_agg(j2, ["r_name", "n_name"],
+                              {"n_orders": ("cents", "count"),
+                               "revenue_cents": ("cents", "sum")})
+    out = cube_from_finest(fin, ["r_name", "n_name"],
+                           ["n_orders", "revenue_cents"])
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic uniform exact-k sample: the 100 documents with
+    the smallest md5-hash priority (sampling.hash_u32) — 'ORDER BY
+    md5(id) LIMIT k' without a global sort: per-block partial top-k,
+    tiny driver merge. Reproducible across re-runs / retries / future
+    incremental batches (pure function of the id)."""
+    from frontera_ray.stages.relational import global_topk
+    from frontera_ray.stages.sampling import hash_u32
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch["doc_id"].to_pylist()).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h, pa.int64())})
+
+    docs = (_read(sf_dir, "documents").select_columns(["doc_id"])
+            .map_batches(add_h, batch_format="pyarrow"))
+    out = global_topk(docs, "h", 100, descending=False,
+                      tiebreak="doc_id").to_pandas()
+    return out.sort_values(["h", "doc_id"]).reset_index(drop=True)
+
+
+def q_normalize_text(sf_dir: str):
+    """Text normalization stage (lowercase, collapse every non-[a-z0-9]
+    run to one space, trim) — the canonical-form step ahead of exact
+    dedup / shingling, fully vectorized in Arrow RE2 kernels."""
+    import pyarrow.compute as _pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        x = _pc.utf8_lower(batch["text"])
+        x = _pc.replace_substring_regex(x, pattern="[^a-z0-9]+",
+                                        replacement=" ")
+        x = _pc.utf8_trim(x, characters=" ")
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": x,
+                         "n_norm_chars": _pc.utf8_length(x)
+                         .cast(pa.int64())})
+
+    out = (_read(sf_dir, "documents")
+           .select_columns(["doc_id", "text"])
+           .map_batches(norm, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hll_grouped(sf_dir: str):
     """Per-group HyperLogLog COUNT(DISTINCT): register partials per
     (block, event_type), driver max-merge per group (sketches
@@ -1944,6 +2106,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_ntile": q_order_ntile,
     "urgent_low_intersect": q_urgent_low_intersect,
     "urgent_only_except": q_urgent_only_except,
+    "urgent_low_intersect_all": q_urgent_low_intersect_all,
+    "urgent_only_except_all": q_urgent_only_except_all,
+    "order_gaps": q_order_gaps,
+    "event_transitions": q_event_transitions,
+    "cube_revenue": q_cube_revenue,
+    "hash_sample": q_hash_sample,
+    "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
     "unigram_logprob": q_unigram_logprob,
@@ -2714,6 +2883,59 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
             ORDER BY o_custkey""",
+        "urgent_low_intersect_all": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            ORDER BY o_custkey""",
+        "urgent_only_except_all": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            ORDER BY o_custkey""",
+        "order_gaps": """
+            SELECT o_orderkey, o_custkey, gap_us FROM (
+              SELECT o_orderkey, o_custkey,
+                     epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS gap_us
+              FROM orders)
+            WHERE gap_us IS NOT NULL ORDER BY o_orderkey""",
+        "event_transitions": """
+            WITH t AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS from_val, event_type AS to_val,
+                   count(*)::BIGINT AS n
+            FROM t WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "cube_revenue": """
+            SELECT COALESCE(r_name, '<all>') AS r_name,
+                   COALESCE(n_name, '<all>') AS n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                     AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY CUBE(r_name, n_name)
+            ORDER BY 1, 2""",
+        "hash_sample": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT AS h
+            FROM documents ORDER BY h, doc_id LIMIT 100""",
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                     AS norm_text,
+                   length(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                              ' ', 'g')))::BIGINT
+                     AS n_norm_chars
+            FROM documents ORDER BY doc_id""",
         "order_ntile": """
             SELECT o_orderkey, o_orderpriority,
                    round(o_totalprice * 100)::BIGINT AS price_cents,

@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "rollup_revenue", "bigram_pmi", "kmeans", "hll_grouped",
     "percent_rank", "event_pivot", "order_ntile",
     "urgent_low_intersect", "urgent_only_except",
+    "urgent_low_intersect_all", "urgent_only_except_all",
+    "order_gaps", "event_transitions", "cube_revenue",
+    "hash_sample", "normalize_text",
 ]
 
 CRAWL_HOSTS = 8192

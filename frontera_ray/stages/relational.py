@@ -99,6 +99,115 @@ def rollup_from_finest(df, levels, value_cols, all_label: str = "<all>"):
     return out
 
 
+def cube_from_finest(df, levels, value_cols, all_label: str = "<all>"):
+    """GROUP BY CUBE derived from the finest-level aggregate: every
+    subset of ``levels`` (all 2^n grouping sets) re-summed from the
+    finest frame, rolled-up label columns set to ``all_label``. Same
+    scale contract as ``rollup_from_finest`` — ``df`` is the small
+    output of a distributed partial aggregate, so the extra grouping
+    sets never touch base rows; only additive aggregates roll up."""
+    import itertools
+
+    import pandas as pd
+
+    levels = list(levels)
+    value_cols = list(value_cols)
+    pieces = [df.copy()]
+    for r in range(len(levels) - 1, -1, -1):
+        for keep in itertools.combinations(levels, r):
+            if keep:
+                g = df.groupby(list(keep), as_index=False)[value_cols].sum()
+            else:
+                g = df[value_cols].sum().to_frame().T
+            for col in levels:
+                if col not in keep:
+                    g[col] = all_label
+            pieces.append(g)
+    out = pd.concat(pieces, ignore_index=True)[list(df.columns)]
+    for c in value_cols:
+        out[c] = out[c].astype(df[c].dtype)
+    return out
+
+
+def per_key_lag_delta(ds, key_col: str, order_col: str,
+                      out_col: str = "delta", tiebreak: str | None = None,
+                      exchange: str = "groups"):
+    """LAG window delta: ``order_col`` minus the previous row's value
+    within the key (ordered by ``order_col`` then ``tiebreak``); NULL
+    for each key's first row — SQL's
+    ``x - lag(x) OVER (PARTITION BY key ORDER BY x, tb)``.
+    One keyed exchange + one lexsort; deltas are a run-aware
+    ``np.diff`` with run starts masked NULL. ``order_col`` must be an
+    integer column (convert timestamps to epoch units upstream)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, vals, keys))
+        else:
+            order = np.lexsort((vals, keys))
+        sk, sv = keys[order], vals[order]
+        delta = np.empty(len(sv), np.int64)
+        delta[0] = 0
+        delta[1:] = sv[1:] - sv[:-1]
+        first = np.concatenate(([True], sk[1:] != sk[:-1]))
+        out = batch.take(pa.array(order))
+        return out.append_column(
+            out_col, pa.array(delta, pa.int64(), mask=first))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def transition_counts(ds, key_col: str, order_col: str, val_col: str,
+                      tiebreak: str | None = None,
+                      exchange: str = "groups"):
+    """Markov transition counts: per key ordered by ``order_col``,
+    count consecutive (prev ``val_col`` -> ``val_col``) pairs across
+    the whole dataset. One keyed exchange; the kernel emits
+    PRE-AGGREGATED ``(from_val, to_val, n)`` partials per batch (the
+    pair vocabulary is tiny relative to rows), merged by the caller
+    (driver pandas sum over the small partial frames)."""
+    import pandas as pd
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"from_val": pa.array([], pa.string()),
+                          "to_val": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        vals = batch[val_col].to_numpy(zero_copy_only=False)[order]
+        same = sk[1:] == sk[:-1]
+        if not same.any():
+            return empty
+        g = (pd.DataFrame({"from_val": vals[:-1][same],
+                           "to_val": vals[1:][same]})
+             .groupby(["from_val", "to_val"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({"from_val": pa.array(g["from_val"], pa.string()),
+                         "to_val": pa.array(g["to_val"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    parts = pa.concat_tables(
+        list(keyed_exchange(ds, key_col, kern, exchange)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return (parts.to_pandas()
+            .groupby(["from_val", "to_val"], as_index=False)["n"].sum())
+
+
 def broadcast_join(ds, small_table: pa.Table, key: str, columns=None,
                    small_prefix: str = ""):
     """Hash-join a Dataset against a small in-memory table without a
@@ -939,8 +1048,15 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
     (``except``). Unlike joins, SQL set ops treat NULLs as EQUAL —
     all NULL rows co-locate in one partition of the exchange, so the
     kernel's local NULL-presence test is globally correct. (String
-    NULL keys need ``exchange='hash'`` — see ``equi_join``.)"""
-    assert op in ("intersect", "except")
+    NULL keys need ``exchange='hash'`` — see ``equi_join``.)
+
+    ``intersect_all`` / ``except_all`` use SQL bag semantics over the
+    same keys-only exchange: each key is emitted min(count_l, count_r)
+    / max(count_l - count_r, 0) times — per-side multiplicities are
+    two bincounts over the local key codes, the output is one
+    ``np.repeat``."""
+    assert op in ("intersect", "except", "intersect_all", "except_all")
+    bag = op.endswith("_all")
     l_t = _arrow_types(left_ds)[key]
 
     def tag(side):
@@ -968,22 +1084,37 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
         if len(vi):
             arr = batch[key].take(pa.array(vi)) \
                 .to_numpy(zero_copy_only=False)
-            _, codes = np.unique(arr, return_inverse=True)
+            uniq, codes = np.unique(arr, return_inverse=True)
             ng = int(codes.max()) + 1
-            has_l = np.bincount(codes[~is_r[vi]], minlength=ng).astype(bool)
-            has_r = np.bincount(codes[is_r[vi]], minlength=ng).astype(bool)
-            want = has_l & has_r if op == "intersect" else has_l & ~has_r
-            # one representative LEFT row per selected key
-            lmask = ~is_r[vi]
-            first = np.full(ng, -1, np.int64)
-            first[codes[lmask][::-1]] = vi[lmask][::-1]
-            sel = first[np.flatnonzero(want)]
-            if len(sel):
-                pieces.append(pa.table(
-                    {key: batch[key].take(pa.array(np.sort(sel)))}))
-        has_nl = bool(np.any(~valid & ~is_r))
-        has_nr = bool(np.any(~valid & is_r))
-        if has_nl and (has_nr if op == "intersect" else not has_nr):
+            cnt_l = np.bincount(codes[~is_r[vi]], minlength=ng)
+            cnt_r = np.bincount(codes[is_r[vi]], minlength=ng)
+            if bag:
+                mult = (np.minimum(cnt_l, cnt_r)
+                        if op == "intersect_all"
+                        else np.maximum(cnt_l - cnt_r, 0))
+                if mult.any():
+                    pieces.append(pa.table(
+                        {key: pa.array(np.repeat(uniq, mult), l_t)}))
+            else:
+                has_l, has_r = cnt_l.astype(bool), cnt_r.astype(bool)
+                want = (has_l & has_r if op == "intersect"
+                        else has_l & ~has_r)
+                # one representative LEFT row per selected key
+                lmask = ~is_r[vi]
+                first = np.full(ng, -1, np.int64)
+                first[codes[lmask][::-1]] = vi[lmask][::-1]
+                sel = first[np.flatnonzero(want)]
+                if len(sel):
+                    pieces.append(pa.table(
+                        {key: batch[key].take(pa.array(np.sort(sel)))}))
+        n_nl = int(np.sum(~valid & ~is_r))
+        n_nr = int(np.sum(~valid & is_r))
+        if bag:
+            n_null = (min(n_nl, n_nr) if op == "intersect_all"
+                      else max(n_nl - n_nr, 0))
+            if n_null:
+                pieces.append(pa.table({key: pa.nulls(n_null, l_t)}))
+        elif n_nl and (n_nr if op == "intersect" else not n_nr):
             pieces.append(pa.table({key: pa.nulls(1, l_t)}))
         if not pieces:
             return empty

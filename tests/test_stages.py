@@ -852,6 +852,60 @@ def test_set_op_null_as_value(ray_session, exchange):
     assert x["k"].tolist() == [1]
 
 
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_set_op_all_multiplicities(ray_session, exchange):
+    """Bag semantics: INTERSECT ALL emits min(l,r) copies per key
+    (NULLs included), EXCEPT ALL emits max(l-r, 0)."""
+    import ray
+
+    from frontera_ray.stages.relational import set_op
+
+    l = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, None, None, 2], pa.int64())}))
+    r = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64())}))
+    i = set_op(l, r, "k", "intersect_all", exchange=exchange).to_pandas()
+    x = set_op(l, r, "k", "except_all", exchange=exchange).to_pandas()
+    assert sorted(i["k"].fillna(-99).astype(int).tolist()) == [-99, 1]
+    assert sorted(x["k"].fillna(-99).astype(int).tolist()) == [-99, 1, 1, 2]
+
+
+def test_per_key_lag_delta_runs(ray_session):
+    """Run-aware LAG delta: NULL on each key's first row, diffs follow
+    (order_col, tiebreak) order within the key."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_lag_delta
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([10, 40, 10, 5, 7], pa.int64()),
+                  "id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    out = (per_key_lag_delta(ray.data.from_arrow(t), "k", "v",
+                             tiebreak="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # k=1 sorted by (v,id): ids 0,2,1 -> deltas NULL,0,30; k=2: NULL,2
+    got = {int(r.id): (None if pd.isna(r.delta) else int(r.delta))
+           for r in out.itertuples()}
+    assert got == {0: None, 2: 0, 1: 30, 3: None, 4: 2}
+
+
+def test_transition_counts_pairs(ray_session):
+    """Consecutive per-key pairs only — no cross-key pair, counts
+    summed globally."""
+    import ray
+
+    from frontera_ray.stages.relational import transition_counts
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                  "ts": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+                  "e": pa.array(["a", "b", "a", "a", "b", "c"]),
+                  "id": pa.array(range(6), pa.int64())})
+    out = transition_counts(ray.data.from_arrow(t), "k", "ts", "e",
+                            tiebreak="id")
+    got = {(r.from_val, r.to_val): int(r.n) for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
 def test_per_key_ntile_remainder_rule(ray_session):
     """SQL NTILE: the first n % tiles buckets carry the extra row;
     partitions smaller than the tile count give one bucket per row."""
