@@ -1767,6 +1767,40 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_skew_join_revenue(sf_dir: str):
+    """Skew-aware hybrid join (relational.skew_join): lineitem JOIN
+    orders where heavy-hitter order keys never enter the all-to-all —
+    their order rows broadcast, line rows joined as a streaming map;
+    cold keys ride the normal tagged keyed exchange. The hot/cold
+    split is answer-invariant, so the same SQL oracle covers both
+    paths. Post-join revenue rollup via the combiner aggregate."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                partial_groupby_agg,
+                                                skew_join)
+
+    lines = (_read(sf_dir, "lineitem")
+             .select_columns(["l_orderkey", "l_extendedprice"])
+             .map_batches(lambda b: pa.table({
+                 "l_orderkey": b["l_orderkey"],
+                 "cents": pa.array(
+                     np.round(b["l_extendedprice"].to_numpy() * 100)
+                     .astype(np.int64), pa.int64()),
+             }), batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda b: pa.table({
+                  "l_orderkey": b["o_orderkey"],
+                  "o_orderpriority": b["o_orderpriority"],
+              }), batch_format="pyarrow"))
+    j = skew_join(lines, orders, "l_orderkey", ["cents"],
+                  ["o_orderpriority"], hot_count=10,
+                  exchange="hash" if cluster_cpus() >= 16 else "groups")
+    out = partial_groupby_agg(j, ["o_orderpriority"],
+                              {"n_lines": ("cents", "count"),
+                               "revenue_cents": ("cents", "sum")})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_hll_grouped(sf_dir: str):
     """Per-group HyperLogLog COUNT(DISTINCT): register partials per
     (block, event_type), driver max-merge per group (sketches
@@ -2111,6 +2145,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_gaps": q_order_gaps,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
+    "skew_join_revenue": q_skew_join_revenue,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -2923,6 +2958,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "skew_join_revenue": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                     AS revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1""",
         "hash_sample": """
             SELECT doc_id,
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -1039,6 +1039,106 @@ def semi_anti_join(left_ds, right_ds, key: str, left_cols,
     return keyed_exchange(tagged, key, filter_block, exchange)
 
 
+def hot_keys(ds, key: str, min_count: int,
+             per_block_top: int = 64) -> set:
+    """Approximate heavy-hitter detection for skew handling: each block
+    emits its ``per_block_top`` most frequent keys with local counts
+    (one pandas value_counts per block); the driver sums the tiny
+    partials and keeps keys whose summed count >= ``min_count``. A
+    truly hot key dominates the blocks it appears in, so it always
+    surfaces; a key can only be undercounted when it is scattered below
+    every block's top list — exactly the keys that are NOT
+    skew-dangerous. Misclassification is safe by construction: in
+    ``skew_join`` the hot/cold split only picks which of two correct
+    paths a key takes."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = (batch[key].to_pandas().value_counts()
+              .iloc[:per_block_top])
+        return pa.table({key: pa.array(vc.index.to_numpy(),
+                                       batch[key].type),
+                         "_n": pa.array(vc.to_numpy(), pa.int64())})
+
+    parts = pa.concat_tables(
+        list(ds.select_columns([key])
+               .map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    df = parts.to_pandas().groupby(key, as_index=False)["_n"].sum()
+    return set(df.loc[df["_n"] >= min_count, key].tolist())
+
+
+def skew_join(left_ds, right_ds, key: str, left_cols, right_cols,
+              hot_count: int = 10_000, exchange: str = "groups",
+              max_hot_right_rows: int = 2_000_000):
+    """Skew-aware hybrid inner equi-join — the hot-key mitigation the
+    north rule names (salted/broadcast handling of Zipf-head keys)
+    applied to the large-large join: heavy-hitter LEFT keys (detected
+    by ``hot_keys``; a Zipf-head host/user whose row count would stall
+    one exchange partition) NEVER enter the all-to-all. Their right
+    rows are collected once (bounded by ``max_hot_right_rows`` —
+    O(hot keys x right rows per key), small because hot keys are few
+    by definition) and broadcast-joined against the hot left rows as a
+    streaming map; every other key flows through the normal tagged
+    keyed exchange (``equi_join``). The union of the two paths is
+    exactly the inner join for ANY hot-set choice, so the approximate
+    detector can never change answers — only which path a key rides."""
+    import ray
+
+    hot = hot_keys(left_ds, key, hot_count)
+    if not hot:
+        return equi_join(left_ds, right_ds, key, left_cols, right_cols,
+                         exchange=exchange)
+    hot_ref = ray.put(np.array(sorted(hot)))
+
+    def split(want_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            arr = batch[key].to_numpy(zero_copy_only=False)
+            m = np.isin(arr, ray.get(hot_ref))
+            return batch.filter(pa.array(m if want_hot else ~m))
+        return fn
+
+    right_hot_tbl = pa.concat_tables(list(
+        right_ds.select_columns([key] + list(right_cols))
+        .map_batches(split(True), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert len(right_hot_tbl) <= max_hot_right_rows, (
+        f"hot-key right side {len(right_hot_tbl)} rows exceeds the "
+        f"broadcast bound {max_hot_right_rows}; raise hot_count")
+    # the hot-path merge tolerates DUPLICATE right keys (unlike
+    # broadcast_join's unique hash index): ray.put once, per-worker
+    # cached pandas frame, vectorized many-to-many merge per batch
+    r_ref = ray.put(right_hot_tbl)
+    order = [key] + list(left_cols) + list(right_cols)
+    l_types = _arrow_types(left_ds)
+    r_t = {f.name: f.type for f in right_hot_tbl.schema}
+    tgt = pa.schema([(key, l_types[key])]
+                    + [(c, l_types[c]) for c in left_cols]
+                    + [(c, r_t[c]) for c in right_cols])
+    _cache: dict[str, object] = {}
+
+    def hot_merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        h = r_ref.hex()
+        if h not in _cache:
+            _cache[h] = ray.get(r_ref).to_pandas()
+        out = batch.to_pandas().merge(_cache[h], on=key, how="inner")
+        # explicit schema: an empty merge must not degrade string
+        # columns to pa.null (union with the cold path needs one schema)
+        return pa.Table.from_pandas(out[order], schema=tgt,
+                                    preserve_index=False)
+
+    hot_out = (left_ds.select_columns([key] + list(left_cols))
+               .map_batches(split(True), batch_format="pyarrow")
+               .map_batches(hot_merge, batch_format="pyarrow"))
+    cold_out = equi_join(
+        left_ds.map_batches(split(False), batch_format="pyarrow"),
+        right_ds.map_batches(split(False), batch_format="pyarrow"),
+        key, left_cols, right_cols, exchange=exchange)
+    return hot_out.union(cold_out)
+
+
 def set_op(left_ds, right_ds, key: str, op: str = "intersect",
            exchange: str = "groups"):
     """Distributed INTERSECT / EXCEPT with SQL DISTINCT set semantics

@@ -870,6 +870,39 @@ def test_set_op_all_multiplicities(ray_session, exchange):
     assert sorted(x["k"].fillna(-99).astype(int).tolist()) == [-99, 1, 1, 2]
 
 
+def test_skew_join_zipf_head(ray_session):
+    """Hybrid skew join: a Zipf-head key rides the broadcast path,
+    the tail rides the exchange — union equals the plain pandas
+    inner join exactly, and the detector does surface the hot key."""
+    import ray
+
+    from frontera_ray.stages.relational import hot_keys, skew_join
+
+    rng = np.random.default_rng(7)
+    # key 0 dominates (5000 rows); 200 tail keys ~ 5 rows each
+    lk = np.concatenate([np.zeros(5000, np.int64),
+                         rng.integers(1, 201, 1000)])
+    lv = rng.integers(0, 100, len(lk)).astype(np.int64)
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "v": pa.array(lv, pa.int64())})
+    # right: 0..150 present (tail keys 151..200 unmatched), key 0 has
+    # TWO right rows (duplicate-key broadcast path)
+    rk = np.concatenate([np.arange(151, dtype=np.int64), [0]])
+    rw = np.arange(len(rk), dtype=np.int64) * 10
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "w": pa.array(rw, pa.int64())})
+
+    lds = ray.data.from_arrow(left).repartition(8)
+    hot = hot_keys(lds, "k", 1000)
+    assert 0 in hot and len(hot) == 1
+    out = (skew_join(lds, ray.data.from_arrow(right), "k", ["v"], ["w"],
+                     hot_count=1000).to_pandas()
+           .sort_values(["k", "v", "w"]).reset_index(drop=True))
+    exp = (left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+           .sort_values(["k", "v", "w"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_per_key_lag_delta_runs(ray_session):
     """Run-aware LAG delta: NULL on each key's first row, diffs follow
     (order_col, tiebreak) order within the key."""
