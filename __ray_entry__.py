@@ -1767,6 +1767,19 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping document chunking (text.chunk_table): the 1->N
+    flat-map ahead of tokenize/pack — 256-char windows, stride 192,
+    every char covered, vectorized counts/offsets, streaming (no
+    shuffle)."""
+    from frontera_ray.stages.text import chunk_table
+
+    out = (_read(sf_dir, "documents")
+           .select_columns(["doc_id", "text"])
+           .map_batches(chunk_table, batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def q_skew_join_revenue(sf_dir: str):
     """Skew-aware hybrid join (relational.skew_join): lineitem JOIN
     orders where heavy-hitter order keys never enter the all-to-all —
@@ -2146,6 +2159,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "skew_join_revenue": q_skew_join_revenue,
+    "chunk_docs": q_chunk_docs,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -2958,6 +2972,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "chunk_docs": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+                 c AS (SELECT doc_id, text,
+                              CASE WHEN n <= 256 THEN 1
+                                   ELSE 1 + CAST(ceil((n - 256) / 192.0)
+                                               AS BIGINT)
+                              END AS k FROM d)
+            SELECT doc_id, i AS chunk_id,
+                   substr(text, (i * 192)::BIGINT + 1, 256) AS chunk
+            FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1))
+                             AS i) t
+            ORDER BY doc_id, chunk_id""",
         "skew_join_revenue": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
                    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT

@@ -718,3 +718,32 @@ def unigram_logprob(ds, cut_micro: int = -3_405_000):
         })
 
     return tf.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_table(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id", size: int = 256,
+                stride: int = 192) -> pa.Table:
+    """Overlapping fixed-window document chunking (the 1->N flat-map
+    step ahead of tokenize/pack in a training pipeline): chunk i of a
+    doc covers characters [i*stride, i*stride + size); a doc of n
+    chars yields 1 + ceil(max(n - size, 0) / stride) chunks, so every
+    character is covered and consecutive chunks overlap by
+    size - stride. Counts/offsets are vectorized (np.repeat over
+    per-doc chunk counts); the slice assembly is a C-level str-slice
+    comprehension — overlapping substrings cannot share one Arrow
+    buffer (offsets must be monotone), so a copy per chunk is the
+    floor."""
+    n = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    k = 1 + np.ceil(np.maximum(n - size, 0) / stride).astype(np.int64)
+    rep = np.repeat(np.arange(len(n)), k)
+    starts = (np.arange(len(rep))
+              - np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k))
+    texts = batch[text_col].to_pylist()
+    chunks = [texts[d][i * stride:i * stride + size]
+              for d, i in zip(rep, starts)]
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(rep)),
+        "chunk_id": pa.array(starts, pa.int64()),
+        "chunk": pa.array(chunks, pa.string()),
+    })
