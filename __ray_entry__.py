@@ -1767,6 +1767,29 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_minmax_norm(sf_dir: str):
+    """Per-key min-max feature scaling (relational.per_key_minmax_norm):
+    each event's value normalized to ppm within its event_type —
+    MIN/MAX OVER (PARTITION BY ...) without floats (integer cents in,
+    integer ppm out). One keyed exchange."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                per_key_minmax_norm)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "event_type", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "event_type": b["event_type"],
+              "cents": pa.array(
+                  np.round(b["value"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    out = per_key_minmax_norm(ev, "event_type", "cents",
+                              exchange="hash" if cluster_cpus() >= 16
+                              else "groups").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_chunk_docs(sf_dir: str):
     """Overlapping document chunking (text.chunk_table): the 1->N
     flat-map ahead of tokenize/pack — 256-char windows, stride 192,
@@ -2160,6 +2183,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cube_revenue": q_cube_revenue,
     "skew_join_revenue": q_skew_join_revenue,
     "chunk_docs": q_chunk_docs,
+    "minmax_norm": q_minmax_norm,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -2972,6 +2996,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "minmax_norm": """
+            SELECT event_id, event_type, cents,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE ((cents - mn) * 1000000) // (mx - mn)
+                   END::BIGINT AS norm_ppm
+            FROM (SELECT event_id, event_type,
+                         round(value * 100)::BIGINT AS cents,
+                         min(round(value * 100)::BIGINT)
+                           OVER (PARTITION BY event_type) AS mn,
+                         max(round(value * 100)::BIGINT)
+                           OVER (PARTITION BY event_type) AS mx
+                  FROM events)
+            ORDER BY event_id""",
         "chunk_docs": """
             WITH d AS (SELECT doc_id, text, length(text) AS n
                        FROM documents),

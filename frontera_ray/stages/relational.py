@@ -440,6 +440,40 @@ def per_key_ntile(ds, key_col: str, order_col: str, n_tiles: int,
     return keyed_exchange(ds, key_col, block_ntile, exchange)
 
 
+def per_key_minmax_norm(ds, key_col: str, val_col: str,
+                        out_col: str = "norm_ppm",
+                        exchange: str = "groups"):
+    """Per-key min-max normalization in parts-per-million, integer
+    exact: floor((x - min) * 1e6 / (max - min)) within the key, 0 when
+    the key is constant — the feature-scaling window
+    (MIN/MAX OVER PARTITION) without floats. One keyed exchange; run
+    min/max via np.minimum/maximum.reduceat, broadcast back with
+    np.repeat. ``val_col`` must be int64 (convert upstream; products
+    stay < 2^63 for values < ~9e12)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        sk, sv = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(sk)])))
+        mn = np.repeat(np.minimum.reduceat(sv, starts), counts)
+        mx = np.repeat(np.maximum.reduceat(sv, starts), counts)
+        rng = mx - mn
+        norm = np.zeros(len(sv), np.int64)
+        nz = rng > 0
+        norm[nz] = (sv[nz] - mn[nz]) * 1_000_000 // rng[nz]
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(norm, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str],
                  prefix: str = "n_"):
     """PIVOT: one wide row per key with a count column per pivot
