@@ -1666,8 +1666,7 @@ def q_event_transitions(sf_dir: str):
     pairs — the session-behavior-model shape. One keyed exchange; the
     kernel pre-aggregates (from, to, n) partials so only a tiny pair
     vocabulary reaches the driver."""
-    from frontera_ray.stages.relational import (cluster_cpus,
-                                                transition_counts)
+    from frontera_ray.stages.relational import transition_counts
 
     ev = (_read(sf_dir, "events")
           .select_columns(["user_id", "ts", "event_type", "event_id"])
@@ -1677,10 +1676,11 @@ def q_event_transitions(sf_dir: str):
               "event_type": b["event_type"],
               "event_id": b["event_id"],
           }), batch_format="pyarrow"))
+    # 'groups' measured: ~1.5k user keys ride the sort exchange in
+    # ~0.3 s (sessionize, same key column) vs the ~2 s hash-aggregator
+    # fixed cost — hash only wins at 10k+ keys (active_customers)
     out = transition_counts(ev, "user_id", "ts_us", "event_type",
-                            tiebreak="event_id",
-                            exchange="hash" if cluster_cpus() >= 16
-                            else "groups")
+                            tiebreak="event_id", exchange="groups")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)
 
@@ -1772,8 +1772,7 @@ def q_minmax_norm(sf_dir: str):
     each event's value normalized to ppm within its event_type —
     MIN/MAX OVER (PARTITION BY ...) without floats (integer cents in,
     integer ppm out). One keyed exchange."""
-    from frontera_ray.stages.relational import (cluster_cpus,
-                                                per_key_minmax_norm)
+    from frontera_ray.stages.relational import per_key_minmax_norm
 
     ev = (_read(sf_dir, "events")
           .select_columns(["event_id", "event_type", "value"])
@@ -1784,9 +1783,10 @@ def q_minmax_norm(sf_dir: str):
                   np.round(b["value"].to_numpy() * 100)
                   .astype(np.int64), pa.int64()),
           }), batch_format="pyarrow"))
+    # 5 event_type keys: the sort exchange is 5 kernel calls — never
+    # worth the ~2 s hash-aggregator fixed cost
     out = per_key_minmax_norm(ev, "event_type", "cents",
-                              exchange="hash" if cluster_cpus() >= 16
-                              else "groups").to_pandas()
+                              exchange="groups").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
