@@ -1767,6 +1767,31 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_moving_sum(sf_dir: str):
+    """Windowed-frame aggregate (relational.per_key_moving_sum):
+    4-row moving sum of each user's event values ordered by time —
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW, computed from two reads
+    of a zero-padded cumsum after one keyed exchange."""
+    from frontera_ray.stages.relational import per_key_moving_sum
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "user_id", "ts", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "cents": pa.array(
+                  np.round(b["value"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    # ~1.5k user keys: sort exchange (see event_transitions note)
+    out = per_key_moving_sum(ev, "user_id", "ts_us", "cents", 4,
+                             tiebreak="event_id",
+                             exchange="groups").to_pandas()
+    out = out[["event_id", "user_id", "cents", "win_sum"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_minmax_norm(sf_dir: str):
     """Per-key min-max feature scaling (relational.per_key_minmax_norm):
     each event's value normalized to ppm within its event_type —
@@ -2184,6 +2209,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "skew_join_revenue": q_skew_join_revenue,
     "chunk_docs": q_chunk_docs,
     "minmax_norm": q_minmax_norm,
+    "moving_sum": q_moving_sum,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -2996,6 +3022,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "moving_sum": """
+            SELECT event_id, user_id,
+                   round(value * 100)::BIGINT AS cents,
+                   sum(round(value * 100)::BIGINT) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT
+                     AS win_sum
+            FROM events ORDER BY event_id""",
         "minmax_norm": """
             SELECT event_id, event_type, cents,
                    CASE WHEN mx = mn THEN 0

@@ -474,6 +474,44 @@ def per_key_minmax_norm(ds, key_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_moving_sum(ds, key_col: str, order_col: str, val_col: str,
+                       window: int, tiebreak: str | None = None,
+                       out_col: str = "win_sum",
+                       exchange: str = "groups"):
+    """Windowed-FRAME aggregate: SQL's
+    ``sum(v) OVER (PARTITION BY key ORDER BY o, tb
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the moving
+    sum/rolling feature. One keyed exchange + one lexsort; the frame
+    sums are two reads of a zero-padded cumsum (frame start clamped to
+    the key run's start), no per-row Python."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        sv = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        pos = np.arange(len(sk)) - starts[run_id]
+        lo = np.arange(len(sk)) - np.minimum(pos, window - 1)
+        c0 = np.concatenate(([0], np.cumsum(sv)))
+        win = c0[np.arange(1, len(sk) + 1)] - c0[lo]
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(win, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str],
                  prefix: str = "n_"):
     """PIVOT: one wide row per key with a count column per pivot
