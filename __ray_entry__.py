@@ -1767,6 +1767,46 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cume_dist(sf_dir: str):
+    """CUME_DIST window with peer-group semantics
+    (relational.per_key_cume_dist): each event's cumulative
+    distribution point within its event_type, micro-scaled — the
+    quantile-position feature without a global sort."""
+    from frontera_ray.stages.relational import per_key_cume_dist
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "event_type", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "event_type": b["event_type"],
+              "cents": pa.array(
+                  np.round(b["value"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    out = per_key_cume_dist(ev, "event_type", "cents",
+                            exchange="groups").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_seq(sf_dir: str):
+    """Per-user ordered behavior string (relational.concat_groups):
+    comma-joined event_type sequence ordered by time — the session
+    string a behavior model consumes; (user_id, ts) is unique in the
+    corpus so the order is total."""
+    from frontera_ray.stages.relational import concat_groups
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_type"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_type": b["event_type"],
+          }), batch_format="pyarrow"))
+    out = concat_groups(ev, "user_id", "ts_us", "event_type",
+                        sep=",", exchange="groups").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_moving_sum(sf_dir: str):
     """Windowed-frame aggregate (relational.per_key_moving_sum):
     4-row moving sum of each user's event values ordered by time —
@@ -2210,6 +2250,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "chunk_docs": q_chunk_docs,
     "minmax_norm": q_minmax_norm,
     "moving_sum": q_moving_sum,
+    "cume_dist": q_cume_dist,
+    "event_seq": q_event_seq,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3022,6 +3064,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "cume_dist": """
+            SELECT event_id, event_type,
+                   round(value * 100)::BIGINT AS cents,
+                   CAST(floor(cume_dist() OVER (
+                          PARTITION BY event_type
+                          ORDER BY round(value * 100)::BIGINT)
+                        * 1000000 + 0.5) AS BIGINT) AS cd_micro
+            FROM events ORDER BY event_id""",
+        "event_seq": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts) AS text
+            FROM events GROUP BY user_id ORDER BY user_id""",
         "moving_sum": """
             SELECT event_id, user_id,
                    round(value * 100)::BIGINT AS cents,

@@ -401,6 +401,40 @@ def per_key_percent_rank(ds, key_col: str, order_col: str,
     return keyed_exchange(ds, key_col, block_pr, exchange)
 
 
+def per_key_cume_dist(ds, key_col: str, order_col: str,
+                      out_col: str = "cd_micro",
+                      exchange: str = "groups"):
+    """Per-key CUME_DIST window: floor(cume_dist * 1e6 + 0.5) with SQL
+    peer-group semantics (rows with equal order values share the
+    distribution point of the LAST peer). Same one-exchange one-lexsort
+    shape as ``per_key_percent_rank``; the peer-group end index is the
+    next value-change position minus one — no per-key Python. The
+    double arithmetic (divide, scale, round) matches the SQL twin
+    op-for-op, so the micro values are bit-identical."""
+
+    def block_cd(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk, sv = keys[order], vals[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.diff(np.append(starts, len(sk)))[run_id]
+        new_val = new_run | np.concatenate(([True], sv[1:] != sv[:-1]))
+        vstarts = np.flatnonzero(new_val)
+        v_run_id = np.cumsum(new_val) - 1
+        vends = np.append(vstarts[1:], len(sk)) - 1
+        le = (vends[v_run_id] - starts[run_id] + 1).astype(np.float64)
+        micro = np.floor(le / sizes * 1e6 + 0.5).astype(np.int64)
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(micro, pa.int64()))
+
+    return keyed_exchange(ds, key_col, block_cd, exchange)
+
+
 def per_key_ntile(ds, key_col: str, order_col: str, n_tiles: int,
                   tiebreak: str | None = None, out_col: str = "tile",
                   exchange: str = "groups"):
