@@ -1767,6 +1767,47 @@ def q_normalize_text(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_first_last_order(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window collapsed per key
+    (relational.per_key_first_last): every customer's first and most
+    recent order price in cents — the lifecycle-feature shape, one
+    keyed exchange. ~10k customer keys: hash exchange (see
+    active_customers measurement)."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                per_key_first_last)
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"])
+              .map_batches(lambda b: pa.table({
+                  "o_custkey": b["o_custkey"],
+                  "ts_us": b["o_orderdate"].cast(pa.int64()),
+                  "o_orderkey": b["o_orderkey"],
+                  "cents": pa.array(
+                      np.round(b["o_totalprice"].to_numpy() * 100)
+                      .astype(np.int64), pa.int64()),
+              }), batch_format="pyarrow"))
+    out = per_key_first_last(orders, "o_custkey", "ts_us", "cents",
+                             tiebreak="o_orderkey",
+                             exchange="hash" if cluster_cpus() >= 16
+                             else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_source_share(sf_dir: str):
+    """RATIO_TO_REPORT window (relational.per_key_share): each
+    document's ppm share of its source's total characters, integer
+    exact — the per-stratum contribution feature (e.g. sampling-weight
+    computation per corpus source)."""
+    from frontera_ray.stages.relational import per_key_share
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source", "n_chars"])
+    out = per_key_share(docs, "source", "n_chars",
+                        exchange="groups").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cume_dist(sf_dir: str):
     """CUME_DIST window with peer-group semantics
     (relational.per_key_cume_dist): each event's cumulative
@@ -2252,6 +2293,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "moving_sum": q_moving_sum,
     "cume_dist": q_cume_dist,
     "event_seq": q_event_seq,
+    "first_last_order": q_first_last_order,
+    "source_share": q_source_share,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3064,6 +3107,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2""",
+        "first_last_order": """
+            WITH s AS (SELECT o_custkey,
+                              round(o_totalprice * 100)::BIGINT AS cents,
+                              row_number() OVER (
+                                PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_a,
+                              row_number() OVER (
+                                PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn_d
+                       FROM orders)
+            SELECT o_custkey,
+                   max(CASE WHEN rn_a = 1 THEN cents END)::BIGINT
+                     AS first_cents,
+                   max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
+                     AS last_cents
+            FROM s GROUP BY 1 ORDER BY 1""",
+        "source_share": """
+            SELECT doc_id, source, n_chars,
+                   (n_chars * 1000000)
+                     // sum(n_chars) OVER (PARTITION BY source)
+                     AS share_ppm
+            FROM documents ORDER BY doc_id""",
         "cume_dist": """
             SELECT event_id, event_type,
                    round(value * 100)::BIGINT AS cents,

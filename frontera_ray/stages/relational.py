@@ -508,6 +508,74 @@ def per_key_minmax_norm(ds, key_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_first_last(ds, key_col: str, order_col: str, val_col: str,
+                       tiebreak: str | None = None,
+                       exchange: str = "groups"):
+    """FIRST_VALUE / LAST_VALUE window collapsed to one row per key:
+    emits (key, first_<val>, last_<val>) where first/last follow
+    (order_col, tiebreak) order — the customer-lifecycle shape (first
+    vs latest purchase). One keyed exchange + one lexsort; run heads
+    and tails are two index gathers."""
+    out_first, out_last = f"first_{val_col}", f"last_{val_col}"
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        val_t = batch[val_col].type
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             out_first: pa.array([], val_t),
+                             out_last: pa.array([], val_t)})
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1])))
+        ends = np.append(starts[1:], len(sk)) - 1
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[starts])),
+            out_first: batch[val_col].take(pa.array(order[starts])),
+            out_last: batch[val_col].take(pa.array(order[ends])),
+        })
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def per_key_share(ds, key_col: str, val_col: str,
+                  out_col: str = "share_ppm",
+                  exchange: str = "groups"):
+    """RATIO_TO_REPORT window, integer exact: each row's ppm share of
+    its key's total — floor(v * 1e6 / sum_per_key) (``val_col`` must
+    be non-negative int64; products stay < 2^63 for values < ~9e12).
+    One keyed exchange; run sums via np.add.reduceat broadcast back
+    with np.repeat."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        sk, sv = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(sk)])))
+        tot = np.repeat(np.add.reduceat(sv, starts), counts)
+        share = np.zeros(len(sv), np.int64)
+        nz = tot > 0
+        share[nz] = sv[nz] * 1_000_000 // tot[nz]
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(share, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def per_key_moving_sum(ds, key_col: str, order_col: str, val_col: str,
                        window: int, tiebreak: str | None = None,
                        out_col: str = "win_sum",
