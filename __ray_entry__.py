@@ -1794,6 +1794,54 @@ def q_first_last_order(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK window (relational.per_key_dense_rank): each event's
+    dense price rank within its event_type — ties share a rank, ranks
+    stay consecutive (the leaderboard / price-tier feature). One keyed
+    exchange + one lexsort; ~5 type keys so the sort exchange wins
+    (hash aggregator fixed cost dominates at this cardinality, same
+    measurement as minmax_norm)."""
+    from frontera_ray.stages.relational import per_key_dense_rank
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "event_type", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "event_type": b["event_type"],
+              "cents": pa.array(
+                  np.round(b["value"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    out = per_key_dense_rank(ev, "event_type", "cents",
+                             exchange="groups").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_group_stats(sf_dir: str):
+    """Per-group second moments, integer-exact
+    (relational.grouped_moments): VAR_SAMP and COVAR numerators of
+    (quantity, discount%) per returnflag from combiner partials — the
+    feature-statistics / drift-monitoring aggregate. No shuffle: int64
+    partial sums per block, 3-row driver merge, exact big-int
+    finalization (nothing rounds, so the ppm variance oracle-matches
+    HUGEINT SQL arithmetic bit for bit)."""
+    from frontera_ray.stages.relational import grouped_moments
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_returnflag", "l_quantity", "l_discount"])
+          .map_batches(lambda b: pa.table({
+              "l_returnflag": b["l_returnflag"],
+              "qty": pa.array(
+                  np.round(b["l_quantity"].to_numpy())
+                  .astype(np.int64), pa.int64()),
+              "disc_pct": pa.array(
+                  np.round(b["l_discount"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    out = grouped_moments(li, "l_returnflag", "qty", "disc_pct")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -2295,6 +2343,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_seq": q_event_seq,
     "first_last_order": q_first_last_order,
     "source_share": q_source_share,
+    "dense_rank": q_dense_rank,
+    "group_stats": q_group_stats,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3124,6 +3174,31 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "dense_rank": """
+            SELECT event_id, event_type,
+                   round(value * 100)::BIGINT AS cents,
+                   DENSE_RANK() OVER (
+                     PARTITION BY event_type
+                     ORDER BY round(value * 100)::BIGINT DESC)::BIGINT
+                     AS drank
+            FROM events ORDER BY event_id""",
+        "group_stats": """
+            WITH b AS (SELECT l_returnflag,
+                              round(l_quantity)::HUGEINT AS x,
+                              round(l_discount * 100)::HUGEINT AS y
+                       FROM lineitem),
+            s AS (SELECT l_returnflag, count(*)::HUGEINT AS n,
+                         sum(x) AS sx, sum(x * x) AS sxx,
+                         sum(y) AS sy, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM b GROUP BY 1)
+            SELECT l_returnflag, n::BIGINT AS n_rows, sx::BIGINT AS sum_x,
+                   (n * sxx - sx * sx)::BIGINT AS var_x_num,
+                   (n * syy - sy * sy)::BIGINT AS var_y_num,
+                   (n * sxy - sx * sy)::BIGINT AS cov_xy_num,
+                   ((n * sxx - sx * sx) * 1000000
+                      // (n * (n - 1)))::BIGINT AS var_x_ppm
+            FROM s ORDER BY l_returnflag""",
         "source_share": """
             SELECT doc_id, source, n_chars,
                    (n_chars * 1000000)

@@ -366,6 +366,92 @@ def per_key_rank(ds, key: str, order_col: str, k: int,
     return keyed_exchange(ds, key, block_rank, exchange)
 
 
+def per_key_dense_rank(ds, key_col: str, order_col: str,
+                       out_col: str = "drank", descending: bool = True,
+                       exchange: str = "groups"):
+    """Per-key DENSE_RANK window: ties share a rank and ranks stay
+    consecutive (no gaps) — distinct from ROW_NUMBER (``per_key_rank``,
+    ties broken) and RANK (``per_key_percent_rank``'s tie semantics,
+    gaps after ties). Same single keyed exchange + one vectorized
+    lexsort as the other ranking windows; the rank is the cumulative
+    count of DISTINCT order values inside the key run (cumsum of
+    value-change flags, rebased at each run start)."""
+
+    def block_dr(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[order_col].to_numpy(zero_copy_only=False)
+        primary = -vals if descending else vals
+        order = np.lexsort((primary, keys))
+        sk, sv = keys[order], primary[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        changed = np.concatenate(([True], (sv[1:] != sv[:-1]) | new_run[1:]))
+        cum = np.cumsum(changed)
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        drank = cum - cum[starts][run_id] + 1
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(drank, pa.int64()))
+
+    return keyed_exchange(ds, key_col, block_dr, exchange)
+
+
+def grouped_moments(ds, key_cols, x_col: str, y_col: str):
+    """Integer-exact per-group second moments (the VAR_SAMP / COVAR
+    numerators) via the combiner pattern: a map_batches partial emits
+    per-block int64 sums of (n, x, x², y, y², xy) per key, the tiny
+    partials merge on the driver (#groups rows — low-cardinality keys
+    only, like ``partial_groupby_agg``), and the FINAL big products
+    (n·Σx² − (Σx)², n·Σxy − ΣxΣy, …) are computed in arbitrary-
+    precision Python ints so nothing ever rounds. No all-to-all
+    shuffle; the wide input never leaves its blocks.
+
+    Input columns must already be int64 (callers round cents/percent
+    upstream). Returns a pandas DataFrame with exact int64 columns:
+    n_rows, sum_x, var_x_num (= n·Σx²−(Σx)²), var_y_num,
+    cov_xy_num (= n·Σxy−ΣxΣy) and var_x_ppm
+    (= ⌊var_x_num·10⁶ / (n·(n−1))⌋, the VAR_SAMP value in ppm)."""
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({k: batch[k].to_numpy(zero_copy_only=False)
+                           for k in keys})
+        df["n"] = 1
+        df["sx"], df["sxx"] = x, x * x
+        df["sy"], df["syy"] = y, y * y
+        df["sxy"] = x * y
+        g = df.groupby(keys, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    g = parts.to_pandas().groupby(keys, as_index=False).sum()
+    # exact big-int finalization (Python ints: n·Σx²·10⁶ overflows i64)
+    n = [int(v) for v in g["n"]]
+    sx, sxx = [int(v) for v in g["sx"]], [int(v) for v in g["sxx"]]
+    sy, syy = [int(v) for v in g["sy"]], [int(v) for v in g["syy"]]
+    sxy = [int(v) for v in g["sxy"]]
+    out = g[keys].copy()
+    out["n_rows"] = n
+    out["sum_x"] = sx
+    out["var_x_num"] = [ni * a - b * b for ni, a, b in zip(n, sxx, sx)]
+    out["var_y_num"] = [ni * a - b * b for ni, a, b in zip(n, syy, sy)]
+    out["cov_xy_num"] = [ni * a - b * c
+                         for ni, a, b, c in zip(n, sxy, sx, sy)]
+    out["var_x_ppm"] = [vn * 1_000_000 // (ni * (ni - 1)) if ni > 1 else 0
+                        for vn, ni in zip(out["var_x_num"], n)]
+    for c in ("n_rows", "sum_x", "var_x_num", "var_y_num",
+              "cov_xy_num", "var_x_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def per_key_percent_rank(ds, key_col: str, order_col: str,
                          out_col: str = "pr_micro",
                          exchange: str = "groups"):
