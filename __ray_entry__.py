@@ -1842,6 +1842,41 @@ def q_group_stats(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the supplier co-purchase graph (edge =
+    two suppliers sharing an order): co-occurrence pair generation is
+    one keyed exchange on the order (pagerank.cooccurrence_edges) —
+    the ONLY exchange; multi-edges feed the idempotent bit-OR
+    adjacency directly and forward counting fans out over node ranges
+    against the broadcast bitset (pagerank.triangle_count) — the
+    graph-clustering / community signal, bounded by the supplier
+    universe, never all-pairs. Edges come from HIGH-QUANTITY lineitems
+    (qty ≥ 48) so the graph is sparse rather than degenerate-complete
+    at small scale."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from frontera_ray.stages.pagerank import (cooccurrence_edges,
+                                              triangle_count)
+    from frontera_ray.stages.relational import cluster_cpus
+
+    n_nodes = int(pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey"])["s_suppkey"].to_numpy().max()) + 1
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_suppkey", "l_quantity"])
+          .map_batches(lambda b: b.filter(
+              pc.greater_equal(b["l_quantity"], 48.0)).select(
+              ["l_orderkey", "l_suppkey"]), batch_format="pyarrow"))
+    exch = "hash" if cluster_cpus() >= 16 else "groups"
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", n_nodes,
+                               exchange=exch)
+    res = triangle_count(edges, n_nodes)
+    return pd.DataFrame([{"n_edges": res["n_edges"],
+                          "n_triangles": res["n_triangles"]}]).astype(
+        "int64")
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -2345,6 +2380,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_share": q_source_share,
     "dense_rank": q_dense_rank,
     "group_stats": q_group_stats,
+    "triangles": q_triangles,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3174,6 +3210,21 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "triangles": """
+            WITH e AS (SELECT DISTINCT x.l_suppkey AS u,
+                                       y.l_suppkey AS v
+                       FROM lineitem x
+                       JOIN lineitem y
+                         ON x.l_orderkey = y.l_orderkey
+                        AND x.l_suppkey < y.l_suppkey
+                       WHERE x.l_quantity >= 48
+                         AND y.l_quantity >= 48)
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*)
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)::BIGINT
+                     AS n_triangles""",
         "dense_rank": """
             SELECT event_id, event_type,
                    round(value * 100)::BIGINT AS cents,

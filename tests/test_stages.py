@@ -1418,3 +1418,57 @@ def test_concat_groups_orders_chunks(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(2)
     out = concat_groups(ds, "k", "i", "part").to_pandas().sort_values("k")
     assert list(out.text) == ["abc", "xy"]
+
+
+def test_triangle_count_known_graph(ray_session):
+    """K4 plus a pendant vertex: C(4,3)=4 triangles; duplicate and
+    cross-batch edges must not change the count (bitwise_or.at path)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import dedup_edges, triangle_count
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    src, dst = zip(*(k4 + k4))  # multi-edges collapse in dedup
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    ds = dedup_edges(ray.data.from_arrow(tbl).repartition(3), n_nodes=8)
+    res = triangle_count(ds.materialize(), n_nodes=8)
+    assert res == {"n_nodes_seen": 5, "n_edges": 7, "n_triangles": 4}
+
+
+def test_triangle_count_random_vs_brute(ray_session):
+    """Erdos-Renyi graph vs an O(n^3) numpy brute count — exercises
+    mask byte boundaries (n not a multiple of 8) and forward-count
+    uniqueness (each triangle counted exactly once)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import triangle_count
+
+    rng = np.random.default_rng(11)
+    n = 37
+    m = np.triu(rng.random((n, n)) < 0.25, k=1)
+    u, v = np.nonzero(m)
+    adj = (m | m.T).astype(np.int64)
+    brute = int(np.trace(adj @ adj @ adj)) // 6
+    tbl = pa.table({"src": pa.array(u, pa.int64()),
+                    "dst": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4).materialize()
+    res = triangle_count(ds, n_nodes=n)
+    assert res["n_triangles"] == brute
+    assert res["n_edges"] == len(u)
+
+
+def test_cooccurrence_edges_groups(ray_session):
+    """Items sharing a group pair up (u<v, distinct), across blocks."""
+    import ray
+
+    from frontera_ray.stages.pagerank import cooccurrence_edges
+
+    tbl = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "it": pa.array([5, 3, 5, 3, 7, 3, 9], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = cooccurrence_edges(ds, "g", "it", n_nodes=16).to_pandas()
+    pairs = sorted(map(tuple, out[["src", "dst"]].to_numpy()))
+    assert pairs == [(3, 5), (3, 7)]
