@@ -1842,6 +1842,21 @@ def q_group_stats(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_jaccard_join(sf_dir: str):
+    """EXACT full-corpus word-5-gram Jaccard similarity join at
+    tau = 1/2 via rarity-ordered prefix filtering
+    (dedup.jaccard_join_pairs) — the exact-set-similarity SCALE path
+    (slim prefix rows through ONE all-to-all; candidates are
+    output-scale by construction), where ngram_jaccard's bounded
+    brute-force slice routes for unbounded corpora. Integer-exact
+    inter/union so the whole join oracle-checks in SQL."""
+    from frontera_ray.stages.dedup import jaccard_join_pairs
+
+    return jaccard_join_pairs(_read(sf_dir, "documents"),
+                              t_num=1, t_den=2, shingle_k=5,
+                              exchange="groups")
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count of the supplier co-purchase graph (edge =
     two suppliers sharing an order): co-occurrence pair generation is
@@ -2381,6 +2396,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dense_rank": q_dense_rank,
     "group_stats": q_group_stats,
     "triangles": q_triangles,
+    "jaccard_join": q_jaccard_join,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3210,6 +3226,27 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "jaccard_join": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                           || ' ' || arr[i+3] || ' ' || arr[i+4] AS gram
+                  FROM t, UNNEST(range(1, len(arr) - 3)) AS r(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*) AS inter_size
+                      FROM g x JOIN g y
+                        ON x.gram = y.gram AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, inter_size,
+                   (sa.n + sb.n - inter_size) AS union_size
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE 2 * inter_size >= (sa.n + sb.n - inter_size)
+            ORDER BY a, b""",
         "triangles": """
             WITH e AS (SELECT DISTINCT x.l_suppkey AS u,
                                        y.l_suppkey AS v

@@ -838,3 +838,221 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
     return hamming64_neardup_pairs(
         ds.map_batches(simhash_table, batch_format="pyarrow"),
         max_hamming=max_hamming, blocks=blocks, exchange=exchange)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (the unbounded scale path
+# that ngram_jaccard_pairs' bounded-slice brute force routes to)
+# ---------------------------------------------------------------------------
+
+def _gram_table(batch: pa.Table, id_col: str, text_col: str,
+                shingle_k: int) -> tuple:
+    """Per-doc distinct gram-hash arrays for one batch: (ids int64[],
+    sizes int64[], flat uint64[] concatenated doc-major). Docs with no
+    grams (< k tokens, strict windowed semantics) are dropped — they
+    cannot pair, matching the SQL oracle."""
+    ids = batch[id_col].to_numpy()
+    texts = batch[text_col].to_pylist()
+    glists = [word_shingles(t, shingle_k, strict=True) for t in texts]
+    sizes = np.fromiter((len(g) for g in glists), np.int64, len(glists))
+    keep = sizes > 0
+    ids, sizes = ids[keep], sizes[keep]
+    glists = [g for g, k in zip(glists, keep) if k]
+    flat = np.concatenate(glists) if glists else np.empty(0, np.uint64)
+    return ids, sizes, flat
+
+
+def _collision_gram_df(ds, id_col: str, text_col: str, shingle_k: int,
+                       exchange: str):
+    """Distributed document frequency of COLLIDING grams only (df >= 2;
+    df == 1 grams stay implicit — a unique gram can't generate a
+    candidate, and rarity-rank treats 'absent' as rank-best). One
+    explode pass + one groupby(gram) count; the driver receives two
+    sorted arrays bounded by the collision-gram count, not the gram
+    universe. At 100-TB scale substitute a hash-sampled df (any
+    CONSISTENT total order keeps the prefix filter exact — rarity
+    order only improves pruning)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, _, flat = _gram_table(batch, id_col, text_col, shingle_k)
+        # distinct per doc already (word_shingles returns unique sets);
+        # int64 bit-view: Ray's groupby round-trips values through
+        # Python ints, and raw uint64 hashes overflow C long
+        return pa.table({"gram": pa.array(flat.view(np.int64),
+                                          pa.int64())})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("gram").count()
+    keys, dfs = [], []
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t) == 0:
+            continue
+        c = t["count()"].to_numpy()
+        m = c >= 2
+        keys.append(t["gram"].to_numpy()[m])
+        dfs.append(c[m].astype(np.int64))
+    if not keys:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    k = np.concatenate(keys)
+    d = np.concatenate(dfs)
+    o = np.argsort(k)
+    return k[o], d[o]
+
+
+def _prefix_len(sizes: np.ndarray, t_num: int, t_den: int) -> np.ndarray:
+    """PPJoin prefix length p = n - ceil(tau*n) + 1, exact rational
+    arithmetic: ceil(num*n/den) = (num*n + den - 1) // den."""
+    return sizes - (t_num * sizes + t_den - 1) // t_den + 1
+
+
+def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
+                       shingle_k: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text", exchange: str = "groups",
+                       candidate_cap: int = 5_000_000) -> pa.Table:
+    """EXACT word-k-gram Jaccard similarity join over the FULL corpus
+    (threshold tau = t_num/t_den, checked as den*inter >= num*union in
+    integers) via rarity-ordered PREFIX FILTERING — the published
+    exact-set-similarity scale path (prefix filter as in PPJoin,
+    Xiao et al., WWW'08; public algorithm), where the bounded-slice
+    brute force of ``ngram_jaccard_pairs`` routes when the corpus is
+    unbounded. Returns a pyarrow Table (a, b, inter_size, union_size).
+
+    Pipeline (three streaming passes over documents, ONE all-to-all
+    over SLIM rows):
+
+    1. df pass — distributed groupby(gram) count; only COLLIDING grams
+       (df >= 2) are broadcast (ray.put of two sorted arrays).
+    2. prefix pass — each doc sorts its gram set by (df, gram) with
+       absent-from-map = df 1 (rarest first) and emits only its first
+       p = n - ceil(tau*n) + 1 grams as (bucket_key, doc_id, n) rows:
+       any pair with J >= tau MUST collide inside both prefixes under
+       a common total order. Rows are slim (24 bytes) — no gram-set
+       payload rides the exchange (the lesson of the cosine-LSH
+       payload amplification).
+    3. bucket exchange — keyed on the gram; within-run i<j pairs,
+       kept only if den*min(na,nb) >= num*max(na,nb) (a NECESSARY
+       length condition for J >= tau), pack-deduped per partition.
+       The driver sees the candidate pair list (prefix filtering makes
+       it output-scale, asserted <= candidate_cap).
+    4. verify — gram sets are fetched for CANDIDATE ids only (one
+       filtered corpus pass, np.isin against the broadcast id set) and
+       each deduped pair is checked with an exact sorted-set
+       intersection. Integer-exact, so the whole join oracle-checks
+       against the windowed-gram SQL twin.
+    """
+    import ray
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "inter_size": pa.array([], pa.int64()),
+                      "union_size": pa.array([], pa.int64())})
+
+    df_keys, df_vals = _collision_gram_df(ds, id_col, text_col,
+                                          shingle_k, exchange)
+    if len(df_keys) == 0:
+        return empty
+    df_ref = ray.put((df_keys, df_vals))
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        ids, sizes, flat = _gram_table(batch, id_col, text_col, shingle_k)
+        if len(ids) == 0:
+            return pa.table({"bucket_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys, vals = ray.get(df_ref)
+        flat_i = flat.view(np.int64)  # same bit-view as the df map
+        pos = np.searchsorted(keys, flat_i)
+        pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+        df = np.where(keys[pos] == flat_i, vals[pos], 1) if len(keys) \
+            else np.ones(len(flat), np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), sizes)
+        order = np.lexsort((flat_i, df, doc_idx))
+        di = doc_idx[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(di)) + 1))
+        run_id = np.cumsum(np.concatenate(
+            ([True], di[1:] != di[:-1]))) - 1
+        rank = np.arange(len(di)) - starts[run_id]
+        keep = rank < _prefix_len(sizes, t_num, t_den)[di]
+        return pa.table({
+            "bucket_key": pa.array(flat_i[order][keep], pa.int64()),
+            "doc_id": pa.array(ids[di[keep]], pa.int64()),
+            "n": pa.array(sizes[di[keep]], pa.int64()),
+        })
+
+    def candidate_kernel(group: pa.Table) -> pa.Table:
+        key = group["bucket_key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = group["doc_id"].to_numpy()[order]
+        ns = group["n"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key)]))
+        pi, pj = _run_pair_indices(starts, ends)
+        if len(pi) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a, b = ids[pi], ids[pj]
+        na, nb = ns[pi], ns[pj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        size_ok = t_den * np.minimum(na, nb) >= t_num * np.maximum(na, nb)
+        distinct = lo != hi  # same doc in one bucket twice can't happen,
+        # but a doc_id repeated across prefix rows of equal grams can
+        pk = np.unique(lo[size_ok & distinct].astype(np.uint64) *
+                       np.uint64(1 << 32) +
+                       hi[size_ok & distinct].astype(np.uint64))
+        return pa.table({
+            "a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    bucket_rows = ds.map_batches(emit_prefix, batch_format="pyarrow")
+    parts = collect_bucket_pairs(bucket_rows, candidate_kernel, exchange)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return empty
+    pairs = _dedupe_pair_table(pa.concat_tables(parts))
+    assert len(pairs) <= candidate_cap, (
+        f"candidate pairs {len(pairs)} exceed cap {candidate_cap}: "
+        "threshold too low / corpus too self-similar for the prefix "
+        "filter — raise the threshold or route to minhash")
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    cand_ids = np.unique(np.concatenate((a, b)))
+    ids_ref = ray.put(cand_ids)
+
+    def fetch_grams(batch: pa.Table) -> pa.Table:
+        ids, sizes, flat = _gram_table(batch, id_col, text_col, shingle_k)
+        want = np.isin(ids, ray.get(ids_ref))
+        if not want.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "grams": pa.array([], pa.list_(pa.uint64()))})
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        sel = np.flatnonzero(want)
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "grams": pa.array(
+                [flat[offs[i]:offs[i + 1]] for i in sel],
+                pa.list_(pa.uint64())),
+        })
+
+    gram_map: dict[int, np.ndarray] = {}
+    for t in ds.map_batches(fetch_grams, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for did, g in zip(t["doc_id"].to_numpy(), t["grams"].to_pylist()):
+            gram_map[int(did)] = np.asarray(g, dtype=np.uint64)
+
+    rows = []
+    for x, y in zip(a, b):
+        gx, gy = gram_map[int(x)], gram_map[int(y)]
+        inter = int(np.intersect1d(gx, gy, assume_unique=True).size)
+        union = int(len(gx) + len(gy) - inter)
+        if t_den * inter >= t_num * union:
+            rows.append((int(x), int(y), inter, union))
+    rows.sort()
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "inter_size": pa.array([r[2] for r in rows], pa.int64()),
+        "union_size": pa.array([r[3] for r in rows], pa.int64()),
+    })

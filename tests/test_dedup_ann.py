@@ -583,3 +583,80 @@ def test_keeper_table_cc_matches_keeper_table(ray_session):
                       "b": pa.array([], pa.int64())})
     c = keeper_table_cc(ds, empty).to_pandas()
     assert (c["doc_id"] == c["keeper_doc_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard join
+# ---------------------------------------------------------------------------
+
+def _jacc_corpus(n_extra: int = 40):
+    """Engineered near-dups + a tail of distinct random-ish docs
+    (deterministic), gram space k=2 so overlaps are common enough to
+    exercise the df map and the length filter."""
+    texts = dict(_docs_table())
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(40)]
+    for i in range(n_extra):
+        words = rng.choice(vocab, size=rng.integers(6, 20))
+        texts[100 + i] = " ".join(words)
+    # one more engineered pair deep in the tail
+    texts[900] = texts[100] + " zz"
+    return texts
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (3, 4)])
+def test_jaccard_join_matches_brute(ray_session, exchange, t_num, t_den):
+    """Prefix-filtered exact join == O(n^2) brute force at the same
+    rational threshold, under both exchanges. strict gram semantics on
+    both sides (docs shorter than k contribute nothing)."""
+    import ray
+
+    from frontera_ray.stages.dedup import jaccard_join_pairs
+
+    texts = _jacc_corpus()
+    k = 2
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = jaccard_join_pairs(ds, t_num=t_num, t_den=t_den, shingle_k=k,
+                             exchange=exchange)
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+
+    ids = sorted(texts)
+    shs = {d: word_shingles(texts[d], k, strict=True) for d in ids}
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = shs[ids[i]], shs[ids[j]]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+            union = len(sa) + len(sb) - inter
+            if t_den * inter >= t_num * union:
+                expected.add((ids[i], ids[j]))
+    assert expected  # the corpus must actually contain matches
+    assert got_pairs == expected
+    # reported sizes are exact set sizes
+    for a, b, i_, u_ in zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                            got["inter_size"].to_pylist(),
+                            got["union_size"].to_pylist()):
+        sa, sb = shs[a], shs[b]
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        assert i_ == inter and u_ == len(sa) + len(sb) - inter
+
+
+def test_jaccard_join_no_matches(ray_session):
+    """A corpus with nothing above threshold returns the empty table
+    with the right schema (and survives the no-collision df path)."""
+    import ray
+
+    from frontera_ray.stages.dedup import jaccard_join_pairs
+
+    texts = {i: " ".join(f"w{i}_{j}" for j in range(8)) for i in range(6)}
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    got = jaccard_join_pairs(ray.data.from_arrow(t), t_num=1, t_den=2,
+                             shingle_k=3)
+    assert got.num_rows == 0
+    assert got.column_names == ["a", "b", "inter_size", "union_size"]
