@@ -1857,6 +1857,25 @@ def q_jaccard_join(sf_dir: str):
                               exchange="groups")
 
 
+def q_edit_join(sf_dir: str):
+    """Levenshtein-distance <= 1 fuzzy self-join on each document's
+    24-char text prefix (dedup.edit_distance_join_le1): SymSpell-style
+    deletion-neighborhood candidate generation (public algorithm) —
+    slim variant-hash rows through ONE keyed exchange, early-out exact
+    verify over candidate ids only. The typo'd-key / near-identical-
+    title matching primitive; oracled against DuckDB levenshtein."""
+    from frontera_ray.stages.dedup import edit_distance_join_le1
+
+    docs = (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "s": pc.utf8_slice_codeunits(b["text"], 0, 24),
+            }), batch_format="pyarrow"))
+    return edit_distance_join_le1(docs, id_col="doc_id", string_col="s",
+                                  exchange="groups")
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count of the supplier co-purchase graph (edge =
     two suppliers sharing an order): co-occurrence pair generation is
@@ -2397,6 +2416,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_stats": q_group_stats,
     "triangles": q_triangles,
     "jaccard_join": q_jaccard_join,
+    "edit_join": q_edit_join,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3226,6 +3246,14 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "edit_join": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s
+                       FROM documents)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   levenshtein(x.s, y.s)::BIGINT AS dist
+            FROM p x JOIN p y
+              ON x.doc_id < y.doc_id AND levenshtein(x.s, y.s) <= 1
+            ORDER BY a, b""",
         "jaccard_join": r"""
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(text, '\S+') AS arr

@@ -1056,3 +1056,139 @@ def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
         "inter_size": pa.array([r[2] for r in rows], pa.int64()),
         "union_size": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (<=1) string similarity join via the deletion
+# neighborhood (SymSpell-style candidate generation; public algorithm)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> int:
+    """Exact Levenshtein distance if <= 1, else 2 (early-out two-pointer
+    check — O(len) instead of the DP table)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if la == lb:  # one substitution: suffixes after i must match
+        return 1 if a[i + 1:] == b[i + 1:] else 2
+    # one insertion into a: skip b[i]
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def _deletion_variant_hashes(s: str) -> np.ndarray:
+    """64-bit hashes of s and every single-char deletion of s (distinct).
+    Two strings within Levenshtein distance 1 ALWAYS share a variant:
+    equal -> s itself; one edit apart -> the deletion at the edit
+    position coincides."""
+    from .text import _token_hash64
+
+    variants = {s}
+    for i in range(len(s)):
+        variants.add(s[:i] + s[i + 1:])
+    return np.fromiter((_token_hash64(v) for v in variants),
+                       np.uint64, len(variants))
+
+
+def edit_distance_join_le1(ds, id_col: str = "doc_id",
+                           string_col: str = "s",
+                           exchange: str = "groups",
+                           candidate_cap: int = 5_000_000) -> pa.Table:
+    """EXACT Levenshtein-distance <= 1 self-join over a string column —
+    the fuzzy-key matching primitive (near-identical titles, typo'd
+    ids, OCR'd fields). Same scale shape as ``jaccard_join_pairs``:
+
+    1. each row emits SLIM (variant_hash, id, len) rows for its
+       deletion neighborhood (len(s)+1 variants of ~8+16 bytes; the
+       strings themselves never ride the exchange);
+    2. ONE keyed exchange on the variant hash; within-bucket i<j pairs
+       with the |len_a - len_b| <= 1 necessary condition, pack-deduped;
+    3. candidate pairs (output-scale, asserted) are verified with an
+       exact early-out distance check against strings fetched for
+       CANDIDATE ids only (one filtered corpus pass).
+
+    Returns (a, b, dist) with dist in {0, 1}, sorted by (a, b).
+    """
+    import ray
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        strs = batch[string_col].to_pylist()
+        hs = [_deletion_variant_hashes(s) for s in strs]
+        counts = np.fromiter((len(h) for h in hs), np.int64, len(hs))
+        flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        lens = np.fromiter((len(s) for s in strs), np.int64, len(strs))
+        return pa.table({
+            "bucket_key": pa.array(flat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            "n": pa.array(np.repeat(lens, counts), pa.int64()),
+        })
+
+    def candidate_kernel(group: pa.Table) -> pa.Table:
+        key = group["bucket_key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = group["doc_id"].to_numpy()[order]
+        ns = group["n"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key)]))
+        pi, pj = _run_pair_indices(starts, ends)
+        if len(pi) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a, b = ids[pi], ids[pj]
+        ok = (np.abs(ns[pi] - ns[pj]) <= 1) & (a != b)
+        lo, hi = np.minimum(a[ok], b[ok]), np.maximum(a[ok], b[ok])
+        pk = np.unique(lo.astype(np.uint64) * np.uint64(1 << 32) +
+                       hi.astype(np.uint64))
+        return pa.table({
+            "a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
+            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    rows = ds.map_batches(emit_variants, batch_format="pyarrow")
+    parts = [p for p in collect_bucket_pairs(rows, candidate_kernel,
+                                             exchange) if len(p)]
+    if not parts:
+        return empty
+    pairs = _dedupe_pair_table(pa.concat_tables(parts))
+    assert len(pairs) <= candidate_cap, (
+        f"candidate pairs {len(pairs)} exceed cap {candidate_cap}: "
+        "key too uniform for the deletion neighborhood — lengthen the "
+        "key or pre-bucket by an exact prefix")
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    cand_ids = np.unique(np.concatenate((a, b)))
+    ids_ref = ray.put(cand_ids)
+
+    def fetch_strings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        want = np.isin(ids, ray.get(ids_ref))
+        return batch.filter(pa.array(want)).select([id_col, string_col])
+
+    smap: dict[int, str] = {}
+    for t in ds.map_batches(fetch_strings, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for did, s in zip(t[id_col].to_numpy(), t[string_col].to_pylist()):
+            smap[int(did)] = s
+
+    out = []
+    for x, y in zip(a, b):
+        d = _lev_le1(smap[int(x)], smap[int(y)])
+        if d <= 1:
+            out.append((int(x), int(y), d))
+    out.sort()
+    return pa.table({"a": pa.array([r[0] for r in out], pa.int64()),
+                     "b": pa.array([r[1] for r in out], pa.int64()),
+                     "dist": pa.array([r[2] for r in out], pa.int64())})

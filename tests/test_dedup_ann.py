@@ -660,3 +660,73 @@ def test_jaccard_join_no_matches(ray_session):
                              shingle_k=3)
     assert got.num_rows == 0
     assert got.column_names == ["a", "b", "inter_size", "union_size"]
+
+
+# ---------------------------------------------------------------------------
+# deletion-neighborhood edit-distance join
+# ---------------------------------------------------------------------------
+
+def test_lev_le1_kernel():
+    from frontera_ray.stages.dedup import _lev_le1
+
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1          # substitution
+    assert _lev_le1("abc", "ab") == 1           # deletion at end
+    assert _lev_le1("abc", "bc") == 1           # deletion at start
+    assert _lev_le1("abc", "axbc") == 1         # insertion
+    assert _lev_le1("abc", "axc") == 1
+    assert _lev_le1("abc", "xyz") == 2          # far
+    assert _lev_le1("abc", "abcde") == 2        # length gap 2
+    assert _lev_le1("abcd", "acbd") == 2        # transposition = 2 edits
+    assert _lev_le1("", "a") == 1
+    assert _lev_le1("", "") == 0
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_edit_join_matches_brute(ray_session, exchange):
+    """Deletion-neighborhood join == brute lev<=1 over an engineered
+    corpus with substitutions, insertions, deletions, exact dups and
+    decoys exactly 2 edits away."""
+    import itertools
+
+    import ray
+
+    from frontera_ray.stages.dedup import edit_distance_join_le1
+
+    strs = {
+        0: "the quick brown fox",
+        1: "the quick brown fox",      # dist 0
+        2: "the quick brown fix",      # substitution
+        3: "the quick brown foxx",     # insertion
+        4: "the quick brown fo",       # deletion
+        5: "the quick brewn fix",      # 2 edits from 0 (decoy)
+        6: "completely different",
+        7: "completely different",     # dist 0 island
+        8: "",                          # empty string edge
+        9: "x",                         # dist 1 from empty
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {(i, j, lev(strs[i], strs[j]))
+                for i, j in itertools.combinations(sorted(strs), 2)
+                if lev(strs[i], strs[j]) <= 1}
+    t = pa.table({"doc_id": pa.array(list(strs), pa.int64()),
+                  "s": pa.array(list(strs.values()), pa.string())})
+    got = edit_distance_join_le1(ray.data.from_arrow(t).repartition(3),
+                                 id_col="doc_id", string_col="s",
+                                 exchange=exchange)
+    got_rows = set(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                       got["dist"].to_pylist()))
+    assert got_rows == expected
+    assert (0, 5, 2) not in got_rows  # the 2-edit decoy must be absent
