@@ -1746,6 +1746,22 @@ def q_hash_sample(sf_dir: str):
     return out.sort_values(["h", "doc_id"]).reset_index(drop=True)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Quality-proportional deterministic downsample
+    (sampling.weighted_hash_sample): each document survives with
+    probability min(n_chars, 1000)/1000 — longer/higher-signal docs
+    kept, thin docs thinned — via the integer comparison
+    hash_u32(doc_id)·1000 < min(n_chars,1000)·2³², so the exact
+    sample is a pure function of the id and SQL-reproducible."""
+    from frontera_ray.stages.sampling import weighted_hash_sample
+
+    out = weighted_hash_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id", weight_col="n_chars",
+        weight_cap=1000).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_normalize_text(sf_dir: str):
     """Text normalization stage (lowercase, collapse every non-[a-z0-9]
     run to one space, trim) — the canonical-form step ahead of exact
@@ -2417,6 +2433,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "triangles": q_triangles,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
+    "weighted_sample": q_weighted_sample,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3246,6 +3263,13 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "weighted_sample": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT * 1000
+                  < least(n_chars, 1000)::BIGINT * 4294967296
+            ORDER BY doc_id""",
         "edit_join": """
             WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s
                        FROM documents)

@@ -149,3 +149,25 @@ def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
     return keyed_exchange(keyed, "_bucket", pack_block, exchange)
+
+
+def weighted_hash_sample(ds, id_col: str, weight_col: str,
+                         weight_cap: int, salt: str = ""):
+    """Importance-WEIGHTED deterministic Bernoulli sample: keep a row
+    with probability min(weight, cap)/cap, decided as the integer
+    comparison hash_u32(id) * cap < min(weight, cap) * 2^32 — the
+    quality-proportional downsampling step (CCNet-style: high-scoring
+    docs survive, low-scoring docs thin out proportionally) with no
+    RNG state: retries, re-runs and incremental batches agree, and the
+    exact cross-multiplied integers make the SQL twin reproduce the
+    sample bit for bit. Streaming filter, no shuffle."""
+    cap = int(weight_cap)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[id_col].to_pylist(), salt).astype(np.int64)
+        w = np.minimum(
+            batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                np.int64), cap)
+        return batch.filter(pa.array(h * cap < w * _U32))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
