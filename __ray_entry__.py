@@ -1858,6 +1858,36 @@ def q_group_stats(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the same sparse
+    supplier co-purchase graph as `triangles`
+    (pagerank.node_clustering): deg, incident-triangle count and
+    lcc_ppm = ⌊2·tri·10⁶/(deg·(deg−1))⌋ per supplier, integer-exact —
+    the per-entity community-density feature (e.g. spam-farm /
+    link-ring detection on a host graph). One keyed exchange for
+    pair generation, then node-range fan-out against the broadcast
+    bitset; no second shuffle."""
+    import pyarrow.parquet as pq
+
+    from frontera_ray.stages.pagerank import (cooccurrence_edges,
+                                              node_clustering)
+    from frontera_ray.stages.relational import cluster_cpus
+
+    n_nodes = int(pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey"])["s_suppkey"].to_numpy().max()) + 1
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_suppkey", "l_quantity"])
+          .map_batches(lambda b: b.filter(
+              pc.greater_equal(b["l_quantity"], 48.0)).select(
+              ["l_orderkey", "l_suppkey"]), batch_format="pyarrow"))
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_suppkey", n_nodes,
+        exchange="hash" if cluster_cpus() >= 16 else "groups")
+    out = node_clustering(edges, n_nodes).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def q_jaccard_join(sf_dir: str):
     """EXACT full-corpus word-5-gram Jaccard similarity join at
     tau = 1/2 via rarity-ordered prefix filtering
@@ -2434,6 +2464,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
+    "clustering": q_clustering,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3263,6 +3294,34 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "clustering": """
+            WITH e AS (SELECT DISTINCT x.l_suppkey AS u,
+                                       y.l_suppkey AS v
+                       FROM lineitem x
+                       JOIN lineitem y
+                         ON x.l_orderkey = y.l_orderkey
+                        AND x.l_suppkey < y.l_suppkey
+                       WHERE x.l_quantity >= 48
+                         AND y.l_quantity >= 48),
+            und AS (SELECT u AS a FROM e UNION ALL SELECT v FROM e),
+            deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+                    FROM und GROUP BY 1),
+            tt AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                   FROM e e1
+                   JOIN e e2 ON e2.u = e1.v
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (SELECT x AS node FROM tt
+                        UNION ALL SELECT y FROM tt
+                        UNION ALL SELECT z FROM tt),
+            tri AS (SELECT node, count(*)::BIGINT AS tri
+                    FROM corners GROUP BY 1)
+            SELECT d.node, d.deg,
+                   coalesce(t.tri, 0)::BIGINT AS tri,
+                   ((2 * coalesce(t.tri, 0) * 1000000)
+                      // (d.deg * (d.deg - 1)))::BIGINT AS lcc_ppm
+            FROM deg d LEFT JOIN tri t ON t.node = d.node
+            WHERE d.deg >= 2
+            ORDER BY d.node""",
         "weighted_sample": """
             SELECT doc_id, n_chars
             FROM documents

@@ -1472,3 +1472,30 @@ def test_cooccurrence_edges_groups(ray_session):
     out = cooccurrence_edges(ds, "g", "it", n_nodes=16).to_pandas()
     pairs = sorted(map(tuple, out[["src", "dst"]].to_numpy()))
     assert pairs == [(3, 5), (3, 7)]
+
+
+def test_node_clustering_vs_brute(ray_session):
+    """Per-node lcc matches the O(n^3) dense brute computation on a
+    random graph (byte-boundary n, duplicate input edges)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import node_clustering
+
+    rng = np.random.default_rng(5)
+    n = 21
+    m = np.triu(rng.random((n, n)) < 0.3, k=1)
+    u, v = np.nonzero(m)
+    adj = (m | m.T).astype(np.int64)
+    tbl = pa.table({"src": pa.array(np.concatenate((u, u)), pa.int64()),
+                    "dst": pa.array(np.concatenate((v, v)), pa.int64())})
+    out = node_clustering(
+        ray.data.from_arrow(tbl).repartition(3).materialize(),
+        n_nodes=n).to_pandas()
+    deg = adj.sum(axis=1)
+    tri_all = np.diag(adj @ adj @ adj) // 2  # per-node incident triangles
+    keep = deg >= 2
+    assert list(out["node"]) == list(np.flatnonzero(keep))
+    assert (out["deg"].to_numpy() == deg[keep]).all()
+    assert (out["tri"].to_numpy() == tri_all[keep]).all()
+    expect_lcc = 2 * tri_all[keep] * 1_000_000 // (deg[keep] * (deg[keep] - 1))
+    assert (out["lcc_ppm"].to_numpy() == expect_lcc).all()
