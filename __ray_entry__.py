@@ -1746,6 +1746,21 @@ def q_hash_sample(sf_dir: str):
     return out.sort_values(["h", "doc_id"]).reset_index(drop=True)
 
 
+def q_group_mad(sf_dir: str):
+    """Per-group median absolute deviation of quantity
+    (relational.grouped_mad): robust dispersion per returnflag,
+    integer-exact PERCENTILE_DISC at both levels — two histogram
+    combines (histograms move, rows don't), medians broadcast into
+    the second pass. The skew-proof outlier-gate statistic."""
+    from frontera_ray.stages.relational import grouped_mad
+
+    out = grouped_mad(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity"]),
+        "l_returnflag", "l_quantity", scale=1)
+    return out.reset_index(drop=True)
+
+
 def q_weighted_sample(sf_dir: str):
     """Quality-proportional deterministic downsample
     (sampling.weighted_hash_sample): each document survives with
@@ -2465,6 +2480,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
     "clustering": q_clustering,
+    "group_mad": q_group_mad,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3294,6 +3310,18 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "group_mad": """
+            WITH v AS (SELECT l_returnflag AS k,
+                              round(l_quantity)::BIGINT AS x
+                       FROM lineitem),
+            med AS (SELECT k, quantile_disc(x, 0.5)::BIGINT AS med
+                    FROM v GROUP BY 1)
+            SELECT m.k AS l_returnflag,
+                   m.med AS med_scaled,
+                   quantile_disc(abs(v.x - m.med), 0.5)::BIGINT
+                     AS mad_scaled
+            FROM v JOIN med m ON m.k = v.k
+            GROUP BY 1, 2 ORDER BY 1""",
         "clustering": """
             WITH e AS (SELECT DISTINCT x.l_suppkey AS u,
                                        y.l_suppkey AS v

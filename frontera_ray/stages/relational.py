@@ -834,6 +834,37 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
     ).sort_values(key_col).reset_index(drop=True)
 
 
+def grouped_mad(ds, key_col: str, value_col: str, scale: int = 1):
+    """Exact per-group MEDIAN ABSOLUTE DEVIATION (PERCENTILE_DISC
+    semantics at both levels) — the robust dispersion statistic an
+    outlier gate wants when means/variances are skew-poisoned. Two
+    histogram combines over the bounded value domain (the
+    ``grouped_quantile_disc`` shape: histograms move, data doesn't;
+    no all-to-all), with the tiny per-key median table broadcast into
+    the second pass closure. Returns a pandas DataFrame
+    (key, med_scaled, mad_scaled), integer-exact."""
+    med_df = grouped_quantile_disc(ds, key_col, value_col, 0.5, scale)
+    med = dict(zip(med_df[key_col], med_df["q50_scaled"]))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        v = np.round(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        mvals = np.fromiter((med[k] for k in uk), np.int64, len(uk))
+        return pa.table({key_col: pa.array(keys),
+                         "absdev": pa.array(np.abs(v - mvals[inv]),
+                                            pa.int64())})
+
+    mad_df = grouped_quantile_disc(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        key_col, "absdev", 0.5, scale=1).rename(
+        columns={"q50_scaled": "mad_scaled"})
+    out = med_df.rename(columns={"q50_scaled": "med_scaled"}).merge(
+        mad_df, on=key_col)
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def grouped_count_distinct(ds, key_col: str, distinct_col: str,
                            combine: str = "shuffle"):
     """Exact per-key count-distinct: per-block drop_duplicates
