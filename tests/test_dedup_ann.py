@@ -604,12 +604,16 @@ def _jacc_corpus(n_extra: int = 40):
     return texts
 
 
-@pytest.mark.parametrize("exchange", ["groups", "hash"])
+@pytest.mark.parametrize("exchange,df_mode", [
+    ("groups", "cms"), ("groups", "exact"), ("hash", "cms")])
 @pytest.mark.parametrize("t_num,t_den", [(1, 2), (3, 4)])
-def test_jaccard_join_matches_brute(ray_session, exchange, t_num, t_den):
+def test_jaccard_join_matches_brute(ray_session, exchange, df_mode,
+                                    t_num, t_den):
     """Prefix-filtered exact join == O(n^2) brute force at the same
-    rational threshold, under both exchanges. strict gram semantics on
-    both sides (docs shorter than k contribute nothing)."""
+    rational threshold, under both exchanges and both df orderings
+    (CMS sketch / exact groupby — candidates may differ, output must
+    not). strict gram semantics on both sides (docs shorter than k
+    contribute nothing)."""
     import ray
 
     from frontera_ray.stages.dedup import jaccard_join_pairs
@@ -620,7 +624,7 @@ def test_jaccard_join_matches_brute(ray_session, exchange, t_num, t_den):
                   "text": pa.array(list(texts.values()), pa.string())})
     ds = ray.data.from_arrow(t).repartition(4)
     got = jaccard_join_pairs(ds, t_num=t_num, t_den=t_den, shingle_k=k,
-                             exchange=exchange)
+                             exchange=exchange, df_mode=df_mode)
     got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
 
     ids = sorted(texts)
