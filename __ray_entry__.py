@@ -1569,6 +1569,21 @@ def q_urgent_low_intersect(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_urgent_low_union(sf_dir: str):
+    """Distributed UNION DISTINCT (relational.set_op): customers with
+    an urgent OR a low-priority order, each key once — completing the
+    set-op family (INTERSECT / EXCEPT / UNION, DISTINCT and ALL bags)
+    over the same keys-only tagged exchange."""
+    from frontera_ray.stages.relational import cluster_cpus, set_op
+
+    out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
+                 _priority_custkeys(sf_dir, "5-LOW"),
+                 "o_custkey", op="union",
+                 exchange="hash" if cluster_cpus() >= 16
+                 else "groups").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q_urgent_only_except(sf_dir: str):
     """Distributed EXCEPT (relational.set_op): customers with an urgent
     order but NO low-priority order."""
@@ -2481,6 +2496,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "clustering": q_clustering,
     "group_mad": q_group_mad,
+    "urgent_low_union": q_urgent_low_union,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3310,6 +3326,13 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "urgent_low_union": """
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '5-LOW'
+            ORDER BY o_custkey""",
         "group_mad": """
             WITH v AS (SELECT l_returnflag AS k,
                               round(l_quantity)::BIGINT AS x

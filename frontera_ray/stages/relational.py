@@ -1432,7 +1432,8 @@ def skew_join(left_ds, right_ds, key: str, left_cols, right_cols,
 
 def set_op(left_ds, right_ds, key: str, op: str = "intersect",
            exchange: str = "groups"):
-    """Distributed INTERSECT / EXCEPT with SQL DISTINCT set semantics
+    """Distributed INTERSECT / EXCEPT / UNION with SQL DISTINCT set
+    semantics
     on a key column: both sides ship ONLY the key through one tagged
     keyed exchange; the kernel emits each distinct key once iff it is
     present on both sides (``intersect``) / on the left only
@@ -1446,7 +1447,8 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
     / max(count_l - count_r, 0) times — per-side multiplicities are
     two bincounts over the local key codes, the output is one
     ``np.repeat``."""
-    assert op in ("intersect", "except", "intersect_all", "except_all")
+    assert op in ("intersect", "except", "union",
+                  "intersect_all", "except_all")
     bag = op.endswith("_all")
     l_t = _arrow_types(left_ds)[key]
 
@@ -1489,11 +1491,17 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
             else:
                 has_l, has_r = cnt_l.astype(bool), cnt_r.astype(bool)
                 want = (has_l & has_r if op == "intersect"
-                        else has_l & ~has_r)
-                # one representative LEFT row per selected key
+                        else has_l & ~has_r if op == "except"
+                        else has_l | has_r)
+                # one representative row per selected key (left
+                # preferred; union falls back to a right row)
                 lmask = ~is_r[vi]
                 first = np.full(ng, -1, np.int64)
                 first[codes[lmask][::-1]] = vi[lmask][::-1]
+                if op == "union":
+                    first_r = np.full(ng, -1, np.int64)
+                    first_r[codes[is_r[vi]][::-1]] = vi[is_r[vi]][::-1]
+                    first = np.where(first >= 0, first, first_r)
                 sel = first[np.flatnonzero(want)]
                 if len(sel):
                     pieces.append(pa.table(
@@ -1505,7 +1513,8 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
                       else max(n_nl - n_nr, 0))
             if n_null:
                 pieces.append(pa.table({key: pa.nulls(n_null, l_t)}))
-        elif n_nl and (n_nr if op == "intersect" else not n_nr):
+        elif (op == "union" and (n_nl or n_nr)) or (
+                n_nl and (n_nr if op == "intersect" else not n_nr)):
             pieces.append(pa.table({key: pa.nulls(1, l_t)}))
         if not pieces:
             return empty

@@ -848,8 +848,17 @@ def test_set_op_null_as_value(ray_session, exchange):
         "k": pa.array([None, 2], pa.int64())}))
     i = set_op(l, r, "k", "intersect", exchange=exchange).to_pandas()
     x = set_op(l, r, "k", "except", exchange=exchange).to_pandas()
+    u = set_op(l, r, "k", "union", exchange=exchange).to_pandas()
     assert sorted(i["k"].fillna(-99).astype(int).tolist()) == [-99, 2]
     assert x["k"].tolist() == [1]
+    # UNION: every distinct key from either side once, one NULL row
+    assert sorted(u["k"].fillna(-99).astype(int).tolist()) == [-99, 1, 2]
+    # right-only keys survive (representative falls back to right)
+    u2 = set_op(l, ray.data.from_arrow(pa.table({
+        "k": pa.array([7], pa.int64())})), "k", "union",
+        exchange=exchange).to_pandas()
+    assert sorted(u2["k"].fillna(-99).astype(int).tolist()) == \
+        [-99, 1, 2, 7]
 
 
 @pytest.mark.parametrize("exchange", ["groups", "hash"])
