@@ -1569,6 +1569,28 @@ def q_urgent_low_intersect(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_window_users(sf_dir: str):
+    """Distinct active users per hourly tumbling window — the
+    telemetry DAU/WAU shape: vectorized epoch truncation inside
+    map_batches assigns windows, then the exact count-distinct
+    combine (`relational.grouped_count_distinct`: per-block pair
+    dedup shrinks the stream BEFORE the one composite-key exchange).
+    Distinct from `window_counts` (event counts) and `distinct_users`
+    (global): both dimensions at once."""
+    from frontera_ray.stages.relational import grouped_count_distinct
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["ts", "user_id"])
+          .map_batches(lambda b: pa.table({
+              "window_start": pa.array(
+                  (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                   .to_numpy() // 3_600_000_000) * 3600, pa.int64()),
+              "user_id": b["user_id"],
+          }), batch_format="pyarrow"))
+    out = grouped_count_distinct(ev, "window_start", "user_id")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_urgent_low_union(sf_dir: str):
     """Distributed UNION DISTINCT (relational.set_op): customers with
     an urgent OR a low-priority order, each key once — completing the
@@ -2497,6 +2519,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "clustering": q_clustering,
     "group_mad": q_group_mad,
     "urgent_low_union": q_urgent_low_union,
+    "window_users": q_window_users,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3326,6 +3349,11 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "window_users": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events
+            GROUP BY 1 ORDER BY 1""",
         "urgent_low_union": """
             SELECT o_custkey FROM orders
             WHERE o_orderpriority = '1-URGENT'
