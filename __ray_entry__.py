@@ -1569,6 +1569,26 @@ def q_urgent_low_intersect(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_quantile_sketch(sf_dir: str):
+    """ONE-PASS approximate price quantiles (sketches.quantile_sketch):
+    per-block equi-weight k-point summaries (16 KiB each) merge on the
+    driver — the streaming/unbounded-domain counterpart of
+    price_quantiles' exact three-pass histogram bisection, with rank
+    error ≤ 1/(2k) per block summary. Deterministic (no RNG), so
+    retries agree; approximate, so no SQL oracle — the error bound is
+    pytest-asserted against the exact path."""
+    import pandas as pd
+
+    from frontera_ray.stages.sketches import quantile_sketch
+
+    got = quantile_sketch(
+        _read(sf_dir, "lineitem").select_columns(["l_extendedprice"]),
+        "l_extendedprice", [0.25, 0.5, 0.9, 0.99], k=1024)
+    return pd.DataFrame(
+        [{"q": q, "est_cents": int(round(v * 100))}
+         for q, v in sorted(got.items())])
+
+
 def q_window_users(sf_dir: str):
     """Distinct active users per hourly tumbling window — the
     telemetry DAU/WAU shape: vectorized epoch truncation inside
@@ -2520,6 +2540,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_mad": q_group_mad,
     "urgent_low_union": q_urgent_low_union,
     "window_users": q_window_users,
+    "quantile_sketch": q_quantile_sketch,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,

@@ -243,3 +243,61 @@ def hll_count_distinct_grouped(ds, group_col: str, col: str, p: int = 14,
 
     rows = [(gv, int(np.floor(hll_estimate(acc[gv])))) for gv in sorted(acc)]
     return pd.DataFrame(rows, columns=[group_col, "est_distinct"])
+
+
+def quantile_sketch_partial(v: np.ndarray, k: int) -> tuple:
+    """One block's equi-weight quantile summary: the k order statistics
+    at ranks ceil((j+1/2)·n/k), each carrying weight n/k. Per-block
+    rank error ≤ n_block/(2k); summed over a weighted merge the total
+    rank error stays ≤ n/(2k) (Munro-Paterson-style deterministic
+    summary — no RNG, so retries agree)."""
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    s = np.sort(v.astype(np.float64))
+    if n <= k:
+        return s, np.ones(n, np.float64)
+    idx = ((np.arange(k) + 0.5) * n / k).astype(np.int64)
+    return s[np.minimum(idx, n - 1)], np.full(k, n / k, np.float64)
+
+
+def quantile_sketch(ds, col: str, qs, k: int = 1024) -> dict:
+    """ONE-PASS approximate quantiles over an UNBOUNDED value domain —
+    the streaming counterpart of ``relational.quantile_unbounded``
+    (exact, but three passes): each block ships a k-point equi-weight
+    summary (16 KiB), the driver computes weighted quantiles over the
+    merged summaries. Deterministic given the block layout; rank error
+    ≤ 1/(2k) of n per block summary (≈0.05% at k=1024). The driver
+    holds O(blocks·k) points; at extreme block counts re-summarize the
+    summary stream once (one more map_batches level; the rank errors
+    add per level). The Spark approxQuantile / telemetry-latency
+    shape. Returns {q: value}."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        pts, w = quantile_sketch_partial(v, k)
+        return pa.table({"v": pa.array(pts, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    vs, ws = [], []
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t):
+            vs.append(t["v"].to_numpy())
+            ws.append(t["w"].to_numpy())
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    if not vs:
+        return {q: float("nan") for q in qs}
+    v = np.concatenate(vs)
+    w = np.concatenate(ws)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = {}
+    for q in qs:
+        pos = int(np.searchsorted(cum, q * total))
+        out[q] = float(v[min(pos, len(v) - 1)])
+    return out

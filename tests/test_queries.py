@@ -69,3 +69,28 @@ def test_entry_smoke(ray_session):
     ds = entrymod.entry()
     assert ds.count() > 0
     assert "image_id" in ds.schema().names
+
+
+def test_quantile_sketch_vs_exact(ray_session):
+    """The one-pass sketch estimates land within the analytic rank
+    bound of DuckDB's exact quantile_disc on the same column."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    got = em.queries()["quantile_sketch"](SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    vals = con.execute(
+        "SELECT round(l_extendedprice*100)::BIGINT FROM lineitem "
+        "ORDER BY 1").df().iloc[:, 0].to_numpy()
+    n = len(vals)
+    # slack: n/(2k) per block summary x blocks, plus rounding
+    import numpy as np
+    slack = int(np.ceil(n / (2 * 1024))) * 32 + 32
+    for _, row in got.iterrows():
+        target = int(row["q"] * n)
+        lo = vals[max(target - slack, 0)]
+        hi = vals[min(target + slack, n - 1)]
+        assert lo - 100 <= row["est_cents"] <= hi + 100, dict(row)

@@ -1508,3 +1508,42 @@ def test_node_clustering_vs_brute(ray_session):
     assert (out["tri"].to_numpy() == tri_all[keep]).all()
     expect_lcc = 2 * tri_all[keep] * 1_000_000 // (deg[keep] * (deg[keep] - 1))
     assert (out["lcc_ppm"].to_numpy() == expect_lcc).all()
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """One-pass sketch quantiles land within the analytic rank-error
+    bound (1/(2k) per block summary, summed over blocks) of the exact
+    order statistics, on a skewed unbounded domain."""
+    import ray
+
+    from frontera_ray.stages.sketches import quantile_sketch
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([rng.lognormal(3, 2, 40_000),
+                           rng.normal(1e6, 10, 1_000)])  # heavy tail
+    n_blocks, k = 8, 256
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    ds = ds.repartition(n_blocks)
+    got = quantile_sketch(ds, "x", [0.1, 0.5, 0.9, 0.99], k=k)
+    s = np.sort(vals)
+    n = len(s)
+    # total rank slack: n/(2k) per block summary
+    slack = int(np.ceil(n_blocks * (n / n_blocks) / (2 * k))) + n_blocks
+    for q, est in got.items():
+        target = int(q * n)
+        lo = s[max(target - slack, 0)]
+        hi = s[min(target + slack, n - 1)]
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_quantile_sketch_small_block_exact(ray_session):
+    """Blocks smaller than k ship every value — the sketch is exact."""
+    import ray
+
+    from frontera_ray.stages.sketches import quantile_sketch
+
+    vals = np.arange(1, 101, dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    got = quantile_sketch(ds, "x", [0.25, 0.5, 1.0], k=1024)
+    # percentile_disc convention: element at 1-based rank ceil(q*n)
+    assert got[0.25] == 25.0 and got[0.5] == 50.0 and got[1.0] == 100.0
