@@ -1569,6 +1569,37 @@ def q_urgent_low_intersect(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction + aggregate: pull the integer 'k'
+    field out of the JSON props column with ONE vectorized RE2 pass
+    (text.json_scalar_i64 — no per-row json.loads), then a combiner
+    aggregate per event_type (sum + count + found-count). The
+    telemetry-props / flat-JSON shape; nested JSON routes to an
+    actor-pool parser stage instead."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+    from frontera_ray.stages.text import json_scalar_i64
+
+    def extract(batch: pa.Table) -> pa.Table:
+        vals, found = json_scalar_i64(batch["props"], "k")
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k_val": pc.fill_null(vals, 0),
+            "k_found": pa.array(found.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow")
+    out = partial_groupby_agg(ds, "event_type", {
+        "sum_k": ("k_val", "sum"),
+        "n_found": ("k_found", "sum"),
+        "n_rows": ("k_val", "count"),
+    })
+    for c in ("sum_k", "n_found", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_quantile_sketch(sf_dir: str):
     """ONE-PASS approximate price quantiles (sketches.quantile_sketch):
     per-block equi-weight k-point summaries (16 KiB each) merge on the
@@ -2541,6 +2572,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "urgent_low_union": q_urgent_low_union,
     "window_users": q_window_users,
     "quantile_sketch": q_quantile_sketch,
+    "props_extract": q_props_extract,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3370,6 +3402,15 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "props_extract": """
+            SELECT event_type,
+                   sum(coalesce(
+                     json_extract_string(props, '$.k')::BIGINT,
+                     0))::BIGINT AS sum_k,
+                   count(json_extract_string(props, '$.k'))::BIGINT
+                     AS n_found,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY 1 ORDER BY 1""",
         "window_users": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
                    count(DISTINCT user_id)::BIGINT AS n_distinct

@@ -747,3 +747,21 @@ def chunk_table(batch: pa.Table, text_col: str = "text",
         "chunk_id": pa.array(starts, pa.int64()),
         "chunk": pa.array(chunks, pa.string()),
     })
+
+
+def json_scalar_i64(col: pa.ChunkedArray | pa.Array, key: str):
+    """Vectorized extraction of a FLAT integer field from a JSON-string
+    column: one RE2 ``extract_regex`` pass over Arrow buffers — the
+    semi-structured-telemetry fast path (no per-row json.loads). Rows
+    without the key (or non-flat documents where the first match would
+    be wrong) come back NULL; nested/escaped JSON should route to an
+    actor-pool stage with a real parser instead — this kernel is for
+    the flat ``{"k": 1, ...}`` event-props shape. Returns
+    (values int64-with-nulls, found bool ndarray)."""
+    import re
+
+    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'
+    m = pc.extract_regex(col, pat)
+    s = pc.struct_field(m, "v")
+    found = pc.is_valid(s).to_numpy(zero_copy_only=False)
+    return pc.cast(s, pa.int64()), found
