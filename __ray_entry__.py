@@ -1569,6 +1569,30 @@ def q_urgent_low_intersect(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_validity_intervals(sf_dir: str):
+    """SCD2 validity intervals per user
+    (relational.per_key_validity_intervals): each event becomes a
+    [valid_from, valid_to) version row (valid_to = next event's
+    timestamp, -1 while current) — LEAD-window semantics re-expressed
+    as the change-log -> point-in-time-history warehouse pattern.
+    (user_id, ts) is unique in this data, so the order — and the
+    oracle — is deterministic."""
+    from frontera_ray.stages.relational import (cluster_cpus,
+                                                per_key_validity_intervals)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "event_id": b["event_id"],
+              "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+          }), batch_format="pyarrow"))
+    out = per_key_validity_intervals(
+        ev, "user_id", "ts_us", cols=["event_id"],
+        exchange="hash" if cluster_cpus() >= 16 else "groups").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction + aggregate: pull the integer 'k'
     field out of the JSON props column with ONE vectorized RE2 pass
@@ -2573,6 +2597,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_users": q_window_users,
     "quantile_sketch": q_quantile_sketch,
     "props_extract": q_props_extract,
+    "validity_intervals": q_validity_intervals,
     "hash_sample": q_hash_sample,
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
@@ -3402,6 +3427,14 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "validity_intervals": """
+            SELECT user_id, event_id,
+                   epoch_us(ts)::BIGINT AS valid_from,
+                   coalesce(
+                     LEAD(epoch_us(ts)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts),
+                     -1)::BIGINT AS valid_to
+            FROM events ORDER BY event_id""",
         "props_extract": """
             SELECT event_type,
                    sum(coalesce(

@@ -834,6 +834,40 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
     ).sort_values(key_col).reset_index(drop=True)
 
 
+def per_key_validity_intervals(ds, key_col: str, ts_col: str,
+                               cols=(), exchange: str = "groups"):
+    """SCD2 / validity-interval assembly: per key ordered by time,
+    every row gains ``valid_from`` (its own timestamp) and
+    ``valid_to`` (the NEXT row's timestamp in the key run; -1 for the
+    current/last version) — the LEAD window re-expressed as the
+    warehouse pattern it exists for (turning a change log into
+    point-in-time queryable history). One keyed exchange + one
+    lexsort; valid_to is a single shifted gather, runs closed with a
+    vectorized run-tail mask."""
+    cols = list(cols)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            out = batch.select([key_col] + cols)
+            out = out.append_column("valid_from", pa.array([], pa.int64()))
+            return out.append_column("valid_to", pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        sk, st = keys[order], ts[order]
+        nxt = np.empty(len(st), np.int64)
+        nxt[:-1] = st[1:]
+        nxt[-1] = -1
+        run_tail = np.concatenate((sk[1:] != sk[:-1], [True]))
+        nxt[run_tail] = -1
+        out = batch.take(pa.array(order)).select([key_col] + cols)
+        out = out.append_column("valid_from",
+                                pa.array(st.astype(np.int64), pa.int64()))
+        return out.append_column("valid_to", pa.array(nxt, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def grouped_mad(ds, key_col: str, value_col: str, scale: int = 1):
     """Exact per-group MEDIAN ABSOLUTE DEVIATION (PERCENTILE_DISC
     semantics at both levels) — the robust dispersion statistic an
