@@ -261,17 +261,37 @@ def quantile_sketch_partial(v: np.ndarray, k: int) -> tuple:
     return s[np.minimum(idx, n - 1)], np.full(k, n / k, np.float64)
 
 
-def quantile_sketch(ds, col: str, qs, k: int = 1024) -> dict:
+def weighted_resummarize(v: np.ndarray, w: np.ndarray, k: int) -> tuple:
+    """Collapse a WEIGHTED point set back to k equi-weight points (the
+    tree-merge level for ``quantile_sketch``): sort, pick the values at
+    cumulative-weight targets (j+1/2)·W/k, each carrying W/k. Adds at
+    most W/(2k) rank error per application."""
+    if len(v) == 0:
+        return v.astype(np.float64), w.astype(np.float64)
+    order = np.argsort(v, kind="stable")
+    sv, sw = v[order].astype(np.float64), w[order].astype(np.float64)
+    if len(sv) <= k:
+        return sv, sw
+    cum = np.cumsum(sw)
+    total = cum[-1]
+    targets = (np.arange(k) + 0.5) * total / k
+    idx = np.minimum(np.searchsorted(cum, targets), len(sv) - 1)
+    return sv[idx], np.full(k, total / k, np.float64)
+
+
+def quantile_sketch(ds, col: str, qs, k: int = 1024,
+                    levels: int = 1, fan_in: int = 32) -> dict:
     """ONE-PASS approximate quantiles over an UNBOUNDED value domain —
     the streaming counterpart of ``relational.quantile_unbounded``
     (exact, but three passes): each block ships a k-point equi-weight
     summary (16 KiB), the driver computes weighted quantiles over the
     merged summaries. Deterministic given the block layout; rank error
     ≤ 1/(2k) of n per block summary (≈0.05% at k=1024). The driver
-    holds O(blocks·k) points; at extreme block counts re-summarize the
-    summary stream once (one more map_batches level; the rank errors
-    add per level). The Spark approxQuantile / telemetry-latency
-    shape. Returns {q: value}."""
+    holds O(blocks·k) points; ``levels=2`` inserts a TREE-MERGE pass
+    (coalesce ~``fan_in`` summaries per block, ``weighted_resummarize``
+    back to k points) so the driver sees O(blocks/fan_in · k) instead —
+    each level adds ≤ W/(2k) rank error. The Spark approxQuantile /
+    telemetry-latency shape. Returns {q: value}."""
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False)
@@ -281,9 +301,25 @@ def quantile_sketch(ds, col: str, qs, k: int = 1024) -> dict:
         return pa.table({"v": pa.array(pts, pa.float64()),
                          "w": pa.array(w, pa.float64())})
 
+    sums = ds.map_batches(partial, batch_format="pyarrow")
+    try:  # lazy Datasets can't report block counts; estimate is fine
+        nblk = ds.num_blocks()
+    except Exception:
+        nblk = fan_in * fan_in
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        pts, w = weighted_resummarize(batch["v"].to_numpy(),
+                                      batch["w"].to_numpy(), k)
+        return pa.table({"v": pa.array(pts, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    for _ in range(max(0, levels - 1)):
+        nblk = max(1, nblk // fan_in)
+        sums = sums.repartition(nblk).map_batches(
+            collapse, batch_format="pyarrow", batch_size=None)
+
     vs, ws = [], []
-    for t in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
+    for t in sums.iter_batches(batch_format="pyarrow", batch_size=None):
         if len(t):
             vs.append(t["v"].to_numpy())
             ws.append(t["w"].to_numpy())

@@ -1547,3 +1547,26 @@ def test_quantile_sketch_small_block_exact(ray_session):
     got = quantile_sketch(ds, "x", [0.25, 0.5, 1.0], k=1024)
     # percentile_disc convention: element at 1-based rank ceil(q*n)
     assert got[0.25] == 25.0 and got[0.5] == 50.0 and got[1.0] == 100.0
+
+
+def test_quantile_sketch_tree_merge(ray_session):
+    """levels=2 inserts the weighted re-summarize pass; estimates stay
+    within the (doubled) analytic rank bound of the exact values."""
+    import ray
+
+    from frontera_ray.stages.sketches import quantile_sketch
+
+    rng = np.random.default_rng(13)
+    vals = rng.exponential(10.0, 30_000)
+    n_blocks, k = 16, 256
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    ds = ds.repartition(n_blocks)
+    got = quantile_sketch(ds, "x", [0.5, 0.95], k=k, levels=2, fan_in=4)
+    s = np.sort(vals)
+    n = len(s)
+    slack = 2 * (int(np.ceil(n / (2 * k))) + n_blocks)  # two levels
+    for q, est in got.items():
+        target = int(q * n)
+        lo = s[max(target - slack, 0)]
+        hi = s[min(target + slack, n - 1)]
+        assert lo <= est <= hi, (q, est, lo, hi)
