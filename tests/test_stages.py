@@ -1570,3 +1570,93 @@ def test_quantile_sketch_tree_merge(ray_session):
         lo = s[max(target - slack, 0)]
         hi = s[min(target + slack, n - 1)]
         assert lo <= est <= hi, (q, est, lo, hi)
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_dense_rank_matches_pandas(ray_session, exchange):
+    """per_key_dense_rank == pandas rank(method='dense', descending)
+    on random keys/values with heavy ties."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_dense_rank
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    keys = rng.integers(0, 12, n)
+    vals = rng.integers(0, 9, n)  # heavy ties
+    ids = np.arange(n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64()),
+                  "id": pa.array(ids, pa.int64())})
+    out = (per_key_dense_rank(ray.data.from_arrow(t).repartition(5),
+                              "k", "v", exchange=exchange)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals, "id": ids})
+    want = df.groupby("k")["v"].rank(method="dense",
+                                     ascending=False).astype(int)
+    assert out["drank"].tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_validity_intervals_match_pandas(ray_session, exchange):
+    """per_key_validity_intervals == pandas groupby shift(-1) on
+    random unique (key, ts)."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_validity_intervals
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    keys = rng.integers(0, 40, n)
+    ts = rng.permutation(n * 10)[:n]  # unique timestamps
+    ids = np.arange(n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "id": pa.array(ids, pa.int64())})
+    out = (per_key_validity_intervals(
+        ray.data.from_arrow(t).repartition(4), "k", "ts", cols=["id"],
+        exchange=exchange).to_pandas()
+        .sort_values("id").reset_index(drop=True))
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "ts": ts, "id": ids}).sort_values(
+        ["k", "ts"])
+    df["valid_to"] = df.groupby("k")["ts"].shift(-1).fillna(-1).astype(int)
+    df = df.sort_values("id").reset_index(drop=True)
+    assert out["valid_from"].tolist() == df["ts"].tolist()
+    assert out["valid_to"].tolist() == df["valid_to"].tolist()
+
+
+def test_grouped_moments_exact_vs_numpy(ray_session):
+    """grouped_moments numerators equal exact big-int arithmetic over
+    the raw values (random keys, values spanning sign and magnitude)."""
+    import ray
+
+    from frontera_ray.stages.relational import grouped_moments
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    keys = rng.choice(list("abcd"), n)
+    x = rng.integers(-50, 2000, n)
+    y = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(x, pa.int64()),
+                  "y": pa.array(y, pa.int64())})
+    out = grouped_moments(ray.data.from_arrow(t).repartition(6),
+                          "k", "x", "y").set_index("k")
+    for k in "abcd":
+        m = keys == k
+        xs = [int(v) for v in x[m]]
+        ys = [int(v) for v in y[m]]
+        nn = len(xs)
+        sx, sxx = sum(xs), sum(v * v for v in xs)
+        sy, syy = sum(ys), sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        row = out.loc[k]
+        assert row["n_rows"] == nn and row["sum_x"] == sx
+        assert row["var_x_num"] == nn * sxx - sx * sx
+        assert row["var_y_num"] == nn * syy - sy * sy
+        assert row["cov_xy_num"] == nn * sxy - sx * sy
+        assert row["var_x_ppm"] == (nn * sxx - sx * sx) * 10**6 \
+            // (nn * (nn - 1))
