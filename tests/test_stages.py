@@ -1660,3 +1660,17 @@ def test_grouped_moments_exact_vs_numpy(ray_session):
         assert row["cov_xy_num"] == nn * sxy - sx * sy
         assert row["var_x_ppm"] == (nn * sxx - sx * sx) * 10**6 \
             // (nn * (nn - 1))
+
+
+def test_json_scalar_i64_edges():
+    """Missing keys, malformed JSON and negatives: NULL where absent,
+    found mask aligned, no exceptions on garbage rows."""
+    from frontera_ray.stages.text import json_scalar_i64
+
+    col = pa.chunked_array([pa.array([
+        '{"k": 42}', '{"other": 1}', 'not json at all',
+        '{"k": -7, "j": 1}', '', '{"k":  13}',
+    ], pa.string())])
+    vals, found = json_scalar_i64(col, "k")
+    assert found.tolist() == [True, False, False, True, False, True]
+    assert vals.to_pylist() == [42, None, None, -7, None, 13]
