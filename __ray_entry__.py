@@ -1985,19 +1985,16 @@ def q_group_stats(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
-def q_clustering(sf_dir: str):
-    """Per-node local clustering coefficient of the same sparse
-    supplier co-purchase graph as `triangles`
-    (pagerank.node_clustering): deg, incident-triangle count and
-    lcc_ppm = ⌊2·tri·10⁶/(deg·(deg−1))⌋ per supplier, integer-exact —
-    the per-entity community-density feature (e.g. spam-farm /
-    link-ring detection on a host graph). One keyed exchange for
-    pair generation, then node-range fan-out against the broadcast
-    bitset; no second shuffle."""
+def _supplier_copurchase_edges(sf_dir: str):
+    """Shared edge stream for `triangles` and `clustering`: suppliers
+    co-occurring in an order, restricted to HIGH-QUANTITY lineitems
+    (qty >= 48) so the graph stays sparse at small scale. Returns
+    (edges_ds, n_nodes); one keyed exchange (sort path — measured
+    1.7 s vs 2.2 s hash warm at 32 cpus on 13k filtered order keys;
+    at cluster scale with 10^8+ orders the hash path wins)."""
     import pyarrow.parquet as pq
 
-    from frontera_ray.stages.pagerank import (cooccurrence_edges,
-                                              node_clustering)
+    from frontera_ray.stages.pagerank import cooccurrence_edges
 
     n_nodes = int(pq.read_table(
         f"{sf_dir}/supplier.parquet",
@@ -2007,9 +2004,22 @@ def q_clustering(sf_dir: str):
           .map_batches(lambda b: b.filter(
               pc.greater_equal(b["l_quantity"], 48.0)).select(
               ["l_orderkey", "l_suppkey"]), batch_format="pyarrow"))
-    edges = cooccurrence_edges(
-        li, "l_orderkey", "l_suppkey", n_nodes,
-        exchange="groups")  # same measurement as q_triangles
+    return cooccurrence_edges(li, "l_orderkey", "l_suppkey", n_nodes,
+                              exchange="groups"), n_nodes
+
+
+def q_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the same sparse
+    supplier co-purchase graph as `triangles`
+    (pagerank.node_clustering): deg, incident-triangle count and
+    lcc_ppm = ⌊2·tri·10⁶/(deg·(deg−1))⌋ per supplier, integer-exact —
+    the per-entity community-density feature (e.g. spam-farm /
+    link-ring detection on a host graph). One keyed exchange for
+    pair generation, then node-range fan-out against the broadcast
+    bitset; no second shuffle."""
+    from frontera_ray.stages.pagerank import node_clustering
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
     out = node_clustering(edges, n_nodes).to_pandas()
     return out.reset_index(drop=True)
 
@@ -2060,24 +2070,10 @@ def q_triangles(sf_dir: str):
     (qty ≥ 48) so the graph is sparse rather than degenerate-complete
     at small scale."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
-    from frontera_ray.stages.pagerank import (cooccurrence_edges,
-                                              triangle_count)
+    from frontera_ray.stages.pagerank import triangle_count
 
-    n_nodes = int(pq.read_table(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey"])["s_suppkey"].to_numpy().max()) + 1
-    li = (_read(sf_dir, "lineitem")
-          .select_columns(["l_orderkey", "l_suppkey", "l_quantity"])
-          .map_batches(lambda b: b.filter(
-              pc.greater_equal(b["l_quantity"], 48.0)).select(
-              ["l_orderkey", "l_suppkey"]), batch_format="pyarrow"))
-    # measured at sf0.1: groups 1.7 s vs hash 2.2 s warm at 32 cpus
-    # (13k filtered order keys — aggregator fixed cost dominates; at
-    # cluster scale with 10^8+ orders the hash path wins)
-    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", n_nodes,
-                               exchange="groups")
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
     res = triangle_count(edges, n_nodes)
     return pd.DataFrame([{"n_edges": res["n_edges"],
                           "n_triangles": res["n_triangles"]}]).astype(

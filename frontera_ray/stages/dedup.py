@@ -905,6 +905,40 @@ def _prefix_len(sizes: np.ndarray, t_num: int, t_den: int) -> np.ndarray:
     return sizes - (t_num * sizes + t_den - 1) // t_den + 1
 
 
+def _bucket_candidate_pairs(group: pa.Table, pair_mask) -> pa.Table:
+    """Shared bucket->candidate kernel for the prefix-filter joins:
+    sort one partition's (bucket_key, doc_id, n) rows, generate
+    within-bucket i<j pairs (``_run_pair_indices``), apply the
+    join-specific necessary condition ``pair_mask(a, b, na, nb)``,
+    and dedup (a<b) pairs with a lexsort + consecutive-diff — NO
+    packed-key arithmetic, so 64-bit ids are safe (lo*2^32+hi packing
+    silently corrupts pairs once ids reach 2^32)."""
+    key = group["bucket_key"].to_numpy()
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ids = group["doc_id"].to_numpy()[order]
+    ns = group["n"].to_numpy()[order]
+    bounds = np.flatnonzero(np.diff(key)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(key)]))
+    pi, pj = _run_pair_indices(starts, ends)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if len(pi) == 0:
+        return empty
+    a, b = ids[pi], ids[pj]
+    keep = pair_mask(a, b, ns[pi], ns[pj]) & (a != b)
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    if len(lo) == 0:
+        return empty
+    o = np.lexsort((hi, lo))
+    lo, hi = lo[o], hi[o]
+    uniq = np.ones(len(lo), dtype=bool)
+    uniq[1:] = (np.diff(lo) != 0) | (np.diff(hi) != 0)
+    return pa.table({"a": pa.array(lo[uniq], pa.int64()),
+                     "b": pa.array(hi[uniq], pa.int64())})
+
+
 # Count-Min Sketch over gram hashes for the rarity ordering: 4 rows x
 # 2^18 int32 buckets = 4 MiB, independent of the gram universe. The
 # bucket rows come from splitmix64 finalizers over salted gram hashes
@@ -940,20 +974,26 @@ def _gram_df_sketch(ds, id_col: str, text_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         _, _, flat = _gram_table(batch, id_col, text_col, shingle_k)
-        regs = np.zeros((_JCMS_D, _JCMS_W), np.int64)
+        regs = np.zeros((_JCMS_D, _JCMS_W), np.int32)
         if len(flat):
             idx = _jcms_buckets(flat)
             for j in range(_JCMS_D):
-                regs[j] = np.bincount(idx[j], minlength=_JCMS_W)
-        return pa.table({"r": pa.array(regs.ravel(), pa.int64())})
+                # per-block counts fit int32 (a block would need 2^31
+                # gram instances to overflow); int32 halves the
+                # register bytes this combine ships
+                regs[j] = np.bincount(idx[j], minlength=_JCMS_W) \
+                    .astype(np.int32)
+        return pa.table({"r": pa.array(regs.ravel(), pa.int32())})
 
-    regs = np.zeros(_JCMS_D * _JCMS_W, np.int64)
+    regs = np.zeros(_JCMS_D * _JCMS_W, np.int64)  # driver sum widened
     for t in ds.map_batches(partial, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow", batch_size=None):
         arr = t["r"].to_numpy()
         if len(arr):
-            regs += arr.reshape(-1, _JCMS_D * _JCMS_W).sum(axis=0)
-    return regs.reshape(_JCMS_D, _JCMS_W).astype(np.int32)
+            regs += arr.reshape(-1, _JCMS_D * _JCMS_W) \
+                .astype(np.int64).sum(axis=0)
+    return np.minimum(regs, np.iinfo(np.int32).max) \
+        .reshape(_JCMS_D, _JCMS_W).astype(np.int32)
 
 
 def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
@@ -1049,31 +1089,10 @@ def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
         })
 
     def candidate_kernel(group: pa.Table) -> pa.Table:
-        key = group["bucket_key"].to_numpy()
-        order = np.argsort(key, kind="stable")
-        key = key[order]
-        ids = group["doc_id"].to_numpy()[order]
-        ns = group["n"].to_numpy()[order]
-        bounds = np.flatnonzero(np.diff(key)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(key)]))
-        pi, pj = _run_pair_indices(starts, ends)
-        if len(pi) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        a, b = ids[pi], ids[pj]
-        na, nb = ns[pi], ns[pj]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        size_ok = t_den * np.minimum(na, nb) >= t_num * np.maximum(na, nb)
-        distinct = lo != hi  # same doc in one bucket twice can't happen,
-        # but a doc_id repeated across prefix rows of equal grams can
-        pk = np.unique(lo[size_ok & distinct].astype(np.uint64) *
-                       np.uint64(1 << 32) +
-                       hi[size_ok & distinct].astype(np.uint64))
-        return pa.table({
-            "a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
-            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-        })
+        # necessary length condition for J >= tau
+        return _bucket_candidate_pairs(
+            group, lambda a, b, na, nb:
+            t_den * np.minimum(na, nb) >= t_num * np.maximum(na, nb))
 
     bucket_rows = ds.map_batches(emit_prefix, batch_format="pyarrow")
     parts = collect_bucket_pairs(bucket_rows, candidate_kernel, exchange)
@@ -1204,27 +1223,9 @@ def edit_distance_join_le1(ds, id_col: str = "doc_id",
         })
 
     def candidate_kernel(group: pa.Table) -> pa.Table:
-        key = group["bucket_key"].to_numpy()
-        order = np.argsort(key, kind="stable")
-        key = key[order]
-        ids = group["doc_id"].to_numpy()[order]
-        ns = group["n"].to_numpy()[order]
-        bounds = np.flatnonzero(np.diff(key)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(key)]))
-        pi, pj = _run_pair_indices(starts, ends)
-        if len(pi) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        a, b = ids[pi], ids[pj]
-        ok = (np.abs(ns[pi] - ns[pj]) <= 1) & (a != b)
-        lo, hi = np.minimum(a[ok], b[ok]), np.maximum(a[ok], b[ok])
-        pk = np.unique(lo.astype(np.uint64) * np.uint64(1 << 32) +
-                       hi.astype(np.uint64))
-        return pa.table({
-            "a": pa.array((pk >> np.uint64(32)).astype(np.int64)),
-            "b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-        })
+        # necessary condition: one edit changes length by at most 1
+        return _bucket_candidate_pairs(
+            group, lambda a, b, na, nb: np.abs(na - nb) <= 1)
 
     rows = ds.map_batches(emit_variants, batch_format="pyarrow")
     parts = [p for p in collect_bucket_pairs(rows, candidate_kernel,

@@ -141,7 +141,8 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
                      "rank": pa.array(r[nodes], pa.float64())})
 
 
-def cooccurrence_edges(ds, group_col: str, item_col: str, n_nodes: int,
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       n_nodes: int | None = None,
                        exchange: str = "groups"):
     """Undirected co-occurrence edges: (u, v) with u < v iff both items
     appear in the same group (suppliers in an order, hosts in a session,
@@ -149,11 +150,11 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, n_nodes: int,
     fully vectorized within-run kernel: sort + consecutive-dedup gives
     each group's distinct items, ``_run_pair_indices`` (the dedup.py
     pair template) emits every i<j pair with no per-group Python.
-    Multi-edges across groups remain — collapse with ``dedup_edges``."""
+    Multi-edges across groups remain — collapse with ``dedup_edges``.
+    ``n_nodes`` is accepted for caller symmetry with the downstream
+    bitset stages; the kernel itself is id-range-free."""
     from .dedup import _run_pair_indices
     from .relational import keyed_exchange
-
-    n = int(n_nodes)
 
     def pair_block(batch: pa.Table) -> pa.Table:
         empty = pa.table({"src": pa.array([], pa.int64()),
@@ -162,9 +163,14 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, n_nodes: int,
             return empty
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         it = batch[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # distinct (group, item), items ascending inside each group run
-        gi = np.unique(g * n + it)
-        gg, ii = gi // n, gi % n
+        # distinct (group, item) via lexsort + consecutive-diff — NOT a
+        # packed g*n+it key, which overflows int64 for 64-bit group ids
+        # (session/url hashes) and silently decodes cross-group pairs
+        order = np.lexsort((it, g))
+        gg, ii = g[order], it[order]
+        uniq = np.ones(len(gg), dtype=bool)
+        uniq[1:] = (np.diff(gg) != 0) | (np.diff(ii) != 0)
+        gg, ii = gg[uniq], ii[uniq]
         new_run = np.concatenate(([True], gg[1:] != gg[:-1]))
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], len(gg))
@@ -179,6 +185,28 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, n_nodes: int,
 
 _POPCOUNT8 = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _bitset_adjacency(edges_ds, n: int) -> np.ndarray:
+    """Packed-bit undirected adjacency (n x ceil(n/8) uint8) from a
+    possibly-duplicated (src, dst) pair stream: one ``iter_batches``
+    pass, bit-OR is idempotent so no dedup exchange is needed. Shared
+    by ``triangle_count`` and ``node_clustering``."""
+    nbytes = (n + 7) // 8
+    adj = np.zeros((n, nbytes), dtype=np.uint8)
+    for t in edges_ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        if len(t) == 0:
+            continue
+        u = t["src"].to_numpy()
+        v = t["dst"].to_numpy()
+        # unbuffered |= : plain fancy assignment would drop edges that
+        # land in the same (row, byte) slot within one batch
+        np.bitwise_or.at(adj, (u, v // 8),
+                         np.uint8(1) << (v % 8).astype(np.uint8))
+        np.bitwise_or.at(adj, (v, u // 8),
+                         np.uint8(1) << (u % 8).astype(np.uint8))
+    return adj
 
 
 def triangle_count(edges_ds, n_nodes: int, num_blocks: int = 32) -> dict:
@@ -212,20 +240,10 @@ def triangle_count(edges_ds, n_nodes: int, num_blocks: int = 32) -> dict:
 
     n = int(n_nodes)
     nbytes = (n + 7) // 8
-    adj = np.zeros((n, nbytes), dtype=np.uint8)
-    for t in edges_ds.iter_batches(batch_format="pyarrow",
-                                   batch_size=None):
-        if len(t) == 0:
-            continue
-        u = t["src"].to_numpy()
-        v = t["dst"].to_numpy()
-        # unbuffered |= : plain fancy assignment would drop edges that
-        # land in the same (row, byte) slot within one batch
-        np.bitwise_or.at(adj, (u, v // 8),
-                         np.uint8(1) << (v % 8).astype(np.uint8))
-        np.bitwise_or.at(adj, (v, u // 8),
-                         np.uint8(1) << (u % 8).astype(np.uint8))
-    seen = int((_POPCOUNT8[adj].sum(axis=1) > 0).sum())
+    adj = _bitset_adjacency(edges_ds, n)
+    # non-zero test, not a popcount: _POPCOUNT8[adj] would transiently
+    # allocate an int64 array 8x the (node-bounded) bitset
+    seen = int((adj != 0).any(axis=1).sum())
     adj_ref = ray.put(adj)
 
     def count_range(batch) -> pa.Table:
@@ -288,18 +306,7 @@ def node_clustering(edges_ds, n_nodes: int, num_blocks: int = 32):
     import ray
 
     n = int(n_nodes)
-    nbytes = (n + 7) // 8
-    adj = np.zeros((n, nbytes), dtype=np.uint8)
-    for t in edges_ds.iter_batches(batch_format="pyarrow",
-                                   batch_size=None):
-        if len(t) == 0:
-            continue
-        u = t["src"].to_numpy()
-        v = t["dst"].to_numpy()
-        np.bitwise_or.at(adj, (u, v // 8),
-                         np.uint8(1) << (v % 8).astype(np.uint8))
-        np.bitwise_or.at(adj, (v, u // 8),
-                         np.uint8(1) << (u % 8).astype(np.uint8))
+    adj = _bitset_adjacency(edges_ds, n)
     adj_ref = ray.put(adj)
 
     def lcc_range(batch) -> pa.Table:

@@ -419,6 +419,14 @@ def grouped_moments(ds, key_cols, x_col: str, y_col: str):
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 is exact only while a BLOCK's Σx² fits; guard loudly
+        # instead of wrapping silently (the big-int step below only
+        # protects the cross-block merge and the final products)
+        if len(x):
+            mx = max(int(np.abs(x).max()), int(np.abs(y).max()), 1)
+            assert len(x) * mx * mx < (1 << 62), (
+                f"block moment overflow risk: {len(x)} rows x max|v|="
+                f"{mx} — rescale the inputs or shrink the block size")
         df = pd.DataFrame({k: batch[k].to_numpy(zero_copy_only=False)
                            for k in keys})
         df["n"] = 1
@@ -428,15 +436,27 @@ def grouped_moments(ds, key_cols, x_col: str, y_col: str):
         g = df.groupby(keys, as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = pa.concat_tables(
-        list(ds.map_batches(partial, batch_format="pyarrow")
-               .iter_batches(batch_format="pyarrow", batch_size=None)))
-    g = parts.to_pandas().groupby(keys, as_index=False).sum()
-    # exact big-int finalization (Python ints: n·Σx²·10⁶ overflows i64)
-    n = [int(v) for v in g["n"]]
-    sx, sxx = [int(v) for v in g["sx"]], [int(v) for v in g["sxx"]]
-    sy, syy = [int(v) for v in g["sy"]], [int(v) for v in g["syy"]]
-    sxy = [int(v) for v in g["sxy"]]
+    # cross-block merge in PYTHON ints (pandas int64 sums would wrap
+    # on corpus-scale Σx² long before the final products do)
+    acc: dict[tuple, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t) == 0:
+            continue
+        kcols = [t[k].to_pylist() for k in keys]
+        cols = [t[c].to_pylist() for c in ("n", "sx", "sxx",
+                                           "sy", "syy", "sxy")]
+        for i in range(len(t)):
+            kk = tuple(kc[i] for kc in kcols)
+            row = acc.setdefault(kk, [0] * 6)
+            for j in range(6):
+                row[j] += int(cols[j][i])
+    items = sorted(acc.items())
+    g = pd.DataFrame([list(k) for k, _ in items], columns=keys)
+    n = [v[0] for _, v in items]
+    sx, sxx = [v[1] for _, v in items], [v[2] for _, v in items]
+    sy, syy = [v[3] for _, v in items], [v[4] for _, v in items]
+    sxy = [v[5] for _, v in items]
     out = g[keys].copy()
     out["n_rows"] = n
     out["sum_x"] = sx

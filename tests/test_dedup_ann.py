@@ -734,3 +734,40 @@ def test_edit_join_matches_brute(ray_session, exchange):
                        got["dist"].to_pylist()))
     assert got_rows == expected
     assert (0, 5, 2) not in got_rows  # the 2-edit decoy must be absent
+
+
+def test_edit_join_64bit_ids(ray_session):
+    """Ids >= 2^32 survive candidate dedup (regression: the old
+    lo*2^32+hi pair packing silently corrupted large ids)."""
+    import ray
+
+    from frontera_ray.stages.dedup import edit_distance_join_le1
+
+    big = 1 << 33
+    strs = {big: "hello world", big + 5: "hello world",
+            7: "hello wxrld", big + 9: "unrelated zz"}
+    t = pa.table({"doc_id": pa.array(list(strs), pa.int64()),
+                  "s": pa.array(list(strs.values()), pa.string())})
+    got = edit_distance_join_le1(ray.data.from_arrow(t).repartition(2),
+                                 id_col="doc_id", string_col="s")
+    rows = set(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                   got["dist"].to_pylist()))
+    assert rows == {(big, big + 5, 0), (7, big, 1), (7, big + 5, 1)}
+
+
+def test_cooccurrence_edges_64bit_groups(ray_session):
+    """Group ids near 2^62 don't corrupt pair decoding (regression:
+    the old g*n+it packed key overflowed int64)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import cooccurrence_edges
+
+    g0 = (1 << 62) + 12345
+    tbl = pa.table({
+        "g": pa.array([g0, g0, g0 + 1, g0 + 1, g0 + 1], pa.int64()),
+        "it": pa.array([3, 9, 2, 5, 2], pa.int64()),
+    })
+    out = cooccurrence_edges(ray.data.from_arrow(tbl).repartition(2),
+                             "g", "it", n_nodes=16).to_pandas()
+    pairs = sorted(map(tuple, out[["src", "dst"]].to_numpy()))
+    assert pairs == [(2, 5), (3, 9)]
