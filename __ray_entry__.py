@@ -1624,6 +1624,33 @@ def q_props_extract(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_ridge_probe(sf_dir: str):
+    """Linear probe over the embedding column (ann.ridge_fit): ridge
+    regression of the label on the embedding via distributed normal
+    equations — one (d+1)² register partial per block (rows never
+    leave their blocks), driver solves the tiny system. The
+    between-epochs quality-probe shape of a curation loop. Micro-
+    rounded outputs (block-order float drift is ~1e-12); rows-only
+    (pytest asserts parity with the closed-form numpy solution)."""
+    import pandas as pd
+
+    from frontera_ray.stages.ann import ridge_fit
+
+    beta, b0, n = ridge_fit(
+        _read(sf_dir, "embeddings").select_columns(
+            ["embedding", "label"]).map_batches(
+            lambda b: pa.table({
+                "embedding": b["embedding"],
+                "y": b["label"].cast(pa.float64()),
+            }), batch_format="pyarrow"),
+        "embedding", "y", l2=1e-3)
+    return pd.DataFrame([{
+        "n": int(n),
+        "intercept_micro": int(round(b0 * 1e6)),
+        "beta_norm_micro": int(round(float(np.linalg.norm(beta)) * 1e6)),
+    }])
+
+
 def q_quantile_sketch(sf_dir: str):
     """ONE-PASS approximate price quantiles (sketches.quantile_sketch):
     per-block equi-weight k-point summaries (16 KiB each) merge on the
@@ -2592,6 +2619,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "urgent_low_union": q_urgent_low_union,
     "window_users": q_window_users,
     "quantile_sketch": q_quantile_sketch,
+    "ridge_probe": q_ridge_probe,
     "props_extract": q_props_extract,
     "validity_intervals": q_validity_intervals,
     "hash_sample": q_hash_sample,

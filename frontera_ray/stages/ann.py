@@ -656,3 +656,49 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
         "cluster": np.arange(k, dtype=np.int64)[keep],
         "n": n_tot[keep],
         "inertia_nano": i_tot[keep]})
+
+
+def ridge_fit(ds, x_col: str = "embedding", y_col: str = "y",
+              l2: float = 1e-3):
+    """Distributed RIDGE regression via normal equations — the
+    linear-probe shape (fit a scalar quality/label signal over an
+    embedding column, the cheap classifier a data-curation loop trains
+    between epochs). Register-combine scale pattern: each block ships
+    one (d+1)x(d+1) Gram partial + (d+1) moment vector + a count
+    ((d+1)(d+2)+1 float64s — independent of row count; rows never
+    leave their blocks), the driver sums the handful of partials and
+    solves the tiny augmented system once (intercept via the bias
+    column, unpenalized). Block-order float addition means ~1e-12
+    nondeterminism across runs — fine for a probe, so this is a
+    rows-only op (pytest asserts closeness to the closed-form numpy
+    solution). Returns (beta: float64[d], intercept: float, n: int)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"r": pa.array([], pa.list_(pa.float64()))})
+        X = _matrix(batch, x_col)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        X1 = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        A = X1.T @ X1                      # (d+1, d+1)
+        b = X1.T @ y                       # (d+1,)
+        row = np.concatenate([A.ravel(), b, [float(len(X))]])
+        # ONE list-typed row per partial: block coalescing then just
+        # stacks rows instead of blurring the register boundaries
+        return pa.table({"r": pa.array([row], pa.list_(pa.float64()))})
+
+    acc = None
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["r"].to_pylist():
+            arr = np.asarray(row, dtype=np.float64)
+            acc = arr if acc is None else acc + arr
+    if acc is None:
+        raise ValueError("ridge_fit: empty input")
+    d1 = int((np.sqrt(4 * len(acc) - 3) - 1) // 2)  # len = d1^2 + d1 + 1
+    A = acc[: d1 * d1].reshape(d1, d1)
+    b = acc[d1 * d1: d1 * d1 + d1]
+    n = int(acc[-1])
+    reg = np.eye(d1) * l2
+    reg[-1, -1] = 0.0  # never penalize the intercept
+    beta = np.linalg.solve(A + reg, b)
+    return beta[:-1], float(beta[-1]), n

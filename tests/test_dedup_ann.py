@@ -771,3 +771,33 @@ def test_cooccurrence_edges_64bit_groups(ray_session):
                              "g", "it", n_nodes=16).to_pandas()
     pairs = sorted(map(tuple, out[["src", "dst"]].to_numpy()))
     assert pairs == [(2, 5), (3, 9)]
+
+
+def test_ridge_fit_matches_numpy(ray_session):
+    """Distributed normal-equation ridge == the closed-form numpy
+    solution on a known linear signal (block-order float drift only)."""
+    import ray
+
+    from frontera_ray.stages.ann import ridge_fit
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 8
+    X = rng.standard_normal((n, d))
+    true_beta = rng.standard_normal(d)
+    y = X @ true_beta + 1.5 + rng.normal(0, 0.01, n)
+    t = pa.table({
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float64())),
+        "y": pa.array(y, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    l2 = 1e-3
+    beta, b0, n_seen = ridge_fit(ds, "embedding", "y", l2=l2)
+    assert n_seen == n
+    X1 = np.concatenate([X, np.ones((n, 1))], axis=1)
+    reg = np.eye(d + 1) * l2
+    reg[-1, -1] = 0.0
+    want = np.linalg.solve(X1.T @ X1 + reg, X1.T @ y)
+    assert np.allclose(beta, want[:-1], atol=1e-8)
+    assert abs(b0 - want[-1]) < 1e-8
+    assert np.allclose(beta, true_beta, atol=0.01)  # recovers the signal
