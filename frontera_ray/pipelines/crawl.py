@@ -106,6 +106,13 @@ class QueueActor:
     def stats(self) -> dict:
         return dict(self.shard.stats)
 
+    def domain_cache_sizes(self) -> dict:
+        """Endurance observability: resident vs spilled domain-cache
+        entries (the two-generation LRU bound in action)."""
+        d = self.shard.domains
+        return {"gen1": len(d._gen1), "gen2": len(d._gen2),
+                "spilled": len(d._spill_index)}
+
     def pop_history(self) -> list:
         return list(self.shard.pop_history or ())
 
