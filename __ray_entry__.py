@@ -1624,6 +1624,18 @@ def q_props_extract(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_lang_top_tokens(sf_dir: str):
+    """Per-language frequent tokens (>= 3.5% of that language's token
+    stream) — text.grouped_heavy_hitters: the heavy-hitter pigeonhole
+    bound applied per group, two streaming passes, no all-to-all; the
+    per-language vocabulary profile of a multilingual curation pass."""
+    from frontera_ray.stages.text import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(
+        _read(sf_dir, "documents").select_columns(["lang", "text"]),
+        "lang", 35, 1000)
+
+
 def q_ridge_probe(sf_dir: str):
     """Linear probe over the embedding column (ann.ridge_fit): ridge
     regression of the label on the embedding via distributed normal
@@ -2620,6 +2632,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "window_users": q_window_users,
     "quantile_sketch": q_quantile_sketch,
     "ridge_probe": q_ridge_probe,
+    "lang_top_tokens": q_lang_top_tokens,
     "props_extract": q_props_extract,
     "validity_intervals": q_validity_intervals,
     "hash_sample": q_hash_sample,
@@ -3451,6 +3464,19 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
                      AS last_cents
             FROM s GROUP BY 1 ORDER BY 1""",
+        "lang_top_tokens": r"""
+            WITH toks AS (SELECT lang,
+                                 unnest(regexp_extract_all(text, '\S+'))
+                                   AS token
+                          FROM documents),
+            cnt AS (SELECT lang, token, count(*)::BIGINT AS cnt
+                    FROM toks GROUP BY 1, 2),
+            tot AS (SELECT lang, sum(cnt)::BIGINT AS n
+                    FROM cnt GROUP BY 1)
+            SELECT c.lang, c.token, c.cnt
+            FROM cnt c JOIN tot t ON t.lang = c.lang
+            WHERE c.cnt * 1000 >= 35 * t.n
+            ORDER BY c.lang, c.token""",
         "validity_intervals": """
             SELECT user_id, event_id,
                    epoch_us(ts)::BIGINT AS valid_from,

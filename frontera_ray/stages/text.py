@@ -765,3 +765,77 @@ def json_scalar_i64(col: pa.ChunkedArray | pa.Array, key: str):
     s = pc.struct_field(m, "v")
     found = pc.is_valid(s).to_numpy(zero_copy_only=False)
     return pc.cast(s, pa.int64()), found
+
+
+def grouped_heavy_hitters(ds, group_col: str, support_num: int,
+                          support_den: int, text_col: str = "text"):
+    """EXACT per-group frequent tokens (count >= num/den of the GROUP's
+    token stream) — ``heavy_hitters`` with the pigeonhole argument
+    applied per group: a token at >= s of group g's stream is at >= s
+    of g's sub-stream in at least one block, so per-(block, group)
+    candidates union to a superset (bounded by den/num entries per
+    group per block). Same two streaming passes, NO all-to-all; the
+    per-group token totals ride sentinel rows (token NULL). The
+    per-language vocabulary profile a multilingual curation pass needs.
+    Returns a pandas DataFrame (group, token, cnt) sorted."""
+    import ray
+
+    import pandas as pd
+
+    num, den = int(support_num), int(support_den)
+
+    def pair_counts(batch: pa.Table, only=None) -> "pd.DataFrame":
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pandas().iloc[
+                parent.to_numpy()].to_numpy(),
+            "token": flat.to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""]
+        if only is not None:
+            df = df[df["token"].isin(only)]
+        return df.groupby(["g", "token"], as_index=False).size()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vc = pair_counts(batch)
+        if len(vc) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        totals = vc.groupby("g")["size"].transform("sum")
+        keep = vc[vc["size"] * den >= num * totals]
+        sent = vc.groupby("g", as_index=False)["size"].sum()
+        return pa.table({
+            "g": pa.array(list(keep["g"]) + list(sent["g"]), pa.string()),
+            "token": pa.array(list(keep["token"]) + [None] * len(sent),
+                              pa.string()),
+            "n": pa.array(list(keep["size"]) + list(sent["size"]),
+                          pa.int64()),
+        })
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    pdf = parts.to_pandas()
+    sent = pdf[pdf["token"].isna()]
+    totals = sent.groupby("g")["n"].sum()  # exact per-group stream size
+    cand = pdf[~pdf["token"].isna()][["g", "token"]].drop_duplicates()
+    cand_ref = ray.put(set(cand["token"]))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vc = pair_counts(batch, only=ray.get(cand_ref))
+        return pa.table({"g": pa.array(vc["g"], pa.string()),
+                         "token": pa.array(vc["token"], pa.string()),
+                         "cnt": pa.array(vc["size"], pa.int64())})
+
+    partials = pa.concat_tables(list(
+        ds.map_batches(recount, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    merged = (partials.to_pandas()
+              .groupby(["g", "token"], as_index=False)["cnt"].sum())
+    merged["total"] = merged["g"].map(totals).astype("int64")
+    out = merged[merged["cnt"] * den >= num * merged["total"]]
+    out = out[["g", "token", "cnt"]].rename(columns={"g": group_col})
+    return out.sort_values([group_col, "token"]).reset_index(drop=True)
