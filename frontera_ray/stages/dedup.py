@@ -8,7 +8,11 @@ the crawl engine's fingerprint dedup). Near-dup families:
   buckets -> candidate pairs within buckets -> exact Jaccard verify.
 - SimHash: 64-bit sketch; block-LSH (4 x 16-bit) candidate buckets ->
   Hamming verify.
-- n-gram Jaccard: exact pairwise within candidate buckets (small-side).
+- n-gram Jaccard: exact pairwise within candidate buckets (small-side);
+  the UNBOUNDED-corpus exact path is ``jaccard_join_pairs`` (rarity-
+  ordered prefix filtering, PPJoin-style, CMS-ranked).
+- Edit distance <= 1: ``edit_distance_join_le1`` (SymSpell deletion-
+  neighborhood buckets, exact early-out verify).
 - Embedding cosine near-dup: see ann.cosine_neardup_pairs.
 
 At 100 TB the only all-to-all exchanges are the bucket exchanges,
