@@ -801,3 +801,18 @@ def test_ridge_fit_matches_numpy(ray_session):
     assert np.allclose(beta, want[:-1], atol=1e-8)
     assert abs(b0 - want[-1]) < 1e-8
     assert np.allclose(beta, true_beta, atol=0.01)  # recovers the signal
+
+
+def test_jaccard_join_candidate_cap_guard(ray_session):
+    """A corpus more self-similar than the cap allows fails LOUDLY
+    (assert) instead of silently flooding the driver."""
+    import ray
+
+    from frontera_ray.stages.dedup import jaccard_join_pairs
+
+    texts = {i: "same words everywhere always" for i in range(8)}
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    with pytest.raises(AssertionError, match="candidate pairs"):
+        jaccard_join_pairs(ray.data.from_arrow(t), t_num=1, t_den=2,
+                           shingle_k=2, candidate_cap=3)
