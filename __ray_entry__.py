@@ -2528,6 +2528,92 @@ def q_reassemble_chunks(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_group_corr(sf_dir: str):
+    """Per-group Pearson correlation (relational.grouped_moments):
+    corr(quantity, discount%) per returnflag, finalized as
+    cov_num / sqrt(var_x_num * var_y_num) from the EXACT integer
+    moment registers (the sample-size factors cancel, so this equals
+    SQL corr() bit-for-bit up to the micro rounding) — the
+    feature-correlation / leakage-screen statistic of a curation
+    pass. Same no-shuffle combine as `group_stats`; numerators here
+    fit float64 exactly (< 2^53)."""
+    import math
+
+    from frontera_ray.stages.relational import grouped_moments
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_returnflag", "l_quantity", "l_discount"])
+          .map_batches(lambda b: pa.table({
+              "l_returnflag": b["l_returnflag"],
+              "qty": pa.array(
+                  np.round(b["l_quantity"].to_numpy())
+                  .astype(np.int64), pa.int64()),
+              "disc_pct": pa.array(
+                  np.round(b["l_discount"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    m = grouped_moments(li, "l_returnflag", "qty", "disc_pct")
+    corr = [
+        int(round(c / math.sqrt(vx * vy) * 1e6)) if vx > 0 and vy > 0
+        else 0
+        for c, vx, vy in zip(m["cov_xy_num"], m["var_x_num"],
+                             m["var_y_num"])]
+    out = m[["l_returnflag", "n_rows"]].copy()
+    out["corr_micro"] = np.asarray(corr, dtype=np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix
+    (relational.grouped_entropy) — the bot-detection / behavioral-
+    diversity signal: near-zero entropy = a machine hammering one
+    event type. Per-block (user, type) count combiner, ONE keyed
+    exchange of partial-count rows, vectorized reduceat finalize."""
+    from frontera_ray.stages.relational import grouped_entropy
+
+    out = grouped_entropy(
+        _read(sf_dir, "events").select_columns(["user_id", "event_type"]),
+        "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_value_histogram(sf_dir: str):
+    """Exact fixed-bin value histogram (sketches.fixed_histogram) —
+    the distribution-profile / dataset-card primitive: 20 bins of
+    width 25 over [0, 500) plus clamp rows; each block contributes
+    one 22-slot int64 register vector (np.bincount), the driver sums
+    registers — values never move."""
+    from frontera_ray.stages.sketches import fixed_histogram
+
+    return fixed_histogram(
+        _read(sf_dir, "events").select_columns(["value"]),
+        "value", lo=0.0, width=25.0, n_bins=20).to_pandas()
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified fixed-COUNT sample: exactly 30 documents per
+    language, chosen as the 30 smallest md5-hash values within each
+    stratum (ties by doc_id) — the balanced-evaluation-set /
+    per-language audit-sample shape. Deterministic: the sample is a
+    pure function of the ids (retries and re-runs agree), and
+    complements `doc_sample`'s per-stratum RATE sampling
+    (sampling.stratified_hash_sample) with a per-stratum COUNT
+    guarantee via per_key_topk on the hash order."""
+    from frontera_ray.stages.relational import per_key_topk
+    from frontera_ray.stages.sampling import hash_u32
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch["doc_id"].to_pylist())
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+          .map_batches(add_hash, batch_format="pyarrow"))
+    out = per_key_topk(ds, "lang", "h", k=30, descending=False,
+                       tiebreak="doc_id").to_pandas()
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2653,6 +2739,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_caption_curate": q_image_caption_curate,
     "funnel_depth": q_funnel_depth,
     "reassemble_chunks": q_reassemble_chunks,
+    "group_corr": q_group_corr,
+    "user_entropy": q_user_entropy,
+    "value_histogram": q_value_histogram,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -3553,6 +3643,41 @@ def oracle_sql() -> dict[str, str]:
                     ::BIGINT * 1000
                   < least(n_chars, 1000)::BIGINT * 4294967296
             ORDER BY doc_id""",
+        "group_corr": """
+            WITH v AS (SELECT l_returnflag,
+                              round(l_quantity)::BIGINT AS qty,
+                              round(l_discount * 100)::BIGINT AS disc_pct
+                       FROM lineitem)
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   CAST(round(corr(qty, disc_pct) * 1000000) AS BIGINT)
+                     AS corr_micro
+            FROM v GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "user_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              count(*)::DOUBLE AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(round((ln(sum(n)) - sum(n * ln(n)) / sum(n))
+                              * 1000000) AS BIGINT) AS entropy_micro,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM c GROUP BY user_id ORDER BY user_id""",
+        "value_histogram": """
+            SELECT bin, bin * 25.0 AS bin_lo, count(*) AS n FROM (
+              SELECT least(greatest(floor(value / 25.0), -1), 20)::BIGINT
+                       AS bin
+              FROM events)
+            GROUP BY bin ORDER BY bin""",
+        "stratified_sample": """
+            SELECT lang, doc_id, h FROM (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS
+                         VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 30 ORDER BY lang, doc_id""",
         "edit_join": """
             WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s
                        FROM documents)

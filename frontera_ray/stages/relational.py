@@ -953,6 +953,68 @@ def grouped_count_distinct(ds, key_col: str, distinct_col: str,
     ).sort_values(key_col).reset_index(drop=True)
 
 
+def grouped_entropy(ds, key_col: str, cat_col: str,
+                    out_col: str = "entropy_micro",
+                    exchange: str = "groups"):
+    """Per-key Shannon entropy (micro-nats) of the category
+    distribution — the bot-/template-detection signal of a curation
+    pass (a host or user whose event mix has near-zero entropy is a
+    machine; a document source with abnormally high token entropy is
+    noise). Scale shape: a per-block pandas combiner first collapses
+    the stream to (key, cat, n) partial-count rows (the only rows
+    that move), then ONE keyed exchange on ``key_col`` feeds a
+    run-aware vectorized kernel that merges duplicate (key, cat)
+    partials with reduceat and finalizes
+    H = ln(total) − Σ n·ln(n) / total per key. No all-to-all over raw
+    rows; kernel output is one row per key.
+
+    Reference analogue: frontera's per-host stats rollups
+    (``handlers/recording.py`` stats counters) never compute a
+    distribution statistic — this is part of the training-data
+    extension surface. Returns (key_col, entropy_micro, n_events)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch[key_col].to_numpy(zero_copy_only=False),
+            cat_col: batch[cat_col].to_numpy(zero_copy_only=False)})
+        df["n"] = 1
+        g = df.groupby([key_col, cat_col], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], batch[key_col].type),
+                             out_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        kc = _group_codes(k)
+        cc = _group_codes(batch[cat_col].to_numpy(zero_copy_only=False))
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((cc, kc))
+        sk, sc, sn = kc[order], cc[order], n[order]
+        # merge duplicate (key, cat) partial rows from different blocks
+        new_pair = np.concatenate(
+            ([True], (sk[1:] != sk[:-1]) | (sc[1:] != sc[:-1])))
+        pstarts = np.flatnonzero(new_pair)
+        cnt = np.add.reduceat(sn, pstarts).astype(np.float64)
+        pk = sk[pstarts]
+        new_key = np.concatenate(([True], pk[1:] != pk[:-1]))
+        kstarts = np.flatnonzero(new_key)
+        tot = np.add.reduceat(cnt, kstarts)
+        clnc = np.add.reduceat(cnt * np.log(cnt), kstarts)
+        ent = np.log(tot) - clnc / tot
+        keys_out = k[order][pstarts][kstarts]
+        return pa.table({
+            key_col: pa.array(keys_out, batch[key_col].type),
+            out_col: pa.array(np.round(ent * 1e6).astype(np.int64),
+                              pa.int64()),
+            "n_events": pa.array(tot.astype(np.int64), pa.int64())})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    return keyed_exchange(pairs, key_col, kernel, exchange)
+
+
 def hopping_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
                           hop_s: int = 900, keys=()):
     """Hopping (sliding) window aggregate: windows of ``window_s``

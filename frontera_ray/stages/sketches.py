@@ -337,3 +337,41 @@ def quantile_sketch(ds, col: str, qs, k: int = 1024,
         pos = int(np.searchsorted(cum, q * total))
         out[q] = float(v[min(pos, len(v) - 1)])
     return out
+
+
+def fixed_histogram(ds, col: str, lo: float, width: float, n_bins: int):
+    """Exact fixed-bin histogram as a register combine — the
+    distribution-profile / dataset-card primitive. Each block folds its
+    values into an (n_bins+2)-slot int64 count vector with one
+    np.bincount (slot 0 = below lo, slot n_bins+1 = at/above
+    lo + n_bins*width), the driver sums the tiny per-block vectors —
+    n_bins integers move per block, never the values. Bin assignment is
+    floor((v - lo)/width), identical double arithmetic to the SQL twin,
+    so the counts are exact, not approximate.
+
+    The reference has no distribution operators; this is a graft
+    addition (training-data profiling family, same combine shape as
+    ``hll_count_distinct``). Returns a pa.Table (bin, lo, n) with one
+    row per non-empty slot; bin is -1 for underflow, n_bins for
+    overflow."""
+    nb = int(n_bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.floor((v - lo) / width)
+        idx = np.clip(idx, -1, nb).astype(np.int64) + 1
+        counts = np.bincount(idx, minlength=nb + 2)
+        return pa.table({"slot": pa.array(np.arange(nb + 2), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    total = np.zeros(nb + 2, dtype=np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t):
+            total[t["slot"].to_numpy()] += t["n"].to_numpy()
+    keep = np.flatnonzero(total)
+    bins = keep - 1
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "bin_lo": pa.array(lo + bins * width, pa.float64()),
+        "n": pa.array(total[keep], pa.int64())})

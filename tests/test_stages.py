@@ -1674,3 +1674,52 @@ def test_json_scalar_i64_edges():
     vals, found = json_scalar_i64(col, "k")
     assert found.tolist() == [True, False, False, True, False, True]
     assert vals.to_pylist() == [42, None, None, -7, None, 13]
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_grouped_entropy_vs_scipy_formula(ray_session, exchange):
+    """Entropy micro-nats match the direct per-key formula on both
+    exchange paths; single-category keys give exactly 0."""
+    import ray
+
+    from frontera_ray.stages.relational import grouped_entropy
+
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 40, 3000)
+    cats = np.array(list("abcde"))[rng.integers(0, 5, 3000)]
+    # user 0: one category only -> entropy exactly 0
+    cats[users == 0] = "a"
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(cats, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = grouped_entropy(ds, "user_id", "event_type",
+                          exchange=exchange).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert len(out) == len(np.unique(users))
+    for _, row in out.iterrows():
+        m = users == row["user_id"]
+        _, cnt = np.unique(cats[m], return_counts=True)
+        tot = cnt.sum()
+        ent = np.log(tot) - (cnt * np.log(cnt)).sum() / tot
+        assert row["n_events"] == tot
+        assert row["entropy_micro"] == int(round(ent * 1e6))
+    assert out.loc[out["user_id"] == 0, "entropy_micro"].iloc[0] == 0
+
+
+def test_fixed_histogram_clamps_and_sums(ray_session):
+    """Underflow/overflow clamp rows, exact counts, total preserved."""
+    import ray
+
+    from frontera_ray.stages.sketches import fixed_histogram
+
+    vals = np.array([-5.0, 0.0, 24.999, 25.0, 49.9, 250.0, 499.9,
+                     500.0, 1e9])
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.float64())})).repartition(3)
+    out = fixed_histogram(ds, "v", lo=0.0, width=25.0,
+                          n_bins=20).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    assert got == {-1: 1, 0: 2, 1: 2, 10: 1, 19: 1, 20: 2}
+    assert out["n"].sum() == len(vals)
+    lo = out.set_index("bin")["bin_lo"]
+    assert lo.loc[0] == 0.0 and lo.loc[19] == 475.0 and lo.loc[-1] == -25.0
