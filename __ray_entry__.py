@@ -2614,6 +2614,33 @@ def q_stratified_sample(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def q_interval_join(sf_dir: str):
+    """Interval-OVERLAP join (relational.interval_overlap_join): every
+    click interval [ts, ts + floor(value)] paired with every view
+    interval it overlaps — the sessions×incidents / attribution-window
+    primitive that range_join (point-in-interval) cannot express.
+    Buckets of 1024 s, one keyed exchange, owner-bucket dedup,
+    vectorized cross per bucket run."""
+    from frontera_ray.stages.relational import interval_overlap_join
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        e = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() \
+            // 1_000_000
+        length = np.floor(b["value"].to_numpy()).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "lo": pa.array(e, pa.int64()),
+            "hi": pa.array(e + length, pa.int64())})
+
+    ds = (_read(sf_dir, "events")
+          .select_columns(["event_id", "ts", "event_type", "value"])
+          .map_batches(mk_intervals, batch_format="pyarrow"))
+    out = interval_overlap_join(ds, "lo", "hi", "event_type",
+                                left_type="click", right_type="view",
+                                bucket_w=1024).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2743,6 +2770,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_entropy": q_user_entropy,
     "value_histogram": q_value_histogram,
     "stratified_sample": q_stratified_sample,
+    "interval_join": q_interval_join,
 }
 
 
@@ -3678,6 +3706,17 @@ def oracle_sql() -> dict[str, str]:
                          VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
               FROM documents)
             WHERE rn <= 30 ORDER BY lang, doc_id""",
+        "interval_join": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                                + CAST(floor(value) AS BIGINT) AS hi
+                       FROM events)
+            SELECT l.event_id AS a, r.event_id AS b
+            FROM e l JOIN e r
+              ON l.event_type = 'click' AND r.event_type = 'view'
+             AND l.lo <= r.hi AND r.lo <= l.hi
+            ORDER BY a, b""",
         "edit_join": """
             WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s
                        FROM documents)

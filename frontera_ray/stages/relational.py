@@ -1720,6 +1720,101 @@ def range_join(ds, key_col: str, ts_col: str, type_col: str,
     return keyed_exchange(ds, key_col, pairs_block, exchange)
 
 
+def interval_overlap_join(ds, lo_col: str, hi_col: str, type_col: str,
+                          left_type: str, right_type: str,
+                          id_col: str = "event_id", bucket_w: int = 1024,
+                          exchange: str = "groups",
+                          max_block_pairs: int = 16_000_000):
+    """Distributed interval-OVERLAP join — the sessions×incidents /
+    availability-window primitive (``range_join`` is point-in-interval;
+    this is interval-against-interval): emit (a, b) for every
+    ``left_type`` interval [lo, hi] that overlaps a ``right_type``
+    interval (inclusive ends: l.lo <= r.hi AND r.lo <= l.hi).
+
+    Scale shape: each interval is replicated into the fixed-width time
+    buckets it covers (replication factor = len/bucket_w + 1 — size
+    ``bucket_w`` to the typical interval length), ONE keyed exchange on
+    the bucket id co-locates candidates, and a fully vectorized kernel
+    crosses lefts×rights per bucket run (repeat/arange expansion, no
+    per-bucket Python). A pair overlapping in several buckets is
+    emitted exactly once: only by the bucket that owns
+    floor(max(l.lo, r.lo) / bucket_w) — the standard owner-bucket rule,
+    so no second dedup exchange is needed. The cross-product guard
+    fails loudly if a block's candidate pairs exceed
+    ``max_block_pairs`` (pathological time skew — shrink bucket_w)."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"_bucket": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int64()),
+                          "_id": pa.array([], pa.int64()),
+                          "_lo": pa.array([], pa.int64()),
+                          "_hi": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        types = np.asarray(batch[type_col].to_pylist(), dtype=object)
+        m = (types == left_type) | (types == right_type)
+        if not m.any():
+            return empty
+        side = (types[m] == right_type).astype(np.int64)
+        lo = batch[lo_col].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        b0, b1 = lo // bucket_w, hi // bucket_w
+        nb = (b1 - b0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(nb)), nb)
+        cum0 = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        off = np.arange(int(nb.sum())) - np.repeat(cum0, nb)
+        return pa.table({
+            "_bucket": pa.array(b0[rep] + off, pa.int64()),
+            "_side": pa.array(side[rep], pa.int64()),
+            "_id": pa.array(ids[rep], pa.int64()),
+            "_lo": pa.array(lo[rep], pa.int64()),
+            "_hi": pa.array(hi[rep], pa.int64())})
+
+    def cross_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        b = batch["_bucket"].to_numpy()
+        side = batch["_side"].to_numpy()
+        ids = batch["_id"].to_numpy()
+        lo = batch["_lo"].to_numpy()
+        hi = batch["_hi"].to_numpy()
+        order = np.lexsort((side, b))
+        sb, ss = b[order], side[order]
+        new_run = np.concatenate(([True], sb[1:] != sb[:-1]))
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate((starts[1:], [len(sb)]))
+        # lefts sort first within a run; count sides per run
+        nl = np.add.reduceat(ss == 0, starts).astype(np.int64)
+        # reduceat over an empty trailing slice repeats the start element;
+        # run lengths are >= 1 here so ends-starts is safe
+        nrun = ends - starts
+        nr = nrun - nl
+        npairs = nl * nr
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        assert total <= max_block_pairs, (
+            f"interval_overlap_join: {total} candidate pairs in one "
+            f"block exceeds max_block_pairs={max_block_pairs} — time "
+            f"skew; shrink bucket_w or raise the cap")
+        run_of = np.repeat(np.arange(len(starts)), npairs)
+        cum0 = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+        within = np.arange(total) - np.repeat(cum0, npairs)
+        li = starts[run_of] + within // nr[run_of]
+        ri = starts[run_of] + nl[run_of] + within % nr[run_of]
+        gl, gr = order[li], order[ri]
+        keep = ((lo[gl] <= hi[gr]) & (lo[gr] <= hi[gl])
+                & (np.maximum(lo[gl], lo[gr]) // bucket_w == sb[li]))
+        return pa.table({"a": pa.array(ids[gl][keep], pa.int64()),
+                         "b": pa.array(ids[gr][keep], pa.int64())})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    return keyed_exchange(rep, "_bucket", cross_block, exchange)
+
+
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_us: int = 30 * 60 * 1_000_000, exchange: str = "groups"):
     """Per-user gap sessionization: events sorted by time; a gap larger

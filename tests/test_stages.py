@@ -1723,3 +1723,35 @@ def test_fixed_histogram_clamps_and_sums(ray_session):
     assert out["n"].sum() == len(vals)
     lo = out.set_index("bin")["bin_lo"]
     assert lo.loc[0] == 0.0 and lo.loc[19] == 475.0 and lo.loc[-1] == -25.0
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_interval_overlap_join_vs_brute(ray_session, exchange):
+    """Random intervals (some spanning many buckets) against a brute
+    O(n^2) oracle: inclusive endpoints, owner-bucket rule emits each
+    overlapping pair exactly once on both exchange paths."""
+    import ray
+
+    from frontera_ray.stages.relational import interval_overlap_join
+
+    rng = np.random.default_rng(13)
+    n = 400
+    lo = rng.integers(0, 20_000, n)
+    ln = rng.integers(0, 600, n)  # bucket_w=256 -> up to 3+ buckets
+    hi = lo + ln
+    side = np.where(rng.random(n) < 0.5, "click", "view")
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"event_id": pa.array(ids),
+                  "event_type": pa.array(side.astype(object), pa.string()),
+                  "lo": pa.array(lo.astype(np.int64)),
+                  "hi": pa.array(hi.astype(np.int64))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = interval_overlap_join(ds, "lo", "hi", "event_type",
+                                "click", "view", bucket_w=256,
+                                exchange=exchange).to_pandas()
+    got = sorted(zip(out["a"], out["b"]))
+    L = np.flatnonzero(side == "click")
+    R = np.flatnonzero(side == "view")
+    exp = sorted((int(ids[i]), int(ids[j])) for i in L for j in R
+                 if lo[i] <= hi[j] and lo[j] <= hi[i])
+    assert got == exp and len(got) == len(set(got))
