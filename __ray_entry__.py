@@ -2641,6 +2641,42 @@ def q_interval_join(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embedding column (ann.pca_fit): one
+    (d²+d+1)-float64 register per block (Σxxᵀ, Σx, n), driver
+    eigendecomposition — the embedding-space drift-profile /
+    compaction step. Output is the stable spectrum summary
+    (eigenvalue + explained-variance ppm per component); rows-only
+    like ridge_probe (block-order float combine ~1e-12), pytest
+    parity vs the full-data numpy eigendecomposition."""
+    from frontera_ray.stages.ann import pca_fit
+
+    w, comp, mean, n = pca_fit(
+        _read(sf_dir, "embeddings").select_columns(["embedding"]))
+    tot = float(w.sum())
+    import pandas as pd
+
+    return pd.DataFrame({
+        "component": np.arange(len(w), dtype=np.int64),
+        "eigval_micro": np.round(w * 1e6).astype(np.int64),
+        "explained_ppm": np.round(w / tot * 1e6).astype(np.int64),
+        "n_rows": np.int64(n),
+    })
+
+
+def q_winnow_dup(sf_dir: str):
+    """Shared-region near-dup pairs (dedup.winnow_dup_pairs): docs
+    sharing >= 2 winnowed fingerprints — the plagiarism/boilerplate
+    overlap detector that catches locally duplicated passages
+    whole-document Jaccard dilutes. One fp-keyed exchange, vectorized
+    run pair expansion, hot-fp guard; driver sees the pair list
+    only."""
+    from frontera_ray.stages.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2771,6 +2807,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "value_histogram": q_value_histogram,
     "stratified_sample": q_stratified_sample,
     "interval_join": q_interval_join,
+    "embedding_pca": q_embedding_pca,
+    "winnow_dup": q_winnow_dup,
 }
 
 
@@ -3067,6 +3105,24 @@ def _pagerank_oracle(iters: int = 5) -> str:
         FROM it{iters} ORDER BY node"""
 
 
+_WINNOW_SEL_CTE = r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            g AS (SELECT doc_id, i AS pos,
+                         ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
+                                             || arr[i+2]), 1, 16))::UBIGINT AS h
+                  FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+            n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            wm AS (SELECT doc_id, pos,
+                          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 3 FOLLOWING) AS mh
+                   FROM g),
+            sel AS (SELECT DISTINCT w_.doc_id, mh
+                    FROM wm w_ JOIN n ON n.doc_id = w_.doc_id
+                    WHERE pos <= greatest(1, n.n - 3))"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
@@ -3118,27 +3174,20 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT
                      AS n_bpe_tokens
             FROM documents""",
-        "winnow_fp": r"""
-            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
-                       FROM documents),
-            g AS (SELECT doc_id, i AS pos,
-                         ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
-                                             || arr[i+2]), 1, 16))::UBIGINT AS h
-                  FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
-            n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-            wm AS (SELECT doc_id, pos,
-                          min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS BETWEEN CURRENT ROW
-                                       AND 3 FOLLOWING) AS mh
-                   FROM g),
-            sel AS (SELECT DISTINCT w_.doc_id, mh
-                    FROM wm w_ JOIN n ON n.doc_id = w_.doc_id
-                    WHERE pos <= greatest(1, n.n - 3))
+        "winnow_fp": _WINNOW_SEL_CTE + r"""
             SELECT doc_id,
                    CASE WHEN mh > 9223372036854775807
                         THEN (mh::HUGEINT - 18446744073709551616)::BIGINT
                         ELSE mh::BIGINT END AS fp
             FROM sel ORDER BY doc_id, fp""",
+        "winnow_dup": _WINNOW_SEL_CTE + r"""
+            , p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                           count(*) AS shared
+                    FROM sel x JOIN sel y
+                      ON x.mh = y.mh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+            SELECT a, b, shared FROM p WHERE shared >= 2
+            ORDER BY a, b""",
         "quality": r"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,

@@ -702,3 +702,72 @@ def ridge_fit(ds, x_col: str = "embedding", y_col: str = "y",
     reg[-1, -1] = 0.0  # never penalize the intercept
     beta = np.linalg.solve(A + reg, b)
     return beta[:-1], float(beta[-1]), n
+
+
+def pca_fit(ds, x_col: str = "embedding"):
+    """Distributed PCA via the covariance register combine — the
+    embedding-space profiling / dimensionality-reduction step of a
+    curation loop (drift detection, compaction before clustering).
+    Identical scale shape to ``ridge_fit``: each block ships ONE
+    (d² + d + 1)-float64 register row (Σxxᵀ, Σx, n — payload
+    independent of row count; rows never leave their blocks), the
+    driver sums the handful of partials, forms the d×d covariance and
+    eigendecomposes it once. Component signs are canonicalized (the
+    max-|coordinate| of every component is made positive) so retries
+    and block orders agree despite eigh's sign freedom. Block-order
+    float addition gives ~1e-12 register nondeterminism — rows-only
+    territory, like ridge_probe. Returns (eigvals desc, components
+    [k,d] row-major, mean, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"r": pa.array([], pa.list_(pa.float64()))})
+        X = _matrix(batch, x_col)
+        row = np.concatenate([(X.T @ X).ravel(), X.sum(axis=0),
+                              [float(len(X))]])
+        return pa.table({"r": pa.array([row], pa.list_(pa.float64()))})
+
+    acc = None
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["r"].to_pylist():
+            arr = np.asarray(row, dtype=np.float64)
+            acc = arr if acc is None else acc + arr
+    if acc is None:
+        raise ValueError("pca_fit: empty input")
+    d = int((np.sqrt(4 * len(acc) - 3) - 1) // 2)  # len = d² + d + 1
+    A = acc[: d * d].reshape(d, d)
+    s = acc[d * d: d * d + d]
+    n = int(acc[-1])
+    assert n >= 2, "pca_fit: need at least 2 rows"
+    mean = s / n
+    cov = (A - np.outer(s, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)          # ascending
+    w, v = w[::-1], v[:, ::-1].T        # desc; components as rows
+    flip = np.sign(v[np.arange(d), np.abs(v).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return w, v * flip[:, None], mean, n
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray, k: int,
+                id_col: str = "vec_id", x_col: str = "embedding"):
+    """Project an embedding column onto the top-k fitted components:
+    the (mean, components) pair is broadcast once via ray.put and every
+    block does one centered matmul — streaming, no shuffle. Emits
+    (id_col, coords list<float64>[k])."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components[:k], np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, comp = ray.get(ref)  # zero-copy plasma read per task
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "coords": pa.array([], pa.list_(pa.float64()))})
+        X = _matrix(batch, x_col)
+        C = (X - mu) @ comp.T
+        return pa.table({id_col: batch[id_col],
+                         "coords": pa.array(list(C), pa.list_(pa.float64()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

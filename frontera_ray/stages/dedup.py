@@ -1266,3 +1266,68 @@ def edit_distance_join_le1(ds, id_col: str = "doc_id",
     return pa.table({"a": pa.array([r[0] for r in out], pa.int64()),
                      "b": pa.array([r[1] for r in out], pa.int64()),
                      "dist": pa.array([r[2] for r in out], pa.int64())})
+
+
+def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                     min_shared: int = 2, shingle_k: int = 3,
+                     window: int = 4, exchange: str = "groups",
+                     max_bucket_docs: int = 1024):
+    """Shared-region near-dup pairs from winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003): two documents pair when they share
+    >= ``min_shared`` selected fingerprints — the plagiarism /
+    boilerplate-overlap detector that catches LOCALLY duplicated
+    passages MinHash's whole-document Jaccard dilutes away.
+
+    Scale shape: per-block winnow explode to (doc_id, fp) rows, ONE
+    keyed exchange on fp, vectorized within-run pair expansion
+    (``_run_pair_indices`` — no per-bucket Python), loud guard on hot
+    fingerprints (a fp shared by > ``max_bucket_docs`` docs is
+    boilerplate; raise the floor or pre-filter). Pair-shared counting
+    happens on the driver over the PAIR LIST ONLY (same contract as
+    minhash_neardup_pairs: near-dup pairs are rare by construction;
+    the corpus never materializes). Returns a pandas DataFrame
+    (a, b, shared) with a < b."""
+    import pandas as pd
+
+    from .relational import keyed_exchange
+    from .text import winnow_table
+
+    fps = ds.map_batches(
+        lambda b: winnow_table(b, text_col, shingle_k, window),
+        batch_format="pyarrow")
+
+    def pair_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        fp = batch["fp"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        order = np.lexsort((ids, fp))
+        sf, si = fp[order], ids[order]
+        new = np.concatenate(([True], sf[1:] != sf[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(sf)]))
+        if len(starts) and int((ends - starts).max()) > max_bucket_docs:
+            raise AssertionError(
+                f"winnow_dup_pairs: a fingerprint is shared by "
+                f"{int((ends - starts).max())} docs (> {max_bucket_docs})"
+                " — boilerplate fp; pre-filter or raise max_bucket_docs")
+        ii, jj = _run_pair_indices(starts, ends)
+        if len(ii) == 0:
+            return empty
+        return pa.table({
+            "a": pa.array(np.minimum(si[ii], si[jj]), pa.int64()),
+            "b": pa.array(np.maximum(si[ii], si[jj]), pa.int64())})
+
+    pairs = keyed_exchange(fps, "fp", pair_kernel, exchange)
+    parts = [t.to_pandas() for t in pairs.iter_batches(
+        batch_format="pyarrow", batch_size=None) if len(t)]
+    if not parts:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "shared": pd.Series([], dtype="int64")})
+    df = (pd.concat(parts).groupby(["a", "b"], as_index=False).size()
+          .rename(columns={"size": "shared"}))
+    df = df[df["shared"] >= min_shared].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -816,3 +816,65 @@ def test_jaccard_join_candidate_cap_guard(ray_session):
     with pytest.raises(AssertionError, match="candidate pairs"):
         jaccard_join_pairs(ray.data.from_arrow(t), t_num=1, t_den=2,
                            shingle_k=2, candidate_cap=3)
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    """Distributed register-combine PCA equals the full-data numpy
+    eigendecomposition: spectrum, orthonormal components, and the
+    top-k projection captures the same variance."""
+    import ray
+
+    from frontera_ray.stages.ann import pca_fit, pca_project
+
+    rng = np.random.default_rng(5)
+    # anisotropic data: a few dominant directions
+    base = rng.normal(size=(500, 16)) * np.linspace(4, 0.1, 16)
+    X = base @ np.linalg.qr(rng.normal(size=(16, 16)))[0]
+    t = pa.table({"vec_id": pa.array(np.arange(500), pa.int64()),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(7)
+    w, comp, mean, n = pca_fit(ds)
+    Xf = X.astype(np.float32).astype(np.float64)
+    w_ref = np.sort(np.linalg.eigvalsh(np.cov(Xf, rowvar=False)))[::-1]
+    assert n == 500
+    assert np.allclose(mean, Xf.mean(axis=0), atol=1e-9)
+    assert np.allclose(w, w_ref, rtol=1e-9, atol=1e-9)
+    assert np.allclose(comp @ comp.T, np.eye(16), atol=1e-9)
+    # deterministic sign: max-|coordinate| of each component positive
+    mx = np.abs(comp).argmax(axis=1)
+    assert (comp[np.arange(16), mx] > 0).all()
+    out = pca_project(ds, mean, comp, k=4).to_pandas()
+    C = np.stack(out.sort_values("vec_id")["coords"].to_numpy())
+    assert C.shape == (500, 4)
+    # projected variance per axis == top-4 eigenvalues (population vs
+    # sample factor: np.cov uses n-1, matching pca_fit)
+    assert np.allclose(C.var(axis=0, ddof=1), w[:4], rtol=1e-6)
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_winnow_dup_pairs_paths_agree(ray_session, exchange):
+    """Both exchange paths produce the identical (a, b, shared) list,
+    and the hot-fingerprint guard fires loudly on boilerplate."""
+    import ray
+
+    from frontera_ray.stages.dedup import winnow_dup_pairs
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different text about distributed stream engines",
+        "the quick brown fox jumps over the lazy dog once more today",
+        "unrelated words that share nothing with any other document",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = winnow_dup_pairs(ds, min_shared=2, exchange=exchange)
+    got = list(zip(out["a"], out["b"]))
+    assert (0, 1) in got  # exact duplicates share everything
+    assert all(a < b for a, b in got)
+    assert not any(4 in p for p in got)
+    with pytest.raises(Exception, match="max_bucket_docs"):
+        winnow_dup_pairs(ds, min_shared=1, exchange=exchange,
+                         max_bucket_docs=1)
