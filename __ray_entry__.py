@@ -2677,6 +2677,20 @@ def q_winnow_dup(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def q_column_profile(sf_dir: str):
+    """Dataset-card column profiler (sketches.profile_columns): per
+    column (n_rows, n_null, min, max) in ONE streaming pass — numeric
+    columns by value, strings by character length, timestamps by
+    floor-epoch-seconds — as a tiny per-block register combine (one
+    row per column per block; values never move)."""
+    from frontera_ray.stages.sketches import profile_columns
+
+    return profile_columns(_read(sf_dir, "orders"), {
+        "o_orderkey": "num", "o_custkey": "num", "o_totalprice": "num",
+        "o_orderstatus": "str", "o_orderpriority": "str",
+        "o_orderdate": "ts"})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2809,6 +2823,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "interval_join": q_interval_join,
     "embedding_pca": q_embedding_pca,
     "winnow_dup": q_winnow_dup,
+    "column_profile": q_column_profile,
 }
 
 
@@ -3755,6 +3770,30 @@ def oracle_sql() -> dict[str, str]:
                          VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
               FROM documents)
             WHERE rn <= 30 ORDER BY lang, doc_id""",
+        "column_profile": """
+            SELECT 'o_custkey' AS col, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_custkey))::BIGINT AS n_null,
+                   min(o_custkey)::DOUBLE AS min_v,
+                   max(o_custkey)::DOUBLE AS max_v FROM orders
+            UNION ALL SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   min(floor(epoch(o_orderdate))),
+                   max(floor(epoch(o_orderdate))) FROM orders
+            UNION ALL SELECT 'o_orderkey', count(*),
+                   count(*) - count(o_orderkey),
+                   min(o_orderkey), max(o_orderkey) FROM orders
+            UNION ALL SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   min(length(o_orderpriority)),
+                   max(length(o_orderpriority)) FROM orders
+            UNION ALL SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   min(length(o_orderstatus)),
+                   max(length(o_orderstatus)) FROM orders
+            UNION ALL SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   min(o_totalprice), max(o_totalprice) FROM orders
+            ORDER BY col""",
         "interval_join": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) AS lo,

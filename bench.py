@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "dense_rank", "group_stats", "triangles", "jaccard_join", "edit_join", "weighted_sample", "clustering", "group_mad", "urgent_low_union", "window_users", "quantile_sketch", "props_extract", "validity_intervals",
     "ridge_probe", "lang_top_tokens",
     "group_corr", "user_entropy", "value_histogram", "stratified_sample",
-    "interval_join", "embedding_pca", "winnow_dup",
+    "interval_join", "embedding_pca", "winnow_dup", "column_profile",
 ]
 
 CRAWL_HOSTS = 8192

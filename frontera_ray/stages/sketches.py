@@ -375,3 +375,54 @@ def fixed_histogram(ds, col: str, lo: float, width: float, n_bins: int):
         "bin": pa.array(bins, pa.int64()),
         "bin_lo": pa.array(lo + bins * width, pa.float64()),
         "n": pa.array(total[keep], pa.int64())})
+
+
+def profile_columns(ds, spec: dict):
+    """Dataset-card column profiler: ONE streaming pass computes per
+    column (n_rows, n_null, min_v, max_v) as a register combine — each
+    block ships one tiny row per column, the driver merges. ``spec``
+    maps column -> kind: 'num' profiles the value, 'str' the character
+    LENGTH (numeric, so every profile row has one clean schema), 'ts'
+    the floor-epoch-seconds — all exact and SQL-twin-reproducible.
+    Returns a pandas DataFrame (col, n_rows, n_null, min_v, max_v)
+    sorted by col; min/max are NaN for all-null columns."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    cols = sorted(spec)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, nr, nn, mns, mxs = [], [], [], [], []
+        for c in cols:
+            arr = batch[c]
+            kind = spec[c]
+            if kind == "str":
+                v = _pc.utf8_length(arr).cast(pa.float64())
+            elif kind == "ts":
+                # floor(us/1e6) in double == SQL floor(epoch(ts)): the
+                # quotient error is < ulp and cannot cross the integer
+                # boundary for exact-µs inputs; nulls propagate
+                us = arr.cast(pa.timestamp("us")).cast(pa.int64())
+                v = _pc.floor(_pc.divide(us.cast(pa.float64()), 1e6))
+            else:
+                v = arr.cast(pa.float64())
+            mm = _pc.min_max(v)  # skips nulls
+            names.append(c)
+            nr.append(len(batch))
+            nn.append(arr.null_count)
+            mns.append(mm["min"].as_py())
+            mxs.append(mm["max"].as_py())
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_null": pa.array(nn, pa.int64()),
+                         "min_v": pa.array(mns, pa.float64()),
+                         "max_v": pa.array(mxs, pa.float64())})
+
+    parts = [t.to_pandas() for t in ds.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None) if len(t)]
+    df = pd.concat(parts)
+    out = df.groupby("col", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"))
+    return out.sort_values("col").reset_index(drop=True)

@@ -1755,3 +1755,30 @@ def test_interval_overlap_join_vs_brute(ray_session, exchange):
     exp = sorted((int(ids[i]), int(ids[j])) for i in L for j in R
                  if lo[i] <= hi[j] and lo[j] <= hi[i])
     assert got == exp and len(got) == len(set(got))
+
+
+def test_profile_columns_nulls_and_kinds(ray_session):
+    """Null counting, per-kind transforms (value / char length /
+    epoch seconds), all-null column gives NaN min/max."""
+    import ray
+
+    from frontera_ray.stages.sketches import profile_columns
+
+    t = pa.table({
+        "x": pa.array([1.5, None, -2.0, 8.0], pa.float64()),
+        "s": pa.array(["ab", "", None, "abcd"], pa.string()),
+        "ts": pa.array([1_700_000_000_500_000, None, None,
+                        1_700_000_123_999_999], pa.timestamp("us")),
+        "z": pa.array([None] * 4, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = profile_columns(ds, {"x": "num", "s": "str", "ts": "ts",
+                               "z": "num"}).set_index("col")
+    assert (out["n_rows"] == 4).all()
+    assert out.loc["x", "n_null"] == 1
+    assert out.loc["x", "min_v"] == -2.0 and out.loc["x", "max_v"] == 8.0
+    assert out.loc["s", "min_v"] == 0 and out.loc["s", "max_v"] == 4
+    assert out.loc["ts", "min_v"] == 1_700_000_000
+    assert out.loc["ts", "max_v"] == 1_700_000_123
+    assert out.loc["z", "n_null"] == 4
+    assert np.isnan(out.loc["z", "min_v"])
