@@ -2691,6 +2691,32 @@ def q_column_profile(sf_dir: str):
         "o_orderdate": "ts"})
 
 
+def q_range_window_sum(sf_dir: str):
+    """Value-RANGE windowed frame (relational.per_key_range_sum):
+    every event gains the user's trailing-1-hour spend — SQL's RANGE
+    BETWEEN 3600000000 PRECEDING AND CURRENT ROW over epoch-us, the
+    variable-spacing rolling feature ROWS frames cannot express.
+    Exact peer-tie semantics; one keyed exchange + vectorized merge
+    passes."""
+    from frontera_ray.stages.relational import per_key_range_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(
+                np.round(b["value"].to_numpy() * 100).astype(np.int64),
+                pa.int64())})
+
+    ds = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = per_key_range_sum(ds, "user_id", "ts_us", "cents",
+                            window=3_600_000_000).to_pandas()
+    return (out[["user_id", "event_id", "range_sum"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2824,6 +2850,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_pca": q_embedding_pca,
     "winnow_dup": q_winnow_dup,
     "column_profile": q_column_profile,
+    "range_window_sum": q_range_window_sum,
 }
 
 
@@ -3794,6 +3821,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(o_totalprice),
                    min(o_totalprice), max(o_totalprice) FROM orders
             ORDER BY col""",
+        "range_window_sum": """
+            SELECT user_id, event_id,
+                   sum(cents) OVER (
+                     PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING
+                     AND CURRENT ROW) AS range_sum
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            ORDER BY user_id, event_id""",
         "interval_join": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) AS lo,

@@ -720,6 +720,66 @@ def per_key_moving_sum(ds, key_col: str, order_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_range_sum(ds, key_col: str, order_col: str, val_col: str,
+                      window: int, out_col: str = "range_sum",
+                      exchange: str = "groups"):
+    """Value-RANGE windowed-frame aggregate: SQL's
+    ``sum(v) OVER (PARTITION BY key ORDER BY o
+    RANGE BETWEEN window PRECEDING AND CURRENT ROW)`` — the
+    trailing-time-window rolling feature (requests in the last hour,
+    spend in the last 30 days), which the ROWS-based
+    ``per_key_moving_sum`` cannot express when event spacing varies.
+    Exact SQL RANGE semantics incl. peers: the frame is every row of
+    the key whose order value lies in [o_i − window, o_i] — ties AT
+    o_i are all included regardless of physical position.
+
+    One keyed exchange + vectorized merge passes (the range_join
+    trick): hi_i = rows at-or-before the END of i's tie group; lo_i =
+    rows strictly before (o_i − window), computed for every row at
+    once by lexsorting shifted 'query' rows against 'data' rows with
+    a side tiebreak (queries first, so a row at exactly o_i − window
+    stays inside the inclusive frame). Earlier-key rows cancel in
+    hi − lo, so frames never cross key runs. No per-row Python."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vv = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ov, keys))
+        sk, so, sv = keys[order], ov[order], vv[order]
+        n = len(sk)
+        c0 = np.concatenate(([0], np.cumsum(sv)))
+        # hi: end of each row's tie group (peers included)
+        tie_new = np.concatenate(
+            ([True], (sk[1:] != sk[:-1]) | (so[1:] != so[:-1])))
+        tie_id = np.cumsum(tie_new) - 1
+        tie_start = np.flatnonzero(tie_new)
+        tie_end = np.concatenate((tie_start[1:], [n]))
+        hi = tie_end[tie_id]
+        # lo: data rows strictly before (key, o_i - window); merge the
+        # shifted query stream against the data stream — queries sort
+        # FIRST at equal value so a row at exactly o_i - window is NOT
+        # counted below the frame (inclusive lower bound)
+        m_o = np.concatenate((so - window, so))
+        m_key = np.concatenate((sk, sk))
+        m_side = np.concatenate((np.zeros(n, np.int8),
+                                 np.ones(n, np.int8)))
+        m_order = np.lexsort((m_side, m_o, m_key))
+        cum_data = np.cumsum(m_side[m_order])
+        qpos = np.flatnonzero(m_side[m_order] == 0)
+        # queries appear in (key, o) order == sorted row order (stable)
+        lo = cum_data[qpos]
+        win = c0[hi] - c0[lo]
+        out = batch.take(pa.array(order))
+        return out.append_column(out_col, pa.array(win, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str],
                  prefix: str = "n_"):
     """PIVOT: one wide row per key with a count column per pivot

@@ -1782,3 +1782,36 @@ def test_profile_columns_nulls_and_kinds(ray_session):
     assert out.loc["ts", "max_v"] == 1_700_000_123
     assert out.loc["z", "n_null"] == 4
     assert np.isnan(out.loc["z", "min_v"])
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_range_sum_peer_ties_vs_duckdb(ray_session, exchange):
+    """RANGE-frame peer semantics: ties at the current order value are
+    all inside the frame regardless of physical position; random data
+    with deliberate collisions matches DuckDB on both exchanges."""
+    import duckdb
+    import ray
+
+    from frontera_ray.stages.relational import per_key_range_sum
+
+    rng = np.random.default_rng(3)
+    n = 600
+    key = rng.integers(0, 12, n)
+    o = rng.integers(0, 50, n)  # heavy ties
+    v = rng.integers(-5, 20, n)
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "o": pa.array(o, pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = per_key_range_sum(ds, "k", "o", "v", window=7,
+                            exchange=exchange).to_pandas()
+    out = out.sort_values("rid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute("""
+        SELECT rid, sum(v) OVER (PARTITION BY k ORDER BY o
+          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS range_sum
+        FROM t ORDER BY rid""").fetchdf()
+    assert (out["range_sum"].to_numpy()
+            == exp["range_sum"].to_numpy()).all()
