@@ -2717,6 +2717,19 @@ def q_range_window_sum(sf_dir: str):
             .sort_values(["user_id", "event_id"]).reset_index(drop=True))
 
 
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 retrieval (text.bm25_topk): top-20 documents
+    for a fixed 4-token query — compact per-doc feature pass, corpus
+    stats as a register combine, per-block partial top-k. Per-term
+    micro-rounding makes the score an order-free integer sum, so the
+    SQL twin (identical expression tree) hash-matches exactly."""
+    from frontera_ray.stages.text import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        query_tokens=["data", "hash", "scan", "batch"], k=20)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2851,6 +2864,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winnow_dup": q_winnow_dup,
     "column_profile": q_column_profile,
     "range_window_sum": q_range_window_sum,
+    "bm25_topk": q_bm25_topk,
 }
 
 
@@ -3831,6 +3845,32 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
             ORDER BY user_id, event_id""",
+        "bm25_topk": r"""
+            WITH tok AS (SELECT doc_id, unnest(
+                           regexp_extract_all(text, '\S+')) AS token
+                         FROM documents),
+            len AS (SELECT doc_id, count(*)::BIGINT AS len
+                    FROM tok GROUP BY 1),
+            alldocs AS (SELECT d.doc_id, coalesce(l.len, 0)::DOUBLE AS len
+                        FROM documents d LEFT JOIN len l USING (doc_id)),
+            st AS (SELECT count(*)::DOUBLE AS n,
+                          sum(len) / count(*) AS avglen FROM alldocs),
+            tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+                   FROM tok
+                   WHERE token IN ('data', 'hash', 'scan', 'batch')
+                   GROUP BY 1, 2),
+            df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id, sum(CAST(round(
+                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * ((tf.tf * (1.2 + 1))
+                          / (tf.tf + 1.2 * ((1 - 0.75)
+                               + 0.75 * (a.len / st.avglen))))
+                       * 1000000) AS BIGINT)) AS score_micro
+                   FROM tf JOIN df USING (token)
+                        JOIN alldocs a USING (doc_id) CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
+            ORDER BY score_micro DESC, doc_id LIMIT 20""",
         "interval_join": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) AS lo,

@@ -839,3 +839,118 @@ def grouped_heavy_hitters(ds, group_col: str, support_num: int,
     out = merged[merged["cnt"] * den >= num * merged["total"]]
     out = out[["g", "token", "cnt"]].rename(columns={"g": group_col})
     return out.sort_values([group_col, "token"]).reset_index(drop=True)
+
+
+def bm25_topk(ds, query_tokens, k: int = 20, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text"):
+    """Distributed BM25 retrieval scoring (Robertson/Spärck Jones; the
+    Lucene idf variant ln((N−df+0.5)/(df+0.5)+1)) for a FIXED query —
+    the search / contamination-probe shape: score every document
+    against ``query_tokens``, return the global top-k.
+
+    Scale shape: ONE explode pass produces the compact per-doc
+    feature row (doc_id, len, tf per query token — q+2 ints, tiny vs
+    the corpus) which is materialized once and feeds BOTH the corpus
+    statistics (a register combine: n_docs, Σlen, df per token — one
+    row per block moves) and the scoring pass (streaming; per-block
+    partial top-k, driver merges block winners, ``brute_force_topk``
+    style). The query is bounded, so — unlike ``tfidf_top_terms`` —
+    no vocabulary-sized broadcast exists at any scale.
+
+    Floats: both sides of the oracle compute the IDENTICAL expression
+    tree ((tf·(k1+1)) / (tf + k1·((1−b) + b·(len/avglen)))), so the
+    micro-rounded scores hash-match SQL bit for bit (see
+    oracle_sql()['bm25_topk'])."""
+    import pandas as pd
+
+    q = list(query_tokens)
+    qidx = {t: i for i, t in enumerate(q)}
+    nq = len(q)
+
+    def doc_features(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "len": pa.array([], pa.int64())}
+        cols.update({f"tf{i}": pa.array([], pa.int64())
+                     for i in range(nq)})
+        if len(batch) == 0:
+            return pa.table(cols)
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        # whitespace split of leading/trailing space yields '' tokens;
+        # match the \S+ oracle by not counting them
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        nonempty = pc.not_equal(flat, "")
+        lens = np.zeros(len(batch), np.int64)
+        np.add.at(lens, parent, nonempty.to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        tf = np.zeros((len(batch), nq), np.int64)
+        svals = flat.to_pandas()
+        qi = svals.map(qidx).to_numpy()
+        hit = ~pd.isna(qi)
+        hit &= nonempty.to_numpy(zero_copy_only=False)
+        if hit.any():
+            np.add.at(tf, (parent[hit], qi[hit].astype(np.int64)), 1)
+        out = {"doc_id": batch["doc_id"],
+               "len": pa.array(lens, pa.int64())}
+        out.update({f"tf{i}": pa.array(tf[:, i], pa.int64())
+                    for i in range(nq)})
+        return pa.table(out)
+
+    feats = ds.map_batches(doc_features, batch_format="pyarrow") \
+        .materialize()
+
+    # register combine: (n_docs, sum_len, df_0..df_{q-1}) per block
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        row = [float(len(batch)),
+               float(batch["len"].to_numpy().sum() if len(batch) else 0)]
+        for i in range(nq):
+            row.append(float((batch[f"tf{i}"].to_numpy() > 0).sum()
+                             if len(batch) else 0))
+        return pa.table({"r": pa.array(
+            [np.asarray(row, np.float64)], pa.list_(pa.float64()))})
+
+    acc = np.zeros(2 + nq, np.float64)
+    for t in feats.map_batches(stats_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["r"].to_pylist():
+            acc += np.asarray(row, np.float64)
+    n_docs, sum_len = acc[0], acc[1]
+    dfs = acc[2:]
+    avglen = sum_len / n_docs
+    idf = np.log((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0)
+
+    def score_partial_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score_micro": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        lens = batch["len"].to_numpy().astype(np.float64)
+        norm = k1 * ((1.0 - b) + b * (lens / avglen))
+        # each TERM is micro-rounded before the integer sum, so the
+        # score is independent of summation order and the SQL twin
+        # (same expression tree per term) hash-matches bit for bit
+        micro = np.zeros(len(batch), np.int64)
+        for i in range(nq):  # bounded by |query|, not data
+            tfv = batch[f"tf{i}"].to_numpy().astype(np.float64)
+            term = idf[i] * ((tfv * (k1 + 1.0)) / (tfv + norm))
+            micro += np.round(term * 1e6).astype(np.int64)
+        doc = batch["doc_id"].to_numpy()
+        pos = micro > 0  # no-hit docs are not retrieval candidates
+        micro, doc = micro[pos], doc[pos]
+        order = np.lexsort((doc, -micro))[:k]
+        return pa.table({"doc_id": pa.array(doc[order], pa.int64()),
+                         "score_micro": pa.array(micro[order],
+                                                 pa.int64())})
+
+    parts = [t for t in feats.map_batches(
+        score_partial_topk, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None) if len(t)]
+    import pandas as _pd
+
+    if not parts:
+        return _pd.DataFrame({"doc_id": _pd.Series([], dtype="int64"),
+                              "score_micro": _pd.Series([], dtype="int64")})
+    allp = pa.concat_tables(parts).to_pandas()
+    return (allp.sort_values(["score_micro", "doc_id"],
+                             ascending=[False, True])
+            .head(k).reset_index(drop=True))
