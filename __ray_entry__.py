@@ -2730,6 +2730,20 @@ def q_bm25_topk(sf_dir: str):
         query_tokens=["data", "hash", "scan", "batch"], k=20)
 
 
+def q_orders_unpivot(sf_dir: str):
+    """UNPIVOT / melt (relational.unpivot): orders' numeric metrics
+    reshaped wide->long into (o_orderkey, name, value) rows — the
+    generic per-metric stream; pure per-block transform, no
+    shuffle."""
+    from frontera_ray.stages.relational import unpivot
+
+    out = unpivot(_read(sf_dir, "orders")
+                  .select_columns(["o_orderkey", "o_custkey",
+                                   "o_totalprice"]),
+                  "o_orderkey", ["o_custkey", "o_totalprice"]).to_pandas()
+    return out.sort_values(["o_orderkey", "name"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2865,6 +2879,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "column_profile": q_column_profile,
     "range_window_sum": q_range_window_sum,
     "bm25_topk": q_bm25_topk,
+    "orders_unpivot": q_orders_unpivot,
 }
 
 
@@ -3871,6 +3886,12 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
             ORDER BY score_micro DESC, doc_id LIMIT 20""",
+        "orders_unpivot": """
+            SELECT o_orderkey, 'o_custkey' AS name,
+                   o_custkey::DOUBLE AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_totalprice', o_totalprice FROM orders
+            ORDER BY o_orderkey, name""",
         "interval_join": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) AS lo,

@@ -2198,3 +2198,27 @@ def bloom_semi_join(left_ds, right_ds, key: str, left_cols,
 
     return left_ds.map_batches(definite, batch_format="pyarrow") \
         .union(confirmed)
+
+
+def unpivot(ds, id_cols, value_cols, var_col: str = "name",
+            val_col: str = "value"):
+    """UNPIVOT / melt: turn ``value_cols`` into (name, value) rows —
+    the wide→long reshape feeding generic per-metric pipelines (one
+    quality-signal column family → a single (doc, signal, value)
+    stream). Pure per-block transform: each batch emits one slice per
+    value column (id columns reused zero-copy, the name column is a
+    constant, values cast double) — no shuffle, no Python per row;
+    the inverse of ``pivot_counts``."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    vals = list(value_cols)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        slices = []
+        for c in vals:
+            cols = {i: batch[i] for i in ids}
+            cols[var_col] = pa.array([c] * len(batch), pa.string())
+            cols[val_col] = batch[c].cast(pa.float64())
+            slices.append(pa.table(cols))
+        return pa.concat_tables(slices)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
