@@ -2744,6 +2744,29 @@ def q_orders_unpivot(sf_dir: str):
     return out.sort_values(["o_orderkey", "name"]).reset_index(drop=True)
 
 
+def q_cdc_merge(sf_dir: str):
+    """CDC MERGE with deletes (relational.cdc_merge): the event stream
+    compacts to one surviving row per user (max ts, min event_id on
+    ties) and users whose LAST event is an 'error' are tombstoned out
+    — Delta/Iceberg MERGE semantics; latest_events is the delete-free
+    special case. One keyed exchange + a streaming tombstone filter."""
+    from frontera_ray.stages.relational import cdc_merge, cluster_cpus
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": b["event_type"],
+        }), batch_format="pyarrow")
+    out = cdc_merge(ev, "user_id", "ts_us", "event_type", "error",
+                    tiebreak="event_id",
+                    exchange="hash" if cluster_cpus() >= 16
+                    else "groups").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2880,6 +2903,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "range_window_sum": q_range_window_sum,
     "bm25_topk": q_bm25_topk,
     "orders_unpivot": q_orders_unpivot,
+    "cdc_merge": q_cdc_merge,
 }
 
 
@@ -3892,6 +3916,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, 'o_totalprice', o_totalprice FROM orders
             ORDER BY o_orderkey, name""",
+        "cdc_merge": """
+            SELECT user_id, event_id, ts_us, event_type FROM (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC,
+                                                 event_id) AS rn
+              FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id""",
         "interval_join": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) AS lo,

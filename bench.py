@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "ridge_probe", "lang_top_tokens",
     "group_corr", "user_entropy", "value_histogram", "stratified_sample",
     "interval_join", "embedding_pca", "winnow_dup", "column_profile",
-    "range_window_sum", "bm25_topk", "orders_unpivot",
+    "range_window_sum", "bm25_topk", "orders_unpivot", "cdc_merge",
 ]
 
 CRAWL_HOSTS = 8192

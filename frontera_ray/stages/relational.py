@@ -2222,3 +2222,24 @@ def unpivot(ds, id_cols, value_cols, var_col: str = "name",
         return pa.concat_tables(slices)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def cdc_merge(ds, key_col: str, ts_col: str, op_col: str,
+              delete_op: str, tiebreak: str | None = None,
+              exchange: str = "groups"):
+    """Lakehouse CDC MERGE compaction: apply a change stream to
+    nothing-but-the-stream — per key the LATEST row wins (max
+    ``ts_col``, ``tiebreak`` ascending on ties), and a key whose
+    winning row is a ``delete_op`` disappears entirely (the
+    upsert+delete semantics of Delta/Iceberg MERGE; ``latest_events``
+    is the delete-free special case). One keyed exchange
+    (``per_key_topk`` k=1) + a streaming filter; the winner decision
+    and the delete decision are the same row, so no second pass."""
+
+    latest = per_key_topk(ds, key_col, ts_col, 1, descending=True,
+                          tiebreak=tiebreak, exchange=exchange)
+
+    def drop_deleted(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch[op_col], delete_op))
+
+    return latest.map_batches(drop_deleted, batch_format="pyarrow")
