@@ -2767,6 +2767,25 @@ def q_cdc_merge(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_image_embed_neardup(sf_dir: str):
+    """Cross-family composite: image corpus -> actor-pool visual
+    feature extraction (images.ImageFeatureStage: decode + 8x8
+    grayscale grid, a deterministic stand-in for a vision encoder) ->
+    the SAME banded-LSH cosine near-dup machinery the text embeddings
+    use (ann.cosine_neardup_lsh, slim bucket exchange). The
+    image->embedding->dedup composition of a multimodal curation
+    pipeline; rows-only (pixel-derived floats), recall pytest vs the
+    brute pair set."""
+    from frontera_ray.stages.ann import cosine_neardup_lsh
+    from frontera_ray.stages.images import ImageFeatureStage
+
+    feats = (_image_url_corpus()
+             .map_batches(_fetch_payload_batch, batch_format="pyarrow")
+             .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=_image_pool()))
+    return cosine_neardup_lsh(feats, threshold=0.9995)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -2904,6 +2923,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bm25_topk": q_bm25_topk,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
+    "image_embed_neardup": q_image_embed_neardup,
 }
 
 

@@ -127,6 +127,40 @@ class ValidateStage:
         )
 
 
+class ImageFeatureStage:
+    """Decode → 8×8 grayscale grid embedding (64 float dims, unit
+    scale) — the visual-feature-extraction stage that bridges the
+    image family into the embedding family: its output feeds the
+    cosine near-dup / ANN machinery unchanged (`vec_id` = image_id64,
+    `embedding` = list<float>[64]). A deterministic stand-in for a
+    real vision encoder (same Ray plumbing: codec state per actor in
+    ``__init__``, batched inference in ``__call__``); swap the
+    pooling body for a model forward on a GPU cluster."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        g = self.grid
+        for row in batch.select(["image_id", "bytes", "fmt"]).to_pylist():
+            try:
+                pix = decode_image(row["bytes"], row["fmt"])
+            except (NotImplementedError, ValueError):
+                continue
+            gray = pix.astype(np.float32).mean(axis=2)
+            small = resize_nearest(gray[:, :, None].repeat(3, axis=2),
+                                   g, g)[:, :, 0].astype(np.float32)
+            ids.append(row["image_id"])
+            vecs.append((small / 255.0).ravel())
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "vec_id": pa.array(image_id64(ids), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+
 class AudioFeatureStage:
     """GATED: audio decode requires a media library not present in this
     environment. The actor signature and output schema are the real

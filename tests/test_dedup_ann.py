@@ -878,3 +878,38 @@ def test_winnow_dup_pairs_paths_agree(ray_session, exchange):
     with pytest.raises(Exception, match="max_bucket_docs"):
         winnow_dup_pairs(ds, min_shared=1, exchange=exchange,
                          max_bucket_docs=1)
+
+
+def test_image_feature_stage_feeds_cosine_dedup(ray_session):
+    """The image->embedding bridge: identical pixels give identical
+    64-dim features and the LSH cosine dedup finds exactly that pair;
+    a structurally different image stays unpaired."""
+    import ray
+
+    from frontera_ray.payload import png_encode
+    from frontera_ray.stages.ann import cosine_neardup_lsh
+    from frontera_ray.stages.images import ImageFeatureStage
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+    other = rng.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+    rows = [("img://a", base), ("img://b", base), ("img://c", other)]
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([png_encode(r[1]) for r in rows], pa.binary()),
+        "fmt": pa.array(["png"] * 3, pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    feats = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                           batch_size=8, concurrency=2)
+    ft = pa.concat_tables(list(feats.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    assert len(ft) == 3
+    assert all(len(v) == 64 for v in ft["embedding"].to_pylist())
+    pairs = cosine_neardup_lsh(
+        ray.data.from_arrow(ft), threshold=0.9999).to_pandas()
+    from frontera_ray.stages.images import image_id64
+    ia, ib, ic = (int(x) for x in image_id64(
+        ["img://a", "img://b", "img://c"]))
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert got == {(min(ia, ib), max(ia, ib))}
