@@ -2234,6 +2234,21 @@ def q_chunk_docs(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_span_dedup(sf_dir: str):
+    """Corpus-level repeated-passage removal (RefinedWeb / C4 "remove
+    duplicated lines across documents", over 10-token spans since this
+    corpus has no newline structure): spans appearing in >1 distinct
+    doc are removed from ALL docs, docs reassembled from surviving
+    spans. One hash-shuffle span count, hot set broadcast (bounded by
+    duplicated content), pass-2 rebuild streaming with one pc.is_in."""
+    from frontera_ray.stages.text import span_dedup
+
+    out = span_dedup(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        w=10, max_docs=1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_skew_join_revenue(sf_dir: str):
     """Skew-aware hybrid join (relational.skew_join): lineitem JOIN
     orders where heavy-hitter order keys never enter the all-to-all —
@@ -2872,6 +2887,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cube_revenue": q_cube_revenue,
     "skew_join_revenue": q_skew_join_revenue,
     "chunk_docs": q_chunk_docs,
+    "span_dedup": q_span_dedup,
     "minmax_norm": q_minmax_norm,
     "moving_sum": q_moving_sum,
     "cume_dist": q_cume_dist,
@@ -4078,6 +4094,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1))
                              AS i) t
             ORDER BY doc_id, chunk_id""",
+        "span_dedup": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 tot AS (SELECT doc_id,
+                                CAST(ceil(len(toks) / 10.0) AS BIGINT)
+                                  AS n_spans FROM d),
+                 s AS (SELECT doc_id, i.i AS span_no,
+                              array_to_string(
+                                toks[i.i * 10 + 1 : i.i * 10 + 10], ' ')
+                                AS span
+                       FROM d, LATERAL (SELECT unnest(generate_series(
+                              0, CAST(ceil(len(toks) / 10.0) AS BIGINT)
+                                 - 1)) AS i) i),
+                 hot AS (SELECT span FROM s GROUP BY span
+                         HAVING count(DISTINCT doc_id) > 1),
+                 k AS (SELECT doc_id,
+                              string_agg(span, ' ' ORDER BY span_no)
+                                AS text_clean,
+                              count(*)::BIGINT AS n_kept
+                       FROM s WHERE span NOT IN (SELECT span FROM hot)
+                       GROUP BY doc_id)
+            SELECT k.doc_id, k.text_clean, k.n_kept,
+                   tot.n_spans - k.n_kept AS n_dropped
+            FROM k JOIN tot USING (doc_id)
+            ORDER BY doc_id""",
         "skew_join_revenue": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
                    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT

@@ -954,3 +954,119 @@ def bm25_topk(ds, query_tokens, k: int = 20, k1: float = 1.2,
     return (allp.sort_values(["score_micro", "doc_id"],
                              ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def span_explode_table(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", w: int = 10,
+                       distinct: bool = True) -> pa.Table:
+    """Explode each doc into its non-overlapping ``w``-token spans:
+    (doc_id, span_no, span) rows. Spans are the "lines" of the
+    corpus-level repeated-passage dedup (C4 / RefinedWeb remove
+    duplicated lines & 3-sentence spans; this corpus has no newline
+    structure, so fixed token windows stand in — the operator is
+    separator-agnostic). Token split is SQL-exact ``text.split(' ')``
+    (DuckDB string_split twin); span counts / ids / numbers are
+    vectorized via np.repeat, the join per span is a C-level
+    ``' '.join`` comprehension (same bounded budget as chunk_table —
+    new strings cannot share the source Arrow buffer). With
+    ``distinct=True`` a span repeated WITHIN one doc emits once, so a
+    downstream count over these rows is a distinct-doc count."""
+    texts = batch[text_col].to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    k = np.array([(len(t) + w - 1) // w for t in tok_lists],
+                 dtype=np.int64)
+    rep = np.repeat(np.arange(len(k)), k)
+    span_no = (np.arange(len(rep))
+               - np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k))
+    spans = [" ".join(tok_lists[d][i * w:i * w + w])
+             for d, i in zip(rep, span_no)]
+    t = pa.table({
+        id_col: batch[id_col].take(pa.array(rep)),
+        "span_no": pa.array(span_no, pa.int64()),
+        "span": pa.array(spans, pa.string()),
+    })
+    if distinct:
+        df = t.to_pandas().drop_duplicates(subset=[id_col, "span"])
+        t = pa.Table.from_pandas(df, preserve_index=False)
+    return t
+
+
+def span_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
+               w: int = 10, max_docs: int = 1, hot_cap: int = 2_000_000):
+    """Corpus-level repeated-passage removal (the RefinedWeb /
+    C4 "remove duplicated lines across documents" curation step):
+    every ``w``-token span that appears in MORE than ``max_docs``
+    distinct documents is removed from ALL documents; each doc is
+    reassembled from its surviving spans in order. Returns a streaming
+    Dataset of (doc_id, text_clean, n_kept, n_dropped) — docs whose
+    every span was boilerplate drop out entirely.
+
+    Scale shape: pass 1 explodes (per-doc-distinct) span rows and
+    counts distinct docs per span through ONE hash-shuffle groupby —
+    the exchange carries (span, doc) rows, bounded by corpus token
+    count / w. Only the HOT spans (duplicated content — output-scale
+    by construction, ``hot_cap``-asserted) come back to the driver and
+    broadcast via ray.put; pass 2 re-derives each doc's spans
+    block-locally and filters against the broadcast set with ONE
+    vectorized pc.is_in — no second exchange, no corpus
+    materialization. Comparison is on the exact span STRING (not a
+    hash), so the result is collision-free and SQL-oracle-exact."""
+    import ray
+
+    spans = docs.map_batches(
+        lambda b: span_explode_table(b, text_col, id_col, w),
+        batch_format="pyarrow")
+    counts = spans.groupby("span").count()
+    hot_tbl = pa.concat_tables(list(
+        counts.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], max_docs))
+                       .select(["span"]),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert hot_tbl.num_rows <= hot_cap, (
+        f"hot-span set {hot_tbl.num_rows} exceeds broadcast cap "
+        f"{hot_cap}; raise max_docs or shard the filter set")
+    hot_ref = ray.put(hot_tbl["span"].combine_chunks())
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "text_clean": pa.array([], pa.string()),
+            "n_kept": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        hot = ray.get(hot_ref)
+        ex = span_explode_table(batch, text_col, id_col, w,
+                                distinct=False)
+        if ex.num_rows == 0:
+            return empty
+        drop = pc.is_in(ex["span"], value_set=hot).to_numpy(
+            zero_copy_only=False)
+        ids = ex[id_col].to_numpy()
+        # per-doc segment bounds over the ordered explode rows
+        heads = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1) != 0)
+        n_spans = np.diff(np.append(heads, len(ids)))
+        keep = ~drop
+        n_kept = np.add.reduceat(keep.astype(np.int64), heads)
+        kept_spans = ex["span"].to_pylist()
+        bounds = np.append(heads, len(ids))
+        rows_id, rows_text, rows_k, rows_d = [], [], [], []
+        for seg, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            kk = int(n_kept[seg])
+            if kk == 0:
+                continue
+            rows_id.append(int(ids[lo]))
+            rows_text.append(" ".join(
+                kept_spans[j] for j in range(lo, hi) if keep[j]))
+            rows_k.append(kk)
+            rows_d.append(int(n_spans[seg]) - kk)
+        return pa.table({
+            id_col: pa.array(rows_id, pa.int64()),
+            "text_clean": pa.array(rows_text, pa.string()),
+            "n_kept": pa.array(rows_k, pa.int64()),
+            "n_dropped": pa.array(rows_d, pa.int64()),
+        })
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")

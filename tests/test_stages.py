@@ -1815,3 +1815,34 @@ def test_range_sum_peer_ties_vs_duckdb(ray_session, exchange):
         FROM t ORDER BY rid""").fetchdf()
     assert (out["range_sum"].to_numpy()
             == exp["range_sum"].to_numpy()).all()
+
+
+def test_span_dedup_edges(ray_session):
+    """Corpus span-dedup semantics: a span shared across docs is
+    removed from BOTH; a span repeated only WITHIN one doc stays (both
+    copies); a doc whose every span is boilerplate drops entirely."""
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.text import span_dedup
+
+    w = 3
+    boiler = "click here now"          # one 3-token span
+    uniq_a = "alpha beta gamma"
+    uniq_b = "delta epsilon zeta"
+    rep = "eta theta iota"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"{uniq_a} {boiler}",          # doc 1: keeps uniq_a only
+            f"{boiler} {uniq_b}",          # doc 2: keeps uniq_b only
+            f"{rep} {rep}",                # doc 3: within-doc repeat, kept
+            boiler,                        # doc 4: all boilerplate -> gone
+        ], pa.string()),
+    })
+    out = span_dedup(ray.data.from_arrow(docs), w=w).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["text_clean"].tolist() == [uniq_a, uniq_b, f"{rep} {rep}"]
+    assert out["n_kept"].tolist() == [1, 1, 2]
+    assert out["n_dropped"].tolist() == [1, 1, 0]
