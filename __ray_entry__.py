@@ -1265,6 +1265,32 @@ def q_price_quantiles(sf_dir: str):
     return pd.DataFrame([{f"p{int(q * 100)}": res[q] for q in _PRICE_QS}])
 
 
+_CONT_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_percentile_cont(sf_dir: str):
+    """EXACT interpolated quantiles (SQL PERCENTILE_CONT) of the
+    events value column: the same histogram-bisection machinery as
+    price_quantiles resolves BOTH neighboring order statistics of
+    every q in one shared pass set; the interpolation expression tree
+    is op-matched to the SQL twin so micro-rounded values hash
+    bit-for-bit. Completes the quantile family (bounded-domain
+    histogram / unbounded disc / one-pass sketch / interpolated)."""
+    import math
+
+    import pandas as pd
+    from frontera_ray.stages.relational import percentile_cont_unbounded
+
+    ds = _read(sf_dir, "events").select_columns(["value"])
+    res = percentile_cont_unbounded(ds, "value", list(_CONT_QS))
+    return pd.DataFrame({
+        "q": pd.Series(list(_CONT_QS), dtype="float64"),
+        "value_micro": pd.Series(
+            [int(math.floor(res[q] * 1e6 + 0.5)) for q in _CONT_QS],
+            dtype="int64"),
+    })
+
+
 def _high_value_orders(sf_dir: str):
     import pyarrow.compute as _pc
 
@@ -2913,6 +2939,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
     "dedup_keepers_cc": q_dedup_keepers_cc,
     "price_quantiles": q_price_quantiles,
+    "percentile_cont": q_percentile_cont,
     "unigram_logprob": q_unigram_logprob,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
@@ -4233,6 +4260,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.90) AS p90,
                    quantile_disc(o_totalprice, 0.99) AS p99
             FROM orders""",
+        "percentile_cont": """
+            WITH v AS (SELECT value,
+                              row_number() OVER (ORDER BY value) AS rn
+                       FROM events WHERE value IS NOT NULL),
+                 n AS (SELECT count(*)::BIGINT AS n FROM v),
+                 pos AS (SELECT CAST(q AS DOUBLE) AS q,
+                                CAST(q AS DOUBLE) * (n.n - 1) AS p
+                         FROM (VALUES (0.25), (0.5), (0.9), (0.99))
+                              qs(q), n),
+                 os AS (SELECT pos.q, lo.value AS v_lo, hi.value AS v_hi,
+                               pos.p - floor(pos.p) AS frac
+                        FROM pos
+                        JOIN v lo ON lo.rn
+                             = CAST(floor(pos.p) AS BIGINT) + 1
+                        JOIN v hi ON hi.rn
+                             = CAST(ceil(pos.p) AS BIGINT) + 1)
+            SELECT q, CAST(floor((v_lo + (v_hi - v_lo) * frac) * 1e6
+                                 + 0.5) AS BIGINT) AS value_micro
+            FROM os ORDER BY q""",
         "heavy_hitters": r"""
             WITH tok AS (SELECT UNNEST(regexp_extract_all(text, '\S+'))
                                 AS token FROM documents),

@@ -1159,7 +1159,7 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
 
 def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
                        collect_cap: int = 1 << 16,
-                       max_depth: int = 8) -> dict:
+                       max_depth: int = 8, ranks_fn=None) -> dict:
     """EXACT discrete quantiles (PERCENTILE_DISC semantics: the element
     at 1-based rank ceil(q*n)) of a CONTINUOUS / unbounded column —
     no sort shuffle, no bounded-domain assumption (that case is
@@ -1203,11 +1203,17 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
     hi = float(parts["hi"].to_numpy().max())
     import math
 
-    # DuckDB quantile_disc rank = ceil(q*n), with the same epsilon
-    # guard as grouped_quantile_disc (q*n can land 1 ulp above an
-    # integer in IEEE doubles); verified against DuckDB for n in
-    # {2,3,4,10,1500} x q in {.25,.5,.75,.9,.99}
-    ranks = {q: max(1, int(math.ceil(q * n - 1e-9))) for q in qs}
+    if ranks_fn is not None:
+        # caller supplies arbitrary 1-based ranks keyed however it
+        # likes (percentile_cont needs the floor AND ceil order
+        # statistics of the same q); receives n through the call
+        ranks = ranks_fn(n)
+    else:
+        # DuckDB quantile_disc rank = ceil(q*n), with the same epsilon
+        # guard as grouped_quantile_disc (q*n can land 1 ulp above an
+        # integer in IEEE doubles); verified against DuckDB for n in
+        # {2,3,4,10,1500} x q in {.25,.5,.75,.9,.99}
+        ranks = {q: max(1, int(math.ceil(q * n - 1e-9))) for q in qs}
 
     def rank_in_range(r_lo: float, r_hi: float, ks: dict,
                       depth: int) -> dict:
@@ -1275,7 +1281,51 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
         return out
 
     resolved = rank_in_range(lo, hi, ranks, 0)
+    if ranks_fn is not None:
+        return resolved
     return {q: resolved[q] for q in qs}
+
+
+def percentile_cont_unbounded(ds, col: str, qs, **kw) -> dict:
+    """EXACT interpolated quantiles (SQL PERCENTILE_CONT semantics:
+    pos = q*(n-1) zero-based; linear interpolation between the
+    order statistics at floor(pos) and ceil(pos)) over a continuous /
+    unbounded column — the same three-streaming-pass histogram
+    bisection as ``quantile_unbounded`` (no sort shuffle, no
+    bounded-domain assumption), resolving BOTH neighboring order
+    statistics of every q in ONE shared bisection (shared pass A/B,
+    bins holding two target ranks collect once).
+
+    The interpolation expression tree (pos as a double product, frac
+    = pos - floor(pos), lo + (hi - lo) * frac, left-assoc doubles) is
+    written identically in the SQL oracle, so micro-rounded results
+    hash bit-for-bit. Returns {q: interpolated value} (None on empty
+    input)."""
+    import math
+
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    cell: dict = {}
+
+    def ranks_fn(n: int) -> dict:
+        cell["n"] = n
+        r: dict = {}
+        for q in qs:
+            pos = q * (n - 1)
+            r[(q, "lo")] = int(math.floor(pos)) + 1
+            r[(q, "hi")] = int(math.ceil(pos)) + 1
+        return r
+
+    resolved = quantile_unbounded(ds, col, qs, ranks_fn=ranks_fn, **kw)
+    if "n" not in cell:  # empty input
+        return {q: None for q in qs}
+    n = cell["n"]
+    out: dict = {}
+    for q in qs:
+        pos = q * (n - 1)
+        frac = pos - math.floor(pos)
+        v_lo, v_hi = resolved[(q, "lo")], resolved[(q, "hi")]
+        out[q] = v_lo + (v_hi - v_lo) * frac
+    return out
 
 
 def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
