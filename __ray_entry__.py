@@ -1902,6 +1902,49 @@ def q_cube_revenue(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((region, nation), (nation), ()): the
+    general form of rollup/cube — including the (nation)-only set a
+    ROLLUP prefix chain cannot produce — derived from the same 25-row
+    finest aggregate (relational.grouping_sets_from_finest); base rows
+    are scanned once."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import (broadcast_join,
+                                                grouping_sets_from_finest,
+                                                partial_groupby_agg)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    nr = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.table({"c_nationkey": pa.array(nr["n_nationkey"], pa.int64()),
+                    "n_name": pa.array(nr["n_name"], pa.string()),
+                    "r_name": pa.array(nr["r_name"], pa.string())})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    j1 = broadcast_join(orders, cust, key="c_custkey")
+    j2 = broadcast_join(j1, dim, key="c_nationkey")
+    fin = partial_groupby_agg(j2, ["r_name", "n_name"],
+                              {"n_orders": ("cents", "count"),
+                               "revenue_cents": ("cents", "sum")})
+    out = grouping_sets_from_finest(
+        fin, ["r_name", "n_name"],
+        [("r_name", "n_name"), ("n_name",), ()],
+        ["n_orders", "revenue_cents"])
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic uniform exact-k sample: the 100 documents with
     the smallest md5-hash priority (sampling.hash_u32) — 'ORDER BY
@@ -2911,6 +2954,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_gaps": q_order_gaps,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
+    "grouping_sets": q_grouping_sets,
     "skew_join_revenue": q_skew_join_revenue,
     "chunk_docs": q_chunk_docs,
     "span_dedup": q_span_dedup,
@@ -3760,6 +3804,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM t WHERE prev IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "grouping_sets": """
+            SELECT COALESCE(r_name, '<all>') AS r_name,
+                   COALESCE(n_name, '<all>') AS n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                     AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+            ORDER BY 1, 2""",
         "cube_revenue": """
             SELECT COALESCE(r_name, '<all>') AS r_name,
                    COALESCE(n_name, '<all>') AS n_name,

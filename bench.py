@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "group_corr", "user_entropy", "value_histogram", "stratified_sample",
     "interval_join", "embedding_pca", "winnow_dup", "column_profile",
     "range_window_sum", "bm25_topk", "orders_unpivot", "cdc_merge",
-    "image_embed_neardup", "span_dedup", "percentile_cont",
+    "image_embed_neardup", "span_dedup", "percentile_cont", "grouping_sets",
 ]
 
 CRAWL_HOSTS = 8192

@@ -129,6 +129,41 @@ def cube_from_finest(df, levels, value_cols, all_label: str = "<all>"):
     return out
 
 
+def grouping_sets_from_finest(df, levels, sets, value_cols,
+                              all_label: str = "<all>"):
+    """GROUP BY GROUPING SETS derived from the finest-level aggregate:
+    each requested set (a subset of ``levels``, possibly ()) re-summed
+    from the finest frame, absent label columns set to ``all_label``.
+    The general form of rollup/cube (which are the prefix chain and
+    the full powerset respectively); same scale contract — ``df`` is
+    the small output of a distributed partial aggregate, base rows are
+    never re-scanned, only additive aggregates roll up. A set equal to
+    ``levels`` itself passes ``df`` through unchanged, so the finest
+    rows appear exactly once however the caller orders ``sets``."""
+    import pandas as pd
+
+    levels = list(levels)
+    value_cols = list(value_cols)
+    pieces = []
+    for keep in sets:
+        keep = [c for c in levels if c in set(keep)]  # canonical order
+        if keep == levels:
+            pieces.append(df.copy())
+            continue
+        if keep:
+            g = df.groupby(keep, as_index=False)[value_cols].sum()
+        else:
+            g = df[value_cols].sum().to_frame().T
+        for col in levels:
+            if col not in keep:
+                g[col] = all_label
+        pieces.append(g)
+    out = pd.concat(pieces, ignore_index=True)[list(df.columns)]
+    for c in value_cols:
+        out[c] = out[c].astype(df[c].dtype)
+    return out
+
+
 def per_key_lag_delta(ds, key_col: str, order_col: str,
                       out_col: str = "delta", tiebreak: str | None = None,
                       exchange: str = "groups"):
