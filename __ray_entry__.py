@@ -1902,6 +1902,28 @@ def q_cube_revenue(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+def q_group_skew(sf_dir: str):
+    """Per-group skewness / excess kurtosis of order quantities from
+    EXACT integer power sums (relational.grouped_higher_moments): the
+    distribution-shape profile of a dataset card, no shuffle — only
+    (n, Σx..Σx⁴) registers leave the blocks; the one float step is
+    op-matched to the SQL twin so the micro outputs hash exactly."""
+    from frontera_ray.stages.relational import grouped_higher_moments
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "q": pa.array(batch["l_quantity"].to_numpy()
+                          .astype(np.int64), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = grouped_higher_moments(ds, "l_returnflag", "q")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((region, nation), (nation), ()): the
     general form of rollup/cube — including the (nation)-only set a
@@ -2955,6 +2977,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
+    "group_skew": q_group_skew,
     "skew_join_revenue": q_skew_join_revenue,
     "chunk_docs": q_chunk_docs,
     "span_dedup": q_span_dedup,
@@ -3804,6 +3827,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM t WHERE prev IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "group_skew": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(l_quantity AS HUGEINT) AS x
+                       FROM lineitem),
+                 s AS (SELECT l_returnflag, count(*)::HUGEINT AS n,
+                              sum(x) AS s1, sum(x*x) AS s2,
+                              sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+                       FROM q GROUP BY l_returnflag),
+                 f AS (SELECT l_returnflag, n,
+                              n*s2 - s1*s1 AS b,
+                              n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a,
+                              n*n*n*s4 - 4*n*n*s1*s3
+                                + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS c
+                       FROM s)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN b = 0 THEN 0
+                        ELSE CAST(floor(CAST(a AS DOUBLE)
+                               / (CAST(b AS DOUBLE)
+                                  * sqrt(CAST(b AS DOUBLE)))
+                               * 1e6 + 0.5) AS BIGINT) END AS skew_micro,
+                   CASE WHEN b = 0 THEN 0
+                        ELSE CAST(floor((CAST(c AS DOUBLE)
+                               / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                               - 3.0) * 1e6 + 0.5) AS BIGINT)
+                        END AS kurt_micro
+            FROM f ORDER BY l_returnflag""",
         "grouping_sets": """
             SELECT COALESCE(r_name, '<all>') AS r_name,
                    COALESCE(n_name, '<all>') AS n_name,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "interval_join", "embedding_pca", "winnow_dup", "column_profile",
     "range_window_sum", "bm25_topk", "orders_unpivot", "cdc_merge",
     "image_embed_neardup", "span_dedup", "percentile_cont", "grouping_sets",
+    "group_skew",
 ]
 
 CRAWL_HOSTS = 8192

@@ -507,6 +507,79 @@ def grouped_moments(ds, key_cols, x_col: str, y_col: str):
     return out
 
 
+def grouped_higher_moments(ds, key_cols, x_col: str):
+    """Integer-exact per-group SKEWNESS / excess KURTOSIS via the same
+    no-shuffle combiner as ``grouped_moments``, extended to 3rd/4th
+    power sums: per-block int64 partials of (n, Σx, Σx², Σx³, Σx⁴) per
+    key (block overflow guarded loudly), driver big-int merge, then the
+    exact central-moment numerators
+
+        B = n·Σx² − (Σx)²                      (= n²·m2)
+        A = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³        (= n³·m3)
+        C = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n(Σx)²Σx² − 3(Σx)⁴   (= n⁴·m4)
+
+    in arbitrary-precision ints — the n powers cancel so population
+    skewness = A/B^{3/2} and excess kurtosis = C/B² − 3 exactly. The
+    float step is ONE micro-rounded expression (A/(B·√B), C/(B·B)−3,
+    sqrt is correctly-rounded IEEE) op-matched to the SQL twin, so the
+    int64 outputs hash bit-for-bit. Input must be small-domain int64
+    (x⁴ sums must fit a block's int64 — quantity-like columns; rescale
+    cents upstream). Returns (keys..., n_rows, skew_micro,
+    kurt_micro); a zero-variance group emits 0 for both."""
+    import math
+
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            mx = max(int(np.abs(x).max()), 1)
+            assert len(x) * mx ** 4 < (1 << 62), (
+                f"block 4th-moment overflow risk: {len(x)} rows x "
+                f"max|v|={mx} — rescale the inputs or shrink the block")
+        df = pd.DataFrame({k: batch[k].to_numpy(zero_copy_only=False)
+                           for k in keys})
+        df["n"] = 1
+        x2 = x * x
+        df["s1"], df["s2"] = x, x2
+        df["s3"], df["s4"] = x2 * x, x2 * x2
+        g = df.groupby(keys, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[tuple, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t) == 0:
+            continue
+        kcols = [t[k].to_pylist() for k in keys]
+        cols = [t[c].to_pylist() for c in ("n", "s1", "s2", "s3", "s4")]
+        for i in range(len(t)):
+            kk = tuple(kc[i] for kc in kcols)
+            row = acc.setdefault(kk, [0] * 5)
+            for j in range(5):
+                row[j] += int(cols[j][i])
+    rows = []
+    for kk, (n, s1, s2, s3, s4) in sorted(acc.items()):
+        b = n * s2 - s1 * s1
+        a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        c = (n ** 3 * s4 - 4 * n * n * s1 * s3
+             + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        if b == 0:
+            sk_u = ku_u = 0
+        else:
+            fb, fa, fc = float(b), float(a), float(c)
+            sk_u = math.floor(fa / (fb * math.sqrt(fb)) * 1e6 + 0.5)
+            ku_u = math.floor((fc / (fb * fb) - 3.0) * 1e6 + 0.5)
+        rows.append(list(kk) + [n, sk_u, ku_u])
+    out = pd.DataFrame(rows, columns=keys + ["n_rows", "skew_micro",
+                                             "kurt_micro"])
+    for col in ("n_rows", "skew_micro", "kurt_micro"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
 def per_key_percent_rank(ds, key_col: str, order_col: str,
                          out_col: str = "pr_micro",
                          exchange: str = "groups"):

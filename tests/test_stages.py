@@ -1846,3 +1846,37 @@ def test_span_dedup_edges(ray_session):
     assert out["text_clean"].tolist() == [uniq_a, uniq_b, f"{rep} {rep}"]
     assert out["n_kept"].tolist() == [1, 1, 2]
     assert out["n_dropped"].tolist() == [1, 1, 0]
+
+
+def test_grouped_higher_moments_numpy_parity(ray_session):
+    """The exact-integer skew/kurtosis numerators reduce to the
+    textbook population formulas: compare against a direct numpy
+    computation on small random groups (micro rounding tolerance 1)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.relational import grouped_higher_moments
+
+    rng = np.random.default_rng(7)
+    keys = np.repeat(["a", "b", "c"], 400)
+    vals = np.concatenate([
+        rng.integers(1, 50, 400),        # ~uniform
+        rng.integers(1, 10, 400) ** 2,   # right-skewed
+        np.full(400, 7),                 # zero variance
+    ]).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(vals, pa.int64())})
+    out = grouped_higher_moments(
+        ray.data.from_arrow(t).repartition(5), "k", "x")
+    for _, row in out.iterrows():
+        x = vals[keys == row["k"]].astype(np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        if m2 == 0:
+            assert row["skew_micro"] == 0 and row["kurt_micro"] == 0
+            continue
+        skew = ((x - x.mean()) ** 3).mean() / m2 ** 1.5
+        kurt = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3.0
+        assert abs(row["skew_micro"] - math.floor(skew * 1e6 + 0.5)) <= 1
+        assert abs(row["kurt_micro"] - math.floor(kurt * 1e6 + 0.5)) <= 1
