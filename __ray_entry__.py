@@ -2405,6 +2405,19 @@ def q_kmeans(sf_dir: str):
     return kmeans_fixed(_read(sf_dir, "embeddings"), k=8, iters=2)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs (ann.semantic_dedup_pairs):
+    deterministic k-means (k=8, 1 update round) buckets the embedding
+    space, within-cluster slabbed cosine finds pairs >= 0.4 — all-pairs
+    cost bounded by the cluster size, ONE cluster-keyed exchange ships
+    each embedding once. Oracle = the kmeans CTE recurrence + a
+    same-cluster self-join at the cosine threshold."""
+    from frontera_ray.stages.ann import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(_read(sf_dir, "embeddings"), k=8, iters=1,
+                                threshold=0.4)
+
+
 def q_bigram_pmi(sf_dir: str):
     """Top-20 bigram collocations by PMI (min support 5): one explode
     pass emits unigram + bigram counts together, one groupby exchange,
@@ -2965,6 +2978,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "bigram_pmi": q_bigram_pmi,
     "kmeans": q_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -4506,6 +4520,58 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(d2 * 1000000000) AS BIGINT))::BIGINT
                      AS inertia_nano
             FROM af GROUP BY cl ORDER BY cluster""",
+        # the kmeans recurrence at iters=1 (c0 -> a1 -> c1), then a
+        # same-cluster self-join at the cosine threshold — the SemDeDup
+        # shape: candidate pairs exist ONLY within a cluster
+        "semantic_dedup": """
+            WITH c0 AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[i+1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              WHERE vec_id < 8),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1),
+            m1 AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                       AS c
+              FROM embeddings e JOIN a1 a USING (vec_id),
+                   generate_series(0, 63) AS g(i)
+              GROUP BY a.cl, g.i),
+            c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1
+                     ON m1.cl = c0.cl AND m1.dim = c0.dim),
+            df AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+            af AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM df) WHERE rn = 1)
+            SELECT af1.cl AS cluster, e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                                e2.embedding::DOUBLE[]), 4)
+                     AS sim
+            FROM af af1
+            JOIN af af2 ON af2.cl = af1.cl AND af1.vec_id < af2.vec_id
+            JOIN embeddings e1 ON e1.vec_id = af1.vec_id
+            JOIN embeddings e2 ON e2.vec_id = af2.vec_id
+            WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                         e2.embedding::DOUBLE[]) >= 0.4
+            ORDER BY a, b""",
         # pmi expression mirrors the Ray kernel exactly: all-DOUBLE
         # left-assoc products, one division, floor(ln(x)*1e6 + 0.5)
         "bigram_pmi": r"""

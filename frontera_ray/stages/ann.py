@@ -561,6 +561,63 @@ def label_centroids(ds, label_col: str = "label",
                      "c": pa.array(cs_out, pa.float64())})
 
 
+def kmeans_centroids(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int = 9) -> np.ndarray:
+    """The deterministic k-means recurrence of ``kmeans_fixed``, seeds
+    through ``iters`` centroid updates, returning the k x d centroid
+    matrix (for assignment-consuming pipelines like
+    ``semantic_dedup_pairs``). Same conventions: smallest-``id_col``
+    seeds, round(d2, round_to) before argmin (ties to the smaller
+    cluster id), round(centroid, round_to) after each update, empty
+    clusters keep their previous centroid. One streaming pass per
+    iteration; vectors never visit the driver."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    seed_t = pa.concat_tables(list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
+                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    order = np.argsort(seed_t[id_col].to_numpy())
+    C = _matrix(seed_t.take(pa.array(order)), vec_col).astype(np.float64)
+    assert C.shape[0] == k, f"expected {k} seed vectors, got {C.shape[0]}"
+    d = C.shape[1]
+
+    def make_update(cref):
+        def fn(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            X = _matrix(batch, vec_col).astype(np.float64)
+            d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2)
+                          .sum(axis=2), round_to)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, a, X)
+            cnts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64()))})
+        return fn
+
+    src = ds.select_columns([vec_col])
+    for _ in range(iters):
+        cref = ray.put(C)
+        sums = np.zeros((k, d), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for t in src.map_batches(make_update(cref), batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            cl = t["cluster"].to_numpy()
+            cnts[cl] += t["cnt"].to_numpy()
+            sums[cl] += np.stack(t["s"].to_numpy(zero_copy_only=False))
+        nz = cnts > 0
+        C = C.copy()
+        C[nz] = np.round(sums[nz] / cnts[nz, None], round_to)
+    return C
+
+
 def kmeans_fixed(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
                  vec_col: str = "embedding", round_to: int = 9):
     """Fixed-iteration Lloyd k-means over an embedding column — the
@@ -589,63 +646,31 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
     import pandas as pd
     import ray
 
-    import pyarrow.compute as pc
+    C = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
 
-    seed_t = pa.concat_tables(list(
-        ds.select_columns([id_col, vec_col])
-        .map_batches(lambda b: b.filter(pc.less(b[id_col], k)),
-                     batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)))
-    order = np.argsort(seed_t[id_col].to_numpy())
-    C = _matrix(seed_t.take(pa.array(order)), vec_col).astype(np.float64)
-    assert C.shape[0] == k, f"expected {k} seed vectors, got {C.shape[0]}"
-    d = C.shape[1]
-
-    def make_pass(cref, final: bool):
+    def final_pass(cref):
         def fn(batch: pa.Table) -> pa.Table:
             Cm = ray.get(cref)
             X = _matrix(batch, vec_col).astype(np.float64)
             d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2)
                           .sum(axis=2), round_to)
             a = np.argmin(d2, axis=1)  # first min = smallest cluster id
-            if final:
-                n = np.bincount(a, minlength=k).astype(np.int64)
-                nano = np.round(d2[np.arange(len(a)), a] * 1e9) \
-                    .astype(np.int64)
-                inert = np.zeros(k, np.int64)
-                np.add.at(inert, a, nano)
-                return pa.table({
-                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                    "n": pa.array(n, pa.int64()),
-                    "inertia_nano": pa.array(inert, pa.int64())})
-            sums = np.zeros((k, d), np.float64)
-            np.add.at(sums, a, X)
-            cnts = np.bincount(a, minlength=k).astype(np.int64)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            nano = np.round(d2[np.arange(len(a)), a] * 1e9).astype(np.int64)
+            inert = np.zeros(k, np.int64)
+            np.add.at(inert, a, nano)
             return pa.table({
                 "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                "cnt": pa.array(cnts, pa.int64()),
-                "s": pa.array(list(sums), pa.list_(pa.float64()))})
+                "n": pa.array(n, pa.int64()),
+                "inertia_nano": pa.array(inert, pa.int64())})
         return fn
 
     src = ds.select_columns([vec_col])
-    for _ in range(iters):
-        cref = ray.put(C)
-        sums = np.zeros((k, d), np.float64)
-        cnts = np.zeros(k, np.int64)
-        for t in src.map_batches(make_pass(cref, False),
-                                 batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow", batch_size=None):
-            cl = t["cluster"].to_numpy()
-            cnts[cl] += t["cnt"].to_numpy()
-            sums[cl] += np.stack(t["s"].to_numpy(zero_copy_only=False))
-        nz = cnts > 0
-        C = C.copy()
-        C[nz] = np.round(sums[nz] / cnts[nz, None], round_to)
-
     cref = ray.put(C)
     n_tot = np.zeros(k, np.int64)
     i_tot = np.zeros(k, np.int64)
-    for t in src.map_batches(make_pass(cref, True),
+    for t in src.map_batches(final_pass(cref),
                              batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow", batch_size=None):
         cl = t["cluster"].to_numpy()
@@ -656,6 +681,106 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
         "cluster": np.arange(k, dtype=np.int64)[keep],
         "n": n_tot[keep],
         "inertia_nano": i_tot[keep]})
+
+
+def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
+                         threshold: float = 0.4, id_col: str = "vec_id",
+                         vec_col: str = "embedding", round_to: int = 9,
+                         max_cluster: int = 100_000,
+                         exchange: str = "groups"):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540, public method): cluster the embedding space with
+    the deterministic k-means recurrence (``kmeans_centroids``), then
+    compare vectors ONLY within their cluster — all-pairs cosine is
+    quadratic in the corpus, but quadratic-in-the-CLUSTER is bounded
+    because k scales with the corpus (n/k vectors per cluster by
+    design; SemDeDup uses k ~ n/10^4 at web scale).
+
+    Scale shape: ONE cluster-keyed exchange ships each embedding
+    exactly once (the cosine-LSH payload-amplification lesson); the
+    per-cluster kernel normalizes once and computes the gram matrix in
+    row slabs so peak memory is slab x |cluster|, not |cluster|^2.
+    A loud guard trips when a cluster exceeds ``max_cluster`` (the fix
+    is more clusters, not a bigger box). Driver sees only the pair
+    list.
+
+    Returns Arrow (cluster:int64, a:int64, b:int64, sim:float64) with
+    a < b, round(sim, 4) >= threshold — same sim convention as
+    ``cosine_neardup_pairs`` (hash-stable vs DuckDB
+    list_cosine_similarity, verified max diff ~2e-16).
+    """
+    import ray
+
+    from .relational import keyed_exchange
+
+    C = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        X = _matrix(batch, vec_col).astype(np.float64)
+        d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2)
+                      .sum(axis=2), round_to)
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({"cluster": pa.array(a, pa.int64()),
+                         id_col: batch[id_col], vec_col: batch[vec_col]})
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    EMPTY = pa.table({"cluster": pa.array([], pa.int64()),
+                      "a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+
+    def cluster_pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return EMPTY
+        cl = batch["cluster"].to_numpy()
+        order = np.lexsort((batch[id_col].to_numpy(), cl))
+        batch = batch.take(pa.array(order))
+        cl = cl[order]
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        X = _matrix(batch, vec_col)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Xn = X / nrm
+        starts = np.flatnonzero(np.concatenate(
+            ([True], cl[1:] != cl[:-1])))
+        ends = np.concatenate((starts[1:], [len(cl)]))
+        out_c, out_a, out_b, out_s = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            assert n <= max_cluster, (
+                f"semantic_dedup: cluster {cl[s]} has {n} vectors "
+                f"(> {max_cluster}); raise k so clusters stay bounded")
+            G, gids = Xn[s:e], ids[s:e]
+            slab = max(1, min(n, 8 * 1024 * 1024 // max(8 * n, 1)))
+            for i in range(0, n, slab):
+                S = G[i:i + slab] @ G.T
+                ri, cj = np.nonzero(
+                    (S >= threshold)
+                    & (gids[i:i + slab, None] < gids[None, :]))
+                if len(ri):
+                    out_c.append(np.full(len(ri), cl[s], np.int64))
+                    out_a.append(gids[i:i + slab][ri])
+                    out_b.append(gids[cj])
+                    out_s.append(np.round(S[ri, cj], 4))
+        if not out_c:
+            return EMPTY
+        return pa.table({
+            "cluster": pa.array(np.concatenate(out_c), pa.int64()),
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = list(keyed_exchange(assigned, "cluster", cluster_pairs, exchange)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    out = pa.concat_tables([t.select(EMPTY.column_names) for t in parts]
+                           or [EMPTY])
+    order = np.lexsort((out["b"].to_numpy(), out["a"].to_numpy()))
+    return out.take(pa.array(order))
 
 
 def ridge_fit(ds, x_col: str = "embedding", y_col: str = "y",

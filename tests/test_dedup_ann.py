@@ -239,6 +239,44 @@ def test_cosine_neardup_lsh_recall(ray_session):
         assert abs(s - bsim[(a, b)]) < 2e-4
 
 
+def test_semantic_dedup_matches_clustered_brute(ray_session):
+    """SemDeDup pairs == brute all-pairs cosine >= threshold restricted
+    to same-cluster membership (the SemDeDup contract: cross-cluster
+    near-dups are out of scope by design); cluster guard trips loudly."""
+    import ray
+    from frontera_ray.stages.ann import (cosine_neardup_pairs,
+                                         kmeans_centroids,
+                                         semantic_dedup_pairs)
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 64))
+    rows = [base[i % 30] + 0.3 * rng.standard_normal(64)
+            for i in range(90)]
+    mat = np.stack(rows)
+    t = pa.table({"vec_id": pa.array(range(len(mat)), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = semantic_dedup_pairs(ds, k=4, iters=1, threshold=0.6)
+    # reference: same deterministic centroids -> assignments on the
+    # driver, then full brute pairs filtered to same-cluster
+    C = kmeans_centroids(ds, k=4, iters=1)
+    d2 = np.round(((mat[:, None, :] - C[None, :, :]) ** 2).sum(2), 9)
+    assign = np.argmin(d2, axis=1)
+    brute = cosine_neardup_pairs(ds, threshold=0.6)
+    exp = {(a, b) for a, b in zip(brute["a"].to_pylist(),
+                                  brute["b"].to_pylist())
+           if assign[a] == assign[b]}
+    gp = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert exp and gp == exp
+    # every reported pair's cluster matches the driver assignment
+    for a, c in zip(got["a"].to_pylist(), got["cluster"].to_pylist()):
+        assert assign[a] == c
+    with pytest.raises(Exception, match="raise k"):
+        semantic_dedup_pairs(ds, k=2, iters=1, threshold=0.6,
+                             max_cluster=10).num_rows
+
+
 def test_ngram_jaccard_pairs_matches_brute(ray_session):
     """Integer-exact (inter, union) pairs agree with the ratio-form
     brute oracle at threshold 0.5."""
