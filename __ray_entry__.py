@@ -1414,6 +1414,21 @@ def q_unigram_logprob(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality filter (text.bigram_logprob): per-doc sum of
+    Laplace-smoothed conditional bigram log-probs under the corpus's
+    own bigram LM + keep flag at the mean-logprob cutoff — the
+    word-order-aware step past unigram_logprob toward a perplexity
+    filter. One explode feeds the LM aggregate and the scoring pass;
+    integer micro-units keep the score an order-free sum."""
+    from frontera_ray.stages.text import bigram_logprob
+
+    out = bigram_logprob(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _HH_NUM, _HH_DEN = 330, 10000  # 3.3% support — splits this vocabulary
 
 
@@ -3022,6 +3037,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "price_quantiles": q_price_quantiles,
     "percentile_cont": q_percentile_cont,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
     "hll_distinct": q_hll_distinct,
@@ -4373,6 +4389,33 @@ def oracle_sql() -> dict[str, str]:
                      >= SUM(tf.tf) * -3405000 AS keep
             FROM tf JOIN lp USING (token)
             GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+        # the same LM expression tree as the Ray kernel: one division
+        # (n+1)/(c(w1)+V), ln, round(x*1e6) — the doc score is an
+        # integer sum so grouping order cannot change the hash
+        "bigram_logprob": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents),
+            uni AS (SELECT unnest(l) AS w FROM toks),
+            ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+            v AS (SELECT count(*)::BIGINT AS v FROM ucnt),
+            bi AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                   FROM toks,
+                        LATERAL unnest(generate_series(1, len(l)-1))
+                          AS t(i)),
+            bcnt AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bi
+                     GROUP BY w1, w2),
+            lp AS (SELECT w1, w2,
+                          CAST(round(ln((bcnt.n + 1)::DOUBLE
+                                        / (u.c + v.v)::DOUBLE)
+                                     * 1000000) AS BIGINT) AS lp
+                   FROM bcnt JOIN ucnt u ON u.w = bcnt.w1, v)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(lp.lp)::BIGINT AS logprob_micro,
+                   sum(lp.lp) >= count(*) * -3420000 AS keep
+            FROM bi JOIN lp USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id""",
         "price_quantiles": """
             SELECT quantile_disc(o_totalprice, 0.25) AS p25,
                    quantile_disc(o_totalprice, 0.50) AS p50,

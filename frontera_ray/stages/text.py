@@ -447,6 +447,131 @@ def gram_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
                      "n": pa.array(vc.to_numpy(), pa.int64())})
 
 
+def doc_gram_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc unigram AND adjacent-bigram counts in ONE explode pass
+    (doc_id, gram, tf) — ``gram_count_table`` with doc attribution
+    kept, for per-doc LM scoring. A gram with an embedded space is a
+    bigram (tokens are whitespace-free by the ``\\S+`` tokenizer)."""
+    import pandas as pd
+
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    parent = pc.list_parent_indices(toks).to_numpy()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)[keep]
+    par = parent[keep]
+    doc_ids = batch["doc_id"].to_numpy()
+    frames = [pd.DataFrame({"doc_id": doc_ids[par], "gram": tok})]
+    if len(tok) >= 2:
+        adj = par[1:] == par[:-1]
+        if adj.any():
+            w1 = pd.Series(tok[:-1][adj], dtype=object)
+            w2 = pd.Series(tok[1:][adj], dtype=object)
+            frames.append(pd.DataFrame(
+                {"doc_id": doc_ids[par[:-1][adj]],
+                 "gram": (w1 + " " + w2).to_numpy()}))
+    df = (pd.concat(frames).groupby(["doc_id", "gram"], as_index=False)
+          .size().rename(columns={"size": "tf"}))
+    df["tf"] = df["tf"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bigram_logprob(ds, cut_micro: int = -3_420_000):
+    """Bigram-LM perplexity-style quality score: each document's sum of
+    Laplace-smoothed conditional bigram log-probs under the corpus's
+    OWN bigram LM — ``lp(w2|w1) = ln((c(w1 w2)+1) / (c(w1)+V))`` with
+    V = unigram vocabulary size — plus a keep flag (mean bigram
+    logprob >= cut_micro/1e6). The step up from ``unigram_logprob``
+    toward the CCNet/Gopher perplexity filters: word-ORDER now matters
+    (scrambled text scores far below natural text).
+
+    Distributed shape: ONE explode pass (``doc_gram_table``, pinned)
+    feeds both the corpus LM aggregate (``groupby('gram').sum`` — a
+    vocab + distinct-bigram sized result, << corpus) and the scoring
+    pass. Unigram counts broadcast once (vocabulary-bounded, the same
+    class as ``pmi_top_bigrams``); per-bigram integer micro log-probs
+    are computed streaming over the aggregate and broadcast
+    (distinct-bigram-bounded); the scoring pass is a vectorized
+    gram->lp lookup + run-aware reduceat per doc. Integer micro-units
+    keep the doc score an order-free INTEGER sum (SQL-exact). Docs
+    with < 2 tokens have no bigram evidence and are absent.
+
+    Returns a streaming Dataset (doc_id, n_bigrams, logprob_micro,
+    keep)."""
+    import ray
+
+    import pandas as pd
+
+    dg = ds.map_batches(doc_gram_table, batch_format="pyarrow").materialize()
+    counts = (dg.groupby("gram").sum("tf")
+              .map_batches(lambda b: pa.table({
+                  "gram": b["gram"],
+                  "n": b["sum(tf)"].cast(pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    uni = pa.concat_tables(list(
+        counts.map_batches(
+            lambda b: b.filter(pc.invert(pc.match_substring(b["gram"], " "))),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    v_size = float(len(uni))
+    uni_ref = ray.put(dict(zip(uni["gram"].to_pylist(),
+                               uni["n"].to_pylist())))
+
+    def bigram_lp(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.match_substring(batch["gram"], " "))
+        if len(batch) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "lp": pa.array([], pa.int64())})
+        umap = ray.get(uni_ref)
+        c1 = np.array([umap[g.split(" ", 1)[0]]
+                       for g in batch["gram"].to_pylist()], np.float64)
+        n = batch["n"].to_numpy().astype(np.float64)
+        # expression shape mirrors the SQL twin: one division, ln, *1e6
+        micro = np.round(np.log((n + 1.0) / (c1 + v_size)) * 1e6) \
+            .astype(np.int64)
+        return pa.table({"gram": batch["gram"],
+                         "lp": pa.array(micro, pa.int64())})
+
+    lp_tbl = pa.concat_tables(list(
+        counts.map_batches(bigram_lp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    lp_ref = ray.put(lp_tbl)
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.match_substring(batch["gram"], " "))
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "logprob_micro": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        key = lp_ref.hex()
+        if key not in cache:
+            t = ray.get(lp_ref)
+            cache[key] = (pd.Index(t["gram"].to_pandas()),
+                          t["lp"].to_numpy())
+        index, lps = cache[key]
+        lp = lps[index.get_indexer(batch["gram"].to_pandas())]
+        tfv = batch["tf"].to_numpy()
+        doc = batch["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        d_s, tf_s, lp_s = doc[order], tfv[order], lp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        n_bi = np.add.reduceat(tf_s, starts)
+        lp_sum = np.add.reduceat(tf_s * lp_s, starts)
+        return pa.table({
+            "doc_id": pa.array(d_s[starts], pa.int64()),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "logprob_micro": pa.array(lp_sum, pa.int64()),
+            "keep": pa.array(lp_sum >= n_bi * cut_micro, pa.bool_()),
+        })
+
+    return dg.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def pmi_top_bigrams(ds, k: int = 20, min_count: int = 5,
                     text_col: str = "text"):
     """Top-k bigram collocations by pointwise mutual information:
