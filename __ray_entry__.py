@@ -1825,6 +1825,50 @@ def q_urgent_only_except_all(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_locf_fill(sf_dir: str):
+    """LOCF / forward-fill imputation (relational.per_key_locf):
+    sensor-style carry-forward — each event gets the user's latest
+    'purchase' value (cents) at or before it, -1 before the first
+    observation; SQL's last_value(v IGNORE NULLS) window. One keyed
+    exchange + a run-rebased maximum.accumulate — no per-row Python."""
+    from frontera_ray.stages.relational import per_key_locf
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        is_obs = pc.equal(batch["event_type"], "purchase")
+        v = pa.array(cents, pa.int64(),
+                     mask=~is_obs.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "v": v})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = per_key_locf(ev, "user_id", "ts_us", "v",
+                       out_col="filled_cents", tiebreak="event_id",
+                       sentinel=-1).to_pandas()
+    out = out[["user_id", "event_id", "filled_cents"]]
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def q_gap_fill(sf_dir: str):
+    """Dense hourly resample (relational.gap_fill_counts): per-user
+    event counts for EVERY hour between the user's first and last
+    event, zeros included — the gap-filling step before rolling
+    features. Per-block (user, hour) partials bound the exchange; the
+    dense grid is one global arange scatter, never a generated-series
+    join."""
+    from frontera_ray.stages.relational import gap_fill_counts
+
+    out = gap_fill_counts(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        "user_id", "ts", window_s=3600).to_pandas()
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
 def q_order_gaps(sf_dir: str):
     """LAG window delta (relational.per_key_lag_delta): microseconds
     between each customer's consecutive orders (NULL for the first) —
@@ -3003,6 +3047,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "urgent_low_intersect_all": q_urgent_low_intersect_all,
     "urgent_only_except_all": q_urgent_only_except_all,
     "order_gaps": q_order_gaps,
+    "locf_fill": q_locf_fill,
+    "gap_fill": q_gap_fill,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4416,6 +4462,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.lp) >= count(*) * -3420000 AS keep
             FROM bi JOIN lp USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id""",
+        "locf_fill": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN round(value * 100)::BIGINT
+                              END AS v
+                       FROM events)
+            SELECT user_id, event_id,
+                   COALESCE(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     -1) AS filled_cents
+            FROM e ORDER BY user_id, event_id""",
+        "gap_fill": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
+                       FROM events),
+            span AS (SELECT user_id, min(w) AS mn, max(w) AS mx FROM e
+                     GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS w
+                     FROM span),
+            cnt AS (SELECT user_id, w, count(*)::BIGINT AS n FROM e
+                    GROUP BY user_id, w)
+            SELECT g.user_id, g.w * 3600 AS window_start,
+                   COALESCE(c.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN cnt c USING (user_id, w)
+            ORDER BY 1, 2""",
         "price_quantiles": """
             SELECT quantile_disc(o_totalprice, 0.25) AS p25,
                    quantile_disc(o_totalprice, 0.50) AS p50,

@@ -1056,6 +1056,125 @@ def per_key_validity_intervals(ds, key_col: str, ts_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_locf(ds, key_col: str, order_col: str, val_col: str,
+                 out_col: str = "filled", tiebreak: str | None = None,
+                 sentinel: int = -1, exchange: str = "groups"):
+    """LOCF / forward-fill imputation: each row gets the key's last
+    non-null ``val_col`` at or before it — SQL's
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY o, tb
+    ROWS UNBOUNDED PRECEDING)``; rows before a key's first observation
+    get ``sentinel``. The sparse-observation → dense-feature shape
+    (sensor carry-forward, latest-price attachment). One keyed
+    exchange + one lexsort; the fill is a run-rebased
+    ``np.maximum.accumulate`` over observation indices (indices from
+    earlier keys sit below the run start and are masked), no per-row
+    Python. ``val_col`` must be integer-typed (NULL = missing);
+    ``order_col`` integer (epoch units upstream)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        col = batch[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = ~np.asarray(col.is_null())
+        vals = np.asarray(pc.fill_null(col, 0)).astype(np.int64)
+        sk, sval, svalid = keys[order], vals[order], valid[order]
+        n = len(sk)
+        idx = np.where(svalid, np.arange(n), -1)
+        ff = np.maximum.accumulate(idx)
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        run_start = np.flatnonzero(new_run)[np.cumsum(new_run) - 1]
+        has = ff >= run_start
+        out_vals = np.where(has, sval[np.clip(ff, 0, None)], sentinel)
+        return batch.take(pa.array(order)).append_column(
+            out_col, pa.array(out_vals, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def gap_fill_counts(ds, key_col: str, ts_col: str, window_s: int = 3600,
+                    max_dense_rows: int = 50_000_000,
+                    exchange: str = "groups"):
+    """Dense time-series resample: per-key event counts per tumbling
+    window INCLUDING the empty windows between the key's first and
+    last event — the gap-filling step before rolling features / LOCF
+    (sparse groupby output has no rows for silent hours). Per-block
+    (key, window) partial counts bound the exchange by keys x ACTIVE
+    windows (raw rows never move); the kernel merges partials per run
+    and scatters them into the dense [min..max] grid built by one
+    global arange — no join against a generated series. A loud guard
+    trips if a batch would densify past ``max_dense_rows`` (a key
+    spanning years at second granularity is a pipeline bug, not a
+    reason to spill)."""
+    import pandas as pd
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        win = ts // (window_s * 1_000_000)
+        df = (pd.DataFrame({key_col: batch[key_col].to_numpy(), "w": win})
+              .groupby([key_col, "w"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        return pa.table({key_col: pa.array(df[key_col].to_numpy()),
+                         "w": pa.array(df["w"].to_numpy(), pa.int64()),
+                         "n": pa.array(df["n"].to_numpy(), pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], batch[key_col].type
+                                            if len(batch.schema) else pa.int64()),
+                          "window_start": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        codes = _group_codes(keys)
+        w = batch["w"].to_numpy()
+        n_part = batch["n"].to_numpy()
+        order = np.lexsort((w, codes))
+        sk, sw, sn = codes[order], w[order], n_part[order]
+        # merge same-(key, window) partials
+        new_cell = np.concatenate(([True], (sk[1:] != sk[:-1])
+                                   | (sw[1:] != sw[:-1])))
+        cs = np.flatnonzero(new_cell)
+        mk, mw = sk[cs], sw[cs]
+        mn_ = np.add.reduceat(sn, cs)
+        morig = order[cs]  # a representative row per cell (for key value)
+        # per-key dense spans over the merged cells
+        new_run = np.concatenate(([True], mk[1:] != mk[:-1]))
+        rs = np.flatnonzero(new_run)
+        re_ = np.concatenate((rs[1:], [len(mk)]))
+        mins, maxs = mw[rs], mw[re_ - 1]
+        span = maxs - mins + 1
+        total = int(span.sum())
+        assert total <= max_dense_rows, (
+            f"gap_fill: dense grid of {total} rows exceeds "
+            f"{max_dense_rows}; widen window_s or split the key range")
+        offsets = np.concatenate(([0], np.cumsum(span)[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        # dense window values: one global arange rebased per run
+        base = np.repeat(offsets - mins, span)
+        dense_w = np.arange(total) - base
+        dense_n = np.zeros(total, np.int64)
+        dense_n[offsets[run_id] + (mw - mins[run_id])] = mn_
+        key_vals = batch[key_col].take(pa.array(morig[rs]))
+        dense_keys = key_vals.take(pa.array(np.repeat(
+            np.arange(len(rs)), span)))
+        return pa.table({key_col: dense_keys,
+                         "window_start": pa.array(dense_w * window_s,
+                                                  pa.int64()),
+                         "n": pa.array(dense_n, pa.int64())})
+
+    return keyed_exchange(ds.map_batches(pre, batch_format="pyarrow"),
+                          key_col, kern, exchange)
+
+
 def grouped_mad(ds, key_col: str, value_col: str, scale: int = 1):
     """Exact per-group MEDIAN ABSOLUTE DEVIATION (PERCENTILE_DISC
     semantics at both levels) — the robust dispersion statistic an

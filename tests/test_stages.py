@@ -931,6 +931,48 @@ def test_per_key_lag_delta_runs(ray_session):
     assert got == {0: None, 2: 0, 1: 30, 3: None, 4: 2}
 
 
+def test_per_key_locf_edges(ray_session):
+    """Forward fill: sentinel before a key's first observation, carry
+    across nulls, all-null keys stay sentinel, no cross-key leakage
+    (an earlier key's observation must not fill a later key)."""
+    import ray
+
+    from frontera_ray.stages.relational import per_key_locf
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                  "o": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+                  "v": pa.array([None, 7, None, None, None, 5],
+                                pa.int64())})
+    out = (per_key_locf(ray.data.from_arrow(t).repartition(2), "k", "o",
+                        "v", sentinel=-1).to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    assert out["filled"].tolist() == [-1, 7, 7, -1, -1, 5]
+
+
+def test_gap_fill_counts_dense(ray_session):
+    """Every window between a key's min and max appears (zeros
+    included); counts merge partials across blocks; the dense-rows
+    guard trips loudly."""
+    import pytest
+    import ray
+
+    from frontera_ray.stages.relational import gap_fill_counts
+
+    us = 1_000_000
+    t = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array([0 * us, 0 * us, 7200 * us * 1,
+                                  3600 * us], pa.timestamp("us"))})
+    out = (gap_fill_counts(ray.data.from_arrow(t).repartition(3),
+                           "k", "ts", window_s=3600).to_pandas()
+           .sort_values(["k", "window_start"]).reset_index(drop=True))
+    assert out[out.k == 1]["n"].tolist() == [2, 0, 1]
+    assert out[out.k == 1]["window_start"].tolist() == [0, 3600, 7200]
+    assert out[out.k == 2]["n"].tolist() == [1]
+    with pytest.raises(Exception, match="dense grid"):
+        gap_fill_counts(ray.data.from_arrow(t), "k", "ts",
+                        window_s=3600, max_dense_rows=2).to_pandas()
+
+
 def test_transition_counts_pairs(ray_session):
     """Consecutive per-key pairs only — no cross-key pair, counts
     summed globally."""
