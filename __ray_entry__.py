@@ -1869,6 +1869,34 @@ def q_gap_fill(sf_dir: str):
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_windowed_dedup(sf_dir: str):
+    """Time-windowed duplicate suppression (relational.windowed_dedup):
+    drop an event when the same (user, event_type) fired within the
+    previous 10 minutes — the at-least-once-ingest / retry dedup where
+    a key becomes legitimate again after the TTL. The nearest earlier
+    row is the sorted predecessor, so the keep rule is one run-aware
+    diff; oracle = NOT EXISTS an earlier same-key row within the
+    window."""
+    from frontera_ray.stages.relational import windowed_dedup
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            batch["event_type"], "|")
+        return pa.table({
+            "key": key,
+            "event_id": batch["event_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = windowed_dedup(ev, "key", "ts_us", window_us=600 * 1_000_000,
+                         tiebreak="event_id").to_pandas()
+    out = out[["event_id"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_order_gaps(sf_dir: str):
     """LAG window delta (relational.per_key_lag_delta): microseconds
     between each customer's consecutive orders (NULL for the first) —
@@ -3049,6 +3077,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_gaps": q_order_gaps,
     "locf_fill": q_locf_fill,
     "gap_fill": q_gap_fill,
+    "windowed_dedup": q_windowed_dedup,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4462,6 +4491,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.lp) >= count(*) * -3420000 AS keep
             FROM bi JOIN lp USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id""",
+        "windowed_dedup": """
+            WITH e AS (SELECT user_id, event_type, event_id,
+                              epoch_us(ts) AS tus
+                       FROM events)
+            SELECT event_id FROM e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e p
+                WHERE p.user_id = e.user_id
+                  AND p.event_type = e.event_type
+                  AND (p.tus < e.tus
+                       OR (p.tus = e.tus AND p.event_id < e.event_id))
+                  AND e.tus - p.tus <= 600 * 1000000)
+            ORDER BY event_id""",
         "locf_fill": """
             WITH e AS (SELECT user_id, event_id, ts,
                               CASE WHEN event_type = 'purchase'

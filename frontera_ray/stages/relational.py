@@ -1175,6 +1175,39 @@ def gap_fill_counts(ds, key_col: str, ts_col: str, window_s: int = 3600,
                           key_col, kern, exchange)
 
 
+def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
+                   tiebreak: str | None = None, exchange: str = "groups"):
+    """Time-windowed duplicate suppression: keep a row iff NO earlier
+    row with the same key lies within ``window_us`` of it — the
+    telemetry / retry / at-least-once-ingest dedup shape where only
+    repeats inside a TTL window count as duplicates (unlike exact
+    dedup, the same key is legitimate again once the window passes).
+    "Earlier" is total-ordered by (ts, tiebreak). One keyed exchange +
+    one lexsort; the nearest earlier row is the sorted predecessor, so
+    the keep mask is a run-aware ``np.diff`` against the window — no
+    self-join. ``ts_col`` must be integer epoch-us upstream."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ts, keys))
+        else:
+            order = np.lexsort((ts, keys))
+        sk, st = keys[order], ts[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        gap = np.empty(len(st), np.int64)
+        gap[0] = 0
+        gap[1:] = st[1:] - st[:-1]
+        keep = new_run | (gap > window_us)
+        return batch.take(pa.array(order[keep]))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def grouped_mad(ds, key_col: str, value_col: str, scale: int = 1):
     """Exact per-group MEDIAN ABSOLUTE DEVIATION (PERCENTILE_DISC
     semantics at both levels) — the robust dispersion statistic an

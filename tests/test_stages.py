@@ -973,6 +973,24 @@ def test_gap_fill_counts_dense(ray_session):
                         window_s=3600, max_dense_rows=2).to_pandas()
 
 
+def test_windowed_dedup_ttl(ray_session):
+    """Duplicates inside the window drop even when the predecessor was
+    itself dropped; a key is legitimate again once the window passes;
+    ties keep only the smallest tiebreak."""
+    import ray
+
+    from frontera_ray.stages.relational import windowed_dedup
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "a", "b", "b"]),
+                  "ts": pa.array([0, 5, 9, 20, 0, 0], pa.int64()),
+                  "id": pa.array(range(6), pa.int64())})
+    # W=6: a@0 keep, a@5 drop (0 within 6), a@9 drop (5 within 6 even
+    # though 5 was dropped), a@20 keep (gap 11); b ties at 0 -> id 4 only
+    out = windowed_dedup(ray.data.from_arrow(t).repartition(2),
+                         "k", "ts", window_us=6, tiebreak="id").to_pandas()
+    assert sorted(out["id"].tolist()) == [0, 3, 4]
+
+
 def test_transition_counts_pairs(ray_session):
     """Consecutive per-key pairs only — no cross-key pair, counts
     summed globally."""
