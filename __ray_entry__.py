@@ -1429,6 +1429,18 @@ def q_bigram_logprob(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_tokenize_ids(sf_dir: str):
+    """Corpus word-level tokenizer (text.tokenize_ids): frequency-
+    ranked vocabulary ids (count desc, token asc) + every doc encoded
+    as ordered (doc_id, pos, token_id) rows — the text-to-tensor
+    bridge. One position-preserving explode feeds the vocab aggregate
+    and, broadcast back, the streaming encode."""
+    from frontera_ray.stages.text import tokenize_ids
+
+    return tokenize_ids(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 _HH_NUM, _HH_DEN = 330, 10000  # 3.3% support — splits this vocabulary
 
 
@@ -3113,6 +3125,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "percentile_cont": q_percentile_cont,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "tokenize_ids": q_tokenize_ids,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
     "hll_distinct": q_hll_distinct,
@@ -4491,6 +4504,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.lp) >= count(*) * -3420000 AS keep
             FROM bi JOIN lp USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id""",
+        "tokenize_ids": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(l) AS token,
+                           unnest(generate_series(0, len(l) - 1)) AS pos
+                    FROM toks),
+            cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok
+                    GROUP BY token),
+            vocab AS (SELECT token,
+                             row_number() OVER (ORDER BY c DESC, token)
+                               - 1 AS tid
+                      FROM cnt)
+            SELECT t.doc_id, t.pos, v.tid AS token_id
+            FROM tok t JOIN vocab v USING (token)
+            ORDER BY doc_id, pos""",
         "windowed_dedup": """
             WITH e AS (SELECT user_id, event_type, event_id,
                               epoch_us(ts) AS tus

@@ -447,6 +447,79 @@ def gram_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
                      "n": pa.array(vc.to_numpy(), pa.int64())})
 
 
+def token_pos_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Explode docs into ordered (doc_id, pos, token) rows — the
+    position-preserving explode (``term_freq_table`` drops order).
+    pos is 0-based within the doc; vectorized Arrow whitespace split,
+    positions from one global arange rebased at parent-run starts."""
+    toks = pc.utf8_split_whitespace(batch[text_col])
+    parent = pc.list_parent_indices(toks).to_numpy()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok = flat.to_numpy(zero_copy_only=False)[keep]
+    par = parent[keep]
+    if len(par):
+        new_run = np.concatenate(([True], par[1:] != par[:-1]))
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(len(par)) - starts[np.cumsum(new_run) - 1]
+    else:
+        pos = np.array([], np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"].take(pa.array(par)),
+        "pos": pa.array(pos, pa.int64()),
+        "token": pa.array(tok, pa.string())})
+
+
+def tokenize_ids(ds, text_col: str = "text"):
+    """Corpus tokenizer: build the vocabulary (ids by count desc, token
+    asc ties — the frequency-ranked id assignment of a word-level
+    tokenizer) and encode every document as (doc_id, pos, token_id)
+    rows — the text → training-tensor bridge (long format; framing to
+    list<int> per doc is a downstream ``concat_groups``-style fold).
+
+    Distributed shape: ONE position-preserving explode
+    (``token_pos_table``, pinned) feeds both the vocabulary count
+    aggregate (``groupby('token')`` hash shuffle, vocabulary-sized
+    result) and — broadcast back via ``ray.put`` + per-worker cached
+    pandas index — the streaming encode pass. The ranking of the tiny
+    vocab table is a driver-side lexsort. Returns a streaming Dataset
+    (doc_id, pos, token_id)."""
+    import ray
+
+    import pandas as pd
+
+    tp = ds.map_batches(token_pos_table, batch_format="pyarrow").materialize()
+    cnt_tbl = pa.concat_tables(
+        list(tp.groupby("token").count()
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    toks = cnt_tbl["token"].to_numpy(zero_copy_only=False)
+    cnts = cnt_tbl["count()"].to_numpy().astype(np.int64)
+    order = np.lexsort((toks, -cnts))
+    tid = np.empty(len(order), np.int64)
+    tid[order] = np.arange(len(order))
+    vocab_ref = ray.put(pa.table({"token": pa.array(toks, pa.string()),
+                                  "tid": pa.array(tid, pa.int64())}))
+    cache: dict = {}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token_id": pa.array([], pa.int64())})
+        key = vocab_ref.hex()
+        if key not in cache:
+            v = ray.get(vocab_ref)
+            cache[key] = (pd.Index(v["token"].to_pandas()),
+                          v["tid"].to_numpy())
+        index, tids = cache[key]
+        ids = tids[index.get_indexer(batch["token"].to_pandas())]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pos": batch["pos"],
+                         "token_id": pa.array(ids, pa.int64())})
+
+    return tp.map_batches(encode, batch_format="pyarrow")
+
+
 def doc_gram_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc unigram AND adjacent-bigram counts in ONE explode pass
     (doc_id, gram, tf) — ``gram_count_table`` with doc attribution
