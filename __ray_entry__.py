@@ -2781,6 +2781,30 @@ def q_group_corr(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_corr_matrix(sf_dir: str):
+    """Pairwise correlation matrix (relational.corr_matrix): all
+    pairwise Pearson correlations of (quantity, discount%, tax%) in
+    ONE streaming register pass — the feature-redundancy profile of a
+    dataset card. Integer registers, no shuffle; SQL corr() parity at
+    micro rounding."""
+    from frontera_ray.stages.relational import corr_matrix
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_quantity", "l_discount", "l_tax"])
+          .map_batches(lambda b: pa.table({
+              "qty": pa.array(np.round(b["l_quantity"].to_numpy())
+                              .astype(np.int64), pa.int64()),
+              "disc_pct": pa.array(
+                  np.round(b["l_discount"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+              "tax_pct": pa.array(
+                  np.round(b["l_tax"].to_numpy() * 100)
+                  .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    out = corr_matrix(li, ["qty", "disc_pct", "tax_pct"])
+    return out.sort_values(["col_x", "col_y"]).reset_index(drop=True)
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix
     (relational.grouped_entropy) — the bot-detection / behavioral-
@@ -3126,6 +3150,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "tokenize_ids": q_tokenize_ids,
+    "corr_matrix": q_corr_matrix,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
     "hll_distinct": q_hll_distinct,
@@ -4504,6 +4529,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(lp.lp) >= count(*) * -3420000 AS keep
             FROM bi JOIN lp USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id""",
+        "corr_matrix": """
+            WITH v AS (SELECT round(l_quantity)::BIGINT AS qty,
+                              round(l_discount * 100)::BIGINT AS disc_pct,
+                              round(l_tax * 100)::BIGINT AS tax_pct
+                       FROM lineitem)
+            SELECT 'qty' AS col_x, 'disc_pct' AS col_y,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(round(corr(qty, disc_pct) * 1000000) AS BIGINT)
+                     AS corr_micro FROM v
+            UNION ALL
+            SELECT 'qty', 'tax_pct', count(*)::BIGINT,
+                   CAST(round(corr(qty, tax_pct) * 1000000) AS BIGINT)
+            FROM v
+            UNION ALL
+            SELECT 'disc_pct', 'tax_pct', count(*)::BIGINT,
+                   CAST(round(corr(disc_pct, tax_pct) * 1000000) AS BIGINT)
+            FROM v
+            ORDER BY col_x, col_y""",
         "tokenize_ids": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS l

@@ -1208,6 +1208,66 @@ def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def corr_matrix(ds, cols: list[str]):
+    """Pairwise Pearson correlation matrix over k integer feature
+    columns in ONE streaming pass — the feature-redundancy /
+    leakage-screen profile of a dataset card, generalizing
+    ``grouped_moments`` to all k(k-1)/2 pairs at once. Each block
+    ships one register row (n, Σx per column, Σx_i·x_j per pair — all
+    int64, with a loud per-block overflow guard); the driver sums the
+    handful of rows and finalizes
+    ``corr = cov_num / sqrt(var_x_num * var_y_num)`` (the sample-size
+    factors cancel), micro-rounded. Numerators must fit float64
+    exactly (< 2^53) for SQL corr() parity — scale the inputs down,
+    not up. Returns pandas (col_x, col_y, n_rows, corr_micro),
+    pairs in column-list order."""
+    import math
+
+    import pandas as pd
+
+    k = len(cols)
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"r": pa.array([], pa.list_(pa.int64()))})
+        X = np.stack([batch[c].to_numpy().astype(np.int64) for c in cols])
+        mx = np.abs(X).max(axis=1).astype(np.float64)
+        mx[mx == 0] = 1.0
+        for i, j in pairs:
+            assert len(batch) * mx[i] * mx[j] < 2 ** 62, (
+                f"corr_matrix: block cross-product sum for "
+                f"({cols[i]}, {cols[j]}) may overflow int64; scale the "
+                f"inputs down or shrink blocks")
+        reg = np.concatenate((
+            [len(batch)], X.sum(axis=1),
+            [(X[i] * X[j]).sum() for i, j in pairs]))
+        return pa.table({"r": pa.array([reg], pa.list_(pa.int64()))})
+
+    acc = None
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["r"].to_pylist():
+            arr = np.asarray(row, dtype=np.int64)
+            acc = arr if acc is None else acc + arr
+    if acc is None:
+        raise ValueError("corr_matrix: empty input")
+    n = int(acc[0])
+    s = acc[1:1 + k]
+    xy = {p: int(v) for p, v in zip(pairs, acc[1 + k:])}
+    var_num = {i: n * xy[(i, i)] - int(s[i]) * int(s[i]) for i in range(k)}
+    out = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = n * xy[(i, j)] - int(s[i]) * int(s[j])
+            vx, vy = var_num[i], var_num[j]
+            micro = (int(round(cov / math.sqrt(vx * vy) * 1e6))
+                     if vx > 0 and vy > 0 else 0)
+            out.append((cols[i], cols[j], n, micro))
+    return pd.DataFrame(out, columns=["col_x", "col_y", "n_rows",
+                                      "corr_micro"])
+
+
 def grouped_mad(ds, key_col: str, value_col: str, scale: int = 1):
     """Exact per-group MEDIAN ABSOLUTE DEVIATION (PERCENTILE_DISC
     semantics at both levels) — the robust dispersion statistic an
