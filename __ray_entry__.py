@@ -2517,6 +2517,18 @@ def q_semantic_dedup(sf_dir: str):
                                 threshold=0.4)
 
 
+def q_knn_join(sf_dir: str):
+    """k=1 kNN self-join over banded-LSH candidates (ann.knn_join_lsh):
+    every embedding's best cosine match among vectors sharing any band
+    bucket — the contrastive-pair-mining shape. One bucket-keyed
+    exchange + a slim per-vector winner reduce; oracle recomputes the
+    sign-bit codes and picks the per-vector argmax over the banded
+    candidate property."""
+    from frontera_ray.stages.ann import knn_join_lsh
+
+    return knn_join_lsh(_read(sf_dir, "embeddings"))
+
+
 def q_bigram_pmi(sf_dir: str):
     """Top-20 bigram collocations by PMI (min support 5): one explode
     pass emits unigram + bigram counts together, one groupby exchange,
@@ -3102,6 +3114,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_pmi": q_bigram_pmi,
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "knn_join": q_knn_join,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -3237,6 +3250,42 @@ def _cosine_lsh_oracle() -> str:
           AND list_cosine_similarity(x.embedding::DOUBLE[],
                                      y.embedding::DOUBLE[]) >= 0.6
         ORDER BY a, b"""
+
+
+def _knn_join_oracle() -> str:
+    """Exact SQL twin of knn_join_lsh (bits=16, bands=8, seed 42):
+    candidates = ordered pairs sharing ANY band's 2 sign bits; winner
+    per vector by (round(sim, 9) DESC, neighbor id ASC) — the same
+    deterministic rank the Ray reduce uses; output sim re-rounded to 4
+    from the 9-rounded ranking value (op-matching the Ray side)."""
+    from frontera_ray.stages.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 16, 42)
+    bit_cols = ",\n                   ".join(
+        f"(list_dot_product(embedding::DOUBLE[], "
+        f"{_plane_literal(planes[j])}) > 0) AS s{j}"
+        for j in range(16))
+    bands = " OR ".join(
+        f"(x.s{2 * b} = y.s{2 * b} AND x.s{2 * b + 1} = y.s{2 * b + 1})"
+        for b in range(8))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {bit_cols}
+            FROM embeddings),
+        cand AS (
+            SELECT x.vec_id AS a, y.vec_id AS nbr,
+                   round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                                y.embedding::DOUBLE[]), 9)
+                     AS sim_r9
+            FROM b x JOIN b y ON x.vec_id <> y.vec_id
+            WHERE ({bands})),
+        ranked AS (
+            SELECT a, nbr, sim_r9, row_number() OVER (
+                PARTITION BY a ORDER BY sim_r9 DESC, nbr) AS rn
+            FROM cand)
+        SELECT a AS vec_id, nbr AS nbr_id, round(sim_r9, 4) AS sim
+        FROM ranked WHERE rn = 1 ORDER BY vec_id"""
 
 
 def _ann_lsh_oracle() -> str:
@@ -3831,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100 * inter_size >= 50 * (sa.n + sb.n - inter_size)
             ORDER BY a, b""",
         "cosine_neardup_lsh": _cosine_lsh_oracle(),
+        "knn_join": _knn_join_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),

@@ -783,6 +783,111 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
     return out.take(pa.array(order))
 
 
+def knn_join_lsh(ds, bits: int = 16, bands: int = 8, dim: int = 64,
+                 seed: int = 42, exchange: str = "groups"):
+    """Per-vector nearest neighbor (k=1 kNN self-join) over banded
+    LSH candidates — the contrastive-pair-mining / nearest-duplicate
+    attribution shape: every vector gets its best cosine match among
+    vectors sharing ANY band bucket (vectors alone in all their
+    buckets have no candidate and are absent — the recall s-curve of
+    ``cosine_neardup_lsh`` applies).
+
+    Scale shape: band rows through ONE bucket-keyed exchange; each
+    bucket run computes its gram matrix once and emits ONE partial
+    winner per (vector, bucket); a second slim exchange (vec_id keyed,
+    24 B rows — at most ``bands`` per vector) reduces partials to the
+    global winner by (round(sim, 9) desc, neighbor id asc). Returns
+    Arrow (vec_id, nbr_id, sim) with round(sim, 4)."""
+    from .dedup import _bucket_runs, _first_per_bucket_doc
+    from .relational import per_key_topk
+
+    assert bits % bands == 0
+    r = bits // bands
+    planes = _hyperplanes(dim, bits, seed)
+    weights = np.left_shift(np.int64(1), np.arange(r, dtype=np.int64))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"],
+                             "bucket_key": pa.array([], pa.int64())})
+        emb = _matrix(batch)
+        bitsm = ((emb @ planes.T) > 0).astype(np.int64)
+        keys = np.empty((len(batch), bands), dtype=np.int64)
+        for band in range(bands):
+            code = bitsm[:, band * r:(band + 1) * r] @ weights
+            keys[:, band] = (np.int64(band) << np.int64(48)) | code
+        rep = np.repeat(np.arange(len(batch)), bands)
+        sel = batch.select(["vec_id", "embedding"]).take(
+            pa.array(rep, pa.int64()))
+        return sel.append_column("bucket_key",
+                                 pa.array(keys.ravel(), pa.int64()))
+
+    EMPTY = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "nbr": pa.array([], pa.int64()),
+                      "sim_r9": pa.array([], pa.float64())})
+
+    def bucket_best(batch: pa.Table) -> pa.Table:
+        key = batch["bucket_key"].to_numpy()
+        if len(key) == 0:
+            return EMPTY
+        batch = batch.take(pa.array(_first_per_bucket_doc(
+            key, batch["vec_id"].to_numpy())))
+        key = batch["bucket_key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = batch["vec_id"].to_numpy()[order].astype(np.int64)
+        emb = _matrix(batch.take(pa.array(order)))
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        nemb = emb / nrm
+        out_v, out_n, out_s = [], [], []
+        for s, e in _bucket_runs(key):
+            m = e - s
+            if m < 2:
+                continue
+            sub, sid = nemb[s:e], ids[s:e]
+            # order by id so the row-wise argmax tie-breaks to the
+            # SMALLER neighbor id (np.argmax returns the first max)
+            io = np.argsort(sid, kind="stable")
+            sub, sid = sub[io], sid[io]
+            ch = max(1, 8_000_000 // m)
+            for i0 in range(0, m, ch):
+                i1 = min(i0 + ch, m)
+                block = np.round(sub[i0:i1] @ sub.T, 9)
+                rows = np.arange(i0, i1)
+                block[np.arange(i1 - i0), rows] = -np.inf  # mask self
+                best = np.argmax(block, axis=1)
+                out_v.append(sid[rows])
+                out_n.append(sid[best])
+                out_s.append(block[np.arange(i1 - i0), best])
+        if not out_v:
+            return EMPTY
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "nbr": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim_r9": pa.array(np.concatenate(out_s), pa.float64())})
+
+    from .relational import keyed_exchange
+
+    partials = keyed_exchange(
+        ds.select_columns(["vec_id", "embedding"]).map_batches(
+            band_rows, batch_format="pyarrow"),
+        "bucket_key", bucket_best, exchange)
+    best = per_key_topk(partials, "vec_id", "sim_r9", k=1,
+                        descending=True, tiebreak="nbr")
+    t = pa.concat_tables([b.select(["vec_id", "nbr", "sim_r9"])
+                          for b in best.iter_batches(
+                              batch_format="pyarrow", batch_size=None)]
+                         or [EMPTY])
+    order = np.argsort(t["vec_id"].to_numpy())
+    t = t.take(pa.array(order))
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "nbr_id": t["nbr"],
+        "sim": pa.array(np.round(t["sim_r9"].to_numpy(), 4), pa.float64())})
+
+
 def ridge_fit(ds, x_col: str = "embedding", y_col: str = "y",
               l2: float = 1e-3):
     """Distributed RIDGE regression via normal equations — the
