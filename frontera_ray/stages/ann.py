@@ -713,7 +713,10 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
 
     from .relational import keyed_exchange
 
-    C = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+    # pin (vec_id, embedding) once: the centroid passes and the
+    # assignment pass otherwise re-run the read lineage per pass
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    C = kmeans_centroids(src, k=k, iters=iters, id_col=id_col,
                          vec_col=vec_col, round_to=round_to)
     cref = ray.put(C)
 
@@ -726,8 +729,7 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
         return pa.table({"cluster": pa.array(a, pa.int64()),
                          id_col: batch[id_col], vec_col: batch[vec_col]})
 
-    assigned = ds.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pyarrow")
+    assigned = src.map_batches(assign, batch_format="pyarrow")
 
     EMPTY = pa.table({"cluster": pa.array([], pa.int64()),
                       "a": pa.array([], pa.int64()),
