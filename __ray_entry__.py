@@ -1881,6 +1881,61 @@ def q_gap_fill(sf_dir: str):
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_twap(sf_dir: str):
+    """Time-weighted average components per user
+    (relational.per_key_time_weighted): each event's value (cents)
+    weighted by how long it held until the next event (ms gaps) — the
+    TWAP / state-duration aggregate behind pricing and dwell-time
+    features. Integer-exact (n_gaps, wsum, dur) so the oracle hashes
+    bit-for-bit; the mean is wsum/dur downstream."""
+    from frontera_ray.stages.relational import per_key_time_weighted
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(np.round(batch["value"].to_numpy() * 100)
+                              .astype(np.int64), pa.int64())})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = per_key_time_weighted(ev, "user_id", "ts_us", "cents",
+                                tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_decile_bins(sf_dir: str):
+    """Quantile-bucket feature discretization: exact decile cutpoints
+    from the histogram-bisection quantile pass (no sort shuffle), then
+    ONE streaming searchsorted pass bins every order and a combiner
+    aggregate profiles each bin — the feature-binning / calibration
+    shape. Oracle = quantile_disc cutpoints + a sum-of-comparisons
+    bin expression."""
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                quantile_unbounded)
+
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    orders = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+    cuts_map = quantile_unbounded(orders, "o_totalprice", qs)
+    cuts = np.array([cuts_map[q] for q in qs], np.float64)
+
+    def binify(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy()
+        return pa.table({
+            "bin": pa.array(np.searchsorted(cuts, v, side="right")
+                            .astype(np.int64), pa.int64()),
+            "cents": pa.array(np.round(v * 100).astype(np.int64),
+                              pa.int64())})
+
+    out = partial_groupby_agg(
+        orders.map_batches(binify, batch_format="pyarrow"), ["bin"],
+        {"n": ("cents", "count"), "lo_cents": ("cents", "min"),
+         "hi_cents": ("cents", "max")})
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def q_windowed_dedup(sf_dir: str):
     """Time-windowed duplicate suppression (relational.windowed_dedup):
     drop an event when the same (user, event_type) fired within the
@@ -3127,6 +3182,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "locf_fill": q_locf_fill,
     "gap_fill": q_gap_fill,
     "windowed_dedup": q_windowed_dedup,
+    "twap": q_twap,
+    "decile_bins": q_decile_bins,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4613,6 +4670,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, v.tid AS token_id
             FROM tok t JOIN vocab v USING (token)
             ORDER BY doc_id, pos""",
+        "twap": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                              round(value * 100)::BIGINT AS cents
+                       FROM events),
+            w AS (SELECT user_id, cents, tus,
+                         lead(tus) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS nxt
+                  FROM e)
+            SELECT user_id, count(*)::BIGINT AS n_gaps,
+                   sum(cents * ((nxt - tus) // 1000))::BIGINT AS wsum,
+                   sum((nxt - tus) // 1000)::BIGINT AS dur
+            FROM w WHERE nxt IS NOT NULL
+            GROUP BY user_id ORDER BY user_id""",
+        "decile_bins": """
+            WITH c AS (SELECT quantile_disc(o_totalprice, 0.1) AS c1,
+                              quantile_disc(o_totalprice, 0.2) AS c2,
+                              quantile_disc(o_totalprice, 0.3) AS c3,
+                              quantile_disc(o_totalprice, 0.4) AS c4,
+                              quantile_disc(o_totalprice, 0.5) AS c5,
+                              quantile_disc(o_totalprice, 0.6) AS c6,
+                              quantile_disc(o_totalprice, 0.7) AS c7,
+                              quantile_disc(o_totalprice, 0.8) AS c8,
+                              quantile_disc(o_totalprice, 0.9) AS c9
+                       FROM orders)
+            SELECT ((o_totalprice >= c1)::INT + (o_totalprice >= c2)::INT
+                    + (o_totalprice >= c3)::INT + (o_totalprice >= c4)::INT
+                    + (o_totalprice >= c5)::INT + (o_totalprice >= c6)::INT
+                    + (o_totalprice >= c7)::INT + (o_totalprice >= c8)::INT
+                    + (o_totalprice >= c9)::INT)::BIGINT AS bin,
+                   count(*)::BIGINT AS n,
+                   min(round(o_totalprice * 100)::BIGINT) AS lo_cents,
+                   max(round(o_totalprice * 100)::BIGINT) AS hi_cents
+            FROM orders, c GROUP BY bin ORDER BY bin""",
         "windowed_dedup": """
             WITH e AS (SELECT user_id, event_type, event_id,
                               epoch_us(ts) AS tus

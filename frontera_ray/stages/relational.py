@@ -1175,6 +1175,65 @@ def gap_fill_counts(ds, key_col: str, ts_col: str, window_s: int = 3600,
                           key_col, kern, exchange)
 
 
+def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
+                          tiebreak: str | None = None,
+                          gap_scale: int = 1000,
+                          exchange: str = "groups"):
+    """Time-weighted value aggregate (the TWAP shape): per key, each
+    observation's value is weighted by how long it held (the gap to
+    the NEXT observation, ordered by ts then tiebreak; the last
+    observation holds for zero time). Returns integer-exact
+    (key, n_gaps, wsum, dur): ``wsum = Σ val·gap``, ``dur = Σ gap``
+    with gaps floor-divided by ``gap_scale`` (us → ms at the default —
+    keeps val×gap inside int64; the mean is wsum/dur downstream).
+    Keys with < 2 observations have no held interval and are absent.
+    One keyed exchange + one lexsort + run-aware diff/reduceat."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], batch[key_col].type
+                                            if len(batch.schema) else pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "wsum": pa.array([], pa.int64()),
+                          "dur": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ts, keys))
+        else:
+            order = np.lexsort((ts, keys))
+        sk, st, sv = keys[order], ts[order], vals[order]
+        n = len(sk)
+        same = sk[1:] == sk[:-1]  # gap i -> i+1 valid within a run
+        if not same.any():
+            return empty
+        gap = (st[1:] - st[:-1]) // gap_scale
+        w = sv[:-1] * gap
+        # per-run sums over the valid gap positions
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], ~same)))  # first row of each run
+        run_id = np.cumsum(np.concatenate(([True], ~same))) - 1
+        g_run = run_id[:-1][same]
+        nrun = len(run_starts)
+        wsum = np.zeros(nrun, np.int64)
+        dur = np.zeros(nrun, np.int64)
+        cnt = np.zeros(nrun, np.int64)
+        np.add.at(wsum, g_run, w[same])
+        np.add.at(dur, g_run, gap[same])
+        np.add.at(cnt, g_run, 1)
+        keep = cnt > 0
+        key_vals = batch[key_col].take(pa.array(order[run_starts[keep]]))
+        return pa.table({key_col: key_vals,
+                         "n_gaps": pa.array(cnt[keep], pa.int64()),
+                         "wsum": pa.array(wsum[keep], pa.int64()),
+                         "dur": pa.array(dur[keep], pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
                    tiebreak: str | None = None, exchange: str = "groups"):
     """Time-windowed duplicate suppression: keep a row iff NO earlier
