@@ -2886,6 +2886,24 @@ def q_user_entropy(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between the two event_id-parity
+    slices of the value distribution (sketches.psi_drift) — the
+    distribution-drift monitor of a curation loop. One streaming pass
+    of two bincount registers per block; per-bin add-1-smoothed
+    (p-q)·ln(p/q) in integer micro units, order-free."""
+    from frontera_ray.stages.sketches import psi_drift
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": batch["value"],
+            "side": pa.array(batch["event_id"].to_numpy() % 2, pa.int64())})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "value"]).map_batches(prep, batch_format="pyarrow")
+    return psi_drift(ev, "value", "side", lo=0.0, width=25.0, n_bins=20)
+
+
 def q_value_histogram(sf_dir: str):
     """Exact fixed-bin value histogram (sketches.fixed_histogram) —
     the distribution-profile / dataset-card primitive: 20 bins of
@@ -3184,6 +3202,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "windowed_dedup": q_windowed_dedup,
     "twap": q_twap,
     "decile_bins": q_decile_bins,
+    "psi_drift": q_psi_drift,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4251,6 +4270,28 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000) AS BIGINT) AS entropy_micro,
                    CAST(sum(n) AS BIGINT) AS n_events
             FROM c GROUP BY user_id ORDER BY user_id""",
+        # same double op order as the Ray finalize: p=(n+1)/d, q
+        # likewise, (p-q)*ln(p/q)*1e6 rounded PER BIN (order-free)
+        "psi_drift": """
+            WITH b AS (SELECT least(greatest(floor((value - 0.0) / 25.0),
+                                             -1), 20)::BIGINT AS bin,
+                              event_id % 2 AS side
+                       FROM events),
+            cnt AS (SELECT bin,
+                           sum(CASE WHEN side = 0 THEN 1 ELSE 0
+                               END)::BIGINT AS n_ref,
+                           sum(CASE WHEN side = 1 THEN 1 ELSE 0
+                               END)::BIGINT AS n_cur
+                    FROM b GROUP BY bin),
+            tot AS (SELECT sum(n_ref)::DOUBLE + 22 AS dr,
+                           sum(n_cur)::DOUBLE + 22 AS dc
+                    FROM cnt)
+            SELECT bin, n_ref, n_cur,
+                   CAST(round(((n_ref + 1) / dr - (n_cur + 1) / dc)
+                              * ln(((n_ref + 1) / dr)
+                                   / ((n_cur + 1) / dc))
+                              * 1000000) AS BIGINT) AS psi_micro
+            FROM cnt, tot ORDER BY bin""",
         "value_histogram": """
             SELECT bin, bin * 25.0 AS bin_lo, count(*) AS n FROM (
               SELECT least(greatest(floor(value / 25.0), -1), 20)::BIGINT

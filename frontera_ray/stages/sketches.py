@@ -377,6 +377,52 @@ def fixed_histogram(ds, col: str, lo: float, width: float, n_bins: int):
         "n": pa.array(total[keep], pa.int64())})
 
 
+def psi_drift(ds, col: str, side_col: str, lo: float, width: float,
+              n_bins: int):
+    """Population Stability Index between two slices of one stream —
+    the distribution-drift monitor of a curation loop (new crawl batch
+    vs reference corpus, train vs validation): per bin,
+    ``(p - q) * ln(p / q)`` with add-1-smoothed bin shares p (side 0)
+    and q (side 1). ONE streaming pass: each block folds its values
+    into TWO (n_bins+2)-slot int64 count registers (side-selected
+    bincount, same exact double bin rule as ``fixed_histogram``); the
+    driver sums registers and emits per-bin integer micro
+    contributions — each bin rounds independently, so the output is
+    order-free and SQL-exact; the scalar PSI is the downstream sum.
+    Returns pa.Table (bin, n_ref, n_cur, psi_micro) for bins with any
+    mass."""
+    nb = int(n_bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        side = batch[side_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.floor((v - lo) / width)
+        idx = np.clip(idx, -1, nb).astype(np.int64) + 1
+        slots = side * (nb + 2) + idx
+        counts = np.bincount(slots, minlength=2 * (nb + 2))
+        return pa.table({"slot": pa.array(np.arange(2 * (nb + 2)),
+                                          pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    total = np.zeros(2 * (nb + 2), dtype=np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t):
+            total[t["slot"].to_numpy()] += t["n"].to_numpy()
+    n_ref, n_cur = total[:nb + 2], total[nb + 2:]
+    keep = np.flatnonzero(n_ref + n_cur)
+    d_ref = float(n_ref.sum() + nb + 2)
+    d_cur = float(n_cur.sum() + nb + 2)
+    p = (n_ref[keep] + 1.0) / d_ref
+    q = (n_cur[keep] + 1.0) / d_cur
+    micro = np.round((p - q) * np.log(p / q) * 1e6).astype(np.int64)
+    return pa.table({
+        "bin": pa.array(keep - 1, pa.int64()),
+        "n_ref": pa.array(n_ref[keep], pa.int64()),
+        "n_cur": pa.array(n_cur[keep], pa.int64()),
+        "psi_micro": pa.array(micro, pa.int64())})
+
+
 def profile_columns(ds, spec: dict):
     """Dataset-card column profiler: ONE streaming pass computes per
     column (n_rows, n_null, min_v, max_v) as a register combine — each
