@@ -573,6 +573,78 @@ def q_curate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_prep_pipeline(sf_dir: str):
+    """Flagship END-TO-END training-data prep composite, every stage a
+    suite operator: eval-set exclusion -> fused curate features
+    (quality + langid + md5, text read once) -> quality/language gates
+    -> exact-dup keeper (min doc_id per content hash, one keyed
+    exchange) -> benchmark decontamination (eval 4-gram hash set
+    broadcast; the rare contaminated ids collected once, bounded, and
+    re-broadcast as a streaming filter) -> deterministic split ladder
+    -> per-(split, language) corpus card (n_docs, tokens). The whole
+    chain is streaming with ONE corpus exchange (the keeper's) and one
+    tiny final groupby; the DuckDB twin composes the same shared CTEs
+    (_CURATE_FEATS_CTE, decontaminate, _split_case_sql)."""
+    import ray
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                per_key_topk)
+    from frontera_ray.stages.sampling import hash_split
+    from frontera_ray.stages.text import (collect_eval_gram_hashes,
+                                          curate_table, decontaminate)
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ev = docs.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0)),
+        batch_format="pyarrow")
+    train = docs.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 97 != 0)),
+        batch_format="pyarrow")
+    ev_ref = ray.put(collect_eval_gram_hashes(ev, k=_DECON_K))
+    # contaminated ids are overlap-scale (rare by construction): one
+    # bounded collect, then a broadcast id-set filter over the stream
+    bad = pa.concat_tables(list(
+        decontaminate(train, ev_ref, k=_DECON_K)
+        .map_batches(lambda b: b.filter(pc.equal(b["contaminated"], 1))
+                     .select(["doc_id"]), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    bad_ids = bad["doc_id"].to_numpy().astype(np.int64)
+    assert len(bad_ids) < 1_000_000, (
+        "prep_pipeline: contaminated set is not small — broadcast "
+        "filter assumption violated; route through an anti-join")
+    bad_ref = ray.put(np.sort(bad_ids))
+
+    feats = docs.map_batches(curate_table, batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = ((ids % 97 != 0)
+             & pc.greater_equal(batch["quality_score"], 0.5)
+                 .to_numpy(zero_copy_only=False)
+             & pc.is_in(batch["lang_pred"],
+                        value_set=pa.array(["en", "de"]))
+                 .to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m))
+
+    # decontamination runs AFTER keeper resolution (a contaminated
+    # keeper takes its whole duplicate group with it — the group was
+    # deduplicated against benchmark-tainted content)
+    def drop_contaminated(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(
+            ~np.isin(ids, _ray.get(bad_ref), assume_unique=False)))
+
+    keep = per_key_topk(feats.map_batches(gate, batch_format="pyarrow"),
+                        "text_md5", "doc_id", k=1, descending=False) \
+        .map_batches(drop_contaminated, batch_format="pyarrow")
+    card = partial_groupby_agg(
+        hash_split(keep, "doc_id", _SPLITS),
+        ["split", "lang_pred"],
+        {"n_docs": ("n_tokens", "count"), "tokens": ("n_tokens", "sum")})
+    return card.sort_values(["split", "lang_pred"]).reset_index(drop=True)
+
+
 def q_quantity_quantiles(sf_dir: str):
     """Exact per-group discrete quantiles (median + p90) of lineitem
     quantity via bounded-domain histogram combine — the histogram, not
@@ -1188,6 +1260,34 @@ def q_pii_redact(sf_dir: str):
 
 
 _DECON_K = 4  # word-4-grams: non-degenerate on this corpus at all SFs
+
+# the curate feature CTE — the SQL twin of text.curate_table, shared by
+# the "curate" and "prep_pipeline" oracles so the two cannot drift
+_CURATE_FEATS_CTE = r"""feats AS (
+              SELECT doc_id,
+                     n_tokens::BIGINT AS n_tokens,
+                     round(0.4*least(1.0, n_tokens/100.0)
+                         + 0.3*(1.0 - n_upper/greatest(n_chars,1)::DOUBLE)
+                         + 0.3*least(1.0, 20.0*n_punct/greatest(n_chars,1)::DOUBLE),
+                         4) AS quality_score,
+                     CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+                          WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+                          WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+                          WHEN c_es >= c_zh THEN 'es'
+                          ELSE 'zh' END AS lang_pred,
+                     md5(text) AS text_md5
+              FROM (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
+                       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
+                       len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
+                       len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
+                FROM documents))"""
 
 
 def q_decontaminate(sf_dir: str):
@@ -3203,6 +3303,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "twap": q_twap,
     "decile_bins": q_decile_bins,
     "psi_drift": q_psi_drift,
+    "prep_pipeline": q_prep_pipeline,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -3543,18 +3644,24 @@ def _dedup_keepers_oracle() -> str:
         FROM reach GROUP BY id ORDER BY doc_id"""
 
 
-def _hash_split_oracle() -> str:
-    """SQL twin of ``hash_split``: the cut points are computed with the
-    SAME numpy expression as the engine (np.round of a float cumsum —
-    inlining hand-derived constants would drift by 1 ulp)."""
+def _split_case_sql() -> str:
+    """The split-ladder CASE over an ``h`` hash column: cut points are
+    computed with the SAME numpy expression as the engine (np.round of
+    a float cumsum — inlining hand-derived constants would drift by
+    1 ulp). Shared by the hash_split and prep_pipeline oracles."""
     fracs = np.array([_SPLITS[n] for n in _SPLITS], dtype=np.float64)
     cuts = np.minimum(np.round(np.cumsum(fracs) * (1 << 32)),
                       1 << 32).astype(np.uint64)
     names = list(_SPLITS)
-    case = ("CASE "
+    return ("CASE "
             + " ".join(f"WHEN h < {int(c)} THEN '{n}'"
                        for n, c in zip(names[:-1], cuts[:-1]))
             + f" ELSE '{names[-1]}' END")
+
+
+def _hash_split_oracle() -> str:
+    """SQL twin of ``hash_split`` (see ``_split_case_sql``)."""
+    case = _split_case_sql()
     return f"""
         SELECT doc_id, lang, {case} AS split
         FROM (SELECT doc_id, lang,
@@ -3809,38 +3916,47 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'de' THEN {int(_SAMPLE_RATES['de'] * 2**32)}
                     ELSE {int(_SAMPLE_DEFAULT * 2**32)} END
             ORDER BY doc_id""",
-        "curate": r"""
-            WITH feats AS (
-              SELECT doc_id,
-                     n_tokens::BIGINT AS n_tokens,
-                     round(0.4*least(1.0, n_tokens/100.0)
-                         + 0.3*(1.0 - n_upper/greatest(n_chars,1)::DOUBLE)
-                         + 0.3*least(1.0, 20.0*n_punct/greatest(n_chars,1)::DOUBLE),
-                         4) AS quality_score,
-                     CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
-                          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
-                          WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
-                          WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
-                          WHEN c_es >= c_zh THEN 'es'
-                          ELSE 'zh' END AS lang_pred,
-                     md5(text) AS text_md5
-              FROM (
-                SELECT doc_id, text, length(text) AS n_chars,
-                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                       len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
-                       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
-                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
-                       len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
-                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
-                       len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
-                       len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
-                FROM documents)),
+        "curate": f"""
+            WITH {_CURATE_FEATS_CTE},
             kept AS (SELECT * FROM feats
                      WHERE quality_score >= 0.5 AND lang_pred IN ('en', 'de'))
             SELECT doc_id, lang_pred, n_tokens, quality_score FROM (
               SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS keeper
               FROM kept)
             WHERE doc_id = keeper ORDER BY doc_id""",
+        # the full prep chain composed from the SAME shared CTE pieces:
+        # eval exclusion + curate gates -> exact-dup keeper ->
+        # decontamination NOT EXISTS -> split ladder -> corpus card
+        "prep_pipeline": f"""
+            WITH {_CURATE_FEATS_CTE},
+            gated AS (SELECT * FROM feats
+                      WHERE doc_id % 97 <> 0 AND quality_score >= 0.5
+                        AND lang_pred IN ('en', 'de')),
+            keep AS (SELECT * FROM (
+                       SELECT *, min(doc_id) OVER (PARTITION BY text_md5)
+                                   AS keeper
+                       FROM gated) WHERE doc_id = keeper),
+            t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr
+                  FROM documents),
+            eg AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' '
+                          || arr[i+2] || ' ' || arr[i+3] AS gram
+                   FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)
+                   WHERE doc_id % 97 = 0),
+            tg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' '
+                          || arr[i+2] || ' ' || arr[i+3] AS gram
+                   FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)
+                   WHERE doc_id % 97 <> 0),
+            clean AS (SELECT k.* FROM keep k
+                      WHERE NOT EXISTS (
+                          SELECT 1 FROM tg JOIN eg ON tg.gram = eg.gram
+                          WHERE tg.doc_id = k.doc_id)),
+            sp AS (SELECT lang_pred, n_tokens, {_split_case_sql()} AS split
+                   FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 8))::BIGINT AS h
+                         FROM clean))
+            SELECT split, lang_pred, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS tokens
+            FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
         "quantity_quantiles": """
             SELECT l_returnflag,
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
