@@ -1529,6 +1529,20 @@ def q_bigram_logprob(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gram_novelty(sf_dir: str):
+    """Per-doc 4-gram novelty (text.gram_novelty): how many of a doc's
+    distinct word-4-grams appear nowhere else — the inverse-
+    memorization / boilerplate signal. Two NATIVE hash aggregates
+    (groupby(gram) count+min, groupby(doc_id) sum), no per-key UDF
+    calls; a df-1 gram's sole doc is its min(doc_id)."""
+    from frontera_ray.stages.text import gram_novelty
+
+    out = gram_novelty(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        k=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_tokenize_ids(sf_dir: str):
     """Corpus word-level tokenizer (text.tokenize_ids): frequency-
     ranked vocabulary ids (count desc, token asc) + every doc encoded
@@ -3341,6 +3355,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bigram_logprob": q_bigram_logprob,
     "tokenize_ids": q_tokenize_ids,
     "corr_matrix": q_corr_matrix,
+    "gram_novelty": q_gram_novelty,
     "bloom_semi_join": q_bloom_semi_join,
     "bloom_anti_join": q_bloom_anti_join,
     "hll_distinct": q_hll_distinct,
@@ -4811,6 +4826,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(corr(disc_pct, tax_pct) * 1000000) AS BIGINT)
             FROM v
             ORDER BY col_x, col_y""",
+        "gram_novelty": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' '
+                         || arr[i+2] || ' ' || arr[i+3] AS gram
+                  FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)),
+            df AS (SELECT gram, count(*)::BIGINT AS df FROM g
+                   GROUP BY gram)
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel
+            FROM g JOIN df USING (gram)
+            GROUP BY doc_id ORDER BY doc_id""",
         "tokenize_ids": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS l

@@ -520,6 +520,97 @@ def tokenize_ids(ds, text_col: str = "text"):
     return tp.map_batches(encode, batch_format="pyarrow")
 
 
+def gram_novelty(ds, k: int = 4, text_col: str = "text"):
+    """Per-doc gram novelty: of a document's DISTINCT word-``k``-grams,
+    how many appear nowhere else in the corpus (df == 1) — high
+    novelty = unique content, low = boilerplate / near-copies; the
+    inverse-memorization curation signal.
+
+    Distributed shape — two NATIVE hash aggregates, zero per-key UDF
+    calls (gram and doc cardinality are both corpus-scale, so a
+    map_groups per key would be the 10^9-key wall): explode each doc
+    into distinct (doc_id, gram) rows; ``groupby(gram)`` with
+    (count, min(doc_id)) — rows are per-doc distinct so count IS df,
+    and a df-1 gram's sole doc IS its min — yields one slim
+    (doc_id, novel=1) row per unique gram; per-doc gram totals are
+    per-block partials off the same explode; one union +
+    ``groupby(doc_id).sum`` folds both into (n_grams, n_novel).
+    Gram strings ride the exchange here for SQL parity; at corpus
+    scale swap in ``word_shingles`` md5-64 hashes (8 B/row). Docs
+    with < k tokens have no grams and are absent.
+
+    Returns a streaming Dataset (doc_id, n_grams, n_novel)."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok = flat.to_numpy(zero_copy_only=False)[keep]
+        par = parent[keep]
+        doc_ids = batch["doc_id"].to_numpy()
+        if len(tok) < k:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        same = np.ones(len(tok) - (k - 1), dtype=bool)
+        for j in range(1, k):
+            same &= par[j:len(par) - (k - 1) + j] == par[:len(par) - (k - 1)]
+        if not same.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        g = pd.Series(tok[:len(tok) - (k - 1)][same], dtype=object)
+        for j in range(1, k):
+            g = g + " " + pd.Series(
+                tok[j:len(tok) - (k - 1) + j][same], dtype=object)
+        df = pd.DataFrame({
+            "doc_id": doc_ids[par[:len(par) - (k - 1)][same]],
+            "gram": g.to_numpy()}).drop_duplicates()
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "gram": pa.array(df["gram"].to_numpy(),
+                                          pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def novel_rows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["count()"], pa.scalar(1, pa.int64()))
+        kept = batch.filter(m)
+        return pa.table({
+            "doc_id": kept["min(doc_id)"].cast(pa.int64()),
+            "n_grams": pa.array(np.zeros(len(kept), np.int64), pa.int64()),
+            "n_novel": pa.array(np.ones(len(kept), np.int64), pa.int64())})
+
+    novel = exploded.groupby("gram").aggregate(
+        Count(), Min("doc_id")).map_batches(
+        novel_rows, batch_format="pyarrow")
+
+    def total_rows(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        d_s = doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1]))) \
+            if len(d_s) else np.array([], np.int64)
+        cnt = np.diff(np.concatenate((starts, [len(d_s)]))) \
+            if len(d_s) else np.array([], np.int64)
+        return pa.table({
+            "doc_id": pa.array(d_s[starts] if len(d_s) else [], pa.int64()),
+            "n_grams": pa.array(cnt, pa.int64()),
+            "n_novel": pa.array(np.zeros(len(cnt), np.int64), pa.int64())})
+
+    totals = exploded.map_batches(total_rows, batch_format="pyarrow")
+    combined = totals.union(novel).groupby("doc_id").sum(
+        ["n_grams", "n_novel"])
+    return combined.map_batches(lambda b: pa.table({
+        "doc_id": b["doc_id"],
+        "n_grams": b["sum(n_grams)"].cast(pa.int64()),
+        "n_novel": b["sum(n_novel)"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def doc_gram_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc unigram AND adjacent-bigram counts in ONE explode pass
     (doc_id, gram, tf) — ``gram_count_table`` with doc attribution
