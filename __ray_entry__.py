@@ -2801,6 +2801,21 @@ def q_cms_counts(sf_dir: str):
     return hh
 
 
+def q_join_size_est(sf_dir: str):
+    """Self-join cardinality estimate from the Count-Min registers
+    (sketches.cms_f2_join_size): est = min_j Σ regs² over-estimates
+    F2 = Σ c_k² — the shuffle-free join-size / skew statistic a
+    planner consults before picking a join strategy. Exact F2
+    companion via one native groupby count; integer registers are
+    bit-reproduced by the SQL twin."""
+    import pandas as pd
+    from frontera_ray.stages.sketches import cms_f2_join_size
+
+    est, exact = cms_f2_join_size(
+        _read(sf_dir, "events").select_columns(["user_id"]), "user_id")
+    return pd.DataFrame({"est": [est], "exact": [exact]})
+
+
 def q_top_event_type(sf_dir: str):
     """Per-user categorical mode (most frequent event_type,
     deterministic count-desc / type-asc tie-break): per-block pair
@@ -3318,6 +3333,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decile_bins": q_decile_bins,
     "psi_drift": q_psi_drift,
     "prep_pipeline": q_prep_pipeline,
+    "join_size_est": q_join_size_est,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -5234,6 +5250,20 @@ def oracle_sql() -> dict[str, str]:
                     JOIN regs ON regs.j = bkt.j AND regs.b = bkt.b
             GROUP BY hh.token, hh.cnt
             ORDER BY hh.token""",
+        "join_size_est": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                              count(*)::BIGINT AS c
+                       FROM events GROUP BY user_id),
+            bkt AS (SELECT k, j,
+                           (('0x' || substr(md5(k), 1 + 8 * j, 8))
+                            ::UBIGINT % 4096)::BIGINT AS b
+                    FROM c, generate_series(0, 3) AS g(j)),
+            regs AS (SELECT bkt.j, bkt.b, sum(c.c)::BIGINT AS v
+                     FROM c JOIN bkt USING (k) GROUP BY 1, 2),
+            f2 AS (SELECT j, sum(v * v)::BIGINT AS s FROM regs
+                   GROUP BY j)
+            SELECT (SELECT min(s) FROM f2) AS est,
+                   (SELECT sum(c * c)::BIGINT FROM c) AS exact""",
         "top_event_type": """
             SELECT user_id, top_type, n FROM (
               SELECT user_id, event_type AS top_type,

@@ -194,6 +194,40 @@ def cms_estimate(regs: np.ndarray, tokens, w: int = CMS_W,
          for t in tokens], dtype=np.int64)
 
 
+def cms_f2_join_size(ds, key_col: str, w: int = CMS_W,
+                     d: int = CMS_D) -> tuple[int, int]:
+    """Self-join cardinality / second frequency moment from the CMS
+    registers (the AMS-style inner-product estimate, Cormode &
+    Muthukrishnan 2005, public method): ``est = min_j Σ_b regs[j,b]²``
+    over-estimates ``F2 = Σ_k c_k²`` (hash collisions only add cross
+    terms) — the join-size / skew planner statistic that needs NO
+    shuffle: per-block 128 KiB register partials, additive merge, one
+    driver reduction. The exact F2 rides a native ``groupby(key)``
+    count (key-cardinality result) for the side-by-side answer.
+    Returns (est, exact)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[key_col].to_pandas()
+        vc = s.value_counts()
+        regs = cms_partial(vc.index.to_numpy(), vc.to_numpy(), w, d)
+        return pa.table({"r": pa.array(regs.ravel(), pa.int64())})
+
+    regs = np.zeros(d * w, np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        arr = t["r"].to_numpy()
+        if len(arr):
+            regs += arr.reshape(-1, d * w).sum(axis=0)
+    R = regs.reshape(d, w)
+    est = int(min(int((row * row).sum()) for row in R))
+    exact = 0
+    for t in ds.groupby(key_col).count() \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        c = t["count()"].to_numpy().astype(np.int64)
+        exact += int((c * c).sum())
+    return est, exact
+
+
 def hll_count_distinct_grouped(ds, group_col: str, col: str, p: int = 14,
                                hash: str = "md5"):
     """Per-group approximate COUNT(DISTINCT col): one streaming pass
