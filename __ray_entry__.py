@@ -1169,6 +1169,32 @@ def q_image_resize(sf_dir: str):
                          batch_size=256, concurrency=_image_pool()))
 
 
+def q_image_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing card over the 3,211-image corpus
+    (images.aspect_bucket_table): metadata-only fetch (no decode),
+    nearest log-aspect bucket + per-image padding-waste ppm, then a
+    combiner rollup (n, total waste) per bucket — the pre-batching
+    step that keeps multimodal batches aspect-uniform."""
+    from frontera_ray.payload import meta_batch_columns
+    from frontera_ray.stages.images import aspect_bucket_table
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def meta(batch: pa.Table) -> pa.Table:
+        cols = meta_batch_columns(batch["url"].to_pylist())
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32())})
+
+    buckets = (_image_url_corpus()
+               .map_batches(meta, batch_format="pyarrow")
+               .map_batches(aspect_bucket_table, batch_format="pyarrow"))
+    out = partial_groupby_agg(
+        buckets, ["bucket_ppm"],
+        {"n": ("waste_ppm", "count"), "waste_ppm_sum": ("waste_ppm", "sum")})
+    return out.sort_values("bucket_ppm").reset_index(drop=True)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental snapshot dedup via large-large ANTI join: 'new'
     docs (odd doc_id) whose exact content key (md5) does NOT appear in
@@ -3334,6 +3360,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "psi_drift": q_psi_drift,
     "prep_pipeline": q_prep_pipeline,
     "join_size_est": q_join_size_est,
+    "image_aspect_buckets": q_image_aspect_buckets,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,

@@ -329,6 +329,37 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
     return urls_ds.map_batches(assign, batch_format="pyarrow")
 
 
+ASPECT_BUCKETS_PPM = (500_000, 750_000, 1_000_000, 1_333_333, 2_000_000)
+
+
+def aspect_bucket_table(batch: pa.Table,
+                        buckets_ppm=ASPECT_BUCKETS_PPM) -> pa.Table:
+    """Aspect-ratio bucketing for batched multimodal training: each
+    image snaps to the nearest canonical aspect bucket (nearest in
+    log-aspect space — the symmetric measure; ties to the smaller
+    bucket), and carries its padding-waste estimate = the fraction of
+    a bucket-shaped canvas the image would leave unused if fitted
+    (1 - min(a,b)/max(a,b), integer ppm). Metadata-only per-block
+    transform over (w, h) — NO decode; the standard pre-batching step
+    (NovelAI/SDXL-style bucketing, public technique) so a batch never
+    mixes aspects. Emits (image_id, w, h, bucket_ppm, waste_ppm)."""
+    w = batch["w"].to_numpy().astype(np.float64)
+    h = batch["h"].to_numpy().astype(np.float64)
+    a = w / h
+    b = np.asarray(buckets_ppm, np.float64) / 1e6
+    dist = np.abs(np.log(a)[:, None] - np.log(b)[None, :])
+    idx = np.argmin(dist, axis=1)  # first min = smaller bucket on ties
+    chosen = b[idx]
+    ratio = np.minimum(a, chosen) / np.maximum(a, chosen)
+    waste = np.round((1.0 - ratio) * 1e6).astype(np.int64)
+    return pa.table({
+        "image_id": batch["image_id"],
+        "w": batch["w"], "h": batch["h"],
+        "bucket_ppm": pa.array(
+            np.asarray(buckets_ppm, np.int64)[idx], pa.int64()),
+        "waste_ppm": pa.array(waste, pa.int64())})
+
+
 def curate_image_captions(urls_ds, min_side: int = 32,
                           max_aspect: float = 4.0,
                           min_caption_tokens: int = 4,

@@ -973,6 +973,27 @@ def test_gap_fill_counts_dense(ray_session):
                         window_s=3600, max_dense_rows=2).to_pandas()
 
 
+def test_aspect_bucket_table_snapping():
+    """Nearest log-aspect bucket, ties to the smaller bucket; waste is
+    the unused canvas fraction in ppm (0 for an exact bucket hit)."""
+    from frontera_ray.stages.images import aspect_bucket_table
+
+    t = pa.table({"image_id": pa.array(["a", "b", "c", "d"]),
+                  "w": pa.array([100, 100, 200, 150], pa.int32()),
+                  "h": pa.array([100, 200, 100, 100], pa.int32())})
+    out = aspect_bucket_table(t)
+    got = dict(zip(out["image_id"].to_pylist(),
+                   zip(out["bucket_ppm"].to_pylist(),
+                       out["waste_ppm"].to_pylist())))
+    assert got["a"] == (1_000_000, 0)       # square -> 1.0 exactly
+    assert got["b"] == (500_000, 0)         # 0.5 exactly
+    assert got["c"] == (2_000_000, 0)       # 2.0 exactly
+    # 1.5 is closer to 1.333333 than 2.0 in log space
+    bucket, waste = got["d"]
+    assert bucket == 1_333_333
+    assert waste == round((1 - 1.333333 / 1.5) * 1e6)
+
+
 def test_windowed_dedup_ttl(ray_session):
     """Duplicates inside the window drop even when the predecessor was
     itself dropped; a key is legitimate again once the window passes;
