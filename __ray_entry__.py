@@ -1016,6 +1016,26 @@ def q_dedup_keepers(sf_dir: str):
     return keeper_table(ds, pairs)
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution (how big do near-dup
+    components get — the skew/quality read on a dedup pass before
+    committing to drop 1-1/size of each cluster): minhash pairs ->
+    pair-scoped union-find -> component sizes (members + the keeper
+    itself) -> size histogram. Pairs are output-scale, so the fold is
+    a tiny driver reduction; the corpus never moves."""
+    import pandas as pd
+    from frontera_ray.stages.dedup import dedup_keepers, minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(_read(sf_dir, "documents"), threshold=0.5)
+    km = dedup_keepers(None, list(zip(pairs["a"].to_pylist(),
+                                      pairs["b"].to_pylist())))
+    sizes = pd.Series(list(km.values())).value_counts()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy().astype(np.int64),
+        "n_clusters": hist.to_numpy().astype(np.int64)})
+
+
 def q_dedup_keepers_cc(sf_dir: str):
     """Same keep-list as `dedup_keepers`, but the pair-graph reduction
     runs as DISTRIBUTED connected components (iterative min-label
@@ -3361,6 +3381,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "prep_pipeline": q_prep_pipeline,
     "join_size_est": q_join_size_est,
     "image_aspect_buckets": q_image_aspect_buckets,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -3700,6 +3721,26 @@ def _dedup_keepers_oracle() -> str:
             FROM reach r JOIN edges e ON e.a = r.id)
         SELECT id AS doc_id, min(comp) AS keeper_doc_id
         FROM reach GROUP BY id ORDER BY doc_id"""
+
+
+def _dup_cluster_sizes_oracle() -> str:
+    """Cluster-size histogram over the same minhash pair components as
+    ``_dedup_keepers_oracle``; singleton (pair-free) docs drop out via
+    HAVING so the histogram covers real duplicate clusters only."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes()},
+        edges AS (SELECT a, b FROM mh_pairs
+                  UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS comp FROM documents
+            UNION
+            SELECT e.b AS id, r.comp
+            FROM reach r JOIN edges e ON e.a = r.id),
+        keep AS (SELECT id, min(comp) AS keeper FROM reach GROUP BY id),
+        cs AS (SELECT keeper, count(*)::BIGINT AS sz FROM keep
+               GROUP BY keeper HAVING count(*) > 1)
+        SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+        FROM cs GROUP BY sz ORDER BY sz"""
 
 
 def _split_case_sql() -> str:
@@ -4137,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle(),
         "dedup_keepers": _dedup_keepers_oracle(),
         "dedup_keepers_cc": _dedup_keepers_oracle(),
+        "dup_cluster_sizes": _dup_cluster_sizes_oracle(),
         "incremental_dedup": """
             SELECT d.doc_id, md5(d.text) AS text_md5
             FROM documents d
