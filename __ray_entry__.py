@@ -2041,6 +2041,32 @@ def q_gap_fill(sf_dir: str):
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_interval_merge(sf_dir: str):
+    """Merge overlapping intervals per user (relational.interval_merge):
+    each event opens an interval of value-proportional length; the
+    union coverage (merged count + covered microseconds) is the
+    session-stitching / availability reduction. One keyed exchange, a
+    segment-cummax + reduceat kernel, no per-row Python."""
+    from frontera_ray.stages.relational import interval_merge
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lo = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        dur = np.round(batch["value"].to_numpy() * 100).astype(np.int64) \
+            * 10_000_000
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(lo + dur, pa.int64())})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = interval_merge(ev, "user_id", "lo", "hi",
+                         tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_twap(sf_dir: str):
     """Time-weighted average components per user
     (relational.per_key_time_weighted): each event's value (cents)
@@ -3382,6 +3408,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_size_est": q_join_size_est,
     "image_aspect_buckets": q_image_aspect_buckets,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "interval_merge": q_interval_merge,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4940,6 +4967,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, v.tid AS token_id
             FROM tok t JOIN vocab v USING (token)
             ORDER BY doc_id, pos""",
+        "interval_merge": """
+            WITH iv AS (SELECT user_id AS k, event_id AS id,
+                               epoch_us(ts) AS lo,
+                               epoch_us(ts) + round(value * 100)::BIGINT
+                                 * 10000000 AS hi
+                        FROM events),
+            m AS (SELECT k, id, lo, hi,
+                         max(hi) OVER (PARTITION BY k ORDER BY lo, id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pm
+                  FROM iv),
+            g AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1
+                                 ELSE 0 END AS f
+                  FROM m),
+            gg AS (SELECT *, sum(f) OVER (PARTITION BY k
+                                          ORDER BY lo, id
+                                          ROWS UNBOUNDED PRECEDING)
+                                AS gid
+                   FROM g),
+            mg AS (SELECT k, gid, min(lo) AS glo, max(hi) AS ghi
+                   FROM gg GROUP BY k, gid),
+            cnt AS (SELECT k, count(*)::BIGINT AS n_intervals FROM iv
+                    GROUP BY k)
+            SELECT cnt.k AS user_id, cnt.n_intervals,
+                   count(*)::BIGINT AS n_merged,
+                   sum(mg.ghi - mg.glo)::BIGINT AS covered
+            FROM mg JOIN cnt ON cnt.k = mg.k
+            GROUP BY cnt.k, cnt.n_intervals ORDER BY 1""",
         "twap": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
                               round(value * 100)::BIGINT AS cents

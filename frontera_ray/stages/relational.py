@@ -1234,6 +1234,68 @@ def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def interval_merge(ds, key_col: str, lo_col: str, hi_col: str,
+                   tiebreak: str | None = None, exchange: str = "groups"):
+    """Merge overlapping/touching intervals per key and report the
+    union coverage — the session-stitching / availability-coverage
+    reduction (how much wall time do a key's intervals actually
+    cover once overlaps collapse). Per key ordered by (lo, tiebreak):
+    an interval starts a NEW merged group iff its lo exceeds the
+    running max hi of everything before it; group count and covered
+    length fall out of one segment-cummax + reduceat — no per-row
+    Python, one keyed exchange. Touching intervals (lo == prev hi)
+    merge. Returns (key, n_intervals, n_merged, covered) with
+    ``covered = Σ (group max hi - group min lo)``; integer columns."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], batch[key_col].type
+                                            if len(batch.schema) else pa.int64()),
+                          "n_intervals": pa.array([], pa.int64()),
+                          "n_merged": pa.array([], pa.int64()),
+                          "covered": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, lo, keys))
+        else:
+            order = np.lexsort((lo, keys))
+        sk, sl, sh = keys[order], lo[order], hi[order]
+        n = len(sk)
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        # segment cummax of hi: shift each run into its own band so a
+        # global maximum.accumulate cannot leak across keys
+        band = (int(sh.max()) - int(sh.min()) + 1) if n else 1
+        cm = np.maximum.accumulate(sh + run_id * band) - run_id * band
+        prev_cm = np.empty(n, np.int64)
+        prev_cm[0] = 0
+        prev_cm[1:] = cm[:-1]
+        new_grp = new_run | (sl > prev_cm)
+        grp_id = np.cumsum(new_grp) - 1
+        gs = np.flatnonzero(new_grp)
+        grp_lo = sl[gs]
+        ge = np.concatenate((gs[1:], [n]))
+        grp_hi = cm[ge - 1]  # segment cummax at group end = group max hi
+        grp_run = run_id[gs]
+        rs = np.flatnonzero(np.concatenate(
+            ([True], grp_run[1:] != grp_run[:-1])))
+        covered = np.add.reduceat(grp_hi - grp_lo, rs)
+        n_merged = np.diff(np.concatenate((rs, [len(gs)])))
+        n_int = np.diff(np.concatenate(
+            (np.flatnonzero(new_run), [n])))
+        key_vals = batch[key_col].take(pa.array(order[np.flatnonzero(new_run)]))
+        return pa.table({key_col: key_vals,
+                         "n_intervals": pa.array(n_int, pa.int64()),
+                         "n_merged": pa.array(n_merged, pa.int64()),
+                         "covered": pa.array(covered, pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
                    tiebreak: str | None = None, exchange: str = "groups"):
     """Time-windowed duplicate suppression: keep a row iff NO earlier

@@ -994,6 +994,29 @@ def test_aspect_bucket_table_snapping():
     assert waste == round((1 - 1.333333 / 1.5) * 1e6)
 
 
+def test_interval_merge_kernel(ray_session):
+    """Chained overlaps collapse, touching intervals merge, a
+    contained interval doesn't extend coverage, and the segment cummax
+    never leaks across keys."""
+    import ray
+
+    from frontera_ray.stages.relational import interval_merge
+
+    t = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                  "lo": pa.array([0, 5, 10, 40, 100], pa.int64()),
+                  "hi": pa.array([10, 7, 20, 50, 101], pa.int64()),
+                  "id": pa.array(range(5), pa.int64())})
+    out = (interval_merge(ray.data.from_arrow(t).repartition(2),
+                          "k", "lo", "hi", tiebreak="id").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # k=1: [0,10]+[5,7](contained)+[10,20](touching) -> [0,20]; [40,50]
+    assert out.loc[0, ["n_intervals", "n_merged", "covered"]].tolist() \
+        == [4, 2, 30]
+    # k=2 must not see k=1's running max (100 > 50)
+    assert out.loc[1, ["n_intervals", "n_merged", "covered"]].tolist() \
+        == [1, 1, 1]
+
+
 def test_windowed_dedup_ttl(ray_session):
     """Duplicates inside the window drop even when the predecessor was
     itself dropped; a key is legitimate again once the window passes;
