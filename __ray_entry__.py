@@ -3049,6 +3049,29 @@ def q_group_corr(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (relational.target_encode_loo):
+    each order's priority class encoded by the mean total price of the
+    OTHER orders in its class — the leakage-safe categorical encoder.
+    Combiner aggregate + broadcast + one streaming encode pass;
+    integer (num, den) pairs keep the oracle exact."""
+    from frontera_ray.stages.relational import target_encode_loo
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "cents": pa.array(np.round(batch["o_totalprice"].to_numpy()
+                                       * 100).astype(np.int64), pa.int64())})
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = target_encode_loo(orders, "o_orderpriority", "cents",
+                            "o_orderkey").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_corr_matrix(sf_dir: str):
     """Pairwise correlation matrix (relational.corr_matrix): all
     pairwise Pearson correlations of (quantity, discount%, tax%) in
@@ -3409,6 +3432,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_aspect_buckets": q_image_aspect_buckets,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "interval_merge": q_interval_merge,
+    "target_encode": q_target_encode,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4967,6 +4991,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, v.tid AS token_id
             FROM tok t JOIN vocab v USING (token)
             ORDER BY doc_id, pos""",
+        "target_encode": """
+            WITH v AS (SELECT o_orderkey, o_orderpriority,
+                              round(o_totalprice * 100)::BIGINT AS cents
+                       FROM orders),
+            agg AS (SELECT o_orderpriority, sum(cents)::BIGINT AS s,
+                           count(*)::BIGINT AS n
+                    FROM v GROUP BY o_orderpriority)
+            SELECT v.o_orderkey, v.o_orderpriority,
+                   (agg.s - v.cents)::BIGINT AS loo_num,
+                   (agg.n - 1)::BIGINT AS loo_den
+            FROM v JOIN agg USING (o_orderpriority)
+            ORDER BY v.o_orderkey""",
         "interval_merge": """
             WITH iv AS (SELECT user_id AS k, event_id AS id,
                                epoch_us(ts) AS lo,

@@ -1329,6 +1329,51 @@ def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def target_encode_loo(ds, cat_col: str, val_col: str, id_col: str):
+    """Leave-one-out target encoding: each row gets its category's
+    target mean computed WITHOUT the row itself — the leakage-safe
+    categorical encoder (plain per-category means leak each row's own
+    label into its feature). Per-category (sum, count) is a combiner
+    aggregate (category-cardinality result, no shuffle of raw rows)
+    broadcast once via ray.put; the encode pass is one vectorized
+    lookup emitting the EXACT integer pair ``loo_num = sum - v``,
+    ``loo_den = n - 1`` (the mean is downstream — integers keep the
+    oracle bit-exact; singleton categories get den 0). Returns a
+    streaming Dataset (id, cat, loo_num, loo_den)."""
+    import ray
+
+    import pandas as pd
+
+    agg = partial_groupby_agg(ds.select_columns([cat_col, val_col]),
+                              [cat_col],
+                              {"s": (val_col, "sum"),
+                               "n": (val_col, "count")})
+    ref = ray.put((pd.Index(agg[cat_col]),
+                   agg["s"].to_numpy().astype(np.int64),
+                   agg["n"].to_numpy().astype(np.int64)))
+    cache: dict = {}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             cat_col: batch[cat_col],
+                             "loo_num": pa.array([], pa.int64()),
+                             "loo_den": pa.array([], pa.int64())})
+        key = ref.hex()
+        if key not in cache:
+            cache[key] = ray.get(ref)
+        index, sums, cnts = cache[key]
+        pos = index.get_indexer(batch[cat_col].to_pandas())
+        v = batch[val_col].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            cat_col: batch[cat_col],
+            "loo_num": pa.array(sums[pos] - v, pa.int64()),
+            "loo_den": pa.array(cnts[pos] - 1, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def corr_matrix(ds, cols: list[str]):
     """Pairwise Pearson correlation matrix over k integer feature
     columns in ONE streaming pass — the feature-redundancy /
