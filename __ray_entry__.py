@@ -2041,6 +2041,30 @@ def q_gap_fill(sf_dir: str):
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_running_distinct(sf_dir: str):
+    """Per-user running COUNT(DISTINCT event_type)
+    (relational.per_key_running_distinct): the novelty / exploration
+    curve at each event. Two lexsorts inside one keyed exchange —
+    first-occurrence flags scattered back to time order, run-rebased
+    cumsum."""
+    from frontera_ray.stages.relational import per_key_running_distinct
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": batch["event_type"]})
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = per_key_running_distinct(ev, "user_id", "ts_us", "event_type",
+                                   tiebreak="event_id").to_pandas()
+    out = out[["user_id", "event_id", "n_distinct"]]
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_interval_merge(sf_dir: str):
     """Merge overlapping intervals per user (relational.interval_merge):
     each event opens an interval of value-proportional length; the
@@ -3433,6 +3457,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "interval_merge": q_interval_merge,
     "target_encode": q_target_encode,
+    "running_distinct": q_running_distinct,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4991,6 +5016,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, v.tid AS token_id
             FROM tok t JOIN vocab v USING (token)
             ORDER BY doc_id, pos""",
+        "running_distinct": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS tus
+                       FROM events),
+            f AS (SELECT *, CASE WHEN row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY tus, event_id) = 1
+                            THEN 1 ELSE 0 END AS fst
+                  FROM e)
+            SELECT user_id, event_id,
+                   sum(fst) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                     AS n_distinct
+            FROM f ORDER BY user_id, event_id""",
         "target_encode": """
             WITH v AS (SELECT o_orderkey, o_orderpriority,
                               round(o_totalprice * 100)::BIGINT AS cents

@@ -1234,6 +1234,48 @@ def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_running_distinct(ds, key_col: str, order_col: str,
+                             val_col: str, out_col: str = "n_distinct",
+                             tiebreak: str | None = None,
+                             exchange: str = "groups"):
+    """Running COUNT(DISTINCT val) per key in event order — the
+    novelty / exploration curve (how many distinct event types, pages,
+    products has this key touched so far): SQL's
+    ``sum(first_occurrence_flag) OVER (PARTITION BY key ORDER BY o)``.
+    One keyed exchange; the kernel is two lexsorts — mark each
+    (key, val)'s earliest row, scatter the flags back to time order,
+    run-rebased cumsum. No per-row Python, no per-key state."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = _group_codes(batch[val_col].to_numpy(zero_copy_only=False))
+        tb = (batch[tiebreak].to_numpy(zero_copy_only=False)
+              if tiebreak is not None else np.arange(len(keys)))
+        # earliest row of each (key, val)
+        o1 = np.lexsort((tb, ov, vals, keys))
+        k1, v1 = keys[o1], vals[o1]
+        first = np.concatenate(
+            ([True], (k1[1:] != k1[:-1]) | (v1[1:] != v1[:-1])))
+        flags = np.empty(len(keys), np.int64)
+        flags[o1] = first.astype(np.int64)
+        # time order within key: run-rebased cumsum of the flags
+        o2 = np.lexsort((tb, ov, keys))
+        k2, f2 = keys[o2], flags[o2]
+        cs = np.cumsum(f2)
+        new_run = np.concatenate(([True], k2[1:] != k2[:-1]))
+        starts = np.flatnonzero(new_run)
+        base = np.concatenate(([0], cs[starts[1:] - 1]))
+        run_id = np.cumsum(new_run) - 1
+        out_vals = cs - base[run_id]
+        return batch.take(pa.array(o2)).append_column(
+            out_col, pa.array(out_vals, pa.int64()))
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def interval_merge(ds, key_col: str, lo_col: str, hi_col: str,
                    tiebreak: str | None = None, exchange: str = "groups"):
     """Merge overlapping/touching intervals per key and report the
