@@ -2041,6 +2041,19 @@ def q_gap_fill(sf_dir: str):
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention triangle
+    (relational.retention_cohorts): cohort = each user's first-event
+    week; n_active users per (cohort, weeks_since) cell. Per-block
+    (user, week) pre-dedup bounds the exchange; the kernel emits each
+    user's distinct cells; a combiner counts the tiny matrix."""
+    from frontera_ray.stages.relational import retention_cohorts
+
+    return retention_cohorts(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        "user_id", "ts", period_s=7 * 86400)
+
+
 def q_running_distinct(sf_dir: str):
     """Per-user running COUNT(DISTINCT event_type)
     (relational.per_key_running_distinct): the novelty / exploration
@@ -3458,6 +3471,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "interval_merge": q_interval_merge,
     "target_encode": q_target_encode,
     "running_distinct": q_running_distinct,
+    "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -5016,6 +5030,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, v.tid AS token_id
             FROM tok t JOIN vocab v USING (token)
             ORDER BY doc_id, pos""",
+        "retention_cohorts": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 604800) AS BIGINT)
+                                AS p
+                       FROM events),
+            up AS (SELECT DISTINCT user_id, p FROM e),
+            c AS (SELECT user_id, min(p) AS cohort FROM up
+                  GROUP BY user_id)
+            SELECT c.cohort AS cohort_period,
+                   (up.p - c.cohort)::BIGINT AS periods_since,
+                   count(*)::BIGINT AS n_active
+            FROM up JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "running_distinct": """
             WITH e AS (SELECT user_id, event_id, event_type,
                               epoch_us(ts) AS tus

@@ -1234,6 +1234,58 @@ def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def retention_cohorts(ds, key_col: str, ts_col: str,
+                      period_s: int = 7 * 86400,
+                      exchange: str = "groups"):
+    """Cohort retention matrix: cohort = the period of a key's FIRST
+    event; for every later period the key is active in, one
+    (cohort, periods_since) cell increments — the activation/retention
+    triangle of event analytics. One keyed exchange of per-block
+    (key, period) pre-deduped partials (raw rows never move), a
+    run-aware kernel emits each key's distinct (cohort, delta) pairs,
+    and a tiny combiner aggregate counts keys per cell. Returns pandas
+    (cohort_period, periods_since, n_active) — cells are
+    period-granular, bounded by cohorts x horizon."""
+    import pandas as pd
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        per = ts // (period_s * 1_000_000)
+        df = (pd.DataFrame({key_col: batch[key_col].to_numpy(), "p": per})
+              .drop_duplicates())
+        return pa.table({key_col: pa.array(df[key_col].to_numpy()),
+                         "p": pa.array(df["p"].to_numpy(), pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_period": pa.array([], pa.int64()),
+                          "periods_since": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        p = batch["p"].to_numpy()
+        order = np.lexsort((p, keys))
+        sk, sp = keys[order], p[order]
+        # drop duplicate (key, period) rows surviving across blocks
+        keep = np.concatenate(([True], (sk[1:] != sk[:-1])
+                               | (sp[1:] != sp[:-1])))
+        sk, sp = sk[keep], sp[keep]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        cohort = sp[starts][run_id]
+        return pa.table({
+            "cohort_period": pa.array(cohort, pa.int64()),
+            "periods_since": pa.array(sp - cohort, pa.int64())})
+
+    cells = keyed_exchange(ds.map_batches(pre, batch_format="pyarrow"),
+                           key_col, kern, exchange)
+    return partial_groupby_agg(
+        cells, ["cohort_period", "periods_since"],
+        {"n_active": ("periods_since", "count")}) \
+        .sort_values(["cohort_period", "periods_since"]) \
+        .reset_index(drop=True)
+
+
 def per_key_running_distinct(ds, key_col: str, order_col: str,
                              val_col: str, out_col: str = "n_distinct",
                              tiebreak: str | None = None,
