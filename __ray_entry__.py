@@ -3147,6 +3147,22 @@ def q_user_entropy(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_hist2d(sf_dir: str):
+    """Joint 2-D histogram of (quantity, extendedprice)
+    (sketches.fixed_histogram_2d): one composite bincount register per
+    block, driver merge — the joint-distribution panel of a dataset
+    card. Exact: the bin rule is the identical double expression on
+    both sides."""
+    from frontera_ray.stages.sketches import fixed_histogram_2d
+
+    return fixed_histogram_2d(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice",
+        x_lo=0.0, x_width=5.0, x_bins=10,
+        y_lo=0.0, y_width=10000.0, y_bins=10)
+
+
 def q_psi_drift(sf_dir: str):
     """Population Stability Index between the two event_id-parity
     slices of the value distribution (sketches.psi_drift) — the
@@ -3472,6 +3488,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "target_encode": q_target_encode,
     "running_distinct": q_running_distinct,
     "retention_cohorts": q_retention_cohorts,
+    "hist2d": q_hist2d,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -4576,6 +4593,14 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000) AS BIGINT) AS entropy_micro,
                    CAST(sum(n) AS BIGINT) AS n_events
             FROM c GROUP BY user_id ORDER BY user_id""",
+        "hist2d": """
+            SELECT least(greatest(floor((l_quantity - 0.0) / 5.0),
+                                  -1), 10)::BIGINT AS x_bin,
+                   least(greatest(floor((l_extendedprice - 0.0)
+                                        / 10000.0), -1), 10)::BIGINT
+                     AS y_bin,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
         # same double op order as the Ray finalize: p=(n+1)/d, q
         # likewise, (p-q)*ln(p/q)*1e6 rounded PER BIN (order-free)
         "psi_drift": """

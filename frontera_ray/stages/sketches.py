@@ -411,6 +411,44 @@ def fixed_histogram(ds, col: str, lo: float, width: float, n_bins: int):
         "n": pa.array(total[keep], pa.int64())})
 
 
+def fixed_histogram_2d(ds, x_col: str, y_col: str,
+                       x_lo: float, x_width: float, x_bins: int,
+                       y_lo: float, y_width: float, y_bins: int):
+    """Exact 2-D fixed-bin histogram as a register combine — the joint
+    distribution profile (length x quality, size x aspect) of a
+    dataset card. One composite np.bincount per block over
+    (x_bin, y_bin) with under/overflow slots on both axes
+    ((x_bins+2) x (y_bins+2) int64 registers move per block, never
+    rows); bin rule is the same exact double floor((v-lo)/width) as
+    ``fixed_histogram``. Returns (x_bin, y_bin, n) for non-empty
+    cells; -1 / n_bins mark under/overflow."""
+    nx, ny = int(x_bins), int(y_bins)
+    W = ny + 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = np.clip(np.floor((x - x_lo) / x_width), -1, nx) \
+            .astype(np.int64) + 1
+        yi = np.clip(np.floor((y - y_lo) / y_width), -1, ny) \
+            .astype(np.int64) + 1
+        counts = np.bincount(xi * W + yi, minlength=(nx + 2) * W)
+        return pa.table({"slot": pa.array(np.arange((nx + 2) * W),
+                                          pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    total = np.zeros((nx + 2) * W, dtype=np.int64)
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t):
+            total[t["slot"].to_numpy()] += t["n"].to_numpy()
+    keep = np.flatnonzero(total)
+    return pa.table({
+        "x_bin": pa.array(keep // W - 1, pa.int64()),
+        "y_bin": pa.array(keep % W - 1, pa.int64()),
+        "n": pa.array(total[keep], pa.int64())})
+
+
 def psi_drift(ds, col: str, side_col: str, lo: float, width: float,
               n_bins: int):
     """Population Stability Index between two slices of one stream —
