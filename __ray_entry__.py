@@ -1589,6 +1589,58 @@ def q_gram_novelty(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (text.bpe_learn_merges): the first 6
+    merge rules learned from the corpus — per round, the most frequent
+    adjacent symbol pair over the frequency-weighted distinct-word
+    table, merged everywhere. Corpus-scale work is one native word
+    count; iterations run over the vocabulary-bounded word table.
+    Oracle = the rounds unrolled as chained CTEs with the same
+    replace() merge semantics."""
+    from frontera_ray.stages.text import bpe_learn_merges
+
+    out = bpe_learn_merges(
+        _read(sf_dir, "documents").select_columns(["text"]), rounds=6)
+    return out
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """SQL twin of bpe_learn_merges: w0 = char-split distinct words
+    (one space pad each side); each round's winner CTE picks
+    (count desc, pair asc) and the merge is the SAME left-to-right
+    non-overlapping replace() scan the Python side uses."""
+    parts = [r"""w0 AS (
+        SELECT word, count(*)::BIGINT AS cnt,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents)
+        GROUP BY word)"""]
+    for r in range(1, rounds + 1):
+        parts.append(rf"""p{r} AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(cnt)::BIGINT AS c
+        FROM (SELECT cnt, regexp_extract_all(trim(seq), '\S+') AS s
+              FROM w{r - 1}),
+             UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2)""")
+        parts.append(f"""m{r} AS (
+        SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)""")
+        if r < rounds:
+            parts.append(f"""w{r} AS (
+        SELECT word, cnt,
+               replace(seq, ' ' || m.a || ' ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' ') AS seq
+        FROM w{r - 1}, m{r} m)""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round, a AS \"left\", b AS \"right\", "
+        f"c AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1))
+    return ("WITH " + ",\n        ".join(parts)
+            + f"\n        {unions}\n        ORDER BY round")
+
+
 def q_tokenize_ids(sf_dir: str):
     """Corpus word-level tokenizer (text.tokenize_ids): frequency-
     ranked vocabulary ids (count desc, token asc) + every doc encoded
@@ -3489,6 +3541,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_distinct": q_running_distinct,
     "retention_cohorts": q_retention_cohorts,
     "hist2d": q_hist2d,
+    "bpe_merges": q_bpe_merges,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -5026,6 +5079,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(corr(disc_pct, tax_pct) * 1000000) AS BIGINT)
             FROM v
             ORDER BY col_x, col_y""",
+        "bpe_merges": _bpe_oracle(),
         "gram_novelty": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
                        FROM documents),

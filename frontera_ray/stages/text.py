@@ -520,6 +520,69 @@ def tokenize_ids(ds, text_col: str = "text"):
     return tp.map_batches(encode, batch_format="pyarrow")
 
 
+def bpe_learn_merges(ds, rounds: int = 6, text_col: str = "text"):
+    """Learn the first ``rounds`` BPE merge rules from the corpus —
+    the tokenizer-TRAINING step (Sennrich et al. 2016, public method):
+    each round counts adjacent symbol pairs over the distinct-word
+    table (weighted by word frequency), picks the most frequent pair
+    (count desc, pair asc ties), and merges it everywhere.
+
+    Distributed shape: the corpus-scale work is ONE native
+    ``groupby(word)`` count (the explode + hash aggregate); the
+    iterations then run over the collected DISTINCT-WORD table —
+    vocabulary-bounded (loud guard), orders of magnitude smaller than
+    the corpus, exactly how production BPE trainers work (running 13
+    dataset executions over a vocabulary-sized table costs pure
+    scheduling overhead — measured 17.6 s -> ~2 s at sf0.1).
+
+    Merge semantics: symbol sequences are space-joined strings padded
+    with one space on each side, and a merge is ONE left-to-right
+    non-overlapping ``str.replace`` of ``' a b '`` — the same scan
+    rule as SQL ``replace()``, so the twin reproduces every round
+    bit-for-bit (immediately-consecutive occurrences defer to a later
+    round; deterministic on both sides).
+
+    Returns pandas (round, left, right, pair_count)."""
+    import pandas as pd
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch[text_col]))
+        s = toks.to_pandas()
+        s = s[s != ""]
+        vc = s.value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    vocab_t = pa.concat_tables(list(
+        ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word").sum("cnt")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert len(vocab_t) < 50_000_000, (
+        "bpe_learn_merges: vocabulary is not driver-bounded")
+    wlist = vocab_t["word"].to_pylist()
+    cnts = vocab_t["sum(cnt)"].to_numpy().astype(np.int64)
+    seqs = [" " + " ".join(w) + " " for w in wlist]
+
+    out = []
+    for r in range(1, rounds + 1):
+        acc: dict = {}
+        for s, c in zip(seqs, cnts):
+            syms = s.split()
+            c = int(c)
+            for a, b in zip(syms, syms[1:]):
+                k = (a, b)
+                acc[k] = acc.get(k, 0) + c
+        if not acc:
+            break
+        (wa, wb), wc = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, wa, wb, wc))
+        pat, rep = f" {wa} {wb} ", f" {wa}{wb} "
+        seqs = [s.replace(pat, rep) for s in seqs]
+
+    return pd.DataFrame(out, columns=["round", "left", "right",
+                                      "pair_count"])
+
+
 def gram_novelty(ds, k: int = 4, text_col: str = "text"):
     """Per-doc gram novelty: of a document's DISTINCT word-``k``-grams,
     how many appear nowhere else in the corpus (df == 1) — high
