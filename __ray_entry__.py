@@ -1607,9 +1607,9 @@ def q_bpe_merges(sf_dir: str):
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
-    """SQL twin of bpe_learn_merges: w0 = char-split distinct words
-    (one space pad each side); each round's winner CTE picks
+def _bpe_ctes(rounds: int, through_final_w: bool) -> list[str]:
+    """The shared BPE CTE chain: w0 = char-split distinct words (one
+    space pad each side); each round's winner CTE picks
     (count desc, pair asc) and the merge is the SAME left-to-right
     non-overlapping replace() scan the Python side uses."""
     parts = [r"""w0 AS (
@@ -1627,18 +1627,60 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
         GROUP BY 1, 2)""")
         parts.append(f"""m{r} AS (
         SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)""")
-        if r < rounds:
+        if r < rounds or through_final_w:
             parts.append(f"""w{r} AS (
         SELECT word, cnt,
                replace(seq, ' ' || m.a || ' ' || m.b || ' ',
                        ' ' || m.a || m.b || ' ') AS seq
         FROM w{r - 1}, m{r} m)""")
+    return parts
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """SQL twin of bpe_learn_merges (see ``_bpe_ctes``)."""
+    parts = _bpe_ctes(rounds, through_final_w=False)
     unions = "\n        UNION ALL ".join(
         f"SELECT {r} AS round, a AS \"left\", b AS \"right\", "
         f"c AS pair_count FROM m{r}"
         for r in range(1, rounds + 1))
     return ("WITH " + ",\n        ".join(parts)
             + f"\n        {unions}\n        ORDER BY round")
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """SQL twin of bpe_encode_lengths over the merges learned by the
+    same CTE chain: per-word symbol counts from the final merged
+    sequences, summed per document."""
+    parts = _bpe_ctes(rounds, through_final_w=True)
+    return ("WITH " + ",\n        ".join(parts) + rf""",
+        ws AS (SELECT word,
+                      len(regexp_extract_all(trim(seq), '\S+'))::BIGINT
+                        AS n_sym
+               FROM w{rounds}),
+        tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                         AS word
+                FROM documents)
+        SELECT d.doc_id, count(tok.word)::BIGINT AS n_words,
+               COALESCE(sum(ws.n_sym), 0)::BIGINT AS n_symbols
+        FROM documents d
+        LEFT JOIN tok ON tok.doc_id = d.doc_id
+        LEFT JOIN ws ON ws.word = tok.word
+        GROUP BY d.doc_id ORDER BY d.doc_id""")
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenize with the trained BPE (text.bpe_encode_lengths): apply
+    the 6 learned merge rules and report each doc's encoded length in
+    symbols — packing budgets are denominated in tokens. Word ->
+    symbol-count map built once over the vocab, broadcast; documents
+    stream through one vectorized lookup pass."""
+    from frontera_ray.stages.text import bpe_encode_lengths, bpe_learn_merges
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    rules = bpe_learn_merges(docs, rounds=_BPE_ROUNDS)
+    out = bpe_encode_lengths(
+        docs, list(zip(rules["left"], rules["right"]))).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_tokenize_ids(sf_dir: str):
@@ -3542,6 +3584,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "retention_cohorts": q_retention_cohorts,
     "hist2d": q_hist2d,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "event_transitions": q_event_transitions,
     "cube_revenue": q_cube_revenue,
     "grouping_sets": q_grouping_sets,
@@ -5080,6 +5123,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             ORDER BY col_x, col_y""",
         "bpe_merges": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "gram_novelty": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
                        FROM documents),

@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "image_caption_curate", "funnel_depth", "reassemble_chunks",
     "customers_full_join", "order_rank", "latest_events",
     "rollup_revenue", "bigram_pmi", "bigram_logprob", "tokenize_ids",
-    "gram_novelty", "bpe_merges", "kmeans",
+    "gram_novelty", "bpe_merges", "bpe_encode", "kmeans",
     "semantic_dedup", "knn_join", "hll_grouped",
     "percent_rank", "event_pivot", "order_ntile",
     "urgent_low_intersect", "urgent_only_except",

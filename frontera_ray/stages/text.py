@@ -583,6 +583,68 @@ def bpe_learn_merges(ds, rounds: int = 6, text_col: str = "text"):
                                       "pair_count"])
 
 
+def bpe_encode_lengths(ds, merges, text_col: str = "text"):
+    """Apply learned BPE merge rules and report each document's
+    encoded length in symbols — the tokenize-with-a-trained-tokenizer
+    step that pairs with ``bpe_learn_merges`` (packing budgets and
+    costs are denominated in TOKENS, not words). The distinct-word ->
+    symbol-count map is built once by replaying the merge list
+    (vocabulary-bounded) and broadcast via ``ray.put``; documents
+    stream through one vectorized word-count + lookup pass (the same
+    explode-free split every text stage uses).
+
+    Returns a streaming Dataset (doc_id, n_words, n_symbols)."""
+    import ray
+
+    import pandas as pd
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch[text_col]))
+        s = toks.to_pandas()
+        s = s[s != ""]
+        vc = s.value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    vocab_t = pa.concat_tables(list(
+        ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word").sum("cnt")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    wlist = vocab_t["word"].to_pylist()
+    seqs = [" " + " ".join(w) + " " for w in wlist]
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        seqs = [s.replace(pat, rep) for s in seqs]
+    n_syms = np.array([len(s.split()) for s in seqs], np.int64)
+    ref = ray.put((pd.Index(wlist), n_syms))
+    cache: dict = {}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_symbols": pa.array([], pa.int64())})
+        key = ref.hex()
+        if key not in cache:
+            cache[key] = ray.get(ref)
+        index, lens = cache[key]
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok = flat.to_numpy(zero_copy_only=False)[keep]
+        par = parent[keep]
+        sym = lens[index.get_indexer(pd.Series(tok, dtype=object))]
+        nw = np.bincount(par, minlength=len(batch)).astype(np.int64)
+        ns = np.zeros(len(batch), np.int64)
+        np.add.at(ns, par, sym)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_words": pa.array(nw, pa.int64()),
+                         "n_symbols": pa.array(ns, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def gram_novelty(ds, k: int = 4, text_col: str = "text"):
     """Per-doc gram novelty: of a document's DISTINCT word-``k``-grams,
     how many appear nowhere else in the corpus (df == 1) — high
