@@ -1017,6 +1017,61 @@ def test_interval_merge_kernel(ray_session):
         == [1, 1, 1]
 
 
+def test_new_keyed_kernels_hash_exchange_parity(ray_session):
+    """The session's new keyed kernels (locf, windowed dedup, running
+    distinct, time-weighted, interval merge) produce identical results
+    through the hash exchange and the sort-groupby exchange on a
+    many-key random table — the 10^9-key path is the same kernel, so
+    parity here is the scale-safety check."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from frontera_ray.stages.relational import (interval_merge,
+                                                per_key_locf,
+                                                per_key_running_distinct,
+                                                per_key_time_weighted,
+                                                windowed_dedup)
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 10_000, n)), pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+        "v": pa.array([None if x < 0 else int(x)
+                       for x in rng.integers(-3, 50, n)], pa.int64()),
+        "cat": pa.array(rng.integers(0, 4, n).astype(str)),
+    })
+
+    def runs(op):
+        outs = []
+        for ex in ("groups", "hash"):
+            ds = ray.data.from_arrow(t).repartition(5)
+            df = op(ds, ex).to_pandas()
+            outs.append(df[sorted(df.columns)]
+                        .sort_values(sorted(df.columns))
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    runs(lambda ds, ex: per_key_locf(ds, "k", "ts", "v", tiebreak="id",
+                                     exchange=ex))
+    runs(lambda ds, ex: windowed_dedup(ds, "k", "ts", window_us=50,
+                                       tiebreak="id", exchange=ex))
+    runs(lambda ds, ex: per_key_running_distinct(
+        ds, "k", "ts", "cat", tiebreak="id", exchange=ex))
+    runs(lambda ds, ex: per_key_time_weighted(
+        ds.map_batches(lambda b: b.set_column(
+            b.schema.get_field_index("v"),
+            "v", pc.fill_null(b["v"], 0)), batch_format="pyarrow"),
+        "k", "ts", "v", tiebreak="id", gap_scale=1, exchange=ex))
+    runs(lambda ds, ex: interval_merge(
+        ds.map_batches(lambda b: b.append_column(
+            "hi", pc.add(b["ts"], pa.scalar(30, pa.int64()))),
+            batch_format="pyarrow"),
+        "k", "ts", "hi", tiebreak="id", exchange=ex))
+
+
 def test_windowed_dedup_ttl(ray_session):
     """Duplicates inside the window drop even when the predecessor was
     itself dropped; a key is legitimate again once the window passes;
