@@ -2131,7 +2131,7 @@ def q_gap_fill(sf_dir: str):
 
     out = gap_fill_counts(
         _read(sf_dir, "events").select_columns(["user_id", "ts"]),
-        "user_id", "ts", window_s=3600).to_pandas()
+        "user_id", "ts", window_s=21600).to_pandas()
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
@@ -5281,7 +5281,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e ORDER BY user_id, event_id""",
         "gap_fill": """
             WITH e AS (SELECT user_id,
-                              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
+                              CAST(floor(epoch(ts) / 21600) AS BIGINT) AS w
                        FROM events),
             span AS (SELECT user_id, min(w) AS mn, max(w) AS mx FROM e
                      GROUP BY user_id),
@@ -5289,7 +5289,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM span),
             cnt AS (SELECT user_id, w, count(*)::BIGINT AS n FROM e
                     GROUP BY user_id, w)
-            SELECT g.user_id, g.w * 3600 AS window_start,
+            SELECT g.user_id, g.w * 21600 AS window_start,
                    COALESCE(c.n, 0)::BIGINT AS n
             FROM grid g LEFT JOIN cnt c USING (user_id, w)
             ORDER BY 1, 2""",
