@@ -2901,6 +2901,32 @@ def q_knn_join(sf_dir: str):
     return knn_join_lsh(_read(sf_dir, "embeddings"))
 
 
+def q_proto_prune(sf_dir: str):
+    """Prototype-distance pruning (ann.proto_prune): keep each
+    k-means cluster's 80% most prototypical embeddings (smallest
+    centroid distance) — the easy-example-keep curation step. Slim
+    (id, cluster, d2) rows ride the one exchange; oracle = the kmeans
+    CTE recurrence + a per-cluster rank cutoff."""
+    from frontera_ray.stages.ann import proto_prune
+
+    return proto_prune(_read(sf_dir, "embeddings"), k=8, iters=1,
+                       keep_frac=0.8)
+
+
+def q_hash_features(sf_dir: str):
+    """Feature-hashing featurizer (text.hash_features): sparse 64-dim
+    signed bag-of-words vectors with no vocabulary pass (dimension +
+    sign carved from each token's md5) — the constant-memory
+    featurizer ahead of linear probes. Streaming, shuffle-free;
+    long-format output."""
+    from frontera_ray.stages.text import hash_features
+
+    out = hash_features(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        d=64).to_pandas()
+    return out.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+
+
 def q_bigram_pmi(sf_dir: str):
     """Top-20 bigram collocations by PMI (min support 5): one explode
     pass emits unigram + bigram counts together, one groupby exchange,
@@ -3559,6 +3585,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans": q_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "knn_join": q_knn_join,
+    "proto_prune": q_proto_prune,
+    "hash_features": q_hash_features,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5440,6 +5468,73 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(d2 * 1000000000) AS BIGINT))::BIGINT
                      AS inertia_nano
             FROM af GROUP BY cl ORDER BY cluster""",
+        # the kmeans recurrence at iters=1 + per-cluster rank cutoff:
+        # keep = rank-by-(d2, id) <= floor(0.8 * cluster size)
+        "proto_prune": """
+            WITH c0 AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[i+1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              WHERE vec_id < 8),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1),
+            m1 AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                       AS c
+              FROM embeddings e JOIN a1 a USING (vec_id),
+                   generate_series(0, 63) AS g(i)
+              GROUP BY a.cl, g.i),
+            c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1
+                     ON m1.cl = c0.cl AND m1.dim = c0.dim),
+            df AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+            af AS (
+              SELECT vec_id, cl, d2 FROM (
+                SELECT vec_id, cl, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM df) WHERE rn = 1),
+            rk AS (
+              SELECT vec_id, cl AS cluster,
+                     row_number() OVER (PARTITION BY cl
+                                        ORDER BY d2, vec_id) AS rnk,
+                     CAST(round(d2 * 1000000000) AS BIGINT) AS d2_nano,
+                     count(*) OVER (PARTITION BY cl) AS csize
+              FROM af)
+            SELECT vec_id, cluster, rnk, d2_nano,
+                   rnk <= CAST(floor(0.8 * csize) AS BIGINT) AS keep
+            FROM rk ORDER BY vec_id""",
+        "hash_features": r"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+            hx AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+            cell AS (
+              SELECT doc_id,
+                     (('0x' || substr(h, 1, 8))::UBIGINT % 64)::BIGINT
+                       AS dim,
+                     sum((2 * (('0x' || substr(h, 9, 1))::UBIGINT % 2)
+                          ::BIGINT - 1) * tf)::BIGINT AS weight
+              FROM hx GROUP BY 1, 2)
+            SELECT doc_id, dim, weight FROM cell
+            WHERE weight <> 0 ORDER BY doc_id, dim""",
         # the kmeans recurrence at iters=1 (c0 -> a1 -> c1), then a
         # same-cluster self-join at the cosine threshold — the SemDeDup
         # shape: candidate pairs exist ONLY within a cluster

@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "customers_full_join", "order_rank", "latest_events",
     "rollup_revenue", "bigram_pmi", "bigram_logprob", "tokenize_ids",
     "gram_novelty", "bpe_merges", "bpe_encode", "kmeans",
-    "semantic_dedup", "knn_join", "hll_grouped",
+    "semantic_dedup", "knn_join", "proto_prune", "hash_features",
+    "hll_grouped",
     "percent_rank", "event_pivot", "order_ntile",
     "urgent_low_intersect", "urgent_only_except",
     "urgent_low_intersect_all", "urgent_only_except_all",

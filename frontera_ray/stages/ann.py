@@ -785,6 +785,78 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
     return out.take(pa.array(order))
 
 
+def proto_prune(ds, k: int = 8, iters: int = 1, keep_frac: float = 0.8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 9, exchange: str = "groups"):
+    """Prototype-distance data pruning (Sorscher et al. 2022
+    "Beyond neural scaling laws", public method): cluster the
+    embedding space (the deterministic ``kmeans_centroids``
+    recurrence) and keep each cluster's ``keep_frac`` most PROTOTYPICAL
+    examples (smallest distance to the centroid) — the
+    easy-example-keep / outlier-prune curation step.
+
+    One assignment pass (broadcast centroids), one cluster-keyed
+    exchange of slim (id, cluster, d2) rows — embeddings do NOT ride
+    the exchange — and a vectorized per-run rank. Returns Arrow
+    (vec_id, cluster, rnk, d2_nano, keep) with
+    keep = rank <= floor(keep_frac * cluster_size); rank ties break by
+    id, distances rounded 1e-9 like every centroid op here."""
+    import ray
+
+    from .relational import keyed_exchange
+
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    C = kmeans_centroids(src, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        X = _matrix(batch, vec_col).astype(np.float64)
+        d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2)
+                      .sum(axis=2), round_to)
+        a = np.argmin(d2, axis=1)
+        nano = np.round(d2[np.arange(len(a)), a] * 1e9).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "d2_nano": pa.array(nano, pa.int64())})
+
+    slim = src.map_batches(assign, batch_format="pyarrow")
+
+    def rank_run(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "d2_nano": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        cl = batch["cluster"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        d2 = batch["d2_nano"].to_numpy()
+        order = np.lexsort((ids, d2, cl))
+        sk = cl[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rnk = np.arange(len(sk)) - starts[run_id] + 1
+        sizes = np.diff(np.concatenate((starts, [len(sk)])))
+        cut = np.floor(keep_frac * sizes).astype(np.int64)
+        keep = rnk <= cut[run_id]
+        out = batch.take(pa.array(order))
+        return pa.table({
+            id_col: out[id_col], "cluster": out["cluster"],
+            "rnk": pa.array(rnk, pa.int64()),
+            "d2_nano": out["d2_nano"],
+            "keep": pa.array(keep, pa.bool_())})
+
+    parts = list(keyed_exchange(slim, "cluster", rank_run, exchange)
+                 .iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(parts)
+    order = np.argsort(t[id_col].to_numpy())
+    return t.take(pa.array(order))
+
+
 def knn_join_lsh(ds, bits: int = 16, bands: int = 8, dim: int = 64,
                  seed: int = 42, exchange: str = "groups"):
     """Per-vector nearest neighbor (k=1 kNN self-join) over banded

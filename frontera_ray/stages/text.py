@@ -645,6 +645,47 @@ def bpe_encode_lengths(ds, merges, text_col: str = "text"):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def hash_features(ds, d: int = 64, text_col: str = "text"):
+    """Feature-hashing featurizer (the hashing trick, Weinberger et
+    al. 2009, public method): each document becomes a sparse d-dim
+    bag-of-words vector with NO vocabulary pass — dimension =
+    md5-top-32(token) % d, sign = one extra md5 bit, weight =
+    Σ sign·tf. The constant-memory featurizer in front of linear
+    probes / cheap classifiers when a vocab table is unwanted.
+
+    Streaming, shuffle-free: one explode (``term_freq_table``; docs
+    are whole within blocks), vectorized md5 dims/signs, one pandas
+    per-block (doc, dim) fold. Emits long-format
+    (doc_id, dim, weight) rows for non-zero cells."""
+    import pandas as pd
+
+    from ..fingerprint import md5_hex_batch
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        tf = term_freq_table(batch, text_col)
+        if len(tf) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        hexes = md5_hex_batch(np.asarray(tf["token"].to_pylist(),
+                                         dtype=object))
+        top32 = np.array([int(h[:8], 16) for h in hexes], np.int64)
+        sign_bit = np.array([int(h[8], 16) & 1 for h in hexes], np.int64)
+        dim = top32 % d
+        w = (2 * sign_bit - 1) * tf["tf"].to_numpy()
+        df = (pd.DataFrame({"doc_id": tf["doc_id"].to_numpy(),
+                            "dim": dim, "weight": w})
+              .groupby(["doc_id", "dim"], as_index=False).sum())
+        df = df[df["weight"] != 0]
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "dim": pa.array(df["dim"].to_numpy(), pa.int64()),
+                         "weight": pa.array(df["weight"].to_numpy(),
+                                            pa.int64())})
+
+    return ds.map_batches(featurize, batch_format="pyarrow")
+
+
 def gram_novelty(ds, k: int = 4, text_col: str = "text"):
     """Per-doc gram novelty: of a document's DISTINCT word-``k``-grams,
     how many appear nowhere else in the corpus (df == 1) — high
