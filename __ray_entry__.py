@@ -645,6 +645,91 @@ def q_prep_pipeline(sf_dir: str):
     return card.sort_values(["split", "lang_pred"]).reset_index(drop=True)
 
 
+def q_gate_attrition(sf_dir: str):
+    """Gate-by-gate attrition card of the curation chain (pipeline
+    observability: where do documents die): cumulative survivor
+    counts through eval-exclusion -> quality -> language ->
+    exact-dup-keeper. One fused feature pass + vectorized flag
+    combiner; the keeper gate is the same one keyed exchange
+    prep_pipeline uses. Oracle composes the shared curate CTE."""
+    import pandas as pd
+    from frontera_ray.stages.relational import per_key_topk
+    from frontera_ray.stages.text import curate_table
+
+    feats = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        curate_table, batch_format="pyarrow").materialize()
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        g0 = np.ones(len(ids), bool)
+        g1 = g0 & (ids % 97 != 0)
+        g2 = g1 & pc.greater_equal(batch["quality_score"], 0.5) \
+            .to_numpy(zero_copy_only=False)
+        g3 = g2 & pc.is_in(batch["lang_pred"],
+                           value_set=pa.array(["en", "de"])) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"r": pa.array(
+            [[int(g0.sum()), int(g1.sum()), int(g2.sum()), int(g3.sum())]],
+            pa.list_(pa.int64()))})
+
+    acc = np.zeros(4, np.int64)
+    for t in feats.map_batches(flag_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in t["r"].to_pylist():
+            acc += np.asarray(row, np.int64)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = ((ids % 97 != 0)
+             & pc.greater_equal(batch["quality_score"], 0.5)
+                 .to_numpy(zero_copy_only=False)
+             & pc.is_in(batch["lang_pred"],
+                        value_set=pa.array(["en", "de"]))
+                 .to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m))
+
+    n_keep = per_key_topk(feats.map_batches(gate, batch_format="pyarrow"),
+                          "text_md5", "doc_id", k=1,
+                          descending=False).count()
+    return pd.DataFrame({
+        "gate": ["input", "eval_excluded", "quality", "language",
+                 "exact_dedup"],
+        "n_pass": np.concatenate((acc, [n_keep])).astype(np.int64)})
+
+
+def q_corpus_card(sf_dir: str):
+    """One-row corpus card: n_docs, total tokens, distinct vocabulary,
+    exact-duplicate docs, majority language and its share (ppm) — the
+    at-a-glance dataset summary. One fused feature pass feeds a
+    combiner; vocab rides the native token groupby; all integers."""
+    import pandas as pd
+    from frontera_ray.stages.text import curate_table, term_freq_table
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    feats = docs.map_batches(curate_table, batch_format="pyarrow") \
+        .materialize()
+    n_docs = feats.count()
+    n_tokens = int(feats.sum("n_tokens"))
+    vocab = docs.map_batches(term_freq_table, batch_format="pyarrow") \
+        .groupby("token").count().count()
+    # duplicate docs = docs minus distinct content hashes
+    n_distinct_md5 = feats.groupby("text_md5").count().count()
+    lang_counts = (feats.groupby("lang_pred").count()
+                   .to_pandas().sort_values(
+                       ["count()", "lang_pred"],
+                       ascending=[False, True]).reset_index(drop=True))
+    top_lang = lang_counts.loc[0, "lang_pred"]
+    top_n = int(lang_counts.loc[0, "count()"])
+    return pd.DataFrame({
+        "n_docs": [n_docs],
+        "n_tokens": [n_tokens],
+        "vocab": [vocab],
+        "n_dup_docs": [n_docs - n_distinct_md5],
+        "top_lang": [top_lang],
+        "top_lang_ppm": [int(round(top_n / n_docs * 1e6))]})
+
+
 def q_quantity_quantiles(sf_dir: str):
     """Exact per-group discrete quantiles (median + p90) of lineitem
     quantity via bounded-domain histogram combine — the histogram, not
@@ -3587,6 +3672,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_join": q_knn_join,
     "proto_prune": q_proto_prune,
     "hash_features": q_hash_features,
+    "gate_attrition": q_gate_attrition,
+    "corpus_card": q_corpus_card,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -4254,6 +4341,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS keeper
               FROM kept)
             WHERE doc_id = keeper ORDER BY doc_id""",
+        "gate_attrition": f"""
+            WITH {_CURATE_FEATS_CTE},
+            g AS (SELECT doc_id, quality_score, lang_pred, text_md5,
+                         (doc_id % 97 <> 0) AS g1,
+                         (doc_id % 97 <> 0
+                          AND quality_score >= 0.5) AS g2,
+                         (doc_id % 97 <> 0 AND quality_score >= 0.5
+                          AND lang_pred IN ('en', 'de')) AS g3
+                  FROM feats),
+            keepers AS (SELECT count(DISTINCT text_md5)::BIGINT AS n
+                        FROM g WHERE g3)
+            SELECT 'input' AS gate, count(*)::BIGINT AS n_pass FROM g
+            UNION ALL
+            SELECT 'eval_excluded', sum(CASE WHEN g1 THEN 1 ELSE 0
+                                        END)::BIGINT FROM g
+            UNION ALL
+            SELECT 'quality', sum(CASE WHEN g2 THEN 1 ELSE 0
+                                  END)::BIGINT FROM g
+            UNION ALL
+            SELECT 'language', sum(CASE WHEN g3 THEN 1 ELSE 0
+                                   END)::BIGINT FROM g
+            UNION ALL
+            SELECT 'exact_dedup', n FROM keepers""",
+        "corpus_card": f"""
+            WITH {_CURATE_FEATS_CTE},
+            lc AS (SELECT lang_pred, count(*)::BIGINT AS n FROM feats
+                   GROUP BY lang_pred ORDER BY n DESC, lang_pred
+                   LIMIT 1),
+            tok AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
+                      AS token FROM documents)
+            SELECT (SELECT count(*)::BIGINT FROM feats) AS n_docs,
+                   (SELECT sum(n_tokens)::BIGINT FROM feats) AS n_tokens,
+                   (SELECT count(DISTINCT token)::BIGINT FROM tok)
+                     AS vocab,
+                   (SELECT count(*)::BIGINT FROM feats)
+                     - (SELECT count(DISTINCT text_md5)::BIGINT
+                        FROM feats) AS n_dup_docs,
+                   (SELECT lang_pred FROM lc) AS top_lang,
+                   CAST(round((SELECT n FROM lc)::DOUBLE
+                              / (SELECT count(*) FROM feats) * 1000000)
+                        AS BIGINT) AS top_lang_ppm""",
         # the full prep chain composed from the SAME shared CTE pieces:
         # eval exclusion + curate gates -> exact-dup keeper ->
         # decontamination NOT EXISTS -> split ladder -> corpus card
