@@ -2998,6 +2998,19 @@ def q_proto_prune(sf_dir: str):
                        keep_frac=0.8)
 
 
+def q_doc_entropy(sf_dir: str):
+    """Per-doc token-distribution entropy (text.doc_entropy): the
+    lexical-diversity signal — low entropy for the length flags
+    templated/spammy text. Shuffle-free (docs whole within blocks);
+    float expression op-matched to the SQL twin at micro rounding."""
+    from frontera_ray.stages.text import doc_entropy
+
+    out = doc_entropy(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hash_features(sf_dir: str):
     """Feature-hashing featurizer (text.hash_features): sparse 64-dim
     signed bag-of-words vectors with no vocabulary pass (dimension +
@@ -3674,6 +3687,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hash_features": q_hash_features,
     "gate_attrition": q_gate_attrition,
     "corpus_card": q_corpus_card,
+    "doc_entropy": q_doc_entropy,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5646,6 +5660,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster, rnk, d2_nano,
                    rnk <= CAST(floor(0.8 * csize) AS BIGINT) AS keep
             FROM rk ORDER BY vec_id""",
+        "doc_entropy": r"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(round((ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf))
+                              * 1000000) AS BIGINT) AS entropy_micro
+            FROM tf GROUP BY doc_id ORDER BY doc_id""",
         "hash_features": r"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS tf

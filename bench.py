@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "urgent_low_intersect_all", "urgent_only_except_all",
     "order_gaps", "locf_fill", "gap_fill", "windowed_dedup", "corr_matrix",
     "twap", "decile_bins", "psi_drift", "prep_pipeline", "join_size_est",
-    "gate_attrition", "corpus_card",
+    "gate_attrition", "corpus_card", "doc_entropy",
     "dup_cluster_sizes", "image_aspect_buckets", "interval_merge",
     "target_encode", "running_distinct", "retention_cohorts", "hist2d",
     "event_transitions", "cube_revenue",

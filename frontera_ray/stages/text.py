@@ -645,6 +645,41 @@ def bpe_encode_lengths(ds, merges, text_col: str = "text"):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def doc_entropy(ds, text_col: str = "text"):
+    """Per-document token-distribution Shannon entropy (micro-nats) —
+    the lexical-diversity quality signal (templated/spammy text has
+    abnormally LOW entropy for its length; `repetition` measures
+    duplicate mass, this measures distributional flatness).
+    Shuffle-free: documents are whole within blocks after the
+    ``term_freq_table`` explode, so H = ln(t) − Σ tf·ln(tf) / t
+    finalizes with two reduceats per block (identical float expression
+    to the SQL twin, micro-rounded like ``grouped_entropy``).
+    Returns a streaming Dataset (doc_id, n_tokens, entropy_micro)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        tf_t = term_freq_table(batch, text_col)
+        if len(tf_t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "entropy_micro": pa.array([], pa.int64())})
+        doc = tf_t["doc_id"].to_numpy()
+        tf = tf_t["tf"].to_numpy().astype(np.float64)
+        order = np.argsort(doc, kind="stable")
+        d_s, f_s = doc[order], tf[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        tot = np.add.reduceat(f_s, starts)
+        flnf = np.add.reduceat(f_s * np.log(f_s), starts)
+        ent = np.log(tot) - flnf / tot
+        return pa.table({
+            "doc_id": pa.array(d_s[starts], pa.int64()),
+            "n_tokens": pa.array(tot.astype(np.int64), pa.int64()),
+            "entropy_micro": pa.array(np.round(ent * 1e6).astype(np.int64),
+                                      pa.int64())})
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
 def hash_features(ds, d: int = 64, text_col: str = "text"):
     """Feature-hashing featurizer (the hashing trick, Weinberger et
     al. 2009, public method): each document becomes a sparse d-dim
