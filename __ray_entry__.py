@@ -2308,6 +2308,29 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_winsorize(sf_dir: str):
+    """Winsorization: clamp order prices to the exact [p01, p99] range
+    (histogram-bisection quantiles, no sort shuffle; one streaming
+    clamp pass) — the outlier-taming transform before moment-based
+    features. Oracle = quantile_disc cutpoints + least/greatest."""
+    from frontera_ray.stages.relational import quantile_unbounded
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    cuts = quantile_unbounded(orders, "o_totalprice", [0.01, 0.99])
+    lo, hi = float(cuts[0.01]), float(cuts[0.99])
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        v = np.clip(batch["o_totalprice"].to_numpy(), lo, hi)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "clamped_cents": pa.array(np.round(v * 100).astype(np.int64),
+                                      pa.int64())})
+
+    out = orders.map_batches(clamp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_decile_bins(sf_dir: str):
     """Quantile-bucket feature discretization: exact decile cutpoints
     from the histogram-bisection quantile pass (no sort shuffle), then
@@ -3688,6 +3711,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gate_attrition": q_gate_attrition,
     "corpus_card": q_corpus_card,
     "doc_entropy": q_doc_entropy,
+    "winsorize": q_winsorize,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5404,6 +5428,14 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "winsorize": """
+            WITH c AS (SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+                              quantile_disc(o_totalprice, 0.99) AS hi
+                       FROM orders)
+            SELECT o_orderkey,
+                   round(least(greatest(o_totalprice, lo), hi)
+                         * 100)::BIGINT AS clamped_cents
+            FROM orders, c ORDER BY o_orderkey""",
         "decile_bins": """
             WITH c AS (SELECT quantile_disc(o_totalprice, 0.1) AS c1,
                               quantile_disc(o_totalprice, 0.2) AS c2,

@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "urgent_low_intersect", "urgent_only_except",
     "urgent_low_intersect_all", "urgent_only_except_all",
     "order_gaps", "locf_fill", "gap_fill", "windowed_dedup", "corr_matrix",
-    "twap", "decile_bins", "psi_drift", "prep_pipeline", "join_size_est",
+    "twap", "decile_bins", "winsorize", "psi_drift", "prep_pipeline",
+    "join_size_est",
     "gate_attrition", "corpus_card", "doc_entropy",
     "dup_cluster_sizes", "image_aspect_buckets", "interval_merge",
     "target_encode", "running_distinct", "retention_cohorts", "hist2d",
