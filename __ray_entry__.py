@@ -2308,6 +2308,26 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_session_durations(sf_dir: str):
+    """Session-duration distribution — a three-stage composition:
+    gap sessionization into per-session spans
+    (relational.session_spans, one keyed exchange), then the
+    shuffle-free histogram-bisection quantiles over the session
+    durations. Output: one row (n_sessions, p50_us, p90_us)."""
+    import pandas as pd
+    from frontera_ray.stages.relational import (quantile_unbounded,
+                                                session_spans)
+
+    spans = session_spans(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        "user_id", "ts", gap_us=86400 * 1_000_000).materialize()
+    n = spans.count()
+    qs = quantile_unbounded(spans, "dur_us", [0.5, 0.9])
+    return pd.DataFrame({"n_sessions": [n],
+                         "p50_us": [int(qs[0.5])],
+                         "p90_us": [int(qs[0.9])]})
+
+
 def q_winsorize(sf_dir: str):
     """Winsorization: clamp order prices to the exact [p01, p99] range
     (histogram-bisection quantiles, no sort shuffle; one streaming
@@ -3712,6 +3732,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_card": q_corpus_card,
     "doc_entropy": q_doc_entropy,
     "winsorize": q_winsorize,
+    "session_durations": q_session_durations,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5428,6 +5449,24 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "session_durations": """
+            WITH f AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts), 9e18)
+                       > 86400 * 1000000::BIGINT AS new_session
+              FROM events),
+            s AS (SELECT user_id, tus,
+                         sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f),
+            d AS (SELECT (max(tus) - min(tus))::BIGINT AS dur_us
+                  FROM s GROUP BY user_id, sid)
+            SELECT count(*)::BIGINT AS n_sessions,
+                   quantile_disc(dur_us, 0.5)::BIGINT AS p50_us,
+                   quantile_disc(dur_us, 0.9)::BIGINT AS p90_us
+            FROM d""",
         "winsorize": """
             WITH c AS (SELECT quantile_disc(o_totalprice, 0.01) AS lo,
                               quantile_disc(o_totalprice, 0.99) AS hi

@@ -2540,6 +2540,41 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     return keyed_exchange(ds, user_col, sess_block, exchange)
 
 
+def session_spans(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  gap_us: int = 30 * 60 * 1_000_000,
+                  exchange: str = "groups"):
+    """Per-SESSION rows from gap sessionization (``sessionize`` emits
+    per-user aggregates; this emits one row per session with its span)
+    — the input to dwell-time / engagement-distribution analyses.
+    Same one keyed exchange; session boundaries and spans fall out of
+    one lexsort + reduceat. Returns a streaming Dataset
+    (user_id, n_events, dur_us)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"user_id": pa.array([], batch[user_col].type
+                                                 if len(batch.schema)
+                                                 else pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "dur_us": pa.array([], pa.int64())})
+        uid_raw = batch[user_col].to_numpy(zero_copy_only=False)
+        uid = _group_codes(uid_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gap = np.concatenate(([0], np.diff(t_s)))
+        new_sess = new_user | (gap > gap_us)
+        ss = np.flatnonzero(new_sess)
+        se = np.concatenate((ss[1:], [len(u_s)]))
+        return pa.table({
+            "user_id": pa.array(uid_raw[order][ss], batch[user_col].type),
+            "n_events": pa.array(se - ss, pa.int64()),
+            "dur_us": pa.array(t_s[se - 1] - t_s[ss], pa.int64())})
+
+    return keyed_exchange(ds, user_col, kern, exchange)
+
+
 def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
                 id_col: str = "event_id", value_col: str = "value",
                 exchange: str = "groups"):
