@@ -2308,6 +2308,27 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_count_gini(sf_dir: str):
+    """Gini coefficient of per-supplier lineitem counts — the skew /
+    inequality observability statistic behind the north rule's hot-key
+    mitigation (a Gini near 1 says salt before you shuffle). One
+    native groupby count; the key-cardinality count vector is
+    collected (bounded), sorted once, and the exact integer rank-sum
+    formula finalizes with a single op-matched float division."""
+    import pandas as pd
+
+    cnt = pa.concat_tables(list(
+        _read(sf_dir, "lineitem").select_columns(["l_suppkey"])
+        .groupby("l_suppkey").count()
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    c = np.sort(cnt["count()"].to_numpy().astype(np.int64))
+    n, s = len(c), int(c.sum())
+    ic = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+    gini = (2.0 * ic - (n + 1) * s) / (n * s) * 1e6
+    return pd.DataFrame({"n_keys": [n], "total": [s],
+                         "gini_ppm": [int(round(gini))]})
+
+
 def q_session_durations(sf_dir: str):
     """Session-duration distribution — a three-stage composition:
     gap sessionization into per-session spans
@@ -3733,6 +3754,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_entropy": q_doc_entropy,
     "winsorize": q_winsorize,
     "session_durations": q_session_durations,
+    "count_gini": q_count_gini,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5449,6 +5471,17 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "count_gini": """
+            WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS c
+                       FROM lineitem GROUP BY 1),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c),
+            t AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                         sum(i * c)::BIGINT AS ic
+                  FROM r)
+            SELECT n AS n_keys, s AS total,
+                   CAST(round((2.0 * ic - (n + 1) * s)
+                              / (n * s) * 1000000) AS BIGINT) AS gini_ppm
+            FROM t""",
         "session_durations": """
             WITH f AS (
               SELECT user_id, epoch_us(ts) AS tus,
