@@ -3062,6 +3062,19 @@ def q_proto_prune(sf_dir: str):
                        keep_frac=0.8)
 
 
+def q_compress_ratio(sf_dir: str):
+    """Per-doc zlib compressibility (text.compress_ratio): the
+    Gopher-era templated-text gate. Rows-only (no deflate in SQL);
+    pytest asserts the repetitive < natural < random monotonicity and
+    determinism."""
+    from frontera_ray.stages.text import compress_ratio
+
+    out = compress_ratio(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_entropy(sf_dir: str):
     """Per-doc token-distribution entropy (text.doc_entropy): the
     lexical-diversity signal — low entropy for the length flags
@@ -3752,6 +3765,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gate_attrition": q_gate_attrition,
     "corpus_card": q_corpus_card,
     "doc_entropy": q_doc_entropy,
+    "compress_ratio": q_compress_ratio,
     "winsorize": q_winsorize,
     "session_durations": q_session_durations,
     "count_gini": q_count_gini,

@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "order_gaps", "locf_fill", "gap_fill", "windowed_dedup", "corr_matrix",
     "twap", "decile_bins", "winsorize", "psi_drift", "prep_pipeline",
     "join_size_est",
-    "gate_attrition", "corpus_card", "doc_entropy",
+    "gate_attrition", "corpus_card", "doc_entropy", "compress_ratio",
     "dup_cluster_sizes", "image_aspect_buckets", "interval_merge",
     "target_encode", "running_distinct", "retention_cohorts", "hist2d",
     "session_durations", "count_gini",

@@ -645,6 +645,33 @@ def bpe_encode_lengths(ds, merges, text_col: str = "text"):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def compress_ratio(ds, level: int = 6, text_col: str = "text"):
+    """Per-doc zlib compression ratio (ppm of original size) — the
+    classic compressibility quality gate (Gopher-era): machine-
+    generated/templated text compresses far below natural prose, and
+    near-random noise barely compresses at all. Deflate is a C-level
+    per-doc call (the same budget class as the PNG encode stage);
+    streaming map_batches, no shuffle. NOT SQL-expressible (no deflate
+    in DuckDB) — pytest-oracled: monotone repetitive < natural <
+    random, byte-exact determinism. Returns a streaming Dataset
+    (doc_id, n_bytes, ratio_ppm)."""
+    import zlib
+
+    def kern(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        raw = np.array([len(t.encode("utf8")) for t in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf8"), level)) for t in texts],
+            np.int64)
+        nz = np.maximum(raw, 1)
+        ppm = (comp * 1_000_000 // nz).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bytes": pa.array(raw, pa.int64()),
+                         "ratio_ppm": pa.array(ppm, pa.int64())})
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
 def doc_entropy(ds, text_col: str = "text"):
     """Per-document token-distribution Shannon entropy (micro-nats) —
     the lexical-diversity quality signal (templated/spammy text has

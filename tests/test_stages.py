@@ -573,6 +573,32 @@ def test_pack_sequences_invariants(ray_session):
             == out["doc_id"].to_numpy() // 64).all()
 
 
+def test_compress_ratio_monotone(ray_session):
+    """Compressibility gate: repetitive text compresses hardest,
+    natural prose in between, near-random noise barely; deterministic
+    byte-exact across runs."""
+    import ray
+
+    from frontera_ray.stages.text import compress_ratio
+
+    rep = "the same line again and again " * 50
+    nat = ("the quick brown fox jumps over the lazy dog while pack "
+           "my box with five dozen liquor jugs and vexing wizards ") * 8
+    rng = np.random.default_rng(5)
+    rnd = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 1400))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([rep, nat, rnd], pa.string())})
+    out = (compress_ratio(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    r = out["ratio_ppm"].tolist()
+    assert r[0] < r[1] < r[2]
+    # 90-symbol uniform noise is entropy-limited near log2(90)/8 = 81%
+    assert r[2] > 800_000
+    out2 = (compress_ratio(ray.data.from_arrow(t)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out2)
+
+
 def test_repetition_table_matches_brute():
     from frontera_ray.stages.text import repetition_table
 
