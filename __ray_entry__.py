@@ -2308,6 +2308,27 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_host_entropy(sf_dir: str):
+    """Shannon entropy of the crawl's host mix (grouped_entropy with a
+    constant group over the canonical hosts) — the crawl-diversity /
+    single-host-capture observability signal: entropy near ln(1) says
+    the frontier collapsed onto one host."""
+    from frontera_ray.stages.relational import grouped_entropy
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hosts = np.array([f"host-{d % 20}.test" for d in ids], object)
+        return pa.table({"g": pa.array(np.zeros(len(ids), np.int64),
+                                       pa.int64()),
+                         "host": pa.array(hosts, pa.string())})
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = (grouped_entropy(ds, "g", "host").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    return out[["entropy_micro", "n_events"]]
+
+
 def q_count_gini(sf_dir: str):
     """Gini coefficient of per-supplier lineitem counts — the skew /
     inequality observability statistic behind the north rule's hot-key
@@ -3769,6 +3790,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winsorize": q_winsorize,
     "session_durations": q_session_durations,
     "count_gini": q_count_gini,
+    "host_entropy": q_host_entropy,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5485,6 +5507,14 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "host_entropy": f"""
+            WITH c AS (SELECT {_HOST_SQL} AS host,
+                              count(*)::DOUBLE AS n
+                       FROM documents GROUP BY 1)
+            SELECT CAST(round((ln(sum(n)) - sum(n * ln(n)) / sum(n))
+                              * 1000000) AS BIGINT) AS entropy_micro,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM c""",
         "count_gini": """
             WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS c
                        FROM lineitem GROUP BY 1),
