@@ -3561,6 +3561,32 @@ def q_interval_join(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_band_join(sf_dir: str):
+    """Numeric BAND self-join (|price_a - price_b| <= $20 between
+    URGENT and LOW orders) — the measurement-tolerance / near-price
+    matching primitive, expressed through the interval-overlap
+    machinery: a band join IS the overlap of [v, v+w] intervals, so
+    the bucket replication + owner-bucket dedup apply unchanged."""
+    from frontera_ray.stages.relational import interval_overlap_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "lo": pa.array(cents, pa.int64()),
+            "hi": pa.array(cents + 2000, pa.int64())})
+
+    ds = (_read(sf_dir, "orders")
+          .select_columns(["o_orderkey", "o_orderpriority", "o_totalprice"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = interval_overlap_join(ds, "lo", "hi", "o_orderpriority",
+                                left_type="1-URGENT", right_type="5-LOW",
+                                id_col="o_orderkey",
+                                bucket_w=2048).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_embedding_pca(sf_dir: str):
     """Distributed PCA over the embedding column (ann.pca_fit): one
     (d²+d+1)-float64 register per block (Σxxᵀ, Σx, n), driver
@@ -3791,6 +3817,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "session_durations": q_session_durations,
     "count_gini": q_count_gini,
     "host_entropy": q_host_entropy,
+    "band_join": q_band_join,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5507,6 +5534,14 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "band_join": """
+            SELECT u.o_orderkey AS a, l.o_orderkey AS b
+            FROM orders u JOIN orders l
+              ON u.o_orderpriority = '1-URGENT'
+             AND l.o_orderpriority = '5-LOW'
+             AND abs(round(u.o_totalprice * 100)
+                     - round(l.o_totalprice * 100)) <= 2000
+            ORDER BY a, b""",
         "host_entropy": f"""
             WITH c AS (SELECT {_HOST_SQL} AS host,
                               count(*)::DOUBLE AS n
