@@ -2308,6 +2308,34 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_hll_intersect(sf_dir: str):
+    """Audience-overlap estimate (sketches.hll_intersect): distinct
+    clicking vs purchasing users and their intersection via HLL
+    inclusion-exclusion — the union sketch is a free register-wise
+    max. One streaming pass, per-(block, side) register partials;
+    exact intersection companion from the bounded distinct-user sets."""
+    import pandas as pd
+    from frontera_ray.stages.sketches import hll_intersect
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    ea, eb, ei = hll_intersect(ev, "user_id", "event_type",
+                               left="click", right="purchase")
+
+    def side_users(which):
+        t = pa.concat_tables(list(
+            ev.map_batches(
+                lambda b, w=which: b.filter(pc.equal(b["event_type"], w))
+                .select(["user_id"]), batch_format="pyarrow")
+            .groupby("user_id").count()
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        return t["user_id"].to_numpy()
+
+    exact = int(np.intersect1d(side_users("click"),
+                               side_users("purchase")).size)
+    return pd.DataFrame({"est_click": [ea], "est_purchase": [eb],
+                         "est_inter": [ei], "exact_inter": [exact]})
+
+
 def q_host_entropy(sf_dir: str):
     """Shannon entropy of the crawl's host mix (grouped_entropy with a
     constant group over the canonical hosts) — the crawl-diversity /
@@ -3818,6 +3846,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "count_gini": q_count_gini,
     "host_entropy": q_host_entropy,
     "band_join": q_band_join,
+    "hll_intersect": q_hll_intersect,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -4203,6 +4232,62 @@ def _dup_cluster_sizes_oracle() -> str:
                GROUP BY keeper HAVING count(*) > 1)
         SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
         FROM cs GROUP BY sz ORDER BY sz"""
+
+
+def _hll_intersect_oracle() -> str:
+    """SQL twin of hll_intersect (p=14): per-side register CTEs with
+    the same md5-top-64 hash and rho rule as the hll_distinct oracle,
+    the union sketch as a register-wise MAX over both sides, the
+    estimator applied three times, floors differenced like the Ray
+    finalize."""
+    def regs(tag: str, where: str) -> str:
+        return f"""b{tag} AS (
+            SELECT (h // 1125899906842624)::BIGINT AS idx,
+                   (h % 1125899906842624)::BIGINT AS w
+            FROM (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 16))::UBIGINT AS h
+                  FROM events WHERE event_type = '{where}')),
+        r{tag} AS (SELECT idx,
+                          MAX(CASE WHEN w = 0 THEN 51
+                                   ELSE 50 - length(bin(w)) + 1 END)
+                            AS rho
+                   FROM b{tag} GROUP BY idx)"""
+
+    def est(tag: str, src: str) -> str:
+        return f"""agg{tag} AS (
+            SELECT SUM(1::BIGINT << (51 - rho))::HUGEINT AS s_live,
+                   count(*)::BIGINT AS n_live FROM {src}),
+        est{tag} AS (
+            SELECT (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0
+                   * 16384.0 * 2251799813685248.0
+                   / CAST(s_live + (16384 - n_live)::HUGEINT
+                          * 2251799813685248 AS DOUBLE) AS raw,
+                   16384 - n_live AS v0
+            FROM agg{tag}),
+        v{tag} AS (
+            SELECT CAST(FLOOR(CASE WHEN raw <= 2.5 * 16384.0 AND v0 > 0
+                                   THEN 16384.0 * ln(16384.0 / v0)
+                                   ELSE raw END) AS BIGINT) AS v
+            FROM est{tag})"""
+
+    return f"""
+        WITH {regs('a', 'click')},
+        {regs('b', 'purchase')},
+        ru AS (SELECT idx, MAX(rho) AS rho
+               FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+               GROUP BY idx),
+        {est('a', 'ra')},
+        {est('b', 'rb')},
+        {est('u', 'ru')}
+        SELECT va.v AS est_click, vb.v AS est_purchase,
+               va.v + vb.v - vu.v AS est_inter,
+               (SELECT count(*) FROM (
+                   SELECT user_id FROM events
+                   WHERE event_type = 'click'
+                   INTERSECT
+                   SELECT user_id FROM events
+                   WHERE event_type = 'purchase'))::BIGINT AS exact_inter
+        FROM va, vb, vu"""
 
 
 def _split_case_sql() -> str:
@@ -5534,6 +5619,7 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "hll_intersect": _hll_intersect_oracle(),
         "band_join": """
             SELECT u.o_orderkey AS a, l.o_orderkey AS b
             FROM orders u JOIN orders l

@@ -136,6 +136,57 @@ CMS_W = 4096   # buckets per row
 CMS_D = 4      # hash rows — all four carved from ONE md5 digest
 
 
+def hll_intersect(ds, col: str, side_col: str, left, right,
+                  p: int = 14) -> tuple[int, int, int]:
+    """Sketch-based SET-INTERSECTION cardinality via inclusion-
+    exclusion: ``|A∩B| ≈ |A| + |B| − |A∪B|`` where all three
+    cardinalities come from HyperLogLog registers and the UNION
+    sketch is free (register-wise max of A and B — the property that
+    makes HLL mergeable). The audience-overlap / shared-vocabulary
+    estimate with NO shuffle and no value materialization; error grows
+    when the true intersection is small relative to the sets (the
+    known inclusion-exclusion caveat — callers wanting guarantees
+    route to the exact ``set_op`` intersect).
+
+    ONE streaming pass emits one register partial per (block, side);
+    the driver max-merges per side and floors each estimate before
+    differencing (matching the SQL twin's integer arithmetic).
+    Returns (est_left, est_right, est_inter)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sides = np.asarray(batch[side_col].to_pylist(), dtype=object)
+        out_s, out_r = [], []
+        for tag, want in ((0, left), (1, right)):
+            m = sides == want
+            if not m.any():
+                continue
+            vals = batch[col].filter(pa.array(m))
+            h = _md5_hash64(vals.to_pylist())
+            out_s.append(tag)
+            out_r.append(hll_partial(h, p))
+        if not out_s:
+            return pa.table({"side": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.list_(pa.uint8()))})
+        return pa.table({"side": pa.array(out_s, pa.int64()),
+                         "r": pa.array([r.tolist() for r in out_r],
+                                       pa.list_(pa.uint8()))})
+
+    regs = {0: np.zeros(1 << p, np.uint8), 1: np.zeros(1 << p, np.uint8)}
+    for t in ds.select_columns([col, side_col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, r in zip(t["side"].to_numpy(),
+                        t["r"].to_numpy(zero_copy_only=False)):
+            np.maximum(regs[int(s)], np.asarray(r, np.uint8),
+                       out=regs[int(s)])
+    ra, rb = regs[0], regs[1]
+    ru = np.maximum(ra, rb)
+    ea = int(np.floor(hll_estimate(ra)))
+    eb = int(np.floor(hll_estimate(rb)))
+    eu = int(np.floor(hll_estimate(ru)))
+    return ea, eb, ea + eb - eu
+
+
 def cms_buckets(token: str, w: int = CMS_W, d: int = CMS_D) -> list[int]:
     """The d bucket indices for a token: bytes [4j, 4j+4) of its md5
     digest mod w — the SQL twin is
