@@ -2308,6 +2308,40 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_chi_square(sf_dir: str):
+    """Chi-square independence cells: event_type x day-of-week
+    contingency table with each cell's (observed, chi2 contribution in
+    micro units) — is behavior independent of weekday (the
+    seasonality / drift sanity check). One combiner aggregate (cells
+    move, rows don't); per-cell expected counts and contributions are
+    the identical double expressions as the SQL twin, rounded per
+    cell so the output is order-free."""
+    import pandas as pd
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        dow = (ts // 86_400_000_000 + 4) % 7  # 1970-01-01 was a Thursday
+        return pa.table({"event_type": batch["event_type"],
+                         "dow": pa.array(dow, pa.int64())})
+
+    cells = partial_groupby_agg(
+        _read(sf_dir, "events").select_columns(["event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "dow"], {"n": ("dow", "count")})
+    df = cells.reset_index(drop=True)
+    total = float(df["n"].sum())
+    row_tot = df.groupby("event_type")["n"].transform("sum").astype(float)
+    col_tot = df.groupby("dow")["n"].transform("sum").astype(float)
+    exp = row_tot * col_tot / total
+    chi = (df["n"].astype(float) - exp) ** 2 / exp
+    out = pd.DataFrame({
+        "event_type": df["event_type"], "dow": df["dow"],
+        "n": df["n"].astype(np.int64),
+        "chi2_micro": np.round(chi.to_numpy() * 1e6).astype(np.int64)})
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
 def q_hll_intersect(sf_dir: str):
     """Audience-overlap estimate (sketches.hll_intersect): distinct
     clicking vs purchasing users and their intersection via HLL
@@ -3847,6 +3881,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "host_entropy": q_host_entropy,
     "band_join": q_band_join,
     "hll_intersect": q_hll_intersect,
+    "chi_square": q_chi_square,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5619,6 +5654,23 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "chi_square": """
+            WITH c AS (SELECT event_type,
+                              ((epoch_us(ts) // 86400000000) + 4) % 7
+                                AS dow,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n)::DOUBLE AS total FROM c),
+            rt AS (SELECT event_type, sum(n)::DOUBLE AS r FROM c
+                   GROUP BY 1),
+            ct AS (SELECT dow, sum(n)::DOUBLE AS cl FROM c GROUP BY 1)
+            SELECT c.event_type, c.dow, c.n,
+                   CAST(round((c.n - rt.r * ct.cl / t.total)
+                              * (c.n - rt.r * ct.cl / t.total)
+                              / (rt.r * ct.cl / t.total)
+                              * 1000000) AS BIGINT) AS chi2_micro
+            FROM c JOIN rt USING (event_type) JOIN ct USING (dow), t
+            ORDER BY c.event_type, c.dow""",
         "hll_intersect": _hll_intersect_oracle(),
         "band_join": """
             SELECT u.o_orderkey AS a, l.o_orderkey AS b
