@@ -2308,6 +2308,35 @@ def q_twap(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_vocab_drift(sf_dir: str):
+    """Top-20 vocabulary comparison between the two doc-id-parity
+    halves (side, rank, token, cnt rows) — the rank-stability /
+    vocabulary-drift check between corpus snapshots: a large symmetric
+    difference of the head vocabularies flags a content shift. Two
+    explode + native-count passes, per-block partial top-k, tiny
+    driver merges; deterministic (count desc, token asc) ranking."""
+    import pandas as pd
+    from frontera_ray.stages.text import term_freq_table
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = []
+    for side in (0, 1):
+        cnt = pa.concat_tables(list(
+            docs.map_batches(
+                lambda b, s=side: b.filter(
+                    pa.array(b["doc_id"].to_numpy() % 2 == s)),
+                batch_format="pyarrow")
+            .map_batches(term_freq_table, batch_format="pyarrow")
+            .groupby("token").sum("tf")
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        toks = cnt["token"].to_numpy(zero_copy_only=False)
+        ns = cnt["sum(tf)"].to_numpy().astype(np.int64)
+        order = np.lexsort((toks, -ns))[:20]
+        for r, i in enumerate(order, 1):
+            out.append((side, r, str(toks[i]), int(ns[i])))
+    return pd.DataFrame(out, columns=["side", "rank", "token", "cnt"])
+
+
 def q_chi_square(sf_dir: str):
     """Chi-square independence cells: event_type x day-of-week
     contingency table with each cell's (observed, chi2 contribution in
@@ -3882,6 +3911,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "band_join": q_band_join,
     "hll_intersect": q_hll_intersect,
     "chi_square": q_chi_square,
+    "vocab_drift": q_vocab_drift,
     "hll_grouped": q_hll_grouped,
     "percent_rank": q_percent_rank,
     "event_pivot": q_event_pivot,
@@ -5654,6 +5684,20 @@ def oracle_sql() -> dict[str, str]:
                    sum((nxt - tus) // 1000)::BIGINT AS dur
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id ORDER BY user_id""",
+        "vocab_drift": r"""
+            WITH tok AS (SELECT doc_id % 2 AS side,
+                                unnest(regexp_extract_all(text, '\S+'))
+                                  AS token
+                         FROM documents),
+            cnt AS (SELECT side, token, count(*)::BIGINT AS cnt
+                    FROM tok GROUP BY 1, 2),
+            rk AS (SELECT side, token, cnt,
+                          row_number() OVER (PARTITION BY side
+                                             ORDER BY cnt DESC, token)
+                            AS rank
+                   FROM cnt)
+            SELECT side, rank, token, cnt FROM rk
+            WHERE rank <= 20 ORDER BY side, rank""",
         "chi_square": """
             WITH c AS (SELECT event_type,
                               ((epoch_us(ts) // 86400000000) + 4) % 7

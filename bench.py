@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "dup_cluster_sizes", "image_aspect_buckets", "interval_merge",
     "target_encode", "running_distinct", "retention_cohorts", "hist2d",
     "session_durations", "count_gini", "host_entropy", "band_join",
-    "hll_intersect", "chi_square",
+    "hll_intersect", "chi_square", "vocab_drift",
     "event_transitions", "cube_revenue",
     "hash_sample", "normalize_text", "skew_join_revenue", "chunk_docs", "minmax_norm", "moving_sum", "cume_dist", "event_seq", "first_last_order", "source_share",
     "dense_rank", "group_stats", "triangles", "jaccard_join", "edit_join", "weighted_sample", "clustering", "group_mad", "urgent_low_union", "window_users", "quantile_sketch", "props_extract", "validity_intervals",
