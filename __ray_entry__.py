@@ -2942,6 +2942,23 @@ def q_triangles(sf_dir: str):
         "int64")
 
 
+def q_graph_bfs(sf_dir: str):
+    """Bounded-depth multi-source BFS levels (pagerank.bfs_levels) over
+    the same sparse supplier co-purchase graph as `triangles`: seeds =
+    suppliers with suppkey % 5 == 1, max depth 4 — the batch
+    reachability / crawl-depth primitive (frontera's BFS strategy
+    assigns exactly this hop count). Per level: one streaming edge
+    pass against the broadcast packed frontier bitset, packed-register
+    combine on the driver; NO shuffle. Oracled against a DuckDB
+    recursive CTE (min level per reached node)."""
+    from frontera_ray.stages.pagerank import bfs_levels
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    seeds = np.arange(1, n_nodes, 5, dtype=np.int64)  # suppkey % 5 == 1
+    out = bfs_levels(edges, n_nodes, seeds, max_depth=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -3954,6 +3971,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dense_rank": q_dense_rank,
     "group_stats": q_group_stats,
     "triangles": q_triangles,
+    "graph_bfs": q_graph_bfs,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5086,6 +5104,26 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "graph_bfs": """
+            WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
+                                        y.l_suppkey AS v
+                       FROM lineitem x
+                       JOIN lineitem y
+                         ON x.l_orderkey = y.l_orderkey
+                        AND x.l_suppkey < y.l_suppkey
+                       WHERE x.l_quantity >= 48
+                         AND y.l_quantity >= 48),
+            und AS (SELECT u AS a, v AS b FROM e
+                    UNION ALL SELECT v, u FROM e),
+            reach(node, lvl) AS (
+                SELECT s_suppkey AS node, 0 AS lvl
+                FROM supplier WHERE s_suppkey % 5 = 1
+              UNION
+                SELECT und.b, reach.lvl + 1
+                FROM reach JOIN und ON und.a = reach.node
+                WHERE reach.lvl < 4)
+            SELECT node, min(lvl)::BIGINT AS lvl
+            FROM reach GROUP BY node ORDER BY node""",
         "clustering": """
             WITH e AS (SELECT DISTINCT x.l_suppkey AS u,
                                        y.l_suppkey AS v

@@ -345,3 +345,75 @@ def node_clustering(edges_ds, n_nodes: int, num_blocks: int = 32):
                   "tri": pa.array([], pa.int64()),
                   "lcc_ppm": pa.array([], pa.int64())})
     return out.sort_by("node")
+
+
+def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
+    """Bounded-depth multi-source BFS over an UNDIRECTED edge stream —
+    the crawl-depth / reachability primitive (the batch twin of the
+    crawl frontier's per-link ``depth + 1`` flow; reference frontera's
+    BFS strategy scores by exactly this hop count,
+    frontera/strategy/depth.py:25-37). Returns (node, lvl) for
+    every node within ``max_depth`` hops of the seed set, lvl = exact
+    BFS level (min hops).
+
+    Scale shape: per level, ONE streaming ``map_batches`` pass over the
+    edge blocks — no shuffle anywhere. The frontier ships as a PACKED
+    bitset broadcast (``ray.put``, n/8 bytes = 12.5 MB at 10⁸ nodes)
+    and every block returns one packed reached-bitset register
+    (the ``_dense_partials`` register-combine pattern, bit-packed:
+    the driver ORs O(blocks) bitsets per level, never rows). Edges are
+    materialized once and re-read from the object store each level;
+    multi-edges are harmless (reach is idempotent), so the raw
+    ``cooccurrence_edges`` stream feeds straight in. Memory is bounded
+    by the NODE universe like the other bitset stages; beyond bitset
+    reach the same recurrence maps to frontier⋈edges semi-joins
+    (one all-to-all per level — the documented fallback).
+    """
+    import ray
+
+    n = int(n_nodes)
+    nb = (n + 7) // 8
+    edges_ds = edges_ds.materialize()
+    level = np.full(n, -1, np.int32)
+    seeds = np.asarray(seeds, np.int64)
+    seeds = seeds[(seeds >= 0) & (seeds < n)]
+    level[seeds] = 0
+    frontier = np.zeros(n, bool)
+    frontier[seeds] = True
+
+    for d in range(1, max_depth + 1):
+        if not frontier.any():
+            break
+        f_ref = ray.put(np.packbits(frontier, bitorder="little"))
+
+        def reach_block(batch: pa.Table, _f=f_ref) -> pa.Table:
+            fr = np.unpackbits(ray.get(_f),
+                               bitorder="little")[:n].astype(bool)
+            out = np.zeros(n, bool)
+            if len(batch):
+                src = batch["src"].to_numpy()
+                dst = batch["dst"].to_numpy()
+                out[dst[fr[src]]] = True
+                out[src[fr[dst]]] = True
+            return pa.table({"bits": pa.array(
+                np.packbits(out, bitorder="little"), pa.uint8())})
+
+        reached = np.zeros(nb, np.uint8)
+        for t in edges_ds.map_batches(reach_block, batch_format="pyarrow",
+                                      batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            bits = t["bits"].to_numpy()
+            if len(bits):
+                reached |= np.bitwise_or.reduce(
+                    bits.reshape(-1, nb), axis=0)
+        new = np.unpackbits(reached, bitorder="little")[:n].astype(bool)
+        new &= level < 0
+        if not new.any():
+            break
+        level[new] = d
+        frontier = new
+
+    nodes = np.flatnonzero(level >= 0)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "lvl": pa.array(level[nodes].astype(np.int64),
+                                     pa.int64())})
