@@ -2959,6 +2959,29 @@ def q_graph_bfs(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_copurchase(sf_dir: str):
+    """Frequent item-pair mining with support + lift
+    (itemsets.pair_lift): parts co-ordered in >= 2 orders, the
+    A-priori / co-purchase primitive. Basket-local vectorized pair
+    generation behind one keyed exchange on the order, then one
+    combined-count exchange over a single multiplexed key stream
+    (pairs / item presence / basket markers); pair output is
+    candidate-scale, item counts bounded by the part universe
+    (broadcast, like the pagerank node vector). Integer-exact
+    support_ppm / lift_ppm so the full operator oracle-checks."""
+    import pyarrow.parquet as pq
+
+    from frontera_ray.stages.itemsets import pair_lift
+
+    n_items = int(pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"])["p_partkey"].to_numpy().max()) + 1
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    return pair_lift(li, "l_orderkey", "l_partkey", n_items,
+                     min_pair=2, exchange="groups")
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -3972,6 +3995,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_stats": q_group_stats,
     "triangles": q_triangles,
     "graph_bfs": q_graph_bfs,
+    "copurchase": q_copurchase,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5104,6 +5128,23 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "copurchase": """
+            WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            n AS (SELECT count(DISTINCT o) AS total FROM po),
+            ic AS (SELECT p, count(*)::BIGINT AS cnt FROM po GROUP BY p),
+            pr AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS pair_n
+                   FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+                   GROUP BY 1, 2)
+            SELECT a, b, pair_n,
+                   (pair_n * 1000000 // total)::BIGINT AS support_ppm,
+                   (pair_n * total * 1000000
+                      // (ca.cnt * cb.cnt))::BIGINT AS lift_ppm
+            FROM pr CROSS JOIN n
+            JOIN ic ca ON ca.p = pr.a
+            JOIN ic cb ON cb.p = pr.b
+            WHERE pair_n >= 2
+            ORDER BY a, b""",
         "graph_bfs": """
             WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
                                         y.l_suppkey AS v
