@@ -2982,6 +2982,21 @@ def q_copurchase(sf_dir: str):
                      min_pair=2, exchange="groups")
 
 
+def q_compaction_plan(sf_dir: str):
+    """Target-size output-file compaction plan
+    (relational.compaction_plan): pack documents (in doc_id order) into
+    ~10 KB files by cumulative size — the lakehouse small-file
+    coalescing planner, built on a DISTRIBUTED PREFIX SUM (one sort
+    exchange, per-block offset broadcast, per-file partial combine;
+    the driver sees O(blocks + files) rows, never documents)."""
+    from frontera_ray.stages.relational import compaction_plan
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return compaction_plan(docs, "doc_id", "n_chars", target=10_000) \
+        .to_pandas()
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -3996,6 +4011,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "triangles": q_triangles,
     "graph_bfs": q_graph_bfs,
     "copurchase": q_copurchase,
+    "compaction_plan": q_compaction_plan,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5128,6 +5144,16 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "compaction_plan": """
+            WITH c AS (SELECT doc_id, n_chars,
+                              sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev
+                       FROM documents)
+            SELECT (coalesce(prev, 0) // 10000)::BIGINT AS file_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS bytes
+            FROM c GROUP BY 1 ORDER BY 1""",
         "copurchase": """
             WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                         FROM lineitem),

@@ -955,6 +955,102 @@ def global_topk(ds, order_col: str, k: int, descending: bool = True,
     return parts.take(pa.array(order))
 
 
+def compaction_plan(ds, order_col: str, size_col: str,
+                    target: int) -> pa.Table:
+    """Ordered bin-packing of a sized item stream into target-size
+    output files — the compaction / small-file-coalescing planner every
+    lakehouse maintenance job runs (and the shape the crawl sink's
+    round fragments need when merging into read-optimized partitions;
+    reference frontera's HBase batch writer buffers to a comparable
+    mutation budget, contrib/backends/hbase/__init__.py).
+
+    item i (in ``order_col`` order) lands in
+    ``file_id = prev_cumsum(size) // target`` — the classic
+    cumulative-sum packing, so files fill to >= target bytes except the
+    last. Returns one row per planned file: (file_id, n_docs, bytes).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM (scan), no driver rows:
+
+    1. ``ds.sort(order_col)`` — the one (range-partitioned) all-to-all;
+       the stream then stays block-sorted and is materialized so both
+       passes see identical blocks.
+    2. Pass 1: ONE (first_key, block_sum) row per block; the driver
+       sorts O(blocks) partials by first key and prefix-sums them into
+       per-block starting offsets (keyed by the block's first key —
+       ``order_col`` must therefore be globally unique).
+    3. Pass 2: every block re-derives its rows' global prev-cumsum from
+       its broadcast offset, assigns file ids, and emits per-file
+       PARTIAL (file_id, n, bytes) rows — O(files touched) per block.
+    4. Driver merge of the partials is bounded by the plan size
+       (total_bytes/target + blocks rows — 100 TB at a 1 GB target is
+       ~10⁵ rows), never the item count.
+    """
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "block_sum": pa.array([], pa.int64())})
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        sizes = batch[size_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "first_key": pa.array([int(keys[0])], pa.int64()),
+            "block_sum": pa.array([int(sizes.sum())], pa.int64())})
+
+    metas = pa.concat_tables(
+        list(sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                   batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    fk = metas["first_key"].to_numpy()
+    bs = metas["block_sum"].to_numpy()
+    order = np.argsort(fk, kind="stable")
+    fk, bs = fk[order], bs[order]
+    offs = np.concatenate(([0], np.cumsum(bs)[:-1]))
+    off_ref = ray.put(dict(zip(fk.tolist(), offs.tolist())))
+
+    def assign_files(batch: pa.Table, _o=off_ref) -> pa.Table:
+        empty = pa.table({"file_id": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "bytes": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        sizes = batch[size_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = ray.get(_o)[int(keys[0])]
+        prev = off + np.cumsum(sizes) - sizes
+        fid = prev // target
+        uf = np.concatenate(([True], fid[1:] != fid[:-1]))
+        starts = np.flatnonzero(uf)
+        n = np.diff(np.append(starts, len(fid)))
+        byts = np.add.reduceat(sizes, starts)
+        return pa.table({
+            "file_id": pa.array(fid[starts], pa.int64()),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "bytes": pa.array(byts.astype(np.int64), pa.int64())})
+
+    parts = pa.concat_tables(
+        list(sorted_ds.map_batches(assign_files, batch_format="pyarrow",
+                                   batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    fid = parts["file_id"].to_numpy()
+    order = np.argsort(fid, kind="stable")
+    fid = fid[order]
+    nd = parts["n_docs"].to_numpy()[order]
+    by = parts["bytes"].to_numpy()[order]
+    new = np.concatenate(([True], fid[1:] != fid[:-1]))
+    starts = np.flatnonzero(new)
+    return pa.table({
+        "file_id": pa.array(fid[starts], pa.int64()),
+        "n_docs": pa.array(np.add.reduceat(nd, starts).astype(np.int64),
+                           pa.int64()),
+        "bytes": pa.array(np.add.reduceat(by, starts).astype(np.int64),
+                          pa.int64())})
+
+
 def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
                            keys=()):
     """Tumbling-window aggregate: count events per (window_start, *keys).
