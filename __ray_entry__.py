@@ -52,6 +52,13 @@ _RAW_URL_SQL = "'  HTTP://Host-' || (doc_id % 20) || '.Test/p/' || doc_id || '?b
 _CANON_URL_SQL = "'http://host-' || (doc_id % 20) || '.test/p/' || doc_id || '?a=1&b=2'"
 _HOST_SQL = "'host-' || (doc_id % 20) || '.test'"
 
+# Morton interleave unrolled for the zorder_cells oracle: x bits land on
+# even positions, y bits on odd (exactly relational._spread16's ladder).
+_ZORDER_X_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i})" for i in range(16))
+_ZORDER_Y_SQL = " + ".join(
+    f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -2997,6 +3004,25 @@ def q_compaction_plan(sf_dir: str):
         .to_pandas()
 
 
+def q_zorder_cells(sf_dir: str):
+    """Z-order (Morton) layout zone map (relational.zorder_cells):
+    interleave (user_id, cents) into 32-bit z-values and report each
+    4096-cell bucket's count + per-dimension min/max — the
+    multi-dimensional clustering/data-skipping layout primitive.
+    Pure bit math in map_batches + a bounded register combine; NO
+    shuffle. Oracled against an unrolled 32-term bit expression."""
+    from frontera_ray.stages.relational import zorder_cells
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "x": b["user_id"],
+              "y": pa.array(np.round(b["value"].to_numpy() * 100)
+                            .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    return zorder_cells(ev, "x", "y", cell_shift=20).to_pandas()
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4012,6 +4038,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "graph_bfs": q_graph_bfs,
     "copurchase": q_copurchase,
     "compaction_plan": q_compaction_plan,
+    "zorder_cells": q_zorder_cells,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5144,6 +5171,16 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "zorder_cells": f"""
+            WITH v AS (SELECT user_id % 65536 AS x,
+                              (round(value * 100)::BIGINT) % 65536 AS y
+                       FROM events),
+            z AS (SELECT x, y, ({_ZORDER_X_SQL} + {_ZORDER_Y_SQL}) AS zval
+                  FROM v)
+            SELECT (zval >> 20)::BIGINT AS cell, count(*)::BIGINT AS n,
+                   min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+                   min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+            FROM z GROUP BY 1 ORDER BY 1""",
         "compaction_plan": """
             WITH c AS (SELECT doc_id, n_chars,
                               sum(n_chars) OVER (ORDER BY doc_id

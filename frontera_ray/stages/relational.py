@@ -1051,6 +1051,92 @@ def compaction_plan(ds, order_col: str, size_col: str,
                           pa.int64())})
 
 
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``v`` to the even bit positions of a
+    32-bit lane (the classic Morton magic-mask ladder, public domain
+    bit-twiddling)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_cells(ds, x_col: str, y_col: str,
+                 cell_shift: int = 20) -> pa.Table:
+    """Z-order (Morton) data-layout zone map: interleave two 16-bit
+    dimension columns into a 32-bit z-value, bucket rows into z-cells
+    (``zval >> cell_shift``) and report each cell's count + per-
+    dimension min/max — the clustering key + zone-map statistics a
+    lakehouse layout optimizer computes so range predicates on EITHER
+    dimension can skip files (the multi-dimensional generalization of
+    the crawl sink's per-partition pruning).
+
+    Scale shape: the Morton interleave is pure vectorized bit math in
+    ``map_batches``; the zone map itself is a REGISTER COMBINE — the
+    cell universe is bounded by construction (2^(32-cell_shift) cells,
+    4096 at the default shift), so each block emits one partial
+    (cell, n, min/max) table after an in-block ``np.unique`` and the
+    driver merges O(blocks x cells-touched) partials. NO shuffle.
+    Inputs are masked to 16 bits (callers pre-scale real coordinates).
+    """
+    shift = np.uint64(cell_shift)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cell": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "min_x": pa.array([], pa.int64()),
+            "max_x": pa.array([], pa.int64()),
+            "min_y": pa.array([], pa.int64()),
+            "max_y": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        x = batch[x_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & 0xFFFF
+        y = batch[y_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) & 0xFFFF
+        z = _spread16(x) | (_spread16(y) << np.uint64(1))
+        cell = (z >> shift).astype(np.int64)
+        order = np.argsort(cell, kind="stable")
+        cell, x, y = cell[order], x[order], y[order]
+        new = np.concatenate(([True], cell[1:] != cell[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cell))
+        return pa.table({
+            "cell": pa.array(cell[starts], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "min_x": pa.array(np.minimum.reduceat(x, starts), pa.int64()),
+            "max_x": pa.array(np.maximum.reduceat(x, starts), pa.int64()),
+            "min_y": pa.array(np.minimum.reduceat(y, starts), pa.int64()),
+            "max_y": pa.array(np.maximum.reduceat(y, starts), pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in ds.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if len(t)])
+    if parts.num_rows == 0:
+        return parts
+    cell = parts["cell"].to_numpy()
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    new = np.concatenate(([True], cell[1:] != cell[:-1]))
+    starts = np.flatnonzero(new)
+
+    def merge(col, red):
+        return red.reduceat(parts[col].to_numpy()[order], starts) \
+            .astype(np.int64)
+
+    return pa.table({
+        "cell": pa.array(cell[starts], pa.int64()),
+        "n": pa.array(merge("n", np.add), pa.int64()),
+        "min_x": pa.array(merge("min_x", np.minimum), pa.int64()),
+        "max_x": pa.array(merge("max_x", np.maximum), pa.int64()),
+        "min_y": pa.array(merge("min_y", np.minimum), pa.int64()),
+        "max_y": pa.array(merge("max_y", np.maximum), pa.int64())})
+
+
 def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
                            keys=()):
     """Tumbling-window aggregate: count events per (window_start, *keys).
