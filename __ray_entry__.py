@@ -3023,6 +3023,29 @@ def q_zorder_cells(sf_dir: str):
     return zorder_cells(ev, "x", "y", cell_shift=20).to_pandas()
 
 
+def q_crawl_budget(sf_dir: str):
+    """Per-host crawl-budget allocation by the largest-remainder
+    (Hamilton) method (relational.largest_remainder_alloc): split a
+    10,000-page budget across hosts proportionally to their content
+    mass (sum of n_chars), integer-exact with Σalloc == budget — the
+    batch twin of the frontier's per-domain caps. Host weights via
+    grouped_int_sum (combiner + ONE keyed exchange); the allocator
+    itself is three register passes + a top-R remainder rank."""
+    from frontera_ray.stages.relational import (grouped_int_sum,
+                                                largest_remainder_alloc)
+
+    docs = (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "n_chars"])
+            .map_batches(lambda b: pa.table({
+                "host": pa.array(b["doc_id"].to_numpy() % 20, pa.int64()),
+                "w": pa.array(b["n_chars"].to_numpy()
+                              .astype(np.int64), pa.int64()),
+            }), batch_format="pyarrow"))
+    weights = grouped_int_sum(docs, "host", "w", exchange="groups")
+    return largest_remainder_alloc(weights, "host", "w",
+                                   budget=10_000).to_pandas()
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4039,6 +4062,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "copurchase": q_copurchase,
     "compaction_plan": q_compaction_plan,
     "zorder_cells": q_zorder_cells,
+    "crawl_budget": q_crawl_budget,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5171,6 +5195,23 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "crawl_budget": """
+            WITH w AS (SELECT doc_id % 20 AS host,
+                              sum(n_chars)::BIGINT AS wt
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(wt)::BIGINT AS tot FROM w),
+            f AS (SELECT host, wt, (10000 * wt) // tot AS base,
+                         (10000 * wt) % tot AS rem
+                  FROM w CROSS JOIN t),
+            s AS (SELECT sum(base)::BIGINT AS fsum FROM f),
+            rk AS (SELECT host, wt, base,
+                          row_number() OVER (ORDER BY rem DESC, host)
+                            AS rn
+                   FROM f)
+            SELECT host, wt AS weight,
+                   (base + CASE WHEN rn <= 10000 - s.fsum
+                                THEN 1 ELSE 0 END)::BIGINT AS alloc
+            FROM rk CROSS JOIN s ORDER BY host""",
         "zorder_cells": f"""
             WITH v AS (SELECT user_id % 65536 AS x,
                               (round(value * 100)::BIGINT) % 65536 AS y

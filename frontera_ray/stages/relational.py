@@ -1051,6 +1051,116 @@ def compaction_plan(ds, order_col: str, size_col: str,
                           pa.int64())})
 
 
+def grouped_int_sum(ds, key_col: str, val_col: str,
+                    exchange: str = "groups"):
+    """Distributed integer sum per key: per-block ``np.unique`` partial
+    combine, then ONE keyed exchange segment-summing the partials —
+    the combiner-before-shuffle shape for ANY key cardinality (unlike
+    ``partial_groupby_agg``, which collects partials on the driver and
+    is only right for low-cardinality keys). Returns a Dataset of
+    (key_col, val_col) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             val_col: pa.array([], pa.int64())})
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        new = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(new)
+        return pa.table({
+            key_col: pa.array(k[starts], pa.int64()),
+            val_col: pa.array(np.add.reduceat(v, starts).astype(np.int64),
+                              pa.int64())})
+
+    return keyed_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                          key_col, partial, exchange)
+
+
+def largest_remainder_alloc(ds, key_col: str, weight_col: str,
+                            budget: int) -> pa.Table:
+    """EXACT integer proportional allocation of a global budget across
+    keys — the largest-remainder (Hamilton) method: every key gets
+    ``floor(budget * w / W)`` and the ``budget - Σfloor`` leftover units
+    go to the largest fractional remainders (ties: smaller key first).
+    This is the crawl-budget allocator (give each host a page budget
+    proportional to its quality mass — the batch twin of the frontier's
+    per-domain caps and slot budgets, reference frontera's
+    BC_MAX_REQUESTS_PER_HOST / queue budget flow,
+    frontera/settings/default_settings.py:7-9) and the quota step of
+    any stratified sampling plan. Σalloc == budget exactly.
+
+    Scale shape: ``ds`` is a (key, weight) stream (already aggregated —
+    see ``grouped_int_sum``), materialized once and read in three
+    streaming register passes (total weight W → floor-sum → output map);
+    the remainder cutoff comes from ``global_topk`` over the R leftover
+    units, so the driver holds O(R) ids, R < #keys (at 10⁸-host scale
+    with R large, swap the topk for a distributed quantile threshold on
+    the remainder — same semantics, documented fallback).
+    """
+    import ray
+
+    ds = ds.materialize()
+
+    def reg(col_expr):
+        def p(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"s": pa.array([], pa.int64())})
+            return pa.table({"s": pa.array(
+                [int(col_expr(batch).sum())], pa.int64())})
+        total = 0
+        for t in ds.map_batches(p, batch_format="pyarrow",
+                                batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            total += int(t["s"].to_numpy().sum())
+        return total
+
+    W = reg(lambda b: b[weight_col].to_numpy().astype(np.int64))
+    if W <= 0:
+        raise ValueError("largest_remainder_alloc: total weight must be > 0")
+    B = int(budget)
+    floor_sum = reg(
+        lambda b: B * b[weight_col].to_numpy().astype(np.int64) // W)
+    r_units = B - floor_sum
+
+    def with_rem(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            "rem": pa.array((B * w) % W, pa.int64())})
+
+    bonus_keys = np.empty(0, np.int64)
+    if r_units > 0:
+        top = global_topk(ds.map_batches(with_rem, batch_format="pyarrow"),
+                          "rem", r_units, descending=True,
+                          tiebreak=key_col)
+        bonus_keys = np.sort(top[key_col].to_numpy())
+    bonus_ref = ray.put(bonus_keys)
+
+    def alloc(batch: pa.Table, _b=bonus_ref) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64()),
+                             "alloc": pa.array([], pa.int64())})
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        base = B * w // W
+        bonus = np.isin(k, ray.get(_b))
+        return pa.table({
+            key_col: pa.array(k, pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+            "alloc": pa.array(base + bonus, pa.int64())})
+
+    out = pa.concat_tables(
+        [t for t in ds.map_batches(alloc, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None) if len(t)])
+    return out.sort_by(key_col)
+
+
 def _spread16(v: np.ndarray) -> np.ndarray:
     """Spread the low 16 bits of ``v`` to the even bit positions of a
     32-bit lane (the classic Morton magic-mask ladder, public domain
