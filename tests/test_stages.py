@@ -2065,3 +2065,189 @@ def test_grouped_higher_moments_numpy_parity(ray_session):
         kurt = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3.0
         assert abs(row["skew_micro"] - math.floor(skew * 1e6 + 0.5)) <= 1
         assert abs(row["kurt_micro"] - math.floor(kurt * 1e6 + 0.5)) <= 1
+
+
+def test_bfs_levels_known_graph(ray_session):
+    """Path 0-1-2-3-4-5 plus isolated 6: seeds {0}, max_depth=3 reaches
+    exactly nodes 0..3 at their hop counts; a seed outside the graph
+    still appears at level 0; multi-edges don't change levels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.pagerank import bfs_levels
+
+    edges = pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5, 1], pa.int64()),  # 0-1 twice
+    })
+    ds = ray.data.from_arrow(edges).repartition(3)
+    out = bfs_levels(ds, 8, seeds=[0, 7], max_depth=3).to_pandas()
+    got = dict(zip(out["node"], out["lvl"]))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 7: 0}
+
+
+def test_bfs_levels_matches_brute(ray_session):
+    """Random sparse graph: levels equal a driver-side BFS."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.pagerank import bfs_levels
+
+    rng = np.random.default_rng(11)
+    n = 60
+    src = rng.integers(0, n, 150).astype(np.int64)
+    dst = rng.integers(0, n, 150).astype(np.int64)
+    seeds = [1, 17, 43]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(4)
+    out = bfs_levels(ds, n, seeds, max_depth=4).to_pandas()
+    got = dict(zip(out["node"], out["lvl"]))
+
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[a].append(b)
+        adj[b].append(a)
+    lvl = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if lvl[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in lvl:
+                lvl[v] = lvl[u] + 1
+                q.append(v)
+    assert got == lvl
+
+
+@pytest.mark.parametrize("exchange", ["groups", "hash"])
+def test_pair_lift_matches_brute(ray_session, exchange):
+    """pair_lift == a brute itertools pair count with exact integer
+    support/lift, under both exchanges (combiner partials must merge)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.itemsets import pair_lift
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 40, 400).astype(np.int64)
+    it = rng.integers(0, 12, 400).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g, pa.int64()),
+        "i": pa.array(it, pa.int64())})).repartition(5)
+    out = pair_lift(ds, "g", "i", 12, min_pair=2,
+                    exchange=exchange).to_pandas()
+
+    baskets = {}
+    for gg, ii in zip(g, it):
+        baskets.setdefault(gg, set()).add(ii)
+    nb = len(baskets)
+    icnt = Counter(i for s in baskets.values() for i in s)
+    pcnt = Counter(p for s in baskets.values()
+                   for p in combinations(sorted(s), 2))
+    exp = sorted((a, b, c, c * 1_000_000 // nb,
+                  c * nb * 1_000_000 // (icnt[a] * icnt[b]))
+                 for (a, b), c in pcnt.items() if c >= 2)
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == exp
+
+
+def test_compaction_plan_matches_numpy(ray_session):
+    """Bin assignment equals the driver-side cumsum rule; files sum to
+    the corpus and every file except possibly the last reaches target."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.relational import compaction_plan
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(500, dtype=np.int64)
+    rng.shuffle(ids)
+    sizes = rng.integers(10, 900, 500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "sz": pa.array(sizes, pa.int64())})).repartition(7)
+    out = compaction_plan(ds, "id", "sz", target=5000).to_pandas()
+
+    order = np.argsort(ids, kind="stable")
+    s = sizes[order]
+    prev = np.cumsum(s) - s
+    fid = prev // 5000
+    exp_n = np.bincount(fid)
+    exp_b = np.bincount(fid, weights=s).astype(np.int64)
+    assert out["file_id"].tolist() == list(range(len(exp_n)))
+    assert out["n_docs"].tolist() == exp_n.tolist()
+    assert out["bytes"].tolist() == exp_b.tolist()
+    assert out["bytes"].sum() == sizes.sum()
+    # each full file reaches the target minus at most one item of
+    # carry-over from the previous file's overshoot
+    assert (out["bytes"].to_numpy()[:-1] >= 5000 - sizes.max()).all()
+
+
+def test_zorder_cells_interleave_and_zonemap(ray_session):
+    """Morton spread: known interleavings; zone map merges across
+    blocks (min/max/count match a driver groupby)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.relational import _spread16, zorder_cells
+
+    assert _spread16(np.array([0b1011], np.int64))[0] == 0b1000101
+    x = np.array([0xFFFF], np.int64)
+    assert _spread16(x)[0] == 0x55555555
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 1 << 16, 300).astype(np.int64)
+    ys = rng.integers(0, 1 << 16, 300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64())})).repartition(6)
+    out = zorder_cells(ds, "x", "y", cell_shift=26).to_pandas()
+
+    z = _spread16(xs) | (_spread16(ys) << np.uint64(1))
+    cell = (z >> np.uint64(26)).astype(np.int64)
+    assert out["n"].sum() == 300
+    for _, r in out.iterrows():
+        m = cell == r["cell"]
+        assert r["n"] == int(m.sum())
+        assert r["min_x"] == xs[m].min() and r["max_x"] == xs[m].max()
+        assert r["min_y"] == ys[m].min() and r["max_y"] == ys[m].max()
+
+
+def test_largest_remainder_alloc_exact(ray_session):
+    """Σalloc == budget exactly; every key gets floor or floor+1; the
+    +1s go to the largest remainders (ties to the smaller key)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.relational import largest_remainder_alloc
+
+    rng = np.random.default_rng(21)
+    keys = np.arange(37, dtype=np.int64)
+    w = rng.integers(1, 1000, 37).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "w": pa.array(w, pa.int64())})).repartition(4)
+    out = largest_remainder_alloc(ds, "k", "w", budget=1234).to_pandas()
+
+    W = int(w.sum())
+    base = 1234 * w // W
+    rem = (1234 * w) % W
+    r = 1234 - int(base.sum())
+    order = np.lexsort((keys, -rem))
+    bonus = np.zeros(37, np.int64)
+    bonus[order[:r]] = 1
+    assert out["alloc"].sum() == 1234
+    assert out["alloc"].tolist() == (base + bonus).tolist()
