@@ -3046,6 +3046,61 @@ def q_crawl_budget(sf_dir: str):
                                    budget=10_000).to_pandas()
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot delta between two corpus versions
+    (relational.snapshot_diff): v2 simulates a recrawl (docs %17
+    dropped, %10 re-fetched with changed content, %13 newly
+    discovered under shifted ids) and the diff emits DELTA-scale
+    (key, status) rows — added / removed / changed — through ONE
+    keyed exchange; unchanged keys never leave the kernel. The query
+    reports per-status counts (register combine over the delta)."""
+    from frontera_ray.fingerprint import md5_hex_batch
+    from frontera_ray.stages.relational import snapshot_diff
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def v1(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "h": pa.array(md5_hex_batch(b["text"].to_pylist()),
+                          pa.string())})
+
+    def v2(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        t = b["text"].to_pylist()
+        kept_ids = [int(i) for i in d if i % 17 != 0]
+        kept_tx = [tx + "!" if i % 10 == 0 else tx
+                   for i, tx in zip(d, t) if i % 17 != 0]
+        add_ids = [int(i) + 1_000_000 for i in d if i % 13 == 0]
+        add_tx = [f"new-{i}" for i in d if i % 13 == 0]
+        return pa.table({
+            "doc_id": pa.array(kept_ids + add_ids, pa.int64()),
+            "h": pa.array(md5_hex_batch(kept_tx + add_tx), pa.string())})
+
+    delta = snapshot_diff(
+        docs.map_batches(v1, batch_format="pyarrow"),
+        docs.map_batches(v2, batch_format="pyarrow"),
+        "doc_id", "h", exchange="groups")
+
+    # tiny per-status register combine over the delta stream
+    def status_counts(b: pa.Table) -> pa.Table:
+        s, n = np.unique(np.asarray(b["status"].to_pylist(), object),
+                         return_counts=True)
+        return pa.table({"status": pa.array(s.tolist(), pa.string()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    from collections import Counter
+    cnt: Counter = Counter()
+    for t in delta.map_batches(status_counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, n in zip(t["status"].to_pylist(), t["n"].to_pylist()):
+            cnt[s] += int(n)
+    import pandas as pd
+    return pd.DataFrame(
+        [{"status": s, "n": int(cnt[s])} for s in sorted(cnt)],
+        columns=["status", "n"])
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4063,6 +4118,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "compaction_plan": q_compaction_plan,
     "zorder_cells": q_zorder_cells,
     "crawl_budget": q_crawl_budget,
+    "snapshot_diff": q_snapshot_diff,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5195,6 +5251,23 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "snapshot_diff": """
+            WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v2 AS (SELECT doc_id,
+                          md5(text || CASE WHEN doc_id % 10 = 0
+                                           THEN '!' ELSE '' END) AS h
+                   FROM documents WHERE doc_id % 17 != 0
+                   UNION ALL
+                   SELECT doc_id + 1000000, md5('new-' || doc_id)
+                   FROM documents WHERE doc_id % 13 = 0),
+            d AS (SELECT CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                              WHEN v1.doc_id IS NULL THEN 'added'
+                              WHEN v1.h != v2.h THEN 'changed'
+                         END AS status
+                  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT status, count(*)::BIGINT AS n FROM d
+            WHERE status IS NOT NULL
+            GROUP BY status ORDER BY status""",
         "crawl_budget": """
             WITH w AS (SELECT doc_id % 20 AS host,
                               sum(n_chars)::BIGINT AS wt

@@ -1161,6 +1161,65 @@ def largest_remainder_alloc(ds, key_col: str, weight_col: str,
     return out.sort_by(key_col)
 
 
+def snapshot_diff(old_ds, new_ds, key_col: str, hash_col: str,
+                  exchange: str = "groups"):
+    """Content diff between two corpus SNAPSHOTS keyed by content hash:
+    emits one (key, status) row per key whose content differs —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    hash mismatch); unchanged keys are NOT emitted, so the output is
+    DELTA-scale — the incremental-recrawl / incremental-ingest
+    primitive (what changed since the last crawl of this partition;
+    the batch twin of the frontier's revisit scheduling).
+
+    Scale shape: tag each side with a literal column, ``union`` the two
+    streams (zero-copy block concat, no data movement), then ONE keyed
+    exchange on the key; each run is 1-2 rows (key unique per side,
+    enforced by construction upstream) and classification is a
+    vectorized run-length pass. No driver rows.
+    """
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": batch[key_col].cast(pa.int64()),
+                "h": batch[hash_col],
+                "side": pa.array(np.full(len(batch), side, np.int8),
+                                 pa.int8())})
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "status": pa.array([], pa.string())})
+        if len(batch) == 0:
+            return empty
+        k = batch["k"].to_numpy()
+        side = batch["side"].to_numpy()
+        h = np.asarray(batch["h"].to_pylist(), dtype=object)
+        order = np.lexsort((side, k))
+        k, side, h = k[order], side[order], h[order]
+        new_run = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(k)))
+        out_k, out_s = [], []
+        one = starts[lens == 1]
+        out_k.append(k[one])
+        out_s.append(np.where(side[one] == 0, "removed", "added"))
+        two = starts[lens == 2]
+        if len(two):
+            diff = h[two] != h[two + 1]
+            out_k.append(k[two][diff])
+            out_s.append(np.full(int(diff.sum()), "changed", object))
+        kk = np.concatenate(out_k)
+        ss = np.concatenate([np.asarray(s, object) for s in out_s])
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "status": pa.array(ss.tolist(), pa.string())})
+
+    return keyed_exchange(both, "k", classify, exchange)
+
+
 def _spread16(v: np.ndarray) -> np.ndarray:
     """Spread the low 16 bits of ``v`` to the even bit positions of a
     32-bit lane (the classic Morton magic-mask ladder, public domain
