@@ -3101,6 +3101,29 @@ def q_snapshot_diff(sf_dir: str):
         columns=["status", "n"])
 
 
+def q_assign_ids(sf_dir: str):
+    """Global dense row-id assignment (relational.global_row_ids — the
+    zipWithIndex primitive): number documents 0..N-1 in the order of a
+    60-bit md5-derived shuffle key (a deterministic random permutation,
+    the order a training-shard writer wants). One sort exchange + an
+    O(blocks) offset scan; row ids are assigned block-locally."""
+    from frontera_ray.fingerprint import md5_hex_batch
+    from frontera_ray.stages.relational import global_row_ids
+
+    def skey(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        h = md5_hex_batch([str(int(i)) for i in ids])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "skey": pa.array([int(x[:15], 16) for x in h], pa.int64())})
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(skey, batch_format="pyarrow")
+    out = global_row_ids(docs, "skey").to_pandas()
+    return out[["doc_id", "row_id"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4119,6 +4142,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zorder_cells": q_zorder_cells,
     "crawl_budget": q_crawl_budget,
     "snapshot_diff": q_snapshot_diff,
+    "assign_ids": q_assign_ids,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5251,6 +5275,15 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "assign_ids": """
+            WITH s AS (SELECT doc_id,
+                              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                                ::BIGINT AS skey
+                       FROM documents)
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY skey) - 1)::BIGINT
+                     AS row_id
+            FROM s ORDER BY doc_id""",
         "snapshot_diff": """
             WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
             v2 AS (SELECT doc_id,

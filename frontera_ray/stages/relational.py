@@ -1306,6 +1306,53 @@ def zorder_cells(ds, x_col: str, y_col: str,
         "max_y": pa.array(merge("max_y", np.maximum), pa.int64())})
 
 
+def global_row_ids(ds, key_col: str) -> "object":
+    """Global dense row numbering in ``key_col`` order (the
+    zipWithIndex / ROW_NUMBER-over-everything primitive every
+    contiguous-id assignment step needs — e.g. giving crawl-discovered
+    documents stable training-shard offsets). Returns a Dataset of the
+    input columns plus ``row_id`` (0-based rank of ``key_col``).
+
+    Same distributed-prefix-sum shape as ``compaction_plan`` with unit
+    sizes: one sort exchange, one O(blocks) count-metadata collect, one
+    offset-broadcast re-map. ``key_col`` must be globally unique int64
+    (the offset map is keyed by each block's first key)."""
+    import ray
+
+    sorted_ds = ds.sort(key_col).materialize()
+
+    def meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first_key": pa.array([int(keys[0])], pa.int64()),
+                         "n": pa.array([len(batch)], pa.int64())})
+
+    metas = pa.concat_tables(
+        list(sorted_ds.map_batches(meta, batch_format="pyarrow",
+                                   batch_size=None)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    fk = metas["first_key"].to_numpy()
+    ns = metas["n"].to_numpy()
+    order = np.argsort(fk, kind="stable")
+    fk, ns = fk[order], ns[order]
+    offs = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    off_ref = ray.put(dict(zip(fk.tolist(), offs.tolist())))
+
+    def number(batch: pa.Table, _o=off_ref) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("row_id", pa.array([], pa.int64()))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        off = ray.get(_o)[int(keys[0])]
+        return batch.append_column(
+            "row_id", pa.array(off + np.arange(len(batch), dtype=np.int64),
+                               pa.int64()))
+
+    return sorted_ds.map_batches(number, batch_format="pyarrow",
+                                 batch_size=None)
+
+
 def tumbling_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
                            keys=()):
     """Tumbling-window aggregate: count events per (window_start, *keys).
