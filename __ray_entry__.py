@@ -52,6 +52,25 @@ _RAW_URL_SQL = "'  HTTP://Host-' || (doc_id % 20) || '.Test/p/' || doc_id || '?b
 _CANON_URL_SQL = "'http://host-' || (doc_id % 20) || '.test/p/' || doc_id || '?a=1&b=2'"
 _HOST_SQL = "'host-' || (doc_id % 20) || '.test'"
 
+# label_prop oracle: 4 unrolled min-label propagation steps (each step
+# = min over neighbors ∪ self, via UNION ALL self-loop rows).
+_LABEL_PROP_SQL = """
+    WITH e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+               FROM lineitem x JOIN lineitem y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey
+               WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+    und AS (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e
+            UNION ALL SELECT u, u FROM e
+            UNION ALL SELECT v, v FROM e),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)""" + "".join(
+    f""",
+    l{i} AS (SELECT und.a AS node, min(l{i - 1}.lbl) AS lbl
+             FROM und JOIN l{i - 1} ON l{i - 1}.node = und.b
+             GROUP BY und.a)""" for i in range(1, 5)) + """
+    SELECT node, lbl::BIGINT AS lbl FROM l4 ORDER BY node"""
+
 # Morton interleave unrolled for the zorder_cells oracle: x bits land on
 # even positions, y bits on odd (exactly relational._spread16's ladder).
 _ZORDER_X_SQL = " + ".join(
@@ -3124,6 +3143,20 @@ def q_assign_ids(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_label_prop(sf_dir: str):
+    """Four synchronous rounds of min-label propagation — the
+    hash-to-min connected-components recurrence — over the sparse
+    supplier co-purchase graph (pagerank.min_label_prop): per round,
+    one streaming edge pass against the broadcast label vector with a
+    dense int64 min-register combine; NO shuffle. Oracled against 4
+    unrolled CTE propagation steps in DuckDB."""
+    from frontera_ray.stages.pagerank import min_label_prop
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = min_label_prop(edges, n_nodes, iters=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4143,6 +4176,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_budget": q_crawl_budget,
     "snapshot_diff": q_snapshot_diff,
     "assign_ids": q_assign_ids,
+    "label_prop": q_label_prop,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5275,6 +5309,7 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_scaled
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
+        "label_prop": _LABEL_PROP_SQL,
         "assign_ids": """
             WITH s AS (SELECT doc_id,
                               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))

@@ -347,6 +347,77 @@ def node_clustering(edges_ds, n_nodes: int, num_blocks: int = 32):
     return out.sort_by("node")
 
 
+def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
+    """``iters`` synchronous rounds of MIN-LABEL propagation over an
+    undirected edge stream — the hash-to-min connected-components
+    recurrence (labels start as node ids; each round every node takes
+    the min of its own and its neighbors' labels). After enough rounds
+    labels equal component minima; a FIXED iteration count keeps the
+    operator deterministic and SQL-oracle-able (k unrolled CTE steps),
+    and is how the distributed CC loop runs in practice (iterate until
+    a no-change round; the round itself is this function's body).
+
+    Scale shape: same register-combine as ``pagerank`` — per round, ONE
+    streaming edge pass against the broadcast label vector; each block
+    returns a dense int64 min-register (``np.minimum.at``), the driver
+    folds O(blocks) vectors. Memory bounded by the NODE universe; edges
+    never collect. Multi-edges are harmless (min is idempotent).
+    Returns (node, lbl) for nodes present in the graph (src ∪ dst).
+    """
+    import ray
+
+    n = int(n_nodes)
+    edges_ds = edges_ds.materialize()
+
+    def presence(b: pa.Table) -> pa.Table:
+        p = np.zeros(n, bool)
+        if len(b):
+            p[b["src"].to_numpy()] = True
+            p[b["dst"].to_numpy()] = True
+        return pa.table({"reg": pa.array(
+            np.packbits(p, bitorder="little"), pa.uint8())})
+
+    present = np.zeros(n, bool)
+    for t in edges_ds.map_batches(presence, batch_format="pyarrow",
+                                  batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        bits = t["reg"].to_numpy()
+        if len(bits):
+            nb = (n + 7) // 8
+            present |= np.unpackbits(
+                np.bitwise_or.reduce(bits.reshape(-1, nb), axis=0),
+                bitorder="little")[:n].astype(bool)
+
+    SENTINEL = np.int64(np.iinfo(np.int64).max)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(int(iters)):
+        l_ref = ray.put(labels)
+
+        def min_reg(batch: pa.Table, _l=l_ref) -> pa.Table:
+            lab = ray.get(_l)
+            reg = np.full(n, SENTINEL, np.int64)
+            if len(batch):
+                src = batch["src"].to_numpy()
+                dst = batch["dst"].to_numpy()
+                np.minimum.at(reg, dst, lab[src])
+                np.minimum.at(reg, src, lab[dst])
+            return pa.table({"reg": pa.array(reg, pa.int64())})
+
+        merged = np.full(n, SENTINEL, np.int64)
+        for t in edges_ds.map_batches(min_reg, batch_format="pyarrow",
+                                      batch_size=None) \
+                .iter_batches(batch_format="pyarrow", batch_size=None):
+            reg = t["reg"].to_numpy()
+            if len(reg):
+                merged = np.minimum(merged,
+                                    reg.reshape(-1, n).min(axis=0))
+        labels = np.minimum(labels, merged)
+
+    nodes = np.flatnonzero(present)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "lbl": pa.array(labels[nodes], pa.int64())})
+
+
 def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
     """Bounded-depth multi-source BFS over an UNDIRECTED edge stream —
     the crawl-depth / reachability primitive (the batch twin of the

@@ -2251,3 +2251,33 @@ def test_largest_remainder_alloc_exact(ray_session):
     bonus[order[:r]] = 1
     assert out["alloc"].sum() == 1234
     assert out["alloc"].tolist() == (base + bonus).tolist()
+
+
+def test_min_label_prop_iteration_parity(ray_session):
+    """On a 12-node path, 4 rounds must NOT converge: labels equal
+    exactly 4 synchronous min-over-neighbors∪self steps (not the final
+    component minimum) — iteration-count parity with the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.pagerank import min_label_prop
+
+    n = 12
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(3)
+    out = min_label_prop(ds, n, iters=4).to_pandas()
+
+    lbl = np.arange(n, dtype=np.int64)
+    for _ in range(4):
+        nxt = lbl.copy()
+        for u, v in zip(src, dst):
+            nxt[v] = min(nxt[v], lbl[u])
+            nxt[u] = min(nxt[u], lbl[v])
+        lbl = np.minimum(lbl, nxt)
+    assert out["node"].tolist() == list(range(n))
+    assert out["lbl"].tolist() == lbl.tolist()
+    assert out["lbl"].nunique() > 1  # genuinely not converged at 4
