@@ -3157,6 +3157,35 @@ def q_label_prop(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_rate_limit(sf_dir: str):
+    """Fixed-window per-key rate limiting: admit at most 3 events per
+    (user, day window), earliest-first — the quota/throttling
+    primitive (the batch twin of the frontier's per-host round caps,
+    reference frontera's BC_MAX_REQUESTS_PER_HOST batch shaping).
+    Composite (user, window) key packed into one int64, then the
+    per_key_topk machinery ascending — ONE keyed exchange."""
+    from frontera_ray.stages.relational import per_key_topk
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "user_id", "ts"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "user_id": b["user_id"],
+              "win": pa.array(b["ts"].cast(pa.int64()).to_numpy()
+                              // 86_400_000_000, pa.int64()),
+              "ts_us": b["ts"].cast(pa.int64()),
+              "ck": pa.array(
+                  b["user_id"].to_numpy() * (1 << 32)
+                  + b["ts"].cast(pa.int64()).to_numpy()
+                  // 86_400_000_000,
+                  pa.int64()),
+          }), batch_format="pyarrow"))
+    kept = per_key_topk(ev, "ck", "ts_us", 3, descending=False,
+                        tiebreak="event_id", exchange="groups")
+    out = kept.to_pandas()[["event_id", "user_id", "win"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_source_share(sf_dir: str):
     """RATIO_TO_REPORT window (relational.per_key_share): each
     document's ppm share of its source's total characters, integer
@@ -4177,6 +4206,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "snapshot_diff": q_snapshot_diff,
     "assign_ids": q_assign_ids,
     "label_prop": q_label_prop,
+    "rate_limit": q_rate_limit,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
     "weighted_sample": q_weighted_sample,
@@ -5310,6 +5340,17 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
         "label_prop": _LABEL_PROP_SQL,
+        "rate_limit": """
+            WITH v AS (SELECT event_id, user_id,
+                              (epoch_us(ts) // 86400000000)::BIGINT AS win,
+                              ts
+                       FROM events),
+            r AS (SELECT event_id, user_id, win,
+                         row_number() OVER (PARTITION BY user_id, win
+                                            ORDER BY ts, event_id) AS rn
+                  FROM v)
+            SELECT event_id, user_id, win FROM r WHERE rn <= 3
+            ORDER BY event_id""",
         "assign_ids": """
             WITH s AS (SELECT doc_id,
                               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "event_transitions", "cube_revenue",
     "hash_sample", "normalize_text", "skew_join_revenue", "chunk_docs", "minmax_norm", "moving_sum", "cume_dist", "event_seq", "first_last_order", "source_share",
     "dense_rank", "group_stats", "triangles", "graph_bfs", "copurchase",
-    "compaction_plan", "zorder_cells", "crawl_budget", "snapshot_diff", "assign_ids", "label_prop",
+    "compaction_plan", "zorder_cells", "crawl_budget", "snapshot_diff", "assign_ids", "label_prop", "rate_limit",
     "jaccard_join", "edit_join", "weighted_sample", "clustering", "group_mad", "urgent_low_union", "window_users", "quantile_sketch", "props_extract", "validity_intervals",
     "ridge_probe", "lang_top_tokens",
     "group_corr", "user_entropy", "value_histogram", "stratified_sample",
