@@ -52,6 +52,33 @@ _RAW_URL_SQL = "'  HTTP://Host-' || (doc_id % 20) || '.Test/p/' || doc_id || '?b
 _CANON_URL_SQL = "'http://host-' || (doc_id % 20) || '.test/p/' || doc_id || '?a=1&b=2'"
 _HOST_SQL = "'host-' || (doc_id % 20) || '.test'"
 
+# BM25 scoring CTE shared by the bm25_topk and rrf_fusion oracles
+# (identical expression tree to text.bm25_topk — see its docstring).
+_BM25_SC_CTE = r"""
+    WITH tok AS (SELECT doc_id, unnest(
+                   regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+    len AS (SELECT doc_id, count(*)::BIGINT AS len
+            FROM tok GROUP BY 1),
+    alldocs AS (SELECT d.doc_id, coalesce(l.len, 0)::DOUBLE AS len
+                FROM documents d LEFT JOIN len l USING (doc_id)),
+    st AS (SELECT count(*)::DOUBLE AS n,
+                  sum(len) / count(*) AS avglen FROM alldocs),
+    tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+           FROM tok
+           WHERE token IN ('data', 'hash', 'scan', 'batch')
+           GROUP BY 1, 2),
+    df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id, sum(CAST(round(
+               ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * ((tf.tf * (1.2 + 1))
+                  / (tf.tf + 1.2 * ((1 - 0.75)
+                       + 0.75 * (a.len / st.avglen))))
+               * 1000000) AS BIGINT)) AS score_micro
+           FROM tf JOIN df USING (token)
+                JOIN alldocs a USING (doc_id) CROSS JOIN st
+           GROUP BY tf.doc_id)"""
+
 # label_prop oracle: 4 unrolled min-label propagation steps (each step
 # = min over neighbors ∪ self, via UNION ALL self-loop rows).
 _LABEL_PROP_SQL = """
@@ -4011,6 +4038,48 @@ def q_bm25_topk(sf_dir: str):
         query_tokens=["data", "hash", "scan", "batch"], k=20)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval reciprocal-rank fusion: fuse the BM25 lexical
+    ranking (text.bm25_topk, top-50) with a quality-prior ranking
+    (quality_features_table -> relational.global_topk top-50) via
+    RRF with k=60 (Cormack et al., public algorithm), integer-exact
+    (rrf_micro = Σ 10⁶ // (60 + rank)). Both rankings are distributed
+    (register-combine stats, per-block partial top-k); the fusion
+    itself merges two k-sized lists on the driver — output-scale."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import global_topk
+    from frontera_ray.stages.text import bm25_topk, quality_features_table
+
+    docs = _read(sf_dir, "documents")
+    l1 = bm25_topk(docs.select_columns(["doc_id", "text"]),
+                   query_tokens=["data", "hash", "scan", "batch"], k=50) \
+        .reset_index(drop=True)
+    l1["r"] = np.arange(1, len(l1) + 1, dtype=np.int64)
+
+    qual = docs.map_batches(quality_features_table,
+                            batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["doc_id", "quality_score"]),
+                     batch_format="pyarrow")
+    l2 = global_topk(qual, "quality_score", 50, descending=True,
+                     tiebreak="doc_id").to_pandas()
+    l2["r"] = np.arange(1, len(l2) + 1, dtype=np.int64)
+
+    m = pd.merge(l1[["doc_id", "r"]], l2[["doc_id", "r"]],
+                 on="doc_id", how="outer", suffixes=("_1", "_2"))
+    c1 = np.where(m["r_1"].notna(),
+                  1_000_000 // (60 + m["r_1"].fillna(1).astype(np.int64)),
+                  0)
+    c2 = np.where(m["r_2"].notna(),
+                  1_000_000 // (60 + m["r_2"].fillna(1).astype(np.int64)),
+                  0)
+    out = pd.DataFrame({"doc_id": m["doc_id"].astype(np.int64),
+                        "rrf_micro": (c1 + c2).astype(np.int64)})
+    out = out.sort_values(["rrf_micro", "doc_id"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 def q_orders_unpivot(sf_dir: str):
     """UNPIVOT / melt (relational.unpivot): orders' numeric metrics
     reshaped wide->long into (o_orderkey, name, value) rows — the
@@ -4252,6 +4321,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "column_profile": q_column_profile,
     "range_window_sum": q_range_window_sum,
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
@@ -5585,32 +5655,38 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
             ORDER BY user_id, event_id""",
-        "bm25_topk": r"""
-            WITH tok AS (SELECT doc_id, unnest(
-                           regexp_extract_all(text, '\S+')) AS token
-                         FROM documents),
-            len AS (SELECT doc_id, count(*)::BIGINT AS len
-                    FROM tok GROUP BY 1),
-            alldocs AS (SELECT d.doc_id, coalesce(l.len, 0)::DOUBLE AS len
-                        FROM documents d LEFT JOIN len l USING (doc_id)),
-            st AS (SELECT count(*)::DOUBLE AS n,
-                          sum(len) / count(*) AS avglen FROM alldocs),
-            tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
-                   FROM tok
-                   WHERE token IN ('data', 'hash', 'scan', 'batch')
-                   GROUP BY 1, 2),
-            df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-            sc AS (SELECT tf.doc_id, sum(CAST(round(
-                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                       * ((tf.tf * (1.2 + 1))
-                          / (tf.tf + 1.2 * ((1 - 0.75)
-                               + 0.75 * (a.len / st.avglen))))
-                       * 1000000) AS BIGINT)) AS score_micro
-                   FROM tf JOIN df USING (token)
-                        JOIN alldocs a USING (doc_id) CROSS JOIN st
-                   GROUP BY tf.doc_id)
+        "bm25_topk": _BM25_SC_CTE + """
             SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
             ORDER BY score_micro DESC, doc_id LIMIT 20""",
+        "rrf_fusion": _BM25_SC_CTE + r""",
+            l1 AS (SELECT doc_id, row_number() OVER (
+                     ORDER BY score_micro DESC, doc_id) AS r
+                   FROM sc WHERE score_micro > 0),
+            l1k AS (SELECT doc_id, r FROM l1 WHERE r <= 50),
+            qf AS (SELECT doc_id,
+                          round(0.4*least(1.0, n_tokens/100.0)
+                              + 0.3*(1.0 - n_upper
+                                     / greatest(length(text),1)::DOUBLE)
+                              + 0.3*least(1.0, 20.0*n_punct
+                                     / greatest(length(text),1)::DOUBLE),
+                              4) AS qs
+                   FROM (SELECT doc_id, text,
+                           len(regexp_extract_all(text, '\S+'))
+                             AS n_tokens,
+                           len(regexp_extract_all(text, '[.!,;:?]'))
+                             AS n_punct,
+                           len(regexp_extract_all(text, '[A-Z]'))
+                             AS n_upper
+                         FROM documents)),
+            l2 AS (SELECT doc_id, row_number() OVER (
+                     ORDER BY qs DESC, doc_id) AS r FROM qf),
+            l2k AS (SELECT doc_id, r FROM l2 WHERE r <= 50),
+            f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                         coalesce(1000000 // (60 + a.r), 0)
+                       + coalesce(1000000 // (60 + b.r), 0) AS rrf_micro
+                  FROM l1k a FULL JOIN l2k b ON a.doc_id = b.doc_id)
+            SELECT doc_id, rrf_micro::BIGINT AS rrf_micro FROM f
+            ORDER BY rrf_micro DESC, doc_id LIMIT 20""",
         "orders_unpivot": """
             SELECT o_orderkey, 'o_custkey' AS name,
                    o_custkey::DOUBLE AS value FROM orders
