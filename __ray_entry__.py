@@ -52,6 +52,25 @@ _RAW_URL_SQL = "'  HTTP://Host-' || (doc_id % 20) || '.Test/p/' || doc_id || '?b
 _CANON_URL_SQL = "'http://host-' || (doc_id % 20) || '.test/p/' || doc_id || '?a=1&b=2'"
 _HOST_SQL = "'host-' || (doc_id % 20) || '.test'"
 
+# langid prediction, shared by the langid / lang_confusion / cohen_kappa
+# oracles (exact twin of text.langid_table's argmax-first tie-break).
+_LANGID_PRED_SQL = r"""
+    SELECT doc_id,
+           CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+                WHEN c_es >= c_zh THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
+        len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
+        len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
+      FROM documents)"""
+
 # BM25 scoring CTE shared by the bm25_topk and rrf_fusion oracles
 # (identical expression tree to text.bm25_topk — see its docstring).
 _BM25_SC_CTE = r"""
@@ -4038,6 +4057,55 @@ def q_bm25_topk(sf_dir: str):
         query_tokens=["data", "hash", "scan", "batch"], k=20)
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: the langid prediction
+    (text.langid_table) against the corpus's labeled `lang` column,
+    as (lang_true, lang_pred, n) cells — one fused prediction pass,
+    then a combiner groupby over the bounded label-pair space
+    (relational.partial_groupby_agg); no shuffle."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+    from frontera_ray.stages.text import langid_table
+
+    def pred(b: pa.Table) -> pa.Table:
+        t = langid_table(b)
+        return pa.table({"lang_true": b["lang"],
+                         "lang_pred": t["lang_pred"]})
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"]).map_batches(
+        pred, batch_format="pyarrow")
+    out = partial_groupby_agg(ds, ["lang_true", "lang_pred"],
+                              {"n": ("lang_pred", "count")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_true", "lang_pred"]) \
+        .reset_index(drop=True)
+
+
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa of the langid classifier vs the labeled `lang`
+    column — chance-corrected agreement, the standard
+    annotation-quality / classifier-evaluation scalar. Built entirely
+    from the bounded confusion cells (same combiner pass as
+    `lang_confusion`); the kappa arithmetic runs on exact integer
+    marginals and micro-rounds once, matching the SQL expression tree
+    term for term."""
+    import pandas as pd
+
+    cells = q_lang_confusion(sf_dir)
+    t = int(cells["n"].sum())
+    agree = int(cells.loc[cells["lang_true"] == cells["lang_pred"],
+                          "n"].sum())
+    rows = cells.groupby("lang_true")["n"].sum()
+    cols = cells.groupby("lang_pred")["n"].sum()
+    lbls = rows.index.intersection(cols.index)
+    s = int(sum(int(rows[m]) * int(cols[m]) for m in lbls))
+    po = agree / t
+    pe = s / (t * t)
+    kappa_micro = int(np.floor((po - pe) / (1 - pe) * 1e6 + 0.5))
+    return pd.DataFrame([{"total": t, "agree": agree,
+                          "kappa_micro": kappa_micro}]).astype("int64")
+
+
 def q_rrf_fusion(sf_dir: str):
     """Hybrid-retrieval reciprocal-rank fusion: fuse the BM25 lexical
     ranking (text.bm25_topk, top-50) with a quality-prior ranking
@@ -4322,6 +4390,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "range_window_sum": q_range_window_sum,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
+    "lang_confusion": q_lang_confusion,
+    "cohen_kappa": q_cohen_kappa,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
@@ -4838,22 +4908,31 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
                      len(regexp_extract_all(text, '[A-Z]')) AS n_upper
               FROM documents)""",
-        "langid": r"""
-            SELECT doc_id,
-                   CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
-                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
-                        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
-                        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
-                        WHEN c_es >= c_zh THEN 'es'
-                        ELSE 'zh' END AS lang_pred
-            FROM (
-              SELECT doc_id,
-                len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) c_en,
-                len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b')) c_de,
-                len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b')) c_fr,
-                len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b')) c_es,
-                len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b')) c_zh
-              FROM documents)""",
+        "langid": _LANGID_PRED_SQL,
+        "lang_confusion": f"""
+            WITH p AS ({_LANGID_PRED_SQL})
+            SELECT d.lang AS lang_true, p.lang_pred,
+                   count(*)::BIGINT AS n
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "cohen_kappa": f"""
+            WITH p AS ({_LANGID_PRED_SQL}),
+            c AS (SELECT d.lang AS t, p.lang_pred AS g
+                  FROM documents d JOIN p USING (doc_id)),
+            tot AS (SELECT count(*)::BIGINT AS n FROM c),
+            ag AS (SELECT count(*)::BIGINT AS n FROM c WHERE t = g),
+            r AS (SELECT t AS lbl, count(*)::BIGINT AS n FROM c
+                  GROUP BY 1),
+            co AS (SELECT g AS lbl, count(*)::BIGINT AS n FROM c
+                   GROUP BY 1),
+            s AS (SELECT sum(r.n * co.n)::BIGINT AS v
+                  FROM r JOIN co USING (lbl))
+            SELECT tot.n AS total, ag.n AS agree,
+                   CAST(round(((ag.n::DOUBLE / tot.n)
+                         - (s.v::DOUBLE / (tot.n::DOUBLE * tot.n)))
+                        / (1 - (s.v::DOUBLE / (tot.n::DOUBLE * tot.n)))
+                        * 1000000) AS BIGINT) AS kappa_micro
+            FROM tot CROSS JOIN ag CROSS JOIN s""",
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
                    count(*) AS n_copies
