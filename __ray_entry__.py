@@ -4106,6 +4106,29 @@ def q_cohen_kappa(sf_dir: str):
                           "kappa_micro": kappa_micro}]).astype("int64")
 
 
+def q_peak_rate(sf_dir: str):
+    """Peak sliding-window rate per key: each user's MAX event count
+    over any 1-hour window hopping every 15 minutes — the burst /
+    rate-spike detector (the observability twin of the frontier's
+    per-host overuse threshold, reference frontera's
+    OVERUSED_SLOT_FACTOR flow). Hopping expansion + combiner counts
+    (relational.hopping_window_counts), then a bounded per-user max;
+    ties on the peak resolve to the earliest window."""
+    from frontera_ray.stages.relational import hopping_window_counts
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    wins = hopping_window_counts(ev, ts_col="ts", window_s=3600,
+                                 hop_s=900, keys=("user_id",))
+    idx = wins.sort_values(["user_id", "n", "window_start"],
+                           ascending=[True, False, True]) \
+        .groupby("user_id", as_index=False).first()
+    out = idx.rename(columns={"n": "peak_n",
+                              "window_start": "peak_window"})
+    out = out[["user_id", "peak_window", "peak_n"]]
+    out["peak_n"] = out["peak_n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_rrf_fusion(sf_dir: str):
     """Hybrid-retrieval reciprocal-rank fusion: fuse the BM25 lexical
     ranking (text.bm25_topk, top-50) with a quality-prior ranking
@@ -4392,6 +4415,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rrf_fusion": q_rrf_fusion,
     "lang_confusion": q_lang_confusion,
     "cohen_kappa": q_cohen_kappa,
+    "peak_rate": q_peak_rate,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
@@ -5021,6 +5045,22 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n
             FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "peak_rate": """
+            WITH w AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 900000000::BIGINT - i) * 900
+                       AS window_start,
+                     count(*)::BIGINT AS n
+              FROM events CROSS JOIN
+                   (SELECT unnest(generate_series(0, 3)) AS i) g
+              GROUP BY 1, 2),
+            r AS (SELECT user_id, window_start AS peak_window,
+                         n AS peak_n,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, window_start) AS rn
+                  FROM w)
+            SELECT user_id, peak_window, peak_n FROM r WHERE rn = 1
+            ORDER BY user_id""",
         "doc_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
