@@ -4129,6 +4129,31 @@ def q_peak_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_k_anon_violations(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    n_chars//100): every QI group with fewer than k=5 members — the
+    privacy / re-identification-risk gate a training-data release runs
+    before publishing. One combiner groupby over the bounded QI space
+    (relational.partial_groupby_agg), violation-scale output."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["lang", "source", "n_chars"])
+          .map_batches(lambda b: pa.table({
+              "lang": b["lang"],
+              "source": b["source"],
+              "size_bucket": pa.array(
+                  b["n_chars"].to_numpy().astype(np.int64) // 100,
+                  pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ds, ["lang", "source", "size_bucket"],
+                            {"n": ("lang", "count")})
+    g["n"] = g["n"].astype("int64")
+    out = g[g["n"] < 5]
+    return out.sort_values(["lang", "source", "size_bucket"]) \
+        .reset_index(drop=True)
+
+
 def q_rrf_fusion(sf_dir: str):
     """Hybrid-retrieval reciprocal-rank fusion: fuse the BM25 lexical
     ranking (text.bm25_topk, top-50) with a quality-prior ranking
@@ -4416,6 +4441,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_confusion": q_lang_confusion,
     "cohen_kappa": q_cohen_kappa,
     "peak_rate": q_peak_rate,
+    "k_anon_violations": q_k_anon_violations,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
@@ -5045,6 +5071,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n
             FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "k_anon_violations": """
+            SELECT lang, source, (n_chars // 100)::BIGINT AS size_bucket,
+                   count(*)::BIGINT AS n
+            FROM documents
+            GROUP BY 1, 2, 3 HAVING count(*) < 5
+            ORDER BY lang, source, size_bucket""",
         "peak_rate": """
             WITH w AS (
               SELECT user_id,
