@@ -4154,6 +4154,18 @@ def q_k_anon_violations(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_postings(sf_dir: str):
+    """Capped inverted-index build (text.build_postings): token ->
+    (exact df, csv of the first 10 doc ids) for tokens with df >= 20 —
+    the retrieval-index materialization. Vectorized explode + ONE
+    keyed exchange on the token; vocabulary-scale output."""
+    from frontera_ray.stages.text import build_postings
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return build_postings(docs, cap=10, min_df=20,
+                          exchange="groups").to_pandas()
+
+
 def q_rrf_fusion(sf_dir: str):
     """Hybrid-retrieval reciprocal-rank fusion: fuse the BM25 lexical
     ranking (text.bm25_topk, top-50) with a quality-prior ranking
@@ -4442,6 +4454,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cohen_kappa": q_cohen_kappa,
     "peak_rate": q_peak_rate,
     "k_anon_violations": q_k_anon_violations,
+    "postings": q_postings,
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
@@ -5071,6 +5084,23 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n
             FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "postings": r"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest(
+                           regexp_extract_all(text, '\S+')) AS token
+                         FROM documents),
+            d AS (SELECT token, count(*)::BIGINT AS df FROM tok
+                  GROUP BY 1),
+            r AS (SELECT token, doc_id,
+                         row_number() OVER (PARTITION BY token
+                                            ORDER BY doc_id) AS rn
+                  FROM tok),
+            p AS (SELECT token,
+                         string_agg(doc_id::VARCHAR, ','
+                                    ORDER BY doc_id) AS postings
+                  FROM r WHERE rn <= 10 GROUP BY token)
+            SELECT d.token, d.df, p.postings
+            FROM d JOIN p USING (token)
+            WHERE d.df >= 20 ORDER BY d.token""",
         "k_anon_violations": """
             SELECT lang, source, (n_chars // 100)::BIGINT AS size_bucket,
                    count(*)::BIGINT AS n

@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "ridge_probe", "lang_top_tokens",
     "group_corr", "user_entropy", "value_histogram", "stratified_sample",
     "interval_join", "embedding_pca", "winnow_dup", "column_profile",
-    "range_window_sum", "bm25_topk", "rrf_fusion", "lang_confusion", "cohen_kappa", "peak_rate", "k_anon_violations", "orders_unpivot", "cdc_merge",
+    "range_window_sum", "bm25_topk", "rrf_fusion", "lang_confusion", "cohen_kappa", "peak_rate", "k_anon_violations", "postings", "orders_unpivot", "cdc_merge",
     "image_embed_neardup", "span_dedup", "percentile_cont", "grouping_sets",
     "group_skew",
 ]

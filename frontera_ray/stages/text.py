@@ -1587,3 +1587,67 @@ def span_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def build_postings(ds, cap: int = 10, min_df: int = 20,
+                   text_col: str = "text", exchange: str = "groups"):
+    """Capped inverted-index build: token -> (df, csv of the first
+    ``cap`` doc ids) for tokens in >= ``min_df`` documents — the
+    retrieval-index materialization step (what a BM25 serving layer
+    stores; the postings CAP is the standard impact-ordered-index
+    truncation so hot tokens don't produce corpus-sized rows).
+
+    Scale shape: the vectorized per-block explode (Arrow
+    split_whitespace + list_flatten, per-doc distinct) feeds ONE keyed
+    exchange on the token; each token's run collapses to a single
+    (token, df, postings) row — output is vocabulary-scale, df counting
+    is exact (NOT capped), only the stored posting list truncates. The
+    per-run join(str) is bounded by cap x vocabulary (the concat_groups
+    budget)."""
+    import pyarrow.compute as _pc
+
+    from .relational import keyed_exchange
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _pc.utf8_split_whitespace(batch[text_col])
+        parent = _pc.list_parent_indices(toks)
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat,
+                      "doc_id": batch["doc_id"].take(parent)})
+        t = t.filter(_pc.not_equal(t["token"], ""))
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def runs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "postings": pa.array([], pa.string())})
+        if len(batch) == 0:
+            return empty
+        tok = np.asarray(batch["token"].to_pylist(), dtype=object)
+        doc = batch["doc_id"].to_numpy()
+        order = np.lexsort((doc, tok))
+        tok, doc = tok[order], doc[order]
+        new = np.concatenate(([True], tok[1:] != tok[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tok))
+        dfc = (ends - starts).astype(np.int64)
+        keep = dfc >= min_df
+        starts, ends, dfc = starts[keep], ends[keep], dfc[keep]
+        if len(starts) == 0:
+            return empty
+        posts = [",".join(str(int(d)) for d in doc[s:min(s + cap, e)])
+                 for s, e in zip(starts, ends)]
+        return pa.table({
+            "token": pa.array(tok[starts].tolist(), pa.string()),
+            "df": pa.array(dfc, pa.int64()),
+            "postings": pa.array(posts, pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    out = keyed_exchange(exploded, "token", runs, exchange)
+    tbl = pa.concat_tables(
+        [t for t in out.iter_batches(batch_format="pyarrow",
+                                     batch_size=None) if len(t)])
+    if tbl.num_rows == 0:
+        return tbl
+    return tbl.sort_by("token")
