@@ -4264,6 +4264,115 @@ def q_image_embed_neardup(sf_dir: str):
     return cosine_neardup_lsh(feats, threshold=0.9995)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (4 iterations) over the SAME
+    doc-derived link graph as `pagerank` — the second classic
+    link-analysis scorer (Kleinberg 1999): hub = "points at good
+    pages" (seed/index prioritization in a crawl), authority = "is
+    pointed at by good hubs" (content scoring). Streaming edge passes
+    against broadcast score vectors, register combine, L1
+    normalization per half-step; oracled against 4 unrolled CTE
+    iterations (final scores rounded 1e-9)."""
+    from frontera_ray.stages.pagerank import hits
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = hits(ds, n_nodes=_PR_NODES, iters=4).to_pandas()
+    out["hub"] = out["hub"].round(9)
+    out["authority"] = out["authority"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_degree_dist(sf_dir: str):
+    """Degree distribution of the distinct-edge link graph
+    (pagerank.degree_histogram): (side, deg, n_nodes) for in- and
+    out-degree — the first skew read on a crawled web graph (power-law
+    slope, supernode detection; decides salting before any per-node
+    shuffle). ONE streaming edge pass with stacked bincount registers,
+    NO shuffle; output is distinct-degree-scale."""
+    from frontera_ray.stages.pagerank import degree_histogram
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = degree_histogram(ds, n_nodes=_PR_NODES).to_pandas()
+    return out.sort_values(["side", "deg"]).reset_index(drop=True)
+
+
+def q_kmv_source_sim(sf_dir: str):
+    """Pairwise corpus-slice similarity via bottom-k (KMV) sketches
+    (sketches.kmv_jaccard_pairs): which sources feed near-identical
+    content — the shard/provider overlap audit run before mixing
+    corpora. Each source's distinct word-3-gram md5 hashes reduce to
+    the 128 smallest (per-block register partials, driver merge —
+    sketches move, never grams); the pairwise estimate
+    10^6*|K_a∩K_b∩bottom_k(union)|//k_eff is integer-exact, so the
+    whole sketch pipeline oracle-checks against DuckDB row_number()
+    twins."""
+    from frontera_ray.stages.sketches import kmv_jaccard_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+    out = kmv_jaccard_pairs(docs, "source", k=128, shingle_k=3) \
+        .to_pandas()
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+def q_quality_keepers(sf_dir: str):
+    """Quality-aware near-dup keeper resolution
+    (dedup.keeper_table_best): within each minhash component keep the
+    HIGHEST-quality member (tiebreak min doc_id) — what a production
+    dedup pass actually keeps (the best copy, not the first). Pairs ->
+    pair-scoped union-find; member quality fetched via one
+    broadcast-filter pass (member-scale, never the corpus); final map
+    broadcast over the corpus as a streaming lookup. Oracled end to
+    end: recursive-CTE components + the quality expression + a
+    window-function argmax."""
+    from frontera_ray.stages.dedup import keeper_table_best, \
+        minhash_neardup_pairs
+    from frontera_ray.stages.text import quality_features_table
+
+    ds = _read(sf_dir, "documents")
+    pairs = minhash_neardup_pairs(ds, threshold=0.5)
+    scores = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(quality_features_table, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["doc_id", "quality_score"]),
+                     batch_format="pyarrow")
+    out = keeper_table_best(ds, pairs, scores,
+                            score_col="quality_score").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift statistic
+    (relational.ks_2sample), INTEGER-EXACT: D = ks_num/ks_den between
+    the event-value distributions of the two user cohorts (user_id
+    parity) — the nonparametric drift test beside the binned
+    `psi_drift`. One partial-combine pass (value-count registers), a
+    distinct-value driver fold; ks_micro = 10^6*D truncated."""
+    from frontera_ray.stages.relational import ks_2sample
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "value": b["value"],
+              "side": pa.array(b["user_id"].to_numpy() % 2, pa.int64()),
+          }), batch_format="pyarrow"))
+    return ks_2sample(ev, "value", "side", scale=100).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4458,6 +4567,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_unpivot": q_orders_unpivot,
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
+    "hits": q_hits,
+    "degree_dist": q_degree_dist,
+    "kmv_source_sim": q_kmv_source_sim,
+    "quality_keepers": q_quality_keepers,
+    "ks_drift": q_ks_drift,
 }
 
 
@@ -4870,6 +4984,132 @@ def _pagerank_oracle(iters: int = 5) -> str:
         {chain}
         SELECT v AS node, round(r, 9) AS rank
         FROM it{iters} ORDER BY node"""
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """Exact SQL twin of q_hits: the same distinct-edge graph and the
+    HITS recurrence with L1 normalization per half-step unrolled as
+    chained CTEs; only the FINAL scores are rounded (1e-9 — numpy
+    dense-sum vs SQL SUM drift is ~1e-15 relative per normalization,
+    same guard as pagerank)."""
+    its = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        its.append(f"""a{k}r AS MATERIALIZED (
+            SELECT n.v, coalesce(sum(p.s), 0) AS s
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN {prev_h} p ON p.v = e.src
+            GROUP BY n.v),
+        a{k} AS MATERIALIZED (
+            SELECT v, s / (SELECT sum(s) FROM a{k}r) AS s
+            FROM a{k}r),
+        h{k}r AS MATERIALIZED (
+            SELECT n.v, coalesce(sum(p.s), 0) AS s
+            FROM nodes n
+            LEFT JOIN e ON e.src = n.v
+            LEFT JOIN a{k} p ON p.v = e.dst
+            GROUP BY n.v),
+        h{k} AS MATERIALIZED (
+            SELECT v, s / (SELECT sum(s) FROM h{k}r) AS s
+            FROM h{k}r)""")
+        prev_h = f"h{k}"
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT doc_id % {_PR_NODES} AS src,
+                   (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst
+            FROM documents),
+        nodes AS MATERIALIZED (
+            SELECT src AS v FROM e UNION SELECT dst FROM e),
+        p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT v, 1.0 / (SELECT n FROM p) AS s FROM nodes),
+        {chain}
+        SELECT n.v AS node, round(h{iters}.s, 9) AS hub,
+               round(a{iters}.s, 9) AS authority
+        FROM nodes n
+        JOIN h{iters} ON h{iters}.v = n.v
+        JOIN a{iters} ON a{iters}.v = n.v
+        ORDER BY node"""
+
+
+def _kmv_source_sim_oracle(k: int = 128) -> str:
+    """Exact SQL twin of q_kmv_source_sim: per-source bottom-k of the
+    distinct word-3-gram md5-top-64 hashes via row_number(), per-pair
+    bottom-k of the sketch union, inter = membership in both sketches,
+    jaccard_ppm integer-exact."""
+    return f"""
+        WITH t AS (SELECT source, regexp_extract_all(text, '\\S+') AS arr
+                   FROM documents),
+        gh AS (SELECT DISTINCT source,
+                      ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
+                                          || arr[i+2]), 1, 16))::UBIGINT AS h
+               FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+        ks AS (SELECT source, h FROM (
+                 SELECT source, h,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY h) AS rn
+                 FROM gh) WHERE rn <= {k}),
+        srcs AS (SELECT DISTINCT source FROM ks),
+        pairs AS (SELECT a.source AS ga, b.source AS gb
+                  FROM srcs a JOIN srcs b ON a.source < b.source),
+        uni AS (SELECT p.ga, p.gb, kk.h
+                FROM pairs p JOIN ks kk
+                  ON kk.source = p.ga OR kk.source = p.gb
+                GROUP BY 1, 2, 3),
+        unik AS (SELECT ga, gb, h FROM (
+                   SELECT ga, gb, h,
+                          row_number() OVER (PARTITION BY ga, gb
+                                             ORDER BY h) AS rn
+                   FROM uni) WHERE rn <= {k}),
+        j AS (SELECT u.ga, u.gb, count(*)::BIGINT AS k_eff,
+                     count(*) FILTER (WHERE ka.h IS NOT NULL
+                                        AND kb.h IS NOT NULL)::BIGINT
+                       AS inter
+              FROM unik u
+              LEFT JOIN ks ka ON ka.source = u.ga AND ka.h = u.h
+              LEFT JOIN ks kb ON kb.source = u.gb AND kb.h = u.h
+              GROUP BY 1, 2)
+        SELECT ga AS group_a, gb AS group_b, k_eff, inter,
+               ((1000000 * inter) // k_eff)::BIGINT AS jaccard_ppm
+        FROM j ORDER BY group_a, group_b"""
+
+
+def _quality_keepers_oracle() -> str:
+    """Quality-aware keeper: the minhash pair components (same
+    recursive CTEs as _dedup_keepers_oracle) resolved to the
+    highest-quality member per component (tiebreak min id) via a
+    window-function argmax over the exact quality expression."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes()},
+        edges AS (SELECT a, b FROM mh_pairs
+                  UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS comp FROM documents
+            UNION
+            SELECT e.b AS id, r.comp
+            FROM reach r JOIN edges e ON e.a = r.id),
+        keep AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        q AS (SELECT doc_id,
+                     round(0.4*least(1.0, n_tokens/100.0)
+                         + 0.3*(1.0 - n_upper/greatest(length(text),1)::DOUBLE)
+                         + 0.3*least(1.0, 20.0*n_punct/greatest(length(text),1)::DOUBLE),
+                         4) AS qs
+              FROM (SELECT doc_id, text,
+                           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                           len(regexp_extract_all(text, '[.!,;:?]')) AS n_punct,
+                           len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+                    FROM documents)),
+        ranked AS (SELECT k.comp, k.id,
+                          row_number() OVER (PARTITION BY k.comp
+                                             ORDER BY q.qs DESC, k.id)
+                            AS rn
+                   FROM keep k JOIN q ON q.doc_id = k.id),
+        best AS (SELECT comp, id AS keeper FROM ranked WHERE rn = 1)
+        SELECT k.id AS doc_id, b.keeper AS keeper_doc_id
+        FROM keep k JOIN best b ON b.comp = k.comp
+        ORDER BY doc_id"""
 
 
 _WINNOW_SEL_CTE = r"""
@@ -6931,4 +7171,39 @@ def oracle_sql() -> dict[str, str]:
                      AS n_chars2,
                    md5(string_agg(part, '' ORDER BY idx)) AS text_md5
             FROM chunks GROUP BY doc_id ORDER BY doc_id""",
+        "hits": _hits_oracle(),
+        "degree_dist": f"""
+            WITH e AS (SELECT DISTINCT doc_id % {_PR_NODES} AS src,
+                              (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst
+                       FROM documents),
+            o AS (SELECT src AS v, count(*)::BIGINT AS deg
+                  FROM e GROUP BY 1),
+            i AS (SELECT dst AS v, count(*)::BIGINT AS deg
+                  FROM e GROUP BY 1)
+            SELECT 'out' AS side, deg, count(*)::BIGINT AS n_nodes
+            FROM o GROUP BY deg
+            UNION ALL
+            SELECT 'in' AS side, deg, count(*)::BIGINT AS n_nodes
+            FROM i GROUP BY deg
+            ORDER BY side, deg""",
+        "kmv_source_sim": _kmv_source_sim_oracle(),
+        "quality_keepers": _quality_keepers_oracle(),
+        "ks_drift": """
+            WITH c AS (SELECT floor(value * 100 + 0.5)::BIGINT AS v,
+                              count(*) FILTER (WHERE user_id % 2 = 0)
+                                ::BIGINT AS a,
+                              count(*) FILTER (WHERE user_id % 2 = 1)
+                                ::BIGINT AS b
+                       FROM events GROUP BY 1),
+            w AS (SELECT v, sum(a) OVER (ORDER BY v) AS ca,
+                         sum(b) OVER (ORDER BY v) AS cb
+                  FROM c),
+            t AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+                  FROM c)
+            SELECT t.na AS n_a, t.nb AS n_b,
+                   max(abs(w.ca * t.nb - w.cb * t.na))::BIGINT AS ks_num,
+                   (t.na * t.nb)::BIGINT AS ks_den,
+                   ((1000000 * max(abs(w.ca * t.nb - w.cb * t.na)))
+                     // (t.na * t.nb))::BIGINT AS ks_micro
+            FROM w, t GROUP BY t.na, t.nb""",
     }

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "range_window_sum", "bm25_topk", "rrf_fusion", "lang_confusion", "cohen_kappa", "peak_rate", "k_anon_violations", "postings", "orders_unpivot", "cdc_merge",
     "image_embed_neardup", "span_dedup", "percentile_cont", "grouping_sets",
     "group_skew",
+    "hits", "degree_dist", "kmv_source_sim", "quality_keepers", "ks_drift",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1331,3 +1331,77 @@ def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
           .rename(columns={"size": "shared"}))
     df = df[df["shared"] >= min_shared].astype("int64")
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def keeper_table_best(ds, pair_table: pa.Table, score_ds,
+                      id_col: str = "doc_id", score_col: str = "score"):
+    """``keeper_table`` with a QUALITY-AWARE keeper rule: within each
+    near-dup component keep the member with the HIGHEST score
+    (tiebreak: smallest id) instead of the smallest id — what a real
+    training-data dedup pass does (keep the best copy, not the first;
+    e.g. the longest / highest-quality near-duplicate).
+
+    ``score_ds`` is a Dataset with (id_col, score_col) rows covering
+    the corpus. Scale shape: components come from the pair-scoped
+    union-find (result-sized); scores are fetched for PAIR MEMBERS ONLY
+    via one broadcast-filter pass over ``score_ds`` (member-scale rows
+    reach the driver, never the corpus); the final id→keeper map is
+    broadcast once and applied as a vectorized streaming lookup, same
+    contract as ``keeper_table``."""
+    import ray
+
+    comp = dedup_keepers(None, zip(pair_table["a"].to_pylist(),
+                                   pair_table["b"].to_pylist()))
+    if not comp:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col].cast(pa.int64()),
+                "keeper_doc_id": b[id_col].cast(pa.int64())}),
+            batch_format="pyarrow")
+    member_ids = np.fromiter(sorted(comp), dtype=np.int64, count=len(comp))
+    members_ref = ray.put(member_ids)
+    cache: dict = {}
+
+    def member_scores(batch: pa.Table) -> pa.Table:
+        if "m" not in cache:
+            cache["m"] = ray.get(members_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        hit = np.isin(ids, cache["m"])
+        return pa.table({
+            id_col: pa.array(ids[hit], pa.int64()),
+            score_col: batch[score_col].filter(pa.array(hit))})
+
+    got = pa.concat_tables(list(
+        score_ds.map_batches(member_scores, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ids = got[id_col].to_numpy().astype(np.int64)
+    scores = got[score_col].to_numpy(zero_copy_only=False)
+    comps = np.fromiter((comp[int(i)] for i in ids), dtype=np.int64,
+                        count=len(ids))
+    # best member per component: (-score, id) ascending within comp runs
+    order = np.lexsort((ids, -scores.astype(np.float64), comps))
+    c_s = comps[order]
+    first = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+    best = dict(zip(c_s[first].tolist(), ids[order][first].tolist()))
+
+    keys = member_ids
+    vals = np.fromiter((best[comp[int(i)]] for i in keys), dtype=np.int64,
+                       count=len(keys))
+    map_ref = ray.put((keys, vals))
+    cache2: dict = {}
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        if "m" not in cache2:
+            cache2["m"] = ray.get(map_ref)
+        keys_, vals_ = cache2["m"]
+        bids = batch[id_col].to_numpy().astype(np.int64)
+        keeper = bids.copy()
+        pos = np.searchsorted(keys_, bids)
+        pos_c = np.minimum(pos, len(keys_) - 1)
+        hit = keys_[pos_c] == bids
+        keeper[hit] = vals_[pos_c[hit]]
+        return pa.table({id_col: pa.array(bids, pa.int64()),
+                         "keeper_doc_id": pa.array(keeper, pa.int64())})
+
+    return ds.select_columns([id_col]).map_batches(
+        lookup, batch_format="pyarrow")

@@ -488,3 +488,115 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "lvl": pa.array(level[nodes].astype(np.int64),
                                      pa.int64())})
+
+
+def hits(edges_ds, n_nodes: int, iters: int = 4,
+         dedup: bool = True, exchange: str = "groups") -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999, public algorithm) after
+    ``iters`` synchronous iterations — the link-analysis twin of
+    ``pagerank`` that separates "points at good pages" (hub) from "is
+    pointed at by good hubs" (authority); a crawl re-scoring job uses
+    the hub score to prioritize index/seed pages and the authority
+    score for content pages.
+
+    Same scale shape as ``pagerank``: the deduped edge set streams once
+    per half-iteration, emitting per-block dense partial vectors
+    against the ``ray.put``-broadcast score vector; the driver sums
+    O(blocks) registers and L1-normalizes. Recurrence::
+
+        h0(v) = 1/|present|
+        a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u);  a_k /= Σ a_k
+        h_k(u) = Σ_{(u,v)∈E} a_k(v);      h_k /= Σ h_k
+
+    Float determinism: numpy's dense-vector sum and SQL SUM order
+    differ by ~1e-15 relative per normalization; callers round final
+    scores (1e-9 guard, same as ``pagerank``)."""
+    import ray
+
+    if dedup:
+        edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
+                               exchange=exchange)
+    edges_ds = edges_ds.materialize()
+
+    def deg_pass(src, dst):
+        return np.concatenate((
+            np.bincount(src, minlength=n_nodes).astype(np.float64),
+            np.bincount(dst, minlength=n_nodes).astype(np.float64)))
+
+    mixed = _dense_partials(edges_ds, deg_pass, 2 * n_nodes)
+    present = (mixed[:n_nodes] > 0) | (mixed[n_nodes:] > 0)
+    n_present = int(present.sum())
+    if n_present == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.float64()),
+                         "authority": pa.array([], pa.float64())})
+
+    h = np.where(present, 1.0 / n_present, 0.0)
+    a = np.zeros(n_nodes, np.float64)
+    for _ in range(iters):
+        h_ref = ray.put(h)
+
+        def auth_contrib(src, dst, _w=h_ref):
+            w = ray.get(_w)
+            acc = np.zeros(n_nodes, np.float64)
+            np.add.at(acc, dst, w[src])
+            return acc
+
+        a = _dense_partials(edges_ds, auth_contrib, n_nodes)
+        s = a.sum()
+        if s > 0:
+            a = a / s
+        a_ref = ray.put(a)
+
+        def hub_contrib(src, dst, _w=a_ref):
+            w = ray.get(_w)
+            acc = np.zeros(n_nodes, np.float64)
+            np.add.at(acc, src, w[dst])
+            return acc
+
+        h = _dense_partials(edges_ds, hub_contrib, n_nodes)
+        s = h.sum()
+        if s > 0:
+            h = h / s
+
+    nodes = np.flatnonzero(present)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "hub": pa.array(h[nodes], pa.float64()),
+                     "authority": pa.array(a[nodes], pa.float64())})
+
+
+def degree_histogram(edges_ds, n_nodes: int, dedup: bool = True,
+                     exchange: str = "groups") -> pa.Table:
+    """Degree distribution of the distinct-edge graph — (side, deg,
+    n_nodes) rows for side in ('out', 'in'): how many nodes have each
+    out-/in-degree. The first observability read on any crawled link
+    graph (power-law slope, supernode detection — the skew signal that
+    decides salting before a per-node shuffle).
+
+    ONE streaming edge pass (stacked out‖in bincount registers), then
+    two tiny ``np.unique`` folds on the driver — NO shuffle; output is
+    distinct-degree-scale."""
+    if dedup:
+        edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
+                               exchange=exchange)
+
+    def deg_pass(src, dst):
+        return np.concatenate((
+            np.bincount(src, minlength=n_nodes).astype(np.float64),
+            np.bincount(dst, minlength=n_nodes).astype(np.float64)))
+
+    mixed = _dense_partials(edges_ds, deg_pass, 2 * n_nodes)
+    outdeg = mixed[:n_nodes].astype(np.int64)
+    indeg = mixed[n_nodes:].astype(np.int64)
+    sides, degs, ns = [], [], []
+    for side, d in (("in", indeg), ("out", outdeg)):
+        u, c = np.unique(d[d > 0], return_counts=True)
+        sides.extend([side] * len(u))
+        degs.append(u)
+        ns.append(c.astype(np.int64))
+    return pa.table({
+        "side": pa.array(sides, pa.string()),
+        "deg": pa.array(np.concatenate(degs) if degs else
+                        np.empty(0, np.int64), pa.int64()),
+        "n_nodes": pa.array(np.concatenate(ns) if ns else
+                            np.empty(0, np.int64), pa.int64())})

@@ -3306,3 +3306,76 @@ def cdc_merge(ds, key_col: str, ts_col: str, op_col: str,
         return batch.filter(pc.not_equal(batch[op_col], delete_op))
 
     return latest.map_batches(drop_deleted, batch_format="pyarrow")
+
+
+def ks_2sample(ds, value_col: str, side_col: str,
+               scale: int = 100) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov statistic, INTEGER-EXACT — the
+    distribution-drift test between two cohorts (train/val splits,
+    A/B variants, snapshot versions; the nonparametric complement of
+    the binned ``psi_drift``):
+
+        D = max_v |F_a(v) - F_b(v)|  over pooled distinct values
+          = ks_num / ks_den,  ks_num = max|ca(v)·nb - cb(v)·na|,
+            ks_den = na·nb
+
+    ``side_col`` must be int8/bool-like (0 = cohort a, 1 = cohort b);
+    values are discretized to ``value*scale`` rounded (exact for
+    cents-style decimals), so D is a ratio of exact integers and the
+    whole statistic oracle-checks.
+
+    Scale shape: one ``map_batches`` pass folds each block into
+    (value, na, nb) count partials (np.unique register rows — the
+    partial-combine shape); the driver merges distinct-value-scale
+    partials, prefix-sums, and takes the max. The bounded-value-domain
+    assumption is the same as ``grouped_quantile_disc``'s histogram
+    combine; an unbounded domain routes through the sort-exchange
+    prefix-sum (``compaction_plan``'s scan) instead. Returns one row
+    (n_a, n_b, ks_num, ks_den, ks_micro)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        # floor(v*scale + 0.5): the repo's exact cents discretization
+        # (window_scan) — identical in numpy and SQL, no half-even snag
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        side = batch[side_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        a = np.bincount(inv, weights=(side == 0), minlength=len(uv))
+        b = np.bincount(inv, weights=(side == 1), minlength=len(uv))
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "a": pa.array(a.astype(np.int64), pa.int64()),
+                         "b": pa.array(b.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, a, b in zip(t["v"].to_numpy(), t["a"].to_numpy(),
+                           t["b"].to_numpy()):
+            cur = acc.setdefault(int(v), [0, 0])
+            cur[0] += int(a)
+            cur[1] += int(b)
+    if not acc:
+        return pa.table({"n_a": pa.array([0], pa.int64()),
+                         "n_b": pa.array([0], pa.int64()),
+                         "ks_num": pa.array([0], pa.int64()),
+                         "ks_den": pa.array([0], pa.int64()),
+                         "ks_micro": pa.array([0], pa.int64())})
+    vs = np.array(sorted(acc), dtype=np.int64)
+    a = np.array([acc[int(v)][0] for v in vs], dtype=np.int64)
+    b = np.array([acc[int(v)][1] for v in vs], dtype=np.int64)
+    ca, cb = np.cumsum(a), np.cumsum(b)
+    na, nb = int(ca[-1]), int(cb[-1])
+    num = int(np.abs(ca * nb - cb * na).max())
+    den = na * nb
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_num": pa.array([num], pa.int64()),
+        "ks_den": pa.array([den], pa.int64()),
+        "ks_micro": pa.array([(1_000_000 * num) // den if den else 0],
+                             pa.int64())})

@@ -595,3 +595,90 @@ def profile_columns(ds, spec: dict):
         n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
         min_v=("min_v", "min"), max_v=("max_v", "max"))
     return out.sort_values("col").reset_index(drop=True)
+
+
+def kmv_jaccard_pairs(ds, group_col: str, text_col: str = "text",
+                      k: int = 128, shingle_k: int = 3) -> pa.Table:
+    """Pairwise set-similarity between GROUPS (sources, languages,
+    snapshots) via bottom-k / KMV sketches (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007 — the public k-minimum-values estimator):
+    each group's distinct word-``shingle_k``-gram md5 hashes reduce to
+    the k smallest, and for every group pair the Jaccard estimate is
+
+        |K_a ∩ K_b ∩ bottom_k(K_a ∪ K_b)| / min(k, |K_a ∪ K_b|)
+
+    emitted integer-exact as ``jaccard_ppm = 10^6 * inter // k_eff`` —
+    so the whole sketch pipeline (hashing, bottom-k reduction, pair
+    estimate) oracle-checks against DuckDB row_number() twins.
+
+    Scale shape — the register-combine pattern (HLL above): each block
+    folds its rows into per-group bottom-k partials (one vectorized
+    np.unique + partition per group run), the driver merges O(blocks x
+    groups_per_block) k-vectors and does the G^2/2 pairwise estimates
+    over G groups (corpus sources/shards: G <= 10^3, trivially
+    driver-sized; the corpus itself never moves). Returns
+    (group_a, group_b, k_eff, inter, jaccard_ppm) sorted."""
+    from .dedup import word_shingles
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        texts = batch[text_col].to_pylist()
+        out_g: list = []
+        out_h: list = []
+        # fold rows group-locally: distinct gram hashes, keep k smallest
+        order = np.argsort(groups, kind="stable")
+        g_s = groups[order]
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1])))
+        bounds = np.append(run_starts, len(g_s))
+        for i, s in enumerate(run_starts):
+            e = bounds[i + 1]
+            # strict windowed grams == the SQL UNNEST(range(...)) twin;
+            # md5 runs once per DISTINCT gram (memoized per worker)
+            hs = [word_shingles(texts[j], shingle_k, strict=True)
+                  for j in order[s:e]]
+            hs = [x for x in hs if len(x)]
+            if not hs:
+                continue
+            kk = np.unique(np.concatenate(hs))[:k]
+            out_g.extend([str(g_s[s])] * len(kk))
+            out_h.append(kk)
+        return pa.table({
+            group_col: pa.array(out_g, pa.string()),
+            "h": pa.array(np.concatenate(out_h) if out_h else
+                          np.empty(0, np.uint64), pa.uint64())})
+
+    sketches: dict[str, np.ndarray] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        gs = np.asarray(t[group_col].to_pylist(), dtype=object)
+        hs = t["h"].to_numpy()
+        for g in np.unique(gs):
+            cur = hs[gs == g]
+            prev = sketches.get(str(g))
+            merged = cur if prev is None else np.concatenate((prev, cur))
+            sketches[str(g)] = np.unique(merged)[:k]
+
+    names = sorted(sketches)
+    rows_a, rows_b, keffs, inters, ppms = [], [], [], [], []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            ka, kb = sketches[ga], sketches[gb]
+            union = np.unique(np.concatenate((ka, kb)))[:k]
+            k_eff = len(union)
+            # inter = |bottom_k(union) ∩ K_a ∩ K_b|
+            inter = int((np.isin(union, ka) & np.isin(union, kb)).sum())
+            rows_a.append(ga)
+            rows_b.append(gb)
+            keffs.append(k_eff)
+            inters.append(inter)
+            ppms.append((1_000_000 * inter) // k_eff if k_eff else 0)
+    return pa.table({
+        "group_a": pa.array(rows_a, pa.string()),
+        "group_b": pa.array(rows_b, pa.string()),
+        "k_eff": pa.array(keffs, pa.int64()),
+        "inter": pa.array(inters, pa.int64()),
+        "jaccard_ppm": pa.array(ppms, pa.int64())})

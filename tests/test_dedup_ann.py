@@ -951,3 +951,41 @@ def test_image_feature_stage_feeds_cosine_dedup(ray_session):
         ["img://a", "img://b", "img://c"]))
     got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     assert got == {(min(ia, ib), max(ia, ib))}
+
+
+def test_keeper_table_best_matches_brute_components(ray_session):
+    """keeper_table_best keeps the HIGHEST-score member per component
+    (tiebreak min id); singletons keep themselves."""
+    import ray
+
+    from frontera_ray.stages.dedup import keeper_table_best
+
+    # components: {0,1,2} (chain), {5,6}; 3,4 singletons
+    pairs = pa.table({"a": pa.array([0, 1, 5], pa.int64()),
+                      "b": pa.array([1, 2, 6], pa.int64())})
+    ids = pa.table({"doc_id": pa.array(range(7), pa.int64())})
+    # scores: comp {0,1,2} best = 1 (score 9); comp {5,6} tie -> min id 5
+    scores = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "score": pa.array([1.0, 9.0, 3.0, 2.0, 2.0, 4.0, 4.0],
+                          pa.float64())})
+    out = keeper_table_best(
+        ray.data.from_arrow(ids).repartition(3), pairs,
+        ray.data.from_arrow(scores).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["keeper_doc_id"].tolist() == [1, 1, 1, 3, 4, 5, 5]
+
+
+def test_keeper_table_best_no_pairs_identity(ray_session):
+    import ray
+
+    from frontera_ray.stages.dedup import keeper_table_best
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    ids = pa.table({"doc_id": pa.array([3, 1, 4], pa.int64())})
+    scores = pa.table({"doc_id": pa.array([3, 1, 4], pa.int64()),
+                       "score": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    out = keeper_table_best(ray.data.from_arrow(ids), empty,
+                            ray.data.from_arrow(scores)).to_pandas()
+    assert (out["doc_id"] == out["keeper_doc_id"]).all()

@@ -2281,3 +2281,105 @@ def test_min_label_prop_iteration_parity(ray_session):
     assert out["node"].tolist() == list(range(n))
     assert out["lbl"].tolist() == lbl.tolist()
     assert out["lbl"].nunique() > 1  # genuinely not converged at 4
+
+
+def test_hits_tiny_graph_exact(ray_session):
+    """HITS on a hand-checkable hub/authority graph matches the
+    normalized recurrence computed directly; duplicate edges collapse."""
+    import ray
+
+    from frontera_ray.stages.pagerank import hits
+
+    # 0->2, 0->3, 1->2 (node 0 the stronger hub; 2 the stronger
+    # authority); duplicate 0->2 must not double-count
+    tbl = pa.table({"src": pa.array([0, 0, 1, 0], pa.int64()),
+                    "dst": pa.array([2, 3, 2, 2], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = hits(ds, n_nodes=8, iters=4).to_pandas()
+    assert list(out.node) == [0, 1, 2, 3]
+
+    h = np.full(4, 1 / 4)
+    a = np.zeros(4)
+    adj = [(0, 2), (0, 3), (1, 2)]
+    for _ in range(4):
+        a = np.zeros(4)
+        for s, d in adj:
+            a[d] += h[s]
+        a = a / a.sum()
+        h = np.zeros(4)
+        for s, d in adj:
+            h[s] += a[d]
+        h = h / h.sum()
+    assert np.allclose(out["hub"].to_numpy(), h, atol=1e-12)
+    assert np.allclose(out["authority"].to_numpy(), a, atol=1e-12)
+    # hubs are sources, authorities are sinks
+    assert out["hub"][0] > out["hub"][2]
+    assert out["authority"][2] > out["authority"][0]
+
+
+def test_degree_histogram_known(ray_session):
+    import ray
+
+    from frontera_ray.stages.pagerank import degree_histogram
+
+    # out: node0 deg2, node1 deg1 -> (1,1),(2,1); in: 2 deg2, 3 deg1
+    tbl = pa.table({"src": pa.array([0, 0, 1, 0], pa.int64()),
+                    "dst": pa.array([2, 3, 2, 2], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = degree_histogram(ds, n_nodes=8).to_pandas()
+    got = {(r.side, r.deg): r.n_nodes for r in out.itertuples()}
+    assert got == {("out", 1): 1, ("out", 2): 1,
+                   ("in", 1): 1, ("in", 2): 1}
+
+
+def test_ks_2sample_matches_brute(ray_session):
+    """ks_2sample == the brute pooled-CDF max computed with numpy,
+    including duplicate values and block splits."""
+    import ray
+
+    from frontera_ray.stages.relational import ks_2sample
+
+    rng = np.random.default_rng(7)
+    va = np.round(rng.normal(50, 10, 400), 2)
+    vb = np.round(rng.normal(55, 12, 300), 2)
+    tbl = pa.table({
+        "value": pa.array(np.concatenate([va, vb]), pa.float64()),
+        "side": pa.array([0] * 400 + [1] * 300, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = ks_2sample(ds, "value", "side", scale=100).to_pandas()
+
+    ia = np.floor(va * 100 + 0.5).astype(np.int64)
+    ib = np.floor(vb * 100 + 0.5).astype(np.int64)
+    pooled = np.unique(np.concatenate([ia, ib]))
+    ca = np.searchsorted(np.sort(ia), pooled, side="right")
+    cb = np.searchsorted(np.sort(ib), pooled, side="right")
+    num = int(np.abs(ca * len(ib) - cb * len(ia)).max())
+    assert out["n_a"][0] == 400 and out["n_b"][0] == 300
+    assert out["ks_num"][0] == num
+    assert out["ks_den"][0] == 400 * 300
+
+
+def test_kmv_jaccard_small_sets_exact(ray_session):
+    """When every group's distinct gram count is under k, the KMV
+    estimate IS the exact Jaccard (sketch == full set)."""
+    import ray
+
+    from frontera_ray.stages.dedup import word_shingles
+    from frontera_ray.stages.sketches import kmv_jaccard_pairs
+
+    doc_a = "alpha beta gamma delta epsilon zeta eta theta"
+    doc_b = "alpha beta gamma delta epsilon zeta iota kappa"
+    tbl = pa.table({
+        "source": pa.array(["g1", "g1", "g2"], pa.string()),
+        "text": pa.array([doc_a, doc_a, doc_b], pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = kmv_jaccard_pairs(ds, "source", k=128, shingle_k=3).to_pandas()
+    assert len(out) == 1
+
+    sa = set(word_shingles(doc_a, 3, strict=True).tolist())
+    sb = set(word_shingles(doc_b, 3, strict=True).tolist())
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    row = out.iloc[0]
+    assert row.k_eff == union and row.inter == inter
+    assert row.jaccard_ppm == (1_000_000 * inter) // union
