@@ -4373,6 +4373,108 @@ def q_ks_drift(sf_dir: str):
     return ks_2sample(ev, "value", "side", scale=100).to_pandas()
 
 
+def q_containment_join(sf_dir: str):
+    """ASYMMETRIC n-gram containment pairs (dedup.containment_pairs):
+    ordered (a, b) with |grams(a)∩grams(b)| >= 60% of |grams(a)| over
+    the doc_id<200 slice — the sub-document inclusion detector
+    (quotes, boilerplate wrappers) that symmetric Jaccard misses
+    (Broder 1997's containment vs resemblance). Integer-exact
+    (a, b, inter_size, a_size); bounded-slice distributed brute,
+    unbounded corpora route through minhash buckets."""
+    from frontera_ray.stages.dedup import containment_pairs
+
+    return containment_pairs(_read(sf_dir, "documents"), limit_ids=200,
+                             shingle_k=3, threshold_pct=60).to_pandas()
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill tail-index estimator (Hill 1975, the standard power-law
+    tail diagnostic) over the per-user event-count distribution:
+    hill = mean(ln(x_i / x_thr)) over the top-k order statistics
+    (k=10, threshold = the (k+1)-th), reported in micro-units — the
+    quantitative companion of `degree_dist`/`count_gini` skew reads
+    (1/hill ~ the Pareto alpha that decides hot-key salting). Counts
+    are a distributed combiner groupby; the top-(k+1) order statistics
+    come from per-block partial top-k (`relational.global_topk`); the
+    driver folds k+1 rows."""
+    import math
+
+    import pandas as pd
+
+    from frontera_ray.stages.relational import global_topk
+
+    k = 10
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    from frontera_ray.stages.relational import grouped_int_sum
+    counts = grouped_int_sum(ev, "user_id", "one", exchange="groups")
+    top = global_topk(counts, "one", k + 1, descending=True,
+                      tiebreak="user_id").to_pandas()
+    thr = float(top["one"].iloc[k])
+    hill = sum(math.log(float(x) / thr) for x in top["one"][:k]) / k
+    return pd.DataFrame([{
+        "k": np.int64(k),
+        "x_thr": np.int64(top["one"].iloc[k]),
+        "hill_micro": np.int64(math.floor(1_000_000 * hill + 0.5))}])
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Change-rate-driven revisit scheduling (the Cho &
+    Garcia-Molina 2003 recrawl-policy shape frontera's DELAY/decay
+    revisits approximate): per user (stand-in for per host), estimate
+    the change rate from observed fetches (n_changed = 'click' events
+    over n_obs total) and emit the next-fetch interval
+    clamp(86400*n_obs // max(n_changed,1), [1h, 7d]) — all-integer.
+    One combiner groupby (bounded key space), vectorized clamp."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_type"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+              "chg": pa.array(
+                  (np.asarray(b["event_type"].to_pylist(), dtype=object)
+                   == "click").astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, "user_id",
+                            {"n_obs": ("one", "sum"),
+                             "n_changed": ("chg", "sum")})
+    n_obs = g["n_obs"].to_numpy().astype(np.int64)
+    n_chg = g["n_changed"].to_numpy().astype(np.int64)
+    g["n_obs"] = n_obs
+    g["n_changed"] = n_chg
+    g["interval_s"] = np.minimum(
+        604_800, np.maximum(3_600, (86_400 * n_obs)
+                            // np.maximum(n_chg, 1))).astype(np.int64)
+    return g.sort_values("user_id").reset_index(drop=True)
+
+
+def q_mix_epochs(sf_dir: str):
+    """UniMax training-mixture allocation (sampling.unimax_epochs;
+    Chung et al. 2023): split a global token budget (4/3 of the corpus
+    so the cap binds) across sources, no source repeating more than 2
+    epochs — size-ascending walk, leftovers roll to larger sources,
+    all-integer. Per-source sums are a distributed combiner exchange;
+    oracled against a recursive-CTE twin of the walk."""
+    import pyarrow.parquet as pq
+
+    from frontera_ray.stages.sampling import unimax_epochs
+
+    total = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["n_chars"])["n_chars"]
+                .to_numpy().sum())
+    docs = _read(sf_dir, "documents").select_columns(
+        ["source", "n_chars"])
+    return unimax_epochs(docs, "source", "n_chars",
+                         budget=(4 * total) // 3,
+                         max_epochs=2).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4572,6 +4674,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmv_source_sim": q_kmv_source_sim,
     "quality_keepers": q_quality_keepers,
     "ks_drift": q_ks_drift,
+    "containment_join": q_containment_join,
+    "hill_tail": q_hill_tail,
+    "recrawl_schedule": q_recrawl_schedule,
+    "mix_epochs": q_mix_epochs,
 }
 
 
@@ -7206,4 +7312,71 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * max(abs(w.ca * t.nb - w.cb * t.na)))
                      // (t.na * t.nb))::BIGINT AS ks_micro
             FROM w, t GROUP BY t.na, t.nb""",
+        "containment_join": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+                       FROM documents WHERE doc_id < 200),
+            gh AS (SELECT DISTINCT doc_id,
+                          ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
+                                              || arr[i+2]), 1, 16))::UBIGINT AS h
+                   FROM t, UNNEST(range(1, len(arr) - 1)) AS r(i)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n
+                      FROM gh GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*)::BIGINT AS inter_size
+                      FROM gh x JOIN gh y ON y.h = x.h
+                                         AND y.doc_id <> x.doc_id
+                      GROUP BY 1, 2)
+            SELECT i.a, i.b, i.inter_size, s.n AS a_size
+            FROM inter i JOIN sizes s ON s.doc_id = i.a
+            WHERE 100 * i.inter_size >= 60 * s.n
+            ORDER BY a, b""",
+        "hill_tail": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT user_id, n, row_number() OVER (
+                      ORDER BY n DESC, user_id) AS rn FROM c),
+            thr AS (SELECT n::DOUBLE AS t FROM r WHERE rn = 11)
+            SELECT 10::BIGINT AS k,
+                   (SELECT n FROM r WHERE rn = 11)::BIGINT AS x_thr,
+                   floor(1000000 * avg(ln(n::DOUBLE / (SELECT t FROM thr)))
+                         + 0.5)::BIGINT AS hill_micro
+            FROM r WHERE rn <= 10""",
+        "recrawl_schedule": """
+            SELECT user_id,
+                   count(*)::BIGINT AS n_obs,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT
+                     AS n_changed,
+                   least(604800, greatest(3600,
+                     (86400 * count(*))
+                       // greatest(count(*) FILTER (
+                            WHERE event_type = 'click'), 1)))::BIGINT
+                     AS interval_s
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "mix_epochs": """
+            WITH RECURSIVE
+            t AS (SELECT source, sum(n_chars)::BIGINT AS tok
+                  FROM documents GROUP BY 1),
+            cnt AS (SELECT count(*)::BIGINT AS n,
+                           ((4 * sum(tok)) // 3)::BIGINT AS budget
+                    FROM t),
+            ord AS (SELECT source, tok, row_number() OVER (
+                        ORDER BY tok, source) AS rn FROM t),
+            walk AS (
+              SELECT 0::BIGINT AS rn,
+                     (SELECT budget FROM cnt) AS remaining,
+                     0::BIGINT AS alloc,
+                     CAST(NULL AS VARCHAR) AS source, 0::BIGINT AS tok
+              UNION ALL
+              SELECT o.rn,
+                     w.remaining - least(
+                       w.remaining // ((SELECT n FROM cnt) - o.rn + 1),
+                       2 * o.tok),
+                     least(
+                       w.remaining // ((SELECT n FROM cnt) - o.rn + 1),
+                       2 * o.tok),
+                     o.source, o.tok
+              FROM walk w JOIN ord o ON o.rn = w.rn + 1)
+            SELECT source, tok AS tokens, alloc,
+                   ((1000000 * alloc) // tok)::BIGINT AS epochs_ppm
+            FROM walk WHERE rn > 0 ORDER BY source""",
     }

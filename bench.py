@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "image_embed_neardup", "span_dedup", "percentile_cont", "grouping_sets",
     "group_skew",
     "hits", "degree_dist", "kmv_source_sim", "quality_keepers", "ks_drift",
+    "containment_join", "hill_tail", "recrawl_schedule", "mix_epochs",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1405,3 +1405,77 @@ def keeper_table_best(ds, pair_table: pa.Table, score_ds,
 
     return ds.select_columns([id_col]).map_batches(
         lookup, batch_format="pyarrow")
+
+
+def containment_pairs(ds, limit_ids: int, shingle_k: int = 3,
+                      threshold_pct: int = 80) -> pa.Table:
+    """Exact ASYMMETRIC n-gram containment pairs over a bounded doc_id
+    slice: ordered (a, b) with 100*|grams(a) ∩ grams(b)| >=
+    ``threshold_pct``*|grams(a)| — the sub-document inclusion detector
+    (quotes, boilerplate wrappers, doc-inside-doc) that symmetric
+    Jaccard misses (a 100-gram doc fully contained in a 10,000-gram doc
+    has Jaccard ~0.01 but containment 1.0; Broder 1997 distinguishes
+    exactly these two resemblance measures).
+
+    Same distributed-brute shape as ``ngram_jaccard_pairs``: the
+    bounded slice's shingle sets broadcast once, each block emits only
+    its qualifying ORDERED pairs (a from the block, any b != a).
+    Integer-exact (a, b, inter_size, a_size); unbounded corpora route
+    through minhash buckets first."""
+    import ray
+
+    def mask(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() < limit_ids))
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        mask, batch_format="pyarrow")
+    parts = pa.concat_tables(
+        list(base.iter_batches(batch_format="pyarrow", batch_size=None)))
+    set_ids = parts["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(set_ids)
+    set_ids = set_ids[order]
+    set_shingles = [word_shingles(t, shingle_k, strict=True)
+                    for t in np.asarray(parts["text"].to_pylist(),
+                                        dtype=object)[order]]
+    ref = ray.put((set_ids, set_shingles))
+    cache: dict = {}
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "inter_size": pa.array([], pa.int64()),
+                      "a_size": pa.array([], pa.int64())})
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        if "s" not in cache:
+            cache["s"] = ray.get(ref)
+        sids, sshingles = cache["s"]
+        out = []
+        for d, text in zip(batch["doc_id"].to_numpy(),
+                           batch["text"].to_pylist()):
+            sa = word_shingles(text, shingle_k, strict=True)
+            if not len(sa):
+                continue
+            for j, b_id in enumerate(sids):
+                if b_id == d:
+                    continue
+                inter = int(np.intersect1d(sa, sshingles[j],
+                                           assume_unique=True).size)
+                if 100 * inter >= threshold_pct * len(sa):
+                    out.append((int(d), int(b_id), inter, len(sa)))
+        if not out:
+            return empty
+        a_, b_, i_, s_ = zip(*out)
+        return pa.table({"a": pa.array(a_, pa.int64()),
+                         "b": pa.array(b_, pa.int64()),
+                         "inter_size": pa.array(i_, pa.int64()),
+                         "a_size": pa.array(s_, pa.int64())})
+
+    parts2 = list(base.map_batches(block_pairs, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts2:
+        return empty
+    out = pa.concat_tables(parts2)
+    order = np.lexsort((out["b"].to_numpy(), out["a"].to_numpy()))
+    return out.take(pa.array(order))

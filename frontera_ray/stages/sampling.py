@@ -171,3 +171,49 @@ def weighted_hash_sample(ds, id_col: str, weight_col: str,
         return batch.filter(pa.array(h * cap < w * _U32))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def unimax_epochs(ds, group_col: str, weight_col: str, budget: int,
+                  max_epochs: int = 4) -> pa.Table:
+    """UniMax training-mixture allocation (Chung et al. 2023, the
+    public UniMax paper): split a global token ``budget`` across
+    sources so every source gets an equal share EXCEPT that no source
+    repeats more than ``max_epochs`` times — the standard fix for
+    small-source over-repetition when mixing corpora.
+
+    Walk sources by size ascending; each takes
+    ``min(remaining // sources_left, max_epochs * tokens)`` and the
+    leftover rolls forward to the larger sources. All-integer, so the
+    whole operator (per-source sums + the allocation walk)
+    oracle-checks against a recursive-CTE twin.
+
+    Scale shape: the per-source token sums are a combiner aggregate
+    (``relational.partial_groupby_agg`` — per-block partials, driver
+    merge; the key space is the SOURCE list, bounded by construction);
+    the walk itself is O(sources) on the driver.
+    Returns (source, tokens, alloc, epochs_ppm) sorted by source."""
+    from .relational import partial_groupby_agg
+
+    rows = partial_groupby_agg(
+        ds.select_columns([group_col, weight_col]), group_col,
+        {"tok": (weight_col, "sum")})
+    names = np.asarray(rows[group_col].to_numpy(), dtype=object)
+    toks = rows["tok"].to_numpy().astype(np.int64)
+    order = np.lexsort((names, toks))  # size asc, name tiebreak
+    remaining = int(budget)
+    n = len(order)
+    alloc = np.zeros(n, np.int64)
+    for i, j in enumerate(order):
+        quota = remaining // (n - i)
+        a = min(quota, max_epochs * int(toks[j]))
+        alloc[j] = a
+        remaining -= a
+    out_order = np.argsort(names.astype(str), kind="stable")
+    return pa.table({
+        "source": pa.array(names[out_order].tolist(), pa.string()),
+        "tokens": pa.array(toks[out_order], pa.int64()),
+        "alloc": pa.array(alloc[out_order], pa.int64()),
+        "epochs_ppm": pa.array(
+            [(1_000_000 * int(a)) // int(t) if t else 0
+             for a, t in zip(alloc[out_order], toks[out_order])],
+            pa.int64())})

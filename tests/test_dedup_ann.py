@@ -989,3 +989,24 @@ def test_keeper_table_best_no_pairs_identity(ray_session):
     out = keeper_table_best(ray.data.from_arrow(ids), empty,
                             ray.data.from_arrow(scores)).to_pandas()
     assert (out["doc_id"] == out["keeper_doc_id"]).all()
+
+
+def test_containment_pairs_asymmetric(ray_session):
+    """A short doc fully contained in a long doc qualifies a->b but not
+    b->a; unrelated docs emit nothing."""
+    import ray
+
+    from frontera_ray.stages.dedup import containment_pairs
+
+    short = "one two three four five"          # 3 grams
+    long_ = short + " six seven eight nine ten eleven twelve"  # superset
+    other = "alpha beta gamma delta epsilon zeta"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([short, long_, other], pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = containment_pairs(ds, limit_ids=10, shingle_k=3,
+                            threshold_pct=80).to_pandas()
+    assert [(r.a, r.b) for r in out.itertuples()] == [(0, 1)]
+    row = out.iloc[0]
+    assert row.inter_size == 3 and row.a_size == 3

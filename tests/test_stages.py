@@ -2383,3 +2383,28 @@ def test_kmv_jaccard_small_sets_exact(ray_session):
     row = out.iloc[0]
     assert row.k_eff == union and row.inter == inter
     assert row.jaccard_ppm == (1_000_000 * inter) // union
+
+
+def test_unimax_epochs_walk_exact(ray_session):
+    """unimax_epochs == the hand-computed size-ascending walk: small
+    sources cap at max_epochs, leftovers roll to larger sources, and
+    the budget is conserved."""
+    import ray
+
+    from frontera_ray.stages.sampling import unimax_epochs
+
+    tbl = pa.table({
+        "source": pa.array(["a"] * 2 + ["b"] * 2 + ["c"] * 2, pa.string()),
+        "w": pa.array([5, 5, 50, 50, 500, 500], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    # tokens: a=10, b=100, c=1000; budget=600, cap=2 epochs
+    out = unimax_epochs(ds, "source", "w", budget=600, max_epochs=2) \
+        .to_pandas().set_index("source")
+    # walk asc: a: min(600//3, 20)=20; b: min(580//2, 200)=200;
+    # c: min(380//1, 2000)=380
+    assert out.loc["a", "alloc"] == 20
+    assert out.loc["b", "alloc"] == 200
+    assert out.loc["c", "alloc"] == 380
+    assert out["alloc"].sum() == 600
+    assert out.loc["a", "epochs_ppm"] == 2_000_000
+    assert out.loc["c", "epochs_ppm"] == 380_000
