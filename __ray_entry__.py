@@ -4475,6 +4475,156 @@ def q_mix_epochs(sf_dir: str):
                          max_epochs=2).to_pandas()
 
 
+def q_lsh_bucket_stats(sf_dir: str):
+    """LSH bucket census (dedup.minhash_band_rows): per band, the
+    bucket-size histogram of the 16x4 minhash banding — the skew read
+    on the near-dup exchange itself (a super-hot bucket is exactly the
+    key you salt before the bucket all-to-all; the pair pipeline's
+    collision prefilter consumes the same census). Band rows -> ONE
+    keyed exchange on the exact signature tuple (collision-free,
+    unlike the pair path's packed crc32 key) -> per-block histogram
+    partials; output is distinct-(band,size)-scale."""
+    import pandas as pd
+
+    from frontera_ray.stages.dedup import minhash_band_rows
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["doc_id", "text"])
+          .map_batches(minhash_band_rows, batch_format="pyarrow"))
+    sizes = ds.groupby("bkey").count()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "bucket_size": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        bands = np.array([int(k.split(":", 1)[0])
+                          for k in batch["bkey"].to_pylist()], np.int64)
+        cnts = batch["count()"].to_numpy().astype(np.int64)
+        key = bands * 1_000_000 + cnts  # sizes << 1e6
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "band": pa.array(uk // 1_000_000, pa.int64()),
+            "bucket_size": pa.array(uk % 1_000_000, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    from collections import Counter
+    acc: Counter = Counter()
+    for t in sizes.map_batches(hist_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for band, sz, n in zip(t["band"].to_pylist(),
+                               t["bucket_size"].to_pylist(),
+                               t["n"].to_pylist()):
+            acc[(band, sz)] += n
+    rows = [{"band": b, "bucket_size": s, "n_buckets": n}
+            for (b, s), n in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["band", "bucket_size",
+                                       "n_buckets"]).astype("int64")
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency slope over the top-100 tokens — the
+    corpus-statistics fit (slope ~ -1 for natural language; the
+    deviation is a synthetic-data / boilerplate signal): log-log
+    least squares over (rank, count), slope in micro-units. Token
+    counts are the vectorized explode + hash-shuffle groupby
+    (`token_df`'s shape); the top-100 order statistics come from
+    per-block partial top-k; the driver folds 100 rows."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from frontera_ray.stages.relational import global_topk
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _pc.utf8_split_whitespace(batch["text"])
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat})
+        return t.filter(_pc.not_equal(t["token"], ""))
+
+    tc = _read(sf_dir, "documents").select_columns(["text"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("token").count()
+    top = global_topk(tc, "count()", 100, descending=True,
+                      tiebreak="token").to_pandas()
+    k = len(top)
+    xs = [math.log(float(i + 1)) for i in range(k)]
+    ys = [math.log(float(c)) for c in top["count()"]]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return pd.DataFrame([{
+        "k": np.int64(k),
+        "slope_micro": np.int64(math.floor(1_000_000 * slope + 0.5))}])
+
+
+def q_dedup_inflation(sf_dir: str):
+    """Dedup savings accounting: how many documents / tokens would a
+    minhash near-dup pass drop (keeper != self) — the
+    before-you-commit cost/benefit read on a dedup run (CCNet/Gopher
+    report exactly this number). Pairs -> pair-scoped union-find ->
+    broadcast membership; ONE streaming corpus pass folds doc/token
+    registers; savings_ppm integer-exact."""
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.dedup import dedup_keepers, minhash_neardup_pairs
+    from frontera_ray.stages.text import token_count_table
+
+    ds = _read(sf_dir, "documents")
+    pairs = minhash_neardup_pairs(ds, threshold=0.5)
+    comp = dedup_keepers(None, zip(pairs["a"].to_pylist(),
+                                   pairs["b"].to_pylist()))
+    dup_ids = np.fromiter(
+        (i for i, kp in comp.items() if kp != i), dtype=np.int64)
+    dup_ids.sort()
+    ref = ray.put(dup_ids)
+    cache: dict = {}
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if "d" not in cache:
+            cache["d"] = ray.get(ref)
+        t = token_count_table(batch)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        nt = t["n_tokens"].to_numpy().astype(np.int64)
+        dup = np.isin(ids, cache["d"])
+        return pa.table({
+            "docs": pa.array([len(ids)], pa.int64()),
+            "dup_docs": pa.array([int(dup.sum())], pa.int64()),
+            "tokens": pa.array([int(nt.sum())], pa.int64()),
+            "dup_tokens": pa.array([int(nt[dup].sum())], pa.int64())})
+
+    tot = np.zeros(4, np.int64)
+    for t in ds.select_columns(["doc_id", "text"]) \
+            .map_batches(fold, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        tot += np.array([t["docs"][0].as_py(), t["dup_docs"][0].as_py(),
+                         t["tokens"][0].as_py(),
+                         t["dup_tokens"][0].as_py()], np.int64)
+    return pd.DataFrame([{
+        "total_docs": tot[0], "dup_docs": tot[1],
+        "total_tokens": tot[2], "dup_tokens": tot[3],
+        "savings_ppm": (1_000_000 * tot[3]) // tot[2] if tot[2] else 0,
+    }]).astype("int64")
+
+
+def q_weighted_quantile(sf_dir: str):
+    """Weighted discrete quantiles (relational.weighted_quantile_disc):
+    the quantity-weighted p25/p50/p75/p95 of the lineitem price — the
+    weighted-percentile primitive (bytes-weighted latency, token-
+    weighted doc length). All-integer rank arithmetic over a
+    bounded-domain register combine."""
+    from frontera_ray.stages.relational import weighted_quantile_disc
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_extendedprice", "l_quantity"])
+    return weighted_quantile_disc(li, "l_extendedprice", "l_quantity",
+                                  [250, 500, 750, 950],
+                                  scale=100).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4678,6 +4828,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hill_tail": q_hill_tail,
     "recrawl_schedule": q_recrawl_schedule,
     "mix_epochs": q_mix_epochs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "zipf_fit": q_zipf_fit,
+    "dedup_inflation": q_dedup_inflation,
+    "weighted_quantile": q_weighted_quantile,
 }
 
 
@@ -4893,10 +5047,11 @@ def _minhash_oracle() -> str:
         ORDER BY a, b"""
 
 
-def _minhash_pairs_ctes() -> str:
-    """Reusable CTE chain ending in ``mh_pairs(a, b, inter_size,
-    union_size)`` — the SQL twin of the minhash near-dup pipeline (see
-    _minhash_oracle docstring)."""
+def _minhash_sigs_ctes() -> str:
+    """CTE prefix ending in ``sigs(doc_id, s0..s63)`` — the per-doc
+    64-permutation minhash signatures over strict word-3-gram md5
+    hashes (shared by the pair oracle and the LSH bucket-stats
+    oracle)."""
     from frontera_ray.stages.dedup import _MERSENNE, _perm_params
 
     a, b = _perm_params(64)
@@ -4905,10 +5060,6 @@ def _minhash_pairs_ctes() -> str:
         f"min(((({int(a[i])}::HUGEINT * h) % {W} + {int(b[i])}) % {W})"
         f" % {_MERSENNE}) AS s{i}"
         for i in range(64))
-    band_clauses = " OR ".join(
-        "(" + " AND ".join(
-            f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
-        for j in range(16))
     return rf"""t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
                    FROM documents),
         gh AS (SELECT DISTINCT doc_id,
@@ -4918,7 +5069,18 @@ def _minhash_pairs_ctes() -> str:
         sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
         sigs AS (SELECT doc_id,
                    {sig_cols}
-                 FROM gh GROUP BY doc_id),
+                 FROM gh GROUP BY doc_id)"""
+
+
+def _minhash_pairs_ctes() -> str:
+    """Reusable CTE chain ending in ``mh_pairs(a, b, inter_size,
+    union_size)`` — the SQL twin of the minhash near-dup pipeline (see
+    _minhash_oracle docstring)."""
+    band_clauses = " OR ".join(
+        "(" + " AND ".join(
+            f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
+        for j in range(16))
+    return rf"""{_minhash_sigs_ctes()},
         cand AS (SELECT x.doc_id AS a, y.doc_id AS b
                  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
                  WHERE {band_clauses}),
@@ -5180,6 +5342,25 @@ def _kmv_source_sim_oracle(k: int = 128) -> str:
         SELECT ga AS group_a, gb AS group_b, k_eff, inter,
                ((1000000 * inter) // k_eff)::BIGINT AS jaccard_ppm
         FROM j ORDER BY group_a, group_b"""
+
+
+def _lsh_bucket_stats_oracle(bands: int = 16, rpb: int = 4) -> str:
+    """Exact SQL twin of q_lsh_bucket_stats: the shared sigs CTE, a
+    16-way UNION ALL splitting the signature into band tuples, bucket
+    sizes by exact-tuple GROUP BY, then the per-band size histogram."""
+    branches = "\n              UNION ALL ".join(
+        f"SELECT {j} AS band, "
+        + ", ".join(f"s{j * rpb + r} AS c{r}" for r in range(rpb))
+        + " FROM sigs"
+        for j in range(bands))
+    cols = ", ".join(f"c{r}" for r in range(rpb))
+    return f"""
+        WITH {_minhash_sigs_ctes()},
+        bk AS ({branches}),
+        sz AS (SELECT band, {cols}, count(*)::BIGINT AS sz
+               FROM bk GROUP BY band, {cols})
+        SELECT band, sz AS bucket_size, count(*)::BIGINT AS n_buckets
+        FROM sz GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def _quality_keepers_oracle() -> str:
@@ -7379,4 +7560,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, tok AS tokens, alloc,
                    ((1000000 * alloc) // tok)::BIGINT AS epochs_ppm
             FROM walk WHERE rn > 0 ORDER BY source""",
+        "lsh_bucket_stats": _lsh_bucket_stats_oracle(),
+        "zipf_fit": r"""
+            WITH tc AS (
+              SELECT token, count(*)::BIGINT AS c
+              FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+                      AS token FROM documents)
+              GROUP BY token),
+            top AS (SELECT c, rn FROM (
+                      SELECT c, row_number() OVER (
+                          ORDER BY c DESC, token) AS rn
+                      FROM tc) WHERE rn <= 100),
+            s AS (SELECT count(*)::DOUBLE AS n,
+                         sum(ln(rn::DOUBLE)) AS sx,
+                         sum(ln(c::DOUBLE)) AS sy,
+                         sum(ln(rn::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+                         sum(ln(rn::DOUBLE) * ln(rn::DOUBLE)) AS sxx
+                  FROM top)
+            SELECT n::BIGINT AS k,
+                   floor(1000000 * (n*sxy - sx*sy) / (n*sxx - sx*sx)
+                         + 0.5)::BIGINT AS slope_micro
+            FROM s""",
+        "dedup_inflation": f"""
+            WITH RECURSIVE {_minhash_pairs_ctes()},
+            edges AS (SELECT a, b FROM mh_pairs
+                      UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS comp FROM documents
+                UNION
+                SELECT e.b AS id, r.comp
+                FROM reach r JOIN edges e ON e.a = r.id),
+            keep AS (SELECT id, min(comp) AS keeper FROM reach GROUP BY id),
+            tok AS (SELECT doc_id,
+                           len(regexp_extract_all(text, '\\S+'))::BIGINT
+                             AS nt
+                    FROM documents)
+            SELECT count(*)::BIGINT AS total_docs,
+                   count(*) FILTER (WHERE k.keeper <> k.id)::BIGINT
+                     AS dup_docs,
+                   sum(t.nt)::BIGINT AS total_tokens,
+                   coalesce(sum(t.nt) FILTER (WHERE k.keeper <> k.id),
+                            0)::BIGINT AS dup_tokens,
+                   ((1000000 * coalesce(sum(t.nt) FILTER (
+                        WHERE k.keeper <> k.id), 0))
+                     // sum(t.nt))::BIGINT AS savings_ppm
+            FROM keep k JOIN tok t ON t.doc_id = k.id""",
+        "weighted_quantile": """
+            WITH c AS (SELECT floor(l_extendedprice * 100 + 0.5)::BIGINT
+                              AS v,
+                              sum(floor(l_quantity + 0.5)::BIGINT)::BIGINT
+                              AS w
+                       FROM lineitem GROUP BY 1),
+            cw AS (SELECT v, sum(w) OVER (ORDER BY v) AS cumw FROM c),
+            t AS (SELECT sum(w)::BIGINT AS tot FROM c)
+            SELECT q.q_ppt::BIGINT AS q_ppt,
+                   (SELECT min(v) FROM cw, t
+                    WHERE 1000 * cumw >= q.q_ppt * tot)::BIGINT AS value
+            FROM (VALUES (250), (500), (750), (950)) q(q_ppt)
+            ORDER BY q_ppt""",
     }

@@ -1479,3 +1479,28 @@ def containment_pairs(ds, limit_ids: int, shingle_k: int = 3,
     out = pa.concat_tables(parts2)
     order = np.lexsort((out["b"].to_numpy(), out["a"].to_numpy()))
     return out.take(pa.array(order))
+
+
+def minhash_band_rows(batch: pa.Table, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      text_col: str = "text") -> pa.Table:
+    """Per-doc LSH band rows with the EXACT signature tuple as a
+    decimal string key ('band:s_a:s_b:s_c:s_d') — the observability
+    twin of the sketcher's crc32 bucket key (the stats path groups by
+    the exact tuple so the bucket census is collision-free and
+    SQL-twin-able; the pair path keeps the packed int64 key for the
+    exchange). One row per (doc, band)."""
+    a, b = _perm_params(num_perm)
+    rpb = num_perm // bands
+    n = len(batch)
+    keys: list[str] = []
+    bands_out = np.empty(n * bands, np.int64)
+    for i, text in enumerate(batch[text_col].to_pylist()):
+        sig = minhash_signature(word_shingles(text, shingle_k), a, b)
+        for j in range(bands):
+            chunk = sig[j * rpb:(j + 1) * rpb]
+            keys.append(f"{j}:" + ":".join(str(int(x)) for x in chunk))
+            bands_out[i * bands + j] = j
+    return pa.table({
+        "band": pa.array(bands_out, pa.int64()),
+        "bkey": pa.array(keys, pa.string())})

@@ -3379,3 +3379,54 @@ def ks_2sample(ds, value_col: str, side_col: str,
         "ks_den": pa.array([den], pa.int64()),
         "ks_micro": pa.array([(1_000_000 * num) // den if den else 0],
                              pa.int64())})
+
+
+def weighted_quantile_disc(ds, value_col: str, weight_col: str,
+                           qs_ppt, scale: int = 100) -> pa.Table:
+    """EXACT weighted discrete quantiles: for each q (in PERMILLE,
+    integer), the smallest value v whose cumulative weight reaches
+    q/1000 of the total — weighted PERCENTILE_DISC (the
+    quantity-weighted median price, the bytes-weighted p95 latency).
+    All-integer rank arithmetic (1000*cumw >= q*totw), so the whole
+    operator oracle-checks.
+
+    Scale shape: same bounded-value-domain register combine as
+    ``ks_2sample`` / ``grouped_quantile_disc`` — per-block
+    (value, weight-sum) partials via one np.unique pass, driver merges
+    distinct-value-scale registers and reads ranks off the cumulative;
+    unbounded domains route through ``quantile_unbounded``'s histogram
+    bisection with weighted bin counts. Returns (q_ppt, value)."""
+    qs_ppt = [qs_ppt] if isinstance(qs_ppt, int) else list(qs_ppt)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        w = np.floor(batch[weight_col].to_numpy(zero_copy_only=False)
+                     + 0.5).astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        ws = np.bincount(inv, weights=w, minlength=len(uv))
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "w": pa.array(ws.astype(np.int64), pa.int64())})
+
+    acc: dict[int, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, w in zip(t["v"].to_numpy(), t["w"].to_numpy()):
+            acc[int(v)] = acc.get(int(v), 0) + int(w)
+    vs = np.array(sorted(acc), dtype=np.int64)
+    ws = np.array([acc[int(v)] for v in vs], dtype=np.int64)
+    cumw = np.cumsum(ws)
+    totw = int(cumw[-1]) if len(cumw) else 0
+    out_q, out_v = [], []
+    for q in qs_ppt:
+        out_q.append(int(q))
+        if totw == 0:
+            out_v.append(0)
+            continue
+        idx = int(np.searchsorted(1000 * cumw, q * totw, side="left"))
+        out_v.append(int(vs[min(idx, len(vs) - 1)]))
+    return pa.table({"q_ppt": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -2408,3 +2408,33 @@ def test_unimax_epochs_walk_exact(ray_session):
     assert out["alloc"].sum() == 600
     assert out.loc["a", "epochs_ppm"] == 2_000_000
     assert out.loc["c", "epochs_ppm"] == 380_000
+
+
+def test_weighted_quantile_matches_brute(ray_session):
+    """weighted_quantile_disc == the brute weighted-rank read-off,
+    duplicates and block splits included."""
+    import ray
+
+    from frontera_ray.stages.relational import weighted_quantile_disc
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.normal(100, 25, 500), 2)
+    w = rng.integers(1, 9, 500).astype(np.float64)
+    tbl = pa.table({"val": pa.array(v, pa.float64()),
+                    "wt": pa.array(w, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = weighted_quantile_disc(ds, "val", "wt", [250, 500, 900],
+                                 scale=100).to_pandas()
+
+    iv = np.floor(v * 100 + 0.5).astype(np.int64)
+    iw = w.astype(np.int64)
+    order = np.argsort(iv, kind="stable")
+    sv, sw = iv[order], iw[order]
+    # collapse duplicates
+    uv = np.unique(sv)
+    ws = np.array([sw[sv == x].sum() for x in uv], np.int64)
+    cumw = np.cumsum(ws)
+    tot = int(cumw[-1])
+    for q, got in zip(out["q_ppt"], out["value"]):
+        exp = int(uv[np.searchsorted(1000 * cumw, q * tot, side="left")])
+        assert got == exp, (q, got, exp)
