@@ -4625,6 +4625,55 @@ def q_weighted_quantile(sf_dir: str):
                                   scale=100).to_pandas()
 
 
+def q_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (pagerank.kcore; Seidman 1983) of the
+    sparse supplier co-purchase graph: 4 peeling rounds at k=3 — the
+    link-ring / dense-core detector a crawl runs over its host graph
+    (spam farms survive peeling, tendrils fall away). Undirected
+    distinct edges via one keyed exchange; each round ONE streaming
+    edge pass against the broadcast alive bitset (degree registers);
+    survivors + within-core degree, all-integer."""
+    from frontera_ray.stages.pagerank import kcore
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = kcore(edges, n_nodes, k=3, rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_watermark_late(sf_dir: str):
+    """Watermark / late-data audit (relational.watermark_lateness):
+    in event_id arrival order, a row is LATE when its event time
+    trails the running max of earlier arrivals by > 30 min; per-day
+    (n_total, n_late, late_ppm), integer-exact. A distributed
+    PREFIX-MAX scan (the compaction planner's prefix-sum with a max
+    combine) — the out-of-orderness measurement behind any
+    allowed-lateness choice."""
+    from frontera_ray.stages.relational import watermark_lateness
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "ts"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+          }), batch_format="pyarrow"))
+    return watermark_lateness(ev, "event_id", "ts_us",
+                              lateness_us=1_800_000_000).to_pandas()
+
+
+def q_lsh_eval(sf_dir: str):
+    """Banding-quality evaluation (dedup.lsh_banding_eval): exact
+    candidate precision/recall of the 16x4 minhash banding against
+    ground-truth Jaccard >= 50% over the doc_id<200 slice — the
+    empirical check of the analytic 1-(1-s^r)^b recall curve an LSH
+    deployment runs before trusting the banding at corpus scale.
+    Single integer-exact row; sketching + banding + verify all
+    reproduced by the SQL twin."""
+    from frontera_ray.stages.dedup import lsh_banding_eval
+
+    return lsh_banding_eval(_read(sf_dir, "documents"), limit_ids=200,
+                            threshold_pct=50).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4832,6 +4881,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zipf_fit": q_zipf_fit,
     "dedup_inflation": q_dedup_inflation,
     "weighted_quantile": q_weighted_quantile,
+    "kcore": q_kcore,
+    "watermark_late": q_watermark_late,
+    "lsh_eval": q_lsh_eval,
 }
 
 
@@ -5047,11 +5099,20 @@ def _minhash_oracle() -> str:
         ORDER BY a, b"""
 
 
-def _minhash_sigs_ctes() -> str:
+def _band_match_clauses() -> str:
+    """The 16x4 banding candidate predicate over two sigs aliases x/y."""
+    return " OR ".join(
+        "(" + " AND ".join(
+            f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
+        for j in range(16))
+
+
+def _minhash_sigs_ctes(where: str = "") -> str:
     """CTE prefix ending in ``sigs(doc_id, s0..s63)`` — the per-doc
     64-permutation minhash signatures over strict word-3-gram md5
-    hashes (shared by the pair oracle and the LSH bucket-stats
-    oracle)."""
+    hashes (shared by the pair oracle, the LSH bucket-stats oracle and
+    the banding-recall evaluation). ``where`` optionally bounds the
+    document slice."""
     from frontera_ray.stages.dedup import _MERSENNE, _perm_params
 
     a, b = _perm_params(64)
@@ -5061,7 +5122,7 @@ def _minhash_sigs_ctes() -> str:
         f" % {_MERSENNE}) AS s{i}"
         for i in range(64))
     return rf"""t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
-                   FROM documents),
+                   FROM documents {where}),
         gh AS (SELECT DISTINCT doc_id,
                       ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' '
                                           || arr[i+2]), 1, 16))::UBIGINT::HUGEINT AS h
@@ -5076,10 +5137,7 @@ def _minhash_pairs_ctes() -> str:
     """Reusable CTE chain ending in ``mh_pairs(a, b, inter_size,
     union_size)`` — the SQL twin of the minhash near-dup pipeline (see
     _minhash_oracle docstring)."""
-    band_clauses = " OR ".join(
-        "(" + " AND ".join(
-            f"x.s{4 * j + r} = y.s{4 * j + r}" for r in range(4)) + ")"
-        for j in range(16))
+    band_clauses = _band_match_clauses()
     return rf"""{_minhash_sigs_ctes()},
         cand AS (SELECT x.doc_id AS a, y.doc_id AS b
                  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
@@ -5361,6 +5419,74 @@ def _lsh_bucket_stats_oracle(bands: int = 16, rpb: int = 4) -> str:
                FROM bk GROUP BY band, {cols})
         SELECT band, sz AS bucket_size, count(*)::BIGINT AS n_buckets
         FROM sz GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Exact SQL twin of q_kcore: the triangles edge CTE, then
+    ``rounds`` unrolled MATERIALIZED peeling steps (alive_{i} = nodes
+    with >= k neighbors inside alive_{i-1}), final within-core degree
+    over the last alive set."""
+    steps = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""a{i} AS MATERIALIZED (
+            SELECT v FROM (
+              SELECT d.v, count(*) AS c FROM (
+                SELECT e.u AS v, e.v AS w FROM e
+                UNION ALL SELECT e.v AS v, e.u AS w FROM e) d
+              JOIN {prev} p1 ON p1.v = d.v
+              JOIN {prev} p2 ON p2.v = d.w
+              GROUP BY d.v)
+            WHERE c >= {k})""")
+        prev = f"a{i}"
+    chain = ",\n            ".join(steps)
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_suppkey < y.l_suppkey
+            WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+        a0 AS MATERIALIZED (
+            SELECT u AS v FROM e UNION SELECT v FROM e),
+        {chain}
+        SELECT d.v AS node, count(*)::BIGINT AS core_deg FROM (
+            SELECT e.u AS v, e.v AS w FROM e
+            UNION ALL SELECT e.v AS v, e.u AS w FROM e) d
+        JOIN a{rounds} p1 ON p1.v = d.v
+        JOIN a{rounds} p2 ON p2.v = d.w
+        GROUP BY d.v ORDER BY node"""
+
+
+def _lsh_eval_oracle(limit: int = 200, pct: int = 50) -> str:
+    """Exact SQL twin of q_lsh_eval: slice-bounded sigs CTE, banding
+    candidates, ground-truth Jaccard pairs, and the three counters."""
+    return f"""
+        WITH {_minhash_sigs_ctes(f"WHERE doc_id < {limit}")},
+        cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+                 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+                 WHERE {_band_match_clauses()}),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                  FROM gh x JOIN gh y ON y.h = x.h
+                                     AND y.doc_id > x.doc_id
+                  GROUP BY 1, 2),
+        tru AS (SELECT i.a, i.b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE 100 * i.i >= {pct} * (sa.n + sb.n - i.i)),
+        hit AS (SELECT * FROM cand INTERSECT SELECT * FROM tru),
+        c AS (SELECT (SELECT count(*) FROM tru)::BIGINT AS n_true,
+                     (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                     (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+        SELECT n_true, n_cand, n_hit,
+               (CASE WHEN n_cand = 0 THEN 0
+                     ELSE (1000000 * n_hit) // n_cand END)::BIGINT
+                 AS precision_ppm,
+               (CASE WHEN n_true = 0 THEN 0
+                     ELSE (1000000 * n_hit) // n_true END)::BIGINT
+                 AS recall_ppm
+        FROM c"""
 
 
 def _quality_keepers_oracle() -> str:
@@ -7618,4 +7744,22 @@ def oracle_sql() -> dict[str, str]:
                     WHERE 1000 * cumw >= q.q_ppt * tot)::BIGINT AS value
             FROM (VALUES (250), (500), (750), (950)) q(q_ppt)
             ORDER BY q_ppt""",
+        "kcore": _kcore_oracle(),
+        "lsh_eval": _lsh_eval_oracle(),
+        "watermark_late": """
+            WITH e AS (SELECT event_id, epoch_us(ts)::BIGINT AS ts_us
+                       FROM events),
+            w AS (SELECT ts_us,
+                         max(ts_us) OVER (ORDER BY event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm
+                  FROM e),
+            d AS (SELECT ts_us // 86400000000 AS day,
+                         (wm IS NOT NULL
+                          AND ts_us < wm - 1800000000)::INT AS late
+                  FROM w)
+            SELECT day, count(*)::BIGINT AS n_total,
+                   sum(late)::BIGINT AS n_late,
+                   ((1000000 * sum(late)) // count(*))::BIGINT AS late_ppm
+            FROM d GROUP BY day ORDER BY day""",
     }

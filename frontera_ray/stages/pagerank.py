@@ -600,3 +600,44 @@ def degree_histogram(edges_ds, n_nodes: int, dedup: bool = True,
                         np.empty(0, np.int64), pa.int64()),
         "n_nodes": pa.array(np.concatenate(ns) if ns else
                             np.empty(0, np.int64), pa.int64())})
+
+
+def kcore(edges_ds, n_nodes: int, k: int = 3, rounds: int = 4) -> pa.Table:
+    """Fixed-round k-core peeling (Seidman 1983, the standard cohesion
+    decomposition): repeatedly drop nodes with fewer than ``k``
+    neighbors among the still-alive nodes — the link-ring / spam-farm
+    core detector on a crawled web graph (densely interlinked sets
+    survive, tendrils peel away). A FIXED round count keeps the
+    operator deterministic and SQL-oracle-able (unrolled MATERIALIZED
+    CTE rounds); callers iterate to a no-change round in practice.
+
+    Scale shape — the ``triangle_count`` bitset pattern, NOT an edge
+    exchange: the undirected adjacency builds in ONE idempotent-OR
+    ``iter_batches`` pass (duplicates and orientation are free — no
+    dedup exchange, which at distinct-edge-key cardinality would pay a
+    per-key map_groups wall), memory bounded by the NODE universe
+    (n²/8 bits packed); each peel round is then one vectorized
+    popcount of ``adj & alive`` per row. Rows shard over node ranges
+    exactly like ``triangle_count.count_range`` when n outgrows one
+    heap — same math, documented path. Returns (node, core_deg) for
+    survivors, core_deg = degree within the final surviving set."""
+    n = int(n_nodes)
+    adj = _bitset_adjacency(edges_ds, n)
+    # clear self-loop bits: they never count toward core degree
+    ids = np.arange(n)
+    adj[ids, ids // 8] &= ~(np.uint8(1) << (ids % 8).astype(np.uint8))
+
+    alive = (adj != 0).any(axis=1)
+    deg = np.zeros(n, np.int64)
+    nb = adj.shape[1]
+    for r in range(int(rounds) + 1):  # +1: final reporting degrees
+        alive_packed = np.packbits(alive, bitorder="little")
+        masked = adj & alive_packed[None, :nb]
+        deg = _POPCOUNT8[masked].sum(axis=1).astype(np.int64)
+        if r == rounds:
+            break
+        alive &= deg >= k
+
+    nodes = np.flatnonzero(alive)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "core_deg": pa.array(deg[nodes], pa.int64())})

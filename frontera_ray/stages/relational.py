@@ -3430,3 +3430,93 @@ def weighted_quantile_disc(ds, value_col: str, weight_col: str,
         out_v.append(int(vs[min(idx, len(vs) - 1)]))
     return pa.table({"q_ppt": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def watermark_lateness(ds, order_col: str, ts_col: str,
+                       lateness_us: int, day_us: int = 86_400_000_000
+                       ) -> pa.Table:
+    """Streaming watermark / late-data accounting: in ARRIVAL order
+    (``order_col``, globally unique), a row is LATE when its event time
+    trails the running maximum of all earlier arrivals by more than
+    ``lateness_us`` — the out-of-orderness audit run before choosing a
+    streaming pipeline's allowed-lateness bound (the reference's
+    "late/lost data" concern, docs/source/topics/frontier-at-scale,
+    measured as a batch statistic). Returns per-day
+    (day, n_total, n_late, late_ppm), integer-exact.
+
+    Scale shape — a distributed PREFIX-MAX scan (``compaction_plan``'s
+    prefix-sum with a max combine): one sort exchange on arrival order,
+    pass 1 emits (first_key, block_max_ts) per block, the driver
+    prefix-maxes O(blocks) registers into per-block seeds, pass 2
+    re-derives each row's exclusive running max block-locally and folds
+    per-day (total, late) partials. No driver rows beyond the
+    registers."""
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "block_max": pa.array([], pa.int64())})
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "first_key": pa.array([int(keys[0])], pa.int64()),
+            "block_max": pa.array([int(ts.max())], pa.int64())})
+
+    metas = pa.concat_tables(list(
+        sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                              batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    fk = metas["first_key"].to_numpy()
+    bm = metas["block_max"].to_numpy()
+    order = np.argsort(fk, kind="stable")
+    fk, bm = fk[order], bm[order]
+    seeds = np.concatenate((
+        [NEG], np.maximum.accumulate(bm)[:-1])).astype(np.int64)
+    seed_ref = ray.put(dict(zip(fk.tolist(), seeds.tolist())))
+    cache: dict = {}
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "late": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        if "s" not in cache:
+            cache["s"] = ray.get(seed_ref)
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seed = np.int64(cache["s"][int(keys[0])])
+        # exclusive running max: seed for row 0, shifted inclusive-max
+        run = np.maximum.accumulate(np.maximum(ts, seed))
+        wm = np.concatenate(([seed], run[:-1]))
+        late = (wm != NEG) & (ts < wm - np.int64(lateness_us))
+        day = ts // np.int64(day_us)
+        ud, inv = np.unique(day, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ud))
+        nl = np.bincount(inv, weights=late, minlength=len(ud))
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64()),
+                         "late": pa.array(nl.astype(np.int64),
+                                          pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for t in sorted_ds.map_batches(late_partial, batch_format="pyarrow",
+                                   batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for d, n, l in zip(t["day"].to_numpy(), t["n"].to_numpy(),
+                           t["late"].to_numpy()):
+            cur = acc.setdefault(int(d), [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(l)
+    days = sorted(acc)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "n_total": pa.array([acc[d][0] for d in days], pa.int64()),
+        "n_late": pa.array([acc[d][1] for d in days], pa.int64()),
+        "late_ppm": pa.array(
+            [(1_000_000 * acc[d][1]) // acc[d][0] for d in days],
+            pa.int64())})

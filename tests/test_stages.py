@@ -2438,3 +2438,64 @@ def test_weighted_quantile_matches_brute(ray_session):
     for q, got in zip(out["q_ppt"], out["value"]):
         exp = int(uv[np.searchsorted(1000 * cumw, q * tot, side="left")])
         assert got == exp, (q, got, exp)
+
+
+def test_kcore_clique_with_tendrils(ray_session):
+    """A 4-clique with pendant tendrils: at k=3 only the clique
+    survives peeling, each member with in-core degree 3."""
+    import ray
+
+    from frontera_ray.stages.pagerank import kcore
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    tendrils = [(3, 4), (4, 5), (1, 6)]
+    src, dst = zip(*(clique + tendrils))
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    out = kcore(ray.data.from_arrow(tbl).repartition(3), n_nodes=8,
+                k=3, rounds=4).to_pandas()
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["core_deg"].tolist() == [3, 3, 3, 3]
+
+
+def test_kcore_chain_peels_empty(ray_session):
+    import ray
+
+    from frontera_ray.stages.pagerank import kcore
+
+    tbl = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 3], pa.int64())})
+    out = kcore(ray.data.from_arrow(tbl), n_nodes=8, k=2, rounds=4)
+    assert out.num_rows == 0
+
+
+def test_watermark_lateness_matches_brute(ray_session):
+    """watermark_lateness == the brute exclusive-running-max rule,
+    block splits included."""
+    import ray
+
+    from frontera_ray.stages.relational import watermark_lateness
+
+    rng = np.random.default_rng(11)
+    n = 600
+    ids = np.arange(n, dtype=np.int64)
+    base = np.cumsum(rng.integers(1, 1000, n)).astype(np.int64) * 1000
+    jitter = rng.integers(-500_000, 500_000, n).astype(np.int64)
+    ts = base + jitter
+    tbl = pa.table({"event_id": pa.array(ids, pa.int64()),
+                    "ts_us": pa.array(ts, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    L = 200_000
+    out = watermark_lateness(ds, "event_id", "ts_us", lateness_us=L,
+                             day_us=10_000_000).to_pandas()
+
+    run = np.maximum.accumulate(ts)
+    wm = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+    late = (wm != np.iinfo(np.int64).min) & (ts < wm - L)
+    day = ts // 10_000_000
+    exp_total = {int(d): int((day == d).sum()) for d in np.unique(day)}
+    exp_late = {int(d): int(late[day == d].sum()) for d in np.unique(day)}
+    assert late.sum() > 0  # fixture actually has late rows
+    for r in out.itertuples():
+        assert exp_total[r.day] == r.n_total
+        assert exp_late[r.day] == r.n_late
