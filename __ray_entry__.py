@@ -3048,10 +3048,17 @@ def q_copurchase(sf_dir: str):
     n_items = int(pq.read_table(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey"])["p_partkey"].to_numpy().max()) + 1
+    from frontera_ray.stages.relational import cluster_cpus
+
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_partkey"])
+    # two keyed exchanges (basket, then pair key): the pair-key space
+    # is ~1M at sf0.1, where per-key map_groups pays 76 s vs 2.9 s on
+    # the hash path (measured, 32 cpus); small sessions keep the sort
     return pair_lift(li, "l_orderkey", "l_partkey", n_items,
-                     min_pair=2, exchange="groups")
+                     min_pair=2,
+                     exchange="hash" if cluster_cpus() >= 16
+                     else "groups")
 
 
 def q_compaction_plan(sf_dir: str):
@@ -3226,8 +3233,14 @@ def q_rate_limit(sf_dir: str):
                   // 86_400_000_000,
                   pa.int64()),
           }), batch_format="pyarrow"))
+    from frontera_ray.stages.relational import cluster_cpus
+
+    # user x day composite keys: ~45k at sf0.1 — past the per-key
+    # map_groups wall (15.5 s groups vs ~2 s hash, measured)
     kept = per_key_topk(ev, "ck", "ts_us", 3, descending=False,
-                        tiebreak="event_id", exchange="groups")
+                        tiebreak="event_id",
+                        exchange="hash" if cluster_cpus() >= 16
+                        else "groups")
     out = kept.to_pandas()[["event_id", "user_id", "win"]]
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -4674,6 +4687,20 @@ def q_lsh_eval(sf_dir: str):
                             threshold_pct=50).to_pandas()
 
 
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity moment sums (pagerank.assortativity_sums;
+    Newman 2002) of the supplier co-purchase graph — do hubs link to
+    hubs (r > 0, community-forming) or to leaves (r < 0,
+    hub-and-spoke)? ALL-INTEGER (m_pairs, s1, sxx, sxy) so the operator
+    hash-checks; r = (m·sxy − s1²)/(m·sxx − s1²) is one division away.
+    Broadcast-bitset adjacency + node-range fan-out, one 4-register
+    partial per block, no shuffle."""
+    from frontera_ray.stages.pagerank import assortativity_sums
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    return assortativity_sums(edges, n_nodes).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4884,6 +4911,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kcore": q_kcore,
     "watermark_late": q_watermark_late,
     "lsh_eval": q_lsh_eval,
+    "assortativity": q_assortativity,
 }
 
 
@@ -7746,6 +7774,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY q_ppt""",
         "kcore": _kcore_oracle(),
         "lsh_eval": _lsh_eval_oracle(),
+        "assortativity": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_suppkey < y.l_suppkey
+                WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+            du AS MATERIALIZED (
+                SELECT a AS v, count(*)::BIGINT AS deg FROM (
+                  SELECT u AS a FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1),
+            p AS (SELECT du1.deg AS x, du2.deg AS y FROM (
+                    SELECT u AS a, v AS b FROM e
+                    UNION ALL SELECT v, u FROM e) d
+                  JOIN du du1 ON du1.v = d.a
+                  JOIN du du2 ON du2.v = d.b)
+            SELECT count(*)::BIGINT AS m_pairs,
+                   sum(x)::BIGINT AS s1,
+                   sum(x * x)::BIGINT AS sxx,
+                   sum(x * y)::BIGINT AS sxy
+            FROM p""",
         "watermark_late": """
             WITH e AS (SELECT event_id, epoch_us(ts)::BIGINT AS ts_us
                        FROM events),

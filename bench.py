@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "hits", "degree_dist", "kmv_source_sim", "quality_keepers", "ks_drift",
     "containment_join", "hill_tail", "recrawl_schedule", "mix_epochs",
     "lsh_bucket_stats", "zipf_fit", "dedup_inflation", "weighted_quantile",
-    "kcore", "watermark_late", "lsh_eval",
+    "kcore", "watermark_late", "lsh_eval", "assortativity",
 ]
 
 CRAWL_HOSTS = 8192

@@ -58,8 +58,11 @@ from ..urls import canonicalize_batch, hostnames_batch
 
 @ray.remote
 class UrlSeenActor:
-    def __init__(self, shard_id: int, exact: bool = True, bloom_bits: int = 1 << 24):
-        self.shard = UrlSeenShard(shard_id, exact=exact, bloom_bits=bloom_bits)
+    def __init__(self, shard_id: int, exact: bool = True,
+                 bloom_bits: int = 1 << 24, filter_kind: str = "bloom"):
+        self.shard = UrlSeenShard(shard_id, exact=exact,
+                                  bloom_bits=bloom_bits,
+                                  filter_kind=filter_kind)
 
     def check_and_mark(self, fps: np.ndarray) -> np.ndarray:
         return self.shard.check_and_mark(fps)
@@ -75,7 +78,8 @@ class UrlSeenActor:
 
     def restore(self, directory: str) -> None:
         self.shard = UrlSeenShard.restore(
-            directory, self.shard.shard_id, exact=self.shard.exact
+            directory, self.shard.shard_id, exact=self.shard.exact,
+            filter_kind=self.shard.filter_kind,
         )
 
 
@@ -493,7 +497,8 @@ class RayCrawler:
                  num_queue_shards: int = 4, batch_per_shard: int = 512,
                  max_per_host: int | None = 128, min_hosts: int | None = None,
                  fetch_batch_size: int = 512, exact_states: bool = True,
-                 bloom_bits: int = 1 << 24, checkpoint_every: int = 0,
+                 bloom_bits: int = 1 << 24, states_filter: str = "bloom",
+                 checkpoint_every: int = 0,
                  salted_scores: bool = False, queue_kwargs: dict | None = None,
                  sink_fs=None):
         self.web = web
@@ -523,7 +528,9 @@ class RayCrawler:
                         batch_per_shard=batch_per_shard,
                         max_per_host=max_per_host)
         self.state_actors = [
-            UrlSeenActor.remote(i, exact=exact_states, bloom_bits=bloom_bits)
+            UrlSeenActor.remote(i, exact=exact_states,
+                                bloom_bits=bloom_bits,
+                                filter_kind=states_filter)
             for i in range(num_state_shards)
         ]
         self.queue_actors = [

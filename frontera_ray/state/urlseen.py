@@ -88,22 +88,177 @@ class BloomFilter:
         return bf
 
 
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan et al., CoNEXT 2014 — the public
+    cuckoo-filter paper) over uint64 keys: buckets of 4 uint16
+    fingerprints, two candidate buckets via partial-key cuckoo hashing
+    (i2 = i1 XOR mix(fp), so the alternate bucket is computable from
+    the stored fingerprint alone — the property that makes eviction
+    kicks and DELETION possible, which a bloom filter cannot do). The
+    north rule names "bloom/cuckoo URL-seen"; this is the deletable
+    option a revisit-heavy crawl wants (un-mark a fingerprint when a
+    page is evicted/expired without rebuilding the whole filter).
+
+    Same duck-type as ``BloomFilter`` (add_batch / contains_batch /
+    to_bytes / from_bytes) plus ``delete_batch``. Lookups are fully
+    vectorized (two gathers + compares); inserts walk only NOVEL keys
+    in Python with a DETERMINISTIC kick rotation (no RNG — actor
+    behavior is reproducible across restarts), overflowing into a
+    small stash instead of failing (Kirsch-Mitzenmacher-Wieder); at
+    the default 95%-load sizing the stash stays ~empty. Memory:
+    ``num_buckets * 8`` bytes (4 slots x uint16)."""
+
+    def __init__(self, num_buckets: int = 1 << 18, max_kicks: int = 500):
+        assert num_buckets & (num_buckets - 1) == 0, "power of two"
+        self.num_buckets = num_buckets
+        self.max_kicks = max_kicks
+        self.table = np.zeros((num_buckets, 4), dtype=np.uint16)
+        self.stash: set[tuple[int, int]] = set()  # (bucket, fp) overflow
+
+    # -- hashing -------------------------------------------------------------
+    def _fp_i1(self, keys: np.ndarray):
+        h = _mix64(np.asarray(keys, dtype=np.uint64))
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
+        i1 = (h & np.uint64(self.num_buckets - 1)).astype(np.int64)
+        return fp, i1
+
+    def _alt(self, i, fp):
+        fh = _mix64(np.asarray(fp, dtype=np.uint64))
+        return (np.asarray(i, dtype=np.int64)
+                ^ (fh & np.uint64(self.num_buckets - 1)).astype(np.int64))
+
+    # -- queries ---------------------------------------------------------
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        fp, i1 = self._fp_i1(keys)
+        i2 = self._alt(i1, fp)
+        hit = ((self.table[i1] == fp[:, None]).any(axis=1)
+               | (self.table[i2] == fp[:, None]).any(axis=1))
+        if self.stash:
+            for j in np.flatnonzero(~hit):
+                if ((int(i1[j]), int(fp[j])) in self.stash
+                        or (int(i2[j]), int(fp[j])) in self.stash):
+                    hit[j] = True
+        return hit
+
+    def add_batch(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        fp, i1 = self._fp_i1(keys)
+        i2 = self._alt(i1, fp)
+        present = ((self.table[i1] == fp[:, None]).any(axis=1)
+                   | (self.table[i2] == fp[:, None]).any(axis=1))
+        for j in np.flatnonzero(~present):
+            self._insert(int(i1[j]), int(i2[j]), int(fp[j]))
+
+    def _insert(self, i1: int, i2: int, fp: int) -> None:
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        cur = i1
+        for kick in range(self.max_kicks):
+            slot = kick & 3  # deterministic rotation, no RNG
+            fp, self.table[cur, slot] = int(self.table[cur, slot]), fp
+            cur = int(self._alt(cur, np.uint16(fp)))
+            row = self.table[cur]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        self.stash.add((cur, fp))  # bounded overflow, never drop a key
+
+    def delete_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Remove one stored fingerprint per present key; returns the
+        removed-mask. (The bloom filter has no equivalent.)"""
+        keys = np.asarray(keys, dtype=np.uint64)
+        fp, i1 = self._fp_i1(keys)
+        i2 = self._alt(i1, fp)
+        removed = np.zeros(len(keys), dtype=bool)
+        for j in range(len(keys)):
+            f = int(fp[j])
+            done = False
+            for i in (int(i1[j]), int(i2[j])):
+                slots = np.flatnonzero(self.table[i] == f)
+                if len(slots):
+                    self.table[i, slots[0]] = 0
+                    done = True
+                    break
+            if not done:
+                for i in (int(i1[j]), int(i2[j])):
+                    if (i, f) in self.stash:
+                        self.stash.discard((i, f))
+                        done = True
+                        break
+            removed[j] = done
+        return removed
+
+    def occupancy(self) -> float:
+        return float((self.table != 0).mean())
+
+    # -- serialization -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        stash = np.array(sorted(self.stash), dtype=np.int64).reshape(-1, 2)
+        np.savez_compressed(buf, table=self.table, stash=stash,
+                            meta=np.array([self.num_buckets,
+                                           self.max_kicks]))
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        with np.load(io.BytesIO(data)) as z:
+            num_buckets, max_kicks = (int(v) for v in z["meta"])
+            cf = cls(num_buckets, max_kicks)
+            cf.table[:] = z["table"]
+            cf.stash = {(int(a), int(b)) for a, b in z["stash"]}
+        return cf
+
+
+def membership_filter_from_bytes(data: bytes):
+    """Restore whichever membership filter a checkpoint holds (the npz
+    key set distinguishes bloom's ``words`` from cuckoo's ``table``)."""
+    with np.load(io.BytesIO(data)) as z:
+        kind = "cuckoo" if "table" in z.files else "bloom"
+    return (CuckooFilter if kind == "cuckoo" else BloomFilter) \
+        .from_bytes(data)
+
+
 class UrlSeenShard:
     """One shard of the URL-seen / states table.
 
     ``exact=True`` (default) keeps a full fp->state dict — required for
     exact dedup parity with the reference States semantics. With
-    ``exact=False`` a bloom filter + dict overlay is used; the overlay is
-    truncated at ``overlay_limit`` after each checkpoint flush (states
-    degrade to "seen", which is all the crawl loop needs at scale).
-    """
+    ``exact=False`` an approximate MEMBERSHIP filter + dict overlay is
+    used; the overlay is truncated at ``overlay_limit`` after each
+    checkpoint flush (states degrade to "seen", which is all the crawl
+    loop needs at scale). ``filter_kind`` picks the filter: ``'bloom'``
+    (default; smallest per-key footprint) or ``'cuckoo'`` (supports
+    delete_batch — revisit/expiry un-marking — at the same memory via
+    ``bloom_bits/8`` bytes of 4-slot uint16 buckets). The ``bloom``
+    attribute name is kept for both kinds (duck-typed)."""
 
     def __init__(self, shard_id: int = 0, exact: bool = True,
-                 bloom_bits: int = 1 << 24, overlay_limit: int = 3_000_000):
+                 bloom_bits: int = 1 << 24, overlay_limit: int = 3_000_000,
+                 filter_kind: str = "bloom"):
         self.shard_id = shard_id
         self.exact = exact
+        self.filter_kind = filter_kind
         self.states: dict[int, int] = {}
-        self.bloom = None if exact else BloomFilter(bloom_bits)
+        if exact:
+            self.bloom = None
+        elif filter_kind == "bloom":
+            self.bloom = BloomFilter(bloom_bits)
+        elif filter_kind == "cuckoo":
+            # same memory budget as the bloom: bits/8 bytes = bits/64
+            # buckets of 8 bytes (4 x uint16); next power of two down
+            nb = 1 << max(10, (int(bloom_bits) >> 6).bit_length() - 1)
+            self.bloom = CuckooFilter(nb)
+        else:
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.overlay_limit = overlay_limit
         self.n_seen = 0
 
@@ -194,15 +349,22 @@ class UrlSeenShard:
 
     @classmethod
     def restore(cls, directory: str, shard_id: int, exact: bool = True,
-                bloom_bits: int = 1 << 24) -> "UrlSeenShard":
+                bloom_bits: int = 1 << 24,
+                filter_kind: str = "bloom") -> "UrlSeenShard":
         d = Path(directory)
-        shard = cls(shard_id, exact=exact, bloom_bits=bloom_bits)
+        shard = cls(shard_id, exact=exact, bloom_bits=bloom_bits,
+                    filter_kind=filter_kind)
         t = pq.read_table(d / f"states-{shard_id:04d}.parquet")
         fps = t["fingerprint"].to_numpy()
         vals = t["state"].to_numpy()
         shard.states = {int(f): int(v) for f, v in zip(fps, vals)}
         bloom_path = d / f"bloom-{shard_id:04d}.npz"
         if not exact and bloom_path.exists():
-            shard.bloom = BloomFilter.from_bytes(bloom_path.read_bytes())
+            # the checkpoint, not the argument, decides the kind
+            shard.bloom = membership_filter_from_bytes(
+                bloom_path.read_bytes())
+            shard.filter_kind = ("cuckoo" if isinstance(shard.bloom,
+                                                        CuckooFilter)
+                                 else "bloom")
         shard.n_seen = len(shard.states)
         return shard

@@ -196,3 +196,16 @@ def test_sink_fs_hook(ray_session, tmp_path):
                     num_queue_shards=2, batch_per_shard=32,
                     sink_fs=f"file://{tmp_path}/out2")
     assert c2.sink_fs is not None
+
+
+def test_cuckoo_mode_crawl_complete(ray_session, tmp_path):
+    """With states_filter='cuckoo' (deletable membership filter + exact
+    overlay — the north rule's 'bloom/cuckoo URL-seen') the crawl still
+    visits every page exactly once."""
+    web = SyntheticWeb(8, seed=21, max_class=3)
+    c = _crawl(ray_session, web, tmp_path / "ck", num_state_shards=2,
+               num_queue_shards=2, batch_per_shard=64,
+               exact_states=False, bloom_bits=1 << 20,
+               states_filter="cuckoo")
+    urls = c.crawled_urls()
+    assert len(urls) == len(set(urls)) == web.total_pages()

@@ -2499,3 +2499,24 @@ def test_watermark_lateness_matches_brute(ray_session):
     for r in out.itertuples():
         assert exp_total[r.day] == r.n_total
         assert exp_late[r.day] == r.n_late
+
+
+def test_assortativity_sums_star_graph(ray_session):
+    """A star (hub 0 with 4 leaves) is maximally disassortative: the
+    moment sums assemble to r = -1."""
+    import ray
+
+    from frontera_ray.stages.pagerank import assortativity_sums
+
+    tbl = pa.table({"src": pa.array([0, 0, 0, 0], pa.int64()),
+                    "dst": pa.array([1, 2, 3, 4], pa.int64())})
+    out = assortativity_sums(ray.data.from_arrow(tbl).repartition(2),
+                             n_nodes=8).to_pandas().iloc[0]
+    # degrees: hub 4, leaves 1; ordered pairs: 4x(4,1) + 4x(1,4)
+    assert out.m_pairs == 8
+    assert out.s1 == 16 + 4        # hub 4 pairs x 4 ... = sum deg(u)^2
+    assert out.sxx == 64 + 4       # sum over pairs of deg(u)^2 = deg^3
+    assert out.sxy == 16 + 16      # every ordered pair has x*y = 4
+    num = out.m_pairs * out.sxy - out.s1 * out.s1
+    den = out.m_pairs * out.sxx - out.s1 * out.s1
+    assert num / den == -1.0

@@ -84,3 +84,73 @@ def test_bloom_overlay_lru_eviction():
     evicted = [fp for fp in range(11, 121) if fp not in s.states][0]
     assert not s.check_and_mark(np.array([evicted], dtype=np.uint64))[0]
     assert s.get_states([evicted])[0] == States.DEFAULT
+
+
+def test_cuckoo_filter_fn_free_and_delete():
+    """CuckooFilter: no false negatives under load, delete actually
+    removes, serialization round-trips table + stash."""
+    import numpy as np
+
+    from frontera_ray.state.urlseen import (CuckooFilter,
+                                            membership_filter_from_bytes)
+
+    cf = CuckooFilter(num_buckets=1 << 12)  # 16384 slots
+    rng = np.random.default_rng(5)
+    keys = rng.integers(1, 2**63, 12_000, dtype=np.int64).astype(np.uint64)
+    cf.add_batch(keys)
+    assert cf.contains_batch(keys).all()  # FN-free, stash included
+    assert 0.6 < cf.occupancy() <= 1.0
+
+    # delete half; deleted keys must read absent (no fp aliasing in
+    # this fixture), the rest must remain
+    half = keys[:6_000]
+    removed = cf.delete_batch(half)
+    assert removed.all()
+    assert cf.contains_batch(keys[6_000:]).all()
+    assert not cf.contains_batch(half[:100]).any()
+
+    data = cf.to_bytes()
+    cf2 = membership_filter_from_bytes(data)
+    assert type(cf2).__name__ == "CuckooFilter"
+    assert cf2.contains_batch(keys[6_000:]).all()
+    assert (cf2.table == cf.table).all() and cf2.stash == cf.stash
+
+
+def test_cuckoo_filter_deterministic_inserts():
+    import numpy as np
+
+    from frontera_ray.state.urlseen import CuckooFilter
+
+    keys = np.arange(1, 2001, dtype=np.uint64)
+    a, b = CuckooFilter(1 << 10), CuckooFilter(1 << 10)
+    a.add_batch(keys)
+    b.add_batch(keys)
+    assert (a.table == b.table).all() and a.stash == b.stash
+
+
+def test_urlseen_shard_cuckoo_mode_first_wins():
+    import numpy as np
+
+    from frontera_ray.state.urlseen import UrlSeenShard
+
+    s = UrlSeenShard(0, exact=False, bloom_bits=1 << 20,
+                     filter_kind="cuckoo")
+    fps = np.arange(10, 5010, dtype=np.uint64)
+    assert s.check_and_mark(fps).all()
+    assert not s.check_and_mark(fps).any()
+
+
+def test_urlseen_shard_cuckoo_checkpoint_restore(tmp_path):
+    import numpy as np
+
+    from frontera_ray.state.urlseen import CuckooFilter, UrlSeenShard
+
+    s = UrlSeenShard(3, exact=False, bloom_bits=1 << 20,
+                     filter_kind="cuckoo")
+    fps = np.arange(100, 3100, dtype=np.uint64)
+    s.check_and_mark(fps)
+    s.checkpoint(str(tmp_path))
+    r = UrlSeenShard.restore(str(tmp_path), 3, exact=False)
+    assert r.filter_kind == "cuckoo"
+    assert isinstance(r.bloom, CuckooFilter)
+    assert not r.check_and_mark(fps).any()  # still all seen
