@@ -4701,6 +4701,153 @@ def q_assortativity(sf_dir: str):
     return assortativity_sums(edges, n_nodes).to_pandas()
 
 
+def q_posting_bytes(sf_dir: str):
+    """Inverted-index size planning (text.posting_sizes): per token
+    (df >= 10), the exact delta+varint posting-list byte count (7-bit
+    varint over doc-id gaps, the classic index compression layout) —
+    the storage estimate a retrieval-index build prices before
+    committing. Vectorized explode + ONE token exchange + vectorized
+    gap/byte math; vocabulary-scale output."""
+    from frontera_ray.stages.text import posting_sizes
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = pa.concat_tables(list(
+        posting_sizes(docs, min_df=10).iter_batches(
+            batch_format="pyarrow", batch_size=None))).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def q_group_trend(sf_dir: str):
+    """Per-user OLS value trend (relational.grouped_ols_trend): exact
+    integer numerator/denominator of the least-squares slope of event
+    value (cents) over time (hour index) — the per-host drift signal a
+    revisit scorer consumes (is this host's yield rising or falling).
+    One combiner aggregate over five integer registers per key."""
+    from frontera_ray.stages.relational import grouped_ols_trend
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "value"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "t": pa.array(b["ts"].cast(pa.int64()).to_numpy()
+                            // 3_600_000_000, pa.int64()),
+              "y": pa.array(np.floor(
+                  b["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+                  pa.int64()),
+          }), batch_format="pyarrow"))
+    return grouped_ols_trend(ev, "user_id", "t", "y")
+
+
+def q_neg_samples(sf_dir: str):
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws 3 pseudo-random negatives via md5(doc_id ':' j)
+    mod N (self-collisions step to the next id) — reproducible across
+    retries/re-runs with NO RNG state, the same purity argument as
+    `hash_split`/`doc_sample`. One vectorized streaming pass."""
+    import pandas as pd
+
+    from frontera_ray.fingerprint import md5_hex_batch
+
+    n_docs = int(_read(sf_dir, "documents").count())
+
+    def negs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        rep = np.repeat(ids, 3)
+        js = np.tile(np.array([1, 2, 3], np.int64), len(ids))
+        h = md5_hex_batch([f"{d}:{j}" for d, j in zip(rep, js)])
+        neg = np.array([int(x[:8], 16) for x in h], np.int64) % n_docs
+        neg = np.where(neg == rep, (neg + 1) % n_docs, neg)
+        return pa.table({"doc_id": pa.array(rep, pa.int64()),
+                         "j": pa.array(js, pa.int64()),
+                         "neg_id": pa.array(neg, pa.int64())})
+
+    out = pa.concat_tables(list(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+        .map_batches(negs, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))) \
+        .to_pandas()
+    return out.sort_values(["doc_id", "j"]).reset_index(drop=True)
+
+
+def q_interleave(sf_dir: str):
+    """Balanced source interleaving: assign each document the global
+    training-shard position that round-robins sources (pos orders by
+    (within-source rank, source)) — the mixing order a multi-corpus
+    training run feeds the data loader so no source clusters. One
+    keyed exchange for within-source ranks + the distributed
+    prefix-sum row numbering (`relational.global_row_ids`)."""
+    import ray
+
+    from frontera_ray.stages.relational import (global_row_ids,
+                                                keyed_exchange)
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source"])
+    srcs = sorted({s for t in docs.select_columns(["source"])
+                   .iter_batches(batch_format="pyarrow",
+                                 batch_size=None)
+                   for s in t["source"].to_pylist()})
+    lex = {s: i for i, s in enumerate(srcs)}
+    lex_ref = ray.put(lex)
+    cache: dict = {}
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "skey": pa.array([], pa.int64())})
+        if "l" not in cache:
+            cache["l"] = ray.get(lex_ref)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, src))
+        s_s, i_s = src[order], ids[order]
+        new_run = np.concatenate(([True], s_s[1:] != s_s[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        rank = np.arange(len(i_s)) - starts[run_id] + 1
+        lexidx = np.array([cache["l"][s] for s in s_s], np.int64)
+        return pa.table({
+            "doc_id": pa.array(i_s, pa.int64()),
+            "skey": pa.array(rank * 1024 + lexidx, pa.int64())})
+
+    ranked = keyed_exchange(docs, "source", rank_block, "groups")
+    out = pa.concat_tables(list(
+        global_row_ids(ranked, "skey").iter_batches(
+            batch_format="pyarrow", batch_size=None))).to_pandas()
+    out = out[["doc_id", "row_id"]].rename(columns={"row_id": "pos"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_coverage_curve(sf_dir: str):
+    """Vocabulary coverage curve: the corpus-token share covered by the
+    top-k tokens (k = 10/50/100, ppm-exact) — the tokenizer/vocab
+    sizing read (how much of the stream does a small vocab explain).
+    Token counts via explode + hash-shuffle groupby; top-k via
+    per-block partials; one register pass for the total."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from frontera_ray.stages.relational import global_topk
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _pc.utf8_split_whitespace(batch["text"])
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat})
+        return t.filter(_pc.not_equal(t["token"], ""))
+
+    exploded = _read(sf_dir, "documents").select_columns(["text"]) \
+        .map_batches(explode, batch_format="pyarrow")
+    total = int(exploded.count())
+    tc = exploded.groupby("token").count()
+    top = global_topk(tc, "count()", 100, descending=True,
+                      tiebreak="token").to_pandas()
+    counts = top["count()"].to_numpy().astype(np.int64)
+    rows = [{"k": k, "covered_ppm":
+             (1_000_000 * int(counts[:k].sum())) // total}
+            for k in (10, 50, 100)]
+    return pd.DataFrame(rows).astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -4912,6 +5059,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "watermark_late": q_watermark_late,
     "lsh_eval": q_lsh_eval,
     "assortativity": q_assortativity,
+    "posting_bytes": q_posting_bytes,
+    "group_trend": q_group_trend,
+    "neg_samples": q_neg_samples,
+    "interleave": q_interleave,
+    "coverage_curve": q_coverage_curve,
 }
 
 
@@ -7811,4 +7963,69 @@ def oracle_sql() -> dict[str, str]:
                    sum(late)::BIGINT AS n_late,
                    ((1000000 * sum(late)) // count(*))::BIGINT AS late_ppm
             FROM d GROUP BY day ORDER BY day""",
+        "posting_bytes": r"""
+            WITH d AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+                           regexp_extract_all(text, '\S+'))) AS token
+                       FROM documents),
+            g AS (SELECT token, doc_id,
+                         doc_id - lag(doc_id) OVER (
+                             PARTITION BY token ORDER BY doc_id) AS lg
+                  FROM d),
+            b AS (SELECT token, coalesce(lg, doc_id + 1) AS gap FROM g),
+            s AS (SELECT token, count(*)::BIGINT AS df,
+                         sum(CASE WHEN gap < 128 THEN 1
+                                  WHEN gap < 16384 THEN 2
+                                  WHEN gap < 2097152 THEN 3
+                                  WHEN gap < 268435456 THEN 4
+                                  ELSE 5 END)::BIGINT AS bytes
+                  FROM b GROUP BY token)
+            SELECT token, df, bytes FROM s
+            WHERE df >= 10 ORDER BY token""",
+        "group_trend": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 3600000000 AS t,
+                              floor(value * 100 + 0.5)::BIGINT AS y
+                       FROM events)
+            SELECT user_id, count(*)::BIGINT AS n,
+                   (count(*) * sum(t * y)
+                     - sum(t) * sum(y))::BIGINT AS trend_num,
+                   (count(*) * sum(t * t)
+                     - sum(t) * sum(t))::BIGINT AS trend_den
+            FROM e GROUP BY user_id ORDER BY user_id""",
+        "neg_samples": """
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+            j AS (SELECT doc_id, j FROM documents,
+                  UNNEST([1, 2, 3]) AS t(j)),
+            h AS (SELECT doc_id, j,
+                         ('0x' || substr(md5(doc_id || ':' || j),
+                                         1, 8))::BIGINT
+                           % (SELECT c FROM n) AS neg
+                  FROM j)
+            SELECT doc_id, j::BIGINT AS j,
+                   (CASE WHEN neg = doc_id
+                         THEN (neg + 1) % (SELECT c FROM n)
+                         ELSE neg END)::BIGINT AS neg_id
+            FROM h ORDER BY doc_id, j""",
+        "interleave": """
+            WITH r AS (SELECT doc_id, source,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY doc_id) AS r
+                       FROM documents)
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY r, source) - 1)::BIGINT
+                     AS pos
+            FROM r ORDER BY doc_id""",
+        "coverage_curve": r"""
+            WITH tc AS (SELECT token, count(*)::BIGINT AS c
+                        FROM (SELECT unnest(regexp_extract_all(
+                                  text, '\S+')) AS token
+                              FROM documents)
+                        GROUP BY token),
+            tot AS (SELECT sum(c)::BIGINT AS s FROM tc),
+            r AS (SELECT c, row_number() OVER (
+                      ORDER BY c DESC, token) AS rn FROM tc)
+            SELECT t.k::BIGINT AS k,
+                   ((1000000 * (SELECT sum(c) FROM r WHERE rn <= t.k))
+                     // (SELECT s FROM tot))::BIGINT AS covered_ppm
+            FROM (VALUES (10), (50), (100)) t(k) ORDER BY k""",
     }

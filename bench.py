@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "containment_join", "hill_tail", "recrawl_schedule", "mix_epochs",
     "lsh_bucket_stats", "zipf_fit", "dedup_inflation", "weighted_quantile",
     "kcore", "watermark_late", "lsh_eval", "assortativity",
+    "posting_bytes", "group_trend", "neg_samples", "interleave",
+    "coverage_curve",
 ]
 
 CRAWL_HOSTS = 8192

@@ -3520,3 +3520,44 @@ def watermark_lateness(ds, order_col: str, ts_col: str,
         "late_ppm": pa.array(
             [(1_000_000 * acc[d][1]) // acc[d][0] for d in days],
             pa.int64())})
+
+
+def grouped_ols_trend(ds, key_col: str, t_col: str, y_col: str):
+    """Per-key ordinary-least-squares trend with EXACT INTEGER
+    numerator/denominator: for integer series (t, y) per key,
+
+        trend_num = n·Σty − Σt·Σy,   trend_den = n·Σtt − (Σt)²
+
+    so slope = trend_num / trend_den is one division away and the
+    operator hash-checks (the per-host traffic/quality trend detector
+    — frontera's revisit scoring wants exactly this drift signal).
+    One combiner aggregate over five integer registers per key
+    (``partial_groupby_agg`` — bounded key spaces; the five-sum shape
+    maps to ``grouped_int_sum`` per register for unbounded keys).
+    Returns a pandas DataFrame (key, n, trend_num, trend_den)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = batch[t_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            "st": pa.array(t, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "stt": pa.array(t * t, pa.int64()),
+            "sty": pa.array(t * y, pa.int64())})
+
+    g = partial_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"), key_col,
+        {"n": ("one", "sum"), "st": ("st", "sum"), "sy": ("sy", "sum"),
+         "stt": ("stt", "sum"), "sty": ("sty", "sum")})
+    n = g["n"].to_numpy().astype(np.int64)
+    st = g["st"].to_numpy().astype(np.int64)
+    sy = g["sy"].to_numpy().astype(np.int64)
+    stt = g["stt"].to_numpy().astype(np.int64)
+    sty = g["sty"].to_numpy().astype(np.int64)
+    out = g[[key_col]].copy()
+    out["n"] = n
+    out["trend_num"] = n * sty - st * sy
+    out["trend_den"] = n * stt - st * st
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -1651,3 +1651,60 @@ def build_postings(ds, cap: int = 10, min_df: int = 20,
     if tbl.num_rows == 0:
         return tbl
     return tbl.sort_by("token")
+
+
+def posting_sizes(ds, id_col: str = "doc_id", text_col: str = "text",
+                  min_df: int = 10, exchange: str = "groups") -> "object":
+    """Inverted-index SIZE estimation: per token, the exact document
+    frequency and the delta+varint-encoded posting-list byte count
+    (gap = doc_id − previous doc_id, first gap = doc_id + 1; varint =
+    7-bit groups, the classic index compression layout) — the storage
+    planner a retrieval-index build runs before committing layout.
+    Vectorized explode (Arrow split + flatten), per-doc distinct, ONE
+    keyed exchange on the token, vectorized gap/byte math per run.
+    Returns a Dataset of (token, df, bytes) with df >= ``min_df``."""
+    import pyarrow.compute as _pc
+
+    from .relational import keyed_exchange
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _pc.utf8_split_whitespace(batch[text_col])
+        parent = _pc.list_parent_indices(toks)
+        flat = _pc.list_flatten(toks)
+        t = pa.table({"token": flat,
+                      id_col: batch[id_col].take(parent)})
+        t = t.filter(_pc.not_equal(t["token"], ""))
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def size_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "bytes": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, toks))
+        t_s, i_s = toks[order], ids[order]
+        new_run = np.concatenate(([True], t_s[1:] != t_s[:-1]))
+        gaps = np.empty(len(i_s), np.int64)
+        gaps[1:] = i_s[1:] - i_s[:-1]
+        gaps[new_run] = i_s[new_run] + 1  # first gap per run
+        # varint bytes = ceil(bit_length(gap)/7), gap >= 1
+        nbytes = np.ones(len(gaps), np.int64)
+        for cut, width in ((1 << 7, 2), (1 << 14, 3),
+                           (1 << 21, 4), (1 << 28, 5)):
+            nbytes[gaps >= cut] = width
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(t_s))
+        df = (ends - starts).astype(np.int64)
+        tot = np.add.reduceat(nbytes, starts)
+        keep = df >= min_df
+        return pa.table({
+            "token": pa.array(t_s[starts][keep].tolist(), pa.string()),
+            "df": pa.array(df[keep], pa.int64()),
+            "bytes": pa.array(tot[keep].astype(np.int64), pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return keyed_exchange(exploded, "token", size_block, exchange)

@@ -2520,3 +2520,56 @@ def test_assortativity_sums_star_graph(ray_session):
     num = out.m_pairs * out.sxy - out.s1 * out.s1
     den = out.m_pairs * out.sxx - out.s1 * out.s1
     assert num / den == -1.0
+
+
+def test_posting_sizes_varint_brute(ray_session):
+    """posting_sizes == the brute per-token delta+varint byte count."""
+    import ray
+
+    from frontera_ray.stages.text import posting_sizes
+
+    docs = [(0, "a b"), (5, "a c"), (200, "a b"), (300, "a")]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = pa.concat_tables(list(
+        posting_sizes(ds, min_df=1).iter_batches(
+            batch_format="pyarrow", batch_size=None))).to_pandas() \
+        .set_index("token")
+
+    def varint(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3
+
+    # token a: ids 0,5,200,300 -> gaps 1,5,195,100 -> 1+1+2+1 = 5
+    assert out.loc["a", "df"] == 4 and out.loc["a", "bytes"] == \
+        varint(1) + varint(5) + varint(195) + varint(100)
+    # token b: ids 0,200 -> gaps 1,200 -> 1+2 = 3
+    assert out.loc["b", "df"] == 2 and out.loc["b", "bytes"] == 3
+    # token c: id 5 -> gap 6 -> 1
+    assert out.loc["c", "df"] == 1 and out.loc["c", "bytes"] == 1
+
+
+def test_grouped_ols_trend_matches_numpy(ray_session):
+    """grouped_ols_trend's integer num/den assemble to the numpy
+    least-squares slope per key."""
+    import ray
+
+    from frontera_ray.stages.relational import grouped_ols_trend
+
+    rng = np.random.default_rng(2)
+    keys = np.repeat(np.arange(5, dtype=np.int64), 40)
+    t = np.tile(np.arange(40, dtype=np.int64), 5) * 3
+    y = (keys * 10 + t * np.array([2, -1, 0, 5, 3])[keys]
+         + rng.integers(-2, 3, 200)).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "t": pa.array(t, pa.int64()),
+                    "y": pa.array(y, pa.int64())})
+    out = grouped_ols_trend(
+        ray.data.from_arrow(tbl).repartition(6), "k", "t", "y") \
+        .set_index("k")
+    for k in range(5):
+        m = keys == k
+        slope = np.polyfit(t[m].astype(float), y[m].astype(float), 1)[0]
+        got = out.loc[k, "trend_num"] / out.loc[k, "trend_den"]
+        assert abs(got - slope) < 1e-9, (k, got, slope)
