@@ -4848,6 +4848,142 @@ def q_coverage_curve(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_seq_3grams(sf_dir: str):
+    """Per-user event-type 3-gram counts — sequence-pattern mining one
+    order deeper than the `event_transitions` Markov matrix (the
+    behavior-model / funnel-template miner). One keyed exchange on the
+    user; the kernel emits only (s1>s2>s3, n) partials per block, so
+    the exchange output is pattern-vocabulary-scale (|types|³ <= 125
+    here); driver folds a Counter."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import keyed_exchange
+
+    def triples(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"pat": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u = batch["user_id"].to_numpy()
+        ts = batch["ts_us"].to_numpy()
+        eid = batch["event_id"].to_numpy()
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u_s, e_s = u[order], et[order]
+        ok = np.zeros(max(len(u_s) - 2, 0), dtype=bool)
+        if len(ok):
+            ok = (u_s[:-2] == u_s[1:-1]) & (u_s[1:-1] == u_s[2:])
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return pa.table({"pat": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pats = np.array([f"{e_s[i]}>{e_s[i + 1]}>{e_s[i + 2]}"
+                         for i in idx], dtype=object)
+        up, cn = np.unique(pats, return_counts=True)
+        return pa.table({"pat": pa.array(up.tolist(), pa.string()),
+                         "n": pa.array(cn.astype(np.int64), pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_type", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_type": b["event_type"],
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    from collections import Counter
+    acc: Counter = Counter()
+    for t in keyed_exchange(ev, "user_id", triples, "groups") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for p, n in zip(t["pat"].to_pylist(), t["n"].to_pylist()):
+            acc[p] += int(n)
+    return pd.DataFrame(
+        [{"pat": p, "n": int(n)} for p, n in sorted(acc.items())],
+        columns=["pat", "n"])
+
+
+def q_politeness_audit(sf_dir: str):
+    """Politeness-compliance audit over the fetch log: per user
+    (stand-in for per host), the minimum inter-arrival gap and the
+    count of gaps under the 5-minute politeness floor — the batch
+    check a crawl operator runs against the frontier's
+    per-host-delay guarantee (reference frontera's DELAY/crawl-delay
+    budget, verified after the fact). Reuses the LAG-delta window
+    machinery + one combiner aggregate."""
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                per_key_lag_delta)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    lag = per_key_lag_delta(ev, "user_id", "ts_us",
+                            out_col="delta_us", tiebreak="event_id",
+                            exchange="groups")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["delta_us"]))
+        dv = t["delta_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "gap": pa.array(dv, pa.int64()),
+            "viol": pa.array((dv < 300_000_000).astype(np.int64),
+                             pa.int64())})
+
+    g = partial_groupby_agg(
+        lag.map_batches(derive, batch_format="pyarrow"), "user_id",
+        {"min_gap_us": ("gap", "min"), "n_violations": ("viol", "sum"),
+         "n_gaps": ("gap", "count")})
+    for c in ("min_gap_us", "n_violations", "n_gaps"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("user_id").reset_index(drop=True)
+
+
+def q_dedup_by_source(sf_dir: str):
+    """Per-source near-dup rate: which provider ships duplicates — the
+    grouped version of `dedup_inflation` a curation team acts on
+    (drop or down-weight the dirty source). Pairs -> pair-scoped
+    union-find -> broadcast membership; ONE streaming pass folds
+    per-source (docs, dups) registers; dup_ppm integer-exact."""
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.dedup import dedup_keepers, minhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents")
+    pairs = minhash_neardup_pairs(ds, threshold=0.5)
+    comp = dedup_keepers(None, zip(pairs["a"].to_pylist(),
+                                   pairs["b"].to_pylist()))
+    dup_ids = np.fromiter(
+        (i for i, kp in comp.items() if kp != i), dtype=np.int64)
+    dup_ids.sort()
+    ref = ray.put(dup_ids)
+    cache: dict = {}
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if "d" not in cache:
+            cache["d"] = ray.get(ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        dup = np.isin(ids, cache["d"]).astype(np.int64)
+        return pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            "dup": pa.array(dup, pa.int64())})
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+    g = partial_groupby_agg(
+        ds.select_columns(["doc_id", "source"])
+        .map_batches(fold, batch_format="pyarrow"), "source",
+        {"n_docs": ("one", "sum"), "n_dups": ("dup", "sum")})
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["n_dups"] = g["n_dups"].astype("int64")
+    g["dup_ppm"] = (1_000_000 * g["n_dups"]) // g["n_docs"]
+    return g.sort_values("source").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5064,6 +5200,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "neg_samples": q_neg_samples,
     "interleave": q_interleave,
     "coverage_curve": q_coverage_curve,
+    "seq_3grams": q_seq_3grams,
+    "politeness_audit": q_politeness_audit,
+    "dedup_by_source": q_dedup_by_source,
 }
 
 
@@ -8028,4 +8167,47 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * (SELECT sum(c) FROM r WHERE rn <= t.k))
                      // (SELECT s FROM tot))::BIGINT AS covered_ppm
             FROM (VALUES (10), (50), (100)) t(k) ORDER BY k""",
+        "seq_3grams": """
+            WITH o AS (SELECT user_id, event_type,
+                              lead(event_type, 1) OVER w AS e2,
+                              lead(event_type, 2) OVER w AS e3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_type || '>' || e2 || '>' || e3 AS pat,
+                   count(*)::BIGINT AS n
+            FROM o WHERE e3 IS NOT NULL
+            GROUP BY 1 ORDER BY 1""",
+        "politeness_audit": """
+            WITH g AS (SELECT user_id,
+                              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+                                AS gap
+                       FROM events)
+            SELECT user_id,
+                   min(gap)::BIGINT AS min_gap_us,
+                   count(*) FILTER (WHERE gap < 300000000)::BIGINT
+                     AS n_violations,
+                   count(gap)::BIGINT AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id""",
+        "dedup_by_source": f"""
+            WITH RECURSIVE {_minhash_pairs_ctes()},
+            edges AS (SELECT a, b FROM mh_pairs
+                      UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS comp FROM documents
+                UNION
+                SELECT e.b AS id, r.comp
+                FROM reach r JOIN edges e ON e.a = r.id),
+            keep AS (SELECT id, min(comp) AS keeper FROM reach GROUP BY id)
+            SELECT d.source,
+                   count(*)::BIGINT AS n_docs,
+                   count(*) FILTER (WHERE k.keeper <> k.id)::BIGINT
+                     AS n_dups,
+                   ((1000000 * count(*) FILTER (WHERE k.keeper <> k.id))
+                     // count(*))::BIGINT AS dup_ppm
+            FROM keep k JOIN documents d ON d.doc_id = k.id
+            GROUP BY d.source ORDER BY d.source""",
     }

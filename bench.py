@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "lsh_bucket_stats", "zipf_fit", "dedup_inflation", "weighted_quantile",
     "kcore", "watermark_late", "lsh_eval", "assortativity",
     "posting_bytes", "group_trend", "neg_samples", "interleave",
-    "coverage_curve",
+    "coverage_curve", "seq_3grams", "politeness_audit", "dedup_by_source",
 ]
 
 CRAWL_HOSTS = 8192
