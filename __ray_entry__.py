@@ -4984,6 +4984,65 @@ def q_dedup_by_source(sf_dir: str):
     return g.sort_values("source").reset_index(drop=True)
 
 
+def q_rfm_features(sf_dir: str):
+    """RFM feature engineering (recency / frequency / monetary — the
+    classic behavioral feature triple a ranking or churn model trains
+    on): per user, microseconds since last event (against the corpus
+    max timestamp), event count, and integer-cents total value. One
+    combiner aggregate over three registers + a global max register;
+    all-integer."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "value"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+              "cents": pa.array(np.floor(
+                  b["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+                  pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, "user_id",
+                            {"last_ts": ("ts_us", "max"),
+                             "frequency": ("one", "sum"),
+                             "monetary_cents": ("cents", "sum")})
+    now = int(g["last_ts"].max())
+    g["recency_us"] = (now - g["last_ts"]).astype("int64")
+    g["frequency"] = g["frequency"].astype("int64")
+    g["monetary_cents"] = g["monetary_cents"].astype("int64")
+    out = g[["user_id", "recency_us", "frequency", "monetary_cents"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/test split LEAKAGE audit at NEAR-DUP granularity: minhash
+    near-dup pairs (Jaccard >= 0.5) whose two members land on opposite
+    sides of the deterministic 90/10 hash split — a train-side
+    near-copy of a test doc inflates eval, so this list must be empty
+    (or acted on) before training. The pair stream is result-scale;
+    the split side is a pure hash function of the id (`hash_split`'s
+    ladder), so the audit is one vectorized pass over the pairs —
+    the corpus never moves twice."""
+    import pandas as pd
+
+    from frontera_ray.stages.dedup import minhash_neardup_pairs
+    from frontera_ray.stages.sampling import hash_u32
+
+    pairs = minhash_neardup_pairs(_read(sf_dir, "documents"),
+                                  threshold=0.5)
+    a = pairs["a"].to_numpy().astype(np.int64)
+    b = pairs["b"].to_numpy().astype(np.int64)
+    CUT = 3865470566  # 90% of 2^32; 1 = test
+    sa = (hash_u32(a, salt="split") >= CUT).astype(np.int64)
+    sb = (hash_u32(b, salt="split") >= CUT).astype(np.int64)
+    cross = sa != sb
+    out = pd.DataFrame({
+        "a": a[cross], "b": b[cross],
+        "side_a": sa[cross], "side_b": sb[cross]}).astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5203,6 +5262,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "seq_3grams": q_seq_3grams,
     "politeness_audit": q_politeness_audit,
     "dedup_by_source": q_dedup_by_source,
+    "rfm_features": q_rfm_features,
+    "split_leakage": q_split_leakage,
 }
 
 
@@ -8210,4 +8271,27 @@ def oracle_sql() -> dict[str, str]:
                      // count(*))::BIGINT AS dup_ppm
             FROM keep k JOIN documents d ON d.doc_id = k.id
             GROUP BY d.source ORDER BY d.source""",
+        "rfm_features": """
+            WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+                              floor(value * 100 + 0.5)::BIGINT AS cents
+                       FROM events),
+            m AS (SELECT max(ts_us) AS now FROM e)
+            SELECT user_id,
+                   ((SELECT now FROM m) - max(ts_us))::BIGINT
+                     AS recency_us,
+                   count(*)::BIGINT AS frequency,
+                   sum(cents)::BIGINT AS monetary_cents
+            FROM e GROUP BY user_id ORDER BY user_id""",
+        "split_leakage": f"""
+            WITH {_minhash_pairs_ctes()},
+            sides AS (SELECT p.a, p.b,
+                             (('0x' || substr(md5('split' || p.a),
+                                              1, 8))::BIGINT
+                              >= 3865470566)::BIGINT AS side_a,
+                             (('0x' || substr(md5('split' || p.b),
+                                              1, 8))::BIGINT
+                              >= 3865470566)::BIGINT AS side_b
+                      FROM mh_pairs p)
+            SELECT a, b, side_a, side_b FROM sides
+            WHERE side_a <> side_b ORDER BY a, b""",
     }
