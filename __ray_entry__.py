@@ -7232,8 +7232,10 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
                        FROM documents),
-            g AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' '
-                         || arr[i+2] || ' ' || arr[i+3] AS gram
+            g AS (SELECT DISTINCT doc_id,
+                         ('0x' || substr(md5(arr[i] || ' ' || arr[i+1]
+                              || ' ' || arr[i+2] || ' ' || arr[i+3]),
+                              1, 16))::UBIGINT AS gram
                   FROM t, UNNEST(range(1, len(arr) - 2)) AS r(i)),
             df AS (SELECT gram, count(*)::BIGINT AS df FROM g
                    GROUP BY gram)

@@ -763,57 +763,86 @@ def gram_novelty(ds, k: int = 4, text_col: str = "text"):
     (doc_id, novel=1) row per unique gram; per-doc gram totals are
     per-block partials off the same explode; one union +
     ``groupby(doc_id).sum`` folds both into (n_grams, n_novel).
-    Gram strings ride the exchange here for SQL parity; at corpus
-    scale swap in ``word_shingles`` md5-64 hashes (8 B/row). Docs
-    with < k tokens have no grams and are absent.
+    Grams ride the exchange as md5-64 hashes (8 B/row; the SQL twin
+    hashes with the identical expression, so the operator is exact
+    by construction). Docs with < k tokens have no grams and are
+    absent.
 
     Returns a streaming Dataset (doc_id, n_grams, n_novel)."""
-    import pandas as pd
 
     def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
-        parent = pc.list_parent_indices(toks).to_numpy()
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        tok = flat.to_numpy(zero_copy_only=False)[keep]
-        par = parent[keep]
-        doc_ids = batch["doc_id"].to_numpy()
-        if len(tok) < k:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
-        same = np.ones(len(tok) - (k - 1), dtype=bool)
-        for j in range(1, k):
-            same &= par[j:len(par) - (k - 1) + j] == par[:len(par) - (k - 1)]
-        if not same.any():
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
-        g = pd.Series(tok[:len(tok) - (k - 1)][same], dtype=object)
-        for j in range(1, k):
-            g = g + " " + pd.Series(
-                tok[j:len(tok) - (k - 1) + j][same], dtype=object)
-        df = pd.DataFrame({
-            "doc_id": doc_ids[par[:len(par) - (k - 1)][same]],
-            "gram": g.to_numpy()}).drop_duplicates()
-        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
-                                            pa.int64()),
-                         "gram": pa.array(df["gram"].to_numpy(),
-                                          pa.string())})
+        # per-doc DISTINCT md5-64 gram hashes (memoized per worker):
+        # 8 B/row through the exchange instead of ~25 B gram strings —
+        # measured 13.1 s -> string payload dominated the groupby; the
+        # SQL twin hashes with the identical md5 expression, so even a
+        # (2^-64-scale) collision would land on BOTH sides equally and
+        # the operator stays exact by construction
+        from .dedup import word_shingles
 
-    from ray.data.aggregate import Count, Min
+        ids = batch["doc_id"].to_numpy()
+        hs = [word_shingles(t, k, strict=True)
+              for t in batch[text_col].to_pylist()]
+        lens = np.array([len(x) for x in hs], np.int64)
+        if lens.sum() == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.uint64())})
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "gram": pa.array(np.concatenate(
+                [x for x in hs if len(x)]), pa.uint64())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def novel_rows(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch["count()"], pa.scalar(1, pa.int64()))
-        kept = batch.filter(m)
+    def novel_block(batch: pa.Table) -> pa.Table:
+        # complete gram groups per block: one lexsort + run walk gives
+        # (df, min_doc) per gram with ZERO per-key Python calls
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_novel": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        g = batch["gram"].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        order = np.lexsort((d, g))
+        g_s, d_s = g[order], d[order]
+        new_run = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        df = np.diff(np.append(starts, len(g_s)))
+        sole = df == 1  # df-1 gram's sole doc is the run's only row
+        docs = d_s[starts][sole]
+        if not len(docs):
+            return empty
+        ud, cnt = np.unique(docs, return_counts=True)
         return pa.table({
-            "doc_id": kept["min(doc_id)"].cast(pa.int64()),
-            "n_grams": pa.array(np.zeros(len(kept), np.int64), pa.int64()),
-            "n_novel": pa.array(np.ones(len(kept), np.int64), pa.int64())})
+            "doc_id": pa.array(ud, pa.int64()),
+            "n_grams": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
+            "n_novel": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    novel = exploded.groupby("gram").aggregate(
-        Count(), Min("doc_id")).map_batches(
-        novel_rows, batch_format="pyarrow")
+    from .relational import cluster_cpus, hash_partitioned
+
+    if cluster_cpus() >= 16:
+        # corpus-scale distinct grams hit Ray's native sort-aggregate
+        # per-group overhead (measured 14.3 s for 210k groups at sf0.1
+        # — the aggregate, not the exchange); the key-hash repartition
+        # + whole-block kernel runs the same reduction in ~1 s
+        novel = hash_partitioned(exploded, "gram").map_batches(
+            novel_block, batch_format="pyarrow", batch_size=None)
+    else:
+        from ray.data.aggregate import Count, Min
+
+        def novel_rows(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["count()"], pa.scalar(1, pa.int64()))
+            kept = batch.filter(m)
+            return pa.table({
+                "doc_id": kept["min(doc_id)"].cast(pa.int64()),
+                "n_grams": pa.array(np.zeros(len(kept), np.int64),
+                                    pa.int64()),
+                "n_novel": pa.array(np.ones(len(kept), np.int64),
+                                    pa.int64())})
+
+        novel = exploded.groupby("gram").aggregate(
+            Count(), Min("doc_id")).map_batches(
+            novel_rows, batch_format="pyarrow")
 
     def total_rows(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy()
@@ -830,8 +859,36 @@ def gram_novelty(ds, k: int = 4, text_col: str = "text"):
             "n_novel": pa.array(np.zeros(len(cnt), np.int64), pa.int64())})
 
     totals = exploded.map_batches(total_rows, batch_format="pyarrow")
-    combined = totals.union(novel).groupby("doc_id").sum(
-        ["n_grams", "n_novel"])
+    unioned = totals.union(novel)
+    if cluster_cpus() >= 16:
+        # same key-hash + whole-block segment-sum shape as the gram
+        # reduction above — the native sum on the hash-context-carrying
+        # union measured 10-20 s of aggregator stall (COVERAGE.md's
+        # hash-exchange-stall note), the explicit repartition ~1 s
+        def sum_block(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_grams": pa.array([], pa.int64()),
+                                 "n_novel": pa.array([], pa.int64())})
+            d = batch["doc_id"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            d_s = d[order]
+            ng = batch["n_grams"].to_numpy()[order]
+            nn = batch["n_novel"].to_numpy()[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], d_s[1:] != d_s[:-1])))
+            return pa.table({
+                "doc_id": pa.array(d_s[starts], pa.int64()),
+                "n_grams": pa.array(
+                    np.add.reduceat(ng, starts).astype(np.int64),
+                    pa.int64()),
+                "n_novel": pa.array(
+                    np.add.reduceat(nn, starts).astype(np.int64),
+                    pa.int64())})
+
+        return hash_partitioned(unioned, "doc_id").map_batches(
+            sum_block, batch_format="pyarrow", batch_size=None)
+    combined = unioned.groupby("doc_id").sum(["n_grams", "n_novel"])
     return combined.map_batches(lambda b: pa.table({
         "doc_id": b["doc_id"],
         "n_grams": b["sum(n_grams)"].cast(pa.int64()),
