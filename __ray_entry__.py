@@ -5043,6 +5043,159 @@ def q_split_leakage(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_wow_change(sf_dir: str):
+    """Week-over-week traffic drift per user (host stand-in): weekly
+    event counts, the previous week's count (LAG) and the integer-ppm
+    change — the per-host yield-drift alarm an operations review reads
+    (pairs with `group_trend`'s slope). Weekly counts are one combiner
+    aggregate on the packed (user, week) key; the LAG rides the
+    existing keyed-exchange delta machinery."""
+    from frontera_ray.stages.relational import (keyed_exchange,
+                                                partial_groupby_agg)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "week": pa.array(b["ts"].cast(pa.int64()).to_numpy()
+                               // 604_800_000_000, pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, ["user_id", "week"],
+                            {"n": ("one", "sum")})
+    import ray
+    wk = ray.data.from_pandas(g)
+
+    def lag_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "week": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "prev_n": pa.array([], pa.int64()),
+                          "change_ppm": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        u = batch["user_id"].to_numpy()
+        w = batch["week"].to_numpy()
+        n = batch["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((w, u))
+        u_s, w_s, n_s = u[order], w[order], n[order]
+        new_run = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        prev = np.empty(len(n_s), np.int64)
+        prev[1:] = n_s[:-1]
+        # previous WEEK must be consecutive; gaps or run starts get -1
+        consec = np.zeros(len(n_s), dtype=bool)
+        consec[1:] = (~new_run[1:]) & (w_s[1:] == w_s[:-1] + 1)
+        prev[~consec] = -1
+        keep = consec
+        num = 1_000_000 * (n_s[keep] - prev[keep])
+        den = prev[keep]
+        # DuckDB's // truncates toward zero; numpy floors — align by
+        # bumping negative inexact quotients up one
+        chg = num // den
+        chg[(num % den != 0) & (num < 0)] += 1
+        return pa.table({
+            "user_id": pa.array(u_s[keep], pa.int64()),
+            "week": pa.array(w_s[keep], pa.int64()),
+            "n": pa.array(n_s[keep], pa.int64()),
+            "prev_n": pa.array(prev[keep], pa.int64()),
+            "change_ppm": pa.array(chg, pa.int64())})
+
+    out = pa.concat_tables(list(
+        keyed_exchange(wk, "user_id", lag_block, "groups")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return out.to_pandas().sort_values(["user_id", "week"]) \
+        .reset_index(drop=True)
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency data-quality audit: does customer ->
+    market segment hold per nation, i.e. for each (c_nationkey,
+    c_mktsegment) candidate FD c_custkey%100 -> c_mktsegment, report
+    keys with more than one distinct dependent — the schema-inference
+    / data-contract check a pipeline runs before trusting a column as
+    an attribute of a key. One composite-key count-distinct
+    (grouped_count_distinct's combiner shape), violation-scale
+    output (key, n_distinct)."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    cust = (_read(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_mktsegment"])
+            .map_batches(lambda b: pa.table({
+                "key": pa.array(b["c_custkey"].to_numpy() % 100,
+                                pa.int64()),
+                "seg": b["c_mktsegment"],
+            }), batch_format="pyarrow"))
+    # per-block distinct (key, seg) pairs, then per-key distinct count
+    g = partial_groupby_agg(
+        cust.map_batches(lambda b: pa.table({
+            "key": b["key"], "seg": b["seg"],
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        ["key", "seg"], {"n": ("one", "sum")})
+    counts = g.groupby("key").size().reset_index(name="n_distinct")
+    counts["n_distinct"] = counts["n_distinct"].astype("int64")
+    out = counts[counts["n_distinct"] > 1]
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit: lineitems whose l_orderkey has no
+    parent order, and orders with no lineitems — the two-sided
+    orphan/childless census a lakehouse contract check runs between
+    fact tables. ONE tagged-union keyed exchange (the semi/anti-join
+    shape); the kernel reduces each key run to its (has_parent,
+    has_child) bits, so the exchange output is two counter registers."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import keyed_exchange
+
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["l_orderkey"],
+            "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["o_orderkey"],
+            "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+
+    def audit_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "orphan_lineitems": pa.array([], pa.int64()),
+                "childless_orders": pa.array([], pa.int64())})
+        k = batch["k"].to_numpy()
+        side = batch["side"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k_s, s_s = k[order], side[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        ends = np.append(starts[1:], len(k_s))
+        run_id = np.cumsum(
+            np.concatenate(([True], k_s[1:] != k_s[:-1]))) - 1
+        has_order = np.bincount(run_id, weights=(s_s == 1),
+                                minlength=len(starts)) > 0
+        n_li = np.bincount(run_id, weights=(s_s == 0),
+                           minlength=len(starts)).astype(np.int64)
+        orphan = int(n_li[~has_order].sum())
+        childless = int(((n_li == 0) & has_order).sum())
+        return pa.table({
+            "orphan_lineitems": pa.array([orphan], pa.int64()),
+            "childless_orders": pa.array([childless], pa.int64())})
+
+    tot = np.zeros(2, np.int64)
+    for t in keyed_exchange(li.union(orders), "k", audit_block,
+                            "groups") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t):
+            tot += np.array([int(t["orphan_lineitems"].to_numpy().sum()),
+                             int(t["childless_orders"].to_numpy().sum())],
+                            np.int64)
+    return pd.DataFrame([{"orphan_lineitems": tot[0],
+                          "childless_orders": tot[1]}]).astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5264,6 +5417,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_by_source": q_dedup_by_source,
     "rfm_features": q_rfm_features,
     "split_leakage": q_split_leakage,
+    "wow_change": q_wow_change,
+    "fd_audit": q_fd_audit,
+    "ri_audit": q_ri_audit,
 }
 
 
@@ -8296,4 +8452,34 @@ def oracle_sql() -> dict[str, str]:
                       FROM mh_pairs p)
             SELECT a, b, side_a, side_b FROM sides
             WHERE side_a <> side_b ORDER BY a, b""",
+        "wow_change": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS week,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            l AS (SELECT user_id, week, n,
+                         lag(week) OVER pw AS pw_week,
+                         lag(n) OVER pw AS prev_n
+                  FROM w
+                  WINDOW pw AS (PARTITION BY user_id ORDER BY week))
+            SELECT user_id, week, n, prev_n,
+                   ((1000000 * (n - prev_n)) // prev_n)::BIGINT
+                     AS change_ppm
+            FROM l WHERE pw_week = week - 1
+            ORDER BY user_id, week""",
+        "fd_audit": """
+            SELECT (c_custkey % 100)::BIGINT AS key,
+                   count(DISTINCT c_mktsegment)::BIGINT AS n_distinct
+            FROM customer
+            GROUP BY 1 HAVING count(DISTINCT c_mktsegment) > 1
+            ORDER BY key""",
+        "ri_audit": """
+            SELECT (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)
+                   )::BIGINT AS orphan_lineitems,
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                      WHERE l.l_orderkey = o.o_orderkey)
+                   )::BIGINT AS childless_orders""",
     }

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "kcore", "watermark_late", "lsh_eval", "assortativity",
     "posting_bytes", "group_trend", "neg_samples", "interleave",
     "coverage_curve", "seq_3grams", "politeness_audit", "dedup_by_source",
-    "rfm_features", "split_leakage",
+    "rfm_features", "split_leakage", "wow_change", "fd_audit", "ri_audit",
 ]
 
 CRAWL_HOSTS = 8192
