@@ -5196,6 +5196,97 @@ def q_ri_audit(sf_dir: str):
                           "childless_orders": tot[1]}]).astype("int64")
 
 
+def q_quota_sample(sf_dir: str):
+    """Deterministic QUOTA sampling: exactly 10 documents per language
+    stratum, chosen by smallest md5('q'||doc_id) — the balanced
+    eval-set constructor (equal representation regardless of stratum
+    size), reproducible with no RNG state (`hash_split`'s purity
+    argument). One keyed exchange through the per_key_topk machinery,
+    hash ascending."""
+    from frontera_ray.stages.relational import per_key_topk
+    from frontera_ray.stages.sampling import hash_u32
+
+    docs = (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "lang"])
+            .map_batches(lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "h": pa.array(hash_u32(
+                    b["doc_id"].to_numpy().astype(np.int64),
+                    salt="q").astype(np.int64), pa.int64()),
+            }), batch_format="pyarrow"))
+    kept = per_key_topk(docs, "lang", "h", 10, descending=False,
+                        tiebreak="doc_id", exchange="groups")
+    out = kept.to_pandas()[["lang", "doc_id"]]
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def q_diverse_sample(sf_dir: str):
+    """Diversity-aware sampling: cluster the embedding space against
+    the deterministic k-means seed centroids (vec_id < 8, the
+    `kmeans`/`proto_prune` recurrence at assignment step 1), then keep
+    5 vectors per cluster by smallest md5('div'||vec_id) — the
+    cluster-then-sample recipe that keeps coverage of the embedding
+    space instead of oversampling the dense core (SemDeDup-adjacent
+    curation). Broadcast 8x64 centroid matrix, per-block vectorized
+    rounded-distance argmin, per-cluster hash quota."""
+    import ray
+
+    from frontera_ray.stages.ann import _matrix, _query_rows
+    from frontera_ray.stages.relational import per_key_topk
+    from frontera_ray.stages.sampling import hash_u32
+
+    ds = _read(sf_dir, "embeddings")
+    _qids, C = _query_rows(ds, list(range(8)))
+    C = C.astype(np.float64)  # vec_id-ascending rows
+    c_ref = ray.put(C)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if "c" not in cache:
+            cache["c"] = ray.get(c_ref)
+        X = _matrix(batch).astype(np.float64)
+        d2 = ((X[:, None, :] - cache["c"][None, :, :]) ** 2).sum(axis=2)
+        d2 = np.round(d2, 9)  # pre-argmin rounding, both sides
+        cl = np.argmin(d2, axis=1).astype(np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(cl, pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "h": pa.array(hash_u32(ids, salt="div").astype(np.int64),
+                          pa.int64())})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    kept = per_key_topk(assigned, "cluster", "h", 5, descending=False,
+                        tiebreak="vec_id", exchange="groups")
+    out = kept.to_pandas()[["cluster", "vec_id"]]
+    return out.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
+
+
+def q_markov_probs(sf_dir: str):
+    """Markov conditional-probability table: the `event_transitions`
+    counts row-normalized to integer ppm (P(next | prev)) — the
+    behavior model actually consumed downstream (transitions are the
+    sufficient statistic; this is the estimator). One keyed exchange
+    for the counts; normalization folds over the tiny (|types|²) pair
+    vocabulary."""
+    from frontera_ray.stages.relational import transition_counts
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_type", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_type": b["event_type"],
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    out = transition_counts(ev, "user_id", "ts_us", "event_type",
+                            tiebreak="event_id", exchange="groups")
+    tot = out.groupby("from_val")["n"].transform("sum")
+    out["p_ppm"] = ((1_000_000 * out["n"]) // tot).astype("int64")
+    return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5420,6 +5511,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wow_change": q_wow_change,
     "fd_audit": q_fd_audit,
     "ri_audit": q_ri_audit,
+    "quota_sample": q_quota_sample,
+    "diverse_sample": q_diverse_sample,
+    "markov_probs": q_markov_probs,
 }
 
 
@@ -8482,4 +8576,49 @@ def oracle_sql() -> dict[str, str]:
                     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                       WHERE l.l_orderkey = o.o_orderkey)
                    )::BIGINT AS childless_orders""",
+        "quota_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY ('0x' || substr(md5('q' || doc_id),
+                                           1, 8))::BIGINT, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10 ORDER BY lang, doc_id""",
+        "diverse_sample": """
+            WITH c0 AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[i+1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              WHERE vec_id < 8),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1)
+            SELECT cl AS cluster, vec_id FROM (
+              SELECT cl, vec_id, row_number() OVER (
+                  PARTITION BY cl
+                  ORDER BY ('0x' || substr(md5('div' || vec_id),
+                                           1, 8))::BIGINT, vec_id) AS rn
+              FROM a1)
+            WHERE rn <= 5 ORDER BY cluster, vec_id""",
+        "markov_probs": """
+            WITH t AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+                       FROM events),
+            c AS (SELECT prev AS from_val, event_type AS to_val,
+                         count(*)::BIGINT AS n
+                  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT from_val, to_val, n,
+                   ((1000000 * n) // sum(n) OVER (
+                       PARTITION BY from_val))::BIGINT AS p_ppm
+            FROM c ORDER BY from_val, to_val""",
     }

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "posting_bytes", "group_trend", "neg_samples", "interleave",
     "coverage_curve", "seq_3grams", "politeness_audit", "dedup_by_source",
     "rfm_features", "split_leakage", "wow_change", "fd_audit", "ri_audit",
+    "quota_sample", "diverse_sample", "markov_probs",
 ]
 
 CRAWL_HOSTS = 8192
