@@ -5287,6 +5287,69 @@ def q_markov_probs(sf_dir: str):
     return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)
 
 
+def q_langid_margin(sf_dir: str):
+    """Language-ID confidence margin per doc: the top-1 and top-2
+    stopword-vote counts and their gap — the mixed-language /
+    low-confidence detector layered on `langid` (margin 0 = ambiguous,
+    route to review or drop). One vectorized pass (the same RE2 count
+    stack as langid), all-integer."""
+    from frontera_ray.stages.text import LANG_PATTERNS
+
+    def margins(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch["text"])
+        counts = np.stack([
+            pc.count_substring_regex(lower, pat).to_numpy()
+            for _, pat in LANG_PATTERNS]).astype(np.int64)
+        part = np.sort(counts, axis=0)
+        c1, c2 = part[-1], part[-2]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "c_top1": pa.array(c1, pa.int64()),
+            "c_top2": pa.array(c2, pa.int64()),
+            "margin": pa.array(c1 - c2, pa.int64())})
+
+    out = pa.concat_tables(list(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        .map_batches(margins, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_diameter_est(sf_dir: str):
+    """Graph diameter lower bound via the double-BFS sweep (the
+    standard iFUB-style estimate): BFS from the smallest present node,
+    take the farthest node (max level, tiebreak min id), BFS again
+    from it — the second eccentricity bounds the diameter. Two
+    `pagerank.bfs_levels` passes (streaming edge sweeps against packed
+    frontier bitsets, no shuffle) over the supplier co-purchase
+    graph."""
+    import pandas as pd
+
+    from frontera_ray.stages.pagerank import bfs_levels
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    edges = edges.materialize()
+    # seed = smallest node present in the edge set
+    lo = n_nodes
+    for t in edges.iter_batches(batch_format="pyarrow",
+                                batch_size=None):
+        if len(t):
+            lo = min(lo, int(t["src"].to_numpy().min()),
+                     int(t["dst"].to_numpy().min()))
+    b1 = bfs_levels(edges, n_nodes, [lo], max_depth=32).to_pandas()
+    far1 = b1.sort_values(["lvl", "node"],
+                          ascending=[False, True]).iloc[0]
+    b2 = bfs_levels(edges, n_nodes, [int(far1.node)],
+                    max_depth=32).to_pandas()
+    far2 = b2.sort_values(["lvl", "node"],
+                          ascending=[False, True]).iloc[0]
+    return pd.DataFrame([{
+        "start": np.int64(lo),
+        "far_node": np.int64(far1.node),
+        "ecc": np.int64(far2.lvl),
+        "far_node2": np.int64(far2.node)}])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5514,6 +5577,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quota_sample": q_quota_sample,
     "diverse_sample": q_diverse_sample,
     "markov_probs": q_markov_probs,
+    "langid_margin": q_langid_margin,
+    "diameter_est": q_diameter_est,
 }
 
 
@@ -8621,4 +8686,57 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * n) // sum(n) OVER (
                        PARTITION BY from_val))::BIGINT AS p_ppm
             FROM c ORDER BY from_val, to_val""",
+        "langid_margin": r"""
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b'))::BIGINT AS c_en,
+                len(regexp_extract_all(lower(text), '\b(der|und|die|das|ein)\b'))::BIGINT AS c_de,
+                len(regexp_extract_all(lower(text), '\b(le|la|les|des|une)\b'))::BIGINT AS c_fr,
+                len(regexp_extract_all(lower(text), '\b(el|los|las|una|que)\b'))::BIGINT AS c_es,
+                len(regexp_extract_all(lower(text), '\b(de|le|shi|bu|zai)\b'))::BIGINT AS c_zh
+              FROM documents),
+            u AS (SELECT doc_id, unnest([c_en, c_de, c_fr, c_es, c_zh])
+                    AS cnt FROM c),
+            r AS (SELECT doc_id, cnt, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC) AS rn
+                  FROM u)
+            SELECT doc_id,
+                   max(CASE WHEN rn = 1 THEN cnt END)::BIGINT AS c_top1,
+                   max(CASE WHEN rn = 2 THEN cnt END)::BIGINT AS c_top2,
+                   (max(CASE WHEN rn = 1 THEN cnt END)
+                    - max(CASE WHEN rn = 2 THEN cnt END))::BIGINT
+                     AS margin
+            FROM r GROUP BY doc_id ORDER BY doc_id""",
+        "diameter_est": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_suppkey < y.l_suppkey
+                WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+            und AS (SELECT u AS a, v AS b FROM e
+                    UNION ALL SELECT v, u FROM e),
+            lo AS (SELECT min(a) AS s FROM und),
+            r1(node, lvl) AS (
+                SELECT (SELECT s FROM lo) AS node, 0 AS lvl
+              UNION
+                SELECT und.b, r1.lvl + 1
+                FROM r1 JOIN und ON und.a = r1.node
+                WHERE r1.lvl < 32),
+            m1 AS (SELECT node, min(lvl) AS lvl FROM r1 GROUP BY node),
+            far1 AS (SELECT node FROM m1 ORDER BY lvl DESC, node
+                     LIMIT 1),
+            r2(node, lvl) AS (
+                SELECT (SELECT node FROM far1) AS node, 0 AS lvl
+              UNION
+                SELECT und.b, r2.lvl + 1
+                FROM r2 JOIN und ON und.a = r2.node
+                WHERE r2.lvl < 32),
+            m2 AS (SELECT node, min(lvl) AS lvl FROM r2 GROUP BY node),
+            far2 AS (SELECT node, lvl FROM m2 ORDER BY lvl DESC, node
+                     LIMIT 1)
+            SELECT (SELECT s FROM lo)::BIGINT AS start,
+                   (SELECT node FROM far1)::BIGINT AS far_node,
+                   (SELECT lvl FROM far2)::BIGINT AS ecc,
+                   (SELECT node FROM far2)::BIGINT AS far_node2""",
     }
