@@ -70,6 +70,9 @@ class UrlSeenActor:
     def set_states(self, fps, values) -> None:
         self.shard.set_states(fps, values)
 
+    def unmark(self, fps) -> np.ndarray:
+        return self.shard.unmark(fps)
+
     def seen_count(self) -> int:
         return len(self.shard.states) if self.shard.exact else self.shard.n_seen
 

@@ -288,6 +288,33 @@ class UrlSeenShard:
         self.n_seen += len(batch_new)
         return keep
 
+    def unmark(self, fps) -> np.ndarray:
+        """Remove fingerprints from the seen set so they can be
+        scheduled again (revisit / expiry / retract) — the operation
+        the CUCKOO filter exists for (reference frontera re-schedules
+        revisits by writing a future crawl_at; un-marking the States
+        entry is the equivalent for engines that gate on the seen set).
+        Exact mode deletes dict entries; cuckoo mode deletes filter
+        fingerprints + the overlay; bloom mode raises (a bloom filter
+        cannot delete — configure filter_kind='cuckoo' for
+        revisit-heavy crawls). Returns the removed-mask."""
+        fps = np.asarray(fps, dtype=np.uint64)
+        if self.exact:
+            removed = np.zeros(len(fps), dtype=bool)
+            for i, fp in enumerate(fps):
+                removed[i] = self.states.pop(int(fp), None) is not None
+            self.n_seen -= int(removed.sum())
+            return removed
+        if isinstance(self.bloom, CuckooFilter):
+            removed = self.bloom.delete_batch(fps)
+            for fp in fps[removed]:
+                self.states.pop(int(fp), None)
+            self.n_seen -= int(removed.sum())
+            return removed
+        raise TypeError(
+            "unmark requires exact states or filter_kind='cuckoo' — "
+            "a bloom filter cannot delete")
+
     # -- States-contract operations -----------------------------------------
     def set_states(self, fps, values) -> None:
         """Bulk state update (page_crawled -> CRAWLED, request_error ->

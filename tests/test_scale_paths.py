@@ -209,3 +209,42 @@ def test_cuckoo_mode_crawl_complete(ray_session, tmp_path):
                states_filter="cuckoo")
     urls = c.crawled_urls()
     assert len(urls) == len(set(urls)) == web.total_pages()
+
+
+def test_cuckoo_unmark_enables_recrawl(ray_session, tmp_path):
+    """End-to-end revisit through the deletable URL-seen: crawl all,
+    unmark three pages on their owning shards, re-seed them — they are
+    fetched again (sink holds a second row per unmarked URL) while
+    everything else stays deduped."""
+    import ray
+
+    from frontera_ray.fingerprint import fp64_batch
+    from frontera_ray.pipelines.crawl import RayCrawler
+    from frontera_ray.urls import canonicalize_batch
+
+    web = SyntheticWeb(6, seed=13, max_class=3)
+    c = RayCrawler(web, str(tmp_path / "u"), num_state_shards=2,
+                   num_queue_shards=2, batch_per_shard=64,
+                   exact_states=False, bloom_bits=1 << 20,
+                   states_filter="cuckoo")
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=100)
+    urls = c.crawled_urls()
+    assert len(urls) == len(set(urls)) == web.total_pages()
+
+    revisit = sorted(urls)[:3]
+    fps = fp64_batch(canonicalize_batch(revisit))
+    n_shards = len(c.state_actors)
+    for i, actor in enumerate(c.state_actors):
+        mine = fps[fps % n_shards == i]
+        if len(mine):
+            removed = ray.get(actor.unmark.remote(mine))
+            assert removed.all()
+
+    c.add_seeds(revisit)
+    c.run(max_rounds=100)
+    urls2 = c.crawled_urls()
+    assert len(urls2) == web.total_pages() + 3
+    from collections import Counter
+    dup = {u for u, n in Counter(urls2).items() if n == 2}
+    assert dup == set(revisit)

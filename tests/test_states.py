@@ -154,3 +154,29 @@ def test_urlseen_shard_cuckoo_checkpoint_restore(tmp_path):
     assert r.filter_kind == "cuckoo"
     assert isinstance(r.bloom, CuckooFilter)
     assert not r.check_and_mark(fps).any()  # still all seen
+
+
+def test_unmark_exact_and_cuckoo_allow_revisit():
+    import numpy as np
+    import pytest as _pytest
+
+    from frontera_ray.state.urlseen import UrlSeenShard
+
+    for kw in (dict(exact=True),
+               dict(exact=False, bloom_bits=1 << 20,
+                    filter_kind="cuckoo")):
+        s = UrlSeenShard(0, **kw)
+        fps = np.arange(10, 60, dtype=np.uint64)
+        assert s.check_and_mark(fps).all()
+        assert not s.check_and_mark(fps).any()
+        removed = s.unmark(fps[:20])
+        assert removed.all()
+        # unmarked fingerprints schedule again exactly once
+        assert s.check_and_mark(fps).sum() == 20
+        assert not s.check_and_mark(fps).any()
+
+    b = UrlSeenShard(0, exact=False, bloom_bits=1 << 20,
+                     filter_kind="bloom")
+    b.check_and_mark(np.arange(5, dtype=np.uint64))
+    with _pytest.raises(TypeError):
+        b.unmark(np.arange(5, dtype=np.uint64))
