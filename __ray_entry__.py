@@ -5350,6 +5350,18 @@ def q_diameter_est(sf_dir: str):
         "far_node2": np.int64(far2.node)}])
 
 
+def q_lsh_s_curve(sf_dir: str):
+    """Empirical LSH S-curve (dedup.lsh_s_curve): per Jaccard decile
+    (gram-sharing pairs over the doc_id<200 slice), the ppm of pairs
+    the 16x4 banding proposes — the measured 1-(1-s^r)^b collision
+    curve, the diagnostic that picks (bands, rows) before a
+    corpus-scale dedup run."""
+    from frontera_ray.stages.dedup import lsh_s_curve
+
+    return lsh_s_curve(_read(sf_dir, "documents"),
+                       limit_ids=200).to_pandas()
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5579,6 +5591,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "markov_probs": q_markov_probs,
     "langid_margin": q_langid_margin,
     "diameter_est": q_diameter_est,
+    "lsh_s_curve": q_lsh_s_curve,
 }
 
 
@@ -8739,4 +8752,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT node FROM far1)::BIGINT AS far_node,
                    (SELECT lvl FROM far2)::BIGINT AS ecc,
                    (SELECT node FROM far2)::BIGINT AS far_node2""",
+        "lsh_s_curve": f"""
+            WITH {_minhash_sigs_ctes("WHERE doc_id < 200")},
+            cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+                     FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+                     WHERE {_band_match_clauses()}),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*) AS i
+                      FROM gh x JOIN gh y ON y.h = x.h
+                                         AND y.doc_id > x.doc_id
+                      GROUP BY 1, 2),
+            jb AS (SELECT i.a, i.b,
+                          least(9, (10 * i.i)
+                                // (sa.n + sb.n - i.i))::BIGINT
+                            AS bucket,
+                          (c.a IS NOT NULL)::INT AS is_cand
+                   FROM inter i
+                   JOIN sizes sa ON sa.doc_id = i.a
+                   JOIN sizes sb ON sb.doc_id = i.b
+                   LEFT JOIN cand c ON c.a = i.a AND c.b = i.b)
+            SELECT bucket, count(*)::BIGINT AS n_pairs,
+                   sum(is_cand)::BIGINT AS n_cand,
+                   ((1000000 * sum(is_cand)) // count(*))::BIGINT
+                     AS cand_ppm
+            FROM jb GROUP BY bucket ORDER BY bucket""",
     }

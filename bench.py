@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "coverage_curve", "seq_3grams", "politeness_audit", "dedup_by_source",
     "rfm_features", "split_leakage", "wow_change", "fd_audit", "ri_audit",
     "quota_sample", "diverse_sample", "markov_probs",
-    "langid_margin", "diameter_est",
+    "langid_margin", "diameter_est", "lsh_s_curve",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1593,3 +1593,84 @@ def lsh_banding_eval(ds, limit_ids: int, threshold_pct: int = 50,
             [(1_000_000 * n_hit) // n_cand if n_cand else 0], pa.int64()),
         "recall_ppm": pa.array(
             [(1_000_000 * n_hit) // n_true if n_true else 0], pa.int64())})
+
+
+def lsh_s_curve(ds, limit_ids: int, shingle_k: int = 3,
+                num_perm: int = 64, bands: int = 16) -> pa.Table:
+    """Empirical LSH S-curve over a bounded doc_id slice: for each
+    Jaccard decile (pairs sharing >= 1 gram), the fraction of pairs the
+    16x4 banding would propose as candidates — the measured version of
+    the analytic 1-(1-s^r)^b collision curve, THE diagnostic for
+    picking (bands, rows) before a corpus-scale run (`lsh_banding_eval`
+    gives the single-threshold summary; this is the full curve).
+    Integer-exact (bucket, n_pairs, n_cand, cand_ppm) so the whole
+    measurement oracle-checks.
+
+    Same distributed-brute shape as ``lsh_banding_eval``: slice
+    shingles+signatures broadcast once, per-block decile counters, a
+    20-register driver fold."""
+    import ray
+
+    a_p, b_p = _perm_params(num_perm)
+    rpb = num_perm // bands
+
+    def mask(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() < limit_ids))
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        mask, batch_format="pyarrow")
+    parts = pa.concat_tables(
+        list(base.iter_batches(batch_format="pyarrow", batch_size=None)))
+    set_ids = parts["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(set_ids)
+    set_ids = set_ids[order]
+    texts = np.asarray(parts["text"].to_pylist(), dtype=object)[order]
+    set_shingles = [word_shingles(t, shingle_k, strict=True)
+                    for t in texts]
+    set_sigs = np.stack([minhash_signature(s, a_p, b_p)
+                         for s in set_shingles]) if len(set_ids) else \
+        np.zeros((0, num_perm), np.uint64)
+    ref = ray.put((set_ids, set_shingles, set_sigs))
+    cache: dict = {}
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"reg": pa.array([], pa.int64())})
+        if "s" not in cache:
+            cache["s"] = ray.get(ref)
+        sids, sshingles, ssigs = cache["s"]
+        reg = np.zeros(20, np.int64)  # [pairs(10) ‖ cand(10)]
+        for d, text in zip(batch["doc_id"].to_numpy(),
+                           batch["text"].to_pylist()):
+            sa = word_shingles(text, shingle_k, strict=True)
+            siga = minhash_signature(sa, a_p, b_p)
+            for j, b_id in enumerate(sids):
+                if b_id <= d:
+                    continue
+                inter = int(np.intersect1d(sa, sshingles[j],
+                                           assume_unique=True).size)
+                if inter == 0:
+                    continue  # curve over gram-sharing pairs only
+                union = int(len(sa) + len(sshingles[j]) - inter)
+                bucket = min(9, (10 * inter) // union)
+                eq = siga == ssigs[j]
+                cand = bool(eq.reshape(bands, rpb).all(axis=1).any())
+                reg[bucket] += 1
+                reg[10 + bucket] += cand
+        return pa.table({"reg": pa.array(reg, pa.int64())})
+
+    tot = np.zeros(20, np.int64)
+    for t in base.map_batches(block_hist, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        reg = t["reg"].to_numpy()
+        if len(reg):
+            tot += reg.reshape(-1, 20).sum(axis=0)
+    n_pairs, n_cand = tot[:10], tot[10:]
+    keep = n_pairs > 0
+    buckets = np.flatnonzero(keep)
+    return pa.table({
+        "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+        "n_pairs": pa.array(n_pairs[keep], pa.int64()),
+        "n_cand": pa.array(n_cand[keep], pa.int64()),
+        "cand_ppm": pa.array(
+            (1_000_000 * n_cand[keep]) // n_pairs[keep], pa.int64())})
