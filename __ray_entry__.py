@@ -5184,9 +5184,15 @@ def q_ri_audit(sf_dir: str):
             "orphan_lineitems": pa.array([orphan], pa.int64()),
             "childless_orders": pa.array([childless], pa.int64())})
 
+    from frontera_ray.stages.relational import cluster_cpus
+
     tot = np.zeros(2, np.int64)
+    # ~150k order keys: the groups path pays a map_groups call per key
+    # (10.7 s measured at sf0.1/32); the kernel is run-aware, so the
+    # hash path drops in (~1.5 s)
     for t in keyed_exchange(li.union(orders), "k", audit_block,
-                            "groups") \
+                            "hash" if cluster_cpus() >= 16
+                            else "groups") \
             .iter_batches(batch_format="pyarrow", batch_size=None):
         if len(t):
             tot += np.array([int(t["orphan_lineitems"].to_numpy().sum()),
