@@ -5368,6 +5368,322 @@ def q_lsh_s_curve(sf_dir: str):
                        limit_ids=200).to_pandas()
 
 
+
+
+def _event_score_label(sf_dir: str):
+    """Shared derive for the ML-eval queries: the event value in exact
+    cents as the 'model score' and event_type == 'purchase' as the
+    binary label (a deterministic stand-in for any learned gate's
+    score/label pair — the eval machinery is the operator)."""
+    return (_read(sf_dir, "events")
+            .select_columns(["event_type", "value"])
+            .map_batches(lambda b: pa.table({
+                "score_c": pa.array(np.floor(
+                    b["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+                    pa.int64()),
+                "lab": pa.array(
+                    pc.equal(b["event_type"], "purchase").to_numpy(
+                        zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+            }), batch_format="pyarrow"))
+
+
+def q_auc_roc(sf_dir: str):
+    """EXACT ROC AUC (relational.roc_auc_binary) of the event value as
+    a predictor of the 'purchase' label — the threshold-free
+    ranking-quality number any learned filter (quality classifier,
+    near-dup scorer) reports before its threshold is chosen.
+    Mann-Whitney rank identity with midrank ties, ALL-INTEGER
+    (auc_num2 / auc_den2 = 2PN), so the whole statistic hash-checks.
+    One value-count register pass (the ks_2sample partial-combine
+    shape): the corpus never moves, only the bounded cents domain."""
+    from frontera_ray.stages.relational import roc_auc_binary
+
+    return roc_auc_binary(_event_score_label(sf_dir),
+                          "score_c", "lab").to_pandas()
+
+
+def _event_conf_label(sf_dir: str):
+    """Confidence in integer percent-cents [0,100]: cents/500 rounded
+    (value spans ~[0,500]) — the deterministic 'predicted probability'
+    column the calibration queries bin."""
+    return _event_score_label(sf_dir).map_batches(
+        lambda b: pa.table({
+            "conf_c": pa.array(np.minimum(
+                (b["score_c"].to_numpy() + 250) // 500, 100), pa.int64()),
+            "lab": b["lab"],
+        }), batch_format="pyarrow")
+
+
+def q_calibration_bins(sf_dir: str):
+    """Reliability-diagram table (relational.calibration_table): 10
+    confidence bins x (n, positives, exact confidence sum, acc_ppm,
+    conf_ppm) — the is-the-model-calibrated read run on every learned
+    gate before its scores are trusted as probabilities. One combiner
+    aggregate over the bounded bin space; every column integer."""
+    from frontera_ray.stages.relational import calibration_table
+
+    return calibration_table(_event_conf_label(sf_dir), "conf_c", "lab",
+                             n_bins=10, conf_max=100)
+
+
+def q_ece(sf_dir: str):
+    """Expected Calibration Error, INTEGER-EXACT: because
+    |acc_b − conf_b| = |100·pos_b − conf_sum_b| / (100·n_b), the
+    n_b/N-weighted sum telescopes to ece_num = Σ_b |100·pos_b −
+    conf_sum_b| over ece_den = 100·N — no per-bin division, so the
+    one-number calibration summary hash-checks exactly. Folds the
+    `calibration_bins` combiner output (bin-scale) on the driver."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import calibration_table
+
+    bins = calibration_table(_event_conf_label(sf_dir), "conf_c", "lab",
+                             n_bins=10, conf_max=100)
+    num = int(np.abs(100 * bins["n_pos"].to_numpy().astype(np.int64)
+                     - bins["conf_sum_c"].to_numpy().astype(
+                         np.int64)).sum())
+    n_total = int(bins["n"].to_numpy().sum())
+    den = 100 * n_total
+    return pd.DataFrame([{
+        "n_total": n_total, "ece_num": num, "ece_den": den,
+        "ece_micro": (1_000_000 * num) // den if den else 0,
+    }]).astype("int64")
+
+
+def q_cusum_change(sf_dir: str):
+    """Per-user CUSUM changepoint magnitude
+    (relational.per_key_cusum): max_i |n·prefix_i − i·total| over each
+    user's time-ordered value series (exact cents) — flags a mid-series
+    level shift (the per-host yield-drop detector beside
+    `group_trend`'s monotone slope; Page 1954's cumulative-sum test
+    kept integral). ONE keyed exchange, run-aware vectorized kernel
+    (cumsum + reduceat per run)."""
+    from frontera_ray.stages.relational import per_key_cusum
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts": b["ts"],
+              "event_id": b["event_id"],
+              "v": pa.array(np.floor(
+                  b["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+                  pa.int64()),
+          }), batch_format="pyarrow"))
+    out = per_key_cusum(ev, "user_id", "ts", "v",
+                        tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_NDCG_DISC = np.array([1000000, 630930, 500000, 430677, 386853,
+                       356207, 333333, 315465, 301030, 289065],
+                      dtype=np.int64)
+_NDCG_DISC_SQL = ("CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930 "
+                  "WHEN 3 THEN 500000 WHEN 4 THEN 430677 "
+                  "WHEN 5 THEN 386853 WHEN 6 THEN 356207 "
+                  "WHEN 7 THEN 333333 WHEN 8 THEN 315465 "
+                  "WHEN 9 THEN 301030 WHEN 10 THEN 289065 END")
+
+
+def _doc_rank_rel(sf_dir: str):
+    """Shared derive for the ranking-eval queries: per doc its language
+    (the 'query' group), punctuation count (the 'model score' ranking
+    key — deliberately independent of the relevance label) and a
+    graded length relevance (2: n_chars>=450, 1: >=300, else 0 —
+    thresholds at the corpus ~p90/~median so every grade is
+    populated at all scale factors)."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        n_chars = b["n_chars"].to_numpy()
+        rel = np.where(n_chars >= 450, 2,
+                       np.where(n_chars >= 300, 1, 0)).astype(np.int64)
+        n_punct = pc.count_substring_regex(
+            b["text"], "[.!,;:?]").to_numpy().astype(np.int64)
+        return pa.table({"lang": b["lang"], "doc_id": b["doc_id"],
+                         "n_punct": pa.array(n_punct, pa.int64()),
+                         "rel": pa.array(rel, pa.int64())})
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "lang", "n_chars", "text"])
+            .map_batches(derive, batch_format="pyarrow"))
+
+
+def q_ndcg10(sf_dir: str):
+    """NDCG@10 per language group — the graded ranking-quality eval
+    (Järvelin & Kekäläinen 2002) of the punctuation 'model score'
+    against length relevance. Discount weights are PINNED integer
+    micro-constants (floor(10^6/log2(r+1)+0.5) for r=1..10, identical
+    literals in the SQL twin), so DCG, ideal DCG and the final ppm
+    ratio are integer-exact end to end. Distributed shape: ONE keyed
+    exchange for the per-group top-10 (relational.per_key_rank) plus
+    one combiner aggregate for the per-group relevance counts (the
+    ideal list needs only how many rel-2 / rel-1 docs exist); the
+    driver folds group-count-scale rows."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                per_key_rank)
+
+    ds = _doc_rank_rel(sf_dir)
+    ranked = pa.concat_tables(list(
+        per_key_rank(ds, "lang", "n_punct", k=10, descending=True,
+                     tiebreak="doc_id", rank_col="rk")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))         .to_pandas()
+    counts = partial_groupby_agg(
+        ds.map_batches(lambda b: pa.table({
+            "lang": b["lang"],
+            "r2": pa.array((b["rel"].to_numpy() == 2).astype(np.int64)),
+            "r1": pa.array((b["rel"].to_numpy() == 1).astype(np.int64)),
+        }), batch_format="pyarrow"),
+        "lang", {"n2": ("r2", "sum"), "n1": ("r1", "sum")})
+    dcg = (ranked.assign(
+        w=lambda d: d["rel"].to_numpy()
+        * _NDCG_DISC[d["rk"].to_numpy() - 1])
+        .groupby("lang", as_index=False)["w"].sum()
+        .rename(columns={"w": "dcg_micro"}))
+    rows = []
+    for _, row in counts.iterrows():
+        n2, n1 = int(row["n2"]), int(row["n1"])
+        ideal = ([2] * min(n2, 10) + [1] * max(0, min(n1, 10 - n2)))[:10]
+        idcg = int(sum(r * int(_NDCG_DISC[i])
+                       for i, r in enumerate(ideal)))
+        rows.append({"lang": row["lang"], "idcg_micro": idcg})
+    out = dcg.merge(pd.DataFrame(rows), on="lang", how="outer")
+    out["dcg_micro"] = out["dcg_micro"].fillna(0).astype("int64")
+    out["idcg_micro"] = out["idcg_micro"].fillna(0).astype("int64")
+    idcg = out["idcg_micro"].to_numpy()
+    dcgv = out["dcg_micro"].to_numpy()
+    out["ndcg_ppm"] = np.where(
+        idcg > 0, (1_000_000 * dcgv) // np.maximum(idcg, 1), 0)         .astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_mrr(sf_dir: str):
+    """Mean-reciprocal-rank inputs per language group: the rank of the
+    FIRST highly-relevant doc (rel=2, n_chars>=450) under the punctuation ranking,
+    and rr_micro = 10^6 // rank — the did-the-ranker-surface-anything
+    eval beside `ndcg10`'s graded gain. Two bounded passes, no global
+    sort: (1) per-group best relevant row (per_key_topk k=1 on the
+    relevant slice); (2) a combiner count of rows ranked strictly
+    better than it (score desc, id asc) — rank = 1 + count. Groups
+    with no relevant doc emit no row (same as the SQL twin)."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                per_key_topk)
+
+    ds = _doc_rank_rel(sf_dir)
+    rel = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["rel"], 2)),
+        batch_format="pyarrow")
+    best = pa.concat_tables(list(
+        per_key_topk(rel, "lang", "n_punct", k=1, descending=True,
+                     tiebreak="doc_id")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))         .to_pandas()
+    if len(best) == 0:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "first_rank": pd.Series([], dtype="int64"),
+                             "rr_micro": pd.Series([], dtype="int64")})
+    tgt = {r["lang"]: (int(r["n_punct"]), int(r["doc_id"]))
+           for _, r in best.iterrows()}
+
+    def better(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        np_ = b["n_punct"].to_numpy()
+        did = b["doc_id"].to_numpy()
+        flags = np.zeros(len(b), np.int64)
+        for lg, (p_star, d_star) in tgt.items():
+            m = lang == lg
+            flags[m] = ((np_[m] > p_star)
+                        | ((np_[m] == p_star) & (did[m] < d_star)))                 .astype(np.int64)
+        return pa.table({"lang": b["lang"],
+                         "bet": pa.array(flags, pa.int64())})
+
+    cnt = partial_groupby_agg(
+        ds.map_batches(better, batch_format="pyarrow"),
+        "lang", {"n_better": ("bet", "sum")})
+    cnt = cnt[cnt["lang"].isin(tgt)]
+    cnt["first_rank"] = cnt["n_better"].astype("int64") + 1
+    cnt["rr_micro"] = (1_000_000 // cnt["first_rank"]).astype("int64")
+    return cnt[["lang", "first_rank", "rr_micro"]]         .sort_values("lang").reset_index(drop=True)
+
+
+def q_link_predict(sf_dir: str):
+    """Per-edge link-prediction / embeddedness indices
+    (pagerank.link_prediction_edges) over the supplier co-purchase
+    graph: common-neighbor count, integer resource-allocation score
+    (Σ 10^6 // deg(z), Zhou-Lü-Zhang 2009) and neighborhood-Jaccard
+    ppm — the tie-strength features a spam/link-ring or
+    recommendation model consumes. Bitset adjacency from ONE
+    idempotent-OR pass, node-range fan-out against the broadcast
+    bitset, vectorized popcount + weight matmul; ALL-INTEGER."""
+    from frontera_ray.stages.pagerank import link_prediction_edges
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = link_prediction_edges(edges, n_nodes).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def q_bloom_sizing(sf_dir: str):
+    """Bloom-filter capacity plan per corpus source — the sizing read
+    the crawl's URL-seen shards (state/urlseen.py) run before
+    allocation: for n keys at 1% FPR, m = ceil(n·ln(0.01)/ln(2)²)
+    bits and k = round(m/n·ln 2) hashes, both via PINNED integer
+    approximation constants (9.5851 bits/key and ln2·10^6 = 693147 —
+    identical literals in the SQL twin, so the plan is exact BY
+    CONSTRUCTION, no float libm parity risk). One combiner count per
+    source + vectorized integer math."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    g = partial_groupby_agg(
+        _read(sf_dir, "documents").select_columns(["source"])
+        .map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(len(b), np.int64))),
+            batch_format="pyarrow"),
+        "source", {"n": ("one", "sum")})
+    n = g["n"].to_numpy().astype(np.int64)
+    m_bits = (n * 95851 + 9999) // 10000
+    g["m_bits"] = m_bits
+    g["k_hashes"] = np.maximum(
+        1, (m_bits * 693147 + n * 500000) // (n * 1_000_000))
+    g["n_bytes"] = (m_bits + 7) // 8
+    return g.sort_values("source").reset_index(drop=True)
+
+
+def q_shard_plan(sf_dir: str):
+    """Hash-shard load plan: assign every event's user to one of 16
+    shards by the repo's md5-top-32 hash (sampling.hash_u32 — the same
+    pure-function-of-the-key contract as the crawl's host partitioner)
+    and report per-shard rows, distinct keys and load_ppm =
+    10^6·n_rows·16 // total — the skew read taken BEFORE committing a
+    partitioning key (a shard far above 10^6 ppm says salt it). One
+    vectorized hash pass; per-shard distinct keys via the dedup
+    combiner (relational.grouped_count_distinct); counts are a
+    combiner aggregate."""
+    from frontera_ray.stages.relational import (grouped_count_distinct,
+                                                partial_groupby_agg)
+    from frontera_ray.stages.sampling import hash_u32
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = hash_u32(b["user_id"].to_pylist())
+        return pa.table({
+            "shard": pa.array((h % 16).astype(np.int64), pa.int64()),
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "events").select_columns(["user_id"])         .map_batches(assign, batch_format="pyarrow")
+    rows = partial_groupby_agg(ds, "shard", {"n_rows": ("one", "sum")})
+    keys = grouped_count_distinct(ds, "shard", "user_id",
+                                  combine="driver")
+    out = rows.merge(keys, on="shard")
+    total = int(out["n_rows"].sum())
+    out["n_keys"] = out["n_distinct"].astype("int64")
+    out["load_ppm"] = (1_000_000 * out["n_rows"].astype("int64") * 16
+                       ) // total
+    return out[["shard", "n_rows", "n_keys", "load_ppm"]]         .sort_values("shard").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5598,6 +5914,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid_margin": q_langid_margin,
     "diameter_est": q_diameter_est,
     "lsh_s_curve": q_lsh_s_curve,
+    "auc_roc": q_auc_roc,
+    "calibration_bins": q_calibration_bins,
+    "ece": q_ece,
+    "cusum_change": q_cusum_change,
+    "ndcg10": q_ndcg10,
+    "mrr": q_mrr,
+    "link_predict": q_link_predict,
+    "bloom_sizing": q_bloom_sizing,
+    "shard_plan": q_shard_plan,
 }
 
 
@@ -8782,4 +9107,176 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * sum(is_cand)) // count(*))::BIGINT
                      AS cand_ppm
             FROM jb GROUP BY bucket ORDER BY bucket""",
+        "auc_roc": """
+            WITH p AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS s,
+                              (event_type = 'purchase')::BIGINT AS lab
+                       FROM events),
+            c AS (SELECT s, sum(lab)::BIGINT AS p,
+                         sum(1 - lab)::BIGINT AS n
+                  FROM p GROUP BY 1),
+            cum AS (SELECT s, p, n,
+                           coalesce(sum(n) OVER (
+                               ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS cn
+                    FROM c)
+            SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+                   sum(p * (2*cn + n))::BIGINT AS auc_num2,
+                   (2 * sum(p) * sum(n))::BIGINT AS auc_den2,
+                   ((1000000 * sum(p * (2*cn + n)))
+                    // (2 * sum(p) * sum(n)))::BIGINT AS auc_ppm
+            FROM cum""",
+        "calibration_bins": """
+            WITH p AS (SELECT least((CAST(floor(value*100 + 0.5)
+                                          AS BIGINT) + 250) // 500,
+                                    100) AS cc,
+                              (event_type = 'purchase')::BIGINT AS lab
+                       FROM events),
+            b AS (SELECT least(cc // 10, 9) AS bin,
+                         count(*)::BIGINT AS n,
+                         sum(lab)::BIGINT AS n_pos,
+                         sum(cc)::BIGINT AS conf_sum_c
+                  FROM p GROUP BY 1)
+            SELECT bin, n, n_pos, conf_sum_c,
+                   ((1000000 * n_pos) // n)::BIGINT AS acc_ppm,
+                   ((1000000 * conf_sum_c) // (100 * n))::BIGINT
+                     AS conf_ppm
+            FROM b ORDER BY bin""",
+        "ece": """
+            WITH p AS (SELECT least((CAST(floor(value*100 + 0.5)
+                                          AS BIGINT) + 250) // 500,
+                                    100) AS cc,
+                              (event_type = 'purchase')::BIGINT AS lab
+                       FROM events),
+            b AS (SELECT least(cc // 10, 9) AS bin,
+                         count(*)::BIGINT AS n,
+                         sum(lab)::BIGINT AS n_pos,
+                         sum(cc)::BIGINT AS conf_sum_c
+                  FROM p GROUP BY 1)
+            SELECT sum(n)::BIGINT AS n_total,
+                   sum(abs(100*n_pos - conf_sum_c))::BIGINT AS ece_num,
+                   (100 * sum(n))::BIGINT AS ece_den,
+                   ((1000000 * sum(abs(100*n_pos - conf_sum_c)))
+                    // (100 * sum(n)))::BIGINT AS ece_micro
+            FROM b""",
+        "cusum_change": """
+            WITH x AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            w AS (SELECT user_id,
+                         sum(v) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS c,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS i
+                  FROM x),
+            t AS (SELECT user_id, count(*)::BIGINT AS n,
+                         sum(v)::BIGINT AS total
+                  FROM x GROUP BY 1)
+            SELECT w.user_id, t.n, t.total,
+                   max(abs(t.n * w.c - w.i * t.total))::BIGINT
+                     AS cusum_max
+            FROM w JOIN t USING (user_id)
+            GROUP BY 1, 2, 3 ORDER BY 1""",
+        "ndcg10": f"""
+            WITH f AS (SELECT doc_id, lang, n_chars,
+                              len(regexp_extract_all(text, '[.!,;:?]'))
+                                AS n_punct
+                       FROM documents),
+            g AS (SELECT lang, doc_id,
+                         CASE WHEN n_chars >= 450 THEN 2
+                              WHEN n_chars >= 300 THEN 1
+                              ELSE 0 END AS rel,
+                         n_punct
+                  FROM f),
+            r AS (SELECT lang, rel,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_punct DESC,
+                                                     doc_id) AS rk
+                  FROM g),
+            dc AS (SELECT lang,
+                          sum(rel * ({_NDCG_DISC_SQL}))::BIGINT
+                            AS dcg_micro
+                   FROM r WHERE rk <= 10 GROUP BY 1),
+            ir AS (SELECT lang, rel,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY rel DESC) AS rk
+                   FROM g),
+            idc AS (SELECT lang,
+                           sum(rel * ({_NDCG_DISC_SQL}))::BIGINT
+                             AS idcg_micro
+                    FROM ir WHERE rk <= 10 GROUP BY 1)
+            SELECT dc.lang, dc.dcg_micro, idc.idcg_micro,
+                   CASE WHEN idc.idcg_micro > 0
+                        THEN (1000000 * dc.dcg_micro) // idc.idcg_micro
+                        ELSE 0 END::BIGINT AS ndcg_ppm
+            FROM dc JOIN idc USING (lang) ORDER BY lang""",
+        "mrr": """
+            WITH f AS (SELECT doc_id, lang, n_chars,
+                              len(regexp_extract_all(text, '[.!,;:?]'))
+                                AS n_punct
+                       FROM documents),
+            r AS (SELECT lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_punct DESC,
+                                                     doc_id) AS rk
+                  FROM f)
+            SELECT lang, min(rk)::BIGINT AS first_rank,
+                   (1000000 // min(rk))::BIGINT AS rr_micro
+            FROM r WHERE n_chars >= 450
+            GROUP BY lang ORDER BY lang""",
+        "link_predict": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_suppkey < y.l_suppkey
+                WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+            d AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM e
+                UNION ALL SELECT v, u FROM e),
+            deg AS MATERIALIZED (
+                SELECT a, count(*)::BIGINT AS dg FROM d GROUP BY 1),
+            cn AS (SELECT e.u, e.v, d1.b AS z
+                   FROM e
+                   JOIN d d1 ON d1.a = e.u
+                   JOIN d d2 ON d2.a = e.v AND d2.b = d1.b),
+            agg AS (SELECT u, v, count(*)::BIGINT AS cn,
+                           sum(1000000 // dz.dg)::BIGINT AS ra_micro
+                    FROM cn JOIN deg dz ON dz.a = cn.z
+                    GROUP BY 1, 2)
+            SELECT e.u, e.v,
+                   coalesce(a.cn, 0)::BIGINT AS cn,
+                   coalesce(a.ra_micro, 0)::BIGINT AS ra_micro,
+                   ((1000000 * coalesce(a.cn, 0))
+                    // (du.dg + dv.dg - coalesce(a.cn, 0)))::BIGINT
+                     AS jac_ppm
+            FROM e
+            LEFT JOIN agg a ON a.u = e.u AND a.v = e.v
+            JOIN deg du ON du.a = e.u
+            JOIN deg dv ON dv.a = e.v
+            ORDER BY e.u, e.v""",
+        "bloom_sizing": """
+            WITH s AS (SELECT source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            m AS (SELECT source, n,
+                         (n * 95851 + 9999) // 10000 AS m_bits
+                  FROM s)
+            SELECT source, n, m_bits,
+                   greatest(1, (m_bits * 693147 + n * 500000)
+                               // (n * 1000000))::BIGINT AS k_hashes,
+                   ((m_bits + 7) // 8)::BIGINT AS n_bytes
+            FROM m ORDER BY source""",
+        "shard_plan": """
+            WITH h AS (SELECT user_id,
+                              ('0x' || substr(md5(user_id::VARCHAR),
+                                              1, 8))::BIGINT % 16
+                                AS shard
+                       FROM events),
+            s AS (SELECT shard, count(*)::BIGINT AS n_rows,
+                         count(DISTINCT user_id)::BIGINT AS n_keys
+                  FROM h GROUP BY 1),
+            t AS (SELECT sum(n_rows)::BIGINT AS tot FROM s)
+            SELECT shard, n_rows, n_keys,
+                   ((1000000 * n_rows * 16) // tot)::BIGINT AS load_ppm
+            FROM s, t ORDER BY shard""",
     }

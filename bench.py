@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "rfm_features", "split_leakage", "wow_change", "fd_audit", "ri_audit",
     "quota_sample", "diverse_sample", "markov_probs",
     "langid_margin", "diameter_est", "lsh_s_curve",
+    "auc_roc", "calibration_bins", "ece", "cusum_change", "ndcg10",
+    "mrr", "link_predict", "bloom_sizing", "shard_plan",
 ]
 
 CRAWL_HOSTS = 8192

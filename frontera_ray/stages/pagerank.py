@@ -709,3 +709,89 @@ def assortativity_sums(edges_ds, n_nodes: int,
                      "s1": pa.array([int(tot[1])], pa.int64()),
                      "sxx": pa.array([int(tot[2])], pa.int64()),
                      "sxy": pa.array([int(tot[3])], pa.int64())})
+
+
+def link_prediction_edges(edges_ds, n_nodes: int,
+                          num_blocks: int = 32) -> pa.Table:
+    """Neighborhood-similarity link-prediction indices for every
+    distinct edge (u < v), ALL-INTEGER so the operator hash-checks:
+
+    - ``cn``       — common-neighbor count |N(u) ∩ N(v)|
+                     (Newman 2001's baseline index),
+    - ``ra_micro`` — resource-allocation index Σ_z 10^6 // deg(z)
+                     over common neighbors z (Zhou, Lü & Zhang 2009 —
+                     the AA/RA family member that stays integer-exact;
+                     Adamic-Adar's 1/ln(deg) weight is one float map
+                     away),
+    - ``jac_ppm``  — neighborhood Jaccard
+                     10^6·cn // (deg(u) + deg(v) − cn).
+
+    On an edge stream these score EMBEDDEDNESS (how clique-like each
+    link is — link-ring/community structure, the tie-strength feature
+    a spam or recommendation model consumes); on a candidate non-edge
+    stream the same kernel ranks missing-link likelihood.
+
+    Scale shape: the bitset adjacency builds from ONE idempotent-OR
+    pass (no dedup exchange, the ``triangle_count`` pattern); degree
+    and the 10^6//deg weight vector are node-bounded, broadcast once
+    via ``ray.put``. Edge enumeration + scoring fan out over node
+    ranges against the broadcast bitset: per range, common-neighbor
+    bitsets reduce with popcount (cn) and an unpacked-bits × weight
+    matmul (ra) — vectorized, never per-edge Python. Output is
+    edge-scale; node ranges shard it evenly."""
+    import ray
+
+    n = int(n_nodes)
+    adj = _bitset_adjacency(edges_ds, n)
+    deg = _POPCOUNT8[adj].sum(axis=1).astype(np.int64)
+    w = np.zeros(n, dtype=np.int64)
+    nz = deg > 0
+    w[nz] = 1_000_000 // deg[nz]
+    adj_ref = ray.put(adj)
+    deg_ref = ray.put(deg)
+    w_ref = ray.put(w)
+
+    def score_range(batch) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "cn": pa.array([], pa.int64()),
+                          "ra_micro": pa.array([], pa.int64()),
+                          "jac_ppm": pa.array([], pa.int64())})
+        ids = batch["id"].to_numpy() if len(batch["id"]) else \
+            np.empty(0, np.int64)
+        if len(ids) == 0:
+            return empty
+        a = ray.get(adj_ref)
+        dg = ray.get(deg_ref)
+        wt = ray.get(w_ref)
+        # this range's deduped upper edges, straight off the bitset
+        bits = np.unpackbits(a[ids], axis=1, bitorder="little")[:, :n]
+        upper = bits.astype(bool) & (np.arange(n)[None, :] > ids[:, None])
+        ui, v = np.nonzero(upper)
+        u = ids[ui]
+        if len(u) == 0:
+            return empty
+        common = a[u] & a[v]
+        cn = _POPCOUNT8[common].sum(axis=1).astype(np.int64)
+        cbits = np.unpackbits(common, axis=1, bitorder="little")[:, :n]
+        ra = cbits.astype(np.int64) @ wt
+        den = dg[u] + dg[v] - cn
+        jac = (1_000_000 * cn) // den
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "cn": pa.array(cn, pa.int64()),
+                         "ra_micro": pa.array(ra, pa.int64()),
+                         "jac_ppm": pa.array(jac, pa.int64())})
+
+    nodes = ray.data.range(n, override_num_blocks=num_blocks)
+    parts = [t for t in nodes.map_batches(
+        score_range, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if len(t)]
+    if not parts:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "cn": pa.array([], pa.int64()),
+                         "ra_micro": pa.array([], pa.int64()),
+                         "jac_ppm": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)

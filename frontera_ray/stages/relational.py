@@ -3561,3 +3561,151 @@ def grouped_ols_trend(ds, key_col: str, t_col: str, y_col: str):
     out["trend_num"] = n * sty - st * sy
     out["trend_den"] = n * stt - st * st
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def roc_auc_binary(ds, score_col: str, label_col: str) -> pa.Table:
+    """EXACT ROC AUC for a binary label over an integer score column —
+    the threshold-free ranking-quality number for any learned gate
+    (quality classifier, near-dup scorer, langid confidence). Uses the
+    Mann-Whitney rank identity with midrank tie handling, kept fully
+    integer so the statistic hash-checks:
+
+        auc_num2 = Σ_s pos(s)·(2·cum_neg(<s) + neg(s))
+        auc_den2 = 2·P·N,   AUC = auc_num2 / auc_den2
+
+    Scale shape: the same value-count register pass as ``ks_2sample``
+    (per-block (score, pos, neg) partials via np.unique/bincount; the
+    driver merges distinct-SCORE-scale partials and prefix-sums) —
+    the corpus never moves, only the bounded score domain does.
+    ``score_col`` must already be integer (discretize upstream with
+    the exact-cents floor); ``label_col`` is 0/1. Returns one row
+    (n_pos, n_neg, auc_num2, auc_den2, auc_ppm)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        p = np.bincount(inv, weights=lab, minlength=len(us))
+        n = np.bincount(inv, weights=1 - lab, minlength=len(us))
+        return pa.table({"s": pa.array(us, pa.int64()),
+                         "p": pa.array(p.astype(np.int64), pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, p, n in zip(t["s"].to_numpy(), t["p"].to_numpy(),
+                           t["n"].to_numpy()):
+            cur = acc.setdefault(int(s), [0, 0])
+            cur[0] += int(p)
+            cur[1] += int(n)
+    if not acc:
+        return pa.table({"n_pos": pa.array([0], pa.int64()),
+                         "n_neg": pa.array([0], pa.int64()),
+                         "auc_num2": pa.array([0], pa.int64()),
+                         "auc_den2": pa.array([0], pa.int64()),
+                         "auc_ppm": pa.array([0], pa.int64())})
+    ss = np.array(sorted(acc), dtype=np.int64)
+    p = np.array([acc[int(s)][0] for s in ss], dtype=np.int64)
+    n = np.array([acc[int(s)][1] for s in ss], dtype=np.int64)
+    cum_neg_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+    num2 = int((p * (2 * cum_neg_before + n)).sum())
+    P, N = int(p.sum()), int(n.sum())
+    den2 = 2 * P * N
+    return pa.table({
+        "n_pos": pa.array([P], pa.int64()),
+        "n_neg": pa.array([N], pa.int64()),
+        "auc_num2": pa.array([num2], pa.int64()),
+        "auc_den2": pa.array([den2], pa.int64()),
+        "auc_ppm": pa.array([(1_000_000 * num2) // den2 if den2 else 0],
+                            pa.int64())})
+
+
+def calibration_table(ds, conf_col: str, label_col: str,
+                      n_bins: int = 10, conf_max: int = 100):
+    """Reliability-diagram bins for a binary label vs an integer
+    confidence column (cents in [0, conf_max]) — the is-the-model-
+    calibrated read behind any score-thresholded gate. Per bin
+    (confidence // (conf_max/n_bins), clamped): row count, positives
+    and the exact integer confidence sum, plus acc_ppm / conf_ppm —
+    every column integer so the table hash-checks. One combiner
+    aggregate over the bounded bin space (``partial_groupby_agg``).
+    Returns a pandas DataFrame (bin, n, n_pos, conf_sum_c, acc_ppm,
+    conf_ppm)."""
+    width = conf_max // n_bins
+
+    def derive(batch: pa.Table) -> pa.Table:
+        c = batch[conf_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(c // width, n_bins - 1)
+        return pa.table({"bin": pa.array(b, pa.int64()),
+                         "one": pa.array(np.ones(len(b), np.int64)),
+                         "lab": pa.array(lab, pa.int64()),
+                         "conf": pa.array(c, pa.int64())})
+
+    g = partial_groupby_agg(
+        ds.map_batches(derive, batch_format="pyarrow"), "bin",
+        {"n": ("one", "sum"), "n_pos": ("lab", "sum"),
+         "conf_sum_c": ("conf", "sum")})
+    n = g["n"].to_numpy().astype(np.int64)
+    g["acc_ppm"] = (1_000_000 * g["n_pos"].to_numpy().astype(np.int64)) // n
+    g["conf_ppm"] = (1_000_000 * g["conf_sum_c"].to_numpy().astype(
+        np.int64)) // (conf_max * n)
+    return g.sort_values("bin").reset_index(drop=True)
+
+
+def per_key_cusum(ds, key_col: str, order_col: str, val_col: str,
+                  tiebreak: str | None = None,
+                  exchange: str = "groups") -> "object":
+    """Per-key CUSUM changepoint magnitude, INTEGER-EXACT: for each
+    key's ordered integer series v_1..v_n,
+
+        cusum_max = max_i |n·prefix_i − i·total|
+
+    (the mean-shift CUSUM statistic scaled by n to stay integral —
+    divide by n·σ̂ downstream to normalize). A large value flags a
+    level shift mid-series: the per-host yield-drop / drift detector
+    that complements ``grouped_ols_trend``'s monotone slope. ONE keyed
+    exchange; the run-aware kernel lexsorts (tiebreak, order, key) and
+    folds each run with vectorized cumsum + reduceat. Emits one row
+    per key (key, n, total, cusum_max)."""
+
+    def block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], batch[key_col].type),
+                             "n": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "cusum_max": pa.array([], pa.int64())})
+        keyv = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(keyv)
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, o, keys))
+        else:
+            order = np.lexsort((o, keys))
+        sk, sv = keys[order], v[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        counts = np.diff(np.append(starts, len(sk)))
+        csum = np.cumsum(sv)
+        base = np.concatenate(([0], csum[starts[1:] - 1]))
+        prefix = csum - base[run_id]               # within-run cumsum
+        i = np.arange(len(sk), dtype=np.int64) - starts[run_id] + 1
+        total = prefix[np.append(starts[1:], len(sk)) - 1]
+        n_run = counts.astype(np.int64)
+        dev = np.abs(n_run[run_id] * prefix - i * total[run_id])
+        cmax = np.maximum.reduceat(dev, starts)
+        return pa.table({key_col: pa.array(keyv[order][starts]),
+                         "n": pa.array(n_run, pa.int64()),
+                         "total": pa.array(total, pa.int64()),
+                         "cusum_max": pa.array(cmax.astype(np.int64),
+                                               pa.int64())})
+
+    return keyed_exchange(ds, key_col, block, exchange)
