@@ -5684,6 +5684,123 @@ def q_shard_plan(sf_dir: str):
     return out[["shard", "n_rows", "n_keys", "load_ppm"]]         .sort_values("shard").reset_index(drop=True)
 
 
+
+
+def q_two_hop_reach(sf_dir: str):
+    """Exact 2-hop neighborhood size per supplier
+    (pagerank.two_hop_reach): |{w != v : dist(v,w) <= 2}| — the
+    neighborhood-expansion read beside degree (how fast influence
+    spreads from this node; the radius-2 point ANF/HyperBall
+    approximate at scale). Bitset adjacency from ONE idempotent-OR
+    pass, node-range fan-out, per-node OR-reduction of neighbor rows +
+    popcount; node-bounded output, ALL-INTEGER."""
+    from frontera_ray.stages.pagerank import two_hop_reach
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = two_hop_reach(edges, n_nodes).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al. 2007 — the
+    k-anonymity refinement): quasi-identifier groups (lang,
+    n_chars//100) whose SENSITIVE attribute (source) takes fewer than
+    l=3 distinct values — a group can be k-anonymous yet leak the
+    sensitive value if all members share it. Per-block distinct-pair
+    combiner (relational.grouped_count_distinct) + one combiner count
+    over the bounded QI space; violation-scale output."""
+    from frontera_ray.stages.relational import (grouped_count_distinct,
+                                                partial_groupby_agg)
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["lang", "source", "n_chars"])
+          .map_batches(lambda b: pa.table({
+              "qi": pc.binary_join_element_wise(
+                  b["lang"],
+                  pc.cast(pc.divide(b["n_chars"], 100), pa.string()),
+                  "|"),
+              "source": b["source"],
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    n = partial_groupby_agg(ds, "qi", {"n": ("one", "sum")})
+    dv = grouped_count_distinct(ds, "qi", "source", combine="driver")
+    out = n.merge(dv, on="qi")
+    out["n"] = out["n"].astype("int64")
+    out["n_sensitive"] = out["n_distinct"].astype("int64")
+    out = out[out["n_sensitive"] < 3][["qi", "n", "n_sensitive"]]
+    return out.sort_values("qi").reset_index(drop=True)
+
+
+def q_ab_ztest(sf_dir: str):
+    """Two-proportion z-test between user cohorts (A = even user_id,
+    B = odd): does the 'purchase' conversion rate differ? The pooled
+    z² statistic kept EXACT-RATIONAL —
+
+        z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b)
+             / (n_a·n_b·x·(n_a+n_b−x)),  x = x_a + x_b
+
+    — and reported as z2_ppm (10^6-scaled integer division; the
+    intermediate products exceed int64 so the driver folds in Python
+    bigints and the SQL twin in HUGEINT). Four integer registers via
+    one combiner pass; the experiment-analysis primitive behind any
+    A/B rollout decision (z² > 3.84 ≈ p < 0.05)."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_type"])
+          .map_batches(lambda b: pa.table({
+              "side": pa.array(b["user_id"].to_numpy() % 2, pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+              "conv": pa.array(
+                  pc.equal(b["event_type"], "purchase").to_numpy(
+                      zero_copy_only=False).astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, "side", {"n": ("one", "sum"),
+                                         "x": ("conv", "sum")})         .set_index("side")
+    n_a, x_a = int(g.loc[0, "n"]), int(g.loc[0, "x"])
+    n_b, x_b = int(g.loc[1, "n"]), int(g.loc[1, "x"])
+    x = x_a + x_b
+    num = (x_a * n_b - x_b * n_a) ** 2 * (n_a + n_b)
+    den = n_a * n_b * x * (n_a + n_b - x)
+    return pd.DataFrame([{
+        "n_a": n_a, "x_a": x_a, "n_b": n_b, "x_b": x_b,
+        "z2_ppm": (1_000_000 * num) // den if den else 0,
+    }]).astype("int64")
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Per-source Simpson concentration index, INTEGER-EXACT:
+    simpson_ppm = 10^6·Σ_lang n_l(n_l−1) // (N(N−1)) — the probability
+    two random docs from the source share a language (1/simpson =
+    effective number of languages; the concentration twin of
+    `host_entropy`'s Shannon read — which sources are monolingual
+    enough to shortcut langid). One combiner aggregate over the
+    bounded (source, lang) space, driver fold per source."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["source", "lang"])
+          .map_batches(lambda b: b.append_column(
+              "one", pa.array(np.ones(len(b), np.int64))),
+              batch_format="pyarrow"))
+    g = partial_groupby_agg(ds, ["source", "lang"],
+                            {"n": ("one", "sum")})
+    rows = []
+    for source, grp in g.groupby("source"):
+        n_l = grp["n"].to_numpy().astype(np.int64)
+        n_tot = int(n_l.sum())
+        num = int((n_l * (n_l - 1)).sum())
+        den = n_tot * (n_tot - 1)
+        rows.append({"source": source, "n": n_tot,
+                     "simpson_ppm": (1_000_000 * num) // den
+                     if den else 0})
+    return pd.DataFrame(rows).sort_values("source")         .reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -5923,6 +6040,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "link_predict": q_link_predict,
     "bloom_sizing": q_bloom_sizing,
     "shard_plan": q_shard_plan,
+    "two_hop_reach": q_two_hop_reach,
+    "l_diversity": q_l_diversity,
+    "ab_ztest": q_ab_ztest,
+    "simpson_diversity": q_simpson_diversity,
 }
 
 
@@ -9279,4 +9400,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, n_rows, n_keys,
                    ((1000000 * n_rows * 16) // tot)::BIGINT AS load_ppm
             FROM s, t ORDER BY shard""",
+        "two_hop_reach": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_suppkey < y.l_suppkey
+                WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+            d AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM e
+                UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT a, count(*)::BIGINT AS dg FROM d GROUP BY 1),
+            r AS (SELECT d1.a AS v, d2.b AS w
+                  FROM d d1 JOIN d d2 ON d2.a = d1.b
+                  WHERE d2.b != d1.a
+                  UNION
+                  SELECT a, b FROM d)
+            SELECT r.v AS node, deg.dg AS deg,
+                   count(*)::BIGINT AS reach2
+            FROM r JOIN deg ON deg.a = r.v
+            GROUP BY 1, 2 ORDER BY 1""",
+        "l_diversity": """
+            SELECT lang || '|' || (n_chars // 100)::VARCHAR AS qi,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT source)::BIGINT AS n_sensitive
+            FROM documents
+            GROUP BY 1 HAVING count(DISTINCT source) < 3
+            ORDER BY qi""",
+        "ab_ztest": """
+            WITH c AS (SELECT user_id % 2 AS side,
+                              count(*)::BIGINT AS n,
+                              sum((event_type = 'purchase')::INT)::BIGINT
+                                AS x
+                       FROM events GROUP BY 1),
+            f AS (SELECT max(CASE WHEN side = 0 THEN n END) AS n_a,
+                         max(CASE WHEN side = 0 THEN x END) AS x_a,
+                         max(CASE WHEN side = 1 THEN n END) AS n_b,
+                         max(CASE WHEN side = 1 THEN x END) AS x_b
+                  FROM c)
+            SELECT n_a::BIGINT AS n_a, x_a::BIGINT AS x_a,
+                   n_b::BIGINT AS n_b, x_b::BIGINT AS x_b,
+                   ((1000000::HUGEINT
+                     * (x_a::HUGEINT*n_b - x_b::HUGEINT*n_a)
+                     * (x_a::HUGEINT*n_b - x_b::HUGEINT*n_a)
+                     * (n_a + n_b))
+                    // (n_a::HUGEINT * n_b * (x_a + x_b)
+                        * (n_a + n_b - x_a - x_b)))::BIGINT AS z2_ppm
+            FROM f""",
+        "simpson_diversity": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT source, sum(n)::BIGINT AS n,
+                         sum(n * (n - 1))::BIGINT AS num
+                  FROM c GROUP BY 1)
+            SELECT source, n,
+                   CASE WHEN n > 1
+                        THEN (1000000 * num) // (n * (n - 1))
+                        ELSE 0 END::BIGINT AS simpson_ppm
+            FROM s ORDER BY source""",
     }

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "langid_margin", "diameter_est", "lsh_s_curve",
     "auc_roc", "calibration_bins", "ece", "cusum_change", "ndcg10",
     "mrr", "link_predict", "bloom_sizing", "shard_plan",
+    "two_hop_reach", "l_diversity", "ab_ztest", "simpson_diversity",
 ]
 
 CRAWL_HOSTS = 8192

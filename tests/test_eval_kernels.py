@@ -186,3 +186,50 @@ class TestLinkPrediction:
         # pendant edge (0,3): no common neighbors
         assert out.loc[(0, 3), "cn"] == 0
         assert out.loc[(0, 3), "ra_micro"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTwoHopReach:
+    def test_matches_brute_bfs(self):
+        import ray
+
+        from frontera_ray.stages.pagerank import two_hop_reach
+
+        rng = np.random.RandomState(9)
+        n = 30
+        src = rng.randint(0, n, size=70).astype(np.int64)
+        dst = rng.randint(0, n, size=70).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array(src), "dst": pa.array(dst)})).repartition(3)
+        out = two_hop_reach(ds, n).to_pandas().set_index("node")
+
+        nbrs = {i: set() for i in range(n)}
+        for a, b in zip(src, dst):
+            nbrs[int(a)].add(int(b))
+            nbrs[int(b)].add(int(a))
+        for v in range(n):
+            if not nbrs[v]:
+                assert v not in out.index
+                continue
+            reach = set(nbrs[v])
+            for u in nbrs[v]:
+                reach |= nbrs[u]
+            reach.discard(v)
+            assert out.loc[v, "deg"] == len(nbrs[v])
+            assert out.loc[v, "reach2"] == len(reach), f"node {v}"
+
+    def test_path_graph(self):
+        import ray
+
+        from frontera_ray.stages.pagerank import two_hop_reach
+
+        # path 0-1-2-3-4: reach2(0)={1,2}, reach2(2)={0,1,3,4}
+        t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 4], pa.int64())})
+        out = two_hop_reach(ray.data.from_arrow(t), 5) \
+            .to_pandas().set_index("node")
+        assert out.loc[0, "reach2"] == 2
+        assert out.loc[2, "reach2"] == 4
+        assert out.loc[4, "reach2"] == 2
