@@ -5801,6 +5801,172 @@ def q_simpson_diversity(sf_dir: str):
     return pd.DataFrame(rows).sort_values("source")         .reset_index(drop=True)
 
 
+
+
+def q_fano_factor(sf_dir: str):
+    """Per-user inter-arrival burstiness registers: the Fano factor of
+    the gap series (variance-to-mean, the quantitative burstiness read
+    behind `politeness_audit`'s threshold count — a Poisson arrival
+    process has F = 1, bursty traffic F >> 1) kept EXACT-RATIONAL:
+    fano_num = n·Σg² − (Σg)², fano_den = n·Σg (F is one division away).
+    Gaps are measured in WHOLE SECONDS (µs gaps square past int64 —
+    and a politeness read doesn't care about sub-second jitter).
+    Gaps via the LAG-delta keyed exchange
+    (relational.per_key_lag_delta); registers via one combiner
+    aggregate. Users with < 2 events (no gaps) emit no row."""
+    from frontera_ray.stages.relational import (partial_groupby_agg,
+                                                per_key_lag_delta)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    gaps = per_key_lag_delta(ev, "user_id", "ts_us", out_col="gap",
+                             tiebreak="event_id")
+
+    def regs(b: pa.Table) -> pa.Table:
+        valid = pc.is_valid(b["gap"])
+        uid = b["user_id"].filter(valid)
+        g = b["gap"].drop_null().to_numpy().astype(np.int64) // 1_000_000
+        return pa.table({"user_id": uid,
+                         "one": pa.array(np.ones(len(g), np.int64),
+                                         pa.int64()),
+                         "g": pa.array(g, pa.int64()),
+                         "gg": pa.array(g * g, pa.int64())})
+
+    gaps = gaps.map_batches(regs, batch_format="pyarrow")
+    out = partial_groupby_agg(gaps, "user_id",
+                              {"n_gaps": ("one", "sum"),
+                               "sg": ("g", "sum"),
+                               "sgg": ("gg", "sum")})
+    n = out["n_gaps"].to_numpy().astype(np.int64)
+    sg = out["sg"].to_numpy().astype(np.int64)
+    sgg = out["sgg"].to_numpy().astype(np.int64)
+    out["fano_num"] = n * sgg - sg * sg
+    out["fano_den"] = n * sg
+    return out[["user_id", "n_gaps", "fano_num", "fano_den"]]         .sort_values("user_id").reset_index(drop=True)
+
+
+def q_event_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation registers of each event type's DENSE
+    hourly count series (zeros included between the type's first and
+    last hour), EXACT-INTEGER: with S = Σc, A = Σc_t·c_{t+1},
+
+        r1_num = n²·A − n·S·(2S − c_1 − c_n) + (n−1)·S²
+        r1_den = n²·Σc² − n·S²
+
+    (both sides of r1 = cov/var scaled by n² — r1 is one division
+    away, and keeping the rational avoids the floor-vs-trunc signed
+    division mismatch). The hour-resolution self-similarity /
+    seasonality read a traffic forecaster starts from. One combiner
+    aggregate over the bounded (type, hour) space; the dense grid and
+    the lag products fold on the driver at series scale."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "ts"])
+          .map_batches(lambda b: pa.table({
+              "event_type": b["event_type"],
+              "hour": pa.array(b["ts"].cast(pa.int64()).to_numpy()
+                               // 3_600_000_000, pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, ["event_type", "hour"],
+                            {"n": ("one", "sum")})
+    rows = []
+    for etype, grp in g.groupby("event_type"):
+        h = grp["hour"].to_numpy().astype(np.int64)
+        cnt = grp["n"].to_numpy().astype(np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        c = np.zeros(hi - lo + 1, dtype=np.int64)
+        c[h - lo] = cnt
+        n = len(c)
+        S = int(c.sum())
+        A = int((c[:-1] * c[1:]).sum()) if n > 1 else 0
+        sq = int((c * c).sum())
+        num = n * n * A - n * S * (2 * S - int(c[0]) - int(c[-1]))             + (n - 1) * S * S
+        den = n * n * sq - n * S * S
+        rows.append({"event_type": etype, "n_hours": n,
+                     "r1_num": num, "r1_den": den})
+    return pd.DataFrame(rows).sort_values("event_type")         .reset_index(drop=True)
+
+
+def q_markov_entropy(sf_dir: str):
+    """Per-state conditional transition entropy of the user behavior
+    chain, in integer micro-nats: for each from-state i with row total
+    c_i, h_micro = Σ_j c_ij · floor(10⁶·ln(c_i/c_ij) + 0.5) — the
+    per-term floor makes the sum order-free, and h_micro/(10⁶·c_i) is
+    the per-transition entropy H(next | state=i) (how predictable each
+    state's successor is — the sequence-model difficulty read beside
+    `markov_probs`' estimates). Same single keyed exchange as
+    `event_transitions` (pre-aggregated pair partials), entropy folded
+    over the tiny transition vocabulary."""
+    import math
+
+    import pandas as pd
+
+    from frontera_ray.stages.relational import transition_counts
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "ts", "event_type", "event_id"])
+          .map_batches(lambda b: pa.table({
+              "user_id": b["user_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+              "event_type": b["event_type"],
+              "event_id": b["event_id"],
+          }), batch_format="pyarrow"))
+    tc = transition_counts(ev, "user_id", "ts_us", "event_type",
+                           tiebreak="event_id")
+    rows = []
+    for fv, grp in tc.groupby("from_val"):
+        c = grp["n"].to_numpy().astype(np.int64)
+        ci = int(c.sum())
+        h = int(sum(int(n_ij) * int(math.floor(
+            1_000_000 * math.log(ci / n_ij) + 0.5)) for n_ij in c))
+        rows.append({"from_val": fv, "c_i": ci, "h_micro": h})
+    return pd.DataFrame(rows).sort_values("from_val")         .reset_index(drop=True)
+
+
+def q_seasonality_chi2(sf_dir: str):
+    """Hour-of-day seasonality χ² against the uniform profile,
+    EXACT-RATIONAL: with 24 cells c_h (missing hours count as zero)
+    and N = Σc, χ² = Σ(c_h − N/24)²/(N/24) = chi2_num / chi2_den with
+    chi2_num = Σ(24·c_h − N)² and chi2_den = 24·N — the is-there-a-
+    daily-cycle gate (χ² >> 35 at 23 dof says schedule-aware
+    recrawling pays). One combiner aggregate over the 24-cell space;
+    reported per event type plus the exact ppm ratio."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "ts"])
+          .map_batches(lambda b: pa.table({
+              "event_type": b["event_type"],
+              "hod": pa.array((b["ts"].cast(pa.int64()).to_numpy()
+                               // 3_600_000_000) % 24, pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, ["event_type", "hod"],
+                            {"n": ("one", "sum")})
+    rows = []
+    for etype, grp in g.groupby("event_type"):
+        c = np.zeros(24, dtype=np.int64)
+        c[grp["hod"].to_numpy().astype(np.int64)] =             grp["n"].to_numpy().astype(np.int64)
+        N = int(c.sum())
+        num = int(((24 * c - N) ** 2).sum())
+        den = 24 * N
+        rows.append({"event_type": etype, "n": N, "chi2_num": num,
+                     "chi2_den": den,
+                     "chi2_ppm": (1_000_000 * num) // den if den else 0})
+    return pd.DataFrame(rows).sort_values("event_type")         .reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6044,6 +6210,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "l_diversity": q_l_diversity,
     "ab_ztest": q_ab_ztest,
     "simpson_diversity": q_simpson_diversity,
+    "fano_factor": q_fano_factor,
+    "event_autocorr": q_event_autocorr,
+    "markov_entropy": q_markov_entropy,
+    "seasonality_chi2": q_seasonality_chi2,
 }
 
 
@@ -9458,4 +9628,102 @@ def oracle_sql() -> dict[str, str]:
                         THEN (1000000 * num) // (n * (n - 1))
                         ELSE 0 END::BIGINT AS simpson_ppm
             FROM s ORDER BY source""",
+        "fano_factor": """
+            WITH g AS (SELECT user_id,
+                              (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)) // 1000000
+                                AS gap
+                       FROM events),
+            r AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                         sum(gap)::BIGINT AS sg,
+                         sum(gap * gap)::BIGINT AS sgg
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+            SELECT user_id, n_gaps,
+                   (n_gaps * sgg - sg * sg)::BIGINT AS fano_num,
+                   (n_gaps * sg)::BIGINT AS fano_den
+            FROM r ORDER BY user_id""",
+        "event_autocorr": """
+            WITH c0 AS (SELECT event_type,
+                               epoch_us(ts) // 3600000000 AS hour,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1, 2),
+            spans AS (SELECT event_type, min(hour) AS lo,
+                             max(hour) AS hi
+                      FROM c0 GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(lo, hi)) AS hour
+                     FROM spans),
+            c AS (SELECT grid.event_type, grid.hour,
+                         coalesce(c0.n, 0)::BIGINT AS n
+                  FROM grid LEFT JOIN c0 USING (event_type, hour)),
+            lagd AS (SELECT event_type, hour, n,
+                            lag(n) OVER (PARTITION BY event_type
+                                         ORDER BY hour) AS pn
+                     FROM c),
+            agg AS (SELECT event_type,
+                           count(*)::BIGINT AS n_hours,
+                           sum(n)::BIGINT AS s,
+                           sum(n * n)::BIGINT AS sq,
+                           sum(CASE WHEN pn IS NOT NULL
+                                    THEN pn * n ELSE 0 END)::BIGINT AS a,
+                           min(hour) AS lo, max(hour) AS hi
+                    FROM lagd GROUP BY 1),
+            ends AS (SELECT a1.event_type,
+                            c1.n AS c_first, c2.n AS c_last
+                     FROM agg a1
+                     JOIN c c1 ON c1.event_type = a1.event_type
+                               AND c1.hour = a1.lo
+                     JOIN c c2 ON c2.event_type = a1.event_type
+                               AND c2.hour = a1.hi)
+            SELECT agg.event_type, agg.n_hours,
+                   (agg.n_hours * agg.n_hours * agg.a
+                    - agg.n_hours * agg.s
+                      * (2 * agg.s - ends.c_first - ends.c_last)
+                    + (agg.n_hours - 1) * agg.s * agg.s)::BIGINT
+                     AS r1_num,
+                   (agg.n_hours * agg.n_hours * agg.sq
+                    - agg.n_hours * agg.s * agg.s)::BIGINT AS r1_den
+            FROM agg JOIN ends USING (event_type)
+            ORDER BY event_type""",
+        "markov_entropy": """
+            WITH t AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            cij AS (SELECT prev AS from_val, event_type AS to_val,
+                           count(*)::BIGINT AS n
+                    FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+            ci AS (SELECT from_val, sum(n)::BIGINT AS c_i
+                   FROM cij GROUP BY 1)
+            SELECT cij.from_val, ci.c_i,
+                   sum(cij.n * CAST(floor(1000000 * ln(
+                       ci.c_i::DOUBLE / cij.n) + 0.5) AS BIGINT)
+                       )::BIGINT AS h_micro
+            FROM cij JOIN ci USING (from_val)
+            GROUP BY 1, 2 ORDER BY 1""",
+        "seasonality_chi2": """
+            WITH c0 AS (SELECT event_type,
+                               (epoch_us(ts) // 3600000000) % 24 AS hod,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1, 2),
+            grid AS (SELECT t.event_type, g.hod
+                     FROM (SELECT DISTINCT event_type FROM events) t,
+                          (SELECT unnest(generate_series(0, 23))
+                             AS hod) g),
+            c AS (SELECT grid.event_type, grid.hod,
+                         coalesce(c0.n, 0)::BIGINT AS n
+                  FROM grid LEFT JOIN c0 USING (event_type, hod)),
+            tot AS (SELECT event_type, sum(n)::BIGINT AS nn
+                    FROM c GROUP BY 1),
+            agg AS (SELECT c.event_type, t.nn AS n,
+                           sum((24 * c.n - t.nn)
+                               * (24 * c.n - t.nn))::BIGINT AS num
+                    FROM c JOIN tot t USING (event_type)
+                    GROUP BY 1, 2)
+            SELECT event_type, n, num AS chi2_num,
+                   (24 * n)::BIGINT AS chi2_den,
+                   ((1000000 * num) // (24 * n))::BIGINT AS chi2_ppm
+            FROM agg ORDER BY event_type""",
     }

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "auc_roc", "calibration_bins", "ece", "cusum_change", "ndcg10",
     "mrr", "link_predict", "bloom_sizing", "shard_plan",
     "two_hop_reach", "l_diversity", "ab_ztest", "simpson_diversity",
+    "fano_factor", "event_autocorr", "markov_entropy", "seasonality_chi2",
 ]
 
 CRAWL_HOSTS = 8192
