@@ -5967,6 +5967,34 @@ def q_seasonality_chi2(sf_dir: str):
     return pd.DataFrame(rows).sort_values("event_type")         .reset_index(drop=True)
 
 
+
+
+def q_ttr(sf_dir: str):
+    """Per-document type-token ratio (text.ttr_table): lexical
+    richness in ppm — the Gopher/C4-style repetitiveness gate beside
+    `doc_entropy` (boilerplate sits low, keyword stuffing high).
+    Shuffle-free in-block explode + reduceat; ALL-INTEGER."""
+    from frontera_ray.stages.text import ttr_table
+
+    out = ttr_table(_read(sf_dir, "documents")
+                    .select_columns(["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per document (text.readability_table),
+    ALL-INTEGER milli-units with the regex syllable proxy — the
+    classic readability quality gate (Flesch 1948): extreme scores
+    flag legalese / auto-generated text. One vectorized RE2 count
+    stack per block, shuffle-free, integer division floored at 1
+    sentence/word so the SQL twin is exact."""
+    from frontera_ray.stages.text import readability_table
+
+    out = readability_table(_read(sf_dir, "documents")
+                            .select_columns(["doc_id", "text"]))         .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6214,6 +6242,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_autocorr": q_event_autocorr,
     "markov_entropy": q_markov_entropy,
     "seasonality_chi2": q_seasonality_chi2,
+    "ttr": q_ttr,
+    "readability": q_readability,
 }
 
 
@@ -9726,4 +9756,28 @@ def oracle_sql() -> dict[str, str]:
                    (24 * n)::BIGINT AS chi2_den,
                    ((1000000 * num) // (24 * n))::BIGINT AS chi2_ppm
             FROM agg ORDER BY event_type""",
+        "ttr": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                AS token
+                       FROM documents)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT token)::BIGINT AS n_types,
+                   ((1000000 * count(DISTINCT token))
+                    // count(*))::BIGINT AS ttr_ppm
+            FROM t GROUP BY doc_id ORDER BY doc_id""",
+        "readability": r"""
+            WITH c AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '\S+'))
+                                ::BIGINT AS w,
+                              len(regexp_extract_all(text, '[.!?]+'))
+                                ::BIGINT AS s,
+                              len(regexp_extract_all(
+                                  text, '[aeiouyAEIOUY]+'))::BIGINT AS v
+                       FROM documents)
+            SELECT doc_id, w AS n_words, s AS n_sents, v AS n_syll,
+                   (206835 - (1015 * w) // greatest(s, 1)
+                           - (84600 * v) // greatest(w, 1))::BIGINT
+                     AS flesch_milli
+            FROM c ORDER BY doc_id""",
     }

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "mrr", "link_predict", "bloom_sizing", "shard_plan",
     "two_hop_reach", "l_diversity", "ab_ztest", "simpson_diversity",
     "fano_factor", "event_autocorr", "markov_entropy", "seasonality_chi2",
+    "ttr", "readability",
 ]
 
 CRAWL_HOSTS = 8192
