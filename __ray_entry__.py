@@ -5995,6 +5995,83 @@ def q_readability(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_image_meta(sf_dir: str):
+    """Metadata-sniff census over the md5-derived image corpus
+    (images.synth_image_meta — the input_hint table synthesized
+    deterministically from documents): per (fmt, w, h) size class the
+    image count and total decoded-pixel channel count — the batching /
+    capacity read that runs on typed metadata before any decode.
+    Combiner rollup, no shuffle; every derivation is the same md5
+    integer expression in the DuckDB twin."""
+    from frontera_ray.stages.images import synth_image_meta
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    meta = (_read(sf_dir, "documents").select_columns(["doc_id"])
+            .map_batches(synth_image_meta, batch_format="pyarrow"))
+    out = partial_groupby_agg(
+        meta.map_batches(
+            lambda b: b.append_column(
+                "px", pa.array(b["w"].to_numpy() * b["h"].to_numpy() * 3,
+                               pa.int64())),
+            batch_format="pyarrow"),
+        ["fmt", "w", "h"], {"n": ("px", "count"), "px_total": ("px", "sum")})
+    return out.sort_values(["fmt", "w", "h"]).reset_index(drop=True)
+
+
+def q_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-dup pairs over the derived image corpus
+    with PLANTED near-dup clusters (images.synth_phash_table: group
+    hash xor member bit flips -> within-group hammings {0,1,2}),
+    through the shared distributed bit-block-LSH + vectorized
+    Hamming-verify exchange (dedup.hamming64_neardup_pairs, exact
+    recall at blocks >= h+1). The DuckDB twin re-derives every phash
+    with the same md5/xor expressions and brute-joins with
+    bit_count(xor(...)) — the first EXACT SQL oracle on the 64-bit
+    sketch LSH scale path itself."""
+    from frontera_ray.stages.dedup import hamming64_neardup_pairs
+    from frontera_ray.stages.images import synth_phash_table
+
+    sk = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(synth_phash_table, batch_format="pyarrow"))
+    out = hamming64_neardup_pairs(sk, max_hamming=2).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_image_decode_parity(sf_dir: str):
+    """Per-image decoded-pixel channel sum through the REAL codec round
+    trip (images.decode_parity_table: seeded pixel gen -> genuine PNG /
+    QIMG encode -> genuine decode -> sum), validated against a DuckDB
+    twin that recomputes every pixel from the closed-form integer
+    expression (uint32 xorshift noise + gradient, fmt-aware
+    dequantization for the lossy codec) via generate_series — the
+    input_hint's per-row decoded-pixel exactness invariant, checked by
+    an independent engine. Shuffle-free map stage."""
+    from frontera_ray.stages.images import decode_parity_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(decode_parity_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_phash_bit_balance(sf_dir: str):
+    """Sketch bit-balance census over the derived phash column: per bit
+    position the set-count and balance ppm — the LSH-quality diagnostic
+    run before committing a banding (a biased bit skews every band
+    bucket it joins; uniform md5-derived sketches sit near 500000 ppm).
+    64-row per-block partials + combiner rollup, no wide shuffle."""
+    from frontera_ray.stages.images import phash_bit_balance_partial
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    parts = (_read(sf_dir, "documents").select_columns(["doc_id"])
+             .map_batches(phash_bit_balance_partial,
+                          batch_format="pyarrow"))
+    out = partial_groupby_agg(parts, ["bit"],
+                              {"ones": ("ones", "sum"), "n": ("n", "sum")})
+    out["balance_ppm"] = (1_000_000 * out["ones"]) // out["n"]
+    return out.sort_values("bit").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6244,6 +6321,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "seasonality_chi2": q_seasonality_chi2,
     "ttr": q_ttr,
     "readability": q_readability,
+    "image_meta": q_image_meta,
+    "phash_pairs": q_phash_pairs,
+    "image_decode_parity": q_image_decode_parity,
+    "phash_bit_balance": q_phash_bit_balance,
 }
 
 
@@ -9780,4 +9861,90 @@ def oracle_sql() -> dict[str, str]:
                            - (84600 * v) // greatest(w, 1))::BIGINT
                      AS flesch_milli
             FROM c ORDER BY doc_id""",
+        "image_meta": r"""
+            WITH d AS (SELECT ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt
+                  FROM d)
+            SELECT fmt, w, h, count(*)::BIGINT AS n,
+                   sum(w * h * 3)::BIGINT AS px_total
+            FROM m GROUP BY fmt, w, h ORDER BY fmt, w, h""",
+        "phash_pairs": r"""
+            WITH p AS (SELECT doc_id,
+                              xor(('0x'||substr(md5('ph:'||
+                                    CAST(doc_id // 4 AS VARCHAR)),1,16))
+                                    ::UBIGINT,
+                                  (CASE doc_id % 4 WHEN 1 THEN 32
+                                        WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                        ELSE 0 END)::UBIGINT) AS ph
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.ph, b.ph))::INT AS hamming
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 2
+            ORDER BY a, b""",
+        "image_decode_parity": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id, u,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                         (u & 4294967295::UBIGINT) AS s32,
+                         (u % 256) AS s256
+                  FROM d),
+            px AS (SELECT m.doc_id, m.w, m.h, m.fmt, m.s5, m.s7, m.s256,
+                          gx.x::UBIGINT AS x, gy.y::UBIGINT AS y,
+                          ((xor(xor((gx.x::UBIGINT * 2654435761::UBIGINT)
+                                      % 4294967296::UBIGINT,
+                                    gy.y::UBIGINT * 40503::UBIGINT),
+                                gc.c::UBIGINT * 69069::UBIGINT)
+                            + m.s32) % 4294967296::UBIGINT) AS n1
+                   FROM m, generate_series(0, 79) gx(x),
+                        generate_series(0, 59) gy(y),
+                        generate_series(0, 2) gc(c)
+                   WHERE gx.x < m.w AND gy.y < m.h),
+            v AS (SELECT doc_id, w, h, fmt,
+                         ((xor(n1, n1 >> 13) & 63::UBIGINT)
+                          + x * s5 + y * s7 + s256) % 256::UBIGINT AS val
+                  FROM px)
+            SELECT doc_id, w, h, fmt,
+                   sum(CASE WHEN fmt = 'qimg' THEN (val // 8) * 8 + 4
+                            ELSE val END)::BIGINT AS px_sum
+            FROM v GROUP BY doc_id, w, h, fmt ORDER BY doc_id""",
+        "phash_bit_balance": r"""
+            WITH p AS (SELECT doc_id,
+                              xor(('0x'||substr(md5('ph:'||
+                                    CAST(doc_id // 4 AS VARCHAR)),1,16))
+                                    ::UBIGINT,
+                                  (CASE doc_id % 4 WHEN 1 THEN 32
+                                        WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                        ELSE 0 END)::UBIGINT) AS ph
+                       FROM documents),
+            b AS (SELECT g.bit AS bit,
+                         sum(((ph >> g.bit::INT) & 1::UBIGINT))::BIGINT
+                           AS ones,
+                         count(*)::BIGINT AS n
+                  FROM p, generate_series(0, 63) g(bit) GROUP BY g.bit)
+            SELECT bit, ones, n, (1000000 * ones // n)::BIGINT
+                     AS balance_ppm
+            FROM b ORDER BY bit""",
     }

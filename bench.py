@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "two_hop_reach", "l_diversity", "ab_ztest", "simpson_diversity",
     "fano_factor", "event_autocorr", "markov_entropy", "seasonality_chi2",
     "ttr", "readability",
+    "image_meta", "phash_pairs", "image_decode_parity", "phash_bit_balance",
 ]
 
 CRAWL_HOSTS = 8192

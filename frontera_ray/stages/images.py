@@ -461,3 +461,131 @@ def curate_image_captions(urls_ds, min_side: int = 32,
                                     batch_size=decode_batch,
                                     concurrency=pool)
     return failed.union(decoded)
+
+
+# ---------------------------------------------------------------------------
+# md5-derived deterministic image corpus (SQL-twin-expressible)
+#
+# The graft's input_hint table (image_id, bytes, w, h, fmt, caption,
+# phash) is synthesized at small scale from the documents parquet via
+# md5 arithmetic that DuckDB can reproduce expression-for-expression
+# (('0x'||substr(md5(s),1,16))::UBIGINT == int(md5(s).hexdigest()[:16],
+# 16)). That turns the multimodal family — metadata sniff, perceptual
+# near-dup, and the real PNG/QIMG encode->decode round trip — into
+# EXACTLY SQL-oracled operators instead of rows-only ones: the DuckDB
+# twin re-derives sizes, planted phashes and even per-pixel values from
+# closed-form integer expressions while the Ray side runs the genuine
+# codec path over generated pixels.
+# ---------------------------------------------------------------------------
+
+def md5_u64(strings) -> np.ndarray:
+    """Top 64 bits of md5 per string (uint64) — DuckDB-exact:
+    ('0x'||substr(md5(s),1,16))::UBIGINT."""
+    import hashlib
+
+    _md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(_md5(s.encode("utf8")).digest()[:8], "big")
+         for s in strings),
+        dtype=np.uint64, count=len(strings))
+
+
+# same size table as payload._SIZES; (w, h) per size class u % 6
+_SYNTH_W = np.asarray([32, 48, 64, 40, 56, 80], dtype=np.int64)
+_SYNTH_H = np.asarray([24, 32, 48, 40, 42, 60], dtype=np.int64)
+
+# planted near-dup bit flips per group member doc_id % 4:
+# member 0 keeps the group hash, 1 and 2 flip the SAME bit (hamming-0
+# pair), 3 flips a different one — within a 4-member group the pair
+# hammings are {0, 1, 2}, across groups md5 uniformity puts pairs at
+# ~32 bits, so hamming <= 2 recovers exactly the planted clusters.
+_SYNTH_FLIPS = np.asarray([0, 1 << 5, 1 << 5, 1 << 19], dtype=np.uint64)
+
+
+def synth_image_seed(batch: pa.Table) -> np.ndarray:
+    """Per-doc image seed u = md5_64('img:' || doc_id) (uint64)."""
+    ids = batch["doc_id"].to_numpy()
+    return md5_u64([f"img:{i}" for i in ids])
+
+
+def synth_image_meta(batch: pa.Table) -> pa.Table:
+    """Metadata sniff over the derived corpus: (doc_id, w, h, fmt) —
+    the header-read that runs before any decode touches a row."""
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    fmt = np.where((u >> np.uint64(3)) % np.uint64(2) == 0, "png", "qimg")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "w": pa.array(_SYNTH_W[six], pa.int64()),
+        "h": pa.array(_SYNTH_H[six], pa.int64()),
+        "fmt": pa.array(fmt.astype(object), pa.string()),
+    })
+
+
+def synth_phash_table(batch: pa.Table) -> pa.Table:
+    """Derived perceptual-hash sketch rows (doc_id, simhash) with
+    planted near-dup clusters: group hash md5_64('ph:' || doc_id // 4)
+    xor the member flip — column contract of
+    dedup.hamming64_neardup_pairs."""
+    ids = batch["doc_id"].to_numpy()
+    base = md5_u64([f"ph:{i // 4}" for i in ids])
+    ph = base ^ _SYNTH_FLIPS[ids % 4]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "simhash": pa.array(ph.view(np.int64), pa.int64()),
+    })
+
+
+def decode_parity_table(batch: pa.Table) -> pa.Table:
+    """The REAL codec round trip, per image: derived seed -> vectorized
+    pixel generation (payload._gen_pixels_group) -> genuine PNG or QIMG
+    encode -> genuine decode -> decoded-pixel channel sum. The SQL twin
+    recomputes the same sum from the closed-form per-pixel integer
+    expression (xorshift noise + gradient, fmt-aware dequantization for
+    the lossy codec), so a single mismatched pixel anywhere in the
+    encoder or decoder fails the oracle — the per-row decoded-pixel
+    exactness invariant from BASELINE.json input_hint, hash-checked by
+    an independent engine."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    sums = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            sums[i] = int(out.sum(dtype=np.int64))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "w": pa.array(_SYNTH_W[six], pa.int64()),
+        "h": pa.array(_SYNTH_H[six], pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "px_sum": pa.array(sums, pa.int64()),
+    })
+
+
+def phash_bit_balance_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial of the sketch bit-balance census: 64 rows of
+    (bit, ones, n) — the LSH-quality diagnostic (a biased sketch bit
+    skews every band bucket it participates in). Combine with a sum
+    rollup; 64 keys never shuffle wide."""
+    ph = synth_phash_table(batch)["simhash"].to_numpy().view(np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    ones = ((ph[:, None] >> bits[None, :]) & np.uint64(1)) \
+        .sum(axis=0, dtype=np.int64)
+    return pa.table({
+        "bit": pa.array(bits.astype(np.int64), pa.int64()),
+        "ones": pa.array(ones, pa.int64()),
+        "n": pa.array(np.full(64, len(ph), dtype=np.int64), pa.int64()),
+    })

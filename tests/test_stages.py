@@ -2573,3 +2573,40 @@ def test_grouped_ols_trend_matches_numpy(ray_session):
         slope = np.polyfit(t[m].astype(float), y[m].astype(float), 1)[0]
         got = out.loc[k, "trend_num"] / out.loc[k, "trend_den"]
         assert abs(got - slope) < 1e-9, (k, got, slope)
+
+
+def test_synth_image_family_kernels():
+    """md5-derived image corpus kernels: planted phash cluster structure
+    (within-group hammings exactly {0,1,2}, cross-group far), both
+    codecs exercised by decode parity, and the decode round trip sums
+    matching a direct pixel-generation sum for the lossless format."""
+    import pyarrow as pa
+
+    from frontera_ray.payload import _gen_pixels_group
+    from frontera_ray.stages.images import (decode_parity_table, md5_u64,
+                                            synth_image_meta,
+                                            synth_phash_table)
+
+    batch = pa.table({"doc_id": pa.array(np.arange(40), pa.int64())})
+    ph = synth_phash_table(batch)["simhash"].to_numpy().view(np.uint64)
+    ham = lambda a, b: bin(int(a ^ b)).count("1")
+    # within group 0 (docs 0..3): member flips -> {0,1,2}
+    assert ham(ph[1], ph[2]) == 0
+    assert ham(ph[0], ph[1]) == 1 and ham(ph[0], ph[3]) == 1
+    assert ham(ph[1], ph[3]) == 2
+    # across groups: md5-uniform, far from any banding threshold
+    assert ham(ph[0], ph[4]) > 10
+
+    par = decode_parity_table(batch)
+    fmts = set(par["fmt"].to_pylist())
+    assert fmts == {"png", "qimg"}, fmts
+    meta = synth_image_meta(batch)
+    assert meta["w"].to_pylist() == par["w"].to_pylist()
+
+    # lossless round trip == direct generation sum for one png row
+    i = par["fmt"].to_pylist().index("png")
+    doc = par["doc_id"][i].as_py()
+    u = md5_u64([f"img:{doc}"])
+    w, h = par["w"][i].as_py(), par["h"][i].as_py()
+    direct = int(_gen_pixels_group(u, w, h).sum(dtype=np.int64))
+    assert par["px_sum"][i].as_py() == direct
