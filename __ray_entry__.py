@@ -6072,6 +6072,35 @@ def q_phash_bit_balance(sf_dir: str):
     return out.sort_values("bit").reset_index(drop=True)
 
 
+def q_thumb_parity(sf_dir: str):
+    """Thumbnail sums through the full real image path (gen -> encode
+    -> decode -> nearest-neighbor resize) vs a DuckDB twin that
+    recomputes each SAMPLED pixel closed-form — oracles the resize
+    kernel's exact index math on top of both codecs
+    (images.thumb_parity_table). Shuffle-free map stage."""
+    from frontera_ray.stages.images import thumb_parity_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(thumb_parity_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_image_gate(sf_dir: str):
+    """LAION-style typed-metadata image+caption curation gate
+    (images.image_gate_table): fixed-order gates (small side, aspect
+    ratio, caption token count over the text-prefix caption) with
+    first-failing reason codes — the pre-decode filter that runs on
+    header metadata before any pixel work. Exact DuckDB twin."""
+    from frontera_ray.stages.images import image_gate_table
+
+    out = (_read(sf_dir, "documents")
+           .select_columns(["doc_id", "text"])
+           .map_batches(image_gate_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6325,6 +6354,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_pairs": q_phash_pairs,
     "image_decode_parity": q_image_decode_parity,
     "phash_bit_balance": q_phash_bit_balance,
+    "thumb_parity": q_thumb_parity,
+    "image_gate": q_image_gate,
 }
 
 
@@ -9930,6 +9961,73 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN fmt = 'qimg' THEN (val // 8) * 8 + 4
                             ELSE val END)::BIGINT AS px_sum
             FROM v GROUP BY doc_id, w, h, fmt ORDER BY doc_id""",
+        "thumb_parity": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id, u,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                         (u & 4294967295::UBIGINT) AS s32,
+                         (u % 256) AS s256
+                  FROM d),
+            sm AS (SELECT m.doc_id, m.fmt, m.s5, m.s7, m.s32, m.s256,
+                          ((gy.ty * m.h) // 12)::UBIGINT AS y,
+                          ((gx.tx * m.w) // 16)::UBIGINT AS x
+                   FROM m, generate_series(0, 15) gx(tx),
+                        generate_series(0, 11) gy(ty)),
+            px AS (SELECT doc_id, fmt, s5, s7, s256, x, y,
+                          ((xor(xor((x * 2654435761::UBIGINT)
+                                      % 4294967296::UBIGINT,
+                                    y * 40503::UBIGINT),
+                                gc.c::UBIGINT * 69069::UBIGINT)
+                            + s32) % 4294967296::UBIGINT) AS n1
+                   FROM sm, generate_series(0, 2) gc(c)),
+            v AS (SELECT doc_id, fmt,
+                         ((xor(n1, n1 >> 13) & 63::UBIGINT)
+                          + x * s5 + y * s7 + s256) % 256::UBIGINT AS val
+                  FROM px)
+            SELECT doc_id, fmt,
+                   sum(CASE WHEN fmt = 'qimg' THEN (val // 8) * 8 + 4
+                            ELSE val END)::BIGINT AS thumb_sum
+            FROM v GROUP BY doc_id, fmt ORDER BY doc_id""",
+        "image_gate": r"""
+            WITH d AS (SELECT doc_id, text,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         len(regexp_extract_all(substr(text, 1, 64),
+                             '\S+'))::BIGINT AS cap_tokens
+                  FROM d)
+            SELECT doc_id, w, h, fmt, cap_tokens,
+                   (least(w, h) >= 32
+                    AND greatest(w * 100 // h, h * 100 // w) <= 140
+                    AND cap_tokens >= 5) AS keep,
+                   CASE WHEN least(w, h) < 32 THEN 'small'
+                        WHEN greatest(w * 100 // h, h * 100 // w) > 140
+                          THEN 'aspect'
+                        WHEN cap_tokens < 5 THEN 'caption'
+                        ELSE 'ok' END AS reason
+            FROM m ORDER BY doc_id""",
         "phash_bit_balance": r"""
             WITH p AS (SELECT doc_id,
                               xor(('0x'||substr(md5('ph:'||

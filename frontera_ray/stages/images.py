@@ -589,3 +589,72 @@ def phash_bit_balance_partial(batch: pa.Table) -> pa.Table:
         "ones": pa.array(ones, pa.int64()),
         "n": pa.array(np.full(64, len(ph), dtype=np.int64), pa.int64()),
     })
+
+
+def thumb_parity_table(batch: pa.Table, out_w: int = 16,
+                       out_h: int = 12) -> pa.Table:
+    """Thumbnail parity through the FULL image path: seeded pixel gen
+    -> genuine encode -> genuine decode -> nearest-neighbor resize ->
+    decoded-thumb channel sum. Nearest-neighbor sampling is exact
+    integer index math (src_y = (ty*h)//out_h, src_x = (tx*w)//out_w),
+    so the DuckDB twin recomputes each SAMPLED pixel from the
+    closed-form generator expression (fmt-aware dequantization for the
+    lossy codec) and any off-by-one in the resize kernel or either
+    codec fails the hash."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    sums = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            thumb = resize_nearest(out, out_w, out_h)
+            sums[i] = int(thumb.sum(dtype=np.int64))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "thumb_sum": pa.array(sums, pa.int64()),
+    })
+
+
+def image_gate_table(batch: pa.Table, text_col: str = "text",
+                     min_side: int = 32, aspect_max_pct: int = 140,
+                     min_caption_tokens: int = 5,
+                     caption_chars: int = 64) -> pa.Table:
+    """Typed-metadata image+caption curation gate (the LAION-style
+    pre-decode filter): captions are the first ``caption_chars`` chars
+    of the document text, gates run in a FIXED order (small side ->
+    aspect ratio -> caption token count) and each row reports keep +
+    the first failing reason — all derivable expressions, so the
+    DuckDB twin is exact. Vectorized: one RE2 token count over caption
+    slices + numpy selects; shuffle-free."""
+    import pyarrow.compute as pc
+
+    meta = synth_image_meta(batch)
+    w = meta["w"].to_numpy()
+    h = meta["h"].to_numpy()
+    cap = pc.utf8_slice_codeunits(batch[text_col], 0, caption_chars)
+    toks = pc.count_substring_regex(cap, r"\S+").to_numpy().astype(np.int64)
+    small = np.minimum(w, h) < min_side
+    aspect = np.maximum(w * 100 // h, h * 100 // w) > aspect_max_pct
+    thin = toks < min_caption_tokens
+    reason = np.select([small, aspect, thin], ["small", "aspect", "caption"],
+                       default="ok")
+    return pa.table({
+        "doc_id": meta["doc_id"],
+        "w": meta["w"], "h": meta["h"], "fmt": meta["fmt"],
+        "cap_tokens": pa.array(toks, pa.int64()),
+        "keep": pa.array(reason == "ok", pa.bool_()),
+        "reason": pa.array(reason.astype(object), pa.string()),
+    })

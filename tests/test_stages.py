@@ -2610,3 +2610,28 @@ def test_synth_image_family_kernels():
     w, h = par["w"][i].as_py(), par["h"][i].as_py()
     direct = int(_gen_pixels_group(u, w, h).sum(dtype=np.int64))
     assert par["px_sum"][i].as_py() == direct
+
+
+def test_image_gate_reason_order():
+    """Fixed gate order: small side beats aspect beats caption; a short
+    caption alone fails with reason 'caption' (the branch real corpus
+    text never exercises)."""
+    import pyarrow as pa
+
+    from frontera_ray.stages.images import image_gate_table
+
+    long_t = "tok " * 30
+    batch = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "text": pa.array(["hi there"] * 100 + [long_t] * 100, pa.string()),
+    })
+    out = image_gate_table(batch)
+    reasons = set(out["reason"].to_pylist())
+    assert "caption" in reasons and "ok" in reasons
+    df = out.to_pandas()
+    # every caption-fail row passed the two geometry gates first
+    capfail = df[df.reason == "caption"]
+    assert len(capfail) and (capfail.cap_tokens < 5).all()
+    assert (np.minimum(capfail.w, capfail.h) >= 32).all()
+    assert (~df[df.reason == "small"].keep).all()
+    assert (df[df.reason == "ok"].keep).all()
