@@ -6101,6 +6101,22 @@ def q_image_gate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_psnr_gate(sf_dir: str):
+    """The north rule's per-row lossy-decode invariant (PSNR >= 40 dB)
+    as an EXACT integer operator (images.psnr_gate_table): real encode
+    -> real decode -> squared-error sum, gate as 65025*n_px >=
+    10000*sq_err_sum (no floats anywhere). The DuckDB twin recomputes
+    the quantization error closed-form ((val%8 - 4)^2 for the lossy
+    codec, 0 for lossless) — both the decoder and the dB bound are
+    checked by an independent engine. Shuffle-free."""
+    from frontera_ray.stages.images import psnr_gate_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(psnr_gate_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6356,6 +6372,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_bit_balance": q_phash_bit_balance,
     "thumb_parity": q_thumb_parity,
     "image_gate": q_image_gate,
+    "psnr_gate": q_psnr_gate,
 }
 
 
@@ -10028,6 +10045,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "psnr_gate": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id, u,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                         (u & 4294967295::UBIGINT) AS s32,
+                         (u % 256) AS s256
+                  FROM d),
+            px AS (SELECT m.doc_id, m.fmt, m.w, m.h, m.s5, m.s7, m.s256,
+                          gx.x::UBIGINT AS x, gy.y::UBIGINT AS y,
+                          ((xor(xor((gx.x::UBIGINT * 2654435761::UBIGINT)
+                                      % 4294967296::UBIGINT,
+                                    gy.y::UBIGINT * 40503::UBIGINT),
+                                gc.c::UBIGINT * 69069::UBIGINT)
+                            + m.s32) % 4294967296::UBIGINT) AS n1
+                   FROM m, generate_series(0, 79) gx(x),
+                        generate_series(0, 59) gy(y),
+                        generate_series(0, 2) gc(c)
+                   WHERE gx.x < m.w AND gy.y < m.h AND m.fmt = 'qimg'),
+            e AS (SELECT doc_id,
+                         ((((xor(n1, n1 >> 13) & 63::UBIGINT)
+                            + x * s5 + y * s7 + s256) % 256::UBIGINT)
+                          % 8)::BIGINT - 4 AS err
+                  FROM px),
+            sq AS (SELECT doc_id, sum(err * err)::BIGINT AS sq_err_sum
+                   FROM e GROUP BY doc_id)
+            SELECT m.doc_id, m.fmt, (m.w * m.h * 3)::BIGINT AS n_px,
+                   coalesce(sq.sq_err_sum, 0)::BIGINT AS sq_err_sum,
+                   (65025 * m.w * m.h * 3
+                    >= 10000 * coalesce(sq.sq_err_sum, 0)) AS pass_40db
+            FROM m LEFT JOIN sq ON m.doc_id = sq.doc_id
+            ORDER BY m.doc_id""",
         "phash_bit_balance": r"""
             WITH p AS (SELECT doc_id,
                               xor(('0x'||substr(md5('ph:'||

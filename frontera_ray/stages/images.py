@@ -658,3 +658,47 @@ def image_gate_table(batch: pa.Table, text_col: str = "text",
         "keep": pa.array(reason == "ok", pa.bool_()),
         "reason": pa.array(reason.astype(object), pa.string()),
     })
+
+
+def psnr_gate_table(batch: pa.Table) -> pa.Table:
+    """The input_hint's PSNR >= 40 dB lossy-decode invariant as an
+    EXACT integer operator: per image the squared-error sum between
+    original and round-tripped pixels (real encode -> real decode),
+    plus the gate evaluated without any floating point —
+
+        PSNR >= 40 dB  <=>  255^2 / MSE >= 10^4
+                       <=>  65025 * n_px >= 10000 * sq_err_sum.
+
+    For the lossless codec sq_err_sum must be exactly 0; for the lossy
+    quantizer the per-pixel error is val%8 - 4, so the DuckDB twin
+    recomputes sq_err_sum closed-form from the generator expression —
+    a decoder drifting even one pixel fails the hash, and the 40 dB
+    bound itself is checked by an independent engine."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    sq = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            d = pix[j].astype(np.int64) - out.astype(np.int64)
+            sq[i] = int((d * d).sum(dtype=np.int64))
+    n_px = _SYNTH_W[six] * _SYNTH_H[six] * 3
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "n_px": pa.array(n_px, pa.int64()),
+        "sq_err_sum": pa.array(sq, pa.int64()),
+        "pass_40db": pa.array(65025 * n_px >= 10000 * sq, pa.bool_()),
+    })
