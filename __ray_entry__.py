@@ -6117,6 +6117,32 @@ def q_psnr_gate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fertility(sf_dir: str):
+    """Tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word (the multilingual-tokenizer efficiency metric;
+    high-fertility languages cost more context per word, which drives
+    vocab-allocation decisions like UniMax's). Per-block partial sums
+    feed a combiner rollup over the tiny language key set;
+    fertility_ppm is exact integer division on both sides."""
+    from frontera_ray.stages.text import bpe_token_count_table
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        c = bpe_token_count_table(b)
+        return pa.table({"lang": b["lang"],
+                         "n_ws_tokens": c["n_ws_tokens"],
+                         "n_bpe_tokens": c["n_bpe_tokens"]})
+
+    counts = (_read(sf_dir, "documents")
+              .select_columns(["doc_id", "lang", "text"])
+              .map_batches(kern, batch_format="pyarrow"))
+    out = partial_groupby_agg(
+        counts, ["lang"],
+        {"words": ("n_ws_tokens", "sum"), "bpe": ("n_bpe_tokens", "sum")})
+    out["fertility_ppm"] = (1_000_000 * out["bpe"]) // out["words"]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6373,6 +6399,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "thumb_parity": q_thumb_parity,
     "image_gate": q_image_gate,
     "psnr_gate": q_psnr_gate,
+    "fertility": q_fertility,
 }
 
 
@@ -10045,6 +10072,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "fertility": r"""
+            WITH c AS (SELECT lang,
+                              len(regexp_extract_all(text, '\S+'))::BIGINT
+                                AS w,
+                              len(regexp_extract_all(text,
+                                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                                ::BIGINT AS b
+                       FROM documents)
+            SELECT lang, sum(w)::BIGINT AS words, sum(b)::BIGINT AS bpe,
+                   ((1000000 * sum(b)) // sum(w))::BIGINT AS fertility_ppm
+            FROM c GROUP BY lang ORDER BY lang""",
         "psnr_gate": r"""
             WITH d AS (SELECT doc_id,
                               ('0x'||substr(md5('img:'||

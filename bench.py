@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "fano_factor", "event_autocorr", "markov_entropy", "seasonality_chi2",
     "ttr", "readability",
     "image_meta", "phash_pairs", "image_decode_parity", "phash_bit_balance",
-    "thumb_parity", "image_gate", "psnr_gate",
+    "thumb_parity", "image_gate", "psnr_gate", "fertility",
 ]
 
 CRAWL_HOSTS = 8192
