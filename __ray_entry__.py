@@ -6143,6 +6143,45 @@ def q_fertility(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_bootstrap_ci(sf_dir: str):
+    """Poisson-bootstrap replicate table for mean order value
+    (relational.poisson_bootstrap_means — Chamandy et al. 2012, the
+    planet-scale A/B CI primitive): 32 replicates in ONE streaming
+    pass, each row drawing deterministic hash-derived Poisson(1)
+    weights (pinned integer CDF thresholds, md5 + 32-bit
+    xorshift-multiply mix — identical expressions in the DuckDB twin).
+    No per-replicate pass, no materialized resamples, no RNG object;
+    per-replicate exact integer (n_w, sum_w, mean) — the spread of the
+    32 means IS the CI. Combiner rollup over 32 keys, no shuffle."""
+    from frontera_ray.stages.relational import poisson_bootstrap_means
+
+    cents = (_read(sf_dir, "orders")
+             .select_columns(["o_orderkey", "o_totalprice"])
+             .map_batches(lambda b: pa.table({
+                 "o_orderkey": b["o_orderkey"],
+                 "cents": pa.array(
+                     np.round(b["o_totalprice"].to_numpy() * 100)
+                     .astype(np.int64), pa.int64())}),
+                 batch_format="pyarrow"))
+    return poisson_bootstrap_means(cents, "o_orderkey", "cents",
+                                   replicates=32)
+
+
+def q_pareto_docs(sf_dir: str):
+    """Documents on the (type-token-ratio, token-count) maximization
+    Pareto front (relational.pareto_front_2d): the data-selection
+    frontier — docs not weakly dominated on both lexical richness and
+    length. Distributed skyline: block-local fronts, then the exact
+    global front of the bounded union; the corpus never lands on the
+    driver. DuckDB twin is the NOT EXISTS dominator scan."""
+    from frontera_ray.stages.relational import pareto_front_2d
+    from frontera_ray.stages.text import ttr_table
+
+    t = ttr_table(_read(sf_dir, "documents")
+                  .select_columns(["doc_id", "text"]))
+    return pareto_front_2d(t, "doc_id", "ttr_ppm", "n_tokens")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6400,6 +6439,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_gate": q_image_gate,
     "psnr_gate": q_psnr_gate,
     "fertility": q_fertility,
+    "bootstrap_ci": q_bootstrap_ci,
+    "pareto_docs": q_pareto_docs,
 }
 
 
@@ -10072,6 +10113,63 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "bootstrap_ci": r"""
+            WITH r AS (SELECT (('0x'||substr(md5(CAST(o_orderkey
+                                 AS VARCHAR)),1,16))::UBIGINT
+                               & 4294967295::UBIGINT) AS u32,
+                              round(o_totalprice * 100)::BIGINT AS cents
+                       FROM orders),
+            m1 AS (SELECT gb.b AS b, cents,
+                          xor(u32, (gb.b::UBIGINT * 2654435761::UBIGINT)
+                                   % 4294967296::UBIGINT) AS v1
+                   FROM r, generate_series(0, 31) gb(b)),
+            m2 AS (SELECT b, cents,
+                          ((v1 * 69069::UBIGINT) % 4294967296::UBIGINT)
+                            AS v2
+                   FROM m1),
+            m3 AS (SELECT b, cents, xor(v2, v2 >> 16) AS v3 FROM m2),
+            m4 AS (SELECT b, cents,
+                          ((v3 * 40503::UBIGINT) % 4294967296::UBIGINT)
+                            AS v4
+                   FROM m3),
+            m5 AS (SELECT b, cents,
+                          (xor(v4, v4 >> 13) % 1000000::UBIGINT)::BIGINT
+                            AS ppm
+                   FROM m4),
+            w AS (SELECT b, cents,
+                         CASE WHEN ppm < 367879 THEN 0
+                              WHEN ppm < 735758 THEN 1
+                              WHEN ppm < 919698 THEN 2
+                              WHEN ppm < 981011 THEN 3
+                              WHEN ppm < 996339 THEN 4
+                              WHEN ppm < 999405 THEN 5
+                              WHEN ppm < 999916 THEN 6
+                              WHEN ppm < 999989 THEN 7
+                              WHEN ppm < 999998 THEN 8
+                              WHEN ppm < 999999 THEN 9
+                              ELSE 10 END::BIGINT AS wt
+                  FROM m5)
+            SELECT b::BIGINT AS b, sum(wt)::BIGINT AS n_w,
+                   sum(wt * cents)::BIGINT AS sum_w,
+                   (sum(wt * cents) // greatest(sum(wt), 1))::BIGINT
+                     AS mean_val
+            FROM w GROUP BY b ORDER BY b""",
+        "pareto_docs": r"""
+            WITH tt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                               ((1000000 * count(DISTINCT token))
+                                // count(*))::BIGINT AS ttr_ppm
+                        FROM (SELECT doc_id,
+                                     unnest(regexp_extract_all(
+                                         text, '\S+')) AS token
+                              FROM documents)
+                        GROUP BY doc_id)
+            SELECT doc_id, ttr_ppm, n_tokens FROM tt p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tt o
+                WHERE o.ttr_ppm >= p.ttr_ppm
+                  AND o.n_tokens >= p.n_tokens
+                  AND (o.ttr_ppm > p.ttr_ppm OR o.n_tokens > p.n_tokens))
+            ORDER BY doc_id""",
         "fertility": r"""
             WITH c AS (SELECT lang,
                               len(regexp_extract_all(text, '\S+'))::BIGINT

@@ -3709,3 +3709,119 @@ def per_key_cusum(ds, key_col: str, order_col: str, val_col: str,
                                                pa.int64())})
 
     return keyed_exchange(ds, key_col, block, exchange)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (deterministic, SQL-twin-exact)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds in ppm, PINNED literals shared with the
+# DuckDB twin (pmf ppm 367879/367879/183940/61313/15328/3066/511/73/
+# 9/1): a uniform ppm draw below threshold k maps to weight k.
+POISSON1_CDF_PPM = np.asarray(
+    [367879, 735758, 919698, 981011, 996339, 999405, 999916, 999989,
+     999998, 999999], dtype=np.int64)
+
+
+def _bootstrap_mix_ppm(u32: np.ndarray, b: int) -> np.ndarray:
+    """Per-(row, replicate) uniform ppm draw from one md5 per row: a
+    32-bit xorshift-multiply mix seeded by replicate id — every step
+    stays below 2^63 so the DuckDB twin runs the identical expression
+    on UBIGINTs with no overflow."""
+    m32 = np.uint64(0xFFFFFFFF)
+    v = u32 ^ ((np.uint64(b) * np.uint64(2654435761)) & m32)
+    v = (v * np.uint64(69069)) & m32
+    v ^= v >> np.uint64(16)
+    v = (v * np.uint64(40503)) & m32
+    v ^= v >> np.uint64(13)
+    return (v % np.uint64(1_000_000)).astype(np.int64)
+
+
+def poisson_bootstrap_means(ds, key_col: str, val_col: str,
+                            replicates: int = 32):
+    """Bootstrap replicate table for the mean of ``val_col`` (integer
+    units): the Poisson(1)-weight resampling trick that turns a
+    B-replicate bootstrap into ONE streaming pass — each row draws a
+    deterministic hash-derived weight per replicate (no RNG object, no
+    sampling shuffle), blocks emit B-row partials, and a combiner
+    rollup yields per-replicate (n_w, sum_w) with exact integer means.
+    The CI read (spread of the B means) is a trivial driver-side scan.
+    This is how planet-scale A/B systems bootstrap (Poisson bootstrap,
+    Chamandy et al. 2012) — no per-replicate pass, no materialized
+    resamples. Returns a pandas DataFrame (b, n_w, sum_w, mean_val)."""
+    import hashlib
+
+    _md5 = hashlib.md5
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[val_col].to_numpy().astype(np.int64)
+        u32 = np.fromiter(
+            (int.from_bytes(_md5(str(k).encode("utf8")).digest()[:8],
+                            "big") for k in keys),
+            dtype=np.uint64, count=len(keys)) & np.uint64(0xFFFFFFFF)
+        bs = np.empty(replicates, dtype=np.int64)
+        ns = np.empty(replicates, dtype=np.int64)
+        ss = np.empty(replicates, dtype=np.int64)
+        for b in range(replicates):
+            ppm = _bootstrap_mix_ppm(u32, b)
+            w = np.searchsorted(POISSON1_CDF_PPM, ppm, side="right")
+            bs[b] = b
+            ns[b] = int(w.sum())
+            ss[b] = int((w * vals).sum())
+        return pa.table({"b": pa.array(bs, pa.int64()),
+                         "n_w": pa.array(ns, pa.int64()),
+                         "sum_w": pa.array(ss, pa.int64())})
+
+    out = partial_groupby_agg(ds.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              ["b"], {"n_w": ("n_w", "sum"),
+                                      "sum_w": ("sum_w", "sum")})
+    out["mean_val"] = out["sum_w"] // out["n_w"].clip(lower=1)
+    return out.sort_values("b").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto front (distributed skyline)
+# ---------------------------------------------------------------------------
+
+def _pareto_front_2d_block(ids: np.ndarray, a: np.ndarray,
+                           b: np.ndarray) -> np.ndarray:
+    """Indices of the maximization Pareto front (keep p unless some q
+    has q.a >= p.a, q.b >= p.b with one strict). Identical duplicate
+    points all survive. Vectorized sort-scan."""
+    order = np.lexsort((-b, -a))
+    sa, sb = a[order], b[order]
+    new_a = np.concatenate(([True], sa[1:] != sa[:-1]))
+    grp = np.cumsum(new_a) - 1
+    gmax = np.maximum.reduceat(sb, np.flatnonzero(new_a))
+    # best b among STRICTLY larger a values, per group
+    best_prev = np.concatenate(([np.iinfo(np.int64).min],
+                                np.maximum.accumulate(gmax)[:-1]))
+    keep = (sb == gmax[grp]) & (sb > best_prev[grp])
+    return order[keep]
+
+
+def pareto_front_2d(ds, id_col: str, a_col: str, b_col: str):
+    """Distributed skyline: per-block local fronts (a dominated point
+    is dominated within its own block), then the exact global front of
+    the unioned local fronts on the driver — fronts are bounded by the
+    distinct-a count, never corpus-sized. The data-selection frontier
+    read (e.g. lexical richness vs length: which documents are not
+    strictly worse than another on both axes)."""
+    import ray
+
+    def block(batch: pa.Table) -> pa.Table:
+        idx = _pareto_front_2d_block(
+            batch[id_col].to_numpy(), batch[a_col].to_numpy(),
+            batch[b_col].to_numpy())
+        return batch.select([id_col, a_col, b_col]).take(pa.array(idx))
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(block, batch_format="pyarrow")
+                .to_arrow_refs()))
+    idx = _pareto_front_2d_block(parts[id_col].to_numpy(),
+                                 parts[a_col].to_numpy(),
+                                 parts[b_col].to_numpy())
+    out = parts.take(pa.array(np.sort(idx))).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -2635,3 +2635,42 @@ def test_image_gate_reason_order():
     assert (np.minimum(capfail.w, capfail.h) >= 32).all()
     assert (~df[df.reason == "small"].keep).all()
     assert (df[df.reason == "ok"].keep).all()
+
+
+def test_pareto_front_2d_brute(ray_session):
+    """Distributed skyline == brute NOT-EXISTS scan, duplicates kept."""
+    import ray as _ray
+
+    from frontera_ray.stages.relational import pareto_front_2d
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 50, 400)
+    b = rng.integers(0, 50, 400)
+    a[10], b[10] = a[11], b[11]  # identical duplicate pair
+    ids = np.arange(400)
+    ds = _ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": ids, "a": a, "b": b})
+    ).repartition(7)
+    got = pareto_front_2d(ds, "doc_id", "a", "b")
+    brute = [i for i in ids
+             if not any((a[j] >= a[i]) and (b[j] >= b[i])
+                        and (a[j] > a[i] or b[j] > b[i]) for j in ids)]
+    assert got["doc_id"].tolist() == sorted(brute)
+    # both members of an identical duplicate front point survive or die together
+    assert (10 in brute) == (11 in brute)
+
+
+def test_poisson_bootstrap_weights_distribution():
+    """Hash-derived Poisson(1) weights: mean ~1, variance ~1, exact
+    pinned-threshold mapping at the boundaries."""
+    from frontera_ray.stages.relational import (POISSON1_CDF_PPM,
+                                                _bootstrap_mix_ppm)
+
+    u32 = np.arange(200_000, dtype=np.uint64) * np.uint64(2654435761)
+    u32 &= np.uint64(0xFFFFFFFF)
+    ppm = _bootstrap_mix_ppm(u32, 3)
+    w = np.searchsorted(POISSON1_CDF_PPM, ppm, side="right")
+    assert abs(w.mean() - 1.0) < 0.02
+    assert abs(w.var() - 1.0) < 0.05
+    assert np.searchsorted(POISSON1_CDF_PPM, 367878, side="right") == 0
+    assert np.searchsorted(POISSON1_CDF_PPM, 367879, side="right") == 1
