@@ -6182,6 +6182,65 @@ def q_pareto_docs(sf_dir: str):
     return pareto_front_2d(t, "doc_id", "ttr_ppm", "n_tokens")
 
 
+def q_bloom_fp_audit(sf_dir: str):
+    """Bit-level audit of the PRODUCTION URL-seen bloom filter
+    (state/urlseen.BloomFilter — splitmix64 double hashing,
+    Kirsch–Mitzenmacher probing): even-fingerprint URLs build the real
+    filter as OR-merged per-block partial blooms (the associative
+    scale shape — a 10^10-key bloom builds the same way, shard by
+    shard), odd-fingerprint URLs probe it, and every probe row reports
+    its pass bit. Probe ∩ build = ∅ by construction, so every pass IS
+    a false positive — the measured FP rate at this load factor. The
+    DuckDB twin replicates splitmix64 exactly (64-bit multiplies via
+    32-bit splits in HUGEINT) and re-derives each of the 7 bit
+    positions, so a single drifted bit in the production filter's hash
+    path fails the hash. Deliberately tiny filter (1024 bits) so false
+    positives exist at sf0.01."""
+    import ray
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.state.urlseen import BloomFilter
+    from frontera_ray.urls import canonicalize_batch
+
+    NUM_BITS, NUM_HASHES = 1024, 7
+
+    def fp_table(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls = canonicalize_batch(_raw_urls(ids))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(md5_u64(urls).view(np.int64), pa.int64())})
+
+    fps = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(fp_table, batch_format="pyarrow"))
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(NUM_BITS, NUM_HASHES)
+        ids = batch["doc_id"].to_numpy()
+        f = batch["fp"].to_numpy().view(np.uint64)
+        bf.add_batch(f[ids % 2 == 0])
+        return pa.table({"words": pa.array([bf.words.tobytes()],
+                                           pa.binary())})
+
+    merged = BloomFilter(NUM_BITS, NUM_HASHES)
+    for row in fps.map_batches(partial_bloom,
+                               batch_format="pyarrow").take_all():
+        merged.words |= np.frombuffer(row["words"], dtype=np.uint64)
+    words_ref = ray.put(merged.words)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(NUM_BITS, NUM_HASHES)
+        bf.words = ray.get(words_ref)
+        ids = batch["doc_id"].to_numpy()
+        odd = ids % 2 == 1
+        f = batch["fp"].to_numpy().view(np.uint64)[odd]
+        return pa.table({
+            "doc_id": pa.array(ids[odd], pa.int64()),
+            "bloom_pass": pa.array(bf.contains_batch(f), pa.bool_())})
+
+    out = fps.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6441,6 +6500,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fertility": q_fertility,
     "bootstrap_ci": q_bootstrap_ci,
     "pareto_docs": q_pareto_docs,
+    "bloom_fp_audit": q_bloom_fp_audit,
 }
 
 
@@ -10113,6 +10173,75 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "bloom_fp_audit": r"""
+            WITH fp AS (SELECT doc_id,
+                               ('0x'||substr(md5('http://host-'
+                                  || (doc_id % 20) || '.test/p/' || doc_id
+                                  || '?a=1&b=2'),1,16))::UBIGINT AS f
+                        FROM documents),
+            sa0 AS (SELECT doc_id, ((f::HUGEINT
+                        + 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM fp),
+            sa1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM sa0),
+            sa2 AS (SELECT doc_id,
+                      ((((x % 4294967296::UBIGINT)
+                           * 484763065::UBIGINT)::HUGEINT
+                        + ((((x % 4294967296::UBIGINT)
+                               * 3210233709::UBIGINT)::HUGEINT
+                            + ((x >> 32) * 484763065::UBIGINT)::HUGEINT)
+                           % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                       % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM sa1),
+            sa3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM sa2),
+            sa4 AS (SELECT doc_id,
+                      ((((x % 4294967296::UBIGINT)
+                           * 321982955::UBIGINT)::HUGEINT
+                        + ((((x % 4294967296::UBIGINT)
+                               * 2496678331::UBIGINT)::HUGEINT
+                            + ((x >> 32) * 321982955::UBIGINT)::HUGEINT)
+                           % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                       % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM sa3),
+            h1t AS (SELECT doc_id, xor(x, x >> 31) AS h1 FROM sa4),
+            sb0 AS (SELECT doc_id, h1, ((h1::HUGEINT
+                        + 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM h1t),
+            sb1 AS (SELECT doc_id, h1, xor(x, x >> 30) AS x FROM sb0),
+            sb2 AS (SELECT doc_id, h1,
+                      ((((x % 4294967296::UBIGINT)
+                           * 484763065::UBIGINT)::HUGEINT
+                        + ((((x % 4294967296::UBIGINT)
+                               * 3210233709::UBIGINT)::HUGEINT
+                            + ((x >> 32) * 484763065::UBIGINT)::HUGEINT)
+                           % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                       % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM sb1),
+            sb3 AS (SELECT doc_id, h1, xor(x, x >> 27) AS x FROM sb2),
+            sb4 AS (SELECT doc_id, h1,
+                      ((((x % 4294967296::UBIGINT)
+                           * 321982955::UBIGINT)::HUGEINT
+                        + ((((x % 4294967296::UBIGINT)
+                               * 2496678331::UBIGINT)::HUGEINT
+                            + ((x >> 32) * 321982955::UBIGINT)::HUGEINT)
+                           % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                       % 18446744073709551616::HUGEINT)::UBIGINT AS x
+                    FROM sb3),
+            hh AS (SELECT doc_id, h1,
+                          (xor(x, x >> 31) | 1::UBIGINT) AS h2
+                   FROM sb4),
+            pos AS (SELECT doc_id,
+                           ((h1::HUGEINT + g.i::HUGEINT * h2::HUGEINT)
+                            % 1024)::BIGINT AS p
+                    FROM hh, generate_series(0, 6) g(i)),
+            build_pos AS (SELECT DISTINCT p FROM pos
+                          WHERE doc_id % 2 = 0)
+            SELECT pos.doc_id,
+                   bool_and(b.p IS NOT NULL) AS bloom_pass
+            FROM pos LEFT JOIN build_pos b ON pos.p = b.p
+            WHERE pos.doc_id % 2 = 1
+            GROUP BY pos.doc_id ORDER BY pos.doc_id""",
         "bootstrap_ci": r"""
             WITH r AS (SELECT (('0x'||substr(md5(CAST(o_orderkey
                                  AS VARCHAR)),1,16))::UBIGINT

@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "ttr", "readability",
     "image_meta", "phash_pairs", "image_decode_parity", "phash_bit_balance",
     "thumb_parity", "image_gate", "psnr_gate", "fertility",
-    "bootstrap_ci", "pareto_docs",
+    "bootstrap_ci", "pareto_docs", "bloom_fp_audit",
 ]
 
 CRAWL_HOSTS = 8192
