@@ -6241,6 +6241,85 @@ def q_bloom_fp_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_welch_t(sf_dir: str):
+    """Welch's t² between returned ('R') and acknowledged ('A')
+    lineitem quantities, EXACT-RATIONAL — the means twin of
+    `ab_ztest`'s proportions test:
+
+        t² = (S₁n₂−S₂n₁)²(n₁−1)(n₂−1)
+             / [(n₁SS₁−S₁²)n₂²(n₂−1) + (n₂SS₂−S₂²)n₁²(n₁−1)]
+
+    from six integer registers (n, Σx, Σx²) per side via one combiner
+    pass; the driver folds in Python bigints, the SQL twin in HUGEINT
+    (overflow would error loudly, never silently truncate), final
+    t2_ppm integer. The continuous-metric A/B primitive."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    li = (_read(sf_dir, "lineitem")
+          .select_columns(["l_returnflag", "l_quantity"])
+          .map_batches(lambda b: pa.table({
+              "flag": b["l_returnflag"],
+              "q": pa.array(np.round(b["l_quantity"].to_numpy())
+                            .astype(np.int64), pa.int64()),
+              "qq": pa.array((np.round(b["l_quantity"].to_numpy())
+                              .astype(np.int64)) ** 2, pa.int64()),
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+          }).filter(pc.is_in(b["l_returnflag"],
+                             value_set=pa.array(["A", "R"]))),
+              batch_format="pyarrow"))
+    g = partial_groupby_agg(li, "flag", {
+        "n": ("one", "sum"), "s": ("q", "sum"), "ss": ("qq", "sum")}) \
+        .set_index("flag")
+    n1, s1, ss1 = (int(g.loc["A", c]) for c in ("n", "s", "ss"))
+    n2, s2, ss2 = (int(g.loc["R", c]) for c in ("n", "s", "ss"))
+    num = (s1 * n2 - s2 * n1) ** 2 * (n1 - 1) * (n2 - 1)
+    den = ((n1 * ss1 - s1 * s1) * n2 * n2 * (n2 - 1)
+           + (n2 * ss2 - s2 * s2) * n1 * n1 * (n1 - 1))
+    return pd.DataFrame([{
+        "n_a": n1, "sum_a": s1, "ss_a": ss1,
+        "n_b": n2, "sum_b": s2, "ss_b": ss2,
+        "t2_ppm": (1_000_000 * num) // den if den else 0,
+    }]).astype("int64")
+
+
+def q_hash_ring_plan(sf_dir: str):
+    """Consistent-hash-ring shard plan (Karger et al. 1997): 8 shards
+    × 16 md5-derived virtual nodes; every distinct user key routes to
+    the first ring position clockwise of its hash (wraparound to the
+    global minimum). Output is the per-shard key census — the balance
+    read taken before committing a ring (vnode count tunes variance).
+    The ring is tiny and broadcast; assignment is one vectorized
+    searchsorted per block + a combiner rollup. DuckDB twin re-derives
+    ring and assignments from the same md5 expressions."""
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ring_pos = md5_u64([f"ring:{s}:{v}" for s in range(8)
+                        for v in range(16)])
+    ring_shard = np.repeat(np.arange(8, dtype=np.int64), 16)
+    order = np.argsort(ring_pos)
+    ring_pos, ring_shard = ring_pos[order], ring_shard[order]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        h = md5_u64([f"key:{u}" for u in uid])
+        idx = np.searchsorted(ring_pos, h, side="left")
+        idx[idx == len(ring_pos)] = 0  # wraparound
+        return pa.table({
+            "shard": pa.array(ring_shard[idx], pa.int64()),
+            "one": pa.array(np.ones(len(uid), np.int64), pa.int64())})
+
+    keys = (_read(sf_dir, "events").select_columns(["user_id"])
+            .groupby("user_id").count()
+            .map_batches(lambda b: b.select(["user_id"]),
+                         batch_format="pyarrow")
+            .map_batches(assign, batch_format="pyarrow"))
+    out = partial_groupby_agg(keys, ["shard"], {"n_keys": ("one", "sum")})
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6501,6 +6580,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "pareto_docs": q_pareto_docs,
     "bloom_fp_audit": q_bloom_fp_audit,
+    "welch_t": q_welch_t,
+    "hash_ring_plan": q_hash_ring_plan,
 }
 
 
@@ -10173,6 +10254,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "welch_t": r"""
+            WITH r AS (SELECT l_returnflag AS flag,
+                              round(l_quantity)::BIGINT AS q
+                       FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+            g AS (SELECT flag, count(*)::HUGEINT AS n,
+                         sum(q)::HUGEINT AS s, sum(q*q)::HUGEINT AS ss
+                  FROM r GROUP BY flag),
+            a AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM g
+                  WHERE flag = 'A'),
+            b AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM g
+                  WHERE flag = 'R')
+            SELECT n1::BIGINT AS n_a, s1::BIGINT AS sum_a,
+                   ss1::BIGINT AS ss_a, n2::BIGINT AS n_b,
+                   s2::BIGINT AS sum_b, ss2::BIGINT AS ss_b,
+                   (CASE WHEN ((n1*ss1 - s1*s1)*n2*n2*(n2-1)
+                               + (n2*ss2 - s2*s2)*n1*n1*(n1-1)) = 0
+                         THEN 0
+                         ELSE (1000000 * (s1*n2 - s2*n1)
+                                       * (s1*n2 - s2*n1)
+                                       * (n1-1) * (n2-1))
+                              // ((n1*ss1 - s1*s1)*n2*n2*(n2-1)
+                                  + (n2*ss2 - s2*s2)*n1*n1*(n1-1))
+                    END)::BIGINT AS t2_ppm
+            FROM a, b""",
+        "hash_ring_plan": r"""
+            WITH ring AS (SELECT s.s AS shard,
+                                 ('0x'||substr(md5('ring:'||s.s||':'
+                                    ||v.v),1,16))::UBIGINT AS pos
+                          FROM generate_series(0, 7) s(s),
+                               generate_series(0, 15) v(v)),
+            kh AS (SELECT user_id,
+                          ('0x'||substr(md5('key:'||CAST(user_id
+                             AS VARCHAR)),1,16))::UBIGINT AS h
+                   FROM (SELECT DISTINCT user_id FROM events)),
+            asg AS (SELECT k.user_id,
+                           coalesce(
+                             (SELECT r.shard FROM ring r
+                              WHERE r.pos >= k.h
+                              ORDER BY r.pos LIMIT 1),
+                             (SELECT r.shard FROM ring r
+                              ORDER BY r.pos LIMIT 1)) AS shard
+                    FROM kh k)
+            SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_keys
+            FROM asg GROUP BY shard ORDER BY shard""",
         "bloom_fp_audit": r"""
             WITH fp AS (SELECT doc_id,
                                ('0x'||substr(md5('http://host-'

@@ -89,7 +89,8 @@ BENCH_QUERIES = [
     "ttr", "readability",
     "image_meta", "phash_pairs", "image_decode_parity", "phash_bit_balance",
     "thumb_parity", "image_gate", "psnr_gate", "fertility",
-    "bootstrap_ci", "pareto_docs", "bloom_fp_audit",
+    "bootstrap_ci", "pareto_docs", "bloom_fp_audit", "welch_t",
+    "hash_ring_plan",
 ]
 
 CRAWL_HOSTS = 8192
