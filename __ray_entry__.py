@@ -6320,6 +6320,78 @@ def q_hash_ring_plan(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def q_wasserstein1(sf_dir: str):
+    """Two-sample 1-Wasserstein distance between the user-parity
+    cohorts' event-value distributions
+    (relational.wasserstein1_2sample), INTEGER-EXACT — the transport
+    MAGNITUDE beside ks_drift's max-gap: KS alerts on the worst point,
+    W1 on total mass moved (what drift monitoring actually pages on).
+    Same value-count register pass; Python-bigint fold, HUGEINT twin."""
+    from frontera_ray.stages.relational import wasserstein1_2sample
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "value": b["value"],
+              "side": pa.array(b["user_id"].to_numpy() % 2, pa.int64()),
+          }), batch_format="pyarrow"))
+    return wasserstein1_2sample(ev, "value", "side", scale=100).to_pandas()
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled mixture allocation (alpha = 0.5, the
+    multilingual sampling rule of mBERT/XLM-R): per-source weights
+    proportional to sqrt(n_docs) via EXACT integer isqrt(n·10^6)
+    (float sqrt + ±1 correction — identical expression in the twin),
+    then Hamilton largest-remainder apportionment of a 10,000-sample
+    budget (deterministic ties by source; Σalloc == budget exactly).
+    The upsampling-low-resource / downsampling-high-resource read
+    beside mix_epochs' UniMax water-filling."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import (hamilton_alloc,
+                                                isqrt_exact,
+                                                partial_groupby_agg)
+
+    docs = (_read(sf_dir, "documents").select_columns(["source"])
+            .map_batches(lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), np.int64), pa.int64())),
+                batch_format="pyarrow"))
+    g = partial_groupby_agg(docs, ["source"], {"n_docs": ("one", "sum")}) \
+        .sort_values("source").reset_index(drop=True)
+    n = g["n_docs"].to_numpy().astype(np.int64)
+    w = isqrt_exact(n * 1_000_000)
+    alloc = hamilton_alloc(w, 10_000,
+                           np.arange(len(g), dtype=np.int64))
+    return pd.DataFrame({"source": g["source"], "n_docs": n,
+                         "w": w, "alloc": alloc})
+
+
+def q_jain_fairness(sf_dir: str):
+    """Jain's fairness index over per-user event counts — THE
+    scheduler-fairness number (Jain et al. 1984): J = (Σx)²/(n·Σx²),
+    1 = perfectly fair, 1/n = one key hogs everything; the read a
+    politeness scheduler reports next to per-host service counts.
+    EXACT-RATIONAL: one distributed count groupby, then a three-
+    register combiner fold; jain_ppm integer both sides."""
+    import pandas as pd
+
+    counts = (_read(sf_dir, "events").select_columns(["user_id"])
+              .groupby("user_id").count()
+              .map_batches(lambda b: pa.table({
+                  "x": b["count()"],
+                  "xx": pa.array(b["count()"].to_numpy() ** 2, pa.int64()),
+                  "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+              }), batch_format="pyarrow"))
+    regs = counts.sum(["x", "xx", "one"])
+    n, sx, ss = (int(regs["sum(one)"]), int(regs["sum(x)"]),
+                 int(regs["sum(xx)"]))
+    return pd.DataFrame([{
+        "n_keys": n, "sum_x": sx, "ss_x": ss,
+        "jain_ppm": (1_000_000 * sx * sx) // (n * ss) if n * ss else 0,
+    }]).astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6582,6 +6654,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_fp_audit": q_bloom_fp_audit,
     "welch_t": q_welch_t,
     "hash_ring_plan": q_hash_ring_plan,
+    "wasserstein1": q_wasserstein1,
+    "temperature_mix": q_temperature_mix,
+    "jain_fairness": q_jain_fairness,
 }
 
 
@@ -10254,6 +10329,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "wasserstein1": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              (user_id % 2)::BIGINT AS side
+                       FROM events),
+            c AS (SELECT val,
+                         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                           ::BIGINT AS a,
+                         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                           ::BIGINT AS b
+                  FROM v GROUP BY val),
+            cum AS (SELECT val,
+                           sum(a) OVER (ORDER BY val)::HUGEINT AS ca,
+                           sum(b) OVER (ORDER BY val)::HUGEINT AS cb,
+                           lead(val) OVER (ORDER BY val) AS nxt
+                    FROM c),
+            tot AS (SELECT sum(a)::HUGEINT AS na, sum(b)::HUGEINT AS nb
+                    FROM c)
+            SELECT (SELECT na FROM tot)::BIGINT AS n_a,
+                   (SELECT nb FROM tot)::BIGINT AS n_b,
+                   ((SELECT na FROM tot)
+                    * (SELECT nb FROM tot))::BIGINT AS w1_den,
+                   (1000000 * sum(abs(ca * (SELECT nb FROM tot)
+                                     - cb * (SELECT na FROM tot))
+                                  * (nxt - val))
+                    // ((SELECT na FROM tot)
+                        * (SELECT nb FROM tot)))::BIGINT AS w1_micro
+            FROM cum WHERE nxt IS NOT NULL""",
+        "temperature_mix": r"""
+            WITH t AS (SELECT source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY source),
+            s0 AS (SELECT source, n, (n * 1000000)::BIGINT AS x,
+                          floor(sqrt((n * 1000000)::DOUBLE))::BIGINT
+                            AS s
+                   FROM t),
+            s1 AS (SELECT source, n, x,
+                          (s - CASE WHEN s * s > x THEN 1 ELSE 0 END)
+                            AS s
+                   FROM s0),
+            w AS (SELECT source, n,
+                         (s + CASE WHEN (s+1)*(s+1) <= x THEN 1
+                                   ELSE 0 END)::BIGINT AS w
+                  FROM s1),
+            tot AS (SELECT sum(w)::BIGINT AS tw FROM w),
+            base AS (SELECT source, n, w,
+                            ((10000 * w) // (SELECT tw FROM tot))
+                              ::BIGINT AS base,
+                            ((10000 * w) % (SELECT tw FROM tot))
+                              ::BIGINT AS rem
+                     FROM w),
+            lo AS (SELECT (10000 - sum(base))::BIGINT AS l FROM base),
+            rk AS (SELECT *, row_number() OVER (
+                       ORDER BY rem DESC, source ASC) AS rk
+                   FROM base)
+            SELECT source, n AS n_docs, w,
+                   (base + CASE WHEN rk <= (SELECT l FROM lo) THEN 1
+                                ELSE 0 END)::BIGINT AS alloc
+            FROM rk ORDER BY source""",
+        "jain_fairness": r"""
+            WITH c AS (SELECT user_id, count(*)::HUGEINT AS x
+                       FROM events GROUP BY user_id)
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(x)::BIGINT AS sum_x,
+                   sum(x * x)::BIGINT AS ss_x,
+                   (CASE WHEN count(*) * sum(x * x) = 0 THEN 0
+                         ELSE (1000000 * sum(x) * sum(x))
+                              // (count(*) * sum(x * x)) END)::BIGINT
+                     AS jain_ppm
+            FROM c""",
         "welch_t": r"""
             WITH r AS (SELECT l_returnflag AS flag,
                               round(l_quantity)::BIGINT AS q

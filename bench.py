@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "image_meta", "phash_pairs", "image_decode_parity", "phash_bit_balance",
     "thumb_parity", "image_gate", "psnr_gate", "fertility",
     "bootstrap_ci", "pareto_docs", "bloom_fp_audit", "welch_t",
-    "hash_ring_plan",
+    "hash_ring_plan", "wasserstein1", "temperature_mix", "jain_fairness",
 ]
 
 CRAWL_HOSTS = 8192

@@ -3825,3 +3825,95 @@ def pareto_front_2d(ds, id_col: str, a_col: str, b_col: str):
                                  parts[b_col].to_numpy())
     out = parts.take(pa.array(np.sort(idx))).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def wasserstein1_2sample(ds, value_col: str, side_col: str,
+                         scale: int = 100) -> pa.Table:
+    """Two-sample 1-Wasserstein (earth-mover) distance, INTEGER-EXACT
+    — the MAGNITUDE complement of ``ks_2sample``'s max-gap statistic
+    (KS sees the worst point; W1 integrates total transport, the drift
+    number distribution-shift monitoring actually alerts on):
+
+        W1 = Σ_i |F_a(v_i) - F_b(v_i)| · (v_{i+1} - v_i)
+           = w1_num / w1_den,
+        w1_num = Σ |ca_i·nb - cb_i·na| · Δv_i  (Python bigints),
+        w1_den = na·nb,
+
+    over the pooled distinct discretized values (value·scale rounded).
+    Same partial-combine register pass as ks_2sample; the driver folds
+    distinct-value-scale partials only. Returns one row (n_a, n_b,
+    w1_num as micro-scaled w1_micro over the den, plus the raw den)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        side = batch[side_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        a = np.bincount(inv, weights=(side == 0), minlength=len(uv))
+        b = np.bincount(inv, weights=(side == 1), minlength=len(uv))
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "a": pa.array(a.astype(np.int64), pa.int64()),
+                         "b": pa.array(b.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, a, b in zip(t["v"].to_numpy(), t["a"].to_numpy(),
+                           t["b"].to_numpy()):
+            cur = acc.setdefault(int(v), [0, 0])
+            cur[0] += int(a)
+            cur[1] += int(b)
+    if not acc:
+        return pa.table({"n_a": pa.array([0], pa.int64()),
+                         "n_b": pa.array([0], pa.int64()),
+                         "w1_den": pa.array([0], pa.int64()),
+                         "w1_micro": pa.array([0], pa.int64())})
+    vs = np.array(sorted(acc), dtype=np.int64)
+    a = np.array([acc[int(v)][0] for v in vs], dtype=np.int64)
+    b = np.array([acc[int(v)][1] for v in vs], dtype=np.int64)
+    na, nb = int(a.sum()), int(b.sum())
+    ca, cb = np.cumsum(a)[:-1], np.cumsum(b)[:-1]
+    dv = np.diff(vs)
+    # Python bigints: |ca·nb - cb·na|·Δv can exceed int64 at scale
+    num = sum(abs(int(x) * nb - int(y) * na) * int(d)
+              for x, y, d in zip(ca, cb, dv))
+    den = na * nb
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "w1_den": pa.array([den], pa.int64()),
+        "w1_micro": pa.array([(1_000_000 * num) // den if den else 0],
+                             pa.int64())})
+
+
+def isqrt_exact(n: np.ndarray) -> np.ndarray:
+    """Exact floor(sqrt(n)) for int64 arrays via float sqrt + ±1
+    correction — the same expression the DuckDB twin runs, so
+    temperature-scaled weights stay oracle-exact."""
+    s = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+    s -= (s * s > n).astype(np.int64)
+    s += ((s + 1) * (s + 1) <= n).astype(np.int64)
+    return s
+
+
+def hamilton_alloc(w: np.ndarray, budget: int,
+                   tie_order: np.ndarray) -> np.ndarray:
+    """Hamilton apportionment of ``budget`` units proportional to
+    integer weights ``w``: base = floor(B·w/W), the leftover units go
+    to the largest remainders (ties broken by ``tie_order`` ascending)
+    — deterministic, Σalloc == budget exactly."""
+    W = int(w.sum())
+    if W == 0:
+        return np.zeros(len(w), dtype=np.int64)
+    base = (budget * w) // W
+    rem = (budget * w) % W
+    leftover = budget - int(base.sum())
+    order = np.lexsort((tie_order, -rem))
+    rank = np.empty(len(w), dtype=np.int64)
+    rank[order] = np.arange(len(w))
+    return base + (rank < leftover)

@@ -2674,3 +2674,53 @@ def test_poisson_bootstrap_weights_distribution():
     assert abs(w.var() - 1.0) < 0.05
     assert np.searchsorted(POISSON1_CDF_PPM, 367878, side="right") == 0
     assert np.searchsorted(POISSON1_CDF_PPM, 367879, side="right") == 1
+
+
+def test_isqrt_exact_boundaries():
+    from frontera_ray.stages.relational import isqrt_exact
+
+    n = np.concatenate([np.arange(0, 2000),
+                        np.array([k*k + d for k in (10**6, 3037000498)
+                                  for d in (-1, 0, 1)])]).astype(np.int64)
+    s = isqrt_exact(n)
+    assert ((s * s <= n) & ((s + 1) * (s + 1) > n)).all()
+
+
+def test_largest_remainder_alloc_skewed():
+    from frontera_ray.stages.relational import hamilton_alloc
+
+    w = np.array([1, 2, 3, 1000, 7], dtype=np.int64)
+    alloc = hamilton_alloc(w, 100, np.arange(5))
+    assert alloc.sum() == 100
+    # proportionality within 1 unit (Hamilton's guarantee)
+    exact = 100 * w / w.sum()
+    assert (np.abs(alloc - exact) < 1).all()
+    # deterministic ties: equal weights, leftover goes to earliest
+    w2 = np.array([1, 1, 1], dtype=np.int64)
+    a2 = hamilton_alloc(w2, 100, np.arange(3))
+    assert a2.tolist() == [34, 33, 33]
+
+
+def test_wasserstein1_brute(ray_session):
+    """Integer W1 == scipy-style brute transport on a small sample."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from frontera_ray.stages.relational import wasserstein1_2sample
+
+    rng = np.random.default_rng(3)
+    va = rng.integers(0, 40, 300) / 4.0
+    vb = rng.integers(5, 50, 200) / 4.0
+    t = pa.table({
+        "value": np.concatenate([va, vb]),
+        "side": np.concatenate([np.zeros(300, np.int64),
+                                np.ones(200, np.int64)])})
+    got = wasserstein1_2sample(_ray.data.from_arrow(t).repartition(5),
+                               "value", "side", scale=100)
+    w1 = got["w1_micro"][0].as_py() / 1e6
+    # brute: integral of |F1-F2| over the support (cents grid)
+    grid = np.arange(0, 5001)
+    f1 = np.searchsorted(np.sort(np.round(va*100)), grid, "right") / 300
+    f2 = np.searchsorted(np.sort(np.round(vb*100)), grid, "right") / 200
+    brute = float(np.abs(f1 - f2).sum())  # unit grid spacing
+    assert abs(w1 - brute) < 2e-3, (w1, brute)
