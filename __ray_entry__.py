@@ -6392,6 +6392,44 @@ def q_jain_fairness(sf_dir: str):
     }]).astype("int64")
 
 
+def q_wilson_lb(sf_dir: str):
+    """Wilson score lower bound (z=2) per event type for the
+    high-value-event rate — THE rank-by-rate-under-uncertainty
+    primitive (low-volume keys can't fake a high rate): with
+    x = hits, n = trials,
+
+        lb ≈ (x + 2 − 2·√(x(n−x)/n + 1)) / (n + 4),
+
+    kept EXACT by integer isqrt on the 10^6-scaled radicand (identical
+    float-sqrt-plus-correction expression in the twin) and floored at
+    0 before the division so both engines agree on sign handling.
+    One combiner pass over the event-type registers."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import (isqrt_exact,
+                                                partial_groupby_agg)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_type": b["event_type"],
+              "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+              "hit": pa.array(
+                  (b["value"].to_numpy() > 50).astype(np.int64),
+                  pa.int64())}), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, ["event_type"],
+                            {"n": ("one", "sum"), "x": ("hit", "sum")}) \
+        .sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy().astype(np.int64)
+    x = g["x"].to_numpy().astype(np.int64)
+    t = isqrt_exact((x * (n - x) * 1_000_000) // np.maximum(n, 1)
+                    + 1_000_000)
+    num = np.maximum(1000 * x + 2000 - 2 * t, 0)
+    g["rate_ppm"] = (1_000_000 * x) // np.maximum(n, 1)
+    g["wilson_lb_ppm"] = (1000 * num) // (n + 4)
+    return g
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6657,6 +6695,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wasserstein1": q_wasserstein1,
     "temperature_mix": q_temperature_mix,
     "jain_fairness": q_jain_fairness,
+    "wilson_lb": q_wilson_lb,
 }
 
 
@@ -10329,6 +10368,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "wilson_lb": r"""
+            WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+                              sum(CASE WHEN value > 50 THEN 1
+                                       ELSE 0 END)::BIGINT AS x
+                       FROM events GROUP BY event_type),
+            r AS (SELECT event_type, n, x,
+                         ((x * (n - x) * 1000000)
+                          // greatest(n, 1) + 1000000)::BIGINT AS rad
+                  FROM g),
+            s0 AS (SELECT *, floor(sqrt(rad::DOUBLE))::BIGINT AS s
+                   FROM r),
+            s1 AS (SELECT *, (s - CASE WHEN s * s > rad THEN 1
+                                       ELSE 0 END) AS s1 FROM s0),
+            sq AS (SELECT event_type, n, x, rad,
+                          (s1 + CASE WHEN (s1+1)*(s1+1) <= rad THEN 1
+                                     ELSE 0 END)::BIGINT AS t
+                   FROM s1)
+            SELECT event_type, n, x,
+                   ((1000000 * x) // greatest(n, 1))::BIGINT AS rate_ppm,
+                   ((1000 * greatest(1000 * x + 2000 - 2 * t, 0))
+                    // (n + 4))::BIGINT AS wilson_lb_ppm
+            FROM sq ORDER BY event_type""",
         "wasserstein1": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (user_id % 2)::BIGINT AS side
