@@ -6430,6 +6430,32 @@ def q_wilson_lb(sf_dir: str):
     return g
 
 
+def q_sigma_breach(sf_dir: str):
+    """Per-event-type 2-sigma breach census over event values
+    (relational.sigma_breach_table) — the outlier-rate monitor behind
+    the 3-sigma rule, EXACT with no square root: the breach predicate
+    is the integer inequality (n·x−S)²(n−1) > 4n(nSS−S²), evaluated
+    as d² > floor(R) with a broadcast per-key bound (provably the same
+    predicate — see kernel docstring). Two streaming register passes,
+    no shuffle."""
+    from frontera_ray.stages.relational import sigma_breach_table
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    return sigma_breach_table(ev, "event_type", "value", scale=100, z=2)
+
+
+def q_otsu_threshold(sf_dir: str):
+    """Otsu's threshold over the event-value histogram
+    (relational.otsu_threshold, Otsu 1979) — the classic image
+    binarization / automatic gate-picking rule, EXACT: between-class
+    variance compared via bigint cross-multiplied floors, argmax with
+    smallest-t ties; one bounded-support register pass."""
+    from frontera_ray.stages.relational import otsu_threshold
+
+    ev = _read(sf_dir, "events").select_columns(["value"])
+    return otsu_threshold(ev, "value", scale=100)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6696,6 +6722,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "temperature_mix": q_temperature_mix,
     "jain_fairness": q_jain_fairness,
     "wilson_lb": q_wilson_lb,
+    "sigma_breach": q_sigma_breach,
+    "otsu_threshold": q_otsu_threshold,
 }
 
 
@@ -10368,6 +10396,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "sigma_breach": r"""
+            WITH v AS (SELECT event_type,
+                              floor(value * 100 + 0.5)::BIGINT AS x
+                       FROM events),
+            g AS (SELECT event_type, count(*)::HUGEINT AS n,
+                         sum(x)::HUGEINT AS s,
+                         sum(x * x)::HUGEINT AS ss
+                  FROM v GROUP BY event_type)
+            SELECT v.event_type, g.n::BIGINT AS n,
+                   sum(CASE WHEN g.n > 1 AND
+                            (g.n * v.x - g.s) * (g.n * v.x - g.s)
+                              * (g.n - 1)
+                            > 4 * g.n * (g.n * g.ss - g.s * g.s)
+                            THEN 1 ELSE 0 END)::BIGINT AS breaches,
+                   ((1000000 * sum(CASE WHEN g.n > 1 AND
+                            (g.n * v.x - g.s) * (g.n * v.x - g.s)
+                              * (g.n - 1)
+                            > 4 * g.n * (g.n * g.ss - g.s * g.s)
+                            THEN 1 ELSE 0 END)) // g.n)::BIGINT
+                     AS breach_ppm
+            FROM v JOIN g USING (event_type)
+            GROUP BY v.event_type, g.n ORDER BY v.event_type""",
+        "otsu_threshold": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val
+                       FROM events),
+            c AS (SELECT val, count(*)::HUGEINT AS cnt FROM v
+                  GROUP BY val),
+            tot AS (SELECT sum(cnt)::HUGEINT AS n,
+                           sum(val * cnt)::HUGEINT AS s FROM c),
+            cum AS (SELECT val,
+                           sum(cnt) OVER (ORDER BY val)::HUGEINT AS c0,
+                           sum(val * cnt) OVER (ORDER BY val)::HUGEINT
+                             AS s0,
+                           row_number() OVER (ORDER BY val DESC) AS rvn
+                    FROM c),
+            sc AS (SELECT val, c0,
+                          ((SELECT n FROM tot) - c0) AS c1,
+                          ((s0 * ((SELECT n FROM tot) - c0)
+                            - ((SELECT s FROM tot) - s0) * c0)
+                           * (s0 * ((SELECT n FROM tot) - c0)
+                              - ((SELECT s FROM tot) - s0) * c0))
+                          // (c0 * ((SELECT n FROM tot) - c0)) AS score
+                   FROM cum WHERE rvn > 1)
+            SELECT val::BIGINT AS t_cents, c0::BIGINT AS c0,
+                   c1::BIGINT AS c1
+            FROM sc ORDER BY score DESC, val ASC LIMIT 1""",
         "wilson_lb": r"""
             WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
                               sum(CASE WHEN value > 50 THEN 1

@@ -3917,3 +3917,107 @@ def hamilton_alloc(w: np.ndarray, budget: int,
     rank = np.empty(len(w), dtype=np.int64)
     rank[order] = np.arange(len(w))
     return base + (rank < leftover)
+
+
+def sigma_breach_table(ds, key_col: str, value_col: str,
+                       scale: int = 100, z: int = 2):
+    """Per-key z-sigma breach census (the outlier-rate read behind
+    '3-sigma rule' monitors), EXACT with no square root anywhere:
+    |x - mu| > z*sigma  <=>  (n*x - S)^2 * (n-1) > z^2 * n * (n*SS - S^2),
+    and since d^2 is an integer, d^2 > R  <=>  d^2 > floor(R) — so the
+    driver folds the per-key registers (one combiner pass), computes
+    floor(R) in Python bigints, broadcasts the tiny (key -> n, S, R)
+    map, and a second streaming pass counts breaches with pure int64
+    comparisons. The SQL twin uses the direct HUGEINT inequality —
+    provably the same predicate. Returns pandas (key, n, breaches,
+    breach_ppm)."""
+    import pandas as pd
+
+    def regs(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            "x": pa.array(v, pa.int64()),
+            "xx": pa.array(v * v, pa.int64()),
+            "one": pa.array(np.ones(len(v), np.int64), pa.int64())})
+
+    keyed = ds.map_batches(regs, batch_format="pyarrow")
+    g = partial_groupby_agg(keyed, [key_col],
+                            {"n": ("one", "sum"), "s": ("x", "sum"),
+                             "ss": ("xx", "sum")}) \
+        .sort_values(key_col).reset_index(drop=True)
+    bound = {}
+    for _, row in g.iterrows():
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        r = ((z * z * n * (n * ss - s * s)) // (n - 1)) if n > 1 else -1
+        bound[row[key_col]] = (n, s, min(r, (1 << 62)))
+
+    import ray
+    bref = ray.put(bound)
+
+    def breach(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        hit = np.zeros(len(v), dtype=np.int64)
+        for k, (n, s, r) in b.items():
+            m = keys == k
+            d = n * v[m] - s
+            hit[m] = (d * d > r).astype(np.int64)
+        return pa.table({key_col: batch[key_col],
+                         "hit": pa.array(hit, pa.int64()),
+                         "one": pa.array(np.ones(len(v), np.int64),
+                                         pa.int64())})
+
+    out = partial_groupby_agg(ds.map_batches(breach,
+                                             batch_format="pyarrow"),
+                              [key_col], {"n": ("one", "sum"),
+                                          "breaches": ("hit", "sum")})
+    out["breach_ppm"] = (1_000_000 * out["breaches"]) // out["n"]
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def otsu_threshold(ds, value_col: str, scale: int = 100):
+    """Otsu's histogram threshold (Otsu 1979 — the classic image
+    binarization / gate-picking rule): the split t maximizing
+    between-class variance, EXACT via bigint cross-multiplication over
+    the pooled value-count registers:
+
+        score(t) = (S0·c1 − S1·c0)² // (c0·c1)    (floor both engines)
+
+    argmax with smallest-t ties. Same bounded-support register pass as
+    ks_2sample; the driver folds distinct-value partials only. Returns
+    one row (t_cents, c0, c1)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    acc: dict[int, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, c in zip(t["v"].to_numpy(), t["c"].to_numpy()):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+    vs = sorted(acc)
+    n_tot = sum(acc.values())
+    s_tot = sum(v * c for v, c in acc.items())
+    best = None
+    c0 = s0 = 0
+    for v in vs[:-1]:
+        c0 += acc[v]
+        s0 += v * acc[v]
+        c1 = n_tot - c0
+        score = (s0 * c1 - (s_tot - s0) * c0) ** 2 // (c0 * c1)
+        if best is None or score > best[0]:
+            best = (score, v, c0, c1)
+    if best is None:
+        return pd.DataFrame([{"t_cents": 0, "c0": 0, "c1": 0}]) \
+            .astype("int64")
+    return pd.DataFrame([{"t_cents": best[1], "c0": best[2],
+                          "c1": best[3]}]).astype("int64")
