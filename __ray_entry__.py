@@ -6456,6 +6456,83 @@ def q_otsu_threshold(sf_dir: str):
     return otsu_threshold(ev, "value", scale=100)
 
 
+def q_simpson_paradox(sf_dir: str):
+    """Simpson's-paradox detector: per-stratum (event type) sign of
+    the cohort rate difference vs the pooled sign, via exact integer
+    cross-multiplication sign(x_a·n_b − x_b·n_a) — flags strata whose
+    direction REVERSES under aggregation (the classic confounding trap
+    any cohort metric rollup must check). One combiner pass over
+    4-register stratum rows; pooled fold on the driver."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "user_id", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_type": b["event_type"],
+              "na": pa.array((b["user_id"].to_numpy() % 2 == 0)
+                             .astype(np.int64), pa.int64()),
+              "xa": pa.array(((b["user_id"].to_numpy() % 2 == 0)
+                              & (b["value"].to_numpy() > 50))
+                             .astype(np.int64), pa.int64()),
+              "nb": pa.array((b["user_id"].to_numpy() % 2 == 1)
+                             .astype(np.int64), pa.int64()),
+              "xb": pa.array(((b["user_id"].to_numpy() % 2 == 1)
+                              & (b["value"].to_numpy() > 50))
+                             .astype(np.int64), pa.int64()),
+          }), batch_format="pyarrow"))
+    g = partial_groupby_agg(ev, ["event_type"],
+                            {"n_a": ("na", "sum"), "x_a": ("xa", "sum"),
+                             "n_b": ("nb", "sum"), "x_b": ("xb", "sum")}) \
+        .sort_values("event_type").reset_index(drop=True)
+    d = (g["x_a"] * g["n_b"] - g["x_b"] * g["n_a"]).astype("int64")
+    g["d_sign"] = np.sign(d).astype(np.int64)
+    pooled = int(np.sign(int(g["x_a"].sum()) * int(g["n_b"].sum())
+                         - int(g["x_b"].sum()) * int(g["n_a"].sum())))
+    g["paradox"] = ((g["d_sign"] != 0) & (pooled != 0)
+                    & (g["d_sign"] != pooled))
+    return g
+
+
+def q_benford_audit(sf_dir: str):
+    """Benford first-digit audit over order totals — the classic
+    fabricated-numbers / data-quality screen: observed leading-digit
+    shares (exact ppm) against the PINNED Benford expectations
+    log10(1+1/d)·10^6 (integer literals summing to exactly 10^6, the
+    same in the twin); dev_ppm = |obs − exp|. Digit extraction is a
+    vectorized divide-down loop (== substr of the decimal rendering
+    for positive ints). One 9-key combiner pass."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    EXP = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+           6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+    def kern(b: pa.Table) -> pa.Table:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        d = cents[cents > 0]
+        for _ in range(18):
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        return pa.table({
+            "digit": pa.array(d, pa.int64()),
+            "one": pa.array(np.ones(len(d), np.int64), pa.int64())})
+
+    g = partial_groupby_agg(
+        _read(sf_dir, "orders").select_columns(["o_totalprice"])
+        .map_batches(kern, batch_format="pyarrow"),
+        ["digit"], {"n_obs": ("one", "sum")}) \
+        .sort_values("digit").reset_index(drop=True)
+    total = int(g["n_obs"].sum())
+    g["obs_ppm"] = (1_000_000 * g["n_obs"]) // total
+    g["exp_ppm"] = g["digit"].map(EXP).astype("int64")
+    g["dev_ppm"] = (g["obs_ppm"] - g["exp_ppm"]).abs().astype("int64")
+    return g
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6724,6 +6801,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wilson_lb": q_wilson_lb,
     "sigma_breach": q_sigma_breach,
     "otsu_threshold": q_otsu_threshold,
+    "simpson_paradox": q_simpson_paradox,
+    "benford_audit": q_benford_audit,
 }
 
 
@@ -10396,6 +10475,54 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "simpson_paradox": r"""
+            WITH g AS (SELECT event_type,
+                              sum(CASE WHEN user_id % 2 = 0 THEN 1
+                                       ELSE 0 END)::BIGINT AS n_a,
+                              sum(CASE WHEN user_id % 2 = 0
+                                       AND value > 50 THEN 1
+                                       ELSE 0 END)::BIGINT AS x_a,
+                              sum(CASE WHEN user_id % 2 = 1 THEN 1
+                                       ELSE 0 END)::BIGINT AS n_b,
+                              sum(CASE WHEN user_id % 2 = 1
+                                       AND value > 50 THEN 1
+                                       ELSE 0 END)::BIGINT AS x_b
+                       FROM events GROUP BY event_type),
+            p AS (SELECT sign(sum(x_a) * sum(n_b)
+                              - sum(x_b) * sum(n_a))::BIGINT AS ps
+                  FROM g)
+            SELECT event_type, n_a, x_a, n_b, x_b,
+                   sign(x_a * n_b - x_b * n_a)::BIGINT AS d_sign,
+                   (sign(x_a * n_b - x_b * n_a) <> 0
+                    AND (SELECT ps FROM p) <> 0
+                    AND sign(x_a * n_b - x_b * n_a)
+                        <> (SELECT ps FROM p)) AS paradox
+            FROM g ORDER BY event_type""",
+        "benford_audit": r"""
+            WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+                       FROM orders),
+            d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1)::BIGINT
+                           AS digit
+                  FROM c WHERE cents > 0),
+            g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d
+                  GROUP BY digit),
+            t AS (SELECT sum(n_obs)::BIGINT AS total FROM g)
+            SELECT digit, n_obs,
+                   ((1000000 * n_obs) // (SELECT total FROM t))::BIGINT
+                     AS obs_ppm,
+                   (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                        ELSE 45757 END)::BIGINT AS exp_ppm,
+                   abs(((1000000 * n_obs) // (SELECT total FROM t))
+                       - CASE digit WHEN 1 THEN 301030
+                             WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                             WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                             WHEN 6 THEN 66947 WHEN 7 THEN 57992
+                             WHEN 8 THEN 51153 ELSE 45757 END)::BIGINT
+                     AS dev_ppm
+            FROM g ORDER BY digit""",
         "sigma_breach": r"""
             WITH v AS (SELECT event_type,
                               floor(value * 100 + 0.5)::BIGINT AS x

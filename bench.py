@@ -91,7 +91,8 @@ BENCH_QUERIES = [
     "thumb_parity", "image_gate", "psnr_gate", "fertility",
     "bootstrap_ci", "pareto_docs", "bloom_fp_audit", "welch_t",
     "hash_ring_plan", "wasserstein1", "temperature_mix", "jain_fairness",
-    "wilson_lb", "sigma_breach", "otsu_threshold",
+    "wilson_lb", "sigma_breach", "otsu_threshold", "simpson_paradox",
+    "benford_audit",
 ]
 
 CRAWL_HOSTS = 8192
