@@ -6533,6 +6533,50 @@ def q_benford_audit(sf_dir: str):
     return g
 
 
+def q_pr_curve(sf_dir: str):
+    """Full precision-recall curve for 'value predicts purchase' —
+    the threshold-sweep eval artifact beside the scalar `auc_roc`:
+    one value-count register pass (v, pos, neg partials merged on the
+    driver — bounded by the distinct-cents domain, the ks_drift
+    shape), then descending suffix sums give (tp, fp) at every
+    distinct threshold; prec/rec exact ppm. No per-threshold pass, no
+    sort shuffle."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        lab = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        pos = np.bincount(inv, weights=lab, minlength=len(uv))
+        neg = np.bincount(inv, weights=~lab, minlength=len(uv))
+        return pa.table({
+            "v": pa.array(uv, pa.int64()),
+            "pos": pa.array(pos.astype(np.int64), pa.int64()),
+            "neg": pa.array(neg.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    ds = (_read(sf_dir, "events").select_columns(["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow"))
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, p_, n_ in zip(t["v"].to_numpy(), t["pos"].to_numpy(),
+                             t["neg"].to_numpy()):
+            cur = acc.setdefault(int(v), [0, 0])
+            cur[0] += int(p_)
+            cur[1] += int(n_)
+    vs = np.array(sorted(acc, reverse=True), dtype=np.int64)
+    pos = np.array([acc[int(v)][0] for v in vs], dtype=np.int64)
+    neg = np.array([acc[int(v)][1] for v in vs], dtype=np.int64)
+    tp, fp = np.cumsum(pos), np.cumsum(neg)
+    p_tot = int(tp[-1]) if len(tp) else 0
+    out = pd.DataFrame({
+        "thr_cents": vs, "tp": tp, "fp": fp, "fn": p_tot - tp,
+        "prec_ppm": (1_000_000 * tp) // np.maximum(tp + fp, 1),
+        "rec_ppm": (1_000_000 * tp) // max(p_tot, 1)})
+    return out.sort_values("thr_cents").reset_index(drop=True) \
+        .astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6803,6 +6847,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otsu_threshold": q_otsu_threshold,
     "simpson_paradox": q_simpson_paradox,
     "benford_audit": q_benford_audit,
+    "pr_curve": q_pr_curve,
 }
 
 
@@ -10475,6 +10520,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "pr_curve": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              (event_type = 'purchase') AS lab
+                       FROM events),
+            c AS (SELECT val,
+                         sum(CASE WHEN lab THEN 1 ELSE 0 END)::BIGINT
+                           AS pos,
+                         sum(CASE WHEN lab THEN 0 ELSE 1 END)::BIGINT
+                           AS neg
+                  FROM v GROUP BY val),
+            cum AS (SELECT val,
+                           sum(pos) OVER (ORDER BY val DESC)::BIGINT
+                             AS tp,
+                           sum(neg) OVER (ORDER BY val DESC)::BIGINT
+                             AS fp
+                    FROM c),
+            t AS (SELECT sum(pos)::BIGINT AS p_tot FROM c)
+            SELECT val AS thr_cents, tp, fp,
+                   ((SELECT p_tot FROM t) - tp)::BIGINT AS fn,
+                   ((1000000 * tp) // greatest(tp + fp, 1))::BIGINT
+                     AS prec_ppm,
+                   ((1000000 * tp)
+                    // greatest((SELECT p_tot FROM t), 1))::BIGINT
+                     AS rec_ppm
+            FROM cum ORDER BY thr_cents""",
         "simpson_paradox": r"""
             WITH g AS (SELECT event_type,
                               sum(CASE WHEN user_id % 2 = 0 THEN 1
