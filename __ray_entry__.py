@@ -6577,6 +6577,76 @@ def q_pr_curve(sf_dir: str):
         .astype("int64")
 
 
+def q_ohlc_bars(sf_dir: str):
+    """Daily OHLC bars per event type (open/high/low/close of the
+    value stream, cents) — the telemetry/finance roll that compresses
+    a stream to per-window endpoints. OHLC is ASSOCIATIVE (open =
+    value at min (ts, id), close at max, high/low plain extrema), so
+    blocks emit per-key candidate rows and the driver folds ~150 keys
+    — one streaming pass, no sort, no shuffle; ties pinned by
+    (ts, event_id)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        ty = b["event_type"].to_numpy(zero_copy_only=False)
+        tu = b["ts"].cast(pa.int64()).to_numpy()
+        day = tu // 86_400_000_000
+        c = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        key = np.char.add(np.char.add(ty.astype(str), "|"),
+                          day.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        rows = {"event_type": [], "day": [], "o_tu": [], "o_id": [],
+                "open_c": [], "high_c": [], "low_c": [], "c_tu": [],
+                "c_id": [], "close_c": [], "n": []}
+        for g in range(len(uk)):
+            m = inv == g
+            tug, eidg, cg = tu[m], eid[m], c[m]
+            first = np.lexsort((eidg, tug))[0]
+            last = np.lexsort((-eidg, -tug))[0]
+            t, d = uk[g].rsplit("|", 1)
+            rows["event_type"].append(t)
+            rows["day"].append(int(d))
+            rows["o_tu"].append(int(tug[first]))
+            rows["o_id"].append(int(eidg[first]))
+            rows["open_c"].append(int(cg[first]))
+            rows["high_c"].append(int(cg.max()))
+            rows["low_c"].append(int(cg.min()))
+            rows["c_tu"].append(int(tug[last]))
+            rows["c_id"].append(int(eidg[last]))
+            rows["close_c"].append(int(cg[last]))
+            rows["n"].append(int(m.sum()))
+        return pa.table(rows)
+
+    acc: dict[tuple, list] = {}
+    ds = (_read(sf_dir, "events")
+          .select_columns(["event_id", "ts", "event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow"))
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in t.to_pylist():
+            k = (r["event_type"], r["day"])
+            cur = acc.get(k)
+            if cur is None:
+                acc[k] = [r["o_tu"], r["o_id"], r["open_c"], r["high_c"],
+                          r["low_c"], r["c_tu"], r["c_id"], r["close_c"],
+                          r["n"]]
+            else:
+                if (r["o_tu"], r["o_id"]) < (cur[0], cur[1]):
+                    cur[0], cur[1], cur[2] = r["o_tu"], r["o_id"], \
+                        r["open_c"]
+                cur[3] = max(cur[3], r["high_c"])
+                cur[4] = min(cur[4], r["low_c"])
+                if (r["c_tu"], r["c_id"]) > (cur[5], cur[6]):
+                    cur[5], cur[6], cur[7] = r["c_tu"], r["c_id"], \
+                        r["close_c"]
+                cur[8] += r["n"]
+    out = pd.DataFrame([
+        {"event_type": k[0], "day": k[1], "open_c": v[2],
+         "high_c": v[3], "low_c": v[4], "close_c": v[7], "n": v[8]}
+        for k, v in acc.items()])
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6848,6 +6918,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simpson_paradox": q_simpson_paradox,
     "benford_audit": q_benford_audit,
     "pr_curve": q_pr_curve,
+    "ohlc_bars": q_ohlc_bars,
 }
 
 
@@ -10520,6 +10591,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "ohlc_bars": r"""
+            WITH v AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000)::BIGINT
+                                AS day,
+                              floor(value * 100 + 0.5)::BIGINT AS c,
+                              epoch_us(ts) AS tu, event_id
+                       FROM events),
+            sel AS (SELECT event_type, day, c,
+                           row_number() OVER (
+                               PARTITION BY event_type, day
+                               ORDER BY tu, event_id) AS rn_a,
+                           row_number() OVER (
+                               PARTITION BY event_type, day
+                               ORDER BY tu DESC, event_id DESC) AS rn_d
+                    FROM v)
+            SELECT event_type, day,
+                   max(CASE WHEN rn_a = 1 THEN c END)::BIGINT AS open_c,
+                   max(c)::BIGINT AS high_c, min(c)::BIGINT AS low_c,
+                   max(CASE WHEN rn_d = 1 THEN c END)::BIGINT
+                     AS close_c,
+                   count(*)::BIGINT AS n
+            FROM sel GROUP BY event_type, day
+            ORDER BY event_type, day""",
         "pr_curve": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (event_type = 'purchase') AS lab
