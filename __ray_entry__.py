@@ -6647,6 +6647,64 @@ def q_ohlc_bars(sf_dir: str):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def q_tukey_fences(sf_dir: str):
+    """Tukey IQR-fence outlier census per event type — the ROBUST
+    outlier read beside `sigma_breach`'s normal-assuming z-test:
+    exact discrete quartiles (percentile_disc over the cents
+    histogram, grouped_quantile_disc's partial-combine shape), fences
+    at q3 + 1.5·IQR / q1 − 1.5·IQR evaluated in DOUBLED integer units
+    (2x > 2·q3 + 3·IQR — no halves, no floats), breach counts from a
+    second streaming pass against the broadcast per-key fences."""
+    from frontera_ray.stages.relational import (grouped_quantile_disc,
+                                                partial_groupby_agg)
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "value"])
+          .map_batches(lambda b: pa.table({
+              "event_type": b["event_type"],
+              "c": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                            .astype(np.int64), pa.int64())}),
+              batch_format="pyarrow"))
+    qt = grouped_quantile_disc(ev, "event_type", "c", [0.25, 0.75])
+    fences = {r["event_type"]: (int(r["q25_scaled"]), int(r["q75_scaled"]))
+              for _, r in qt.iterrows()}
+
+    import ray
+    fref = ray.put(fences)
+
+    def breach(b: pa.Table) -> pa.Table:
+        f = ray.get(fref)
+        keys = b["event_type"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy()
+        hi = np.zeros(len(c), np.int64)
+        lo = np.zeros(len(c), np.int64)
+        for k, (q1, q3) in f.items():
+            m = keys == k
+            iqr = q3 - q1
+            hi[m] = (2 * c[m] > 2 * q3 + 3 * iqr).astype(np.int64)
+            lo[m] = (2 * c[m] < 2 * q1 - 3 * iqr).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "hi": pa.array(hi, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "one": pa.array(np.ones(len(c), np.int64),
+                                         pa.int64())})
+
+    out = partial_groupby_agg(ev.map_batches(breach,
+                                             batch_format="pyarrow"),
+                              ["event_type"],
+                              {"n": ("one", "sum"),
+                               "n_out_hi": ("hi", "sum"),
+                               "n_out_lo": ("lo", "sum")}) \
+        .sort_values("event_type").reset_index(drop=True)
+    out["q1_c"] = out["event_type"].map({k: v[0]
+                                         for k, v in fences.items()})
+    out["q3_c"] = out["event_type"].map({k: v[1]
+                                         for k, v in fences.items()})
+    out["out_ppm"] = (1_000_000 * (out["n_out_hi"] + out["n_out_lo"])) \
+        // out["n"]
+    return out
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6919,6 +6977,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "benford_audit": q_benford_audit,
     "pr_curve": q_pr_curve,
     "ohlc_bars": q_ohlc_bars,
+    "tukey_fences": q_tukey_fences,
 }
 
 
@@ -10591,6 +10650,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "tukey_fences": r"""
+            WITH v AS (SELECT event_type,
+                              floor(value * 100 + 0.5)::BIGINT AS c
+                       FROM events),
+            q AS (SELECT event_type,
+                         CAST(percentile_disc(0.25)
+                              WITHIN GROUP (ORDER BY c) AS BIGINT)
+                           AS q1,
+                         CAST(percentile_disc(0.75)
+                              WITHIN GROUP (ORDER BY c) AS BIGINT)
+                           AS q3
+                  FROM v GROUP BY event_type)
+            SELECT v.event_type, count(*)::BIGINT AS n,
+                   sum(CASE WHEN 2*v.c > 2*q.q3 + 3*(q.q3 - q.q1)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_out_hi,
+                   sum(CASE WHEN 2*v.c < 2*q.q1 - 3*(q.q3 - q.q1)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_out_lo,
+                   q.q1 AS q1_c, q.q3 AS q3_c,
+                   ((1000000 * (sum(CASE WHEN 2*v.c > 2*q.q3
+                                         + 3*(q.q3 - q.q1)
+                                    THEN 1 ELSE 0 END)
+                                + sum(CASE WHEN 2*v.c < 2*q.q1
+                                           - 3*(q.q3 - q.q1)
+                                      THEN 1 ELSE 0 END)))
+                    // count(*))::BIGINT AS out_ppm
+            FROM v JOIN q USING (event_type)
+            GROUP BY v.event_type, q.q1, q.q3 ORDER BY v.event_type""",
         "ohlc_bars": r"""
             WITH v AS (SELECT event_type,
                               (epoch_us(ts) // 86400000000)::BIGINT

@@ -92,7 +92,7 @@ BENCH_QUERIES = [
     "bootstrap_ci", "pareto_docs", "bloom_fp_audit", "welch_t",
     "hash_ring_plan", "wasserstein1", "temperature_mix", "jain_fairness",
     "wilson_lb", "sigma_breach", "otsu_threshold", "simpson_paradox",
-    "benford_audit", "pr_curve", "ohlc_bars",
+    "benford_audit", "pr_curve", "ohlc_bars", "tukey_fences",
 ]
 
 CRAWL_HOSTS = 8192
