@@ -6705,6 +6705,34 @@ def q_tukey_fences(sf_dir: str):
     return out
 
 
+def q_count_of_counts(sf_dir: str):
+    """Good–Turing frequency-of-frequencies over the corpus token
+    stream: N_r = number of distinct tokens occurring exactly r times
+    — THE input table of Good–Turing / Kneser–Ney smoothing (r* =
+    (r+1)N_{r+1}/N_r) and the vocabulary-truncation read. Vectorized
+    explode -> hash-shuffle token count (high-cardinality key, same
+    exchange as token_df) -> per-block count-of-counts partials ->
+    combiner over the tiny r domain."""
+    import pyarrow.compute as _pc
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _pc.utf8_split_whitespace(batch["text"])
+        t = pa.table({"token": _pc.list_flatten(toks)})
+        return t.filter(_pc.not_equal(t["token"], ""))
+
+    counts = (_read(sf_dir, "documents").select_columns(["text"])
+              .map_batches(explode, batch_format="pyarrow")
+              .groupby("token").count())
+    parts = counts.map_batches(lambda b: pa.table({
+        "r": b["count()"],
+        "one": pa.array(np.ones(len(b), np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    out = partial_groupby_agg(parts, ["r"], {"n_r": ("one", "sum")})
+    return out.sort_values("r").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -6978,6 +7006,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pr_curve": q_pr_curve,
     "ohlc_bars": q_ohlc_bars,
     "tukey_fences": q_tukey_fences,
+    "count_of_counts": q_count_of_counts,
 }
 
 
@@ -10650,6 +10679,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "count_of_counts": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                                AS token
+                       FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS r FROM t
+                  GROUP BY token)
+            SELECT r, count(*)::BIGINT AS n_r FROM c
+            GROUP BY r ORDER BY r""",
         "tukey_fences": r"""
             WITH v AS (SELECT event_type,
                               floor(value * 100 + 0.5)::BIGINT AS c
