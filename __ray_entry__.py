@@ -6791,6 +6791,75 @@ def q_reshard_move_cost(sf_dir: str):
     return out.sort_values("strategy").reset_index(drop=True)
 
 
+def q_tile_variance(sf_dir: str):
+    """Flat-image gate: per-image quadrant pixel sums + integer
+    between-tile variance through the real encode->decode path
+    (images.tile_variance_table); DuckDB twin recomputes every
+    quadrant closed-form — the solid-color/letterbox screen run
+    before any model decode. Shuffle-free."""
+    from frontera_ray.stages.images import tile_variance_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(tile_variance_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_url_lcp_compression(sf_dir: str):
+    """Prefix-compression sizing for frontier URL storage (the
+    delta/front-coding estimate behind every sorted-string-table URL
+    store): global `ds.sort` on the canonical URL, per-block
+    vectorized LCP-with-predecessor (padded uint8 matrix, cumulative
+    equality), block-BOUNDARY LCPs stitched exactly from the bounded
+    (first_url, last_url) partial rows — the only data that leaves the
+    blocks. Output: n_urls, total_bytes, lcp_bytes, savings_ppm (the
+    bytes front-coding would not store)."""
+    import pandas as pd
+
+    def lcp_matrix(urls: list) -> np.ndarray:
+        a = np.zeros((len(urls), 64), dtype=np.uint8)
+        for i, s in enumerate(urls):
+            b = s.encode()[:64]
+            a[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        eq = a[1:] == a[:-1]
+        # stop the prefix at the first mismatch OR at either end
+        both = (a[1:] != 0) & (a[:-1] != 0)
+        run = np.cumprod(eq & both, axis=1)
+        return run.sum(axis=1).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        lcps = lcp_matrix(urls) if len(urls) > 1 else \
+            np.zeros(0, np.int64)
+        return pa.table({
+            "n": pa.array([len(urls)], pa.int64()),
+            "tot": pa.array([sum(len(u) for u in urls)], pa.int64()),
+            "lcp": pa.array([int(lcps.sum())], pa.int64()),
+            "first": pa.array([urls[0] if urls else ""], pa.string()),
+            "last": pa.array([urls[-1] if urls else ""], pa.string())})
+
+    from frontera_ray.urls import canonicalize_batch
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(lambda b: pa.table({
+              "url": pa.array(
+                  canonicalize_batch(_raw_urls(b["doc_id"].to_numpy())),
+                  pa.string())}), batch_format="pyarrow")
+          .sort("url")
+          .map_batches(partial, batch_format="pyarrow"))
+    rows = sorted((r for r in ds.take_all() if r["n"]),
+                  key=lambda r: r["first"])
+    n = sum(r["n"] for r in rows)
+    tot = sum(r["tot"] for r in rows)
+    lcp = sum(r["lcp"] for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        lcp += int(lcp_matrix([prev["last"], cur["first"]])[0])
+    return pd.DataFrame([{
+        "n_urls": n, "total_bytes": tot, "lcp_bytes": lcp,
+        "savings_ppm": (1_000_000 * lcp) // tot if tot else 0,
+    }]).astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7066,6 +7135,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tukey_fences": q_tukey_fences,
     "count_of_counts": q_count_of_counts,
     "reshard_move_cost": q_reshard_move_cost,
+    "tile_variance": q_tile_variance,
+    "url_lcp_compression": q_url_lcp_compression,
 }
 
 
@@ -10738,6 +10809,85 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "url_lcp_compression": r"""
+            WITH u AS (SELECT 'http://host-' || (doc_id % 20)
+                              || '.test/p/' || doc_id || '?a=1&b=2'
+                                AS url
+                       FROM documents),
+            s AS (SELECT url, lag(url) OVER (ORDER BY url) AS prev
+                  FROM u),
+            l AS (SELECT s.url, min(len(s.url))::BIGINT AS blen,
+                         coalesce(max(g.k), 0)::BIGINT AS lcp
+                  FROM s LEFT JOIN generate_series(1, 64) g(k)
+                    ON g.k <= least(len(s.url), len(s.prev))
+                   AND substr(s.url, 1, g.k::INT)
+                       = substr(s.prev, 1, g.k::INT)
+                  GROUP BY s.url)
+            SELECT count(*)::BIGINT AS n_urls,
+                   sum(blen)::BIGINT AS total_bytes,
+                   sum(lcp)::BIGINT AS lcp_bytes,
+                   ((1000000 * sum(lcp)) // sum(blen))::BIGINT
+                     AS savings_ppm
+            FROM l""",
+        "tile_variance": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id, u,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                         (u & 4294967295::UBIGINT) AS s32,
+                         (u % 256) AS s256
+                  FROM d),
+            px AS (SELECT m.doc_id, m.fmt, m.s5, m.s7, m.s256,
+                          gx.x::UBIGINT AS x, gy.y::UBIGINT AS y,
+                          (CASE WHEN gx.x < m.w // 2 THEN 0 ELSE 1 END
+                           + CASE WHEN gy.y < m.h // 2 THEN 0
+                                  ELSE 2 END)::BIGINT AS quad,
+                          ((xor(xor((gx.x::UBIGINT * 2654435761::UBIGINT)
+                                      % 4294967296::UBIGINT,
+                                    gy.y::UBIGINT * 40503::UBIGINT),
+                                gc.c::UBIGINT * 69069::UBIGINT)
+                            + m.s32) % 4294967296::UBIGINT) AS n1
+                   FROM m, generate_series(0, 79) gx(x),
+                        generate_series(0, 59) gy(y),
+                        generate_series(0, 2) gc(c)
+                   WHERE gx.x < m.w AND gy.y < m.h),
+            v AS (SELECT doc_id, quad,
+                         (CASE WHEN fmt = 'qimg'
+                               THEN ((((xor(n1, n1 >> 13) & 63::UBIGINT)
+                                       + x * s5 + y * s7 + s256)
+                                      % 256::UBIGINT) // 8) * 8 + 4
+                               ELSE ((xor(n1, n1 >> 13) & 63::UBIGINT)
+                                     + x * s5 + y * s7 + s256)
+                                    % 256::UBIGINT END)::BIGINT AS val
+                  FROM px),
+            qs AS (SELECT doc_id,
+                          sum(CASE WHEN quad = 0 THEN val
+                                   ELSE 0 END)::BIGINT AS q0,
+                          sum(CASE WHEN quad = 1 THEN val
+                                   ELSE 0 END)::BIGINT AS q1,
+                          sum(CASE WHEN quad = 2 THEN val
+                                   ELSE 0 END)::BIGINT AS q2,
+                          sum(CASE WHEN quad = 3 THEN val
+                                   ELSE 0 END)::BIGINT AS q3
+                   FROM v GROUP BY doc_id)
+            SELECT doc_id, q0, q1, q2, q3,
+                   ((4*q0 - (q0+q1+q2+q3)) * (4*q0 - (q0+q1+q2+q3))
+                    + (4*q1 - (q0+q1+q2+q3)) * (4*q1 - (q0+q1+q2+q3))
+                    + (4*q2 - (q0+q1+q2+q3)) * (4*q2 - (q0+q1+q2+q3))
+                    + (4*q3 - (q0+q1+q2+q3)) * (4*q3 - (q0+q1+q2+q3)))
+                     ::BIGINT AS tile_var4
+            FROM qs ORDER BY doc_id""",
         "reshard_move_cost": r"""
             WITH r8 AS (SELECT s.s AS shard,
                                ('0x'||substr(md5('ring:'||s.s||':'

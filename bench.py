@@ -93,7 +93,8 @@ BENCH_QUERIES = [
     "hash_ring_plan", "wasserstein1", "temperature_mix", "jain_fairness",
     "wilson_lb", "sigma_breach", "otsu_threshold", "simpson_paradox",
     "benford_audit", "pr_curve", "ohlc_bars", "tukey_fences",
-    "count_of_counts", "reshard_move_cost",
+    "count_of_counts", "reshard_move_cost", "tile_variance",
+    "url_lcp_compression",
 ]
 
 CRAWL_HOSTS = 8192

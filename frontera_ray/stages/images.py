@@ -702,3 +702,48 @@ def psnr_gate_table(batch: pa.Table) -> pa.Table:
         "sq_err_sum": pa.array(sq, pa.int64()),
         "pass_40db": pa.array(65025 * n_px >= 10000 * sq, pa.bool_()),
     })
+
+
+def tile_variance_table(batch: pa.Table) -> pa.Table:
+    """Flat-image curation gate through the REAL decode path: per
+    image the four quadrant pixel sums (x < w//2, y < h//2 split) and
+    the integer between-tile variance proxy Σ(4·q_i − total)² — zero
+    for perfectly flat images, large for structured ones; the cheap
+    screen that drops solid-color / letterbox placeholders before any
+    model sees them. The DuckDB twin recomputes every quadrant sum
+    closed-form from the generator expression, so the gate is exact
+    end-to-end."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    q = np.zeros((len(ids), 4), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            hw, hh = w // 2, h // 2
+            q[i, 0] = o[:hh, :hw].sum()
+            q[i, 1] = o[:hh, hw:].sum()
+            q[i, 2] = o[hh:, :hw].sum()
+            q[i, 3] = o[hh:, hw:].sum()
+    tot = q.sum(axis=1)
+    dev = 4 * q - tot[:, None]
+    var4 = (dev * dev).sum(axis=1)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "q0": pa.array(q[:, 0], pa.int64()),
+        "q1": pa.array(q[:, 1], pa.int64()),
+        "q2": pa.array(q[:, 2], pa.int64()),
+        "q3": pa.array(q[:, 3], pa.int64()),
+        "tile_var4": pa.array(var4, pa.int64()),
+    })
