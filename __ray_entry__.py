@@ -6860,6 +6860,97 @@ def q_url_lcp_compression(sf_dir: str):
     }]).astype("int64")
 
 
+def q_channel_histogram(sf_dir: str):
+    """Corpus color-distribution audit: per-channel 16-bin pixel
+    histograms through the REAL encode->decode path (the standard
+    image-stats artifact behind normalization constants and
+    color-cast screens); 48-row per-block partials -> combiner. The
+    DuckDB twin rebins every pixel closed-form, so decoder drift in
+    any bin fails the hash."""
+    from frontera_ray.payload import (_gen_pixels_group, png_decode,
+                                      png_encode, qimg_decode,
+                                      qimg_encode)
+    from frontera_ray.stages.images import (_SYNTH_H, _SYNTH_W,
+                                            synth_image_seed)
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = synth_image_seed(batch)
+        six = (u % np.uint64(6)).astype(np.int64)
+        is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+        hist = np.zeros((3, 16), dtype=np.int64)
+        for si in np.unique(six):
+            idx = np.nonzero(six == si)[0]
+            w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+            pix = _gen_pixels_group(u[idx], w, h)
+            for j, i in enumerate(idx):
+                out = png_decode(png_encode(pix[j])) if is_png[i] \
+                    else qimg_decode(qimg_encode(pix[j]))
+                for c in range(3):
+                    hist[c] += np.bincount(
+                        (out[:, :, c] >> 4).ravel(),
+                        minlength=16).astype(np.int64)
+        ch = np.repeat(np.arange(3, dtype=np.int64), 16)
+        bins = np.tile(np.arange(16, dtype=np.int64), 3)
+        return pa.table({"channel": pa.array(ch, pa.int64()),
+                         "bin": pa.array(bins, pa.int64()),
+                         "n": pa.array(hist.ravel(), pa.int64())})
+
+    parts = (_read(sf_dir, "documents").select_columns(["doc_id"])
+             .map_batches(partial, batch_format="pyarrow"))
+    out = partial_groupby_agg(parts, ["channel", "bin"],
+                              {"n_px": ("n", "sum")})
+    return out.sort_values(["channel", "bin"]).reset_index(drop=True)
+
+
+def q_gini_split(sf_dir: str):
+    """Best decision-stump split of event value vs the purchase label
+    by Gini impurity reduction — the feature-screening read before any
+    model training: minimize x0(c0−x0)c1 + x1(c1−x1)c0 over the
+    (common positive factor 2/(N·c0·c1) dropped via the same floored
+    bigint score in both engines), smallest-threshold ties. One
+    value-count register pass (the pr_curve registers re-folded)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        lab = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        pos = np.bincount(inv, weights=lab, minlength=len(uv))
+        neg = np.bincount(inv, weights=~lab, minlength=len(uv))
+        return pa.table({
+            "v": pa.array(uv, pa.int64()),
+            "pos": pa.array(pos.astype(np.int64), pa.int64()),
+            "neg": pa.array(neg.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    ds = (_read(sf_dir, "events").select_columns(["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow"))
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, p_, n_ in zip(t["v"].to_numpy(), t["pos"].to_numpy(),
+                             t["neg"].to_numpy()):
+            cur = acc.setdefault(int(v), [0, 0])
+            cur[0] += int(p_)
+            cur[1] += int(n_)
+    vs = sorted(acc)
+    x_tot = sum(v[0] for v in acc.values())
+    n_tot = x_tot + sum(v[1] for v in acc.values())
+    best = None
+    c0 = x0 = 0
+    for v in vs[:-1]:
+        c0 += acc[v][0] + acc[v][1]
+        x0 += acc[v][0]
+        c1 = n_tot - c0
+        x1 = x_tot - x0
+        score = (x0 * (c0 - x0) * c1 + x1 * (c1 - x1) * c0) // (c0 * c1)
+        if best is None or score < best[0]:
+            best = (score, v, c0, x0)
+    return pd.DataFrame([{
+        "thr_cents": best[1], "c0": best[2], "x0": best[3],
+        "score_floor": best[0]}]).astype("int64")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7137,6 +7228,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "reshard_move_cost": q_reshard_move_cost,
     "tile_variance": q_tile_variance,
     "url_lcp_compression": q_url_lcp_compression,
+    "channel_histogram": q_channel_histogram,
+    "gini_split": q_gini_split,
 }
 
 
@@ -10809,6 +10902,75 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "channel_histogram": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id, u,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::BIGINT AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::BIGINT AS h,
+                         CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                              ELSE 'qimg' END AS fmt,
+                         (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                         (u & 4294967295::UBIGINT) AS s32,
+                         (u % 256) AS s256
+                  FROM d),
+            px AS (SELECT m.fmt, m.s5, m.s7, m.s256,
+                          gx.x::UBIGINT AS x, gy.y::UBIGINT AS y,
+                          gc.c::BIGINT AS channel,
+                          ((xor(xor((gx.x::UBIGINT * 2654435761::UBIGINT)
+                                      % 4294967296::UBIGINT,
+                                    gy.y::UBIGINT * 40503::UBIGINT),
+                                gc.c::UBIGINT * 69069::UBIGINT)
+                            + m.s32) % 4294967296::UBIGINT) AS n1
+                   FROM m, generate_series(0, 79) gx(x),
+                        generate_series(0, 59) gy(y),
+                        generate_series(0, 2) gc(c)
+                   WHERE gx.x < m.w AND gy.y < m.h),
+            v AS (SELECT channel,
+                         (CASE WHEN fmt = 'qimg'
+                               THEN ((((xor(n1, n1 >> 13) & 63::UBIGINT)
+                                       + x * s5 + y * s7 + s256)
+                                      % 256::UBIGINT) // 8) * 8 + 4
+                               ELSE ((xor(n1, n1 >> 13) & 63::UBIGINT)
+                                     + x * s5 + y * s7 + s256)
+                                    % 256::UBIGINT END)::BIGINT AS val
+                  FROM px)
+            SELECT channel, (val // 16)::BIGINT AS bin,
+                   count(*)::BIGINT AS n_px
+            FROM v GROUP BY channel, bin ORDER BY channel, bin""",
+        "gini_split": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              (event_type = 'purchase') AS lab
+                       FROM events),
+            c AS (SELECT val,
+                         sum(CASE WHEN lab THEN 1 ELSE 0 END)::HUGEINT
+                           AS pos,
+                         count(*)::HUGEINT AS cnt
+                  FROM v GROUP BY val),
+            cum AS (SELECT val,
+                           sum(cnt) OVER (ORDER BY val) AS c0,
+                           sum(pos) OVER (ORDER BY val) AS x0,
+                           row_number() OVER (ORDER BY val DESC) AS rvn
+                    FROM c),
+            tot AS (SELECT sum(cnt) AS n, sum(pos) AS x FROM c),
+            sc AS (SELECT val, c0, x0,
+                          ((x0 * (c0 - x0) * ((SELECT n FROM tot) - c0)
+                            + ((SELECT x FROM tot) - x0)
+                              * (((SELECT n FROM tot) - c0)
+                                 - ((SELECT x FROM tot) - x0)) * c0)
+                           // (c0 * ((SELECT n FROM tot) - c0)))
+                            AS score
+                   FROM cum WHERE rvn > 1)
+            SELECT val::BIGINT AS thr_cents, c0::BIGINT AS c0,
+                   x0::BIGINT AS x0, score::BIGINT AS score_floor
+            FROM sc ORDER BY score ASC, val ASC LIMIT 1""",
         "url_lcp_compression": r"""
             WITH u AS (SELECT 'http://host-' || (doc_id % 20)
                               || '.test/p/' || doc_id || '?a=1&b=2'

@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "wilson_lb", "sigma_breach", "otsu_threshold", "simpson_paradox",
     "benford_audit", "pr_curve", "ohlc_bars", "tukey_fences",
     "count_of_counts", "reshard_move_cost", "tile_variance",
-    "url_lcp_compression",
+    "url_lcp_compression", "channel_histogram", "gini_split",
 ]
 
 CRAWL_HOSTS = 8192
