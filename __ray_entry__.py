@@ -6951,6 +6951,44 @@ def q_gini_split(sf_dir: str):
         "score_floor": best[0]}]).astype("int64")
 
 
+def q_robots_gate_audit(sf_dir: str):
+    """SQL audit of the PRODUCTION robots gate: per doc a derived
+    robots.txt body ('Disallow: /p/<doc_id%10>' + 'Crawl-delay:
+    <u%5>') runs through the REAL DomainMetadata.set_robots /
+    allowed() path (urllib.robotparser — the same object the live
+    QueueShard gates with, state/queue.py), and the DuckDB twin
+    re-derives the verdicts closed-form: blocked iff the decimal
+    doc_id starts with the disallowed digit (robotparser prefix
+    semantics over path+query), delay = u%5. A drifted prefix rule or
+    delay extraction in the production gate fails the hash."""
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.state.queue import DomainMetadata
+
+    def kern(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        u = md5_u64([f"img:{i}" for i in ids])
+        allowed = np.zeros(len(ids), dtype=bool)
+        delays = np.zeros(len(ids), dtype=np.int64)
+        for j, i in enumerate(ids):
+            meta = DomainMetadata()
+            # int() BEFORE the mod: numpy uint64 % python-int promotes
+            # to float64 and corrupts the low bits
+            body = (f"User-agent: *\nDisallow: /p/{i % 10}\n"
+                    f"Crawl-delay: {int(u[j]) % 5}\n")
+            meta.set_robots(body)
+            allowed[j] = meta.allowed(
+                f"http://host-{i % 20}.test/p/{i}?a=1&b=2")
+            delays[j] = int(meta.crawl_delay)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "allowed": pa.array(allowed, pa.bool_()),
+            "crawl_delay": pa.array(delays, pa.int64())})
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7230,6 +7268,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_lcp_compression": q_url_lcp_compression,
     "channel_histogram": q_channel_histogram,
     "gini_split": q_gini_split,
+    "robots_gate_audit": q_robots_gate_audit,
 }
 
 
@@ -10902,6 +10941,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "robots_gate_audit": r"""
+            SELECT doc_id,
+                   NOT starts_with(CAST(doc_id AS VARCHAR),
+                                   CAST(doc_id % 10 AS VARCHAR))
+                     AS allowed,
+                   (('0x'||substr(md5('img:'||CAST(doc_id AS VARCHAR)),
+                       1,16))::UBIGINT % 5)::BIGINT AS crawl_delay
+            FROM documents ORDER BY doc_id""",
         "channel_histogram": r"""
             WITH d AS (SELECT doc_id,
                               ('0x'||substr(md5('img:'||
