@@ -6989,6 +6989,57 @@ def q_robots_gate_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_slot_load_audit(sf_dir: str):
+    """SQL audit of the PRODUCTION downloader-slot tracker
+    (state/queue.SlotLoadTracker — the object that decides which keys
+    the politeness layer parks): every event row dispatches one fetch
+    for its user's host, rows with event_id % 3 == 0 also complete
+    (dispatches fed first, then completes, so floors never trigger and
+    net active = dispatched − completed exactly); overused iff
+    active / concurrency(2) > slot_factor(5) — the reference's
+    OVERUSED_SLOT_FACTOR rule. The real tracker's verdicts per key
+    against the twin's closed-form census."""
+    import pandas as pd
+
+    from frontera_ray.state.queue import SlotLoadTracker
+
+    class _E:
+        __slots__ = ("host",)
+
+        def __init__(self, host):
+            self.host = host
+
+    def regs(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        eid = b["event_id"].to_numpy()
+        hosts = np.char.add("host-", (uid % 20).astype(str))
+        comp = (eid % 3 == 0).astype(np.int64)
+        return pa.table({
+            "host": pa.array(hosts.astype(object), pa.string()),
+            "disp": pa.array(np.ones(len(uid), np.int64), pa.int64()),
+            "comp": pa.array(comp, pa.int64())})
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    g = partial_groupby_agg(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id"])
+        .map_batches(regs, batch_format="pyarrow"),
+        ["host"], {"dispatched": ("disp", "sum"),
+                   "completed": ("comp", "sum")}) \
+        .sort_values("host").reset_index(drop=True)
+
+    tracker = SlotLoadTracker(concurrency=2, slot_factor=5.0)
+    for _, r in g.iterrows():
+        tracker.on_dispatch([_E(r["host"])] * int(r["dispatched"]))
+    for _, r in g.iterrows():
+        for _ in range(int(r["completed"])):
+            tracker.on_complete(_E(r["host"]))
+    over = set(tracker.overused_keys())
+    g["active"] = (g["dispatched"] - g["completed"]).astype("int64")
+    g["overused"] = g["host"].isin(over)
+    return g
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7269,6 +7320,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "channel_histogram": q_channel_histogram,
     "gini_split": q_gini_split,
     "robots_gate_audit": q_robots_gate_audit,
+    "slot_load_audit": q_slot_load_audit,
 }
 
 
@@ -10941,6 +10993,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cap_tokens < 5 THEN 'caption'
                         ELSE 'ok' END AS reason
             FROM m ORDER BY doc_id""",
+        "slot_load_audit": r"""
+            SELECT 'host-' || (user_id % 20) AS host,
+                   count(*)::BIGINT AS dispatched,
+                   sum(CASE WHEN event_id % 3 = 0 THEN 1
+                            ELSE 0 END)::BIGINT AS completed,
+                   (count(*) - sum(CASE WHEN event_id % 3 = 0 THEN 1
+                                        ELSE 0 END))::BIGINT AS active,
+                   ((count(*) - sum(CASE WHEN event_id % 3 = 0 THEN 1
+                                         ELSE 0 END)) / 2.0 > 5.0)
+                     AS overused
+            FROM events GROUP BY host ORDER BY host""",
         "robots_gate_audit": r"""
             SELECT doc_id,
                    NOT starts_with(CAST(doc_id AS VARCHAR),

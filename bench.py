@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     "benford_audit", "pr_curve", "ohlc_bars", "tukey_fences",
     "count_of_counts", "reshard_move_cost", "tile_variance",
     "url_lcp_compression", "channel_histogram", "gini_split",
-    "robots_gate_audit",
+    "robots_gate_audit", "slot_load_audit",
 ]
 
 CRAWL_HOSTS = 8192
