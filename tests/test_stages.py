@@ -2724,3 +2724,43 @@ def test_wasserstein1_brute(ray_session):
     f2 = np.searchsorted(np.sort(np.round(vb*100)), grid, "right") / 200
     brute = float(np.abs(f1 - f2).sum())  # unit grid spacing
     assert abs(w1 - brute) < 2e-3, (w1, brute)
+
+
+def test_otsu_threshold_bimodal(ray_session):
+    """Otsu picks the valley of a clean bimodal mixture; smallest-t
+    tie-break is deterministic."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from frontera_ray.stages.relational import otsu_threshold
+
+    vals = np.concatenate([np.full(500, 10.0), np.full(500, 90.0),
+                           np.array([10.5, 89.5])])
+    ds = _ray.data.from_arrow(pa.table({"value": vals})).repartition(4)
+    out = otsu_threshold(ds, "value", scale=100)
+    # split must separate the two modes: threshold in [10.5*100, 89.5*100)
+    t = int(out["t_cents"][0])
+    assert 1050 <= t < 8950, t
+    assert int(out["c0"][0]) + int(out["c1"][0]) == len(vals)
+
+
+def test_sigma_breach_matches_numpy(ray_session):
+    """Exact integer breach predicate == direct 2-sigma check."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from frontera_ray.stages.relational import sigma_breach_table
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.normal(50, 5, 2000), [500.0, -400.0]])
+    k = np.array(["a"] * len(v))
+    ds = _ray.data.from_arrow(pa.table({"k": k, "value": v})) \
+        .repartition(4)
+    out = sigma_breach_table(ds, "k", "value", scale=100, z=2)
+    c = np.floor(v * 100 + 0.5).astype(np.int64)
+    n, s, ss = len(c), int(c.sum()), int((c * c).sum())
+    d = n * c - s
+    brute = int((d.astype(object) ** 2 * (n - 1)
+                 > 4 * n * (n * ss - s * s)).sum())
+    assert int(out["breaches"][0]) == brute
+    assert brute >= 2  # the planted outliers breach
