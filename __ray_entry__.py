@@ -7040,6 +7040,267 @@ def q_slot_load_audit(sf_dir: str):
     return g
 
 
+def _rev_c4(batch: pa.Table) -> np.ndarray:
+    """Integer-exact discounted revenue: price-cents x (100 -
+    discount-percent) = units of 10^-4 dollars (order-independent
+    int64 sums; float price*(1-disc) is not associative here)."""
+    price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    disc_b = np.round((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+    return price_c * disc_b
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo-part revenue share for one ship month —
+    date-pruned lineitem scan, broadcast part join (small dim shipped
+    once via ray.put), conditional integer aggregate, ratio as exact
+    integer ppm. No shuffle anywhere."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    lo, hi = np.datetime64("1996-09-01"), np.datetime64("1996-10-01")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        t = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "rev_c4": pa.array(_rev_c4(t), pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(prep, batch_format="pyarrow")
+    j = broadcast_join(li, part, key="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo = pc.starts_with(batch["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False)
+        rev = batch["rev_c4"].to_numpy()
+        return pa.table({"promo_c4": pa.array([int(rev[promo].sum())], pa.int64()),
+                         "total_c4": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["promo_c4"].sum()), int(parts["total_c4"].sum())
+    import pandas as pd
+    return pd.DataFrame({"promo_c4": [promo], "total_c4": [total],
+                         "promo_ppm": [1_000_000 * promo // max(total, 1)]})
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue from RETURNED items
+    (l_returnflag='R') — predicate-pruned lineitem scan, two broadcast
+    joins (orders key map, customer names), combiner rollup on the
+    customer key, tiny driver top-k."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import broadcast_join, partial_groupby_agg
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev_c4": pa.array(_rev_c4(t), pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    j = broadcast_join(li, orders, key="o_orderkey")
+    g = partial_groupby_agg(j, "o_custkey",
+                            {"revenue_c4": ("rev_c4", "sum")})
+    g = g.rename(columns={"o_custkey": "c_custkey"}).merge(cust, on="c_custkey")
+    g = g.sort_values(["revenue_c4", "c_custkey"],
+                      ascending=[False, True]).head(20)
+    return g[["c_custkey", "c_name", "revenue_c4"]].reset_index(drop=True)
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: large-volume orders (per-order quantity sum >
+    200) — HIGH-cardinality groupby on l_orderkey through the native
+    hash exchange (a combiner would ship every order key to the
+    driver), then broadcast joins for order/customer attributes."""
+    import pyarrow.parquet as pq
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "qty": pa.array(np.round(
+                             batch["l_quantity"].to_numpy()).astype(np.int64),
+                             pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_quantity"]).map_batches(prep, batch_format="pyarrow")
+    g = li.groupby("l_orderkey").sum("qty")
+
+    def big(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(["l_orderkey", "sum_qty"])
+        return t.filter(pc.greater(t["sum_qty"], 200))
+
+    big_orders = g.map_batches(big, batch_format="pyarrow").to_pandas()
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = big_orders.rename(columns={"l_orderkey": "o_orderkey"}) \
+        .merge(orders, on="o_orderkey").merge(
+            cust, left_on="o_custkey", right_on="c_custkey")
+    out["o_total_cents"] = np.round(
+        out["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    out = out.sort_values(["sum_qty", "o_orderkey"],
+                          ascending=[False, True]).head(100)
+    return out[["o_orderkey", "c_name", "o_total_cents",
+                "sum_qty"]].reset_index(drop=True)
+
+
+def q_supplier_share(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with MAX revenue in a ship
+    quarter — date-pruned scan, combiner rollup on the bounded supplier
+    key, argmax + name join on the tiny result."""
+    import pyarrow.parquet as pq
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        t = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        return pa.table({"s_suppkey": t["l_suppkey"],
+                         "rev_c4": pa.array(_rev_c4(t), pa.int64())})
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(prep, batch_format="pyarrow")
+    g = partial_groupby_agg(li, "s_suppkey",
+                            {"total_rev_c4": ("rev_c4", "sum")})
+    winners = g[g["total_rev_c4"] == g["total_rev_c4"].max()]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, on="s_suppkey").sort_values("s_suppkey")
+    return out[["s_suppkey", "s_name", "total_rev_c4"]].reset_index(drop=True)
+
+
+def q_avg_yearly(sf_dir: str):
+    """TPC-H Q17 shape: revenue from small-quantity items (quantity
+    below 20% of the part's average) — per-part sum/count through the
+    native hash groupby (high-cardinality key), result broadcast back
+    into a second pruned scan, the sub-average test done in exact
+    integers (5*qty*cnt < sum_qty <=> qty < 0.2*avg)."""
+    from frontera_ray.stages.relational import broadcast_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "qty": pa.array(np.round(
+                             batch["l_quantity"].to_numpy()).astype(np.int64),
+                             pa.int64())})
+
+    li_cols = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity"]).map_batches(prep, batch_format="pyarrow")
+    stats = li_cols.groupby("l_partkey").aggregate(
+        *_sum_count_aggs("qty")).to_pandas()
+    stats.columns = ["l_partkey", "sum_qty", "cnt"]
+    small = pa.Table.from_pandas(stats, preserve_index=False)
+
+    def prep2(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["l_extendedprice"].to_numpy() * 100
+                         ).astype(np.int64)
+        qty = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "qty": pa.array(qty, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    li2 = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(prep2, batch_format="pyarrow")
+    j = broadcast_join(li2, small, key="l_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = (5 * batch["qty"].to_numpy() * batch["cnt"].to_numpy()
+                < batch["sum_qty"].to_numpy())
+        cents = batch["cents"].to_numpy()[keep]
+        return pa.table({"total_cents": pa.array([int(cents.sum())], pa.int64()),
+                         "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+    return pd.DataFrame({"total_cents": [int(parts["total_cents"].sum())],
+                         "n_items": [int(parts["n_items"].sum())]})
+
+
+def _sum_count_aggs(col: str):
+    from ray.data.aggregate import Count, Sum
+    return (Sum(col), Count())
+
+
+def q_phash_caption_conflict(sf_dir: str):
+    """Duplicate images with CONFLICTING captions — the multimodal
+    curation check that a phash-exact duplicate group carries more than
+    one distinct caption (which one trains?). Derived corpus: planted
+    phash groups (members 1,2 of each 4-doc group share an exact hash)
+    x 64-char text-prefix captions. One key-hash exchange on the
+    high-cardinality phash, vectorized pandas run aggregate per
+    partition; conflict groups only leave the exchange."""
+    from frontera_ray.stages.images import synth_phash_table
+    from frontera_ray.stages.relational import hash_partitioned
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ph = synth_phash_table(batch)
+        cap = pc.utf8_slice_codeunits(batch["text"], 0, 64)
+        return pa.table({"phash": ph["simhash"], "caption": cap,
+                         "doc_id": batch["doc_id"]})
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
+
+    def kern(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("phash").agg(
+            n_images=("doc_id", "size"),
+            n_captions=("caption", "nunique"),
+            keeper_doc_id=("doc_id", "min")).reset_index()
+        g = g[g["n_captions"] > 1]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = hash_partitioned(ds, "phash").map_batches(
+        kern, batch_format="pyarrow", batch_size=None).to_pandas()
+    return out.sort_values("phash").reset_index(drop=True)
+
+
+def q_stopword_ratio(sf_dir: str):
+    """Stopword-fraction quality gate (the classic corpus-filter signal:
+    NL text has a stable stopword mass; keyword spam and boilerplate do
+    not). Fully vectorized Arrow: lower -> split_whitespace ->
+    list_flatten + is_in against the fixed list, per-doc sums via
+    bincount on parent indices; ratio as exact integer ppm."""
+    STOP = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+    stop_set = pa.array(STOP, pa.string())
+
+    def kern(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.utf8_split_whitespace(low)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        stop = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        n = len(batch)
+        n_tok = np.bincount(parent, weights=nonempty, minlength=n
+                            ).astype(np.int64)
+        n_stop = np.bincount(parent, weights=stop & nonempty, minlength=n
+                             ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "stop_ppm": pa.array(
+                1_000_000 * n_stop // np.maximum(n_tok, 1), pa.int64())})
+
+    out = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7321,6 +7582,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gini_split": q_gini_split,
     "robots_gate_audit": q_robots_gate_audit,
     "slot_load_audit": q_slot_load_audit,
+    "promo_revenue": q_promo_revenue,
+    "returned_revenue": q_returned_revenue,
+    "large_orders": q_large_orders,
+    "supplier_share": q_supplier_share,
+    "avg_yearly": q_avg_yearly,
+    "phash_caption_conflict": q_phash_caption_conflict,
+    "stopword_ratio": q_stopword_ratio,
 }
 
 
@@ -11707,4 +11975,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT bit, ones, n, (1000000 * ones // n)::BIGINT
                      AS balance_ppm
             FROM b ORDER BY bit""",
+        "promo_revenue": """
+            WITH r AS (
+              SELECT l.l_partkey,
+                     round(l.l_extendedprice*100)::BIGINT
+                       * round((1.0-l.l_discount)*100)::BIGINT AS rev,
+                     p.p_type
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l.l_shipdate < TIMESTAMP '1996-10-01'),
+            s AS (SELECT coalesce(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN rev END), 0)::BIGINT AS promo_c4,
+                         coalesce(sum(rev), 0)::BIGINT AS total_c4
+                  FROM r)
+            SELECT promo_c4, total_c4,
+                   (1000000 * promo_c4 // greatest(total_c4, 1))::BIGINT
+                     AS promo_ppm
+            FROM s""",
+        "returned_revenue": """
+            SELECT c.c_custkey, c.c_name,
+                   sum(round(l.l_extendedprice*100)::BIGINT
+                       * round((1.0-l.l_discount)*100)::BIGINT)::BIGINT
+                     AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2
+            ORDER BY revenue_c4 DESC, c.c_custkey LIMIT 20""",
+        "large_orders": """
+            WITH g AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum_qty > 200)
+            SELECT g.o_orderkey, c.c_name,
+                   round(o.o_totalprice*100)::BIGINT AS o_total_cents,
+                   g.sum_qty
+            FROM g JOIN orders o USING (o_orderkey)
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY g.sum_qty DESC, g.o_orderkey LIMIT 100""",
+        "supplier_share": """
+            WITH g AS (
+              SELECT l_suppkey AS s_suppkey,
+                     sum(round(l_extendedprice*100)::BIGINT
+                         * round((1.0-l_discount)*100)::BIGINT)::BIGINT
+                       AS total_rev_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT g.s_suppkey, s.s_name, g.total_rev_c4
+            FROM g JOIN supplier s USING (s_suppkey)
+            WHERE g.total_rev_c4 = (SELECT max(total_rev_c4) FROM g)
+            ORDER BY g.s_suppkey""",
+        "avg_yearly": """
+            WITH a AS (
+              SELECT l_partkey, sum(round(l_quantity)::BIGINT) AS s,
+                     count(*)::BIGINT AS c
+              FROM lineitem GROUP BY 1)
+            SELECT coalesce(sum(round(l.l_extendedprice*100)::BIGINT),
+                            0)::BIGINT AS total_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN a USING (l_partkey)
+            WHERE 5 * round(l.l_quantity)::BIGINT * a.c < a.s""",
+        "phash_caption_conflict": r"""
+            WITH p AS (SELECT doc_id, substr(text, 1, 64) AS caption,
+                              xor(('0x'||substr(md5('ph:'||
+                                    CAST(doc_id // 4 AS VARCHAR)),1,16))
+                                    ::UBIGINT,
+                                  (CASE doc_id % 4 WHEN 1 THEN 32
+                                        WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                        ELSE 0 END)::UBIGINT) AS ph
+                       FROM documents),
+            g AS (SELECT ph, count(*)::BIGINT AS n_images,
+                         count(DISTINCT caption)::BIGINT AS n_captions,
+                         min(doc_id)::BIGINT AS keeper_doc_id
+                  FROM p GROUP BY ph HAVING count(DISTINCT caption) > 1)
+            SELECT CASE WHEN ph > 9223372036854775807::UBIGINT
+                        THEN (ph::HUGEINT - 18446744073709551616)::BIGINT
+                        ELSE ph::BIGINT END AS phash,
+                   n_images, n_captions, keeper_doc_id
+            FROM g ORDER BY phash""",
+        "stopword_ratio": r"""
+            SELECT doc_id, n_tokens, n_stop,
+                   (1000000 * n_stop // greatest(n_tokens, 1))::BIGINT
+                     AS stop_ppm
+            FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\S+'))::BIGINT
+                       AS n_tokens,
+                     len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                         x -> list_contains(['the','a','and','of','to',
+                                             'in','is','it','for','on'], x)
+                         ))::BIGINT AS n_stop
+              FROM documents)
+            ORDER BY doc_id""",
     }

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "count_of_counts", "reshard_move_cost", "tile_variance",
     "url_lcp_compression", "channel_histogram", "gini_split",
     "robots_gate_audit", "slot_load_audit",
+    "promo_revenue", "returned_revenue", "large_orders", "supplier_share",
+    "avg_yearly", "phash_caption_conflict", "stopword_ratio",
 ]
 
 CRAWL_HOSTS = 8192
