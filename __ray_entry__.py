@@ -7301,6 +7301,143 @@ def q_stopword_ratio(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the event-value series
+    (relational.per_key_drawdown): running-peak minus current value,
+    reduced to one row per key — the per-entity sag/decay monitor
+    (per-host fetch-rate collapse, per-source quality drift). One keyed
+    exchange; ONE np.maximum.accumulate computes every key's running
+    peak (runs isolated by a 2^40 offset), no per-key Python."""
+    from frontera_ray.stages.relational import per_key_drawdown
+
+    out = per_key_drawdown(_read(sf_dir, "events")).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _langid_counts_sql(text_expr: str) -> str:
+    """The stopword-vote count subexpressions over an arbitrary SQL
+    text expression (the parameterized twin of text.langid_table)."""
+    pats = [("c_en", r"\b(the|and|of|to|in)\b"),
+            ("c_de", r"\b(der|und|die|das|ein)\b"),
+            ("c_fr", r"\b(le|la|les|des|une)\b"),
+            ("c_es", r"\b(el|los|las|una|que)\b"),
+            ("c_zh", r"\b(de|le|shi|bu|zai)\b")]
+    cols = ",\n        ".join(
+        f"len(regexp_extract_all(lower({text_expr}), '{p}')) {name}"
+        for name, p in pats)
+    return f"""
+      SELECT doc_id,
+           CASE WHEN greatest(c_en,c_de,c_fr,c_es,c_zh) = 0 THEN 'und'
+                WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+                WHEN c_es >= c_zh THEN 'es'
+                ELSE 'zh' END AS lang_pred
+      FROM (SELECT doc_id,
+        {cols}
+      FROM documents)"""
+
+
+def _langid_full_prefix(batch: pa.Table, prefix_chars: int = 64):
+    """(lang_full, lang_prefix) predictions per doc — full text vs its
+    first ``prefix_chars`` chars, both through the same vectorized
+    stopword-vote kernel."""
+    from frontera_ray.stages.text import langid_table
+
+    full = langid_table(batch)
+    pref_batch = pa.table({
+        "doc_id": batch["doc_id"],
+        "text": pc.utf8_slice_codeunits(batch["text"], 0, prefix_chars)})
+    pref = langid_table(pref_batch)
+    return full["lang_pred"], pref["lang_pred"]
+
+
+def q_langid_stability(sf_dir: str):
+    """Language-ID stability under truncation: does the prediction on
+    the first 64 chars agree with the full-document prediction? The
+    cheap-gate-vs-full-gate consistency check you run before trusting a
+    prefix-only fast path at scale. Per-doc row, fully vectorized
+    (two RE2 count passes, argmax votes), shuffle-free."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        full, pref = _langid_full_prefix(batch)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_full": full, "lang_prefix": pref,
+            "stable": pa.array(
+                pc.equal(full, pref).to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64())})
+
+    out = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mcnemar_langid(sf_dir: str):
+    """McNemar's paired test between the full-text and prefix-64
+    language classifiers against the true label — the right
+    significance test for 'is the cheap variant actually worse?'
+    (paired per-item outcomes; only the discordant counts matter).
+    Per-block partial counts -> 4-int combiner; the continuity-
+    corrected statistic (|b-c|-1)^2/(b+c) is emitted in exact integer
+    micro-units on both sides."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        full, pref = _langid_full_prefix(batch)
+        t = batch["lang"].to_numpy(zero_copy_only=False)
+        a_ok = full.to_numpy(zero_copy_only=False) == t
+        b_ok = pref.to_numpy(zero_copy_only=False) == t
+        return pa.table({
+            "both_ok": pa.array([int((a_ok & b_ok).sum())], pa.int64()),
+            "only_full": pa.array([int((a_ok & ~b_ok).sum())], pa.int64()),
+            "only_prefix": pa.array([int((~a_ok & b_ok).sum())], pa.int64()),
+            "both_wrong": pa.array([int((~a_ok & ~b_ok).sum())], pa.int64())})
+
+    parts = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    b, c = int(parts["only_full"].sum()), int(parts["only_prefix"].sum())
+    stat = (1_000_000 * (abs(b - c) - 1) ** 2 // (b + c)) if b + c else 0
+    import pandas as pd
+    return pd.DataFrame({
+        "both_ok": [int(parts["both_ok"].sum())],
+        "only_full": [b], "only_prefix": [c],
+        "both_wrong": [int(parts["both_wrong"].sum())],
+        "mcnemar_micro": [stat]})
+
+
+def q_caption_dup_images(sf_dir: str):
+    """Stock-caption spam: one caption attached to MULTIPLE distinct
+    images (the dual of phash_caption_conflict — boilerplate captions
+    carry no alignment signal and train a caption model badly). 16-char
+    text-prefix captions x planted-phash corpus; one key-hash exchange
+    on the caption string, vectorized count-distinct per partition."""
+    from frontera_ray.stages.images import synth_phash_table
+    from frontera_ray.stages.relational import hash_partitioned
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ph = synth_phash_table(batch)
+        return pa.table({
+            "caption": pc.utf8_slice_codeunits(batch["text"], 0, 16),
+            "phash": ph["simhash"], "doc_id": batch["doc_id"]})
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
+
+    def kern(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("caption").agg(
+            n_images=("doc_id", "size"),
+            n_phashes=("phash", "nunique"),
+            keeper_doc_id=("doc_id", "min")).reset_index()
+        g = g[g["n_phashes"] > 1]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = hash_partitioned(ds, "caption").map_batches(
+        kern, batch_format="pyarrow", batch_size=None).to_pandas()
+    return out.sort_values("caption").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7589,6 +7726,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "avg_yearly": q_avg_yearly,
     "phash_caption_conflict": q_phash_caption_conflict,
     "stopword_ratio": q_stopword_ratio,
+    "drawdown": q_drawdown,
+    "langid_stability": q_langid_stability,
+    "mcnemar_langid": q_mcnemar_langid,
+    "caption_dup_images": q_caption_dup_images,
 }
 
 
@@ -12070,4 +12211,60 @@ def oracle_sql() -> dict[str, str]:
                          ))::BIGINT AS n_stop
               FROM documents)
             ORDER BY doc_id""",
+        "drawdown": """
+            WITH w AS (SELECT user_id, event_id, ts,
+                              floor(value*100 + 0.5)::BIGINT AS cents
+                       FROM events),
+            p AS (SELECT user_id, cents,
+                         max(cents) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS peak
+                  FROM w)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(cents)::BIGINT AS peak_cents,
+                   max(peak - cents)::BIGINT AS max_drawdown_cents
+            FROM p GROUP BY 1 ORDER BY 1""",
+        "langid_stability": f"""
+            WITH f AS ({_langid_counts_sql('text')}),
+            p AS ({_langid_counts_sql('substr(text, 1, 64)')})
+            SELECT f.doc_id, f.lang_pred AS lang_full,
+                   p.lang_pred AS lang_prefix,
+                   (f.lang_pred = p.lang_pred)::BIGINT AS stable
+            FROM f JOIN p USING (doc_id) ORDER BY f.doc_id""",
+        "mcnemar_langid": f"""
+            WITH f AS ({_langid_counts_sql('text')}),
+            p AS ({_langid_counts_sql('substr(text, 1, 64)')}),
+            j AS (SELECT (f.lang_pred = d.lang) AS a_ok,
+                         (p.lang_pred = d.lang) AS b_ok
+                  FROM documents d JOIN f USING (doc_id)
+                  JOIN p USING (doc_id)),
+            s AS (SELECT sum((a_ok AND b_ok)::INT)::BIGINT AS both_ok,
+                         sum((a_ok AND NOT b_ok)::INT)::BIGINT AS only_full,
+                         sum((NOT a_ok AND b_ok)::INT)::BIGINT AS only_prefix,
+                         sum((NOT a_ok AND NOT b_ok)::INT)::BIGINT
+                           AS both_wrong
+                  FROM j)
+            SELECT both_ok, only_full, only_prefix, both_wrong,
+                   CASE WHEN only_full + only_prefix = 0 THEN 0
+                        ELSE 1000000 * (abs(only_full - only_prefix) - 1)
+                             * (abs(only_full - only_prefix) - 1)
+                             // (only_full + only_prefix)
+                   END::BIGINT AS mcnemar_micro
+            FROM s""",
+        "caption_dup_images": r"""
+            WITH p AS (SELECT doc_id, substr(text, 1, 16) AS caption,
+                              xor(('0x'||substr(md5('ph:'||
+                                    CAST(doc_id // 4 AS VARCHAR)),1,16))
+                                    ::UBIGINT,
+                                  (CASE doc_id % 4 WHEN 1 THEN 32
+                                        WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                        ELSE 0 END)::UBIGINT) AS ph
+                       FROM documents)
+            SELECT caption, count(*)::BIGINT AS n_images,
+                   count(DISTINCT ph)::BIGINT AS n_phashes,
+                   min(doc_id)::BIGINT AS keeper_doc_id
+            FROM p GROUP BY caption
+            HAVING count(DISTINCT ph) > 1
+            ORDER BY caption""",
     }

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "robots_gate_audit", "slot_load_audit",
     "promo_revenue", "returned_revenue", "large_orders", "supplier_share",
     "avg_yearly", "phash_caption_conflict", "stopword_ratio",
+    "drawdown", "langid_stability", "mcnemar_langid", "caption_dup_images",
 ]
 
 CRAWL_HOSTS = 8192

@@ -3032,6 +3032,61 @@ def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
         key_col, scan_block, exchange)
 
 
+def per_key_drawdown(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id", value_col: str = "value",
+                     exchange: str = "groups"):
+    """Per-key maximum drawdown over the (ts, id)-ordered value series:
+    for each key, max over time of (running peak cents - current cents)
+    — the monitoring/alerting reduction for any per-entity metric
+    stream (per-host fetch-rate sag, per-source quality decay, account
+    balance risk). Emits one row per key: (key, n_events,
+    peak_cents, max_drawdown_cents).
+
+    One keyed exchange; the kernel is vectorized ACROSS keys: a single
+    ``np.maximum.accumulate`` computes every run's running peak at once
+    (runs are isolated by adding run_id * 2^40 before the accumulate —
+    valid while |cents| < 2^40), and per-run maxima come from one
+    ``np.maximum.reduceat``. No per-key Python."""
+    _RUN_OFFSET = np.int64(1) << 40
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "n_events": pa.array([], pa.int64()),
+                             "peak_cents": pa.array([], pa.int64()),
+                             "max_drawdown_cents": pa.array([], pa.int64())})
+        key_raw = batch[key_col].to_numpy(zero_copy_only=False)
+        keys = _group_codes(key_raw)
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch[value_col].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        assert np.abs(cents).max(initial=0) < _RUN_OFFSET
+        order = np.lexsort((ids, ts, keys))
+        k_s, c_s = keys[order], cents[order]
+        new_run = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_id = (np.cumsum(new_run) - 1).astype(np.int64)
+        peak = np.maximum.accumulate(c_s + run_id * _RUN_OFFSET) \
+            - run_id * _RUN_OFFSET
+        dd = peak - c_s
+        counts = np.diff(np.append(starts, len(k_s))).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(key_raw[order][starts], key_t),
+            "n_events": pa.array(counts, pa.int64()),
+            "peak_cents": pa.array(np.maximum.reduceat(c_s, starts),
+                                   pa.int64()),
+            "max_drawdown_cents": pa.array(np.maximum.reduceat(dd, starts),
+                                           pa.int64()),
+        })
+
+    return keyed_exchange(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col, kern, exchange)
+
+
 def funnel_depth(ds, key_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type",
                  steps: tuple = ("view", "click", "purchase"),

@@ -2764,3 +2764,43 @@ def test_sigma_breach_matches_numpy(ray_session):
                  > 4 * n * (n * ss - s * s)).sum())
     assert int(out["breaches"][0]) == brute
     assert brute >= 2  # the planted outliers breach
+
+
+def test_per_key_drawdown_brute_and_hash_parity(ray_session):
+    """per_key_drawdown == a per-key pandas cummax brute force on a
+    random multi-key series, identical under both exchanges (the
+    2^40 run-offset trick must not leak across runs)."""
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.relational import per_key_drawdown
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "value": rng.uniform(0, 500, n).round(2),
+    })
+    tbl = pa.Table.from_pandas(df, preserve_index=False).set_column(
+        2, "ts", pa.Array.from_pandas(df["ts"]).cast(pa.timestamp("us")))
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    b = df.copy()
+    b["cents"] = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    b = b.sort_values(["user_id", "ts", "event_id"])
+    b["peak"] = b.groupby("user_id")["cents"].cummax()
+    brute = b.assign(dd=b["peak"] - b["cents"]).groupby(
+        "user_id", as_index=False).agg(
+        n_events=("cents", "size"), peak_cents=("cents", "max"),
+        max_drawdown_cents=("dd", "max")).sort_values(
+        "user_id").reset_index(drop=True)
+
+    for exchange in ("groups", "hash"):
+        got = per_key_drawdown(ds, exchange=exchange).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        for col in ["user_id", "n_events", "peak_cents",
+                    "max_drawdown_cents"]:
+            assert (got[col].to_numpy() == brute[col].to_numpy()).all(), \
+                (exchange, col)
