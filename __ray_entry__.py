@@ -7438,6 +7438,83 @@ def q_caption_dup_images(sf_dir: str):
     return out.sort_values("caption").reset_index(drop=True)
 
 
+def q_trap_urls(sf_dir: str):
+    """Crawler-trap detection: flag URLs whose path repeats a segment
+    (calendar/infinite-pagination traps — the classic frontier
+    poisoning a broad crawl must drop before scheduling). Derived
+    corpus plants repeated-'page' paths on doc_id % 37 == 0; detection
+    is a vectorized segment-multiplicity census (split -> per-(url,
+    segment) counts -> per-url max), not a per-row loop. Shuffle-free:
+    a URL's segments never leave its batch."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        paths = pa.array(
+            [(f"cat/{'page/' * (2 + int(d) % 3)}{d}"
+              if d % 37 == 0 else f"p/{d}") for d in ids], pa.string())
+        segs = pc.split_pattern(paths, "/")
+        flat = pc.list_flatten(segs)
+        parent = pc.list_parent_indices(segs).to_numpy()
+        import pandas as pd
+        df = pd.DataFrame({"i": parent,
+                           "seg": flat.to_numpy(zero_copy_only=False)})
+        mult = df.groupby(["i", "seg"]).size().groupby("i").max()
+        max_rep = np.ones(len(ids), dtype=np.int64)
+        max_rep[mult.index.to_numpy()] = mult.to_numpy()
+        n_segs = pc.list_value_length(segs).to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_segments": pa.array(n_segs, pa.int64()),
+            "max_seg_repeat": pa.array(max_rep, pa.int64()),
+            "is_trap": pa.array((max_rep >= 3).astype(np.int64), pa.int64())})
+
+    out = _read(sf_dir, "documents").select_columns(
+        ["doc_id"]).map_batches(kern, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_modularity(sf_dir: str):
+    """Graph-partition modularity audit over the derived link graph
+    (communities = node % 8): per-community within-edge count, in/out
+    degree sums and the exact integer modularity contribution
+    numerator 10^6*(m*e_c - dout_c*din_c) against denominator m^2 —
+    the partition-quality read behind community-aware sharding. One
+    distinct-edge exchange on the 64-cell (cs, cd) domain, then a
+    combiner rollup; no division anywhere."""
+    _N_COMM = 8
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        import pandas as pd
+        df = pd.DataFrame({"src": d % _PR_NODES,
+                           "dst": (d * _PR_MIX) % _PR_NODES}
+                          ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    cells = ds.groupby(["src", "dst"]).count().map_batches(
+        lambda b: pa.table({
+            "cs": pa.array(b["src"].to_numpy() % _N_COMM, pa.int64()),
+            "cd": pa.array(b["dst"].to_numpy() % _N_COMM, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    from frontera_ray.stages.relational import partial_groupby_agg
+    g = partial_groupby_agg(cells, ["cs", "cd"], {"n": ("one", "sum")})
+    m = int(g["n"].sum())
+    import pandas as pd
+    rows = []
+    for c in range(_N_COMM):
+        e_c = int(g.loc[(g.cs == c) & (g.cd == c), "n"].sum())
+        dout = int(g.loc[g.cs == c, "n"].sum())
+        din = int(g.loc[g.cd == c, "n"].sum())
+        rows.append({"community": c, "e_within": e_c, "dout": dout,
+                     "din": din,
+                     "q_num_micro": 1_000_000 * (m * e_c - dout * din),
+                     "m_edges": m})
+    return pd.DataFrame(rows)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7730,6 +7807,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid_stability": q_langid_stability,
     "mcnemar_langid": q_mcnemar_langid,
     "caption_dup_images": q_caption_dup_images,
+    "trap_urls": q_trap_urls,
+    "modularity": q_modularity,
 }
 
 
@@ -12267,4 +12346,43 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY caption
             HAVING count(DISTINCT ph) > 1
             ORDER BY caption""",
+        "trap_urls": """
+            WITH u AS (SELECT doc_id,
+                              CASE WHEN doc_id % 37 = 0
+                                   THEN 'cat/' || repeat('page/',
+                                        (2 + doc_id % 3)::INT)
+                                        || doc_id
+                                   ELSE 'p/' || doc_id END AS path
+                       FROM documents),
+            s AS (SELECT doc_id, unnest(string_split(path, '/')) AS seg
+                  FROM u),
+            c AS (SELECT doc_id, seg, count(*)::BIGINT AS k
+                  FROM s GROUP BY 1, 2),
+            a AS (SELECT doc_id, sum(k)::BIGINT AS n_segments,
+                         max(k)::BIGINT AS max_seg_repeat
+                  FROM c GROUP BY 1)
+            SELECT doc_id, n_segments, max_seg_repeat,
+                   (max_seg_repeat >= 3)::BIGINT AS is_trap
+            FROM a ORDER BY doc_id""",
+        "modularity": f"""
+            WITH e AS (SELECT DISTINCT doc_id % {_PR_NODES} AS src,
+                              (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst
+                       FROM documents),
+            m AS (SELECT count(*)::BIGINT AS m FROM e),
+            comm AS (SELECT g.c AS community FROM generate_series(0, 7) g(c)),
+            st AS (SELECT comm.community,
+                          coalesce(sum(CASE WHEN e.src % 8 = comm.community
+                                        AND e.dst % 8 = comm.community
+                                       THEN 1 END), 0)::BIGINT AS e_within,
+                          coalesce(sum(CASE WHEN e.src % 8 = comm.community
+                                       THEN 1 END), 0)::BIGINT AS dout,
+                          coalesce(sum(CASE WHEN e.dst % 8 = comm.community
+                                       THEN 1 END), 0)::BIGINT AS din
+                   FROM comm LEFT JOIN e ON TRUE
+                   GROUP BY comm.community)
+            SELECT st.community, st.e_within, st.dout, st.din,
+                   1000000 * (m.m * st.e_within - st.dout * st.din)
+                     AS q_num_micro,
+                   m.m AS m_edges
+            FROM st CROSS JOIN m ORDER BY st.community""",
     }
