@@ -7515,6 +7515,39 @@ def q_modularity(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_balanced_downsample(sf_dir: str):
+    """Balanced down-sampling to the smallest (lang, source) cell — the
+    class-balancing step before training a classifier on skewed strata
+    (every cell keeps exactly k = min cell count docs). Deterministic
+    and order-free: within each cell keep the k smallest md5-derived
+    64-bit keys (a seedless uniform draw both engines reproduce
+    bit-exactly). Tiny combiner for the cell counts, then ONE keyed
+    exchange with a vectorized rank<k kernel (relational.per_key_topk);
+    no driver materialization of the corpus."""
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg, per_key_topk
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        cell = pc.binary_join_element_wise(
+            batch["lang"], batch["source"], "|")
+        return pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "source": batch["source"], "cell": cell,
+            "h": pa.array(md5_u64([str(i) for i in ids]), pa.uint64()),
+            "one": pa.array(np.ones(len(ids), np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "source"]).map_batches(
+        derive, batch_format="pyarrow")
+    counts = partial_groupby_agg(ds, "cell", {"n": ("one", "sum")})
+    k = int(counts["n"].min())
+    out = per_key_topk(ds, "cell", "h", k, descending=False,
+                       tiebreak="doc_id").to_pandas()
+    out = out[["lang", "source", "doc_id"]]
+    return out.sort_values(["lang", "source", "doc_id"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "url_fingerprint": q_url_fingerprint,
@@ -7809,6 +7842,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "caption_dup_images": q_caption_dup_images,
     "trap_urls": q_trap_urls,
     "modularity": q_modularity,
+    "balanced_downsample": q_balanced_downsample,
 }
 
 
@@ -12385,4 +12419,17 @@ def oracle_sql() -> dict[str, str]:
                      AS q_num_micro,
                    m.m AS m_edges
             FROM st CROSS JOIN m ORDER BY st.community""",
+        "balanced_downsample": """
+            WITH d AS (SELECT doc_id, lang, source,
+                              ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1,16))::UBIGINT AS h
+                       FROM documents),
+            k AS (SELECT min(cnt)::BIGINT AS k FROM (
+                    SELECT count(*) AS cnt FROM d GROUP BY lang, source)),
+            r AS (SELECT doc_id, lang, source,
+                         row_number() OVER (PARTITION BY lang, source
+                                            ORDER BY h, doc_id) AS rn
+                  FROM d)
+            SELECT lang, source, doc_id FROM r CROSS JOIN k
+            WHERE rn <= k.k ORDER BY lang, source, doc_id""",
     }

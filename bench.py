@@ -99,7 +99,7 @@ BENCH_QUERIES = [
     "promo_revenue", "returned_revenue", "large_orders", "supplier_share",
     "avg_yearly", "phash_caption_conflict", "stopword_ratio",
     "drawdown", "langid_stability", "mcnemar_langid", "caption_dup_images",
-    "trap_urls", "modularity",
+    "trap_urls", "modularity", "balanced_downsample",
 ]
 
 CRAWL_HOSTS = 8192
