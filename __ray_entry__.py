@@ -6903,6 +6903,37 @@ def q_channel_histogram(sf_dir: str):
     return out.sort_values(["channel", "bin"]).reset_index(drop=True)
 
 
+
+def q_image_sharpness(sf_dir: str):
+    """Blur/sharpness screen over the derived image+caption corpus
+    (images.sharpness_table): per-image horizontal gradient energy
+    through the REAL encode->decode path, exact integers (grad_sum /
+    n_pairs / milli-mean / blur flag). The DuckDB twin recomputes BOTH
+    neighbor pixels closed-form with fmt-aware dequantization — the
+    out-of-focus / upscaled-placeholder gate of image curation.
+    Shuffle-free map_batches."""
+    from frontera_ray.stages.images import sharpness_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(sharpness_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_image_luma(sf_dir: str):
+    """Exposure census over the derived corpus (images.luma_table):
+    integer BT.601 luma mass per decoded image, per-pixel milli-mean,
+    dark/mid/bright bucket — the near-black / blown-out screen. The
+    DuckDB twin pivots the three generated channels per pixel
+    closed-form. Shuffle-free map_batches."""
+    from frontera_ray.stages.images import luma_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(luma_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -7820,6 +7851,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_variance": q_tile_variance,
     "url_lcp_compression": q_url_lcp_compression,
     "channel_histogram": q_channel_histogram,
+    "image_sharpness": q_image_sharpness,
+    "image_luma": q_image_luma,
     "gini_split": q_gini_split,
     "robots_gate_audit": q_robots_gate_audit,
     "slot_load_audit": q_slot_load_audit,
@@ -7859,6 +7892,85 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
+
+
+def _img_val_sql(xe: str, ye: str = "gy.y::UBIGINT",
+                 ce: str = "gc.c::UBIGINT") -> str:
+    """Decoded-pixel-value SQL expression (fmt-aware dequantization)
+    at generator coordinates (xe, ye, ce) — the closed-form twin of
+    payload._gen_pixels_group + the qimg quantizer, shared by the
+    image_sharpness / image_luma oracles. Expects the m CTE columns
+    (fmt, s5, s7, s32, s256) in scope."""
+    n1 = (f"((xor(xor(({xe} * 2654435761::UBIGINT)"
+          f" % 4294967296::UBIGINT,"
+          f" {ye} * 40503::UBIGINT),"
+          f" {ce} * 69069::UBIGINT)"
+          f" + m.s32) % 4294967296::UBIGINT)")
+    raw = (f"(((xor({n1}, {n1} >> 13) & 63::UBIGINT)"
+           f" + {xe} * m.s5 + {ye} * m.s7 + m.s256) % 256::UBIGINT)")
+    return (f"(CASE WHEN m.fmt = 'qimg' THEN ({raw} // 8) * 8 + 4"
+            f" ELSE {raw} END)::BIGINT")
+
+
+_IMG_META_CTES = r"""
+        d AS (SELECT doc_id,
+                     ('0x'||substr(md5('img:'||
+                        CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+              FROM documents),
+        m AS (SELECT doc_id, u,
+                     CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                          WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                          ELSE 80 END::BIGINT AS w,
+                     CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                          WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                          ELSE 60 END::BIGINT AS h,
+                     CASE WHEN ((u >> 3) % 2) = 0 THEN 'png'
+                          ELSE 'qimg' END AS fmt,
+                     (1 + u % 5) AS s5, (1 + (u >> 4) % 7) AS s7,
+                     (u & 4294967295::UBIGINT) AS s32,
+                     (u % 256) AS s256
+              FROM d)"""
+
+
+def _image_sharpness_oracle() -> str:
+    v0 = _img_val_sql("gx.x::UBIGINT")
+    v1 = _img_val_sql("(gx.x + 1)::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        px AS (SELECT m.doc_id, m.fmt, m.w, m.h,
+                      {v0} AS v0, {v1} AS v1
+               FROM m, generate_series(0, 78) gx(x),
+                    generate_series(0, 59) gy(y),
+                    generate_series(0, 2) gc(c)
+               WHERE gx.x < m.w - 1 AND gy.y < m.h)
+        SELECT doc_id, fmt,
+               ((w - 1) * h * 3)::BIGINT AS n_pairs,
+               sum(abs(v1 - v0))::BIGINT AS grad_sum,
+               ((1000 * sum(abs(v1 - v0))) // ((w - 1) * h * 3))::BIGINT
+                 AS grad_milli,
+               ((1000 * sum(abs(v1 - v0))) // ((w - 1) * h * 3) < 30000)
+                 AS blurry
+        FROM px GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
+
+
+def _image_luma_oracle() -> str:
+    v = _img_val_sql("gx.x::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        v AS (SELECT m.doc_id, m.fmt, m.w, m.h,
+                     (CASE gc.c WHEN 0 THEN 299 WHEN 1 THEN 587
+                           ELSE 114 END) * {v} AS lw
+              FROM m, generate_series(0, 79) gx(x),
+                   generate_series(0, 59) gy(y),
+                   generate_series(0, 2) gc(c)
+              WHERE gx.x < m.w AND gy.y < m.h)
+        SELECT doc_id, fmt,
+               sum(lw)::BIGINT AS luma_sum_milli,
+               (sum(lw) // (w * h))::BIGINT AS mean_luma_milli,
+               CASE WHEN sum(lw) // (w * h) < 85000 THEN 'dark'
+                    WHEN sum(lw) // (w * h) > 170000 THEN 'bright'
+                    ELSE 'mid' END AS bucket
+        FROM v GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -11571,6 +11683,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, (val // 16)::BIGINT AS bin,
                    count(*)::BIGINT AS n_px
             FROM v GROUP BY channel, bin ORDER BY channel, bin""",
+        "image_sharpness": _image_sharpness_oracle(),
+        "image_luma": _image_luma_oracle(),
         "gini_split": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (event_type = 'purchase') AS lab

@@ -747,3 +747,89 @@ def tile_variance_table(batch: pa.Table) -> pa.Table:
         "q3": pa.array(q[:, 3], pa.int64()),
         "tile_var4": pa.array(var4, pa.int64()),
     })
+
+
+def sharpness_table(batch: pa.Table, blur_milli: int = 30000) -> pa.Table:
+    """Blur/sharpness screen through the REAL decode path: per image
+    the horizontal gradient energy Σ|p(x+1,y,c) − p(x,y,c)| over
+    decoded pixels — the classic cheap focus metric (gradient-energy
+    variant of variance-of-Laplacian) that drops out-of-focus or
+    upscaled-then-saved placeholders before any model decode. Exact
+    integers end-to-end: grad_sum, n_pairs = (w−1)·h·3, the milli-units
+    mean gradient, and the blur flag grad_milli < ``blur_milli``. The
+    DuckDB twin recomputes BOTH neighbor pixels closed-form from the
+    generator expression (fmt-aware dequantization), so one drifted
+    pixel in either codec fails the hash."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    grad = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            grad[i] = int(np.abs(o[:, 1:, :] - o[:, :-1, :]).sum())
+    n_pairs = (_SYNTH_W[six] - 1) * _SYNTH_H[six] * 3
+    grad_milli = 1000 * grad // n_pairs
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "grad_sum": pa.array(grad, pa.int64()),
+        "grad_milli": pa.array(grad_milli, pa.int64()),
+        "blurry": pa.array(grad_milli < blur_milli, pa.bool_()),
+    })
+
+
+def luma_table(batch: pa.Table, dark_milli: int = 85_000,
+               bright_milli: int = 170_000) -> pa.Table:
+    """Exposure census through the REAL decode path: per image the
+    integer ITU-R BT.601 luma mass Σ(299·R + 587·G + 114·B) over
+    decoded pixels (milli-luma units — no float, no division until the
+    final per-pixel mean), the per-pixel mean, and the exposure bucket
+    (dark / mid / bright) — the brightness screen that catches
+    near-black failed fetches and blown-out scans in image+caption
+    curation. The DuckDB twin pivots the three generated channels per
+    (x, y) and re-derives every bucket closed-form."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    luma = np.zeros(len(ids), dtype=np.int64)
+    wgt = np.asarray([299, 587, 114], dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            luma[i] = int((out.astype(np.int64) * wgt).sum())
+    n_px = _SYNTH_W[six] * _SYNTH_H[six]
+    mean_milli = luma // n_px
+    bucket = np.select([mean_milli < dark_milli, mean_milli > bright_milli],
+                       ["dark", "bright"], default="mid")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "luma_sum_milli": pa.array(luma, pa.int64()),
+        "mean_luma_milli": pa.array(mean_milli, pa.int64()),
+        "bucket": pa.array(bucket.astype(object), pa.string()),
+    })
