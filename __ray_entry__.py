@@ -6934,6 +6934,40 @@ def q_image_luma(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution to the canonical target — the
+    pre-dedup canonicalization every frontier performs (frontera
+    carries the full chain in Request.meta[b'redirect_urls'];
+    core/models.py) — via DISTRIBUTED POINTER DOUBLING
+    (relational.pointer_double_resolve): chains derived
+    deterministically from doc_ids (u = md5_64('rd:'||id); nodes with
+    u%3==0 redirect to id-1-(u%7), strictly decreasing so acyclic),
+    resolved in ceil(log2 L) keyed exchanges of slim (src,dst,hops)
+    rows — never a length-L sequential walk, never a driver loop over
+    rows. The DuckDB twin walks every chain with WITH RECURSIVE."""
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import pointer_double_resolve
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        u = md5_u64([f"rd:{i}" for i in ids])
+        tgt = ids - 1 - (u % np.uint64(7)).astype(np.int64)
+        has = ((u % np.uint64(3)) == 0) & (tgt >= 0)
+        return pa.table({
+            "src": pa.array(ids, pa.int64()),
+            "dst": pa.array(np.where(has, tgt, ids), pa.int64()),
+            "hops": pa.array(has.astype(np.int64), pa.int64()),
+            "done": pa.array(~has, pa.bool_())})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(init, batch_format="pyarrow"))
+    out = pointer_double_resolve(ds).to_pandas()
+    assert bool(out["done"].all()), "unresolved chains after rounds"
+    out = out.rename(columns={"src": "doc_id", "dst": "final_id"})
+    return (out[["doc_id", "final_id", "hops"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -7853,6 +7887,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "channel_histogram": q_channel_histogram,
     "image_sharpness": q_image_sharpness,
     "image_luma": q_image_luma,
+    "redirect_resolve": q_redirect_resolve,
     "gini_split": q_gini_split,
     "robots_gate_audit": q_robots_gate_audit,
     "slot_load_audit": q_slot_load_audit,
@@ -11685,6 +11720,27 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY channel, bin ORDER BY channel, bin""",
         "image_sharpness": _image_sharpness_oracle(),
         "image_luma": _image_luma_oracle(),
+        "redirect_resolve": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       ('0x'||substr(md5('rd:'||CAST(doc_id AS VARCHAR)),
+                          1,16))::UBIGINT AS u
+                FROM documents),
+            e AS (SELECT doc_id AS src,
+                         CASE WHEN u % 3 = 0
+                                   AND doc_id - 1 - (u % 7)::BIGINT >= 0
+                              THEN doc_id - 1 - (u % 7)::BIGINT
+                         END AS nxt
+                  FROM d),
+            walk(doc_id, cur, hops) AS (
+                SELECT src, src, 0::BIGINT FROM e
+                UNION ALL
+                SELECT w.doc_id, e.nxt, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.cur
+                WHERE e.nxt IS NOT NULL)
+            SELECT doc_id, arg_max(cur, hops)::BIGINT AS final_id,
+                   max(hops)::BIGINT AS hops
+            FROM walk GROUP BY doc_id ORDER BY doc_id""",
         "gini_split": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (event_type = 'purchase') AS lab

@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     "benford_audit", "pr_curve", "ohlc_bars", "tukey_fences",
     "count_of_counts", "reshard_move_cost", "tile_variance",
     "url_lcp_compression", "channel_histogram", "gini_split",
-    "image_sharpness", "image_luma",
+    "image_sharpness", "image_luma", "redirect_resolve",
     "robots_gate_audit", "slot_load_audit",
     "promo_revenue", "returned_revenue", "large_orders", "supplier_share",
     "avg_yearly", "phash_caption_conflict", "stopword_ratio",

@@ -4076,3 +4076,88 @@ def otsu_threshold(ds, value_col: str, scale: int = 100):
             .astype("int64")
     return pd.DataFrame([{"t_cents": best[1], "c0": best[2],
                           "c1": best[3]}]).astype("int64")
+
+
+def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
+                           hops_col: str = "hops", done_col: str = "done",
+                           rounds: int = 16, exchange: str = "hash"):
+    """Distributed pointer doubling (pointer jumping) over a functional
+    successor graph — the redirect-chain / alias-chain resolver: every
+    row (src, dst, hops, done) is advanced to (src, f^(2^k)(src),
+    total hops, terminal?) in ``rounds`` rounds, each ONE keyed
+    exchange of 2n slim rows (build side keyed by src, probe side by
+    dst), so a chain of length L resolves in ceil(log2 L) exchanges —
+    at a 10^10-node frontier with redirect probability p the longest
+    chain is ~log_{1/p}(n) ≈ 20-30, i.e. 5 rounds, never a
+    length-L sequential walk. State is materialized per round (it is
+    referenced twice — lazy reuse would re-execute the lineage).
+    Every dst MUST exist as some row's src (self-rows for terminals).
+
+    Reference semantics: frontera resolves redirect chains to the
+    canonical request before dedup/scheduling (frontera/core/models.py
+    Request.meta[b'redirect_urls'] carrying the full chain)."""
+
+    def tag_both(b: pa.Table) -> pa.Table:
+        """Emit the build copy (key=src) and the probe copy (key=dst,
+        or src for already-done rows) in ONE pass over J — no union,
+        no second scan, block count stays fixed."""
+        done = b[done_col].to_numpy(zero_copy_only=False)
+        src = b[src_col].to_numpy(zero_copy_only=False)
+        dst = b[dst_col].to_numpy(zero_copy_only=False)
+        n = len(b)
+        key = np.concatenate([src, np.where(done, src, dst)])
+        role = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        both = pa.concat_tables([b, b])
+        return (both.append_column("key", pa.array(key, pa.int64()))
+                    .append_column("role", pa.array(role)))
+
+    def kern(batch: pa.Table) -> pa.Table:
+        empty = pa.table({src_col: pa.array([], pa.int64()),
+                          dst_col: pa.array([], pa.int64()),
+                          hops_col: pa.array([], pa.int64()),
+                          done_col: pa.array([], pa.bool_())})
+        if len(batch) == 0:
+            return empty
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False)
+        hops = batch[hops_col].to_numpy(zero_copy_only=False)
+        done = batch[done_col].to_numpy(zero_copy_only=False)
+        b = role == 0
+        p = ~b
+        if not p.any():
+            return empty
+        order = np.argsort(key[b], kind="stable")
+        bk = key[b][order]
+        bdst = dst[b][order]
+        bhops = hops[b][order]
+        bdone = done[b][order]
+        pos = np.searchsorted(bk, key[p])
+        assert len(bk) and (bk[np.minimum(pos, len(bk) - 1)]
+                            == key[p]).all(), "dangling pointer key"
+        nd = ~done[p]
+        return pa.table({
+            src_col: pa.array(src[p], pa.int64()),
+            dst_col: pa.array(np.where(nd, bdst[pos], dst[p]), pa.int64()),
+            hops_col: pa.array(np.where(nd, hops[p] + bhops[pos], hops[p]),
+                               pa.int64()),
+            done_col: pa.array(np.where(nd, bdone[pos], True), pa.bool_())})
+
+    def _unresolved(Jm) -> int:
+        rows = Jm.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [int((~b[done_col].to_numpy(zero_copy_only=False)).sum())],
+                pa.int64())}),
+            batch_format="pyarrow").take_all()
+        return sum(r["n"] for r in rows)
+
+    J = ds.materialize()
+    for k in range(rounds):
+        # chains of length >= 2 always exist in practice — skip the
+        # unresolved probe for the first two rounds (it costs a pass)
+        if k >= 2 and _unresolved(J) == 0:
+            break
+        u = J.map_batches(tag_both, batch_format="pyarrow")
+        J = keyed_exchange(u, "key", kern, exchange).materialize()
+    return J

@@ -2804,3 +2804,31 @@ def test_per_key_drawdown_brute_and_hash_parity(ray_session):
                     "max_drawdown_cents"]:
             assert (got[col].to_numpy() == brute[col].to_numpy()).all(), \
                 (exchange, col)
+
+
+def test_pointer_double_resolve(ray_session):
+    """Pointer doubling resolves a crafted 9-hop chain (needs 4
+    doubling rounds), a 2-cycle-free fan-in, and self-terminal rows —
+    final targets and hop counts exact."""
+    import ray
+
+    from frontera_ray.stages.relational import pointer_double_resolve
+
+    # chain 9 -> 8 -> ... -> 0 (9 hops), plus 20 -> 0 fan-in, 21 terminal
+    src = list(range(10)) + [20, 21]
+    dst = [0] + list(range(9)) + [0, 21]
+    hops = [0] + [1] * 9 + [1, 0]
+    done = [True] + [False] * 9 + [False, True]
+    # dst=0's row is terminal (dst==src) so done flags line up
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "hops": pa.array(hops, pa.int64()),
+        "done": pa.array(done, pa.bool_())}))
+    out = pointer_double_resolve(ds).to_pandas().set_index("src")
+    assert bool(out["done"].all())
+    assert (out["dst"] == 0).sum() == 11  # all of 0..9 and 20 end at 0
+    assert int(out.loc[9, "hops"]) == 9
+    assert int(out.loc[5, "hops"]) == 5
+    assert int(out.loc[20, "hops"]) == 1
+    assert int(out.loc[21, "hops"]) == 0 and int(out.loc[21, "dst"]) == 21
