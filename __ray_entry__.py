@@ -6968,6 +6968,53 @@ def q_redirect_resolve(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U between the purchase and click cohorts on event
+    value — the NONPARAMETRIC two-sample A/B read (no normality
+    assumption; complements welch_t and ab_ztest), EXACT integers
+    end-to-end: U in DOUBLED units (2U = 2*sum(c1*cum2) + sum(c1*c2)
+    over the value census, so .5 tie credits stay integral) plus the
+    pooled tie-correction term sum(t^3 - t) the variance needs. One
+    block-partial value census (bounded by the price grid, the
+    gini_split register shape) -> driver fold in Python bigints."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        sel = (et == "purchase") | (et == "click")
+        v = np.floor(b["value"].to_numpy()[sel] * 100 + 0.5).astype(np.int64)
+        g1 = et[sel] == "purchase"
+        uv, inv = np.unique(v, return_inverse=True)
+        c1 = np.bincount(inv, weights=g1, minlength=len(uv))
+        c2 = np.bincount(inv, weights=~g1, minlength=len(uv))
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "c1": pa.array(c1.astype(np.int64), pa.int64()),
+                         "c2": pa.array(c2.astype(np.int64), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    ds = (_read(sf_dir, "events").select_columns(["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow"))
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, a, b_ in zip(t["v"].to_numpy(), t["c1"].to_numpy(),
+                            t["c2"].to_numpy()):
+            cur = acc.setdefault(int(v), [0, 0])
+            cur[0] += int(a)
+            cur[1] += int(b_)
+    n1 = n2 = u2 = ties = 0
+    cum2 = 0
+    for v in sorted(acc):
+        c1, c2 = acc[v]
+        u2 += c1 * (2 * cum2 + c2)
+        t_ = c1 + c2
+        ties += t_ * t_ * t_ - t_
+        n1 += c1
+        n2 += c2
+        cum2 += c2
+    return pd.DataFrame([{"n1": n1, "n2": n2, "u2": u2,
+                          "tie_cubes": ties}]).astype("int64")
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -7888,6 +7935,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_sharpness": q_image_sharpness,
     "image_luma": q_image_luma,
     "redirect_resolve": q_redirect_resolve,
+    "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
     "robots_gate_audit": q_robots_gate_audit,
     "slot_load_audit": q_slot_load_audit,
@@ -11741,6 +11789,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, arg_max(cur, hops)::BIGINT AS final_id,
                    max(hops)::BIGINT AS hops
             FROM walk GROUP BY doc_id ORDER BY doc_id""",
+        "mann_whitney": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              (event_type = 'purchase') AS g1
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')),
+            c AS (SELECT val,
+                         sum(CASE WHEN g1 THEN 1 ELSE 0 END)::HUGEINT AS c1,
+                         sum(CASE WHEN g1 THEN 0 ELSE 1 END)::HUGEINT AS c2
+                  FROM v GROUP BY val),
+            w AS (SELECT val, c1, c2,
+                         coalesce(sum(c2) OVER (ORDER BY val
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum2
+                  FROM c)
+            SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+                   sum(c1 * (2 * cum2 + c2))::BIGINT AS u2,
+                   sum((c1 + c2) * (c1 + c2) * (c1 + c2)
+                       - (c1 + c2))::BIGINT AS tie_cubes
+            FROM w""",
         "gini_split": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (event_type = 'purchase') AS lab
