@@ -6018,6 +6018,34 @@ def q_image_meta(sf_dir: str):
     return out.sort_values(["fmt", "w", "h"]).reset_index(drop=True)
 
 
+def q_image_aspect_card(sf_dir: str):
+    """Aspect-ratio bucketing card over the md5-derived image corpus
+    (the SQL-oracled twin of `image_aspect_buckets`, which runs the
+    same kernel over the web-graph URL corpus): each image snaps to
+    the nearest canonical aspect bucket in log-aspect space
+    (images.aspect_bucket_table — the SDXL-style pre-batching step)
+    and the card rolls up count + total padding-waste ppm per bucket.
+    Metadata-only (no decode), combiner rollup; the DuckDB twin
+    re-derives w/h from the same md5 expression and replays the
+    nearest-log-bucket argmin (ties to the smaller bucket) and the
+    waste formula on the same IEEE doubles."""
+    from frontera_ray.stages.images import (aspect_bucket_table,
+                                            synth_image_meta)
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    meta = (_read(sf_dir, "documents").select_columns(["doc_id"])
+            .map_batches(synth_image_meta, batch_format="pyarrow")
+            .map_batches(
+                lambda b: b.select(["doc_id", "w", "h"])
+                           .rename_columns(["image_id", "w", "h"]),
+                batch_format="pyarrow"))
+    buckets = meta.map_batches(aspect_bucket_table, batch_format="pyarrow")
+    out = partial_groupby_agg(
+        buckets, ["bucket_ppm"],
+        {"n": ("waste_ppm", "count"), "waste_ppm_sum": ("waste_ppm", "sum")})
+    return out.sort_values("bucket_ppm").reset_index(drop=True)
+
+
 def q_phash_pairs(sf_dir: str):
     """Perceptual-hash near-dup pairs over the derived image corpus
     with PLANTED near-dup clusters (images.synth_phash_table: group
@@ -7904,6 +7932,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ttr": q_ttr,
     "readability": q_readability,
     "image_meta": q_image_meta,
+    "image_aspect_card": q_image_aspect_card,
     "phash_pairs": q_phash_pairs,
     "image_decode_parity": q_image_decode_parity,
     "phash_bit_balance": q_phash_bit_balance,
@@ -11585,6 +11614,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT fmt, w, h, count(*)::BIGINT AS n,
                    sum(w * h * 3)::BIGINT AS px_total
             FROM m GROUP BY fmt, w, h ORDER BY fmt, w, h""",
+        "image_aspect_card": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('img:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                 AS u
+                       FROM documents),
+            m AS (SELECT doc_id,
+                         CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                              WHEN 2 THEN 64 WHEN 3 THEN 40 WHEN 4 THEN 56
+                              ELSE 80 END::DOUBLE AS w,
+                         CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                              WHEN 2 THEN 48 WHEN 3 THEN 40 WHEN 4 THEN 42
+                              ELSE 60 END::DOUBLE AS h
+                  FROM d),
+            b(bucket_ppm) AS (VALUES (500000), (750000), (1000000),
+                                     (1333333), (2000000)),
+            scored AS (SELECT doc_id, bucket_ppm, w / h AS a,
+                              bucket_ppm / 1e6 AS c,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY abs(ln(w / h)
+                                      - ln(bucket_ppm / 1e6)),
+                                      bucket_ppm) AS rn
+                       FROM m CROSS JOIN b),
+            pick AS (SELECT bucket_ppm,
+                            round((1.0 - least(a, c) / greatest(a, c))
+                                  * 1e6)::BIGINT AS waste_ppm
+                     FROM scored WHERE rn = 1)
+            SELECT bucket_ppm::BIGINT AS bucket_ppm,
+                   count(*)::BIGINT AS n,
+                   sum(waste_ppm)::BIGINT AS waste_ppm_sum
+            FROM pick GROUP BY bucket_ppm ORDER BY bucket_ppm""",
         "phash_pairs": r"""
             WITH p AS (SELECT doc_id,
                               xor(('0x'||substr(md5('ph:'||

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "avg_yearly", "phash_caption_conflict", "stopword_ratio",
     "drawdown", "langid_stability", "mcnemar_langid", "caption_dup_images",
     "trap_urls", "modularity", "balanced_downsample",
+    "mann_whitney", "image_aspect_card",
 ]
 
 CRAWL_HOSTS = 8192
