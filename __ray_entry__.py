@@ -6312,6 +6312,145 @@ def q_welch_t(sf_dir: str):
     }]).astype("int64")
 
 
+def _qd_census(sf_dir: str):
+    """Shared 2-D value census for the rank-correlation family:
+    (round(l_quantity), round(l_discount*100)) cell counts — both
+    grids are bounded (50 × 11 cells) so the census, not the rows, is
+    what crosses the wire: block-partial `np.unique` counts rolled up
+    by the combiner. The 100-TB shape for any rank statistic over
+    bounded value grids (ranks come from marginals of the census, so
+    no global sort ever runs)."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        q = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        key = q * 1000 + d
+        uv, cnt = np.unique(key, return_counts=True)
+        return pa.table({"q": pa.array(uv // 1000, pa.int64()),
+                         "d": pa.array(uv % 1000, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    ds = (_read(sf_dir, "lineitem")
+          .select_columns(["l_quantity", "l_discount"])
+          .map_batches(part, batch_format="pyarrow"))
+    return partial_groupby_agg(ds, ["q", "d"], {"n": ("n", "sum")})
+
+
+def _doubled_ranks(vals: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Doubled mid-ranks (2 × average rank, so .5 tie credits stay
+    integral) per distinct value: for a tie group of size t with c
+    smaller elements, 2·rank = 2c + t + 1."""
+    order = np.argsort(vals, kind="stable")
+    c = np.zeros(len(vals), dtype=object)
+    cum = 0
+    for i in order:
+        c[i] = 2 * cum + int(cnts[i]) + 1
+        cum += int(cnts[i])
+    return c
+
+
+def q_spearman_corr(sf_dir: str):
+    """Spearman rank-correlation REGISTERS between lineitem quantity
+    and discount, EXACT integers end-to-end: the 2-D bounded-grid
+    census (no global sort — mid-ranks derive from census marginals),
+    then the six Pearson-on-ranks registers (n, Σrx, Σry, Σrx², Σry²,
+    Σrx·ry) in DOUBLED-rank units folded in Python bigints. The
+    monotone-association twin of `group_corr`'s linear Pearson; the
+    SQL twin replays the doubled mid-ranks with window cumulatives in
+    HUGEINT."""
+    import pandas as pd
+
+    cen = _qd_census(sf_dir)
+    qv = cen["q"].to_numpy()
+    dv = cen["d"].to_numpy()
+    nv = cen["n"].to_numpy()
+    # marginal doubled mid-ranks mapped back onto cells
+    uq, iq = np.unique(qv, return_inverse=True)
+    nq = np.zeros(len(uq), dtype=np.int64)
+    np.add.at(nq, iq, nv)
+    rq = _doubled_ranks(uq, nq)[iq]
+    ud, idx = np.unique(dv, return_inverse=True)
+    nd = np.zeros(len(ud), dtype=np.int64)
+    np.add.at(nd, idx, nv)
+    rd = _doubled_ranks(ud, nd)[idx]
+    n = sx = sy = sxx = syy = sxy = 0
+    for w, rx, ry in zip(nv.tolist(), rq.tolist(), rd.tolist()):
+        n += w
+        sx += w * rx
+        sy += w * ry
+        sxx += w * rx * rx
+        syy += w * ry * ry
+        sxy += w * rx * ry
+    return pd.DataFrame([{"n": n, "sum_rx": sx, "sum_ry": sy,
+                          "sum_rx2": sxx, "sum_ry2": syy,
+                          "sum_rxy": sxy}]).astype("int64")
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall tau-b REGISTERS between lineitem quantity and discount,
+    EXACT integers: concordant / discordant / x-tie / y-tie pair
+    counts computed from the same bounded 2-D census (550 cells → a
+    550×550 vectorized cell-pair comparison on the driver instead of
+    the O(n²) row-pair scan — the only way tau exists at 10^9 rows).
+    The SQL twin brute-joins the census against itself."""
+    import pandas as pd
+
+    cen = _qd_census(sf_dir)
+    qv = cen["q"].to_numpy()
+    dv = cen["d"].to_numpy()
+    nv = cen["n"].to_numpy().astype(object)
+    lt_q = qv[:, None] < qv[None, :]
+    lt_d = dv[:, None] < dv[None, :]
+    gt_d = dv[:, None] > dv[None, :]
+    pairs = nv[:, None] * nv[None, :]
+    conc = int((pairs * (lt_q & lt_d)).sum())
+    disc = int((pairs * (lt_q & gt_d)).sum())
+    n = int(nv.sum())
+    uq, iq = np.unique(qv, return_inverse=True)
+    nq = np.zeros(len(uq), dtype=object)
+    np.add.at(nq, iq, nv)
+    tie_x = int(sum(t * (t - 1) // 2 for t in nq.tolist()))
+    ud, idx = np.unique(dv, return_inverse=True)
+    nd = np.zeros(len(ud), dtype=object)
+    np.add.at(nd, idx, nv)
+    tie_y = int(sum(t * (t - 1) // 2 for t in nd.tolist()))
+    return pd.DataFrame([{"n": n, "concordant": conc, "discordant": disc,
+                          "tie_x_pairs": tie_x, "tie_y_pairs": tie_y}]) \
+        .astype("int64")
+
+
+def q_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed per-user event counts with an
+    INTEGER half-life kernel (the recrawl-priority / trending-key
+    read): each event weighs 2^(8 − min(age_weeks, 8)) against a
+    pinned anchor — whole-bucket decay keeps every weight and sum an
+    exact integer, where a fractional-exponent decay would make the
+    result depend on float summation order. One combiner rollup over
+    the bounded user space; top-20 by decayed weight (ties to the
+    smaller user_id)."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    anchor_us = 1706745600000000  # 2024-02-01 00:00:00 UTC
+    week_us = 7 * 86400 * 10**6
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        age = np.minimum((anchor_us - ts) // week_us, 8)
+        w = np.left_shift(np.int64(1), 8 - age)
+        return pa.table({"user_id": b["user_id"],
+                         "wt": pa.array(w, pa.int64())})
+
+    ds = (_read(sf_dir, "events").select_columns(["ts", "user_id"])
+          .map_batches(part, batch_format="pyarrow"))
+    g = partial_groupby_agg(ds, "user_id", {"decayed_w": ("wt", "sum")})
+    out = g.sort_values(["decayed_w", "user_id"],
+                        ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype("int64")
+
+
 def q_hash_ring_plan(sf_dir: str):
     """Consistent-hash-ring shard plan (Karger et al. 1997): 8 shards
     × 16 md5-derived virtual nodes; every distinct user key routes to
@@ -7944,6 +8083,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pareto_docs": q_pareto_docs,
     "bloom_fp_audit": q_bloom_fp_audit,
     "welch_t": q_welch_t,
+    "spearman_corr": q_spearman_corr,
+    "kendall_tau": q_kendall_tau,
+    "decayed_counts": q_decayed_counts,
     "hash_ring_plan": q_hash_ring_plan,
     "wasserstein1": q_wasserstein1,
     "temperature_mix": q_temperature_mix,
@@ -12279,6 +12421,59 @@ def oracle_sql() -> dict[str, str]:
                               // (count(*) * sum(x * x)) END)::BIGINT
                      AS jain_ppm
             FROM c""",
+        "spearman_corr": r"""
+            WITH v AS (SELECT round(l_quantity)::BIGINT AS q,
+                              round(l_discount * 100)::BIGINT AS d
+                       FROM lineitem),
+            c AS (SELECT q, d, count(*)::HUGEINT AS n
+                  FROM v GROUP BY q, d),
+            mq AS (SELECT q, sum(n) AS nq FROM c GROUP BY q),
+            rq AS (SELECT q,
+                          2 * coalesce(sum(nq) OVER (ORDER BY q
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + nq + 1 AS rx
+                   FROM mq),
+            md AS (SELECT d, sum(n) AS nd FROM c GROUP BY d),
+            rd AS (SELECT d,
+                          2 * coalesce(sum(nd) OVER (ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + nd + 1 AS ry
+                   FROM md)
+            SELECT sum(c.n)::BIGINT AS n,
+                   sum(c.n * rx)::BIGINT AS sum_rx,
+                   sum(c.n * ry)::BIGINT AS sum_ry,
+                   sum(c.n * rx * rx)::BIGINT AS sum_rx2,
+                   sum(c.n * ry * ry)::BIGINT AS sum_ry2,
+                   sum(c.n * rx * ry)::BIGINT AS sum_rxy
+            FROM c JOIN rq USING (q) JOIN rd USING (d)""",
+        "kendall_tau": r"""
+            WITH v AS (SELECT round(l_quantity)::BIGINT AS q,
+                              round(l_discount * 100)::BIGINT AS d
+                       FROM lineitem),
+            c AS (SELECT q, d, count(*)::HUGEINT AS n
+                  FROM v GROUP BY q, d)
+            SELECT (SELECT sum(n) FROM c)::BIGINT AS n,
+                   coalesce((SELECT sum(a.n * b.n) FROM c a, c b
+                             WHERE a.q < b.q AND a.d < b.d), 0)::BIGINT
+                       AS concordant,
+                   coalesce((SELECT sum(a.n * b.n) FROM c a, c b
+                             WHERE a.q < b.q AND a.d > b.d), 0)::BIGINT
+                       AS discordant,
+                   coalesce((SELECT sum(nq * (nq - 1) / 2) FROM
+                             (SELECT sum(n) AS nq FROM c GROUP BY q)),
+                            0)::BIGINT AS tie_x_pairs,
+                   coalesce((SELECT sum(nd * (nd - 1) / 2) FROM
+                             (SELECT sum(n) AS nd FROM c GROUP BY d)),
+                            0)::BIGINT AS tie_y_pairs""",
+        "decayed_counts": r"""
+            WITH w AS (SELECT user_id,
+                              (1::BIGINT << (8 - least(
+                                  (1706745600000000 - epoch_us(ts))
+                                      // 604800000000, 8)))::BIGINT AS wt
+                       FROM events)
+            SELECT user_id, sum(wt)::BIGINT AS decayed_w
+            FROM w GROUP BY user_id
+            ORDER BY decayed_w DESC, user_id LIMIT 20""",
         "welch_t": r"""
             WITH r AS (SELECT l_returnflag AS flag,
                               round(l_quantity)::BIGINT AS q

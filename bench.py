@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "drawdown", "langid_stability", "mcnemar_langid", "caption_dup_images",
     "trap_urls", "modularity", "balanced_downsample",
     "mann_whitney", "image_aspect_card",
+    "spearman_corr", "kendall_tau", "decayed_counts",
 ]
 
 CRAWL_HOSTS = 8192
