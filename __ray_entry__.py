@@ -7182,6 +7182,137 @@ def q_mann_whitney(sf_dir: str):
                           "tie_cubes": ties}]).astype("int64")
 
 
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis k-sample rank-test REGISTERS over event value
+    across ALL FIVE event-type cohorts — the k-group extension of
+    `mann_whitney` (is any cohort's value distribution shifted?),
+    EXACT integers: one (value-cents, event_type) census (bounded by
+    the price grid) -> global DOUBLED mid-ranks from the value
+    marginals -> per-cohort (n, Σ2r) plus the pooled tie term Σ(t³−t)
+    the H statistic's correction needs; Python-bigint driver fold,
+    window-cumulative HUGEINT SQL twin."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+        g = (_pd.DataFrame({
+            "v": np.floor(b["value"].to_numpy() * 100 + 0.5)
+                   .astype(np.int64),
+            "event_type": b["event_type"].to_numpy(zero_copy_only=False)})
+            .groupby(["v", "event_type"], as_index=False).size())
+        return pa.table({"v": pa.array(g["v"], pa.int64()),
+                         "event_type": pa.array(g["event_type"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "events").select_columns(["event_type", "value"])
+         .map_batches(part, batch_format="pyarrow")),
+        ["v", "event_type"], {"n": ("n", "sum")})
+    vv = cen["v"].to_numpy()
+    nn = cen["n"].to_numpy()
+    uv, iv = np.unique(vv, return_inverse=True)
+    tot = np.zeros(len(uv), dtype=np.int64)
+    np.add.at(tot, iv, nn)
+    r2 = _doubled_ranks(uv, tot)  # doubled mid-ranks per distinct value
+    ties = sum(int(t) ** 3 - int(t) for t in tot.tolist())
+    rows = {}
+    for et, w, ivx in zip(cen["event_type"], nn.tolist(), iv.tolist()):
+        n, rs = rows.get(et, (0, 0))
+        rows[et] = (n + w, rs + w * r2[ivx])
+    return pd.DataFrame(
+        [{"event_type": et, "n": n, "rank_sum2": rs, "tie_cubes": ties}
+         for et, (n, rs) in sorted(rows.items())]) \
+        .astype({"n": "int64", "rank_sum2": "int64", "tie_cubes": "int64"})
+
+
+def q_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe variance-homogeneity REGISTERS: lineitem
+    quantity spread around each return-flag cohort's MEDIAN — the
+    robust Levene variant that screens "same center, different
+    spread?" before any pooled-variance test. EXACT integers: the
+    (flag, quantity) census gives each cohort's DOUBLED median
+    closed-form (lo+hi middle order statistics), and since the
+    absolute deviation depends only on (flag, value), the ANOVA
+    registers (n, Σ|2x−med2|, Σ(2x−med2)²) fold from the SAME census
+    — one pass, no per-row second scan. Window-cumulative SQL twin."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+        g = (_pd.DataFrame({
+            "flag": b["l_returnflag"].to_numpy(zero_copy_only=False),
+            "q": np.round(b["l_quantity"].to_numpy()).astype(np.int64)})
+            .groupby(["flag", "q"], as_index=False).size())
+        return pa.table({"flag": pa.array(g["flag"], pa.string()),
+                         "q": pa.array(g["q"], pa.int64()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "lineitem")
+         .select_columns(["l_returnflag", "l_quantity"])
+         .map_batches(part, batch_format="pyarrow")),
+        ["flag", "q"], {"n": ("n", "sum")})
+    out = []
+    for flag, g in cen.groupby("flag"):
+        g = g.sort_values("q")
+        qs = g["q"].to_numpy()
+        ns = g["n"].to_numpy()
+        ntot = int(ns.sum())
+        cum = np.cumsum(ns)
+        lo = int(qs[np.searchsorted(cum, (ntot + 1) // 2)])
+        hi = int(qs[np.searchsorted(cum, ntot // 2 + 1)])
+        med2 = lo + hi
+        z = np.abs(2 * qs - med2)
+        out.append({"flag": flag, "n": ntot,
+                    "sum_z": int((ns * z).sum()),
+                    "sum_z2": int((ns * z * z).sum())})
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "sum_z": "int64", "sum_z2": "int64"})
+
+
+def q_cochran_armitage(sf_dir: str):
+    """Cochran-Armitage trend-test REGISTERS: does the return rate
+    trend with the discount level? Ordered dose d = discount cents
+    (0..10), binary outcome l_returnflag = 'R'; one bounded census ->
+    the five integer registers (N, R, Σnd, Σnd², Σrd) that give the
+    statistic T = Σd(Nr−Rn) and its variance closed-form — the
+    dose-response screen behind ramp decisions, exact end-to-end."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        r = (b["l_returnflag"].to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        key = d * 2 + r
+        uv, cnt = np.unique(key, return_counts=True)
+        return pa.table({"d": pa.array(uv // 2, pa.int64()),
+                         "r": pa.array(uv % 2, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "lineitem")
+         .select_columns(["l_returnflag", "l_discount"])
+         .map_batches(part, batch_format="pyarrow")),
+        ["d", "r"], {"n": ("n", "sum")})
+    dd = cen["d"].to_numpy()
+    rr = cen["r"].to_numpy()
+    nn = cen["n"].to_numpy()
+    n = int(nn.sum())
+    r_tot = int(nn[rr == 1].sum())
+    sum_nd = int((nn * dd).sum())
+    sum_nd2 = int((nn * dd * dd).sum())
+    sum_rd = int((nn * dd)[rr == 1].sum())
+    return pd.DataFrame([{"n": n, "r": r_tot, "sum_nd": sum_nd,
+                          "sum_nd2": sum_nd2, "sum_rd": sum_rd}]) \
+        .astype("int64")
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -8108,6 +8239,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
+    "kruskal_wallis": q_kruskal_wallis,
+    "brown_forsythe": q_brown_forsythe,
+    "cochran_armitage": q_cochran_armitage,
     "robots_gate_audit": q_robots_gate_audit,
     "slot_load_audit": q_slot_load_audit,
     "promo_revenue": q_promo_revenue,
@@ -12010,6 +12144,61 @@ def oracle_sql() -> dict[str, str]:
                    sum((c1 + c2) * (c1 + c2) * (c1 + c2)
                        - (c1 + c2))::BIGINT AS tie_cubes
             FROM w""",
+        "kruskal_wallis": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              event_type
+                       FROM events),
+            c AS (SELECT val, event_type, count(*)::HUGEINT AS n
+                  FROM v GROUP BY val, event_type),
+            m AS (SELECT val, sum(n) AS nt FROM c GROUP BY val),
+            r AS (SELECT val, nt,
+                         2 * coalesce(sum(nt) OVER (ORDER BY val
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) + nt + 1 AS r2
+                  FROM m),
+            t AS (SELECT sum(nt * nt * nt - nt)::BIGINT AS tie_cubes
+                  FROM m)
+            SELECT c.event_type, sum(c.n)::BIGINT AS n,
+                   sum(c.n * r.r2)::BIGINT AS rank_sum2,
+                   (SELECT tie_cubes FROM t) AS tie_cubes
+            FROM c JOIN r USING (val)
+            GROUP BY c.event_type ORDER BY c.event_type""",
+        "brown_forsythe": r"""
+            WITH v AS (SELECT l_returnflag AS flag,
+                              round(l_quantity)::BIGINT AS q
+                       FROM lineitem),
+            c AS (SELECT flag, q, count(*)::HUGEINT AS n
+                  FROM v GROUP BY flag, q),
+            w AS (SELECT flag, q, n,
+                         sum(n) OVER (PARTITION BY flag ORDER BY q) AS cum,
+                         sum(n) OVER (PARTITION BY flag) AS ntot
+                  FROM c),
+            med AS (SELECT flag,
+                           min(CASE WHEN cum >= (ntot + 1) // 2
+                               THEN q END)
+                           + min(CASE WHEN cum >= ntot // 2 + 1
+                                 THEN q END) AS med2
+                    FROM w GROUP BY flag)
+            SELECT c.flag, sum(c.n)::BIGINT AS n,
+                   sum(c.n * abs(2 * c.q - med2))::BIGINT AS sum_z,
+                   sum(c.n * abs(2 * c.q - med2)
+                           * abs(2 * c.q - med2))::BIGINT AS sum_z2
+            FROM c JOIN med USING (flag)
+            GROUP BY c.flag ORDER BY c.flag""",
+        "cochran_armitage": r"""
+            WITH v AS (SELECT round(l_discount * 100)::BIGINT AS d,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END::BIGINT AS r
+                       FROM lineitem),
+            c AS (SELECT d, r, count(*)::HUGEINT AS n
+                  FROM v GROUP BY d, r)
+            SELECT sum(n)::BIGINT AS n,
+                   sum(CASE WHEN r = 1 THEN n ELSE 0 END)::BIGINT AS r,
+                   sum(n * d)::BIGINT AS sum_nd,
+                   sum(n * d * d)::BIGINT AS sum_nd2,
+                   sum(CASE WHEN r = 1 THEN n * d ELSE 0 END)::BIGINT
+                       AS sum_rd
+            FROM c""",
         "gini_split": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (event_type = 'purchase') AS lab

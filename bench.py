@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "trap_urls", "modularity", "balanced_downsample",
     "mann_whitney", "image_aspect_card",
     "spearman_corr", "kendall_tau", "decayed_counts",
+    "kruskal_wallis", "brown_forsythe", "cochran_armitage",
 ]
 
 CRAWL_HOSTS = 8192
