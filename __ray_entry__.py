@@ -7313,6 +7313,57 @@ def q_cochran_armitage(sf_dir: str):
         .astype("int64")
 
 
+def q_url_param_census(sf_dir: str):
+    """Query-parameter census over a derived URL corpus — the
+    URL-normalization read that decides which params a crawler strips
+    before fingerprinting: per param key, how many URLs carry it and
+    how many DISTINCT values it takes. A key whose distinct-value
+    ratio is high ('sid' here — a session-pool id) is a
+    trap/duplication amplifier the canonicalizer should drop; a
+    low-cardinality key ('page', 'lang') is real pagination. REAL
+    string parsing on both sides: the Ray kernel splits the url with
+    vectorized Arrow kernels (split '?' -> '&' -> '='), the DuckDB
+    twin re-parses the same strings with string_split/unnest. Census
+    is bounded by the value pools, so one combiner rollup."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        urls = pa.array(
+            [(f"http://h{i % 64}.test/p/{i}?sid=s{i % 4096}"
+              f"&page={i % 5}&lang=l{i % 3}"
+              if i % 2 == 0 else
+              f"http://h{i % 64}.test/p/{i}?page={i % 5}")
+             for i in d], pa.string())
+        qs = pc.split_pattern(urls, "?")
+        tail = pc.list_element(qs, 1)
+        params = pc.split_pattern(tail, "&")
+        flat = pc.list_flatten(params)
+        kv = pc.split_pattern(flat, "=")
+        g = (pd.DataFrame({
+            "key": pc.list_element(kv, 0).to_numpy(zero_copy_only=False),
+            "val": pc.list_element(kv, 1).to_numpy(zero_copy_only=False)})
+            .groupby(["key", "val"], as_index=False).size())
+        return pa.table({"key": pa.array(g["key"], pa.string()),
+                         "val": pa.array(g["val"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "documents").select_columns(["doc_id"])
+         .map_batches(kern, batch_format="pyarrow")),
+        ["key", "val"], {"n": ("n", "sum")})
+    out = (cen.groupby("key")
+           .agg(n_urls=("n", "sum"), n_values=("val", "count"))
+           .reset_index())
+    out["distinct_ppm"] = (out["n_values"] * 1_000_000
+                           // out["n_urls"]).astype("int64")
+    out["strip"] = (out["distinct_ppm"] > 500_000).astype("int64")
+    return (out.sort_values("key").reset_index(drop=True)
+            .astype({"n_urls": "int64", "n_values": "int64"}))
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -8240,6 +8291,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
     "kruskal_wallis": q_kruskal_wallis,
+    "url_param_census": q_url_param_census,
     "brown_forsythe": q_brown_forsythe,
     "cochran_armitage": q_cochran_armitage,
     "robots_gate_audit": q_robots_gate_audit,
@@ -12144,6 +12196,29 @@ def oracle_sql() -> dict[str, str]:
                    sum((c1 + c2) * (c1 + c2) * (c1 + c2)
                        - (c1 + c2))::BIGINT AS tie_cubes
             FROM w""",
+        "url_param_census": r"""
+            WITH u AS (SELECT CASE WHEN doc_id % 2 = 0 THEN
+                           'http://h' || (doc_id % 64) || '.test/p/'
+                           || doc_id || '?sid=s' || (doc_id % 4096)
+                           || '&page=' || (doc_id % 5)
+                           || '&lang=l' || (doc_id % 3)
+                       ELSE
+                           'http://h' || (doc_id % 64) || '.test/p/'
+                           || doc_id || '?page=' || (doc_id % 5)
+                       END AS url
+                       FROM documents),
+            kv AS (SELECT split_part(p, '=', 1) AS key,
+                          split_part(p, '=', 2) AS val
+                   FROM u, unnest(string_split(
+                       split_part(url, '?', 2), '&')) AS t(p)),
+            agg AS (SELECT key, count(*)::BIGINT AS n_urls,
+                           count(DISTINCT val)::BIGINT AS n_values
+                    FROM kv GROUP BY key)
+            SELECT key, n_urls, n_values,
+                   (n_values * 1000000 // n_urls)::BIGINT AS distinct_ppm,
+                   CASE WHEN n_values * 1000000 // n_urls > 500000
+                        THEN 1 ELSE 0 END::BIGINT AS strip
+            FROM agg ORDER BY key""",
         "kruskal_wallis": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               event_type
