@@ -4080,7 +4080,8 @@ def otsu_threshold(ds, value_col: str, scale: int = 100):
 
 def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
                            hops_col: str = "hops", done_col: str = "done",
-                           rounds: int = 16, exchange: str = "hash"):
+                           rounds: int = 16, exchange: str = "hash",
+                           local_compress: bool = True):
     """Distributed pointer doubling (pointer jumping) over a functional
     successor graph — the redirect-chain / alias-chain resolver: every
     row (src, dst, hops, done) is advanced to (src, f^(2^k)(src),
@@ -4095,7 +4096,53 @@ def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
 
     Reference semantics: frontera resolves redirect chains to the
     canonical request before dedup/scheduling (frontera/core/models.py
-    Request.meta[b'redirect_urls'] carrying the full chain)."""
+    Request.meta[b'redirect_urls'] carrying the full chain).
+
+    ``local_compress`` runs a shuffle-free pre-pass: each block
+    pointer-doubles IN MEMORY against the successors it already holds
+    (the standard local-contraction step before global pointer
+    jumping). Input blocks are range-contiguous (parquet order), and
+    redirect graphs are local by nature (most redirects stay on-host /
+    nearby in key space), so the pre-pass resolves almost every chain
+    and the global loop typically runs 0-2 exchanges instead of
+    ceil(log2 L) — each global round costs a full keyed exchange, the
+    dominant fixed cost. Worst case (no locality) it is one wasted
+    streaming pass and the doubling rounds proceed unchanged."""
+
+    def compress_block(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        src = b[src_col].to_numpy(zero_copy_only=False)
+        dst = b[dst_col].to_numpy(zero_copy_only=False).copy()
+        hops = b[hops_col].to_numpy(zero_copy_only=False).copy()
+        done = b[done_col].to_numpy(zero_copy_only=False).copy()
+        order = np.argsort(src, kind="stable")
+        ssrc = src[order]
+        m = len(ssrc)
+        for _ in range(64):  # ceil(log2 L) synchronous doubling passes
+            nd = ~done
+            if not nd.any():
+                break
+            pos = np.minimum(np.searchsorted(ssrc, dst), m - 1)
+            j = order[pos]
+            ok = nd & (ssrc[pos] == dst) & (j != np.arange(len(src)))
+            if not ok.any():
+                break
+            # Jacobi step: read the pre-step state of the target row,
+            # so each pass composes two 2^(k-1) jumps into one 2^k jump
+            pdst, phops, pdone = dst[j[ok]], hops[j[ok]], done[j[ok]]
+            # rows in `ok` are all not-done, so movement = pointer
+            # advanced or done acquired from the target
+            moved = (dst[ok] != pdst) | pdone
+            dst[ok] = pdst
+            hops[ok] = hops[ok] + phops
+            done[ok] = pdone
+            if not moved.any():
+                break
+        out = b.drop_columns([dst_col, hops_col, done_col])
+        return (out.append_column(dst_col, pa.array(dst, pa.int64()))
+                   .append_column(hops_col, pa.array(hops, pa.int64()))
+                   .append_column(done_col, pa.array(done, pa.bool_())))
 
     def tag_both(b: pa.Table) -> pa.Table:
         """Emit the build copy (key=src) and the probe copy (key=dst,
@@ -4152,11 +4199,15 @@ def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
             batch_format="pyarrow").take_all()
         return sum(r["n"] for r in rows)
 
+    if local_compress:
+        ds = ds.map_batches(compress_block, batch_format="pyarrow")
     J = ds.materialize()
     for k in range(rounds):
-        # chains of length >= 2 always exist in practice — skip the
-        # unresolved probe for the first two rounds (it costs a pass)
-        if k >= 2 and _unresolved(J) == 0:
+        # with local compression the remainder is usually empty, so
+        # probe from round 0; without it, chains of length >= 2 always
+        # exist in practice — skip the probe for two rounds (it costs
+        # a pass)
+        if (k >= 2 or local_compress) and _unresolved(J) == 0:
             break
         u = J.map_batches(tag_both, batch_format="pyarrow")
         J = keyed_exchange(u, "key", kern, exchange).materialize()

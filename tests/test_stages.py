@@ -2832,3 +2832,38 @@ def test_pointer_double_resolve(ray_session):
     assert int(out.loc[5, "hops"]) == 5
     assert int(out.loc[20, "hops"]) == 1
     assert int(out.loc[21, "hops"]) == 0 and int(out.loc[21, "dst"]) == 21
+
+
+def test_pointer_double_cross_block_compression(ray_session):
+    """Local compression resolves in-block chains shuffle-free; a
+    chain spanning THREE separate blocks still resolves exactly via
+    the global doubling rounds, and matches the compression-off run."""
+    import ray
+
+    from frontera_ray.stages.relational import pointer_double_resolve
+
+    def tbl(rows):
+        src, dst, hops, done = zip(*rows)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "hops": pa.array(hops, pa.int64()),
+                         "done": pa.array(done, pa.bool_())})
+
+    # block A: 30 -> 20 (cross-block) after local chain 32->31->30
+    # block B: 20 -> 10 (cross-block) after local chain 22->21->20
+    # block C: terminal 10 (done self-row) plus local chain 12->11->10
+    blocks = [
+        tbl([(32, 31, 1, False), (31, 30, 1, False), (30, 20, 1, False)]),
+        tbl([(22, 21, 1, False), (21, 20, 1, False), (20, 10, 1, False)]),
+        tbl([(12, 11, 1, False), (11, 10, 1, False), (10, 10, 0, True)]),
+    ]
+    ds = ray.data.from_arrow(blocks)
+    for lc in (True, False):
+        out = pointer_double_resolve(ds, local_compress=lc) \
+            .to_pandas().set_index("src")
+        assert bool(out["done"].all()), lc
+        assert (out["dst"] == 10).all(), lc
+        assert int(out.loc[32, "hops"]) == 4, lc
+        assert int(out.loc[22, "hops"]) == 3, lc
+        assert int(out.loc[12, "hops"]) == 2, lc
+        assert int(out.loc[10, "hops"]) == 0, lc
