@@ -7893,6 +7893,33 @@ def q_caption_dup_images(sf_dir: str):
     return out.sort_values("caption").reset_index(drop=True)
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (Haveliwala 2002) over the doc-derived
+    link graph: restart mass pinned to seed nodes 0..7 instead of the
+    uniform jump, so rank measures random-walk proximity to the seed
+    set — the focused-crawl / related-host scoring read. Same
+    streaming machinery as `pagerank` (distinct-edge exchange,
+    per-iteration dense partial combine against a broadcast rank
+    vector); only the restart vector changes."""
+    from frontera_ray.stages.pagerank import pagerank
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    teleport = np.zeros(_PR_NODES, np.float64)
+    teleport[:8] = 1.0
+    out = pagerank(ds, n_nodes=_PR_NODES, iters=5,
+                   teleport=teleport).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_trap_urls(sf_dir: str):
     """Crawler-trap detection: flag URLs whose path repeats a segment
     (calendar/infinite-pagination traps — the classic frontier
@@ -8292,6 +8319,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gini_split": q_gini_split,
     "kruskal_wallis": q_kruskal_wallis,
     "url_param_census": q_url_param_census,
+    "ppr": q_ppr,
     "brown_forsythe": q_brown_forsythe,
     "cochran_armitage": q_cochran_armitage,
     "robots_gate_audit": q_robots_gate_audit,
@@ -12196,6 +12224,69 @@ def oracle_sql() -> dict[str, str]:
                    sum((c1 + c2) * (c1 + c2) * (c1 + c2)
                        - (c1 + c2))::BIGINT AS tie_cubes
             FROM w""",
+        "ppr": r"""
+        WITH e AS (SELECT DISTINCT doc_id % 256 AS src,
+                          (doc_id * 2654435761) % 256 AS dst
+                   FROM documents),
+        nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        ns AS (SELECT count(*)::DOUBLE AS n FROM nodes WHERE v < 8),
+        deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+                FROM e GROUP BY src),
+        r0 AS (SELECT v, CASE WHEN v < 8 THEN 1.0 / (SELECT n FROM ns)
+                              ELSE 0.0 END AS r
+               FROM nodes),
+        it1 AS (
+            SELECT n.v,
+                   CASE WHEN n.v < 8 THEN (1.0 - 0.85)
+                            * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN r0 r ON r.v = e.src
+            GROUP BY n.v),
+        it2 AS (
+            SELECT n.v,
+                   CASE WHEN n.v < 8 THEN (1.0 - 0.85)
+                            * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN it1 r ON r.v = e.src
+            GROUP BY n.v),
+        it3 AS (
+            SELECT n.v,
+                   CASE WHEN n.v < 8 THEN (1.0 - 0.85)
+                            * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN it2 r ON r.v = e.src
+            GROUP BY n.v),
+        it4 AS (
+            SELECT n.v,
+                   CASE WHEN n.v < 8 THEN (1.0 - 0.85)
+                            * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN it3 r ON r.v = e.src
+            GROUP BY n.v),
+        it5 AS (
+            SELECT n.v,
+                   CASE WHEN n.v < 8 THEN (1.0 - 0.85)
+                            * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END
+                   + 0.85 * coalesce(sum(r.r / d.outdeg), 0) AS r
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN deg d ON d.src = e.src
+            LEFT JOIN it4 r ON r.v = e.src
+            GROUP BY n.v)
+        SELECT v AS node, round(r, 9) AS rank
+        FROM it5 ORDER BY node""",
         "url_param_census": r"""
             WITH u AS (SELECT CASE WHEN doc_id % 2 = 0 THEN
                            'http://h' || (doc_id % 64) || '.test/p/'

@@ -88,7 +88,8 @@ def _dense_partials(edges_ds, fn, n_nodes: int) -> np.ndarray:
 
 def pagerank(edges_ds, n_nodes: int, iters: int = 5,
              damping: float = 0.85,
-             dedup: bool = True, exchange: str = "groups") -> pa.Table:
+             dedup: bool = True, exchange: str = "groups",
+             teleport: "np.ndarray | None" = None) -> pa.Table:
     """PageRank after ``iters`` power iterations; returns a small
     (node, rank) table for the nodes present in the graph (src ∪ dst).
 
@@ -96,7 +97,15 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     pass per iteration accumulates contributions against the
     broadcast rank vector. ``edges_ds`` is materialized once after
     dedup so the repeated passes re-read object-store blocks, not
-    parquet (at 100 TB: persist the deduped edges instead)."""
+    parquet (at 100 TB: persist the deduped edges instead).
+
+    ``teleport`` personalizes the walk (PPR, Haveliwala 2002 /
+    Jeh-Widom 2003): a length-``n_nodes`` restart distribution (will
+    be masked to present nodes and renormalized) replacing the
+    uniform jump — both the initial rank and the per-iteration
+    restart mass concentrate on its support, so rank measures
+    proximity to the seed set (the crawl-focus / related-host read).
+    ``None`` keeps the classic uniform restart."""
     import ray
 
     if dedup:
@@ -122,8 +131,17 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     nz = outdeg > 0
     inv_deg[nz] = 1.0 / outdeg[nz]
 
-    base = (1.0 - damping) / n_present
-    r = np.where(present, 1.0 / n_present, 0.0)
+    if teleport is None:
+        base = np.where(present, (1.0 - damping) / n_present, 0.0)
+        r = np.where(present, 1.0 / n_present, 0.0)
+    else:
+        t = np.where(present, np.asarray(teleport, np.float64), 0.0)
+        mass = t.sum()
+        if mass <= 0:
+            raise ValueError("teleport has no mass on present nodes")
+        t = t / mass
+        base = (1.0 - damping) * t
+        r = t.copy()
     for _ in range(iters):
         r_ref = ray.put(r * inv_deg)  # broadcast once per iteration
 
