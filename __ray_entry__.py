@@ -1263,10 +1263,16 @@ def q_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(_image_url_corpus(), max_hamming=2, blocks=3)
 
 
-def _image_url_corpus():
-    """3,211-URL synthetic image corpus as a streaming Dataset:
-    flat-map expansion of SyntheticWeb(256, max_class=3) seeds (path
-    lengths 1..4 = the full page tree, redirect aliases resolved)."""
+def _image_url_corpus(blocks: int = 8):
+    """3,211-URL synthetic image corpus as a streaming Dataset: the
+    full SyntheticWeb(256, max_class=3) page tree (path lengths 1..4,
+    redirect aliases resolved), enumerated CLOSED-FORM per host in one
+    stage over a pre-split host table — the tree is a pure function of
+    the host's (depth, branching) class, so no level-by-level BFS
+    expansion (4 chained map_batches) is needed, and the pre-split
+    gives downstream fetch/decode stages ``blocks``-way parallelism
+    from the first batch. Equivalence with the BFS expansion is pinned
+    by test_image_corpus_closed_form."""
     import ray
     from frontera_ray.graphs import SyntheticWeb
 
@@ -1274,15 +1280,21 @@ def _image_url_corpus():
 
     def expand(batch: pa.Table) -> pa.Table:
         out = []
-        for u in batch["url"].to_pylist():
-            out.extend(web.resolve(link) for link in web.links_of(u))
+        for i in batch["hid"].to_numpy():
+            host = web.host(int(i))
+            depth, branching = web.shape_of(host)
+            frontier = ["1"]
+            for _ in range(min(depth - 1, 4)):
+                out.extend(f"http://{host}/{p}" for p in frontier)
+                frontier = [p + str(k) for p in frontier
+                            for k in range(1, branching + 1)]
         return pa.table({"url": pa.array(out, pa.string())})
 
-    levels = [ray.data.from_arrow(
-        pa.table({"url": pa.array(web.seeds(), pa.string())}))]
-    for _ in range(3):
-        levels.append(levels[-1].map_batches(expand, batch_format="pyarrow"))
-    return levels[0].union(*levels[1:])
+    hosts = pa.table({"hid": pa.array(np.arange(256), pa.int64())})
+    per = 256 // blocks
+    ds = ray.data.from_arrow(
+        [hosts.slice(j * per, per) for j in range(blocks)])
+    return ds.map_batches(expand, batch_format="pyarrow")
 
 
 def q_image_dedup_keepers(sf_dir: str):

@@ -65,6 +65,28 @@ def test_rows_only_queries_run(ray_session):
         assert len(df) >= 0, name
 
 
+def test_image_corpus_closed_form(ray_session):
+    """The closed-form per-host corpus enumeration equals the original
+    level-by-level BFS expansion of SyntheticWeb(256, max_class=3)
+    seeds (same multiset of URLs, no dupes)."""
+    from frontera_ray.graphs import SyntheticWeb
+
+    web = SyntheticWeb(256, seed=42, max_class=3)
+    bfs = list(web.seeds())
+    frontier = list(web.seeds())
+    for _ in range(3):
+        nxt = []
+        for u in frontier:
+            nxt.extend(web.resolve(link) for link in web.links_of(u))
+        bfs.extend(nxt)
+        frontier = nxt
+    got = [r["url"] for r in
+           entrymod._image_url_corpus().take_all()]
+    assert len(got) == len(bfs) == 3211
+    assert len(set(got)) == len(got)
+    assert set(got) == set(bfs)
+
+
 def test_entry_smoke(ray_session):
     ds = entrymod.entry()
     assert ds.count() > 0
