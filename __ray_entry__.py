@@ -7376,6 +7376,91 @@ def q_url_param_census(sf_dir: str):
             .astype({"n_urls": "int64", "n_values": "int64"}))
 
 
+def q_fisher_2x2(sf_dir: str):
+    """Fisher-exact 2×2 contingency REGISTERS: purchase-vs-click ×
+    weekend-vs-weekday event counts plus the cross-product odds-ratio
+    terms (n11·n00, n10·n01) — the small-cell association read where
+    the chi-square approximation breaks. One bounded census, exact
+    integers end-to-end."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        sel = (et == "purchase") | (et == "click")
+        ts = b["ts"].to_numpy().astype("datetime64[us]")[sel]
+        # 1970-01-01 is a Thursday: weekday index = (epoch_day + 4) % 7
+        dow = ((ts.astype("datetime64[D]").view(np.int64) + 4) % 7)
+        g = (pd.DataFrame({"pur": (et[sel] == "purchase").astype(np.int64),
+                           "wknd": (dow >= 5).astype(np.int64)})
+             .groupby(["pur", "wknd"], as_index=False).size())
+        return pa.table({"pur": pa.array(g["pur"], pa.int64()),
+                         "wknd": pa.array(g["wknd"], pa.int64()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "events").select_columns(["event_type", "ts"])
+         .map_batches(part, batch_format="pyarrow")),
+        ["pur", "wknd"], {"n": ("n", "sum")}).set_index(["pur", "wknd"])
+
+    def cell(p, w):
+        try:
+            return int(cen.loc[(p, w), "n"])
+        except KeyError:
+            return 0
+    n11, n10 = cell(1, 1), cell(1, 0)
+    n01, n00 = cell(0, 1), cell(0, 0)
+    return pd.DataFrame([{
+        "n11": n11, "n10": n10, "n01": n01, "n00": n00,
+        "odds_num": n11 * n00, "odds_den": n10 * n01}]).astype("int64")
+
+
+def q_page_hinkley(sf_dir: str):
+    """Page-Hinkley drift detection over the daily order-revenue
+    series, EXACT integers: daily totals in cents via one combiner
+    rollup (the day grid is calendar-bounded), then the PH scan
+    PH_t = Σ(x_i − μ − δ) with alarm when PH_t − min_{s≤t} PH_s > λ —
+    prefix sum + running prefix-min, the sequential-analysis
+    changepoint screen (Page 1954; the streaming twin of
+    `cusum_change`). Pinned integer μ/δ/λ so both sides fold the
+    identical arithmetic; reports alarm count, first alarm day and
+    the max excursion. μ = floor-mean of the daily series, δ = μ//100,
+    λ = μ//2 — all integer-derived so the calibration is scale-free
+    and both sides fold identical arithmetic."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .view(np.int64))
+        cents = np.round(b["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"day": day, "cents": cents}) \
+            .groupby("day", as_index=False)["cents"].sum()
+        return pa.table({"day": pa.array(g["day"], pa.int64()),
+                         "cents": pa.array(g["cents"], pa.int64())})
+
+    days = partial_groupby_agg(
+        (_read(sf_dir, "orders")
+         .select_columns(["o_orderdate", "o_totalprice"])
+         .map_batches(part, batch_format="pyarrow")),
+        "day", {"cents": ("cents", "sum")}).sort_values("day")
+    x = days["cents"].to_numpy()
+    mu = int(x.sum()) // len(x)
+    delta, lam = mu // 100, mu // 2
+    ph = np.cumsum(x - mu - delta)
+    run_min = np.minimum.accumulate(np.minimum(ph, 0))
+    exc = ph - run_min
+    alarms = exc > lam
+    first = int(days["day"].to_numpy()[alarms][0]) if alarms.any() else -1
+    return pd.DataFrame([{
+        "n_days": len(x), "n_alarms": int(alarms.sum()),
+        "first_alarm_day": first, "max_excursion": int(exc.max())}]) \
+        .astype("int64")
+
+
 def q_gini_split(sf_dir: str):
     """Best decision-stump split of event value vs the purchase label
     by Gini impurity reduction — the feature-screening read before any
@@ -8332,6 +8417,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kruskal_wallis": q_kruskal_wallis,
     "url_param_census": q_url_param_census,
     "ppr": q_ppr,
+    "fisher_2x2": q_fisher_2x2,
+    "page_hinkley": q_page_hinkley,
     "brown_forsythe": q_brown_forsythe,
     "cochran_armitage": q_cochran_armitage,
     "robots_gate_audit": q_robots_gate_audit,
@@ -12322,6 +12409,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_values * 1000000 // n_urls > 500000
                         THEN 1 ELSE 0 END::BIGINT AS strip
             FROM agg ORDER BY key""",
+        "fisher_2x2": r"""
+            WITH v AS (SELECT (event_type = 'purchase')::INT AS pur,
+                              (((epoch_us(ts) // 86400000000) + 4) % 7
+                               >= 5)::INT AS wknd
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')),
+            c AS (SELECT coalesce(sum(CASE WHEN pur = 1 AND wknd = 1
+                                      THEN 1 END), 0)::BIGINT AS n11,
+                         coalesce(sum(CASE WHEN pur = 1 AND wknd = 0
+                                      THEN 1 END), 0)::BIGINT AS n10,
+                         coalesce(sum(CASE WHEN pur = 0 AND wknd = 1
+                                      THEN 1 END), 0)::BIGINT AS n01,
+                         coalesce(sum(CASE WHEN pur = 0 AND wknd = 0
+                                      THEN 1 END), 0)::BIGINT AS n00
+                  FROM v)
+            SELECT n11, n10, n01, n00,
+                   (n11 * n00)::BIGINT AS odds_num,
+                   (n10 * n01)::BIGINT AS odds_den
+            FROM c""",
+        "page_hinkley": r"""
+            WITH d AS (SELECT (epoch_us(o_orderdate)
+                                   // 86400000000)::BIGINT AS day,
+                              round(o_totalprice * 100)::BIGINT AS cents
+                       FROM orders),
+            g AS (SELECT day, sum(cents)::BIGINT AS cents
+                  FROM d GROUP BY day),
+            p AS (SELECT (sum(cents) // count(*))::BIGINT AS mu,
+                         count(*)::BIGINT AS n FROM g),
+            s AS (SELECT day,
+                         sum(cents - (SELECT mu + mu // 100 FROM p))
+                             OVER (ORDER BY day) AS ph
+                  FROM g),
+            m AS (SELECT day, ph,
+                         least(0, min(ph) OVER (ORDER BY day)) AS mn
+                  FROM s),
+            e AS (SELECT day, ph - mn AS exc FROM m)
+            SELECT (SELECT n FROM p) AS n_days,
+                   sum(CASE WHEN exc > (SELECT mu // 2 FROM p)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+                   coalesce(min(CASE WHEN exc > (SELECT mu // 2 FROM p)
+                                THEN day END), -1)::BIGINT
+                       AS first_alarm_day,
+                   max(exc)::BIGINT AS max_excursion
+            FROM e""",
         "kruskal_wallis": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               event_type

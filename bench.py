@@ -104,7 +104,7 @@ BENCH_QUERIES = [
     "mann_whitney", "image_aspect_card",
     "spearman_corr", "kendall_tau", "decayed_counts",
     "kruskal_wallis", "brown_forsythe", "cochran_armitage",
-    "url_param_census", "ppr",
+    "url_param_census", "ppr", "fisher_2x2", "page_hinkley",
 ]
 
 CRAWL_HOSTS = 8192
