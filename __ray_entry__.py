@@ -7376,6 +7376,95 @@ def q_url_param_census(sf_dir: str):
             .astype({"n_urls": "int64", "n_values": "int64"}))
 
 
+def q_life_table(sf_dir: str):
+    """Kaplan-Meier LIFE TABLE for time-to-first-purchase per user,
+    right-censored at the user's last observed event — the survival /
+    conversion-latency read (and the crawl twin: time-to-first-change
+    for revisit policy). One combiner rollup per user (min ts, min
+    purchase ts, max ts — all associative), then the day-grid census
+    with at-risk counts n_risk(t) = Σ_{t'>=t} n(t'), exact integers;
+    the KM product itself is one rational fold away and carries no
+    extra information. Suffix-cumulative SQL twin."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    SENT = np.int64(2**62)
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        pur = np.where(et == "purchase", ts, SENT)
+        g = (pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                           "t0": ts, "tp": pur, "tmax": ts})
+             .groupby("user_id", as_index=False)
+             .agg(t0=("t0", "min"), tp=("tp", "min"), tmax=("tmax", "max")))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "t0": pa.array(g["t0"], pa.int64()),
+                         "tp": pa.array(g["tp"], pa.int64()),
+                         "tmax": pa.array(g["tmax"], pa.int64())})
+
+    u = partial_groupby_agg(
+        (_read(sf_dir, "events").select_columns(["user_id", "ts",
+                                                 "event_type"])
+         .map_batches(part, batch_format="pyarrow")),
+        "user_id", {"t0": ("t0", "min"), "tp": ("tp", "min"),
+                    "tmax": ("tmax", "max")})
+    day = 86_400_000_000
+    ev = u["tp"].to_numpy() < SENT
+    t = np.where(ev, (u["tp"].to_numpy() - u["t0"].to_numpy()) // day,
+                 (u["tmax"].to_numpy() - u["t0"].to_numpy()) // day)
+    g = (pd.DataFrame({"t_days": t, "ev": ev.astype(np.int64)})
+         .groupby("t_days")
+         .agg(n_events=("ev", "sum"), n=("ev", "count"))
+         .sort_index(ascending=False))
+    g["n_risk"] = g["n"].cumsum()
+    g["n_censored"] = g["n"] - g["n_events"]
+    out = g.reset_index().sort_values("t_days")
+    return (out[["t_days", "n_events", "n_censored", "n_risk"]]
+            .reset_index(drop=True).astype("int64"))
+
+
+def q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences CELL REGISTERS: purchase-value cents
+    by (treat = odd user_id, post = on/after 2024-01-16) — the causal
+    pre/post × treatment/control read; one bounded census pass emits
+    the four (n, sum_cents) register pairs, and the DiD estimate
+    (m̂11−m̂10)−(m̂01−m̂00) is one rational fold the analyst applies.
+    Exact integers end-to-end."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    POST_US = 1705363200000000  # 2024-01-16 00:00:00 UTC
+
+    def part(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        sel = et == "purchase"
+        ts = b["ts"].to_numpy().astype("datetime64[us]").view(np.int64)[sel]
+        cents = np.floor(b["value"].to_numpy()[sel] * 100 + 0.5) \
+            .astype(np.int64)
+        g = (pd.DataFrame({
+            "treat": (b["user_id"].to_numpy()[sel] % 2).astype(np.int64),
+            "post": (ts >= POST_US).astype(np.int64),
+            "cents": cents})
+            .groupby(["treat", "post"], as_index=False)
+            .agg(n=("cents", "count"), sum_cents=("cents", "sum")))
+        return pa.table({"treat": pa.array(g["treat"], pa.int64()),
+                         "post": pa.array(g["post"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "sum_cents": pa.array(g["sum_cents"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "events")
+         .select_columns(["user_id", "ts", "event_type", "value"])
+         .map_batches(part, batch_format="pyarrow")),
+        ["treat", "post"], {"n": ("n", "sum"),
+                            "sum_cents": ("sum_cents", "sum")})
+    return (cen.sort_values(["treat", "post"]).reset_index(drop=True)
+            .astype("int64"))
+
+
 def q_fisher_2x2(sf_dir: str):
     """Fisher-exact 2×2 contingency REGISTERS: purchase-vs-click ×
     weekend-vs-weekday event counts plus the cross-product odds-ratio
@@ -8418,6 +8507,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_param_census": q_url_param_census,
     "ppr": q_ppr,
     "fisher_2x2": q_fisher_2x2,
+    "life_table": q_life_table,
+    "diff_in_diff": q_diff_in_diff,
     "page_hinkley": q_page_hinkley,
     "brown_forsythe": q_brown_forsythe,
     "cochran_armitage": q_cochran_armitage,
@@ -12409,6 +12500,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_values * 1000000 // n_urls > 500000
                         THEN 1 ELSE 0 END::BIGINT AS strip
             FROM agg ORDER BY key""",
+        "life_table": r"""
+            WITH u AS (SELECT user_id, min(ts) AS t0,
+                              min(CASE WHEN event_type = 'purchase'
+                                  THEN ts END) AS tp,
+                              max(ts) AS tmax
+                       FROM events GROUP BY user_id),
+            d AS (SELECT CASE WHEN tp IS NOT NULL THEN
+                             (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                         ELSE
+                             (epoch_us(tmax) - epoch_us(t0)) // 86400000000
+                         END AS t,
+                         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                  FROM u),
+            c AS (SELECT t, sum(ev)::BIGINT AS n_events,
+                         sum(1 - ev)::BIGINT AS n_censored,
+                         count(*)::BIGINT AS n
+                  FROM d GROUP BY t)
+            SELECT t::BIGINT AS t_days, n_events, n_censored,
+                   sum(n) OVER (ORDER BY t DESC)::BIGINT AS n_risk
+            FROM c ORDER BY t_days""",
+        "diff_in_diff": r"""
+            WITH v AS (SELECT (user_id % 2)::BIGINT AS treat,
+                              (epoch_us(ts) >= 1705363200000000)::INT
+                                  ::BIGINT AS post,
+                              floor(value * 100 + 0.5)::BIGINT AS cents
+                       FROM events WHERE event_type = 'purchase')
+            SELECT treat, post, count(*)::BIGINT AS n,
+                   sum(cents)::BIGINT AS sum_cents
+            FROM v GROUP BY treat, post ORDER BY treat, post""",
         "fisher_2x2": r"""
             WITH v AS (SELECT (event_type = 'purchase')::INT AS pur,
                               (((epoch_us(ts) // 86400000000) + 4) % 7
