@@ -1331,6 +1331,15 @@ def _image_pool() -> tuple[int, int]:
     return (2, 4) if cluster_cpus() < 8 else (4, 8)
 
 
+# Batch size for the fused corpus->fetch->decode image chains: Ray
+# fuses expand/fetch into the downstream actor operator, so batch_size
+# counts OPERATOR-INPUT rows (host ids, 256 total), not expanded image
+# rows — 256 would coalesce the whole corpus into ONE task (zero
+# parallelism; measured 3.9 s -> 2.0 s at sf0.1 when split). 16 hids
+# ~= 200 images per actor batch.
+_IMG_FUSED_BS = 16
+
+
 def q_image_stats(sf_dir: str):
     """Multimodal decode stage over the full 3,211-image corpus:
     vectorized batch fetch feeding the actor-pool decode/stats stage
@@ -1340,7 +1349,7 @@ def q_image_stats(sf_dir: str):
     return (_image_url_corpus()
             .map_batches(_fetch_payload_batch, batch_format="pyarrow")
             .map_batches(DecodeStatsStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=_image_pool()))
+                         batch_size=_IMG_FUSED_BS, concurrency=_image_pool()))
 
 
 def q_image_resize(sf_dir: str):
@@ -1355,7 +1364,7 @@ def q_image_resize(sf_dir: str):
             .map_batches(ResizeStage,
                          fn_constructor_kwargs=dict(out_w=16, out_h=16),
                          batch_format="pyarrow",
-                         batch_size=256, concurrency=_image_pool()))
+                         batch_size=_IMG_FUSED_BS, concurrency=_image_pool()))
 
 
 def q_image_aspect_buckets(sf_dir: str):
@@ -4278,15 +4287,26 @@ def q_image_embed_neardup(sf_dir: str):
     use (ann.cosine_neardup_lsh, slim bucket exchange). The
     image->embedding->dedup composition of a multimodal curation
     pipeline; rows-only (pixel-derived floats), recall pytest vs the
-    brute pair set."""
+    brute pair set.
+
+    The feature table is materialized before the LSH: embeddings are
+    ~1000x smaller than pixels (the standard persisted intermediate of
+    a multimodal curation pipeline), and the LSH's prefilter variant
+    re-consumes its input — without the pin that re-runs the whole
+    decode+encode actor chain per pass. bits=64 (8 bits/band) keeps
+    per-band codes selective (256/band, not the 4/band the default
+    bits=16 gives) so buckets stay near-singleton instead of
+    all-colliding into an all-pairs verify; recall at the 0.9995
+    threshold stays ~1.0 (p=0.990/plane -> 1-(1-p^8)^8)."""
     from frontera_ray.stages.ann import cosine_neardup_lsh
     from frontera_ray.stages.images import ImageFeatureStage
 
     feats = (_image_url_corpus()
              .map_batches(_fetch_payload_batch, batch_format="pyarrow")
              .map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=256, concurrency=_image_pool()))
-    return cosine_neardup_lsh(feats, threshold=0.9995)
+                          batch_size=_IMG_FUSED_BS, concurrency=_image_pool())
+             ).materialize()
+    return cosine_neardup_lsh(feats, threshold=0.9995, bits=64, bands=8)
 
 
 def q_hits(sf_dir: str):
