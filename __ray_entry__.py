@@ -7133,6 +7133,39 @@ def q_image_luma(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_image_color_cast(sf_dir: str):
+    """Color-cast + quantization-provenance forensics over the derived
+    corpus (images.color_forensics_table, ONE decode pass): per-channel
+    pixel-sum masses + integer cast score (the white-balance screen),
+    and the pixels-only lossy-codec sniff (count of values ≡ 4 mod 8 —
+    all of them for the qimg quantizer, ~1/8 for PNG) checked against
+    the container header — the transcoded-duplicate signal in
+    image+caption curation. Shuffle-free map_batches; the DuckDB twin
+    recomputes every pixel closed-form."""
+    from frontera_ray.stages.images import color_forensics_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(color_forensics_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_image_grad_orientation(sf_dir: str):
+    """Gradient-anisotropy screen over the derived corpus
+    (images.grad_orientation_table): horizontal AND vertical gradient
+    energies per decoded image plus the normalized integer anisotropy
+    ratio — interlacing / scanline-banding / single-axis-upscale
+    detection, complementing the horizontal-only sharpness gate.
+    Shuffle-free map_batches; the DuckDB twin recomputes both neighbor
+    pixels of both orientations closed-form."""
+    from frontera_ray.stages.images import grad_orientation_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(grad_orientation_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -8520,6 +8553,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "channel_histogram": q_channel_histogram,
     "image_sharpness": q_image_sharpness,
     "image_luma": q_image_luma,
+    "image_color_cast": q_image_color_cast,
+    "image_grad_orientation": q_image_grad_orientation,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -8649,6 +8684,73 @@ def _image_luma_oracle() -> str:
                     WHEN sum(lw) // (w * h) > 170000 THEN 'bright'
                     ELSE 'mid' END AS bucket
         FROM v GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
+
+
+def _image_color_cast_oracle() -> str:
+    v = _img_val_sql("gx.x::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        v AS (SELECT m.doc_id, m.fmt, gc.c AS ch, {v} AS val
+              FROM m, generate_series(0, 79) gx(x),
+                   generate_series(0, 59) gy(y),
+                   generate_series(0, 2) gc(c)
+              WHERE gx.x < m.w AND gy.y < m.h),
+        s AS (SELECT doc_id, fmt,
+                     sum(CASE WHEN ch = 0 THEN val ELSE 0 END)::BIGINT
+                       AS sum_r,
+                     sum(CASE WHEN ch = 1 THEN val ELSE 0 END)::BIGINT
+                       AS sum_g,
+                     sum(CASE WHEN ch = 2 THEN val ELSE 0 END)::BIGINT
+                       AS sum_b,
+                     sum(CASE WHEN val % 8 = 4 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_quant,
+                     count(*)::BIGINT AS n_vals
+              FROM v GROUP BY doc_id, fmt),
+        c AS (SELECT *,
+                     (1000 * (greatest(sum_r, sum_g, sum_b)
+                              - least(sum_r, sum_g, sum_b))
+                      // (sum_r + sum_g + sum_b))::BIGINT AS cast_milli,
+                     CASE WHEN n_quant = n_vals THEN 'qimg'
+                          ELSE 'png' END AS sniffed_fmt
+              FROM s)
+        SELECT doc_id, fmt, sum_r, sum_g, sum_b, cast_milli,
+               cast_milli >= 10 AS color_cast,
+               n_quant, n_vals, sniffed_fmt,
+               sniffed_fmt = fmt AS fmt_match
+        FROM c ORDER BY doc_id"""
+
+
+def _image_grad_orientation_oracle() -> str:
+    v0 = _img_val_sql("gx.x::UBIGINT")
+    v1x = _img_val_sql("(gx.x + 1)::UBIGINT")
+    v1y = _img_val_sql("gx.x::UBIGINT", "(gy.y + 1)::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        hx AS (SELECT m.doc_id, sum(abs({v1x} - {v0}))::BIGINT AS grad_h
+               FROM m, generate_series(0, 78) gx(x),
+                    generate_series(0, 59) gy(y),
+                    generate_series(0, 2) gc(c)
+               WHERE gx.x < m.w - 1 AND gy.y < m.h
+               GROUP BY m.doc_id),
+        vy AS (SELECT m.doc_id, sum(abs({v1y} - {v0}))::BIGINT AS grad_v
+               FROM m, generate_series(0, 79) gx(x),
+                    generate_series(0, 58) gy(y),
+                    generate_series(0, 2) gc(c)
+               WHERE gx.x < m.w AND gy.y < m.h - 1
+               GROUP BY m.doc_id),
+        j AS (SELECT m.doc_id, m.fmt,
+                     ((m.w - 1) * m.h * 3)::BIGINT AS n_h,
+                     (m.w * (m.h - 1) * 3)::BIGINT AS n_v,
+                     hx.grad_h, vy.grad_v,
+                     CASE WHEN hx.grad_h > 0
+                          THEN (1000 * vy.grad_v * ((m.w - 1) * m.h * 3))
+                               // (hx.grad_h * (m.w * (m.h - 1) * 3))
+                          ELSE -1 END::BIGINT AS aniso_milli
+              FROM m JOIN hx USING (doc_id)
+                     JOIN vy ON vy.doc_id = m.doc_id)
+        SELECT doc_id, fmt, n_h, n_v, grad_h, grad_v, aniso_milli,
+               (aniso_milli < 900 OR aniso_milli > 1100) AS banded
+        FROM j ORDER BY doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -12394,6 +12496,8 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY channel, bin ORDER BY channel, bin""",
         "image_sharpness": _image_sharpness_oracle(),
         "image_luma": _image_luma_oracle(),
+        "image_color_cast": _image_color_cast_oracle(),
+        "image_grad_orientation": _image_grad_orientation_oracle(),
         "redirect_resolve": r"""
             WITH RECURSIVE d AS (
                 SELECT doc_id,

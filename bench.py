@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "spearman_corr", "kendall_tau", "decayed_counts",
     "kruskal_wallis", "brown_forsythe", "cochran_armitage",
     "url_param_census", "ppr", "fisher_2x2", "page_hinkley",
+    "life_table", "diff_in_diff", "image_color_cast",
+    "image_grad_orientation",
 ]
 
 CRAWL_HOSTS = 8192

@@ -833,3 +833,108 @@ def luma_table(batch: pa.Table, dark_milli: int = 85_000,
         "mean_luma_milli": pa.array(mean_milli, pa.int64()),
         "bucket": pa.array(bucket.astype(object), pa.string()),
     })
+
+
+def color_forensics_table(batch: pa.Table,
+                          cast_milli_thresh: int = 10) -> pa.Table:
+    """Color-cast + quantization-provenance forensics through the REAL
+    decode path, one decode pass per image: per-channel pixel-sum
+    masses (the white-balance screen — a stuck sensor channel or
+    chroma-shifted re-encode shows up as channel-mass imbalance), the
+    integer cast score 1000·(max−min)//total, and the lossy-provenance
+    sniff — the count of decoded values ≡ 4 (mod 8), which equals
+    EVERY value for the qimg quantizer ((v//8)·8+4) but only ~1/8 of a
+    PNG's — re-deriving the container format from pixels alone and
+    checking it against the header (`fmt_match`; a mismatch is a
+    re-encoded / transcoded image, the classic laundered-duplicate
+    signal in image+caption curation). The DuckDB twin recomputes
+    every pixel closed-form and replays both screens exactly."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    sums = np.zeros((len(ids), 3), dtype=np.int64)
+    n_quant = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            sums[i] = o.sum(axis=(0, 1))
+            n_quant[i] = int((o % 8 == 4).sum())
+    total = sums.sum(axis=1)
+    cast_milli = 1000 * (sums.max(axis=1) - sums.min(axis=1)) // total
+    n_vals = _SYNTH_W[six] * _SYNTH_H[six] * 3
+    sniffed = np.where(n_quant == n_vals, "qimg", "png")
+    actual = np.where(is_png, "png", "qimg")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(actual.astype(object), pa.string()),
+        "sum_r": pa.array(sums[:, 0], pa.int64()),
+        "sum_g": pa.array(sums[:, 1], pa.int64()),
+        "sum_b": pa.array(sums[:, 2], pa.int64()),
+        "cast_milli": pa.array(cast_milli, pa.int64()),
+        "color_cast": pa.array(cast_milli >= cast_milli_thresh, pa.bool_()),
+        "n_quant": pa.array(n_quant, pa.int64()),
+        "n_vals": pa.array(n_vals, pa.int64()),
+        "sniffed_fmt": pa.array(sniffed.astype(object), pa.string()),
+        "fmt_match": pa.array(sniffed == actual, pa.bool_()),
+    })
+
+
+def grad_orientation_table(batch: pa.Table, iso_lo: int = 900,
+                           iso_hi: int = 1100) -> pa.Table:
+    """Gradient-anisotropy screen through the REAL decode path:
+    horizontal (Σ|p(x+1,y,c)−p(x,y,c)|) AND vertical
+    (Σ|p(x,y+1,c)−p(x,y,c)|) gradient energies per image, and the
+    normalized integer anisotropy ratio 1000·(gv/n_v)/(gh/n_h) — an
+    isotropic image sits near 1000; interlacing artifacts, scanline
+    banding, or stretched-single-axis upscales push it outside
+    [iso_lo, iso_hi] (`banded`). Complements sharpness_table (which
+    measures the horizontal axis only). The DuckDB twin recomputes
+    BOTH neighbor pixels of BOTH orientations closed-form with
+    fmt-aware dequantization."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    gh = np.zeros(len(ids), dtype=np.int64)
+    gv = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            gh[i] = int(np.abs(o[:, 1:, :] - o[:, :-1, :]).sum())
+            gv[i] = int(np.abs(o[1:, :, :] - o[:-1, :, :]).sum())
+    n_h = (_SYNTH_W[six] - 1) * _SYNTH_H[six] * 3
+    n_v = _SYNTH_W[six] * (_SYNTH_H[six] - 1) * 3
+    denom = gh * n_v
+    aniso = np.where(denom > 0, 1000 * gv * n_h // np.maximum(denom, 1), -1)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "n_h": pa.array(n_h, pa.int64()),
+        "n_v": pa.array(n_v, pa.int64()),
+        "grad_h": pa.array(gh, pa.int64()),
+        "grad_v": pa.array(gv, pa.int64()),
+        "aniso_milli": pa.array(aniso, pa.int64()),
+        "banded": pa.array((aniso < iso_lo) | (aniso > iso_hi), pa.bool_()),
+    })
