@@ -7166,6 +7166,91 @@ def q_image_grad_orientation(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_URL_EXTS = np.asarray(["jpg", "png", "gif", "webp",
+                        "html", "php", "css", "js"], dtype=object)
+_IMG_EXTS = {"jpg", "png", "gif", "webp"}
+
+
+def q_url_extension_census(sf_dir: str):
+    """Media-type share of the frontier, per host — the prioritization
+    read an image-payload crawler performs before spending fetch
+    budget: parse the file extension out of every URL and roll up each
+    host's image-URL share (a host serving mostly css/js chrome is
+    deprioritized; an image-dense host is boosted). REAL string
+    parsing on both sides over the same derived URL corpus: the Ray
+    kernel extracts host and extension with vectorized Arrow regex
+    kernels, the DuckDB twin re-parses the same strings with
+    regexp_extract. Bounded (host, ext) census -> combiner rollup."""
+    import pandas as pd
+
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        u = md5_u64([f"url:{i}" for i in d])
+        exts = _URL_EXTS[((u >> np.uint64(8)) % np.uint64(8)).astype(np.int64)]
+        urls = pa.array(
+            [f"http://h{int(x) % 64}.test/d{(int(x) >> 6) % 16}/f{i}.{e}"
+             for i, x, e in zip(d, u, exts)], pa.string())
+        host = pc.struct_field(
+            pc.extract_regex(urls, r"^http://(?P<host>[^/]+)/"), "host")
+        ext = pc.struct_field(
+            pc.extract_regex(urls, r"\.(?P<ext>[a-z0-9]+)$"), "ext")
+        g = (pd.DataFrame({
+            "host": host.to_numpy(zero_copy_only=False),
+            "ext": ext.to_numpy(zero_copy_only=False)})
+            .groupby(["host", "ext"], as_index=False).size())
+        return pa.table({"host": pa.array(g["host"], pa.string()),
+                         "ext": pa.array(g["ext"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "documents").select_columns(["doc_id"])
+         .map_batches(kern, batch_format="pyarrow")),
+        ["host", "ext"], {"n": ("n", "sum")})
+    cen["is_img"] = cen["ext"].isin(_IMG_EXTS).astype("int64") * cen["n"]
+    out = (cen.groupby("host")
+           .agg(n_urls=("n", "sum"), n_image=("is_img", "sum"))
+           .reset_index())
+    out["image_share_ppm"] = (out["n_image"] * 1_000_000
+                              // out["n_urls"]).astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def q_image_clipping(sf_dir: str):
+    """Exposure-clipping census over the derived corpus
+    (images.clipping_table): per decoded image the count of values
+    crushed to 0 / blown to 255 and the clip_ppm gate — the
+    histogram-endpoint screen that catches clipped-tail images a
+    mean-level exposure bucket misses (the qimg lattice ≡ 4 mod 8
+    can never clip; the lossless path clips ~2/256 of values).
+    Shuffle-free map_batches; closed-form DuckDB twin."""
+    from frontera_ray.stages.images import clipping_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(clipping_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_image_palette(sf_dir: str):
+    """Palette-size / posterization audit over the derived corpus
+    (images.palette_table): DISTINCT (r,g,b) triples per decoded
+    image and the colors-per-pixel ratio — palette re-encodes and
+    quantizers collapse it (here the qimg 512×-coarser lattice shows
+    measurably more triple collisions than the lossless path, which
+    the `posterized` gate separates). Shuffle-free map_batches; the
+    DuckDB twin pivots the three closed-form channels per coordinate
+    and replays count(DISTINCT packed)."""
+    from frontera_ray.stages.images import palette_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(palette_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -8555,6 +8640,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_luma": q_image_luma,
     "image_color_cast": q_image_color_cast,
     "image_grad_orientation": q_image_grad_orientation,
+    "image_clipping": q_image_clipping,
+    "image_palette": q_image_palette,
+    "url_extension_census": q_url_extension_census,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -8751,6 +8839,48 @@ def _image_grad_orientation_oracle() -> str:
         SELECT doc_id, fmt, n_h, n_v, grad_h, grad_v, aniso_milli,
                (aniso_milli < 900 OR aniso_milli > 1100) AS banded
         FROM j ORDER BY doc_id"""
+
+
+def _image_clipping_oracle() -> str:
+    v = _img_val_sql("gx.x::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        v AS (SELECT m.doc_id, m.fmt, {v} AS val
+              FROM m, generate_series(0, 79) gx(x),
+                   generate_series(0, 59) gy(y),
+                   generate_series(0, 2) gc(c)
+              WHERE gx.x < m.w AND gy.y < m.h),
+        s AS (SELECT doc_id, fmt,
+                     sum(CASE WHEN val = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_lo,
+                     sum(CASE WHEN val = 255 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hi,
+                     count(*)::BIGINT AS n_vals
+              FROM v GROUP BY doc_id, fmt)
+        SELECT doc_id, fmt, n_lo, n_hi, n_vals,
+               (1000000 * (n_lo + n_hi) // n_vals)::BIGINT AS clip_ppm,
+               (1000000 * (n_lo + n_hi) // n_vals) >= 7800 AS clipped
+        FROM s ORDER BY doc_id"""
+
+
+def _image_palette_oracle() -> str:
+    v0 = _img_val_sql("gx.x::UBIGINT", ce="0::UBIGINT")
+    v1 = _img_val_sql("gx.x::UBIGINT", ce="1::UBIGINT")
+    v2 = _img_val_sql("gx.x::UBIGINT", ce="2::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        px AS (SELECT m.doc_id, m.fmt, m.w, m.h,
+                      {v0} * 65536 + {v1} * 256 + {v2} AS packed
+               FROM m, generate_series(0, 79) gx(x),
+                    generate_series(0, 59) gy(y)
+               WHERE gx.x < m.w AND gy.y < m.h)
+        SELECT doc_id, fmt, (w * h)::BIGINT AS n_px,
+               count(DISTINCT packed)::BIGINT AS n_colors,
+               (1000000 * count(DISTINCT packed) // (w * h))::BIGINT
+                 AS colors_ppm,
+               (1000000 * count(DISTINCT packed) // (w * h)) <= 900000
+                 AS posterized
+        FROM px GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -12498,6 +12628,33 @@ def oracle_sql() -> dict[str, str]:
         "image_luma": _image_luma_oracle(),
         "image_color_cast": _image_color_cast_oracle(),
         "image_grad_orientation": _image_grad_orientation_oracle(),
+        "image_clipping": _image_clipping_oracle(),
+        "image_palette": _image_palette_oracle(),
+        "url_extension_census": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('url:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                AS u
+                       FROM documents),
+            urls AS (SELECT 'http://h' || CAST(u % 64 AS VARCHAR)
+                            || '.test/d' || CAST((u >> 6) % 16 AS VARCHAR)
+                            || '/f' || CAST(doc_id AS VARCHAR) || '.'
+                            || CASE ((u >> 8) % 8)::INT
+                                 WHEN 0 THEN 'jpg' WHEN 1 THEN 'png'
+                                 WHEN 2 THEN 'gif' WHEN 3 THEN 'webp'
+                                 WHEN 4 THEN 'html' WHEN 5 THEN 'php'
+                                 WHEN 6 THEN 'css' ELSE 'js' END AS url
+                     FROM d),
+            p AS (SELECT regexp_extract(url, 'http://([^/]+)/', 1) AS host,
+                         regexp_extract(url, '\.([a-z0-9]+)$', 1) AS ext
+                  FROM urls)
+            SELECT host, count(*)::BIGINT AS n_urls,
+                   sum(CASE WHEN ext IN ('jpg','png','gif','webp')
+                            THEN 1 ELSE 0 END)::BIGINT AS n_image,
+                   (1000000 * sum(CASE WHEN ext IN ('jpg','png','gif','webp')
+                                       THEN 1 ELSE 0 END)
+                    // count(*))::BIGINT AS image_share_ppm
+            FROM p GROUP BY host ORDER BY host""",
         "redirect_resolve": r"""
             WITH RECURSIVE d AS (
                 SELECT doc_id,

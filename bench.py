@@ -106,7 +106,8 @@ BENCH_QUERIES = [
     "kruskal_wallis", "brown_forsythe", "cochran_armitage",
     "url_param_census", "ppr", "fisher_2x2", "page_hinkley",
     "life_table", "diff_in_diff", "image_color_cast",
-    "image_grad_orientation",
+    "image_grad_orientation", "image_clipping", "image_palette",
+    "url_extension_census",
 ]
 
 CRAWL_HOSTS = 8192

@@ -938,3 +938,94 @@ def grad_orientation_table(batch: pa.Table, iso_lo: int = 900,
         "aniso_milli": pa.array(aniso, pa.int64()),
         "banded": pa.array((aniso < iso_lo) | (aniso > iso_hi), pa.bool_()),
     })
+
+
+def clipping_table(batch: pa.Table, clip_ppm_thresh: int = 7_800
+                   ) -> pa.Table:
+    """Exposure-clipping census through the REAL decode path: per image
+    the count of decoded values crushed to 0 or blown to 255 — the
+    classic histogram-endpoint screen for failed exposures, scanner
+    glare and over-processed re-encodes (complements the mean-level
+    luma bucket, which misses a correct-mean image with clipped tails).
+    Integer-exact: n_lo, n_hi, clip_ppm over w·h·3 values, and the
+    `clipped` gate at ``clip_ppm_thresh``. The DuckDB twin recomputes
+    every pixel closed-form and counts the same endpoints."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    n_lo = np.zeros(len(ids), dtype=np.int64)
+    n_hi = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            n_lo[i] = int((out == 0).sum())
+            n_hi[i] = int((out == 255).sum())
+    n_vals = _SYNTH_W[six] * _SYNTH_H[six] * 3
+    clip_ppm = 1_000_000 * (n_lo + n_hi) // n_vals
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "n_lo": pa.array(n_lo, pa.int64()),
+        "n_hi": pa.array(n_hi, pa.int64()),
+        "n_vals": pa.array(n_vals, pa.int64()),
+        "clip_ppm": pa.array(clip_ppm, pa.int64()),
+        "clipped": pa.array(clip_ppm >= clip_ppm_thresh, pa.bool_()),
+    })
+
+
+def palette_table(batch: pa.Table, posterized_max_ppm: int = 900_000
+                  ) -> pa.Table:
+    """Palette-size / posterization audit through the REAL decode
+    path: per image the number of DISTINCT (r,g,b) triples among
+    decoded pixels — a GIF-style palette re-encode, a posterizing
+    filter, or the qimg quantizer all collapse the color count far
+    below a natural image's; the `posterized` gate flags images whose
+    distinct-color-per-pixel ratio (colors_ppm) collapses below
+    ``posterized_max_ppm`` — here the qimg quantizer's 512×-coarser
+    value lattice produces measurably more triple collisions than the
+    lossless path. Exact integers (each triple packed as
+    r·65536+g·256+b before the distinct). The DuckDB twin
+    recomputes every pixel closed-form, pivots the three channels per
+    coordinate and replays count(DISTINCT packed)."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    n_colors = np.zeros(len(ids), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            packed = (o[:, :, 0] << 16) | (o[:, :, 1] << 8) | o[:, :, 2]
+            n_colors[i] = len(np.unique(packed))
+    n_px = _SYNTH_W[six] * _SYNTH_H[six]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "n_px": pa.array(n_px, pa.int64()),
+        "n_colors": pa.array(n_colors, pa.int64()),
+        "colors_ppm": pa.array(1_000_000 * n_colors // n_px, pa.int64()),
+        "posterized": pa.array(1_000_000 * n_colors // n_px
+                               <= posterized_max_ppm, pa.bool_()),
+    })

@@ -2867,3 +2867,48 @@ def test_pointer_double_cross_block_compression(ray_session):
         assert int(out.loc[22, "hops"]) == 3, lc
         assert int(out.loc[12, "hops"]) == 2, lc
         assert int(out.loc[10, "hops"]) == 0, lc
+
+
+def test_image_forensics_semantics():
+    """Class-separation invariants of the new image forensic gates on
+    the derived corpus: the qimg lattice (every value ≡ 4 mod 8) can
+    never clip to 0/255 and is always sniffed back from pixels alone
+    (fmt_match), and its 512×-coarser palette shows strictly more
+    triple collisions (lower colors_ppm) than the lossless path."""
+    from frontera_ray.stages.images import (clipping_table,
+                                            color_forensics_table,
+                                            palette_table)
+
+    batch = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+
+    clip = clipping_table(batch).to_pandas()
+    q = clip[clip["fmt"] == "qimg"]
+    assert len(q) > 0 and (q["n_lo"] == 0).all() and (q["n_hi"] == 0).all()
+    p = clip[clip["fmt"] == "png"]
+    assert (p["n_lo"] + p["n_hi"] > 0).mean() > 0.9
+
+    cf = color_forensics_table(batch).to_pandas()
+    assert cf["fmt_match"].all()
+    assert (cf.loc[cf["fmt"] == "qimg", "n_quant"]
+            == cf.loc[cf["fmt"] == "qimg", "n_vals"]).all()
+
+    pal = palette_table(batch).to_pandas()
+    qmax = pal.loc[pal["fmt"] == "qimg", "colors_ppm"].max()
+    pmin = pal.loc[pal["fmt"] == "png", "colors_ppm"].min()
+    assert qmax < pmin  # the posterization gate separates the classes
+    assert pal["posterized"].equals(pal["fmt"] == "qimg")
+
+
+def test_grad_orientation_isotropy_bounds():
+    """The noise-dominated corpus is near-isotropic: every anisotropy
+    ratio is finite, positive, and the horizontal energy equals the
+    sharpness kernel's gradient on the same rows."""
+    from frontera_ray.stages.images import (grad_orientation_table,
+                                            sharpness_table)
+
+    batch = pa.table({"doc_id": pa.array(range(64), pa.int64())})
+    go = grad_orientation_table(batch).to_pandas()
+    sh = sharpness_table(batch).to_pandas()
+    assert (go["aniso_milli"] > 0).all()
+    assert (go["grad_h"] == sh["grad_sum"]).all()
+    assert (go["n_h"] == sh["n_pairs"]).all()
