@@ -7251,6 +7251,23 @@ def q_image_palette(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_caption_alignment(sf_dir: str):
+    """Image↔caption alignment gate over the derived corpus
+    (images.caption_alignment_table) — the CLIP-filtering shape
+    (decode → visual grid embedding → text feature-hash embedding →
+    cosine gate) in EXACT integers: integer dot + squared norms and
+    the integer-exact misaligned test (cos < 0.1). One fused
+    map_batches pass, no shuffle; the DuckDB twin recomputes the
+    sampled pixels closed-form and replays the same md5 token
+    sketch."""
+    from frontera_ray.stages.images import caption_alignment_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(caption_alignment_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -8643,6 +8660,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_clipping": q_image_clipping,
     "image_palette": q_image_palette,
     "url_extension_census": q_url_extension_census,
+    "caption_alignment": q_caption_alignment,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -8881,6 +8899,44 @@ def _image_palette_oracle() -> str:
                (1000000 * count(DISTINCT packed) // (w * h)) <= 900000
                  AS posterized
         FROM px GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
+
+
+def _caption_alignment_oracle() -> str:
+    xe = "((gj.j * m.w) // 8)::UBIGINT"
+    ye = "((gi.i * m.h) // 8)::UBIGINT"
+    v0 = _img_val_sql(xe, ye, "0::UBIGINT")
+    v1 = _img_val_sql(xe, ye, "1::UBIGINT")
+    v2 = _img_val_sql(xe, ye, "2::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        iv AS (SELECT m.doc_id, (gi.i * 8 + gj.j)::BIGINT AS dim,
+                      ({v0} + {v1} + {v2})::BIGINT AS a
+               FROM m, generate_series(0, 7) gi(i),
+                    generate_series(0, 7) gj(j)),
+        tok AS (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS token
+                FROM documents),
+        th AS (SELECT doc_id,
+                      ('0x'||substr(md5('ce:'||token),1,16))::UBIGINT AS hu
+               FROM tok),
+        cv AS (SELECT doc_id, (hu % 64)::BIGINT AS dim,
+                      sum(CASE WHEN (hu >> 6) % 2 = 0
+                               THEN 1 ELSE -1 END)::BIGINT AS b
+               FROM th GROUP BY doc_id, dim),
+        j AS (SELECT iv.doc_id,
+                     sum(iv.a * coalesce(cv.b, 0))::BIGINT AS dot,
+                     sum(iv.a * iv.a)::BIGINT AS na2
+              FROM iv LEFT JOIN cv
+                   ON iv.doc_id = cv.doc_id AND iv.dim = cv.dim
+              GROUP BY iv.doc_id),
+        nb AS (SELECT doc_id, sum(b * b)::BIGINT AS nb2
+               FROM cv GROUP BY doc_id)
+        SELECT j.doc_id, j.dot, j.na2,
+               coalesce(nb.nb2, 0)::BIGINT AS nb2,
+               (j.dot <= 0 OR 100 * j.dot * j.dot
+                              < j.na2 * coalesce(nb.nb2, 0)) AS misaligned
+        FROM j LEFT JOIN nb ON nb.doc_id = j.doc_id
+        ORDER BY j.doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -12630,6 +12686,7 @@ def oracle_sql() -> dict[str, str]:
         "image_grad_orientation": _image_grad_orientation_oracle(),
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
+        "caption_alignment": _caption_alignment_oracle(),
         "url_extension_census": r"""
             WITH d AS (SELECT doc_id,
                               ('0x'||substr(md5('url:'||

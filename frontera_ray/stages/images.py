@@ -1029,3 +1029,69 @@ def palette_table(batch: pa.Table, posterized_max_ppm: int = 900_000
         "posterized": pa.array(1_000_000 * n_colors // n_px
                                <= posterized_max_ppm, pa.bool_()),
     })
+
+
+def caption_alignment_table(batch: pa.Table) -> pa.Table:
+    """Image↔caption alignment gate — the CLIP-filtering shape of
+    image+caption curation (decode → visual embedding → join a text
+    embedding → cosine gate), run entirely in EXACT integers so an
+    independent engine can replay it: the visual vector is the 8×8
+    nearest-sample grid over decoded pixels summed across channels
+    (64 ints, the integer core of ImageFeatureStage's grid embedding);
+    the caption vector is a 64-bucket signed bag-of-words sketch
+    (bucket = md5_64('ce:'||token) % 64, sign from the next hash bit —
+    a feature-hashing / SimHash-style text embedding); the gate keeps
+    integer dot and squared norms and flags `misaligned` by the
+    integer-exact test dot ≤ 0 OR 100·dot² < |a|²·|b|² (cos < 0.1).
+    One fused pass, no shuffle; the DuckDB twin recomputes the sampled
+    pixels closed-form and the same md5 sketch."""
+    import pyarrow.compute as pc
+
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    n = len(ids)
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    avec = np.zeros((n, 64), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            avec[i] = out[np.ix_(ys, xs)].astype(np.int64) \
+                .sum(axis=2).ravel()
+
+    toks = pc.utf8_split_whitespace(batch["text"])
+    parent = pc.list_parent_indices(toks).to_numpy()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.to_numpy(zero_copy_only=False)[keep]
+    parent = parent[keep]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hu = md5_u64([f"ce:{t}" for t in uniq])
+    bucket = (hu % np.uint64(64)).astype(np.int64)[inv]
+    sign = np.where((hu >> np.uint64(6)) % np.uint64(2) == 0,
+                    1, -1).astype(np.int64)[inv]
+    bvec = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(bvec, (parent, bucket), sign)
+
+    dot = (avec * bvec).sum(axis=1)
+    na2 = (avec * avec).sum(axis=1)
+    nb2 = (bvec * bvec).sum(axis=1)
+    misaligned = (dot <= 0) | (100 * dot * dot < na2 * nb2)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "dot": pa.array(dot, pa.int64()),
+        "na2": pa.array(na2, pa.int64()),
+        "nb2": pa.array(nb2, pa.int64()),
+        "misaligned": pa.array(misaligned, pa.bool_()),
+    })
