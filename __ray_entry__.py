@@ -7268,6 +7268,50 @@ def q_caption_alignment(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_phash_dup_locality(sf_dir: str):
+    """Locality census of perceptual near-dup pairs — mirror-vs-reuse
+    attribution: every phash pair (planted corpus, distributed
+    bit-block LSH + Hamming verify) is classified by its two sides'
+    `source`, separating WITHIN-source reuse (same site re-serving an
+    image) from CROSS-source mirroring (syndication / scraper farms) —
+    the read that decides whether image dedup can shard by source at
+    100 TB or must pair globally. Pair-scoped: only the bounded pair
+    stream and its ids touch the driver; the corpus is streamed once
+    through a broadcast id filter to fetch the two sides' sources."""
+    import pandas as pd
+    import ray
+
+    from frontera_ray.stages.dedup import hamming64_neardup_pairs
+    from frontera_ray.stages.images import synth_phash_table
+
+    sk = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(synth_phash_table, batch_format="pyarrow"))
+    pairs = hamming64_neardup_pairs(sk, max_hamming=2)
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    need_ref = ray.put(set(np.concatenate([a, b]).tolist()))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        mask = np.fromiter((int(i) in need for i in ids), bool, len(ids))
+        return batch.filter(pa.array(mask))
+
+    src = (_read(sf_dir, "documents").select_columns(["doc_id", "source"])
+           .map_batches(pick, batch_format="pyarrow").to_pandas())
+    m = dict(zip(src["doc_id"], src["source"]))
+    sa = np.asarray([m[int(i)] for i in a], dtype=object)
+    sb = np.asarray([m[int(i)] for i in b], dtype=object)
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    out = (pd.DataFrame({"src_a": lo, "src_b": hi,
+                         "same_source": sa == sb})
+           .groupby(["src_a", "src_b", "same_source"], as_index=False)
+           .size().rename(columns={"size": "n_pairs"}))
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -8661,6 +8705,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_palette": q_image_palette,
     "url_extension_census": q_url_extension_census,
     "caption_alignment": q_caption_alignment,
+    "phash_dup_locality": q_phash_dup_locality,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -12687,6 +12732,24 @@ def oracle_sql() -> dict[str, str]:
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "phash_dup_locality": r"""
+            WITH p AS (SELECT doc_id,
+                              xor(('0x'||substr(md5('ph:'||
+                                    CAST(doc_id // 4 AS VARCHAR)),1,16))
+                                    ::UBIGINT,
+                                  (CASE doc_id % 4 WHEN 1 THEN 32
+                                        WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                        ELSE 0 END)::UBIGINT) AS ph
+                       FROM documents),
+            pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+                   FROM p a JOIN p b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+            s AS (SELECT da.source AS sa, db.source AS sb
+                  FROM pr JOIN documents da ON da.doc_id = pr.a
+                          JOIN documents db ON db.doc_id = pr.b)
+            SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+                   (sa = sb) AS same_source, count(*)::BIGINT AS n_pairs
+            FROM s GROUP BY 1, 2, 3 ORDER BY src_a, src_b""",
         "url_extension_census": r"""
             WITH d AS (SELECT doc_id,
                               ('0x'||substr(md5('url:'||

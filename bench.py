@@ -107,7 +107,7 @@ BENCH_QUERIES = [
     "url_param_census", "ppr", "fisher_2x2", "page_hinkley",
     "life_table", "diff_in_diff", "image_color_cast",
     "image_grad_orientation", "image_clipping", "image_palette",
-    "url_extension_census", "caption_alignment",
+    "url_extension_census", "caption_alignment", "phash_dup_locality",
 ]
 
 CRAWL_HOSTS = 8192
