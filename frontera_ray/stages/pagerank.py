@@ -436,6 +436,20 @@ def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
                      "lbl": pa.array(labels[nodes], pa.int64())})
 
 
+def _bfs_reach_block(tbl: pa.Table, f_packed: np.ndarray, n: int
+                     ) -> np.ndarray:
+    """One edge block's reach register: unpack the broadcast frontier
+    bitset, mark every neighbor of a frontier node, return packed."""
+    fr = np.unpackbits(f_packed, bitorder="little")[:n].astype(bool)
+    out = np.zeros(n, bool)
+    if tbl.num_rows:
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+        out[dst[fr[src]]] = True
+        out[src[fr[dst]]] = True
+    return np.packbits(out, bitorder="little")
+
+
 def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
     """Bounded-depth multi-source BFS over an UNDIRECTED edge stream —
     the crawl-depth / reachability primitive (the batch twin of the
@@ -462,7 +476,14 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
 
     n = int(n_nodes)
     nb = (n + 7) // 8
-    edges_ds = edges_ds.materialize()
+    # The per-level sweep runs as RAW Ray tasks over the materialized
+    # Arrow block refs (zero-copy from the object store): one Dataset
+    # execution total instead of one per level — Ray Data's
+    # per-execution planning cost (~0.3-0.6 s) otherwise dominates a
+    # ~10-level BFS. Iterative algorithms with a driver-held register
+    # are the documented raw-task exception.
+    reach_task = ray.remote(num_returns=1)(_bfs_reach_block)
+    blocks = edges_ds.materialize().to_arrow_refs()
     level = np.full(n, -1, np.int32)
     seeds = np.asarray(seeds, np.int64)
     seeds = seeds[(seeds >= 0) & (seeds < n)]
@@ -474,27 +495,10 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
         if not frontier.any():
             break
         f_ref = ray.put(np.packbits(frontier, bitorder="little"))
-
-        def reach_block(batch: pa.Table, _f=f_ref) -> pa.Table:
-            fr = np.unpackbits(ray.get(_f),
-                               bitorder="little")[:n].astype(bool)
-            out = np.zeros(n, bool)
-            if len(batch):
-                src = batch["src"].to_numpy()
-                dst = batch["dst"].to_numpy()
-                out[dst[fr[src]]] = True
-                out[src[fr[dst]]] = True
-            return pa.table({"bits": pa.array(
-                np.packbits(out, bitorder="little"), pa.uint8())})
-
+        futs = [reach_task.remote(b, f_ref, n) for b in blocks]
         reached = np.zeros(nb, np.uint8)
-        for t in edges_ds.map_batches(reach_block, batch_format="pyarrow",
-                                      batch_size=None) \
-                .iter_batches(batch_format="pyarrow", batch_size=None):
-            bits = t["bits"].to_numpy()
-            if len(bits):
-                reached |= np.bitwise_or.reduce(
-                    bits.reshape(-1, nb), axis=0)
+        for bits in ray.get(futs):
+            reached |= bits
         new = np.unpackbits(reached, bitorder="little")[:n].astype(bool)
         new &= level < 0
         if not new.any():
