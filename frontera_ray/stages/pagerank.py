@@ -67,22 +67,35 @@ def dedup_edges(ds, src_col: str = "src", dst_col: str = "dst",
     return keyed_exchange(packed, "pk", unique_block, exchange)
 
 
-def _dense_partials(edges_ds, fn, n_nodes: int) -> np.ndarray:
+def _sweep_edge_block(tbl: pa.Table, fn) -> np.ndarray:
+    """One edge block's dense register: fn(src, dst) -> float64[n]."""
+    return fn(tbl["src"].to_numpy(), tbl["dst"].to_numpy())
+
+
+def _edge_block_refs(edges) -> list:
+    """Materialized Arrow block refs for an edge set — accepts a
+    Dataset (materialized once) or an already-built ref list, so
+    iterative callers hoist the single Dataset execution out of their
+    loops and every subsequent sweep is raw tasks over zero-copy
+    object-store blocks."""
+    return edges if isinstance(edges, list) \
+        else edges.materialize().to_arrow_refs()
+
+
+def _dense_partials(edges, fn, n_nodes: int) -> np.ndarray:
     """Run ``fn(src, dst) -> float64[n_nodes]`` over every edge block,
     sum the per-block dense partials on the driver (register-combine;
-    the driver sees O(blocks) vectors, not O(edges) rows)."""
+    the driver sees O(blocks) vectors, not O(edges) rows). The sweep
+    is RAW Ray tasks over materialized block refs — iterative callers
+    (pagerank / HITS power iterations) otherwise pay Ray Data's
+    per-execution planning cost (~0.3-0.6 s) once per iteration."""
+    import ray
 
-    def partial(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy()
-        dst = batch["dst"].to_numpy()
-        return pa.table({"acc": pa.array(fn(src, dst), pa.float64())})
-
+    task = ray.remote(_sweep_edge_block)
     out = np.zeros(n_nodes, np.float64)
-    for t in edges_ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        acc = t["acc"].to_numpy()
-        if len(acc):
-            out += acc.reshape(-1, n_nodes).sum(axis=0)
+    for acc in ray.get([task.remote(b, fn)
+                        for b in _edge_block_refs(edges)]):
+        out += acc
     return out
 
 
@@ -111,7 +124,7 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     if dedup:
         edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
                                exchange=exchange)
-    edges_ds = edges_ds.materialize()
+    edges_ds = _edge_block_refs(edges_ds)
 
     def deg_and_indeg(src, dst):
         # one pass, two stacked registers: [outdeg ‖ indeg]
@@ -385,50 +398,40 @@ def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
     import ray
 
     n = int(n_nodes)
-    edges_ds = edges_ds.materialize()
+    # raw-task sweeps over the one-time-materialized block refs (the
+    # _dense_partials pattern): no per-iteration Dataset execution
+    blocks = _edge_block_refs(edges_ds)
 
-    def presence(b: pa.Table) -> pa.Table:
+    def presence_block(tbl: pa.Table) -> np.ndarray:
         p = np.zeros(n, bool)
-        if len(b):
-            p[b["src"].to_numpy()] = True
-            p[b["dst"].to_numpy()] = True
-        return pa.table({"reg": pa.array(
-            np.packbits(p, bitorder="little"), pa.uint8())})
+        if tbl.num_rows:
+            p[tbl["src"].to_numpy()] = True
+            p[tbl["dst"].to_numpy()] = True
+        return np.packbits(p, bitorder="little")
 
+    pres_task = ray.remote(presence_block)
     present = np.zeros(n, bool)
-    for t in edges_ds.map_batches(presence, batch_format="pyarrow",
-                                  batch_size=None) \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        bits = t["reg"].to_numpy()
-        if len(bits):
-            nb = (n + 7) // 8
-            present |= np.unpackbits(
-                np.bitwise_or.reduce(bits.reshape(-1, nb), axis=0),
-                bitorder="little")[:n].astype(bool)
+    for bits in ray.get([pres_task.remote(b) for b in blocks]):
+        present |= np.unpackbits(bits, bitorder="little")[:n].astype(bool)
 
     SENTINEL = np.int64(np.iinfo(np.int64).max)
+
+    def min_reg_block(tbl: pa.Table, lab: np.ndarray) -> np.ndarray:
+        reg = np.full(n, SENTINEL, np.int64)
+        if tbl.num_rows:
+            src = tbl["src"].to_numpy()
+            dst = tbl["dst"].to_numpy()
+            np.minimum.at(reg, dst, lab[src])
+            np.minimum.at(reg, src, lab[dst])
+        return reg
+
+    min_task = ray.remote(min_reg_block)
     labels = np.arange(n, dtype=np.int64)
     for _ in range(int(iters)):
         l_ref = ray.put(labels)
-
-        def min_reg(batch: pa.Table, _l=l_ref) -> pa.Table:
-            lab = ray.get(_l)
-            reg = np.full(n, SENTINEL, np.int64)
-            if len(batch):
-                src = batch["src"].to_numpy()
-                dst = batch["dst"].to_numpy()
-                np.minimum.at(reg, dst, lab[src])
-                np.minimum.at(reg, src, lab[dst])
-            return pa.table({"reg": pa.array(reg, pa.int64())})
-
         merged = np.full(n, SENTINEL, np.int64)
-        for t in edges_ds.map_batches(min_reg, batch_format="pyarrow",
-                                      batch_size=None) \
-                .iter_batches(batch_format="pyarrow", batch_size=None):
-            reg = t["reg"].to_numpy()
-            if len(reg):
-                merged = np.minimum(merged,
-                                    reg.reshape(-1, n).min(axis=0))
+        for reg in ray.get([min_task.remote(b, l_ref) for b in blocks]):
+            merged = np.minimum(merged, reg)
         labels = np.minimum(labels, merged)
 
     nodes = np.flatnonzero(present)
@@ -538,7 +541,7 @@ def hits(edges_ds, n_nodes: int, iters: int = 4,
     if dedup:
         edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
                                exchange=exchange)
-    edges_ds = edges_ds.materialize()
+    edges_ds = _edge_block_refs(edges_ds)
 
     def deg_pass(src, dst):
         return np.concatenate((
