@@ -2135,6 +2135,11 @@ def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
     return keyed_exchange(ds, key_col, join_block, exchange)
 
 
+def _table_sweep(tbl: pa.Table, fn):
+    """Raw-task trampoline: apply fn to one materialized block."""
+    return fn(tbl)
+
+
 def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
                        collect_cap: int = 1 << 16,
                        max_depth: int = 8, ranks_fn=None) -> dict:
@@ -2157,28 +2162,29 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
     exact, so it oracle-checks against DuckDB quantile_disc.
 
     Returns {q: value}."""
-    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    import ray
 
-    def stats_partial(batch: pa.Table) -> pa.Table:
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    # ONE Dataset execution total: the bisection's A/B/C passes (and
+    # any skew recursions) run as raw tasks over the materialized
+    # column blocks — each extra pass would otherwise pay Ray Data's
+    # per-execution planning cost on top of re-reading parquet.
+    blocks = ds.select_columns([col]).materialize().to_arrow_refs()
+    sweep = ray.remote(_table_sweep)
+
+    def stats_partial(batch: pa.Table):
         v = batch[col].to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
         if len(v) == 0:
-            return pa.table({"n": pa.array([0], pa.int64()),
-                             "lo": pa.array([np.inf], pa.float64()),
-                             "hi": pa.array([-np.inf], pa.float64())})
-        return pa.table({"n": pa.array([len(v)], pa.int64()),
-                         "lo": pa.array([float(v.min())], pa.float64()),
-                         "hi": pa.array([float(v.max())], pa.float64())})
+            return (0, np.inf, -np.inf)
+        return (len(v), float(v.min()), float(v.max()))
 
-    parts = pa.concat_tables(list(
-        ds.map_batches(stats_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None))
-        + [stats_partial(pa.table({col: pa.array([], pa.float64())}))])
-    n = int(parts["n"].to_numpy().sum())
+    parts = ray.get([sweep.remote(b, stats_partial) for b in blocks])
+    n = int(sum(p[0] for p in parts))
     if n == 0:
         return {q: None for q in qs}
-    lo = float(parts["lo"].to_numpy().min())
-    hi = float(parts["hi"].to_numpy().max())
+    lo = float(min(p[1] for p in parts))
+    hi = float(max(p[2] for p in parts))
     import math
 
     if ranks_fn is not None:
@@ -2200,18 +2206,15 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
             return {q: r_lo for q in ks}
         width = (r_hi - r_lo) / bins
 
-        def hist_partial(batch: pa.Table) -> pa.Table:
+        def hist_partial(batch: pa.Table) -> np.ndarray:
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[(v >= r_lo) & (v <= r_hi)]
             idx = np.minimum((v - r_lo) / width, bins - 1).astype(np.int64)
-            return pa.table({"h": pa.array(
-                np.bincount(idx, minlength=bins).astype(np.int64),
-                pa.int64())})
+            return np.bincount(idx, minlength=bins).astype(np.int64)
 
-        hp = pa.concat_tables(list(
-            ds.map_batches(hist_partial, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow", batch_size=None)))
-        hist = hp["h"].to_numpy().reshape(-1, bins).sum(axis=0)
+        hist = np.zeros(bins, np.int64)
+        for h in ray.get([sweep.remote(b, hist_partial) for b in blocks]):
+            hist += h
         cum = np.cumsum(hist)
         # bin index per target rank + ranks remaining inside the bin
         per_bin: dict[int, dict] = {}
@@ -2227,7 +2230,7 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
                          r_hi if b == bins - 1 else r_lo + (b + 1) * width)
                      for b in small}
 
-            def collect(batch: pa.Table) -> pa.Table:
+            def collect(batch: pa.Table) -> np.ndarray:
                 v = batch[col].to_numpy(zero_copy_only=False).astype(
                     np.float64)
                 keep = np.zeros(len(v), dtype=bool)
@@ -2235,12 +2238,10 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
                     inb = (v >= blo) & ((v < bhi) | ((b == bins - 1)
                                                      & (v <= r_hi)))
                     keep |= inb
-                return pa.table({"v": pa.array(v[keep], pa.float64())})
+                return v[keep]
 
-            vals = np.sort(np.concatenate([
-                t["v"].to_numpy() for t in
-                ds.map_batches(collect, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow", batch_size=None)]
+            vals = np.sort(np.concatenate(
+                ray.get([sweep.remote(b, collect) for b in blocks])
                 + [np.zeros(0)]))
             for b, sub in small.items():
                 blo, bhi = ivals[b]
