@@ -4135,6 +4135,37 @@ def q_lang_confusion(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_class_f1(sf_dir: str):
+    """Per-class precision / recall / F1 of the langid classifier vs
+    the labeled `lang` column, in EXACT integer ppm (F1 as
+    2·tp//(pred_n+true_n) — the harmonic form needs no float): the
+    per-class report card behind every classifier-gate decision,
+    built from the same bounded confusion cells as `lang_confusion`
+    (one fused prediction pass + combiner; no shuffle)."""
+    import pandas as pd
+
+    cells = q_lang_confusion(sf_dir)
+    classes = sorted(set(cells["lang_true"]) | set(cells["lang_pred"]))
+    rows = []
+    for c in classes:
+        tp = int(cells.loc[(cells["lang_true"] == c)
+                           & (cells["lang_pred"] == c), "n"].sum())
+        pred_n = int(cells.loc[cells["lang_pred"] == c, "n"].sum())
+        true_n = int(cells.loc[cells["lang_true"] == c, "n"].sum())
+        rows.append({
+            "lang": c, "tp": tp, "pred_n": pred_n, "true_n": true_n,
+            "precision_ppm": 1_000_000 * tp // pred_n if pred_n else 0,
+            "recall_ppm": 1_000_000 * tp // true_n if true_n else 0,
+            "f1_ppm": (2_000_000 * tp // (pred_n + true_n)
+                       if pred_n + true_n else 0),
+        })
+    out = pd.DataFrame(rows)
+    for c in ["tp", "pred_n", "true_n", "precision_ppm", "recall_ppm",
+              "f1_ppm"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_cohen_kappa(sf_dir: str):
     """Cohen's kappa of the langid classifier vs the labeled `lang`
     column — chance-corrected agreement, the standard
@@ -7855,6 +7886,45 @@ def q_robots_gate_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_crawl_eta_plan(sf_dir: str):
+    """Per-host crawl completion planning — the capacity read a
+    frontier operator runs before committing fetch budget: each host's
+    page backlog (streamed census) against its politeness constraint
+    (robots crawl-delay ⇒ serial eta pages·delay) and its budget
+    constraint (parallel fetch slots ⇒ eta ceil(pages/slots)); the
+    plan's eta is the binding maximum and `binding` names the
+    constraint — politeness-bound hosts cannot be bought faster with
+    more workers (frontera's OverusedBuffer exists exactly for them).
+    Integer-exact; delay/slots derive from the host md5 exactly as in
+    robots_gate_audit."""
+    import pandas as pd
+
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        host = np.asarray([f"host-{int(i) % 20}.test" for i in ids],
+                          dtype=object)
+        return pa.table({"host": pa.array(host, pa.string())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "documents").select_columns(["doc_id"])
+         .map_batches(kern, batch_format="pyarrow")),
+        ["host"], {"pages": ("host", "count")})
+    u = md5_u64([f"host:{h}" for h in cen["host"]])
+    cen["crawl_delay_s"] = (1 + (u % np.uint64(5))).astype("int64")
+    cen["slots"] = (1 + ((u >> np.uint64(3)) % np.uint64(4))
+                    ).astype("int64")
+    cen["pages"] = cen["pages"].astype("int64")
+    eta_pol = cen["pages"] * cen["crawl_delay_s"]
+    eta_bud = -(-cen["pages"] // cen["slots"])  # ceil div
+    cen["eta_s"] = np.maximum(eta_pol, eta_bud).astype("int64")
+    cen["binding"] = np.where(eta_pol >= eta_bud,
+                              "politeness", "budget")
+    return cen.sort_values("host").reset_index(drop=True)
+
+
 def q_slot_load_audit(sf_dir: str):
     """SQL audit of the PRODUCTION downloader-slot tracker
     (state/queue.SlotLoadTracker — the object that decides which keys
@@ -8726,6 +8796,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_extension_census": q_url_extension_census,
     "caption_alignment": q_caption_alignment,
     "phash_dup_locality": q_phash_dup_locality,
+    "crawl_eta_plan": q_crawl_eta_plan,
+    "class_f1": q_class_f1,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -9727,6 +9799,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM documents d JOIN p USING (doc_id)
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "class_f1": f"""
+            WITH p AS ({_LANGID_PRED_SQL}),
+            cells AS (SELECT d.lang AS lt, p.lang_pred AS lp,
+                             count(*)::BIGINT AS n
+                      FROM documents d JOIN p USING (doc_id)
+                      GROUP BY 1, 2),
+            cls AS (SELECT DISTINCT lt AS lang FROM cells
+                    UNION SELECT DISTINCT lp FROM cells),
+            m AS (SELECT cls.lang,
+                         coalesce(sum(CASE WHEN c.lt = cls.lang
+                                            AND c.lp = cls.lang
+                                           THEN c.n END), 0)::BIGINT AS tp,
+                         coalesce(sum(CASE WHEN c.lp = cls.lang
+                                           THEN c.n END), 0)::BIGINT
+                           AS pred_n,
+                         coalesce(sum(CASE WHEN c.lt = cls.lang
+                                           THEN c.n END), 0)::BIGINT
+                           AS true_n
+                  FROM cls CROSS JOIN cells c GROUP BY cls.lang)
+            SELECT lang, tp, pred_n, true_n,
+                   CASE WHEN pred_n > 0 THEN 1000000 * tp // pred_n
+                        ELSE 0 END::BIGINT AS precision_ppm,
+                   CASE WHEN true_n > 0 THEN 1000000 * tp // true_n
+                        ELSE 0 END::BIGINT AS recall_ppm,
+                   CASE WHEN pred_n + true_n > 0
+                        THEN 2000000 * tp // (pred_n + true_n)
+                        ELSE 0 END::BIGINT AS f1_ppm
+            FROM m ORDER BY lang""",
         "cohen_kappa": f"""
             WITH p AS ({_LANGID_PRED_SQL}),
             c AS (SELECT d.lang AS t, p.lang_pred AS g
@@ -12752,6 +12852,26 @@ def oracle_sql() -> dict[str, str]:
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "crawl_eta_plan": r"""
+            WITH c AS (SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR)
+                              || '.test' AS host,
+                              count(*)::BIGINT AS pages
+                       FROM documents GROUP BY 1),
+            m AS (SELECT host, pages,
+                         ('0x'||substr(md5('host:'||host),1,16))::UBIGINT
+                           AS u
+                  FROM c),
+            p AS (SELECT host, pages,
+                         (1 + u % 5)::BIGINT AS crawl_delay_s,
+                         (1 + (u >> 3) % 4)::BIGINT AS slots
+                  FROM m)
+            SELECT host, pages, crawl_delay_s, slots,
+                   greatest(pages * crawl_delay_s,
+                            (pages + slots - 1) // slots)::BIGINT AS eta_s,
+                   CASE WHEN pages * crawl_delay_s
+                             >= (pages + slots - 1) // slots
+                        THEN 'politeness' ELSE 'budget' END AS binding
+            FROM p ORDER BY host""",
         "phash_dup_locality": r"""
             WITH p AS (SELECT doc_id,
                               xor(('0x'||substr(md5('ph:'||
