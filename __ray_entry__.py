@@ -7925,6 +7925,69 @@ def q_crawl_eta_plan(sf_dir: str):
     return cen.sort_values("host").reset_index(drop=True)
 
 
+def q_group_p95(sf_dir: str):
+    """Per-event-type 95th-percentile value (PERCENTILE_DISC within
+    group — relational.per_key_quantile_disc): the per-segment tail
+    read a global quantile hides (one hot event class's p95 is the
+    alerting/SLO line). ONE keyed exchange, vectorized order-statistic
+    selection per key run; the value is selected, not interpolated,
+    so floats round-trip exactly against DuckDB quantile_disc."""
+    from frontera_ray.stages.relational import per_key_quantile_disc
+
+    out = per_key_quantile_disc(
+        _read(sf_dir, "events").select_columns(["event_type", "value"]),
+        "event_type", "value", q=0.95, out_col="p95_value").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_top_user_share(sf_dir: str):
+    """Value-concentration ("whale") census: the top-10 users' share
+    of total event value in exact micro-units — the skew read that
+    decides whether a per-user partition needs hot-key salting (the
+    same question the crawl's per-host caps answer for hosts).
+    Combiner pre-aggregation per user (high-cardinality sum via hash
+    groupby), per-block partial top-10 + tiny driver merge; value
+    mass in integer micros so the share is hash-exact."""
+    import pandas as pd
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        return pa.table({
+            "user_id": b["user_id"],
+            "micro": pa.array(np.round(v * 1e6).astype(np.int64),
+                              pa.int64())})
+
+    ev = (_read(sf_dir, "events").select_columns(["user_id", "value"])
+          .map_batches(to_micro, batch_format="pyarrow"))
+    per_user = ev.groupby("user_id").sum("micro")
+
+    def blk_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={"sum(micro)": "micro"})
+        return pa.Table.from_pandas(
+            df.sort_values(["micro", "user_id"],
+                           ascending=[False, True]).head(10),
+            preserve_index=False)
+
+    parts = pa.concat_tables(list(
+        per_user.map_batches(blk_top, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    top = (parts.to_pandas()
+           .sort_values(["micro", "user_id"], ascending=[False, True])
+           .head(10))
+    total = 0
+    for t in ev.select_columns(["micro"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        s = pc.sum(t["micro"]).as_py()
+        total += int(s) if s is not None else 0
+    top_sum = int(top["micro"].sum())
+    return pd.DataFrame([{
+        "top_users": np.int64(len(top)),
+        "top_micro": np.int64(top_sum),
+        "total_micro": np.int64(total),
+        "share_ppm": np.int64(1_000_000 * top_sum // total),
+    }])
+
+
 def q_slot_load_audit(sf_dir: str):
     """SQL audit of the PRODUCTION downloader-slot tracker
     (state/queue.SlotLoadTracker — the object that decides which keys
@@ -8798,6 +8861,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "phash_dup_locality": q_phash_dup_locality,
     "crawl_eta_plan": q_crawl_eta_plan,
     "class_f1": q_class_f1,
+    "group_p95": q_group_p95,
+    "top_user_share": q_top_user_share,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -12852,6 +12917,25 @@ def oracle_sql() -> dict[str, str]:
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "group_p95": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   quantile_disc(value, 0.95) AS p95_value
+            FROM events GROUP BY 1 ORDER BY event_type""",
+        "top_user_share": """
+            WITH m AS (SELECT user_id,
+                              sum(CAST(round(value * 1000000) AS BIGINT))
+                                ::BIGINT AS micro
+                       FROM events GROUP BY 1),
+            t AS (SELECT micro FROM m
+                  ORDER BY micro DESC, user_id LIMIT 10),
+            s AS (SELECT sum(micro)::BIGINT AS top_micro,
+                         count(*)::BIGINT AS top_users FROM t),
+            g AS (SELECT sum(CAST(round(value * 1000000) AS BIGINT))
+                           ::BIGINT AS total_micro FROM events)
+            SELECT s.top_users, s.top_micro, g.total_micro,
+                   (1000000 * s.top_micro // g.total_micro)::BIGINT
+                     AS share_ppm
+            FROM s CROSS JOIN g""",
         "crawl_eta_plan": r"""
             WITH c AS (SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR)
                               || '.test' AS host,

@@ -108,7 +108,7 @@ BENCH_QUERIES = [
     "life_table", "diff_in_diff", "image_color_cast",
     "image_grad_orientation", "image_clipping", "image_palette",
     "url_extension_census", "caption_alignment", "phash_dup_locality",
-    "crawl_eta_plan", "class_f1",
+    "crawl_eta_plan", "class_f1", "group_p95", "top_user_share",
 ]
 
 CRAWL_HOSTS = 8192

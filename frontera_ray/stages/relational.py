@@ -4213,3 +4213,41 @@ def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
         u = J.map_batches(tag_both, batch_format="pyarrow")
         J = keyed_exchange(u, "key", kern, exchange).materialize()
     return J
+
+
+def per_key_quantile_disc(ds, key_col: str, val_col: str, q: float = 0.95,
+                          out_col: str = "q_value",
+                          exchange: str = "groups"):
+    """PERCENTILE_DISC(q) WITHIN GROUP per key — the per-segment tail
+    statistic (p95 latency per endpoint, p95 order value per
+    priority class) that a global quantile hides: ONE keyed exchange,
+    then a single vectorized lexsort per block selects each key run's
+    order statistic at 1-based rank ceil(q·n) (the DuckDB
+    quantile_disc convention, same 1e-9 epsilon guard as
+    ``grouped_quantile_disc``). No per-key Python; emits
+    (key, n, value) — the value is SELECTED, never interpolated, so
+    the float column round-trips exactly."""
+    import math
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                key_col: pa.array([], batch[key_col].type),
+                "n": pa.array([], pa.int64()),
+                out_col: pa.array([], batch[val_col].type)})
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        sk = keys[order]
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(sk))
+        n = ends - starts
+        rank = np.maximum(1, np.ceil(q * n - 1e-9).astype(np.int64))
+        idx = order[starts + rank - 1]
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(idx)),
+            "n": pa.array(n, pa.int64()),
+            out_col: batch[val_col].take(pa.array(idx))})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
