@@ -7925,6 +7925,55 @@ def q_crawl_eta_plan(sf_dir: str):
     return cen.sort_values("host").reset_index(drop=True)
 
 
+_ANCHOR_WORDS = np.asarray(["home", "next", "buy", "photo", "read",
+                            "more", "login", "download"], dtype=object)
+
+
+def q_anchor_text_census(sf_dir: str):
+    """Anchor-text aggregation per link target — the indexer-side read
+    of a crawl (what OTHER pages call a URL is a first-class ranking
+    and spam signal; frontera's Link carries the anchor through the
+    message bus): every page contributes its outlinks' anchor tokens,
+    rolled up per (target, token) over the bounded target universe.
+    REAL string handling on both sides — the Ray kernel builds the
+    link rows then explodes 'anchor' with vectorized Arrow split
+    kernels; the DuckDB twin re-derives the same links from the doc
+    md5 and unnests string_split(anchor). One combiner rollup, no
+    shuffle."""
+    import pandas as pd
+
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        u = md5_u64([f"lnk:{i}" for i in ids])
+        t1 = (u % np.uint64(499)).astype(np.int64)
+        a1 = np.char.add(np.char.add(
+            _ANCHOR_WORDS[((u >> np.uint64(8)) % np.uint64(8))
+                          .astype(np.int64)].astype(str), " "),
+            _ANCHOR_WORDS[((u >> np.uint64(16)) % np.uint64(8))
+                          .astype(np.int64)].astype(str))
+        t2 = ((u >> np.uint64(24)) % np.uint64(499)).astype(np.int64)
+        a2 = _ANCHOR_WORDS[((u >> np.uint64(32)) % np.uint64(8))
+                           .astype(np.int64)].astype(str)
+        target = pa.array(np.concatenate([t1, t2]), pa.int64())
+        anchor = pa.array(np.concatenate([a1, a2]).astype(object),
+                          pa.string())
+        toks = pc.split_pattern(anchor, " ")
+        parent = pc.list_parent_indices(toks)
+        return pa.table({
+            "target": target.take(parent),
+            "token": pc.list_flatten(toks)})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "documents").select_columns(["doc_id"])
+         .map_batches(kern, batch_format="pyarrow")),
+        ["target", "token"], {"n": ("token", "count")})
+    cen["n"] = cen["n"].astype("int64")
+    return cen.sort_values(["target", "token"]).reset_index(drop=True)
+
+
 def q_group_p95(sf_dir: str):
     """Per-event-type 95th-percentile value (PERCENTILE_DISC within
     group — relational.per_key_quantile_disc): the per-segment tail
@@ -8863,6 +8912,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "class_f1": q_class_f1,
     "group_p95": q_group_p95,
     "top_user_share": q_top_user_share,
+    "anchor_text_census": q_anchor_text_census,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -12917,6 +12967,27 @@ def oracle_sql() -> dict[str, str]:
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "anchor_text_census": r"""
+            WITH w(i, word) AS (VALUES (0,'home'),(1,'next'),(2,'buy'),
+                 (3,'photo'),(4,'read'),(5,'more'),(6,'login'),
+                 (7,'download')),
+            d AS (SELECT doc_id,
+                         ('0x'||substr(md5('lnk:'||
+                            CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                  FROM documents),
+            l1 AS (SELECT (u % 499)::BIGINT AS target,
+                          wa.word || ' ' || wb.word AS anchor
+                   FROM d JOIN w wa ON wa.i = ((u >> 8) % 8)::INT
+                          JOIN w wb ON wb.i = ((u >> 16) % 8)::INT),
+            l2 AS (SELECT ((u >> 24) % 499)::BIGINT AS target,
+                          wc.word AS anchor
+                   FROM d JOIN w wc ON wc.i = ((u >> 32) % 8)::INT),
+            links AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+            tok AS (SELECT target,
+                           unnest(string_split(anchor, ' ')) AS token
+                    FROM links)
+            SELECT target, token, count(*)::BIGINT AS n
+            FROM tok GROUP BY 1, 2 ORDER BY target, token""",
         "group_p95": """
             SELECT event_type, count(*)::BIGINT AS n,
                    quantile_disc(value, 0.95) AS p95_value
