@@ -68,7 +68,12 @@ def dedup_edges(ds, src_col: str = "src", dst_col: str = "dst",
 
 
 def _sweep_edge_block(tbl: pa.Table, fn) -> np.ndarray:
-    """One edge block's dense register: fn(src, dst) -> float64[n]."""
+    """One edge block's dense register: fn(src, dst) -> float64[n].
+    Empty blocks off a raw exchange can carry an EMPTY schema (no
+    src/dst fields) — map_batches used to shield kernels from them."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        e = np.zeros(0, np.int64)
+        return fn(e, e)
     return fn(tbl["src"].to_numpy(), tbl["dst"].to_numpy())
 
 
@@ -404,7 +409,7 @@ def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
 
     def presence_block(tbl: pa.Table) -> np.ndarray:
         p = np.zeros(n, bool)
-        if tbl.num_rows:
+        if tbl.num_rows and "src" in tbl.column_names:
             p[tbl["src"].to_numpy()] = True
             p[tbl["dst"].to_numpy()] = True
         return np.packbits(p, bitorder="little")
@@ -418,7 +423,7 @@ def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
 
     def min_reg_block(tbl: pa.Table, lab: np.ndarray) -> np.ndarray:
         reg = np.full(n, SENTINEL, np.int64)
-        if tbl.num_rows:
+        if tbl.num_rows and "src" in tbl.column_names:
             src = tbl["src"].to_numpy()
             dst = tbl["dst"].to_numpy()
             np.minimum.at(reg, dst, lab[src])
@@ -445,7 +450,7 @@ def _bfs_reach_block(tbl: pa.Table, f_packed: np.ndarray, n: int
     bitset, mark every neighbor of a frontier node, return packed."""
     fr = np.unpackbits(f_packed, bitorder="little")[:n].astype(bool)
     out = np.zeros(n, bool)
-    if tbl.num_rows:
+    if tbl.num_rows and "src" in tbl.column_names:
         src = tbl["src"].to_numpy()
         dst = tbl["dst"].to_numpy()
         out[dst[fr[src]]] = True

@@ -2173,6 +2173,8 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
     sweep = ray.remote(_table_sweep)
 
     def stats_partial(batch: pa.Table):
+        if batch.num_rows == 0 or col not in batch.column_names:
+            return (0, np.inf, -np.inf)
         v = batch[col].to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
         if len(v) == 0:
@@ -2207,6 +2209,8 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
         width = (r_hi - r_lo) / bins
 
         def hist_partial(batch: pa.Table) -> np.ndarray:
+            if batch.num_rows == 0 or col not in batch.column_names:
+                return np.zeros(bins, np.int64)
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[(v >= r_lo) & (v <= r_hi)]
             idx = np.minimum((v - r_lo) / width, bins - 1).astype(np.int64)
@@ -2231,6 +2235,8 @@ def quantile_unbounded(ds, col: str, qs, bins: int = 4096,
                      for b in small}
 
             def collect(batch: pa.Table) -> np.ndarray:
+                if batch.num_rows == 0 or col not in batch.column_names:
+                    return np.zeros(0, np.float64)
                 v = batch[col].to_numpy(zero_copy_only=False).astype(
                     np.float64)
                 keep = np.zeros(len(v), dtype=bool)
