@@ -7886,6 +7886,41 @@ def q_robots_gate_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_robots_precedence_audit(sf_dir: str):
+    """Allow/Disallow PRECEDENCE audit of the production robots gate:
+    per doc a robots body with an Allow carve-out listed BEFORE a
+    broader Disallow ('Allow: /p/<d>1' then 'Disallow: /p/<d>', d a
+    hash-derived digit) runs through the REAL DomainMetadata path
+    (urllib.robotparser applies the first matching rule in file
+    order), and the DuckDB twin replays the rule order closed-form on
+    the decimal string: allowed iff the id doesn't start with d, OR
+    starts with d||'1' (the carve-out wins). Complements
+    robots_gate_audit (single-rule prefix semantics) — a gate that
+    mis-orders Allow/Disallow fails this hash."""
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.state.queue import DomainMetadata
+
+    def kern(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        u = md5_u64([f"rp:{i}" for i in ids])
+        allowed = np.zeros(len(ids), dtype=bool)
+        digit = (u % np.uint64(10)).astype(np.int64)
+        for j, i in enumerate(ids):
+            d = int(digit[j])
+            meta = DomainMetadata()
+            meta.set_robots(
+                f"User-agent: *\nAllow: /p/{d}1\nDisallow: /p/{d}\n")
+            allowed[j] = meta.allowed(f"http://h.test/p/{i}")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "rule_digit": pa.array(digit, pa.int64()),
+            "allowed": pa.array(allowed, pa.bool_())})
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_crawl_eta_plan(sf_dir: str):
     """Per-host crawl completion planning — the capacity read a
     frontier operator runs before committing fetch budget: each host's
@@ -8913,6 +8948,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_p95": q_group_p95,
     "top_user_share": q_top_user_share,
     "anchor_text_census": q_anchor_text_census,
+    "robots_precedence_audit": q_robots_precedence_audit,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13007,6 +13043,19 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * s.top_micro // g.total_micro)::BIGINT
                      AS share_ppm
             FROM s CROSS JOIN g""",
+        "robots_precedence_audit": r"""
+            WITH d AS (SELECT doc_id,
+                              ('0x'||substr(md5('rp:'||
+                                 CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                                % 10 AS rd
+                       FROM documents)
+            SELECT doc_id, rd::BIGINT AS rule_digit,
+                   (NOT starts_with(CAST(doc_id AS VARCHAR),
+                                    CAST(rd AS VARCHAR))
+                    OR starts_with(CAST(doc_id AS VARCHAR),
+                                   CAST(rd AS VARCHAR) || '1'))
+                     AS allowed
+            FROM d ORDER BY doc_id""",
         "crawl_eta_plan": r"""
             WITH c AS (SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR)
                               || '.test' AS host,
