@@ -7886,6 +7886,22 @@ def q_robots_gate_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_burst_rate(sf_dir: str):
+    """Per-user burst detection: the max number of events inside ANY
+    sliding 1-hour window (relational.per_key_burst) — the rate-spike
+    read behind bot gating and hot-host overuse decisions, exact where
+    tumbling buckets understate straddling bursts. One keyed exchange,
+    kernel vectorized across keys (run-offset composite + two
+    searchsorted calls); SQL twin via RANGE BETWEEN CURRENT ROW AND
+    INTERVAL 1 HOUR FOLLOWING."""
+    from frontera_ray.stages.relational import per_key_burst
+
+    out = per_key_burst(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        "user_id", "ts", window_us=3_600_000_000).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_robots_precedence_audit(sf_dir: str):
     """Allow/Disallow PRECEDENCE audit of the production robots gate:
     per doc a robots body with an Allow carve-out listed BEFORE a
@@ -8949,6 +8965,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "top_user_share": q_top_user_share,
     "anchor_text_census": q_anchor_text_census,
     "robots_precedence_audit": q_robots_precedence_audit,
+    "burst_rate": q_burst_rate,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13043,6 +13060,15 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * s.top_micro // g.total_micro)::BIGINT
                      AS share_ppm
             FROM s CROSS JOIN g""",
+        "burst_rate": """
+            WITH b AS (SELECT user_id,
+                              count(*) OVER (PARTITION BY user_id
+                                ORDER BY ts RANGE BETWEEN CURRENT ROW
+                                AND INTERVAL 1 HOUR FOLLOWING) AS c
+                       FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(c)::BIGINT AS burst
+            FROM b GROUP BY 1 ORDER BY user_id""",
         "robots_precedence_audit": r"""
             WITH d AS (SELECT doc_id,
                               ('0x'||substr(md5('rp:'||

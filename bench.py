@@ -109,7 +109,7 @@ BENCH_QUERIES = [
     "image_grad_orientation", "image_clipping", "image_palette",
     "url_extension_census", "caption_alignment", "phash_dup_locality",
     "crawl_eta_plan", "class_f1", "group_p95", "top_user_share",
-    "anchor_text_census", "robots_precedence_audit",
+    "anchor_text_census", "robots_precedence_audit", "burst_rate",
 ]
 
 CRAWL_HOSTS = 8192

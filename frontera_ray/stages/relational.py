@@ -4257,3 +4257,50 @@ def per_key_quantile_disc(ds, key_col: str, val_col: str, q: float = 0.95,
             out_col: batch[val_col].take(pa.array(idx))})
 
     return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def per_key_burst(ds, key_col: str, ts_col: str, window_us: int,
+                  exchange: str = "groups"):
+    """Max events per key inside ANY sliding ``window_us`` window —
+    the burst / rate-spike read (bot detection on users, hot-host
+    detection on a frontier) that fixed tumbling buckets understate
+    when a burst straddles a boundary. ONE keyed exchange; the kernel
+    is fully vectorized ACROSS keys: each key run's timestamps get a
+    run-index offset larger than any in-run span, making the
+    composite array GLOBALLY sorted so one pair of np.searchsorted
+    calls answers every row's inclusive [t, t+W] occupancy at once
+    (no per-key Python); per-run max via maximum.reduceat. Window
+    endpoints inclusive — op-matched to SQL RANGE BETWEEN CURRENT ROW
+    AND INTERVAL FOLLOWING (duplicate timestamps are peers)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                key_col: pa.array([], batch[key_col].type),
+                "n_events": pa.array([], pa.int64()),
+                "burst": pa.array([], pa.int64())})
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts = ts.astype("datetime64[us]").astype(np.int64) \
+            if ts.dtype.kind == "M" else ts.astype(np.int64)
+        order = np.lexsort((ts, keys))
+        sk, st = keys[order], ts[order]
+        # offset each run beyond any reachable window: composite is
+        # globally sorted and windows cannot cross runs
+        span = np.int64(int(st.max()) - int(st.min())
+                        + int(window_us) + 1) if len(st) else np.int64(1)
+        comp = (st - st.min()) + sk * span
+        hi = np.searchsorted(comp, comp + np.int64(window_us),
+                             side="right")
+        lo = np.searchsorted(comp, comp, side="left")
+        counts = hi - lo
+        new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(sk))
+        burst = np.maximum.reduceat(counts, starts)
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[starts])),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "burst": pa.array(burst.astype(np.int64), pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
