@@ -7886,6 +7886,45 @@ def q_robots_gate_audit(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_subnet_load_rollup(sf_dir: str):
+    """Per-/24-subnet politeness rollup — the IP-level view frontera's
+    overuse machinery keys on (slot key = resolved IP; many vhosts on
+    one box must share a budget): hosts resolve to md5-derived IPs,
+    page load rolls up per subnet, and the census carries each
+    subnet's host count plus its hottest host's share (a subnet where
+    one vhost dominates is a single-server farm; an even spread is a
+    CDN). Bounded census -> combiner; integer ppm."""
+    import pandas as pd
+
+    from frontera_ray.stages.images import md5_u64
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        host = np.asarray([f"host-{int(i) % 96}.test" for i in ids],
+                          dtype=object)
+        return pa.table({"host": pa.array(host, pa.string())})
+
+    cen = partial_groupby_agg(
+        (_read(sf_dir, "documents").select_columns(["doc_id"])
+         .map_batches(kern, batch_format="pyarrow")),
+        ["host"], {"pages": ("host", "count")})
+    u = md5_u64([f"ip:{h}" for h in cen["host"]])
+    cen["subnet"] = np.asarray(
+        [f"10.{int(x) % 16}.{(int(x) >> 4) % 8}.0/24" for x in u],
+        dtype=object)
+    cen["pages"] = cen["pages"].astype("int64")
+    g = (cen.groupby("subnet")
+         .agg(n_hosts=("host", "count"), pages=("pages", "sum"),
+              max_host_pages=("pages", "max"))
+         .reset_index())
+    for c in ["n_hosts", "pages", "max_host_pages"]:
+        g[c] = g[c].astype("int64")
+    g["hot_share_ppm"] = (g["max_host_pages"] * 1_000_000
+                          // g["pages"]).astype("int64")
+    return g.sort_values("subnet").reset_index(drop=True)
+
+
 def q_burst_rate(sf_dir: str):
     """Per-user burst detection: the max number of events inside ANY
     sliding 1-hour window (relational.per_key_burst) — the rate-spike
@@ -8966,6 +9005,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "anchor_text_census": q_anchor_text_census,
     "robots_precedence_audit": q_robots_precedence_audit,
     "burst_rate": q_burst_rate,
+    "subnet_load_rollup": q_subnet_load_rollup,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13060,6 +13100,26 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * s.top_micro // g.total_micro)::BIGINT
                      AS share_ppm
             FROM s CROSS JOIN g""",
+        "subnet_load_rollup": r"""
+            WITH c AS (SELECT 'host-' || CAST(doc_id % 96 AS VARCHAR)
+                              || '.test' AS host,
+                              count(*)::BIGINT AS pages
+                       FROM documents GROUP BY 1),
+            m AS (SELECT host, pages,
+                         ('0x'||substr(md5('ip:'||host),1,16))::UBIGINT
+                           AS u
+                  FROM c),
+            s AS (SELECT '10.' || CAST(u % 16 AS VARCHAR) || '.'
+                         || CAST((u >> 4) % 8 AS VARCHAR) || '.0/24'
+                           AS subnet,
+                         host, pages
+                  FROM m)
+            SELECT subnet, count(*)::BIGINT AS n_hosts,
+                   sum(pages)::BIGINT AS pages,
+                   max(pages)::BIGINT AS max_host_pages,
+                   (1000000 * max(pages) // sum(pages))::BIGINT
+                     AS hot_share_ppm
+            FROM s GROUP BY 1 ORDER BY subnet""",
         "burst_rate": """
             WITH b AS (SELECT user_id,
                               count(*) OVER (PARTITION BY user_id

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "url_extension_census", "caption_alignment", "phash_dup_locality",
     "crawl_eta_plan", "class_f1", "group_p95", "top_user_share",
     "anchor_text_census", "robots_precedence_audit", "burst_rate",
+    "subnet_load_rollup",
 ]
 
 CRAWL_HOSTS = 8192
