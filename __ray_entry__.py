@@ -7363,6 +7363,37 @@ def q_phash_dup_locality(sf_dir: str):
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio loudness / silence / voiced-unvoiced screens through the
+    REAL qaud codec round trip (images.audio_features_table): per clip
+    the exact integer Σs² (rms² milli-units), peak sample and
+    zero-crossing count, with the loud gate separating the amplitude
+    classes — the audio modality run through the image family's
+    closed-form-oracle pattern (every decoded SAMPLE recomputed by the
+    DuckDB twin). Shuffle-free map_batches."""
+    from frontera_ray.stages.images import audio_features_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(audio_features_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_video_motion(sf_dir: str):
+    """Temporal-motion census through the REAL qvid container round
+    trip (images.video_motion_table): per video the exact integer
+    inter-frame delta mass over decoded pixels — the static-clip /
+    slideshow screen of video curation. The DuckDB twin recomputes
+    BOTH frames of every pixel pair closed-form with qimg
+    dequantization. Shuffle-free map_batches."""
+    from frontera_ray.stages.images import video_motion_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(video_motion_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -9006,6 +9037,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "robots_precedence_audit": q_robots_precedence_audit,
     "burst_rate": q_burst_rate,
     "subnet_load_rollup": q_subnet_load_rollup,
+    "audio_features": q_audio_features,
+    "video_motion": q_video_motion,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -9282,6 +9315,87 @@ def _caption_alignment_oracle() -> str:
                               < j.na2 * coalesce(nb.nb2, 0)) AS misaligned
         FROM j LEFT JOIN nb ON nb.doc_id = j.doc_id
         ORDER BY j.doc_id"""
+
+
+def _aud_val_sql(te: str) -> str:
+    """Decoded-sample SQL expression at sample index ``te`` — the
+    closed-form twin of payload.gen_audio_group; expects m CTE columns
+    (amp, s32) in scope."""
+    x = f"(({te} * 2654435761::UBIGINT + m.s32) % 4294967296::UBIGINT)"
+    return (f"((((xor({x}, {x} >> 13) & 4095::UBIGINT))::BIGINT - 2048)"
+            f" * m.amp)")
+
+
+def _audio_features_oracle() -> str:
+    v0 = _aud_val_sql("gt.t::UBIGINT")
+    v1 = _aud_val_sql("(gt.t + 1)::UBIGINT")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('aud:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        m AS (SELECT doc_id, (1600 + (u % 4) * 400)::BIGINT AS n,
+                     (1 + (u >> 5) % 4)::BIGINT AS amp,
+                     (u & 4294967295::UBIGINT) AS s32
+              FROM d),
+        v AS (SELECT m.doc_id, m.n, gt.t, {v0} AS v0, {v1} AS v1
+              FROM m, generate_series(0, 2799) gt(t)
+              WHERE gt.t < m.n)
+        SELECT doc_id, n AS n_samples,
+               sum(v0 * v0)::BIGINT AS sum_sq,
+               max(abs(v0))::BIGINT AS peak,
+               sum(CASE WHEN t < n - 1 AND v0 * v1 < 0
+                        THEN 1 ELSE 0 END)::BIGINT AS zero_cross,
+               (1000 * sum(v0 * v0) // n)::BIGINT AS rms2_milli,
+               ((1000 * sum(v0 * v0) // n) >= 9000000000) AS loud
+        FROM v GROUP BY doc_id, n ORDER BY doc_id"""
+
+
+def _vid_val_sql(alias: str) -> str:
+    """Decoded qimg pixel value at (gx.x, gy.y, gc.c) for frame row
+    ``alias`` (expects alias columns s5, s7, s32, s256)."""
+    n1 = (f"((xor(xor((gx.x::UBIGINT * 2654435761::UBIGINT)"
+          f" % 4294967296::UBIGINT,"
+          f" gy.y::UBIGINT * 40503::UBIGINT),"
+          f" gc.c::UBIGINT * 69069::UBIGINT)"
+          f" + {alias}.s32) % 4294967296::UBIGINT)")
+    raw = (f"(((xor({n1}, {n1} >> 13) & 63::UBIGINT)"
+           f" + gx.x::UBIGINT * {alias}.s5 + gy.y::UBIGINT * {alias}.s7"
+           f" + {alias}.s256) % 256::UBIGINT)")
+    return f"((({raw} // 8) * 8 + 4))::BIGINT"
+
+
+def _video_motion_oracle() -> str:
+    v1 = _vid_val_sql("a")
+    v0 = _vid_val_sql("b")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('vid:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        mk AS (SELECT doc_id, (4 + (u % 3) * 2)::BIGINT AS k FROM d),
+        fm AS (SELECT mk.doc_id, mk.k, gf.f,
+                      ('0x'||substr(md5('vf:'||
+                         CAST(doc_id AS VARCHAR)||':'||
+                         CAST(gf.f AS VARCHAR)),1,16))::UBIGINT AS uf
+               FROM mk, generate_series(0, 7) gf(f) WHERE gf.f < mk.k),
+        fs AS (SELECT doc_id, k, f,
+                      (1 + uf % 5) AS s5, (1 + (uf >> 4) % 7) AS s7,
+                      (uf & 4294967295::UBIGINT) AS s32,
+                      (uf % 256) AS s256
+               FROM fm),
+        px AS (SELECT a.doc_id, a.k,
+                      abs({v1} - {v0}) AS dv
+               FROM fs a JOIN fs b
+                    ON b.doc_id = a.doc_id AND b.f = a.f - 1,
+                    generate_series(0, 15) gx(x),
+                    generate_series(0, 11) gy(y),
+                    generate_series(0, 2) gc(c))
+        SELECT doc_id, k AS n_frames, 16::BIGINT AS w, 12::BIGINT AS h,
+               sum(dv)::BIGINT AS motion_sum,
+               (1000 * sum(dv) // ((k - 1) * 16 * 12 * 3))::BIGINT
+                 AS motion_per_px_milli
+        FROM px GROUP BY doc_id, k ORDER BY doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -13060,6 +13174,8 @@ def oracle_sql() -> dict[str, str]:
         "image_clipping": _image_clipping_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "audio_features": _audio_features_oracle(),
+        "video_motion": _video_motion_oracle(),
         "anchor_text_census": r"""
             WITH w(i, word) AS (VALUES (0,'home'),(1,'next'),(2,'buy'),
                  (3,'photo'),(4,'read'),(5,'more'),(6,'login'),

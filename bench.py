@@ -110,7 +110,7 @@ BENCH_QUERIES = [
     "url_extension_census", "caption_alignment", "phash_dup_locality",
     "crawl_eta_plan", "class_f1", "group_p95", "top_user_share",
     "anchor_text_census", "robots_precedence_audit", "burst_rate",
-    "subnet_load_rollup",
+    "subnet_load_rollup", "audio_features", "video_motion",
 ]
 
 CRAWL_HOSTS = 8192

@@ -302,3 +302,91 @@ def fetch_batch_columns(urls) -> dict:
     captions = [caption_of(u) for u in urls]
     return {"image_id": list(urls), "bytes": data, "w": ws, "h": hs,
             "fmt": fmts, "caption": captions, "phash": phashes}
+
+
+# ---------------------------------------------------------------------------
+# deterministic audio / video codecs (qaud / qvid)
+#
+# The sandbox has no media libraries, so real-world formats (mp3/wav,
+# mp4) stay gated behind NotImplementedError — but the AUDIO and VIDEO
+# pipeline stages themselves are real: qaud is a 16-bit mono PCM
+# container and qvid a frame container of qimg images, both generated
+# by the same closed-form integer recurrences as the image corpus so
+# every decoded sample/pixel is independently recomputable by a SQL
+# twin (the image family's oracle pattern extended to the other two
+# modalities).
+# ---------------------------------------------------------------------------
+
+
+def gen_audio_group(seeds: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized PCM generation for a group of same-length clips:
+    (G, n) int16. Sample t of seed u: x = (t·2654435761 + (u & 2³²−1))
+    mod 2³²; x ^= x>>13; s = ((x & 4095) − 2048) · amp with
+    amp = 1 + (u>>5) % 4 — the audio twin of _gen_pixels_group."""
+    tt = np.arange(n, dtype=np.uint32)[None, :]
+    s32 = (seeds & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None]
+    amp = (1 + (seeds >> np.uint64(5)) % np.uint64(4)) \
+        .astype(np.int32)[:, None]
+    x = tt * np.uint32(2654435761) + s32
+    x ^= x >> np.uint32(13)
+    v = (x & np.uint32(4095)).astype(np.int32) - np.int32(2048)
+    return (v * amp).astype(np.int16)
+
+
+def qaud_encode(samples: np.ndarray) -> bytes:
+    return b"QAUD" + struct.pack(">I", len(samples)) \
+        + samples.astype("<i2").tobytes()
+
+
+def qaud_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"QAUD":
+        raise ValueError("not a QAUD")
+    (n,) = struct.unpack(">I", data[4:8])
+    return np.frombuffer(data[8:8 + 2 * n], dtype="<i2").astype(np.int16)
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "qaud":
+        return qaud_decode(data)
+    if fmt in ("mp3", "wav", "flac", "ogg"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an audio library")
+    raise ValueError(f"unknown audio fmt {fmt!r}")
+
+
+def qvid_encode(frames: list) -> bytes:
+    """Frame container: each frame is an independently-decodable qimg
+    payload (length-prefixed), so frame sampling can skip without
+    decoding — the seek-table property real containers provide."""
+    parts = [b"QVID", struct.pack(">I", len(frames))]
+    for f in frames:
+        enc = qimg_encode(f)
+        parts.append(struct.pack(">I", len(enc)))
+        parts.append(enc)
+    return b"".join(parts)
+
+
+def qvid_decode(data: bytes, every: int = 1) -> list:
+    """Decode every ``every``-th frame (frame sampling at the container
+    level: skipped frames are never inflated)."""
+    if data[:4] != b"QVID":
+        raise ValueError("not a QVID")
+    (k,) = struct.unpack(">I", data[4:8])
+    off = 8
+    out = []
+    for f in range(k):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        if f % every == 0:
+            out.append(qimg_decode(data[off:off + ln]))
+        off += ln
+    return out
+
+
+def decode_video(data: bytes, fmt: str, every: int = 1) -> list:
+    if fmt == "qvid":
+        return qvid_decode(data, every=every)
+    if fmt in ("mp4", "webm", "mkv"):
+        raise NotImplementedError(
+            f"{fmt} decode requires a video library")
+    raise ValueError(f"unknown video fmt {fmt!r}")

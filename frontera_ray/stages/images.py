@@ -162,32 +162,86 @@ class ImageFeatureStage:
 
 
 class AudioFeatureStage:
-    """GATED: audio decode requires a media library not present in this
-    environment. The actor signature and output schema are the real
-    plumbing; calling it raises."""
+    """Audio feature extraction over opaque binary payload columns
+    (audio_id, bytes, fmt) — REAL for the deterministic qaud PCM
+    container (decode → Σs², peak, zero crossings: the loudness /
+    silence / voiced-unvoiced screens); real-world formats (mp3/wav/
+    flac/ogg) stay gated behind NotImplementedError (no audio library
+    in this environment) with the same actor signature, exactly like
+    the jpeg gate on the image path."""
 
-    def __init__(self):
-        pass
+    def __init__(self, strict: bool = False):
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio feature extraction requires an audio codec library; "
-            "stage is schema/plumbing only in this environment"
-        )
+        from ..payload import decode_audio
+
+        ids, ok, n, ssq, peak, zc = [], [], [], [], [], []
+        for row in batch.select(["audio_id", "bytes", "fmt"]).to_pylist():
+            ids.append(row["audio_id"])
+            try:
+                s = decode_audio(row["bytes"], row["fmt"]) \
+                    .astype(np.int64)
+                ok.append(True)
+                n.append(len(s))
+                ssq.append(int((s * s).sum()))
+                peak.append(int(np.abs(s).max()) if len(s) else 0)
+                zc.append(int((s[:-1] * s[1:] < 0).sum()))
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
+                ok.append(False)
+                n.append(0); ssq.append(0); peak.append(0); zc.append(0)
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+            "n_samples": pa.array(n, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "zero_cross": pa.array(zc, pa.int64()),
+        })
 
 
 class VideoFrameSampleStage:
-    """GATED: video frame sampling requires a video decoder. Plumbing
-    (schema: image_id, frame_idx, frame_bytes) is real; decode raises."""
+    """Video frame sampling over opaque binary payload columns
+    (video_id, bytes, fmt) — REAL for the deterministic qvid frame
+    container (length-prefixed per-frame qimg payloads: the sampler
+    decodes every k-th frame WITHOUT inflating the skipped ones — the
+    container-level seek real pipelines rely on) and emits one row
+    per sampled frame (video_id, frame_idx, w, h, luma_sum);
+    real-world containers (mp4/webm/mkv) stay gated behind
+    NotImplementedError with the same actor signature."""
 
-    def __init__(self, frames_per_video: int = 4):
-        self.frames_per_video = frames_per_video
+    def __init__(self, every: int = 2, strict: bool = False):
+        self.every = every
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires a video decoder; "
-            "stage is schema/plumbing only in this environment"
-        )
+        from ..payload import decode_video
+
+        ids, fi, ws, hs, luma = [], [], [], [], []
+        wgt = np.asarray([299, 587, 114], dtype=np.int64)
+        for row in batch.select(["video_id", "bytes", "fmt"]).to_pylist():
+            try:
+                frames = decode_video(row["bytes"], row["fmt"],
+                                      every=self.every)
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
+                continue
+            for j, f in enumerate(frames):
+                ids.append(row["video_id"])
+                fi.append(j * self.every)
+                hs.append(f.shape[0])
+                ws.append(f.shape[1])
+                luma.append(int((f.astype(np.int64) * wgt).sum()))
+        return pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(fi, pa.int64()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "luma_sum_milli": pa.array(luma, pa.int64()),
+        })
 
 
 def image_id64(urls) -> np.ndarray:
@@ -1094,4 +1148,91 @@ def caption_alignment_table(batch: pa.Table) -> pa.Table:
         "na2": pa.array(na2, pa.int64()),
         "nb2": pa.array(nb2, pa.int64()),
         "misaligned": pa.array(misaligned, pa.bool_()),
+    })
+
+
+def audio_features_table(batch: pa.Table,
+                         loud_rms2_milli: int = 9_000_000_000
+                         ) -> pa.Table:
+    """Audio feature extraction through the REAL qaud codec round trip
+    (encode → decode → features), the audio twin of the image-family
+    decode ops: per clip the exact integer loudness mass Σs² (rms² in
+    milli-units), the peak sample, and the zero-crossing count (the
+    cheap voiced/unvoiced + silence screen of audio curation). Clip
+    length and amplitude class derive from md5('aud:'||doc_id) exactly
+    like the image corpus; the DuckDB twin recomputes every SAMPLE
+    closed-form, so one drifted sample in the codec fails the hash."""
+    from ..payload import gen_audio_group, qaud_decode, qaud_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"aud:{i}" for i in ids])
+    n_cls = (u % np.uint64(4)).astype(np.int64)
+    n_samples = 1600 + n_cls * 400
+    sum_sq = np.zeros(len(ids), dtype=np.int64)
+    peak = np.zeros(len(ids), dtype=np.int64)
+    zc = np.zeros(len(ids), dtype=np.int64)
+    for nc in np.unique(n_cls):
+        idx = np.nonzero(n_cls == nc)[0]
+        n = int(1600 + nc * 400)
+        pcm = gen_audio_group(u[idx], n)
+        for j, i in enumerate(idx):
+            s = qaud_decode(qaud_encode(pcm[j])).astype(np.int64)
+            sum_sq[i] = int((s * s).sum())
+            peak[i] = int(np.abs(s).max())
+            zc[i] = int((s[:-1] * s[1:] < 0).sum())
+    rms2_milli = 1000 * sum_sq // n_samples
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_samples": pa.array(n_samples, pa.int64()),
+        "sum_sq": pa.array(sum_sq, pa.int64()),
+        "peak": pa.array(peak, pa.int64()),
+        "zero_cross": pa.array(zc, pa.int64()),
+        "rms2_milli": pa.array(rms2_milli, pa.int64()),
+        "loud": pa.array(rms2_milli >= loud_rms2_milli, pa.bool_()),
+    })
+
+
+_VID_W, _VID_H = 16, 12
+
+
+def video_motion_table(batch: pa.Table) -> pa.Table:
+    """Temporal-motion census through the REAL qvid container round
+    trip (per-frame qimg encode → container → per-frame decode): per
+    video the exact integer motion mass Σ_f Σ_px |p_f − p_{f−1}| over
+    decoded values — the static-clip / slideshow screen of video
+    curation (a stuck encoder or duplicated frame shows up as a
+    near-zero inter-frame delta). Frame count derives from
+    md5('vid:'||doc_id), each frame's pixels from
+    md5('vf:'||doc_id||':'||f) through the shared image generator;
+    the DuckDB twin recomputes BOTH frames of every pixel pair
+    closed-form with qimg dequantization."""
+    from ..payload import _gen_pixels_group, qvid_decode, qvid_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"vid:{i}" for i in ids])
+    k = (4 + (u % np.uint64(3)) * np.uint64(2)).astype(np.int64)
+    # one vectorized pixel-gen call for EVERY (doc, frame)
+    doc_idx = np.repeat(np.arange(len(ids)), k)
+    frame_no = np.concatenate([np.arange(x) for x in k]) \
+        if len(ids) else np.zeros(0, np.int64)
+    uf = md5_u64([f"vf:{ids[d]}:{f}"
+                  for d, f in zip(doc_idx, frame_no)])
+    pix = _gen_pixels_group(uf, _VID_W, _VID_H)
+    motion = np.zeros(len(ids), dtype=np.int64)
+    pos = 0
+    for i, kk in enumerate(k):
+        frames = [pix[pos + f] for f in range(kk)]
+        pos += int(kk)
+        dec = qvid_decode(qvid_encode(frames))
+        arr = np.stack(dec).astype(np.int64)
+        motion[i] = int(np.abs(arr[1:] - arr[:-1]).sum())
+    denom = (k - 1) * _VID_W * _VID_H * 3
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_frames": pa.array(k, pa.int64()),
+        "w": pa.array(np.full(len(ids), _VID_W, np.int64), pa.int64()),
+        "h": pa.array(np.full(len(ids), _VID_H, np.int64), pa.int64()),
+        "motion_sum": pa.array(motion, pa.int64()),
+        "motion_per_px_milli": pa.array(1000 * motion // denom,
+                                        pa.int64()),
     })

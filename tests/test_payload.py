@@ -66,3 +66,63 @@ def test_phash_similarity():
     # near-identical images have near-identical phash
     d = bin(phash64(pix) ^ phash64(noisy)).count("1")
     assert d <= 4
+
+
+def test_qaud_codec_roundtrip_and_stage():
+    """qaud PCM round-trips bit-exactly; AudioFeatureStage extracts
+    real features for qaud and flags (not kills) gated formats."""
+    import numpy as np
+    import pyarrow as pa
+
+    from frontera_ray.payload import gen_audio_group, qaud_decode, qaud_encode
+    from frontera_ray.stages.images import AudioFeatureStage
+
+    seeds = np.array([42, 7, 123456789], dtype=np.uint64)
+    pcm = gen_audio_group(seeds, 1600)
+    for row in pcm:
+        assert (qaud_decode(qaud_encode(row)) == row).all()
+
+    batch = pa.table({
+        "audio_id": pa.array(["a0", "a1", "bad"], pa.string()),
+        "bytes": pa.array([qaud_encode(pcm[0]), qaud_encode(pcm[1]),
+                           b"ID3\x04junk"], pa.binary()),
+        "fmt": pa.array(["qaud", "qaud", "mp3"], pa.string()),
+    })
+    out = AudioFeatureStage()(batch).to_pandas()
+    assert list(out["decode_ok"]) == [True, True, False]
+    s0 = pcm[0].astype(np.int64)
+    assert int(out.loc[0, "sum_sq"]) == int((s0 * s0).sum())
+    assert int(out.loc[0, "zero_cross"]) == int((s0[:-1] * s0[1:] < 0).sum())
+
+
+def test_qvid_container_and_frame_sampler():
+    """qvid frames round-trip through qimg exactly; the sampler decodes
+    every k-th frame only and emits per-frame luma rows; gated
+    containers are skipped (or raise when strict)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from frontera_ray.payload import (_gen_pixels_group, qimg_decode,
+                                      qimg_encode, qvid_decode, qvid_encode)
+    from frontera_ray.stages.images import VideoFrameSampleStage
+
+    seeds = np.arange(5, dtype=np.uint64) + 99
+    frames = [f for f in _gen_pixels_group(seeds, 16, 12)]
+    data = qvid_encode(frames)
+    dec = qvid_decode(data)
+    assert len(dec) == 5
+    for f, g in zip(frames, dec):
+        assert (g == qimg_decode(qimg_encode(f))).all()
+    assert len(qvid_decode(data, every=2)) == 3  # frames 0, 2, 4
+
+    batch = pa.table({
+        "video_id": pa.array(["v0", "gated"], pa.string()),
+        "bytes": pa.array([data, b"\x00\x00\x00 ftypmp4"], pa.binary()),
+        "fmt": pa.array(["qvid", "mp4"], pa.string()),
+    })
+    out = VideoFrameSampleStage(every=2)(batch).to_pandas()
+    assert list(out["video_id"]) == ["v0"] * 3
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(every=2, strict=True)(batch)
