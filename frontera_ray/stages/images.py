@@ -5,12 +5,14 @@ opaque ``bytes`` with typed metadata (w, h, fmt, phash). These stages
 are actor-pool ``map_batches`` classes: codec/model state initialized
 once per actor in ``__init__``, vectorized work per ``__call__``.
 
-Real here: PNG + QIMG decode, nearest-neighbor resize, phash recompute,
-PSNR validation. Gated (environment has no media libraries): JPEG
-decode, audio feature extraction, video frame sampling — each raises
-NotImplementedError behind a format check while keeping the Ray-side
-plumbing (schema, batch size, actor signature, output layout) real and
-tested.
+Real here: PNG + QIMG image decode, nearest-neighbor resize, phash
+recompute, PSNR validation; QAUD PCM audio feature extraction; QVID
+container frame sampling (per-frame qimg payloads, container-level
+seek). Gated (environment has no media libraries): JPEG decode,
+mp3/wav audio, mp4/webm video — each raises NotImplementedError
+behind a format check while keeping the Ray-side plumbing (schema,
+batch size, actor signature, output layout) identical to the real
+path.
 """
 
 from __future__ import annotations
