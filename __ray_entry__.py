@@ -7394,6 +7394,35 @@ def q_video_motion(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_audio_silence(sf_dir: str):
+    """Silence-trim census through the REAL qaud round trip
+    (images.audio_silence_table): per clip the trim points (first/last
+    sample above threshold), quiet-sample share and all-silent flag —
+    the dead-air screen of audio ingest. Per-sample closed-form DuckDB
+    twin; shuffle-free map_batches."""
+    from frontera_ray.stages.images import audio_silence_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(audio_silence_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_video_flicker(sf_dir: str):
+    """Exposure-flicker census through the REAL qvid round trip
+    (images.video_flicker_table): per-frame BT.601 luma masses and the
+    integer between-frame variance proxy Σ(k·L_f − ΣL)² — the
+    strobing / auto-exposure-hunting screen, the global-brightness
+    twin of video_motion's local deltas. Per-frame closed-form DuckDB
+    twin; shuffle-free map_batches."""
+    from frontera_ray.stages.images import video_flicker_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(video_flicker_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution to the canonical target — the
     pre-dedup canonicalization every frontier performs (frontera
@@ -9039,6 +9068,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "subnet_load_rollup": q_subnet_load_rollup,
     "audio_features": q_audio_features,
     "video_motion": q_video_motion,
+    "audio_silence": q_audio_silence,
+    "video_flicker": q_video_flicker,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -9396,6 +9427,67 @@ def _video_motion_oracle() -> str:
                (1000 * sum(dv) // ((k - 1) * 16 * 12 * 3))::BIGINT
                  AS motion_per_px_milli
         FROM px GROUP BY doc_id, k ORDER BY doc_id"""
+
+
+def _audio_silence_oracle() -> str:
+    v0 = _aud_val_sql("gt.t::UBIGINT")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('aud:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        m AS (SELECT doc_id, (1600 + (u % 4) * 400)::BIGINT AS n,
+                     (1 + (u >> 5) % 4)::BIGINT AS amp,
+                     (u & 4294967295::UBIGINT) AS s32
+              FROM d),
+        v AS (SELECT m.doc_id, m.n, gt.t, abs({v0}) AS av
+              FROM m, generate_series(0, 2799) gt(t)
+              WHERE gt.t < m.n)
+        SELECT doc_id, n AS n_samples,
+               coalesce(min(CASE WHEN av > 1500 THEN t END), -1)::BIGINT
+                 AS trim_start,
+               coalesce(max(CASE WHEN av > 1500 THEN t END), -1)::BIGINT
+                 AS trim_end,
+               (1000000 * sum(CASE WHEN av <= 1500 THEN 1 ELSE 0 END)
+                // n)::BIGINT AS quiet_ppm,
+               (coalesce(min(CASE WHEN av > 1500 THEN t END), -1) < 0)
+                 AS all_silent
+        FROM v GROUP BY doc_id, n ORDER BY doc_id"""
+
+
+def _video_flicker_oracle() -> str:
+    val = _vid_val_sql("fs")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('vid:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        mk AS (SELECT doc_id, (4 + (u % 3) * 2)::BIGINT AS k FROM d),
+        fm AS (SELECT mk.doc_id, mk.k, gf.f,
+                      ('0x'||substr(md5('vf:'||
+                         CAST(doc_id AS VARCHAR)||':'||
+                         CAST(gf.f AS VARCHAR)),1,16))::UBIGINT AS uf
+               FROM mk, generate_series(0, 7) gf(f) WHERE gf.f < mk.k),
+        fs AS (SELECT doc_id, k, f,
+                      (1 + uf % 5) AS s5, (1 + (uf >> 4) % 7) AS s7,
+                      (uf & 4294967295::UBIGINT) AS s32,
+                      (uf % 256) AS s256
+               FROM fm),
+        fl AS (SELECT fs.doc_id, fs.k, fs.f,
+                      sum((CASE gc.c WHEN 0 THEN 299 WHEN 1 THEN 587
+                           ELSE 114 END) * {val})::BIGINT AS lum
+               FROM fs, generate_series(0, 15) gx(x),
+                    generate_series(0, 11) gy(y),
+                    generate_series(0, 2) gc(c)
+               GROUP BY fs.doc_id, fs.k, fs.f),
+        agg AS (SELECT doc_id, sum(lum)::BIGINT AS tot
+                FROM fl GROUP BY 1)
+        SELECT fl.doc_id, fl.k AS n_frames,
+               agg.tot AS luma_total_milli,
+               sum((fl.k * fl.lum - agg.tot)
+                   * (fl.k * fl.lum - agg.tot))::BIGINT AS flicker_var
+        FROM fl JOIN agg USING (doc_id)
+        GROUP BY fl.doc_id, fl.k, agg.tot ORDER BY doc_id"""
 
 
 def _plane_literal(row) -> str:
@@ -13176,6 +13268,8 @@ def oracle_sql() -> dict[str, str]:
         "caption_alignment": _caption_alignment_oracle(),
         "audio_features": _audio_features_oracle(),
         "video_motion": _video_motion_oracle(),
+        "audio_silence": _audio_silence_oracle(),
+        "video_flicker": _video_flicker_oracle(),
         "anchor_text_census": r"""
             WITH w(i, word) AS (VALUES (0,'home'),(1,'next'),(2,'buy'),
                  (3,'photo'),(4,'read'),(5,'more'),(6,'login'),

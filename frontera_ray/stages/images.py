@@ -1238,3 +1238,80 @@ def video_motion_table(batch: pa.Table) -> pa.Table:
         "motion_per_px_milli": pa.array(1000 * motion // denom,
                                         pa.int64()),
     })
+
+
+def audio_silence_table(batch: pa.Table, thresh: int = 1500
+                        ) -> pa.Table:
+    """Silence-trim census through the REAL qaud round trip: per clip
+    the first and last sample whose |s| exceeds ``thresh`` (the trim
+    points an ingest pipeline cuts at), the below-threshold sample
+    share, and the all-silent flag — the dead-air / truncated-upload
+    screen of audio curation. Integer-exact; the DuckDB twin
+    recomputes every sample closed-form."""
+    from ..payload import gen_audio_group, qaud_decode, qaud_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"aud:{i}" for i in ids])
+    n_cls = (u % np.uint64(4)).astype(np.int64)
+    n_samples = 1600 + n_cls * 400
+    first = np.full(len(ids), -1, dtype=np.int64)
+    last = np.full(len(ids), -1, dtype=np.int64)
+    quiet = np.zeros(len(ids), dtype=np.int64)
+    for nc in np.unique(n_cls):
+        idx = np.nonzero(n_cls == nc)[0]
+        n = int(1600 + nc * 400)
+        pcm = gen_audio_group(u[idx], n)
+        for j, i in enumerate(idx):
+            s = np.abs(qaud_decode(qaud_encode(pcm[j])).astype(np.int64))
+            loudpos = np.flatnonzero(s > thresh)
+            if len(loudpos):
+                first[i] = int(loudpos[0])
+                last[i] = int(loudpos[-1])
+            quiet[i] = int((s <= thresh).sum())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_samples": pa.array(n_samples, pa.int64()),
+        "trim_start": pa.array(first, pa.int64()),
+        "trim_end": pa.array(last, pa.int64()),
+        "quiet_ppm": pa.array(1_000_000 * quiet // n_samples, pa.int64()),
+        "all_silent": pa.array(first < 0, pa.bool_()),
+    })
+
+
+def video_flicker_table(batch: pa.Table) -> pa.Table:
+    """Exposure-flicker census through the REAL qvid round trip: per
+    video each frame's BT.601 luma mass, then the integer
+    between-frame variance proxy Σ(k·L_f − ΣL)² — near zero for a
+    steady exposure, large for strobing / auto-exposure hunting —
+    the GLOBAL-brightness twin of video_motion's local pixel deltas.
+    The DuckDB twin recomputes every frame's luma closed-form."""
+    from ..payload import _gen_pixels_group, qvid_decode, qvid_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"vid:{i}" for i in ids])
+    k = (4 + (u % np.uint64(3)) * np.uint64(2)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids)), k)
+    frame_no = np.concatenate([np.arange(x) for x in k]) \
+        if len(ids) else np.zeros(0, np.int64)
+    uf = md5_u64([f"vf:{ids[d]}:{f}" for d, f in zip(doc_idx, frame_no)])
+    pix = _gen_pixels_group(uf, _VID_W, _VID_H)
+    wgt = np.asarray([299, 587, 114], dtype=np.int64)
+    var4 = np.zeros(len(ids), dtype=np.int64)
+    luma_tot = np.zeros(len(ids), dtype=np.int64)
+    pos = 0
+    for i, kk in enumerate(k):
+        frames = [pix[pos + f] for f in range(kk)]
+        pos += int(kk)
+        dec = qvid_decode(qvid_encode(frames))
+        lum = np.asarray([int((f.astype(np.int64) * wgt).sum())
+                          for f in dec], dtype=np.int64)
+        tot = int(lum.sum())
+        luma_tot[i] = tot
+        dev = int(kk) * lum - tot
+        var4[i] = int((dev * dev).sum())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_frames": pa.array(k, pa.int64()),
+        "luma_total_milli": pa.array(luma_tot, pa.int64()),
+        "flicker_var": pa.array(var4, pa.int64()),
+    })
