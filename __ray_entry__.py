@@ -3506,6 +3506,65 @@ def q_knn_join(sf_dir: str):
     return knn_join_lsh(_read(sf_dir, "embeddings"))
 
 
+def q_knn_classify(sf_dir: str):
+    """k-NN label prediction (k=5, majority vote, tie → smaller
+    label) of the first 50 embeddings against the rest as train set —
+    the end-to-end eval shape behind weak-labeling and
+    nearest-neighbor audit passes: distributed per-block partial
+    top-k against the broadcast query matrix (the brute_force_topk
+    kernel over the train-filtered stream), neighbor labels fetched
+    pair-scoped, the vote a tiny driver reduce. Deterministic ranking
+    (round(sim,9) DESC, id ASC) op-matched to the SQL window."""
+    import pandas as pd
+    import ray
+    from functools import partial as _p
+
+    from frontera_ray.stages.ann import (_merge_topk, _query_rows,
+                                         block_topk_batch)
+
+    ds = _read(sf_dir, "embeddings")
+    qids, qmat = _query_rows(
+        ds.select_columns(["vec_id", "embedding"]), range(50))
+    train = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 50)),
+        batch_format="pyarrow")
+    query_ref = ray.put((qids, qmat))
+    partials = train.map_batches(
+        _p(block_topk_batch, query_ref=query_ref, k=5),
+        batch_format="pyarrow", batch_size=4096)
+    merged = pa.concat_tables(list(
+        partials.iter_batches(batch_format="pyarrow", batch_size=None)))
+    top = _merge_topk(merged, 5).to_pandas()
+
+    need = set(int(v) for v in top["vec_id"]) | set(int(q) for q in qids)
+    need_ref = ray.put(need)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch["vec_id"].to_numpy()
+        m = np.fromiter((int(i) in nd for i in ids), bool, len(ids))
+        return batch.filter(pa.array(m))
+
+    lab = (ds.select_columns(["vec_id", "label"])
+           .map_batches(pick, batch_format="pyarrow").to_pandas())
+    lmap = dict(zip(lab["vec_id"].astype(int), lab["label"].astype(int)))
+    top["nl"] = top["vec_id"].map(lmap)
+    rows = []
+    for q, g in top.groupby("query_id"):
+        counts = g.groupby("nl").size().reset_index(name="n")
+        counts = counts.sort_values(["n", "nl"],
+                                    ascending=[False, True])
+        pred, votes = int(counts.iloc[0]["nl"]), int(counts.iloc[0]["n"])
+        true = lmap[int(q)]
+        rows.append({"query_id": int(q), "true_label": true,
+                     "pred_label": pred, "n_votes": votes,
+                     "correct": pred == true})
+    out = pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+    for c in ["query_id", "true_label", "pred_label", "n_votes"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_proto_prune(sf_dir: str):
     """Prototype-distance pruning (ann.proto_prune): keep each
     k-means cluster's 80% most prototypical embeddings (smallest
@@ -9070,6 +9129,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "video_motion": q_video_motion,
     "audio_silence": q_audio_silence,
     "video_flicker": q_video_flicker,
+    "knn_classify": q_knn_classify,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13270,6 +13330,30 @@ def oracle_sql() -> dict[str, str]:
         "video_motion": _video_motion_oracle(),
         "audio_silence": _audio_silence_oracle(),
         "video_flicker": _video_flicker_oracle(),
+        "knn_classify": """
+            WITH nn AS (
+              SELECT query_id, e_label FROM (
+                SELECT q.vec_id AS query_id, e.label AS e_label,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             e.embedding::DOUBLE[],
+                             q.embedding::DOUBLE[]), 9) DESC,
+                           e.vec_id) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id >= 50) e,
+                     (SELECT * FROM embeddings WHERE vec_id < 50) q)
+              WHERE rank <= 5),
+            votes AS (SELECT query_id, e_label, count(*)::BIGINT AS n,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY count(*) DESC, e_label) AS vr
+                      FROM nn GROUP BY query_id, e_label),
+            win AS (SELECT query_id, e_label, n FROM votes WHERE vr = 1)
+            SELECT w.query_id::BIGINT AS query_id,
+                   q.label::BIGINT AS true_label,
+                   w.e_label::BIGINT AS pred_label,
+                   w.n AS n_votes,
+                   (q.label = w.e_label) AS correct
+            FROM win w JOIN embeddings q ON q.vec_id = w.query_id
+            ORDER BY query_id""",
         "anchor_text_census": r"""
             WITH w(i, word) AS (VALUES (0,'home'),(1,'next'),(2,'buy'),
                  (3,'photo'),(4,'read'),(5,'more'),(6,'login'),

@@ -111,7 +111,7 @@ BENCH_QUERIES = [
     "crawl_eta_plan", "class_f1", "group_p95", "top_user_share",
     "anchor_text_census", "robots_precedence_audit", "burst_rate",
     "subnet_load_rollup", "audio_features", "video_motion",
-    "audio_silence", "video_flicker",
+    "audio_silence", "video_flicker", "knn_classify",
 ]
 
 CRAWL_HOSTS = 8192
