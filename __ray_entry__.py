@@ -7422,6 +7422,62 @@ def q_phash_dup_locality(sf_dir: str):
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
 
 
+def q_line_length_stats(sf_dir: str):
+    """Per-document line-length profile — the code-vs-prose screen of
+    pretraining curation (CCNet/RedPajama-style: prose has short-ish
+    uniform lines after wrapping, code and minified blobs have extreme
+    max line lengths or very many tiny lines): n_lines, max/total line
+    length, mean line length in exact integers, and the `long_line`
+    gate. Vectorized Arrow split kernels; the DuckDB twin re-splits
+    the same strings with string_split/unnest."""
+    def kern(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], "\n")
+        parent = pc.list_parent_indices(lines)
+        lens = pc.utf8_length(pc.list_flatten(lines)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        n_lines = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        p = parent.to_numpy()
+        np.add.at(n_lines, p, 1)
+        np.add.at(tot, p, lens)
+        np.maximum.at(mx, p, lens)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "total_len": pa.array(tot, pa.int64()),
+            "max_line_len": pa.array(mx, pa.int64()),
+            "mean_line_len": pa.array(tot // n_lines, pa.int64()),
+            "long_line": pa.array(mx >= 120, pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_control_char_gate(sf_dir: str):
+    """Control-character hygiene gate: per document the count of C0
+    control bytes (excluding tab/newline/CR) — binary-spill and
+    mojibake detection, the cheapest corruption screen in a text
+    pipeline. Vectorized RE2 count on both sides (Arrow
+    count_substring_regex vs DuckDB regexp_extract_all length)."""
+    def kern(b: pa.Table) -> pa.Table:
+        n_ctrl = pc.count_substring_regex(
+            b["text"], r"[\x00-\x08\x0b\x0c\x0e-\x1f]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_ctrl": pa.array(n_ctrl, pa.int64()),
+            "clean": pa.array(n_ctrl == 0, pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9130,6 +9186,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_silence": q_audio_silence,
     "video_flicker": q_video_flicker,
     "knn_classify": q_knn_classify,
+    "line_length_stats": q_line_length_stats,
+    "control_char_gate": q_control_char_gate,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13330,6 +13388,23 @@ def oracle_sql() -> dict[str, str]:
         "video_motion": _video_motion_oracle(),
         "audio_silence": _audio_silence_oracle(),
         "video_flicker": _video_flicker_oracle(),
+        "line_length_stats": r"""
+            WITH l AS (SELECT doc_id,
+                              unnest(string_split(text, chr(10))) AS ln
+                       FROM documents)
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   sum(len(ln))::BIGINT AS total_len,
+                   max(len(ln))::BIGINT AS max_line_len,
+                   (sum(len(ln)) // count(*))::BIGINT AS mean_line_len,
+                   (max(len(ln)) >= 120) AS long_line
+            FROM l GROUP BY doc_id ORDER BY doc_id""",
+        "control_char_gate": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT AS n_ctrl,
+                   (len(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0) AS clean
+            FROM documents ORDER BY doc_id""",
         "knn_classify": """
             WITH nn AS (
               SELECT query_id, e_label FROM (
