@@ -7457,6 +7457,55 @@ def q_line_length_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gopher_rules(sf_dir: str):
+    """The Gopher format gates (Rae et al. 2021, public): per document
+    the bullet-line ratio, ellipsis-line ratio and symbol-to-word
+    ratio in exact integer ppm, and the composite `flagged` verdict
+    (bullet > 90%, ellipsis-end > 30%, symbols > 10% of words) — the
+    most-cited rule set in pretraining curation. Vectorized Arrow
+    split/starts_with/ends_with kernels; the DuckDB twin re-parses
+    the same strings."""
+    def kern(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], "\n")
+        parent = pc.list_parent_indices(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        n = len(b)
+        bullet = (pc.starts_with(flat, "- ").to_numpy(zero_copy_only=False)
+                  | pc.starts_with(flat, "* ").to_numpy(zero_copy_only=False)
+                  | pc.starts_with(flat, "• ").to_numpy(zero_copy_only=False))
+        ell = pc.ends_with(flat, "...").to_numpy(zero_copy_only=False)
+        n_lines = np.zeros(n, np.int64)
+        n_bullet = np.zeros(n, np.int64)
+        n_ell = np.zeros(n, np.int64)
+        np.add.at(n_lines, parent, 1)
+        np.add.at(n_bullet, parent, bullet.astype(np.int64))
+        np.add.at(n_ell, parent, ell.astype(np.int64))
+        n_words = pc.count_substring_regex(b["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sym = (pc.count_substring_regex(b["text"], "#")
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 + pc.count_substring_regex(b["text"], r"\.\.\.")
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        bullet_ppm = 1_000_000 * n_bullet // n_lines
+        ell_ppm = 1_000_000 * n_ell // n_lines
+        sym_ppm = np.where(n_words > 0,
+                           1_000_000 * n_sym // np.maximum(n_words, 1), 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "bullet_ppm": pa.array(bullet_ppm, pa.int64()),
+            "ellipsis_ppm": pa.array(ell_ppm, pa.int64()),
+            "symbol_ppm": pa.array(sym_ppm, pa.int64()),
+            "flagged": pa.array((bullet_ppm > 900_000)
+                                | (ell_ppm > 300_000)
+                                | (sym_ppm > 100_000), pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_control_char_gate(sf_dir: str):
     """Control-character hygiene gate: per document the count of C0
     control bytes (excluding tab/newline/CR) — binary-spill and
@@ -9188,6 +9237,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "knn_classify": q_knn_classify,
     "line_length_stats": q_line_length_stats,
     "control_char_gate": q_control_char_gate,
+    "gopher_rules": q_gopher_rules,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13398,6 +13448,39 @@ def oracle_sql() -> dict[str, str]:
                    (sum(len(ln)) // count(*))::BIGINT AS mean_line_len,
                    (max(len(ln)) >= 120) AS long_line
             FROM l GROUP BY doc_id ORDER BY doc_id""",
+        "gopher_rules": r"""
+            WITH l AS (SELECT doc_id,
+                              unnest(string_split(text, chr(10))) AS ln
+                       FROM documents),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+                           sum(CASE WHEN starts_with(ln, '- ')
+                                      OR starts_with(ln, '* ')
+                                      OR starts_with(ln, '• ')
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_bullet,
+                           sum(CASE WHEN ends_with(ln, '...')
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_ell
+                    FROM l GROUP BY doc_id),
+            w AS (SELECT doc_id,
+                         len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_words,
+                         (len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\.\.\.')))
+                           ::BIGINT AS n_sym
+                  FROM documents),
+            j AS (SELECT a.doc_id, a.n_lines,
+                         (1000000 * a.n_bullet // a.n_lines)::BIGINT
+                           AS bullet_ppm,
+                         (1000000 * a.n_ell // a.n_lines)::BIGINT
+                           AS ellipsis_ppm,
+                         CASE WHEN w.n_words > 0
+                              THEN 1000000 * w.n_sym
+                                   // greatest(w.n_words, 1)
+                              ELSE 0 END::BIGINT AS symbol_ppm
+                  FROM agg a JOIN w ON w.doc_id = a.doc_id)
+            SELECT doc_id, n_lines, bullet_ppm, ellipsis_ppm, symbol_ppm,
+                   (bullet_ppm > 900000 OR ellipsis_ppm > 300000
+                    OR symbol_ppm > 100000) AS flagged
+            FROM j ORDER BY doc_id""",
         "control_char_gate": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
