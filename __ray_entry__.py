@@ -7457,6 +7457,40 @@ def q_line_length_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_char_class_profile(sf_dir: str):
+    """Character-class profile per document: alpha / digit /
+    whitespace / punctuation-other counts and the alpha share in exact
+    ppm — the C4-style "mostly natural language?" screen (a low alpha
+    share is tables, logs, or base64 spill). One vectorized RE2 pass
+    per class on both sides."""
+    def kern(b: pa.Table) -> pa.Table:
+        total = pc.utf8_length(b["text"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.count_substring_regex(b["text"], r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(b["text"], r"[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        space = pc.count_substring_regex(b["text"], r"\s") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        other = total - alpha - digit - space
+        alpha_ppm = np.where(total > 0,
+                             1_000_000 * alpha // np.maximum(total, 1), 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pa.array(total, pa.int64()),
+            "n_alpha": pa.array(alpha, pa.int64()),
+            "n_digit": pa.array(digit, pa.int64()),
+            "n_space": pa.array(space, pa.int64()),
+            "n_other": pa.array(other, pa.int64()),
+            "alpha_ppm": pa.array(alpha_ppm, pa.int64()),
+            "natural": pa.array(alpha_ppm >= 500_000, pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_gopher_rules(sf_dir: str):
     """The Gopher format gates (Rae et al. 2021, public): per document
     the bullet-line ratio, ellipsis-line ratio and symbol-to-word
@@ -9238,6 +9272,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "line_length_stats": q_line_length_stats,
     "control_char_gate": q_control_char_gate,
     "gopher_rules": q_gopher_rules,
+    "char_class_profile": q_char_class_profile,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13448,6 +13483,24 @@ def oracle_sql() -> dict[str, str]:
                    (sum(len(ln)) // count(*))::BIGINT AS mean_line_len,
                    (max(len(ln)) >= 120) AS long_line
             FROM l GROUP BY doc_id ORDER BY doc_id""",
+        "char_class_profile": r"""
+            WITH p AS (SELECT doc_id, len(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+                     AS n_alpha,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT
+                     AS n_digit,
+                   len(regexp_extract_all(text, '\s'))::BIGINT AS n_space
+            FROM documents)
+            SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+                   (n_chars - n_alpha - n_digit - n_space)::BIGINT
+                     AS n_other,
+                   CASE WHEN n_chars > 0
+                        THEN 1000000 * n_alpha // greatest(n_chars, 1)
+                        ELSE 0 END::BIGINT AS alpha_ppm,
+                   (CASE WHEN n_chars > 0
+                         THEN 1000000 * n_alpha // greatest(n_chars, 1)
+                         ELSE 0 END >= 500000) AS natural
+            FROM p ORDER BY doc_id""",
         "gopher_rules": r"""
             WITH l AS (SELECT doc_id,
                               unnest(string_split(text, chr(10))) AS ln

@@ -112,7 +112,7 @@ BENCH_QUERIES = [
     "anchor_text_census", "robots_precedence_audit", "burst_rate",
     "subnet_load_rollup", "audio_features", "video_motion",
     "audio_silence", "video_flicker", "knn_classify",
-    "line_length_stats", "control_char_gate", "gopher_rules",
+    "line_length_stats", "control_char_gate", "gopher_rules", "char_class_profile",
 ]
 
 CRAWL_HOSTS = 8192
