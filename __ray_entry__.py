@@ -7561,6 +7561,97 @@ def q_control_char_gate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Line-level boilerplate dedup (CCNet / RefinedWeb-style): a
+    nonempty line that appears in >= 3 DISTINCT documents of the SAME
+    source is boilerplate (nav bars, footers, cookie banners) and is
+    struck; per document report the nonempty-line count, boilerplate
+    share in exact ppm, the character mass that survives, and the
+    `flagged` gate (> 30% boilerplate). Pass 1 explodes to distinct
+    (source, line, doc) rows (vectorized Arrow split + C++ in-batch
+    group_by distinct — a doc lives wholly inside one batch) and
+    counts docs per (source, line) on a hash-shuffle ``ds.groupby``
+    (HIGH-cardinality key: combiner aggregation would be wrong).
+    The filtered boilerplate set is small by construction (each entry
+    is backed by >= 3 docs) and is broadcast ONCE via ray.put; pass 2
+    marks membership with one vectorized ``pc.is_in`` per batch. At
+    corpus scale, if the boiler set exceeded the broadcast bound the
+    mark step would switch to the keyed-exchange join of
+    stages/relational.py — same output, one extra exchange."""
+    import ray
+
+    SEP = "\x1f"
+
+    def explode(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], "\n")
+        parent = pc.list_parent_indices(lines)
+        flat = pc.list_flatten(lines)
+        t = pa.table({
+            "skey": pc.binary_join_element_wise(
+                b["source"].take(parent), flat, SEP),
+            "len": pc.utf8_length(flat),
+            "doc_id": b["doc_id"].take(parent),
+        })
+        t = t.filter(pc.greater(t["len"], 0))
+        return t.select(["skey", "doc_id"]).group_by(
+            ["skey", "doc_id"]).aggregate([])
+
+    agg = (_read(sf_dir, "documents")
+           .select_columns(["doc_id", "source", "text"])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby("skey").count())
+
+    def keep_boiler(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["count()"], 3)).select(["skey"])
+
+    boiler_parts = list(agg.map_batches(keep_boiler, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow", batch_size=None))
+    boiler = (pa.concat_tables(boiler_parts)["skey"].combine_chunks()
+              if boiler_parts else pa.array([], pa.string()))
+    if isinstance(boiler, pa.ChunkedArray):
+        boiler = boiler.combine_chunks()
+    boiler_ref = ray.put(boiler)
+
+    def mark(b: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)  # zero-copy from local plasma
+        lines = pc.split_pattern(b["text"], "\n")
+        parent = pc.list_parent_indices(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        skey = pc.binary_join_element_wise(
+            b["source"].take(pa.array(parent)), flat, SEP)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nonempty = lens > 0
+        isb = np.zeros(len(lens), bool)
+        if len(bset):
+            isb = pc.is_in(skey, value_set=bset) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        isb &= nonempty
+        n = len(b)
+        n_lines = np.zeros(n, np.int64)
+        n_boiler = np.zeros(n, np.int64)
+        kept_chars = np.zeros(n, np.int64)
+        np.add.at(n_lines, parent, nonempty.astype(np.int64))
+        np.add.at(n_boiler, parent, isb.astype(np.int64))
+        np.add.at(kept_chars, parent,
+                  np.where(nonempty & ~isb, lens, 0))
+        boiler_ppm = np.where(
+            n_lines > 0, 1_000_000 * n_boiler // np.maximum(n_lines, 1), 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_boiler": pa.array(n_boiler, pa.int64()),
+            "kept_chars": pa.array(kept_chars, pa.int64()),
+            "boiler_ppm": pa.array(boiler_ppm, pa.int64()),
+            "flagged": pa.array(boiler_ppm > 300_000, pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents")
+           .select_columns(["doc_id", "source", "text"])
+           .map_batches(mark, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9273,6 +9364,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "control_char_gate": q_control_char_gate,
     "gopher_rules": q_gopher_rules,
     "char_class_profile": q_char_class_profile,
+    "line_dedup": q_line_dedup,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13541,6 +13633,36 @@ def oracle_sql() -> dict[str, str]:
                    (len(regexp_extract_all(text,
                        '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0) AS clean
             FROM documents ORDER BY doc_id""",
+        "line_dedup": r"""
+            WITH l AS (SELECT doc_id, source,
+                              unnest(string_split(text, chr(10))) AS ln
+                       FROM documents),
+            nz AS (SELECT doc_id, source, ln FROM l WHERE len(ln) > 0),
+            boiler AS (SELECT source, ln
+                       FROM (SELECT DISTINCT doc_id, source, ln FROM nz)
+                       GROUP BY source, ln HAVING count(*) >= 3),
+            agg AS (SELECT nz.doc_id,
+                           count(*)::BIGINT AS n_lines,
+                           sum(CASE WHEN b.ln IS NOT NULL
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+                           sum(CASE WHEN b.ln IS NULL
+                                    THEN len(nz.ln) ELSE 0 END)::BIGINT
+                             AS kept_chars
+                    FROM nz LEFT JOIN boiler b
+                      ON b.source = nz.source AND b.ln = nz.ln
+                    GROUP BY nz.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+                   coalesce(a.n_boiler, 0)::BIGINT AS n_boiler,
+                   coalesce(a.kept_chars, 0)::BIGINT AS kept_chars,
+                   CASE WHEN coalesce(a.n_lines, 0) > 0
+                        THEN 1000000 * a.n_boiler // a.n_lines
+                        ELSE 0 END::BIGINT AS boiler_ppm,
+                   (CASE WHEN coalesce(a.n_lines, 0) > 0
+                         THEN 1000000 * a.n_boiler // a.n_lines
+                         ELSE 0 END > 300000) AS flagged
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id""",
         "knn_classify": """
             WITH nn AS (
               SELECT query_id, e_label FROM (

@@ -116,3 +116,53 @@ def test_quantile_sketch_vs_exact(ray_session):
         lo = vals[max(target - slack, 0)]
         hi = vals[min(target + slack, n - 1)]
         assert lo - 100 <= row["est_cents"] <= hi + 100, dict(row)
+
+
+def test_line_dedup_planted_boilerplate(ray_session, tmp_path):
+    """The shipped corpora are single-line unique-text docs, so the
+    boilerplate branch of q_line_dedup never fires there; plant real
+    cross-doc repeated lines and verify kernel == DuckDB twin with the
+    branch actually taken (same-source >=3 rule, cross-source immunity,
+    within-doc repeats counted per instance but one vote per doc)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "subscribe to our newsletter"
+    rare = "only two docs share me"
+    docs = [
+        (0, f"{boiler}\nunique body zero\n{boiler}", "en", "a"),   # repeat in-doc
+        (1, f"{boiler}\nunique body one", "en", "a"),
+        (2, f"unique body two\n{boiler}\n\n{rare}", "en", "a"),
+        (3, f"{boiler}\n{rare}", "en", "b"),                        # other source
+        (4, "nothing shared here", "en", "b"),
+        (5, f"{rare}\nunique body five", "en", "a"),                # rare: 2 < 3
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = _normalize(entrymod.queries()["line_dedup"](str(tmp_path)))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = _normalize(c.execute(entrymod.oracle_sql()["line_dedup"]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp) == 6
+    for col in got.columns:
+        assert (got[col].to_numpy().astype(object)
+                == exp[col].to_numpy().astype(object)).all(), col
+    by_id = got.set_index("doc_id")
+    # boiler line is in docs 0,1,2 of source a (>=3) -> struck there ...
+    assert by_id.loc[0, "n_boiler"] == 2      # both in-doc instances struck
+    assert by_id.loc[1, "n_boiler"] == 1
+    assert by_id.loc[2, "n_boiler"] == 1
+    # ... but doc 3 is source b: same text, different source -> kept
+    assert by_id.loc[3, "n_boiler"] == 0
+    # rare line appears in only 2 docs of source a -> kept everywhere
+    assert by_id.loc[5, "n_boiler"] == 0
+    assert bool(by_id.loc[0, "flagged"])      # 2/3 lines boiler > 30%
