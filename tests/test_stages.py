@@ -111,10 +111,37 @@ def test_validate_stage():
 
 
 def test_gated_stages_raise():
+    """Real-world formats (mp3/mp4) stay env-gated: strict mode raises,
+    default mode marks decode_ok=False / skips — while the deterministic
+    qaud/qvid containers decode for real (covered in test_payload /
+    test_queries audio_features+video_motion)."""
+    from frontera_ray.payload import qaud_encode, qvid_encode
+
+    ab = pa.table({
+        "audio_id": pa.array(["a0", "a1"], pa.string()),
+        "bytes": pa.array([b"\x00" * 16,
+                           qaud_encode(np.array([1, -2, 3], np.int16))],
+                          pa.binary()),
+        "fmt": pa.array(["mp3", "qaud"], pa.string()),
+    })
     with pytest.raises(NotImplementedError):
-        AudioFeatureStage()(_pages_batch())
+        AudioFeatureStage(strict=True)(ab)
+    out = AudioFeatureStage()(ab)
+    assert out["decode_ok"].to_pylist() == [False, True]
+    assert out["n_samples"].to_pylist() == [0, 3]
+
+    frame = np.zeros((2, 2, 3), np.uint8)
+    vb = pa.table({
+        "video_id": pa.array(["v0", "v1"], pa.string()),
+        "bytes": pa.array([b"\x00" * 16, qvid_encode([frame, frame])],
+                          pa.binary()),
+        "fmt": pa.array(["mp4", "qvid"], pa.string()),
+    })
     with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage()(_pages_batch())
+        VideoFrameSampleStage(strict=True)(vb)
+    out = VideoFrameSampleStage(every=1)(vb)
+    assert set(out["video_id"].to_pylist()) == {"v1"}  # mp4 skipped
+    assert len(out) == 2
 
 
 def test_broadcast_join_and_topk(ray_session):
