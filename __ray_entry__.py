@@ -7652,6 +7652,76 @@ def q_line_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_template_3gram(sf_dir: str):
+    """Templated-source detection: per source the most frequent token
+    3-gram, its count, the source's total 3-gram mass and the top
+    gram's share in exact ppm — a source whose single top template
+    gram owns a large share is boilerplate-generated (listing pages,
+    auto-generated mirrors) and a candidate for source-level
+    down-weighting. One vectorized window pass (flat token array +
+    parent-run mask — no per-row Python), one hash-shuffle groupby on
+    the HIGH-cardinality (source, gram) key, then per-block partial
+    top-1/sum per source merged on the driver (sources are few)."""
+    SEP = "\x1f"
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"])
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(flat) < 3:
+            return pa.table({"skey": pa.array([], pa.string())})
+        f = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        g = pc.binary_join_element_wise(
+            f.slice(0, len(f) - 2), f.slice(1, len(f) - 2),
+            f.slice(2, len(f) - 2), " ")
+        mask = (parent[:-2] == parent[1:-1]) & (parent[:-2] == parent[2:])
+        src = b["source"].take(pa.array(parent[:-2]))
+        skey = pc.binary_join_element_wise(src, g, SEP)
+        return pa.table({"skey": skey.filter(pa.array(mask))})
+
+    agg = (_read(sf_dir, "documents")
+           .select_columns(["source", "text"])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby("skey").count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        sk = b["skey"].to_pandas().str.split(SEP, n=1, expand=True)
+        df = pd.DataFrame({"source": sk[0], "gram": sk[1],
+                           "cnt": b["count()"].to_pandas()})
+        tot = df.groupby("source")["cnt"].sum()
+        top = (df.sort_values(["cnt", "gram"], ascending=[False, True])
+                 .groupby("source").head(1))
+        top = top.set_index("source")
+        out = pd.DataFrame({
+            "source": tot.index.to_numpy(),
+            "top_gram": top["gram"].reindex(tot.index).to_numpy(),
+            "cnt": top["cnt"].reindex(tot.index).to_numpy(),
+            "block_total": tot.to_numpy()})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    import pandas as pd
+    parts = pa.concat_tables(
+        list(agg.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    ).to_pandas()
+    tot = parts.groupby("source")["block_total"].sum()
+    top = (parts.sort_values(["cnt", "top_gram"], ascending=[False, True])
+                .groupby("source").head(1).set_index("source"))
+    out = pd.DataFrame({
+        "source": tot.index.to_numpy(),
+        "top_gram": top["top_gram"].reindex(tot.index).to_numpy(),
+        "cnt": top["cnt"].reindex(tot.index).astype("int64").to_numpy(),
+        "n_grams": tot.astype("int64").to_numpy(),
+    })
+    out["share_ppm"] = (1_000_000 * out["cnt"] // out["n_grams"]).astype(
+        "int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9365,6 +9435,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_rules": q_gopher_rules,
     "char_class_profile": q_char_class_profile,
     "line_dedup": q_line_dedup,
+    "template_3gram": q_template_3gram,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13663,6 +13734,27 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END > 300000) AS flagged
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id""",
+        "template_3gram": r"""
+            WITH toks AS (SELECT source,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents),
+            tri AS (SELECT source,
+                           l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+                    FROM toks,
+                         LATERAL unnest(generate_series(1, len(l)-2))
+                           AS t(i)),
+            cnt AS (SELECT source, g, count(*)::BIGINT AS cnt
+                    FROM tri GROUP BY source, g),
+            tot AS (SELECT source, count(*)::BIGINT AS n_grams
+                    FROM tri GROUP BY source),
+            top AS (SELECT source, g AS top_gram, cnt,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, g) AS rn
+                    FROM cnt)
+            SELECT t.source, t.top_gram, t.cnt, o.n_grams,
+                   (1000000 * t.cnt // o.n_grams)::BIGINT AS share_ppm
+            FROM top t JOIN tot o USING (source)
+            WHERE rn = 1 ORDER BY t.source""",
         "knn_classify": """
             WITH nn AS (
               SELECT query_id, e_label FROM (
