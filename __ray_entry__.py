@@ -7722,6 +7722,41 @@ def q_template_3gram(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_prefix_dup(sf_dir: str):
+    """Prefix-duplicate clusters (truncated-mirror / re-scrape screen):
+    documents sharing the same 64-char text prefix are one cluster —
+    the cheap bucket key that catches truncation dups exact-hash dedup
+    misses (same head, tail cut at different lengths). Per cluster
+    with >= 2 docs: the prefix, member count and the min-doc_id
+    keeper. One vectorized slice kernel + one hash-shuffle groupby on
+    the HIGH-cardinality prefix key (Min+Count fused in the same
+    exchange)."""
+    import ray
+
+    def kern(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "prefix": pc.utf8_slice_codeunits(b["text"], 0, 64),
+            "doc_id": b["doc_id"],
+        })
+
+    agg = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow")
+           .groupby("prefix").aggregate(
+               ray.data.aggregate.Count(),
+               ray.data.aggregate.Min("doc_id")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["count()"], 2))
+        return pa.table({
+            "prefix": b["prefix"],
+            "n_docs": b["count()"].cast(pa.int64()),
+            "keeper": b["min(doc_id)"].cast(pa.int64()),
+        })
+
+    out = (agg.map_batches(finish, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("prefix").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9436,6 +9471,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "char_class_profile": q_char_class_profile,
     "line_dedup": q_line_dedup,
     "template_3gram": q_template_3gram,
+    "prefix_dup": q_prefix_dup,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13734,6 +13770,13 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END > 300000) AS flagged
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id""",
+        "prefix_dup": r"""
+            SELECT substring(text, 1, 64) AS prefix,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS keeper
+            FROM documents
+            GROUP BY prefix HAVING count(*) >= 2
+            ORDER BY prefix""",
         "template_3gram": r"""
             WITH toks AS (SELECT source,
                                  regexp_extract_all(text, '\S+') AS l
