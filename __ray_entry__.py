@@ -7757,6 +7757,47 @@ def q_prefix_dup(sf_dir: str):
     return out.sort_values("prefix").reset_index(drop=True)
 
 
+def q_url_depth_census(sf_dir: str):
+    """Per-host URL path-depth census — the frontier depth-budget read
+    (a BFS/DFS depth-decay strategy allocates budget per depth; a host
+    whose frontier is dominated by deep URLs is a trap or an archive
+    to down-prioritize): n_urls, max/mean depth (exact integer mean),
+    deep-URL share in ppm (depth >= 6). Derived deterministic URL
+    corpus (same doc_id recurrence family as url_param_census), REAL
+    parsing on both sides: the Ray kernel counts path separators with
+    vectorized Arrow kernels, the DuckDB twin re-splits the same
+    strings. 64 hosts -> combiner rollup, no shuffle."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        urls = pa.array(
+            [f"http://h{i % 64}.test" + "/seg" * (1 + i % 6) + f"/p{i}"
+             for i in d], pa.string())
+        depth = pc.subtract(
+            pc.count_substring(urls, "/"), 2).cast(pa.int64())
+        host = pc.list_element(pc.split_pattern(urls, "/"), 2)
+        deep = pc.greater_equal(depth, 6).cast(pa.int64())
+        return pa.table({"host": host, "depth": depth, "deep": deep})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(kern, batch_format="pyarrow"))
+    df = partial_groupby_agg(ds, "host", {
+        "n_urls": ("depth", "count"),
+        "max_depth": ("depth", "max"),
+        "sum_depth": ("depth", "sum"),
+        "n_deep": ("deep", "sum"),
+    })
+    df["mean_depth"] = (df["sum_depth"] // df["n_urls"]).astype("int64")
+    df["deep_ppm"] = (1_000_000 * df["n_deep"] // df["n_urls"]).astype(
+        "int64")
+    out = df[["host", "n_urls", "max_depth", "mean_depth",
+              "deep_ppm"]].copy()
+    for c in ("n_urls", "max_depth"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9472,6 +9513,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "line_dedup": q_line_dedup,
     "template_3gram": q_template_3gram,
     "prefix_dup": q_prefix_dup,
+    "url_depth_census": q_url_depth_census,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13770,6 +13812,21 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END > 300000) AS flagged
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id""",
+        "url_depth_census": r"""
+            WITH u AS (SELECT 'http://h' || (doc_id % 64) || '.test'
+                              || repeat('/seg', (1 + doc_id % 6)::INT)
+                              || '/p' || doc_id AS url
+                       FROM documents),
+            p AS (SELECT string_split(url, '/')[3] AS host,
+                         (len(string_split(url, '/')) - 3)::BIGINT
+                           AS depth
+                  FROM u)
+            SELECT host, count(*)::BIGINT AS n_urls,
+                   max(depth)::BIGINT AS max_depth,
+                   (sum(depth) // count(*))::BIGINT AS mean_depth,
+                   (1000000 * sum(CASE WHEN depth >= 6 THEN 1 ELSE 0 END)
+                    // count(*))::BIGINT AS deep_ppm
+            FROM p GROUP BY host ORDER BY host""",
         "prefix_dup": r"""
             SELECT substring(text, 1, 64) AS prefix,
                    count(*)::BIGINT AS n_docs,

@@ -113,7 +113,7 @@ BENCH_QUERIES = [
     "subnet_load_rollup", "audio_features", "video_motion",
     "audio_silence", "video_flicker", "knn_classify",
     "line_length_stats", "control_char_gate", "gopher_rules", "char_class_profile",
-    "line_dedup", "template_3gram", "prefix_dup",
+    "line_dedup", "template_3gram", "prefix_dup", "url_depth_census",
 ]
 
 CRAWL_HOSTS = 8192
