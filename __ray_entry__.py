@@ -7798,6 +7798,52 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_embedding_norm_census(sf_dir: str):
+    """Embedding-norm census per label — the broken-encoder screen a
+    training pipeline runs before ANN/dedup (all-zero vectors, norm
+    collapse, norm blow-ups all poison cosine geometry): per label the
+    vector count, zero-vector count, and min/max/mean of the squared
+    norm in EXACT integer units (each component floor-quantized at
+    2^20 before squaring — float32→float64 widening and the
+    power-of-two scale are both exact, so Ray and DuckDB compute
+    identical integers). Vectorized flatten + np.add.at over parent
+    runs; labels are few -> combiner rollup, no shuffle."""
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        parent = pc.list_parent_indices(emb).to_numpy()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 1048576.0).astype(np.int64)
+        n = len(b)
+        norm2 = np.zeros(n, np.int64)
+        np.add.at(norm2, parent, q * q)
+        return pa.table({
+            "label": b["label"].cast(pa.int64()),
+            "norm2": pa.array(norm2, pa.int64()),
+            "is_zero": pa.array((norm2 == 0).astype(np.int64), pa.int64()),
+        })
+
+    ds = (_read(sf_dir, "embeddings").select_columns(["label", "embedding"])
+          .map_batches(kern, batch_format="pyarrow"))
+    df = partial_groupby_agg(ds, "label", {
+        "n_vecs": ("norm2", "count"),
+        "n_zero": ("is_zero", "sum"),
+        "min_norm2": ("norm2", "min"),
+        "max_norm2": ("norm2", "max"),
+        "sum_norm2": ("norm2", "sum"),
+    })
+    df["mean_norm2"] = (df["sum_norm2"] // df["n_vecs"]).astype("int64")
+    out = df[["label", "n_vecs", "n_zero", "min_norm2", "max_norm2",
+              "mean_norm2"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9514,6 +9560,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "template_3gram": q_template_3gram,
     "prefix_dup": q_prefix_dup,
     "url_depth_census": q_url_depth_census,
+    "embedding_norm_census": q_embedding_norm_census,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13812,6 +13859,21 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END > 300000) AS flagged
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id""",
+        "embedding_norm_census": r"""
+            WITH q AS (SELECT label::BIGINT AS label,
+                              list_sum(list_transform(embedding,
+                                  y -> (floor(y::DOUBLE * 1048576)::BIGINT
+                                        * floor(y::DOUBLE
+                                                * 1048576)::BIGINT)))
+                                ::BIGINT AS norm2
+                       FROM embeddings)
+            SELECT label, count(*)::BIGINT AS n_vecs,
+                   sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_zero,
+                   min(norm2)::BIGINT AS min_norm2,
+                   max(norm2)::BIGINT AS max_norm2,
+                   (sum(norm2) // count(*))::BIGINT AS mean_norm2
+            FROM q GROUP BY label ORDER BY label""",
         "url_depth_census": r"""
             WITH u AS (SELECT 'http://h' || (doc_id % 64) || '.test'
                               || repeat('/seg', (1 + doc_id % 6)::INT)
