@@ -7844,6 +7844,58 @@ def q_embedding_norm_census(sf_dir: str):
     return out.sort_values("label").reset_index(drop=True)
 
 
+def q_embedding_dim_census(sf_dir: str):
+    """Per-DIMENSION embedding census — the dead/dominant-dimension
+    screen (a dimension with near-zero variance wastes index bits; one
+    with outsized mass makes cosine geometry anisotropic): for each of
+    the d dimensions, the exact integer sum and sum-of-squares of the
+    2^20-floor-quantized components plus the zero-component count.
+    The transposed aggregate: each block reduces its vectors into a
+    d-row partial with one np.add.at sweep (no shuffle — output is d
+    rows regardless of corpus size), partials merged on the driver.
+    The DuckDB twin unnests each list WITH ORDINALITY and re-sums."""
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 1048576.0).astype(np.int64)
+        widths = np.diff(emb.offsets.to_numpy())
+        d = int(widths.max()) if len(widths) else 0
+        # dimension index of every flat component (lists are uniform
+        # width here; ragged inputs still index correctly per vector);
+        # starts are recomputed from widths so sliced arrays with a
+        # nonzero first offset stay correct
+        starts = np.concatenate(([0], np.cumsum(widths)[:-1])) \
+            if len(widths) else np.zeros(0, np.int64)
+        dim = np.arange(len(q)) - np.repeat(starts, widths)
+        s = np.zeros(d, np.int64)
+        ss = np.zeros(d, np.int64)
+        nz = np.zeros(d, np.int64)
+        cnt = np.zeros(d, np.int64)
+        np.add.at(s, dim, q)
+        np.add.at(ss, dim, q * q)
+        np.add.at(nz, dim, (q == 0).astype(np.int64))
+        np.add.at(cnt, dim, 1)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "sum_q": pa.array(s, pa.int64()),
+            "sum_q2": pa.array(ss, pa.int64()),
+            "n_zero": pa.array(nz, pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        list(_read(sf_dir, "embeddings").select_columns(["embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    df = parts.to_pandas().groupby("dim", as_index=False).sum()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("dim").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio loudness / silence / voiced-unvoiced screens through the
     REAL qaud codec round trip (images.audio_features_table): per clip
@@ -9561,6 +9613,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "prefix_dup": q_prefix_dup,
     "url_depth_census": q_url_depth_census,
     "embedding_norm_census": q_embedding_norm_census,
+    "embedding_dim_census": q_embedding_dim_census,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -13859,6 +13912,18 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END > 300000) AS flagged
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id""",
+        "embedding_dim_census": r"""
+            WITH e AS (SELECT embedding AS l FROM embeddings),
+            c AS (SELECT i - 1 AS dim,
+                         floor(l[i]::DOUBLE * 1048576)::BIGINT AS q
+                  FROM e, LATERAL unnest(generate_series(1, len(l)))
+                    AS t(i))
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+                   sum(q)::BIGINT AS sum_q,
+                   sum(q * q)::BIGINT AS sum_q2,
+                   sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_zero
+            FROM c GROUP BY dim ORDER BY dim""",
         "embedding_norm_census": r"""
             WITH q AS (SELECT label::BIGINT AS label,
                               list_sum(list_transform(embedding,

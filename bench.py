@@ -114,7 +114,7 @@ BENCH_QUERIES = [
     "audio_silence", "video_flicker", "knn_classify",
     "line_length_stats", "control_char_gate", "gopher_rules", "char_class_profile",
     "line_dedup", "template_3gram", "prefix_dup", "url_depth_census",
-    "embedding_norm_census",
+    "embedding_norm_census", "embedding_dim_census",
 ]
 
 CRAWL_HOSTS = 8192
