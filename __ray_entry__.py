@@ -7798,6 +7798,36 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_audio_clipping(sf_dir: str):
+    """Clipped-audio census through the REAL qaud round trip
+    (images.audio_clipping_table): per clip the count/ppm of samples
+    at |s| >= 8000 and the hot-master gate — only the loudest
+    amplitude class reaches the region, so the gate separates the
+    classes exactly like real clipping separates damaged masters.
+    Shuffle-free map_batches; the DuckDB twin recomputes every
+    SAMPLE closed-form."""
+    from frontera_ray.stages.images import audio_clipping_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(audio_clipping_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary census through the REAL qvid round trip
+    (images.video_scene_cuts_table): per video the adjacent-frame
+    delta-mass extrema and the count of hard cuts (pair mass >=
+    48000) — the slideshow / static-clip discriminator. Shuffle-free;
+    the DuckDB twin recomputes BOTH frames of every pixel pair."""
+    from frontera_ray.stages.images import video_scene_cuts_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(video_scene_cuts_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embedding_norm_census(sf_dir: str):
     """Embedding-norm census per label — the broken-encoder screen a
     training pipeline runs before ANN/dedup (all-zero vectors, norm
@@ -9614,6 +9644,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "url_depth_census": q_url_depth_census,
     "embedding_norm_census": q_embedding_norm_census,
     "embedding_dim_census": q_embedding_dim_census,
+    "audio_clipping": q_audio_clipping,
+    "video_scene_cuts": q_video_scene_cuts,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
     "gini_split": q_gini_split,
@@ -9997,6 +10029,65 @@ def _audio_silence_oracle() -> str:
                (coalesce(min(CASE WHEN av > 1500 THEN t END), -1) < 0)
                  AS all_silent
         FROM v GROUP BY doc_id, n ORDER BY doc_id"""
+
+
+def _audio_clipping_oracle() -> str:
+    v0 = _aud_val_sql("gt.t::UBIGINT")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('aud:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        m AS (SELECT doc_id, (1600 + (u % 4) * 400)::BIGINT AS n,
+                     (1 + (u >> 5) % 4)::BIGINT AS amp,
+                     (u & 4294967295::UBIGINT) AS s32
+              FROM d),
+        v AS (SELECT m.doc_id, m.n, abs({v0}) AS av
+              FROM m, generate_series(0, 2799) gt(t)
+              WHERE gt.t < m.n),
+        agg AS (SELECT doc_id, n,
+                       sum(CASE WHEN av >= 8000 THEN 1 ELSE 0 END)
+                         ::BIGINT AS n_clip
+                FROM v GROUP BY doc_id, n)
+        SELECT doc_id, n AS n_samples, n_clip,
+               (1000000 * n_clip // n)::BIGINT AS clip_ppm,
+               ((1000000 * n_clip // n) > 10000) AS clipped
+        FROM agg ORDER BY doc_id"""
+
+
+def _video_scene_cuts_oracle() -> str:
+    v1 = _vid_val_sql("a")
+    v0 = _vid_val_sql("b")
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          ('0x'||substr(md5('vid:'||
+                             CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                   FROM documents),
+        mk AS (SELECT doc_id, (4 + (u % 3) * 2)::BIGINT AS k FROM d),
+        fm AS (SELECT mk.doc_id, mk.k, gf.f,
+                      ('0x'||substr(md5('vf:'||
+                         CAST(doc_id AS VARCHAR)||':'||
+                         CAST(gf.f AS VARCHAR)),1,16))::UBIGINT AS uf
+               FROM mk, generate_series(0, 7) gf(f) WHERE gf.f < mk.k),
+        fs AS (SELECT doc_id, k, f,
+                      (1 + uf % 5) AS s5, (1 + (uf >> 4) % 7) AS s7,
+                      (uf & 4294967295::UBIGINT) AS s32,
+                      (uf % 256) AS s256
+               FROM fm),
+        pair AS (SELECT a.doc_id, a.k, a.f,
+                        sum(abs({v1} - {v0}))::BIGINT AS mass
+                 FROM fs a JOIN fs b
+                      ON b.doc_id = a.doc_id AND b.f = a.f - 1,
+                      generate_series(0, 15) gx(x),
+                      generate_series(0, 11) gy(y),
+                      generate_series(0, 2) gc(c)
+                 GROUP BY a.doc_id, a.k, a.f)
+        SELECT doc_id, (k - 1)::BIGINT AS n_pairs,
+               sum(CASE WHEN mass >= 48000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_cuts,
+               min(mass)::BIGINT AS pair_min,
+               max(mass)::BIGINT AS pair_max
+        FROM pair GROUP BY doc_id, k ORDER BY doc_id"""
 
 
 def _video_flicker_oracle() -> str:
@@ -13814,6 +13905,8 @@ def oracle_sql() -> dict[str, str]:
         "video_motion": _video_motion_oracle(),
         "audio_silence": _audio_silence_oracle(),
         "video_flicker": _video_flicker_oracle(),
+        "audio_clipping": _audio_clipping_oracle(),
+        "video_scene_cuts": _video_scene_cuts_oracle(),
         "line_length_stats": r"""
             WITH l AS (SELECT doc_id,
                               unnest(string_split(text, chr(10))) AS ln

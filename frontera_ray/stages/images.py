@@ -1315,3 +1315,76 @@ def video_flicker_table(batch: pa.Table) -> pa.Table:
         "luma_total_milli": pa.array(luma_tot, pa.int64()),
         "flicker_var": pa.array(var4, pa.int64()),
     })
+
+
+def audio_clipping_table(batch: pa.Table, thresh: int = 8000
+                         ) -> pa.Table:
+    """Clipped-audio census through the REAL qaud round trip: per clip
+    the count and ppm share of samples at or beyond ``thresh`` —
+    the hot-mix / mastering-damage screen (in this corpus only the
+    loudest amplitude class ever reaches the region, so the gate
+    separates the classes exactly like real clipping separates broken
+    masters). Integer-exact; the DuckDB twin recomputes every sample
+    closed-form from the same md5 recurrence."""
+    from ..payload import gen_audio_group, qaud_decode, qaud_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"aud:{i}" for i in ids])
+    n_cls = (u % np.uint64(4)).astype(np.int64)
+    n_samples = 1600 + n_cls * 400
+    n_clip = np.zeros(len(ids), dtype=np.int64)
+    for nc in np.unique(n_cls):
+        idx = np.nonzero(n_cls == nc)[0]
+        n = int(1600 + nc * 400)
+        pcm = gen_audio_group(u[idx], n)
+        for j, i in enumerate(idx):
+            s = qaud_decode(qaud_encode(pcm[j])).astype(np.int64)
+            n_clip[i] = int((np.abs(s) >= thresh).sum())
+    clip_ppm = 1_000_000 * n_clip // n_samples
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_samples": pa.array(n_samples, pa.int64()),
+        "n_clip": pa.array(n_clip, pa.int64()),
+        "clip_ppm": pa.array(clip_ppm, pa.int64()),
+        "clipped": pa.array(clip_ppm > 10_000, pa.bool_()),
+    })
+
+
+def video_scene_cuts_table(batch: pa.Table, cut_thresh: int = 48_000
+                           ) -> pa.Table:
+    """Scene-cut census through the REAL qvid round trip: per video
+    each adjacent frame pair's absolute pixel-delta mass, the count of
+    pairs at or beyond ``cut_thresh`` (hard cuts), and the min/max
+    pair mass — the shot-boundary detector of video curation (a
+    slideshow is all cuts, a static clip none). Integer-exact; the
+    DuckDB twin recomputes both frames of every pixel pair."""
+    from ..payload import _gen_pixels_group, qvid_decode, qvid_encode
+
+    ids = batch["doc_id"].to_numpy()
+    u = md5_u64([f"vid:{i}" for i in ids])
+    k = (4 + (u % np.uint64(3)) * np.uint64(2)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(ids)), k)
+    frame_no = np.concatenate([np.arange(x) for x in k]) \
+        if len(ids) else np.zeros(0, np.int64)
+    uf = md5_u64([f"vf:{ids[d]}:{f}" for d, f in zip(doc_idx, frame_no)])
+    pix = _gen_pixels_group(uf, _VID_W, _VID_H)
+    n_cuts = np.zeros(len(ids), dtype=np.int64)
+    pair_min = np.zeros(len(ids), dtype=np.int64)
+    pair_max = np.zeros(len(ids), dtype=np.int64)
+    pos = 0
+    for i, kk in enumerate(k):
+        frames = [pix[pos + f] for f in range(kk)]
+        pos += int(kk)
+        dec = qvid_decode(qvid_encode(frames))
+        arr = np.stack(dec).astype(np.int64)
+        pair = np.abs(arr[1:] - arr[:-1]).sum(axis=(1, 2, 3))
+        n_cuts[i] = int((pair >= cut_thresh).sum())
+        pair_min[i] = int(pair.min())
+        pair_max[i] = int(pair.max())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_pairs": pa.array(k - 1, pa.int64()),
+        "n_cuts": pa.array(n_cuts, pa.int64()),
+        "pair_min": pa.array(pair_min, pa.int64()),
+        "pair_max": pa.array(pair_max, pa.int64()),
+    })
