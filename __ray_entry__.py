@@ -7798,6 +7798,57 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_gopher_word_rules(sf_dir: str):
+    """The Gopher WORD-level quality rules (Rae et al. 2021 — the
+    companion set to q_gopher_rules' format gates): per document the
+    word count (gate: 50..100000), exact mean word length in
+    milli-chars (gate: 3000..10000) and the stop-word evidence count
+    from the canonical 10-word set (gate: >= 2 instances), plus the
+    composite `passes`. One vectorized split + np.add.at reduction +
+    one pc.is_in membership sweep; the DuckDB twin re-splits the same
+    strings."""
+    STOP = ["the", "of", "and", "to", "in", "a", "be", "that",
+            "have", "it"]
+    stop_arr = pa.array(STOP, pa.string())
+
+    def kern(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"])
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False).astype(bool) & keep
+        n = len(b)
+        n_words = np.zeros(n, np.int64)
+        sum_len = np.zeros(n, np.int64)
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_words, parent, keep.astype(np.int64))
+        np.add.at(sum_len, parent, np.where(keep, lens, 0))
+        np.add.at(n_stop, parent, is_stop.astype(np.int64))
+        mean_milli = np.where(n_words > 0,
+                              1000 * sum_len // np.maximum(n_words, 1), 0)
+        word_gate = (n_words >= 50) & (n_words <= 100_000)
+        len_gate = (mean_milli >= 3000) & (mean_milli <= 10_000)
+        stop_gate = n_stop >= 2
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len_milli": pa.array(mean_milli, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "word_gate": pa.array(word_gate, pa.bool_()),
+            "len_gate": pa.array(len_gate, pa.bool_()),
+            "stop_gate": pa.array(stop_gate, pa.bool_()),
+            "passes": pa.array(word_gate & len_gate & stop_gate,
+                               pa.bool_()),
+        })
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_audio_clipping(sf_dir: str):
     """Clipped-audio census through the REAL qaud round trip
     (images.audio_clipping_table): per clip the count/ppm of samples
@@ -9645,6 +9696,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_norm_census": q_embedding_norm_census,
     "embedding_dim_census": q_embedding_dim_census,
     "audio_clipping": q_audio_clipping,
+    "gopher_word_rules": q_gopher_word_rules,
     "video_scene_cuts": q_video_scene_cuts,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
@@ -14047,6 +14099,34 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * sum(CASE WHEN depth >= 6 THEN 1 ELSE 0 END)
                     // count(*))::BIGINT AS deep_ppm
             FROM p GROUP BY host ORDER BY host""",
+        "gopher_word_rules": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\S+') AS l
+                          FROM documents),
+            w AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                           (1000 * sum(len(tok)) // count(*))::BIGINT
+                             AS mean_word_len_milli,
+                           sum(CASE WHEN tok IN ('the','of','and','to',
+                                'in','a','be','that','have','it')
+                               THEN 1 ELSE 0 END)::BIGINT AS n_stop
+                    FROM w GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0)::BIGINT AS n_words,
+                   coalesce(a.mean_word_len_milli, 0)::BIGINT
+                     AS mean_word_len_milli,
+                   coalesce(a.n_stop, 0)::BIGINT AS n_stop,
+                   (coalesce(a.n_words, 0) BETWEEN 50 AND 100000)
+                     AS word_gate,
+                   (coalesce(a.mean_word_len_milli, 0)
+                      BETWEEN 3000 AND 10000) AS len_gate,
+                   (coalesce(a.n_stop, 0) >= 2) AS stop_gate,
+                   ((coalesce(a.n_words, 0) BETWEEN 50 AND 100000)
+                    AND (coalesce(a.mean_word_len_milli, 0)
+                         BETWEEN 3000 AND 10000)
+                    AND coalesce(a.n_stop, 0) >= 2) AS passes
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id""",
         "prefix_dup": r"""
             SELECT substring(text, 1, 64) AS prefix,
                    count(*)::BIGINT AS n_docs,

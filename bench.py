@@ -115,7 +115,7 @@ BENCH_QUERIES = [
     "line_length_stats", "control_char_gate", "gopher_rules", "char_class_profile",
     "line_dedup", "template_3gram", "prefix_dup", "url_depth_census",
     "embedding_norm_census", "embedding_dim_census",
-    "audio_clipping", "video_scene_cuts",
+    "audio_clipping", "video_scene_cuts", "gopher_word_rules",
 ]
 
 CRAWL_HOSTS = 8192
