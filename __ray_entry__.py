@@ -7798,6 +7798,38 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_brier_score(sf_dir: str):
+    """EXACT Brier score of the derived confidence column against the
+    'purchase' label — the proper-scoring-rule companion to
+    q_calibration_bins/q_ece (a model can be well-ranked (AUC) and
+    calibrated on average (ECE) yet still diffuse; Brier catches it).
+    Confidence in integer percent cc ∈ [0,100], so the squared error
+    (cc − 100·lab)² is exact; brier_micro = 100·Σse // n. One partial
+    pass, single-row register — the corpus never moves."""
+    def part(b: pa.Table) -> pa.Table:
+        cc = b["conf_c"].to_numpy()
+        lab = b["lab"].to_numpy()
+        se = (cc - 100 * lab) ** 2
+        return pa.table({
+            "n": pa.array([len(cc)], pa.int64()),
+            "n_pos": pa.array([int(lab.sum())], pa.int64()),
+            "sum_se": pa.array([int(se.sum())], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        list(_event_conf_label(sf_dir)
+             .map_batches(part, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None))
+    ).to_pandas().sum()
+    import pandas as pd
+    n, n_pos, sum_se = (int(parts["n"]), int(parts["n_pos"]),
+                        int(parts["sum_se"]))
+    return pd.DataFrame({
+        "n": [n], "n_pos": [n_pos], "sum_se": [sum_se],
+        "brier_micro": [100 * sum_se // n],
+    }).astype("int64")
+
+
 def q_gopher_word_rules(sf_dir: str):
     """The Gopher WORD-level quality rules (Rae et al. 2021 — the
     companion set to q_gopher_rules' format gates): per document the
@@ -9697,6 +9729,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_dim_census": q_embedding_dim_census,
     "audio_clipping": q_audio_clipping,
     "gopher_word_rules": q_gopher_word_rules,
+    "brier_score": q_brier_score,
     "video_scene_cuts": q_video_scene_cuts,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
@@ -14099,6 +14132,18 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * sum(CASE WHEN depth >= 6 THEN 1 ELSE 0 END)
                     // count(*))::BIGINT AS deep_ppm
             FROM p GROUP BY host ORDER BY host""",
+        "brier_score": """
+            WITH p AS (SELECT least((CAST(floor(value*100 + 0.5)
+                                          AS BIGINT) + 250) // 500,
+                                    100) AS cc,
+                              (event_type = 'purchase')::BIGINT AS lab
+                       FROM events)
+            SELECT count(*)::BIGINT AS n,
+                   sum(lab)::BIGINT AS n_pos,
+                   sum((cc - 100*lab)*(cc - 100*lab))::BIGINT AS sum_se,
+                   (100 * sum((cc - 100*lab)*(cc - 100*lab))
+                    // count(*))::BIGINT AS brier_micro
+            FROM p""",
         "gopher_word_rules": r"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\S+') AS l
