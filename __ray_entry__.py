@@ -7798,6 +7798,47 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_source_lang_mi(sf_dir: str):
+    """Source × language mutual-information cells — the
+    corpus-segregation read of mixture design (MI near zero: every
+    source contributes every language, safe to weight independently;
+    high MI: languages live in single sources and source-level dedup
+    or down-weighting shifts the language mix). Per (source, lang)
+    cell the count and the exact micro-nat MI term
+    floor(1e6 · (n_sl/N) · ln(n_sl·N / (n_s·n_l)) + 0.5) — identical
+    IEEE double ops on both sides (the bigram_pmi ln-parity pattern).
+    Counts via combiner rollup (cells are few), margins on the
+    driver."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def kern(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "lang": b["lang"],
+                         "one": pa.array(np.ones(len(b), np.int64),
+                                         pa.int64())})
+
+    ds = (_read(sf_dir, "documents").select_columns(["source", "lang"])
+          .map_batches(kern, batch_format="pyarrow"))
+    df = partial_groupby_agg(ds, ["source", "lang"],
+                             {"n_sl": ("one", "sum")})
+    n_s = df.groupby("source")["n_sl"].transform("sum").to_numpy()
+    n_l = df.groupby("lang")["n_sl"].transform("sum").to_numpy()
+    n_sl = df["n_sl"].to_numpy().astype(np.int64)
+    N = int(n_sl.sum())
+    term = np.floor(
+        1_000_000.0 * (n_sl.astype(np.float64) / N)
+        * np.log(n_sl.astype(np.float64) * N
+                 / (n_s.astype(np.float64) * n_l.astype(np.float64)))
+        + 0.5).astype(np.int64)
+    out = pd.DataFrame({
+        "source": df["source"], "lang": df["lang"],
+        "n_sl": n_sl, "n_source": n_s.astype("int64"),
+        "n_lang": n_l.astype("int64"), "mi_term_micro": term,
+    })
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
 def q_brier_score(sf_dir: str):
     """EXACT Brier score of the derived confidence column against the
     'purchase' label — the proper-scoring-rule companion to
@@ -9730,6 +9771,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "audio_clipping": q_audio_clipping,
     "gopher_word_rules": q_gopher_word_rules,
     "brier_score": q_brier_score,
+    "source_lang_mi": q_source_lang_mi,
     "video_scene_cuts": q_video_scene_cuts,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
@@ -14132,6 +14174,24 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * sum(CASE WHEN depth >= 6 THEN 1 ELSE 0 END)
                     // count(*))::BIGINT AS deep_ppm
             FROM p GROUP BY host ORDER BY host""",
+        "source_lang_mi": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_sl
+                       FROM documents GROUP BY source, lang),
+            m AS (SELECT c.source, c.lang, c.n_sl,
+                         sum(c.n_sl) OVER (PARTITION BY c.source)
+                           ::BIGINT AS n_source,
+                         sum(c.n_sl) OVER (PARTITION BY c.lang)
+                           ::BIGINT AS n_lang,
+                         sum(c.n_sl) OVER ()::BIGINT AS n
+                  FROM c)
+            SELECT source, lang, n_sl, n_source, n_lang,
+                   CAST(floor(1000000.0
+                              * (n_sl::DOUBLE / n::DOUBLE)
+                              * ln(n_sl::DOUBLE * n::DOUBLE
+                                   / (n_source::DOUBLE
+                                      * n_lang::DOUBLE))
+                              + 0.5) AS BIGINT) AS mi_term_micro
+            FROM m ORDER BY source, lang""",
         "brier_score": """
             WITH p AS (SELECT least((CAST(floor(value*100 + 0.5)
                                           AS BIGINT) + 250) // 500,
