@@ -7798,6 +7798,22 @@ def q_url_depth_census(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_image_channel_corr(sf_dir: str):
+    """Cross-channel correlation census over the derived corpus
+    (images.channel_corr_table, one decode pass): exact integer R-G /
+    G-B covariances, Pearson correlation in ppm, and the
+    grayscale/sepia gate — the desaturated-duplicate screen (a
+    grayscale re-encode defeats exact-hash dedup but shows
+    corr ≈ 1e6 here). Shuffle-free map_batches; the DuckDB twin
+    recomputes every pixel of every channel pair closed-form."""
+    from frontera_ray.stages.images import channel_corr_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(channel_corr_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_source_lang_mi(sf_dir: str):
     """Source × language mutual-information cells — the
     corpus-segregation read of mixture design (MI near zero: every
@@ -9772,6 +9788,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gopher_word_rules": q_gopher_word_rules,
     "brier_score": q_brier_score,
     "source_lang_mi": q_source_lang_mi,
+    "image_channel_corr": q_image_channel_corr,
     "video_scene_cuts": q_video_scene_cuts,
     "redirect_resolve": q_redirect_resolve,
     "mann_whitney": q_mann_whitney,
@@ -9882,6 +9899,49 @@ def _image_sharpness_oracle() -> str:
                ((1000 * sum(abs(v1 - v0))) // ((w - 1) * h * 3) < 30000)
                  AS blurry
         FROM px GROUP BY doc_id, fmt, w, h ORDER BY doc_id"""
+
+
+def _image_channel_corr_oracle() -> str:
+    vr = _img_val_sql("gx.x::UBIGINT", "gy.y::UBIGINT", "0::UBIGINT")
+    vg = _img_val_sql("gx.x::UBIGINT", "gy.y::UBIGINT", "1::UBIGINT")
+    vb = _img_val_sql("gx.x::UBIGINT", "gy.y::UBIGINT", "2::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        px AS (SELECT m.doc_id, m.w, m.h,
+                      {vr} AS r, {vg} AS g, {vb} AS b
+               FROM m, generate_series(0, 79) gx(x),
+                    generate_series(0, 59) gy(y)
+               WHERE gx.x < m.w AND gy.y < m.h),
+        agg AS (SELECT doc_id, (w * h)::BIGINT AS n,
+                       sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg,
+                       sum(b)::BIGINT AS sb,
+                       sum(r*r)::BIGINT AS srr, sum(g*g)::BIGINT AS sgg,
+                       sum(b*b)::BIGINT AS sbb,
+                       sum(r*g)::BIGINT AS srg, sum(g*b)::BIGINT AS sgb
+                FROM px GROUP BY doc_id, w, h),
+        cv AS (SELECT doc_id,
+                      (n*srg - sr*sg)::BIGINT AS cov_rg,
+                      (n*sgb - sg*sb)::BIGINT AS cov_gb,
+                      (n*srr - sr*sr)::BIGINT AS var_r,
+                      (n*sgg - sg*sg)::BIGINT AS var_g,
+                      (n*sbb - sb*sb)::BIGINT AS var_b
+               FROM agg),
+        cr AS (SELECT doc_id, cov_rg, cov_gb,
+                      CASE WHEN var_r > 0 AND var_g > 0
+                           THEN CAST(floor(1000000.0 * cov_rg
+                                / sqrt(var_r::DOUBLE * var_g::DOUBLE)
+                                + 0.5) AS BIGINT)
+                           ELSE 1000000 END AS corr_rg_ppm,
+                      CASE WHEN var_g > 0 AND var_b > 0
+                           THEN CAST(floor(1000000.0 * cov_gb
+                                / sqrt(var_g::DOUBLE * var_b::DOUBLE)
+                                + 0.5) AS BIGINT)
+                           ELSE 1000000 END AS corr_gb_ppm
+               FROM cv)
+        SELECT doc_id, cov_rg, cov_gb, corr_rg_ppm, corr_gb_ppm,
+               (corr_rg_ppm >= 990000 AND corr_gb_ppm >= 990000)
+                 AS grayish
+        FROM cr ORDER BY doc_id"""
 
 
 def _image_luma_oracle() -> str:
@@ -14033,6 +14093,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_silence": _audio_silence_oracle(),
         "video_flicker": _video_flicker_oracle(),
         "audio_clipping": _audio_clipping_oracle(),
+        "image_channel_corr": _image_channel_corr_oracle(),
         "video_scene_cuts": _video_scene_cuts_oracle(),
         "line_length_stats": r"""
             WITH l AS (SELECT doc_id,

@@ -116,7 +116,7 @@ BENCH_QUERIES = [
     "line_dedup", "template_3gram", "prefix_dup", "url_depth_census",
     "embedding_norm_census", "embedding_dim_census",
     "audio_clipping", "video_scene_cuts", "gopher_word_rules",
-    "brier_score", "source_lang_mi",
+    "brier_score", "source_lang_mi", "image_channel_corr",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1388,3 +1388,61 @@ def video_scene_cuts_table(batch: pa.Table, cut_thresh: int = 48_000
         "pair_min": pa.array(pair_min, pa.int64()),
         "pair_max": pa.array(pair_max, pa.int64()),
     })
+
+
+def channel_corr_table(batch: pa.Table, gray_ppm: int = 990_000
+                       ) -> pa.Table:
+    """Channel-correlation census through the REAL decode path: per
+    image the exact integer cross-channel covariances
+    cov(a,b) = n·Σab − Σa·Σb for (R,G) and (G,B), the Pearson
+    correlation in ppm (one sqrt over exactly-representable integer
+    products — identical IEEE ops in the DuckDB twin), and the
+    grayscale/sepia gate (both correlations >= ``gray_ppm``) — the
+    desaturated-duplicate screen of image curation (a grayscale
+    re-encode of a color original defeats exact-hash dedup but not
+    this gate)."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    n = len(ids)
+    cov_rg = np.zeros(n, dtype=np.int64)
+    cov_gb = np.zeros(n, dtype=np.int64)
+    var = np.zeros((n, 3), dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        npx = w * h
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            ch = out.astype(np.int64).reshape(-1, 3)
+            s = ch.sum(axis=0)
+            cov_rg[i] = npx * int((ch[:, 0] * ch[:, 1]).sum()) \
+                - int(s[0]) * int(s[1])
+            cov_gb[i] = npx * int((ch[:, 1] * ch[:, 2]).sum()) \
+                - int(s[1]) * int(s[2])
+            var[i] = npx * (ch * ch).sum(axis=0) - s * s
+    def corr_ppm(cov, va, vb):
+        denom = np.sqrt(va.astype(np.float64) * vb.astype(np.float64))
+        return np.where(
+            denom > 0,
+            np.floor(1_000_000.0 * cov.astype(np.float64) / denom + 0.5),
+            1_000_000.0).astype(np.int64)
+    rg = corr_ppm(cov_rg, var[:, 0], var[:, 1])
+    gb = corr_ppm(cov_gb, var[:, 1], var[:, 2])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cov_rg": pa.array(cov_rg, pa.int64()),
+        "cov_gb": pa.array(cov_gb, pa.int64()),
+        "corr_rg_ppm": pa.array(rg, pa.int64()),
+        "corr_gb_ppm": pa.array(gb, pa.int64()),
+        "grayish": pa.array((rg >= gray_ppm) & (gb >= gray_ppm),
+                            pa.bool_()),
+    })
