@@ -166,3 +166,42 @@ def test_line_dedup_planted_boilerplate(ray_session, tmp_path):
     # rare line appears in only 2 docs of source a -> kept everywhere
     assert by_id.loc[5, "n_boiler"] == 0
     assert bool(by_id.loc[0, "flagged"])      # 2/3 lines boiler > 30%
+
+
+def test_template_3gram_cross_block_exact(ray_session, tmp_path):
+    """The hash-partitioned census must merge counts for a gram whose
+    instances are scattered across MANY input blocks (the property the
+    exchange exists to guarantee): plant a template gram in 64 docs of
+    one source spread over the whole id range, with decoy grams that
+    are block-local, and check count and share exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(256):
+        if i % 4 == 0:                      # every 4th doc carries it
+            txt = f"w{i}a click here now w{i}b"
+        else:
+            txt = f"w{i}a w{i}b w{i}c w{i}d w{i}e"
+        rows.append((i, txt, "en", "s0"))
+    rows.append((256, "other source text here", "en", "s1"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   row_group_size=16)   # many row groups -> many blocks
+
+    got = entrymod.queries()["template_3gram"](str(tmp_path))
+    s0 = got[got["source"] == "s0"].iloc[0]
+    # 64 docs * 1 instance of 'click here now'; every doc contributes
+    # 3 trigrams (5 tokens) -> 256*3 grams for s0
+    assert s0["top_gram"] == "click here now"
+    assert s0["cnt"] == 64
+    assert s0["n_grams"] == 256 * 3
+    assert s0["share_ppm"] == 1_000_000 * 64 // (256 * 3)
+    s1 = got[got["source"] == "s1"].iloc[0]
+    assert s1["cnt"] == 1 and s1["n_grams"] == 2
