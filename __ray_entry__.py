@@ -7570,85 +7570,21 @@ def q_line_dedup(sf_dir: str):
     `flagged` gate (> 30% boilerplate). Pass 1 explodes to distinct
     (source, line, doc) rows (vectorized Arrow split + C++ in-batch
     group_by distinct — a doc lives wholly inside one batch) and
-    counts docs per (source, line) on a hash-shuffle ``ds.groupby``
-    (HIGH-cardinality key: combiner aggregation would be wrong).
-    The filtered boilerplate set is small by construction (each entry
-    is backed by >= 3 docs) and is broadcast ONCE via ray.put; pass 2
+    counts docs per (source, line) on ONE key-hash repartition +
+    per-partition C++ group_by (text.line_boilerplate_census). The
+    filtered boilerplate set is small by construction (each entry is
+    backed by >= 3 docs) and is broadcast ONCE via ray.put; pass 2
     marks membership with one vectorized ``pc.is_in`` per batch. At
-    corpus scale, if the boiler set exceeded the broadcast bound the
-    mark step would switch to the keyed-exchange join of
-    stages/relational.py — same output, one extra exchange."""
-    import ray
+    corpus scale, when the boiler set exceeds the broadcast bound,
+    ``text.line_boilerplate_profile`` switches to its union-tag
+    keyed-exchange mark path (NO driver materialization — tested
+    byte-identical to the broadcast path)."""
+    from frontera_ray.stages.text import line_boilerplate_profile
 
-    SEP = "\x1f"
-
-    def explode(b: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(b["text"], "\n")
-        parent = pc.list_parent_indices(lines)
-        flat = pc.list_flatten(lines)
-        t = pa.table({
-            "skey": pc.binary_join_element_wise(
-                b["source"].take(parent), flat, SEP),
-            "len": pc.utf8_length(flat),
-            "doc_id": b["doc_id"].take(parent),
-        })
-        t = t.filter(pc.greater(t["len"], 0))
-        return t.select(["skey", "doc_id"]).group_by(
-            ["skey", "doc_id"]).aggregate([])
-
-    agg = (_read(sf_dir, "documents")
-           .select_columns(["doc_id", "source", "text"])
-           .map_batches(explode, batch_format="pyarrow")
-           .groupby("skey").count())
-
-    def keep_boiler(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["count()"], 3)).select(["skey"])
-
-    boiler_parts = list(agg.map_batches(keep_boiler, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow", batch_size=None))
-    boiler = (pa.concat_tables(boiler_parts)["skey"].combine_chunks()
-              if boiler_parts else pa.array([], pa.string()))
-    if isinstance(boiler, pa.ChunkedArray):
-        boiler = boiler.combine_chunks()
-    boiler_ref = ray.put(boiler)
-
-    def mark(b: pa.Table) -> pa.Table:
-        bset = ray.get(boiler_ref)  # zero-copy from local plasma
-        lines = pc.split_pattern(b["text"], "\n")
-        parent = pc.list_parent_indices(lines).to_numpy()
-        flat = pc.list_flatten(lines)
-        skey = pc.binary_join_element_wise(
-            b["source"].take(pa.array(parent)), flat, SEP)
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        nonempty = lens > 0
-        isb = np.zeros(len(lens), bool)
-        if len(bset):
-            isb = pc.is_in(skey, value_set=bset) \
-                .to_numpy(zero_copy_only=False).astype(bool)
-        isb &= nonempty
-        n = len(b)
-        n_lines = np.zeros(n, np.int64)
-        n_boiler = np.zeros(n, np.int64)
-        kept_chars = np.zeros(n, np.int64)
-        np.add.at(n_lines, parent, nonempty.astype(np.int64))
-        np.add.at(n_boiler, parent, isb.astype(np.int64))
-        np.add.at(kept_chars, parent,
-                  np.where(nonempty & ~isb, lens, 0))
-        boiler_ppm = np.where(
-            n_lines > 0, 1_000_000 * n_boiler // np.maximum(n_lines, 1), 0)
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "n_boiler": pa.array(n_boiler, pa.int64()),
-            "kept_chars": pa.array(kept_chars, pa.int64()),
-            "boiler_ppm": pa.array(boiler_ppm, pa.int64()),
-            "flagged": pa.array(boiler_ppm > 300_000, pa.bool_()),
-        })
-
-    out = (_read(sf_dir, "documents")
-           .select_columns(["doc_id", "source", "text"])
-           .map_batches(mark, batch_format="pyarrow").to_pandas())
+    cols = ["doc_id", "source", "text"]
+    out = line_boilerplate_profile(
+        _read(sf_dir, "documents").select_columns(cols),
+        _read(sf_dir, "documents").select_columns(cols)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -1836,3 +1836,201 @@ def readability_table(ds, text_col: str = "text",
             "flesch_milli": pa.array(flesch, pa.int64())})
 
     return ds.map_batches(kern, batch_format="pyarrow")
+
+
+_LINE_SEP = "\x1f"
+
+
+def _line_explode(b: pa.Table, distinct: bool) -> pa.Table:
+    """(skey=source\\x1fline, doc_id, len) rows for nonempty lines —
+    per-doc DISTINCT for the census (one vote per doc), per INSTANCE
+    for the mark pass."""
+    lines = pc.split_pattern(b["text"], "\n")
+    parent = pc.list_parent_indices(lines)
+    flat = pc.list_flatten(lines)
+    t = pa.table({
+        "skey": pc.binary_join_element_wise(
+            b["source"].take(parent), flat, _LINE_SEP),
+        "doc_id": b["doc_id"].take(parent),
+        "len": pc.utf8_length(flat).cast(pa.int64()),
+    })
+    t = t.filter(pc.greater(t["len"], 0))
+    if distinct:
+        return t.select(["skey", "doc_id"]).group_by(
+            ["skey", "doc_id"]).aggregate([])
+    return t
+
+
+def line_boilerplate_census(ds, min_docs: int = 3):
+    """Distributed (source, line) boilerplate census: a nonempty line
+    in >= ``min_docs`` DISTINCT docs of the same source. One key-hash
+    repartition + per-partition C++ group_by (every skey's votes land
+    whole in one block — exact, no sort aggregate). Returns a
+    streaming Dataset of boiler ``skey`` rows."""
+    from .relational import hash_partitioned
+
+    def census(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"skey": pa.array([], pa.string())})
+        g = b.group_by("skey").aggregate([("doc_id", "count")])
+        return g.filter(pc.greater_equal(
+            g["doc_id_count"], min_docs)).select(["skey"])
+
+    exploded = ds.map_batches(lambda t: _line_explode(t, True),
+                              batch_format="pyarrow")
+    return hash_partitioned(exploded, "skey").map_batches(
+        census, batch_format="pyarrow", batch_size=None)
+
+
+def line_boilerplate_profile(ds, ds2, min_docs: int = 3,
+                             broadcast_limit: int = 1_000_000):
+    """Per-doc line-level boilerplate profile (CCNet/RefinedWeb line
+    dedup): (doc_id, n_lines, n_boiler, kept_chars, boiler_ppm,
+    flagged).
+
+    Two marking paths, identical output:
+    - boiler set <= ``broadcast_limit``: collect once, ``ray.put``,
+      one vectorized ``pc.is_in`` per batch (the small-side broadcast
+      default).
+    - larger: NO driver materialization — union-tag the instance rows
+      with the boiler rows, ONE key-hash repartition co-locates every
+      line with its verdict, per-partition ``pc.is_in`` marks, then a
+      second doc_id-hash exchange folds per-partition partials into
+      per-doc totals (both exchanges are the bounded-census shape, no
+      sort aggregates).
+
+    ``ds`` and ``ds2`` are two readers of the same documents table
+    (the census and mark passes each stream the corpus once)."""
+    import ray
+
+    from .relational import hash_partitioned
+
+    boiler = line_boilerplate_census(ds, min_docs=min_docs).materialize()
+    n_boiler_keys = boiler.count()
+
+    if n_boiler_keys <= broadcast_limit:
+        parts = list(boiler.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+        keys = (pa.concat_tables(parts)["skey"].combine_chunks()
+                if parts else pa.array([], pa.string()))
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ref = ray.put(keys)
+
+        def mark(b: pa.Table) -> pa.Table:
+            bset = ray.get(ref)
+            lines = pc.split_pattern(b["text"], "\n")
+            parent = pc.list_parent_indices(lines).to_numpy()
+            flat = pc.list_flatten(lines)
+            skey = pc.binary_join_element_wise(
+                b["source"].take(pa.array(parent)), flat, _LINE_SEP)
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nonempty = lens > 0
+            isb = np.zeros(len(lens), bool)
+            if len(bset):
+                isb = pc.is_in(skey, value_set=bset) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+            isb &= nonempty
+            n = len(b)
+            n_lines = np.zeros(n, np.int64)
+            n_boil = np.zeros(n, np.int64)
+            kept = np.zeros(n, np.int64)
+            np.add.at(n_lines, parent, nonempty.astype(np.int64))
+            np.add.at(n_boil, parent, isb.astype(np.int64))
+            np.add.at(kept, parent, np.where(nonempty & ~isb, lens, 0))
+            return _line_profile_table(b["doc_id"], n_lines, n_boil,
+                                       kept)
+
+        return ds2.map_batches(mark, batch_format="pyarrow")
+
+    # exchange path: tag 0 = line instance, tag 1 = boiler verdict
+    inst = ds.map_batches(
+        lambda t: _tag_rows(_line_explode(t, False), 0),
+        batch_format="pyarrow")
+    bo = boiler.map_batches(
+        lambda t: _tag_rows(pa.table({
+            "skey": t["skey"],
+            "doc_id": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "len": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        }), 1), batch_format="pyarrow")
+
+    def mark_part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_boiler": pa.array([], pa.int64()),
+                          "kept_chars": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        d = b.filter(pc.equal(b["tag"], 0))
+        if len(d) == 0:
+            return empty
+        bkeys = b.filter(pc.equal(b["tag"], 1))["skey"]
+        if isinstance(bkeys, pa.ChunkedArray):
+            bkeys = bkeys.combine_chunks()
+        isb = (pc.is_in(d["skey"], value_set=bkeys)
+               .to_numpy(zero_copy_only=False).astype(bool)
+               if len(bkeys) else np.zeros(len(d), bool))
+        ids, codes = np.unique(d["doc_id"].to_numpy(),
+                               return_inverse=True)
+        lens = d["len"].to_numpy()
+        n_lines = np.zeros(len(ids), np.int64)
+        n_boil = np.zeros(len(ids), np.int64)
+        kept = np.zeros(len(ids), np.int64)
+        np.add.at(n_lines, codes, 1)
+        np.add.at(n_boil, codes, isb.astype(np.int64))
+        np.add.at(kept, codes, np.where(~isb, lens, 0))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_lines": pa.array(n_lines, pa.int64()),
+                         "n_boiler": pa.array(n_boil, pa.int64()),
+                         "kept_chars": pa.array(kept, pa.int64())})
+
+    marked = hash_partitioned(inst.union(bo), "skey").map_batches(
+        mark_part, batch_format="pyarrow", batch_size=None)
+    # every doc appears in the final profile even with zero nonempty
+    # lines: a shuffle-free zero-partial per doc
+    zeros = ds2.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "n_boiler": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "kept_chars": pa.array(np.zeros(len(t), np.int64),
+                                   pa.int64()),
+        }), batch_format="pyarrow")
+
+    def fold(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _line_profile_table(
+                pa.array([], pa.int64()), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+        g = b.group_by("doc_id").aggregate(
+            [("n_lines", "sum"), ("n_boiler", "sum"),
+             ("kept_chars", "sum")])
+        return _line_profile_table(
+            g["doc_id"],
+            g["n_lines_sum"].to_numpy().astype(np.int64),
+            g["n_boiler_sum"].to_numpy().astype(np.int64),
+            g["kept_chars_sum"].to_numpy().astype(np.int64))
+
+    return hash_partitioned(marked.union(zeros), "doc_id").map_batches(
+        fold, batch_format="pyarrow", batch_size=None)
+
+
+def _tag_rows(t: pa.Table, tag: int) -> pa.Table:
+    return t.append_column(
+        "tag", pa.array(np.full(len(t), tag, np.int64), pa.int64()))
+
+
+def _line_profile_table(doc_id, n_lines, n_boiler, kept) -> pa.Table:
+    n_lines = np.asarray(n_lines, np.int64)
+    n_boiler = np.asarray(n_boiler, np.int64)
+    ppm = np.where(n_lines > 0,
+                   1_000_000 * n_boiler // np.maximum(n_lines, 1), 0)
+    return pa.table({
+        "doc_id": doc_id,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_boiler": pa.array(n_boiler, pa.int64()),
+        "kept_chars": pa.array(np.asarray(kept, np.int64), pa.int64()),
+        "boiler_ppm": pa.array(ppm, pa.int64()),
+        "flagged": pa.array(ppm > 300_000, pa.bool_()),
+    })

@@ -2939,3 +2939,45 @@ def test_grad_orientation_isotropy_bounds():
     assert (go["aniso_milli"] > 0).all()
     assert (go["grad_h"] == sh["grad_sum"]).all()
     assert (go["n_h"] == sh["n_pairs"]).all()
+
+
+def test_line_boilerplate_exchange_path_parity(ray_session, tmp_path):
+    """The union-tag keyed-exchange mark path (broadcast_limit=0) must
+    be byte-identical to the broadcast path on a corpus with real
+    boilerplate, including docs with zero nonempty lines."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from frontera_ray.stages.text import line_boilerplate_profile
+
+    boiler = "all rights reserved"
+    docs = [
+        (0, f"{boiler}\nbody zero\n{boiler}", "a"),
+        (1, f"{boiler}\nbody one", "a"),
+        (2, f"body two\n{boiler}", "a"),
+        (3, f"{boiler}", "b"),          # other source: kept
+        (4, "\n\n", "a"),               # zero nonempty lines
+        (5, "body five", "a"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "source": pa.array([d[2] for d in docs], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   row_group_size=2)
+
+    def reader():
+        return ray.data.read_parquet(str(tmp_path / "documents.parquet"),
+                                     override_num_blocks=3)
+
+    a = line_boilerplate_profile(reader(), reader()) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = line_boilerplate_profile(reader(), reader(), broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), (a, b)
+    assert len(a) == 6                      # doc 4 present with zeros
+    assert a.set_index("doc_id").loc[4, "n_lines"] == 0
+    assert a.set_index("doc_id").loc[0, "n_boiler"] == 2
+    assert a.set_index("doc_id").loc[3, "n_boiler"] == 0
