@@ -520,7 +520,7 @@ def q_priority_revenue(sf_dir: str):
     from frontera_ray.stages.relational import cluster_cpus
     joined = equi_join(li, orders, "l_orderkey",
                        ["revenue_c4"], ["o_orderpriority"],
-                       exchange="hash" if cluster_cpus() >= 16
+                       exchange="tasks" if cluster_cpus() >= 16
                        else "groups")
     out = partial_groupby_agg(joined, "o_orderpriority",
                               {"n_items": ("revenue_c4", "count"),
@@ -1445,7 +1445,7 @@ def q_active_customers(sf_dir: str):
     from frontera_ray.stages.relational import cluster_cpus
     out = semi_anti_join(cust, urgent, "c_custkey",
                          ["c_name", "c_mktsegment"],
-                         exchange="hash" if cluster_cpus() >= 16
+                         exchange="tasks" if cluster_cpus() >= 16
                          else "groups").to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
@@ -1907,7 +1907,7 @@ def q_orders_left_join(sf_dir: str):
         ["o_orderkey", "o_orderpriority"])
     out = equi_join(orders, li, "o_orderkey", ["o_orderpriority"],
                     ["l_qty"], how="left",
-                    exchange="hash" if cluster_cpus() >= 16
+                    exchange="tasks" if cluster_cpus() >= 16
                     else "groups")
     out = out.map_batches(
         lambda b: b.set_column(b.column_names.index("l_qty"), "l_qty",
@@ -1945,7 +1945,7 @@ def q_customers_full_join(sf_dir: str):
               }), batch_format="pyarrow"))
     out = equi_join(cust, orders, "c_custkey", ["acctbal_cents"],
                     ["o_orderkey", "price_cents"], how="full",
-                    exchange="hash" if cluster_cpus() >= 16 else "groups")
+                    exchange="tasks" if cluster_cpus() >= 16 else "groups")
     out = out.map_batches(
         lambda b: pa.table({c: _pc.fill_null(b[c], -1)
                             for c in b.column_names}),
@@ -2049,7 +2049,7 @@ def q_urgent_low_intersect(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="intersect",
-                 exchange="hash" if cluster_cpus() >= 16
+                 exchange="tasks" if cluster_cpus() >= 16
                  else "groups").to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
@@ -2200,7 +2200,7 @@ def q_urgent_low_union(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="union",
-                 exchange="hash" if cluster_cpus() >= 16
+                 exchange="tasks" if cluster_cpus() >= 16
                  else "groups").to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
@@ -2213,7 +2213,7 @@ def q_urgent_only_except(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="except",
-                 exchange="hash" if cluster_cpus() >= 16
+                 exchange="tasks" if cluster_cpus() >= 16
                  else "groups").to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
@@ -2251,7 +2251,7 @@ def q_urgent_low_intersect_all(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="intersect_all",
-                 exchange="hash" if cluster_cpus() >= 16
+                 exchange="tasks" if cluster_cpus() >= 16
                  else "groups").to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
@@ -2264,7 +2264,7 @@ def q_urgent_only_except_all(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="except_all",
-                 exchange="hash" if cluster_cpus() >= 16
+                 exchange="tasks" if cluster_cpus() >= 16
                  else "groups").to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
@@ -3443,7 +3443,7 @@ def q_skew_join_revenue(sf_dir: str):
               }), batch_format="pyarrow"))
     j = skew_join(lines, orders, "l_orderkey", ["cents"],
                   ["o_orderpriority"], hot_count=10,
-                  exchange="hash" if cluster_cpus() >= 16 else "groups")
+                  exchange="tasks" if cluster_cpus() >= 16 else "groups")
     out = partial_groupby_agg(j, ["o_orderpriority"],
                               {"n_lines": ("cents", "count"),
                                "revenue_cents": ("cents", "sum")})

@@ -323,7 +323,7 @@ def keyed_exchange(ds, key: str, kernel, exchange: str = "groups"):
     """Run a run-aware vectorized kernel over complete key groups.
 
     The kernel must handle a batch containing ANY number of complete key
-    groups (it sorts by key and walks runs), so both exchanges feed it:
+    groups (it sorts by key and walks runs), so all exchanges feed it:
 
     - ``'groups'`` (default): sort-based ``groupby(key).map_groups`` —
       one kernel call per key, but no hash-shuffle aggregator actors;
@@ -331,13 +331,120 @@ def keyed_exchange(ds, key: str, kernel, exchange: str = "groups"):
       costs ~1-2 s fixed on this box).
     - ``'hash'``: key-hash repartition into a fixed block count — one
       kernel call per PARTITION; the scale path when per-key UDF-call
-      overhead (1e9 keys) or the sort itself dominates."""
+      overhead (1e9 keys) or the sort itself dominates.
+    - ``'tasks'``: the same partitioning contract implemented as a
+      classic two-stage raw-task shuffle (``task_exchange``) — no
+      shuffle-aggregator actors at all; measured 2-5x faster than
+      ``'hash'`` on this box for the join family (Ray 2.49's aggregator
+      wave costs seconds fixed and can wedge under CPU starvation —
+      see COVERAGE.md §hash-exchange-stall)."""
+    if exchange == "tasks":
+        return task_exchange(ds, key, kernel)
     if exchange == "hash":
         return hash_partitioned(ds, key).map_batches(
             kernel, batch_format="pyarrow", batch_size=None)
     if exchange == "groups":
         return ds.groupby(key).map_groups(kernel, batch_format="pyarrow")
-    raise ValueError(f"exchange must be 'groups' or 'hash', got {exchange!r}")
+    raise ValueError(
+        f"exchange must be 'groups', 'hash' or 'tasks', got {exchange!r}")
+
+
+def _task_partition_ids(col, P: int) -> np.ndarray:
+    """Deterministic partition id per row for ``task_exchange``: the
+    key column is first canonicalized (dictionary decoded; any integer
+    width -> int64; floats -> float64; everything else -> string;
+    NULLs -> the type's zero sentinel) so a key VALUE hashes
+    identically regardless of the per-block dtype it arrived in (an
+    int64 block and a null-carrying block that numpy would degrade to
+    float64 must still co-locate). NULL keys all land in one partition
+    (shared with the sentinel's real-value rows — a balance detail,
+    not a correctness one: kernels see actual column values and handle
+    multi-key batches by contract). The hash is pandas'
+    ``hash_array`` (fixed-key siphash — stable across processes)."""
+    import pandas as pd
+
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = pc.cast(col, t.value_type)
+        t = col.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        arr = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy()
+    elif pa.types.is_floating(t):
+        arr = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy()
+    else:
+        arr = pc.fill_null(pc.cast(col, pa.string()), "").to_numpy(
+            zero_copy_only=False)
+    h = pd.util.hash_array(np.ascontiguousarray(arr))
+    return (h % P).astype(np.int64)
+
+
+def task_exchange(ds, key: str, kernel, num_partitions: int | None = None,
+                  fanin: int = 128):
+    """Classic two-stage shuffle as raw Ray tasks — the keyed exchange
+    without Ray Data's shuffle machinery. Map side: one task per input
+    block splits its rows by key hash into ``P`` shards
+    (``num_returns=P`` — each shard is its own object, so a reduce
+    task fetches only its column of the B x P shard matrix). Reduce
+    side: one task per partition concatenates its B shards and runs
+    the whole-block ``kernel`` on complete key groups; the outputs
+    become a Dataset again via ``from_arrow_refs`` (zero-copy).
+
+    Scale notes: the B-way fan-in per reduce task is the same shape as
+    any two-stage shuffle's reduce; when B exceeds ``fanin`` the
+    shards are pre-combined in a tree round (concat-only tasks over
+    ``fanin``-sized chunks) so no task ever takes more than ``fanin``
+    arguments. The materialize() barrier is intrinsic to an
+    all-to-all (Ray Data's own shuffles plan the same barrier).
+    ``P`` defaults to the cluster CPU count, capped at 64 locally —
+    on a real cluster size it to cores so every reduce slot is busy."""
+    import ray
+
+    P = num_partitions or max(8, min(64, cluster_cpus()))
+
+    def _split(tbl: pa.Table):
+        if len(tbl) == 0:
+            e = tbl.slice(0, 0)
+            return tuple([e] * P) if P > 1 else e
+        pid = _task_partition_ids(tbl[key], P)
+        order = np.argsort(pid, kind="stable")
+        st = tbl.take(pa.array(order))
+        cnt = np.bincount(pid, minlength=P)
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        outs = tuple(st.slice(int(offs[i]), int(cnt[i])) for i in range(P))
+        return outs if P > 1 else outs[0]
+
+    def _concat(*shards):
+        ts = [s for s in shards if len(s)]
+        return pa.concat_tables(ts) if ts else shards[0]
+
+    def _reduce(*shards):
+        ts = [s for s in shards if len(s)]
+        t = (pa.concat_tables(ts).combine_chunks() if ts
+             else shards[0])
+        out = kernel(t)
+        return out if isinstance(out, pa.Table) else pa.table(out)
+
+    split = ray.remote(num_returns=P)(_split)
+    concat = ray.remote(_concat)
+    reduce = ray.remote(_reduce)
+
+    refs = ds.materialize().to_arrow_refs()
+    # shard matrix: cols[p] = the per-block shards of partition p
+    cols = [[] for _ in range(P)]
+    for r in refs:
+        out = split.remote(r)
+        if P == 1:
+            cols[0].append(out)
+        else:
+            for p in range(P):
+                cols[p].append(out[p])
+    # tree-combine so no reduce task exceeds the fan-in bound
+    while any(len(c) > fanin for c in cols):
+        cols = [[concat.remote(*c[i:i + fanin])
+                 for i in range(0, len(c), fanin)] if len(c) > fanin else c
+                for c in cols]
+    outs = [reduce.remote(*c) for c in cols]
+    return ray.data.from_arrow_refs(outs)
 
 
 def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,

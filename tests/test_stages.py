@@ -706,7 +706,7 @@ lt = pa.table({"k": pa.array(lk, pa.string()),
 rt = pa.table({"k": pa.array(rk, pa.string())})
 lds, rds = ray.data.from_arrow(lt).repartition(3), ray.data.from_arrow(rt).repartition(2)
 out = {}
-for ex in ("groups", "hash"):
+for ex in ("groups", "hash", "tasks"):
     semi = semi_anti_join(lds, rds, "k", ["v"], exchange=ex).to_pandas()
     anti = semi_anti_join(lds, rds, "k", ["v"], anti=True, exchange=ex).to_pandas()
     out[ex] = {"semi": sorted(semi["v"].tolist()), "anti": sorted(anti["v"].tolist())}
@@ -720,6 +720,7 @@ ray.shutdown()
     line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][0]
     got = json.loads(line[len("RESULT "):])
     assert got["hash"] == got["groups"]
+    assert got["tasks"] == got["groups"]
     assert len(got["groups"]["semi"]) + len(got["groups"]["anti"]) == 120
 
 
@@ -746,7 +747,7 @@ def test_equi_join_left_outer_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
 
-@pytest.mark.parametrize("exchange", ["groups", "hash"])
+@pytest.mark.parametrize("exchange", ["groups", "hash", "tasks"])
 def test_equi_join_full_outer(ray_session, exchange):
     """FULL OUTER: matched rows expand, unmatched LEFT rows null-pad
     the right payload, unmatched RIGHT rows null-pad the left payload
@@ -772,9 +773,10 @@ def test_equi_join_full_outer(ray_session, exchange):
     assert got == want
 
 
-def test_equi_join_full_outer_string_keys_hash(ray_session):
-    """String keys (incl. NULLs) on the hash exchange — the documented
-    path for object-dtype NULL join keys."""
+@pytest.mark.parametrize("exchange", ["hash", "tasks"])
+def test_equi_join_full_outer_string_keys_hash(ray_session, exchange):
+    """String keys (incl. NULLs) on the hash/tasks exchanges — the
+    documented paths for object-dtype NULL join keys."""
     import ray
 
     from frontera_ray.stages.relational import equi_join
@@ -784,7 +786,7 @@ def test_equi_join_full_outer_string_keys_hash(ray_session):
     right = pa.table({"k": ["a", None, "c", "b", "b"],
                       "rv": pa.array([10, 20, 30, 40, 50], pa.int64())})
     out = (equi_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
-                     "k", ["lv"], ["rv"], how="full", exchange="hash")
+                     "k", ["lv"], ["rv"], how="full", exchange=exchange)
            .to_pandas())
     got = sorted(("~" if pd.isna(k) else k,
                   -1 if pd.isna(l) else int(l),
@@ -887,7 +889,7 @@ def test_per_key_percent_rank_ties(ray_session):
     assert out["pr_micro"].tolist() == [0, 0, 666667, 1000000, 0]
 
 
-@pytest.mark.parametrize("exchange", ["groups", "hash"])
+@pytest.mark.parametrize("exchange", ["groups", "hash", "tasks"])
 def test_set_op_null_as_value(ray_session, exchange):
     """SQL set-op semantics: NULL equals NULL (unlike joins), and
     outputs are DISTINCT."""
@@ -2981,3 +2983,102 @@ def test_line_boilerplate_exchange_path_parity(ray_session, tmp_path):
     assert a.set_index("doc_id").loc[4, "n_lines"] == 0
     assert a.set_index("doc_id").loc[0, "n_boiler"] == 2
     assert a.set_index("doc_id").loc[3, "n_boiler"] == 0
+
+
+def test_task_exchange_dtype_canonicalization(ray_session):
+    """task_exchange must co-locate a key VALUE even when per-block
+    numpy dtypes diverge: a null-carrying int64 block degrades to
+    float64 under to_numpy, and pandas' hash_array hashes int64 5 and
+    float64 5.0 differently — the exchange canonicalizes on the Arrow
+    type BEFORE hashing, so key 5's rows land in ONE partition and the
+    join matches the sort exchange exactly."""
+    import ray
+
+    from frontera_ray.stages.relational import equi_join
+
+    # block 1 carries a NULL (numpy would degrade it to float64);
+    # block 2 is pure int64 — key 5 appears in both.
+    left = pa.table({"k": pa.array([5, None, 7], pa.int64()),
+                     "lv": pa.array([1, 2, 3], pa.int64())})
+    left2 = pa.table({"k": pa.array([5, 8], pa.int64()),
+                      "lv": pa.array([4, 5], pa.int64())})
+    right = pa.table({"k": pa.array([5, 7, 8], pa.int64()),
+                      "rv": pa.array([50, 70, 80], pa.int64())})
+    lds = ray.data.from_arrow(left).union(ray.data.from_arrow(left2))
+    rds = ray.data.from_arrow(right)
+    for how in ("inner", "left", "full"):
+        got = (equi_join(lds, rds, "k", ["lv"], ["rv"],
+                         how=how, exchange="tasks").to_pandas())
+        want = (equi_join(lds, rds, "k", ["lv"], ["rv"],
+                          how=how, exchange="hash").to_pandas())
+        key = lambda df: sorted(  # noqa: E731
+            (-1 if pd.isna(k) else int(k),
+             -1 if pd.isna(l) else int(l),
+             -1 if pd.isna(r) else int(r))
+            for k, l, r in df.itertuples(index=False))
+        assert key(got) == key(want), how
+
+
+def test_task_exchange_randomized_parity(ray_session):
+    """Randomized multi-block parity: equi_join / per_key_topk under
+    exchange='tasks' == the sort exchange on 2k rows x 60 string keys
+    spread over 7 + 5 blocks (keys scattered across every block)."""
+    import ray
+
+    from frontera_ray.stages.relational import equi_join, per_key_topk
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 2000, 900
+    lk = [f"h{int(i):02d}.example.com" for i in rng.integers(0, 60, n_l)]
+    rk = [f"h{int(i):02d}.example.com" for i in rng.integers(30, 90, n_r)]
+    lds = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.string()),
+        "lv": pa.array(rng.integers(0, 10**6, n_l), pa.int64()),
+    })).repartition(7)
+    rds = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, pa.string()),
+        "rv": pa.array(rng.integers(0, 10**6, n_r), pa.int64()),
+    })).repartition(5)
+    j_t = equi_join(lds, rds, "k", ["lv"], ["rv"],
+                    exchange="tasks").to_pandas()
+    j_g = equi_join(lds, rds, "k", ["lv"], ["rv"],
+                    exchange="groups").to_pandas()
+    canon = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]]  # noqa: E731
+                                  .itertuples(index=False)))
+    assert canon(j_t) == canon(j_g)
+    t_t = per_key_topk(lds, "k", "lv", 3, tiebreak="lv",
+                       exchange="tasks").to_pandas()
+    t_g = per_key_topk(lds, "k", "lv", 3, tiebreak="lv",
+                       exchange="groups").to_pandas()
+    canon2 = lambda df: sorted(map(tuple, df[["k", "lv"]]  # noqa: E731
+                                   .itertuples(index=False)))
+    assert canon2(t_t) == canon2(t_g)
+
+
+def test_task_exchange_tree_fanin(ray_session):
+    """With fanin smaller than the block count, the tree-combine round
+    kicks in and the result is unchanged (no task exceeds the fan-in
+    bound by construction)."""
+    import ray
+
+    from frontera_ray.stages.relational import task_exchange
+
+    t = pa.table({"k": pa.array(list(range(20)) * 10, pa.int64()),
+                  "v": pa.array(list(range(200)), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(9)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        import pandas as pd  # noqa: F811
+        g = batch.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.table({"k": pa.array(g["k"], pa.int64()),
+                         "s": pa.array(g["v"], pa.int64())})
+
+    out = (task_exchange(ds, "k", kern, num_partitions=6, fanin=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (t.to_pandas().groupby("k", as_index=False)["v"].sum()
+            .rename(columns={"v": "s"}))
+    assert out["k"].tolist() == want["k"].tolist()
+    assert out["s"].tolist() == want["s"].tolist()
