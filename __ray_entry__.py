@@ -7014,6 +7014,19 @@ def q_tukey_fences(sf_dir: str):
     return out
 
 
+def q_hapax_share(sf_dir: str):
+    """Per-source hapax-legomenon share (text.hapax_share_by_source):
+    distinct tokens per source and how many occur exactly once in the
+    whole corpus — the OCR-noise / templated-source screen beside TTR
+    (noisy scrapes are hapax-rich, boilerplate is hapax-poor). One
+    token-hash exchange co-locates corpus totals with per-source
+    membership; partials are O(sources) per partition."""
+    from frontera_ray.stages.text import hapax_share_by_source
+
+    return hapax_share_by_source(
+        _read(sf_dir, "documents").select_columns(["source", "text"]))
+
+
 def q_count_of_counts(sf_dir: str):
     """Good–Turing frequency-of-frequencies over the corpus token
     stream: N_r = number of distinct tokens occurring exactly r times
@@ -7326,6 +7339,39 @@ def q_url_extension_census(sf_dir: str):
     out["image_share_ppm"] = (out["n_image"] * 1_000_000
                               // out["n_urls"]).astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def q_image_blockiness(sf_dir: str):
+    """Block-coding forensics over the derived corpus
+    (images.blockiness_table): per decoded image the horizontal
+    gradient mass split on the 8x8 block-boundary column lattice
+    (x % 8 == 7) vs interior pairs, ratio in milli — a block-coded
+    re-encode concentrates gradient energy on the lattice, the
+    transcoded-duplicate screen beside color_cast's quantizer sniff.
+    Shuffle-free map_batches; the DuckDB twin recomputes both pixels
+    of every pair closed-form and splits on the same lattice."""
+    from frontera_ray.stages.images import blockiness_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(blockiness_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_image_border_energy(sf_dir: str):
+    """Letterbox / pillarbox screen over the derived corpus
+    (images.border_energy_table): per decoded image the exact integer
+    variance registers of the 2-pixel border ring vs the interior and
+    their milli ratio — a letterboxed or frame-padded duplicate has a
+    near-zero-variance border while its interior still matches, the
+    crop-before-dedup signal of image curation. Per-image fold in
+    Python bigints (the twin's HUGEINT); shuffle-free map_batches."""
+    from frontera_ray.stages.images import border_energy_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(border_energy_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_image_clipping(sf_dir: str):
@@ -8019,6 +8065,20 @@ def q_embedding_dim_census(sf_dir: str):
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("dim").reset_index(drop=True)
+
+
+def q_cluster_separation(sf_dir: str):
+    """Between-label separation audit (ann.cluster_separation_pairs):
+    per label pair the exact-ppm Davies-Bouldin-style score
+    d²(μ_a,μ_b)/(var_a+var_b) over 2^20-quantized components — the
+    are-these-clusters-real read before stratified dedup/sampling
+    trusts a labeling. One shuffle-free register pass (per-block
+    per-label (n, ss, S) partials), O(labels·d) driver fold in Python
+    bigints; the DuckDB twin re-derives every register with HUGEINT."""
+    from frontera_ray.stages.ann import cluster_separation_pairs
+
+    return cluster_separation_pairs(
+        _read(sf_dir, "embeddings").select_columns(["label", "embedding"]))
 
 
 def q_audio_features(sf_dir: str):
@@ -9703,6 +9763,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ohlc_bars": q_ohlc_bars,
     "tukey_fences": q_tukey_fences,
     "count_of_counts": q_count_of_counts,
+    "hapax_share": q_hapax_share,
     "reshard_move_cost": q_reshard_move_cost,
     "tile_variance": q_tile_variance,
     "url_lcp_compression": q_url_lcp_compression,
@@ -9712,6 +9773,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_color_cast": q_image_color_cast,
     "image_grad_orientation": q_image_grad_orientation,
     "image_clipping": q_image_clipping,
+    "image_blockiness": q_image_blockiness,
+    "image_border_energy": q_image_border_energy,
     "image_palette": q_image_palette,
     "url_extension_census": q_url_extension_census,
     "caption_alignment": q_caption_alignment,
@@ -9738,6 +9801,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "prefix_dup": q_prefix_dup,
     "url_depth_census": q_url_depth_census,
     "embedding_norm_census": q_embedding_norm_census,
+    "cluster_separation": q_cluster_separation,
     "embedding_dim_census": q_embedding_dim_census,
     "audio_clipping": q_audio_clipping,
     "gopher_word_rules": q_gopher_word_rules,
@@ -9984,6 +10048,84 @@ def _image_grad_orientation_oracle() -> str:
         SELECT doc_id, fmt, n_h, n_v, grad_h, grad_v, aniso_milli,
                (aniso_milli < 900 OR aniso_milli > 1100) AS banded
         FROM j ORDER BY doc_id"""
+
+
+def _image_blockiness_oracle() -> str:
+    v0 = _img_val_sql("gx.x::UBIGINT")
+    v1 = _img_val_sql("(gx.x + 1)::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        px AS (SELECT m.doc_id, m.w, m.h,
+                      CASE WHEN gx.x % 8 = 7 THEN 1 ELSE 0 END AS bnd,
+                      abs({v1} - {v0}) AS dv
+               FROM m, generate_series(0, 78) gx(x),
+                    generate_series(0, 59) gy(y),
+                    generate_series(0, 2) gc(c)
+               WHERE gx.x < m.w - 1 AND gy.y < m.h),
+        a AS (SELECT doc_id,
+                     (((w - 9) // 8 + 1) * h * 3)::BIGINT AS n_boundary,
+                     ((w - 1) * h * 3
+                      - ((w - 9) // 8 + 1) * h * 3)::BIGINT AS n_interior,
+                     sum(CASE WHEN bnd = 1 THEN dv ELSE 0 END)::BIGINT
+                       AS grad_boundary,
+                     sum(CASE WHEN bnd = 0 THEN dv ELSE 0 END)::BIGINT
+                       AS grad_interior
+              FROM px GROUP BY doc_id, w, h),
+        r AS (SELECT *,
+                     CASE WHEN grad_interior > 0 AND n_boundary > 0
+                          THEN (1000 * grad_boundary * n_interior)
+                               // (grad_interior * n_boundary)
+                          ELSE -1 END::BIGINT AS blockiness_milli
+              FROM a)
+        SELECT doc_id, n_boundary, n_interior, grad_boundary,
+               grad_interior, blockiness_milli,
+               (blockiness_milli > 1100
+                OR (blockiness_milli >= 0 AND blockiness_milli < 900))
+                 AS blocky
+        FROM r ORDER BY doc_id"""
+
+
+def _image_border_energy_oracle() -> str:
+    v = _img_val_sql("gx.x::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        px AS (SELECT m.doc_id,
+                      CASE WHEN gx.x < 2 OR gx.x >= m.w - 2
+                                OR gy.y < 2 OR gy.y >= m.h - 2
+                           THEN 1 ELSE 0 END AS brd,
+                      {v} AS val
+               FROM m, generate_series(0, 79) gx(x),
+                    generate_series(0, 59) gy(y),
+                    generate_series(0, 2) gc(c)
+               WHERE gx.x < m.w AND gy.y < m.h),
+        a AS (SELECT doc_id,
+                     sum(brd)::HUGEINT AS nb,
+                     sum(1 - brd)::HUGEINT AS ni,
+                     sum(CASE WHEN brd = 1 THEN val ELSE 0 END)::HUGEINT
+                       AS sb,
+                     sum(CASE WHEN brd = 0 THEN val ELSE 0 END)::HUGEINT
+                       AS si,
+                     sum(CASE WHEN brd = 1 THEN val * val
+                              ELSE 0 END)::HUGEINT AS ssb,
+                     sum(CASE WHEN brd = 0 THEN val * val
+                              ELSE 0 END)::HUGEINT AS ssi
+              FROM px GROUP BY doc_id),
+        w AS (SELECT doc_id, nb, ni,
+                     (nb * ssb - sb * sb) AS wb,
+                     (ni * ssi - si * si) AS wi
+              FROM a),
+        r AS (SELECT doc_id, nb, ni, wb, wi,
+                     CASE WHEN wi > 0
+                          THEN ((1000 * wb * ni * ni)
+                                // (wi * nb * nb))::BIGINT
+                          ELSE -1 END AS border_ratio_milli
+              FROM w)
+        SELECT doc_id, nb::BIGINT AS n_border, ni::BIGINT AS n_interior,
+               wb::BIGINT AS var_border_num,
+               wi::BIGINT AS var_interior_num, border_ratio_milli,
+               (border_ratio_milli >= 0 AND border_ratio_milli < 100)
+                 AS framed
+        FROM r ORDER BY doc_id"""
 
 
 def _image_clipping_oracle() -> str:
@@ -14041,6 +14183,8 @@ def oracle_sql() -> dict[str, str]:
         "image_color_cast": _image_color_cast_oracle(),
         "image_grad_orientation": _image_grad_orientation_oracle(),
         "image_clipping": _image_clipping_oracle(),
+        "image_blockiness": _image_blockiness_oracle(),
+        "image_border_energy": _image_border_energy_oracle(),
         "image_palette": _image_palette_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
         "audio_features": _audio_features_oracle(),
@@ -14160,6 +14304,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT
                      AS n_zero
             FROM c GROUP BY dim ORDER BY dim""",
+        "cluster_separation": r"""
+            WITH f AS (SELECT label::BIGINT AS label, i - 1 AS dim,
+                              floor(embedding[i]::DOUBLE
+                                    * 1048576)::BIGINT AS q
+                       FROM embeddings, LATERAL unnest(
+                           generate_series(1, len(embedding))) AS t(i)),
+            nn AS (SELECT label::BIGINT AS label, count(*)::HUGEINT AS n
+                   FROM embeddings GROUP BY 1),
+            ssq AS (SELECT label, sum(q::HUGEINT * q)::HUGEINT AS ss
+                    FROM f GROUP BY label),
+            sd AS (SELECT label, dim, sum(q)::HUGEINT AS s
+                   FROM f GROUP BY label, dim),
+            hs AS (SELECT label, sum(s * s)::HUGEINT AS h
+                   FROM sd GROUP BY label),
+            w AS (SELECT nn.label, nn.n, (nn.n * ssq.ss - hs.h) AS w
+                  FROM nn JOIN ssq USING (label) JOIN hs USING (label)),
+            pd AS (SELECT sa.label AS la, sb.label AS lb,
+                          sum((nb.n * sa.s - na.n * sb.s)
+                              * (nb.n * sa.s - na.n * sb.s)) AS d2
+                   FROM sd sa
+                   JOIN sd sb ON sa.dim = sb.dim AND sa.label < sb.label
+                   JOIN nn na ON na.label = sa.label
+                   JOIN nn nb ON nb.label = sb.label
+                   GROUP BY sa.label, sb.label)
+            SELECT pd.la::BIGINT AS label_a, pd.lb::BIGINT AS label_b,
+                   wa.n::BIGINT AS n_a, wb.n::BIGINT AS n_b,
+                   CASE WHEN (wa.w * wb.n * wb.n + wb.w * wa.n * wa.n) > 0
+                        THEN ((1000000 * pd.d2)
+                              // (wa.w * wb.n * wb.n
+                                  + wb.w * wa.n * wa.n))::BIGINT
+                        ELSE -1 END AS sep_ppm
+            FROM pd JOIN w wa ON wa.label = pd.la
+                    JOIN w wb ON wb.label = pd.lb
+            ORDER BY label_a, label_b""",
         "embedding_norm_census": r"""
             WITH q AS (SELECT label::BIGINT AS label,
                               list_sum(list_transform(embedding,
@@ -14843,6 +15021,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT strategy, n_keys, moved,
                    ((1000000 * moved) // n_keys)::BIGINT AS moved_ppm
             FROM m ORDER BY strategy""",
+        "hapax_share": r"""
+            WITH t AS (SELECT source,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                AS token
+                       FROM documents),
+            tot AS (SELECT token, count(*)::BIGINT AS n FROM t
+                    GROUP BY token),
+            p AS (SELECT DISTINCT source, token FROM t)
+            SELECT p.source, count(*)::BIGINT AS n_distinct,
+                   sum(CASE WHEN tot.n = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hapax,
+                   ((1000000 * sum(CASE WHEN tot.n = 1 THEN 1
+                                        ELSE 0 END))
+                    // count(*))::BIGINT AS hapax_ppm
+            FROM p JOIN tot USING (token)
+            GROUP BY p.source ORDER BY p.source""",
         "count_of_counts": r"""
             WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
                                 AS token

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -1075,3 +1076,88 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray, k: int,
                          "coords": pa.array(list(C), pa.list_(pa.float64()))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def cluster_separation_pairs(ds, label_col: str = "label",
+                             emb_col: str = "embedding") -> "object":
+    """Between-label separation audit in EXACT integers — the
+    Davies-Bouldin-style read a curation pipeline runs on labeled (or
+    k-means-assigned) embeddings before trusting them for stratified
+    dedup / sampling: for every label pair (a < b) the separation
+    score
+
+        sep = d²(μ_a, μ_b) / (var_a + var_b)
+            = 10^6 · Σ_d (n_b·S_a,d − n_a·S_b,d)²
+              // (W_a·n_b² + W_b·n_a²)      [floor, ppm]
+
+    with S_l the per-label component-sum vector, W_l = n_l·ss_l −
+    ‖S_l‖² (so W_l/n_l² is the within-label variance), everything over
+    2^20-floor-quantized components (float32→float64 widening and the
+    power-of-two scale are exact, so Ray and DuckDB compute identical
+    integers; cross-products exceed int64, so the driver folds Python
+    bigints — the twin's HUGEINT).
+
+    Scale shape: one map_batches pass emits per-block per-label
+    register rows (n, ss, S as list<int64>) — labels are few, so the
+    fold is O(labels·d) on the driver regardless of corpus size; no
+    shuffle. Returns pandas (label_a, label_b, n_a, n_b, sep_ppm)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(b) == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64()))})
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 1048576.0).astype(np.int64)
+        widths = np.diff(emb.offsets.to_numpy())
+        d = int(widths.max())
+        Q = q.reshape(len(b), d)
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        ss = np.zeros(len(ul), np.int64)
+        np.add.at(ss, inv, (Q * Q).sum(axis=1))
+        S = np.zeros((len(ul), d), np.int64)
+        np.add.at(S, inv, Q)
+        return pa.table({
+            "label": pa.array(ul, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "ss": pa.array(ss, pa.int64()),
+            "s": pa.array(list(S), pa.list_(pa.int64()))})
+
+    acc: dict[int, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for i in range(len(t)):
+            lab = int(t["label"][i].as_py())
+            s = [int(x) for x in t["s"][i].as_py()]
+            cur = acc.get(lab)
+            if cur is None:
+                acc[lab] = [int(t["n"][i].as_py()),
+                            int(t["ss"][i].as_py()), s]
+            else:
+                cur[0] += int(t["n"][i].as_py())
+                cur[1] += int(t["ss"][i].as_py())
+                cur[2] = [a + b for a, b in zip(cur[2], s)]
+    labels = sorted(acc)
+    rows = []
+    for ai in range(len(labels)):
+        for bi in range(ai + 1, len(labels)):
+            la, lb = labels[ai], labels[bi]
+            na, ssa, Sa = acc[la]
+            nb, ssb, Sb = acc[lb]
+            Wa = na * ssa - sum(x * x for x in Sa)
+            Wb = nb * ssb - sum(x * x for x in Sb)
+            D = sum((nb * x - na * y) ** 2 for x, y in zip(Sa, Sb))
+            den = Wa * nb * nb + Wb * na * na
+            sep = (1_000_000 * D) // den if den > 0 else -1
+            rows.append((la, lb, na, nb, sep))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "n_a",
+                                       "n_b", "sep_ppm"])

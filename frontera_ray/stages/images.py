@@ -1446,3 +1446,114 @@ def channel_corr_table(batch: pa.Table, gray_ppm: int = 990_000
         "grayish": pa.array((rg >= gray_ppm) & (gb >= gray_ppm),
                             pa.bool_()),
     })
+
+
+def blockiness_table(batch: pa.Table, lo_milli: int = 900,
+                     hi_milli: int = 1100) -> pa.Table:
+    """JPEG-style blockiness census through the REAL decode path: per
+    image the horizontal gradient mass is split into 8x8 BLOCK-BOUNDARY
+    column pairs (x % 8 == 7) vs interior pairs, and the per-pair
+    boundary/interior ratio is reported in milli — a block-coded
+    re-encode concentrates gradient energy on the boundary lattice
+    (ratio >> 1000), the transcoded-duplicate screen complementing
+    color_forensics' quantizer sniff. Exact integers end to end; the
+    DuckDB twin recomputes both pixels of every pair closed-form and
+    splits on the same ``x % 8`` lattice."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    n = len(ids)
+    grad_b = np.zeros(n, dtype=np.int64)
+    grad_i = np.zeros(n, dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        bmask = (np.arange(w - 1) % 8) == 7
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            dh = np.abs(o[:, 1:, :] - o[:, :-1, :]).sum(axis=(0, 2))
+            grad_b[i] = int(dh[bmask].sum())
+            grad_i[i] = int(dh[~bmask].sum())
+    w_all, h_all = _SYNTH_W[six], _SYNTH_H[six]
+    nb = ((w_all - 9) // 8 + 1).clip(min=0) * h_all * 3
+    ni = (w_all - 1) * h_all * 3 - nb
+    milli = np.where((grad_i > 0) & (nb > 0),
+                     (1000 * grad_b * ni) // np.maximum(grad_i * nb, 1),
+                     -1)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_boundary": pa.array(nb, pa.int64()),
+        "n_interior": pa.array(ni, pa.int64()),
+        "grad_boundary": pa.array(grad_b, pa.int64()),
+        "grad_interior": pa.array(grad_i, pa.int64()),
+        "blockiness_milli": pa.array(milli, pa.int64()),
+        "blocky": pa.array((milli > hi_milli) | ((milli >= 0)
+                           & (milli < lo_milli)), pa.bool_()),
+    })
+
+
+def border_energy_table(batch: pa.Table, frame: int = 2,
+                        flat_milli: int = 100) -> pa.Table:
+    """Letterbox / pillarbox screen through the REAL decode path: per
+    image the pixel-value variance registers (n, Σv, Σv² over all
+    channels) of the ``frame``-pixel border ring vs the interior, and
+    the border/interior variance ratio in milli — a letterboxed or
+    frame-padded duplicate has a near-zero-variance border
+    (ratio < ``flat_milli``) while its interior still matches the
+    original, the crop-before-dedup signal of image curation. Variance
+    cross-products exceed int64 at 80x60, so the per-image fold runs
+    in Python bigints (the HUGEINT of the DuckDB twin)."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    n = len(ids)
+    var_b = np.zeros(n, dtype=np.int64)
+    var_i = np.zeros(n, dtype=np.int64)
+    n_b = np.zeros(n, dtype=np.int64)
+    n_i = np.zeros(n, dtype=np.int64)
+    milli = np.zeros(n, dtype=np.int64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        pix = _gen_pixels_group(u[idx], w, h)
+        yy, xx = np.mgrid[0:h, 0:w]
+        border = ((xx < frame) | (xx >= w - frame)
+                  | (yy < frame) | (yy >= h - frame))
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            o = out.astype(np.int64)
+            vb = o[border].ravel()
+            vi = o[~border].ravel()
+            nb, ni = len(vb), len(vi)
+            wb = nb * int((vb * vb).sum()) - int(vb.sum()) ** 2
+            wi = ni * int((vi * vi).sum()) - int(vi.sum()) ** 2
+            n_b[i], n_i[i] = nb, ni
+            var_b[i], var_i[i] = wb, wi
+            milli[i] = ((1000 * wb * ni * ni) // (wi * nb * nb)
+                        if wi > 0 else -1)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_border": pa.array(n_b, pa.int64()),
+        "n_interior": pa.array(n_i, pa.int64()),
+        "var_border_num": pa.array(var_b, pa.int64()),
+        "var_interior_num": pa.array(var_i, pa.int64()),
+        "border_ratio_milli": pa.array(milli, pa.int64()),
+        "framed": pa.array((milli >= 0) & (milli < flat_milli),
+                           pa.bool_()),
+    })

@@ -2034,3 +2034,59 @@ def _line_profile_table(doc_id, n_lines, n_boiler, kept) -> pa.Table:
         "boiler_ppm": pa.array(ppm, pa.int64()),
         "flagged": pa.array(ppm > 300_000, pa.bool_()),
     })
+
+
+def hapax_share_by_source(ds, text_col: str = "text",
+                          source_col: str = "source"):
+    """Per-source hapax-legomenon share — the lexical-richness /
+    OCR-noise screen beside TTR: for every source, how many of its
+    distinct tokens occur exactly ONCE in the WHOLE corpus (a noisy
+    scrape's garbled tokens are corpus-hapaxes; a templated source has
+    almost none). Vectorized explode -> ONE token-hash exchange (all
+    occurrences of a token land whole in one partition, so corpus
+    totals and per-source membership are both partition-local) ->
+    per-partition (source, n_distinct, n_hapax) partials -> combiner
+    rollup. No driver-side token set; output is O(sources)."""
+    import pandas as pd
+
+    from .relational import hash_partitioned, partial_groupby_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        parent = pc.list_parent_indices(toks).to_numpy()
+        t = pa.table({
+            "token": pc.list_flatten(toks),
+            "source": pc.take(batch[source_col], pa.array(parent)),
+        })
+        return t.filter(pc.not_equal(t["token"], ""))
+
+    def census(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        df = pd.DataFrame({
+            "token": batch["token"].to_numpy(zero_copy_only=False),
+            "source": batch["source"].to_numpy(zero_copy_only=False)})
+        tot = df.groupby("token").size()
+        pairs = df.drop_duplicates(["source", "token"])
+        hapax = pairs["token"].map(tot).eq(1)
+        g = pairs.groupby("source").size()
+        gh = pairs[hapax].groupby("source").size()
+        out = pd.DataFrame({"n_distinct": g,
+                            "n_hapax": gh.reindex(g.index, fill_value=0)})
+        return pa.table({
+            "source": pa.array(out.index.astype(object), pa.string()),
+            "n_distinct": pa.array(out["n_distinct"].to_numpy(np.int64)),
+            "n_hapax": pa.array(out["n_hapax"].to_numpy(np.int64))})
+
+    parts = hash_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"), "token") \
+        .map_batches(census, batch_format="pyarrow", batch_size=None)
+    out = partial_groupby_agg(parts, ["source"],
+                              {"n_distinct": ("n_distinct", "sum"),
+                               "n_hapax": ("n_hapax", "sum")})
+    out["hapax_ppm"] = ((1_000_000 * out["n_hapax"])
+                        // out["n_distinct"]).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
