@@ -6629,6 +6629,110 @@ def q_hash_ring_plan(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def q_ewma_residuals(sf_dir: str):
+    """Per-user integer floor-EWMA tracker (relational.
+    per_key_floor_ewma, α = 1/2): final smoothed value-state and the
+    worst one-step residual per key, in exact centi-units — the
+    adaptive per-host rate model + spike detector of a politeness
+    scheduler, kept integer so the recursive-CTE DuckDB twin replays
+    the exact state sequence. One keyed exchange; the recurrence is
+    vectorized across keys per position."""
+    from frontera_ray.stages.relational import per_key_floor_ewma
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = per_key_floor_ewma(ev, "user_id", "ts_us", "v",
+                             tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_backoff_plan(sf_dir: str):
+    """Exponential-backoff budget audit (relational.
+    per_key_error_backoff): consecutive error events per user cost
+    2^min(pos, 6) seconds of backoff — the retry-headroom read a
+    polite fetcher runs per host before scheduling (error-prone hosts
+    burn their own politeness budget). One keyed exchange, vectorized
+    run/change-point sweep; gaps-and-islands SQL twin."""
+    from frontera_ray.stages.relational import per_key_error_backoff
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "err": pc.cast(pc.equal(b["event_type"], "error"),
+                           pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts", "event_type"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = per_key_error_backoff(ev, "user_id", "ts_us", "err",
+                                tiebreak="event_id", cap=6).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of doc length across sources
+    (relational.quantile_normalize_buckets, B = 10): each doc's
+    n_chars is replaced by the corpus-wide exact milli mean of its
+    within-source quantile bucket — the batch-effect removal that
+    makes length-based quality gates comparable across sources with
+    different length scales. One keyed exchange + B-row census +
+    broadcast map."""
+    from frontera_ray.stages.relational import quantile_normalize_buckets
+
+    out = quantile_normalize_buckets(
+        _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id", n_buckets=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit (relational.grouped_w1_vs_global; Li 2007 —
+    the step beyond k_anon_violations / l_diversity): per
+    quasi-identifier class (event_type) the exact-integer W1 distance
+    between the class's value distribution and the global one, in
+    micro units — a class can be large AND diverse yet still leak via
+    distributional skew; the worst class sets the table's t. One
+    (group, value, count) census pass; driver folds registers bounded
+    by the value discretization."""
+    from frontera_ray.stages.relational import grouped_w1_vs_global
+
+    return grouped_w1_vs_global(
+        _read(sf_dir, "events").select_columns(["event_type", "value"]),
+        "value", "event_type", scale=100).to_pandas()
+
+
+def q_watermark_plan(sf_dir: str):
+    """Allowed-lateness planning read
+    (relational.watermark_ooo_percentiles): the p50/p95/p99/max
+    out-of-orderness (ms) of the event stream in arrival order — the
+    number a streaming deployment sets its watermark delay to BEFORE
+    running watermark_late's audit of a chosen bound. Distributed
+    prefix-max scan + bounded lateness census; quantile_disc rank
+    convention matches DuckDB exactly."""
+    from frontera_ray.stages.relational import watermark_ooo_percentiles
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_id", "ts"])
+          .map_batches(lambda b: pa.table({
+              "event_id": b["event_id"],
+              "ts_us": b["ts"].cast(pa.int64()),
+          }), batch_format="pyarrow"))
+    return watermark_ooo_percentiles(ev, "event_id", "ts_us",
+                                     unit_us=1000).to_pandas()
+
+
 def q_wasserstein1(sf_dir: str):
     """Two-sample 1-Wasserstein distance between the user-parity
     cohorts' event-value distributions
@@ -9752,6 +9856,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decayed_counts": q_decayed_counts,
     "hash_ring_plan": q_hash_ring_plan,
     "wasserstein1": q_wasserstein1,
+    "t_closeness": q_t_closeness,
+    "watermark_plan": q_watermark_plan,
+    "ewma_residuals": q_ewma_residuals,
+    "backoff_plan": q_backoff_plan,
+    "quantile_normalize": q_quantile_normalize,
     "temperature_mix": q_temperature_mix,
     "jain_fairness": q_jain_fairness,
     "wilson_lb": q_wilson_lb,
@@ -15236,6 +15345,132 @@ def oracle_sql() -> dict[str, str]:
                    ((1000 * greatest(1000 * x + 2000 - 2 * t, 0))
                     // (n + 4))::BIGINT AS wilson_lb_ppm
             FROM sq ORDER BY event_type""",
+        "ewma_residuals": r"""
+            WITH RECURSIVE v AS (
+                SELECT user_id,
+                       floor(value * 100 + 0.5)::BIGINT AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts),
+                                                   event_id) AS r
+                FROM events),
+            s AS (
+                SELECT user_id, r, v AS e, 0::BIGINT AS mx
+                FROM v WHERE r = 1
+                UNION ALL
+                SELECT v.user_id, v.r, (s.e + v.v) // 2 AS e,
+                       greatest(s.mx, abs(v.v - s.e)) AS mx
+                FROM s JOIN v ON v.user_id = s.user_id
+                            AND v.r = s.r + 1),
+            f AS (SELECT user_id, r, e, mx,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY r DESC) AS rr
+                  FROM s)
+            SELECT user_id, r::BIGINT AS n, e::BIGINT AS ewma_final,
+                   mx::BIGINT AS max_abs_resid
+            FROM f WHERE rr = 1 ORDER BY user_id""",
+        "backoff_plan": r"""
+            WITH e AS (SELECT user_id,
+                              CASE WHEN event_type = 'error' THEN 1
+                                   ELSE 0 END AS err,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS r
+                       FROM events),
+            g AS (SELECT *, r - row_number() OVER (
+                                PARTITION BY user_id, err
+                                ORDER BY r) AS island
+                  FROM e),
+            p AS (SELECT user_id,
+                         row_number() OVER (
+                             PARTITION BY user_id, island
+                             ORDER BY r) - 1 AS pos
+                  FROM g WHERE err = 1)
+            SELECT user_id, count(*)::BIGINT AS n_err,
+                   sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_err_runs,
+                   sum(1 << least(pos, 6)::INT)::BIGINT
+                     AS backoff_total_s,
+                   max(pos + 1)::BIGINT AS max_run
+            FROM p GROUP BY user_id ORDER BY user_id""",
+        "quantile_normalize": r"""
+            WITH r AS (SELECT doc_id, source, n_chars,
+                              row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM documents),
+            b AS (SELECT doc_id, source, n_chars,
+                         (((2 * rk - 1) * 10) // (2 * n))::BIGINT
+                           AS bucket
+                  FROM r),
+            m AS (SELECT bucket,
+                         ((1000 * sum(n_chars)) // count(*))::BIGINT
+                           AS qn_milli
+                  FROM b GROUP BY bucket)
+            SELECT b.doc_id, b.source, b.bucket, m.qn_milli
+            FROM b JOIN m USING (bucket) ORDER BY b.doc_id""",
+        "t_closeness": r"""
+            WITH v AS (SELECT event_type AS g,
+                              floor(value * 100 + 0.5)::BIGINT AS val
+                       FROM events),
+            gv AS (SELECT g, val, count(*)::BIGINT AS c FROM v
+                   GROUP BY g, val),
+            vals AS (SELECT DISTINCT val FROM v),
+            tot AS (SELECT val, sum(c)::BIGINT AS c FROM gv
+                    GROUP BY val),
+            grp AS (SELECT g, sum(c)::BIGINT AS n FROM gv GROUP BY g),
+            grid AS (SELECT grp.g, vals.val FROM grp, vals),
+            dens AS (SELECT grid.g, grid.val,
+                            coalesce(gv.c, 0)::BIGINT AS cg,
+                            tot.c AS call
+                     FROM grid
+                     LEFT JOIN gv ON gv.g = grid.g
+                                 AND gv.val = grid.val
+                     JOIN tot ON tot.val = grid.val),
+            cum AS (SELECT g, val,
+                           sum(cg) OVER (PARTITION BY g
+                                         ORDER BY val)::HUGEINT AS cgc,
+                           sum(call) OVER (PARTITION BY g
+                                           ORDER BY val)::HUGEINT AS cac,
+                           lead(val) OVER (PARTITION BY g
+                                           ORDER BY val) AS nxt
+                    FROM dens),
+            nn AS (SELECT sum(c)::HUGEINT AS N FROM tot),
+            w AS (SELECT cum.g, grp.n,
+                         sum(abs(cgc * (SELECT N FROM nn)
+                                 - cac * grp.n)
+                             * (nxt - val)) AS num
+                  FROM cum JOIN grp ON grp.g = cum.g
+                  WHERE nxt IS NOT NULL GROUP BY cum.g, grp.n),
+            m AS (SELECT g AS event_type, n,
+                         ((1000000 * num)
+                          // (n * (SELECT N FROM nn)))::BIGINT
+                           AS t_w1_micro
+                  FROM w)
+            SELECT event_type, n, t_w1_micro,
+                   t_w1_micro = max(t_w1_micro) OVER () AS is_worst
+            FROM m ORDER BY event_type""",
+        "watermark_plan": r"""
+            WITH e AS (SELECT event_id, epoch_us(ts)::BIGINT AS ts_us
+                       FROM events),
+            w AS (SELECT ts_us,
+                         max(ts_us) OVER (ORDER BY event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm
+                  FROM e),
+            o AS (SELECT (CASE WHEN wm IS NULL THEN 0
+                               ELSE greatest(wm - ts_us, 0) END
+                          // 1000)::BIGINT AS ooo
+                  FROM w)
+            SELECT count(*)::BIGINT AS n,
+                   CAST(percentile_disc(0.50)
+                        WITHIN GROUP (ORDER BY ooo) AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.95)
+                        WITHIN GROUP (ORDER BY ooo) AS BIGINT) AS p95,
+                   CAST(percentile_disc(0.99)
+                        WITHIN GROUP (ORDER BY ooo) AS BIGINT) AS p99,
+                   max(ooo)::BIGINT AS max_ooo
+            FROM o""",
         "wasserstein1": r"""
             WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
                               (user_id % 2)::BIGINT AS side

@@ -4411,3 +4411,347 @@ def per_key_burst(ds, key_col: str, ts_col: str, window_us: int,
             "burst": pa.array(burst.astype(np.int64), pa.int64())})
 
     return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def grouped_w1_vs_global(ds, value_col: str, group_col: str,
+                         scale: int = 100) -> pa.Table:
+    """t-closeness audit (Li et al. 2007): per group (the
+    quasi-identifier equivalence class) the EXACT-INTEGER 1-Wasserstein
+    distance between the group's sensitive-value distribution and the
+    GLOBAL distribution — the privacy read beyond k-anonymity /
+    l-diversity: a class whose value distribution diverges from the
+    table-wide one leaks attribute information even when it is large
+    and diverse. Same value-count register shape as
+    ``wasserstein1_2sample``: one partial (group, value, count) census
+    per block, driver folds O(groups · distinct-scaled-values)
+    registers (bounded by the value discretization, not by rows), then
+    per group
+
+        t_w1_micro = 10^6 · Σ_i |cg_i·N − C_i·n_g| · Δv_i // (n_g·N)
+
+    over the pooled distinct values (Python bigints; the twin's
+    HUGEINT). Flags the worst class."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        import pandas as pd
+
+        v = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale + 0.5).astype(np.int64)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "v": v}).groupby(
+            ["g", "v"], as_index=False).size()
+        return pa.table({"g": pa.array(df["g"].astype(object),
+                                       pa.string()),
+                         "v": pa.array(df["v"].to_numpy(np.int64)),
+                         "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    acc: dict[str, dict[int, int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for g, v, c in zip(t["g"].to_pylist(), t["v"].to_numpy(),
+                           t["c"].to_numpy()):
+            cur = acc.setdefault(g, {})
+            cur[int(v)] = cur.get(int(v), 0) + int(c)
+    vals = np.array(sorted({v for d in acc.values() for v in d}),
+                    dtype=np.int64)
+    glob = np.array([sum(d.get(int(v), 0) for d in acc.values())
+                     for v in vals], dtype=np.int64)
+    N = int(glob.sum())
+    C = np.cumsum(glob)[:-1]
+    dv = np.diff(vals)
+    groups = sorted(acc)
+    ns, micros = [], []
+    for g in groups:
+        cg = np.array([acc[g].get(int(v), 0) for v in vals],
+                      dtype=np.int64)
+        ng = int(cg.sum())
+        cgc = np.cumsum(cg)[:-1]
+        num = sum(abs(int(x) * N - int(y) * ng) * int(d)
+                  for x, y, d in zip(cgc, C, dv))
+        ns.append(ng)
+        micros.append((1_000_000 * num) // (ng * N) if ng * N else 0)
+    worst = max(micros) if micros else 0
+    return pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "t_w1_micro": pa.array(micros, pa.int64()),
+        "is_worst": pa.array([m == worst for m in micros], pa.bool_())})
+
+
+def watermark_ooo_percentiles(ds, order_col: str, ts_col: str,
+                              unit_us: int = 1000) -> pa.Table:
+    """Allowed-lateness PLANNING read — the other half of
+    ``watermark_lateness`` (which AUDITS a chosen bound, this one
+    CHOOSES it): in arrival order, each row's out-of-orderness is how
+    far its event time trails the exclusive running max of earlier
+    arrivals; report the p50/p95/p99/max of that distribution (in
+    ``unit_us`` units, DuckDB quantile_disc rank convention) — p99 is
+    the allowed-lateness a streaming pipeline configures to bound
+    dropped-late-data to 1%.
+
+    Scale shape: the same distributed PREFIX-MAX scan as
+    watermark_lateness (per-block (first_key, max) registers, driver
+    prefix-max O(blocks), pass-2 block-local re-derivation), then a
+    bounded (ooo_unit, count) census fold — the census domain is the
+    lateness range, not the row count."""
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "block_max": pa.array([], pa.int64())})
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "first_key": pa.array([int(keys[0])], pa.int64()),
+            "block_max": pa.array([int(ts.max())], pa.int64())})
+
+    metas = pa.concat_tables(list(
+        sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                              batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    fk = metas["first_key"].to_numpy()
+    bm = metas["block_max"].to_numpy()
+    order = np.argsort(fk, kind="stable")
+    fk, bm = fk[order], bm[order]
+    seeds = np.concatenate((
+        [NEG], np.maximum.accumulate(bm)[:-1])).astype(np.int64)
+    seed_ref = ray.put(dict(zip(fk.tolist(), seeds.tolist())))
+    cache: dict = {}
+
+    def ooo_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"ooo": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        if "s" not in cache:
+            cache["s"] = ray.get(seed_ref)
+        keys = batch[order_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seed = np.int64(cache["s"][int(keys[0])])
+        run = np.maximum.accumulate(np.maximum(ts, seed))
+        wm = np.concatenate(([seed], run[:-1]))
+        ooo = np.where(wm == NEG, np.int64(0),
+                       np.maximum(wm - ts, 0)) // np.int64(unit_us)
+        uo, inv = np.unique(ooo, return_inverse=True)
+        c = np.bincount(inv, minlength=len(uo))
+        return pa.table({"ooo": pa.array(uo, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    acc: dict[int, int] = {}
+    for t in sorted_ds.map_batches(ooo_partial, batch_format="pyarrow",
+                                   batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for o, c in zip(t["ooo"].to_numpy(), t["c"].to_numpy()):
+            acc[int(o)] = acc.get(int(o), 0) + int(c)
+    vals = np.array(sorted(acc), dtype=np.int64)
+    cnt = np.array([acc[int(v)] for v in vals], dtype=np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+
+    def disc(q: float) -> int:
+        rank = max(1, int(np.ceil(q * n - 1e-9)))
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "p50": pa.array([disc(0.50)], pa.int64()),
+        "p95": pa.array([disc(0.95)], pa.int64()),
+        "p99": pa.array([disc(0.99)], pa.int64()),
+        "max_ooo": pa.array([int(vals[-1]) if n else 0], pa.int64())})
+
+
+def per_key_floor_ewma(ds, key_col: str, order_col: str, val_col: str,
+                       tiebreak: str | None = None,
+                       exchange: str = "groups") -> pa.Table:
+    """Integer floor-EWMA anomaly register per key (α = 1/2): in
+    ``order_col`` order within each key,
+
+        e_1 = v_1,   e_t = (e_{t-1} + v_t) // 2   (floor),
+        resid_t = v_t − e_{t-1},
+
+    emitting per key (n, ewma_final, max_abs_resid) — the smoothed
+    per-host request-rate tracker with its worst spike (the adaptive
+    politeness / rate-anomaly read). The floor recurrence keeps every
+    state integer-EXACT (no float half-life drift), so the DuckDB twin
+    replays it with a recursive CTE and hash-matches.
+
+    Scale shape: ONE keyed exchange; the sequential recurrence is
+    vectorized ACROSS keys — one numpy sweep per within-key POSITION
+    (bounded by the longest key run, not the row count), all keys
+    advancing together."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        empty = pa.table({key_col: pa.array([], key_t),
+                          "n": pa.array([], pa.int64()),
+                          "ewma_final": pa.array([], pa.int64()),
+                          "max_abs_resid": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        start = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(start)
+        idx = np.arange(len(sk))
+        pos = idx - np.repeat(starts, np.diff(np.append(starts, len(sk))))
+        e = v.copy()
+        resid = np.zeros(len(sk), np.int64)
+        max_pos = int(pos.max())
+        for s in range(1, max_pos + 1):
+            sel = np.flatnonzero(pos == s)
+            resid[sel] = v[sel] - e[sel - 1]
+            e[sel] = (e[sel - 1] + v[sel]) // 2
+        ends = np.append(starts[1:], len(sk)) - 1
+        n = ends - starts + 1
+        max_abs = np.zeros(len(starts), np.int64)
+        np.maximum.at(max_abs, np.repeat(np.arange(len(starts)),
+                                         np.diff(np.append(starts,
+                                                           len(sk)))),
+                      np.abs(resid))
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[starts])),
+            "n": pa.array(n, pa.int64()),
+            "ewma_final": pa.array(e[ends], pa.int64()),
+            "max_abs_resid": pa.array(max_abs, pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def per_key_error_backoff(ds, key_col: str, order_col: str,
+                          flag_col: str, tiebreak: str | None = None,
+                          cap: int = 6, exchange: str = "groups"):
+    """Exponential-backoff accounting per key: in ``order_col`` order,
+    consecutive flagged rows (fetch errors) form runs; the i-th error
+    of a run (0-based, capped at ``cap``) costs 2^min(i, cap) seconds
+    of backoff — the retry-budget read a polite fetcher runs per host
+    (how much schedule headroom do error-prone hosts burn?). Emits per
+    key with ≥1 error: (n_err, n_err_runs, backoff_total_s, max_run).
+    ONE keyed exchange; run positions are a vectorized
+    change-point/accumulate sweep (no per-key Python)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        empty = pa.table({key_col: pa.array([], key_t),
+                          "n_err": pa.array([], pa.int64()),
+                          "n_err_runs": pa.array([], pa.int64()),
+                          "backoff_total_s": pa.array([], pa.int64()),
+                          "max_run": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        err = batch[flag_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        idx = np.arange(len(sk))
+        change = np.concatenate(([True], (sk[1:] != sk[:-1])
+                                 | (err[1:] != err[:-1])))
+        run_start = np.maximum.accumulate(np.where(change, idx, -1))
+        pos = idx - run_start
+        sel = err == 1
+        if not sel.any():
+            return empty
+        ek, ep = sk[sel], pos[sel]
+        delay = np.int64(1) << np.minimum(ep, cap)
+        uk, inv = np.unique(ek, return_inverse=True)
+        n_err = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        n_runs = np.bincount(inv, weights=(ep == 0),
+                             minlength=len(uk)).astype(np.int64)
+        total = np.bincount(inv, weights=delay,
+                            minlength=len(uk)).astype(np.int64)
+        mx = np.zeros(len(uk), np.int64)
+        np.maximum.at(mx, inv, ep + 1)
+        # map unique codes back to original key values: take the first
+        # sorted row of each selected key (ek is key-sorted)
+        sel_idx = np.flatnonzero(sel)
+        firsts = sel_idx[np.searchsorted(ek, uk, side="left")]
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[firsts])),
+            "n_err": pa.array(n_err, pa.int64()),
+            "n_err_runs": pa.array(n_runs, pa.int64()),
+            "backoff_total_s": pa.array(total, pa.int64()),
+            "max_run": pa.array(mx, pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def quantile_normalize_buckets(ds, key_col: str, val_col: str,
+                               id_col: str, n_buckets: int = 10,
+                               exchange: str = "groups"):
+    """Quantile normalization across groups (the microarray /
+    batch-effect-removal classic): each row's value is replaced by the
+    cross-group mean of its within-group quantile BUCKET — groups with
+    different value scales become comparable while each group's
+    ordering is preserved. Within each group rows rank by (value, id);
+    bucket = ((2·rank − 1) · B) // (2 · n) (midpoint rule, exact
+    integers); the reference value per bucket is the exact milli mean
+    of raw values across the whole table. ONE keyed exchange for the
+    rank pass, a B-row census rollup, then a broadcast map join —
+    nothing corpus-sized leaves the workers. Emits
+    (id, key, bucket, qn_milli)."""
+    import pandas as pd
+
+    def rank_kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key_col: pa.array([], key_t),
+                             "val": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, keys))
+        sk = keys[order]
+        start = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(sk)))
+        rank = np.arange(len(sk)) - np.repeat(starts, lens) + 1
+        n = np.repeat(lens, lens)
+        bucket = ((2 * rank - 1) * n_buckets) // (2 * n)
+        out = batch.take(pa.array(order))
+        return pa.table({id_col: out[id_col], key_col: out[key_col],
+                         "val": pa.array(v[order], pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    ranked = keyed_exchange(ds, key_col, rank_kern, exchange)
+    sums = partial_groupby_agg(ranked, ["bucket"],
+                               {"s": ("val", "sum"),
+                                "c": ("val", "count")})
+    ref = {int(b): (1000 * int(s)) // int(c)
+           for b, s, c in zip(sums["bucket"], sums["s"], sums["c"])}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("qn_milli",
+                                       pa.array([], pa.int64()))
+        b = batch["bucket"].to_numpy()
+        qn = np.array([ref[int(x)] for x in b], np.int64)
+        return batch.append_column("qn_milli", pa.array(qn, pa.int64()))
+
+    return ranked.map_batches(attach, batch_format="pyarrow") \
+        .drop_columns(["val"])
