@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "embedding_norm_census", "embedding_dim_census",
     "audio_clipping", "video_scene_cuts", "gopher_word_rules",
     "brier_score", "source_lang_mi", "image_channel_corr",
+    "image_blockiness", "image_border_energy", "cluster_separation",
+    "hapax_share", "t_closeness", "watermark_plan", "ewma_residuals",
+    "backoff_plan", "quantile_normalize",
 ]
 
 CRAWL_HOSTS = 8192
