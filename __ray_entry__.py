@@ -6697,6 +6697,197 @@ def q_quantile_normalize(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test per event class
+    (relational.per_key_runs_test): values dichotomized around each
+    class's own PERCENTILE_DISC median, same-side runs counted, z in
+    milli — the is-this-sequence-random read (trend / oscillation
+    detection) a monitoring pipeline runs beside cusum_change /
+    page_hinkley. Integer registers; z evaluated with the identical
+    IEEE double expression as the DuckDB twin."""
+    from frontera_ray.stages.relational import per_key_runs_test
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "event_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = per_key_runs_test(ev, "event_type", "ts_us", "v",
+                            tiebreak="event_id").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_stump_split(sf_dir: str):
+    """Best decision-stump threshold (relational.stump_split_best):
+    the value cut that best separates purchases from other events by
+    EXACT Gini gain (pico-scaled bigint scores, min-threshold
+    tie-break) — the one-feature CART primitive / feature-usefulness
+    read beside gini_split's categorical variant. Census domain is
+    the value discretization, not the row count."""
+    from frontera_ray.stages.relational import stump_split_best
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                          .astype(np.int64), pa.int64()),
+            "c": pc.cast(pc.equal(b["event_type"], "purchase"),
+                         pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    return stump_split_best(ev, "v", "c").to_pandas()
+
+
+def q_embedding_mmd(sf_dir: str):
+    """Linear-kernel MMD² between the even- and odd-id embedding
+    cohorts (ann.embedding_mmd_linear): exact-integer ‖μ_a − μ_b‖²
+    over quantized components, in micro units — the embedding-drift
+    two-sample test run between corpus snapshots before trusting
+    cached ANN indexes (the vector counterpart of psi_drift).
+    Shuffle-free register pass, Python-bigint fold."""
+    from frontera_ray.stages.ann import embedding_mmd_linear
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "side": pa.array(b["vec_id"].to_numpy() % 2, pa.int64()),
+            "embedding": b["embedding"]})
+
+    return embedding_mmd_linear(
+        _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+        .map_batches(prep, batch_format="pyarrow"))
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V over the event_type × day-of-week contingency table
+    — the effect-SIZE companion to chi_square's per-cell test (a huge
+    corpus makes any dependence "significant"; V says whether it
+    matters): V = sqrt(χ²/(N·min(r−1,c−1))), with χ² folded from the
+    same per-cell integer micro contributions as the chi_square query
+    (so the sum is order-free) and the final sqrt the identical IEEE
+    expression as the twin. One combiner aggregate."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import partial_groupby_agg
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy()
+        dow = (ts // 86_400_000_000 + 4) % 7
+        return pa.table({"event_type": batch["event_type"],
+                         "dow": pa.array(dow, pa.int64())})
+
+    cells = partial_groupby_agg(
+        _read(sf_dir, "events").select_columns(["event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "dow"], {"n": ("dow", "count")})
+    df = cells.reset_index(drop=True)
+    total = float(df["n"].sum())
+    row_tot = df.groupby("event_type")["n"].transform("sum").astype(float)
+    col_tot = df.groupby("dow")["n"].transform("sum").astype(float)
+    exp = row_tot * col_tot / total
+    chi_micro = np.round(
+        ((df["n"].astype(float) - exp) ** 2 / exp).to_numpy() * 1e6) \
+        .astype(np.int64)
+    chi2_micro_total = int(chi_micro.sum())
+    r = int(df["event_type"].nunique())
+    c = int(df["dow"].nunique())
+    N = int(df["n"].sum())
+    k = min(r - 1, c - 1)
+    v_milli = int(np.floor(
+        1000.0 * np.sqrt((chi2_micro_total / 1_000_000.0) / (N * k))
+        + 0.5))
+    return pd.DataFrame({
+        "n": [N], "n_rows": [r], "n_cols": [c],
+        "chi2_micro_total": [chi2_micro_total], "v_milli": [v_milli]})
+
+
+def q_url_template_census(sf_dir: str):
+    """URL path-template mining over the derived corpus — the
+    wildcard/trap-pattern read of frontier dedup (a position where
+    every URL shares one segment is TEMPLATE; a position with
+    per-page-unique segments is a PARAMETER slot — the distinction
+    behind URL-normalization rules like /product/*/review): per
+    (host, path position) the URL count, distinct-segment count, top
+    segment + its ppm share, and the templated verdict. REAL string
+    parsing on both sides; one (host,pos)-hash exchange co-locates
+    each position's segments whole."""
+    import pandas as pd
+
+    from frontera_ray.stages.relational import hash_partitioned
+
+    def explode(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        urls = pa.array(
+            [f"http://h{i % 64}.test" + "/seg" * (1 + i % 6) + f"/p{i}"
+             for i in d], pa.string())
+        parts = pc.split_pattern(urls, "/")
+        parent = pc.list_parent_indices(parts).to_numpy()
+        flat = pc.list_flatten(parts)
+        offs = np.diff(parts.offsets.to_numpy() if not isinstance(
+            parts, pa.ChunkedArray) else parts.combine_chunks()
+            .offsets.to_numpy())
+        starts = np.concatenate(([0], np.cumsum(offs)[:-1]))
+        pos = np.arange(len(flat)) - np.repeat(starts, offs) - 2
+        host = pc.list_element(parts, 2)
+        t = pa.table({
+            "hp": pc.binary_join_element_wise(
+                pc.take(host, pa.array(parent)).cast(pa.string()),
+                pa.array((pos - 0).astype("U"), pa.string()), "|"),
+            "host": pc.take(host, pa.array(parent)),
+            "pos": pa.array(pos, pa.int64()),
+            "seg": flat})
+        return t.filter(pa.array(pos >= 1))
+
+    def census(b: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "pos": pa.array([], pa.int64()),
+                          "n_urls": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "top_seg": pa.array([], pa.string()),
+                          "top_share_ppm": pa.array([], pa.int64()),
+                          "templated": pa.array([], pa.bool_())})
+        if len(b) == 0:
+            return empty
+        df = pd.DataFrame({
+            "host": b["host"].to_numpy(zero_copy_only=False),
+            "pos": b["pos"].to_numpy(),
+            "seg": b["seg"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["host", "pos", "seg"], as_index=False).size()
+        g = g.sort_values(["host", "pos", "size", "seg"],
+                          ascending=[True, True, False, True])
+        agg = g.groupby(["host", "pos"], as_index=False).agg(
+            n_urls=("size", "sum"), n_distinct=("size", "count"),
+            top_seg=("seg", "first"), top_n=("size", "first"))
+        return pa.table({
+            "host": pa.array(agg["host"].astype(object), pa.string()),
+            "pos": pa.array(agg["pos"].to_numpy(np.int64)),
+            "n_urls": pa.array(agg["n_urls"].to_numpy(np.int64)),
+            "n_distinct": pa.array(agg["n_distinct"].to_numpy(np.int64)),
+            "top_seg": pa.array(agg["top_seg"].astype(object),
+                                pa.string()),
+            "top_share_ppm": pa.array(
+                (1_000_000 * agg["top_n"].to_numpy(np.int64))
+                // agg["n_urls"].to_numpy(np.int64), pa.int64()),
+            "templated": pa.array(
+                agg["n_distinct"].to_numpy(np.int64) == 1, pa.bool_())})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(explode, batch_format="pyarrow"))
+    out = pa.concat_tables(list(
+        hash_partitioned(ds, "hp")
+        .map_batches(census, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))) \
+        .to_pandas()
+    return out.sort_values(["host", "pos"]).reset_index(drop=True)
+
+
 def q_t_closeness(sf_dir: str):
     """t-closeness audit (relational.grouped_w1_vs_global; Li 2007 —
     the step beyond k_anon_violations / l_diversity): per
@@ -9861,6 +10052,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ewma_residuals": q_ewma_residuals,
     "backoff_plan": q_backoff_plan,
     "quantile_normalize": q_quantile_normalize,
+    "runs_test": q_runs_test,
+    "stump_split": q_stump_split,
+    "embedding_mmd": q_embedding_mmd,
+    "cramers_v": q_cramers_v,
+    "url_template_census": q_url_template_census,
     "temperature_mix": q_temperature_mix,
     "jain_fairness": q_jain_fairness,
     "wilson_lb": q_wilson_lb,
@@ -15345,6 +15541,162 @@ def oracle_sql() -> dict[str, str]:
                    ((1000 * greatest(1000 * x + 2000 - 2 * t, 0))
                     // (n + 4))::BIGINT AS wilson_lb_ppm
             FROM sq ORDER BY event_type""",
+        "runs_test": r"""
+            WITH v AS (SELECT event_type,
+                              floor(value * 100 + 0.5)::BIGINT AS c,
+                              epoch_us(ts)::BIGINT AS t, event_id
+                       FROM events),
+            med AS (SELECT event_type,
+                           CAST(percentile_disc(0.5)
+                                WITHIN GROUP (ORDER BY c) AS BIGINT)
+                             AS m
+                    FROM v GROUP BY event_type),
+            f AS (SELECT v.event_type, (v.c > med.m)::INT AS side,
+                         v.t, v.event_id
+                  FROM v JOIN med USING (event_type)
+                  WHERE v.c != med.m),
+            s AS (SELECT event_type, side,
+                         CASE WHEN lag(side) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY t, event_id)
+                              IS DISTINCT FROM side
+                              THEN 1 ELSE 0 END AS chg
+                  FROM f),
+            a AS (SELECT event_type,
+                         sum(side)::BIGINT AS n_above,
+                         sum(1 - side)::BIGINT AS n_below,
+                         sum(chg)::BIGINT AS n_runs
+                  FROM s GROUP BY event_type)
+            SELECT event_type, n_above, n_below, n_runs,
+                   CASE WHEN n_above > 0 AND n_below > 0
+                             AND 2 * n_above * n_below
+                                 > n_above + n_below
+                        THEN floor(1000.0 * (n_runs
+                                 - (2.0 * n_above * n_below
+                                    / (n_above + n_below) + 1.0))
+                             / sqrt(2.0 * n_above * n_below
+                                    * (2.0 * n_above * n_below
+                                       - n_above - n_below)
+                                    / ((n_above + n_below)::DOUBLE
+                                       * (n_above + n_below)::DOUBLE
+                                       * ((n_above + n_below)::DOUBLE
+                                          - 1.0)))
+                             + 0.5)::BIGINT
+                        ELSE 0 END AS z_milli
+            FROM a ORDER BY event_type""",
+        "stump_split": r"""
+            WITH v AS (SELECT floor(value * 100 + 0.5)::BIGINT AS val,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS c
+                       FROM events),
+            cen AS (SELECT val, sum(c)::BIGINT AS n1,
+                           sum(1 - c)::BIGINT AS n0
+                    FROM v GROUP BY val),
+            cum AS (SELECT val,
+                           sum(n0) OVER (ORDER BY val)::BIGINT AS l0,
+                           sum(n1) OVER (ORDER BY val)::BIGINT AS l1,
+                           (SELECT sum(n0) FROM cen)::BIGINT AS t0,
+                           (SELECT sum(n1) FROM cen)::BIGINT AS t1
+                    FROM cen),
+            sc AS (SELECT val AS threshold,
+                          (l0 + l1)::BIGINT AS n_left,
+                          (t0 - l0 + t1 - l1)::BIGINT AS n_right,
+                          ((1000000000000::HUGEINT
+                            * ((l0 * l0 + l1 * l1)::HUGEINT
+                                 * (t0 - l0 + t1 - l1)
+                               + ((t0 - l0) * (t0 - l0)
+                                  + (t1 - l1) * (t1 - l1))::HUGEINT
+                                 * (l0 + l1)))
+                           // ((l0 + l1)::HUGEINT
+                               * (t0 - l0 + t1 - l1)))::BIGINT
+                            AS score_pico
+                   FROM cum WHERE (t0 - l0 + t1 - l1) > 0)
+            SELECT threshold, n_left, n_right, score_pico
+            FROM sc ORDER BY score_pico DESC, threshold ASC LIMIT 1""",
+        "embedding_mmd": r"""
+            WITH f AS (SELECT (vec_id % 2)::BIGINT AS side, i - 1 AS dim,
+                              floor(embedding[i]::DOUBLE
+                                    * 1048576)::BIGINT AS q
+                       FROM embeddings, LATERAL unnest(
+                           generate_series(1, len(embedding))) AS t(i)),
+            nn AS (SELECT (vec_id % 2)::BIGINT AS side,
+                          count(*)::HUGEINT AS n
+                   FROM embeddings GROUP BY 1),
+            sd AS (SELECT side, dim, sum(q)::HUGEINT AS s
+                   FROM f GROUP BY side, dim),
+            d AS (SELECT sum((nb.n * sa.s - na.n * sb.s)
+                             * (nb.n * sa.s - na.n * sb.s)) AS d2
+                  FROM sd sa JOIN sd sb
+                       ON sa.dim = sb.dim AND sa.side = 0
+                          AND sb.side = 1
+                  JOIN nn na ON na.side = 0
+                  JOIN nn nb ON nb.side = 1)
+            SELECT (SELECT n FROM nn WHERE side = 0)::BIGINT AS n_a,
+                   (SELECT n FROM nn WHERE side = 1)::BIGINT AS n_b,
+                   ((1000000::HUGEINT * (SELECT d2 FROM d))
+                    // (((SELECT n FROM nn WHERE side = 0)
+                         * (SELECT n FROM nn WHERE side = 1))
+                        * ((SELECT n FROM nn WHERE side = 0)
+                           * (SELECT n FROM nn WHERE side = 1))
+                        * 1099511627776::HUGEINT))::BIGINT
+                     AS mmd2_micro""",
+        "cramers_v": r"""
+            WITH e AS (SELECT event_type,
+                              ((epoch_us(ts) // 86400000000 + 4) % 7)
+                                ::BIGINT AS dow
+                       FROM events),
+            cell AS (SELECT event_type, dow, count(*)::BIGINT AS n
+                     FROM e GROUP BY event_type, dow),
+            m AS (SELECT event_type, dow, n,
+                         sum(n) OVER (PARTITION BY event_type)::DOUBLE
+                           AS rt,
+                         sum(n) OVER (PARTITION BY dow)::DOUBLE AS ct,
+                         sum(n) OVER ()::DOUBLE AS tot
+                  FROM cell),
+            chi AS (SELECT CAST(round((n - rt * ct / tot)
+                                      * (n - rt * ct / tot)
+                                      / (rt * ct / tot) * 1e6)
+                                AS BIGINT) AS cm
+                    FROM m),
+            agg AS (SELECT (SELECT sum(cm) FROM chi)::BIGINT AS chim,
+                           (SELECT count(DISTINCT event_type)
+                            FROM cell)::BIGINT AS r,
+                           (SELECT count(DISTINCT dow)
+                            FROM cell)::BIGINT AS c,
+                           (SELECT sum(n) FROM cell)::BIGINT AS N)
+            SELECT N AS n, r AS n_rows, c AS n_cols,
+                   chim AS chi2_micro_total,
+                   floor(1000.0 * sqrt((chim::DOUBLE / 1000000.0)
+                                       / (N * least(r - 1, c - 1)))
+                         + 0.5)::BIGINT AS v_milli
+            FROM agg""",
+        "url_template_census": r"""
+            WITH u AS (SELECT 'http://h' || (doc_id % 64) || '.test'
+                              || repeat('/seg', (1 + doc_id % 6)::INT)
+                              || '/p' || doc_id AS url
+                       FROM documents),
+            s AS (SELECT string_split(url, '/')[3] AS host,
+                         (i - 3)::BIGINT AS pos,
+                         string_split(url, '/')[i] AS seg
+                  FROM u, LATERAL unnest(generate_series(
+                      4, len(string_split(url, '/')))) AS t(i)),
+            c AS (SELECT host, pos, seg, count(*)::BIGINT AS n
+                  FROM s GROUP BY host, pos, seg),
+            rk AS (SELECT *, row_number() OVER (
+                              PARTITION BY host, pos
+                              ORDER BY n DESC, seg ASC) AS rr
+                   FROM c),
+            a AS (SELECT host, pos, sum(n)::BIGINT AS n_urls,
+                         count(*)::BIGINT AS n_distinct
+                  FROM c GROUP BY host, pos)
+            SELECT a.host, a.pos, a.n_urls, a.n_distinct,
+                   rk.seg AS top_seg,
+                   ((1000000 * rk.n) // a.n_urls)::BIGINT
+                     AS top_share_ppm,
+                   a.n_distinct = 1 AS templated
+            FROM a JOIN rk ON rk.host = a.host AND rk.pos = a.pos
+                          AND rk.rr = 1
+            ORDER BY a.host, a.pos""",
         "ewma_residuals": r"""
             WITH RECURSIVE v AS (
                 SELECT user_id,

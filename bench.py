@@ -119,7 +119,8 @@ BENCH_QUERIES = [
     "brier_score", "source_lang_mi", "image_channel_corr",
     "image_blockiness", "image_border_energy", "cluster_separation",
     "hapax_share", "t_closeness", "watermark_plan", "ewma_residuals",
-    "backoff_plan", "quantile_normalize",
+    "backoff_plan", "quantile_normalize", "runs_test", "stump_split",
+    "embedding_mmd", "cramers_v", "url_template_census",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1161,3 +1161,67 @@ def cluster_separation_pairs(ds, label_col: str = "label",
             rows.append((la, lb, na, nb, sep))
     return pd.DataFrame(rows, columns=["label_a", "label_b", "n_a",
                                        "n_b", "sep_ppm"])
+
+
+def embedding_mmd_linear(ds, side_col: str = "side",
+                         emb_col: str = "embedding") -> "object":
+    """Two-sample embedding drift test: linear-kernel MMD² between the
+    two sides' embedding distributions,
+
+        MMD²_lin = ‖μ_a − μ_b‖²
+                 = Σ_d (n_b·S_a,d − n_a·S_b,d)² / (n_a·n_b)²,
+
+    in EXACT integers over 2^20-floor-quantized components — the
+    did-the-encoder-or-corpus-shift read run between snapshots before
+    trusting cached ANN indexes / dedup thresholds (the embedding
+    counterpart of psi_drift/ks_drift on scalars). Reported in micro
+    units of the raw [-1,1]² scale (divide by 2^40). Same register
+    shape as cluster_separation_pairs: one shuffle-free partial pass,
+    O(sides·d) driver fold in Python bigints (the twin's HUGEINT)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(b) == 0:
+            return pa.table({"side": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64()))})
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 1048576.0).astype(np.int64)
+        widths = np.diff(emb.offsets.to_numpy())
+        d = int(widths.max())
+        Q = q.reshape(len(b), d)
+        side = b[side_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us, inv = np.unique(side, return_inverse=True)
+        n = np.bincount(inv, minlength=len(us)).astype(np.int64)
+        S = np.zeros((len(us), d), np.int64)
+        np.add.at(S, inv, Q)
+        return pa.table({"side": pa.array(us, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "s": pa.array(list(S), pa.list_(pa.int64()))})
+
+    acc: dict[int, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for i in range(len(t)):
+            sd = int(t["side"][i].as_py())
+            s = [int(x) for x in t["s"][i].as_py()]
+            cur = acc.get(sd)
+            if cur is None:
+                acc[sd] = [int(t["n"][i].as_py()), s]
+            else:
+                cur[0] += int(t["n"][i].as_py())
+                cur[1] = [a + b for a, b in zip(cur[1], s)]
+    na, Sa = acc.get(0, [0, []])
+    nb, Sb = acc.get(1, [0, []])
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"n_a": [na], "n_b": [nb],
+                             "mmd2_micro": [0]})
+    D = sum((nb * x - na * y) ** 2 for x, y in zip(Sa, Sb))
+    mmd2_micro = (1_000_000 * D) // ((na * nb) ** 2 * (1 << 40))
+    return pd.DataFrame({"n_a": [na], "n_b": [nb],
+                         "mmd2_micro": [int(mmd2_micro)]})

@@ -4755,3 +4755,141 @@ def quantile_normalize_buckets(ds, key_col: str, val_col: str,
 
     return ranked.map_batches(attach, batch_format="pyarrow") \
         .drop_columns(["val"])
+
+
+def per_key_runs_test(ds, key_col: str, order_col: str, val_col: str,
+                      tiebreak: str | None = None,
+                      exchange: str = "groups") -> pa.Table:
+    """Wald–Wolfowitz runs test per key: in ``order_col`` order, each
+    key's integer values are dichotomized around the key's own
+    PERCENTILE_DISC(0.5) median (ties AT the median dropped, the
+    classic convention), runs of consecutive same-side values are
+    counted, and the normal-approximation z-score is reported in milli
+    — the is-this-sequence-random read (trending or oscillating
+    event values fail it; a politeness scheduler uses it to spot
+    synchronized/bursty hosts). Registers (n_above, n_below, n_runs)
+    are exact integers; z = (R − μ)/σ with μ = 2ab/(a+b) + 1 and
+    σ² = 2ab(2ab − a − b)/((a+b)²(a+b−1)) evaluated with the identical
+    IEEE double expression as the DuckDB twin (all inputs ≤ 2^53).
+    ONE keyed exchange, run-aware vectorized kernel."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        empty = pa.table({key_col: pa.array([], key_t),
+                          "n_above": pa.array([], pa.int64()),
+                          "n_below": pa.array([], pa.int64()),
+                          "n_runs": pa.array([], pa.int64()),
+                          "z_milli": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk, sv = keys[order], v[order]
+        start = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(sk)))
+        # per-key median (quantile_disc 0.5 over VALUE order)
+        vorder = np.lexsort((sv, sk))
+        rank = np.maximum(1, np.ceil(0.5 * lens - 1e-9).astype(np.int64))
+        med = sv[vorder][starts + rank - 1]
+        med_per_row = np.repeat(med, lens)
+        keep = sv != med_per_row
+        kk, kv = sk[keep], sv[keep]
+        side = (kv > med_per_row[keep]).astype(np.int64)
+        change = np.concatenate(([True], (kk[1:] != kk[:-1])
+                                 | (side[1:] != side[:-1]))) \
+            if len(kk) else np.zeros(0, bool)
+        uk = np.unique(kk)
+        inv = np.searchsorted(uk, kk)
+        a = np.bincount(inv, weights=side, minlength=len(uk)) \
+            .astype(np.int64)
+        b = np.bincount(inv, weights=1 - side, minlength=len(uk)) \
+            .astype(np.int64)
+        r = np.bincount(inv, weights=change, minlength=len(uk)) \
+            .astype(np.int64)
+        n = a + b
+        nf = n.astype(np.float64)
+        mu = 2.0 * a * b / nf + 1.0
+        var = (2.0 * a * b * (2.0 * a * b - a - b)
+               / (nf * nf * (nf - 1.0)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(var > 0,
+                         np.floor(1000.0 * (r - mu) / np.sqrt(var) + 0.5),
+                         0.0).astype(np.int64)
+        first_rows = np.flatnonzero(keep)[np.searchsorted(kk, uk)]
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[first_rows])),
+            "n_above": pa.array(a, pa.int64()),
+            "n_below": pa.array(b, pa.int64()),
+            "n_runs": pa.array(r, pa.int64()),
+            "z_milli": pa.array(z, pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
+def stump_split_best(ds, val_col: str, cls_col: str,
+                     scale_pico: int = 10 ** 12) -> pa.Table:
+    """Best decision-stump threshold by Gini impurity, EXACT: over the
+    (value, class) census, splitting at v ≤ t minimizes weighted Gini
+    ⟺ maximizes (A_l·n_r + A_r·n_l)/(n_l·n_r) with A = Σ_c count_c² —
+    the one-feature CART primitive (and the feature-usefulness read
+    beside gini_split's categorical version). One distributed
+    (value, class) census (domain bounded by the value discretization,
+    not rows), driver prefix sums, Python-bigint scores floored at
+    pico scale (the twin's HUGEINT), deterministic min-threshold
+    tie-break. Returns ONE row (threshold, n_left, n_right,
+    score_pico)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "v": batch[val_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "c": batch[cls_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).groupby(["v", "c"], as_index=False).size()
+        return pa.table({"v": pa.array(df["v"].to_numpy(np.int64)),
+                         "c": pa.array(df["c"].to_numpy(np.int64)),
+                         "n": pa.array(df["size"].to_numpy(np.int64))})
+
+    acc: dict[tuple[int, int], int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, c, n in zip(t["v"].to_numpy(), t["c"].to_numpy(),
+                           t["n"].to_numpy()):
+            k = (int(v), int(c))
+            acc[k] = acc.get(k, 0) + int(n)
+    vals = np.array(sorted({v for v, _ in acc}), dtype=np.int64)
+    n0 = np.array([acc.get((int(v), 0), 0) for v in vals], np.int64)
+    n1 = np.array([acc.get((int(v), 1), 0) for v in vals], np.int64)
+    c0, c1 = np.cumsum(n0), np.cumsum(n1)
+    N0, N1 = int(c0[-1]), int(c1[-1])
+    best = None
+    for i in range(len(vals) - 1):  # right side must be nonempty
+        l0, l1 = int(c0[i]), int(c1[i])
+        r0, r1 = N0 - l0, N1 - l1
+        nl, nr = l0 + l1, r0 + r1
+        al = l0 * l0 + l1 * l1
+        ar = r0 * r0 + r1 * r1
+        score = (scale_pico * (al * nr + ar * nl)) // (nl * nr)
+        if best is None or score > best[3]:
+            best = (int(vals[i]), nl, nr, score)
+    if best is None:
+        best = (0, 0, 0, 0)
+    return pa.table({
+        "threshold": pa.array([best[0]], pa.int64()),
+        "n_left": pa.array([best[1]], pa.int64()),
+        "n_right": pa.array([best[2]], pa.int64()),
+        "score_pico": pa.array([best[3]], pa.int64())})
