@@ -1222,16 +1222,19 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (second scale path beside LSH):
-    k-means lists trained on a bounded sample, broadcast; blocks keep
-    only vectors in the queries' probed lists, then partial top-k.
-    Rows-only (centroids are data-dependent — not SQL-expressible);
-    exactness pytest: nprobe=nlist reproduces brute_force_topk
-    byte-for-byte, recall pytest on clustered fixtures."""
-    from frontera_ray.stages.ann import ivf_topk
+    """IVF coarse-quantizer ANN (second scale path beside LSH), the
+    deterministic variant: inverted lists from the kmeans_centroids
+    Lloyd recurrence (smallest-vec_id seeds, 1e-9 rounding), per-query
+    nprobe probe sets, exact cosine top-k over probed candidates.
+    Oracle = the unrolled iters=1 k-means CTE (same recurrence as
+    `kmeans`/`semantic_dedup`) + probe ranking + the ann_topk rank
+    convention. The sampled spherical-kmeans `ivf_topk` stays as the
+    recall-tested production alternative (pytest: nprobe=nlist
+    reproduces brute_force_topk byte-for-byte)."""
+    from frontera_ray.stages.ann import ivf_topk_fixed
 
-    return ivf_topk(_read(sf_dir, "embeddings"), range(5), k=10,
-                    nlist=16, nprobe=6)
+    return ivf_topk_fixed(_read(sf_dir, "embeddings"), range(5), k=10,
+                          nlist=8, nprobe=3, iters=1)
 
 
 def q_ann_lsh(sf_dir: str):
@@ -11349,8 +11352,39 @@ _WINNOW_SEL_CTE = r"""
                     WHERE pos <= greatest(1, n.n - 3))"""
 
 
+def _crawl_bfs_oracle_sql() -> str:
+    """Recursive-CTE twin of q_crawl_bfs: the synthetic web is a pure
+    function (host i's (max_depth, branching) tree, first child of every
+    non-seed page on hosts i%7==3 advertised via a '?r=1' alias), and the
+    BFS/min_score pop order is exactly (depth asc, seed order, link order)
+    = ORDER BY (length(path), host, path) — verified byte-for-byte against
+    the engine. The 32 per-host tree shapes are deterministic constants of
+    the fixture (SyntheticWeb(32, seed=42, max_class=3)) inlined as VALUES."""
+    from frontera_ray.graphs import _HOST_CLASSES, SyntheticWeb
+
+    web = SyntheticWeb(32, seed=42, max_class=3)
+    vals = ",".join(
+        "({},{},{})".format(i, *_HOST_CLASSES[web._cls[i]]) for i in range(32))
+    return f"""
+        WITH RECURSIVE hosts(i, md, br) AS (VALUES {vals}),
+        pages(i, md, br, path) AS (
+          SELECT i, md, br, CAST('1' AS VARCHAR) FROM hosts
+          UNION ALL
+          SELECT p.i, p.md, p.br, p.path || CAST(g.k AS VARCHAR)
+          FROM pages p JOIN generate_series(1, 9) AS g(k) ON g.k <= p.br
+          WHERE length(p.path) + 1 <= p.md - 1
+        )
+        SELECT row_number() OVER (ORDER BY length(path), i, path) - 1 AS rank,
+               'http://host-' || lpad(CAST(i AS VARCHAR), 5, '0')
+                 || '.test/' || path ||
+               CASE WHEN i % 7 = 3 AND length(path) > 1 AND path LIKE '%1'
+                    THEN '?r=1' ELSE '' END AS url
+        FROM pages ORDER BY rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_bfs": _crawl_bfs_oracle_sql(),
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
         "url_fingerprint": f"SELECT doc_id, md5({_CANON_URL_SQL}) AS fp_md5 FROM documents",
         "host_partition": f"""
@@ -13165,6 +13199,70 @@ def oracle_sql() -> dict[str, str]:
               FROM hx GROUP BY 1, 2)
             SELECT doc_id, dim, weight FROM cell
             WHERE weight <> 0 ORDER BY doc_id, dim""",
+        # the kmeans recurrence at iters=1 (c0 -> a1 -> c1) builds the
+        # inverted lists; each query (vec_id < 5) probes its 3 nearest
+        # lists (rounded d2 asc, ties to smaller list); candidates =
+        # vectors assigned to a probed list; exact cosine top-10 with
+        # the ann_topk rank convention (round(sim,9) desc, vec_id)
+        "ann_ivf": """
+            WITH c0 AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[i+1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, 63) AS g(i)
+              WHERE vec_id < 8),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1),
+            m1 AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                       AS c
+              FROM embeddings e JOIN a1 a USING (vec_id),
+                   generate_series(0, 63) AS g(i)
+              GROUP BY a.cl, g.i),
+            c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1
+                     ON m1.cl = c0.cl AND m1.dim = c0.dim),
+            df AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                               * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                       AS d2
+              FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+            af AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM df) WHERE rn = 1),
+            probe AS (
+              SELECT vec_id AS qid, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM df WHERE vec_id < 5) WHERE rn <= 3),
+            cand AS (
+              SELECT p.qid, a.vec_id FROM af a JOIN probe p ON a.cl = p.cl),
+            sims AS (
+              SELECT c.qid AS query_id, c.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]) AS sim
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN embeddings q ON q.vec_id = c.qid)
+            SELECT query_id, vec_id, rank::INTEGER AS rank,
+                   round(sim, 4) AS sim FROM (
+              SELECT query_id, vec_id, sim, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY round(sim, 9) DESC, vec_id) AS rank
+              FROM sims)
+            WHERE rank <= 10""",
         # the kmeans recurrence at iters=1 (c0 -> a1 -> c1), then a
         # same-cluster self-join at the cosine threshold — the SemDeDup
         # shape: candidate pairs exist ONLY within a cluster

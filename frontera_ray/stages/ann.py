@@ -287,6 +287,95 @@ def ivf_topk(ds, query_ids, k: int = 10, nlist: int = 64, nprobe: int = 8,
     return _merge_topk(pa.concat_tables(merged_parts), k)
 
 
+def ivf_topk_fixed(ds, query_ids, k: int = 10, nlist: int = 8,
+                   nprobe: int = 3, iters: int = 1,
+                   round_to: int = 9) -> pa.Table:
+    """Deterministic (oracle-checkable) IVF ANN top-k — the coarse
+    quantizer is the ``kmeans_centroids`` Lloyd recurrence (seeds = the
+    ``nlist`` smallest vec_ids, round(d2, 1e-9) before argmin with ties
+    to the smaller list, round(centroid, 1e-9) after each update), so
+    the inverted lists are a pure function of the input and the whole
+    pipeline is SQL-expressible as the unrolled k-means CTE + per-query
+    probe ranking (``oracle_sql()['ann_ivf']``).
+
+    Semantics (true per-query IVF, tighter than ``ivf_topk``'s
+    union-of-probes filter): each vector belongs to exactly one list
+    (rounded-d2 argmin under the final centroids); each query probes its
+    ``nprobe`` nearest lists (rounded d2 asc, ties to the smaller list);
+    query q's candidates are ONLY the vectors in q's probed lists; exact
+    cosine top-k over candidates with the shared ranking convention
+    (round(sim, 9) desc, vec_id asc; output sim rounded to 4).
+
+    Scale shape: centroids train in ``iters`` streaming passes (no
+    driver-side vectors), the (nlist x d) centroid matrix + (Q x nlist)
+    probe mask broadcast once via ``ray.put``; ONE more streaming pass
+    assigns + masks + partial-top-ks per block; the driver merges only
+    k x Q x num_blocks partial rows. No shuffle. ``ivf_topk`` remains
+    the sampled spherical-kmeans variant (recall-tested in pytest)."""
+    import ray
+
+    C = kmeans_centroids(ds, k=nlist, iters=iters, round_to=round_to)
+    qids, qmat = _query_rows(ds, query_ids)
+    # per-query probe lists under the final centroids, same argmin
+    # convention as the assignment (round first, ties to smaller list)
+    qd2 = np.round(((qmat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                   round_to)
+    nprobe = min(nprobe, nlist)
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    for qi in range(len(qids)):
+        order = np.lexsort((np.arange(nlist), qd2[qi]))[:nprobe]
+        probe_mask[qi, order] = True
+    bundle_ref = ray.put((qids, qmat, C, probe_mask))
+    _cache: dict = {}
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return empty
+        if "b" not in _cache:
+            qi_, qm_, C_, pm_ = ray.get(bundle_ref)
+            qn_ = qm_ / np.linalg.norm(qm_, axis=1, keepdims=True)
+            _cache["b"] = (qi_, qn_, C_, pm_)
+        qids_, qn, Cm, pm = _cache["b"]
+        X = _matrix(batch).astype(np.float64)
+        d2 = np.round(((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2),
+                      round_to)
+        assign = np.argmin(d2, axis=1)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (X / nrm) @ qn.T                       # (B, Q)
+        allowed = pm[:, assign].T                     # (B, Q)
+        sims = np.where(allowed, sims, -np.inf)
+        vec_ids = batch["vec_id"].to_numpy()
+        kk = min(k, len(batch))
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            rows = idx[:, qi]
+            keep = np.isfinite(sims[rows, qi])
+            rows = rows[keep]
+            out_q.extend([qid] * len(rows))
+            out_v.extend(vec_ids[rows])
+            out_s.extend(sims[rows, qi])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+            "sim": pa.array(np.asarray(out_s, np.float64), pa.float64())})
+
+    partials = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        block_kernel, batch_format="pyarrow", batch_size=4096)
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "sim": pa.array([], pa.float64())})
+    return _merge_topk(pa.concat_tables(parts), k)
+
+
 def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = None) -> pa.Table:
     """Embedding near-dup pairs (a<b, cosine>=threshold) — brute
     baseline, distributed: the (limit_ids-bounded) comparison set is

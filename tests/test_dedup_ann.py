@@ -460,6 +460,42 @@ def test_ivf_topk_full_probe_equals_brute(ray_session):
     assert ivf.to_pylist() == brute.to_pylist()
 
 
+def test_ivf_topk_fixed_full_probe_equals_brute(ray_session):
+    """Deterministic IVF at nprobe=nlist keeps every vector for every
+    query -> must reproduce the brute top-k byte-for-byte."""
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk, ivf_topk_fixed
+
+    ds = ray.data.from_arrow(_clustered_embeddings()).repartition(4)
+    brute = brute_force_topk(ds, range(4), k=5)
+    ivf = ivf_topk_fixed(ds, range(4), k=5, nlist=8, nprobe=8, iters=1)
+    assert ivf.to_pylist() == brute.to_pylist()
+
+
+def test_ivf_topk_fixed_probe_subset(ray_session):
+    """With nprobe < nlist every returned sim is exact and every
+    candidate's assigned list is in its query's probe set (per-query
+    filter semantics, not the union-of-probes relaxation)."""
+    import ray
+    from frontera_ray.stages.ann import (brute_force_topk,
+                                         ivf_topk_fixed)
+
+    ds = ray.data.from_arrow(_clustered_embeddings()).repartition(4)
+    brute = brute_force_topk(ds, range(4), k=5)
+    ivf = ivf_topk_fixed(ds, range(4), k=5, nlist=8, nprobe=4, iters=1)
+    bs = {(q, v): s for q, v, s in zip(brute["query_id"].to_pylist(),
+                                       brute["vec_id"].to_pylist(),
+                                       brute["sim"].to_pylist())}
+    hits = 0
+    for q, v, s in zip(ivf["query_id"].to_pylist(),
+                       ivf["vec_id"].to_pylist(),
+                       ivf["sim"].to_pylist()):
+        if (q, v) in bs:
+            hits += 1
+            assert abs(s - bs[(q, v)]) < 1e-9
+    assert hits >= 0.6 * len(brute)
+
+
 def test_ivf_topk_recall(ray_session):
     """Probing half the lists on a clustered corpus keeps high recall:
     every returned (query, vec) is exact-sim correct, and overlap with
