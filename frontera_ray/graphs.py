@@ -205,6 +205,68 @@ class SyntheticWeb:
             out[0] = out[0] + "?r=1"  # first child advertised via alias
         return out
 
+    # -- batched adapter API (the crawl hot path) -----------------------
+    # fetch_and_sink calls these once per Arrow batch instead of the
+    # per-row resolve()/links_of() list comps; both are pure and
+    # byte-identical to the scalar methods (asserted in pytest).
+    def resolve_batch(self, urls) -> list:
+        """Vectorized resolve(): '?r=1' only ever appears as the alias
+        suffix in this web, so one substring replace strips it."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = urls if isinstance(urls, pa.Array) else pa.array(
+            list(urls), pa.string())
+        return pc.replace_substring(arr, "?r=1", "").to_pylist()
+
+    def links_of_batch(self, urls):
+        """Vectorized links_of() over a batch: returns
+        ``(flat_links: pa.StringArray, counts: np.ndarray[int64])``
+        where flat_links concatenates each URL's outlinks in order.
+        Arrow-kernel parse (host index slice + path length), per-host
+        shape lookup via one np.take, children built with ONE
+        binary_join_element_wise — no per-row Python. Falls back to the
+        scalar path if any URL is not canonical ``http://host-XXXXX.
+        test/<digits>`` (never in a live crawl; robots/sitemap URLs are
+        routed by DiscoveryWeb before reaching here)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        finals = self.resolve_batch(urls)
+        n = len(finals)
+        if n == 0:
+            return pa.array([], pa.string()), np.zeros(0, np.int64)
+        arr = pa.array(finals, pa.string())
+        ok = pc.all(pc.and_(
+            pc.starts_with(arr, "http://host-"),
+            pc.match_substring_regex(
+                arr, r"^http://host-\d{5}\.test/\d+$"))).as_py()
+        if not ok:  # non-canonical rows: scalar fallback for the batch
+            links = [self.links_of(u) for u in finals]
+            counts = np.asarray([len(l) for l in links], np.int64)
+            return (pa.array([u for lst in links for u in lst],
+                             pa.string()), counts)
+        hosts_i = pc.cast(pc.utf8_slice_codeunits(arr, 12, 17),
+                          pa.int64()).to_numpy()
+        plen = (pc.utf8_length(arr).to_numpy() - 23).astype(np.int64)
+        shapes = np.asarray(_HOST_CLASSES, dtype=np.int64)[
+            self._cls[hosts_i]]
+        md, br = shapes[:, 0], shapes[:, 1]
+        counts = np.where(plen + 1 < md, br, 0).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.array([], pa.string()), counts
+        rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        link_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        parents = arr.take(pa.array(rep))
+        digits = pc.cast(pa.array(link_idx + 1, pa.int64()), pa.string())
+        alias = np.where((hosts_i[rep] % self.REDIRECT_HOST_MOD == 3)
+                         & (link_idx == 0), "?r=1", "")
+        flat = pc.binary_join_element_wise(
+            parents, digits, pa.array(alias.tolist(), pa.string()), "")
+        return flat, counts
+
     # every (3k+1)-th host publishes a sitemap index (robots 'Sitemap:'
     # line -> /sitemap.xml -> one deep page + a sub-sitemap with another)
     SITEMAP_HOST_MOD = 3
@@ -290,6 +352,38 @@ class DiscoveryWeb:
         if base is None or name.startswith("__"):
             raise AttributeError(name)
         return getattr(base, name)
+
+    def links_of_batch(self, urls):
+        """Batched adapter API with discovery routing: page URLs go
+        through the wrapped web's vectorized ``links_of_batch``;
+        robots/sitemap URLs (a tiny minority of any round) take the
+        scalar discovery path; results reassemble in input order.
+        Overridden here because ``__getattr__`` passthrough would send
+        robots/sitemap URLs down the page fast path."""
+        import pyarrow as pa
+
+        from .strategies import classify_url
+
+        urls = list(urls) if not isinstance(urls, list) else urls
+        kinds = [classify_url(u) for u in urls]
+        if all(k == "page" for k in kinds):
+            return self.base.links_of_batch(urls)
+        links = [self.links_of(u) if k != "page" else None
+                 for u, k in zip(urls, kinds)]
+        page_urls = [u for u, k in zip(urls, kinds) if k == "page"]
+        if page_urls:
+            flat, counts = self.base.links_of_batch(page_urls)
+            flat = flat.to_pylist()
+            pos = 0
+            it = iter(range(len(page_urls)))
+            for i, k in enumerate(kinds):
+                if k == "page":
+                    c = int(counts[next(it)])
+                    links[i] = flat[pos:pos + c]
+                    pos += c
+        counts = np.asarray([len(l) for l in links], np.int64)
+        return (pa.array([u for lst in links for u in lst], pa.string()),
+                counts)
 
     def links_of(self, url: str):
         from .filters import parse_sitemap, sample_sitemaps

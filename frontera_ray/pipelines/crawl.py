@@ -202,7 +202,12 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
     # record key — the first URL of the chain stays canonical, so the
     # queued fingerprint is the one marked crawled and requests never
     # leak (contrib/canonicalsolvers/basic.py semantics).
-    finals = [web.resolve(u) for u in urls] if hasattr(web, "resolve") else urls
+    if hasattr(web, "resolve_batch"):
+        finals = web.resolve_batch(urls)
+    elif hasattr(web, "resolve"):
+        finals = [web.resolve(u) for u in urls]
+    else:
+        finals = urls
     cols = fetch_batch_columns(finals)
     cols["image_id"] = list(urls)  # canonical = requested (chain[0])
     pages = pa.table(
@@ -225,8 +230,12 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
         d.mkdir(parents=True, exist_ok=True)
         pq.write_table(pages, d / frag)
 
-    links = [web.links_of(u) for u in urls]
-    counts = np.asarray([len(l) for l in links], dtype=np.int64)
+    if hasattr(web, "links_of_batch"):  # vectorized adapter fast path
+        flat, counts = web.links_of_batch(urls)
+    else:
+        links = [web.links_of(u) for u in urls]
+        counts = np.asarray([len(l) for l in links], dtype=np.int64)
+        flat = pa.array([u for lst in links for u in lst], pa.string())
     if counts.sum() == 0:
         return LINKS_SCHEMA.empty_table()
     if counts.max() >= SEQ_BASE:
@@ -243,7 +252,6 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
             "with 5 seed digits); raise SEQ limits or switch to a wider "
             "sequence encoding"
         )
-    flat = pa.array([u for lst in links for u in lst], pa.string())
     parent_depth = np.repeat(batch["depth"].to_numpy(), counts)
     parent_seq = np.repeat(batch["seq"].to_numpy(), counts)
     parent_score = np.repeat(batch["score"].to_numpy(), counts)
@@ -670,13 +678,17 @@ class RayCrawler:
         frontera runs batch generation and link ingestion in parallel
         processes). Overlap trades strict round determinism for
         throughput; dedup and politeness invariants still hold because
-        they live in the shard actors."""
-        if pipeline_depth > 1 and self.checkpoint_every:
-            raise ValueError(
-                "checkpointing requires sequential BSP rounds "
-                "(pipeline_depth=1): overlapped rounds have in-flight "
-                "state that a shard snapshot cannot capture consistently"
-            )
+        they live in the shard actors.
+
+        ``checkpoint_every`` composes with ``pipeline_depth`` > 1 via a
+        DRAIN BARRIER: when the submitted-round counter crosses a
+        checkpoint boundary the driver stops submitting new rounds,
+        lets every in-flight round settle (shard-actor state is then
+        quiescent — exactly the BSP invariant the snapshot needs),
+        checkpoints, and resumes overlapped submission. The cost is a
+        bounded pipeline flush every ``checkpoint_every`` rounds — the
+        durability/throughput compromise a 100-TB run needs instead of
+        choosing between overlap and resumability."""
         # strategy.finished() hook (reference strategy/__init__.py
         # finished(), polled per work cycle) — evaluated on the driver
         # copy with the run totals, since worker-side strategy copies
@@ -709,28 +721,53 @@ class RayCrawler:
         # frontier refills.
         round_target = self.batch_per_shard * len(self.queue_actors)
         small_round = False
+        # drain-barrier bookkeeping: `submitted` counts rounds handed to
+        # the pool (self.round only advances when a worker thread starts),
+        # `next_ckpt` is the next boundary; after restore() the first
+        # boundary is the next multiple past the restored round count.
+        submitted = self.round
+        every = self.checkpoint_every or 0
+        next_ckpt = ((submitted // every) + 1) * every if every else 0
         with ThreadPoolExecutor(pipeline_depth) as ex:
             pending = set()
             while True:
-                budget_left = (self.round < max_rounds
+                budget_left = (submitted < max_rounds
                                and not (max_pages and self.pages_total >= max_pages)
                                and not _strategy_done())
-                while budget_left and len(pending) < pipeline_depth:
+                while (budget_left and len(pending) < pipeline_depth
+                       and not (next_ckpt and submitted >= next_ckpt)):
                     if small_round:
                         time.sleep(0.03)
                         small_round = False
                     pending.add(ex.submit(self.run_round))
+                    submitted += 1
                 if not pending:
+                    if next_ckpt and submitted >= next_ckpt:
+                        # barrier reached with every in-flight round
+                        # settled: actor state is quiescent -> snapshot
+                        self.checkpoint()
+                        next_ckpt = ((submitted // every) + 1) * every
+                        continue
                     if not budget_left:
                         break
                     # frontier drained with nothing in flight: confirm
                     if self.run_round()["popped"] == 0:
                         break
+                    submitted += 1
                     continue
                 done, pending = wait(pending, return_when=FIRST_COMPLETED)
                 results = [f.result() for f in done]
-                if all(r["popped"] == 0 for r in results) and pending:
-                    time.sleep(0.02)  # empty pop while a round is landing
+                if all(r["popped"] == 0 for r in results):
+                    if pending:
+                        time.sleep(0.02)  # empty pop while a round lands
+                    else:
+                        # frontier empty with nothing in flight: one
+                        # synchronous confirm round, then terminate —
+                        # without this, overlapped mode spins empty
+                        # rounds until max_rounds
+                        if self.run_round()["popped"] == 0:
+                            break
+                        submitted += 1
                 small_round = all(r["popped"] < round_target // 4
                                   for r in results)
         return {"rounds": self.round, "pages": self.pages_total,

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-per-shard", type=int, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=None)
     ap.add_argument("--max-rounds", type=int, default=1_000_000)
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help="overlapped rounds (>1); composes with "
+                         "--checkpoint-every via the drain barrier")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--settings", default=None,
@@ -81,7 +84,8 @@ def main(argv=None) -> int:
     else:
         crawler.add_seeds(web.seeds())
 
-    summary = crawler.run(max_rounds=args.max_rounds)
+    summary = crawler.run(max_rounds=args.max_rounds,
+                          pipeline_depth=args.pipeline_depth)
     crawler.checkpoint()
     crawler.export_stats(f"{args.out}/stats.json")
     print(json.dumps({**summary, "expected_pages": web.total_pages()}),

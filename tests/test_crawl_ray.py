@@ -84,6 +84,33 @@ def test_checkpoint_resume_determinism(ray_session, small_web, tmp_path):
     assert c3.seen_count() == small_web.total_pages()
 
 
+def test_checkpoint_under_pipelined_rounds(ray_session, small_web, tmp_path):
+    """Drain-barrier checkpointing composes with pipeline_depth > 1:
+    overlapped submission pauses at each checkpoint boundary, in-flight
+    rounds settle, the snapshot is taken on quiescent actors, and a
+    'killed' run restored from it finishes with the exact page set of
+    an uninterrupted pipelined run."""
+    c1 = _crawler(ray_session, small_web, tmp_path / "a")
+    c1.add_seeds(small_web.seeds())
+    c1.run(max_rounds=100, pipeline_depth=3)
+    ref_urls = sorted(c1.crawled_urls())
+    assert c1.seen_count() == small_web.total_pages()
+
+    # interrupted pipelined run: checkpoint every 2 rounds, stop at 5
+    c2 = _crawler(ray_session, small_web, tmp_path / "b", checkpoint_every=2)
+    c2.add_seeds(small_web.seeds())
+    c2.run(max_rounds=5, pipeline_depth=3)
+    assert (tmp_path / "b" / "checkpoint" / "meta.json").exists()
+
+    # "kill": fresh actors, restore from the latest drain-barrier snapshot
+    c3 = _crawler(ray_session, small_web, tmp_path / "b", checkpoint_every=0)
+    meta = c3.restore()
+    assert meta["round"] >= 2 and meta["round"] % 2 == 0
+    c3.run(max_rounds=100, pipeline_depth=3)
+    assert sorted(c3.crawled_urls()) == ref_urls
+    assert c3.seen_count() == small_web.total_pages()
+
+
 def test_max_per_host_round_cap(ray_session, tmp_path):
     web = SyntheticWeb(2, seed=3, max_class=5)
     c = _crawler(ray_session, web, tmp_path / "out", max_per_host=7,

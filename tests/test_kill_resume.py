@@ -27,9 +27,11 @@ def _pages(out):
     return urls
 
 
-def test_sigkill_and_resume(tmp_path):
+@pytest.mark.parametrize("depth", [1, 3])
+def test_sigkill_and_resume(tmp_path, depth):
     ref_out = str(tmp_path / "ref")
     kill_out = str(tmp_path / "killed")
+    ARGS = [*globals()["ARGS"], "--pipeline-depth", str(depth)]
 
     # uninterrupted reference run
     ref = subprocess.run([sys.executable, JOB, "--out", ref_out, *ARGS],

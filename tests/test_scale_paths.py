@@ -129,15 +129,19 @@ def test_pipelined_set_parity(ray_session, tmp_path):
     assert sorted(a.crawled_urls()) == sorted(b.crawled_urls())
 
 
-def test_pipelined_checkpoint_rejected(ray_session, tmp_path):
+def test_pipelined_checkpoint_drain_barrier(ray_session, tmp_path):
+    """checkpoint_every + pipeline_depth > 1 now composes via the drain
+    barrier (round-3 VERDICT ask #2): the run completes the whole web
+    and leaves a complete checkpoint on disk."""
     from frontera_ray.pipelines.crawl import RayCrawler
 
-    web = SyntheticWeb(2, seed=1, max_class=2)
+    web = SyntheticWeb(4, seed=1, max_class=2)
     c = RayCrawler(web, str(tmp_path / "c"), checkpoint_every=2,
                    num_state_shards=1, num_queue_shards=1)
     c.add_seeds(web.seeds())
-    with pytest.raises(ValueError, match="pipeline_depth"):
-        c.run(max_rounds=5, pipeline_depth=2)
+    summary = c.run(max_rounds=50, pipeline_depth=2)
+    assert summary["pages"] == web.total_pages()
+    assert (tmp_path / "c" / "checkpoint" / "meta.json").exists()
 
 
 def test_multishard_per_host_pop_order(ray_session, tmp_path):
