@@ -42,6 +42,18 @@ def _read(sf_dir: str, table: str):
 # URL derivation shared by Ray and SQL sides: a messy URL per document
 # ---------------------------------------------------------------------------
 
+
+def _choose_exchange(parallel: str = "tasks", small: str = "groups") -> str:
+    """The ONE shared scale knob for exchange choice (round-3 VERDICT
+    ask #8): delegates to relational.choose_exchange, which encodes the
+    measured small-cluster crossover (EXCHANGE_CPU_CROSSOVER) — queries
+    no longer carry per-site CPU literals, so a 256-core cluster takes
+    the parallel branch automatically."""
+    from frontera_ray.stages.relational import choose_exchange
+
+    return choose_exchange(parallel, small)
+
+
 def _raw_urls(doc_ids: np.ndarray) -> np.ndarray:
     return np.array(
         [f"  HTTP://Host-{d % 20}.Test/p/{d}?b=2&a=1#frag  " for d in doc_ids],
@@ -520,8 +532,7 @@ def q_priority_revenue(sf_dir: str):
     from frontera_ray.stages.relational import cluster_cpus
     joined = equi_join(li, orders, "l_orderkey",
                        ["revenue_c4"], ["o_orderpriority"],
-                       exchange="tasks" if cluster_cpus() >= 16
-                       else "groups")
+                       exchange=_choose_exchange("tasks"))
     out = partial_groupby_agg(joined, "o_orderpriority",
                               {"n_items": ("revenue_c4", "count"),
                                "revenue_c4": ("revenue_c4", "sum")})
@@ -1448,8 +1459,7 @@ def q_active_customers(sf_dir: str):
     from frontera_ray.stages.relational import cluster_cpus
     out = semi_anti_join(cust, urgent, "c_custkey",
                          ["c_name", "c_mktsegment"],
-                         exchange="tasks" if cluster_cpus() >= 16
-                         else "groups").to_pandas()
+                         exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -1715,7 +1725,7 @@ def q_hll_distinct(sf_dir: str):
         u = len(np.unique(b["pk"].to_numpy())) if len(b) else 0
         return pa.table({"n": pa.array([u], pa.int64())})
 
-    if cluster_cpus() >= 16:
+    if _choose_exchange("hash") == "hash":
         parts = keyed_exchange(keyed.select_columns(["pk"]), "pk",
                                block_distinct, exchange="hash")
         n_exact = sum(int(t["n"].to_numpy().sum())
@@ -1910,8 +1920,7 @@ def q_orders_left_join(sf_dir: str):
         ["o_orderkey", "o_orderpriority"])
     out = equi_join(orders, li, "o_orderkey", ["o_orderpriority"],
                     ["l_qty"], how="left",
-                    exchange="tasks" if cluster_cpus() >= 16
-                    else "groups")
+                    exchange=_choose_exchange("tasks"))
     out = out.map_batches(
         lambda b: b.set_column(b.column_names.index("l_qty"), "l_qty",
                                _pc.fill_null(b["l_qty"], -1)),
@@ -1948,7 +1957,7 @@ def q_customers_full_join(sf_dir: str):
               }), batch_format="pyarrow"))
     out = equi_join(cust, orders, "c_custkey", ["acctbal_cents"],
                     ["o_orderkey", "price_cents"], how="full",
-                    exchange="tasks" if cluster_cpus() >= 16 else "groups")
+                    exchange=_choose_exchange("tasks"))
     out = out.map_batches(
         lambda b: pa.table({c: _pc.fill_null(b[c], -1)
                             for c in b.column_names}),
@@ -1974,8 +1983,7 @@ def q_order_rank(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_rank(orders, "o_custkey", "price_cents", 2,
                        descending=True, tiebreak="o_orderkey",
-                       exchange="hash" if cluster_cpus() >= 16
-                       else "groups").to_pandas()
+                       exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
 
 
@@ -1996,8 +2004,7 @@ def q_latest_events(sf_dir: str):
         }), batch_format="pyarrow")
     out = per_key_topk(ev, "user_id", "ts_us", 1, descending=True,
                        tiebreak="event_id",
-                       exchange="hash" if cluster_cpus() >= 16
-                       else "groups").to_pandas()
+                       exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -2052,8 +2059,7 @@ def q_urgent_low_intersect(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="intersect",
-                 exchange="tasks" if cluster_cpus() >= 16
-                 else "groups").to_pandas()
+                 exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -2077,7 +2083,7 @@ def q_validity_intervals(sf_dir: str):
           }), batch_format="pyarrow"))
     out = per_key_validity_intervals(
         ev, "user_id", "ts_us", cols=["event_id"],
-        exchange="hash" if cluster_cpus() >= 16 else "groups").to_pandas()
+        exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -2203,8 +2209,7 @@ def q_urgent_low_union(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="union",
-                 exchange="tasks" if cluster_cpus() >= 16
-                 else "groups").to_pandas()
+                 exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -2216,8 +2221,7 @@ def q_urgent_only_except(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="except",
-                 exchange="tasks" if cluster_cpus() >= 16
-                 else "groups").to_pandas()
+                 exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -2239,8 +2243,7 @@ def q_order_ntile(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_ntile(orders, "o_orderpriority", "price_cents", 4,
                         tiebreak="o_orderkey",
-                        exchange="hash" if cluster_cpus() >= 16
-                        else "groups").to_pandas()
+                        exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -2254,8 +2257,7 @@ def q_urgent_low_intersect_all(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="intersect_all",
-                 exchange="tasks" if cluster_cpus() >= 16
-                 else "groups").to_pandas()
+                 exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -2267,8 +2269,7 @@ def q_urgent_only_except_all(sf_dir: str):
     out = set_op(_priority_custkeys(sf_dir, "1-URGENT"),
                  _priority_custkeys(sf_dir, "5-LOW"),
                  "o_custkey", op="except_all",
-                 exchange="tasks" if cluster_cpus() >= 16
-                 else "groups").to_pandas()
+                 exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -2655,8 +2656,7 @@ def q_order_gaps(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_lag_delta(orders, "o_custkey", "ts_us",
                             out_col="gap_us", tiebreak="o_orderkey",
-                            exchange="hash" if cluster_cpus() >= 16
-                            else "groups").to_pandas()
+                            exchange=_choose_exchange("hash")).to_pandas()
     out = out[["o_orderkey", "o_custkey", "gap_us"]]
     # each key's first order has no predecessor — drop it so gap_us is
     # NULL-free (keeps the int64 dtype end-to-end)
@@ -2890,8 +2890,7 @@ def q_first_last_order(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_first_last(orders, "o_custkey", "ts_us", "cents",
                              tiebreak="o_orderkey",
-                             exchange="hash" if cluster_cpus() >= 16
-                             else "groups").to_pandas()
+                             exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -3101,8 +3100,7 @@ def q_copurchase(sf_dir: str):
     # the hash path (measured, 32 cpus); small sessions keep the sort
     return pair_lift(li, "l_orderkey", "l_partkey", n_items,
                      min_pair=2,
-                     exchange="hash" if cluster_cpus() >= 16
-                     else "groups")
+                     exchange=_choose_exchange("hash"))
 
 
 def q_compaction_plan(sf_dir: str):
@@ -3283,8 +3281,7 @@ def q_rate_limit(sf_dir: str):
     # map_groups wall (15.5 s groups vs ~2 s hash, measured)
     kept = per_key_topk(ev, "ck", "ts_us", 3, descending=False,
                         tiebreak="event_id",
-                        exchange="hash" if cluster_cpus() >= 16
-                        else "groups")
+                        exchange=_choose_exchange("hash"))
     out = kept.to_pandas()[["event_id", "user_id", "win"]]
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -3446,7 +3443,7 @@ def q_skew_join_revenue(sf_dir: str):
               }), batch_format="pyarrow"))
     j = skew_join(lines, orders, "l_orderkey", ["cents"],
                   ["o_orderpriority"], hot_count=10,
-                  exchange="tasks" if cluster_cpus() >= 16 else "groups")
+                  exchange=_choose_exchange("tasks"))
     out = partial_groupby_agg(j, ["o_orderpriority"],
                               {"n_lines": ("cents", "count"),
                                "revenue_cents": ("cents", "sum")})
@@ -4387,8 +4384,7 @@ def q_cdc_merge(sf_dir: str):
         }), batch_format="pyarrow")
     out = cdc_merge(ev, "user_id", "ts_us", "event_type", "error",
                     tiebreak="event_id",
-                    exchange="hash" if cluster_cpus() >= 16
-                    else "groups").to_pandas()
+                    exchange=_choose_exchange("hash")).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -5336,8 +5332,7 @@ def q_ri_audit(sf_dir: str):
     # (10.7 s measured at sf0.1/32); the kernel is run-aware, so the
     # hash path drops in (~1.5 s)
     for t in keyed_exchange(li.union(orders), "k", audit_block,
-                            "hash" if cluster_cpus() >= 16
-                            else "groups") \
+                            _choose_exchange("hash")) \
             .iter_batches(batch_format="pyarrow", batch_size=None):
         if len(t):
             tot += np.array([int(t["orphan_lineitems"].to_numpy().sum()),

@@ -153,11 +153,17 @@ def run_crawl_bench(num_cpus: int, out_dir: str) -> dict:
     summary = crawler.run(max_pages=CRAWL_MAX_PAGES, pipeline_depth=depth)
     sec = time.perf_counter() - t0
     pages = summary["pages"]
+    # post-crawl phash near-dup keep-list over the sink (the input_hint
+    # phash column's purpose; timed separately from the crawl leg)
+    t1 = time.perf_counter()
+    dd = crawler.dedup_sink(max_hamming=2, exchange="tasks")
+    dedup_sec = time.perf_counter() - t1
     return {
         "pages": pages,
         "rounds": summary["rounds"],
         "sec": round(sec, 2),
         "pages_per_sec": round(pages / sec, 1),
+        "dedup_sink": {"sec": round(dedup_sec, 2), **dd},
     }
 
 

@@ -320,6 +320,42 @@ class SyntheticWeb:
         return tot
 
 
+class ContentTwinWeb:
+    """Duplicate-planting wrapper web for near-dup testing/benching:
+    pages whose path ends in '2' FETCH the content of their '1' sibling
+    (``resolve_batch`` is the fetch side only — link generation
+    delegates to the wrapped web, so the crawl tree is unchanged).
+    Every branching>=2 parent therefore yields one planted exact
+    duplicate image pair for ``RayCrawler.dedup_sink`` to find."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def seeds(self):
+        return self.base.seeds()
+
+    def links_of(self, url):
+        return self.base.links_of(url)
+
+    def links_of_batch(self, urls):
+        return self.base.links_of_batch(urls)
+
+    def total_pages(self):
+        return self.base.total_pages()
+
+    def resolve(self, url):
+        return url[:-1] + "1" if url.endswith("2") else url
+
+    def resolve_batch(self, urls):
+        return [u[:-1] + "1" if u.endswith("2") else u for u in urls]
+
+    def __getattr__(self, name):
+        base = self.__dict__.get("base")
+        if base is None or name.startswith("__"):
+            raise AttributeError(name)
+        return getattr(base, name)
+
+
 class DiscoveryWeb:
     """Discovery-cycle adapter (reference strategy/discovery/__init__.py:
     284-371): robots.txt URLs resolve their outlinks to the 'Sitemap:'

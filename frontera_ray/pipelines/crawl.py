@@ -208,7 +208,12 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
         finals = [web.resolve(u) for u in urls]
     else:
         finals = urls
-    cols = fetch_batch_columns(finals)
+    # real adapters (contrib.httpweb.HttpWeb) provide content; synthetic
+    # webs fall back to the deterministic payload generator
+    if hasattr(web, "fetch_batch"):
+        cols = web.fetch_batch(finals)
+    else:
+        cols = fetch_batch_columns(finals)
     cols["image_id"] = list(urls)  # canonical = requested (chain[0])
     pages = pa.table(
         {
@@ -853,6 +858,49 @@ class RayCrawler:
             return []
         t = pa.concat_tables([pq.read_table(f, columns=["image_id"]) for f in frags])
         return t["image_id"].to_pylist()
+
+    def dedup_sink(self, max_hamming: int = 2, blocks: int | None = None,
+                   exchange: str = "groups") -> dict:
+        """Post-crawl phash near-dup pass over the sink fragments (the
+        graft's stated purpose for the phash column): pruned
+        (image_id, phash) read of every round fragment -> the shared
+        64-bit Hamming LSH exchange -> pair-scoped union-find keep-list
+        written as partitioned parquet at ``<out>/keep/`` next to the
+        round dirs (image_id, keeper_image_id, keep). Downstream
+        training-data consumers anti-join on keep=false; the sink
+        fragments themselves stay immutable (resumable by round).
+        Returns {'images': N, 'dups': D} (dups = rows whose keeper is
+        another image)."""
+        import ray
+
+        from ..stages.images import sink_keeper_table
+
+        frags = sorted(str(p) for p in self.out.glob("round=*/*.parquet"))
+        keep_dir = self.out / "keep"
+        if self.sink_fs is not None:
+            try:
+                self.sink_fs.delete_dir(str(keep_dir))
+            except (FileNotFoundError, OSError):
+                pass
+        elif keep_dir.exists():
+            shutil.rmtree(keep_dir)
+        if not frags:
+            return {"images": 0, "dups": 0}
+        pages = ray.data.read_parquet(
+            frags, columns=["image_id", "phash"], filesystem=self.sink_fs)
+        keep_ds = sink_keeper_table(pages, max_hamming=max_hamming,
+                                    blocks=blocks, exchange=exchange)
+        keep_ds.write_parquet(str(keep_dir), filesystem=self.sink_fs)
+        import pyarrow.compute as pc
+
+        images = dups = 0
+        for t in ray.data.read_parquet(
+                str(keep_dir), columns=["keep"],
+                filesystem=self.sink_fs).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            images += len(t)
+            dups += int(pc.sum(pc.invert(t["keep"])).as_py() or 0)
+        return {"images": images, "dups": dups}
 
 
 def run_crawl(web, out_dir: str, seeds=None, max_rounds: int = 1000, **kwargs) -> dict:

@@ -242,14 +242,21 @@ def _coarse_grouped(ds, kernel, partitions: int = _NUM_VERIFY_PARTITIONS):
 def _bucket_verify_exchange(ds, kernel, exchange: str):
     """Route bucket rows to the verify kernel through the chosen
     exchange ('groups' = coarse-pkey sort groupby, 'hash' = key-hash
-    repartition)."""
+    repartition, 'tasks' = the two-stage raw-task shuffle — no
+    aggregator actors, the fastest at >=16 cpus; see
+    relational.choose_exchange)."""
+    if exchange == "tasks":
+        from .relational import task_exchange
+
+        return task_exchange(ds, "bucket_key", kernel)
     if exchange == "hash":
         return _enable_hash_shuffle(ds.repartition(
             num_blocks=_NUM_VERIFY_PARTITIONS, keys=["bucket_key"],
         ).map_batches(kernel, batch_format="pyarrow", batch_size=None))
     if exchange == "groups":
         return _coarse_grouped(ds, kernel)
-    raise ValueError(f"exchange must be 'groups' or 'hash', got {exchange!r}")
+    raise ValueError(
+        f"exchange must be 'groups', 'hash' or 'tasks', got {exchange!r}")
 
 
 # Ray 2.49's hash-shuffle aggregators are actors; under CPU starvation
@@ -1270,7 +1277,7 @@ def edit_distance_join_le1(ds, id_col: str = "doc_id",
 
 def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                      min_shared: int = 2, shingle_k: int = 3,
-                     window: int = 4, exchange: str = "groups",
+                     window: int = 4, exchange: str = "tasks",
                      max_bucket_docs: int = 1024):
     """Shared-region near-dup pairs from winnowing fingerprints
     (Schleimer et al., SIGMOD 2003): two documents pair when they share
@@ -1278,11 +1285,14 @@ def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     boilerplate-overlap detector that catches LOCALLY duplicated
     passages MinHash's whole-document Jaccard dilutes away.
 
-    Scale shape: per-block winnow explode to (doc_id, fp) rows, ONE
-    keyed exchange on fp, vectorized within-run pair expansion
-    (``_run_pair_indices`` — no per-bucket Python), loud guard on hot
-    fingerprints (a fp shared by > ``max_bucket_docs`` docs is
-    boilerplate; raise the floor or pre-filter). Pair-shared counting
+    Scale shape: per-block winnow explode to (doc_id, fp) rows
+    (batch-vectorized: ``winnow_fingerprints_batch``), ONE keyed
+    exchange on fp (default ``'tasks'`` — measured 0.31 s vs 0.99 s
+    'groups' / 1.37 s 'hash' warm at sf0.1x32cpu, identical rows),
+    vectorized within-run pair expansion (``_run_pair_indices`` — no
+    per-bucket Python), loud guard on hot fingerprints (a fp shared by
+    > ``max_bucket_docs`` docs is boilerplate; raise the floor or
+    pre-filter). Pair-shared counting
     happens on the driver over the PAIR LIST ONLY (same contract as
     minhash_neardup_pairs: near-dup pairs are rare by construction;
     the corpus never materializes). Returns a pandas DataFrame

@@ -273,7 +273,8 @@ def phash_sketch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _resolve_pair_ids(urls_ds, pair_ids: np.ndarray) -> dict:
+def _resolve_pair_ids(urls_ds, pair_ids: np.ndarray,
+                      col: str = "url") -> dict:
     """Map a (small, sorted) int64 pair-id set back to image_id strings
     by broadcasting the set and filtering the streaming corpus — pair
     ids << corpus, so nothing corpus-sized lands on the driver."""
@@ -283,7 +284,7 @@ def _resolve_pair_ids(urls_ds, pair_ids: np.ndarray) -> dict:
 
     def pick(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)  # zero-copy local object-store read
-        urls = batch["url"].to_pylist()
+        urls = batch[col].to_pylist()
         ids = image_id64(urls)
         pos = np.searchsorted(wanted, ids)
         pos[pos == len(wanted)] = 0
@@ -383,6 +384,93 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
         })
 
     return urls_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sink_keeper_table(pages_ds, max_hamming: int = 2,
+                      blocks: int | None = None,
+                      exchange: str = "groups"):
+    """Keep-list over an already-sketched image corpus — the crawl
+    sink's (image_id, phash) columns ARE the sketch (the input_hint's
+    phash column put to its stated purpose).
+
+    Exact-duplicate collapse FIRST: Hamming distance is a pure function
+    of the sketch VALUE, so images sharing a phash are interchangeable
+    for near-dup search — one native groupby-min shrinks the corpus to
+    its DISTINCT sketch values (each with its min-image_id64
+    representative) before the 64-bit Hamming LSH exchange. Without
+    this, c-sized exact groups explode into c^2 verify pairs (a real
+    583k-image crawl measured 1e8 pairs -> OOM); with it the pair
+    stream is representative-level and the whole clique contributes
+    c-1 implicit star edges that never materialize anywhere.
+
+    Keeper assignment is then a sketch-value lookup: distinct-sketch ->
+    keeper-url map built driver-side (BOUNDED by the distinct-sketch
+    count — the documented broadcast assumption; swap the broadcast for
+    an equi-join on phash if a corpus ever has too many distinct
+    sketches to broadcast) and broadcast once; each batch resolves
+    keeper by searchsorted on its phash column. Output: streaming
+    (image_id, keeper_image_id, keep) Dataset; keeper of a component =
+    the image whose id64 is the component-min representative."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import dedup_keepers, hamming64_neardup_pairs
+
+    src = pages_ds.select_columns(["image_id", "phash"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        urls = batch["image_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(image_id64(urls), pa.int64()),
+            "simhash": pc.cast(batch["phash"], pa.int64()),
+        })
+
+    # distinct sketch values + min-id representative (native aggregate)
+    distinct = pa.concat_tables(list(
+        src.map_batches(sketch, batch_format="pyarrow")
+           .groupby("simhash").min("doc_id")
+           .iter_batches(batch_format="pyarrow", batch_size=None)))
+    sketches = distinct["simhash"].to_numpy().astype(np.int64)
+    rep_ids = distinct["min(doc_id)"].to_numpy().astype(np.int64)
+
+    # near-dup pairs between REPRESENTATIVES only
+    reps_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rep_ids, pa.int64()),
+        "simhash": pa.array(sketches, pa.int64())}))
+    pairs = hamming64_neardup_pairs(reps_ds, max_hamming=max_hamming,
+                                    blocks=blocks, exchange=exchange)
+    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
+                                      pairs["b"].to_pylist()))
+
+    # sketch-value -> keeper-url map (distinct-sized, broadcast once)
+    keeper_ids = np.asarray(
+        [keepers.get(int(r), int(r)) for r in rep_ids], dtype=np.int64)
+    need = np.unique(keeper_ids)
+    id2url = _resolve_pair_ids(src.map_batches(
+        lambda b: pa.table({"image_id": b["image_id"]}),
+        batch_format="pyarrow"), need, col="image_id") if len(need) else {}
+    order = np.argsort(sketches)
+    sk_sorted = sketches[order]
+    keeper_urls = np.asarray(
+        [id2url[int(k)] for k in keeper_ids[order]], dtype=object)
+    map_ref = ray.put((sk_sorted, keeper_urls))
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if "m" not in cache:
+            cache["m"] = ray.get(map_ref)
+        sk_, kurls_ = cache["m"]
+        urls = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        ph = batch["phash"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(sk_, ph)  # every phash is in the map
+        keeper = kurls_[np.minimum(pos, len(sk_) - 1)]
+        return pa.table({
+            "image_id": pa.array(urls, pa.string()),
+            "keeper_image_id": pa.array(keeper, pa.string()),
+            "keep": pa.array(keeper == urls, pa.bool_()),
+        })
+
+    return src.map_batches(assign, batch_format="pyarrow")
 
 
 ASPECT_BUCKETS_PPM = (500_000, 750_000, 1_000_000, 1_333_333, 2_000_000)

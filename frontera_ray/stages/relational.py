@@ -30,6 +30,33 @@ def cluster_cpus(default: int = 8) -> int:
             if ray.is_initialized() else default)
 
 
+# Measured crossover for exchange choice (the ONE shared scale knob —
+# every query that picks an exchange strategy routes through
+# ``choose_exchange`` instead of re-encoding a CPU literal). Below this
+# CPU count the fixed setup cost of a parallel exchange wave (the
+# two-stage task shuffle's fan-out, or Ray 2.49's hash-aggregator actor
+# wave — seconds, see COVERAGE.md §hash-exchange-stall) exceeds the
+# sort-based groupby it replaces; at or above it the parallel exchange
+# wins and keeps winning as cpus grow (task/hash exchanges scale with
+# partition count; the sort is a global barrier). A 256-core cluster
+# therefore inherits the right branch automatically — the knob marks
+# the SMALL-cluster cutoff, not a tuned-for-32-cores setting. Override
+# per deployment via FRONTERA_RAY_EXCHANGE_CROSSOVER if a different
+# box measures a different break-even.
+EXCHANGE_CPU_CROSSOVER = int(
+    __import__("os").environ.get("FRONTERA_RAY_EXCHANGE_CROSSOVER", "16"))
+
+
+def choose_exchange(parallel: str = "tasks", small: str = "groups",
+                    cpus: int | None = None) -> str:
+    """Pick the keyed-exchange strategy from the cluster size:
+    ``parallel`` ('tasks' or 'hash') at >= EXCHANGE_CPU_CROSSOVER
+    logical CPUs, else ``small`` (sort-groupby). See the crossover
+    comment above for the measurement and scaling argument."""
+    c = cpus if cpus is not None else cluster_cpus()
+    return parallel if c >= EXCHANGE_CPU_CROSSOVER else small
+
+
 def partial_groupby_agg(ds, keys, aggs: dict):
     """Combiner-style aggregate for LOW-CARDINALITY keys: per-block
     pandas groupby inside map_batches (the partial/combine step), then a

@@ -321,24 +321,89 @@ def winnow_fingerprints(text: str, k: int = 3, w: int = 4) -> np.ndarray:
     return np.unique(sliding_window_view(hs, w).min(axis=1))
 
 
+def winnow_fingerprints_batch(texts, k: int = 3, w: int = 4):
+    """Batch winnowing, byte-identical to ``winnow_fingerprints`` per
+    doc (asserted in tests) with the per-doc Python loop gone: gram
+    strings come from ONE Arrow ``binary_join_element_wise`` over k
+    shifted slices of the flat token stream (windows crossing a doc
+    boundary masked out), md5 hashing runs once per DISTINCT gram
+    (np.unique + the shared token-hash memo), and window minima are one
+    global ``sliding_window_view(...).min`` plus ``minimum.reduceat``
+    segment minima for short docs. Returns ``(doc_idx, fp)`` — row i of
+    the explode belongs to ``texts[doc_idx[i]]`` — with fp the signed
+    view, distinct + ascending within doc."""
+    n = len(texts)
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if n == 0:
+        return empty
+    tok_lists = [t.split() for t in texts]
+    tlens = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    if int(tlens.sum()) == 0:
+        return empty
+    flat_toks = pa.array(
+        [tok for toks in tok_lists for tok in toks], pa.string())
+    tok_doc = np.repeat(np.arange(n, dtype=np.int64), tlens)
+    m = len(flat_toks) - k + 1
+    if m <= 0:
+        return empty
+    valid = tok_doc[:m] == tok_doc[k - 1:k - 1 + m]
+    if not valid.any():
+        return empty
+    import pyarrow.compute as pc
+
+    grams = pc.binary_join_element_wise(
+        *[flat_toks.slice(i, m) for i in range(k)], " ")
+    grams = grams.filter(pa.array(valid))
+    gram_doc = tok_doc[:m][valid]
+    garr = grams.to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(garr, return_inverse=True)
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    uh = np.empty(len(uniq), np.uint64)
+    for i, g in enumerate(uniq):
+        h = cache.get(g)
+        if h is None:
+            h = cache[g] = _token_hash64(g)
+        uh[i] = h
+    hs = uh[inv]
+    g_per_doc = np.bincount(gram_doc, minlength=n)
+    starts = np.cumsum(g_per_doc) - g_per_doc
+    sel_doc_parts, sel_val_parts = [], []
+    if len(hs) >= w:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        M = sliding_window_view(hs, w).min(axis=1)
+        win_ok = gram_doc[:len(M)] == gram_doc[w - 1:w - 1 + len(M)]
+        sel_doc_parts.append(gram_doc[:len(M)][win_ok])
+        sel_val_parts.append(M[win_ok])
+    nz = g_per_doc > 0
+    seg_min = np.minimum.reduceat(hs, starts[nz]) if nz.any() else hs[:0]
+    small = g_per_doc[nz] < w  # scalar path: n<=w docs emit one global min
+    # (g == w docs already produce exactly that one window above)
+    sel_doc_parts.append(np.flatnonzero(nz)[small].astype(np.int64))
+    sel_val_parts.append(seg_min[small])
+    sel_doc = np.concatenate(sel_doc_parts)
+    sel_val = np.concatenate(sel_val_parts).view(np.int64)
+    order = np.lexsort((sel_val, sel_doc))
+    sel_doc, sel_val = sel_doc[order], sel_val[order]
+    keep = np.concatenate(([True], (sel_doc[1:] != sel_doc[:-1])
+                           | (sel_val[1:] != sel_val[:-1])))
+    return sel_doc[keep], sel_val[keep]
+
+
 def winnow_table(batch: pa.Table, text_col: str = "text",
                  k: int = 3, w: int = 4) -> pa.Table:
     """map_batches kernel: explode each doc into (doc_id, fp) rows,
     fp = signed-int64 view of the winnowed fingerprint (two's
     complement — matches the SQL oracle's signed cast), sorted by
-    signed value within doc."""
-    ids, fps = [], []
-    for d, text in zip(batch["doc_id"].to_numpy(),
-                       batch[text_col].to_pylist()):
-        sel = np.sort(winnow_fingerprints(text, k, w).view(np.int64))
-        ids.append(np.full(len(sel), d, dtype=np.int64))
-        fps.append(sel)
-    if not ids:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "fp": pa.array([], pa.int64())})
+    signed value within doc. Batch-vectorized via
+    ``winnow_fingerprints_batch``."""
+    doc_ids = batch["doc_id"].to_numpy()
+    di, fp = winnow_fingerprints_batch(batch[text_col].to_pylist(), k, w)
     return pa.table({
-        "doc_id": pa.array(np.concatenate(ids), pa.int64()),
-        "fp": pa.array(np.concatenate(fps), pa.int64()),
+        "doc_id": pa.array(doc_ids[di].astype(np.int64), pa.int64()),
+        "fp": pa.array(fp, pa.int64()),
     })
 
 

@@ -295,3 +295,38 @@ def test_strategy_finished_hook(ray_session, tmp_path):
     summary = c.run(max_rounds=100)
     assert summary["rounds"] == 2
     assert summary["pages"] < web.total_pages()
+
+
+def test_dedup_sink_excludes_planted_duplicates(ray_session, tmp_path):
+    """VERDICT r3 ask #5: the live crawl's phash column drives a
+    post-crawl keep-list. Every '...2' page carries its '...1'
+    sibling's pixels -> identical phash -> the keep-list puts both in
+    one component with exactly one keeper."""
+    from frontera_ray.graphs import ContentTwinWeb
+
+    base = SyntheticWeb(3, seed=5, max_class=3)  # hosts 0-2: no aliases
+    web = ContentTwinWeb(base)
+    c = _crawler(ray_session, web, tmp_path / "out")
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=50)
+    urls = c.crawled_urls()
+    assert len(urls) == base.total_pages()
+
+    summary = c.dedup_sink(max_hamming=0)
+    t = pq.read_table(str(tmp_path / "out" / "keep"))
+    keep = {r["image_id"]: (r["keeper_image_id"], r["keep"])
+            for r in t.to_pylist()}
+    assert sorted(keep) == sorted(urls)  # one row per crawled page
+    twins = [(u[:-1] + "1", u) for u in urls
+             if u.endswith("2") and u[:-1] + "1" in keep]
+    assert twins
+    assert summary["images"] == len(urls)
+    assert summary["dups"] >= len(twins)
+    for one, two in twins:
+        # same component, exactly one of the pair kept
+        assert keep[one][0] == keep[two][0]
+        assert keep[one][1] != keep[two][1]
+    # keepers are self-kept rows
+    for u, (k, kept) in keep.items():
+        assert keep[k][1] is True or keep[k][1] == True  # noqa: E712
+        assert kept == (k == u)

@@ -1,0 +1,103 @@
+"""Real-HTTP fetch adapter (contrib.httpweb.HttpWeb) through the full
+Ray crawl pipeline against a LOCAL test HTTP server (hermetic — no
+external network; gated on the `requests` lib and loopback sockets).
+Reference semantics: contrib/requests/manager.py + the grequests
+links_follower example."""
+
+import threading
+
+import pyarrow.parquet as pq
+import pytest
+
+requests = pytest.importorskip("requests")
+
+
+@pytest.fixture(scope="module")
+def http_site(tmp_path_factory):
+    """Static site: index -> a/b -> images + a robots-disallowed page."""
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from frontera_ray.payload import gen_pixels, png_encode
+
+    root = tmp_path_factory.mktemp("site")
+    pix, _ = gen_pixels("http://t/img")
+    (root / "img1.png").write_bytes(png_encode(pix))
+    (root / "img2.png").write_bytes(png_encode(pix[::2, ::2]))
+    (root / "index.html").write_text(
+        "<html><head><title>Index Page</title></head><body>"
+        '<a href="/a.html">a</a> <a href="b.html">b</a>'
+        '<a href="/secret/hidden.html">s</a></body></html>')
+    (root / "a.html").write_text(
+        '<html><head><title>A</title></head>'
+        '<body><img src="/img1.png"><a href="/index.html">up</a></body></html>')
+    (root / "b.html").write_text(
+        '<html><head><title>B</title></head>'
+        '<body><img src="img2.png"></body></html>')
+    (root / "secret").mkdir()
+    (root / "secret" / "hidden.html").write_text("<html>no</html>")
+    (root / "robots.txt").write_text("User-agent: *\nDisallow: /secret\n")
+
+    class Handler(SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_httpweb_adapter_units(http_site):
+    from frontera_ray.contrib.httpweb import HttpWeb
+
+    web = HttpWeb([f"http://{http_site}/index.html"])
+    links = web.links_of(f"http://{http_site}/index.html")
+    assert f"http://{http_site}/a.html" in links
+    assert f"http://{http_site}/b.html" in links  # relative absolutized
+    cols = web.fetch_batch([f"http://{http_site}/index.html",
+                            f"http://{http_site}/img1.png"])
+    assert cols["fmt"] == ["html", "png"]
+    assert cols["caption"][0] == "Index Page"
+    assert cols["w"][1] > 0 and cols["h"][1] > 0  # real decode
+    assert web.robots_body("127.0.0.1").startswith("User-agent")
+
+
+def test_httpweb_full_ray_crawl(ray_session, http_site, tmp_path):
+    """The whole pipeline — queue shards, robots gating, dedup, sink —
+    over real HTTP: crawls the site, never touches the disallowed
+    subtree, and lands decodable image rows in the sink."""
+    from frontera_ray.contrib.httpweb import HttpWeb
+    from frontera_ray.payload import decode_image
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    web = HttpWeb([f"http://{http_site}/index.html"])
+    c = RayCrawler(
+        web, str(tmp_path / "out"), num_state_shards=1, num_queue_shards=1,
+        batch_per_shard=16,
+        queue_kwargs=dict(robots_enabled=True,
+                          robots_provider=web.robots_body))
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=10)
+    urls = c.crawled_urls()
+    assert f"http://{http_site}/index.html" in urls
+    assert f"http://{http_site}/a.html" in urls
+    assert f"http://{http_site}/b.html" in urls
+    assert f"http://{http_site}/img1.png" in urls
+    assert f"http://{http_site}/img2.png" in urls
+    assert not any("/secret/" in u for u in urls)  # robots honored
+    assert len(urls) == len(set(urls))  # URL-seen dedup over real HTTP
+
+    frags = sorted((tmp_path / "out").glob("round=*/*.parquet"))
+    t = pq.read_table(frags[0]).to_pylist() if frags else []
+    rows = {r["image_id"]: r for r in
+            (row for f in frags for row in pq.read_table(f).to_pylist())}
+    png = rows[f"http://{http_site}/img1.png"]
+    assert png["fmt"] == "png" and png["w"] > 0
+    pix = decode_image(png["bytes"], "png")
+    assert pix.shape == (png["h"], png["w"], 3)
+    html = rows[f"http://{http_site}/index.html"]
+    assert html["fmt"] == "html" and html["caption"] == "Index Page"

@@ -3082,3 +3082,27 @@ def test_task_exchange_tree_fanin(ray_session):
             .rename(columns={"v": "s"}))
     assert out["k"].tolist() == want["k"].tolist()
     assert out["s"].tolist() == want["s"].tolist()
+
+
+def test_winnow_batch_parity_with_scalar():
+    """winnow_fingerprints_batch is byte-identical to the scalar
+    winnowing per doc across edge shapes (empty, <k tokens, n<=w grams,
+    long docs, heavy repetition)."""
+    import numpy as np
+
+    from frontera_ray.stages.text import (winnow_fingerprints,
+                                          winnow_fingerprints_batch)
+
+    texts = [
+        "", "a", "a b", "one two three four",
+        "the quick brown fox jumps over the lazy dog",
+        ("spam " * 40).strip(),
+        " ".join(f"w{i % 7}" for i in range(100)),
+        " ".join(f"tok{i}" for i in range(50)),
+    ]
+    for k, w in [(3, 4), (2, 3), (4, 2)]:
+        di, fp = winnow_fingerprints_batch(texts, k, w)
+        for d, text in enumerate(texts):
+            exp = np.sort(winnow_fingerprints(text, k, w).view(np.int64))
+            got = fp[di == d]
+            assert got.tolist() == exp.tolist(), (k, w, d, text[:30])
