@@ -85,6 +85,11 @@ class UrlSeenActor:
             filter_kind=self.shard.filter_kind,
         )
 
+    def node_id(self) -> str:
+        """Hex node id this shard landed on (multi-node placement
+        evidence — see tests/test_two_node.py)."""
+        return ray.get_runtime_context().get_node_id()
+
 
 @ray.remote
 class QueueActor:
@@ -122,6 +127,11 @@ class QueueActor:
 
     def pop_history(self) -> list:
         return list(self.shard.pop_history or ())
+
+    def node_id(self) -> str:
+        """Hex node id this shard landed on (multi-node placement
+        evidence — see tests/test_two_node.py)."""
+        return ray.get_runtime_context().get_node_id()
 
     def checkpoint(self, directory: str) -> None:
         self.shard.checkpoint(directory)
@@ -516,7 +526,7 @@ class RayCrawler:
                  bloom_bits: int = 1 << 24, states_filter: str = "bloom",
                  checkpoint_every: int = 0,
                  salted_scores: bool = False, queue_kwargs: dict | None = None,
-                 sink_fs=None):
+                 sink_fs=None, actor_placement: str | None = None):
         self.web = web
         self.out = Path(out_dir)
         self.out.mkdir(parents=True, exist_ok=True)
@@ -543,14 +553,22 @@ class RayCrawler:
                         num_queue_shards=num_queue_shards,
                         batch_per_shard=batch_per_shard,
                         max_per_host=max_per_host)
+        # actor_placement='spread' pins shard actors across NODES
+        # (SPREAD soft-spreads over the alive node set) — the multi-node
+        # layout where dedup/schedule routing becomes a true cross-node
+        # exchange; default (None) lets Ray pack them (single-node)
+        opts = ({"scheduling_strategy": "SPREAD"}
+                if actor_placement == "spread" else {})
+        seen_cls = UrlSeenActor.options(**opts) if opts else UrlSeenActor
+        queue_cls = QueueActor.options(**opts) if opts else QueueActor
         self.state_actors = [
-            UrlSeenActor.remote(i, exact=exact_states,
-                                bloom_bits=bloom_bits,
-                                filter_kind=states_filter)
+            seen_cls.remote(i, exact=exact_states,
+                            bloom_bits=bloom_bits,
+                            filter_kind=states_filter)
             for i in range(num_state_shards)
         ]
         self.queue_actors = [
-            QueueActor.remote(i, profile=profile, **(queue_kwargs or {}))
+            queue_cls.remote(i, profile=profile, **(queue_kwargs or {}))
             for i in range(num_queue_shards)
         ]
         self.batch_per_shard = batch_per_shard
@@ -735,11 +753,20 @@ class RayCrawler:
         next_ckpt = ((submitted // every) + 1) * every if every else 0
         with ThreadPoolExecutor(pipeline_depth) as ex:
             pending = set()
+            # `draining` stops refills after an all-empty wave so the
+            # in-flight rounds can settle; termination is then decided
+            # by ONE synchronous confirm round against a quiet frontier.
+            # (Refilling eagerly after empty waves is a livelock: with
+            # FIRST_COMPLETED waits the driver resubmits before every
+            # empty round lands, so "nothing in flight" never holds —
+            # observed spinning forever on a 2-node cluster.)
+            draining = False
             while True:
                 budget_left = (submitted < max_rounds
                                and not (max_pages and self.pages_total >= max_pages)
                                and not _strategy_done())
-                while (budget_left and len(pending) < pipeline_depth
+                while (budget_left and not draining
+                       and len(pending) < pipeline_depth
                        and not (next_ckpt and submitted >= next_ckpt)):
                     if small_round:
                         time.sleep(0.03)
@@ -755,24 +782,19 @@ class RayCrawler:
                         continue
                     if not budget_left:
                         break
-                    # frontier drained with nothing in flight: confirm
+                    # quiet frontier (drain wave settled, or submission
+                    # blocked): one synchronous confirm round decides
                     if self.run_round()["popped"] == 0:
                         break
                     submitted += 1
+                    draining = False
                     continue
                 done, pending = wait(pending, return_when=FIRST_COMPLETED)
                 results = [f.result() for f in done]
                 if all(r["popped"] == 0 for r in results):
-                    if pending:
-                        time.sleep(0.02)  # empty pop while a round lands
-                    else:
-                        # frontier empty with nothing in flight: one
-                        # synchronous confirm round, then terminate —
-                        # without this, overlapped mode spins empty
-                        # rounds until max_rounds
-                        if self.run_round()["popped"] == 0:
-                            break
-                        submitted += 1
+                    draining = True  # let in-flight settle, no refills
+                elif any(r["popped"] > 0 for r in results):
+                    draining = False
                 small_round = all(r["popped"] < round_target // 4
                                   for r in results)
         return {"rounds": self.round, "pages": self.pages_total,

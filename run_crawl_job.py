@@ -37,6 +37,12 @@ def main(argv=None) -> int:
                          "--checkpoint-every via the drain barrier")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--address", default=None,
+                    help="connect to an existing Ray cluster (e.g. "
+                         "127.0.0.1:6379 from `ray start --head`) "
+                         "instead of starting a local session")
+    ap.add_argument("--spread-actors", action="store_true",
+                    help="SPREAD shard actors across cluster nodes")
     ap.add_argument("--settings", default=None,
                     help="settings module path (frontera-style); CLI "
                          "flags given explicitly still win")
@@ -45,11 +51,14 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False,
-                      log_to_driver=False)
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(**kwargs)
+        if args.address:  # existing cluster (ray start / ray job submit)
+            ray.init(address=args.address, log_to_driver=False)
+        else:
+            kwargs = dict(address="local", include_dashboard=False,
+                          log_to_driver=False)
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+            ray.init(**kwargs)
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
@@ -77,6 +86,7 @@ def main(argv=None) -> int:
             batch_per_shard=args.batch_per_shard or 512,
             checkpoint_every=(args.checkpoint_every
                               if args.checkpoint_every is not None else 2),
+            actor_placement="spread" if args.spread_actors else None,
         )
     if args.resume:
         meta = crawler.restore()
@@ -88,8 +98,14 @@ def main(argv=None) -> int:
                           pipeline_depth=args.pipeline_depth)
     crawler.checkpoint()
     crawler.export_stats(f"{args.out}/stats.json")
-    print(json.dumps({**summary, "expected_pages": web.total_pages()}),
-          flush=True)
+    placement = {
+        "nodes": len([n for n in ray.nodes() if n.get("Alive")]),
+        "actor_nodes": sorted({
+            ray.get(a.node_id.remote())[:12]
+            for a in (*crawler.state_actors, *crawler.queue_actors)}),
+    }
+    print(json.dumps({**summary, "expected_pages": web.total_pages(),
+                      "placement": placement}), flush=True)
     ray.shutdown()
     return 0
 
