@@ -908,8 +908,12 @@ class RayCrawler:
             shutil.rmtree(keep_dir)
         if not frags:
             return {"images": 0, "dups": 0}
+        # block count: the sink is many small per-round fragments; one
+        # block per fragment would pay per-task overhead x fragments
+        cpus = int(ray.cluster_resources().get("CPU", 8))
         pages = ray.data.read_parquet(
-            frags, columns=["image_id", "phash"], filesystem=self.sink_fs)
+            frags, columns=["image_id", "phash"], filesystem=self.sink_fs,
+            override_num_blocks=min(len(frags), 4 * cpus))
         keep_ds = sink_keeper_table(pages, max_hamming=max_hamming,
                                     blocks=blocks, exchange=exchange)
         keep_ds.write_parquet(str(keep_dir), filesystem=self.sink_fs)

@@ -547,6 +547,33 @@ def dedup_keepers(ids, pairs) -> dict:
     return {i: find(int(i)) for i in parent}
 
 
+def dedup_keepers_np(a: np.ndarray, b: np.ndarray) -> dict:
+    """Vectorized twin of ``dedup_keepers(None, zip(a, b))`` for DENSE
+    pair streams (e.g. the sink keep-list's representative graph, where
+    near-identical sketch clusters emit 1e5-1e6 edges): min-label
+    propagation with pointer jumping over index arrays — O(E) numpy
+    work per round, O(log n) rounds — instead of a per-edge Python
+    union-find walk (measured 1.5 s -> ~20 ms at 787k edges). Same
+    result by construction: component keeper = component-min id (node
+    values sort ascending in np.unique, so min index == min value)."""
+    if len(a) == 0:
+        return {}
+    nodes, inv = np.unique(np.concatenate([np.asarray(a, np.int64),
+                                           np.asarray(b, np.int64)]),
+                           return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = label.copy()
+        np.minimum.at(nxt, ia, label[ib])
+        np.minimum.at(nxt, ib, label[ia])
+        nxt = nxt[nxt]  # pointer jumping halves chain depth per round
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return {int(n): int(k) for n, k in zip(nodes, nodes[label])}
+
+
 def keeper_table(ds, pair_table: pa.Table, id_col: str = "doc_id"):
     """Corpus-wide (doc_id, keeper_doc_id) keep-list as a streaming
     Dataset: union-find over only the ids in ``pair_table`` (result-

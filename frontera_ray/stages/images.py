@@ -352,7 +352,7 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
     at scale)."""
     import ray
 
-    from .dedup import dedup_keepers, hamming64_neardup_pairs
+    from .dedup import dedup_keepers_np, hamming64_neardup_pairs
 
     pairs = hamming64_neardup_pairs(
         urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
@@ -409,29 +409,49 @@ def sink_keeper_table(pages_ds, max_hamming: int = 2,
     an equi-join on phash if a corpus ever has too many distinct
     sketches to broadcast) and broadcast once; each batch resolves
     keeper by searchsorted on its phash column. Output: streaming
-    (image_id, keeper_image_id, keep) Dataset; keeper of a component =
-    the image whose id64 is the component-min representative."""
-    import pyarrow.compute as pc
+    (image_id, keeper_image_id, keep) Dataset. Representative of an
+    exact-sketch group = its min-image_id member (carried by the
+    aggregate, so keeper URLs resolve driver-side with NO extra corpus
+    pass); keeper of a component = the representative whose pair id is
+    the component minimum."""
     import ray
 
-    from .dedup import dedup_keepers, hamming64_neardup_pairs
+    from .dedup import dedup_keepers_np, hamming64_neardup_pairs
 
-    src = pages_ds.select_columns(["image_id", "phash"])
+    # pin the 2-column sketch projection once: the aggregate pass and
+    # the assign pass would otherwise each re-execute the (many-
+    # fragment) read lineage. At corpus scale this is the slim
+    # (image_id, phash) table, not the pages.
+    src = pages_ds.select_columns(["image_id", "phash"]).materialize()
 
-    def sketch(batch: pa.Table) -> pa.Table:
-        urls = batch["image_id"].to_pylist()
-        return pa.table({
-            "doc_id": pa.array(image_id64(urls), pa.int64()),
-            "simhash": pc.cast(batch["phash"], pa.int64()),
-        })
+    # distinct sketch values, representative = the member with the MIN
+    # image_id string. Per-block partial min + a driver combine over
+    # the (distinct-bounded) partials — a combiner, not a sort shuffle
+    # (measured 3.2 s -> sub-second at 557k rows / 68k distinct); the
+    # rep's pair id is then derivable driver-side, so NO corpus pass is
+    # spent resolving keeper ids back to URLs.
+    def _phash_min_url(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"phash": pa.array([], pa.int64()),
+                             "min_url": pa.array([], pa.string())})
+        ph = batch["phash"].to_numpy().astype(np.int64)
+        urls = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, ph))
+        ph, urls = ph[order], urls[order]
+        first = np.concatenate(([True], ph[1:] != ph[:-1]))
+        return pa.table({"phash": pa.array(ph[first], pa.int64()),
+                         "min_url": pa.array(urls[first], pa.string())})
 
-    # distinct sketch values + min-id representative (native aggregate)
-    distinct = pa.concat_tables(list(
-        src.map_batches(sketch, batch_format="pyarrow")
-           .groupby("simhash").min("doc_id")
+    partials = pa.concat_tables(list(
+        src.map_batches(_phash_min_url, batch_format="pyarrow",
+                        batch_size=None)
            .iter_batches(batch_format="pyarrow", batch_size=None)))
-    sketches = distinct["simhash"].to_numpy().astype(np.int64)
-    rep_ids = distinct["min(doc_id)"].to_numpy().astype(np.int64)
+    distinct = _phash_min_url(pa.table({
+        "phash": partials["phash"],
+        "image_id": partials["min_url"]}))
+    sketches = distinct["phash"].to_numpy().astype(np.int64)
+    rep_urls = np.asarray(distinct["min_url"].to_pylist(), dtype=object)
+    rep_ids = image_id64(rep_urls)
 
     # near-dup pairs between REPRESENTATIVES only
     reps_ds = ray.data.from_arrow(pa.table({
@@ -439,20 +459,18 @@ def sink_keeper_table(pages_ds, max_hamming: int = 2,
         "simhash": pa.array(sketches, pa.int64())}))
     pairs = hamming64_neardup_pairs(reps_ds, max_hamming=max_hamming,
                                     blocks=blocks, exchange=exchange)
-    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
-                                      pairs["b"].to_pylist()))
+    keepers = dedup_keepers_np(pairs["a"].to_numpy(),
+                               pairs["b"].to_numpy())
 
-    # sketch-value -> keeper-url map (distinct-sized, broadcast once)
+    # sketch-value -> keeper-url map (distinct-sized, broadcast once);
+    # keeper of a component = the rep whose id64 is the component min
+    url_of_rep = {int(i): u for i, u in zip(rep_ids, rep_urls)}
     keeper_ids = np.asarray(
         [keepers.get(int(r), int(r)) for r in rep_ids], dtype=np.int64)
-    need = np.unique(keeper_ids)
-    id2url = _resolve_pair_ids(src.map_batches(
-        lambda b: pa.table({"image_id": b["image_id"]}),
-        batch_format="pyarrow"), need, col="image_id") if len(need) else {}
     order = np.argsort(sketches)
     sk_sorted = sketches[order]
     keeper_urls = np.asarray(
-        [id2url[int(k)] for k in keeper_ids[order]], dtype=object)
+        [url_of_rep[int(k)] for k in keeper_ids[order]], dtype=object)
     map_ref = ray.put((sk_sorted, keeper_urls))
     cache: dict = {}
 
@@ -534,7 +552,7 @@ def curate_image_captions(urls_ds, min_side: int = 32,
     import ray
 
     from ..payload import meta_batch_columns
-    from .dedup import dedup_keepers, hamming64_neardup_pairs
+    from .dedup import dedup_keepers_np, hamming64_neardup_pairs
 
     pairs = hamming64_neardup_pairs(
         urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),

@@ -1046,3 +1046,30 @@ def test_containment_pairs_asymmetric(ray_session):
     assert [(r.a, r.b) for r in out.itertuples()] == [(0, 1)]
     row = out.iloc[0]
     assert row.inter_size == 3 and row.a_size == 3
+
+
+def test_dedup_keepers_np_parity():
+    """Vectorized min-label keepers == the walking union-find on random
+    graphs (chains, cliques, isolated pairs, dense clusters)."""
+    import numpy as np
+
+    from frontera_ray.stages.dedup import dedup_keepers, dedup_keepers_np
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        m = int(rng.integers(1, 500))
+        a = rng.integers(0, n, m).astype(np.int64) * 7 + 3  # sparse ids
+        b = rng.integers(0, n, m).astype(np.int64) * 7 + 3
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            continue
+        ref = dedup_keepers(None, zip(a.tolist(), b.tolist()))
+        got = dedup_keepers_np(a, b)
+        assert got == ref, trial
+    # long chain: pointer jumping must still reach the global min
+    a = np.arange(1, 1000, dtype=np.int64)
+    b = a + 1
+    got = dedup_keepers_np(a, b)
+    assert set(got.values()) == {1}
