@@ -9778,8 +9778,131 @@ def q_balanced_downsample(sf_dir: str):
     return out.sort_values(["lang", "source", "doc_id"]).reset_index(drop=True)
 
 
+
+_DICT_TAG_PATTERNS = ["batch", "bloom", "crawl", "filter", "hash join",
+                      "missingword", "slow key", "window"]
+
+
+def q_dict_tag_census(sf_dir: str):
+    """Multi-pattern dictionary tagging census (text.dict_tag_census):
+    per blocklist/lexicon pattern, containing-doc count + total
+    non-overlapping occurrences — ONE vectorized Arrow count_substring
+    kernel per pattern per block, dictionary-bounded partials, driver
+    combine; includes multi-word substrings and an absent pattern.
+    Oracle: occurrences = (len - len(replace)) / len(p)."""
+    from frontera_ray.stages.text import dict_tag_census
+
+    return dict_tag_census(_read(sf_dir, "documents"),
+                           _DICT_TAG_PATTERNS)
+
+
+def q_holt_trend(sf_dir: str):
+    """Per-user integer floor Holt linear smoother (relational.
+    per_key_holt_linear, alpha=1/2, beta=1/4): trend-aware
+    double-exponential state per key in exact centi-units — the
+    rising-rate forecast a politeness scheduler reads (the EWMA only
+    averages; Holt extrapolates). One keyed exchange; recurrence
+    vectorized across keys; floor division keeps negative trend states
+    exact so the recursive-CTE twin replays the sequence."""
+    from frontera_ray.stages.relational import per_key_holt_linear
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = per_key_holt_linear(ev, "user_id", "ts_us", "v",
+                              tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_image_dhash(sf_dir: str):
+    """Difference-hash census over the derived image corpus
+    (images.dhash_table): 8x9 sampled-grid milli-luma gradients
+    through the REAL decode path, packed to a 64-bit sketch — the
+    second perceptual hash beside phash (gradient structure survives
+    brightness shifts average-hash misses). Shuffle-free map_batches;
+    the DuckDB twin re-derives every sampled pixel closed-form."""
+    from frontera_ray.stages.images import dhash_table
+
+    out = (_read(sf_dir, "documents").select_columns(["doc_id"])
+           .map_batches(dhash_table, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (Webber et al. 2010, public measure)
+    between two per-source document rankings — length-priority
+    (n_chars desc) vs ingest order (doc_id asc) — truncated at depth
+    50, p=0.9: the ranking-agreement read that compares two curation
+    orders without requiring either to be complete. Scale shape:
+    per-block partial top-50 per (source, ranking), driver merge of
+    the bounded partials, result-sized RBO terms."""
+    import pandas as pd
+
+    k, p = 50, 0.9
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        nc = b["n_chars"].to_numpy().astype(np.int64)
+        keep = np.zeros(len(src), dtype=bool)
+        for s in np.unique(src):
+            m = np.flatnonzero(src == s)
+            a_top = m[np.lexsort((did[m], -nc[m]))[:k]]
+            b_top = m[np.argsort(did[m])[:k]]
+            keep[a_top] = True
+            keep[b_top] = True
+        return pa.table({"source": pa.array(src[keep], pa.string()),
+                         "doc_id": pa.array(did[keep], pa.int64()),
+                         "n_chars": pa.array(nc[keep], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "documents")
+        .select_columns(["source", "doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    src = np.asarray(parts["source"].to_pylist(), dtype=object)
+    did = parts["doc_id"].to_numpy().astype(np.int64)
+    nc = parts["n_chars"].to_numpy().astype(np.int64)
+    rows = []
+    for s in sorted(set(src.tolist())):
+        m = np.flatnonzero(src == s)
+        # partials may duplicate a doc (top in both orders): dedup
+        _, uniq = np.unique(did[m], return_index=True)
+        m = m[uniq]
+        a_list = did[m][np.lexsort((did[m], -nc[m]))[:k]]
+        b_list = did[m][np.argsort(did[m])[:k]]
+        a_set, b_set = set(), set()
+        terms = 0.0
+        for d in range(1, k + 1):
+            if d <= len(a_list):
+                a_set.add(int(a_list[d - 1]))
+            if d <= len(b_list):
+                b_set.add(int(b_list[d - 1]))
+            terms += p ** (d - 1) * len(a_set & b_set) / d
+        rows.append({"source": s, "rbo": round((1 - p) * terms, 6)})
+    return pd.DataFrame(rows)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
+    "dict_tag_census": q_dict_tag_census,
+    "holt_trend": q_holt_trend,
+    "image_dhash": q_image_dhash,
+    "rbo_rankings": q_rbo_rankings,
     "url_fingerprint": q_url_fingerprint,
     "host_partition": q_host_partition,
     "score_depth": q_score_depth,
@@ -10264,6 +10387,38 @@ def _image_channel_corr_oracle() -> str:
                (corr_rg_ppm >= 990000 AND corr_gb_ppm >= 990000)
                  AS grayish
         FROM cr ORDER BY doc_id"""
+
+
+def _image_dhash_oracle() -> str:
+    v = _img_val_sql("((gcc.c * m.w) // 9)::UBIGINT",
+                     "((gr.r * m.h) // 8)::UBIGINT")
+    return f"""
+        WITH {_IMG_META_CTES},
+        g AS (SELECT m.doc_id, m.fmt, gr.r, gcc.c AS col,
+                     sum((CASE gc.c WHEN 0 THEN 299 WHEN 1 THEN 587
+                               ELSE 114 END) * {v})::BIGINT AS gray
+              FROM m, generate_series(0, 7) gr(r),
+                   generate_series(0, 8) gcc(c),
+                   generate_series(0, 2) gc(c)
+              GROUP BY m.doc_id, m.fmt, gr.r, gcc.c),
+        b AS (SELECT g1.doc_id, g1.fmt, g1.r, g1.col,
+                     CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END
+                       AS bit
+              FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id
+                                 AND g2.r = g1.r
+                                 AND g2.col = g1.col + 1
+              WHERE g1.col < 8),
+        h AS (SELECT doc_id, fmt,
+                     sum(bit::HUGEINT
+                         * (1::HUGEINT << (r * 8 + col)::INT)) AS u,
+                     sum(bit)::BIGINT AS n_bits_set
+              FROM b GROUP BY doc_id, fmt)
+        SELECT doc_id, fmt,
+               (CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END)::BIGINT AS dhash,
+               n_bits_set
+        FROM h ORDER BY doc_id"""
 
 
 def _image_luma_oracle() -> str:
@@ -11380,6 +11535,73 @@ def _crawl_bfs_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_bfs": _crawl_bfs_oracle_sql(),
+        # occurrences = (len - len(replace))/len(p): both sides count
+        # non-overlapping matches; patterns inlined from the shared list
+        "dict_tag_census": """
+            SELECT p AS pattern,
+                   count(*) FILTER (WHERE contains(text, p))::BIGINT
+                     AS n_docs,
+                   COALESCE(sum((length(text)
+                                 - length(replace(text, p, '')))
+                                // length(p)), 0)::BIGINT
+                     AS n_occurrences
+            FROM documents, (VALUES {pats}) pats(p)
+            GROUP BY p ORDER BY p""".format(pats=", ".join(
+                "('{}')".format(p) for p in _DICT_TAG_PATTERNS)),
+        # the Holt recurrence replayed exactly: floor() (not //, which
+        # truncates toward zero) keeps negative trend states identical
+        "holt_trend": r"""
+            WITH RECURSIVE v AS (
+                SELECT user_id,
+                       floor(value * 100 + 0.5)::BIGINT AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts),
+                                                   event_id) AS r
+                FROM events),
+            s AS (
+                SELECT user_id, r, v AS l, 0::BIGINT AS b
+                FROM v WHERE r = 1
+                UNION ALL
+                SELECT v.user_id, v.r,
+                       CAST(floor((v.v + s.l + s.b) / 2.0) AS BIGINT)
+                         AS l,
+                       CAST(floor((CAST(floor((v.v + s.l + s.b) / 2.0)
+                                        AS BIGINT) - s.l + 3 * s.b)
+                                  / 4.0) AS BIGINT) AS b
+                FROM s JOIN v ON v.user_id = s.user_id
+                            AND v.r = s.r + 1),
+            f AS (SELECT user_id, r, l, b,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY r DESC) AS rr
+                  FROM s)
+            SELECT user_id, r::BIGINT AS n, l::BIGINT AS level_final,
+                   b::BIGINT AS trend_final,
+                   (l + b)::BIGINT AS forecast_next
+            FROM f WHERE rr = 1 ORDER BY user_id""",
+        "image_dhash": _image_dhash_oracle(),
+        # truncated RBO@50, p=0.9, identical term formula both sides;
+        # overlap@d = docs in BOTH prefixes
+        "rbo_rankings": """
+            WITH ra AS (SELECT source, doc_id, row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS r
+                        FROM documents),
+            rb AS (SELECT source, doc_id, row_number() OVER (
+                     PARTITION BY source ORDER BY doc_id) AS r
+                   FROM documents),
+            j AS (SELECT ra.source, ra.r AS r_a, rb.r AS r_b
+                  FROM ra JOIN rb ON rb.source = ra.source
+                                 AND rb.doc_id = ra.doc_id
+                  WHERE ra.r <= 50 AND rb.r <= 50),
+            ov AS (SELECT s.source, g.d,
+                          (SELECT count(*) FROM j
+                           WHERE j.source = s.source
+                             AND j.r_a <= g.d AND j.r_b <= g.d) AS o
+                   FROM (SELECT DISTINCT source FROM documents) s
+                   CROSS JOIN generate_series(1, 50) g(d))
+            SELECT source,
+                   round(0.1 * sum(pow(0.9, d - 1) * o / d), 6) AS rbo
+            FROM ov GROUP BY source ORDER BY source""",
         "seed_normalize": f"SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents",
         "url_fingerprint": f"SELECT doc_id, md5({_CANON_URL_SQL}) AS fp_md5 FROM documents",
         "host_partition": f"""

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "hapax_share", "t_closeness", "watermark_plan", "ewma_residuals",
     "backoff_plan", "quantile_normalize", "runs_test", "stump_split",
     "embedding_mmd", "cramers_v", "url_template_census",
+    "dict_tag_census", "holt_trend", "image_dhash", "rbo_rankings",
 ]
 
 CRAWL_HOSTS = 8192

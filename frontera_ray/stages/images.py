@@ -997,6 +997,58 @@ def luma_table(batch: pa.Table, dark_milli: int = 85_000,
     })
 
 
+def dhash_table(batch: pa.Table) -> pa.Table:
+    """Difference hash (dHash, public technique: row-wise horizontal
+    gradient signs over a coarse grid) through the REAL decode path —
+    the second perceptual sketch beside the average-hash ``phash``
+    column: gradient structure survives brightness/contrast shifts that
+    flip average-hash bits, so the pair (phash, dhash) disagreeing is
+    itself a transform signal. Grid = 8 rows x 9 cols sampled at
+    (x, y) = ((c*w)//9, (r*h)//8); gray = integer BT.601 milli-luma of
+    the DECODED pixel; bit(r, c) = gray(r, c+1) > gray(r, c), packed
+    little-endian to 64 bits (two's-complement int64, same signed-view
+    convention as simhash/phash). Emits (doc_id, fmt, dhash,
+    n_bits_set). Shuffle-free map_batches; the DuckDB twin re-derives
+    every sampled pixel closed-form (fmt-aware dequantization)."""
+    from ..payload import (_gen_pixels_group, png_decode, png_encode,
+                           qimg_decode, qimg_encode)
+
+    ids = batch["doc_id"].to_numpy()
+    u = synth_image_seed(batch)
+    six = (u % np.uint64(6)).astype(np.int64)
+    is_png = (u >> np.uint64(3)) % np.uint64(2) == 0
+    wgt = np.asarray([299, 587, 114], dtype=np.int64)
+    dh = np.zeros(len(ids), dtype=np.uint64)
+    for si in np.unique(six):
+        idx = np.nonzero(six == si)[0]
+        w, h = int(_SYNTH_W[si]), int(_SYNTH_H[si])
+        xs = (np.arange(9, dtype=np.int64) * w) // 9
+        ys = (np.arange(8, dtype=np.int64) * h) // 8
+        pix = _gen_pixels_group(u[idx], w, h)
+        for j, i in enumerate(idx):
+            if is_png[i]:
+                out = png_decode(png_encode(pix[j]))
+            else:
+                out = qimg_decode(qimg_encode(pix[j]))
+            grid = out[np.ix_(ys, xs)].astype(np.int64)   # (8, 9, 3)
+            gray = (grid * wgt).sum(axis=2)               # milli-luma
+            bits = gray[:, 1:] > gray[:, :-1]             # (8, 8)
+            weights = (np.uint64(1)
+                       << (np.arange(64, dtype=np.uint64)
+                           .reshape(8, 8)))
+            dh[i] = np.bitwise_or.reduce(
+                np.where(bits, weights, np.uint64(0)).ravel())
+    signed = dh.view(np.int64)
+    nbits = np.array([int(x).bit_count() for x in dh], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fmt": pa.array(np.where(is_png, "png", "qimg").astype(object),
+                        pa.string()),
+        "dhash": pa.array(signed, pa.int64()),
+        "n_bits_set": pa.array(nbits, pa.int64()),
+    })
+
+
 def color_forensics_table(batch: pa.Table,
                           cast_milli_thresh: int = 10) -> pa.Table:
     """Color-cast + quantization-provenance forensics through the REAL

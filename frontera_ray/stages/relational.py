@@ -4661,6 +4661,73 @@ def per_key_floor_ewma(ds, key_col: str, order_col: str, val_col: str,
     return keyed_exchange(ds, key_col, kern, exchange)
 
 
+def per_key_holt_linear(ds, key_col: str, order_col: str, val_col: str,
+                        tiebreak: str | None = None,
+                        exchange: str = "groups") -> pa.Table:
+    """Integer floor Holt linear (double-exponential) smoother per key
+    — the trend-aware upgrade of ``per_key_floor_ewma`` (a host whose
+    request rate is RISING needs the forecast, not the average). Fixed
+    rational gains α = 1/2, β = 1/4; in ``order_col`` order within a
+    key, with l = level, b = trend:
+
+        l_1 = v_1,  b_1 = 0
+        l_t = floor((v_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + 3 * b_{t-1}) / 4)
+
+    emitting per key (n, level_final, trend_final, forecast_next =
+    level + trend). Floor (not truncate-toward-zero) keeps negative
+    trend states exact, so the recursive-CTE DuckDB twin replays the
+    state sequence bit-for-bit via floor(x / 2.0).
+
+    Scale shape: identical to ``per_key_floor_ewma`` — ONE keyed
+    exchange, the recurrence vectorized ACROSS keys, one numpy sweep
+    per within-key position."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        empty = pa.table({key_col: pa.array([], key_t),
+                          "n": pa.array([], pa.int64()),
+                          "level_final": pa.array([], pa.int64()),
+                          "trend_final": pa.array([], pa.int64()),
+                          "forecast_next": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        start = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(start)
+        idx = np.arange(len(sk))
+        pos = idx - np.repeat(starts, np.diff(np.append(starts, len(sk))))
+        lvl = v.copy()
+        trend = np.zeros(len(sk), np.int64)
+        max_pos = int(pos.max())
+        for s in range(1, max_pos + 1):
+            sel = np.flatnonzero(pos == s)
+            prev_l, prev_b = lvl[sel - 1], trend[sel - 1]
+            lvl[sel] = (v[sel] + prev_l + prev_b) // 2
+            trend[sel] = (lvl[sel] - prev_l + 3 * prev_b) // 4
+        ends = np.append(starts[1:], len(sk)) - 1
+        n = ends - starts + 1
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[starts])),
+            "n": pa.array(n, pa.int64()),
+            "level_final": pa.array(lvl[ends], pa.int64()),
+            "trend_final": pa.array(trend[ends], pa.int64()),
+            "forecast_next": pa.array(lvl[ends] + trend[ends],
+                                      pa.int64())})
+
+    return keyed_exchange(ds, key_col, kern, exchange)
+
+
 def per_key_error_backoff(ds, key_col: str, order_col: str,
                           flag_col: str, tiebreak: str | None = None,
                           cap: int = 6, exchange: str = "groups"):

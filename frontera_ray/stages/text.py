@@ -2155,3 +2155,50 @@ def hapax_share_by_source(ds, text_col: str = "text",
     out["hapax_ppm"] = ((1_000_000 * out["n_hapax"])
                         // out["n_distinct"]).astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def dict_tag_census(ds, patterns, text_col: str = "text"):
+    """Multi-pattern dictionary tagging census — the bounded-dictionary
+    cousin of regex PII scanning (keyword blocklists, domain lexicons,
+    contamination probes): for each pattern, how many docs contain it
+    and how many total (non-overlapping) occurrences the corpus holds.
+
+    Scale shape: the dictionary is a broadcast constant; each block
+    runs ONE vectorized Arrow ``count_substring`` kernel per pattern
+    (C++ substring scan, no per-row Python) and emits a
+    dictionary-sized partial; the driver combines partials with one
+    bounded groupby-sum. No shuffle — the reduction is dictionary-
+    bounded, like an aggregate over a low-cardinality key.
+
+    Returns pandas (pattern, n_docs, n_occurrences) sorted by pattern.
+    Exact SQL twin: occurrences = (len(text) - len(replace(text, p,
+    ''))) / len(p) — both sides count non-overlapping matches."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    pats = list(patterns)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"pattern": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        col = batch[text_col]
+        docs = np.empty(len(pats), np.int64)
+        occ = np.empty(len(pats), np.int64)
+        for i, p in enumerate(pats):
+            c = pc.count_substring(col, pattern=p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            docs[i] = int((c > 0).sum())
+            occ[i] = int(c.sum())
+        return pa.table({"pattern": pa.array(pats, pa.string()),
+                         "n_docs": pa.array(docs, pa.int64()),
+                         "n_occurrences": pa.array(occ, pa.int64())})
+
+    parts = [t.to_pandas() for t in
+             ds.select_columns([text_col])
+               .map_batches(kernel, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow", batch_size=None)]
+    out = (pd.concat(parts).groupby("pattern", as_index=False)
+           [["n_docs", "n_occurrences"]].sum())
+    return out.sort_values("pattern").reset_index(drop=True)
