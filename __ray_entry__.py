@@ -9897,9 +9897,113 @@ def q_rbo_rankings(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+
+def q_pq_codebook(sf_dir: str):
+    """Product-quantization codebook training + distortion census
+    (ann.pq_codebook, the PQ half of IVF-PQ): 2 subspaces x 32 dims,
+    k=4 sub-centroids each via the deterministic Lloyd recurrence,
+    exact integer quantization distortion per cluster. Oracle = two
+    sliced copies of the unrolled iters=1 k-means CTE, UNION ALL."""
+    from frontera_ray.stages.ann import pq_codebook
+
+    return pq_codebook(_read(sf_dir, "embeddings"), m=2, k=4, iters=1)
+
+
+
+def q_hll_sliding(sf_dir: str):
+    """Timestamped sliding-window HyperLogLog (sketches.hll_sliding):
+    per (register, rho) the max event stamp, so ANY trailing window
+    answers from the one merged sketch — distinct users in the last
+    quarter-span at three window ends, with the exact companion.
+    Register pairs are md5-bit-reproducible, so the DuckDB twin replays
+    the sketch (same stamp semantics: global max stamp per pair, then
+    the window test) and the estimates hash-match."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from frontera_ray.stages.sketches import hll_sliding
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64())})
+
+    # shared read: min/max span pass + sketch pass + exact companion
+    evp = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    lo = hi = None
+    for t in evp.iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(t) == 0:
+            continue
+        tmin = pc.min(t["ts_us"]).as_py()
+        tmax = pc.max(t["ts_us"]).as_py()
+        lo = tmin if lo is None else min(lo, tmin)
+        hi = tmax if hi is None else max(hi, tmax)
+    span = hi - lo
+    w_us = span // 4
+    ends = [lo + span // 2, lo + 3 * (span // 4), hi]
+    est = dict(hll_sliding(evp, "user_id", "ts_us", ends, w_us))
+
+    # exact companion: per-block distinct (user, window) partials
+    ends_np = np.asarray(ends, np.int64)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        ts = b["ts_us"].to_numpy().astype(np.int64)
+        rows_e, rows_u = [], []
+        for e in ends_np:
+            m = (ts >= e - w_us) & (ts <= e)
+            uu = np.unique(u[m])
+            rows_e.append(np.full(len(uu), e, np.int64))
+            rows_u.append(uu)
+        return pa.table({
+            "end_us": pa.array(np.concatenate(rows_e), pa.int64()),
+            "user_id": pa.array(np.concatenate(rows_u), pa.int64())})
+
+    parts = pa.concat_tables(list(
+        evp.map_batches(exact_partial, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow", batch_size=None)))
+    pe = parts["end_us"].to_numpy()
+    pu = parts["user_id"].to_numpy()
+    exact = {int(e): len(np.unique(pu[pe == e])) for e in ends_np}
+    return pd.DataFrame({
+        "end_us": ends,
+        "est_distinct": [est[e] for e in ends],
+        "n_exact": [exact[e] for e in ends]})
+
+
+
+def q_sign_flip_test(sf_dir: str):
+    """Hash-seeded sign-flip permutation test (relational.
+    sign_flip_paired_test): per user, d = cents(after) - cents(before)
+    around the ceil(n/2) split of their event history; 64 deterministic
+    md5-bit sign patterns sample the exchangeable null, p numerator =
+    #{k: |T_k| >= |T_obs|} — the nonparametric paired test beside
+    ab_ztest/welch_t, integer-exact end to end."""
+    from frontera_ray.stages.relational import sign_flip_paired_test
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "v": pa.array(np.floor(b["value"].to_numpy() * 100 + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    ev = (_read(sf_dir, "events")
+          .select_columns(["user_id", "event_id", "ts", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    return sign_flip_paired_test(ev, "user_id", "ts_us", "v",
+                                 tiebreak="event_id")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
+    "pq_codebook": q_pq_codebook,
+    "hll_sliding": q_hll_sliding,
+    "sign_flip_test": q_sign_flip_test,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -10387,6 +10491,64 @@ def _image_channel_corr_oracle() -> str:
                (corr_rg_ppm >= 990000 AND corr_gb_ppm >= 990000)
                  AS grayish
         FROM cr ORDER BY doc_id"""
+
+
+def _pq_oracle(m: int = 2, sub: int = 32, k: int = 4) -> str:
+    """Per-subspace unrolled Lloyd CTE (iters=1) over sliced embedding
+    dims + the exact nano-unit distortion census — the SQL twin of
+    ann.pq_codebook (same recurrence as the 'kmeans'/'semantic_dedup'
+    oracles, applied to embedding[off+1 .. off+sub])."""
+    parts = []
+    for s_ in range(m):
+        off = s_ * sub
+        parts.append(f"""
+            SELECT {s_}::BIGINT AS subspace, cluster, n, distortion_nano
+            FROM (
+              WITH c0 AS (
+                SELECT vec_id::BIGINT AS cl, i AS dim,
+                       embedding[{off} + i + 1]::DOUBLE AS c
+                FROM embeddings, generate_series(0, {sub - 1}) AS g(i)
+                WHERE vec_id < {k}),
+              d1 AS (
+                SELECT e.vec_id, c.cl,
+                       round(sum((e.embedding[{off} + c.dim + 1]::DOUBLE
+                                  - c.c)
+                                 * (e.embedding[{off} + c.dim + 1]::DOUBLE
+                                    - c.c)), 9) AS d2
+                FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+              a1 AS (
+                SELECT vec_id, cl FROM (
+                  SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                  FROM d1) WHERE rn = 1),
+              m1 AS (
+                SELECT a.cl, g.i AS dim,
+                       round(sum(e.embedding[{off} + g.i + 1]::DOUBLE)
+                             / count(*), 9) AS c
+                FROM embeddings e JOIN a1 a USING (vec_id),
+                     generate_series(0, {sub - 1}) AS g(i)
+                GROUP BY a.cl, g.i),
+              c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+                     FROM c0 LEFT JOIN m1
+                       ON m1.cl = c0.cl AND m1.dim = c0.dim),
+              df AS (
+                SELECT e.vec_id, c.cl,
+                       round(sum((e.embedding[{off} + c.dim + 1]::DOUBLE
+                                  - c.c)
+                                 * (e.embedding[{off} + c.dim + 1]::DOUBLE
+                                    - c.c)), 9) AS d2
+                FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+              af AS (
+                SELECT vec_id, cl, d2 FROM (
+                  SELECT vec_id, cl, d2, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                  FROM df) WHERE rn = 1)
+              SELECT cl AS cluster, count(*)::BIGINT AS n,
+                     sum(CAST(round(d2 * 1000000000) AS BIGINT))::BIGINT
+                       AS distortion_nano
+              FROM af GROUP BY cl)""")
+    return (" UNION ALL ".join(parts)
+            + " ORDER BY subspace, cluster")
 
 
 def _image_dhash_oracle() -> str:
@@ -11579,6 +11741,99 @@ def oracle_sql() -> dict[str, str]:
                    (l + b)::BIGINT AS forecast_next
             FROM f WHERE rr = 1 ORDER BY user_id""",
         "image_dhash": _image_dhash_oracle(),
+        "pq_codebook": _pq_oracle(),
+        # 64 md5-bit sign patterns over per-user before/after cent
+        # deltas; the whole test is integer so it replays exactly
+        "sign_flip_test": """
+            WITH v AS (
+                SELECT user_id,
+                       floor(value * 100 + 0.5)::BIGINT AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts),
+                                                   event_id) AS r,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+            d AS (SELECT user_id,
+                         sum(CASE WHEN r > (n + 1) // 2 THEN v
+                                  ELSE -v END)::BIGINT AS d
+                  FROM v GROUP BY user_id),
+            hb AS (SELECT user_id, d,
+                          ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 16))::UBIGINT AS h
+                   FROM d),
+            t AS (SELECT g.k,
+                         sum(CASE WHEN ((h >> g.k::INT) & 1::UBIGINT)
+                                       = 1::UBIGINT
+                                  THEN -d ELSE d END)::BIGINT AS t_k
+                  FROM hb CROSS JOIN generate_series(0, 63) g(k)
+                  GROUP BY g.k),
+            obs AS (SELECT sum(d)::BIGINT AS t_obs,
+                           count(*)::BIGINT AS n_keys FROM d)
+            SELECT o.n_keys, o.t_obs,
+                   (SELECT count(*) FROM t
+                    WHERE abs(t.t_k) >= abs(o.t_obs))::BIGINT
+                     AS n_flips_ge,
+                   1000 * (SELECT count(*) FROM t
+                           WHERE abs(t.t_k) >= abs(o.t_obs)) // 64
+                     AS p_milli
+            FROM obs o""",
+
+        # the timestamped-HLL replay: global max stamp per (idx, rho)
+        # pair, window test per end, max live rho per register, the
+        # shared 2^51-scaled estimator with the linear-counting branch
+        "hll_sliding": """
+            WITH span AS (SELECT epoch_us(min(ts))::BIGINT AS t0,
+                                 epoch_us(max(ts))::BIGINT AS t1
+                          FROM events),
+            wins AS (SELECT t0 + (t1 - t0) // 2 AS end_us FROM span
+                     UNION ALL
+                     SELECT t0 + 3 * ((t1 - t0) // 4) FROM span
+                     UNION ALL SELECT t1 FROM span),
+            b AS (SELECT (h // 1125899906842624)::BIGINT AS idx,
+                         CASE WHEN (h % 1125899906842624) = 0 THEN 51
+                              ELSE 50 - length(bin(h % 1125899906842624))
+                                   + 1 END AS rho,
+                         ts_us
+                  FROM (SELECT ('0x' || substr(md5(
+                                  CAST(user_id AS VARCHAR)), 1, 16))
+                                 ::UBIGINT AS h,
+                               epoch_us(ts)::BIGINT AS ts_us
+                        FROM events)),
+            pairs AS (SELECT idx, rho, max(ts_us) AS stamp
+                      FROM b GROUP BY idx, rho),
+            r AS (SELECT w.end_us, p.idx, max(p.rho) AS rho
+                  FROM pairs p, wins w, span s
+                  WHERE p.stamp >= w.end_us - (s.t1 - s.t0) // 4
+                    AND p.stamp <= w.end_us
+                  GROUP BY 1, 2),
+            agg AS (SELECT end_us,
+                           SUM(1::BIGINT << (51 - rho))::HUGEINT AS s_live,
+                           count(*)::BIGINT AS n_live
+                    FROM r GROUP BY end_us),
+            est AS (SELECT w.end_us,
+                           (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384.0
+                           * 16384.0 * 2251799813685248.0
+                           / CAST(COALESCE(a.s_live, 0::HUGEINT)
+                                  + (16384 - COALESCE(a.n_live, 0))
+                                    ::HUGEINT * 2251799813685248
+                                  AS DOUBLE) AS raw,
+                           16384 - COALESCE(a.n_live, 0) AS v0
+                    FROM wins w LEFT JOIN agg a USING (end_us)),
+            ex AS (SELECT w.end_us,
+                          (SELECT count(DISTINCT e.user_id)
+                           FROM events e, span s
+                           WHERE epoch_us(e.ts) >= w.end_us
+                                   - (s.t1 - s.t0) // 4
+                             AND epoch_us(e.ts) <= w.end_us) AS n_exact
+                   FROM wins w)
+            SELECT est.end_us,
+                   CAST(FLOOR(CASE WHEN raw <= 2.5 * 16384.0 AND v0 > 0
+                                   THEN 16384.0 * ln(16384.0 / v0)
+                                   ELSE raw END) AS BIGINT)
+                     AS est_distinct,
+                   ex.n_exact::BIGINT AS n_exact
+            FROM est JOIN ex USING (end_us) ORDER BY est.end_us""",
+
         # truncated RBO@50, p=0.9, identical term formula both sides;
         # overlap@d = docs in BOTH prefixes
         "rbo_rankings": """

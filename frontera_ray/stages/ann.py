@@ -1314,3 +1314,56 @@ def embedding_mmd_linear(ds, side_col: str = "side",
     mmd2_micro = (1_000_000 * D) // ((na * nb) ** 2 * (1 << 40))
     return pd.DataFrame({"n_a": [na], "n_b": [nb],
                          "mmd2_micro": [int(mmd2_micro)]})
+
+
+def pq_codebook(ds, m: int = 2, k: int = 4, iters: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 9):
+    """Product-quantization codebook training + distortion census
+    (Jégou et al. 2011, public method — the PQ half of IVF-PQ, the
+    standard billion-scale ANN memory layout): the d-dim embedding
+    space splits into ``m`` contiguous subspaces; each subspace trains
+    its own ``k``-centroid codebook with the deterministic
+    ``kmeans_centroids`` Lloyd recurrence (smallest-vec_id seeds,
+    round-1e-9 conventions), so the whole operator is SQL-expressible
+    as m copies of the proven unrolled-Lloyd CTE over sliced
+    dimensions.
+
+    Returns pandas (subspace, cluster, n, distortion_nano): per
+    sub-codebook cluster occupancy and EXACT integer quantization
+    distortion (per-row rounded d2 in nano units, int64-summed —
+    order-independent). Total distortion / (n · d) is the
+    reconstruction-error read that sizes m and k before committing a
+    corpus to PQ codes.
+
+    Scale shape: per subspace, (iters + 1) streaming passes (the
+    centroid updates + the census) over a SLICED view of the vectors —
+    a map_batches projection, never a driver materialization; the only
+    driver-sized objects are the m x k x (d/m) codebooks."""
+    import pandas as pd
+
+    def slicer(lo: int, hi: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            X = _matrix(batch, vec_col)[:, lo:hi]
+            return pa.table({
+                id_col: batch[id_col],
+                vec_col: pa.array(list(X), pa.list_(pa.float64()))})
+        return fn
+
+    dim = _matrix(pa.concat_tables(list(
+        ds.select_columns([vec_col]).limit(1)
+          .iter_batches(batch_format="pyarrow", batch_size=None))),
+        vec_col).shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    outs = []
+    for s in range(m):
+        sliced = ds.select_columns([id_col, vec_col]).map_batches(
+            slicer(s * sub, (s + 1) * sub), batch_format="pyarrow")
+        t = kmeans_fixed(sliced, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+        t = t.rename(columns={"inertia_nano": "distortion_nano"})
+        t.insert(0, "subspace", np.int64(s))
+        outs.append(t)
+    return (pd.concat(outs, ignore_index=True)
+            .sort_values(["subspace", "cluster"]).reset_index(drop=True))

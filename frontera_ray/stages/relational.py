@@ -4987,3 +4987,81 @@ def stump_split_best(ds, val_col: str, cls_col: str,
         "n_left": pa.array([best[1]], pa.int64()),
         "n_right": pa.array([best[2]], pa.int64()),
         "score_pico": pa.array([best[3]], pa.int64())})
+
+
+def sign_flip_paired_test(ds, key_col: str, order_col: str,
+                          val_col: str, tiebreak: str | None = None,
+                          n_flips: int = 64,
+                          exchange: str = "groups"):
+    """Hash-seeded sign-flip permutation test (the nonparametric
+    paired-difference test the parametric family — ab_ztest / welch_t —
+    can't replace when the d_i distribution is arbitrary): per key,
+    split its ordered rows at ceil(n/2) and take d = sum(after) -
+    sum(before); under H0 (no before/after shift) each d_i's sign is
+    exchangeable, so the null distribution is sampled by flipping signs.
+    Flips are DETERMINISTIC — flip k for key u is bit k of
+    md5(u), giving ``n_flips`` (<= 64) reproducible sign patterns and
+    an integer-exact test: T_k = sum_i s_{k,i} d_i, and the p-value
+    numerator is #{k : |T_k| >= |T_obs|} (both sides replay the same
+    bits, so the whole test hash-matches in SQL).
+
+    Scale shape: ONE keyed exchange computes per-key (d_i, md5 bits);
+    the driver reduction is a (n_flips x keys) +-1 matmul over the
+    key-universe-bounded d vector (the item-count-broadcast shape).
+    Returns a 1-row pandas (n_keys, t_obs, n_flips_ge, p_milli)."""
+    import pandas as pd
+
+    from .sketches import _md5_hash64
+
+    def kern(batch: pa.Table) -> pa.Table:
+        key_t = batch[key_col].type
+        empty = pa.table({key_col: pa.array([], key_t),
+                          "d": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        keys = _group_codes(batch[key_col].to_numpy(zero_copy_only=False))
+        ov = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if tiebreak is not None:
+            tb = batch[tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, keys))
+        else:
+            order = np.lexsort((ov, keys))
+        sk = keys[order]
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sk[1:] != sk[:-1])))
+        lens = np.diff(np.append(starts, len(sk)))
+        pos = np.arange(len(sk)) - np.repeat(starts, lens)
+        nrep = np.repeat(lens, lens)
+        after = pos >= (nrep + 1) // 2           # before = first ceil(n/2)
+        signed = np.where(after, v, -v)
+        d = np.zeros(len(starts), np.int64)
+        np.add.at(d, np.repeat(np.arange(len(starts)), lens), signed)
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order[starts])),
+            "d": pa.array(d, pa.int64())})
+
+    rows = keyed_exchange(ds, key_col, kern, exchange)
+    parts = [t for t in rows.iter_batches(batch_format="pyarrow",
+                                          batch_size=None) if len(t)]
+    if not parts:
+        return pd.DataFrame([{"n_keys": 0, "t_obs": 0,
+                              "n_flips_ge": n_flips,
+                              "p_milli": 1000}])
+    allp = pa.concat_tables(parts)
+    keys = allp[key_col].to_pylist()
+    d = allp["d"].to_numpy().astype(np.int64)
+    h = _md5_hash64(keys)
+    bits = ((h[None, :] >> np.arange(n_flips, dtype=np.uint64)[:, None])
+            & np.uint64(1)).astype(np.int64)       # (n_flips, keys)
+    signs = 1 - 2 * bits
+    t_obs = int(d.sum())
+    t_k = signs @ d                                # (n_flips,)
+    n_ge = int((np.abs(t_k) >= abs(t_obs)).sum())
+    return pd.DataFrame([{
+        "n_keys": int(len(d)),
+        "t_obs": t_obs,
+        "n_flips_ge": n_ge,
+        "p_milli": 1000 * n_ge // n_flips}])

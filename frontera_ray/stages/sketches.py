@@ -682,3 +682,80 @@ def kmv_jaccard_pairs(ds, group_col: str, text_col: str = "text",
         "k_eff": pa.array(keffs, pa.int64()),
         "inter": pa.array(inters, pa.int64()),
         "jaccard_ppm": pa.array(ppms, pa.int64())})
+
+
+def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
+                p: int = 14):
+    """Timestamped (sliding-window) HyperLogLog — the streaming upgrade
+    of ``hll_count_distinct`` for "distinct users in the LAST w hours"
+    reads without re-scanning history per query: the sketch stores, per
+    (register, rho) pair, the MAX event timestamp that produced it
+    (public technique: sliding HLL / LPFM lists, Fusy & Giroire).
+    Any window [t_end - w, t_end] with t_end <= max ts is then answered
+    from the sketch alone: register_j = max rho whose stamp falls in
+    the window.
+
+    Scale shape: per-block partials groupby (idx, rho) -> max ts (a
+    combiner: max is associative/idempotent); the driver merges
+    sketch-sized partials — bounded by 2^p x (64 - p + 1) pairs, never
+    by rows — and answers every requested window from the one merged
+    sketch. Exact companion per window for the oracle's benefit is the
+    caller's job (count DISTINCT over the window filter).
+
+    Returns a list of (end_us, est_distinct:int) per requested end."""
+    import pyarrow.compute as pc
+
+    ends_us = [int(e) for e in ends_us]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"idx": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.int64()),
+                          "max_ts": pa.array([], pa.int64())})
+        col_arr = batch[col]
+        if col_arr.null_count:
+            keep = pc.is_valid(col_arr)
+            batch = batch.filter(keep)
+            col_arr = batch[col]
+        if len(batch) == 0:
+            return empty
+        h = _md5_hash64(col_arr.to_pylist())
+        ts = batch[ts_col].to_numpy().astype(np.int64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        bitlen = np.frexp(w.astype(np.float64))[1]
+        rho = ((64 - p) - bitlen + 1).astype(np.int64)
+        key = idx * 64 + rho
+        order = np.argsort(key, kind="stable")
+        sk, sts = key[order], ts[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sk[1:] != sk[:-1])))
+        mx = np.maximum.reduceat(sts, starts)
+        return pa.table({
+            "idx": pa.array(sk[starts] // 64, pa.int64()),
+            "rho": pa.array(sk[starts] % 64, pa.int64()),
+            "max_ts": pa.array(mx, pa.int64())})
+
+    parts = [t for t in ds.select_columns([col, ts_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if len(t)]
+    if not parts:
+        return [(e, 0) for e in ends_us]
+    allp = pa.concat_tables(parts)
+    idx = allp["idx"].to_numpy()
+    rho = allp["rho"].to_numpy()
+    mts = allp["max_ts"].to_numpy()
+    key = idx * 64 + rho
+    order = np.argsort(key, kind="stable")
+    sk, sts = key[order], mts[order]
+    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    mx = np.maximum.reduceat(sts, starts)
+    sidx, srho = sk[starts] // 64, sk[starts] % 64
+    out = []
+    for end in ends_us:
+        lo = end - int(window_us)
+        live = (mx >= lo) & (mx <= end)
+        regs = np.zeros(1 << p, np.uint8)
+        np.maximum.at(regs, sidx[live], srho[live].astype(np.uint8))
+        out.append((end, int(np.floor(hll_estimate(regs)))))
+    return out
