@@ -9998,12 +9998,27 @@ def q_sign_flip_test(sf_dir: str):
                                  tiebreak="event_id")
 
 
+
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ ANN with ADC lookup tables (ann.ivfpq_topk_fixed): the
+    billion-scale layout — coarse lists prune, PQ codes compress,
+    queries score candidates with m integer LUT lookups instead of a
+    d-dim distance. Deterministic Lloyd everywhere, so the oracle
+    composes the ann_ivf coarse CTE with the pq_codebook subspace CTEs
+    and an integer ADC join."""
+    from frontera_ray.stages.ann import ivfpq_topk_fixed
+
+    return ivfpq_topk_fixed(_read(sf_dir, "embeddings"), range(5), k=10,
+                            nlist=8, nprobe=3, m=2, ksub=4, iters=1)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
     "pq_codebook": q_pq_codebook,
     "hll_sliding": q_hll_sliding,
     "sign_flip_test": q_sign_flip_test,
+    "ann_ivfpq": q_ann_ivfpq,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -10549,6 +10564,127 @@ def _pq_oracle(m: int = 2, sub: int = 32, k: int = 4) -> str:
               FROM af GROUP BY cl)""")
     return (" UNION ALL ".join(parts)
             + " ORDER BY subspace, cluster")
+
+
+def _ivfpq_oracle(nlist: int = 8, nprobe: int = 3, m: int = 2,
+                  sub: int = 32, ksub: int = 4, k: int = 10,
+                  nq: int = 5) -> str:
+    """IVF-PQ twin: the coarse iters=1 Lloyd CTE (identical to
+    'ann_ivf') prunes to probed lists; per-subspace Lloyd CTEs
+    (identical to 'pq_codebook') give codes; ADC = integer sum of
+    per-subspace nano LUT entries; rank by (adc_nano, vec_id)."""
+    subs = []
+    for s_ in range(m):
+        off = s_ * sub
+        subs.append(f"""
+            sc0_{s_} AS (
+              SELECT vec_id::BIGINT AS cl, i AS dim,
+                     embedding[{off} + i + 1]::DOUBLE AS c
+              FROM embeddings, generate_series(0, {sub - 1}) AS g(i)
+              WHERE vec_id < {ksub}),
+            sd1_{s_} AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[{off} + c.dim + 1]::DOUBLE
+                                - c.c)
+                               * (e.embedding[{off} + c.dim + 1]::DOUBLE
+                                  - c.c)), 9) AS d2
+              FROM embeddings e, sc0_{s_} c GROUP BY e.vec_id, c.cl),
+            sa1_{s_} AS (
+              SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM sd1_{s_}) WHERE rn = 1),
+            sm1_{s_} AS (
+              SELECT a.cl, g.i AS dim,
+                     round(sum(e.embedding[{off} + g.i + 1]::DOUBLE)
+                           / count(*), 9) AS c
+              FROM embeddings e JOIN sa1_{s_} a USING (vec_id),
+                   generate_series(0, {sub - 1}) AS g(i)
+              GROUP BY a.cl, g.i),
+            sc1_{s_} AS (SELECT sc0_{s_}.cl, sc0_{s_}.dim,
+                                COALESCE(sm1_{s_}.c, sc0_{s_}.c) AS c
+                         FROM sc0_{s_} LEFT JOIN sm1_{s_}
+                           ON sm1_{s_}.cl = sc0_{s_}.cl
+                          AND sm1_{s_}.dim = sc0_{s_}.dim),
+            sdf_{s_} AS (
+              SELECT e.vec_id, c.cl,
+                     round(sum((e.embedding[{off} + c.dim + 1]::DOUBLE
+                                - c.c)
+                               * (e.embedding[{off} + c.dim + 1]::DOUBLE
+                                  - c.c)), 9) AS d2
+              FROM embeddings e, sc1_{s_} c GROUP BY e.vec_id, c.cl),
+            code_{s_} AS (
+              SELECT vec_id, cl AS code FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM sdf_{s_}) WHERE rn = 1),
+            lut_{s_} AS (
+              SELECT vec_id AS qid, cl AS code,
+                     CAST(round(d2 * 1000000000) AS BIGINT) AS nano
+              FROM sdf_{s_} WHERE vec_id < {nq})""")
+    adc = " + ".join(f"l{s_}.nano" for s_ in range(m))
+    joins = "".join(
+        f"""
+              JOIN code_{s_} cd{s_} ON cd{s_}.vec_id = cand.vec_id
+              JOIN lut_{s_} l{s_} ON l{s_}.qid = cand.qid
+                                 AND l{s_}.code = cd{s_}.code"""
+        for s_ in range(m))
+    return f"""
+        WITH c0 AS (
+          SELECT vec_id::BIGINT AS cl, i AS dim,
+                 embedding[i+1]::DOUBLE AS c
+          FROM embeddings, generate_series(0, 63) AS g(i)
+          WHERE vec_id < {nlist}),
+        d1 AS (
+          SELECT e.vec_id, c.cl,
+                 round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                           * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                   AS d2
+          FROM embeddings e, c0 c GROUP BY e.vec_id, c.cl),
+        a1 AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM d1) WHERE rn = 1),
+        m1 AS (
+          SELECT a.cl, g.i AS dim,
+                 round(sum(e.embedding[g.i+1]::DOUBLE) / count(*), 9)
+                   AS c
+          FROM embeddings e JOIN a1 a USING (vec_id),
+               generate_series(0, 63) AS g(i)
+          GROUP BY a.cl, g.i),
+        c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.c, c0.c) AS c
+               FROM c0 LEFT JOIN m1
+                 ON m1.cl = c0.cl AND m1.dim = c0.dim),
+        df AS (
+          SELECT e.vec_id, c.cl,
+                 round(sum((e.embedding[c.dim+1]::DOUBLE - c.c)
+                           * (e.embedding[c.dim+1]::DOUBLE - c.c)), 9)
+                   AS d2
+          FROM embeddings e, c1 c GROUP BY e.vec_id, c.cl),
+        af AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM df) WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS qid, cl FROM (
+            SELECT vec_id, cl, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM df WHERE vec_id < {nq}) WHERE rn <= {nprobe}),
+        {",".join(subs)},
+        cand AS (
+          SELECT p.qid, a.vec_id FROM af a JOIN probe p ON a.cl = p.cl),
+        scored AS (
+          SELECT cand.qid AS query_id, cand.vec_id,
+                 {adc} AS adc_nano
+          FROM cand{joins})
+        SELECT query_id, vec_id, rank::INTEGER AS rank, adc_nano FROM (
+          SELECT query_id, vec_id, adc_nano, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_nano, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {k}"""
 
 
 def _image_dhash_oracle() -> str:
@@ -11742,6 +11878,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rr = 1 ORDER BY user_id""",
         "image_dhash": _image_dhash_oracle(),
         "pq_codebook": _pq_oracle(),
+        "ann_ivfpq": _ivfpq_oracle(),
         # 64 md5-bit sign patterns over per-user before/after cent
         # deltas; the whole test is integer so it replays exactly
         "sign_flip_test": """

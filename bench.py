@@ -122,7 +122,7 @@ BENCH_QUERIES = [
     "backoff_plan", "quantile_normalize", "runs_test", "stump_split",
     "embedding_mmd", "cramers_v", "url_template_census",
     "dict_tag_census", "holt_trend", "image_dhash", "rbo_rankings",
-    "pq_codebook", "hll_sliding", "sign_flip_test",
+    "pq_codebook", "hll_sliding", "sign_flip_test", "ann_ivfpq",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1367,3 +1367,148 @@ def pq_codebook(ds, m: int = 2, k: int = 4, iters: int = 1,
         outs.append(t)
     return (pd.concat(outs, ignore_index=True)
             .sort_values(["subspace", "cluster"]).reset_index(drop=True))
+
+
+def ivfpq_topk_fixed(ds, query_ids, k: int = 10, nlist: int = 8,
+                     nprobe: int = 3, m: int = 2, ksub: int = 4,
+                     iters: int = 1, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int = 9) -> pa.Table:
+    """IVF-PQ ANN top-k with asymmetric-distance (ADC) lookup tables
+    (Jégou et al. 2011 — the billion-scale memory layout: inverted
+    lists prune the corpus, PQ codes compress what remains to m bytes,
+    and queries score candidates with m table lookups instead of a
+    d-dim distance). Deterministic end to end, so the whole pipeline is
+    SQL-expressible (``oracle_sql()['ann_ivfpq']``):
+
+    - coarse quantizer: ``kmeans_centroids`` Lloyd recurrence over the
+      full d dims (smallest-id seeds, 1e-9 rounding); every vector
+      joins the list of its rounded-d2 argmin (ties to smaller list),
+      queries probe their ``nprobe`` nearest lists — identical
+      conventions to ``ivf_topk_fixed``.
+    - PQ: ``m`` contiguous subspaces, each with a ``ksub``-centroid
+      codebook from the same recurrence over sliced dims (identical to
+      ``pq_codebook``); vector code_s = rounded-d2 argmin in subspace s.
+    - ADC: per query, LUT[s][j] = round(||q_s - c_{s,j}||^2, 9) in nano
+      units (driver-side, m x ksub ints per query, broadcast); a
+      candidate's distance is the INTEGER sum of m LUT entries — exact,
+      order-independent, hash-stable.
+
+    Scale shape: centroid training = (iters+1) streaming passes (full
+    + m sliced); ONE more streaming pass assigns lists + codes, masks
+    by probe membership, gathers LUT sums, and partial-top-ks per
+    block; the driver merges k x Q x blocks rows. The per-block scoring
+    is a code-gather + integer LUT sum — no matmul over candidates,
+    which is exactly why IVF-PQ wins at 10^9 vectors.
+
+    Returns (query_id, vec_id, rank, adc_nano) ranked by
+    (adc_nano asc, vec_id asc)."""
+    import ray
+
+    C = kmeans_centroids(ds, k=nlist, iters=iters, id_col=id_col,
+                         vec_col=vec_col, round_to=round_to)
+    dim = C.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    def slicer(lo: int, hi: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            X = _matrix(batch, vec_col)[:, lo:hi]
+            return pa.table({
+                id_col: batch[id_col],
+                vec_col: pa.array(list(X), pa.list_(pa.float64()))})
+        return fn
+
+    books = []
+    for s in range(m):
+        sliced = ds.select_columns([id_col, vec_col]).map_batches(
+            slicer(s * sub, (s + 1) * sub), batch_format="pyarrow")
+        books.append(kmeans_centroids(sliced, k=ksub, iters=iters,
+                                      id_col=id_col, vec_col=vec_col,
+                                      round_to=round_to))
+
+    qids, qmat = _query_rows(ds, query_ids)
+    qd2 = np.round(((qmat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                   round_to)
+    nprobe = min(nprobe, nlist)
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    for qi in range(len(qids)):
+        order = np.lexsort((np.arange(nlist), qd2[qi]))[:nprobe]
+        probe_mask[qi, order] = True
+    # ADC lookup tables in nano units: (Q, m, ksub) int64
+    lut = np.empty((len(qids), m, ksub), np.int64)
+    for s in range(m):
+        qs = qmat[:, s * sub:(s + 1) * sub]
+        d2 = np.round(((qs[:, None, :] - books[s][None, :, :]) ** 2)
+                      .sum(axis=2), round_to)
+        lut[:, s, :] = np.round(d2 * 1e9).astype(np.int64)
+    bundle = ray.put((qids, C, books, probe_mask, lut))
+    _cache: dict = {}
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "adc_nano": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        if "b" not in _cache:
+            _cache["b"] = ray.get(bundle)
+        qids_, C_, books_, pm_, lut_ = _cache["b"]
+        X = _matrix(batch, vec_col).astype(np.float64)
+        d2c = np.round(((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2),
+                       round_to)
+        assign = np.argmin(d2c, axis=1)
+        codes = np.empty((len(X), m), np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            d2s = np.round(((Xs[:, None, :] - books_[s][None, :, :]) ** 2)
+                           .sum(axis=2), round_to)
+            codes[:, s] = np.argmin(d2s, axis=1)
+        vec_ids = batch[id_col].to_numpy()
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = pm_[qi, assign]
+            if not mask.any():
+                continue
+            cand = np.flatnonzero(mask)
+            adc = np.zeros(len(cand), np.int64)
+            for s in range(m):
+                adc += lut_[qi, s, codes[cand, s]]
+            kk = min(k, len(cand))
+            sel = np.lexsort((vec_ids[cand], adc))[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(vec_ids[cand][sel])
+            out_d.extend(adc[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+            "adc_nano": pa.array(np.asarray(out_d, np.int64),
+                                 pa.int64())})
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        block_kernel, batch_format="pyarrow", batch_size=4096)
+    parts = [t for t in partials.iter_batches(batch_format="pyarrow",
+                                              batch_size=None) if len(t)]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int32()),
+                      "adc_nano": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    allp = pa.concat_tables(parts)
+    qs = allp["query_id"].to_numpy()
+    vs = allp["vec_id"].to_numpy()
+    dsn = allp["adc_nano"].to_numpy()
+    out_q, out_v, out_d, out_r = [], [], [], []
+    for qid in np.unique(qs):
+        mm = qs == qid
+        order = np.lexsort((vs[mm], dsn[mm]))[:k]
+        out_q.extend([qid] * len(order))
+        out_v.extend(vs[mm][order])
+        out_d.extend(dsn[mm][order])
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+        "rank": pa.array(out_r, pa.int32()),
+        "adc_nano": pa.array(np.asarray(out_d, np.int64), pa.int64())})
