@@ -815,6 +815,7 @@ class RayCrawler:
             "pages_total": self.pages_total,
             "config": self.cfg,
             "metrics": self.metrics[-50:],
+            "sink_manifest": self._sink_manifest(),
         }))
         # rename the old checkpoint aside before promoting the new one:
         # a crash between the two renames still leaves one complete
@@ -828,7 +829,26 @@ class RayCrawler:
         if old.exists():
             shutil.rmtree(old)
 
-    def restore(self) -> dict:
+    def _sink_manifest(self) -> dict:
+        """Per-round sink lineage: fragment count + total bytes of every
+        COMPLETE round (the north rule's per-partition lineage): enough
+        to audit on restore that no finished output was lost or
+        truncated between the snapshot and the resume. Round dirs only
+        contain immutable fully-written fragments at checkpoint time
+        (the drain barrier / BSP invariant), so (files, bytes) is a
+        stable signature."""
+        man = {}
+        for d in sorted(self.out.glob("round=*")):
+            rno = int(d.name.split("=")[1])
+            if rno >= self.round:
+                continue  # in-flight rounds are deleted + re-run anyway
+            frags = sorted(d.glob("*.parquet"))
+            man[str(rno)] = {"files": len(frags),
+                             "bytes": int(sum(f.stat().st_size
+                                              for f in frags))}
+        return man
+
+    def restore(self, strict_manifest: bool = True) -> dict:
         ck = self.out / "checkpoint"
         if not (ck / "meta.json").exists() and (
                 self.out / "checkpoint.old" / "meta.json").exists():
@@ -846,6 +866,25 @@ class RayCrawler:
         for d in self.out.glob("round=*"):
             if int(d.name.split("=")[1]) >= self.round:
                 shutil.rmtree(d)
+        # sink-lineage audit: every round the snapshot declared complete
+        # must still be present with the recorded fragment count/bytes —
+        # a silently vanished or truncated fragment would otherwise
+        # resume into a gapped corpus (checkpoints written before the
+        # manifest existed skip the audit)
+        expected = meta.get("sink_manifest")
+        if expected is not None:
+            found = self._sink_manifest()
+            bad = {r: (expected.get(r), found.get(r))
+                   for r in set(expected) | set(found)
+                   if expected.get(r) != found.get(r)}
+            meta["sink_audit"] = {"ok": not bad, "mismatches": bad}
+            if bad and strict_manifest:
+                raise RuntimeError(
+                    f"sink manifest audit failed on restore: {bad} — "
+                    "finished round output was lost or altered since the "
+                    "checkpoint; restore(strict_manifest=False) to "
+                    "resume anyway and re-crawl is NOT automatic for "
+                    "completed rounds")
         return meta
 
     # ------------------------------------------------------------------

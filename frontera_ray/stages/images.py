@@ -357,8 +357,8 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
     pairs = hamming64_neardup_pairs(
         urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
         max_hamming=max_hamming, blocks=blocks, exchange=exchange)
-    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
-                                      pairs["b"].to_pylist()))
+    keepers = dedup_keepers_np(pairs["a"].to_numpy(),
+                               pairs["b"].to_numpy())
     keys = np.fromiter(sorted(keepers), dtype=np.int64, count=len(keepers))
     id2url = _resolve_pair_ids(urls_ds, keys) if len(keys) else {}
     keeper_urls = np.asarray(
@@ -557,8 +557,8 @@ def curate_image_captions(urls_ds, min_side: int = 32,
     pairs = hamming64_neardup_pairs(
         urls_ds.map_batches(phash_sketch, batch_format="pyarrow"),
         max_hamming=max_hamming, blocks=blocks, exchange=exchange)
-    keepers = dedup_keepers(None, zip(pairs["a"].to_pylist(),
-                                      pairs["b"].to_pylist()))
+    keepers = dedup_keepers_np(pairs["a"].to_numpy(),
+                               pairs["b"].to_numpy())
     losers = np.fromiter(
         sorted(k for k, v in keepers.items() if v != k),
         dtype=np.int64)

@@ -330,3 +330,35 @@ def test_dedup_sink_excludes_planted_duplicates(ray_session, tmp_path):
     for u, (k, kept) in keep.items():
         assert keep[k][1] is True or keep[k][1] == True  # noqa: E712
         assert kept == (k == u)
+
+
+def test_sink_manifest_audit_on_restore(ray_session, small_web, tmp_path):
+    """Checkpoints carry per-round sink lineage (files+bytes); restore
+    audits it and refuses to resume over lost/truncated output."""
+    c = _crawler(ray_session, small_web, tmp_path / "out", checkpoint_every=2)
+    c.add_seeds(small_web.seeds())
+    c.run(max_rounds=5)
+    import json
+    meta = json.loads((tmp_path / "out" / "checkpoint" / "meta.json")
+                      .read_text())
+    assert meta["sink_manifest"]  # lineage recorded
+    assert all(v["files"] > 0 for v in meta["sink_manifest"].values())
+
+    # clean restore passes the audit
+    c2 = _crawler(ray_session, small_web, tmp_path / "out",
+                  checkpoint_every=0)
+    m = c2.restore()
+    assert m["sink_audit"]["ok"]
+
+    # corrupt a finished round: delete one fragment -> strict restore
+    # refuses; non-strict resumes with the mismatch reported
+    victim = next(iter(sorted((tmp_path / "out").glob(
+        "round=*/*.parquet"))))
+    victim.unlink()
+    c3 = _crawler(ray_session, small_web, tmp_path / "out",
+                  checkpoint_every=0)
+    with pytest.raises(RuntimeError, match="manifest audit failed"):
+        c3.restore()
+    m3 = c3.restore(strict_manifest=False)
+    assert not m3["sink_audit"]["ok"]
+    assert m3["sink_audit"]["mismatches"]
