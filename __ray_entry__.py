@@ -10012,6 +10012,34 @@ def q_ann_ivfpq(sf_dir: str):
                             nlist=8, nprobe=3, m=2, ksub=4, iters=1)
 
 
+
+def q_crawl_dfs(sf_dir: str):
+    """Flagship iterative crawl, DFS twin of `crawl_bfs`: score =
+    1/(depth+1) under the min_score profile pops DEEPEST-first; with
+    max_next_requests=1 the pop sequence is the exact preorder DFS of
+    the synthetic forest — which over digit paths is lexicographic
+    (host, path) order (a prefix sorts before its extensions), so the
+    same recursive-CTE tree oracle applies with a different ORDER BY.
+    Verified byte-for-byte against the engine."""
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.local import LocalFrontier, run_crawl_sequence
+    from frontera_ray.strategies import DFSStrategy
+
+    web = SyntheticWeb(32, seed=42, max_class=3)
+
+    class _G:
+        seeds = web.seeds()
+        links_of = staticmethod(web.links_of)
+
+    f = LocalFrontier(strategy=DFSStrategy(), profile="min_score")
+    seq = run_crawl_sequence(f, _G, max_next_requests=1)
+    urls = [e.url for reqs, _, _ in seq for e in reqs]
+    return pa.table({
+        "rank": pa.array(range(len(urls)), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
@@ -10019,6 +10047,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_sliding": q_hll_sliding,
     "sign_flip_test": q_sign_flip_test,
     "ann_ivfpq": q_ann_ivfpq,
+    "crawl_dfs": q_crawl_dfs,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -11833,6 +11862,8 @@ def _crawl_bfs_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_bfs": _crawl_bfs_oracle_sql(),
+        "crawl_dfs": _crawl_bfs_oracle_sql().replace(
+            "ORDER BY length(path), i, path", "ORDER BY i, path"),
         # occurrences = (len - len(replace))/len(p): both sides count
         # non-overlapping matches; patterns inlined from the shared list
         "dict_tag_census": """
