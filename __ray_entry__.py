@@ -10040,6 +10040,51 @@ def q_crawl_dfs(sf_dir: str):
     })
 
 
+
+def q_pcsa_distinct(sf_dir: str):
+    """Flajolet-Martin PCSA distinct count (sketches.pcsa_distinct):
+    64 OR-mergeable bitmaps, est = m/0.77351 * 2^mean(lowest unset bit)
+    — the original stochastic-averaging sketch beside HLL. Bitmaps are
+    md5-bit-reproducible; the exact-integer register stats ride the
+    output so the float est is cross-checked structurally too."""
+    import pandas as pd
+
+    from frontera_ray.stages.sketches import pcsa_distinct
+
+    ev = _read(sf_dir, "events").select_columns(["user_id"])
+    est, regs = pcsa_distinct(ev, "user_id")
+    regs_u = regs.view(np.uint64)
+    x = regs_u ^ (regs_u + np.uint64(1))
+    low = np.array([int(v).bit_count() - 1 for v in x], np.int64)
+    n_exact = len(np.unique(pa.concat_tables(list(
+        ev.iter_batches(batch_format="pyarrow", batch_size=None)))
+        ["user_id"].to_numpy()))
+    raw = 64.0 / 0.77351 * (2.0 ** (low.sum() / 64.0))
+    return pd.DataFrame([{
+        "sum_low_unset": int(low.sum()),
+        "est_r3": round(raw, 3),
+        "n_exact": int(n_exact)}])
+
+
+def q_ams_f2(sf_dir: str):
+    """AMS second-moment (F2) sketch (sketches.ams_f2): 16 md5-bit
+    +-1 projections, est = mean(Z_k^2) — integer-exact, one streaming
+    pass — vs the exact self-join F2 (sum of squared user
+    frequencies)."""
+    import pandas as pd
+
+    from frontera_ray.stages.sketches import ams_f2
+
+    ev = _read(sf_dir, "events").select_columns(["user_id"])
+    f2_est, _ = ams_f2(ev, "user_id")
+    u = pa.concat_tables(list(
+        ev.iter_batches(batch_format="pyarrow", batch_size=None)))
+    _, cnt = np.unique(u["user_id"].to_numpy(), return_counts=True)
+    f2_exact = int((cnt.astype(object) ** 2).sum())
+    return pd.DataFrame([{"f2_est": int(f2_est),
+                          "f2_exact": f2_exact}])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
@@ -10048,6 +10093,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sign_flip_test": q_sign_flip_test,
     "ann_ivfpq": q_ann_ivfpq,
     "crawl_dfs": q_crawl_dfs,
+    "pcsa_distinct": q_pcsa_distinct,
+    "ams_f2": q_ams_f2,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -11909,6 +11956,51 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rr = 1 ORDER BY user_id""",
         "image_dhash": _image_dhash_oracle(),
         "pq_codebook": _pq_oracle(),
+        # PCSA bitmaps replayed with bit_or; lowest unset bit via the
+        # trailing-ones identity bit_count(xor(b, b+1)) - 1
+        "pcsa_distinct": """
+            WITH h AS (SELECT ('0x' || substr(md5(
+                                 CAST(user_id AS VARCHAR)), 1, 16))
+                                ::UBIGINT AS h, user_id
+                       FROM events),
+            b AS (SELECT (h % 64)::BIGINT AS idx,
+                         CASE WHEN h // 64 = 0 THEN 58
+                              ELSE 58 - length(bin(h // 64)) END AS rho
+                  FROM h),
+            regs AS (SELECT g.i AS idx,
+                            COALESCE(bit_or(1::UBIGINT << r.rho::INT),
+                                     0::UBIGINT) AS reg
+                     FROM generate_series(0, 63) g(i)
+                     LEFT JOIN b r ON r.idx = g.i GROUP BY g.i),
+            low AS (SELECT idx,
+                           bit_count(xor(reg, reg + 1::UBIGINT))::BIGINT
+                             - 1 AS lu
+                    FROM regs)
+            SELECT sum(lu)::BIGINT AS sum_low_unset,
+                   round(64.0 / 0.77351
+                         * pow(2.0, sum(lu) / 64.0), 3) AS est_r3,
+                   (SELECT count(DISTINCT user_id)
+                    FROM events)::BIGINT AS n_exact
+            FROM low""",
+        # 16 exact integer AMS projections; est = sum(Z^2) // 16
+        "ams_f2": """
+            WITH h AS (SELECT ('0x' || substr(md5(
+                                 CAST(user_id AS VARCHAR)), 1, 16))
+                                ::UBIGINT AS h, user_id
+                       FROM events),
+            z AS (SELECT g.k,
+                         sum(CASE WHEN ((h >> g.k::INT) & 1::UBIGINT)
+                                       = 1::UBIGINT
+                                  THEN -1 ELSE 1 END)::BIGINT AS z
+                  FROM h CROSS JOIN generate_series(0, 15) g(k)
+                  GROUP BY g.k),
+            ex AS (SELECT sum(c * c)::BIGINT AS f2 FROM (
+                     SELECT count(*)::BIGINT AS c FROM events
+                     GROUP BY user_id))
+            SELECT (sum(z.z * z.z) // 16)::BIGINT AS f2_est,
+                   (SELECT f2 FROM ex) AS f2_exact
+            FROM z""",
+
         "ann_ivfpq": _ivfpq_oracle(),
         # 64 md5-bit sign patterns over per-user before/after cent
         # deltas; the whole test is integer so it replays exactly

@@ -759,3 +759,82 @@ def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
         np.maximum.at(regs, sidx[live], srho[live].astype(np.uint8))
         out.append((end, int(np.floor(hll_estimate(regs)))))
     return out
+
+
+def pcsa_distinct(ds, col: str, n_regs: int = 64):
+    """Flajolet-Martin PCSA (Probabilistic Counting with Stochastic
+    Averaging, 1985 — the original distinct-count sketch, predating
+    HLL): ``n_regs`` BITMAPS instead of max-rho registers; item ->
+    register = hash mod n_regs, sets bit rho (leading-zero rank of the
+    remaining hash bits); registers OR-merge (associative, idempotent —
+    a combiner). Estimate = n_regs / 0.77351 * 2^(mean lowest-UNSET-bit
+    index). Kept beside HLL because the bitmap design answers "was a
+    rho ever seen" exactly, which max-registers cannot.
+
+    Bit-reproducible: hashes are md5-top-64 (the SQL twin replays every
+    bitmap with bit_or and the trailing-ones trick lowest_unset(b) =
+    bit_count(xor(b, b+1)) - 1). Returns (est_distinct:int, bitmaps as
+    int64 list) — driver-side sketch is n_regs x 8 bytes."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        if col_arr.null_count:
+            col_arr = col_arr.filter(pc.is_valid(col_arr))
+        regs = np.zeros(n_regs, np.uint64)
+        if len(col_arr):
+            h = _md5_hash64(col_arr.to_pylist())
+            idx = (h % np.uint64(n_regs)).astype(np.int64)
+            w = h // np.uint64(n_regs)
+            bitlen = np.frexp(w.astype(np.float64))[1]  # w < 2^58: exact
+            rho = (58 - bitlen).astype(np.uint64)       # leading-zero rank
+            rho = np.minimum(rho, np.uint64(63))
+            np.bitwise_or.at(regs, idx, np.uint64(1) << rho)
+        return pa.table({"r": pa.array(regs.view(np.int64), pa.int64())})
+
+    parts = [t["r"].to_numpy().view(np.uint64)
+             for t in ds.select_columns([col])
+             .map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+    regs = (np.bitwise_or.reduce(np.stack(parts), axis=0)
+            if parts else np.zeros(n_regs, np.uint64))
+    # lowest unset bit via the trailing-ones identity, vectorized
+    x = regs ^ (regs + np.uint64(1))
+    low_unset = np.array([int(v).bit_count() - 1 for v in x], np.int64)
+    est = n_regs / 0.77351 * (2.0 ** (low_unset.mean()))
+    return int(np.floor(est)), regs.view(np.int64)
+
+
+def ams_f2(ds, col: str, n_sketches: int = 16):
+    """AMS second-moment (F2) sketch (Alon-Matias-Szegedy 1996, public
+    classic): K independent +-1 hash projections Z_k = sum_v s_k(v) f_v
+    estimate F2 = sum_v f_v^2 as mean(Z_k^2) (each Z_k^2 is unbiased).
+    Signs are md5 bits (bit k of md5(value)), so every Z_k is an exact
+    integer and the SQL twin hash-matches; the sketch is a combiner
+    (Z_k sums across blocks).
+
+    Returns (f2_est:int, z:int64[K]) — the self-join F2 the sketch
+    replaces costs a full value-frequency exchange; the sketch is one
+    streaming pass and K ints."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        if col_arr.null_count:
+            col_arr = col_arr.filter(pc.is_valid(col_arr))
+        z = np.zeros(n_sketches, np.int64)
+        if len(col_arr):
+            h = _md5_hash64(col_arr.to_pylist())
+            bits = ((h[None, :] >> np.arange(n_sketches,
+                                             dtype=np.uint64)[:, None])
+                    & np.uint64(1)).astype(np.int64)
+            z = (1 - 2 * bits).sum(axis=1)
+        return pa.table({"z": pa.array(z, pa.int64())})
+
+    z = np.zeros(n_sketches, np.int64)
+    for t in ds.select_columns([col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        z += t["z"].to_numpy()
+    f2 = int((z.astype(object) ** 2).sum() // n_sketches)
+    return f2, z

@@ -1073,3 +1073,23 @@ def test_dedup_keepers_np_parity():
     b = a + 1
     got = dedup_keepers_np(a, b)
     assert set(got.values()) == {1}
+
+
+def test_ivfpq_recall_and_self_retrieval(ray_session):
+    """IVF-PQ with full probing and a rich codebook keeps high recall
+    on a clustered corpus, and every query's own vector ranks first
+    (its ADC distance is the per-subspace quantization floor)."""
+    import ray
+    from frontera_ray.stages.ann import brute_force_topk, ivfpq_topk_fixed
+
+    ds = ray.data.from_arrow(_clustered_embeddings()).repartition(4)
+    brute = brute_force_topk(ds, range(4), k=5)
+    pq = ivfpq_topk_fixed(ds, range(4), k=5, nlist=8, nprobe=8,
+                          m=2, ksub=8, iters=2)
+    bs = set(zip(brute["query_id"].to_pylist(), brute["vec_id"].to_pylist()))
+    ps = set(zip(pq["query_id"].to_pylist(), pq["vec_id"].to_pylist()))
+    assert len(bs & ps) / len(bs) >= 0.6
+    top1 = {q: v for q, v, r in zip(pq["query_id"].to_pylist(),
+                                    pq["vec_id"].to_pylist(),
+                                    pq["rank"].to_pylist()) if r == 1}
+    assert sum(1 for q, v in top1.items() if q == v) >= 3
