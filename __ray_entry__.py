@@ -1983,7 +1983,7 @@ def q_order_rank(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_rank(orders, "o_custkey", "price_cents", 2,
                        descending=True, tiebreak="o_orderkey",
-                       exchange=_choose_exchange("hash")).to_pandas()
+                       exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
 
 
@@ -2004,7 +2004,7 @@ def q_latest_events(sf_dir: str):
         }), batch_format="pyarrow")
     out = per_key_topk(ev, "user_id", "ts_us", 1, descending=True,
                        tiebreak="event_id",
-                       exchange=_choose_exchange("hash")).to_pandas()
+                       exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -2083,7 +2083,7 @@ def q_validity_intervals(sf_dir: str):
           }), batch_format="pyarrow"))
     out = per_key_validity_intervals(
         ev, "user_id", "ts_us", cols=["event_id"],
-        exchange=_choose_exchange("hash")).to_pandas()
+        exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -2243,7 +2243,7 @@ def q_order_ntile(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_ntile(orders, "o_orderpriority", "price_cents", 4,
                         tiebreak="o_orderkey",
-                        exchange=_choose_exchange("hash")).to_pandas()
+                        exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -2656,7 +2656,7 @@ def q_order_gaps(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_lag_delta(orders, "o_custkey", "ts_us",
                             out_col="gap_us", tiebreak="o_orderkey",
-                            exchange=_choose_exchange("hash")).to_pandas()
+                            exchange=_choose_exchange("tasks")).to_pandas()
     out = out[["o_orderkey", "o_custkey", "gap_us"]]
     # each key's first order has no predecessor — drop it so gap_us is
     # NULL-free (keeps the int64 dtype end-to-end)
@@ -2890,7 +2890,7 @@ def q_first_last_order(sf_dir: str):
               }), batch_format="pyarrow"))
     out = per_key_first_last(orders, "o_custkey", "ts_us", "cents",
                              tiebreak="o_orderkey",
-                             exchange=_choose_exchange("hash")).to_pandas()
+                             exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
@@ -3100,7 +3100,7 @@ def q_copurchase(sf_dir: str):
     # the hash path (measured, 32 cpus); small sessions keep the sort
     return pair_lift(li, "l_orderkey", "l_partkey", n_items,
                      min_pair=2,
-                     exchange=_choose_exchange("hash"))
+                     exchange=_choose_exchange("tasks"))
 
 
 def q_compaction_plan(sf_dir: str):
@@ -3281,7 +3281,7 @@ def q_rate_limit(sf_dir: str):
     # map_groups wall (15.5 s groups vs ~2 s hash, measured)
     kept = per_key_topk(ev, "ck", "ts_us", 3, descending=False,
                         tiebreak="event_id",
-                        exchange=_choose_exchange("hash"))
+                        exchange=_choose_exchange("tasks"))
     out = kept.to_pandas()[["event_id", "user_id", "win"]]
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -4384,7 +4384,7 @@ def q_cdc_merge(sf_dir: str):
         }), batch_format="pyarrow")
     out = cdc_merge(ev, "user_id", "ts_us", "event_type", "error",
                     tiebreak="event_id",
-                    exchange=_choose_exchange("hash")).to_pandas()
+                    exchange=_choose_exchange("tasks")).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -5242,7 +5242,7 @@ def q_wow_change(sf_dir: str):
             "change_ppm": pa.array(chg, pa.int64())})
 
     out = pa.concat_tables(list(
-        keyed_exchange(wk, "user_id", lag_block, "groups")
+        keyed_exchange(wk, "user_id", lag_block, _choose_exchange("tasks"))
         .iter_batches(batch_format="pyarrow", batch_size=None)))
     return out.to_pandas().sort_values(["user_id", "week"]) \
         .reset_index(drop=True)
@@ -5329,10 +5329,10 @@ def q_ri_audit(sf_dir: str):
 
     tot = np.zeros(2, np.int64)
     # ~150k order keys: the groups path pays a map_groups call per key
-    # (10.7 s measured at sf0.1/32); the kernel is run-aware, so the
-    # hash path drops in (~1.5 s)
+    # (10.7 s measured at sf0.1/32); the kernel is run-aware, so a
+    # parallel exchange drops in (tasks 0.52 s vs hash 1.74 s measured)
     for t in keyed_exchange(li.union(orders), "k", audit_block,
-                            _choose_exchange("hash")) \
+                            _choose_exchange("tasks")) \
             .iter_batches(batch_format="pyarrow", batch_size=None):
         if len(t):
             tot += np.array([int(t["orphan_lineitems"].to_numpy().sum()),
@@ -9333,7 +9333,7 @@ def q_large_orders(sf_dir: str):
     measured 4x slower here), then broadcast joins for order/customer
     attributes. Only the >200 survivors leave the exchange."""
     import pyarrow.parquet as pq
-    from frontera_ray.stages.relational import hash_partitioned
+    from frontera_ray.stages.relational import task_exchange
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"l_orderkey": batch["l_orderkey"],
@@ -9351,8 +9351,9 @@ def q_large_orders(sf_dir: str):
         return pa.Table.from_pandas(g[g["sum_qty"] > 200],
                                     preserve_index=False)
 
-    big_orders = hash_partitioned(li, "l_orderkey").map_batches(
-        big, batch_format="pyarrow", batch_size=None).to_pandas()
+    # raw-task shuffle (measured faster than the hash-aggregator wave
+    # at this key cardinality; identical per-partition kernel contract)
+    big_orders = task_exchange(li, "l_orderkey", big).to_pandas()
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
@@ -9404,7 +9405,7 @@ def q_avg_yearly(sf_dir: str):
     partition kernel (no second scan, no broadcast); the test is exact
     integers (5*qty*cnt < sum_qty <=> qty < 0.2*avg). Each partition
     emits one partial (total, count) row."""
-    from frontera_ray.stages.relational import hash_partitioned
+    from frontera_ray.stages.relational import task_exchange
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = np.round(batch["l_extendedprice"].to_numpy() * 100
@@ -9429,8 +9430,10 @@ def q_avg_yearly(sf_dir: str):
         return pa.table({"total_cents": pa.array([int(cents.sum())], pa.int64()),
                          "n_items": pa.array([int(keep.sum())], pa.int64())})
 
-    parts = hash_partitioned(li, "l_partkey").map_batches(
-        kern, batch_format="pyarrow", batch_size=None).to_pandas()
+    # two-stage raw-task shuffle: measured 1.45 s (hash aggregators)
+    # -> sub-second; the kernel contract (complete key groups per
+    # partition) is identical
+    parts = task_exchange(li, "l_partkey", kern).to_pandas()
     import pandas as pd
     return pd.DataFrame({"total_cents": [int(parts["total_cents"].sum())],
                          "n_items": [int(parts["n_items"].sum())]})

@@ -394,7 +394,13 @@ def _task_partition_ids(col, P: int) -> np.ndarray:
     if pa.types.is_dictionary(t):
         col = pc.cast(col, t.value_type)
         t = col.type
-    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+    if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+        # uint64 keys (hash columns) overflow an int64 CAST for values
+        # >= 2^63: reinterpret the bit pattern instead — same identity,
+        # same hash, no range error
+        arr = pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64).view(np.int64)
+    elif pa.types.is_integer(t) or pa.types.is_boolean(t):
         arr = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy()
     elif pa.types.is_floating(t):
         arr = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy()

@@ -883,15 +883,14 @@ def gram_novelty(ds, k: int = 4, text_col: str = "text"):
             "n_grams": pa.array(np.zeros(len(ud), np.int64), pa.int64()),
             "n_novel": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    from .relational import cluster_cpus, hash_partitioned
+    from .relational import cluster_cpus, task_exchange
 
     if cluster_cpus() >= 16:
         # corpus-scale distinct grams hit Ray's native sort-aggregate
         # per-group overhead (measured 14.3 s for 210k groups at sf0.1
         # — the aggregate, not the exchange); the key-hash repartition
         # + whole-block kernel runs the same reduction in ~1 s
-        novel = hash_partitioned(exploded, "gram").map_batches(
-            novel_block, batch_format="pyarrow", batch_size=None)
+        novel = task_exchange(exploded, "gram", novel_block)
     else:
         from ray.data.aggregate import Count, Min
 
@@ -951,8 +950,7 @@ def gram_novelty(ds, k: int = 4, text_col: str = "text"):
                     np.add.reduceat(nn, starts).astype(np.int64),
                     pa.int64())})
 
-        return hash_partitioned(unioned, "doc_id").map_batches(
-            sum_block, batch_format="pyarrow", batch_size=None)
+        return task_exchange(unioned, "doc_id", sum_block)
     combined = unioned.groupby("doc_id").sum(["n_grams", "n_novel"])
     return combined.map_batches(lambda b: pa.table({
         "doc_id": b["doc_id"],
@@ -1932,7 +1930,7 @@ def line_boilerplate_census(ds, min_docs: int = 3):
     repartition + per-partition C++ group_by (every skey's votes land
     whole in one block — exact, no sort aggregate). Returns a
     streaming Dataset of boiler ``skey`` rows."""
-    from .relational import hash_partitioned
+    from .relational import task_exchange
 
     def census(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -1943,8 +1941,7 @@ def line_boilerplate_census(ds, min_docs: int = 3):
 
     exploded = ds.map_batches(lambda t: _line_explode(t, True),
                               batch_format="pyarrow")
-    return hash_partitioned(exploded, "skey").map_batches(
-        census, batch_format="pyarrow", batch_size=None)
+    return task_exchange(exploded, "skey", census)
 
 
 def line_boilerplate_profile(ds, ds2, min_docs: int = 3,
@@ -1968,7 +1965,7 @@ def line_boilerplate_profile(ds, ds2, min_docs: int = 3,
     (the census and mark passes each stream the corpus once)."""
     import ray
 
-    from .relational import hash_partitioned
+    from .relational import task_exchange
 
     boiler = line_boilerplate_census(ds, min_docs=min_docs).materialize()
     n_boiler_keys = boiler.count()
@@ -2050,8 +2047,7 @@ def line_boilerplate_profile(ds, ds2, min_docs: int = 3,
                          "n_boiler": pa.array(n_boil, pa.int64()),
                          "kept_chars": pa.array(kept, pa.int64())})
 
-    marked = hash_partitioned(inst.union(bo), "skey").map_batches(
-        mark_part, batch_format="pyarrow", batch_size=None)
+    marked = task_exchange(inst.union(bo), "skey", mark_part)
     # every doc appears in the final profile even with zero nonempty
     # lines: a shuffle-free zero-partial per doc
     zeros = ds2.map_batches(
@@ -2077,8 +2073,7 @@ def line_boilerplate_profile(ds, ds2, min_docs: int = 3,
             g["n_boiler_sum"].to_numpy().astype(np.int64),
             g["kept_chars_sum"].to_numpy().astype(np.int64))
 
-    return hash_partitioned(marked.union(zeros), "doc_id").map_batches(
-        fold, batch_format="pyarrow", batch_size=None)
+    return task_exchange(marked.union(zeros), "doc_id", fold)
 
 
 def _tag_rows(t: pa.Table, tag: int) -> pa.Table:
@@ -2114,7 +2109,7 @@ def hapax_share_by_source(ds, text_col: str = "text",
     rollup. No driver-side token set; output is O(sources)."""
     import pandas as pd
 
-    from .relational import hash_partitioned, partial_groupby_agg
+    from .relational import partial_groupby_agg, task_exchange
 
     def explode(batch: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(batch[text_col])
@@ -2146,9 +2141,8 @@ def hapax_share_by_source(ds, text_col: str = "text",
             "n_distinct": pa.array(out["n_distinct"].to_numpy(np.int64)),
             "n_hapax": pa.array(out["n_hapax"].to_numpy(np.int64))})
 
-    parts = hash_partitioned(
-        ds.map_batches(explode, batch_format="pyarrow"), "token") \
-        .map_batches(census, batch_format="pyarrow", batch_size=None)
+    parts = task_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"), "token", census)
     out = partial_groupby_agg(parts, ["source"],
                               {"n_distinct": ("n_distinct", "sum"),
                                "n_hapax": ("n_hapax", "sum")})
