@@ -2195,7 +2195,9 @@ def q_window_users(sf_dir: str):
                    .to_numpy() // 3_600_000_000) * 3600, pa.int64()),
               "user_id": b["user_id"],
           }), batch_format="pyarrow"))
-    out = grouped_count_distinct(ev, "window_start", "user_id")
+    out = grouped_count_distinct(
+        ev, "window_start", "user_id",
+        combine=_choose_exchange("tasks", "shuffle"))
     return out.sort_values("window_start").reset_index(drop=True)
 
 
@@ -2685,7 +2687,7 @@ def q_event_transitions(sf_dir: str):
     # ~0.3 s (sessionize, same key column) vs the ~2 s hash-aggregator
     # fixed cost — hash only wins at 10k+ keys (active_customers)
     out = transition_counts(ev, "user_id", "ts_us", "event_type",
-                            tiebreak="event_id", exchange="groups")
+                            tiebreak="event_id")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)
 
@@ -2912,8 +2914,7 @@ def q_dense_rank(sf_dir: str):
                   np.round(b["value"].to_numpy() * 100)
                   .astype(np.int64), pa.int64()),
           }), batch_format="pyarrow"))
-    out = per_key_dense_rank(ev, "event_type", "cents",
-                             exchange="groups").to_pandas()
+    out = per_key_dense_rank(ev, "event_type", "cents").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -2978,8 +2979,7 @@ def _supplier_copurchase_edges(sf_dir: str):
           .map_batches(lambda b: b.filter(
               pc.greater_equal(b["l_quantity"], 48.0)).select(
               ["l_orderkey", "l_suppkey"]), batch_format="pyarrow"))
-    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", n_nodes,
-                               exchange="groups").materialize()
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", n_nodes).materialize()
     _COPURCHASE_CACHE.clear()  # one entry: sessions invalidate cheaply
     _COPURCHASE_CACHE[(sf_dir, job)] = (edges, n_nodes)
     return edges, n_nodes
@@ -3012,8 +3012,7 @@ def q_jaccard_join(sf_dir: str):
     from frontera_ray.stages.dedup import jaccard_join_pairs
 
     return jaccard_join_pairs(_read(sf_dir, "documents"),
-                              t_num=1, t_den=2, shingle_k=5,
-                              exchange="groups")
+                              t_num=1, t_den=2, shingle_k=5)
 
 
 def q_edit_join(sf_dir: str):
@@ -3031,8 +3030,7 @@ def q_edit_join(sf_dir: str):
                 "doc_id": b["doc_id"],
                 "s": pc.utf8_slice_codeunits(b["text"], 0, 24),
             }), batch_format="pyarrow"))
-    return edit_distance_join_le1(docs, id_col="doc_id", string_col="s",
-                                  exchange="groups")
+    return edit_distance_join_le1(docs, id_col="doc_id", string_col="s")
 
 
 def q_triangles(sf_dir: str):
@@ -3155,7 +3153,7 @@ def q_crawl_budget(sf_dir: str):
                 "w": pa.array(b["n_chars"].to_numpy()
                               .astype(np.int64), pa.int64()),
             }), batch_format="pyarrow"))
-    weights = grouped_int_sum(docs, "host", "w", exchange="groups")
+    weights = grouped_int_sum(docs, "host", "w")
     return largest_remainder_alloc(weights, "host", "w",
                                    budget=10_000).to_pandas()
 
@@ -3194,7 +3192,7 @@ def q_snapshot_diff(sf_dir: str):
     delta = snapshot_diff(
         docs.map_batches(v1, batch_format="pyarrow"),
         docs.map_batches(v2, batch_format="pyarrow"),
-        "doc_id", "h", exchange="groups")
+        "doc_id", "h")
 
     # tiny per-status register combine over the delta stream
     def status_counts(b: pa.Table) -> pa.Table:
@@ -3295,8 +3293,7 @@ def q_source_share(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(
         ["doc_id", "source", "n_chars"])
-    out = per_key_share(docs, "source", "n_chars",
-                        exchange="groups").to_pandas()
+    out = per_key_share(docs, "source", "n_chars").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3316,8 +3313,7 @@ def q_cume_dist(sf_dir: str):
                   np.round(b["value"].to_numpy() * 100)
                   .astype(np.int64), pa.int64()),
           }), batch_format="pyarrow"))
-    out = per_key_cume_dist(ev, "event_type", "cents",
-                            exchange="groups").to_pandas()
+    out = per_key_cume_dist(ev, "event_type", "cents").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -3336,7 +3332,7 @@ def q_event_seq(sf_dir: str):
               "event_type": b["event_type"],
           }), batch_format="pyarrow"))
     out = concat_groups(ev, "user_id", "ts_us", "event_type",
-                        sep=",", exchange="groups").to_pandas()
+                        sep=",").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -3359,8 +3355,7 @@ def q_moving_sum(sf_dir: str):
           }), batch_format="pyarrow"))
     # ~1.5k user keys: sort exchange (see event_transitions note)
     out = per_key_moving_sum(ev, "user_id", "ts_us", "cents", 4,
-                             tiebreak="event_id",
-                             exchange="groups").to_pandas()
+                             tiebreak="event_id").to_pandas()
     out = out[["event_id", "user_id", "cents", "win_sum"]]
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -3383,8 +3378,7 @@ def q_minmax_norm(sf_dir: str):
           }), batch_format="pyarrow"))
     # 5 event_type keys: the sort exchange is 5 kernel calls — never
     # worth the ~2 s hash-aggregator fixed cost
-    out = per_key_minmax_norm(ev, "event_type", "cents",
-                              exchange="groups").to_pandas()
+    out = per_key_minmax_norm(ev, "event_type", "cents").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -4306,8 +4300,7 @@ def q_postings(sf_dir: str):
     from frontera_ray.stages.text import build_postings
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return build_postings(docs, cap=10, min_df=20,
-                          exchange="groups").to_pandas()
+    return build_postings(docs, cap=10, min_df=20).to_pandas()
 
 
 def q_rrf_fusion(sf_dir: str):
@@ -4565,7 +4558,7 @@ def q_hill_tail(sf_dir: str):
               "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
           }), batch_format="pyarrow"))
     from frontera_ray.stages.relational import grouped_int_sum
-    counts = grouped_int_sum(ev, "user_id", "one", exchange="groups")
+    counts = grouped_int_sum(ev, "user_id", "one")
     top = global_topk(counts, "one", k + 1, descending=True,
                       tiebreak="user_id").to_pandas()
     thr = float(top["one"].iloc[k])
@@ -4645,7 +4638,28 @@ def q_lsh_bucket_stats(sf_dir: str):
     ds = (_read(sf_dir, "documents")
           .select_columns(["doc_id", "text"])
           .map_batches(minhash_band_rows, batch_format="pyarrow"))
-    sizes = ds.groupby("bkey").count()
+    if _choose_exchange("tasks") == "tasks":
+        # raw-task shuffle + run-count kernel (measured ~2x the native
+        # sort aggregate on the ~1M string-keyed band rows)
+        from frontera_ray.stages.relational import task_exchange
+
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"bkey": pa.array([], pa.string()),
+                                 "count()": pa.array([], pa.int64())})
+            k = np.asarray(batch["bkey"].to_pylist(), dtype=object)
+            order = np.argsort(k, kind="stable")
+            ks = k[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], ks[1:] != ks[:-1])))
+            cnt = np.diff(np.append(starts, len(ks)))
+            return pa.table({
+                "bkey": pa.array(ks[starts], pa.string()),
+                "count()": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        sizes = task_exchange(ds, "bkey", bucket_counts)
+    else:
+        sizes = ds.groupby("bkey").count()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -5061,8 +5075,7 @@ def q_politeness_audit(sf_dir: str):
               "event_id": b["event_id"],
           }), batch_format="pyarrow"))
     lag = per_key_lag_delta(ev, "user_id", "ts_us",
-                            out_col="delta_us", tiebreak="event_id",
-                            exchange="groups")
+                            out_col="delta_us", tiebreak="event_id")
 
     def derive(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_valid(batch["delta_us"]))
@@ -5362,7 +5375,7 @@ def q_quota_sample(sf_dir: str):
                     salt="q").astype(np.int64), pa.int64()),
             }), batch_format="pyarrow"))
     kept = per_key_topk(docs, "lang", "h", 10, descending=False,
-                        tiebreak="doc_id", exchange="groups")
+                        tiebreak="doc_id")
     out = kept.to_pandas()[["lang", "doc_id"]]
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
@@ -5404,7 +5417,7 @@ def q_diverse_sample(sf_dir: str):
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     kept = per_key_topk(assigned, "cluster", "h", 5, descending=False,
-                        tiebreak="vec_id", exchange="groups")
+                        tiebreak="vec_id")
     out = kept.to_pandas()[["cluster", "vec_id"]]
     return out.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
 
@@ -5427,7 +5440,7 @@ def q_markov_probs(sf_dir: str):
               "event_id": b["event_id"],
           }), batch_format="pyarrow"))
     out = transition_counts(ev, "user_id", "ts_us", "event_type",
-                            tiebreak="event_id", exchange="groups")
+                            tiebreak="event_id")
     tot = out.groupby("from_val")["n"].transform("sum")
     out["p_ppm"] = ((1_000_000 * out["n"]) // tot).astype("int64")
     return out.sort_values(["from_val", "to_val"]).reset_index(drop=True)

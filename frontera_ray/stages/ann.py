@@ -435,7 +435,7 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95, limit_ids: int | None = No
 
 def cosine_neardup_lsh(ds, threshold: float = 0.6, bits: int = 16,
                        bands: int = 8, dim: int = 64, seed: int = 42,
-                       exchange: str = "groups",
+                       exchange: str | None = None,
                        prefilter: bool | str = "auto") -> pa.Table:
     """Embedding near-dup pairs at corpus scale: random-hyperplane
     signatures split into ``bands`` sub-codes (minhash-style banding —
@@ -777,7 +777,7 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
                          threshold: float = 0.4, id_col: str = "vec_id",
                          vec_col: str = "embedding", round_to: int = 9,
                          max_cluster: int = 100_000,
-                         exchange: str = "groups"):
+                         exchange: str | None = None):
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540, public method): cluster the embedding space with
     the deterministic k-means recurrence (``kmeans_centroids``), then
@@ -877,7 +877,7 @@ def semantic_dedup_pairs(ds, k: int = 8, iters: int = 1,
 
 def proto_prune(ds, k: int = 8, iters: int = 1, keep_frac: float = 0.8,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                round_to: int = 9, exchange: str = "groups"):
+                round_to: int = 9, exchange: str | None = None):
     """Prototype-distance data pruning (Sorscher et al. 2022
     "Beyond neural scaling laws", public method): cluster the
     embedding space (the deterministic ``kmeans_centroids``
@@ -948,7 +948,7 @@ def proto_prune(ds, k: int = 8, iters: int = 1, keep_frac: float = 0.8,
 
 
 def knn_join_lsh(ds, bits: int = 16, bands: int = 8, dim: int = 64,
-                 seed: int = 42, exchange: str = "groups"):
+                 seed: int = 42, exchange: str | None = None):
     """Per-vector nearest neighbor (k=1 kNN self-join) over banded
     LSH candidates — the contrastive-pair-mining / nearest-duplicate
     attribution shape: every vector gets its best cosine match among

@@ -239,12 +239,16 @@ def _coarse_grouped(ds, kernel, partitions: int = _NUM_VERIFY_PARTITIONS):
         "pkey").map_groups(kernel, batch_format="pyarrow")
 
 
-def _bucket_verify_exchange(ds, kernel, exchange: str):
+def _bucket_verify_exchange(ds, kernel, exchange: str | None):
     """Route bucket rows to the verify kernel through the chosen
     exchange ('groups' = coarse-pkey sort groupby, 'hash' = key-hash
     repartition, 'tasks' = the two-stage raw-task shuffle — no
     aggregator actors, the fastest at >=16 cpus; see
     relational.choose_exchange)."""
+    if exchange is None:
+        from .relational import choose_exchange
+
+        exchange = choose_exchange("tasks")
     if exchange == "tasks":
         from .relational import task_exchange
 
@@ -276,7 +280,7 @@ def _iter_parts(pairs_ds) -> list:
                                       batch_size=None))
 
 
-def collect_bucket_pairs(bucket_ds, kernel, exchange: str) -> list:
+def collect_bucket_pairs(bucket_ds, kernel, exchange: str | None) -> list:
     """Execute the bucket->verify exchange and collect the pair parts
     (result-sized). 'hash' runs under the stall guard with a sort-
     exchange fallback; 'groups' executes directly."""
@@ -375,7 +379,7 @@ def _dedupe_pair_table(pairs: pa.Table, value_col: str | None = None) -> pa.Tabl
 
 def minhash_neardup_pairs(ds, threshold: float = 0.6, shingle_k: int = 3,
                           text_lookup=None, num_perm: int = 64, bands: int = 16,
-                          prefilter: bool = False, exchange: str = "groups"):
+                          prefilter: bool = False, exchange: str | None = None):
     """Full MinHash-LSH pipeline over a documents Dataset, fully
     distributed — returns a pyarrow Table (a, b, jaccard >= threshold).
 
@@ -610,7 +614,7 @@ def keeper_table(ds, pair_table: pa.Table, id_col: str = "doc_id"):
 
 
 def connected_components(pairs_ds, max_iters: int = 50,
-                         exchange: str = "groups"):
+                         exchange: str | None = None):
     """Fully distributed connected components over a pair Dataset
     (a, b): iterative min-label propagation. Every step is Dataset
     algebra — an equi-join of the edge list against the current labels
@@ -834,7 +838,7 @@ def _verify_simhash_partition(group: pa.Table, max_hamming: int) -> pa.Table:
 
 def hamming64_neardup_pairs(sketch_ds, max_hamming: int = 3,
                             blocks: int | None = None,
-                            exchange: str = "groups") -> pa.Table:
+                            exchange: str | None = None) -> pa.Table:
     """Near-dup pairs for ANY 64-bit sketch column (simhash, phash, any
     fingerprint), fully distributed: bit-block LSH then Hamming verify —
     one corpus pass, one all-to-all (the coarse-partition groupby; see
@@ -868,7 +872,7 @@ def hamming64_neardup_pairs(sketch_ds, max_hamming: int = 3,
 
 
 def simhash_neardup_pairs(ds, max_hamming: int = 3, blocks: int | None = None,
-                          exchange: str = "groups"):
+                          exchange: str | None = None):
     """SimHash near-dup over documents: the batch simhash sketch stage
     feeding the shared 64-bit Hamming LSH exchange."""
     from .text import simhash_table
@@ -1036,7 +1040,7 @@ def _gram_df_sketch(ds, id_col: str, text_col: str,
 
 def jaccard_join_pairs(ds, t_num: int = 1, t_den: int = 2,
                        shingle_k: int = 5, id_col: str = "doc_id",
-                       text_col: str = "text", exchange: str = "groups",
+                       text_col: str = "text", exchange: str | None = None,
                        df_mode: str = "cms",
                        candidate_cap: int = 5_000_000) -> pa.Table:
     """EXACT word-k-gram Jaccard similarity join over the FULL corpus
@@ -1224,7 +1228,7 @@ def _deletion_variant_hashes(s: str) -> np.ndarray:
 
 def edit_distance_join_le1(ds, id_col: str = "doc_id",
                            string_col: str = "s",
-                           exchange: str = "groups",
+                           exchange: str | None = None,
                            candidate_cap: int = 5_000_000) -> pa.Table:
     """EXACT Levenshtein-distance <= 1 self-join over a string column —
     the fuzzy-key matching primitive (near-identical titles, typo'd

@@ -301,7 +301,7 @@ def _resolve_pair_ids(urls_ds, pair_ids: np.ndarray,
 
 def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
                         blocks: int | None = None,
-                        exchange: str = "groups") -> pa.Table:
+                        exchange: str | None = None) -> pa.Table:
     """Distributed perceptual near-dup over an image corpus (the
     image-side twin of simhash_neardup_pairs): a sketch-only fetch
     (pixels -> 64-bit average-hash, no encode) feeds the shared
@@ -341,7 +341,7 @@ def phash_neardup_pairs(urls_ds, max_hamming: int = 2,
 
 def image_keeper_table(urls_ds, max_hamming: int = 2,
                        blocks: int | None = None,
-                       exchange: str = "groups"):
+                       exchange: str | None = None):
     """End-to-end image dedup keep-list (the image twin of
     dedup.keeper_table): distributed phash near-dup pairs ->
     pair-scoped union-find (component keeper = smallest pair id) ->
@@ -388,7 +388,7 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
 
 def sink_keeper_table(pages_ds, max_hamming: int = 2,
                       blocks: int | None = None,
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """Keep-list over an already-sketched image corpus — the crawl
     sink's (image_id, phash) columns ARE the sketch (the input_hint's
     phash column put to its stated purpose).
@@ -527,7 +527,7 @@ def curate_image_captions(urls_ds, min_side: int = 32,
                           min_caption_tokens: int = 4,
                           max_hamming: int = 2,
                           blocks: int | None = None,
-                          exchange: str = "groups",
+                          exchange: str | None = None,
                           pool: tuple[int, int] = (2, 4),
                           decode_batch: int = 256):
     """End-to-end multimodal curation composite over an image+caption

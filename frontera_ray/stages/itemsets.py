@@ -41,7 +41,7 @@ import pyarrow as pa
 
 
 def pair_lift(ds, group_col: str, item_col: str, n_items: int,
-              min_pair: int = 2, exchange: str = "groups") -> pa.Table:
+              min_pair: int = 2, exchange: str | None = None) -> pa.Table:
     """Mine item pairs co-occurring in >= ``min_pair`` groups; returns
     a pyarrow Table (a, b, pair_n, support_ppm, lift_ppm) sorted by
     (a, b). ``n_items`` bounds the item id space (pair key packs as

@@ -41,7 +41,7 @@ import pyarrow as pa
 
 
 def dedup_edges(ds, src_col: str = "src", dst_col: str = "dst",
-                n_nodes: int = 0, exchange: str = "groups"):
+                n_nodes: int = 0, exchange: str | None = None):
     """Distinct (src,dst) pairs via ONE keyed exchange on the packed
     64-bit edge key — multi-edges land whole in one block and collapse
     with a vectorized ``np.unique``. ``n_nodes`` bounds the id space
@@ -106,7 +106,7 @@ def _dense_partials(edges, fn, n_nodes: int) -> np.ndarray:
 
 def pagerank(edges_ds, n_nodes: int, iters: int = 5,
              damping: float = 0.85,
-             dedup: bool = True, exchange: str = "groups",
+             dedup: bool = True, exchange: str | None = None,
              teleport: "np.ndarray | None" = None) -> pa.Table:
     """PageRank after ``iters`` power iterations; returns a small
     (node, rank) table for the nodes present in the graph (src ∪ dst).
@@ -179,7 +179,7 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
                        n_nodes: int | None = None,
-                       exchange: str = "groups"):
+                       exchange: str | None = None):
     """Undirected co-occurrence edges: (u, v) with u < v iff both items
     appear in the same group (suppliers in an order, hosts in a session,
     entities in a document). ONE keyed exchange on the group, then a
@@ -521,7 +521,7 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
 
 
 def hits(edges_ds, n_nodes: int, iters: int = 4,
-         dedup: bool = True, exchange: str = "groups") -> pa.Table:
+         dedup: bool = True, exchange: str | None = None) -> pa.Table:
     """HITS hubs & authorities (Kleinberg 1999, public algorithm) after
     ``iters`` synchronous iterations — the link-analysis twin of
     ``pagerank`` that separates "points at good pages" (hub) from "is
@@ -596,7 +596,7 @@ def hits(edges_ds, n_nodes: int, iters: int = 4,
 
 
 def degree_histogram(edges_ds, n_nodes: int, dedup: bool = True,
-                     exchange: str = "groups") -> pa.Table:
+                     exchange: str | None = None) -> pa.Table:
     """Degree distribution of the distinct-edge graph — (side, deg,
     n_nodes) rows for side in ('out', 'in'): how many nodes have each
     out-/in-degree. The first observability read on any crawled link

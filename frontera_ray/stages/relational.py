@@ -193,7 +193,7 @@ def grouping_sets_from_finest(df, levels, sets, value_cols,
 
 def per_key_lag_delta(ds, key_col: str, order_col: str,
                       out_col: str = "delta", tiebreak: str | None = None,
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """LAG window delta: ``order_col`` minus the previous row's value
     within the key (ordered by ``order_col`` then ``tiebreak``); NULL
     for each key's first row — SQL's
@@ -227,7 +227,7 @@ def per_key_lag_delta(ds, key_col: str, order_col: str,
 
 def transition_counts(ds, key_col: str, order_col: str, val_col: str,
                       tiebreak: str | None = None,
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """Markov transition counts: per key ordered by ``order_col``,
     count consecutive (prev ``val_col`` -> ``val_col``) pairs across
     the whole dataset. One keyed exchange; the kernel emits
@@ -346,7 +346,7 @@ def _group_codes(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def keyed_exchange(ds, key: str, kernel, exchange: str = "groups"):
+def keyed_exchange(ds, key: str, kernel, exchange: str | None = None):
     """Run a run-aware vectorized kernel over complete key groups.
 
     The kernel must handle a batch containing ANY number of complete key
@@ -365,6 +365,11 @@ def keyed_exchange(ds, key: str, kernel, exchange: str = "groups"):
       ``'hash'`` on this box for the join family (Ray 2.49's aggregator
       wave costs seconds fixed and can wedge under CPU starvation —
       see COVERAGE.md §hash-exchange-stall)."""
+    if exchange is None:
+        # policy default: the raw-task shuffle at cluster scale
+        # (measured 2-4x over both alternatives across the suite),
+        # sort-groupby in small sessions (see choose_exchange)
+        exchange = choose_exchange("tasks")
     if exchange == "tasks":
         return task_exchange(ds, key, kernel)
     if exchange == "hash":
@@ -481,7 +486,7 @@ def task_exchange(ds, key: str, kernel, num_partitions: int | None = None,
 
 
 def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
-                 tiebreak: str | None = None, exchange: str = "groups"):
+                 tiebreak: str | None = None, exchange: str | None = None):
     """Top-k rows per key — the per-host cap / batch-shaping primitive.
     One keyed exchange (see ``keyed_exchange``); each batch keeps
     rank<k per key run with one vectorized lexsort."""
@@ -509,7 +514,7 @@ def per_key_topk(ds, key: str, order_col: str, k: int, descending: bool = True,
 
 def per_key_rank(ds, key: str, order_col: str, k: int,
                  descending: bool = True, tiebreak: str | None = None,
-                 rank_col: str = "rn", exchange: str = "groups"):
+                 rank_col: str = "rn", exchange: str | None = None):
     """Per-key ROW_NUMBER window: every surviving row carries its
     1-based rank within its key (ordered by ``order_col`` then
     ``tiebreak``), rows with rank > k dropped. Same single keyed
@@ -543,7 +548,7 @@ def per_key_rank(ds, key: str, order_col: str, k: int,
 
 def per_key_dense_rank(ds, key_col: str, order_col: str,
                        out_col: str = "drank", descending: bool = True,
-                       exchange: str = "groups"):
+                       exchange: str | None = None):
     """Per-key DENSE_RANK window: ties share a rank and ranks stay
     consecutive (no gaps) — distinct from ROW_NUMBER (``per_key_rank``,
     ties broken) and RANK (``per_key_percent_rank``'s tie semantics,
@@ -722,7 +727,7 @@ def grouped_higher_moments(ds, key_cols, x_col: str):
 
 def per_key_percent_rank(ds, key_col: str, order_col: str,
                          out_col: str = "pr_micro",
-                         exchange: str = "groups"):
+                         exchange: str | None = None):
     """Per-key PERCENT_RANK window: every row gains
     floor((rank-1)/(n-1) * 1e6 + 0.5) with SQL RANK tie semantics
     (equal order values share a rank; single-row partitions get 0).
@@ -757,7 +762,7 @@ def per_key_percent_rank(ds, key_col: str, order_col: str,
 
 def per_key_cume_dist(ds, key_col: str, order_col: str,
                       out_col: str = "cd_micro",
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """Per-key CUME_DIST window: floor(cume_dist * 1e6 + 0.5) with SQL
     peer-group semantics (rows with equal order values share the
     distribution point of the LAST peer). Same one-exchange one-lexsort
@@ -791,7 +796,7 @@ def per_key_cume_dist(ds, key_col: str, order_col: str,
 
 def per_key_ntile(ds, key_col: str, order_col: str, n_tiles: int,
                   tiebreak: str | None = None, out_col: str = "tile",
-                  exchange: str = "groups"):
+                  exchange: str | None = None):
     """Per-key NTILE(n): rows of each key split into ``n_tiles``
     buckets by ROW_NUMBER order with SQL's remainder rule (the first
     ``n % tiles`` buckets get the extra row). One keyed exchange +
@@ -830,7 +835,7 @@ def per_key_ntile(ds, key_col: str, order_col: str, n_tiles: int,
 
 def per_key_minmax_norm(ds, key_col: str, val_col: str,
                         out_col: str = "norm_ppm",
-                        exchange: str = "groups"):
+                        exchange: str | None = None):
     """Per-key min-max normalization in parts-per-million, integer
     exact: floor((x - min) * 1e6 / (max - min)) within the key, 0 when
     the key is constant — the feature-scaling window
@@ -864,7 +869,7 @@ def per_key_minmax_norm(ds, key_col: str, val_col: str,
 
 def per_key_first_last(ds, key_col: str, order_col: str, val_col: str,
                        tiebreak: str | None = None,
-                       exchange: str = "groups"):
+                       exchange: str | None = None):
     """FIRST_VALUE / LAST_VALUE window collapsed to one row per key:
     emits (key, first_<val>, last_<val>) where first/last follow
     (order_col, tiebreak) order — the customer-lifecycle shape (first
@@ -902,7 +907,7 @@ def per_key_first_last(ds, key_col: str, order_col: str, val_col: str,
 
 def per_key_share(ds, key_col: str, val_col: str,
                   out_col: str = "share_ppm",
-                  exchange: str = "groups"):
+                  exchange: str | None = None):
     """RATIO_TO_REPORT window, integer exact: each row's ppm share of
     its key's total — floor(v * 1e6 / sum_per_key) (``val_col`` must
     be non-negative int64; products stay < 2^63 for values < ~9e12).
@@ -933,7 +938,7 @@ def per_key_share(ds, key_col: str, val_col: str,
 def per_key_moving_sum(ds, key_col: str, order_col: str, val_col: str,
                        window: int, tiebreak: str | None = None,
                        out_col: str = "win_sum",
-                       exchange: str = "groups"):
+                       exchange: str | None = None):
     """Windowed-FRAME aggregate: SQL's
     ``sum(v) OVER (PARTITION BY key ORDER BY o, tb
     ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the moving
@@ -970,7 +975,7 @@ def per_key_moving_sum(ds, key_col: str, order_col: str, val_col: str,
 
 def per_key_range_sum(ds, key_col: str, order_col: str, val_col: str,
                       window: int, out_col: str = "range_sum",
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """Value-RANGE windowed-frame aggregate: SQL's
     ``sum(v) OVER (PARTITION BY key ORDER BY o
     RANGE BETWEEN window PRECEDING AND CURRENT ROW)`` — the
@@ -1192,7 +1197,7 @@ def compaction_plan(ds, order_col: str, size_col: str,
 
 
 def grouped_int_sum(ds, key_col: str, val_col: str,
-                    exchange: str = "groups"):
+                    exchange: str | None = None):
     """Distributed integer sum per key: per-block ``np.unique`` partial
     combine, then ONE keyed exchange segment-summing the partials —
     the combiner-before-shuffle shape for ANY key cardinality (unlike
@@ -1302,7 +1307,7 @@ def largest_remainder_alloc(ds, key_col: str, weight_col: str,
 
 
 def snapshot_diff(old_ds, new_ds, key_col: str, hash_col: str,
-                  exchange: str = "groups"):
+                  exchange: str | None = None):
     """Content diff between two corpus SNAPSHOTS keyed by content hash:
     emits one (key, status) row per key whose content differs —
     ``added`` (new only), ``removed`` (old only), ``changed`` (both,
@@ -1561,7 +1566,7 @@ def grouped_quantile_disc(ds, key_col: str, value_col: str, q,
 
 
 def per_key_validity_intervals(ds, key_col: str, ts_col: str,
-                               cols=(), exchange: str = "groups"):
+                               cols=(), exchange: str | None = None):
     """SCD2 / validity-interval assembly: per key ordered by time,
     every row gains ``valid_from`` (its own timestamp) and
     ``valid_to`` (the NEXT row's timestamp in the key run; -1 for the
@@ -1596,7 +1601,7 @@ def per_key_validity_intervals(ds, key_col: str, ts_col: str,
 
 def per_key_locf(ds, key_col: str, order_col: str, val_col: str,
                  out_col: str = "filled", tiebreak: str | None = None,
-                 sentinel: int = -1, exchange: str = "groups"):
+                 sentinel: int = -1, exchange: str | None = None):
     """LOCF / forward-fill imputation: each row gets the key's last
     non-null ``val_col`` at or before it — SQL's
     ``last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY o, tb
@@ -1640,7 +1645,7 @@ def per_key_locf(ds, key_col: str, order_col: str, val_col: str,
 
 def gap_fill_counts(ds, key_col: str, ts_col: str, window_s: int = 3600,
                     max_dense_rows: int = 50_000_000,
-                    exchange: str = "groups"):
+                    exchange: str | None = None):
     """Dense time-series resample: per-key event counts per tumbling
     window INCLUDING the empty windows between the key's first and
     last event — the gap-filling step before rolling features / LOCF
@@ -1716,7 +1721,7 @@ def gap_fill_counts(ds, key_col: str, ts_col: str, window_s: int = 3600,
 def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
                           tiebreak: str | None = None,
                           gap_scale: int = 1000,
-                          exchange: str = "groups"):
+                          exchange: str | None = None):
     """Time-weighted value aggregate (the TWAP shape): per key, each
     observation's value is weighted by how long it held (the gap to
     the NEXT observation, ordered by ts then tiebreak; the last
@@ -1774,7 +1779,7 @@ def per_key_time_weighted(ds, key_col: str, ts_col: str, val_col: str,
 
 def retention_cohorts(ds, key_col: str, ts_col: str,
                       period_s: int = 7 * 86400,
-                      exchange: str = "groups"):
+                      exchange: str | None = None):
     """Cohort retention matrix: cohort = the period of a key's FIRST
     event; for every later period the key is active in, one
     (cohort, periods_since) cell increments — the activation/retention
@@ -1827,7 +1832,7 @@ def retention_cohorts(ds, key_col: str, ts_col: str,
 def per_key_running_distinct(ds, key_col: str, order_col: str,
                              val_col: str, out_col: str = "n_distinct",
                              tiebreak: str | None = None,
-                             exchange: str = "groups"):
+                             exchange: str | None = None):
     """Running COUNT(DISTINCT val) per key in event order — the
     novelty / exploration curve (how many distinct event types, pages,
     products has this key touched so far): SQL's
@@ -1867,7 +1872,7 @@ def per_key_running_distinct(ds, key_col: str, order_col: str,
 
 
 def interval_merge(ds, key_col: str, lo_col: str, hi_col: str,
-                   tiebreak: str | None = None, exchange: str = "groups"):
+                   tiebreak: str | None = None, exchange: str | None = None):
     """Merge overlapping/touching intervals per key and report the
     union coverage — the session-stitching / availability-coverage
     reduction (how much wall time do a key's intervals actually
@@ -1929,7 +1934,7 @@ def interval_merge(ds, key_col: str, lo_col: str, hi_col: str,
 
 
 def windowed_dedup(ds, key_col: str, ts_col: str, window_us: int,
-                   tiebreak: str | None = None, exchange: str = "groups"):
+                   tiebreak: str | None = None, exchange: str | None = None):
     """Time-windowed duplicate suppression: keep a row iff NO earlier
     row with the same key lies within ``window_us`` of it — the
     telemetry / retry / at-least-once-ingest dedup shape where only
@@ -2118,6 +2123,28 @@ def grouped_count_distinct(ds, key_col: str, distinct_col: str,
                                     preserve_index=False)
 
     per_block = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    if combine == "tasks":
+        # two-stage raw-task shuffle on the key: each partition holds
+        # complete key groups, so one pandas dedup+count per partition
+        # finishes the job (measured faster than the native sort
+        # exchange at >= 16 cpus, same contract as keyed_exchange)
+        def kern(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({key_col: pa.array([], batch[key_col].type)
+                                 if batch.num_columns else pa.array([]),
+                                 "n_distinct": pa.array([], pa.int64())})
+            df = batch.to_pandas().drop_duplicates()
+            out = (df.groupby(key_col, as_index=False)[distinct_col]
+                   .count().rename(columns={distinct_col: "n_distinct"}))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        rows = task_exchange(per_block, key_col, kern)
+        parts = [t.to_pandas() for t in rows.iter_batches(
+            batch_format="pyarrow", batch_size=None) if len(t)]
+        out = pd.concat(parts) if parts else pd.DataFrame(
+            {key_col: [], "n_distinct": []})
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out.sort_values(key_col).reset_index(drop=True)
     if combine == "driver":
         parts = pa.concat_tables(list(per_block.iter_batches(
             batch_format="pyarrow", batch_size=None)))
@@ -2133,7 +2160,7 @@ def grouped_count_distinct(ds, key_col: str, distinct_col: str,
 
 def grouped_entropy(ds, key_col: str, cat_col: str,
                     out_col: str = "entropy_micro",
-                    exchange: str = "groups"):
+                    exchange: str | None = None):
     """Per-key Shannon entropy (micro-nats) of the category
     distribution — the bot-/template-detection signal of a curation
     pass (a host or user whose event mix has near-zero entropy is a
@@ -2226,7 +2253,7 @@ def hopping_window_counts(ds, ts_col: str = "ts", window_s: int = 3600,
 
 def asof_join_latest(ds, key_col: str, ts_col: str, type_col: str,
                      left_type: str, right_type: str, value_col: str,
-                     id_col: str = "event_id", exchange: str = "groups"):
+                     id_col: str = "event_id", exchange: str | None = None):
     """Per-key AS-OF join: for every ``left_type`` event, attach the
     most recent earlier-or-equal ``right_type`` event's value (-1 when
     none). A custom operator Ray Data lacks — ONE hash exchange by the
@@ -2454,7 +2481,7 @@ def percentile_cont_unbounded(ds, col: str, qs, **kw) -> dict:
 
 
 def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
-              exchange: str = "groups", how: str = "inner"):
+              exchange: str | None = None, how: str = "inner"):
     """Large-large inner equi-join: BOTH sides move through one keyed
     exchange (the broadcast join covers the small-side case; this is
     the shape when neither side fits in memory). The two inputs are
@@ -2608,7 +2635,7 @@ def equi_join(left_ds, right_ds, key: str, left_cols, right_cols,
 
 
 def semi_anti_join(left_ds, right_ds, key: str, left_cols,
-                   anti: bool = False, exchange: str = "groups"):
+                   anti: bool = False, exchange: str | None = None):
     """Large-large semi-join (``anti=False``: keep left rows with >= 1
     right match) / anti-join (``anti=True``: keep left rows with NO
     right match) — the EXISTS / NOT EXISTS primitive an incremental
@@ -2711,7 +2738,7 @@ def hot_keys(ds, key: str, min_count: int,
 
 
 def skew_join(left_ds, right_ds, key: str, left_cols, right_cols,
-              hot_count: int = 10_000, exchange: str = "groups",
+              hot_count: int = 10_000, exchange: str | None = None,
               max_hot_right_rows: int = 2_000_000):
     """Skew-aware hybrid inner equi-join — the hot-key mitigation the
     north rule names (salted/broadcast handling of Zipf-head keys)
@@ -2782,7 +2809,7 @@ def skew_join(left_ds, right_ds, key: str, left_cols, right_cols,
 
 
 def set_op(left_ds, right_ds, key: str, op: str = "intersect",
-           exchange: str = "groups"):
+           exchange: str | None = None):
     """Distributed INTERSECT / EXCEPT / UNION with SQL DISTINCT set
     semantics
     on a key column: both sides ship ONLY the key through one tagged
@@ -2876,7 +2903,7 @@ def set_op(left_ds, right_ds, key: str, op: str = "intersect",
 
 def range_join(ds, key_col: str, ts_col: str, type_col: str,
                build_type: str, probe_type: str, window_us: int,
-               id_col: str = "event_id", exchange: str = "groups"):
+               id_col: str = "event_id", exchange: str | None = None):
     """Per-key interval (range) join — the windowed-attribution
     primitive Ray Data lacks: for every ``build_type`` row, pair it
     with every ``probe_type`` row of the SAME key whose timestamp falls
@@ -2958,7 +2985,7 @@ def range_join(ds, key_col: str, ts_col: str, type_col: str,
 def interval_overlap_join(ds, lo_col: str, hi_col: str, type_col: str,
                           left_type: str, right_type: str,
                           id_col: str = "event_id", bucket_w: int = 1024,
-                          exchange: str = "groups",
+                          exchange: str | None = None,
                           max_block_pairs: int = 16_000_000):
     """Distributed interval-OVERLAP join — the sessions×incidents /
     availability-window primitive (``range_join`` is point-in-interval;
@@ -3051,7 +3078,7 @@ def interval_overlap_join(ds, lo_col: str, hi_col: str, type_col: str,
 
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
-               gap_us: int = 30 * 60 * 1_000_000, exchange: str = "groups"):
+               gap_us: int = 30 * 60 * 1_000_000, exchange: str | None = None):
     """Per-user gap sessionization: events sorted by time; a gap larger
     than ``gap_us`` starts a new session. Emits per-user aggregates
     (n_sessions, n_events). Partitioned by user — the groupby is the
@@ -3087,7 +3114,7 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
 
 def session_spans(ds, user_col: str = "user_id", ts_col: str = "ts",
                   gap_us: int = 30 * 60 * 1_000_000,
-                  exchange: str = "groups"):
+                  exchange: str | None = None):
     """Per-SESSION rows from gap sessionization (``sessionize`` emits
     per-user aggregates; this emits one row per session with its span)
     — the input to dwell-time / engagement-distribution analyses.
@@ -3122,7 +3149,7 @@ def session_spans(ds, user_col: str = "user_id", ts_col: str = "ts",
 
 def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
                 id_col: str = "event_id", value_col: str = "value",
-                exchange: str = "groups"):
+                exchange: str | None = None):
     """Per-key ordered window SCAN (the running-total / lag family of
     window functions): one keyed exchange, then a single vectorized
     pass per complete key run ordered by (ts, id) computing
@@ -3181,7 +3208,7 @@ def window_scan(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 def per_key_drawdown(ds, key_col: str = "user_id", ts_col: str = "ts",
                      id_col: str = "event_id", value_col: str = "value",
-                     exchange: str = "groups"):
+                     exchange: str | None = None):
     """Per-key maximum drawdown over the (ts, id)-ordered value series:
     for each key, max over time of (running peak cents - current cents)
     — the monitoring/alerting reduction for any per-entity metric
@@ -3237,7 +3264,7 @@ def per_key_drawdown(ds, key_col: str = "user_id", ts_col: str = "ts",
 def funnel_depth(ds, key_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type",
                  steps: tuple = ("view", "click", "purchase"),
-                 exchange: str = "groups"):
+                 exchange: str | None = None):
     """Ordered-funnel analysis: how far each key progresses through
     ``steps`` where step k+1 must occur STRICTLY AFTER the first
     qualifying step-k event (the classic conversion-funnel semantics).
@@ -3287,7 +3314,7 @@ def funnel_depth(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 
 def concat_groups(ds, key_col: str, order_col: str, text_col: str,
-                  sep: str = "", exchange: str = "groups"):
+                  sep: str = "", exchange: str | None = None):
     """Ordered per-key string concatenation (document reassembly from
     chunks — the inverse of sequence chunking): one keyed exchange,
     chunks sorted by (key, order) and joined per run. Emits
@@ -3312,7 +3339,7 @@ def concat_groups(ds, key_col: str, order_col: str, text_col: str,
 
 
 def grouped_mode(ds, key_col: str, val_col: str,
-                 exchange: str = "groups"):
+                 exchange: str | None = None):
     """Most frequent value per key (deterministic: count desc, value
     asc tie-break) — the categorical argmax aggregate. Per-block
     (key, val, n) pre-aggregation shrinks the exchange to distinct
@@ -3410,7 +3437,7 @@ def build_bloom(ds, key: str, m_bits: int = 1 << 20,
 
 def bloom_semi_join(left_ds, right_ds, key: str, left_cols,
                     anti: bool = False, m_bits: int = 1 << 20,
-                    k_hashes: int = 5, exchange: str = "groups"):
+                    k_hashes: int = 5, exchange: str | None = None):
     """EXACT semi/anti join with a Bloom prefilter — the standard
     100-TB exchange reducer: when the right side's distinct keys are
     too many to broadcast raw but their Bloom filter fits (10^9 keys
@@ -3491,7 +3518,7 @@ def unpivot(ds, id_cols, value_cols, var_col: str = "name",
 
 def cdc_merge(ds, key_col: str, ts_col: str, op_col: str,
               delete_op: str, tiebreak: str | None = None,
-              exchange: str = "groups"):
+              exchange: str | None = None):
     """Lakehouse CDC MERGE compaction: apply a change stream to
     nothing-but-the-stream — per key the LATEST row wins (max
     ``ts_col``, ``tiebreak`` ascending on ties), and a key whose
@@ -3862,7 +3889,7 @@ def calibration_table(ds, conf_col: str, label_col: str,
 
 def per_key_cusum(ds, key_col: str, order_col: str, val_col: str,
                   tiebreak: str | None = None,
-                  exchange: str = "groups") -> "object":
+                  exchange: str | None = None) -> "object":
     """Per-key CUSUM changepoint magnitude, INTEGER-EXACT: for each
     key's ordered integer series v_1..v_n,
 
@@ -4363,7 +4390,7 @@ def pointer_double_resolve(ds, src_col: str = "src", dst_col: str = "dst",
 
 def per_key_quantile_disc(ds, key_col: str, val_col: str, q: float = 0.95,
                           out_col: str = "q_value",
-                          exchange: str = "groups"):
+                          exchange: str | None = None):
     """PERCENTILE_DISC(q) WITHIN GROUP per key — the per-segment tail
     statistic (p95 latency per endpoint, p95 order value per
     priority class) that a global quantile hides: ONE keyed exchange,
@@ -4400,7 +4427,7 @@ def per_key_quantile_disc(ds, key_col: str, val_col: str, q: float = 0.95,
 
 
 def per_key_burst(ds, key_col: str, ts_col: str, window_us: int,
-                  exchange: str = "groups"):
+                  exchange: str | None = None):
     """Max events per key inside ANY sliding ``window_us`` window —
     the burst / rate-spike read (bot detection on users, hot-host
     detection on a frontier) that fixed tumbling buckets understate
@@ -4603,7 +4630,7 @@ def watermark_ooo_percentiles(ds, order_col: str, ts_col: str,
 
 def per_key_floor_ewma(ds, key_col: str, order_col: str, val_col: str,
                        tiebreak: str | None = None,
-                       exchange: str = "groups") -> pa.Table:
+                       exchange: str | None = None) -> pa.Table:
     """Integer floor-EWMA anomaly register per key (α = 1/2): in
     ``order_col`` order within each key,
 
@@ -4669,7 +4696,7 @@ def per_key_floor_ewma(ds, key_col: str, order_col: str, val_col: str,
 
 def per_key_holt_linear(ds, key_col: str, order_col: str, val_col: str,
                         tiebreak: str | None = None,
-                        exchange: str = "groups") -> pa.Table:
+                        exchange: str | None = None) -> pa.Table:
     """Integer floor Holt linear (double-exponential) smoother per key
     — the trend-aware upgrade of ``per_key_floor_ewma`` (a host whose
     request rate is RISING needs the forecast, not the average). Fixed
@@ -4736,7 +4763,7 @@ def per_key_holt_linear(ds, key_col: str, order_col: str, val_col: str,
 
 def per_key_error_backoff(ds, key_col: str, order_col: str,
                           flag_col: str, tiebreak: str | None = None,
-                          cap: int = 6, exchange: str = "groups"):
+                          cap: int = 6, exchange: str | None = None):
     """Exponential-backoff accounting per key: in ``order_col`` order,
     consecutive flagged rows (fetch errors) form runs; the i-th error
     of a run (0-based, capped at ``cap``) costs 2^min(i, cap) seconds
@@ -4800,7 +4827,7 @@ def per_key_error_backoff(ds, key_col: str, order_col: str,
 
 def quantile_normalize_buckets(ds, key_col: str, val_col: str,
                                id_col: str, n_buckets: int = 10,
-                               exchange: str = "groups"):
+                               exchange: str | None = None):
     """Quantile normalization across groups (the microarray /
     batch-effect-removal classic): each row's value is replaced by the
     cross-group mean of its within-group quantile BUCKET — groups with
@@ -4859,7 +4886,7 @@ def quantile_normalize_buckets(ds, key_col: str, val_col: str,
 
 def per_key_runs_test(ds, key_col: str, order_col: str, val_col: str,
                       tiebreak: str | None = None,
-                      exchange: str = "groups") -> pa.Table:
+                      exchange: str | None = None) -> pa.Table:
     """Wald–Wolfowitz runs test per key: in ``order_col`` order, each
     key's integer values are dichotomized around the key's own
     PERCENTILE_DISC(0.5) median (ties AT the median dropped, the
@@ -4998,7 +5025,7 @@ def stump_split_best(ds, val_col: str, cls_col: str,
 def sign_flip_paired_test(ds, key_col: str, order_col: str,
                           val_col: str, tiebreak: str | None = None,
                           n_flips: int = 64,
-                          exchange: str = "groups"):
+                          exchange: str | None = None):
     """Hash-seeded sign-flip permutation test (the nonparametric
     paired-difference test the parametric family — ab_ztest / welch_t —
     can't replace when the d_i distribution is arbitrary): per key,

@@ -1710,7 +1710,7 @@ def span_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
 
 
 def build_postings(ds, cap: int = 10, min_df: int = 20,
-                   text_col: str = "text", exchange: str = "groups"):
+                   text_col: str = "text", exchange: str | None = None):
     """Capped inverted-index build: token -> (df, csv of the first
     ``cap`` doc ids) for tokens in >= ``min_df`` documents — the
     retrieval-index materialization step (what a BM25 serving layer
@@ -1774,7 +1774,7 @@ def build_postings(ds, cap: int = 10, min_df: int = 20,
 
 
 def posting_sizes(ds, id_col: str = "doc_id", text_col: str = "text",
-                  min_df: int = 10, exchange: str = "groups") -> "object":
+                  min_df: int = 10, exchange: str | None = None) -> "object":
     """Inverted-index SIZE estimation: per token, the exact document
     frequency and the delta+varint-encoded posting-list byte count
     (gap = doc_id − previous doc_id, first gap = doc_id + 1; varint =
