@@ -10101,6 +10101,28 @@ def q_ams_f2(sf_dir: str):
                           "f2_exact": f2_exact}])
 
 
+
+def q_sq8_census(sf_dir: str):
+    """Scalar (SQ8) quantization census (ann.sq8_census): per-dim
+    corpus min/max learned in one pass, 8-bit quantize/dequantize,
+    exact nano-unit reconstruction-error totals — the second ANN
+    compression beside PQ; the pair of distortion numbers is how you
+    choose between them for a corpus."""
+    from frontera_ray.stages.ann import sq8_census
+
+    return sq8_census(_read(sf_dir, "embeddings"))
+
+
+def q_dim_truncation(sf_dir: str):
+    """Matryoshka-style dimension-ablation census
+    (ann.dim_truncation_census): energy lost truncating embeddings to
+    the first k dims, k in {8,16,32,64} — sizes the cheap prefilter
+    index before a full-dim rerank. Integer nano energies, one pass."""
+    from frontera_ray.stages.ann import dim_truncation_census
+
+    return dim_truncation_census(_read(sf_dir, "embeddings"))
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
@@ -10111,6 +10133,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "crawl_dfs": q_crawl_dfs,
     "pcsa_distinct": q_pcsa_distinct,
     "ams_f2": q_ams_f2,
+    "sq8_census": q_sq8_census,
+    "dim_truncation": q_dim_truncation,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -11972,6 +11996,50 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rr = 1 ORDER BY user_id""",
         "image_dhash": _image_dhash_oracle(),
         "pq_codebook": _pq_oracle(),
+        # SQ8 replay: identical op order (q first, then lo + q*rng/255),
+        # per-vector error rounded 1e-9 then nano-int summed
+        "sq8_census": """
+            WITH dims AS (
+              SELECT g.i AS d,
+                     min(embedding[g.i + 1]::DOUBLE) AS lo,
+                     max(embedding[g.i + 1]::DOUBLE) AS hi
+              FROM embeddings, generate_series(0, 63) g(i)
+              GROUP BY g.i),
+            dr AS (SELECT d, lo,
+                          CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END
+                            AS rng
+                   FROM dims),
+            q AS (SELECT e.vec_id, d.d,
+                         e.embedding[d.d + 1]::DOUBLE AS v, d.lo, d.rng,
+                         round(255.0 * (e.embedding[d.d + 1]::DOUBLE
+                                        - d.lo) / d.rng) AS qv
+                  FROM embeddings e, dr d),
+            ev AS (SELECT vec_id,
+                          CAST(round(round(sum(
+                            pow(v - (lo + qv * rng / 255.0), 2)), 9)
+                            * 1000000000) AS BIGINT) AS nano
+                   FROM q GROUP BY vec_id)
+            SELECT count(*)::BIGINT AS n_vectors,
+                   sum(nano)::BIGINT AS total_err_nano,
+                   max(nano)::BIGINT AS max_err_nano
+            FROM ev""",
+        "dim_truncation": """
+            WITH el AS (
+              SELECT e.vec_id, g.i AS d,
+                     CAST(round(round(pow(
+                       e.embedding[g.i + 1]::DOUBLE, 2), 9)
+                       * 1000000000) AS BIGINT) AS nano
+              FROM embeddings e, generate_series(0, 63) g(i)),
+            tot AS (SELECT sum(nano)::BIGINT AS total FROM el),
+            ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+            kept AS (SELECT ks.k, sum(el.nano)::BIGINT AS kept_nano
+                     FROM ks JOIN el ON el.d < ks.k GROUP BY ks.k)
+            SELECT k::BIGINT AS k, kept_nano,
+                   (SELECT total FROM tot) AS total_nano,
+                   (1000000 * ((SELECT total FROM tot) - kept_nano)
+                    // (SELECT total FROM tot))::BIGINT AS lost_ppm
+            FROM kept ORDER BY k""",
+
         # PCSA bitmaps replayed with bit_or; lowest unset bit via the
         # trailing-ones identity bit_count(xor(b, b+1)) - 1
         "pcsa_distinct": """

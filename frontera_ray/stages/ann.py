@@ -1512,3 +1512,106 @@ def ivfpq_topk_fixed(ds, query_ids, k: int = 10, nlist: int = 8,
         "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
         "rank": pa.array(out_r, pa.int32()),
         "adc_nano": pa.array(np.asarray(out_d, np.int64), pa.int64())})
+
+
+def sq8_census(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Scalar (SQ8) quantization census — the second ANN compression
+    beside PQ (FAISS's SQ8, public technique): per dimension, learn
+    [min, max] over the corpus (one streaming min/max pass), quantize
+    each value to round(255 * (x - min) / (max - min)) and measure the
+    EXACT reconstruction error of the dequantized corpus. Integer
+    nano-unit error sums (order-independent), so the whole census
+    SQL-oracle-checks.
+
+    Two streaming passes (range, then error); the only driver objects
+    are the 2 x d range vectors. Returns one row:
+    (n_vectors, total_err_nano, max_err_nano) where err is the squared
+    reconstruction error per vector, rounded to 1e-9 before the
+    nano-int conversion (same convention as the Lloyd distortions)."""
+    import ray
+
+    # pass 1: per-dim min/max (combiner: per-block partials)
+    def mm(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch, vec_col)
+        return pa.table({
+            "lo": pa.array([list(X.min(axis=0))], pa.list_(pa.float64())),
+            "hi": pa.array([list(X.max(axis=0))], pa.list_(pa.float64()))})
+
+    lo = hi = None
+    for t in ds.select_columns([vec_col]).map_batches(
+            mm, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for i in range(len(t)):
+            l = np.asarray(t["lo"][i].as_py())
+            h = np.asarray(t["hi"][i].as_py())
+            lo = l if lo is None else np.minimum(lo, l)
+            hi = h if hi is None else np.maximum(hi, h)
+    rng = hi - lo
+    rng[rng == 0] = 1.0
+    ref = ray.put((lo, rng))
+    cache: dict = {}
+
+    def err(batch: pa.Table) -> pa.Table:
+        if "r" not in cache:
+            cache["r"] = ray.get(ref)
+        lo_, rng_ = cache["r"]
+        X = _matrix(batch, vec_col)
+        q = np.round(255.0 * (X - lo_) / rng_)
+        deq = lo_ + q * rng_ / 255.0
+        e = np.round(((X - deq) ** 2).sum(axis=1), 9)
+        nano = np.round(e * 1e9).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "tot": pa.array([int(nano.sum())], pa.int64()),
+            "mx": pa.array([int(nano.max()) if len(nano) else 0],
+                           pa.int64())})
+
+    n = tot = mx = 0
+    for t in ds.select_columns([vec_col]).map_batches(
+            err, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        n += int(t["n"].to_numpy().sum())
+        tot += int(t["tot"].to_numpy().sum())
+        mx = max(mx, int(t["mx"].to_numpy().max(initial=0)))
+    import pandas as pd
+
+    return pd.DataFrame([{"n_vectors": n, "total_err_nano": tot,
+                          "max_err_nano": mx}])
+
+
+def dim_truncation_census(ds, ks=(8, 16, 32, 64),
+                          vec_col: str = "embedding"):
+    """Matryoshka-style dimension-ablation census: the energy fraction
+    LOST by truncating every embedding to its first k dims (the read
+    that sizes a cheap prefilter index before the full-dim rerank).
+    Integer nano-unit energies (order-independent sums); one streaming
+    pass for all k."""
+    import pandas as pd
+
+    ks = sorted(int(k) for k in ks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch, vec_col)
+        sq = np.round(X ** 2, 9)
+        nano = np.round(sq * 1e9).astype(np.int64)
+        cum = nano.cumsum(axis=1)
+        rows = {"k": pa.array(ks, pa.int64()),
+                "kept": pa.array([int(cum[:, k - 1].sum()) for k in ks],
+                                 pa.int64()),
+                "total": pa.array([int(cum[:, -1].sum())] * len(ks),
+                                  pa.int64())}
+        return pa.table(rows)
+
+    kept = {k: 0 for k in ks}
+    total = 0
+    for t in ds.select_columns([vec_col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for i in range(len(t)):
+            kept[int(t["k"][i].as_py())] += int(t["kept"][i].as_py())
+        total += int(t["total"][0].as_py()) if len(t) else 0
+    return pd.DataFrame([
+        {"k": k, "kept_nano": kept[k], "total_nano": total,
+         "lost_ppm": int(1_000_000 * (total - kept[k]) // total)
+         if total else 0}
+        for k in ks])
