@@ -10123,6 +10123,17 @@ def q_dim_truncation(sf_dir: str):
     return dim_truncation_census(_read(sf_dir, "embeddings"))
 
 
+
+def q_binary_embed_audit(sf_dir: str):
+    """Sign-bit (binary) quantization audit (ann.binary_embed_audit):
+    cosine estimated from sign-pattern Hamming distance via
+    cos(pi*h/d), measured against true cosine over the probe set's
+    all-pairs — the third compression beside PQ/SQ8, 8 bytes/vector."""
+    from frontera_ray.stages.ann import binary_embed_audit
+
+    return binary_embed_audit(_read(sf_dir, "embeddings"), probe_ids=40)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "seed_normalize": q_seed_normalize,
     "dict_tag_census": q_dict_tag_census,
@@ -10135,6 +10146,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ams_f2": q_ams_f2,
     "sq8_census": q_sq8_census,
     "dim_truncation": q_dim_truncation,
+    "binary_embed_audit": q_binary_embed_audit,
     "holt_trend": q_holt_trend,
     "image_dhash": q_image_dhash,
     "rbo_rankings": q_rbo_rankings,
@@ -11996,6 +12008,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rr = 1 ORDER BY user_id""",
         "image_dhash": _image_dhash_oracle(),
         "pq_codebook": _pq_oracle(),
+        # sign-bit cosine estimator audit: identical formula order
+        # (cos(pi*h/64), errors floored at +0.5 micro)
+        "binary_embed_audit": """
+            WITH p AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 40),
+            h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         (SELECT count(*) FROM generate_series(0, 63) g(i)
+                          WHERE (a.embedding[g.i + 1]::DOUBLE >= 0)
+                                <> (b.embedding[g.i + 1]::DOUBLE >= 0))
+                           AS ham,
+                         list_cosine_similarity(
+                           a.embedding::DOUBLE[],
+                           b.embedding::DOUBLE[]) AS tru
+                  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+            e AS (SELECT abs(tru - cos(pi() * ham / 64.0)) AS err
+                  FROM h)
+            SELECT count(*)::BIGINT AS n_pairs,
+                   CAST(floor(avg(err) * 1000000 + 0.5) AS BIGINT)
+                     AS mean_err_micro,
+                   CAST(floor(max(err) * 1000000 + 0.5) AS BIGINT)
+                     AS max_err_micro
+            FROM e""",
+
         # SQ8 replay: identical op order (q first, then lo + q*rng/255),
         # per-vector error rounded 1e-9 then nano-int summed
         "sq8_census": """

@@ -123,7 +123,7 @@ BENCH_QUERIES = [
     "embedding_mmd", "cramers_v", "url_template_census",
     "dict_tag_census", "holt_trend", "image_dhash", "rbo_rankings",
     "pq_codebook", "hll_sliding", "sign_flip_test", "ann_ivfpq",
-    "crawl_dfs", "pcsa_distinct", "ams_f2", "sq8_census", "dim_truncation",
+    "crawl_dfs", "pcsa_distinct", "ams_f2", "sq8_census", "dim_truncation", "binary_embed_audit",
 ]
 
 CRAWL_HOSTS = 8192

@@ -1615,3 +1615,40 @@ def dim_truncation_census(ds, ks=(8, 16, 32, 64),
          "lost_ppm": int(1_000_000 * (total - kept[k]) // total)
          if total else 0}
         for k in ks])
+
+
+def binary_embed_audit(ds, probe_ids: int = 40,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Binary (sign-bit) quantization audit — the third ANN compression
+    beside PQ and SQ8 (64 dims -> 8 bytes): b_i = (x_i >= 0), and the
+    cosine of a pair is estimated from the Hamming distance of their
+    sign patterns as cos(pi * h / d) (the hyperplane-LSH collision
+    identity). The audit measures that estimator against true cosine
+    over the bounded probe set's all-pairs (the pairs a curator would
+    spot-check before trusting sign-bit prefiltering corpus-wide).
+
+    Scale shape: ONE streaming mask-filter collects only the probe
+    rows (probe_ids x d values on the driver — bounded); everything
+    pairwise happens on that bounded set. Returns one row
+    (n_pairs, mean_err_micro, max_err_micro) with micro-rounded float
+    errors (identical formula order in the SQL twin)."""
+    import pandas as pd
+
+    qids, qmat = _query_rows(ds, range(probe_ids))
+    X = qmat.astype(np.float64)
+    bits = X >= 0
+    n = len(qids)
+    d = X.shape[1]
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Xn = X / nrm
+    true = Xn @ Xn.T
+    ham = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    est = np.cos(np.pi * ham / d)
+    iu = np.triu_indices(n, k=1)
+    err = np.abs(true[iu] - est[iu])
+    return pd.DataFrame([{
+        "n_pairs": int(len(err)),
+        "mean_err_micro": int(np.floor(err.mean() * 1e6 + 0.5)),
+        "max_err_micro": int(np.floor(err.max() * 1e6 + 0.5))}])
