@@ -921,7 +921,7 @@ class RayCrawler:
         return t["image_id"].to_pylist()
 
     def dedup_sink(self, max_hamming: int = 2, blocks: int | None = None,
-                   exchange: str = "groups") -> dict:
+                   exchange: str | None = None) -> dict:
         """Post-crawl phash near-dup pass over the sink fragments (the
         graft's stated purpose for the phash column): pruned
         (image_id, phash) read of every round fragment -> the shared

@@ -108,7 +108,7 @@ def greedy_pack(buckets: np.ndarray, ids: np.ndarray, ws: np.ndarray,
 
 
 def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
-                   bucket_size: int = 64, exchange: str = "groups"):
+                   bucket_size: int = 64, exchange: str | None = None):
     """Greedy sequence packing: group rows (documents) into packs whose
     total ``weight_col`` (token count) stays <= ``budget`` — the
     pre-training batch-shaping step that turns ragged documents into
