@@ -9928,12 +9928,14 @@ def q_pq_codebook(sf_dir: str):
 
 def q_hll_sliding(sf_dir: str):
     """Timestamped sliding-window HyperLogLog (sketches.hll_sliding):
-    per (register, rho) the max event stamp, so ANY trailing window
-    answers from the one merged sketch — distinct users in the last
-    quarter-span at three window ends, with the exact companion.
-    Register pairs are md5-bit-reproducible, so the DuckDB twin replays
-    the sketch (same stamp semantics: global max stamp per pair, then
-    the window test) and the estimates hash-match."""
+    per (register, rho) a gap-coalesced run staircase of event stamps,
+    lossless for the fixed window width — so ANY window end (past or
+    trailing) answers from the one merged sketch exactly as a full
+    replay would: distinct users in the last quarter-span at three
+    window ends, with the exact companion. Register pairs are
+    md5-bit-reproducible, so the DuckDB twin replays the plain EXISTS
+    semantics (pair live iff some event stamp falls in the window) and
+    the estimates hash-match."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -12178,12 +12180,11 @@ def oracle_sql() -> dict[str, str]:
                                  ::UBIGINT AS h,
                                epoch_us(ts)::BIGINT AS ts_us
                         FROM events)),
-            pairs AS (SELECT idx, rho, max(ts_us) AS stamp
-                      FROM b GROUP BY idx, rho),
+            pairs AS (SELECT DISTINCT idx, rho, ts_us FROM b),
             r AS (SELECT w.end_us, p.idx, max(p.rho) AS rho
                   FROM pairs p, wins w, span s
-                  WHERE p.stamp >= w.end_us - (s.t1 - s.t0) // 4
-                    AND p.stamp <= w.end_us
+                  WHERE p.ts_us >= w.end_us - (s.t1 - s.t0) // 4
+                    AND p.ts_us <= w.end_us
                   GROUP BY 1, 2),
             agg AS (SELECT end_us,
                            SUM(1::BIGINT << (51 - rho))::HUGEINT AS s_live,

@@ -208,9 +208,21 @@ class HttpWeb:
                 counts)
 
     # -- robots / sitemap --------------------------------------------------
-    def robots_body(self, host: str):
-        netloc = self._netloc_of.get(host, host)
-        body, ctype = self._get(f"http://{netloc}/robots.txt")
+    def robots_body(self, host: str, sample_url: str | None = None):
+        """robots.txt for ``host``. The queue forwards a sample queued
+        URL (two-arg provider protocol, QueueShard._domain_meta), which
+        pins the TRUE origin — scheme AND non-default port. The lazily
+        learned ``_netloc_of`` map is per worker process, so a host
+        first seen on a different worker would otherwise fall back to
+        the bare hostname over http and silently miss its port."""
+        scheme, netloc = "http", self._netloc_of.get(host, host)
+        if sample_url:
+            p = urlsplit(sample_url)
+            if p.scheme in self.allowed_schemes and p.netloc:
+                scheme, netloc = p.scheme, p.netloc
+                if p.hostname:
+                    self._netloc_of.setdefault(p.hostname, p.netloc)
+        body, ctype = self._get(f"{scheme}://{netloc}/robots.txt")
         if not body:
             return None
         try:

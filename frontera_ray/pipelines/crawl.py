@@ -829,6 +829,33 @@ class RayCrawler:
         if old.exists():
             shutil.rmtree(old)
 
+    def _sink_fragments(self) -> list[tuple[int, str, int]]:
+        """Every sink round fragment as (round_no, path, bytes), sorted.
+        When ``sink_fs`` is set the fragments exist ONLY behind that
+        filesystem (fetch_and_sink writes through it), so enumeration
+        must go through a ``FileSelector`` on it — a local glob would
+        silently see nothing on a remote-sink deployment."""
+        frags: list[tuple[int, str, int]] = []
+        if self.sink_fs is not None:
+            from pyarrow import fs as _pafs
+
+            sel = _pafs.FileSelector(str(self.out), recursive=True,
+                                     allow_not_found=True)
+            for info in self.sink_fs.get_file_info(sel):
+                if (info.type != _pafs.FileType.File
+                        or not info.path.endswith(".parquet")):
+                    continue
+                parent = info.path.rsplit("/", 2)[-2]
+                if not parent.startswith("round="):
+                    continue  # keep/, checkpoint/ live under out too
+                frags.append((int(parent.split("=")[1]), info.path,
+                              int(info.size)))
+        else:
+            for f in self.out.glob("round=*/*.parquet"):
+                frags.append((int(f.parent.name.split("=")[1]), str(f),
+                              f.stat().st_size))
+        return sorted(frags)
+
     def _sink_manifest(self) -> dict:
         """Per-round sink lineage: fragment count + total bytes of every
         COMPLETE round (the north rule's per-partition lineage): enough
@@ -837,15 +864,13 @@ class RayCrawler:
         contain immutable fully-written fragments at checkpoint time
         (the drain barrier / BSP invariant), so (files, bytes) is a
         stable signature."""
-        man = {}
-        for d in sorted(self.out.glob("round=*")):
-            rno = int(d.name.split("=")[1])
+        man: dict = {}
+        for rno, _path, nbytes in self._sink_fragments():
             if rno >= self.round:
                 continue  # in-flight rounds are deleted + re-run anyway
-            frags = sorted(d.glob("*.parquet"))
-            man[str(rno)] = {"files": len(frags),
-                             "bytes": int(sum(f.stat().st_size
-                                              for f in frags))}
+            ent = man.setdefault(str(rno), {"files": 0, "bytes": 0})
+            ent["files"] += 1
+            ent["bytes"] += int(nbytes)
         return man
 
     def restore(self, strict_manifest: bool = True) -> dict:
@@ -863,9 +888,18 @@ class RayCrawler:
         self.round = meta["round"]
         self.pages_total = meta["pages_total"]
         # rounds at/after the checkpoint re-run deterministically
-        for d in self.out.glob("round=*"):
-            if int(d.name.split("=")[1]) >= self.round:
-                shutil.rmtree(d)
+        if self.sink_fs is not None:
+            for rno in {r for r, _p, _b in self._sink_fragments()
+                        if r >= self.round}:
+                try:
+                    self.sink_fs.delete_dir(
+                        str(self.out / f"round={rno:05d}"))
+                except (FileNotFoundError, OSError):
+                    pass
+        else:
+            for d in self.out.glob("round=*"):
+                if int(d.name.split("=")[1]) >= self.round:
+                    shutil.rmtree(d)
         # sink-lineage audit: every round the snapshot declared complete
         # must still be present with the recorded fragment count/bytes —
         # a silently vanished or truncated fragment would otherwise
@@ -914,10 +948,12 @@ class RayCrawler:
 
     def crawled_urls(self):
         """All crawled URLs from the sink (small scales / tests only)."""
-        frags = sorted(self.out.glob("round=*/*.parquet"))
+        frags = [p for _r, p, _b in self._sink_fragments()]
         if not frags:
             return []
-        t = pa.concat_tables([pq.read_table(f, columns=["image_id"]) for f in frags])
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["image_id"], filesystem=self.sink_fs)
+            for f in frags])
         return t["image_id"].to_pylist()
 
     def dedup_sink(self, max_hamming: int = 2, blocks: int | None = None,
@@ -936,7 +972,7 @@ class RayCrawler:
 
         from ..stages.images import sink_keeper_table
 
-        frags = sorted(str(p) for p in self.out.glob("round=*/*.parquet"))
+        frags = [p for _r, p, _b in self._sink_fragments()]
         keep_dir = self.out / "keep"
         if self.sink_fs is not None:
             try:

@@ -63,7 +63,15 @@ def block_topk_batch(batch: pa.Table, query_ref, k: int) -> pa.Table:
     norms[norms == 0] = 1.0
     sims = (emb / norms) @ qn.T  # (B, Q)
     k = min(k, len(batch))
-    idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+    # partial cut under the SAME total order as _merge_topk
+    # (round(sim,9) desc, vec_id asc): rows pre-sorted by vec_id, then
+    # a stable argsort on the rounded sims — a raw-float argpartition
+    # could drop the vec_id-ascending winner of a rounding tie
+    # straddling the cut
+    vorder = np.argsort(vec_ids, kind="stable")
+    vec_ids = vec_ids[vorder]
+    sims = sims[vorder]
+    idx = np.argsort(-np.round(sims, 9), axis=0, kind="stable")[:k]
     out_q, out_v, out_s = [], [], []
     for qi, qid in enumerate(qids):
         rows = idx[:, qi]
@@ -350,7 +358,12 @@ def ivf_topk_fixed(ds, query_ids, k: int = 10, nlist: int = 8,
         sims = np.where(allowed, sims, -np.inf)
         vec_ids = batch["vec_id"].to_numpy()
         kk = min(k, len(batch))
-        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        # same-total-order partial cut as _merge_topk (see
+        # block_topk_batch): rounding-tie-safe at the kk boundary
+        vorder = np.argsort(vec_ids, kind="stable")
+        vec_ids = vec_ids[vorder]
+        sims = sims[vorder]
+        idx = np.argsort(-np.round(sims, 9), axis=0, kind="stable")[:kk]
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(qids_):
             rows = idx[:, qi]

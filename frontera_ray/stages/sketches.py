@@ -43,6 +43,21 @@ def _md5_hash64(vals) -> np.ndarray:
         dtype=np.uint64, count=len(vals))
 
 
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact per-element integer bit length (uint64 -> int64; 0 -> 0).
+    float64 frexp is NOT exact for w >= 2^53 near power-of-two
+    boundaries (2^57 - 1 rounds up and frexp reports 58), so sketches
+    whose hash words exceed 53 bits compute the length with integer
+    ops over the distinct words — matching the SQL twins'
+    length(bin(w)) bit-for-bit. The Python-int loop runs once per
+    DISTINCT word; the md5 hashing upstream already paid a per-row
+    Python pass, so this is never the batch's hot edge."""
+    uniq, inv = np.unique(w, return_inverse=True)
+    ubl = np.fromiter((int(v).bit_length() for v in uniq),
+                      dtype=np.int64, count=len(uniq))
+    return ubl[inv]
+
+
 def hll_partial(h: np.ndarray, p: int) -> np.ndarray:
     """Fold 64-bit hashes into a fresh 2^p register array (uint8).
 
@@ -684,20 +699,50 @@ def kmv_jaccard_pairs(ds, group_col: str, text_col: str = "text",
         "jaccard_ppm": pa.array(ppms, pa.int64())})
 
 
+def _merge_runs(key: np.ndarray, first: np.ndarray, last: np.ndarray,
+                w: int):
+    """Coalesce per-key timestamp runs: a point t answers window ends
+    in [t, t + w], so two runs of the same key merge when the next
+    first is <= prev max(last) + w + 1 (overlap-or-adjacent on integer
+    ends). Vectorized interval merge: sort by (key, first), segmented
+    exclusive cummax of ``last`` (offset trick, overflow-safe after
+    rebasing ts to the observed span), boundary where a first clears
+    the running max by more than w + 1. Returns merged
+    (key, first, last)."""
+    if len(key) == 0:
+        return key, first, last
+    order = np.lexsort((first, key))
+    k, f, l = key[order], first[order], last[order]
+    newseg = np.concatenate(([True], k[1:] != k[:-1]))
+    seg = np.cumsum(newseg) - 1
+    base = int(min(f[0], l.min()))
+    off = int(l.max()) - base + int(w) + 2
+    cm = np.maximum.accumulate(l - base + seg * off) - seg * off + base
+    cm_prev = np.concatenate(([base], cm[:-1]))  # exclusive running max
+    newrun = newseg | (f > cm_prev + w + 1)
+    starts = np.flatnonzero(newrun)
+    return k[starts], f[starts], np.maximum.reduceat(l, starts)
+
+
 def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
                 p: int = 14):
     """Timestamped (sliding-window) HyperLogLog — the streaming upgrade
     of ``hll_count_distinct`` for "distinct users in the LAST w hours"
-    reads without re-scanning history per query: the sketch stores, per
-    (register, rho) pair, the MAX event timestamp that produced it
-    (public technique: sliding HLL / LPFM lists, Fusy & Giroire).
-    Any window [t_end - w, t_end] with t_end <= max ts is then answered
-    from the sketch alone: register_j = max rho whose stamp falls in
-    the window.
+    reads without re-scanning history per query (public technique:
+    sliding HLL / LPFM lists, Fusy & Giroire; Chabchoub & Hebrail).
+    The sketch stores, per (register, rho) pair, the gap-coalesced
+    RUNS of event timestamps (runs closer than window_us merge — see
+    ``_merge_runs``). Because a pair answers "was rho observed in
+    [end - w, end]" iff some run satisfies first <= end <= last + w,
+    the coalesced staircase is LOSSLESS for the fixed width w: ANY
+    window end (past or trailing) estimates exactly as a from-scratch
+    replay — a max-stamp-only sketch would mask an in-window
+    observation re-seen after the window end and bias past-end reads
+    low.
 
-    Scale shape: per-block partials groupby (idx, rho) -> max ts (a
-    combiner: max is associative/idempotent); the driver merges
-    sketch-sized partials — bounded by 2^p x (64 - p + 1) pairs, never
+    Scale shape: per-block partials coalesce locally (a combiner: run
+    merge is associative); the driver merges run-sized partials —
+    bounded by 2^p x (64 - p + 1) pairs x (span / w + 1) runs, never
     by rows — and answers every requested window from the one merged
     sketch. Exact companion per window for the oracle's benefit is the
     caller's job (count DISTINCT over the window filter).
@@ -706,11 +751,13 @@ def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
     import pyarrow.compute as pc
 
     ends_us = [int(e) for e in ends_us]
+    w_us = int(window_us)
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"idx": pa.array([], pa.int64()),
                           "rho": pa.array([], pa.int64()),
-                          "max_ts": pa.array([], pa.int64())})
+                          "first_ts": pa.array([], pa.int64()),
+                          "last_ts": pa.array([], pa.int64())})
         col_arr = batch[col]
         if col_arr.null_count:
             keep = pc.is_valid(col_arr)
@@ -722,18 +769,16 @@ def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
         ts = batch[ts_col].to_numpy().astype(np.int64)
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h & np.uint64((1 << (64 - p)) - 1)
-        bitlen = np.frexp(w.astype(np.float64))[1]
+        # exact for any p (frexp would misrank near 2^k once 64-p > 53)
+        bitlen = _bit_length_u64(w)
         rho = ((64 - p) - bitlen + 1).astype(np.int64)
         key = idx * 64 + rho
-        order = np.argsort(key, kind="stable")
-        sk, sts = key[order], ts[order]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], sk[1:] != sk[:-1])))
-        mx = np.maximum.reduceat(sts, starts)
+        mk, mf, ml = _merge_runs(key, ts, ts, w_us)
         return pa.table({
-            "idx": pa.array(sk[starts] // 64, pa.int64()),
-            "rho": pa.array(sk[starts] % 64, pa.int64()),
-            "max_ts": pa.array(mx, pa.int64())})
+            "idx": pa.array(mk // 64, pa.int64()),
+            "rho": pa.array(mk % 64, pa.int64()),
+            "first_ts": pa.array(mf, pa.int64()),
+            "last_ts": pa.array(ml, pa.int64())})
 
     parts = [t for t in ds.select_columns([col, ts_col])
              .map_batches(partial, batch_format="pyarrow")
@@ -742,19 +787,13 @@ def hll_sliding(ds, col: str, ts_col: str, ends_us, window_us: int,
     if not parts:
         return [(e, 0) for e in ends_us]
     allp = pa.concat_tables(parts)
-    idx = allp["idx"].to_numpy()
-    rho = allp["rho"].to_numpy()
-    mts = allp["max_ts"].to_numpy()
-    key = idx * 64 + rho
-    order = np.argsort(key, kind="stable")
-    sk, sts = key[order], mts[order]
-    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
-    mx = np.maximum.reduceat(sts, starts)
-    sidx, srho = sk[starts] // 64, sk[starts] % 64
+    key = allp["idx"].to_numpy() * 64 + allp["rho"].to_numpy()
+    mk, mf, ml = _merge_runs(key, allp["first_ts"].to_numpy(),
+                             allp["last_ts"].to_numpy(), w_us)
+    sidx, srho = mk // 64, mk % 64
     out = []
     for end in ends_us:
-        lo = end - int(window_us)
-        live = (mx >= lo) & (mx <= end)
+        live = (mf <= end) & (end <= ml + w_us)
         regs = np.zeros(1 << p, np.uint8)
         np.maximum.at(regs, sidx[live], srho[live].astype(np.uint8))
         out.append((end, int(np.floor(hll_estimate(regs)))))
@@ -786,7 +825,10 @@ def pcsa_distinct(ds, col: str, n_regs: int = 64):
             h = _md5_hash64(col_arr.to_pylist())
             idx = (h % np.uint64(n_regs)).astype(np.int64)
             w = h // np.uint64(n_regs)
-            bitlen = np.frexp(w.astype(np.float64))[1]  # w < 2^58: exact
+            # w < 2^58 exceeds float53 precision: integer bit length
+            # (matches the SQL twin's length(bin(w)) exactly; frexp
+            # would report 58 for 2^57-1 and wrap rho at 2^58 bounds)
+            bitlen = _bit_length_u64(w)
             rho = (58 - bitlen).astype(np.uint64)       # leading-zero rank
             rho = np.minimum(rho, np.uint64(63))
             np.bitwise_or.at(regs, idx, np.uint64(1) << rho)

@@ -454,6 +454,22 @@ class QueueShard:
         self._max_pages_per_domain = max_pages_per_domain
         self._robots_enabled = robots_enabled
         self._robots_provider = robots_provider
+        # providers that accept (host, sample_url) get the triggering
+        # URL so they can pin the exact origin (scheme AND port) — a
+        # bare hostname loses a non-default port for hosts first seen
+        # on a different worker (HttpWeb.robots_body)
+        self._robots_wants_url = False
+        if robots_provider is not None:
+            import inspect
+
+            try:
+                pos = [p for p in inspect.signature(
+                           robots_provider).parameters.values()
+                       if p.kind in (p.POSITIONAL_ONLY,
+                                     p.POSITIONAL_OR_KEYWORD)]
+                self._robots_wants_url = len(pos) >= 2
+            except (TypeError, ValueError):
+                pass
         self._key_type = key_type
         self.domains = TwoGenDomainCache(cap=domain_cache_size)
         self._rng = random.Random(purge_seed)
@@ -494,14 +510,19 @@ class QueueShard:
         return _split_host(h)[0] in self._blacklist
 
     # -- scheduling ----------------------------------------------------------
-    def _domain_meta(self, host: str) -> DomainMetadata:
+    def _domain_meta(self, host: str,
+                     sample_url: str | None = None) -> DomainMetadata:
         """Lazily initialize per-host metadata; with a robots_provider,
         the host's robots.txt is fetched once on first contact (the
-        discovery pattern: robots before pages)."""
+        discovery pattern: robots before pages). ``sample_url`` — any
+        queued URL for the host — is forwarded to two-arg providers so
+        the robots fetch hits the URL's true origin."""
         known = host in self.domains
         meta = self.domains[host]
         if not known and self._robots_provider is not None:
-            body = self._robots_provider(host)
+            body = (self._robots_provider(host, sample_url)
+                    if self._robots_wants_url
+                    else self._robots_provider(host))
             if body:
                 lines = body.splitlines()
                 from ..filters import is_valid_robotstxt
@@ -518,7 +539,7 @@ class QueueShard:
             if self._blacklist and self._blacklisted(e.host):
                 self.stats["dropped_blacklist"] += 1
                 continue
-            meta = self._domain_meta(e.host) if (
+            meta = self._domain_meta(e.host, e.url) if (
                 self._robots_enabled or self._max_pages_per_domain
             ) else None
             if meta is not None:
@@ -571,7 +592,7 @@ class QueueShard:
             if self._blacklist and self._blacklisted(host):
                 self.stats["dropped_blacklist"] += len(group)
                 continue
-            meta = self._domain_meta(host)
+            meta = self._domain_meta(host, group[0][0])
             if meta.banned:
                 self.stats["dropped_banned"] += len(group)
                 continue

@@ -101,3 +101,69 @@ def test_httpweb_full_ray_crawl(ray_session, http_site, tmp_path):
     assert pix.shape == (png["h"], png["w"], 3)
     html = rows[f"http://{http_site}/index.html"]
     assert html["fmt"] == "html" and html["caption"] == "Index Page"
+
+
+def test_httpweb_robots_port_via_sample_url(ray_session, tmp_path_factory,
+                                            tmp_path):
+    """A second origin on its OWN non-default port, reachable only
+    through a cross-site link (never in the seed list): its robots.txt
+    must still be honored. The queue forwards a sample queued URL to
+    two-arg robots providers (QueueShard._domain_meta), which pins the
+    scheme and port — the lazily-learned per-worker netloc map alone
+    would fall back to port 80 and silently treat the host as
+    allow-all (the r4 advisory gap)."""
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from frontera_ray.contrib.httpweb import HttpWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    def serve(root):
+        class Handler(SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory=str(root), **kw)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    # origin B: robots forbids /secret; known only via a link from A.
+    # Host key "localhost" (vs A's "127.0.0.1") => first contact with B
+    # happens inside a queue shard whose HttpWeb copy never saw B's port.
+    root_b = tmp_path_factory.mktemp("site_b")
+    (root_b / "landing.html").write_text(
+        '<html><head><title>B</title></head>'
+        '<body><a href="/secret/x.html">x</a></body></html>')
+    (root_b / "secret").mkdir()
+    (root_b / "secret" / "x.html").write_text("<html>no</html>")
+    (root_b / "robots.txt").write_text("User-agent: *\nDisallow: /secret\n")
+    srv_b = serve(root_b)
+    port_b = srv_b.server_address[1]
+
+    root_a = tmp_path_factory.mktemp("site_a")
+    (root_a / "index.html").write_text(
+        '<html><body>'
+        f'<a href="http://localhost:{port_b}/landing.html">b</a>'
+        "</body></html>")
+    (root_a / "robots.txt").write_text("User-agent: *\nAllow: /\n")
+    srv_a = serve(root_a)
+    port_a = srv_a.server_address[1]
+
+    try:
+        web = HttpWeb([f"http://127.0.0.1:{port_a}/index.html"])
+        c = RayCrawler(
+            web, str(tmp_path / "out"), num_state_shards=1,
+            num_queue_shards=1, batch_per_shard=16,
+            queue_kwargs=dict(robots_enabled=True,
+                              robots_provider=web.robots_body))
+        c.add_seeds(web.seeds())
+        c.run(max_rounds=10)
+        urls = c.crawled_urls()
+        assert f"http://localhost:{port_b}/landing.html" in urls
+        assert not any("/secret/" in u for u in urls)
+    finally:
+        srv_a.shutdown()
+        srv_b.shutdown()

@@ -202,6 +202,52 @@ def test_sink_fs_hook(ray_session, tmp_path):
     assert c2.sink_fs is not None
 
 
+def test_sink_fs_non_local_routing(ray_session, tmp_path):
+    """ALL sink I/O — fragment writes, manifest lineage, dedup_sink's
+    keep-list, restore's stale-round cleanup — routes through the
+    sink_fs handle, exercised with a genuinely non-local-path
+    filesystem: a SubTreeFileSystem chrooted at a separate mount, so
+    the driver-local out_dir provably holds NO round fragments. This is
+    the shared-storage contract a multi-node cluster relies on (the
+    checkpoint dir itself stays driver-local by design)."""
+    from pyarrow import fs as pafs
+
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    remote_root = tmp_path / "remote_mount"
+    remote_root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(remote_root), pafs.LocalFileSystem())
+    out = tmp_path / "local" / "out"
+    web = SyntheticWeb(5, seed=7, max_class=2)
+    c = RayCrawler(web, str(out), num_state_shards=2, num_queue_shards=2,
+                   batch_per_shard=32, checkpoint_every=2, sink_fs=sub)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=20)
+    # fragments exist ONLY behind the subtree root, not at the local path
+    assert not list(out.glob("round=*")), "sink leaked to local path"
+    behind = list(remote_root.glob(f"{str(out).lstrip('/')}/round=*/*.parquet"))
+    assert behind, "no fragments behind the remote mount"
+    # enumeration APIs see the remote fragments (the r4 advisory gap:
+    # a local glob here silently returned nothing)
+    urls = c.crawled_urls()
+    assert len(urls) == web.total_pages()
+    man = c._sink_manifest()
+    assert man and sum(e["files"] for e in man.values()) == len(behind)
+    assert all(e["bytes"] > 0 for e in man.values())
+    # post-crawl phash keep-list runs over the remote fragments and
+    # writes keep/ behind the same handle
+    res = c.dedup_sink()
+    assert res["images"] == web.total_pages()
+    assert not (out / "keep").exists()
+    assert list(remote_root.glob(f"{str(out).lstrip('/')}/keep/*.parquet"))
+    # restore audits lineage through the handle and passes
+    c2 = RayCrawler(web, str(out), num_state_shards=2, num_queue_shards=2,
+                    batch_per_shard=32, sink_fs=sub)
+    meta = c2.restore()
+    assert meta["sink_audit"]["ok"]
+
+
 def test_cuckoo_mode_crawl_complete(ray_session, tmp_path):
     """With states_filter='cuckoo' (deletable membership filter + exact
     overlay — the north rule's 'bloom/cuckoo URL-seen') the crawl still
