@@ -3660,6 +3660,30 @@ def q_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_pagerank_join(sf_dir: str):
+    """The JOIN-PATH PageRank (pagerank.pagerank_join) over the same
+    doc-derived graph as q_pagerank: rank shards hash-partitioned by
+    node, edges partitioned ONCE by src (dedup + outdegree fall out of
+    that one exchange), each iteration a partition-local ranks⋈edges
+    reduceat plus one pre-aggregated (dst, contrib) all-to-all — no
+    O(n_nodes) vector anywhere, the 10^10-URL-graph execution shape.
+    Same recurrence, same SQL oracle as the dense path."""
+    from frontera_ray.stages.pagerank import pagerank_join
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = pagerank_join(ds, iters=5).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (long format) — class prototypes
     via streaming partial sum-vectors + tiny driver combine."""
@@ -10317,6 +10341,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "running_total": q_running_total,
     "pagerank": q_pagerank,
+    "pagerank_join": q_pagerank_join,
     "label_centroids": q_label_centroids,
     "length_outliers": q_length_outliers,
     "cms_counts": q_cms_counts,
@@ -14231,6 +14256,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING)
             ORDER BY user_id, event_id""",
         "pagerank": _pagerank_oracle(),
+        "pagerank_join": _pagerank_oracle(),
         # list indexing is 1-based in DuckDB; embedding floats widen to
         # DOUBLE exactly, so sum/count matches the numpy combine to the
         # rounding guard

@@ -1323,10 +1323,12 @@ def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     vectorized within-run pair expansion (``_run_pair_indices`` — no
     per-bucket Python), loud guard on hot fingerprints (a fp shared by
     > ``max_bucket_docs`` docs is boilerplate; raise the floor or
-    pre-filter). Pair-shared counting
-    happens on the driver over the PAIR LIST ONLY (same contract as
-    minhash_neardup_pairs: near-dup pairs are rare by construction;
-    the corpus never materializes). Returns a pandas DataFrame
+    pre-filter). Pair-shared counting is a SECOND keyed exchange on
+    ``a`` (identical (a,b) pairs co-locate under the smaller member;
+    per-partition lexsort + run-count kernel applies ``min_shared``
+    before anything ships) — the driver only ever concatenates the
+    RESULT rows, so a skew of moderate buckets never lands the raw
+    pair stream in one process. Returns a pandas DataFrame
     (a, b, shared) with a < b."""
     import pandas as pd
 
@@ -1361,16 +1363,35 @@ def winnow_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "a": pa.array(np.minimum(si[ii], si[jj]), pa.int64()),
             "b": pa.array(np.maximum(si[ii], si[jj]), pa.int64())})
 
+    def count_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "shared": pa.array([], pa.int64())})
+        if len(batch) == 0 or "a" not in batch.column_names:
+            return empty
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        new = np.concatenate(([True], (sa[1:] != sa[:-1])
+                              | (sb[1:] != sb[:-1])))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(sa)])))
+        keep = counts >= min_shared
+        return pa.table({
+            "a": pa.array(sa[starts][keep], pa.int64()),
+            "b": pa.array(sb[starts][keep], pa.int64()),
+            "shared": pa.array(counts[keep], pa.int64())})
+
     pairs = keyed_exchange(fps, "fp", pair_kernel, exchange)
-    parts = [t.to_pandas() for t in pairs.iter_batches(
+    counted = keyed_exchange(pairs, "a", count_kernel, exchange)
+    parts = [t.to_pandas() for t in counted.iter_batches(
         batch_format="pyarrow", batch_size=None) if len(t)]
     if not parts:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "shared": pd.Series([], dtype="int64")})
-    df = (pd.concat(parts).groupby(["a", "b"], as_index=False).size()
-          .rename(columns={"size": "shared"}))
-    df = df[df["shared"] >= min_shared].astype("int64")
+    df = pd.concat(parts).astype("int64")
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 

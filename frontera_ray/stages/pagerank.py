@@ -77,14 +77,44 @@ def _sweep_edge_block(tbl: pa.Table, fn) -> np.ndarray:
     return fn(tbl["src"].to_numpy(), tbl["dst"].to_numpy())
 
 
-def _edge_block_refs(edges) -> list:
+def _concat_edge_blocks(*ts) -> pa.Table:
+    good = [t for t in ts if t.num_rows and "src" in t.column_names]
+    if not good:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    return pa.concat_tables(good)
+
+
+def _edge_block_refs(edges, min_rows_per_block: int = 65536) -> list:
     """Materialized Arrow block refs for an edge set — accepts a
     Dataset (materialized once) or an already-built ref list, so
     iterative callers hoist the single Dataset execution out of their
     loops and every subsequent sweep is raw tasks over zero-copy
-    object-store blocks."""
-    return edges if isinstance(edges, list) \
-        else edges.materialize().to_arrow_refs()
+    object-store blocks.
+
+    Small edge sets are coalesced to ~``min_rows_per_block`` rows per
+    block (one one-time concat round): the dedup exchange leaves P ≈
+    num_cpus partitions, and an iterative caller otherwise pays P
+    near-empty task launches per sweep × 2 sweeps × iters — pure
+    overhead when the whole graph is a few thousand rows (measured:
+    hits at sf0.1 0.54 s → 0.36 s). Full blocks at real scale are
+    untouched, so sweep parallelism is preserved exactly where it
+    pays."""
+    if isinstance(edges, list):
+        return edges
+    import ray
+
+    mat = edges.materialize()
+    refs = mat.to_arrow_refs()
+    rows = mat.count()
+    target = max(1, min(len(refs),
+                        -(-int(rows) // int(min_rows_per_block))))
+    if target >= len(refs):
+        return refs
+    concat = ray.remote(_concat_edge_blocks)
+    chunk = -(-len(refs) // target)
+    return [concat.remote(*refs[i:i + chunk])
+            for i in range(0, len(refs), chunk)]
 
 
 def _dense_partials(edges, fn, n_nodes: int) -> np.ndarray:
@@ -104,10 +134,27 @@ def _dense_partials(edges, fn, n_nodes: int) -> np.ndarray:
     return out
 
 
+def _choose_node_space(n_nodes: int, teleport) -> str:
+    """Policy twin of relational.choose_exchange for link analysis:
+    'dense' (broadcast float64 node vector — fastest while n_nodes
+    fits a worker heap) vs 'join' (hash-partitioned rank shards +
+    per-iteration keyed all-to-all — the 10^10-URL-graph route).
+    Crossover defaults to 1e8 nodes (~800 MB dense vector);
+    PAGERANK_DENSE_MAX_NODES overrides. Personalized teleport vectors
+    are themselves dense, so PPR stays on the dense path."""
+    import os
+
+    if teleport is not None:
+        return "dense"
+    cap = int(os.environ.get("PAGERANK_DENSE_MAX_NODES", 100_000_000))
+    return "dense" if int(n_nodes) <= cap else "join"
+
+
 def pagerank(edges_ds, n_nodes: int, iters: int = 5,
              damping: float = 0.85,
              dedup: bool = True, exchange: str | None = None,
-             teleport: "np.ndarray | None" = None) -> pa.Table:
+             teleport: "np.ndarray | None" = None,
+             node_space: str | None = None) -> pa.Table:
     """PageRank after ``iters`` power iterations; returns a small
     (node, rank) table for the nodes present in the graph (src ∪ dst).
 
@@ -123,9 +170,17 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     uniform jump — both the initial rank and the per-iteration
     restart mass concentrate on its support, so rank measures
     proximity to the seed set (the crawl-focus / related-host read).
-    ``None`` keeps the classic uniform restart."""
+    ``None`` keeps the classic uniform restart.
+
+    ``node_space`` picks the execution shape ('dense' | 'join');
+    ``None`` applies ``_choose_node_space`` — the join path (see
+    ``pagerank_join``) never materializes an O(n_nodes) vector, so
+    node universes beyond worker heap route there automatically."""
     import ray
 
+    if (node_space or _choose_node_space(n_nodes, teleport)) == "join":
+        return pagerank_join(edges_ds, iters=iters, damping=damping,
+                             dedup=dedup)
     if dedup:
         edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
                                exchange=exchange)
@@ -175,6 +230,233 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     nodes = np.flatnonzero(present)
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank": pa.array(r[nodes], pa.float64())})
+
+
+def _node_pids(arr: np.ndarray, P: int) -> np.ndarray:
+    """Stable node-id -> partition hash (same siphash family as
+    relational._task_partition_ids, so ranks-by-node and edges-by-src
+    co-locate across build and iteration tasks)."""
+    import pandas as pd
+
+    return (pd.util.hash_array(arr.astype(np.int64, copy=False))
+            % np.uint64(P)).astype(np.int64)
+
+
+def _pr_split_block(tbl: pa.Table, src_col: str, dst_col: str, P: int):
+    """Map side of the ONE edge exchange: shard a raw edge block into
+    P (src,dst) shards by hash(src) plus P distinct-dst shards by
+    hash(dst) (the dst universe must reach the partition that will own
+    that node's rank). 2P outputs so a build task fetches only its
+    column of the shard matrix."""
+    if tbl.num_rows == 0 or src_col not in tbl.column_names:
+        z = np.empty(0, np.int64)
+        e = pa.table({"src": pa.array(z), "dst": pa.array(z)})
+        d = pa.table({"dst": pa.array(z)})
+        return tuple([e] * P + [d] * P)
+    src = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = []
+    pid = _node_pids(src, P)
+    order = np.argsort(pid, kind="stable")
+    cnt = np.bincount(pid, minlength=P)
+    offs = np.concatenate(([0], np.cumsum(cnt)))
+    ss, dd = src[order], dst[order]
+    for p in range(P):
+        sl = slice(int(offs[p]), int(offs[p + 1]))
+        out.append(pa.table({"src": pa.array(ss[sl], pa.int64()),
+                             "dst": pa.array(dd[sl], pa.int64())}))
+    u = np.unique(dst)  # pre-collapse the node shard within the block
+    pid = _node_pids(u, P)
+    order = np.argsort(pid, kind="stable")
+    cnt = np.bincount(pid, minlength=P)
+    offs = np.concatenate(([0], np.cumsum(cnt)))
+    uu = u[order]
+    for p in range(P):
+        out.append(pa.table({"dst": pa.array(
+            uu[int(offs[p]):int(offs[p + 1])], pa.int64())}))
+    return tuple(out)
+
+
+def _pr_build_partition(P: int, dedup: bool, *shards):
+    """Reduce side, once per partition: its B edge shards + B dst-node
+    shards -> the static per-partition iteration state. Because ALL
+    edges of a src co-locate here, distinct-(src,dst) dedup (lexsort +
+    consecutive diff — no id-range packing needed) and the GLOBAL
+    outdegree both fall out of this one exchange. Precomputes every
+    index the per-iteration kernels reuse:
+
+    - ``nodes``: sorted rank universe owned by this partition
+      (srcs hashing here ∪ dsts hashing here)
+    - ``psrc_pos`` / ``inv_outdeg``: local srcs as positions into
+      ``nodes`` + their 1/outdeg
+    - ``src_code_by_dst`` / ``dst_starts``: edges grouped by dst for a
+      single reduceat per iteration
+    - ``dorder`` / ``offs``: the per-dst sums reordered into
+      destination-partition slices
+    Returns P + 3 objects: state, nodes, n_nodes(scalar), and the P
+    STATIC outbox dst-id arrays (shipped once; iterations move only
+    float sums)."""
+    B = len(shards) // 2
+    etabs = [s for s in shards[:B] if len(s)]
+    ntabs = [s for s in shards[B:] if len(s)]
+    if etabs:
+        et = pa.concat_tables(etabs)
+        src = et["src"].to_numpy().astype(np.int64)
+        dst = et["dst"].to_numpy().astype(np.int64)
+    else:
+        src = dst = np.empty(0, np.int64)
+    if dedup and len(src):
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.ones(len(src), dtype=bool)
+        keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
+        src, dst = src[keep], dst[keep]
+    psrc, src_code, outdeg = (np.unique(src, return_inverse=True,
+                                        return_counts=True)
+                              if len(src) else
+                              (np.empty(0, np.int64),) * 3)
+    own_dst = (np.unique(np.concatenate(
+        [t["dst"].to_numpy() for t in ntabs])).astype(np.int64)
+        if ntabs else np.empty(0, np.int64))
+    nodes = np.union1d(psrc, own_dst)
+    psrc_pos = np.searchsorted(nodes, psrc)
+    inv_outdeg = (1.0 / outdeg.astype(np.float64) if len(psrc)
+                  else np.empty(0, np.float64))
+    # group local edges by dst once; iterations are one reduceat
+    dorder_e = np.argsort(dst, kind="stable")
+    dst_sorted = dst[dorder_e]
+    new_dst = np.concatenate(([True], dst_sorted[1:] != dst_sorted[:-1])) \
+        if len(dst_sorted) else np.empty(0, bool)
+    dst_starts = np.flatnonzero(new_dst)
+    dst_unique = dst_sorted[dst_starts]
+    src_code_by_dst = src_code[dorder_e]
+    # static outbox layout: per-dst sums -> destination partitions
+    pid = _node_pids(dst_unique, P)
+    dorder = np.argsort(pid, kind="stable")
+    cnt = np.bincount(pid, minlength=P)
+    offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+    out_ids = dst_unique[dorder]
+    state = (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts,
+             dorder, offs)
+    return (state, nodes, int(len(nodes)),
+            *[out_ids[int(offs[q]):int(offs[q + 1])] for q in range(P)])
+
+
+def _pr_contrib(state, r, P: int):
+    """One partition's half-iteration: per-dst partial contribution
+    sums (pre-aggregated BEFORE the shuffle — the combiner), already
+    sliced into destination-partition order. Moves only float64 sums;
+    the matching dst ids shipped once at build."""
+    psrc_pos, inv_outdeg, src_code_by_dst, dst_starts, dorder, offs = state
+    if len(src_code_by_dst) == 0:
+        z = np.empty(0, np.float64)
+        return tuple([z] * P) if P > 1 else z
+    rv = r[psrc_pos] * inv_outdeg
+    sums = np.add.reduceat(rv[src_code_by_dst], dst_starts)[dorder]
+    outs = tuple(sums[int(offs[q]):int(offs[q + 1])] for q in range(P))
+    return outs if P > 1 else outs[0]
+
+
+def _pr_accumulate(nodes, base: float, damping: float, *ids_then_sums):
+    """Other half-iteration, at the partition owning the dst ranks:
+    fold the P inbound (static ids, fresh sums) pairs into the new
+    rank vector: r = base + d * total inbound contribution. Args are
+    flat (P id arrays then P sum arrays) — Ray resolves only
+    top-level ObjectRef arguments, never refs nested in lists."""
+    half = len(ids_then_sums) // 2
+    contrib = np.zeros(len(nodes), np.float64)
+    for ids, sums in zip(ids_then_sums[:half], ids_then_sums[half:]):
+        if len(ids):
+            np.add.at(contrib, np.searchsorted(nodes, ids), sums)
+    return base + damping * contrib
+
+
+def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
+                  dedup: bool = True, num_partitions: int | None = None,
+                  src_col: str = "src", dst_col: str = "dst") -> pa.Table:
+    """PageRank via the JOIN PATH — no dense node vector anywhere, so
+    the node space is bounded per PARTITION, not per worker heap: the
+    scale route for URL-graph node counts (10^10 nodes = 80 GB dense —
+    a stopper for ``pagerank``'s broadcast vector; here each of P
+    partitions owns ~n/P ranks).
+
+    Same mass-leaking recurrence and float path as ``pagerank`` (the
+    one SQL oracle covers both): r' = (1-d)/N + d * Σ r(u)/outdeg(u).
+
+    Scale shape — ONE partitioning key (node hash) reused everywhere:
+    - ONE edge exchange by hash(src) at build; all iteration state
+      (dedup, outdegree, dst grouping, outbox slices) precomputed per
+      partition and pinned in the object store.
+    - Each iteration is P contribution tasks (vectorized reduceat
+      against the partition's OWN rank shard — ranks and their
+      out-edges co-locate by construction, so the ranks⋈edges join is
+      partition-local) + P accumulate tasks fed by the pre-aggregated
+      (dst, contrib) all-to-all. Wire traffic per iteration is one
+      float per (src-partition, distinct dst) pair — the combiner
+      bound — never per edge, never O(n_nodes).
+    - The driver holds only P object refs and scalar counts.
+    Personalized restarts (``teleport``) stay on the dense path.
+
+    Returns the same small (node, rank) table as ``pagerank`` (at real
+    scale: write per-partition parquet instead of driver concat)."""
+    import ray
+
+    from .relational import cluster_cpus
+
+    P = num_partitions or max(8, min(64, cluster_cpus()))
+    split = ray.remote(num_returns=2 * P)(_pr_split_block)
+    build = ray.remote(num_returns=P + 3)(_pr_build_partition)
+    contrib = ray.remote(num_returns=P)(_pr_contrib)
+    accum = ray.remote(_pr_accumulate)
+
+    refs = edges_ds.select_columns([src_col, dst_col]) \
+        .materialize().to_arrow_refs()
+    ecols = [[] for _ in range(P)]
+    ncols = [[] for _ in range(P)]
+    for r in refs:
+        out = split.remote(r, src_col, dst_col, P)
+        if 2 * P == 1:
+            out = [out]
+        for p in range(P):
+            ecols[p].append(out[p])
+            ncols[p].append(out[P + p])
+    built = [build.remote(P, dedup, *ecols[p], *ncols[p])
+             for p in range(P)]
+    if P + 3 == 1:
+        built = [[b] for b in built]
+    states = [b[0] for b in built]
+    nodes = [b[1] for b in built]
+    counts = ray.get([b[2] for b in built])
+    outbox = [[built[p][3 + q] for q in range(P)] for p in range(P)]
+    n_present = int(sum(counts))
+    if n_present == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    base = (1.0 - damping) / n_present
+
+    @ray.remote
+    def init_rank(n: int, r0: float):
+        return np.full(n, r0, np.float64)
+
+    ranks = [init_rank.remote(counts[p], 1.0 / n_present)
+             for p in range(P)]
+    for _ in range(iters):
+        sums = [contrib.remote(states[p], ranks[p], P) for p in range(P)]
+        if P == 1:
+            sums = [[s] for s in sums]
+        ranks = [accum.remote(nodes[q], base, damping,
+                              *[outbox[p][q] for p in range(P)],
+                              *[sums[p][q] for p in range(P)])
+                 for q in range(P)]
+    node_parts = ray.get(nodes)
+    rank_parts = ray.get(ranks)
+    all_nodes = np.concatenate(node_parts) if node_parts else \
+        np.empty(0, np.int64)
+    all_ranks = np.concatenate(rank_parts) if rank_parts else \
+        np.empty(0, np.float64)
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "rank": pa.array(all_ranks[order], pa.float64())})
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,

@@ -1490,6 +1490,55 @@ def test_pagerank_empty_graph(ray_session):
     assert out.num_rows == 0
 
 
+def test_pagerank_join_matches_dense(ray_session):
+    """The join path (hash-partitioned rank shards, per-iteration keyed
+    all-to-all — no O(n_nodes) vector) reproduces the dense path on a
+    random multigraph with dangling nodes, including the dedup
+    semantics (dense packs (src,dst); join lexsort-dedups in the
+    src-partition)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import pagerank, pagerank_join
+
+    rng = np.random.default_rng(11)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(5)
+
+    dense = pagerank(mk(), n_nodes=n, iters=4).to_pandas()
+    joinp = pagerank_join(mk(), iters=4).to_pandas()
+    assert list(dense.node) == list(joinp.node)
+    assert np.abs(dense["rank"].to_numpy()
+                  - joinp["rank"].to_numpy()).max() < 1e-12
+
+
+def test_pagerank_node_space_policy(ray_session, monkeypatch):
+    """pagerank() routes through the join path when n_nodes exceeds
+    the dense ceiling (PAGERANK_DENSE_MAX_NODES) — the automatic
+    escape for URL-graph node universes beyond worker heap — and the
+    result is unchanged. A 10^9 claimed node space would allocate an
+    8 GB dense vector; the join path never allocates O(n_nodes)."""
+    import ray
+
+    from frontera_ray.stages import pagerank as prmod
+
+    tbl = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                    "dst": pa.array([1, 2, 2], pa.int64())})
+    monkeypatch.setenv("PAGERANK_DENSE_MAX_NODES", "100")
+    routed = prmod.pagerank(ray.data.from_arrow(tbl),
+                            n_nodes=1_000_000_000, iters=3).to_pandas()
+    dense = prmod.pagerank(ray.data.from_arrow(tbl), n_nodes=8, iters=3,
+                           node_space="dense").to_pandas()
+    assert list(routed.node) == list(dense.node)
+    assert np.abs(routed["rank"].to_numpy()
+                  - dense["rank"].to_numpy()).max() < 1e-12
+
+
 def test_label_centroids_matches_numpy(ray_session):
     import ray
 
