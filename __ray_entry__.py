@@ -4461,6 +4461,30 @@ def q_hits(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_hits_join(sf_dir: str):
+    """JOIN-PATH HITS (pagerank.hits_join) over the same graph as
+    q_hits: the forward (dst, Σ h(src)) all-to-all for authorities and
+    the REVERSE value-fetch along the same static routes for hubs —
+    no O(n_nodes) vector anywhere, the driver reduces only P scalar L1
+    partials per half-step. Same recurrence, same SQL oracle as the
+    dense path."""
+    from frontera_ray.stages.pagerank import hits_join
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = hits_join(ds, iters=4).to_pandas()
+    out["hub"] = out["hub"].round(9)
+    out["authority"] = out["authority"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_degree_dist(sf_dir: str):
     """Degree distribution of the distinct-edge link graph
     (pagerank.degree_histogram): (side, deg, n_nodes) for in- and
@@ -10370,6 +10394,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_merge": q_cdc_merge,
     "image_embed_neardup": q_image_embed_neardup,
     "hits": q_hits,
+    "hits_join": q_hits_join,
     "degree_dist": q_degree_dist,
     "kmv_source_sim": q_kmv_source_sim,
     "quality_keepers": q_quality_keepers,
@@ -14397,6 +14422,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(part, '' ORDER BY idx)) AS text_md5
             FROM chunks GROUP BY doc_id ORDER BY doc_id""",
         "hits": _hits_oracle(),
+        "hits_join": _hits_oracle(),
         "degree_dist": f"""
             WITH e AS (SELECT DISTINCT doc_id % {_PR_NODES} AS src,
                               (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst

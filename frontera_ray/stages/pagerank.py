@@ -16,9 +16,12 @@ Scale shape
 - The NODE vector is dense float64, broadcast once per iteration via
   ``ray.put`` — the right trade while ``n_nodes`` fits a worker heap
   (10^8 nodes = 800 MB; web-scale host graphs fit long before URL
-  graphs do). Beyond that, the recurrence maps to the join path —
-  ``equi_join`` ranks⋈edges on src + ``groupby(dst).sum()`` — at one
-  all-to-all per iteration; same math, so the oracle covers both.
+  graphs do). Beyond that the JOIN PATH (``pagerank_join`` /
+  ``hits_join``) holds rank shards hash-partitioned by node and runs
+  the ranks⋈edges recurrence as one pre-aggregated keyed all-to-all
+  per iteration — no O(n_nodes) allocation anywhere; ``pagerank()``
+  and ``hits()`` auto-route via ``_choose_node_space``
+  (PAGERANK_DENSE_MAX_NODES). Same math, so one oracle covers both.
 - Partial combine is the register-combine pattern (sketches.py HLL):
   each block returns one n_nodes-long float64 column; the driver sums
   a handful of dense vectors, never rows.
@@ -305,12 +308,14 @@ def _pr_build_partition(P: int, dedup: bool, *shards):
         dst = et["dst"].to_numpy().astype(np.int64)
     else:
         src = dst = np.empty(0, np.int64)
-    if dedup and len(src):
+    if len(src):
+        # always src-sorted (the src-run reduceat below relies on it)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
-        keep = np.ones(len(src), dtype=bool)
-        keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
-        src, dst = src[keep], dst[keep]
+        if dedup:
+            keep = np.ones(len(src), dtype=bool)
+            keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
+            src, dst = src[keep], dst[keep]
     psrc, src_code, outdeg = (np.unique(src, return_inverse=True,
                                         return_counts=True)
                               if len(src) else
@@ -336,22 +341,38 @@ def _pr_build_partition(P: int, dedup: bool, *shards):
     cnt = np.bincount(pid, minlength=P)
     offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
     out_ids = dst_unique[dorder]
+    # src-run view for the REVERSE sweep (HITS hub update): edges are
+    # src-sorted, so src runs + each edge's dst as a code into
+    # dst_unique give h(u) = Σ a(dst) as one reduceat once the a
+    # values for dst_unique arrive along the (static) outbox routes
+    src_starts = np.concatenate(
+        ([0], np.cumsum(outdeg)))[:-1].astype(np.int64) \
+        if len(psrc) else np.empty(0, np.int64)
+    dst_code_by_src = np.searchsorted(dst_unique, dst) \
+        if len(dst) else np.empty(0, np.int64)
+    inv_dorder = np.argsort(dorder, kind="stable")
     state = (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts,
-             dorder, offs)
+             dorder, offs, src_starts, dst_code_by_src, inv_dorder)
     return (state, nodes, int(len(nodes)),
             *[out_ids[int(offs[q]):int(offs[q + 1])] for q in range(P)])
 
 
-def _pr_contrib(state, r, P: int):
-    """One partition's half-iteration: per-dst partial contribution
-    sums (pre-aggregated BEFORE the shuffle — the combiner), already
-    sliced into destination-partition order. Moves only float64 sums;
-    the matching dst ids shipped once at build."""
-    psrc_pos, inv_outdeg, src_code_by_dst, dst_starts, dorder, offs = state
+def _pr_contrib(state, r, P: int, weight_outdeg: bool = True,
+                scale: float = 1.0):
+    """One partition's forward half-iteration: per-dst partial
+    contribution sums (pre-aggregated BEFORE the shuffle — the
+    combiner), already sliced into destination-partition order. Moves
+    only float64 sums; the matching dst ids shipped once at build.
+    ``weight_outdeg`` divides by outdegree (PageRank); HITS' authority
+    update passes False. ``scale`` folds a pending normalization."""
+    (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts, dorder, offs,
+     _ss, _dc, _inv) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.float64)
         return tuple([z] * P) if P > 1 else z
-    rv = r[psrc_pos] * inv_outdeg
+    rv = r[psrc_pos] * scale
+    if weight_outdeg:
+        rv = rv * inv_outdeg
     sums = np.add.reduceat(rv[src_code_by_dst], dst_starts)[dorder]
     outs = tuple(sums[int(offs[q]):int(offs[q + 1])] for q in range(P))
     return outs if P > 1 else outs[0]
@@ -369,6 +390,40 @@ def _pr_accumulate(nodes, base: float, damping: float, *ids_then_sums):
         if len(ids):
             np.add.at(contrib, np.searchsorted(nodes, ids), sums)
     return base + damping * contrib
+
+
+def _pr_partition_graph(edges_ds, dedup: bool,
+                        num_partitions: int | None,
+                        src_col: str, dst_col: str):
+    """Shared build phase of the join-path link analyzers: ONE edge
+    exchange by hash(src) + dst-universe routing, then per-partition
+    static state (see ``_pr_build_partition``). Returns
+    (P, states, nodes, counts, outbox) where everything but the int
+    list ``counts`` stays in the object store as refs."""
+    import ray
+
+    from .relational import cluster_cpus
+
+    P = num_partitions or max(8, min(64, cluster_cpus()))
+    split = ray.remote(num_returns=2 * P)(_pr_split_block)
+    build = ray.remote(num_returns=P + 3)(_pr_build_partition)
+
+    refs = edges_ds.select_columns([src_col, dst_col]) \
+        .materialize().to_arrow_refs()
+    ecols = [[] for _ in range(P)]
+    ncols = [[] for _ in range(P)]
+    for r in refs:
+        out = split.remote(r, src_col, dst_col, P)
+        for p in range(P):
+            ecols[p].append(out[p])
+            ncols[p].append(out[P + p])
+    built = [build.remote(P, dedup, *ecols[p], *ncols[p])
+             for p in range(P)]
+    states = [b[0] for b in built]
+    nodes = [b[1] for b in built]
+    counts = ray.get([b[2] for b in built])
+    outbox = [[built[p][3 + q] for q in range(P)] for p in range(P)]
+    return P, states, nodes, counts, outbox
 
 
 def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
@@ -401,33 +456,10 @@ def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
     scale: write per-partition parquet instead of driver concat)."""
     import ray
 
-    from .relational import cluster_cpus
-
-    P = num_partitions or max(8, min(64, cluster_cpus()))
-    split = ray.remote(num_returns=2 * P)(_pr_split_block)
-    build = ray.remote(num_returns=P + 3)(_pr_build_partition)
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, dedup, num_partitions, src_col, dst_col)
     contrib = ray.remote(num_returns=P)(_pr_contrib)
     accum = ray.remote(_pr_accumulate)
-
-    refs = edges_ds.select_columns([src_col, dst_col]) \
-        .materialize().to_arrow_refs()
-    ecols = [[] for _ in range(P)]
-    ncols = [[] for _ in range(P)]
-    for r in refs:
-        out = split.remote(r, src_col, dst_col, P)
-        if 2 * P == 1:
-            out = [out]
-        for p in range(P):
-            ecols[p].append(out[p])
-            ncols[p].append(out[P + p])
-    built = [build.remote(P, dedup, *ecols[p], *ncols[p])
-             for p in range(P)]
-    if P + 3 == 1:
-        built = [[b] for b in built]
-    states = [b[0] for b in built]
-    nodes = [b[1] for b in built]
-    counts = ray.get([b[2] for b in built])
-    outbox = [[built[p][3 + q] for q in range(P)] for p in range(P)]
     n_present = int(sum(counts))
     if n_present == 0:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -457,6 +489,117 @@ def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
     order = np.argsort(all_nodes)
     return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
                      "rank": pa.array(all_ranks[order], pa.float64())})
+
+
+def _pr_accum_norm(nodes, *ids_then_sums):
+    """HITS authority fold: inbound (static ids, fresh sums) pairs ->
+    the unnormalized authority vector + its L1 partial (the driver
+    sums P scalars to normalize — never a vector)."""
+    half = len(ids_then_sums) // 2
+    vec = np.zeros(len(nodes), np.float64)
+    for ids, sums in zip(ids_then_sums[:half], ids_then_sums[half:]):
+        if len(ids):
+            np.add.at(vec, np.searchsorted(nodes, ids), sums)
+    return vec, float(vec.sum())
+
+
+def _pr_gather(nodes, vec, scale: float, P: int, *id_lists):
+    """Reverse-route value fetch: this partition OWNS ``vec`` (aligned
+    to ``nodes``); serve each requester its values (normalization
+    folded in via ``scale``) along the same static outbox id routes
+    the forward sweep uses — wire traffic is again one float per
+    (partition, distinct dst) pair."""
+    outs = tuple(vec[np.searchsorted(nodes, ids)] * scale
+                 if len(ids) else np.empty(0, np.float64)
+                 for ids in id_lists)
+    return outs if P > 1 else outs[0]
+
+
+def _pr_hub(state, n_nodes_p: int, *avals):
+    """HITS hub fold at the src-owning partition: reassemble the
+    authority values for the local dst universe from the P inbound
+    slices (outbox order -> dst_unique order via the precomputed
+    inverse), then h(u) = Σ a(dst) as one reduceat over the src-sorted
+    edges. Returns (hub vector aligned to nodes, L1 partial)."""
+    (psrc_pos, _inv_outdeg, _scbd, _dsts, _dorder, _offs,
+     src_starts, dst_code_by_src, inv_dorder) = state
+    h = np.zeros(n_nodes_p, np.float64)
+    if len(src_starts):
+        a_by_dstu = np.concatenate(avals)[inv_dorder] if len(inv_dorder) \
+            else np.empty(0, np.float64)
+        h[psrc_pos] = np.add.reduceat(a_by_dstu[dst_code_by_src],
+                                      src_starts)
+    return h, float(h.sum())
+
+
+def hits_join(edges_ds, iters: int = 4, dedup: bool = True,
+              num_partitions: int | None = None,
+              src_col: str = "src", dst_col: str = "dst") -> pa.Table:
+    """HITS via the JOIN PATH — same recurrence and float path as
+    ``hits`` but no O(n_nodes) vector anywhere (see ``pagerank_join``
+    for the partitioning story; one SQL oracle covers both).
+
+    Per iteration, two keyed half-sweeps over the SAME static routes:
+    - authority: forward (dst, Σ h(src)) all-to-all (``_pr_contrib``
+      without the outdegree weight), folded + L1-partialed at the
+      node-owning partitions (``_pr_accum_norm``);
+    - hub: the REVERSE route — each partition serves its freshly
+      normalized authority values for the dst ids requested at build
+      (``_pr_gather``), and the src-owning partition reduces
+      h(u) = Σ a(dst) partition-locally (``_pr_hub``).
+    The driver only ever reduces P scalar L1 partials per half-step;
+    normalizations ride the next sweep as folded scale factors."""
+    import ray
+
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, dedup, num_partitions, src_col, dst_col)
+    contrib = ray.remote(num_returns=P)(_pr_contrib)
+    accum = ray.remote(num_returns=2)(_pr_accum_norm)
+    gather = ray.remote(num_returns=P)(_pr_gather)
+    hub = ray.remote(num_returns=2)(_pr_hub)
+    n_present = int(sum(counts))
+    if n_present == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.float64()),
+                         "authority": pa.array([], pa.float64())})
+
+    @ray.remote
+    def init_vec(n: int, v0: float):
+        return np.full(n, v0, np.float64)
+
+    h = [init_vec.remote(counts[p], 1.0 / n_present) for p in range(P)]
+    h_scale = 1.0
+    a = [None] * P
+    a_scale = 1.0
+    for _ in range(iters):
+        sums = [contrib.remote(states[p], h[p], P, False, h_scale)
+                for p in range(P)]
+        acc = [accum.remote(nodes[q],
+                            *[outbox[p][q] for p in range(P)],
+                            *[sums[p][q] for p in range(P)])
+               for q in range(P)]
+        a = [acc[q][0] for q in range(P)]
+        s_a = sum(ray.get([acc[q][1] for q in range(P)]))
+        a_scale = 1.0 / s_a if s_a else 0.0
+        gat = [gather.remote(nodes[q], a[q], a_scale, P,
+                             *[outbox[p][q] for p in range(P)])
+               for q in range(P)]
+        hb = [hub.remote(states[p], counts[p],
+                         *[gat[q][p] for q in range(P)])
+              for p in range(P)]
+        h = [hb[p][0] for p in range(P)]
+        s_h = sum(ray.get([hb[p][1] for p in range(P)]))
+        h_scale = 1.0 / s_h if s_h else 0.0
+    node_parts = ray.get(nodes)
+    h_parts = ray.get(h)
+    a_parts = ray.get(a)
+    all_nodes = np.concatenate(node_parts)
+    all_h = np.concatenate(h_parts) * h_scale
+    all_a = np.concatenate(a_parts) * a_scale
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "hub": pa.array(all_h[order], pa.float64()),
+                     "authority": pa.array(all_a[order], pa.float64())})
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
@@ -803,7 +946,8 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
 
 
 def hits(edges_ds, n_nodes: int, iters: int = 4,
-         dedup: bool = True, exchange: str | None = None) -> pa.Table:
+         dedup: bool = True, exchange: str | None = None,
+         node_space: str | None = None) -> pa.Table:
     """HITS hubs & authorities (Kleinberg 1999, public algorithm) after
     ``iters`` synchronous iterations — the link-analysis twin of
     ``pagerank`` that separates "points at good pages" (hub) from "is
@@ -825,6 +969,8 @@ def hits(edges_ds, n_nodes: int, iters: int = 4,
     scores (1e-9 guard, same as ``pagerank``)."""
     import ray
 
+    if (node_space or _choose_node_space(n_nodes, None)) == "join":
+        return hits_join(edges_ds, iters=iters, dedup=dedup)
     if dedup:
         edges_ds = dedup_edges(edges_ds, n_nodes=n_nodes,
                                exchange=exchange)

@@ -1517,6 +1517,37 @@ def test_pagerank_join_matches_dense(ray_session):
                   - joinp["rank"].to_numpy()).max() < 1e-12
 
 
+def test_hits_join_matches_dense(ray_session, monkeypatch):
+    """Join-path HITS (forward authority all-to-all + reverse
+    value-fetch along the same static routes) reproduces the dense
+    path on a random multigraph — and hits() auto-routes there when
+    the claimed node space exceeds the dense ceiling."""
+    import ray
+
+    from frontera_ray.stages.pagerank import hits, hits_join
+
+    rng = np.random.default_rng(23)
+    n = 300
+    src = rng.integers(0, n, 2500)
+    dst = rng.integers(0, n, 2500)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    dense = hits(mk(), n_nodes=n, iters=4).to_pandas()
+    joinp = hits_join(mk(), iters=4).to_pandas()
+    assert list(dense.node) == list(joinp.node)
+    for col in ("hub", "authority"):
+        assert np.abs(dense[col].to_numpy()
+                      - joinp[col].to_numpy()).max() < 1e-12
+    monkeypatch.setenv("PAGERANK_DENSE_MAX_NODES", "100")
+    routed = hits(mk(), n_nodes=1_000_000_000, iters=4).to_pandas()
+    assert np.abs(dense["hub"].to_numpy()
+                  - routed["hub"].to_numpy()).max() < 1e-12
+
+
 def test_pagerank_node_space_policy(ray_session, monkeypatch):
     """pagerank() routes through the join path when n_nodes exceeds
     the dense ceiling (PAGERANK_DENSE_MAX_NODES) — the automatic
