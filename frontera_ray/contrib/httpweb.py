@@ -61,13 +61,22 @@ class HttpWeb:
     def __init__(self, seed_urls, timeout: float = 10.0,
                  max_threads: int = 16, max_body: int = 1 << 22,
                  user_agent: str = "frontera-ray/0.1",
-                 allowed_schemes=("http", "https")):
+                 allowed_schemes=("http", "https"),
+                 max_retries: int = 2, backoff: float = 0.2):
         self._seeds = [u for u in seed_urls if u.strip()]
         self.timeout = float(timeout)
         self.max_threads = int(max_threads)
         self.max_body = int(max_body)
         self.user_agent = user_agent
         self.allowed_schemes = tuple(allowed_schemes)
+        # downloader-grade error handling (reference shape:
+        # contrib/requests/manager.py + the Scrapy downloader's
+        # RETRY_TIMES semantics): transport errors and retryable
+        # statuses (429/5xx) retry with linear backoff up to
+        # max_retries; terminal failures are classified per URL and
+        # surfaced via errors_of_batch -> states ERROR
+        self.max_retries = int(max_retries)
+        self.backoff = float(backoff)
         # hostname -> netloc (host[:port]) learned from seeds/links, so
         # robots_body(host) — the queue strips ports — finds the origin
         self._netloc_of = {}
@@ -90,7 +99,8 @@ class HttpWeb:
 
             s = requests.Session()
             s.headers["User-Agent"] = self.user_agent
-            loc = self.__dict__["_local"] = {"session": s, "bodies": {}}
+            loc = self.__dict__["_local"] = {"session": s, "bodies": {},
+                                             "errors": {}}
         return loc
 
     # -- protocol surface ----------------------------------------------
@@ -104,24 +114,65 @@ class HttpWeb:
         return list(urls)
 
     def _get(self, url: str):
-        """(body, content_type) with redirects followed and size capped;
-        (b'', '') on any transport error — the crawl marks the page
-        crawled-empty rather than wedging the round (reference
-        request_error semantics live in the local engine; the Ray path
-        records an empty page)."""
+        """(body, content_type) with redirects followed, size capped,
+        bounded retries, and per-URL error classification.
+
+        Transport errors (timeout / connection) and retryable statuses
+        (429, 5xx) retry up to ``max_retries`` times with linear
+        backoff; non-2xx is a FAILURE (body discarded — a 404 page's
+        HTML must not be sinked or link-parsed as content). Terminal
+        failures return (b'', '') so the round never wedges, and the
+        error kind ('timeout' / 'connect' / 'http_<status>' / 'error')
+        is recorded for ``errors_of_batch`` — the crawl engine marks
+        those fingerprints states ERROR (reference request_error
+        semantics, worker/strategy.py)."""
+        import time as _time
+
+        import requests
+
         st = self._state
         if url in st["bodies"]:
             return st["bodies"][url]
-        try:
-            r = st["session"].get(url, timeout=self.timeout, stream=True)
-            body = r.raw.read(self.max_body, decode_content=True) or b""
-            ctype = (r.headers.get("Content-Type") or "").split(";")[0].strip()
-            r.close()
-        except Exception:
+        body, ctype, err = b"", "", None
+        for attempt in range(self.max_retries + 1):
+            err = None
+            try:
+                r = st["session"].get(url, timeout=self.timeout,
+                                      stream=True)
+                status = int(r.status_code)
+                if status >= 400:
+                    err = f"http_{status}"
+                    r.close()
+                    if status != 429 and status < 500:
+                        break  # 4xx (bar 429) is terminal — no retry
+                else:
+                    body = r.raw.read(self.max_body,
+                                      decode_content=True) or b""
+                    ctype = (r.headers.get("Content-Type")
+                             or "").split(";")[0].strip()
+                    r.close()
+                    break
+            except requests.Timeout:
+                err = "timeout"
+            except requests.ConnectionError:
+                err = "connect"
+            except Exception:
+                err = "error"
+            if attempt < self.max_retries:
+                _time.sleep(self.backoff * (attempt + 1))
+        if err is not None:
             body, ctype = b"", ""
+            st["errors"][url] = err
         # cache is per fetch_batch round (cleared there) — bounded
         st["bodies"][url] = (body, ctype)
         return body, ctype
+
+    def errors_of_batch(self, urls):
+        """Per-URL terminal error kind for the LAST fetch round (None
+        for successes) — the engine's request_error hook
+        (pipelines/crawl.fetch_and_sink)."""
+        errs = self._state["errors"]
+        return [errs.get(u) for u in urls]
 
     def _get_many(self, urls):
         """Batch GET with a bounded thread pool, serialized per host
@@ -147,11 +198,27 @@ class HttpWeb:
 
         st = self._state
         st["bodies"].clear()  # fresh round: cap memory, learn redirects
+        st["errors"].clear()
         self._get_many(urls)
         out = {"image_id": [], "bytes": [], "w": [], "h": [],
                "fmt": [], "caption": [], "phash": []}
         for u in urls:
             body, ctype = self._get(u)
+            err = st["errors"].get(u)
+            if err is not None:
+                # honest failure row: keeps round fragments complete
+                # (one row per popped URL) without fake content; phash
+                # keys on the URL so error rows never collide in the
+                # sink's phash near-dup pass
+                out["image_id"].append(u)
+                out["bytes"].append(b"")
+                out["w"].append(np.int32(0))
+                out["h"].append(np.int32(0))
+                out["fmt"].append("error")
+                out["caption"].append(err)
+                out["phash"].append(np.int64(
+                    _content_hash64(u.encode("utf8"))))
+                continue
             fmt = (ctype.split("/")[-1] if ctype else
                    ("html" if body[:1] in (b"<", b"\xef") else "bin"))
             w = h = 0

@@ -70,6 +70,12 @@ class UrlSeenActor:
     def set_states(self, fps, values) -> None:
         self.shard.set_states(fps, values)
 
+    def mark_crawled(self, fps) -> None:
+        self.shard.mark_crawled(fps)
+
+    def get_states(self, fps) -> np.ndarray:
+        return self.shard.get_states(fps)
+
     def unmark(self, fps) -> np.ndarray:
         return self.shard.unmark(fps)
 
@@ -185,7 +191,8 @@ LINKS_SCHEMA = pa.schema(
 
 
 def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
-                   carry_parent_url: bool = False, sink_fs=None) -> pa.Table:
+                   carry_parent_url: bool = False, sink_fs=None,
+                   state_actors=None) -> pa.Table:
     """Simulated fetch of popped URLs; writes the page fragment (image+
     caption rows, FIXTURES.md §F4 schema) and emits outlink rows.
 
@@ -225,6 +232,18 @@ def fetch_and_sink(batch: pa.Table, web_ref, round_dir: str,
     else:
         cols = fetch_batch_columns(finals)
     cols["image_id"] = list(urls)  # canonical = requested (chain[0])
+    # request_error wiring: adapters that classify failures
+    # (errors_of_batch, aligned with the fetch) get their failed pages
+    # marked states ERROR on the owning shards — the sink still gets an
+    # honest fmt='error' row, so round fragments stay complete and the
+    # lineage manifest is unaffected
+    if state_actors is not None and hasattr(web, "errors_of_batch"):
+        errs = web.errors_of_batch(finals)
+        failed = np.flatnonzero(
+            np.asarray([e is not None for e in errs], dtype=bool))
+        if len(failed):
+            _mark_errors(
+                batch["fingerprint"].to_numpy()[failed], state_actors)
     pages = pa.table(
         {
             "image_id": pa.array(cols["image_id"], pa.string()),
@@ -472,7 +491,9 @@ def _table_len(table: pa.Table) -> int:
 
 @ray.remote
 def _mark_crawled(table: pa.Table, state_actors) -> int:
-    """Mark a popped round batch CRAWLED on its owning state shards."""
+    """Mark a popped round batch CRAWLED on its owning state shards
+    (no-downgrade: a concurrent request_error ERROR mark survives —
+    see UrlSeenShard.mark_crawled)."""
     if len(table) == 0:
         return 0
     fps = table["fingerprint"].to_numpy()
@@ -481,13 +502,25 @@ def _mark_crawled(table: pa.Table, state_actors) -> int:
     futs = []
     for sid in np.unique(shard_ids):
         m = shard_ids == sid
-        futs.append(
-            state_actors[sid].set_states.remote(
-                fps[m], np.full(int(m.sum()), States.CRAWLED, dtype=np.int8)
-            )
-        )
+        futs.append(state_actors[sid].mark_crawled.remote(fps[m]))
     ray.get(futs)
     return len(fps)
+
+
+def _mark_errors(fps: np.ndarray, state_actors) -> None:
+    """request_error wiring for the streaming crawl: failed fetches go
+    to states ERROR on their owning shards (reference semantics:
+    worker/strategy.py request_error; the page stays seen — it is not
+    re-queued — but is distinguishable from CRAWLED for re-crawl or
+    audit policies)."""
+    n = len(state_actors)
+    shard_ids = (fps % np.uint64(n)).astype(np.int32)
+    futs = []
+    for sid in np.unique(shard_ids):
+        m = shard_ids == sid
+        futs.append(state_actors[sid].set_states.remote(
+            fps[m], np.full(int(m.sum()), States.ERROR, dtype=np.int8)))
+    ray.get(futs)
 
 
 def _seed_table(urls, scores) -> pa.Table:
@@ -662,7 +695,11 @@ class RayCrawler:
                 partial(fetch_and_sink, web_ref=self._web_ref,
                         round_dir=str(round_dir),
                         carry_parent_url=self._filter_links,
-                        sink_fs=self.sink_fs),
+                        sink_fs=self.sink_fs,
+                        state_actors=(self.state_actors
+                                      if hasattr(self.web,
+                                                 "errors_of_batch")
+                                      else None)),
                 batch_format="pyarrow", batch_size=None,
             )
             .map_batches(

@@ -316,6 +316,22 @@ class UrlSeenShard:
             "a bloom filter cannot delete")
 
     # -- States-contract operations -----------------------------------------
+    def mark_crawled(self, fps) -> None:
+        """page_crawled marks that must NOT overwrite ERROR: the
+        streaming round marks popped pages CRAWLED optimistically in
+        parallel with the fetch wave, so a request_error mark for the
+        same fingerprint can arrive in either order. Both paths
+        serialize on this shard, and ERROR wins regardless of arrival
+        (reference strategy-worker semantics: request_error -> states
+        ERROR, worker/strategy.py)."""
+        states = self.states
+        keep = [fp for fp in fps
+                if states.get(int(fp)) != int(States.ERROR)]
+        if keep:
+            self.set_states(np.asarray(keep, dtype=np.uint64),
+                            np.full(len(keep), States.CRAWLED,
+                                    dtype=np.int8))
+
     def set_states(self, fps, values) -> None:
         """Bulk state update (page_crawled -> CRAWLED, request_error ->
         ERROR etc.)."""

@@ -167,3 +167,97 @@ def test_httpweb_robots_port_via_sample_url(ray_session, tmp_path_factory,
     finally:
         srv_a.shutdown()
         srv_b.shutdown()
+
+
+def test_httpweb_retry_and_request_error_states(ray_session,
+                                                tmp_path_factory,
+                                                tmp_path):
+    """Downloader-grade error path through the full pipeline: a 404
+    link is fetched once, lands as an honest fmt='error' sink row, and
+    its fingerprint is marked states ERROR (the reference
+    request_error semantics) while a flaky URL (500 twice, then 200)
+    is retried to success and sinked as real content. The optimistic
+    CRAWLED wave must not overwrite the ERROR mark regardless of
+    ordering (no-downgrade on the state shard)."""
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+
+    from frontera_ray.contrib.httpweb import HttpWeb
+    from frontera_ray.fingerprint import fp64_batch
+    from frontera_ray.pipelines.crawl import RayCrawler
+    from frontera_ray.state.urlseen import States
+    from frontera_ray.urls import canonicalize_batch
+
+    hits = Counter()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits[self.path] += 1
+            if self.path == "/index.html":
+                body = (b'<html><body><a href="/missing.html">m</a>'
+                        b'<a href="/flaky.html">f</a></body></html>')
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/flaky.html":
+                if hits[self.path] <= 2:
+                    self.send_response(500)
+                    self.end_headers()
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(
+                        b"<html><head><title>Flaky OK</title></head></html>")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    site = f"127.0.0.1:{srv.server_address[1]}"
+    try:
+        web = HttpWeb([f"http://{site}/index.html"], backoff=0.01)
+        c = RayCrawler(web, str(tmp_path / "out"), num_state_shards=2,
+                       num_queue_shards=1, batch_per_shard=16)
+        c.add_seeds(web.seeds())
+        c.run(max_rounds=10)
+        urls = c.crawled_urls()
+        missing = f"http://{site}/missing.html"
+        flaky = f"http://{site}/flaky.html"
+        assert missing in urls and flaky in urls
+        # retry path: 500 twice then fetched OK
+        assert hits["/flaky.html"] == 3
+        # 4xx is terminal: exactly one request, no retry storm
+        assert hits["/missing.html"] == 1
+        # sink rows: flaky has real content, missing is an error row
+        import pyarrow.parquet as pq
+        rows = {r["image_id"]: r for f in
+                sorted((tmp_path / "out").glob("round=*/*.parquet"))
+                for r in pq.read_table(f).to_pylist()}
+        assert rows[flaky]["fmt"] == "html"
+        assert rows[flaky]["caption"] == "Flaky OK"
+        assert rows[missing]["fmt"] == "error"
+        assert rows[missing]["caption"] == "http_404"
+        # states: missing is ERROR, flaky is CRAWLED
+        import ray
+        fps = fp64_batch(canonicalize_batch(
+            np.asarray([missing, flaky], dtype=object)))
+        n = len(c.state_actors)
+        got = {}
+        for u, fp in zip((missing, flaky), fps):
+            sid = int(fp % np.uint64(n))
+            got[u] = int(ray.get(
+                c.state_actors[sid].get_states.remote(
+                    np.asarray([fp], np.uint64)))[0])
+        assert got[missing] == States.ERROR
+        assert got[flaky] == States.CRAWLED
+    finally:
+        srv.shutdown()
