@@ -3250,6 +3250,20 @@ def q_label_prop(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_label_prop_join(sf_dir: str):
+    """JOIN-PATH min-label propagation (pagerank.min_label_prop_join)
+    over the same co-purchase graph as label_prop: labels
+    hash-partitioned by node, per round one forward (dst, min
+    src-label) all-to-all plus the reverse label gather on the static
+    routes — no dense register anywhere; exact integer parity with the
+    dense path, so the same unrolled-CTE oracle covers both."""
+    from frontera_ray.stages.pagerank import min_label_prop_join
+
+    edges, _n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = min_label_prop_join(edges, iters=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_rate_limit(sf_dir: str):
     """Fixed-window per-key rate limiting: admit at most 3 events per
     (user, day window), earliest-first — the quota/throttling
@@ -10337,6 +10351,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "snapshot_diff": q_snapshot_diff,
     "assign_ids": q_assign_ids,
     "label_prop": q_label_prop,
+    "label_prop_join": q_label_prop_join,
     "rate_limit": q_rate_limit,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
@@ -13014,6 +13029,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN med m ON m.k = v.k
             GROUP BY 1, 2 ORDER BY 1""",
         "label_prop": _LABEL_PROP_SQL,
+        "label_prop_join": _LABEL_PROP_SQL,
         "rate_limit": """
             WITH v AS (SELECT event_id, user_id,
                               (epoch_us(ts) // 86400000000)::BIGINT AS win,

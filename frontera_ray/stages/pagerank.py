@@ -503,15 +503,21 @@ def _pr_accum_norm(nodes, *ids_then_sums):
     return vec, float(vec.sum())
 
 
-def _pr_gather(nodes, vec, scale: float, P: int, *id_lists):
+def _pr_gather(nodes, vec, scale, P: int, *id_lists):
     """Reverse-route value fetch: this partition OWNS ``vec`` (aligned
-    to ``nodes``); serve each requester its values (normalization
-    folded in via ``scale``) along the same static outbox id routes
-    the forward sweep uses — wire traffic is again one float per
+    to ``nodes``); serve each requester its values (a pending
+    normalization folded in via ``scale``; None skips scaling and
+    preserves integer dtypes) along the same static outbox id routes
+    the forward sweep uses — wire traffic is again one value per
     (partition, distinct dst) pair."""
-    outs = tuple(vec[np.searchsorted(nodes, ids)] * scale
-                 if len(ids) else np.empty(0, np.float64)
-                 for ids in id_lists)
+    outs = []
+    for ids in id_lists:
+        if not len(ids):
+            outs.append(np.empty(0, vec.dtype))
+            continue
+        vals = vec[np.searchsorted(nodes, ids)]
+        outs.append(vals if scale is None else vals * scale)
+    outs = tuple(outs)
     return outs if P > 1 else outs[0]
 
 
@@ -600,6 +606,93 @@ def hits_join(edges_ds, iters: int = 4, dedup: bool = True,
     return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
                      "hub": pa.array(all_h[order], pa.float64()),
                      "authority": pa.array(all_a[order], pa.float64())})
+
+
+def _cc_contrib(state, lab, P: int):
+    """Min-label forward half-sweep: per-dst MIN of the src labels
+    (pre-combined before the shuffle — min is idempotent), sliced into
+    the static outbox order."""
+    (psrc_pos, _inv, src_code_by_dst, dst_starts, dorder, offs,
+     _ss, _dc, _invd) = state
+    if len(src_code_by_dst) == 0:
+        z = np.empty(0, np.int64)
+        return tuple([z] * P) if P > 1 else z
+    rv = lab[psrc_pos]
+    mins = np.minimum.reduceat(rv[src_code_by_dst], dst_starts)[dorder]
+    outs = tuple(mins[int(offs[q]):int(offs[q + 1])] for q in range(P))
+    return outs if P > 1 else outs[0]
+
+
+def _cc_combine(state, nodes, lab, P: int, *fwd_ids_mins_rev):
+    """One synchronous min-label round at the node-owning partition:
+    new_lab = elementwise min of (old lab, inbound per-dst src-label
+    mins, this partition's src-side min over its dsts' OLD labels —
+    reassembled from the reverse gather). All reads are OLD labels, so
+    the round is synchronous and matches the dense recurrence exactly
+    (integer math — no float drift). Flat args: P fwd id arrays, P fwd
+    min arrays, P reverse-gathered label slices."""
+    (psrc_pos, _inv, _scbd, _dsts, _dorder, _offs,
+     src_starts, dst_code_by_src, inv_dorder) = state
+    new = lab.copy()
+    fwd_ids = fwd_ids_mins_rev[:P]
+    fwd_mins = fwd_ids_mins_rev[P:2 * P]
+    rev = fwd_ids_mins_rev[2 * P:]
+    for ids, mins in zip(fwd_ids, fwd_mins):
+        if len(ids):
+            np.minimum.at(new, np.searchsorted(nodes, ids), mins)
+    if len(src_starts):
+        lab_by_dstu = np.concatenate(rev)[inv_dorder]
+        np.minimum.at(new, psrc_pos,
+                      np.minimum.reduceat(
+                          lab_by_dstu[dst_code_by_src], src_starts))
+    return new
+
+
+def min_label_prop_join(edges_ds, iters: int = 4,
+                        num_partitions: int | None = None,
+                        src_col: str = "src",
+                        dst_col: str = "dst") -> pa.Table:
+    """Min-label propagation via the JOIN PATH — identical synchronous
+    recurrence to ``min_label_prop`` (integer min, so results match
+    EXACTLY) with labels hash-partitioned by node instead of a dense
+    n_nodes register: per round, the forward (dst, min src-label)
+    all-to-all plus the reverse label gather along the same static
+    routes (see ``pagerank_join``); the undirected neighbor min folds
+    at the node-owning partitions. Memory is bounded per PARTITION —
+    the connected-components route for URL-graph node universes."""
+    import ray
+
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, True, num_partitions, src_col, dst_col)
+    contrib = ray.remote(num_returns=P)(_cc_contrib)
+    gather = ray.remote(num_returns=P)(_pr_gather)
+    combine = ray.remote(_cc_combine)
+    if int(sum(counts)) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
+
+    @ray.remote
+    def init_labels(nds):
+        return nds.astype(np.int64, copy=True)
+
+    lab = [init_labels.remote(nodes[p]) for p in range(P)]
+    for _ in range(iters):
+        fwd = [contrib.remote(states[p], lab[p], P) for p in range(P)]
+        gat = [gather.remote(nodes[q], lab[q], None, P,
+                             *[outbox[p][q] for p in range(P)])
+               for q in range(P)]
+        lab = [combine.remote(states[q], nodes[q], lab[q], P,
+                              *[outbox[p][q] for p in range(P)],
+                              *[fwd[p][q] for p in range(P)],
+                              *[gat[r][q] for r in range(P)])
+               for q in range(P)]
+    node_parts = ray.get(nodes)
+    lab_parts = ray.get(lab)
+    all_nodes = np.concatenate(node_parts)
+    all_lab = np.concatenate(lab_parts)
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "lbl": pa.array(all_lab[order], pa.int64())})
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
@@ -824,9 +917,13 @@ def min_label_prop(edges_ds, n_nodes: int, iters: int = 4) -> pa.Table:
     folds O(blocks) vectors. Memory bounded by the NODE universe; edges
     never collect. Multi-edges are harmless (min is idempotent).
     Returns (node, lbl) for nodes present in the graph (src ∪ dst).
+    Node universes past the dense ceiling auto-route to the join path
+    (``min_label_prop_join`` — exact integer parity).
     """
     import ray
 
+    if _choose_node_space(n_nodes, None) == "join":
+        return min_label_prop_join(edges_ds, iters=iters)
     n = int(n_nodes)
     # raw-task sweeps over the one-time-materialized block refs (the
     # _dense_partials pattern): no per-iteration Dataset execution

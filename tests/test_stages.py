@@ -1548,6 +1548,36 @@ def test_hits_join_matches_dense(ray_session, monkeypatch):
                   - routed["hub"].to_numpy()).max() < 1e-12
 
 
+def test_min_label_prop_join_matches_dense(ray_session, monkeypatch):
+    """Join-path min-label propagation matches the dense register path
+    EXACTLY (integer min — no float drift) at 1 and 4 rounds, and
+    min_label_prop() auto-routes there past the dense node ceiling."""
+    import ray
+
+    from frontera_ray.stages.pagerank import (min_label_prop,
+                                              min_label_prop_join)
+
+    rng = np.random.default_rng(9)
+    n = 500
+    src = rng.integers(0, n, 1200)
+    dst = rng.integers(0, n, 1200)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    for iters in (1, 4):
+        dense = min_label_prop(mk(), n, iters=iters).to_pandas()
+        joinp = min_label_prop_join(mk(), iters=iters).to_pandas()
+        assert list(dense.node) == list(joinp.node)
+        assert (dense["lbl"].to_numpy() == joinp["lbl"].to_numpy()).all()
+    dense4 = min_label_prop(mk(), n, iters=4).to_pandas()
+    monkeypatch.setenv("PAGERANK_DENSE_MAX_NODES", "100")
+    routed = min_label_prop(mk(), 1_000_000_000, iters=4).to_pandas()
+    assert (routed["lbl"].to_numpy() == dense4["lbl"].to_numpy()).all()
+
+
 def test_pagerank_node_space_policy(ray_session, monkeypatch):
     """pagerank() routes through the join path when n_nodes exceeds
     the dense ceiling (PAGERANK_DENSE_MAX_NODES) — the automatic
