@@ -3072,6 +3072,21 @@ def q_graph_bfs(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_graph_bfs_join(sf_dir: str):
+    """JOIN-PATH BFS levels (pagerank.bfs_levels_join) over the same
+    graph and seed set as graph_bfs: the min-PLUS twin of
+    label_prop_join (seeds at 0, +1 per hop, both edge directions via
+    the forward all-to-all + reverse gather on the static routes) — no
+    dense level register, no frontier bitset broadcast. Exact integer
+    parity with the dense path; same recursive-CTE oracle."""
+    from frontera_ray.stages.pagerank import bfs_levels_join
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    seeds = np.arange(1, n_nodes, 5, dtype=np.int64)
+    out = bfs_levels_join(edges, seeds, max_depth=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_copurchase(sf_dir: str):
     """Frequent item-pair mining with support + lift
     (itemsets.pair_lift): parts co-ordered in >= 2 orders, the
@@ -10344,6 +10359,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "group_stats": q_group_stats,
     "triangles": q_triangles,
     "graph_bfs": q_graph_bfs,
+    "graph_bfs_join": q_graph_bfs_join,
     "copurchase": q_copurchase,
     "compaction_plan": q_compaction_plan,
     "zorder_cells": q_zorder_cells,
@@ -12026,7 +12042,7 @@ def _crawl_bfs_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "crawl_bfs": _crawl_bfs_oracle_sql(),
         "crawl_dfs": _crawl_bfs_oracle_sql().replace(
             "ORDER BY length(path), i, path", "ORDER BY i, path"),
@@ -17407,3 +17423,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, doc_id FROM r CROSS JOIN k
             WHERE rn <= k.k ORDER BY lang, source, doc_id""",
     }
+    # join-path twins replay the SAME SQL as their dense siblings
+    sql["graph_bfs_join"] = sql["graph_bfs"]
+    return sql

@@ -608,29 +608,31 @@ def hits_join(edges_ds, iters: int = 4, dedup: bool = True,
                      "authority": pa.array(all_a[order], pa.float64())})
 
 
-def _cc_contrib(state, lab, P: int):
+def _cc_contrib(state, lab, P: int, hop: int = 0):
     """Min-label forward half-sweep: per-dst MIN of the src labels
     (pre-combined before the shuffle — min is idempotent), sliced into
-    the static outbox order."""
+    the static outbox order. ``hop`` adds a per-edge increment (0 for
+    CC labels, 1 for BFS levels — the min-plus recurrence)."""
     (psrc_pos, _inv, src_code_by_dst, dst_starts, dorder, offs,
      _ss, _dc, _invd) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.int64)
         return tuple([z] * P) if P > 1 else z
-    rv = lab[psrc_pos]
+    rv = lab[psrc_pos] + hop
     mins = np.minimum.reduceat(rv[src_code_by_dst], dst_starts)[dorder]
     outs = tuple(mins[int(offs[q]):int(offs[q + 1])] for q in range(P))
     return outs if P > 1 else outs[0]
 
 
-def _cc_combine(state, nodes, lab, P: int, *fwd_ids_mins_rev):
-    """One synchronous min-label round at the node-owning partition:
-    new_lab = elementwise min of (old lab, inbound per-dst src-label
-    mins, this partition's src-side min over its dsts' OLD labels —
-    reassembled from the reverse gather). All reads are OLD labels, so
-    the round is synchronous and matches the dense recurrence exactly
-    (integer math — no float drift). Flat args: P fwd id arrays, P fwd
-    min arrays, P reverse-gathered label slices."""
+def _cc_combine(state, nodes, lab, P: int, hop: int, *fwd_ids_mins_rev):
+    """One synchronous min-label/min-plus round at the node-owning
+    partition: new_lab = elementwise min of (old lab, inbound per-dst
+    src-label mins, this partition's src-side min over its dsts' OLD
+    labels + ``hop`` — reassembled from the reverse gather). All reads
+    are OLD labels, so the round is synchronous and matches the dense
+    recurrence exactly (integer math — no float drift). Flat args: P
+    fwd id arrays, P fwd min arrays, P reverse-gathered label
+    slices."""
     (psrc_pos, _inv, _scbd, _dsts, _dorder, _offs,
      src_starts, dst_code_by_src, inv_dorder) = state
     new = lab.copy()
@@ -644,7 +646,8 @@ def _cc_combine(state, nodes, lab, P: int, *fwd_ids_mins_rev):
         lab_by_dstu = np.concatenate(rev)[inv_dorder]
         np.minimum.at(new, psrc_pos,
                       np.minimum.reduceat(
-                          lab_by_dstu[dst_code_by_src], src_starts))
+                          lab_by_dstu[dst_code_by_src],
+                          src_starts) + hop)
     return new
 
 
@@ -681,7 +684,7 @@ def min_label_prop_join(edges_ds, iters: int = 4,
         gat = [gather.remote(nodes[q], lab[q], None, P,
                              *[outbox[p][q] for p in range(P)])
                for q in range(P)]
-        lab = [combine.remote(states[q], nodes[q], lab[q], P,
+        lab = [combine.remote(states[q], nodes[q], lab[q], P, 0,
                               *[outbox[p][q] for p in range(P)],
                               *[fwd[p][q] for p in range(P)],
                               *[gat[r][q] for r in range(P)])
@@ -693,6 +696,76 @@ def min_label_prop_join(edges_ds, iters: int = 4,
     order = np.argsort(all_nodes)
     return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
                      "lbl": pa.array(all_lab[order], pa.int64())})
+
+
+_BFS_INF = np.int64(1) << 40  # min-plus sentinel: +1 per hop never wraps
+
+
+def bfs_levels_join(edges_ds, seeds, max_depth: int = 4,
+                    num_partitions: int | None = None,
+                    src_col: str = "src",
+                    dst_col: str = "dst") -> pa.Table:
+    """Bounded-depth multi-source BFS via the JOIN PATH — the min-PLUS
+    twin of ``min_label_prop_join`` (level(v) = min over undirected
+    neighbors of level(u) + 1; seeds start at 0, everything else at a
+    sentinel): ``max_depth`` synchronous rounds label every node at
+    distance d by round d, so the result equals ``bfs_levels`` EXACTLY
+    (integer math). No dense level register and no O(n/8) frontier
+    bitset broadcast — the route when even the packed bitset
+    (1.25 GB at 10^10 nodes) outgrows a comfortable per-level
+    broadcast. Returns (node, lvl) for nodes within ``max_depth``."""
+    import ray
+
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, True, num_partitions, src_col, dst_col)
+    contrib = ray.remote(num_returns=P)(_cc_contrib)
+    gather = ray.remote(num_returns=P)(_pr_gather)
+    combine = ray.remote(_cc_combine)
+    if int(sum(counts)) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lvl": pa.array([], pa.int32())})
+    seeds = np.asarray(list(seeds), np.int64)
+    seeds = seeds[seeds >= 0]  # dense-path parity (no upper bound
+    # here: the join path's id space is unbounded by design)
+    seeds_ref = ray.put(np.unique(seeds))
+
+    @ray.remote
+    def init_levels(nds, sref):
+        lab = np.full(len(nds), _BFS_INF, np.int64)
+        s = ray.get(sref) if not isinstance(sref, np.ndarray) else sref
+        pos = np.searchsorted(nds, s)
+        ok = (pos < len(nds))
+        ok[ok] &= nds[pos[ok]] == s[ok]
+        lab[pos[ok]] = 0
+        return lab
+
+    lab = [init_levels.remote(nodes[p], seeds_ref) for p in range(P)]
+    for _ in range(max_depth):
+        fwd = [contrib.remote(states[p], lab[p], P, 1) for p in range(P)]
+        gat = [gather.remote(nodes[q], lab[q], None, P,
+                             *[outbox[p][q] for p in range(P)])
+               for q in range(P)]
+        lab = [combine.remote(states[q], nodes[q], lab[q], P, 1,
+                              *[outbox[p][q] for p in range(P)],
+                              *[fwd[p][q] for p in range(P)],
+                              *[gat[r][q] for r in range(P)])
+               for q in range(P)]
+    node_parts = ray.get(nodes)
+    lab_parts = ray.get(lab)
+    all_nodes = np.concatenate(node_parts)
+    all_lab = np.concatenate(lab_parts)
+    keep = all_lab <= max_depth
+    all_nodes, all_lab = all_nodes[keep], all_lab[keep]
+    # dense parity: seeds isolated from the edge graph still report
+    # level 0 (the dense register covers the whole id space)
+    iso = np.setdiff1d(np.unique(seeds), all_nodes)
+    if len(iso):
+        all_nodes = np.concatenate((all_nodes, iso))
+        all_lab = np.concatenate((all_lab,
+                                  np.zeros(len(iso), np.int64)))
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "lvl": pa.array(all_lab[order], pa.int64())})
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
@@ -998,12 +1071,14 @@ def bfs_levels(edges_ds, n_nodes: int, seeds, max_depth: int = 4) -> pa.Table:
     materialized once and re-read from the object store each level;
     multi-edges are harmless (reach is idempotent), so the raw
     ``cooccurrence_edges`` stream feeds straight in. Memory is bounded
-    by the NODE universe like the other bitset stages; beyond bitset
-    reach the same recurrence maps to frontier⋈edges semi-joins
-    (one all-to-all per level — the documented fallback).
+    by the NODE universe like the other bitset stages; beyond the
+    dense ceiling the call auto-routes to ``bfs_levels_join`` (the
+    min-plus join path — one all-to-all per level, exact parity).
     """
     import ray
 
+    if _choose_node_space(n_nodes, None) == "join":
+        return bfs_levels_join(edges_ds, seeds, max_depth=max_depth)
     n = int(n_nodes)
     nb = (n + 7) // 8
     # The per-level sweep runs as RAW Ray tasks over the materialized

@@ -1578,6 +1578,39 @@ def test_min_label_prop_join_matches_dense(ray_session, monkeypatch):
     assert (routed["lbl"].to_numpy() == dense4["lbl"].to_numpy()).all()
 
 
+def test_bfs_levels_join_matches_dense(ray_session, monkeypatch):
+    """Join-path BFS (min-plus twin of the CC join path) matches the
+    dense bitset-frontier path EXACTLY — including isolated seeds
+    reporting level 0 and the int64 lvl dtype — and bfs_levels()
+    auto-routes there past the dense ceiling."""
+    import ray
+
+    from frontera_ray.stages.pagerank import bfs_levels, bfs_levels_join
+
+    rng = np.random.default_rng(31)
+    n = 600
+    src = rng.integers(0, 350, 1300)  # nodes 350.. absent from graph
+    dst = rng.integers(0, 350, 1300)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    for seeds, depth in (([0, 5, 500], 3), ([1], 5), ([2, 4], 1)):
+        dense = bfs_levels(mk(), n, seeds, max_depth=depth).to_pandas()
+        joinp = bfs_levels_join(mk(), seeds, max_depth=depth).to_pandas()
+        assert list(dense.node) == list(joinp.node), (seeds, depth)
+        assert (dense["lvl"].to_numpy()
+                == joinp["lvl"].to_numpy()).all(), (seeds, depth)
+        assert str(dense["lvl"].dtype) == str(joinp["lvl"].dtype)
+    monkeypatch.setenv("PAGERANK_DENSE_MAX_NODES", "100")
+    routed = bfs_levels(mk(), 1_000_000_000, [0, 5],
+                        max_depth=3).to_pandas()
+    dense2 = bfs_levels_join(mk(), [0, 5], max_depth=3).to_pandas()
+    assert (routed["lvl"].to_numpy() == dense2["lvl"].to_numpy()).all()
+
+
 def test_pagerank_node_space_policy(ray_session, monkeypatch):
     """pagerank() routes through the join path when n_nodes exceeds
     the dense ceiling (PAGERANK_DENSE_MAX_NODES) — the automatic
