@@ -9761,6 +9761,30 @@ def q_ppr(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_ppr_join(sf_dir: str):
+    """JOIN-PATH personalized PageRank: the same seed-set restart as
+    ppr (uniform over nodes 0..7) expressed as a sparse seed LIST
+    inside the partitioned shape (pagerank_join's seed_teleport) — no
+    O(n_nodes) teleport vector, no dense rank vector; the
+    focused-crawl proximity score at URL-graph scale. Same recurrence,
+    same SQL oracle as ppr."""
+    from frontera_ray.stages.pagerank import pagerank_join
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = pagerank_join(ds, iters=5,
+                        seed_teleport=range(8)).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_trap_urls(sf_dir: str):
     """Crawler-trap detection: flag URLs whose path repeats a segment
     (calendar/infinite-pagination traps — the classic frontier
@@ -10571,6 +10595,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kruskal_wallis": q_kruskal_wallis,
     "url_param_census": q_url_param_census,
     "ppr": q_ppr,
+    "ppr_join": q_ppr_join,
     "fisher_2x2": q_fisher_2x2,
     "life_table": q_life_table,
     "diff_in_diff": q_diff_in_diff,
@@ -17425,4 +17450,5 @@ def oracle_sql() -> dict[str, str]:
     }
     # join-path twins replay the SAME SQL as their dense siblings
     sql["graph_bfs_join"] = sql["graph_bfs"]
+    sql["ppr_join"] = sql["ppr"]
     return sql

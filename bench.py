@@ -124,7 +124,7 @@ BENCH_QUERIES = [
     "dict_tag_census", "holt_trend", "image_dhash", "rbo_rankings",
     "pq_codebook", "hll_sliding", "sign_flip_test", "ann_ivfpq",
     "crawl_dfs", "pcsa_distinct", "ams_f2", "sq8_census", "dim_truncation", "binary_embed_audit",
-    "pagerank_join", "hits_join", "label_prop_join", "graph_bfs_join",
+    "pagerank_join", "hits_join", "label_prop_join", "graph_bfs_join", "ppr_join",
 ]
 
 CRAWL_HOSTS = 8192

@@ -378,12 +378,14 @@ def _pr_contrib(state, r, P: int, weight_outdeg: bool = True,
     return outs if P > 1 else outs[0]
 
 
-def _pr_accumulate(nodes, base: float, damping: float, *ids_then_sums):
+def _pr_accumulate(nodes, base, damping: float, *ids_then_sums):
     """Other half-iteration, at the partition owning the dst ranks:
     fold the P inbound (static ids, fresh sums) pairs into the new
-    rank vector: r = base + d * total inbound contribution. Args are
-    flat (P id arrays then P sum arrays) — Ray resolves only
-    top-level ObjectRef arguments, never refs nested in lists."""
+    rank vector: r = base + d * total inbound contribution. ``base``
+    is a scalar (uniform restart) or this partition's sparse restart
+    vector (PPR seed set). Args are flat (P id arrays then P sum
+    arrays) — Ray resolves only top-level ObjectRef arguments, never
+    refs nested in lists."""
     half = len(ids_then_sums) // 2
     contrib = np.zeros(len(nodes), np.float64)
     for ids, sums in zip(ids_then_sums[:half], ids_then_sums[half:]):
@@ -428,7 +430,8 @@ def _pr_partition_graph(edges_ds, dedup: bool,
 
 def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
                   dedup: bool = True, num_partitions: int | None = None,
-                  src_col: str = "src", dst_col: str = "dst") -> pa.Table:
+                  src_col: str = "src", dst_col: str = "dst",
+                  seed_teleport=None) -> pa.Table:
     """PageRank via the JOIN PATH — no dense node vector anywhere, so
     the node space is bounded per PARTITION, not per worker heap: the
     scale route for URL-graph node counts (10^10 nodes = 80 GB dense —
@@ -450,7 +453,11 @@ def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
       float per (src-partition, distinct dst) pair — the combiner
       bound — never per edge, never O(n_nodes).
     - The driver holds only P object refs and scalar counts.
-    Personalized restarts (``teleport``) stay on the dense path.
+    ``seed_teleport`` (a node-id list) personalizes the walk with a
+    uniform-over-seeds restart (PPR) entirely within the partitioned
+    shape — the focused-crawl scoring read at URL-graph scale. (The
+    dense path's ARBITRARY teleport vector is itself O(n_nodes) and
+    stays dense-only.)
 
     Returns the same small (node, rank) table as ``pagerank`` (at real
     scale: write per-partition parquet instead of driver concat)."""
@@ -464,19 +471,54 @@ def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
     if n_present == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.float64())})
-    base = (1.0 - damping) / n_present
 
     @ray.remote
     def init_rank(n: int, r0: float):
         return np.full(n, r0, np.float64)
 
-    ranks = [init_rank.remote(counts[p], 1.0 / n_present)
-             for p in range(P)]
+    if seed_teleport is None:
+        base = (1.0 - damping) / n_present
+        ranks = [init_rank.remote(counts[p], 1.0 / n_present)
+                 for p in range(P)]
+    else:
+        # sparse PPR restart (uniform over the seed set) — the dense
+        # path's arbitrary teleport VECTOR is itself O(n_nodes), so the
+        # join path takes the seed-list form a focused crawl actually
+        # uses; base becomes a per-partition sparse vector
+        sd = np.unique(np.asarray(list(seed_teleport), np.int64))
+        sd_ref = ray.put(sd)
+
+        @ray.remote(num_returns=2)
+        def seed_pos(nds, s):
+            pos = np.searchsorted(nds, s)
+            ok = pos < len(nds)
+            ok[ok] &= nds[pos[ok]] == s[ok]
+            return pos[ok], int(ok.sum())
+
+        sp = [seed_pos.remote(nodes[p], sd_ref) for p in range(P)]
+        n_seed = int(sum(ray.get([s[1] for s in sp])))
+        if n_seed == 0:
+            raise ValueError("teleport has no mass on present nodes")
+
+        @ray.remote
+        def sparse_vec(n: int, pos, v: float):
+            out = np.zeros(n, np.float64)
+            out[pos] = v
+            return out
+
+        base = None  # per-partition refs below
+        base_refs = [sparse_vec.remote(counts[p], sp[p][0],
+                                       (1.0 - damping) / n_seed)
+                     for p in range(P)]
+        ranks = [sparse_vec.remote(counts[p], sp[p][0], 1.0 / n_seed)
+                 for p in range(P)]
     for _ in range(iters):
         sums = [contrib.remote(states[p], ranks[p], P) for p in range(P)]
         if P == 1:
             sums = [[s] for s in sums]
-        ranks = [accum.remote(nodes[q], base, damping,
+        ranks = [accum.remote(nodes[q],
+                              base if base is not None else base_refs[q],
+                              damping,
                               *[outbox[p][q] for p in range(P)],
                               *[sums[p][q] for p in range(P)])
                  for q in range(P)]

@@ -1578,6 +1578,34 @@ def test_min_label_prop_join_matches_dense(ray_session, monkeypatch):
     assert (routed["lbl"].to_numpy() == dense4["lbl"].to_numpy()).all()
 
 
+def test_ppr_join_matches_dense_teleport(ray_session):
+    """Sparse seed-list PPR on the join path equals the dense path's
+    teleport-vector PPR (uniform over the same seeds), including the
+    seeds-absent-from-graph masking."""
+    import ray
+
+    from frontera_ray.stages.pagerank import pagerank, pagerank_join
+
+    rng = np.random.default_rng(41)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    tele = np.zeros(n)
+    tele[[0, 3, 7, 11]] = 1.0
+    dense = pagerank(mk(), n_nodes=n, iters=5, teleport=tele).to_pandas()
+    joinp = pagerank_join(mk(), iters=5,
+                          seed_teleport=[0, 3, 7, 11]).to_pandas()
+    assert list(dense.node) == list(joinp.node)
+    assert np.abs(dense["rank"].to_numpy()
+                  - joinp["rank"].to_numpy()).max() < 1e-12
+
+
 def test_bfs_levels_join_matches_dense(ray_session, monkeypatch):
     """Join-path BFS (min-plus twin of the CC join path) matches the
     dense bitset-frontier path EXACTLY — including isolated seeds
