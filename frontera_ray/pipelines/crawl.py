@@ -994,7 +994,8 @@ class RayCrawler:
         return t["image_id"].to_pylist()
 
     def dedup_sink(self, max_hamming: int = 2, blocks: int | None = None,
-                   exchange: str | None = None) -> dict:
+                   exchange: str | None = None,
+                   keeper: str = "min_id") -> dict:
         """Post-crawl phash near-dup pass over the sink fragments (the
         graft's stated purpose for the phash column): pruned
         (image_id, phash) read of every round fragment -> the shared
@@ -1003,6 +1004,8 @@ class RayCrawler:
         round dirs (image_id, keeper_image_id, keep). Downstream
         training-data consumers anti-join on keep=false; the sink
         fragments themselves stay immutable (resumable by round).
+        ``keeper='best_area'`` keeps the highest-resolution member of
+        each cluster instead of the smallest id (reads w, h too).
         Returns {'images': N, 'dups': D} (dups = rows whose keeper is
         another image)."""
         import ray
@@ -1023,11 +1026,14 @@ class RayCrawler:
         # block count: the sink is many small per-round fragments; one
         # block per fragment would pay per-task overhead x fragments
         cpus = int(ray.cluster_resources().get("CPU", 8))
+        cols = ["image_id", "phash"] + (
+            ["w", "h"] if keeper == "best_area" else [])
         pages = ray.data.read_parquet(
-            frags, columns=["image_id", "phash"], filesystem=self.sink_fs,
+            frags, columns=cols, filesystem=self.sink_fs,
             override_num_blocks=min(len(frags), 4 * cpus))
         keep_ds = sink_keeper_table(pages, max_hamming=max_hamming,
-                                    blocks=blocks, exchange=exchange)
+                                    blocks=blocks, exchange=exchange,
+                                    keeper=keeper)
         keep_ds.write_parquet(str(keep_dir), filesystem=self.sink_fs)
         import pyarrow.compute as pc
 

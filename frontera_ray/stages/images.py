@@ -388,7 +388,8 @@ def image_keeper_table(urls_ds, max_hamming: int = 2,
 
 def sink_keeper_table(pages_ds, max_hamming: int = 2,
                       blocks: int | None = None,
-                      exchange: str | None = None):
+                      exchange: str | None = None,
+                      keeper: str = "min_id"):
     """Keep-list over an already-sketched image corpus — the crawl
     sink's (image_id, phash) columns ARE the sketch (the input_hint's
     phash column put to its stated purpose).
@@ -413,44 +414,68 @@ def sink_keeper_table(pages_ds, max_hamming: int = 2,
     exact-sketch group = its min-image_id member (carried by the
     aggregate, so keeper URLs resolve driver-side with NO extra corpus
     pass); keeper of a component = the representative whose pair id is
-    the component minimum."""
+    the component minimum.
+
+    ``keeper`` picks the keep rule: ``'min_id'`` (smallest image_id —
+    deterministic and cheapest) or ``'best_area'`` (largest w*h pixel
+    area, tiebreak smallest image_id — the training-data practice of
+    keeping the highest-resolution copy of a near-dup image cluster;
+    reads two extra int32 columns, same passes)."""
     import ray
 
     from .dedup import dedup_keepers_np, hamming64_neardup_pairs
 
-    # pin the 2-column sketch projection once: the aggregate pass and
-    # the assign pass would otherwise each re-execute the (many-
-    # fragment) read lineage. At corpus scale this is the slim
-    # (image_id, phash) table, not the pages.
-    src = pages_ds.select_columns(["image_id", "phash"]).materialize()
+    if keeper not in ("min_id", "best_area"):
+        raise ValueError(f"keeper must be 'min_id' or 'best_area', "
+                         f"got {keeper!r}")
+    best = keeper == "best_area"
+    cols = ["image_id", "phash"] + (["w", "h"] if best else [])
+    # pin the slim sketch projection once: the aggregate pass and the
+    # assign pass would otherwise each re-execute the (many-fragment)
+    # read lineage. At corpus scale this is the 2-4 column table, not
+    # the pages.
+    src = pages_ds.select_columns(cols).materialize()
 
-    # distinct sketch values, representative = the member with the MIN
-    # image_id string. Per-block partial min + a driver combine over
-    # the (distinct-bounded) partials — a combiner, not a sort shuffle
-    # (measured 3.2 s -> sub-second at 557k rows / 68k distinct); the
-    # rep's pair id is then derivable driver-side, so NO corpus pass is
-    # spent resolving keeper ids back to URLs.
-    def _phash_min_url(batch: pa.Table) -> pa.Table:
+    # distinct sketch values, representative = the group's BEST member
+    # under the keep rule (min url, or max area tie min url). Per-block
+    # partial + a driver combine over the (distinct-bounded) partials —
+    # a combiner, not a sort shuffle (measured 3.2 s -> sub-second at
+    # 557k rows / 68k distinct); the rep's pair id is then derivable
+    # driver-side, so NO corpus pass is spent resolving keeper ids
+    # back to URLs.
+    def _phash_rep(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table({"phash": pa.array([], pa.int64()),
-                             "min_url": pa.array([], pa.string())})
+                             "rep_url": pa.array([], pa.string()),
+                             "rep_area": pa.array([], pa.int64())})
         ph = batch["phash"].to_numpy().astype(np.int64)
         urls = np.asarray(batch["image_id"].to_pylist(), dtype=object)
-        order = np.lexsort((urls, ph))
+        if best:
+            area = (batch["w"].to_numpy().astype(np.int64)
+                    * batch["h"].to_numpy().astype(np.int64))
+            order = np.lexsort((urls, -area, ph))
+            area = area[order]
+        else:
+            order = np.lexsort((urls, ph))
+            area = np.zeros(len(ph), np.int64)
         ph, urls = ph[order], urls[order]
         first = np.concatenate(([True], ph[1:] != ph[:-1]))
         return pa.table({"phash": pa.array(ph[first], pa.int64()),
-                         "min_url": pa.array(urls[first], pa.string())})
+                         "rep_url": pa.array(urls[first], pa.string()),
+                         "rep_area": pa.array(area[first], pa.int64())})
 
     partials = pa.concat_tables(list(
-        src.map_batches(_phash_min_url, batch_format="pyarrow",
+        src.map_batches(_phash_rep, batch_format="pyarrow",
                         batch_size=None)
            .iter_batches(batch_format="pyarrow", batch_size=None)))
-    distinct = _phash_min_url(pa.table({
+    distinct = _phash_rep(pa.table({
         "phash": partials["phash"],
-        "image_id": partials["min_url"]}))
+        "image_id": partials["rep_url"],
+        "w": partials["rep_area"],
+        "h": pa.array(np.ones(len(partials), np.int64), pa.int64())}))
     sketches = distinct["phash"].to_numpy().astype(np.int64)
-    rep_urls = np.asarray(distinct["min_url"].to_pylist(), dtype=object)
+    rep_urls = np.asarray(distinct["rep_url"].to_pylist(), dtype=object)
+    rep_areas = distinct["rep_area"].to_numpy().astype(np.int64)
     rep_ids = image_id64(rep_urls)
 
     # near-dup pairs between REPRESENTATIVES only
@@ -462,15 +487,28 @@ def sink_keeper_table(pages_ds, max_hamming: int = 2,
     keepers = dedup_keepers_np(pairs["a"].to_numpy(),
                                pairs["b"].to_numpy())
 
-    # sketch-value -> keeper-url map (distinct-sized, broadcast once);
-    # keeper of a component = the rep whose id64 is the component min
+    # sketch-value -> keeper-url map (distinct-sized, broadcast once)
     url_of_rep = {int(i): u for i, u in zip(rep_ids, rep_urls)}
-    keeper_ids = np.asarray(
+    labels = np.asarray(
         [keepers.get(int(r), int(r)) for r in rep_ids], dtype=np.int64)
+    if best:
+        # component keeper = the rep with the LARGEST area (tie: min
+        # url) among the component's reps — vectorized first-of-run
+        # over (component label, -area, url)
+        lorder = np.lexsort((rep_urls, -rep_areas, labels))
+        ll = labels[lorder]
+        lfirst = np.concatenate(([True], ll[1:] != ll[:-1]))
+        comp_label = ll[lfirst]
+        comp_url = rep_urls[lorder][lfirst]
+        keeper_url_of_rep = comp_url[
+            np.searchsorted(comp_label, labels)]
+    else:
+        # keeper of a component = the rep whose id64 is the comp min
+        keeper_url_of_rep = np.asarray(
+            [url_of_rep[int(k)] for k in labels], dtype=object)
     order = np.argsort(sketches)
     sk_sorted = sketches[order]
-    keeper_urls = np.asarray(
-        [url_of_rep[int(k)] for k in keeper_ids[order]], dtype=object)
+    keeper_urls = keeper_url_of_rep[order]
     map_ref = ray.put((sk_sorted, keeper_urls))
     cache: dict = {}
 

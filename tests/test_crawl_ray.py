@@ -362,3 +362,54 @@ def test_sink_manifest_audit_on_restore(ray_session, small_web, tmp_path):
     m3 = c3.restore(strict_manifest=False)
     assert not m3["sink_audit"]["ok"]
     assert m3["sink_audit"]["mismatches"]
+
+
+def test_sink_keeper_best_area(ray_session):
+    """keeper='best_area' keeps the highest-resolution member of each
+    phash near-dup cluster (tiebreak: smallest image_id) — within an
+    exact-sketch group AND across a near-dup component — while
+    keeper='min_id' keeps the smallest id as before."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.images import sink_keeper_table
+
+    # sketch A = 0b0 (three copies, the LARGE one is u_big), sketch
+    # B = 0b1 (hamming 1 from A — same component at max_hamming>=1,
+    # its sole member is mid-sized), sketch C = far away (alone)
+    rows = [
+        ("http://a/u_small", 0, 10, 10),
+        ("http://a/u_big", 0, 100, 100),
+        ("http://a/u_big2", 0, 100, 100),   # area tie -> min url wins
+        ("http://b/mid", 1, 50, 50),
+        ("http://c/lone", (1 << 40) | (1 << 30) | (1 << 20), 20, 20),
+    ]
+    tbl = pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "phash": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array(np.asarray([r[2] for r in rows], np.int32),
+                      pa.int32()),
+        "h": pa.array(np.asarray([r[3] for r in rows], np.int32),
+                      pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+
+    best = {r["image_id"]: r for r in sink_keeper_table(
+        ds, max_hamming=1, keeper="best_area").take_all()}
+    # component {A, B}: keeper = the 100x100 rep, min url of the tie
+    for u in ("http://a/u_small", "http://a/u_big", "http://a/u_big2",
+              "http://b/mid"):
+        assert best[u]["keeper_image_id"] == "http://a/u_big"
+    assert best["http://a/u_big"]["keep"]
+    assert not best["http://b/mid"]["keep"]
+    assert best["http://c/lone"]["keep"]
+
+    ds2 = ray.data.from_arrow(tbl).repartition(2)
+    minid = {r["image_id"]: r for r in sink_keeper_table(
+        ds2, max_hamming=1, keeper="min_id").take_all()}
+    # min_id rule ignores area: smallest url string of the component
+    comp = sorted(["http://a/u_small", "http://a/u_big",
+                   "http://a/u_big2", "http://b/mid"])
+    for u in comp:
+        assert minid[u]["keeper_image_id"] == comp[0]
