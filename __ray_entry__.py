@@ -7807,6 +7807,41 @@ def q_caption_alignment(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_phash_keeper_best(sf_dir: str):
+    """Quality-aware image keep-list (images.sink_keeper_table,
+    keeper='best_area') over the planted phash corpus with derived
+    per-image dimensions: each hamming<=2 near-dup component keeps its
+    highest-resolution member (max w*h, tie min image_id STRING — the
+    keep-the-best-copy rule of image training-data dedup). Exercises
+    the full production path: exact-sketch collapse to best-member
+    representatives, bit-block LSH pairs, union-find components,
+    vectorized component-argmax, broadcast assign. The DuckDB twin
+    re-derives phash + dims, brute-pairs distinct sketches, closes
+    components with a recursive CTE and picks the same argmax."""
+    from frontera_ray.stages.images import (_SYNTH_H, _SYNTH_W,
+                                            sink_keeper_table,
+                                            synth_image_seed,
+                                            synth_phash_table)
+
+    def rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ph = synth_phash_table(b)["simhash"].to_numpy()
+        u = synth_image_seed(b)
+        six = (u % np.uint64(6)).astype(np.int64)
+        return pa.table({
+            "image_id": pa.array([str(i) for i in ids], pa.string()),
+            "phash": pa.array(ph, pa.int64()),
+            "w": pa.array(_SYNTH_W[six].astype(np.int32), pa.int32()),
+            "h": pa.array(_SYNTH_H[six].astype(np.int32), pa.int32()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(rows, batch_format="pyarrow")
+    out = sink_keeper_table(ds, max_hamming=2,
+                            keeper="best_area").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_phash_dup_locality(sf_dir: str):
     """Locality census of perceptual near-dup pairs — mirror-vs-reuse
     attribution: every phash pair (planted corpus, distributed
@@ -10507,6 +10542,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "image_meta": q_image_meta,
     "image_aspect_card": q_image_aspect_card,
     "phash_pairs": q_phash_pairs,
+    "phash_keeper_best": q_phash_keeper_best,
     "image_decode_parity": q_image_decode_parity,
     "phash_bit_balance": q_phash_bit_balance,
     "thumb_parity": q_thumb_parity,
@@ -15361,6 +15397,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(waste_ppm)::BIGINT AS waste_ppm_sum
             FROM pick GROUP BY bucket_ppm ORDER BY bucket_ppm""",
+        "phash_keeper_best": r"""
+            WITH RECURSIVE p AS (
+                SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                       xor(('0x'||substr(md5('ph:'||
+                             CAST(doc_id // 4 AS VARCHAR)),1,16))
+                             ::UBIGINT,
+                           (CASE doc_id % 4 WHEN 1 THEN 32
+                                 WHEN 2 THEN 32 WHEN 3 THEN 524288
+                                 ELSE 0 END)::UBIGINT) AS ph,
+                       ('0x'||substr(md5('img:'||
+                          CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS u
+                FROM documents),
+            m AS (SELECT image_id, ph,
+                         (CASE (u % 6)::INT WHEN 0 THEN 32 WHEN 1 THEN 48
+                               WHEN 2 THEN 64 WHEN 3 THEN 40
+                               WHEN 4 THEN 56 ELSE 80 END
+                          * CASE (u % 6)::INT WHEN 0 THEN 24 WHEN 1 THEN 32
+                                WHEN 2 THEN 48 WHEN 3 THEN 40
+                                WHEN 4 THEN 42 ELSE 60 END)::BIGINT AS area
+                  FROM p),
+            s AS (SELECT DISTINCT ph FROM m),
+            se AS (SELECT a.ph AS pa, b.ph AS pb
+                   FROM s a JOIN s b ON a.ph < b.ph
+                   WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+            edges AS (SELECT pa AS a, pb AS b FROM se
+                      UNION ALL SELECT pb, pa FROM se),
+            reach AS (SELECT ph AS id, ph AS comp FROM s
+                      UNION
+                      SELECT e.b AS id, r.comp
+                      FROM reach r JOIN edges e ON e.a = r.id),
+            compm AS (SELECT id AS ph, min(comp) AS comp
+                      FROM reach GROUP BY id),
+            mem AS (SELECT m.image_id, m.ph, m.area, c.comp
+                    FROM m JOIN compm c ON c.ph = m.ph),
+            best AS (SELECT comp, image_id AS keeper FROM (
+                       SELECT comp, image_id,
+                              row_number() OVER (PARTITION BY comp
+                                ORDER BY area DESC, image_id ASC) AS rn
+                       FROM mem) WHERE rn = 1)
+            SELECT mem.image_id, best.keeper AS keeper_image_id,
+                   (mem.image_id = best.keeper) AS keep
+            FROM mem JOIN best USING (comp)
+            ORDER BY mem.image_id""",
         "phash_pairs": r"""
             WITH p AS (SELECT doc_id,
                               xor(('0x'||substr(md5('ph:'||
