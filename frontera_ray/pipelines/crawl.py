@@ -82,13 +82,13 @@ class UrlSeenActor:
     def seen_count(self) -> int:
         return len(self.shard.states) if self.shard.exact else self.shard.n_seen
 
-    def checkpoint(self, directory: str) -> None:
-        self.shard.checkpoint(directory)
+    def checkpoint(self, directory: str, fs=None) -> None:
+        self.shard.checkpoint(directory, fs=fs)
 
-    def restore(self, directory: str) -> None:
+    def restore(self, directory: str, fs=None) -> None:
         self.shard = UrlSeenShard.restore(
             directory, self.shard.shard_id, exact=self.shard.exact,
-            filter_kind=self.shard.filter_kind,
+            filter_kind=self.shard.filter_kind, fs=fs,
         )
 
     def node_id(self) -> str:
@@ -139,12 +139,13 @@ class QueueActor:
         evidence — see tests/test_two_node.py)."""
         return ray.get_runtime_context().get_node_id()
 
-    def checkpoint(self, directory: str) -> None:
-        self.shard.checkpoint(directory)
+    def checkpoint(self, directory: str, fs=None) -> None:
+        self.shard.checkpoint(directory, fs=fs)
 
-    def restore(self, directory: str) -> None:
+    def restore(self, directory: str, fs=None) -> None:
         self.shard = QueueShard.restore(
-            directory, self.shard.shard_id, profile=self._profile, **self._kwargs
+            directory, self.shard.shard_id, fs=fs,
+            profile=self._profile, **self._kwargs
         )
 
 
@@ -559,7 +560,8 @@ class RayCrawler:
                  bloom_bits: int = 1 << 24, states_filter: str = "bloom",
                  checkpoint_every: int = 0,
                  salted_scores: bool = False, queue_kwargs: dict | None = None,
-                 sink_fs=None, actor_placement: str | None = None):
+                 sink_fs=None, state_fs=None,
+                 actor_placement: str | None = None):
         self.web = web
         self.out = Path(out_dir)
         self.out.mkdir(parents=True, exist_ok=True)
@@ -572,6 +574,19 @@ class RayCrawler:
 
             sink_fs, _ = _pafs.FileSystem.from_uri(sink_fs)
         self.sink_fs = sink_fs
+        # shared-storage hook for the FRONTIER STATE checkpoints (the
+        # north rule's per-partition lineage): actor checkpoints run on
+        # the actor's node, so on a multi-node cluster they MUST write
+        # through a shared pyarrow FileSystem or the restore can't see
+        # them. With state_fs set, checkpoints use a rename-free
+        # versioned protocol (checkpoint-rNNNNN/ dirs, meta.json
+        # written last as the completeness marker) — object stores
+        # have no atomic rename.
+        if isinstance(state_fs, str):
+            from pyarrow import fs as _pafs
+
+            state_fs, _ = _pafs.FileSystem.from_uri(state_fs)
+        self.state_fs = state_fs
         # registry name, strategy class, or ready instance
         if isinstance(strategy, str):
             self.strategy = STRATEGIES[strategy]()
@@ -838,7 +853,58 @@ class RayCrawler:
                 "config": self.cfg}
 
     # ------------------------------------------------------------------
+    def _meta_doc(self) -> str:
+        return json.dumps({
+            "round": self.round,
+            "pages_total": self.pages_total,
+            "config": self.cfg,
+            "metrics": self.metrics[-50:],
+            "sink_manifest": self._sink_manifest(),
+        })
+
+    def _state_ck_dirs(self) -> list[tuple[int, str, bool]]:
+        """Versioned checkpoint dirs behind state_fs, sorted:
+        (round_no, path, complete) — complete == meta.json present."""
+        from pyarrow import fs as _pafs
+
+        sel = _pafs.FileSelector(str(self.out), allow_not_found=True)
+        out = []
+        for info in self.state_fs.get_file_info(sel):
+            name = info.path.rsplit("/", 1)[-1]
+            if info.type != _pafs.FileType.Directory or \
+                    not name.startswith("checkpoint-r"):
+                continue
+            meta = self.state_fs.get_file_info(f"{info.path}/meta.json")
+            out.append((int(name.split("-r")[1]), info.path,
+                        meta.type == _pafs.FileType.File))
+        return sorted(out)
+
     def checkpoint(self) -> None:
+        if self.state_fs is not None:
+            # rename-free versioned protocol for shared/object storage:
+            # write checkpoint-rNNNNN/ fully, meta.json LAST (the
+            # completeness marker), then prune older versions — a crash
+            # mid-write leaves an incomplete dir restore() ignores
+            ck = f"{self.out}/checkpoint-r{self.round:05d}"
+            try:
+                self.state_fs.delete_dir(ck)  # idempotent re-checkpoint
+            except (FileNotFoundError, OSError):
+                pass
+            self.state_fs.create_dir(ck, recursive=True)
+            futs = [a.checkpoint.remote(ck, self.state_fs)
+                    for a in self.state_actors]
+            futs += [a.checkpoint.remote(ck, self.state_fs)
+                     for a in self.queue_actors]
+            ray.get(futs)
+            with self.state_fs.open_output_stream(f"{ck}/meta.json") as f:
+                f.write(self._meta_doc().encode("utf8"))
+            for rno, path, _complete in self._state_ck_dirs():
+                if rno < self.round:
+                    try:
+                        self.state_fs.delete_dir(path)
+                    except (FileNotFoundError, OSError):
+                        pass
+            return
         ck = self.out / "checkpoint"
         tmp = self.out / "checkpoint.tmp"
         if tmp.exists():
@@ -847,13 +913,7 @@ class RayCrawler:
         futs = [a.checkpoint.remote(str(tmp)) for a in self.state_actors]
         futs += [a.checkpoint.remote(str(tmp)) for a in self.queue_actors]
         ray.get(futs)
-        (tmp / "meta.json").write_text(json.dumps({
-            "round": self.round,
-            "pages_total": self.pages_total,
-            "config": self.cfg,
-            "metrics": self.metrics[-50:],
-            "sink_manifest": self._sink_manifest(),
-        }))
+        (tmp / "meta.json").write_text(self._meta_doc())
         # rename the old checkpoint aside before promoting the new one:
         # a crash between the two renames still leaves one complete
         # checkpoint on disk (restore() falls back to checkpoint.old)
@@ -911,6 +971,23 @@ class RayCrawler:
         return man
 
     def restore(self, strict_manifest: bool = True) -> dict:
+        if self.state_fs is not None:
+            complete = [(r, p) for r, p, ok in self._state_ck_dirs()
+                        if ok]
+            if not complete:
+                raise FileNotFoundError(
+                    f"no complete checkpoint-r* dir under {self.out} "
+                    "on the state filesystem")
+            _rno, ckp = complete[-1]  # latest complete version wins
+            meta = json.loads(
+                self.state_fs.open_input_stream(
+                    f"{ckp}/meta.json").read().decode("utf8"))
+            futs = [a.restore.remote(ckp, self.state_fs)
+                    for a in self.state_actors]
+            futs += [a.restore.remote(ckp, self.state_fs)
+                     for a in self.queue_actors]
+            ray.get(futs)
+            return self._finish_restore(meta, strict_manifest)
         ck = self.out / "checkpoint"
         if not (ck / "meta.json").exists() and (
                 self.out / "checkpoint.old" / "meta.json").exists():
@@ -922,6 +999,9 @@ class RayCrawler:
         futs = [a.restore.remote(str(ck)) for a in self.state_actors]
         futs += [a.restore.remote(str(ck)) for a in self.queue_actors]
         ray.get(futs)
+        return self._finish_restore(meta, strict_manifest)
+
+    def _finish_restore(self, meta: dict, strict_manifest: bool) -> dict:
         self.round = meta["round"]
         self.pages_total = meta["pages_total"]
         # rounds at/after the checkpoint re-run deterministically

@@ -963,9 +963,14 @@ class QueueShard:
         )
 
     # -- checkpoint ----------------------------------------------------------
-    def checkpoint(self, directory: str) -> None:
-        d = Path(directory)
-        d.mkdir(parents=True, exist_ok=True)
+    def checkpoint(self, directory: str, fs=None) -> None:
+        """Persist this shard under ``directory``; ``fs`` (a
+        ``pyarrow.fs.FileSystem``) routes through shared storage — the
+        multi-node requirement (see UrlSeenShard.checkpoint)."""
+        if fs is None:
+            Path(directory).mkdir(parents=True, exist_ok=True)
+        else:
+            fs.create_dir(directory, recursive=True)
         entries = list(self._live.values())  # heap may hold ghosts
         for dq in self._pending.values():
             entries.extend(dq)
@@ -975,7 +980,8 @@ class QueueShard:
                           for name, col in zip(ENTRY_FIELDS, cols)})
         else:
             t = ENTRY_SCHEMA.empty_table()
-        pq.write_table(t, d / f"queue-{self.shard_id:04d}.parquet")
+        pq.write_table(t, f"{directory}/queue-{self.shard_id:04d}.parquet",
+                       filesystem=fs)
         # stream domain rows in bounded chunks: domains.items() walks
         # the resident generations then the spill fragments one file at
         # a time, so the checkpoint never materializes the full host
@@ -985,8 +991,9 @@ class QueueShard:
             ("crawl_delay", pa.float64()), ("queued_pages", pa.int64()),
             ("banned", pa.bool_()),
         ])
-        with pq.ParquetWriter(d / f"domains-{self.shard_id:04d}.parquet",
-                              dom_schema) as w:
+        with pq.ParquetWriter(
+                f"{directory}/domains-{self.shard_id:04d}.parquet",
+                dom_schema, filesystem=fs) as w:
             chunk: list = []
 
             def flush():
@@ -1009,16 +1016,24 @@ class QueueShard:
             flush()
 
     @classmethod
-    def restore(cls, directory: str, shard_id: int, **kwargs) -> "QueueShard":
-        d = Path(directory)
+    def restore(cls, directory: str, shard_id: int, fs=None,
+                **kwargs) -> "QueueShard":
         shard = cls(shard_id, **kwargs)
-        t = pq.read_table(d / f"queue-{shard_id:04d}.parquet")
+        t = pq.read_table(f"{directory}/queue-{shard_id:04d}.parquet",
+                          filesystem=fs)
         rows = zip(*(t[f].to_pylist() for f in ENTRY_FIELDS))
         for row in rows:
             shard._push_live(QueueEntry(*row))
-        dpath = d / f"domains-{shard_id:04d}.parquet"
-        if dpath.exists():
-            dt = pq.read_table(dpath)
+        dpath = f"{directory}/domains-{shard_id:04d}.parquet"
+        if fs is None:
+            have_domains = Path(dpath).exists()
+        else:
+            from pyarrow import fs as _pafs
+
+            have_domains = (fs.get_file_info(dpath).type
+                            == _pafs.FileType.File)
+        if have_domains:
+            dt = pq.read_table(dpath, filesystem=fs)
             for h, body, delay, qp, banned in zip(
                 dt["host"].to_pylist(), dt["robots_body"].to_pylist(),
                 dt["crawl_delay"].to_pylist(), dt["queued_pages"].to_pylist(),

@@ -380,32 +380,56 @@ class UrlSeenShard:
                 del self.states[fp]
 
     # -- checkpoint ----------------------------------------------------------
-    def checkpoint(self, directory: str) -> None:
-        d = Path(directory)
-        d.mkdir(parents=True, exist_ok=True)
+    def checkpoint(self, directory: str, fs=None) -> None:
+        """Persist this shard's state under ``directory``. ``fs`` (a
+        ``pyarrow.fs.FileSystem``) routes the write through shared
+        storage — REQUIRED on a multi-node cluster, where this method
+        runs on the actor's node and a plain path would land on that
+        node's local disk, invisible to a restore elsewhere."""
         fps = np.fromiter(self.states.keys(), dtype=np.uint64, count=len(self.states))
         vals = np.fromiter(self.states.values(), dtype=np.int8, count=len(self.states))
         t = pa.table({"fingerprint": fps, "state": vals})
-        pq.write_table(t, d / f"states-{self.shard_id:04d}.parquet")
+        if fs is None:
+            d = Path(directory)
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t, d / f"states-{self.shard_id:04d}.parquet")
+            if self.bloom is not None:
+                (d / f"bloom-{self.shard_id:04d}.npz").write_bytes(
+                    self.bloom.to_bytes())
+            return
+        fs.create_dir(directory, recursive=True)
+        pq.write_table(t, f"{directory}/states-{self.shard_id:04d}.parquet",
+                       filesystem=fs)
         if self.bloom is not None:
-            (d / f"bloom-{self.shard_id:04d}.npz").write_bytes(self.bloom.to_bytes())
+            with fs.open_output_stream(
+                    f"{directory}/bloom-{self.shard_id:04d}.npz") as f:
+                f.write(self.bloom.to_bytes())
 
     @classmethod
     def restore(cls, directory: str, shard_id: int, exact: bool = True,
                 bloom_bits: int = 1 << 24,
-                filter_kind: str = "bloom") -> "UrlSeenShard":
-        d = Path(directory)
+                filter_kind: str = "bloom", fs=None) -> "UrlSeenShard":
         shard = cls(shard_id, exact=exact, bloom_bits=bloom_bits,
                     filter_kind=filter_kind)
-        t = pq.read_table(d / f"states-{shard_id:04d}.parquet")
+        t = pq.read_table(f"{directory}/states-{shard_id:04d}.parquet",
+                          filesystem=fs)
         fps = t["fingerprint"].to_numpy()
         vals = t["state"].to_numpy()
         shard.states = {int(f): int(v) for f, v in zip(fps, vals)}
-        bloom_path = d / f"bloom-{shard_id:04d}.npz"
-        if not exact and bloom_path.exists():
+        if fs is None:
+            bloom_path = Path(directory) / f"bloom-{shard_id:04d}.npz"
+            bloom_bytes = (bloom_path.read_bytes()
+                           if bloom_path.exists() else None)
+        else:
+            from pyarrow import fs as _pafs
+
+            p = f"{directory}/bloom-{shard_id:04d}.npz"
+            info = fs.get_file_info(p)
+            bloom_bytes = (fs.open_input_stream(p).read()
+                           if info.type == _pafs.FileType.File else None)
+        if not exact and bloom_bytes is not None:
             # the checkpoint, not the argument, decides the kind
-            shard.bloom = membership_filter_from_bytes(
-                bloom_path.read_bytes())
+            shard.bloom = membership_filter_from_bytes(bloom_bytes)
             shard.filter_kind = ("cuckoo" if isinstance(shard.bloom,
                                                         CuckooFilter)
                                  else "bloom")

@@ -43,6 +43,15 @@ def main(argv=None) -> int:
                          "instead of starting a local session")
     ap.add_argument("--spread-actors", action="store_true",
                     help="SPREAD shard actors across cluster nodes")
+    ap.add_argument("--sink-fs", default=None,
+                    help="pyarrow filesystem URI for the page sink "
+                         "(e.g. s3://bucket/prefix) — REQUIRED on a "
+                         "multi-node cluster unless --out is a shared "
+                         "mount")
+    ap.add_argument("--state-fs", default=None,
+                    help="pyarrow filesystem URI for frontier-state "
+                         "checkpoints (versioned rename-free protocol;"
+                         " REQUIRED multi-node, same reasoning)")
     ap.add_argument("--settings", default=None,
                     help="settings module path (frontera-style); CLI "
                          "flags given explicitly still win")
@@ -87,6 +96,7 @@ def main(argv=None) -> int:
             checkpoint_every=(args.checkpoint_every
                               if args.checkpoint_every is not None else 2),
             actor_placement="spread" if args.spread_actors else None,
+            sink_fs=args.sink_fs, state_fs=args.state_fs,
         )
     if args.resume:
         meta = crawler.restore()

@@ -298,3 +298,47 @@ def test_cuckoo_unmark_enables_recrawl(ray_session, tmp_path):
     from collections import Counter
     dup = {u for u, n in Counter(urls2).items() if n == 2}
     assert dup == set(revisit)
+
+
+def test_state_fs_checkpoint_restore(ray_session, tmp_path):
+    """Frontier-state checkpoints route through state_fs (the
+    multi-node requirement: actor checkpoints run on the actor's node,
+    so only a shared filesystem makes them visible to a restore
+    elsewhere), using the rename-free versioned protocol
+    (checkpoint-rNNNNN/, meta.json last): a fresh crawler restores
+    through the handle, ignores incomplete versions, passes the
+    sink-lineage audit, and completes the crawl exactly."""
+    from pyarrow import fs as pafs
+
+    from frontera_ray.graphs import SyntheticWeb
+    from frontera_ray.pipelines.crawl import RayCrawler
+
+    remote = tmp_path / "remote_mount"
+    remote.mkdir()
+    sub = pafs.SubTreeFileSystem(str(remote), pafs.LocalFileSystem())
+    out = tmp_path / "local" / "out"
+    web = SyntheticWeb(6, seed=11, max_class=2)
+    kw = dict(num_state_shards=2, num_queue_shards=2, batch_per_shard=32,
+              sink_fs=sub, state_fs=sub)
+    c = RayCrawler(web, str(out), checkpoint_every=2, **kw)
+    c.add_seeds(web.seeds())
+    c.run(max_rounds=3)  # partial run; checkpoint landed at round 2
+    assert not list(out.glob("checkpoint*")), "checkpoint leaked local"
+    behind = str(out).lstrip("/")
+    cks = list(remote.glob(f"{behind}/checkpoint-r*/meta.json"))
+    assert cks, "no versioned checkpoint behind the mount"
+    # an incomplete later version (no meta.json) must be ignored
+    (remote / behind / "checkpoint-r99999").mkdir()
+
+    c2 = RayCrawler(web, str(out), checkpoint_every=2, **kw)
+    meta = c2.restore()
+    assert meta["round"] == 2
+    assert meta["sink_audit"]["ok"]
+    c2.run(max_rounds=50)
+    urls = c2.crawled_urls()
+    assert len(urls) == len(set(urls)) == web.total_pages()
+    # old checkpoint versions pruned after the next complete one
+    rounds = sorted(int(p.name.split("-r")[1])
+                    for p in (remote / behind).glob("checkpoint-r*")
+                    if (p / "meta.json").exists())
+    assert len(rounds) == 1 and rounds[0] > 2
