@@ -129,6 +129,25 @@ _LABEL_PROP_SQL = """
              GROUP BY und.a)""" for i in range(1, 5)) + """
     SELECT node, lbl::BIGINT AS lbl FROM l4 ORDER BY node"""
 
+# converged CC over the same graph: min REACHABLE id per node via a
+# recursive closure (the fixpoint the iterative min-label rounds reach)
+_CC_CONVERGED_SQL = """
+    WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
+                                y.l_suppkey AS v
+               FROM lineitem x JOIN lineitem y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey
+               WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+    und AS (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT a AS n FROM und),
+    reach AS (SELECT n AS id, n AS comp FROM nodes
+              UNION
+              SELECT und.b AS id, reach.comp
+              FROM reach JOIN und ON und.a = reach.id)
+    SELECT id AS node, min(comp)::BIGINT AS lbl
+    FROM reach GROUP BY id ORDER BY node"""
+
 # Morton interleave unrolled for the zorder_cells oracle: x bits land on
 # even positions, y bits on odd (exactly relational._spread16's ladder).
 _ZORDER_X_SQL = " + ".join(
@@ -3276,6 +3295,22 @@ def q_label_prop_join(sf_dir: str):
 
     edges, _n_nodes = _supplier_copurchase_edges(sf_dir)
     out = min_label_prop_join(edges, iters=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_cc_converged(sf_dir: str):
+    """Connected components to CONVERGENCE
+    (pagerank.connected_components_join) over the supplier co-purchase
+    graph: per round one edge-relax all-to-all + one pointer-jumping
+    shortcut (label-of-label fetch routed by the same node hash), with
+    distributed change-count termination — O(log diameter) rounds, no
+    dense register, no fixed iteration guess. Every node's label is
+    its component minimum, which the DuckDB twin computes as min
+    reachable id via a recursive CTE."""
+    from frontera_ray.stages.pagerank import connected_components_join
+
+    edges, _n = _supplier_copurchase_edges(sf_dir)
+    out = connected_components_join(edges).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -10427,6 +10462,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "assign_ids": q_assign_ids,
     "label_prop": q_label_prop,
     "label_prop_join": q_label_prop_join,
+    "cc_converged": q_cc_converged,
     "rate_limit": q_rate_limit,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
@@ -13107,6 +13143,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1""",
         "label_prop": _LABEL_PROP_SQL,
         "label_prop_join": _LABEL_PROP_SQL,
+        "cc_converged": _CC_CONVERGED_SQL,
         "rate_limit": """
             WITH v AS (SELECT event_id, user_id,
                               (epoch_us(ts) // 86400000000)::BIGINT AS win,

@@ -810,6 +810,107 @@ def bfs_levels_join(edges_ds, seeds, max_depth: int = 4,
                      "lvl": pa.array(all_lab[order], pa.int64())})
 
 
+def _cc_combine_count(state, nodes, lab, P: int, hop: int,
+                      *fwd_ids_mins_rev):
+    """``_cc_combine`` + the number of labels that changed this round —
+    the per-partition convergence signal (the driver sums P ints)."""
+    new = _cc_combine(state, nodes, lab, P, hop, *fwd_ids_mins_rev)
+    return new, int((new != lab).sum())
+
+
+def _cc_shortcut_req(lab, P: int):
+    """Pointer-jumping request split: the partition's DISTINCT label
+    values routed to their owning partitions (labels are node ids, so
+    ownership is the same node hash). Returns P id slices + the
+    reassembly indices (inverse of unique, inverse of the route
+    permutation)."""
+    U, inv = np.unique(lab, return_inverse=True)
+    pid = _node_pids(U, P)
+    order = np.argsort(pid, kind="stable")
+    cnt = np.bincount(pid, minlength=P)
+    offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+    Uo = U[order]
+    slices = tuple(Uo[int(offs[r]):int(offs[r + 1])] for r in range(P))
+    return (*slices, inv, np.argsort(order, kind="stable"))
+
+
+def _cc_shortcut_fold(lab, inv, invorder, *val_slices):
+    """Apply label(label): lab' = min(lab, L(L)) — halves pointer-chain
+    depth per round (classic shortcutting), so convergence is
+    O(log diameter) rounds instead of O(diameter). Returns (new lab,
+    change count)."""
+    lol_u = np.concatenate(val_slices)[invorder] if len(invorder) else \
+        np.empty(0, np.int64)
+    new = np.minimum(lab, lol_u[inv]) if len(lab) else lab
+    return new, int((new != lab).sum())
+
+
+def connected_components_join(edges_ds, max_iters: int = 64,
+                              num_partitions: int | None = None,
+                              src_col: str = "src",
+                              dst_col: str = "dst") -> pa.Table:
+    """Connected components to CONVERGENCE on the join path: min-label
+    rounds (see ``min_label_prop_join``) repeated until a round changes
+    no label anywhere — the fixpoint where every node's label IS its
+    component's minimum id. Each round is one edge relaxation (the
+    min-label sweep) plus one pointer-jumping SHORTCUT — lab' =
+    min(lab, label(label)), routed by the same node hash since labels
+    are node ids — the classic hash-to-min contraction, so convergence
+    takes O(log diameter) rounds instead of O(diameter). Termination
+    is detected distributively (each step returns its change count;
+    the driver sums P ints per round — never a vector). ``max_iters``
+    is a runaway bound only. Returns (node, lbl = component min)."""
+    import ray
+
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, True, num_partitions, src_col, dst_col)
+    contrib = ray.remote(num_returns=P)(_cc_contrib)
+    gather = ray.remote(num_returns=P)(_pr_gather)
+    combine = ray.remote(num_returns=2)(_cc_combine_count)
+    screq = ray.remote(num_returns=P + 2)(_cc_shortcut_req)
+    scfold = ray.remote(num_returns=2)(_cc_shortcut_fold)
+    if int(sum(counts)) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
+
+    @ray.remote
+    def init_labels(nds):
+        return nds.astype(np.int64, copy=True)
+
+    lab = [init_labels.remote(nodes[p]) for p in range(P)]
+    for _ in range(max_iters):
+        fwd = [contrib.remote(states[p], lab[p], P) for p in range(P)]
+        gat = [gather.remote(nodes[q], lab[q], None, P,
+                             *[outbox[p][q] for p in range(P)])
+               for q in range(P)]
+        res = [combine.remote(states[q], nodes[q], lab[q], P, 0,
+                              *[outbox[p][q] for p in range(P)],
+                              *[fwd[p][q] for p in range(P)],
+                              *[gat[r][q] for r in range(P)])
+               for q in range(P)]
+        lab = [res[q][0] for q in range(P)]
+        # pointer-jumping shortcut on the freshly relaxed labels
+        req = [screq.remote(lab[q], P) for q in range(P)]
+        serve = [gather.remote(nodes[r], lab[r], None, P,
+                               *[req[q][r] for q in range(P)])
+                 for r in range(P)]
+        sc = [scfold.remote(lab[q], req[q][P], req[q][P + 1],
+                            *[serve[r][q] for r in range(P)])
+              for q in range(P)]
+        lab = [sc[q][0] for q in range(P)]
+        changed = (sum(ray.get([res[q][1] for q in range(P)]))
+                   + sum(ray.get([sc[q][1] for q in range(P)])))
+        if changed == 0:
+            break
+    node_parts = ray.get(nodes)
+    lab_parts = ray.get(lab)
+    all_nodes = np.concatenate(node_parts)
+    all_lab = np.concatenate(lab_parts)
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "lbl": pa.array(all_lab[order], pa.int64())})
+
+
 def cooccurrence_edges(ds, group_col: str, item_col: str,
                        n_nodes: int | None = None,
                        exchange: str | None = None):

@@ -1578,6 +1578,46 @@ def test_min_label_prop_join_matches_dense(ray_session, monkeypatch):
     assert (routed["lbl"].to_numpy() == dense4["lbl"].to_numpy()).all()
 
 
+def test_connected_components_join_converges(ray_session):
+    """Convergence-detecting CC on the join path: pointer-jumping
+    shortcuts make a 2000-node chain converge in O(log n) rounds (a
+    relax-only loop would need 2000), and an arbitrary random graph
+    matches union-find ground truth exactly."""
+    import ray
+
+    from frontera_ray.stages.dedup import dedup_keepers_np
+    from frontera_ray.stages.pagerank import connected_components_join
+
+    # known small components
+    src = np.array([0, 1, 10, 20, 5], dtype=np.int64)
+    dst = np.array([1, 2, 11, 20, 6], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    got = dict(zip(*(lambda d: (d.node, d.lbl))(
+        connected_components_join(ds).to_pandas())))
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 10: 10, 11: 10, 20: 20}
+
+    # high-diameter chain: must converge well inside the runaway bound
+    n = 2000
+    ds2 = ray.data.from_arrow(pa.table({
+        "src": pa.array(np.arange(n - 1)),
+        "dst": pa.array(np.arange(1, n))}))
+    out2 = connected_components_join(ds2).to_pandas()
+    assert (out2["lbl"] == 0).all() and len(out2) == n
+
+    # random graph vs union-find ground truth
+    rng = np.random.default_rng(2)
+    s = rng.integers(0, 3000, 2500)
+    d = rng.integers(0, 3000, 2500)
+    ds3 = ray.data.from_arrow(pa.table({
+        "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}))
+    out3 = connected_components_join(ds3).to_pandas()
+    truth = dedup_keepers_np(s, d)
+    present = np.unique(np.concatenate([s, d]))
+    exp = {int(x): truth.get(int(x), int(x)) for x in present}
+    assert dict(zip(out3.node, out3.lbl)) == exp
+
+
 def test_ppr_join_matches_dense_teleport(ray_session):
     """Sparse seed-list PPR on the join path equals the dense path's
     teleport-vector PPR (uniform over the same seeds), including the
