@@ -3724,6 +3724,31 @@ def q_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank on the join path (pagerank_join with
+    weight_col): anchor-weight link analysis — contribution
+    w(u,v)/W_out(u) per distinct edge, parallel-edge weights summed in
+    the src-partition collapse. Weights w = 1 + doc_id % 7 over the
+    same doc-derived graph; integer-valued weights make every W_out
+    sum exact in float64, so only final-rank rounding differs from the
+    SQL twin."""
+    from frontera_ray.stages.pagerank import pagerank_join
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+            "w": pa.array((1 + d % 7).astype(np.float64), pa.float64()),
+        })
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = pagerank_join(ds, iters=5, weight_col="w").to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_pagerank_join(sf_dir: str):
     """The JOIN-PATH PageRank (pagerank.pagerank_join) over the same
     doc-derived graph as q_pagerank: rank shards hash-partitioned by
@@ -10492,6 +10517,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_total": q_running_total,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
+    "pagerank_weighted": q_pagerank_weighted,
     "label_centroids": q_label_centroids,
     "length_outliers": q_length_outliers,
     "cms_counts": q_cms_counts,
@@ -11841,6 +11867,38 @@ def _hash_split_oracle() -> str:
                      )::BIGINT AS h
               FROM documents)
         ORDER BY doc_id"""
+
+
+def _pagerank_weighted_oracle(iters: int = 5) -> str:
+    """Exact SQL twin of q_pagerank_weighted: parallel-edge weights
+    summed per (src,dst), denominator = out-WEIGHT, otherwise the same
+    unrolled mass-leaking recurrence as _pagerank_oracle."""
+    its = []
+    for k in range(1, iters + 1):
+        prev = "r0" if k == 1 else f"it{k - 1}"
+        its.append(f"""it{k} AS (
+            SELECT n.v,
+                   (1.0 - 0.85) / (SELECT n FROM p)
+                   + 0.85 * coalesce(sum(r.r / d.outw * ec.w), 0) AS r
+            FROM nodes n
+            LEFT JOIN ec ON ec.dst = n.v
+            LEFT JOIN deg d ON d.src = ec.src
+            LEFT JOIN {prev} r ON r.v = ec.src
+            GROUP BY n.v)""")
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH e AS (SELECT doc_id % {_PR_NODES} AS src,
+                          (doc_id * {_PR_MIX}) % {_PR_NODES} AS dst,
+                          (1 + doc_id % 7)::DOUBLE AS w
+                   FROM documents),
+        ec AS (SELECT src, dst, sum(w) AS w FROM e GROUP BY src, dst),
+        nodes AS (SELECT src AS v FROM ec UNION SELECT dst FROM ec),
+        p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, sum(w) AS outw FROM ec GROUP BY src),
+        r0 AS (SELECT v, 1.0 / (SELECT n FROM p) AS r FROM nodes),
+        {chain}
+        SELECT v AS node, round(r, 9) AS rank
+        FROM it{iters} ORDER BY node"""
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
@@ -14412,6 +14470,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, event_id""",
         "pagerank": _pagerank_oracle(),
         "pagerank_join": _pagerank_oracle(),
+        "pagerank_weighted": _pagerank_weighted_oracle(),
         # list indexing is 1-based in DuckDB; embedding floats widen to
         # DOUBLE exactly, so sum/count matches the numpy combine to the
         # rounding guard

@@ -245,29 +245,39 @@ def _node_pids(arr: np.ndarray, P: int) -> np.ndarray:
             % np.uint64(P)).astype(np.int64)
 
 
-def _pr_split_block(tbl: pa.Table, src_col: str, dst_col: str, P: int):
+def _pr_split_block(tbl: pa.Table, src_col: str, dst_col: str, P: int,
+                    w_col: str | None = None):
     """Map side of the ONE edge exchange: shard a raw edge block into
-    P (src,dst) shards by hash(src) plus P distinct-dst shards by
+    P (src,dst[,w]) shards by hash(src) plus P distinct-dst shards by
     hash(dst) (the dst universe must reach the partition that will own
     that node's rank). 2P outputs so a build task fetches only its
     column of the shard matrix."""
     if tbl.num_rows == 0 or src_col not in tbl.column_names:
         z = np.empty(0, np.int64)
-        e = pa.table({"src": pa.array(z), "dst": pa.array(z)})
+        e = {"src": pa.array(z), "dst": pa.array(z)}
+        if w_col is not None:
+            e["w"] = pa.array(np.empty(0, np.float64), pa.float64())
+        e = pa.table(e)
         d = pa.table({"dst": pa.array(z)})
         return tuple([e] * P + [d] * P)
     src = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = (tbl[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+         if w_col is not None else None)
     out = []
     pid = _node_pids(src, P)
     order = np.argsort(pid, kind="stable")
     cnt = np.bincount(pid, minlength=P)
     offs = np.concatenate(([0], np.cumsum(cnt)))
     ss, dd = src[order], dst[order]
+    ww = w[order] if w is not None else None
     for p in range(P):
         sl = slice(int(offs[p]), int(offs[p + 1]))
-        out.append(pa.table({"src": pa.array(ss[sl], pa.int64()),
-                             "dst": pa.array(dd[sl], pa.int64())}))
+        cols = {"src": pa.array(ss[sl], pa.int64()),
+                "dst": pa.array(dd[sl], pa.int64())}
+        if ww is not None:
+            cols["w"] = pa.array(ww[sl], pa.float64())
+        out.append(pa.table(cols))
     u = np.unique(dst)  # pre-collapse the node shard within the block
     pid = _node_pids(u, P)
     order = np.argsort(pid, kind="stable")
@@ -302,31 +312,53 @@ def _pr_build_partition(P: int, dedup: bool, *shards):
     B = len(shards) // 2
     etabs = [s for s in shards[:B] if len(s)]
     ntabs = [s for s in shards[B:] if len(s)]
+    weighted = bool(etabs) and "w" in etabs[0].column_names
     if etabs:
         et = pa.concat_tables(etabs)
         src = et["src"].to_numpy().astype(np.int64)
         dst = et["dst"].to_numpy().astype(np.int64)
+        w = et["w"].to_numpy().astype(np.float64) if weighted else None
     else:
         src = dst = np.empty(0, np.int64)
+        w = None
     if len(src):
         # always src-sorted (the src-run reduceat below relies on it)
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
+        if w is not None:
+            w = w[order]
         if dedup:
             keep = np.ones(len(src), dtype=bool)
             keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
+            if w is not None:
+                # parallel-edge weights SUM into the surviving row
+                # (standard multigraph collapse; np.add.reduceat over
+                # the duplicate runs)
+                starts = np.flatnonzero(keep)
+                w = np.add.reduceat(w, starts)
             src, dst = src[keep], dst[keep]
     psrc, src_code, outdeg = (np.unique(src, return_inverse=True,
                                         return_counts=True)
                               if len(src) else
                               (np.empty(0, np.int64),) * 3)
+    if weighted and len(psrc):
+        # out-WEIGHT replaces out-degree in the rank denominator:
+        # Σ w per src (src-sorted runs; outdeg COUNTS stay intact —
+        # they index the src runs below)
+        outw = np.add.reduceat(
+            w, np.concatenate(([0], np.cumsum(outdeg)))[:-1].astype(
+                np.int64))
+    else:
+        outw = None
     own_dst = (np.unique(np.concatenate(
         [t["dst"].to_numpy() for t in ntabs])).astype(np.int64)
         if ntabs else np.empty(0, np.int64))
     nodes = np.union1d(psrc, own_dst)
     psrc_pos = np.searchsorted(nodes, psrc)
-    inv_outdeg = (1.0 / outdeg.astype(np.float64) if len(psrc)
-                  else np.empty(0, np.float64))
+    # weighted graphs divide by out-WEIGHT (positive weights assumed)
+    inv_outdeg = (1.0 / (outw if outw is not None
+                         else outdeg.astype(np.float64))
+                  if len(psrc) else np.empty(0, np.float64))
     # group local edges by dst once; iterations are one reduceat
     dorder_e = np.argsort(dst, kind="stable")
     dst_sorted = dst[dorder_e]
@@ -351,8 +383,12 @@ def _pr_build_partition(P: int, dedup: bool, *shards):
     dst_code_by_src = np.searchsorted(dst_unique, dst) \
         if len(dst) else np.empty(0, np.int64)
     inv_dorder = np.argsort(dorder, kind="stable")
+    # per-edge weight in dst order (None unweighted): the forward
+    # contribution multiplies each edge's rv by its weight
+    w_by_dst = w[dorder_e] if weighted and len(dst) else None
     state = (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts,
-             dorder, offs, src_starts, dst_code_by_src, inv_dorder)
+             dorder, offs, src_starts, dst_code_by_src, inv_dorder,
+             w_by_dst)
     return (state, nodes, int(len(nodes)),
             *[out_ids[int(offs[q]):int(offs[q + 1])] for q in range(P)])
 
@@ -366,14 +402,17 @@ def _pr_contrib(state, r, P: int, weight_outdeg: bool = True,
     ``weight_outdeg`` divides by outdegree (PageRank); HITS' authority
     update passes False. ``scale`` folds a pending normalization."""
     (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts, dorder, offs,
-     _ss, _dc, _inv) = state
+     _ss, _dc, _inv, w_by_dst) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.float64)
         return tuple([z] * P) if P > 1 else z
     rv = r[psrc_pos] * scale
     if weight_outdeg:
         rv = rv * inv_outdeg
-    sums = np.add.reduceat(rv[src_code_by_dst], dst_starts)[dorder]
+    edge_vals = rv[src_code_by_dst]
+    if w_by_dst is not None:
+        edge_vals = edge_vals * w_by_dst
+    sums = np.add.reduceat(edge_vals, dst_starts)[dorder]
     outs = tuple(sums[int(offs[q]):int(offs[q + 1])] for q in range(P))
     return outs if P > 1 else outs[0]
 
@@ -396,7 +435,8 @@ def _pr_accumulate(nodes, base, damping: float, *ids_then_sums):
 
 def _pr_partition_graph(edges_ds, dedup: bool,
                         num_partitions: int | None,
-                        src_col: str, dst_col: str):
+                        src_col: str, dst_col: str,
+                        w_col: str | None = None):
     """Shared build phase of the join-path link analyzers: ONE edge
     exchange by hash(src) + dst-universe routing, then per-partition
     static state (see ``_pr_build_partition``). Returns
@@ -410,12 +450,13 @@ def _pr_partition_graph(edges_ds, dedup: bool,
     split = ray.remote(num_returns=2 * P)(_pr_split_block)
     build = ray.remote(num_returns=P + 3)(_pr_build_partition)
 
-    refs = edges_ds.select_columns([src_col, dst_col]) \
+    cols = [src_col, dst_col] + ([w_col] if w_col else [])
+    refs = edges_ds.select_columns(cols) \
         .materialize().to_arrow_refs()
     ecols = [[] for _ in range(P)]
     ncols = [[] for _ in range(P)]
     for r in refs:
-        out = split.remote(r, src_col, dst_col, P)
+        out = split.remote(r, src_col, dst_col, P, w_col)
         for p in range(P):
             ecols[p].append(out[p])
             ncols[p].append(out[P + p])
@@ -431,7 +472,8 @@ def _pr_partition_graph(edges_ds, dedup: bool,
 def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
                   dedup: bool = True, num_partitions: int | None = None,
                   src_col: str = "src", dst_col: str = "dst",
-                  seed_teleport=None) -> pa.Table:
+                  seed_teleport=None, weight_col: str | None = None
+                  ) -> pa.Table:
     """PageRank via the JOIN PATH — no dense node vector anywhere, so
     the node space is bounded per PARTITION, not per worker heap: the
     scale route for URL-graph node counts (10^10 nodes = 80 GB dense —
@@ -457,14 +499,18 @@ def pagerank_join(edges_ds, iters: int = 5, damping: float = 0.85,
     uniform-over-seeds restart (PPR) entirely within the partitioned
     shape — the focused-crawl scoring read at URL-graph scale. (The
     dense path's ARBITRARY teleport vector is itself O(n_nodes) and
-    stays dense-only.)
+    stays dense-only.) ``weight_col`` makes the walk WEIGHTED
+    (anchor-weight link analysis): contribution w(u,v)/W_out(u) per
+    edge, parallel-edge weights summed in the dedup collapse; positive
+    weights assumed.
 
     Returns the same small (node, rank) table as ``pagerank`` (at real
     scale: write per-partition parquet instead of driver concat)."""
     import ray
 
     P, states, nodes, counts, outbox = _pr_partition_graph(
-        edges_ds, dedup, num_partitions, src_col, dst_col)
+        edges_ds, dedup, num_partitions, src_col, dst_col,
+        w_col=weight_col)
     contrib = ray.remote(num_returns=P)(_pr_contrib)
     accum = ray.remote(_pr_accumulate)
     n_present = int(sum(counts))
@@ -570,7 +616,7 @@ def _pr_hub(state, n_nodes_p: int, *avals):
     inverse), then h(u) = Σ a(dst) as one reduceat over the src-sorted
     edges. Returns (hub vector aligned to nodes, L1 partial)."""
     (psrc_pos, _inv_outdeg, _scbd, _dsts, _dorder, _offs,
-     src_starts, dst_code_by_src, inv_dorder) = state
+     src_starts, dst_code_by_src, inv_dorder, _w) = state
     h = np.zeros(n_nodes_p, np.float64)
     if len(src_starts):
         a_by_dstu = np.concatenate(avals)[inv_dorder] if len(inv_dorder) \
@@ -656,7 +702,7 @@ def _cc_contrib(state, lab, P: int, hop: int = 0):
     the static outbox order. ``hop`` adds a per-edge increment (0 for
     CC labels, 1 for BFS levels — the min-plus recurrence)."""
     (psrc_pos, _inv, src_code_by_dst, dst_starts, dorder, offs,
-     _ss, _dc, _invd) = state
+     _ss, _dc, _invd, _w) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.int64)
         return tuple([z] * P) if P > 1 else z
@@ -676,7 +722,7 @@ def _cc_combine(state, nodes, lab, P: int, hop: int, *fwd_ids_mins_rev):
     fwd id arrays, P fwd min arrays, P reverse-gathered label
     slices."""
     (psrc_pos, _inv, _scbd, _dsts, _dorder, _offs,
-     src_starts, dst_code_by_src, inv_dorder) = state
+     src_starts, dst_code_by_src, inv_dorder, _w) = state
     new = lab.copy()
     fwd_ids = fwd_ids_mins_rev[:P]
     fwd_mins = fwd_ids_mins_rev[P:2 * P]
