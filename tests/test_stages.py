@@ -1578,6 +1578,65 @@ def test_min_label_prop_join_matches_dense(ray_session, monkeypatch):
     assert (routed["lbl"].to_numpy() == dense4["lbl"].to_numpy()).all()
 
 
+def test_pagerank_weighted_matches_numpy(ray_session):
+    """Weighted join-path PageRank equals a from-scratch numpy
+    reference (parallel edges collapse by weight SUM, denominator =
+    out-weight), and composes with the sparse PPR restart."""
+    import collections
+
+    import ray
+
+    from frontera_ray.stages.pagerank import pagerank_join
+
+    rng = np.random.default_rng(7)
+    n = 300
+    src = rng.integers(0, n, 2000)
+    dst = rng.integers(0, n, 2000)
+    w = (1.0 + rng.integers(0, 7, 2000)).astype(np.float64)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "w": pa.array(w, pa.float64())})).repartition(4)
+
+    ew: dict = collections.defaultdict(float)
+    for s, d, x in zip(src, dst, w):
+        ew[(int(s), int(d))] += x
+    es = np.array([k[0] for k in ew])
+    ed = np.array([k[1] for k in ew])
+    ev = np.array(list(ew.values()))
+    present = np.zeros(n, bool)
+    present[es] = True
+    present[ed] = True
+    N = present.sum()
+    W = np.zeros(n)
+    np.add.at(W, es, ev)
+
+    def ref(r0, base):
+        r = r0.copy()
+        for _ in range(5):
+            contrib = np.zeros(n)
+            np.add.at(contrib, ed, r[es] / W[es] * ev)
+            r = np.where(present, base + 0.85 * contrib, 0.0)
+        return r[np.flatnonzero(present)]
+
+    out = pagerank_join(mk(), iters=5, weight_col="w").to_pandas()
+    exp = ref(np.where(present, 1.0 / N, 0.0),
+              np.where(present, 0.15 / N, 0.0))
+    assert np.abs(out["rank"].to_numpy() - exp).max() < 1e-12
+
+    seeds = [0, 3, 7]
+    live = [s for s in seeds if present[s]]
+    t = np.zeros(n)
+    t[live] = 1.0 / len(live)
+    out2 = pagerank_join(mk(), iters=5, weight_col="w",
+                         seed_teleport=seeds).to_pandas()
+    exp2 = ref(np.where(present, t, 0.0),
+               np.where(present, 0.15 * t, 0.0))
+    assert np.abs(out2["rank"].to_numpy() - exp2).max() < 1e-12
+
+
 def test_connected_components_join_converges(ray_session):
     """Convergence-detecting CC on the join path: pointer-jumping
     shortcuts make a 2000-node chain converge in O(log n) rounds (a
