@@ -131,6 +131,28 @@ _LABEL_PROP_SQL = """
 
 # converged CC over the same graph: min REACHABLE id per node via a
 # recursive closure (the fixpoint the iterative min-label rounds reach)
+_SSSP_HOPS_SQL = """
+    WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
+                                y.l_suppkey AS v
+               FROM lineitem x JOIN lineitem y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey
+               WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),
+    und AS (SELECT u AS a, v AS b,
+                   (1 + (u + v) % 9)::DOUBLE AS w FROM e
+            UNION ALL
+            SELECT v, u, (1 + (u + v) % 9)::DOUBLE FROM e),
+    srcs AS (SELECT s_suppkey AS n FROM supplier
+             WHERE s_suppkey % 10 = 1),
+    reach(id, dist, hops) AS (
+        SELECT n, 0.0::DOUBLE, 0 FROM srcs
+      UNION
+        SELECT und.b, reach.dist + und.w, reach.hops + 1
+        FROM reach JOIN und ON und.a = reach.id
+        WHERE reach.hops < 3)
+    SELECT id AS node, min(dist)::BIGINT AS dist
+    FROM reach GROUP BY id ORDER BY node"""
+
 _CC_CONVERGED_SQL = """
     WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
                                 y.l_suppkey AS v
@@ -3295,6 +3317,33 @@ def q_label_prop_join(sf_dir: str):
 
     edges, _n_nodes = _supplier_copurchase_edges(sf_dir)
     out = min_label_prop_join(edges, iters=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_sssp_hops(sf_dir: str):
+    """Bounded-hop weighted shortest paths
+    (pagerank.sssp_rounds_join): 3 synchronous Bellman-Ford rounds
+    over the co-purchase graph with endpoint-derived integer weights
+    (w = 1 + (u+v) % 9) from the suppkey%10==1 source set — dist(v)
+    after round k is exactly min path weight over <= k hops, which the
+    recursive twin computes with a hop-bounded path enumeration. The
+    weighted generalization of graph_bfs (crawl click-distance with
+    per-link costs); parallel edges collapse under the min."""
+    from frontera_ray.stages.pagerank import sssp_rounds_join
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy()
+        d = b["dst"].to_numpy()
+        return pa.table({
+            "src": b["src"], "dst": b["dst"],
+            "w": pa.array((1 + (s + d) % 9).astype(np.float64),
+                          pa.float64())})
+
+    wds = edges.map_batches(weigh, batch_format="pyarrow")
+    sources = np.arange(1, n_nodes, 10, dtype=np.int64)
+    out = sssp_rounds_join(wds, sources, "w", rounds=3).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -10488,6 +10537,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "label_prop": q_label_prop,
     "label_prop_join": q_label_prop_join,
     "cc_converged": q_cc_converged,
+    "sssp_hops": q_sssp_hops,
     "rate_limit": q_rate_limit,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
@@ -13202,6 +13252,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": _LABEL_PROP_SQL,
         "label_prop_join": _LABEL_PROP_SQL,
         "cc_converged": _CC_CONVERGED_SQL,
+        "sssp_hops": _SSSP_HOPS_SQL,
         "rate_limit": """
             WITH v AS (SELECT event_id, user_id,
                               (epoch_us(ts) // 86400000000)::BIGINT AS win,

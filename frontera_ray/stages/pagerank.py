@@ -384,11 +384,14 @@ def _pr_build_partition(P: int, dedup: bool, *shards):
         if len(dst) else np.empty(0, np.int64)
     inv_dorder = np.argsort(dorder, kind="stable")
     # per-edge weight in dst order (None unweighted): the forward
-    # contribution multiplies each edge's rv by its weight
+    # contribution multiplies (PageRank) or adds (min-plus SSSP) each
+    # edge's weight; w_by_src is the same weights in the src-sorted
+    # edge order the REVERSE sweep walks
     w_by_dst = w[dorder_e] if weighted and len(dst) else None
+    w_by_src = w if weighted and len(dst) else None
     state = (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts,
              dorder, offs, src_starts, dst_code_by_src, inv_dorder,
-             w_by_dst)
+             w_by_dst, w_by_src)
     return (state, nodes, int(len(nodes)),
             *[out_ids[int(offs[q]):int(offs[q + 1])] for q in range(P)])
 
@@ -402,7 +405,7 @@ def _pr_contrib(state, r, P: int, weight_outdeg: bool = True,
     ``weight_outdeg`` divides by outdegree (PageRank); HITS' authority
     update passes False. ``scale`` folds a pending normalization."""
     (psrc_pos, inv_outdeg, src_code_by_dst, dst_starts, dorder, offs,
-     _ss, _dc, _inv, w_by_dst) = state
+     _ss, _dc, _inv, w_by_dst, _ws) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.float64)
         return tuple([z] * P) if P > 1 else z
@@ -616,7 +619,7 @@ def _pr_hub(state, n_nodes_p: int, *avals):
     inverse), then h(u) = Σ a(dst) as one reduceat over the src-sorted
     edges. Returns (hub vector aligned to nodes, L1 partial)."""
     (psrc_pos, _inv_outdeg, _scbd, _dsts, _dorder, _offs,
-     src_starts, dst_code_by_src, inv_dorder, _w) = state
+     src_starts, dst_code_by_src, inv_dorder, _w, _ws) = state
     h = np.zeros(n_nodes_p, np.float64)
     if len(src_starts):
         a_by_dstu = np.concatenate(avals)[inv_dorder] if len(inv_dorder) \
@@ -702,7 +705,7 @@ def _cc_contrib(state, lab, P: int, hop: int = 0):
     the static outbox order. ``hop`` adds a per-edge increment (0 for
     CC labels, 1 for BFS levels — the min-plus recurrence)."""
     (psrc_pos, _inv, src_code_by_dst, dst_starts, dorder, offs,
-     _ss, _dc, _invd, _w) = state
+     _ss, _dc, _invd, _w, _ws) = state
     if len(src_code_by_dst) == 0:
         z = np.empty(0, np.int64)
         return tuple([z] * P) if P > 1 else z
@@ -722,7 +725,7 @@ def _cc_combine(state, nodes, lab, P: int, hop: int, *fwd_ids_mins_rev):
     fwd id arrays, P fwd min arrays, P reverse-gathered label
     slices."""
     (psrc_pos, _inv, _scbd, _dsts, _dorder, _offs,
-     src_starts, dst_code_by_src, inv_dorder, _w) = state
+     src_starts, dst_code_by_src, inv_dorder, _w, _ws) = state
     new = lab.copy()
     fwd_ids = fwd_ids_mins_rev[:P]
     fwd_mins = fwd_ids_mins_rev[P:2 * P]
@@ -889,6 +892,116 @@ def _cc_shortcut_fold(lab, inv, invorder, *val_slices):
         np.empty(0, np.int64)
     new = np.minimum(lab, lol_u[inv]) if len(lab) else lab
     return new, int((new != lab).sum())
+
+
+def _sssp_contrib(state, lab, P: int):
+    """Min-PLUS forward half-sweep with per-edge weights: per-dst MIN
+    of (dist[src] + w) — synchronous Bellman-Ford relaxation, parallel
+    edges collapsing naturally under the min."""
+    (psrc_pos, _inv, src_code_by_dst, dst_starts, dorder, offs,
+     _ss, _dc, _invd, w_by_dst, _ws) = state
+    if len(src_code_by_dst) == 0:
+        z = np.empty(0, np.float64)
+        return tuple([z] * P) if P > 1 else z
+    vals = lab[psrc_pos][src_code_by_dst] + w_by_dst
+    mins = np.minimum.reduceat(vals, dst_starts)[dorder]
+    outs = tuple(mins[int(offs[q]):int(offs[q + 1])] for q in range(P))
+    return outs if P > 1 else outs[0]
+
+
+def _sssp_combine(state, nodes, lab, P: int, *fwd_ids_mins_rev):
+    """One synchronous weighted min-plus round (both edge directions —
+    undirected distances): new = min(old, inbound per-dst mins,
+    src-side min over (dist[dst] + w)). All reads are OLD distances;
+    integer-valued float64 weights keep every sum exact."""
+    (psrc_pos, _inv, _scbd, _dsts, _dorder, _offs,
+     src_starts, dst_code_by_src, inv_dorder, _w, w_by_src) = state
+    new = lab.copy()
+    fwd_ids = fwd_ids_mins_rev[:P]
+    fwd_mins = fwd_ids_mins_rev[P:2 * P]
+    rev = fwd_ids_mins_rev[2 * P:]
+    for ids, mins in zip(fwd_ids, fwd_mins):
+        if len(ids):
+            np.minimum.at(new, np.searchsorted(nodes, ids), mins)
+    if len(src_starts):
+        lab_by_dstu = np.concatenate(rev)[inv_dorder]
+        np.minimum.at(new, psrc_pos,
+                      np.minimum.reduceat(
+                          lab_by_dstu[dst_code_by_src] + w_by_src,
+                          src_starts))
+    return new
+
+
+_SSSP_INF = float(1 << 52)  # min-plus sentinel, exact in float64
+
+
+def sssp_rounds_join(edges_ds, sources, weight_col: str = "w",
+                     rounds: int = 4,
+                     num_partitions: int | None = None,
+                     src_col: str = "src",
+                     dst_col: str = "dst") -> pa.Table:
+    """Bounded-hop weighted shortest paths on the join path:
+    ``rounds`` synchronous Bellman-Ford relaxations over UNDIRECTED
+    weighted edges from a source set — dist(v) after round k is
+    EXACTLY the min weight over paths of <= k hops (the synchronous
+    min-plus property), which is what a recursive SQL twin with a hop
+    bound computes, so the operator is oracle-able without the
+    cyclic-graph non-termination an unbounded recursive relaxation
+    hits. The weighted generalization of ``bfs_levels_join`` (crawl
+    click-distance with per-link costs); parallel edges collapse under
+    the min (``dedup=False`` keeps them all), integer-valued weights
+    stay float-exact. Returns (node, dist:int64) for nodes reached
+    within ``rounds`` hops."""
+    import ray
+
+    P, states, nodes, counts, outbox = _pr_partition_graph(
+        edges_ds, False, num_partitions, src_col, dst_col,
+        w_col=weight_col)
+    contrib = ray.remote(num_returns=P)(_sssp_contrib)
+    gather = ray.remote(num_returns=P)(_pr_gather)
+    combine = ray.remote(_sssp_combine)
+    if int(sum(counts)) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    sources = np.asarray(list(sources), np.int64)
+    sources = np.unique(sources[sources >= 0])
+    s_ref = ray.put(sources)
+
+    @ray.remote
+    def init_dist(nds, sref):
+        lab = np.full(len(nds), _SSSP_INF, np.float64)
+        s = sref
+        pos = np.searchsorted(nds, s)
+        ok = pos < len(nds)
+        ok[ok] &= nds[pos[ok]] == s[ok]
+        lab[pos[ok]] = 0.0
+        return lab
+
+    lab = [init_dist.remote(nodes[p], s_ref) for p in range(P)]
+    for _ in range(rounds):
+        fwd = [contrib.remote(states[p], lab[p], P) for p in range(P)]
+        gat = [gather.remote(nodes[q], lab[q], None, P,
+                             *[outbox[p][q] for p in range(P)])
+               for q in range(P)]
+        lab = [combine.remote(states[q], nodes[q], lab[q], P,
+                              *[outbox[p][q] for p in range(P)],
+                              *[fwd[p][q] for p in range(P)],
+                              *[gat[r][q] for r in range(P)])
+               for q in range(P)]
+    node_parts = ray.get(nodes)
+    lab_parts = ray.get(lab)
+    all_nodes = np.concatenate(node_parts)
+    all_lab = np.concatenate(lab_parts)
+    keep = all_lab < _SSSP_INF
+    all_nodes, all_lab = all_nodes[keep], all_lab[keep]
+    iso = np.setdiff1d(sources, all_nodes)
+    if len(iso):  # sources absent from the edge graph: dist 0
+        all_nodes = np.concatenate((all_nodes, iso))
+        all_lab = np.concatenate((all_lab, np.zeros(len(iso))))
+    order = np.argsort(all_nodes)
+    return pa.table({"node": pa.array(all_nodes[order], pa.int64()),
+                     "dist": pa.array(
+                         all_lab[order].astype(np.int64), pa.int64())})
 
 
 def connected_components_join(edges_ds, max_iters: int = 64,

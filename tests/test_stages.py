@@ -1637,6 +1637,43 @@ def test_pagerank_weighted_matches_numpy(ray_session):
     assert np.abs(out2["rank"].to_numpy() - exp2).max() < 1e-12
 
 
+def test_sssp_rounds_join_matches_reference(ray_session):
+    """Bounded-hop weighted shortest paths: k synchronous min-plus
+    rounds equal a from-scratch synchronous Bellman-Ford (undirected,
+    parallel edges min-collapsed, isolated sources at dist 0)."""
+    import ray
+
+    from frontera_ray.stages.pagerank import sssp_rounds_join
+
+    rng = np.random.default_rng(3)
+    n = 250
+    src = rng.integers(0, 200, 1200)  # nodes 200.. absent
+    dst = rng.integers(0, 200, 1200)
+    w = (1 + rng.integers(0, 9, 1200)).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(w, pa.float64())})).repartition(4)
+    K = 3
+    sources = [0, 5, 240]  # 240 is isolated
+    out = sssp_rounds_join(ds, sources, "w", rounds=K).to_pandas()
+
+    INF = float("inf")
+    d = np.full(n, INF)
+    d[sources] = 0
+    for _ in range(K):
+        nd = d.copy()
+        np.minimum.at(nd, dst, d[src] + w)
+        np.minimum.at(nd, src, d[dst] + w)
+        d = nd
+    present = np.zeros(n, bool)
+    present[src] = True
+    present[dst] = True
+    exp = {i: int(d[i]) for i in range(n)
+           if (present[i] or i in sources) and d[i] < INF}
+    assert dict(zip(out.node, out.dist)) == exp
+
+
 def test_connected_components_join_converges(ray_session):
     """Convergence-detecting CC on the join path: pointer-jumping
     shortcuts make a 2000-node chain converge in O(log n) rounds (a
