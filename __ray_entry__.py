@@ -131,6 +131,36 @@ _LABEL_PROP_SQL = """
 
 # converged CC over the same graph: min REACHABLE id per node via a
 # recursive closure (the fixpoint the iterative min-label rounds reach)
+def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    """Exact SQL twin of q_ktruss: per round, LEFT-join triangle
+    support per surviving edge (count of w adjacent to both ends;
+    0-support edges kept in the count via the LEFT join), filter
+    sup >= k-2, unrolled; final support recomputed over the
+    survivors."""
+    parts = []
+    for i in range(rounds + 1):
+        parts.append(f"""
+        und{i} AS (SELECT u AS a, v AS b FROM e{i}
+                   UNION ALL SELECT v, u FROM e{i}),
+        sup{i} AS (SELECT e{i}.u, e{i}.v, count(y.b)::BIGINT AS sup
+                   FROM e{i}
+                   LEFT JOIN und{i} x ON x.a = e{i}.u
+                   LEFT JOIN und{i} y ON y.a = e{i}.v AND y.b = x.b
+                   GROUP BY e{i}.u, e{i}.v)""")
+        if i < rounds:
+            parts.append(f"""
+        e{i + 1} AS (SELECT u, v FROM sup{i} WHERE sup >= {k - 2})""")
+    chain = ",".join(parts)
+    return f"""
+        WITH e0 AS (SELECT DISTINCT x.l_suppkey AS u,
+                           y.l_suppkey AS v
+               FROM lineitem x JOIN lineitem y
+                 ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey
+               WHERE x.l_quantity >= 48 AND y.l_quantity >= 48),{chain}
+        SELECT u, v, sup FROM sup{rounds} ORDER BY u, v"""
+
+
 _SSSP_HOPS_SQL = """
     WITH RECURSIVE e AS (SELECT DISTINCT x.l_suppkey AS u,
                                 y.l_suppkey AS v
@@ -3318,6 +3348,20 @@ def q_label_prop_join(sf_dir: str):
     edges, _n_nodes = _supplier_copurchase_edges(sf_dir)
     out = min_label_prop_join(edges, iters=4).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_ktruss(sf_dir: str):
+    """Fixed-round 4-truss peeling (pagerank.ktruss) over the
+    co-purchase graph: 3 synchronous rounds dropping every edge in
+    fewer than 2 triangles — the edge-cohesion link-farm/community
+    core one level up from k-core. Bitset adjacency + chunked
+    popcount supports; oracled against 3 unrolled support+filter CTE
+    rounds with the final support recomputed over the survivors."""
+    from frontera_ray.stages.pagerank import ktruss
+
+    edges, n_nodes = _supplier_copurchase_edges(sf_dir)
+    out = ktruss(edges, n_nodes, k=4, rounds=3).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
 def q_sssp_hops(sf_dir: str):
@@ -10538,6 +10582,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "label_prop_join": q_label_prop_join,
     "cc_converged": q_cc_converged,
     "sssp_hops": q_sssp_hops,
+    "ktruss": q_ktruss,
     "rate_limit": q_rate_limit,
     "jaccard_join": q_jaccard_join,
     "edit_join": q_edit_join,
@@ -13253,6 +13298,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop_join": _LABEL_PROP_SQL,
         "cc_converged": _CC_CONVERGED_SQL,
         "sssp_hops": _SSSP_HOPS_SQL,
+        "ktruss": _ktruss_oracle(),
         "rate_limit": """
             WITH v AS (SELECT event_id, user_id,
                               (epoch_us(ts) // 86400000000)::BIGINT AS win,

@@ -125,7 +125,7 @@ BENCH_QUERIES = [
     "pq_codebook", "hll_sliding", "sign_flip_test", "ann_ivfpq",
     "crawl_dfs", "pcsa_distinct", "ams_f2", "sq8_census", "dim_truncation", "binary_embed_audit",
     "pagerank_join", "hits_join", "label_prop_join", "graph_bfs_join", "ppr_join",
-    "phash_keeper_best", "cc_converged", "pagerank_weighted", "sssp_hops",
+    "phash_keeper_best", "cc_converged", "pagerank_weighted", "sssp_hops", "ktruss",
 ]
 
 CRAWL_HOSTS = 8192

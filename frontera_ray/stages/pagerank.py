@@ -1575,6 +1575,71 @@ def kcore(edges_ds, n_nodes: int, k: int = 3, rounds: int = 4) -> pa.Table:
                      "core_deg": pa.array(deg[nodes], pa.int64())})
 
 
+def ktruss(edges_ds, n_nodes: int, k: int = 4,
+           rounds: int = 3) -> pa.Table:
+    """Fixed-round k-truss peeling (Cohen 2008, public algorithm —
+    the EDGE-cohesion decomposition one level up from k-core): each
+    round drops every edge whose support (# triangles containing it)
+    is below k-2, synchronously; densely interwoven link farms /
+    communities survive, bridges and tendrils peel away. A FIXED
+    round count keeps the operator deterministic and SQL-oracle-able
+    (unrolled support+filter CTE rounds); callers iterate to a
+    no-change round in practice (the loop breaks early when a round
+    peels nothing).
+
+    Scale shape — the ``kcore`` bitset pattern: adjacency from ONE
+    idempotent-OR pass (no dedup exchange), memory bounded by the NODE
+    universe; per round each surviving edge's support is one popcount
+    of ``adj[u] & adj[v]`` (chunked rows, vectorized), then the
+    adjacency rebuilds from survivors. Entity graphs only (suppliers /
+    hosts / users), like the rest of the bitset family. Returns the
+    surviving edges (u < v) with their FINAL support."""
+    n = int(n_nodes)
+    adj = _bitset_adjacency(edges_ds, n)
+    ids = np.arange(n)
+    adj[ids, ids // 8] &= ~(np.uint8(1) << (ids % 8).astype(np.uint8))
+    # distinct u<v edge list straight from the stream (bounded by the
+    # entity-graph edge count; packed-key unique, self-loops dropped)
+    keys = []
+    for t in edges_ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        if len(t) == 0 or "src" not in t.column_names:
+            continue
+        a = t["src"].to_numpy().astype(np.int64)
+        b = t["dst"].to_numpy().astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        keys.append(np.unique(lo[m] * n + hi[m]))
+    ek = np.unique(np.concatenate(keys)) if keys else \
+        np.empty(0, np.int64)
+    u, v = ek // n, ek % n
+
+    def supports(uu, vv):
+        sup = np.empty(len(uu), np.int64)
+        for s in range(0, len(uu), 4096):
+            e = slice(s, s + 4096)
+            sup[e] = _POPCOUNT8[adj[uu[e]] & adj[vv[e]]].sum(axis=1)
+        return sup
+
+    for _ in range(int(rounds)):
+        if len(u) == 0:
+            break
+        sup = supports(u, v)
+        keep = sup >= k - 2
+        if keep.all():
+            break
+        u, v = u[keep], v[keep]
+        adj = np.zeros_like(adj)
+        np.bitwise_or.at(adj, (u, v // 8),
+                         np.uint8(1) << (v % 8).astype(np.uint8))
+        np.bitwise_or.at(adj, (v, u // 8),
+                         np.uint8(1) << (u % 8).astype(np.uint8))
+    sup = supports(u, v) if len(u) else np.empty(0, np.int64)
+    return pa.table({"u": pa.array(u, pa.int64()),
+                     "v": pa.array(v, pa.int64()),
+                     "sup": pa.array(sup, pa.int64())})
+
+
 def assortativity_sums(edges_ds, n_nodes: int,
                        num_blocks: int = 32) -> pa.Table:
     """Degree-assortativity moment sums (Newman 2002's mixing

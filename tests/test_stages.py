@@ -3413,3 +3413,42 @@ def test_winnow_batch_parity_with_scalar():
             exp = np.sort(winnow_fingerprints(text, k, w).view(np.int64))
             got = fp[di == d]
             assert got.tolist() == exp.tolist(), (k, w, d, text[:30])
+
+
+def test_ktruss_matches_brute(ray_session):
+    """Fixed-round 4-truss peeling equals a brute set-based reference
+    (synchronous edge drops, final support over survivors) on random
+    multigraphs with self-loops and parallel edges."""
+    import ray
+
+    from frontera_ray.stages.pagerank import ktruss
+
+    def brute(pairs, n, k, rounds):
+        E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        for _ in range(rounds):
+            adj = {i: set() for i in range(n)}
+            for a, b in E:
+                adj[a].add(b)
+                adj[b].add(a)
+            keep = {e for e in E if len(adj[e[0]] & adj[e[1]]) >= k - 2}
+            if keep == E:
+                break
+            E = keep
+        adj = {i: set() for i in range(n)}
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        return sorted((a, b, len(adj[a] & adj[b])) for a, b in E)
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        n = 40
+        m = int(rng.integers(30, 120))
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(3)
+        out = ktruss(ds, n, k=4, rounds=3).to_pandas()
+        assert sorted(zip(out.u, out.v, out.sup)) == \
+            brute(list(zip(src, dst)), n, 4, 3)
