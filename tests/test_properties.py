@@ -256,3 +256,42 @@ def test_per_key_burst_kernel_matches_brute(rows):
     burst = np.maximum.reduceat(counts, starts)
     for key, nn, bb in zip(sk[starts], ends - starts, burst):
         assert brute[int(key)] == (int(nn), int(bb))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_join_path_parity_property(ray_session, seed):
+    """Property: on ANY random multigraph (self-loops, parallel edges,
+    skewed degrees), the join-path link analyzers equal their dense
+    siblings — pagerank to 1e-12 (float path), min-label EXACTLY
+    (integer path)."""
+    import pyarrow as pa
+    import ray
+
+    from frontera_ray.stages.pagerank import (min_label_prop,
+                                              min_label_prop_join,
+                                              pagerank, pagerank_join)
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 300))
+    m = int(rng.integers(10, 800))
+    # skew: square the uniform draw so low ids dominate (hot hosts)
+    src = (rng.random(m) ** 2 * n).astype(np.int64)
+    dst = rng.integers(0, n, m)
+
+    def mk():
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(3)
+
+    dense = pagerank(mk(), n_nodes=n, iters=3,
+                     node_space="dense").to_pandas()
+    joinp = pagerank_join(mk(), iters=3).to_pandas()
+    assert list(dense.node) == list(joinp.node)
+    assert np.abs(dense["rank"].to_numpy()
+                  - joinp["rank"].to_numpy()).max() < 1e-12
+
+    dl = min_label_prop(mk(), n, iters=3).to_pandas()
+    jl = min_label_prop_join(mk(), iters=3).to_pandas()
+    assert list(dl.node) == list(jl.node)
+    assert (dl["lbl"].to_numpy() == jl["lbl"].to_numpy()).all()
