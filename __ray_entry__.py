@@ -3795,6 +3795,28 @@ _PR_NODES = 256
 _PR_MIX = 2654435761  # Knuth multiplicative hash constant
 
 
+def _doc_graph_edges(sf_dir: str, weighted: bool = False):
+    """Shared doc-derived link graph for the whole link-analysis query
+    family (pagerank / ppr / hits and their join-path twins): src =
+    doc_id %% N, dst = mixed residue, optional weight 1 + doc_id %% 7.
+    ONE definition keeps the seven Ray pipelines bit-identical with
+    each other and with their SQL oracles."""
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        cols = {
+            "src": pa.array(d % _PR_NODES, pa.int64()),
+            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
+        }
+        if weighted:
+            cols["w"] = pa.array((1 + d % 7).astype(np.float64),
+                                 pa.float64())
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents").select_columns(["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-iteration PageRank (5 rounds, d=0.85) over a deterministic
     doc-derived link graph (src = doc_id % 256, dst = mixed residue):
@@ -3803,15 +3825,7 @@ def q_pagerank(sf_dir: str):
     companion of the crawl's online OPIC flow."""
     from frontera_ray.stages.pagerank import pagerank
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = pagerank(ds, n_nodes=_PR_NODES, iters=5).to_pandas()
     out["rank"] = out["rank"].round(9)
     return out.sort_values("node").reset_index(drop=True)
@@ -3827,16 +3841,7 @@ def q_pagerank_weighted(sf_dir: str):
     SQL twin."""
     from frontera_ray.stages.pagerank import pagerank_join
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-            "w": pa.array((1 + d % 7).astype(np.float64), pa.float64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir, weighted=True)
     out = pagerank_join(ds, iters=5, weight_col="w").to_pandas()
     out["rank"] = out["rank"].round(9)
     return out.sort_values("node").reset_index(drop=True)
@@ -3852,15 +3857,7 @@ def q_pagerank_join(sf_dir: str):
     Same recurrence, same SQL oracle as the dense path."""
     from frontera_ray.stages.pagerank import pagerank_join
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = pagerank_join(ds, iters=5).to_pandas()
     out["rank"] = out["rank"].round(9)
     return out.sort_values("node").reset_index(drop=True)
@@ -4628,15 +4625,7 @@ def q_hits(sf_dir: str):
     iterations (final scores rounded 1e-9)."""
     from frontera_ray.stages.pagerank import hits
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = hits(ds, n_nodes=_PR_NODES, iters=4).to_pandas()
     out["hub"] = out["hub"].round(9)
     out["authority"] = out["authority"].round(9)
@@ -4652,15 +4641,7 @@ def q_hits_join(sf_dir: str):
     dense path."""
     from frontera_ray.stages.pagerank import hits_join
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = hits_join(ds, iters=4).to_pandas()
     out["hub"] = out["hub"].round(9)
     out["authority"] = out["authority"].round(9)
@@ -4676,15 +4657,7 @@ def q_degree_dist(sf_dir: str):
     NO shuffle; output is distinct-degree-scale."""
     from frontera_ray.stages.pagerank import degree_histogram
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = degree_histogram(ds, n_nodes=_PR_NODES).to_pandas()
     return out.sort_values(["side", "deg"]).reset_index(drop=True)
 
@@ -9932,15 +9905,7 @@ def q_ppr(sf_dir: str):
     vector); only the restart vector changes."""
     from frontera_ray.stages.pagerank import pagerank
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     teleport = np.zeros(_PR_NODES, np.float64)
     teleport[:8] = 1.0
     out = pagerank(ds, n_nodes=_PR_NODES, iters=5,
@@ -9958,15 +9923,7 @@ def q_ppr_join(sf_dir: str):
     same SQL oracle as ppr."""
     from frontera_ray.stages.pagerank import pagerank_join
 
-    def edges(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        return pa.table({
-            "src": pa.array(d % _PR_NODES, pa.int64()),
-            "dst": pa.array((d * _PR_MIX) % _PR_NODES, pa.int64()),
-        })
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id"]) \
-        .map_batches(edges, batch_format="pyarrow")
+    ds = _doc_graph_edges(sf_dir)
     out = pagerank_join(ds, iters=5,
                         seed_teleport=range(8)).to_pandas()
     out["rank"] = out["rank"].round(9)

@@ -862,9 +862,13 @@ class RayCrawler:
             "sink_manifest": self._sink_manifest(),
         })
 
-    def _state_ck_dirs(self) -> list[tuple[int, str, bool]]:
+    def _state_ck_dirs(self) -> list[tuple[int, int, str, bool]]:
         """Versioned checkpoint dirs behind state_fs, sorted:
-        (round_no, path, complete) — complete == meta.json present."""
+        (round_no, seq, path, complete) — complete == meta.json
+        present. Names are checkpoint-rNNNNN-SSSS (SSSS = a write
+        sequence, so a SAME-round re-checkpoint gets a fresh dir and
+        the previous complete version survives until the new one's
+        meta lands); bare checkpoint-rNNNNN names parse as seq 0."""
         from pyarrow import fs as _pafs
 
         sel = _pafs.FileSelector(str(self.out), allow_not_found=True)
@@ -874,22 +878,26 @@ class RayCrawler:
             if info.type != _pafs.FileType.Directory or \
                     not name.startswith("checkpoint-r"):
                 continue
+            token = name[len("checkpoint-r"):]
+            rno, _, seq = token.partition("-")
             meta = self.state_fs.get_file_info(f"{info.path}/meta.json")
-            out.append((int(name.split("-r")[1]), info.path,
+            out.append((int(rno), int(seq or 0), info.path,
                         meta.type == _pafs.FileType.File))
         return sorted(out)
 
     def checkpoint(self) -> None:
         if self.state_fs is not None:
             # rename-free versioned protocol for shared/object storage:
-            # write checkpoint-rNNNNN/ fully, meta.json LAST (the
-            # completeness marker), then prune older versions — a crash
-            # mid-write leaves an incomplete dir restore() ignores
-            ck = f"{self.out}/checkpoint-r{self.round:05d}"
-            try:
-                self.state_fs.delete_dir(ck)  # idempotent re-checkpoint
-            except (FileNotFoundError, OSError):
-                pass
+            # write a FRESH checkpoint-rNNNNN-SSSS/ dir (seq = 1 + max
+            # existing, so even a same-round re-checkpoint never
+            # touches the previous complete version), meta.json LAST
+            # (the completeness marker), THEN prune strictly older
+            # dirs — a crash anywhere mid-write leaves the previous
+            # complete checkpoint intact and only an incomplete dir
+            # restore() ignores
+            existing = self._state_ck_dirs()
+            seq = 1 + max((s for _r, s, _p, _c in existing), default=0)
+            ck = f"{self.out}/checkpoint-r{self.round:05d}-{seq:04d}"
             self.state_fs.create_dir(ck, recursive=True)
             futs = [a.checkpoint.remote(ck, self.state_fs)
                     for a in self.state_actors]
@@ -898,8 +906,8 @@ class RayCrawler:
             ray.get(futs)
             with self.state_fs.open_output_stream(f"{ck}/meta.json") as f:
                 f.write(self._meta_doc().encode("utf8"))
-            for rno, path, _complete in self._state_ck_dirs():
-                if rno < self.round:
+            for _rno, s, path, _complete in existing:
+                if s < seq:
                     try:
                         self.state_fs.delete_dir(path)
                     except (FileNotFoundError, OSError):
@@ -972,13 +980,13 @@ class RayCrawler:
 
     def restore(self, strict_manifest: bool = True) -> dict:
         if self.state_fs is not None:
-            complete = [(r, p) for r, p, ok in self._state_ck_dirs()
-                        if ok]
+            complete = [(r, s, p) for r, s, p, ok
+                        in self._state_ck_dirs() if ok]
             if not complete:
                 raise FileNotFoundError(
                     f"no complete checkpoint-r* dir under {self.out} "
                     "on the state filesystem")
-            _rno, ckp = complete[-1]  # latest complete version wins
+            _rno, _seq, ckp = complete[-1]  # latest complete wins
             meta = json.loads(
                 self.state_fs.open_input_stream(
                     f"{ckp}/meta.json").read().decode("utf8"))

@@ -64,17 +64,20 @@ def block_topk_batch(batch: pa.Table, query_ref, k: int) -> pa.Table:
     sims = (emb / norms) @ qn.T  # (B, Q)
     k = min(k, len(batch))
     # partial cut under the SAME total order as _merge_topk
-    # (round(sim,9) desc, vec_id asc): rows pre-sorted by vec_id, then
-    # a stable argsort on the rounded sims — a raw-float argpartition
-    # could drop the vec_id-ascending winner of a rounding tie
-    # straddling the cut
-    vorder = np.argsort(vec_ids, kind="stable")
-    vec_ids = vec_ids[vorder]
-    sims = sims[vorder]
-    idx = np.argsort(-np.round(sims, 9), axis=0, kind="stable")[:k]
+    # (round(sim,9) desc, vec_id asc), at argpartition cost: O(B)
+    # partition on the rounded sims finds the k-th boundary VALUE,
+    # every row tied-or-above joins the candidate set, and only the
+    # candidates pay the exact lexsort — a raw-float cut could drop
+    # the vec_id-ascending winner of a rounding tie straddling the
+    # boundary, and a full-column argsort would pay O(B log B) per
+    # query on the hot scan path
+    rs = np.round(sims, 9)
     out_q, out_v, out_s = [], [], []
     for qi, qid in enumerate(qids):
-        rows = idx[:, qi]
+        col = rs[:, qi]
+        part = np.argpartition(-col, k - 1)[:k]
+        cand = np.flatnonzero(col >= col[part].min())
+        rows = cand[np.lexsort((vec_ids[cand], -col[cand]))][:k]
         out_q.extend([qid] * len(rows))
         out_v.extend(vec_ids[rows])
         out_s.extend(sims[rows, qi])
@@ -359,16 +362,17 @@ def ivf_topk_fixed(ds, query_ids, k: int = 10, nlist: int = 8,
         vec_ids = batch["vec_id"].to_numpy()
         kk = min(k, len(batch))
         # same-total-order partial cut as _merge_topk (see
-        # block_topk_batch): rounding-tie-safe at the kk boundary
-        vorder = np.argsort(vec_ids, kind="stable")
-        vec_ids = vec_ids[vorder]
-        sims = sims[vorder]
-        idx = np.argsort(-np.round(sims, 9), axis=0, kind="stable")[:kk]
+        # block_topk_batch): argpartition boundary + tie-complete
+        # candidate lexsort — rounding-tie-safe at the kk boundary at
+        # O(B) cost
+        rs = np.round(sims, 9)
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(qids_):
-            rows = idx[:, qi]
-            keep = np.isfinite(sims[rows, qi])
-            rows = rows[keep]
+            col = rs[:, qi]
+            part = np.argpartition(-col, kk - 1)[:kk]
+            cand = np.flatnonzero(col >= col[part].min())
+            rows = cand[np.lexsort((vec_ids[cand], -col[cand]))][:kk]
+            rows = rows[np.isfinite(sims[rows, qi])]
             out_q.extend([qid] * len(rows))
             out_v.extend(vec_ids[rows])
             out_s.extend(sims[rows, qi])

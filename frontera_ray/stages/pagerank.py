@@ -182,6 +182,15 @@ def pagerank(edges_ds, n_nodes: int, iters: int = 5,
     import ray
 
     if (node_space or _choose_node_space(n_nodes, teleport)) == "join":
+        if teleport is not None:
+            # never silently drop personalization: the join path takes
+            # a seed LIST, not a dense vector (auto-routing already
+            # keeps teleport callers dense — this guards the explicit
+            # node_space='join' combination)
+            raise ValueError(
+                "dense teleport vectors are not supported on the join "
+                "path — call pagerank_join(seed_teleport=[...]) with "
+                "the seed node ids instead")
         return pagerank_join(edges_ds, iters=iters, damping=damping,
                              dedup=dedup)
     if dedup:
@@ -450,6 +459,11 @@ def _pr_partition_graph(edges_ds, dedup: bool,
     from .relational import cluster_cpus
 
     P = num_partitions or max(8, min(64, cluster_cpus()))
+    # P >= 2 always: every iteration task uses num_returns=P, and Ray
+    # returns a BARE ref (not a list) for num_returns=1 — a single
+    # requested partition executes as 2 (partition-count invariant,
+    # covered by the parity suite) instead of crashing the indexing
+    P = max(2, int(P))
     split = ray.remote(num_returns=2 * P)(_pr_split_block)
     build = ray.remote(num_returns=P + 3)(_pr_build_partition)
 
@@ -666,7 +680,8 @@ def hits_join(edges_ds, iters: int = 4, dedup: bool = True,
 
     h = [init_vec.remote(counts[p], 1.0 / n_present) for p in range(P)]
     h_scale = 1.0
-    a = [None] * P
+    # iters=0 parity with the dense path: uniform hubs, zero authority
+    a = [init_vec.remote(counts[p], 0.0) for p in range(P)]
     a_scale = 1.0
     for _ in range(iters):
         sums = [contrib.remote(states[p], h[p], P, False, h_scale)
@@ -814,7 +829,7 @@ def bfs_levels_join(edges_ds, seeds, max_depth: int = 4,
     combine = ray.remote(_cc_combine)
     if int(sum(counts)) == 0:
         return pa.table({"node": pa.array([], pa.int64()),
-                         "lvl": pa.array([], pa.int32())})
+                         "lvl": pa.array([], pa.int64())})
     seeds = np.asarray(list(seeds), np.int64)
     seeds = seeds[seeds >= 0]  # dense-path parity (no upper bound
     # here: the join path's id space is unbounded by design)

@@ -338,7 +338,7 @@ def test_state_fs_checkpoint_restore(ray_session, tmp_path):
     urls = c2.crawled_urls()
     assert len(urls) == len(set(urls)) == web.total_pages()
     # old checkpoint versions pruned after the next complete one
-    rounds = sorted(int(p.name.split("-r")[1])
+    rounds = sorted(int(p.name.split("-r")[1].split("-")[0])
                     for p in (remote / behind).glob("checkpoint-r*")
                     if (p / "meta.json").exists())
     assert len(rounds) == 1 and rounds[0] > 2
